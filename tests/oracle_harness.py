@@ -1,0 +1,60 @@
+"""Local mirror of the driver's DuckDB-oracle comparison.
+
+Stricter than the driver: exact value equality after canonicalisation
+(sorted column names, sorted rows, numpy scalars -> python, timestamps ->
+microsecond ISO strings). If this passes, the driver's order-insensitive
+value-hash should too.
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import Decimal
+
+import duckdb
+import pandas as pd
+
+from wal_consumer_spark.sources.tables import TABLES
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # exact repr: bit-identical doubles required
+    if isinstance(v, Decimal):
+        return repr(float(v))
+    if isinstance(v, pd.Timestamp):
+        return v.floor("us").isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if hasattr(v, "item"):  # numpy scalar
+        return _canon_cell(v.item())
+    return str(v)
+
+
+def canonicalize(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [tuple(_canon_cell(v) for v in row) for row in df[cols].itertuples(index=False)]
+    return sorted(rows)
+
+
+def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -> None:
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
+    )
+    a, b = canonicalize(spark_pdf), canonicalize(duck_pdf)
+    assert len(a) == len(b), f"{name}: row count {len(a)} vs {len(b)}"
+    mism = [(x, y) for x, y in zip(a, b) if x != y]
+    assert not mism, f"{name}: {len(mism)} mismatched rows; first 3: {mism[:3]}"

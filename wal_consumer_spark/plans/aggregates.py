@@ -1,0 +1,247 @@
+"""Aggregation surface: group stats, count-distinct, rollup/cube/grouping
+sets, collect, percentiles, pivot (SURVEY.md §2.B "Aggregation").
+
+Variance/stddev are recomputed from exact decimal power sums so the result is
+partition-order independent (naive streaming moments are not associative in
+floating point); percentiles use Spark's exact `percentile`, which matches
+DuckDB's quantile_cont linear interpolation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wal_consumer_spark.plans._util import davg, dsum
+from wal_consumer_spark.plans.registry import register
+from wal_consumer_spark.sources.tables import load_table
+
+
+@register(
+    "agg_group_stats",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS mean,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi,
+           round((CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+            - CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+              * CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+           / (COUNT(*) - 1), 1) AS variance
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="sum/count/avg/min/max + order-independent sample variance from "
+        "exact decimal power sums.",
+)
+def agg_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_totalprice").cast("decimal(12,2)")
+    sum_x = F.sum(d).cast("double")
+    sum_x2 = F.sum(d * d).cast("double")
+    n = F.count(F.lit(1))
+    return o.groupBy("o_orderpriority").agg(
+        n.alias("n"),
+        sum_x.alias("total"),
+        (sum_x / n).alias("mean"),
+        F.min("o_totalprice").cast("double").alias("lo"),
+        F.max("o_totalprice").cast("double").alias("hi"),
+        F.round((sum_x2 - sum_x * sum_x / n) / (n - F.lit(1)), 1).alias("variance"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           COUNT(*) AS n_customers
+    FROM customer GROUP BY c_mktsegment
+    """,
+    doc="COUNT DISTINCT (expand+two-phase agg under AQE).",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "agg_approx_count_distinct",
+    oracle=None,  # HLL++ estimate is engine-specific; driver rows-only check
+    doc="approx_count_distinct (HyperLogLog++): the 100 TB-scale path for "
+        "distinct counting; no SQL oracle because the estimate is "
+        "implementation-defined.",
+)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custkeys"))
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP with grouping id.",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        (F.grouping("l_returnflag") + F.lit(2) * F.grouping("l_linestatus")).alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity", "sum_qty"),
+    ).select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS gid,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE with grouping id.",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        (F.grouping("l_returnflag") + F.lit(2) * F.grouping("l_linestatus")).alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("l_returnflag", "l_linestatus", "gid", "n")
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+    """,
+    doc="GROUPING SETS (via spark.sql; DataFrame rollup/cube cover the rest).",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        """
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(DISTINCT n_name) AS n_distinct
+    FROM nation GROUP BY n_regionkey
+    """,
+    doc="collect_list/collect_set surfaced deterministically as a sorted "
+        "joined string (array order is engine-specific).",
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
+        F.size(F.collect_set("n_name")).cast("long").alias("n_distinct"),
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT c_mktsegment,
+           quantile_cont(c_acctbal, 0.25) AS p25,
+           quantile_cont(c_acctbal, 0.50) AS p50,
+           quantile_cont(c_acctbal, 0.75) AS p75
+    FROM customer GROUP BY c_mktsegment
+    """,
+    doc="Exact percentiles (linear interpolation). approx path: "
+        "percentile_approx, checked rows-only in agg_percentile_approx.",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.percentile("c_acctbal", 0.25).alias("p25"),
+        F.percentile("c_acctbal", 0.50).alias("p50"),
+        F.percentile("c_acctbal", 0.75).alias("p75"),
+    )
+
+
+@register(
+    "agg_percentile_approx",
+    oracle=None,  # KLL/GK sketch estimates are engine-specific
+    doc="percentile_approx: sketch-based, the scale path for quantiles.",
+)
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price")
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT l_linestatus,
+           COALESCE(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_returnflag = 'A') AS DOUBLE), 0.0) AS qty_A,
+           COALESCE(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_returnflag = 'N') AS DOUBLE), 0.0) AS qty_N,
+           COALESCE(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_returnflag = 'R') AS DOUBLE), 0.0) AS qty_R
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    doc="Pivot on return flag (fixed pivot values keep the schema static).",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double"))
+    )
+    return piv.select(
+        "l_linestatus",
+        F.coalesce(F.col("A"), F.lit(0.0)).alias("qty_A"),
+        F.coalesce(F.col("N"), F.lit(0.0)).alias("qty_N"),
+        F.coalesce(F.col("R"), F.lit(0.0)).alias("qty_R"),
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spent
+    FROM orders GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    """,
+    doc="GROUP BY + HAVING (post-aggregation filter).",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "spent"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )

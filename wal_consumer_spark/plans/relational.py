@@ -1,0 +1,486 @@
+"""Core relational surface: scans, projections, filters, every join flavour,
+sorts/limits, set ops (SURVEY.md §2.B). Each query is a thin DataFrame plan —
+Catalyst supplies pushdown, pruning, join selection; small dims are broadcast
+explicitly so the plan stays shuffle-free on the dimension side at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from wal_consumer_spark.operators.asof import asof_join
+from wal_consumer_spark.plans._util import davg, dsum, sql_davg, sql_dsum
+from wal_consumer_spark.plans.registry import register
+from wal_consumer_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# Flagship aggregates (TPC-H-style)
+# --------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           {sql_dsum('l_extendedprice', 'sum_base_price')},
+           {sql_dsum('CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))',
+                     'sum_disc_price', 'DECIMAL(25,4)')},
+           {sql_dsum('CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))'
+                     ' * CAST(1 + l_tax AS DECIMAL(12,2))', 'sum_charge', 'DECIMAL(38,6)')},
+           {sql_davg('l_quantity', 'avg_qty')},
+           {sql_davg('l_extendedprice', 'avg_price')},
+           {sql_davg('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 pricing summary: scan+filter+groupBy with exact decimal sums.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
+    tax = (F.lit(1) + F.col("l_tax")).cast("decimal(12,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum((price * disc).cast("decimal(25,4)")).cast("double").alias("sum_disc_price"),
+            F.sum((price * disc * tax).cast("decimal(38,6)")).cast("double").alias("sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_top_revenue",
+    oracle=f"""
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+           {sql_dsum('CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(12,2))',
+                     'revenue', 'DECIMAL(25,4)')}
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q3-style: selective dim filter -> fact join -> agg -> global top-k.",
+)
+def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
+    ).cast("decimal(25,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle=f"""
+    SELECT r.r_name, n.n_name,
+           {sql_dsum('CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(12,2))',
+                     'revenue', 'DECIMAL(25,4)')},
+           COUNT(*) AS n_lineitems
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    doc="5-way star join rolled up to region/nation; dims broadcast.",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
+    ).cast("decimal(25,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Join flavours
+# --------------------------------------------------------------------------
+
+@register(
+    "join_inner_basic",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 400000
+    """,
+    doc="Inner equi-join with filter pushdown on the fact side.",
+)
+def join_inner_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS total_spent
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    doc="Left outer join preserving customers with no orders.",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), F.lit(0))
+            .cast("double")
+            .alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nk, COUNT(*) AS n_customers FROM customer GROUP BY 1),
+         sn AS (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1)
+    SELECT COALESCE(cn.nk, sn.nk) AS nationkey,
+           COALESCE(n_customers, 0) AS n_customers,
+           COALESCE(n_suppliers, 0) AS n_suppliers
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+    doc="Full outer join of per-nation customer and supplier counts.",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    sn = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return cn.join(sn, "nk", "full").select(
+        F.col("nk").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@register(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+    doc="Left-semi join == EXISTS; no row multiplication.",
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Left-anti join == NOT EXISTS (customers who never ordered).",
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT a.r_name AS r1, b.r_name AS r2
+    FROM region a CROSS JOIN region b
+    """,
+    doc="Cross join (tiny dims only; BroadcastNestedLoop).",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    return r.select(F.col("r_name").alias("r1")).crossJoin(
+        broadcast(r.select(F.col("r_name").alias("r2")))
+    )
+
+
+@register(
+    "join_theta_nonequi",
+    oracle="""
+    SELECT a.n_name AS n1, b.n_name AS n2
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+                                AND a.n_regionkey = b.n_regionkey
+    """,
+    doc="Non-equi (theta) join: unordered nation pairs within a region.",
+)
+def join_theta_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k1"), F.col("n_name").alias("n1"),
+        F.col("n_regionkey").alias("rk1"),
+    )
+    b = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k2"), F.col("n_name").alias("n2"),
+        F.col("n_regionkey").alias("rk2"),
+    )
+    return (
+        a.join(broadcast(b), (F.col("k1") < F.col("k2")) & (F.col("rk1") == F.col("rk2")))
+        .select("n1", "n2")
+    )
+
+
+@register(
+    "join_range_band",
+    oracle="""
+    SELECT p.p_partkey, p.p_size, l.l_orderkey, l.l_linenumber, l.l_quantity
+    FROM part p JOIN lineitem l
+      ON l.l_partkey = p.p_partkey
+     AND l.l_quantity BETWEEN p.p_size - 2 AND p.p_size + 2
+    """,
+    doc="Equi + band (range) join condition.",
+)
+def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_partkey == p.p_partkey)
+        & (li.l_quantity >= p.p_size - 2)
+        & (li.l_quantity <= p.p_size + 2)
+    )
+    return li.join(broadcast(p), cond).select(
+        "p_partkey", "p_size", "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@register(
+    "asof_join_events_orders",
+    oracle="""
+    WITH best AS (
+        SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+               row_number() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e
+        JOIN orders o ON o.o_custkey = e.user_id
+                     AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+    )
+    SELECT e.event_id, e.user_id, e.event_type,
+           b.o_orderkey AS asof_orderkey,
+           b.o_totalprice AS asof_totalprice
+    FROM events e
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.event_id = e.event_id
+    """,
+    doc="As-of join: each event -> latest prior order of the same user "
+        "(union+window implementation, no pair explosion; operators/asof.py).",
+)
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate",
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.col("o_totalprice").alias("asof_totalprice"),
+    )
+    joined = asof_join(
+        e, o,
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        payload_cols=["asof_orderkey", "asof_totalprice"],
+        tiebreak_cols=["asof_orderkey"],
+    )
+    return joined.select("event_id", "user_id", "event_type", "asof_orderkey", "asof_totalprice")
+
+
+# --------------------------------------------------------------------------
+# Sort / limit / set ops / distinct
+# --------------------------------------------------------------------------
+
+@register(
+    "topk_global",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    doc="Global top-k: TakeOrderedAndProject, no full sort.",
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "sort_multi_nulls",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, NULLIF(c_acctbal, 0.0) AS bal
+    FROM customer
+    ORDER BY c_mktsegment ASC, bal DESC NULLS LAST, c_custkey
+    LIMIT 200
+    """,
+    doc="Multi-key sort with explicit null ordering (nulls via NULLIF).",
+)
+def sort_multi_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey", "c_mktsegment",
+            F.nullif(F.col("c_acctbal"), F.lit(0.0)).alias("bal"),
+        )
+        .orderBy(F.col("c_mktsegment").asc(), F.col("bal").desc_nulls_last(), F.col("c_custkey"))
+        .limit(200)
+    )
+
+
+@register(
+    "set_union_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+    """,
+    doc="UNION ALL via unionByName.",
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("side")
+    )
+    return c.unionByName(s)
+
+
+@register(
+    "set_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="UNION DISTINCT.",
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+    doc="INTERSECT (distinct semantics).",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.intersect(o)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+    doc="EXCEPT (distinct semantics).",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.subtract(o)
+
+
+@register(
+    "distinct_projection",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    doc="DISTINCT over a projection.",
+)
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@register(
+    "dedup_keep_first",
+    oracle="""
+    SELECT user_id, event_type, event_id AS first_event_id,
+           CAST(ts AS TIMESTAMP) AS first_ts
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    doc="Deterministic dropDuplicates: keep earliest row per key via window "
+        "(dropDuplicates picks an arbitrary row; this formulation is stable).",
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+        )
+    )

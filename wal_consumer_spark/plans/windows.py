@@ -1,0 +1,158 @@
+"""Window-function surface: ranking, lag/lead, running/range frames, ntile,
+top-k per group (SURVEY.md §2.B "Window functions").
+
+Every ORDER BY carries a unique tiebreaker so ranks are total and results
+hash-stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wal_consumer_spark.plans.registry import register
+from wal_consumer_spark.sources.tables import load_table
+
+
+@register(
+    "win_topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer
+    ) WHERE rn <= 5
+    """,
+    doc="Top-k per group: row_number + filter (partial topK pushed down per "
+        "partition by Catalyst's WindowGroupLimit at scale).",
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rn")
+    )
+
+
+@register(
+    "win_rank_dense_ntile",
+    oracle="""
+    SELECT s_suppkey, s_nationkey, s_acctbal,
+           rank()       OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS rnk,
+           dense_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS drnk,
+           ntile(4)     OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS quartile
+    FROM supplier
+    """,
+    doc="rank / dense_rank / ntile over one partition spec (single shuffle).",
+)
+def win_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return s.select(
+        "s_suppkey", "s_nationkey", "s_acctbal",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, value,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           value - COALESCE(lag(value) OVER w, 0.0) AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    """,
+    doc="lag/lead with a shared window spec.",
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id", "user_id", "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0))).alias("delta"),
+    )
+
+
+@register(
+    "win_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spent,
+           first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS first_orderkey,
+           last_value(o_orderkey)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_orderkey
+    FROM orders
+    """,
+    doc="Running aggregate frame (rowsBetween) + first/last over frame; "
+        "decimal running sum keeps it order-exact.",
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).over(w)
+        .cast("double").alias("running_spent"),
+        F.first("o_orderkey").over(w).alias("first_orderkey"),
+        F.last("o_orderkey").over(w).alias("last_orderkey"),
+    )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+    SELECT s_suppkey, s_nationkey, s_acctbal,
+           COUNT(*) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal
+                          RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS n_peers
+    FROM supplier
+    """,
+    doc="RANGE frame: peers within +/-500 account balance in the nation.",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal").rangeBetween(-500, 500)
+    return s.select(
+        "s_suppkey", "s_nationkey", "s_acctbal",
+        F.count(F.lit(1)).over(w).alias("n_peers"),
+    )
+
+
+@register(
+    "win_cume_percent",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           round(percent_rank() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal, c_custkey), 9) AS pct_rank,
+           round(cume_dist() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_acctbal, c_custkey), 9) AS cume
+    FROM customer
+    """,
+    doc="percent_rank / cume_dist (rounded: both engines compute k/n doubles).",
+)
+def win_cume_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey", "c_mktsegment",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    )
