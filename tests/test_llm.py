@@ -1,0 +1,78 @@
+"""Quality assertions for the approximate (no-oracle) LLM operators:
+the sketch paths must agree with their exact oracle-checked baselines."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+from wal_consumer_spark.functions.multimodal import (
+    attach_media_columns,
+    decode_media,
+    real_decode,
+)
+from wal_consumer_spark.operators.dedup import (
+    minhash_candidates,
+    minhash_signature,
+    near_dedup_canonical,
+    shingle_pairs_jaccard,
+)
+from wal_consumer_spark.operators.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+from wal_consumer_spark.sources.tables import load_table
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    exact = {
+        (r.doc1, r.doc2)
+        for r in shingle_pairs_jaccard(docs, "doc_id", "text")
+        .filter(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+    cands = {
+        (r.doc1, r.doc2)
+        for r in minhash_candidates(minhash_signature(docs, "doc_id", "text")).collect()
+    }
+    assert exact, "exact near-dup baseline unexpectedly empty"
+    recall = len(exact & cands) / len(exact)
+    assert recall >= 0.7, f"MinHash-LSH recall too low: {recall:.2f}"
+
+
+def test_lsh_topk_overlap_vs_bruteforce(spark):
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    bf = cosine_topk_bruteforce(emb, queries, k=10).collect()
+    lsh = cosine_topk_lsh(emb, queries, dim=64, k=10, nbits=4).collect()
+    bf_pairs = {(r.query_id, r.cand_id) for r in bf}
+    lsh_pairs = {(r.query_id, r.cand_id) for r in lsh}
+    overlap = len(bf_pairs & lsh_pairs) / len(bf_pairs)
+    # nbits=4 -> 16 buckets over 500 vectors; same-bucket filtering should
+    # still recover a useful fraction of the true top-10.
+    assert overlap >= 0.15, f"LSH top-k overlap too low: {overlap:.2f}"
+
+
+def test_near_dedup_canonical_partition(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    n_docs = docs.count()
+    pairs = shingle_pairs_jaccard(docs, "doc_id", "text").filter(F.col("jaccard") >= 0.5)
+    survivors = near_dedup_canonical(
+        pairs.select(F.col("doc1"), F.col("doc2")), docs.select("doc_id"), "doc_id"
+    )
+    dropped = pairs.select(F.col("doc2").alias("doc_id")).distinct()
+    assert survivors.count() + dropped.count() == n_docs
+    # no survivor is a dropped doc
+    assert survivors.join(dropped, "doc_id").count() == 0
+
+
+def test_multimodal_decode_stub(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    media = attach_media_columns(docs, "doc_id", "text", "source")
+    decoded = decode_media(media, fake=True)
+    rows = decoded.limit(5).collect()
+    assert {r.kind for r in rows} <= {"image", "audio", "video"}
+    for r in rows:
+        assert r.n_bytes == len(r.payload)
+        assert 16 <= r.width < 80 and 16 <= r.height < 80
+    with pytest.raises(NotImplementedError):
+        real_decode(b"\x00", "image")

@@ -1,0 +1,104 @@
+"""Multimodal column support (SURVEY.md §2.B "multimodal columns"):
+image/audio/video as opaque BinaryType payloads plus a typed metadata
+struct — generalizing the reference's `entity_bytes` opaque payload
+(WalEntity.java:38-39) to media.
+
+The decode step is STUBBED (this container has no PIL/ffmpeg): a
+deterministic fake derives pseudo-metadata from the bytes so the Spark-side
+plumbing — schema, Arrow batching, mapInPandas partitioning — is real and
+testable end-to-end. Swap `_fake_decode` for a real decoder in production.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: media row: opaque payload + typed metadata (mirrors WAL envelope design)
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("payload", BinaryType(), True),
+        StructField("meta_source", StringType(), True),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    MEDIA_SCHEMA.fields
+    + [
+        StructField("n_bytes", LongType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+    ]
+)
+
+
+def attach_media_columns(df: DataFrame, id_col: str, text_col: str, source_col: str) -> DataFrame:
+    """Build a media table from any table with an id and a payload-ish column
+    (tests use documents.text utf-8 bytes as the opaque payload)."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.when(F.col(id_col) % 3 == 0, "image")
+        .when(F.col(id_col) % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.col(text_col).cast("binary").alias("payload"),
+        F.col(source_col).alias("meta_source"),
+    )
+
+
+def _fake_decode(payload: bytes | None, kind: str) -> tuple[int, int, int, int]:
+    """Deterministic pseudo-decode: metadata derived arithmetically from the
+    byte length, so an SQL oracle can replay it. Real decode would raise
+    NotImplementedError (no PIL/librosa/ffmpeg in this environment)."""
+    n = len(payload) if payload is not None else 0
+    width = 16 + n % 64
+    height = 16 + (n // 64) % 64
+    n_frames = 1 if kind == "image" else 1 + n % 30
+    return n, width, height, n_frames
+
+
+def real_decode(payload: bytes, kind: str):  # pragma: no cover - stub
+    """Marked stub: the real decoder (PIL for image, soundfile/librosa for
+    audio, ffmpeg frame sampling for video) is unavailable in this container."""
+    raise NotImplementedError(
+        "media decode requires PIL/librosa/ffmpeg, not present in this environment; "
+        "use the deterministic _fake_decode path (decode_media(df, fake=True))"
+    )
+
+
+def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Arrow-batched decode over mapInPandas: the real-scale shape — batches
+    of binary payloads per partition, no per-row Python call overhead."""
+    from wal_consumer_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(df.sparkSession)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [
+                _fake_decode(p, k) if fake else real_decode(p, k)
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            out = pdf.copy()
+            out["n_bytes"] = [d[0] for d in decoded]
+            out["width"] = pd.array([d[1] for d in decoded], dtype="int32")
+            out["height"] = pd.array([d[2] for d in decoded], dtype="int32")
+            out["n_frames"] = pd.array([d[3] for d in decoded], dtype="int32")
+            yield out
+
+    return df.mapInPandas(batches, DECODED_SCHEMA)

@@ -1,0 +1,183 @@
+"""Deduplication operators for large-scale corpus cleaning (SURVEY.md §2.B
+"LLM-data-pipeline extensions"): exact hash dedup, n-gram Jaccard near-dup,
+MinHash+LSH banding, SimHash. Everything below is pure Column expressions +
+joins — no Python in the hot path — so the same plans run on a 1000-executor
+cluster: shingling is map-side, candidate generation shuffles once on the
+band/bucket key, and verification touches candidate pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from wal_consumer_spark.functions.text import tokens, word_shingles
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups by content hash: keep min id as canonical.
+
+    sha2 group-keys (not raw text) keep shuffle rows narrow at 100 TB.
+    """
+    return (
+        df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("content_sha"))
+        .groupBy("content_sha")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingle_pairs_jaccard(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """All candidate pairs sharing >=1 k-shingle, with exact Jaccard.
+
+    Exact formulation (oracle-checkable): explode distinct shingles,
+    self-join on shingle, |A∩B| = co-count, |A∪B| = |A|+|B|-|A∩B|.
+    At scale prefer minhash_candidates() below, which bounds the join by
+    LSH bands instead of raw shingle frequency.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(tokens(F.col(text_col)), k)).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("doc").alias("doc1"), "shingle")
+    b = sh.select(F.col("doc").alias("doc2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc": "doc1", "n_shingles": "n1"}), "doc1")
+        .join(sizes.withColumnsRenamed({"doc": "doc2", "n_shingles": "n2"}), "doc2")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")),
+        )
+    )
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, num_perm: int = 32, k: int = 3
+) -> DataFrame:
+    """Deterministic MinHash signatures: perm i = min over shingles of
+    xxhash64(i || shingle). JVM-hash based (no random matrices to ship)."""
+    sh = F.array_distinct(word_shingles(tokens(F.col(text_col)), k))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: F.xxhash64(F.concat(i.cast("string"), F.lit("|"), s)))
+        ),
+    )
+    return df.select(F.col(id_col).alias("doc"), sig.alias("sig"))
+
+
+def minhash_candidates(
+    sigs: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: docs agreeing on all rows of any band become candidates.
+
+    Shuffle key = (band, hash(band slice)) — at 100 TB this is the only
+    join, and band buckets bound its fan-out regardless of shingle skew.
+    """
+    banded = sigs.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band)),
+                    b,
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.select(F.col("doc").alias("doc1"), "band", "bucket")
+    b = banded.select(F.col("doc").alias("doc2"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+
+
+def minhash_jaccard_estimate(sigs: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Estimated Jaccard = fraction of agreeing signature positions."""
+    s1 = sigs.select(F.col("doc").alias("doc1"), F.col("sig").alias("sig1"))
+    s2 = sigs.select(F.col("doc").alias("doc2"), F.col("sig").alias("sig2"))
+    return (
+        candidates.join(s1, "doc1")
+        .join(s2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("sig1", "sig2", lambda x, y: (x == y).cast("int")),
+                        lambda v: v == 1,
+                    )
+                )
+                / F.size("sig1")
+            ).alias("est_jaccard"),
+        )
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over whitespace tokens, as one JVM expression:
+    bit b of the fingerprint = sign of sum over tokens of ±1 according to
+    bit b of xxhash64(token). Built via SQL expr because the shift amount is
+    itself a column (the Python shiftleft/shiftright wrappers take ints)."""
+    hashed = df.select(
+        F.col(id_col).alias("doc"),
+        F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("th"),
+    )
+    fingerprint = """
+    aggregate(
+      zip_with(
+        transform(sequence(0, 63), b -> aggregate(
+            th, 0, (acc, h) -> acc + IF((shiftright(h, b) & 1) = 1, 1, -1))),
+        sequence(0, 63),
+        (score, b) -> IF(score > 0, shiftleft(1L, b), 0L)),
+      0L,
+      (acc, v) -> acc | v)
+    """
+    return hashed.select("doc", F.expr(fingerprint).alias("simhash"))
+
+
+def simhash_near_pairs(fps: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit chunks:
+    any pair within distance d<=8 must agree exactly on >=1 of 4 chunks
+    (pigeonhole), so the join key is (chunk_idx, chunk_value) — no n^2 scan."""
+    chunked = fps.select(
+        "doc",
+        "simhash",
+        F.posexplode(
+            F.expr("transform(sequence(0, 3), i -> shiftright(simhash, i * 16) & 65535)")
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a = chunked.select(F.col("doc").alias("doc1"), F.col("simhash").alias("h1"), "chunk_idx", "chunk_val")
+    b = chunked.select(F.col("doc").alias("doc2"), F.col("simhash").alias("h2"), "chunk_idx", "chunk_val")
+    pairs = (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2", "h1", "h2")
+        .distinct()
+    )
+    return pairs.withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))).filter(
+        F.col("hamming") <= max_hamming
+    ).select("doc1", "doc2", "hamming")
+
+
+def near_dedup_canonical(pairs: DataFrame, all_ids: DataFrame, id_col: str) -> DataFrame:
+    """Pick canonical survivors: a doc is dropped if it pairs with a smaller
+    doc id (single-link, one pass — the standard large-corpus approximation)."""
+    dropped = pairs.select(F.col("doc2").alias(id_col)).distinct()
+    return all_ids.join(dropped, id_col, "left_anti")

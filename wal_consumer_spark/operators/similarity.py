@@ -1,0 +1,171 @@
+"""Similarity search over embedding columns (SURVEY.md §2.B: "top-k
+similarity search ⚙"): exact brute-force cosine top-k as the verifiable
+baseline, and a random-hyperplane LSH bucketed variant as the 100 TB path.
+
+Dot products stay JVM-side via zip_with/aggregate (no Python UDF); the LSH
+variant turns the O(N*Q) cross join into a bucket equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k: broadcast the query set against the corpus, rank per
+    query. The corpus side streams — one pass, no shuffle of the corpus."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        c.crossJoin(broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine_sim", "rank")
+    )
+
+
+def _planes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (splitmix64-style LCG, no
+    numpy RNG dependency): values in [-1, 1)."""
+    planes = []
+    state = seed & 0xFFFFFFFFFFFFFFFF
+    for _ in range(nbits):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+            row.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def rp_lsh_bucket(vec: Column, dim: int, nbits: int = 12, seed: int = 42) -> Column:
+    """Random-hyperplane LSH bucket id: nbits sign bits packed into a long."""
+    bucket = F.lit(0).cast("long")
+    for b, plane in enumerate(_planes(dim, nbits, seed)):
+        proj = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(v) for v in plane]), lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket.bitwiseOR(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+        )
+    return bucket
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nbits: int = 4,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Approximate top-k with multi-table random-hyperplane LSH: candidates
+    are vectors sharing the query's bucket in ANY of the n_tables independent
+    hash tables (union raises recall; each table is an equi-join, never a
+    cross join). At 100 TB the (table, bucket) columns are precomputed and
+    partitioned-on at write time, so a query touches n_tables/2^nbits of the
+    corpus."""
+
+    def with_buckets(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        d = df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(out_vec),
+            *[
+                rp_lsh_bucket(F.col(vec_col), dim, nbits, seed=42 + t).alias(f"b{t}")
+                for t in range(n_tables)
+            ],
+        )
+        return d.select(
+            out_id,
+            out_vec,
+            F.posexplode(F.array(*[F.col(f"b{t}") for t in range(n_tables)])).alias(
+                "table", "bucket"
+            ),
+        )
+
+    c = with_buckets(corpus, "cand_id", "cvec")
+    q = with_buckets(queries, "query_id", "qvec")
+    scored = (
+        c.join(broadcast(q), ["table", "bucket"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", "qvec", "cvec")
+        .distinct()  # a pair may collide in several tables
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine_sim", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs; use the LSH
+    bucket join for the scale path)."""
+    a = corpus.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    b = corpus.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -1,1 +1,180 @@
-"""Placeholder — populated in a later milestone."""
+"""CDC apply surface, oracle-checkable (SURVEY.md §2.A R2, R5-R11, R14).
+
+A deterministic synthetic WAL is derived from the `events` table so DuckDB
+can replay the same semantics:
+
+    id           = event_id                  (total order, ≙ WalEntity.id)
+    entity_id    = event_id % 500            (domain key; ~20 ops per key)
+    operation    = signup -> ADD, error -> DELETE, else UPDATE
+                   (≙ Operation.java:6-10)
+    entity_bytes = utf-8 bytes of 'payload-<event_id>'
+                   (≙ WalEntity.entity_bytes; decoded per
+                   WalConsumerTest.java:106)
+    entity_type  = 'user'
+
+Applying the WAL in id order to an empty keyed target and reading the final
+state is equivalent (per SURVEY.md §4.3: ops on different keys commute) to
+keeping each key's last op and dropping DELETEs — which is exactly what
+`operators.cdc.apply_cdc_batch` computes with one window + anti-join/union,
+and what the SQL oracle replays with a window function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wal_consumer_spark.operators.cdc import apply_cdc_batch, last_op_per_key
+from wal_consumer_spark.plans.registry import register
+
+from wal_consumer_spark.sources.tables import load_table
+
+#: shared oracle fragment: the synthetic WAL as SQL
+WAL_SQL = """
+    SELECT event_id AS id,
+           event_id % 500 AS entity_id,
+           CASE event_type WHEN 'signup' THEN 'ADD'
+                           WHEN 'error' THEN 'DELETE'
+                           ELSE 'UPDATE' END AS operation,
+           concat('payload-', CAST(event_id AS VARCHAR)) AS payload,
+           'user' AS entity_type
+    FROM events
+"""
+
+
+def synthetic_wal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        F.col("event_id").alias("id"),
+        (F.col("event_id") % 500).alias("entity_id"),
+        F.when(F.col("event_type") == "signup", "ADD")
+        .when(F.col("event_type") == "error", "DELETE")
+        .otherwise("UPDATE")
+        .alias("operation"),
+        F.concat(F.lit("payload-"), F.col("event_id").cast("string"))
+        .cast("binary")
+        .alias("entity_bytes"),
+        F.lit("user").alias("entity_type"),
+    )
+
+
+@register(
+    "cdc_last_op_per_key",
+    oracle=f"""
+    WITH wal AS ({WAL_SQL})
+    SELECT entity_id, id AS last_id, operation
+    FROM (SELECT *, row_number() OVER (PARTITION BY entity_id ORDER BY id DESC) AS rn
+          FROM wal)
+    WHERE rn = 1
+    """,
+    doc="Per-key last-op reduction (SURVEY.md §4.3): the batch equivalent of "
+        "the reference's sequential head processing, WalConsumer.java:157-165.",
+)
+def cdc_last_op_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    last = last_op_per_key(synthetic_wal(spark, sf_dir))
+    return last.select("entity_id", F.col("id").alias("last_id"), "operation")
+
+
+@register(
+    "cdc_apply_final_state",
+    oracle=f"""
+    WITH wal AS ({WAL_SQL}),
+    last AS (
+        SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY entity_id ORDER BY id DESC) AS rn
+                       FROM wal) WHERE rn = 1
+    )
+    SELECT entity_id, payload, entity_type
+    FROM last WHERE operation <> 'DELETE'
+    """,
+    doc="Full CDC apply into an empty target: ADD/UPDATE upsert, DELETE "
+        "removes (R6-R8 semantics, WalConsumerTest.java:113-127); payload "
+        "decoded back to utf-8 like WalConsumerTest.java:106.",
+)
+def cdc_apply_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wal = synthetic_wal(spark, sf_dir)
+    empty_target = spark.createDataFrame(
+        [], "entity_id LONG, entity_bytes BINARY, entity_type STRING"
+    )
+    final = apply_cdc_batch(empty_target, wal)
+    return final.select(
+        "entity_id",
+        F.col("entity_bytes").cast("string").alias("payload"),
+        "entity_type",
+    )
+
+
+@register(
+    "cdc_replay_idempotency",
+    oracle=f"""
+    WITH wal AS ({WAL_SQL}),
+    last AS (
+        SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY entity_id ORDER BY id DESC) AS rn
+                       FROM wal) WHERE rn = 1
+    )
+    SELECT COUNT(*) FILTER (WHERE operation <> 'DELETE') AS already_done,
+           COUNT(*) FILTER (WHERE operation = 'DELETE') AS absent
+    FROM last
+    """,
+    doc="R10 idempotency observability (WalConsumer.java:271-278): replaying "
+        "the same batch onto the applied target reports every upsert as "
+        "already-done — the wal_num_ignored_already_done meter.",
+)
+def cdc_replay_idempotency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wal = synthetic_wal(spark, sf_dir)
+    empty_target = spark.createDataFrame([], "entity_id LONG, entity_bytes BINARY, entity_type STRING")
+    applied = apply_cdc_batch(empty_target, wal)
+    last = last_op_per_key(wal)
+    upserts = last.filter(F.col("operation") != "DELETE")
+    already = (
+        upserts.join(
+            applied.select("entity_id", F.col("entity_bytes").alias("tgt_bytes")),
+            on="entity_id",
+        )
+        .filter(F.col("entity_bytes") == F.col("tgt_bytes"))
+        .count()
+    )
+    deletes = last.filter(F.col("operation") == "DELETE").join(
+        applied.select("entity_id"), on="entity_id", how="left_anti"
+    ).count()
+    return spark.createDataFrame(
+        [(already, deletes)], "already_done LONG, absent LONG"
+    )
+
+
+@register(
+    "cdc_backlog_metrics",
+    oracle=f"""
+    WITH wal AS ({WAL_SQL})
+    SELECT MIN(id) AS head_id, MAX(id) AS tail_id, COUNT(*) AS backlog
+    FROM wal
+    """,
+    doc="R2 head discovery (select MIN(id), WalConsumer.java:240-257) and "
+        "R14 backlog count (select COUNT(1), WalConsumer.java:322-333) as one "
+        "scan-level aggregate.",
+)
+def cdc_backlog_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wal = synthetic_wal(spark, sf_dir)
+    return wal.agg(
+        F.min("id").alias("head_id"),
+        F.max("id").alias("tail_id"),
+        F.count(F.lit(1)).alias("backlog"),
+    )
+
+
+@register(
+    "cdc_op_mix",
+    oracle=f"""
+    WITH wal AS ({WAL_SQL})
+    SELECT operation, entity_type, COUNT(*) AS n,
+           MIN(id) AS first_id, MAX(id) AS last_id
+    FROM wal GROUP BY operation, entity_type
+    """,
+    doc="Operation-mix accounting over the WAL (R15 meter inputs).",
+)
+def cdc_op_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wal = synthetic_wal(spark, sf_dir)
+    return wal.groupBy("operation", "entity_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("id").alias("first_id"),
+        F.max("id").alias("last_id"),
+    )

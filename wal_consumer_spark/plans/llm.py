@@ -1,1 +1,363 @@
-"""Placeholder — populated in a later milestone."""
+"""LLM-data-pipeline query surface (SURVEY.md §2.B extensions): dedup
+(exact / n-gram Jaccard / MinHash-LSH / SimHash), similarity search
+(brute-force + LSH), text analysis (lang-ID, quality, tokens, fingerprint),
+multimodal columns. Exact variants carry DuckDB oracles; sketch/LSH variants
+are deterministic but engine-specific (xxhash64), so they run rows-only and
+their quality is asserted against the exact variants in tests/test_llm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wal_consumer_spark.functions.multimodal import attach_media_columns, decode_media
+from wal_consumer_spark.functions.text import (
+    LANG_LEXICONS,
+    lexicon_hits,
+    punct_count,
+    token_count_regex,
+    tokens,
+)
+from wal_consumer_spark.operators.dedup import (
+    exact_dedup,
+    minhash_candidates,
+    minhash_jaccard_estimate,
+    minhash_signature,
+    shingle_pairs_jaccard,
+    simhash64,
+    simhash_near_pairs,
+)
+from wal_consumer_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    embedding_near_dup_pairs,
+)
+from wal_consumer_spark.plans.registry import register
+from wal_consumer_spark.sources.tables import load_table
+
+#: DuckDB fragment matching functions.text.tokens()
+_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+#: DuckDB fragment matching functions.text.word_shingles(k=3)
+_SHINGLES = (
+    "list_distinct(list_transform(generate_series(0, greatest(len({t}) - 3, 0)), "
+    "i -> array_to_string(list_slice({t}, i + 1, i + 3), ' ')))"
+).format(t=_TOKS)
+
+
+# --------------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_hash",
+    oracle="""
+    SELECT sha256(text) AS content_sha,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY sha256(text)
+    """,
+    doc="Exact dedup by content hash; hash group keys keep shuffle narrow.",
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)
+    SELECT doc1, doc2, n_common,
+           round(n_common / (s1.n + s2.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = doc1
+    JOIN sizes s2 ON s2.doc_id = doc2
+    WHERE n_common / (s1.n + s2.n - n_common) >= 0.5
+    """,
+    doc="Exact n-gram Jaccard near-dup pairs (threshold 0.5) via shingle "
+        "explode + self-join; the oracle-checkable baseline for MinHash.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = shingle_pairs_jaccard(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return (
+        pairs.filter(F.col("jaccard") >= 0.5)
+        .select(
+            F.col("doc1"), F.col("doc2"), F.col("n_common"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64-based signatures are engine-specific
+    doc="MinHash(32 perms)+LSH(8 bands x 4 rows) candidate pairs with "
+        "estimated Jaccard — the 100 TB near-dup path (bounded band join, "
+        "no shingle-frequency skew). Recall vs the exact variant is "
+        "asserted in tests/test_llm.py.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signature(docs, "doc_id", "text")
+    cands = minhash_candidates(sigs)
+    return (
+        minhash_jaccard_estimate(sigs, cands)
+        .filter(F.col("est_jaccard") >= 0.4)
+        .select("doc1", "doc2", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64-based fingerprint is engine-specific
+    doc="64-bit SimHash fingerprints + near-pairs within Hamming distance 8, "
+        "blocked on 16-bit chunks (pigeonhole) so no O(n^2) scan.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fps = simhash64(docs, "doc_id", "text")
+    return simhash_near_pairs(fps, max_hamming=8)
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+@register(
+    "sim_topk_bruteforce",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS cand_id,
+               round(list_cosine_similarity(q.qvec, CAST(c.embedding AS DOUBLE[])), 6) AS cosine_sim
+        FROM embeddings c CROSS JOIN q
+        WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, cand_id, cosine_sim, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, cand_id) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+    doc="Exact brute-force cosine top-10 for 5 query vectors: broadcast "
+        "queries, stream the corpus, rank per query (JVM-side zip_with dot).",
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@register(
+    "sim_topk_lsh",
+    oracle=None,  # LSH bucketing is approximate by design
+    doc="Random-hyperplane LSH bucketed top-k: the scale path (bucket "
+        "equi-join replaces the O(N*Q) cross join). Recall vs brute force "
+        "asserted in tests/test_llm.py.",
+)
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 5), dim=64, k=10, nbits=4)
+
+
+@register(
+    "sim_embedding_near_dup",
+    oracle="""
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.25
+    """,
+    doc="Embedding-cosine near-duplicate pairs (exact all-pairs baseline).",
+)
+def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.25)
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+@register(
+    "text_token_stats",
+    oracle=rf"""
+    SELECT doc_id,
+           len({_TOKS}) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish_tokens,
+           length(text) AS n_chars_measured,
+           n_chars
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens + BPE-ish regex tokens.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_ws_tokens"),
+        token_count_regex("text").cast("long").alias("n_bpeish_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        "n_chars",
+    )
+
+
+def _langid_sql() -> str:
+    scores = ",\n           ".join(
+        f"len(list_filter({_TOKS}, t -> list_contains({list(LANG_LEXICONS[lang])!r}, t))) AS s_{lang}"
+        for lang in LANG_LEXICONS
+    )
+    m = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_LEXICONS) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{lang} = {m} THEN '{lang}'" for lang in LANG_LEXICONS
+    ) + " END"
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+           {scores}
+        FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang, {case} AS predicted_lang
+    FROM scored
+    """
+
+
+@register(
+    "text_langid",
+    oracle=_langid_sql(),
+    doc="Language-ID heuristic: stopword-lexicon hit counts, argmax with a "
+        "fixed tie-break order (first lexicon wins).",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[lexicon_hits(tok, lang).alias(f"s_{lang}") for lang in LANG_LEXICONS],
+    )
+    m = F.greatest(*[F.col(f"s_{lang}") for lang in LANG_LEXICONS])
+    expr = None
+    for lang in LANG_LEXICONS:
+        cond = F.col(f"s_{lang}") == m
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return scored.select("doc_id", "labeled_lang", expr.alias("predicted_lang"))
+
+
+@register(
+    "text_quality",
+    oracle=rf"""
+    SELECT doc_id,
+           len({_TOKS}) AS n_tokens,
+           round(length(text) / greatest(len({_TOKS}), 1), 6) AS chars_per_token,
+           round((length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g'))) /
+                 greatest(length(text), 1), 6) AS punct_ratio,
+           round(len(list_filter({_TOKS}, t -> list_contains(['the','and','of','to','in','is','a'], t))) /
+                 greatest(len({_TOKS}), 1), 6) AS stopword_ratio,
+           (length(text) >= 100 AND len({_TOKS}) >= 20) AS passes_length_gate
+    FROM documents
+    """,
+    doc="Quality scoring: length, chars/token, punctuation ratio, stopword "
+        "ratio, and a pass/fail length gate.",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    n_tok = F.size(tok).cast("long")
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(F.length("text") / F.greatest(n_tok, F.lit(1)), 6).alias("chars_per_token"),
+        F.round(punct_count("text") / F.greatest(F.length("text").cast("long"), F.lit(1)), 6)
+        .alias("punct_ratio"),
+        F.round(
+            lexicon_hits(tok, "en").cast("long") / F.greatest(n_tok, F.lit(1)), 6
+        ).alias("stopword_ratio"),
+        ((F.length("text") >= 100) & (n_tok >= 20)).alias("passes_length_gate"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=rf"""
+    SELECT doc_id,
+           md5(concat(lower(trim(text)), '')) AS exact_fp,
+           md5(array_to_string(list_sort({_TOKS}), ' ')) AS bag_fp
+    FROM documents
+    """,
+    doc="Document fingerprinting: md5 of normalized text (order-sensitive) "
+        "and of the sorted token bag (order-insensitive).",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("exact_fp"),
+        F.md5(F.array_join(F.sort_array(tok), " ")).alias("bag_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal columns
+# --------------------------------------------------------------------------
+
+@register(
+    "multimodal_decode_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(16 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
+           CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+                     ELSE 1 + octet_length(encode(text)) % 30 END AS INTEGER) AS n_frames
+    FROM documents
+    """,
+    doc="Multimodal decode plumbing: binary payload + typed metadata through "
+        "an Arrow-batched mapInPandas decoder (deterministic fake decode — "
+        "real codecs are stubbed; see functions/multimodal.py).",
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_media_columns(d, "doc_id", "text", "source")
+    return decode_media(media, fake=True).select(
+        "media_id", "kind", "n_bytes", "width", "height", "n_frames"
+    )
+
+
+@register(
+    "multimodal_kind_stats",
+    oracle="""
+    SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           COUNT(*) AS n,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           MIN(octet_length(encode(text))) AS min_bytes,
+           MAX(octet_length(encode(text))) AS max_bytes
+    FROM documents GROUP BY 1
+    """,
+    doc="Typed-metadata aggregation over binary media payloads.",
+)
+def multimodal_kind_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_media_columns(d, "doc_id", "text", "source")
+    return media.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.octet_length("payload")).alias("total_bytes"),
+        F.min(F.octet_length("payload")).cast("int").alias("min_bytes"),
+        F.max(F.octet_length("payload")).cast("int").alias("max_bytes"),
+    )

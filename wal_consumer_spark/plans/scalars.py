@@ -1,1 +1,304 @@
-"""Placeholder — populated in a later milestone."""
+"""Scalar expression surface (SURVEY.md §2.B "Scalar functions"): string,
+date/time, math, conditional, array (incl. higher-order), map, JSON, casts,
+explode/posexplode. All JVM-side built-ins — no Python UDFs in this module —
+so every expression stays inside whole-stage codegen.
+
+Cross-engine determinism notes:
+- transcendentals (log/pow/sqrt) are rounded to 9 dp (libm vs java.lang.Math
+  may differ in the last ulp);
+- date outputs travel as 'yyyy-MM-dd' strings (pandas date-vs-timestamp
+  canonicalisation differs between engines);
+- double->int casts are avoided (Spark truncates, DuckDB rounds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
+
+from wal_consumer_spark.plans.registry import register
+from wal_consumer_spark.sources.tables import load_table
+
+
+@register(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_up,
+           lower(p_type) AS type_lo,
+           substring(p_name, 1, 8) AS name8,
+           concat(p_brand, ':', p_type) AS brand_type,
+           length(p_name) AS name_len,
+           trim(concat('  ', p_name, ' ')) AS trimmed,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           replace(p_name, ' ', '_') AS name_us,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           regexp_replace(p_type, '[aeiou]', '*') AS type_starred,
+           (p_name LIKE '%a%') AS has_a,
+           left(p_brand, 3) AS brand3,
+           split_part(p_type, ' ', 1) AS type_head,
+           reverse(p_brand) AS brand_rev
+    FROM part WHERE p_partkey <= 500
+    """,
+    doc="String family: case, substring, concat, trim, pad, replace, regexp, "
+        "like, initcap, split, reverse.",
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_up"),
+        F.lower("p_type").alias("type_lo"),
+        F.substring("p_name", 1, 8).alias("name8"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_us"),
+        F.regexp_extract("p_name", r"([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_type", "[aeiou]", "*").alias("type_starred"),
+        F.col("p_name").like("%a%").alias("has_a"),
+        F.substring("p_brand", 1, 3).alias("brand3"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_head"),
+        F.reverse("p_brand").alias("brand_rev"),
+    )
+
+
+@register(
+    "scalar_datetime_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           CAST(dayofmonth(o_orderdate) AS INTEGER) AS dom,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30,
+           datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+           strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+           CAST(dayofweek(o_orderdate) AS INTEGER) AS dow
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+    doc="Date/time family: extract parts, trunc, date arithmetic, datediff, "
+        "epoch, format.",
+)
+def scalar_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").alias("plus30"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date")).cast("long").alias("days_to_y2k"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
+        (F.dayofweek("o_orderdate") - F.lit(1)).alias("dow"),
+    )
+
+
+@register(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1) AS price_r1,
+           abs(l_discount - 0.05) AS disc_dev,
+           CAST(ceil(l_quantity / 7.0) AS BIGINT) AS q_ceil,
+           CAST(floor(l_quantity / 7.0) AS BIGINT) AS q_floor,
+           round(power(l_quantity, 2.0), 9) AS q_sq,
+           round(ln(l_extendedprice), 9) AS price_ln,
+           round(log10(l_extendedprice), 9) AS price_log10,
+           round(sqrt(l_quantity), 9) AS q_sqrt,
+           CAST(sign(l_discount - 0.05) AS INTEGER) AS disc_sign,
+           mod(CAST(l_quantity AS BIGINT), 5) AS q_mod5,
+           greatest(l_discount, l_tax) AS max_rate,
+           least(l_discount, l_tax) AS min_rate
+    FROM lineitem WHERE l_orderkey <= 1000
+    """,
+    doc="Math family: round, abs, ceil/floor, pow, ln/log10, sqrt, sign, mod, "
+        "greatest/least.",
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil(F.col("l_quantity") / 7.0).alias("q_ceil"),
+        F.floor(F.col("l_quantity") / 7.0).alias("q_floor"),
+        F.round(F.pow("l_quantity", F.lit(2.0)), 9).alias("q_sq"),
+        F.round(F.log("l_extendedprice"), 9).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 9).alias("price_log10"),
+        F.round(F.sqrt("l_quantity"), 9).alias("q_sqrt"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+        (F.col("l_quantity").cast("bigint") % 5).alias("q_mod5"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+    )
+
+
+@register(
+    "scalar_conditional",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS bal_band,
+           coalesce(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_masked,
+           (c_acctbal BETWEEN 0 AND 1000) AS small_positive,
+           (c_nationkey IN (1, 3, 5)) AS odd_nation,
+           CASE WHEN c_acctbal IS NULL THEN -1.0 ELSE c_acctbal END AS bal_nn
+    FROM customer
+    """,
+    doc="Conditional family: CASE/when-otherwise, coalesce, nullif, between, in.",
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias("seg_masked"),
+        F.col("c_acctbal").between(0, 1000).alias("small_positive"),
+        F.col("c_nationkey").isin(1, 3, 5).alias("odd_nation"),
+        F.when(F.col("c_acctbal").isNull(), -1.0).otherwise(F.col("c_acctbal")).alias("bal_nn"),
+    )
+
+
+@register(
+    "scalar_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+           round(CAST(list_sum(embedding) AS DOUBLE), 6) AS vec_sum,
+           round(CAST(list_aggregate(list_transform(embedding, x -> x * x), 'sum') AS DOUBLE), 6) AS sq_norm,
+           round(CAST(list_max(embedding) AS DOUBLE), 6) AS vec_max,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive
+    FROM embeddings WHERE vec_id < 200
+    """,
+    doc="Array family incl. higher-order transform/filter/aggregate over the "
+        "embedding column (the 100 TB path keeps these JVM-side — no UDF).",
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(dbl(F.col("embedding").getItem(0)), 6).alias("first_elem"),
+        F.round(
+            F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")), 6
+        ).alias("vec_sum"),
+        F.round(
+            F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")),
+            6,
+        ).alias("sq_norm"),
+        F.round(dbl(F.array_max("embedding")), 6).alias("vec_max"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_positive"),
+    )
+
+
+@register(
+    "scalar_map_funcs",
+    oracle="""
+    SELECT event_id,
+           concat('type=', event_type, ';user=', CAST(user_id AS VARCHAR)) AS tags_str,
+           2 AS n_tags
+    FROM events WHERE event_id < 1000
+    """,
+    doc="Map family: create_map + map_keys/values, surfaced as a "
+        "deterministic string (map iteration order is engine-specific).",
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("user"), F.col("user_id").cast("string"),
+    )
+    return e.select(
+        "event_id",
+        F.concat(
+            F.lit("type="), F.element_at(m, "type"),
+            F.lit(";user="), F.element_at(m, "user"),
+        ).alias("tags_str"),
+        F.size(F.map_keys(m)).cast("long").alias("n_tags"),
+    )
+
+
+@register(
+    "scalar_json_funcs",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+           (CAST(json_extract(props, '$.k') AS INTEGER) > 50) AS k_gt50
+    FROM events WHERE event_id < 2000
+    """,
+    doc="JSON family: get_json_object / from_json over events.props.",
+)
+def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    parsed = F.from_json(F.col("props"), StructType([StructField("k", IntegerType())]))
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed.getField("k").alias("k_int"),
+        (parsed.getField("k") > 50).alias("k_gt50"),
+    )
+
+
+@register(
+    "scalar_cast_matrix",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_totalprice AS VARCHAR) AS price_str,
+           CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS VARCHAR) AS price_dec_str,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_floor_long,
+           CAST(o_orderkey AS DOUBLE) AS key_dbl,
+           CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS date_str,
+           CAST((o_totalprice > 200000) AS VARCHAR) AS flag_str
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+    doc="Cast matrix across long/double/decimal/string/date/bool "
+        "(double->int avoided: Spark truncates, DuckDB rounds; floor() first).",
+)
+def scalar_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("string").alias("price_str"),
+        F.col("o_totalprice").cast("decimal(14,2)").cast("string").alias("price_dec_str"),
+        F.floor("o_totalprice").cast("bigint").alias("price_floor_long"),
+        F.col("o_orderkey").cast("double").alias("key_dbl"),
+        F.col("o_orderkey").cast("string").cast("bigint").alias("key_roundtrip"),
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias("date_str"),
+        F.when(F.col("o_totalprice") > 200000, "true").otherwise("false").alias("flag_str"),
+    )
+
+
+@register(
+    "explode_posexplode",
+    oracle="""
+    SELECT p_partkey, s.word AS word, CAST(s.pos AS INTEGER) AS pos FROM (
+        SELECT p_partkey,
+               unnest(list_transform(string_split(p_type, ' '),
+                                     (x, i) -> struct_pack(word := x, pos := i - 1))) AS s
+        FROM part WHERE p_partkey <= 300
+    )
+    """,
+    doc="Table-generating functions: posexplode of a split array.",
+)
+def explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    return p.select(
+        "p_partkey",
+        F.posexplode(F.split(F.col("p_type"), " ")).alias("pos", "word"),
+    ).select("p_partkey", "word", "pos")

