@@ -1,0 +1,210 @@
+"""Streaming fidelity tests: the reference's end-to-end scenario
+(WalConsumerTest.java:53-95, SURVEY.md §5) ported to the Structured
+Streaming consumer — sequential ops, idempotent replay, IO-failure retry,
+incremental checkpointed consumption — plus streaming window/dedup queries
+over the events table replayed as a stream."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wal_consumer_spark.streaming import ParquetKeyValueTarget, WalStreamConsumer
+
+WAL_COLS = "id LONG, entity_id LONG, operation STRING, entity_bytes BINARY, entity_type STRING"
+
+
+def _write_wal_file(spark, wal_dir, records, start_id):
+    rows = [
+        (i, k, op, v.encode() if v is not None else None, "TestEntity")
+        for i, (k, op, v) in enumerate(records, start=start_id)
+    ]
+    (
+        spark.createDataFrame(rows, WAL_COLS)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(wal_dir)
+    )
+    return start_id + len(records)
+
+
+def _state(target):
+    return {
+        r.entity_id: bytes(r.entity_bytes).decode()
+        for r in target.read().collect()
+    }
+
+
+def _drain(consumer):
+    consumer.start(available_now=True)
+    consumer.await_backlog_drained()
+    consumer.close()
+
+
+def test_reference_scenario_end_to_end(spark, tmp_path):
+    """ADD -> UPDATE -> DELETE sequence consumed via the streaming path
+    converges to the dict-oracle state (WalConsumerTest.java:113-127)."""
+    wal, ckpt, tgt = str(tmp_path / "wal"), str(tmp_path / "ckpt"), str(tmp_path / "tgt")
+    next_id = _write_wal_file(
+        spark, wal,
+        [(1, "ADD", "a1"), (2, "ADD", "b1"), (1, "UPDATE", "a2"), (3, "ADD", "c1")],
+        start_id=1,
+    )
+    target = ParquetKeyValueTarget(spark, tgt)
+    c = WalStreamConsumer(spark, wal, ckpt, target)
+    _drain(c)
+    assert _state(target) == {1: "a2", 2: "b1", 3: "c1"}
+    assert c.metrics.num_synchronized == 3
+    assert c.metrics.num_ignored_already_done == 0
+
+    # R11: a second file appended later is picked up from the checkpoint —
+    # only the new records are processed.
+    _write_wal_file(spark, wal, [(2, "DELETE", None), (4, "ADD", "d1")], start_id=next_id)
+    c2 = WalStreamConsumer(spark, wal, ckpt, target)
+    _drain(c2)
+    assert _state(target) == {1: "a2", 3: "c1", 4: "d1"}
+    assert c2.metrics.num_synchronized == 2
+
+
+def test_replay_counts_already_done(spark, tmp_path):
+    """R10: replaying the WAL with a fresh checkpoint over an already-applied
+    target reports records as ignored_already_done, not re-synchronized
+    (WalConsumer.java:271-278)."""
+    wal, tgt = str(tmp_path / "wal"), str(tmp_path / "tgt")
+    _write_wal_file(spark, wal, [(1, "ADD", "a1"), (2, "ADD", "b1")], start_id=1)
+    target = ParquetKeyValueTarget(spark, tgt)
+    c = WalStreamConsumer(spark, wal, str(tmp_path / "ckpt1"), target)
+    _drain(c)
+    assert c.metrics.num_synchronized == 2
+
+    c2 = WalStreamConsumer(spark, wal, str(tmp_path / "ckpt2"), target)
+    _drain(c2)
+    assert _state(target) == {1: "a1", 2: "b1"}
+    assert c2.metrics.num_ignored_already_done == 2
+    assert c2.metrics.num_synchronized == 0
+
+
+def test_io_failure_retries_until_success(spark, tmp_path):
+    """R9: an IOException from the sink callback is retried (with backoff)
+    until it succeeds; the record is not lost (WalConsumer.java:259-269)."""
+    wal, tgt = str(tmp_path / "wal"), str(tmp_path / "tgt")
+    _write_wal_file(spark, wal, [(1, "ADD", "a1")], start_id=1)
+    target = ParquetKeyValueTarget(spark, tgt)
+    failures = {"left": 2}
+
+    def flaky_callback(batch_df):
+        if failures["left"] > 0:
+            failures["left"] -= 1
+            raise IOError("sink unavailable")  # WalConsumerTest.java:75-76
+        return True
+
+    c = WalStreamConsumer(
+        spark, wal, str(tmp_path / "ckpt"), target,
+        callback=flaky_callback, sleep_on_io_failure=0.05,
+    )
+    _drain(c)
+    assert _state(target) == {1: "a1"}
+    assert c.metrics.num_io_failures == 2
+    assert c.metrics.num_synchronized == 1
+
+
+def test_callback_false_means_already_done(spark, tmp_path):
+    """Callback returning false == 'was already done'
+    (WalEntityConsumerCallback.java:10-17, WalConsumerTest.java:67-68):
+    the batch advances without re-applying."""
+    wal, tgt = str(tmp_path / "wal"), str(tmp_path / "tgt")
+    _write_wal_file(spark, wal, [(1, "ADD", "a1")], start_id=1)
+    target = ParquetKeyValueTarget(spark, tgt)
+    c = WalStreamConsumer(
+        spark, wal, str(tmp_path / "ckpt"), target, callback=lambda b: False
+    )
+    _drain(c)
+    assert _state(target) == {}  # nothing applied — it was "already done"
+    assert c.metrics.num_ignored_already_done == 1
+
+
+def test_strict_global_order_mode(spark, tmp_path):
+    """SURVEY.md §4.3 degraded mode: single-partition sequential apply still
+    converges identically."""
+    wal, tgt = str(tmp_path / "wal"), str(tmp_path / "tgt")
+    _write_wal_file(
+        spark, wal,
+        [(1, "ADD", "x1"), (1, "UPDATE", "x2"), (1, "DELETE", None), (1, "ADD", "x3")],
+        start_id=1,
+    )
+    target = ParquetKeyValueTarget(spark, tgt)
+    c = WalStreamConsumer(spark, wal, str(tmp_path / "ckpt"), target, strict_global_order=True)
+    _drain(c)
+    assert _state(target) == {1: "x3"}
+
+
+def test_streaming_window_agg_matches_batch(spark, tmp_path):
+    """Streaming watermarked tumbling window over events (replayed as a file
+    stream) matches the batch window aggregate — same expression, same
+    results once the backlog is drained."""
+    from wal_consumer_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    events = load_table(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "events_stream")
+    events.write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "6 hours"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("win_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window"]["start"], r["event_type"], r["n"])
+        for r in spark.sql("select * from win_agg").collect()
+    }
+    expected = {
+        (r["window"]["start"], r["event_type"], r["n"])
+        for r in events.groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_streaming_dedup_with_watermark(spark, tmp_path):
+    """Streaming dropDuplicates within a watermark (SURVEY.md §2.B
+    'streaming dedup'): duplicate event_ids across files are emitted once."""
+    src = str(tmp_path / "dup_stream")
+    rows1 = [(1, "2024-01-01 00:00:01", "click"), (2, "2024-01-01 00:00:02", "view")]
+    rows2 = [(2, "2024-01-01 00:00:02", "view"), (3, "2024-01-01 00:00:03", "click")]
+    schema = "event_id LONG, ts_s STRING, event_type STRING"
+    for rows in (rows1, rows2):
+        (
+            spark.createDataFrame(rows, schema)
+            .select(F.col("event_id"), F.col("ts_s").cast("timestamp").alias("ts"), "event_type")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    stream = (
+        spark.readStream.schema("event_id LONG, ts TIMESTAMP, event_type STRING")
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ids = sorted(r.event_id for r in spark.sql("select * from dedup_stream").collect())
+    assert ids == [1, 2, 3]

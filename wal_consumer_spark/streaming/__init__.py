@@ -1,0 +1,9 @@
+from wal_consumer_spark.streaming.consumer import (  # noqa: F401
+    ParquetKeyValueTarget,
+    WalStreamConsumer,
+)
+from wal_consumer_spark.streaming.metrics import (  # noqa: F401
+    ConsumerMetrics,
+    WalQueryListener,
+    WalState,
+)
