@@ -78,12 +78,21 @@ def minhash_signature(
 
 
 def minhash_candidates(
-    sigs: DataFrame, bands: int = 8, rows_per_band: int = 4
+    sigs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 8,
+    max_bucket: int = 500,
 ) -> DataFrame:
     """LSH banding: docs agreeing on all rows of any band become candidates.
 
     Shuffle key = (band, hash(band slice)) — at 100 TB this is the only
-    join, and band buckets bound its fan-out regardless of shingle skew.
+    join. Two skew guards keep the pair fan-out bounded on self-similar
+    corpora: (1) 8-row bands are strict enough that unrelated docs rarely
+    share a bucket; (2) buckets above `max_bucket` docs are dropped — an
+    over-full bucket means the band carries no discriminating information
+    (its pairs are overwhelmingly false positives), and any true near-dup
+    pair still has the other bands to collide in. Without the cap a single
+    degenerate bucket of n docs yields n^2 pairs.
     """
     banded = sigs.select(
         "doc",
@@ -97,6 +106,13 @@ def minhash_candidates(
             )
         ).alias("band", "bucket"),
     )
+    small = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= max_bucket)
+        .drop("__n")
+    )
+    banded = banded.join(small, ["band", "bucket"])
     a = banded.select(F.col("doc").alias("doc1"), "band", "bucket")
     b = banded.select(F.col("doc").alias("doc2"), "band", "bucket")
     return (

@@ -106,7 +106,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signature(docs, "doc_id", "text")
+    # persist: signatures feed both the band join and the verify join —
+    # without it the (expensive) shingle+hash expression runs three times.
+    sigs = minhash_signature(docs, "doc_id", "text").persist()
     cands = minhash_candidates(sigs)
     return (
         minhash_jaccard_estimate(sigs, cands)
