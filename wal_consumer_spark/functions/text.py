@@ -21,6 +21,21 @@ LANG_LEXICONS: dict[str, tuple[str, ...]] = {
 }
 
 
+def let(value: Column, body) -> Column:
+    """Let-bind `value` so `body` can reference it many times while it is
+    evaluated ONCE per row.
+
+    Spark's higher-order functions re-evaluate any captured subexpression
+    tree on every lambda invocation (lambda bodies are full expression
+    trees, and interpreted HOF evaluation has no common-subexpression
+    cache). `transform(array(v), x -> body(x))[0]` binds v to a lambda
+    variable, turning every inner reference into a variable lookup. This
+    took MinHash signatures from O(perms * shingles) tokenizations per row
+    to exactly one.
+    """
+    return F.transform(F.array(value), body)[0]
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization of lowercased text."""
     c = F.col(col) if isinstance(col, str) else col
@@ -30,14 +45,17 @@ def tokens(col: Column | str) -> Column:
 def word_shingles(tok: Column, k: int = 3) -> Column:
     """Distinct k-gram word shingles as an array<string>.
 
-    transform(sequence(...)) keeps this a single JVM expression; at scale it
-    is the map-side of MinHash/Jaccard dedup with no Python boundary.
+    A single JVM expression (no Python boundary); `tok` is let-bound so the
+    tokenizer runs once per row, not once per shingle position.
     """
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(tok) - k, F.lit(0))),
-            lambda i: F.array_join(F.slice(tok, i + 1, k), " "),
-        )
+    return let(
+        tok,
+        lambda t: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(t) - k, F.lit(0))),
+                lambda i: F.array_join(F.slice(t, i + 1, k), " "),
+            )
+        ),
     )
 
 

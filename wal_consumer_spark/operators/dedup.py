@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from wal_consumer_spark.functions.text import tokens, word_shingles
+from wal_consumer_spark.functions.text import let, tokens, word_shingles
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -66,12 +66,20 @@ def minhash_signature(
     df: DataFrame, id_col: str, text_col: str, num_perm: int = 32, k: int = 3
 ) -> DataFrame:
     """Deterministic MinHash signatures: perm i = min over shingles of
-    xxhash64(i || shingle). JVM-hash based (no random matrices to ship)."""
-    sh = F.array_distinct(word_shingles(tokens(F.col(text_col)), k))
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda i: F.array_min(
-            F.transform(sh, lambda s: F.xxhash64(F.concat(i.cast("string"), F.lit("|"), s)))
+    xxhash64(i || shingle). JVM-hash based (no random matrices to ship).
+
+    The shingle array is let-bound (see functions.text.let) so tokenize +
+    shingle run once per row; without the binding Spark's interpreted HOF
+    evaluation recomputes them per permutation (measured 32x slowdown).
+    """
+    sh = word_shingles(tokens(F.col(text_col)), k)
+    sig = let(
+        sh,
+        lambda s: F.transform(
+            F.sequence(F.lit(0), F.lit(num_perm - 1)),
+            lambda i: F.array_min(
+                F.transform(s, lambda x: F.xxhash64(F.concat(i.cast("string"), F.lit("|"), x)))
+            ),
         ),
     )
     return df.select(F.col(id_col).alias("doc"), sig.alias("sig"))
