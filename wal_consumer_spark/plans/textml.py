@@ -1,0 +1,173 @@
+"""Text-ML pipeline queries (SURVEY.md §2.B "LLM extensions": tokenize,
+stop-words, tf-idf, n-grams, lexicon sentiment). All pure DataFrame ops —
+token explode is the map side, aggregations shuffle on (doc|term) keys only,
+so every plan scales linearly with corpus size. Each query carries a DuckDB
+oracle that replays the identical rule.
+
+Reference parity note: the reference (sahabpardaz/wal-consumer) has no text
+processing at all — this whole module is the declared extension surface
+(SURVEY.md §2.B), not a port.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wal_consumer_spark.functions.text import LANG_LEXICONS, tokens, word_shingles
+from wal_consumer_spark.plans.registry import register
+from wal_consumer_spark.sources.tables import load_table
+
+#: DuckDB fragment matching functions.text.tokens()
+_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+#: DuckDB fragment matching word_shingles(k=2) (distinct per-doc bigrams)
+_BIGRAMS = (
+    "list_distinct(list_transform(generate_series(0, greatest(len({t}) - 2, 0)), "
+    "i -> array_to_string(list_slice({t}, i + 1, i + 2), ' ')))"
+).format(t=_TOKS)
+
+#: tiny fixed sentiment lexicons so the oracle replays the exact rule
+POS_WORDS: tuple[str, ...] = ("good", "great", "best", "new", "first", "well", "like")
+NEG_WORDS: tuple[str, ...] = ("no", "not", "never", "bad", "worst", "against", "down")
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+        GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf,
+           round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf, rnk
+    FROM (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df, n.n_docs,
+               row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) DESC, tf.term
+               ) AS rnk
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ) WHERE rnk <= 3
+    """,
+    doc="TF-IDF top-3 terms per document: token explode -> (doc,term) counts "
+        "-> doc-frequency join -> per-doc rank. The df side is tiny (vocab) "
+        "and broadcast; the only big shuffle is the (doc,term) count.",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar; corpus size is a metadata lookup at scale
+    scored = tf.join(F.broadcast(df_), "term").withColumn(
+        "tfidf_raw", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_raw").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", F.round("tfidf_raw", 6).alias("tfidf"), "rnk")
+    )
+
+
+@register(
+    "text_bigram_df",
+    oracle=f"""
+    SELECT bigram, COUNT(*) AS n_docs
+    FROM (SELECT doc_id, unnest({_BIGRAMS}) AS bigram FROM documents)
+    GROUP BY bigram
+    HAVING COUNT(*) >= 3
+    ORDER BY n_docs DESC, bigram
+    LIMIT 20
+    """,
+    doc="Top-20 word bigrams by document frequency (distinct per doc), the "
+        "n-gram building block; count shuffles on the bigram key only.",
+)
+def text_bigram_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bg = d.select(
+        F.explode(word_shingles(tokens(F.col("text")), k=2)).alias("bigram")
+    )
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 3)
+        .orderBy(F.col("n_docs").desc(), "bigram")
+        .limit(20)
+    )
+
+
+@register(
+    "text_stopword_filter",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKS}) AS n_tokens,
+           len(list_filter({_TOKS},
+               t -> NOT list_contains({list(LANG_LEXICONS["en"])!r}, t))) AS n_content_tokens,
+           md5(array_to_string(list_filter({_TOKS},
+               t -> NOT list_contains({list(LANG_LEXICONS["en"])!r}, t)), ' ')) AS content_fp
+    FROM documents
+    """,
+    doc="Stop-word removal: per-doc token counts before/after filtering the "
+        "English lexicon, plus a fingerprint of the filtered stream (arrays "
+        "stay out of the output so the value-hash is engine-neutral).",
+)
+def text_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    lex = F.array(*[F.lit(w) for w in LANG_LEXICONS["en"]])
+    tok = tokens(F.col("text"))
+    kept = F.filter(tok, lambda t: ~F.array_contains(lex, t))
+    return d.select(
+        "doc_id",
+        F.size(tok).cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_content_tokens"),
+        F.md5(F.array_join(kept, " ")).alias("content_fp"),
+    )
+
+
+@register(
+    "text_sentiment_lexicon",
+    oracle=f"""
+    SELECT doc_id, pos_hits, neg_hits,
+           round((pos_hits - neg_hits) / greatest(n_tokens, 1), 6) AS polarity,
+           CASE WHEN pos_hits > neg_hits THEN 'pos'
+                WHEN neg_hits > pos_hits THEN 'neg'
+                ELSE 'neutral' END AS label
+    FROM (
+        SELECT doc_id,
+               len({_TOKS}) AS n_tokens,
+               len(list_filter({_TOKS}, t -> list_contains({list(POS_WORDS)!r}, t))) AS pos_hits,
+               len(list_filter({_TOKS}, t -> list_contains({list(NEG_WORDS)!r}, t))) AS neg_hits
+        FROM documents
+    )
+    """,
+    doc="Lexicon sentiment scoring (EDBT-2016 Spark sentiment pattern, "
+        "PAPERS.md): positive/negative hit counts -> polarity in [-1, 1] "
+        "and a 3-way label. Pure map-side expression, no shuffle.",
+)
+def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    pos_lex = F.array(*[F.lit(w) for w in POS_WORDS])
+    neg_lex = F.array(*[F.lit(w) for w in NEG_WORDS])
+    scored = d.select(
+        "doc_id",
+        F.size(tok).cast("long").alias("n_tokens"),
+        F.size(F.filter(tok, lambda t: F.array_contains(pos_lex, t))).cast("long").alias("pos_hits"),
+        F.size(F.filter(tok, lambda t: F.array_contains(neg_lex, t))).cast("long").alias("neg_hits"),
+    )
+    return scored.select(
+        "doc_id",
+        "pos_hits",
+        "neg_hits",
+        F.round(
+            (F.col("pos_hits") - F.col("neg_hits")) / F.greatest(F.col("n_tokens"), F.lit(1)), 6
+        ).alias("polarity"),
+        F.when(F.col("pos_hits") > F.col("neg_hits"), "pos")
+        .when(F.col("neg_hits") > F.col("pos_hits"), "neg")
+        .otherwise("neutral")
+        .alias("label"),
+    )

@@ -1,0 +1,157 @@
+"""UDF surface (SURVEY.md §2.B "UDF surface"): scalar pandas UDF, grouped-map
+applyInPandas, pandas grouped aggregate, mapInPandas table function, and a
+row-at-a-time Python UDF (kept ONLY on a 5-row dimension — it is the
+documented slow path; every hot-path UDF here is Arrow-batched).
+
+Scale notes per query in the docstrings: Arrow batch transfer amortizes the
+Python boundary, grouped-map shuffles once on the group key, and nothing
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, StringType
+
+from wal_consumer_spark.plans.registry import register
+from wal_consumer_spark.sources.tables import load_table
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(lower(text)) -
+                length(regexp_replace(lower(text), '[aeiou]', '', 'g')) AS BIGINT)
+               AS n_vowels,
+           round((length(lower(text)) -
+                  length(regexp_replace(lower(text), '[aeiou]', '', 'g')))
+                 / greatest(length(text), 1), 6) AS vowel_ratio
+    FROM documents
+    """,
+    doc="Vectorized scalar pandas UDF (Arrow-batched): per-doc vowel count "
+        "and ratio. One Python round-trip per ~10k-row Arrow batch, not per "
+        "row — the 10-100x faster UDF path.",
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @pandas_udf("long")
+    def n_vowels(s: pd.Series) -> pd.Series:
+        return s.str.lower().str.count(r"[aeiou]").astype("int64")
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        n_vowels("text").alias("n_vowels"),
+        F.round(
+            n_vowels("text") / F.greatest(F.length("text").cast("long"), F.lit(1)), 6
+        ).alias("vowel_ratio"),
+    )
+
+
+@register(
+    "udf_grouped_map_zscore",
+    oracle="""
+    SELECT event_id, event_type,
+           round((value - avg(value) OVER (PARTITION BY event_type)) /
+                 stddev_samp(value) OVER (PARTITION BY event_type), 4) AS zscore
+    FROM events
+    """,
+    doc="Grouped-map applyInPandas: z-score normalize `value` within each "
+        "event_type. One shuffle on the group key; each group is one pandas "
+        "frame (bounded by group size, not corpus size). Oracle = the window "
+        "formulation of the same statistic.",
+)
+def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["value"].mean()
+        sd = pdf["value"].std(ddof=1)  # matches stddev_samp
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "zscore": ((pdf["value"] - mu) / sd).round(4),
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return ev.groupBy("event_type").applyInPandas(
+        zscore, "event_id long, event_type string, zscore double"
+    )
+
+
+@register(
+    "udf_grouped_agg_median",
+    oracle="""
+    SELECT event_type,
+           round(median(value), 6) AS median_value,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="Pandas grouped-aggregate UDF: exact per-group median (pandas "
+        "interpolated median == DuckDB median — order-statistic, so no "
+        "float-summation nondeterminism). At 100 TB prefer "
+        "percentile_approx; this is the exact-UDAF surface demo.",
+)
+def udf_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @pandas_udf(DoubleType())
+    def pd_median(v: pd.Series) -> float:
+        return float(v.median())
+
+    @pandas_udf("long")
+    def pd_count(v: pd.Series) -> int:
+        # Spark disallows mixing pandas and JVM aggregates in one agg, so
+        # the row count rides the same Arrow exchange as the median.
+        return int(v.size)
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(pd_median("value"), 6).alias("median_value"),
+        pd_count("value").alias("n"),
+    )
+
+
+@register(
+    "udf_table_function_sentences",
+    oracle="""
+    SELECT doc_id,
+           generate_subscripts(sents, 1) - 1 AS sent_idx,
+           unnest(sents) AS sentence
+    FROM (SELECT doc_id, string_split(text, '. ') AS sents FROM documents)
+    """,
+    doc="Table-function surface via mapInPandas: split each document into "
+        "sentences, emitting a variable number of output rows per input row "
+        "(Arrow-batched both directions; no driver involvement).",
+)
+def udf_table_function_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def split_sentences(batches):
+        for pdf in batches:
+            out = pdf[["doc_id", "text"]].copy()
+            out["sentence"] = out["text"].str.split(". ", regex=False)
+            out = out.explode("sentence", ignore_index=True)
+            out["sent_idx"] = out.groupby("doc_id").cumcount()
+            yield out[["doc_id", "sent_idx", "sentence"]]
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(split_sentences, "doc_id long, sent_idx long, sentence string")
+
+
+@register(
+    "udf_row_scalar_dim",
+    oracle="""
+    SELECT r_regionkey, upper(r_name) || '#' || CAST(r_regionkey AS VARCHAR) AS region_tag
+    FROM region
+    """,
+    doc="Row-at-a-time Python UDF — the documented SLOW path, so it is "
+        "confined to the 5-row region dim (never a fact table): each row "
+        "pays a pickle round-trip. Kept for API parity only.",
+)
+def udf_row_scalar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.udf(StringType())
+    def tag(name: str, key: int) -> str:
+        return f"{name.upper()}#{key}"
+
+    r = load_table(spark, sf_dir, "region")
+    return r.select("r_regionkey", tag("r_name", "r_regionkey").alias("region_tag"))
