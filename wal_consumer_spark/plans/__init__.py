@@ -5,6 +5,7 @@ from wal_consumer_spark.plans.registry import QuerySpec, all_specs, get_spec, re
 
 # Import for side effect: each module registers its queries.
 from wal_consumer_spark.plans import relational  # noqa: F401,E402
+from wal_consumer_spark.plans import tpch  # noqa: F401,E402
 from wal_consumer_spark.plans import aggregates  # noqa: F401,E402
 from wal_consumer_spark.plans import windows  # noqa: F401,E402
 from wal_consumer_spark.plans import scalars  # noqa: F401,E402
