@@ -25,6 +25,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue",
     "q5_region_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q9_product_profit",
+    "tpch_q18_large_volume_customer",
+    "tpch_q21_waiting_supplier",
     "asof_join_events_orders",
     "win_running_sum",
     "agg_rollup",
@@ -39,12 +43,30 @@ HEADLINE = [
 ]
 
 
+def warmup(spark, sf_dir: str) -> None:
+    """Untimed steady-state warmup (JMH-style): first-stage costs — parquet
+    reader init, whole-stage codegen compilation, shuffle machinery — are
+    one-time JVM effects, not per-query costs, so they are paid here instead
+    of inside the first measured query."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.groupBy("l_returnflag").agg(F.sum(F.col("l_quantity").cast("decimal(12,2)"))).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    # touch the interpreted higher-order-function path too
+    spark.range(1000).select(
+        F.array_min(F.transform(F.sequence(F.lit(0), F.lit(9)), lambda i: i * 2))
+    ).write.format("noop").mode("overwrite").save()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark(app_name="wcs-bench")
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_specs()
+    warmup(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

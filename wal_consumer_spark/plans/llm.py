@@ -105,7 +105,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asserted in tests/test_llm.py.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # repartition before the CPU-heavy signature map: a small corpus arrives
+    # as few parquet splits, which would serialize the hashing on one core
+    # (at 100 TB the scan is naturally wide and this shuffle is a no-op cost
+    # relative to the signature compute it parallelizes). The partition count
+    # is explicit — AQE would otherwise coalesce the few-MB shuffle to one
+    # partition, which is the wrong call for compute-bound maps.
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     # persist: signatures feed both the band join and the verify join —
     # without it the (expensive) shingle+hash expression runs three times.
     sigs = minhash_signature(docs, "doc_id", "text").persist()
