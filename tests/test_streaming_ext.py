@@ -1,0 +1,241 @@
+"""Extended Structured Streaming surface (SURVEY.md §2.B Streaming rows not
+covered by the WAL consumer tests): stream-stream interval join, streaming
+session windows, watermark late-data drop, stateful per-key processing via
+applyInPandasWithState, update output mode, and the rate source.
+
+The reference has no event-time semantics at all (WAL order is arrival
+order, WalConsumer.java:27); everything here is [EXTENSION] surface.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def _write_ts_file(spark, path: str, rows: list[tuple], schema: str) -> None:
+    ts_cols = [f.split()[0] for f in schema.split(",") if "STRING_TS" in f]
+    raw_schema = schema.replace("STRING_TS", "STRING")
+    df = spark.createDataFrame(rows, raw_schema)
+    for c in ts_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks + a time-range condition:
+    each click joins impressions of the same user within the prior hour."""
+    imp_dir = str(tmp_path / "impressions")
+    clk_dir = str(tmp_path / "clicks")
+    _write_ts_file(
+        spark, imp_dir,
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:05:00")],
+        "user_id LONG, imp_ts STRING_TS",
+    )
+    _write_ts_file(
+        spark, clk_dir,
+        [(1, "2024-01-01 10:30:00"),   # within 1h of user 1's impression
+         (2, "2024-01-01 11:30:00")],  # > 1h after user 2's impression
+        "user_id LONG, clk_ts STRING_TS",
+    )
+    imps = (
+        spark.readStream.schema("user_id LONG, imp_ts TIMESTAMP").parquet(imp_dir)
+        .withWatermark("imp_ts", "2 hours")
+    )
+    clks = (
+        spark.readStream.schema("user_id LONG, clk_ts TIMESTAMP").parquet(clk_dir)
+        .withWatermark("clk_ts", "2 hours")
+        .withColumnRenamed("user_id", "c_user_id")
+    )
+    joined = imps.join(
+        clks,
+        F.expr(
+            "user_id = c_user_id AND clk_ts >= imp_ts AND clk_ts <= imp_ts + INTERVAL 1 HOUR"
+        ),
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ssij")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select user_id from ssij").collect()
+    assert [r.user_id for r in rows] == [1]
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """session_window(ts, gap): rows closer than the gap merge into one
+    session; a larger silence starts a new one."""
+    src = str(tmp_path / "sessions")
+    _write_ts_file(
+        spark, src,
+        [(7, "2024-01-01 00:00:00"), (7, "2024-01-01 00:03:00"),  # one session
+         (7, "2024-01-01 01:00:00")],                              # new session
+        "user_id LONG, ts STRING_TS",
+    )
+    stream = (
+        spark.readStream.schema("user_id LONG, ts TIMESTAMP").parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "5 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("sess")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["session_window"]["start"].isoformat(), r["n"])
+        for r in spark.sql("select * from sess").collect()
+    )
+    assert got == [("2024-01-01T00:00:00", 2), ("2024-01-01T01:00:00", 1)]
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """A row arriving after the watermark passed its window is discarded
+    (SURVEY.md §2.B 'watermark + late-data drop').
+
+    The guaranteed drop point is the checkpoint-restored watermark: within
+    one run Spark may still merge a late row into live state (watermark
+    filtering is best-effort intra-run — verified empirically on 4.1: a late
+    row in batch N+1 joins state evicted only at end of batch N+1). Across a
+    restart the watermark comes from the checkpoint, the closed window is
+    gone from state, and the late row is counted in
+    numRowsDroppedByWatermark. This test exercises that contract."""
+    src = str(tmp_path / "late")
+    ckpt = str(tmp_path / "late_ckpt")
+    out = str(tmp_path / "late_out")
+    schema = "event_id LONG, ts STRING_TS"
+
+    def run():
+        stream = (
+            spark.readStream.schema("event_id LONG, ts TIMESTAMP")
+            .parquet(src)
+            .withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "10 minutes"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("window.start").alias("ws"), "n")
+        )
+        q = (
+            stream.writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return q
+
+    # run 1: one event in the 00:00 window, one at 01:00 advancing the watermark
+    _write_ts_file(spark, src, [(1, "2024-01-01 00:05:00"), (2, "2024-01-01 01:00:00")], schema)
+    run()
+    # run 2 (restart from checkpoint, watermark=01:00): late event for the
+    # already-closed-and-emitted 00:00 window
+    _write_ts_file(spark, src, [(3, "2024-01-01 00:06:00")], schema)
+    q2 = run()
+
+    emitted = sorted((r.ws.isoformat(), r.n) for r in spark.read.parquet(out).collect())
+    assert emitted == [("2024-01-01T00:00:00", 1)]  # n=1: late row NOT added
+    dropped = sum(
+        o.get("numRowsDroppedByWatermark", 0)
+        for p in q2.recentProgress
+        for o in p.get("stateOperators", [])
+    )
+    assert dropped == 1
+
+
+def test_stateful_apply_in_pandas_with_state(spark, tmp_path):
+    """applyInPandasWithState: running per-key event count carried across
+    micro-batches (SURVEY.md §2.B 'stateful per-key processing'; the 100 TB
+    generalization of the reference's per-entity sequential apply,
+    WalConsumer.java:157-165 — state is partitioned by key, not global)."""
+    src = str(tmp_path / "stateful")
+    schema = "k STRING, ts STRING_TS"
+    _write_ts_file(spark, src, [("a", "2024-01-01 00:00:01"), ("b", "2024-01-01 00:00:02")], schema)
+    time.sleep(1.1)
+    _write_ts_file(spark, src, [("a", "2024-01-01 00:00:03")], schema)
+
+    out_type = StructType(
+        [StructField("k", StringType()), StructField("running_n", LongType())]
+    )
+    state_type = StructType([StructField("n", LongType())])
+
+    def count_fn(key, pdf_iter, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"k": [key[0]], "running_n": [n]})
+
+    stream = (
+        spark.readStream.schema(
+            StructType([StructField("k", StringType()), StructField("ts", TimestampType())])
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .groupBy("k")
+        .applyInPandasWithState(
+            count_fn, out_type, state_type, "update", "NoTimeout"
+        )
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("stateful_counts")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = [(r.k, r.running_n) for r in spark.sql("select * from stateful_counts").collect()]
+    # batch1 emits a=1, b=1; batch2 emits a=2 (state carried)
+    assert ("a", 2) in rows and ("b", 1) in rows and ("a", 1) in rows
+
+
+def test_update_output_mode(spark, tmp_path):
+    """Update output mode re-emits only changed aggregate rows per batch."""
+    src = str(tmp_path / "upd")
+    schema = "k STRING, ts STRING_TS"
+    _write_ts_file(spark, src, [("x", "2024-01-01 00:00:01"), ("y", "2024-01-01 00:00:02")], schema)
+    time.sleep(1.1)
+    _write_ts_file(spark, src, [("x", "2024-01-01 00:00:03")], schema)
+
+    stream = (
+        spark.readStream.schema("k STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("upd_mode")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = [(r.k, r.n) for r in spark.sql("select * from upd_mode").collect()]
+    # x appears twice (n=1 then n=2); y exactly once (unchanged in batch 2)
+    assert rows.count(("y", 1)) == 1 and ("x", 1) in rows and ("x", 2) in rows
+
+
+def test_rate_source_smoke(spark):
+    """The rate source generates (timestamp, value) rows — used as the
+    always-on load generator for soak tests (SURVEY.md §2.B sources)."""
+    stream = spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+    q = (
+        stream.writeStream.format("memory").queryName("rate_smoke")
+        .outputMode("append").start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.sql("select count(*) n from rate_smoke").collect()[0].n > 0:
+                break
+            time.sleep(0.5)
+        else:
+            raise AssertionError("rate source produced no rows in 30s")
+    finally:
+        q.stop()
+    cols = set(spark.table("rate_smoke").columns)
+    assert cols == {"timestamp", "value"}
