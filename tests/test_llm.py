@@ -52,6 +52,21 @@ def test_lsh_topk_overlap_vs_bruteforce(spark):
     assert overlap >= 0.15, f"LSH top-k overlap too low: {overlap:.2f}"
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    from wal_consumer_spark.operators.similarity import cosine_topk_ivf
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    bf = cosine_topk_bruteforce(emb, queries, k=10).collect()
+    ivf = cosine_topk_ivf(emb, queries, k=10, n_clusters=16, nprobe=6).collect()
+    bf_pairs = {(r.query_id, r.cand_id) for r in bf}
+    ivf_pairs = {(r.query_id, r.cand_id) for r in ivf}
+    recall = len(bf_pairs & ivf_pairs) / len(bf_pairs)
+    # probing 6/16 lists should recover most of the true top-10 (near
+    # neighbours concentrate in the query's nearest lists)
+    assert recall >= 0.6, f"IVF top-k recall too low: {recall:.2f}"
+
+
 def test_near_dedup_canonical_partition(spark):
     docs = load_table(spark, SF_ORACLE, "documents")
     n_docs = docs.count()

@@ -1,0 +1,74 @@
+"""Source formats (SURVEY.md §2.B sources): CSV / JSON scans with explicit
+schemas, plus plan-level checks that the parquet scans get predicate pushdown
+and column pruning (the 'free Catalyst rewrites' claim of SURVEY.md §4.1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from wal_consumer_spark.sources.tables import load_table, read_csv, read_json
+
+ORDERS_SCHEMA = (
+    "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+    "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING"
+)
+
+
+def _orders_sample(spark):
+    return load_table(spark, SF_SMOKE, "orders").orderBy("o_orderkey").limit(200)
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "orders_csv")
+    orig = _orders_sample(spark)
+    orig.write.option("header", True).csv(path)
+    back = read_csv(
+        spark, path, ORDERS_SCHEMA, timestampFormat="yyyy-MM-dd'T'HH:mm:ss.SSS"
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, orig.collect()))
+
+
+def test_json_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "orders_json")
+    orig = _orders_sample(spark)
+    orig.write.json(path)
+    back = read_json(spark, path, ORDERS_SCHEMA)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, orig.collect()))
+
+
+def test_json_missing_fields_are_null(spark, tmp_path):
+    path = str(tmp_path / "sparse_json")
+    spark.createDataFrame([("{\"a\": 1}",), ("{\"a\": 2, \"b\": \"x\"}",)], "v STRING") \
+        .write.text(path)
+    back = read_json(spark, path, "a BIGINT, b STRING, missing DOUBLE")
+    rows = sorted((r.a, r.b, r.missing) for r in back.collect())
+    assert rows == [(1, None, None), (2, "x", None)]
+
+
+def test_parquet_filter_pushdown_and_pruning(spark):
+    """The scan node must carry PushedFilters and a pruned ReadSchema — a
+    2-column projection with a filter may not read all 11 lineitem columns."""
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    plan = (
+        li.filter(F.col("l_quantity") > 40)
+        .select("l_orderkey", "l_quantity")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema  # pruned
+
+
+def test_broadcast_join_in_plan(spark):
+    """Dimension joins must be broadcast (no shuffle of the fact side for
+    the dim join) — q5's physical plan contains BroadcastHashJoin and no
+    SortMergeJoin for the nation/region joins."""
+    from wal_consumer_spark.plans import all_specs
+
+    df = all_specs()["q5_region_revenue"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -149,6 +149,121 @@ def cosine_topk_lsh(
     )
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    sample: int = 2048,
+    iters: int = 5,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Spherical k-means centroids trained on a deterministic driver-side
+    sample (hash-ordered, so the same rows at any scale factor). Training on
+    a bounded sample is the standard IVF recipe — FAISS trains on O(100k)
+    vectors regardless of corpus size — so the collect here does NOT grow
+    with the corpus; assignment and probing stay distributed."""
+    import numpy as np
+
+    rows = (
+        df.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(sample)
+        .select(vec_col)
+        .collect()
+    )
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = X[:n_clusters].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(n_clusters):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+                C[j] /= max(np.linalg.norm(C[j]), 1e-12)
+    return C.tolist()
+
+
+def _centroid_scores(vec: Column, centroids: list[list[float]]) -> Column:
+    """Array of dot(vec, centroid_j). Centroids are unit-norm, so argmax of
+    the dot product == argmax cosine (|vec| is constant across j)."""
+    cent = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in centroids])
+    return F.transform(cent, lambda c: _dot(vec, c))
+
+
+def ivf_assign(
+    df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Attach the IVF list id (nearest centroid by cosine) as `cluster`.
+    At 100 TB this column is computed once at ingest and the table is
+    written partitioned by it — a probe then touches nprobe/n_clusters of
+    the data via partition pruning."""
+    scores = _centroid_scores(F.col(vec_col), centroids)
+    return df.withColumn(
+        "cluster", (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    )
+
+
+def ivf_probes(
+    df: DataFrame, centroids: list[list[float]], vec_col: str, nprobe: int
+) -> DataFrame:
+    """Explode each query row into its `nprobe` nearest IVF lists."""
+    scores = _centroid_scores(F.col(vec_col), centroids)
+    ranked = F.array_sort(
+        F.arrays_zip(scores.alias("s"), F.sequence(F.lit(0), F.lit(len(centroids) - 1)).alias("i")),
+        lambda a, b: F.when(a["s"] > b["s"], -1).when(a["s"] < b["s"], 1).otherwise(
+            (a["i"] - b["i"]).cast("int")
+        ),
+    )
+    probe_ids = F.transform(F.slice(ranked, 1, nprobe), lambda x: x["i"].cast("int"))
+    return df.withColumn("cluster", F.explode(probe_ids))
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: corpus vectors are
+    bucketed by nearest centroid; each query scans only its nprobe nearest
+    lists. The candidate join is a cluster equi-join (broadcast on the query
+    side), never a cross join — the 100 TB scale path alongside
+    cosine_topk_lsh."""
+    centroids = train_ivf_centroids(
+        corpus, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters
+    )
+    c = ivf_assign(
+        corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec")),
+        centroids,
+        "cvec",
+    )
+    q = ivf_probes(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")),
+        centroids,
+        "qvec",
+        nprobe,
+    )
+    scored = (
+        c.join(broadcast(q), "cluster")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine_sim", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -30,6 +30,7 @@ from wal_consumer_spark.operators.dedup import (
 )
 from wal_consumer_spark.operators.similarity import (
     cosine_topk_bruteforce,
+    cosine_topk_ivf,
     cosine_topk_lsh,
     embedding_near_dup_pairs,
 )
@@ -176,6 +177,23 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 5), dim=64, k=10, nbits=4)
+
+
+@register(
+    "sim_topk_ivf",
+    oracle=None,  # IVF probing is approximate by design
+    doc="IVF (inverted-file) top-k: spherical-kmeans lists trained on a "
+        "bounded sample, corpus bucketed by nearest centroid, queries probe "
+        "their nprobe nearest lists via a cluster equi-join. At 100 TB the "
+        "cluster column is computed at ingest and the table partitioned by "
+        "it (partition pruning per probe). Recall vs brute force asserted "
+        "in tests/test_llm.py.",
+)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_clusters=16, nprobe=6
+    )
 
 
 @register(

@@ -49,3 +49,22 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for spark.sql use."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: str, header: bool = True, **options
+) -> DataFrame:
+    """CSV scan with an explicit schema (SURVEY.md §2.B sources).
+
+    Schema inference is refused on purpose: at 100 TB an inference pass
+    reads the whole input twice, and inferred types drift between files.
+    """
+    return spark.read.options(header=header, **options).schema(schema).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str, **options) -> DataFrame:
+    """JSON-lines scan with an explicit schema (no inference — see read_csv).
+    Fields absent from a record are null; extra fields are ignored, matching
+    the opaque-payload contract of the reference (WalEntity.java:38-39 —
+    payload schema belongs to the client, not the engine)."""
+    return spark.read.options(**options).schema(schema).json(path)
