@@ -1,0 +1,71 @@
+"""Plan-shape evidence for the 100 TB design claims in SCALE.md: bucketed
+co-located joins eliminate the shuffle entirely, and aggregations reuse join
+partitioning instead of re-shuffling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from wal_consumer_spark.sources.tables import load_table
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Writing both join sides bucketed+sorted by the join key lets the join
+    run with zero Exchange nodes — the 100 TB recipe for repeated fact-fact
+    joins (bucket once at ingest, join shuffle-free forever after)."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bjt LOCATION '{tmp_path}/warehouse'")
+    try:
+        o = load_table(spark, SF_SMOKE, "orders")
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        (
+            o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .mode("overwrite").saveAsTable("bjt.orders_b")
+        )
+        (
+            li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .mode("overwrite").saveAsTable("bjt.lineitem_b")
+        )
+        ob, lb = spark.table("bjt.orders_b"), spark.table("bjt.lineitem_b")
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey).groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        # tiny test tables would broadcast; disable it to expose the
+        # bucket-aligned join path a fact-fact join takes at scale
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        # join itself introduces no shuffle (only the final 1-key agg may)
+        join_part = plan.split("HashAggregate")[-1]
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+        # and the result is right
+        expected = (
+            li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, expected.collect()))
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bjt CASCADE")
+
+
+def test_groupby_reuses_join_partitioning(spark):
+    """groupBy on a superset of the join key runs on the join's existing
+    hash partitioning — no third shuffle (SCALE.md §3, measured claim)."""
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_suppkey")
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    # exactly the two join-input exchanges; none between join and aggregate
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, f"unexpected extra shuffle:\n{plan}"

@@ -245,3 +245,39 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_orders") >= 15)
     )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+    SELECT c_custkey, 'acctbal' AS measure, c_acctbal AS value
+    FROM customer WHERE c_custkey < 500
+    UNION ALL
+    SELECT c_custkey, 'nationkey' AS measure, CAST(c_nationkey AS DOUBLE) AS value
+    FROM customer WHERE c_custkey < 500
+    """,
+    doc="UNPIVOT (wide -> long): one row per (id, measure) pair.",
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    return c.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    ).unpivot("c_custkey", ["acctbal", "nationkey"], "measure", "value")
+
+
+@register(
+    "agg_stratified_sample",
+    oracle=None,  # sampling is engine-specific by nature (seeded RNG differs)
+    doc="Stratified sample via sampleBy: per-stratum Bernoulli fractions "
+        "(10% of BUILDING, 50% of MACHINERY customers), seeded. At 100 TB "
+        "this is the standard class-rebalancing primitive for training-data "
+        "curation; the plan is a single scan with a per-row filter, no "
+        "shuffle. Driver records a rows-only check.",
+)
+def agg_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.sampleBy(
+        "c_mktsegment", {"BUILDING": 0.10, "MACHINERY": 0.50}, seed=7
+    ).select("c_custkey", "c_mktsegment")
