@@ -37,8 +37,8 @@ def _canon_cell(v):
         return repr(float(v))
     if isinstance(v, pd.Timestamp):
         return v.floor("us").isoformat()
-    if isinstance(v, bytes):
-        return v.hex()
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        return bytes(v).hex()
     if hasattr(v, "item"):  # numpy scalar
         return _canon_cell(v.item())
     return str(v)

@@ -81,6 +81,65 @@ def real_decode(payload: bytes, kind: str):  # pragma: no cover - stub
     )
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_bytes", BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_n: int = 4, frame_len: int = 8) -> DataFrame:
+    """Frame sampling for video payloads: one output row per kept frame —
+    the 1-to-N mapInPandas batch shape a real ffmpeg sampler would use.
+    Frame extraction is stubbed deterministically (frame i = an 8-byte slice
+    of the payload at offset i*frame_len) so a SQL oracle can replay it;
+    input must be decode_media() output (needs n_frames/kind)."""
+    from wal_consumer_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(df.sparkSession)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for mid, kind, payload, n_frames in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["n_frames"]
+            ):
+                if kind != "video":
+                    continue
+                data = bytes(payload) if payload is not None else b""
+                for i in range(0, int(n_frames), every_n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(data[i * frame_len:(i + 1) * frame_len])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame_bytes": pd.array(frames, dtype=object),
+                }
+            )
+
+    return df.mapInPandas(batches, FRAME_SCHEMA)
+
+
+def resize_media(df: DataFrame, max_w: int = 32, max_h: int = 32) -> DataFrame:
+    """Resize planning on decoded metadata — pure JVM arithmetic (the actual
+    pixel resample is the stubbed codec's job; the engine's work is the
+    metadata/plumbing, which composes with decode_media as a column op)."""
+    scale = F.least(
+        F.lit(1.0),
+        F.least(F.lit(max_w) / F.col("width"), F.lit(max_h) / F.col("height")),
+    )
+    return df.withColumns(
+        {
+            "out_width": F.floor(F.col("width") * scale).cast("int"),
+            "out_height": F.floor(F.col("height") * scale).cast("int"),
+        }
+    )
+
+
 def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
     """Arrow-batched decode over mapInPandas: the real-scale shape — batches
     of binary payloads per partition, no per-row Python call overhead."""

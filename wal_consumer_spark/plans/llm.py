@@ -11,7 +11,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from wal_consumer_spark.functions.multimodal import attach_media_columns, decode_media
+from wal_consumer_spark.functions.multimodal import (
+    attach_media_columns,
+    decode_media,
+    resize_media,
+    sample_frames,
+)
 from wal_consumer_spark.functions.text import (
     LANG_LEXICONS,
     lexicon_hits,
@@ -388,4 +393,58 @@ def multimodal_kind_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.octet_length("payload")).alias("total_bytes"),
         F.min(F.octet_length("payload")).cast("int").alias("min_bytes"),
         F.max(F.octet_length("payload")).cast("int").alias("max_bytes"),
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH v AS (SELECT doc_id, encode(text) AS payload,
+                      1 + octet_length(encode(text)) % 30 AS n_frames
+               FROM documents WHERE doc_id % 3 = 2),
+         e AS (SELECT doc_id, payload, unnest(range(0, n_frames, 4)) AS f FROM v)
+    SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+           lower(substring(hex(payload), CAST(f * 16 AS INTEGER) + 1, 16)) AS frame_hex
+    FROM e
+    """,
+    doc="Video frame sampling: decode -> keep every 4th frame, one row per "
+        "frame (1-to-N mapInPandas batch shape; extraction stubbed "
+        "deterministically, functions/multimodal.py::sample_frames). The "
+        "frame payload surfaces as hex so the oracle compare is on strings, "
+        "not engine-specific binary wrappers.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_media_columns(d, "doc_id", "text", "source")
+    frames = sample_frames(decode_media(media, fake=True), every_n=4, frame_len=8)
+    return frames.select(
+        "media_id", "frame_idx", F.lower(F.hex("frame_bytes")).alias("frame_hex")
+    )
+
+
+@register(
+    "multimodal_resize_meta",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id,
+                      CASE WHEN doc_id % 3 = 0 THEN 'image'
+                           WHEN doc_id % 3 = 1 THEN 'audio'
+                           ELSE 'video' END AS kind,
+                      CAST(16 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
+                      CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INTEGER) AS height
+               FROM documents)
+    SELECT media_id, kind, width, height,
+           CAST(floor(width * least(1.0, least(CAST(32 AS DOUBLE) / width,
+                                               CAST(32 AS DOUBLE) / height))) AS INTEGER) AS out_width,
+           CAST(floor(height * least(1.0, least(CAST(32 AS DOUBLE) / width,
+                                                CAST(32 AS DOUBLE) / height))) AS INTEGER) AS out_height
+    FROM m
+    """,
+    doc="Resize planning over decoded media metadata: aspect-preserving "
+        "bound to 32x32, pure JVM arithmetic post-decode.",
+)
+def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_media_columns(d, "doc_id", "text", "source")
+    return resize_media(decode_media(media, fake=True), max_w=32, max_h=32).select(
+        "media_id", "kind", "width", "height", "out_width", "out_height"
     )
