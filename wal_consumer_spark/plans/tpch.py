@@ -723,3 +723,43 @@ def tpch_q16_supplier_part_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
     )
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle=f"""
+    WITH pv AS (
+        SELECT l.l_partkey AS partkey,
+               SUM(CAST({_REV_SQL} AS DECIMAL(25,4))) AS value_dec
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_regionkey = 2
+        GROUP BY l.l_partkey)
+    SELECT partkey, CAST(value_dec AS DOUBLE) AS value
+    FROM pv
+    WHERE CAST(value_dec AS DOUBLE) > (SELECT 0.001 * CAST(SUM(value_dec) AS DOUBLE) FROM pv)
+    ORDER BY value DESC, partkey
+    """,
+    doc="TPC-H Q11 adapted (lineitem revenue stands in for partsupp stock "
+        "value): parts whose regional supplier revenue exceeds 0.1% of the "
+        "regional total — per-group agg + scalar-subquery threshold, both "
+        "decimal-exact so the double compare is order-independent.",
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    pv = (
+        li.join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(_rev().cast("decimal(25,4)")).alias("value_dec"))
+    )
+    total = pv.agg((F.lit(0.001) * F.sum("value_dec").cast("double")).alias("threshold"))
+    return (
+        pv.crossJoin(broadcast(total))
+        .filter(F.col("value_dec").cast("double") > F.col("threshold"))
+        .select("partkey", F.col("value_dec").cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), F.col("partkey"))
+    )
