@@ -91,3 +91,21 @@ def test_multimodal_decode_stub(spark):
         assert 16 <= r.width < 80 and 16 <= r.height < 80
     with pytest.raises(NotImplementedError):
         real_decode(b"\x00", "image")
+
+
+def test_count_min_sketch_bounds(spark):
+    """CMS estimates are >= exact counts, and exact when width >> #keys."""
+    from wal_consumer_spark.operators.sketch import cms_build, cms_estimate
+
+    e = load_table(spark, SF_ORACLE, "events")
+    exact = {r.event_type: r.n for r in
+             e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sketch = cms_build(e, "event_type", depth=3, width=256)
+    est = {r.event_type: r.est_count for r in
+           cms_estimate(sketch, e.select("event_type"), "event_type",
+                        depth=3, width=256).collect()}
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert est[k] >= n
+    # 6 keys in 256 buckets x 3 rows: some row has no collision -> exact
+    assert est == exact

@@ -281,3 +281,22 @@ def agg_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.sampleBy(
         "c_mktsegment", {"BUILDING": 0.10, "MACHINERY": 0.50}, seed=7
     ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "agg_count_min_sketch",
+    oracle=None,  # xxhash64 cell layout is engine-specific; bounds tested
+    doc="Count-min sketch heavy-hitter estimates for event_type: "
+        "depth 3 x width 256 mergeable counts table (one bounded groupBy "
+        "regardless of key cardinality), min-over-cells point estimates. "
+        "Estimate >= exact always; equality asserted at this cardinality in "
+        "tests/test_llm.py (no collisions with 6 key values).",
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wal_consumer_spark.operators.sketch import cms_build, cms_estimate
+
+    e = load_table(spark, sf_dir, "events")
+    sketch = cms_build(e, "event_type")
+    return cms_estimate(sketch, e.select("event_type"), "event_type").orderBy(
+        "event_type"
+    )
