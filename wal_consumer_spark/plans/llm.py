@@ -448,3 +448,50 @@ def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_media(decode_media(media, fake=True), max_w=32, max_h=32).select(
         "media_id", "kind", "width", "height", "out_width", "out_height"
     )
+
+
+@register(
+    "dedup_clusters_cc",
+    oracle=f"""
+    WITH RECURSIVE
+    sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+    inter AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+        SELECT doc1, doc2 FROM inter
+        JOIN sizes s1 ON s1.doc_id = doc1
+        JOIN sizes s2 ON s2.doc_id = doc2
+        WHERE n_common / (s1.n + s2.n - n_common) >= 0.5
+    ),
+    sym AS (SELECT doc1 AS a, doc2 AS b FROM pairs
+            UNION SELECT doc2, doc1 FROM pairs
+            UNION SELECT doc1, doc1 FROM pairs
+            UNION SELECT doc2, doc2 FROM pairs),
+    reach AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a)
+    SELECT component, COUNT(*) AS n_members, component AS canonical_id
+    FROM comp GROUP BY component
+    """,
+    doc="Near-dup clustering: exact Jaccard>=0.5 pairs -> connected "
+        "components (alternating large-star/small-star, operators/graph.py) "
+        "-> (component, size, canonical doc). The oracle replays the "
+        "clustering with a recursive transitive closure, feasible at oracle "
+        "scale; the Spark path is O(log^2 n) bounded-shuffle rounds at any "
+        "scale.",
+)
+def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wal_consumer_spark.operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = shingle_pairs_jaccard(docs, "doc_id", "text").filter(
+        F.col("jaccard") >= 0.5
+    )
+    return dedup_clusters(pairs.select("doc1", "doc2"))
