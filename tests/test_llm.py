@@ -109,3 +109,24 @@ def test_count_min_sketch_bounds(spark):
         assert est[k] >= n
     # 6 keys in 256 buckets x 3 rows: some row has no collision -> exact
     assert est == exact
+
+
+def test_hll_partial_merge_accuracy(spark):
+    """Region-level HLL estimates from merged per-nation sketches are within
+    2% of exact distinct counts (lgConfigK=14 -> ~0.8% relative std error)."""
+    from wal_consumer_spark.plans.aggregates import agg_hll_partial_merge
+
+    c = load_table(spark, SF_ORACLE, "customer")
+    n = load_table(spark, SF_ORACLE, "nation").select("n_nationkey", "n_regionkey")
+    exact = {
+        r.regionkey: r.n
+        for r in c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_regionkey").alias("regionkey"))
+        .agg(F.countDistinct("c_custkey").alias("n"))
+        .collect()
+    }
+    est = {r.regionkey: r.approx_customers
+           for r in agg_hll_partial_merge(spark, SF_ORACLE).collect()}
+    assert set(est) == set(exact)
+    for k, n_exact in exact.items():
+        assert abs(est[k] - n_exact) <= max(2, 0.02 * n_exact), (k, est[k], n_exact)

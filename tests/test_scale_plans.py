@@ -69,3 +69,36 @@ def test_groupby_reuses_join_partitioning(spark):
     # exactly the two join-input exchanges; none between join and aggregate
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 2, f"unexpected extra shuffle:\n{plan}"
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """With AQE runtime filters enabled, a selective dim filter is compiled
+    into a bloom filter that prunes the fact side BEFORE its shuffle — at
+    100 TB this turns a full-fact shuffle into a ~selectivity-sized one.
+    Thresholds are lowered so the tiny test tables qualify; at production
+    sizes the defaults (10 MB creation side) trigger on real dims."""
+    o = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        sel = o.filter(F.col("o_orderpriority") == "1-URGENT")
+        joined = li.join(sel, li.l_orderkey == sel.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in plan or "might_contain" in plan, plan[:2000]
+        assert joined.count() >= 1
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

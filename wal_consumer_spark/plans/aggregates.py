@@ -300,3 +300,35 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(sketch, e.select("event_type"), "event_type").orderBy(
         "event_type"
     )
+
+
+@register(
+    "agg_hll_partial_merge",
+    oracle=None,  # Datasketches HLL estimate is engine-specific; bounds tested
+    doc="Re-aggregatable distinct-count sketches: per-nation HLL sketches of "
+        "c_custkey (hll_sketch_agg), rolled up per region with hll_union_agg. "
+        "This is the 100 TB distinct-count pattern - partial sketches are "
+        "merged instead of reshuffling raw keys, so a region rollup costs one "
+        "25-row shuffle regardless of customer cardinality, and sketches can "
+        "be persisted and re-merged across days without rescanning. Estimate "
+        "accuracy vs exact asserted in tests/test_llm.py.",
+)
+def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    per_nation = c.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey", 14).alias("sk")
+    )
+    j = per_nation.join(
+        F.broadcast(n), per_nation["c_nationkey"] == n["n_nationkey"]
+    )
+    return (
+        j.groupBy("n_regionkey")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk", True)).alias(
+                "approx_customers"
+            )
+        )
+        .select(F.col("n_regionkey").alias("regionkey"), "approx_customers")
+        .orderBy("regionkey")
+    )

@@ -514,3 +514,43 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("first_ts"),
         )
     )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_overlaps,
+           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events e
+    JOIN orders o
+      ON o.o_custkey = e.user_id
+     AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate
+     AND CAST(e.ts AS TIMESTAMP) < o.o_orderdate + INTERVAL 7 DAY
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Interval-overlap join: events landing inside a 7-day window after "
+        "each order of the same customer. Equi key (user_id = o_custkey) + "
+        "range predicate: Catalyst plans the equi part as a shuffled "
+        "hash/sort-merge join and applies the range as a post-join filter, "
+        "so there is no pair explosion - the batch analog of the streaming "
+        "interval join in tests/test_streaming_ext.py.",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    cond = (
+        (e["user_id"] == o["o_custkey"])
+        & (e["ts"] >= o["o_orderdate"])
+        & (e["ts"] < o["o_orderdate"] + F.expr("INTERVAL 7 DAY"))
+    )
+    return (
+        e.join(o, cond)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlaps"),
+            dsum("value", "sum_value"),
+        )
+    )
