@@ -282,3 +282,46 @@ def test_transform_with_state_in_pandas(spark, tmp_path):
     q.awaitTermination()
     assert sorted((r.k, r.n) for r in spark.sql("select * from tws_gated").collect()) \
         == [("a", 2), ("b", 1)]
+
+
+def test_incremental_rollup_stream_matches_batch(spark, tmp_path):
+    """Micro-batched incremental rollup maintenance converges to exactly the
+    from-scratch GROUP BY, regardless of batch boundaries (exact decimal
+    merge algebra; streaming/incremental.py)."""
+    from tests.conftest import SF_SMOKE
+    from wal_consumer_spark.sources.tables import load_table
+    from wal_consumer_spark.streaming.incremental import (
+        IncrementalRollup,
+        ParquetRollupTarget,
+        maintain_rollup_stream,
+    )
+
+    e = load_table(spark, SF_SMOKE, "events").select("event_id", "event_type", "value")
+    src = str(tmp_path / "src")
+    # three uneven, non-empty chunks, each its own file -> its own micro-batch
+    lo, hi = e.agg(F.min("event_id"), F.max("event_id")).collect()[0]
+    cuts = [lo, lo + (hi - lo) // 10, lo + (hi - lo) // 2, hi + 1]
+    for a, b in zip(cuts, cuts[1:]):
+        e.filter((F.col("event_id") >= a) & (F.col("event_id") < b)) \
+            .coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("event_id LONG, event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    rollup = IncrementalRollup(["event_type"], "value")
+    target = ParquetRollupTarget(spark, str(tmp_path / "state"))
+    q = maintain_rollup_stream(
+        spark, stream, rollup, target, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+    assert target._version >= 3  # one merge per file/micro-batch
+
+    got = sorted(map(tuple, rollup.finish(target.read()).collect()))
+    want = sorted(
+        map(
+            tuple,
+            rollup.finish(rollup.apply_batch(None, e)).collect(),
+        )
+    )
+    assert got == want
