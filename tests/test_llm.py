@@ -130,3 +130,23 @@ def test_hll_partial_merge_accuracy(spark):
     assert set(est) == set(exact)
     for k, n_exact in exact.items():
         assert abs(est[k] - n_exact) <= max(2, 0.02 * n_exact), (k, est[k], n_exact)
+
+
+def test_count_min_sketch_merge_equals_full_build(spark):
+    """cms_merge over chunk sketches == sketch over the whole input: the
+    mergeability property that lets 100 TB heavy-hitter sketches be built
+    per-partition/per-day and rolled up without rescans."""
+    from wal_consumer_spark.operators.sketch import cms_build, cms_estimate, cms_merge
+
+    e = load_table(spark, SF_ORACLE, "events")
+    lo, hi = e.agg(F.min("event_id"), F.max("event_id")).collect()[0]
+    mid = (lo + hi) // 2
+    s1 = cms_build(e.filter(F.col("event_id") <= mid), "event_type")
+    s2 = cms_build(e.filter(F.col("event_id") > mid), "event_type")
+    merged = cms_merge(s1, s2)
+    full = cms_build(e, "event_type")
+    est_m = {r.event_type: r.est_count for r in
+             cms_estimate(merged, e.select("event_type"), "event_type").collect()}
+    est_f = {r.event_type: r.est_count for r in
+             cms_estimate(full, e.select("event_type"), "event_type").collect()}
+    assert est_m == est_f

@@ -53,3 +53,17 @@ def cms_estimate(
         .agg(F.min(F.coalesce("cell_count", F.lit(0))).alias("est_count"))
         .select(F.col("k").alias(key), "est_count")
     )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with the same (depth, width, hash): cell-wise sum.
+    CM sketches are a commutative monoid, so per-day / per-partition sketches
+    roll up exactly like the incremental-rollup partials
+    (streaming/incremental.py) — merged estimates are identical to a sketch
+    built over the concatenated input."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("cms_row", "cms_bucket").agg(
+        F.sum("cell_count").alias("cell_count")
+    )
