@@ -495,3 +495,77 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("jaccard") >= 0.5
     )
     return dedup_clusters(pairs.select("doc1", "doc2"))
+
+
+@register(
+    "pipeline_corpus_curation",
+    oracle=rf"""
+    WITH scored AS (
+        SELECT doc_id, source, lang, text,
+               len({_TOKS}) AS n_tokens,
+               (length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g')))
+                 / greatest(length(text), 1) AS punct_ratio
+        FROM documents
+    ),
+    gated AS (
+        SELECT * FROM scored
+        WHERE length(text) >= 100 AND n_tokens >= 20
+          AND punct_ratio < 0.2 AND lang = 'en'
+    ),
+    fp AS (SELECT *, md5(lower(trim(text))) AS content_fp FROM gated),
+    canon AS (
+        SELECT * FROM fp
+        QUALIFY row_number() OVER (PARTITION BY content_fp ORDER BY doc_id) = 1
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM canon GROUP BY source
+    """,
+    doc="End-to-end training-data curation pipeline: quality gate (length, "
+        "token count, punctuation ratio) -> language gate -> exact "
+        "content-hash dedup keeping the smallest doc_id -> per-source corpus "
+        "stats. One linear plan: the gates are a single scan's filter (all "
+        "pushdown-friendly), dedup shuffles narrow (fp, doc_id, n_tokens) "
+        "rows once, and the final rollup reuses that shuffle's partitioning. "
+        "This is the composition a 100 TB curation job runs nightly; each "
+        "stage is individually covered by text_quality / text_langid / "
+        "dedup_exact_hash.",
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    n_tok = F.size(tok).cast("long")
+    scored = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        "text",
+        n_tok.alias("n_tokens"),
+        (
+            punct_count("text")
+            / F.greatest(F.length("text").cast("long"), F.lit(1))
+        ).alias("punct_ratio"),
+    )
+    gated = scored.filter(
+        (F.length("text") >= 100)
+        & (F.col("n_tokens") >= 20)
+        & (F.col("punct_ratio") < 0.2)
+        & (F.col("lang") == "en")
+    )
+    fp = gated.select(
+        "doc_id", "source", "n_tokens",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("content_fp"),
+    )
+    w = Window.partitionBy("content_fp").orderBy("doc_id")
+    canon = (
+        fp.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    )
+    return canon.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+    )
