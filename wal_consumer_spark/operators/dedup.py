@@ -234,3 +234,61 @@ def near_dedup_canonical(pairs: DataFrame, all_ids: DataFrame, id_col: str) -> D
     doc id (single-link, one pass — the standard large-corpus approximation)."""
     dropped = pairs.select(F.col("doc2").alias(id_col)).distinct()
     return all_ids.join(dropped, id_col, "left_anti")
+
+
+def minhash_near_pairs(
+    sigs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 8,
+    max_bucket: int = 500,
+) -> DataFrame:
+    """Fused banding + estimate: same results as minhash_candidates →
+    minhash_jaccard_estimate, in 3 shuffles instead of ~7.
+
+    - bucket-size skew guard via a window count over (band, bucket) — no
+      count+join round-trip;
+    - signatures ride along through the band self-join, so the pairwise
+      agreement is computed inline instead of re-joining sigs twice;
+    - duplicate pairs (docs colliding in several bands) reduce with a
+      groupBy max (every copy carries the same estimate).
+
+    The band self-join reuses the window's (band, bucket) hash partitioning,
+    so banding+join is one exchange; at 100 TB the only wide shuffle remains
+    the band-key exchange, as before.
+    """
+    from pyspark.sql import Window
+
+    banded = sigs.select(
+        "doc",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band)),
+                    b,
+                ),
+            )
+        ).alias("band", "bucket"),
+    ).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+    ).filter(F.col("__n") <= max_bucket).drop("__n")
+
+    a = banded.select(F.col("doc").alias("doc1"), F.col("sig").alias("sig1"), "band", "bucket")
+    b = banded.select(F.col("doc").alias("doc2"), F.col("sig").alias("sig2"), "band", "bucket")
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig1", "sig2", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        )
+        / F.size("sig1")
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2", est.alias("est_jaccard"))
+        .groupBy("doc1", "doc2")
+        .agg(F.max("est_jaccard").alias("est_jaccard"))
+    )

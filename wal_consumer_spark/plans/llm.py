@@ -27,6 +27,7 @@ from wal_consumer_spark.functions.text import (
 from wal_consumer_spark.operators.dedup import (
     exact_dedup,
     minhash_candidates,
+    minhash_near_pairs,
     minhash_jaccard_estimate,
     minhash_signature,
     shingle_pairs_jaccard,
@@ -120,12 +121,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    # persist: signatures feed both the band join and the verify join —
-    # without it the (expensive) shingle+hash expression runs three times.
+    # persist: signatures feed both sides of the band self-join — without it
+    # the (expensive) shingle+hash expression runs twice.
     sigs = minhash_signature(docs, "doc_id", "text").persist()
-    cands = minhash_candidates(sigs)
     return (
-        minhash_jaccard_estimate(sigs, cands)
+        minhash_near_pairs(sigs)
         .filter(F.col("est_jaccard") >= 0.4)
         .select("doc1", "doc2", F.round("est_jaccard", 6).alias("est_jaccard"))
     )
