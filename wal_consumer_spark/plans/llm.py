@@ -569,3 +569,40 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
     )
+
+
+@register(
+    "text_rolling_hash",
+    oracle=rf"""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform({_TOKS},
+                       t -> ('0x' || substring(md5(t), 1, 8))::BIGINT)),
+               (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_fp,
+           len({_TOKS}) AS n_tokens
+    FROM documents
+    """,
+    doc="Karp-Rabin rolling-hash document fingerprint: each token hashes to "
+        "a 32-bit int (md5 prefix — identical in both engines), folded left "
+        "with acc*31 + x mod 1e9+7. Order-sensitive (unlike the bag "
+        "fingerprint in text_fingerprint) and incrementally extendable: "
+        "appending a token is O(1), so shard fingerprints can be chained at "
+        "ingest. Pure JVM higher-order aggregate - no UDF.",
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    tok_ints = F.transform(
+        tok, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    )
+    roll = F.aggregate(
+        tok_ints,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % F.lit(1000000007).cast("long"),
+    )
+    return d.select(
+        "doc_id",
+        roll.alias("rolling_fp"),
+        F.size(tok).cast("long").alias("n_tokens"),
+    )
