@@ -161,3 +161,60 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
             yield out
 
     return df.mapInPandas(batches, DECODED_SCHEMA)
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("sum_bytes", LongType(), True),
+        StructField("n_distinct_bytes", IntegerType(), True),
+        StructField("mean_byte_x100", LongType(), True),
+    ]
+)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Feature extraction over binary payloads: numpy-vectorized byte stats
+    per media row (length, byte sum, distinct bytes, scaled mean) through
+    Arrow-batched mapInPandas — the exact shape a real embedding extractor
+    takes (payload bytes in, fixed-width feature row out), with the model
+    replaced by deterministic byte arithmetic so a SQL oracle can replay it.
+    numpy sees each batch as one zero-copy uint8 view per payload; no
+    per-row Python loops over bytes."""
+    import numpy as np
+
+    from wal_consumer_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(df.sparkSession)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, kinds, nb, sb, nd, mb = [], [], [], [], [], []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                a = np.frombuffer(
+                    bytes(payload) if payload is not None else b"", dtype=np.uint8
+                )
+                n = int(a.size)
+                s = int(a.sum()) if n else 0
+                ids.append(mid)
+                kinds.append(kind)
+                nb.append(n)
+                sb.append(s)
+                nd.append(int(np.unique(a).size) if n else 0)
+                mb.append((s * 100) // n if n else 0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "kind": kinds,
+                    "n_bytes": pd.array(nb, dtype="int64"),
+                    "sum_bytes": pd.array(sb, dtype="int64"),
+                    "n_distinct_bytes": pd.array(nd, dtype="int32"),
+                    "mean_byte_x100": pd.array(mb, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, FEATURE_SCHEMA)

@@ -606,3 +606,43 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         roll.alias("rolling_fp"),
         F.size(tok).cast("long").alias("n_tokens"),
     )
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n
+        FROM documents
+    ),
+    e AS (
+        SELECT media_id, kind, n,
+               list_transform(range(0, n),
+                              i -> ('0x' || substring(h, CAST(2*i + 1 AS INTEGER), 2))::BIGINT)
+                   AS bytes_l
+        FROM b
+    )
+    SELECT media_id, kind,
+           CAST(n AS BIGINT) AS n_bytes,
+           CAST(list_sum(bytes_l) AS BIGINT) AS sum_bytes,
+           CAST(len(list_distinct(bytes_l)) AS INTEGER) AS n_distinct_bytes,
+           CAST(list_sum(bytes_l) AS BIGINT) * 100 // n AS mean_byte_x100
+    FROM e WHERE n > 0
+    """,
+    doc="Multimodal feature extraction: per-payload byte statistics (the "
+        "deterministic stand-in for an embedding model) via numpy over "
+        "Arrow-batched mapInPandas — functions/multimodal.py::"
+        "extract_features. The oracle replays the byte arithmetic from the "
+        "hex encoding.",
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wal_consumer_spark.functions.multimodal import extract_features
+
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_media_columns(d, "doc_id", "text", "source")
+    return extract_features(media).filter(F.col("n_bytes") > 0)
