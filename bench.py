@@ -40,6 +40,9 @@ HEADLINE = [
     "sim_topk_bruteforce",
     "text_quality",
     "multimodal_decode_meta",
+    "pipeline_corpus_curation",
+    "stream_incremental_rollup",
+    "win_sessionize_gap",
 ]
 
 

@@ -72,3 +72,24 @@ def test_broadcast_join_in_plan(spark):
     df = all_specs()["q5_region_revenue"].spark(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_sql_front_door_matches_dataframe(spark):
+    """Raw ANSI SQL over registered views returns the same rows as the
+    DataFrame formulation (both compile to the same Catalyst plan)."""
+    from tests.conftest import SF_SMOKE as _SF
+    from wal_consumer_spark.plans import all_specs
+    from wal_consumer_spark.sqlapi import sql
+
+    got = sql(
+        spark,
+        _SF,
+        """
+        SELECT c_mktsegment,
+               COUNT(DISTINCT c_nationkey) AS n_nations,
+               COUNT(*) AS n_customers
+        FROM customer GROUP BY c_mktsegment
+        """,
+    )
+    want = all_specs()["agg_count_distinct"].spark(spark, _SF)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

@@ -208,3 +208,36 @@ def test_streaming_dedup_with_watermark(spark, tmp_path):
     q.awaitTermination()
     ids = sorted(r.event_id for r in spark.sql("select * from dedup_stream").collect())
     assert ids == [1, 2, 3]
+
+
+def test_type_routed_targets(spark, tmp_path):
+    """A shared WAL carrying two entity types routes each type to its own
+    target; entity_id collides across types and must not cross-contaminate
+    (streaming/routing.py reduces per type, keyed (entity_type, entity_id))."""
+    from wal_consumer_spark.streaming.routing import TypeRoutedTarget
+
+    rows = [
+        # (id, entity_id, operation, payload, entity_type) — entity_id 1
+        # exists in BOTH types with different histories
+        (1, 1, "ADD", b"u1-v1", "user"),
+        (2, 1, "ADD", b"a1-v1", "account"),
+        (3, 1, "UPDATE", b"u1-v2", "user"),
+        (4, 2, "ADD", b"a2-v1", "account"),
+        (5, 1, "DELETE", None, "account"),
+        (6, 2, "ADD", b"u2-v1", "user"),
+    ]
+    wal = spark.createDataFrame(rows, WAL_COLS)
+    routed = TypeRoutedTarget(spark, str(tmp_path / "targets"))
+    routed.apply_batch(wal)
+
+    users = {
+        r.entity_id: bytes(r.entity_bytes).decode()
+        for r in routed.target_for("user").read().collect()
+    }
+    accounts = {
+        r.entity_id: bytes(r.entity_bytes).decode()
+        for r in routed.target_for("account").read().collect()
+    }
+    assert users == {1: "u1-v2", 2: "u2-v1"}
+    assert accounts == {2: "a2-v1"}  # account#1 deleted; user#1 untouched
+    assert routed.types() == ["account", "user"]
