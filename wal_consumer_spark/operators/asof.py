@@ -32,8 +32,17 @@ def asof_join(
     right_ts: str,
     payload_cols: list[str],
     tiebreak_cols: list[str] | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left-outer as-of join; payload_cols names must not clash with left's."""
+    """Left-outer as-of join; payload_cols names must not clash with left's.
+
+    direction="backward" (default): nearest right row at-or-before left_ts
+    (largest tiebreak wins among equal timestamps). direction="forward":
+    nearest right row at-or-after left_ts (smallest tiebreak wins) — the
+    same single-shuffle union+carry, traversed in reverse time order.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     tiebreak_cols = tiebreak_cols or []
     left_cols = left.columns
     right_types = dict(right.dtypes)
@@ -57,8 +66,12 @@ def asof_join(
 
     unioned = l.select(sorted(l.columns)).unionByName(r.select(sorted(r.columns)))
 
-    order: list[Column] = [F.col(_TS), F.col(_SRC)]
-    order += [F.col(c).asc_nulls_first() for c in tiebreak_cols]
+    if direction == "backward":
+        order: list[Column] = [F.col(_TS), F.col(_SRC)]
+        order += [F.col(c).asc_nulls_first() for c in tiebreak_cols]
+    else:
+        order = [F.col(_TS).desc(), F.col(_SRC)]
+        order += [F.col(c).desc_nulls_first() for c in tiebreak_cols]
     w = (
         Window.partitionBy(left_key)
         .orderBy(*order)

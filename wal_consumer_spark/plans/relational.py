@@ -554,3 +554,42 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value", "sum_value"),
         )
     )
+
+
+@register(
+    "asof_join_forward_events_orders",
+    oracle="""
+    WITH best AS (
+        SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+               row_number() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+        FROM events e
+        JOIN orders o ON o.o_custkey = e.user_id
+                     AND o.o_orderdate >= CAST(e.ts AS TIMESTAMP)
+    )
+    SELECT e.event_id, e.user_id, e.event_type,
+           b.o_orderkey AS next_orderkey,
+           b.o_totalprice AS next_totalprice
+    FROM events e
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.event_id = e.event_id
+    """,
+    doc="Forward as-of join: each event -> earliest subsequent order of the "
+        "same user (direction='forward' of operators/asof.py — the same "
+        "one-shuffle union+carry traversed in reverse time order).",
+)
+def asof_join_forward_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate",
+        F.col("o_orderkey").alias("next_orderkey"),
+        F.col("o_totalprice").alias("next_totalprice"),
+    )
+    joined = asof_join(
+        e, o,
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        payload_cols=["next_orderkey", "next_totalprice"],
+        tiebreak_cols=["next_orderkey"],
+        direction="forward",
+    )
+    return joined.select("event_id", "user_id", "event_type", "next_orderkey", "next_totalprice")
