@@ -93,3 +93,18 @@ def test_sql_front_door_matches_dataframe(spark):
     )
     want = all_specs()["agg_count_distinct"].spark(spark, _SF)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_malformed_json_rows_are_null_not_fatal(spark):
+    """from_json is PERMISSIVE by default: malformed payloads decode to NULL
+    instead of failing the job — at 100 TB a handful of corrupt records must
+    never kill a pipeline; they surface as a filterable NULL column."""
+    df = spark.createDataFrame(
+        [(1, '{"a": 1}'), (2, "not json"), (3, None), (4, '{"a": "x"}')],
+        "id LONG, payload STRING",
+    )
+    parsed = df.select(
+        "id", F.from_json("payload", "a INT").alias("p")
+    ).select("id", F.col("p.a").alias("a"))
+    got = {r.id: r.a for r in parsed.collect()}
+    assert got == {1: 1, 2: None, 3: None, 4: None}

@@ -325,3 +325,82 @@ def test_incremental_rollup_stream_matches_batch(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_stream_stream_left_outer_interval_join(spark, tmp_path):
+    """Stream-stream LEFT OUTER join with watermarks + time-range condition:
+    impressions with no click within the hour emit with NULL click columns
+    once the watermark passes the join window."""
+    imp_dir = str(tmp_path / "li_impressions")
+    clk_dir = str(tmp_path / "li_clicks")
+    _write_ts_file(
+        spark, imp_dir,
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:05:00"),
+         (3, "2024-01-01 10:10:00")],
+        "user_id LONG, imp_ts STRING_TS",
+    )
+    _write_ts_file(
+        spark, clk_dir,
+        [(1, "2024-01-01 10:30:00"),
+         # user 99's click matches no impression; user 2/3 never click.
+         (99, "2024-01-01 10:31:00"),
+         # fencepost far ahead so the watermark closes the join windows
+         (50, "2024-01-02 12:00:00")],
+        "user_id LONG, clk_ts STRING_TS",
+    )
+    out = str(tmp_path / "li_out")
+    ckpt = str(tmp_path / "li_ckpt")
+
+    def run():
+        imp = (
+            spark.readStream.schema("user_id LONG, imp_ts TIMESTAMP").parquet(imp_dir)
+            .withWatermark("imp_ts", "0 seconds")
+        )
+        clk = (
+            spark.readStream.schema("user_id LONG, clk_ts TIMESTAMP").parquet(clk_dir)
+            .withWatermark("clk_ts", "0 seconds")
+            .withColumnRenamed("user_id", "clk_user")
+        )
+        joined = imp.join(
+            clk,
+            F.expr(
+                "user_id = clk_user AND "
+                "clk_ts BETWEEN imp_ts AND imp_ts + INTERVAL 1 HOUR"
+            ),
+            "leftOuter",
+        )
+        q = (
+            joined.writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    # unmatched-side NULL emission happens when evicted state is processed in
+    # a LATER batch than the one that advanced the watermark — and the global
+    # watermark is the MIN across both streams, so BOTH sides need a
+    # fencepost event before the 10:00-10:10 impressions can close.
+    _write_ts_file(
+        spark, clk_dir, [(51, "2024-01-02 13:00:00")], "user_id LONG, clk_ts STRING_TS"
+    )
+    _write_ts_file(
+        spark, imp_dir, [(98, "2024-01-02 13:00:00")], "user_id LONG, imp_ts STRING_TS"
+    )
+    run()
+    # one more empty-ish batch so the state evicted at the end of the
+    # previous run is emitted
+    _write_ts_file(
+        spark, clk_dir, [(52, "2024-01-02 14:00:00")], "user_id LONG, clk_ts STRING_TS"
+    )
+    _write_ts_file(
+        spark, imp_dir, [(97, "2024-01-02 14:00:00")], "user_id LONG, imp_ts STRING_TS"
+    )
+    run()
+    rows = {
+        (r.user_id, r.clk_user)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (1, 1) in rows  # matched within the hour
+    assert (2, None) in rows and (3, None) in rows  # unmatched emit NULLs
+    assert not any(u == 99 for _, u in rows if u is not None)

@@ -332,3 +332,34 @@ def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_regionkey").alias("regionkey"), "approx_customers")
         .orderBy("regionkey")
     )
+
+
+@register(
+    "agg_argmax",
+    oracle="""
+    SELECT c_mktsegment,
+           arg_max(c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey)
+               AS richest_customer,
+           arg_min(c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey)
+               AS poorest_customer,
+           CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal,
+           CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+    doc="argmax/argmin via max_by/min_by: single-pass per-group row "
+        "selection (no self-join, no window shuffle) — ties broken "
+        "deterministically by folding the key into an exact integer-cents "
+        "order scalar, so both engines pick the identical row.",
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    ord_ = (
+        F.round(F.col("c_acctbal") * 100).cast("long") * 10000000
+        + F.col("c_custkey")
+    )
+    return c.groupBy("c_mktsegment").agg(
+        F.max_by("c_custkey", ord_).alias("richest_customer"),
+        F.min_by("c_custkey", ord_).alias("poorest_customer"),
+        F.max("c_acctbal").cast("double").alias("max_bal"),
+        F.min("c_acctbal").cast("double").alias("min_bal"),
+    )
