@@ -404,3 +404,51 @@ def test_stream_stream_left_outer_interval_join(spark, tmp_path):
     assert (1, 1) in rows  # matched within the hour
     assert (2, None) in rows and (3, None) in rows  # unmatched emit NULLs
     assert not any(u == 99 for _, u in rows if u is not None)
+
+
+def test_streaming_cms_heavy_hitters(spark, tmp_path):
+    """Count-min sketches maintained per micro-batch (cms_merge in
+    foreachBatch) converge to the full-build sketch: streaming heavy-hitter
+    tracking with O(depth x width) state regardless of stream length."""
+    from tests.conftest import SF_SMOKE
+    from wal_consumer_spark.operators.sketch import cms_build, cms_estimate, cms_merge
+    from wal_consumer_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_SMOKE, "events").select("event_id", "event_type")
+    src = str(tmp_path / "cms_src")
+    lo, hi = e.agg(F.min("event_id"), F.max("event_id")).collect()[0]
+    mid = (lo + hi) // 2
+    for a, b in [(lo, mid), (mid, hi + 1)]:
+        e.filter((F.col("event_id") >= a) & (F.col("event_id") < b)) \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    state = {"sketch": None}
+
+    def merge_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        s = cms_build(batch_df, "event_type")
+        prev = state["sketch"]
+        merged = s if prev is None else cms_merge(prev, s)
+        # pin the merged cells so the next batch's lineage doesn't re-read
+        # prior batches (bounded state, same discipline as incremental.py)
+        state["sketch"] = spark.createDataFrame(
+            merged.collect(), "cms_row INT, cms_bucket INT, cell_count LONG"
+        )
+
+    q = (
+        spark.readStream.schema("event_id LONG, event_type STRING")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", str(tmp_path / "cms_ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    est_stream = {r.event_type: r.est_count for r in
+                  cms_estimate(state["sketch"], e.select("event_type"),
+                               "event_type").collect()}
+    est_full = {r.event_type: r.est_count for r in
+                cms_estimate(cms_build(e, "event_type"), e.select("event_type"),
+                             "event_type").collect()}
+    assert est_stream == est_full
