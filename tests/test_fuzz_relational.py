@@ -62,6 +62,14 @@ def _cat_values(spark, table: str, col: str) -> list[str]:
     return _CAT_VALUES[key]
 
 
+# fact table -> (dim table, fact key, dim key, dim categorical col)
+DIM_JOINS = {
+    "orders": ("customer", "o_custkey", "c_custkey", "c_mktsegment"),
+    "customer": ("nation", "c_nationkey", "n_nationkey", "n_name"),
+    "lineitem": ("part", "l_partkey", "p_partkey", "p_brand"),
+}
+
+
 @st.composite
 def plan_specs(draw):
     table = draw(st.sampled_from(sorted(TABLES)))
@@ -78,14 +86,24 @@ def plan_specs(draw):
                 draw(st.sampled_from(["and", "or"])),
             )
         )
-    group = draw(st.sampled_from([None, *cats]))
-    return (table, preds, group)
+    joined = draw(st.booleans())
+    group_pool = [None, *cats]
+    if joined:
+        group_pool.append(DIM_JOINS[table][3])
+    group = draw(st.sampled_from(group_pool))
+    return (table, preds, group, joined)
 
 
 def _build(spark, duck, spec):
-    table, preds, group = spec
+    table, preds, group, joined = spec
     cats, nums, money = TABLES[table]
     df = load_table(spark, SF_SMOKE, table)
+    from_clause = table
+    if joined:
+        dim, fk, dk, _ = DIM_JOINS[table]
+        dim_df = load_table(spark, SF_SMOKE, dim)
+        df = df.join(F.broadcast(dim_df), df[fk] == dim_df[dk])
+        from_clause = f"{table} JOIN {dim} ON {fk} = {dk}"
     sql_parts = []
     cond = None
     for kind, col, seed, op, conj in preds:
@@ -129,7 +147,7 @@ def _build(spark, duck, spec):
                    CAST(MIN({money}) AS DOUBLE) AS lo,
                    CAST(MAX({money}) AS DOUBLE) AS hi,
                    CAST(SUM(CAST({money} AS DECIMAL(14,2))) AS DOUBLE) AS total
-            FROM {table} {where}
+            FROM {from_clause} {where}
         """
     else:
         sdf = df.groupBy(group).agg(
@@ -139,7 +157,7 @@ def _build(spark, duck, spec):
         sql = f"""
             SELECT {group}, COUNT(*) AS n,
                    CAST(SUM(CAST({money} AS DECIMAL(14,2))) AS DOUBLE) AS total
-            FROM {table} {where} GROUP BY {group}
+            FROM {from_clause} {where} GROUP BY {group}
         """
     return sdf, duck.execute(sql).fetchdf()
 
