@@ -302,3 +302,32 @@ def explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.posexplode(F.split(F.col("p_type"), " ")).alias("pos", "word"),
     ).select("p_partkey", "word", "pos")
+
+
+@register(
+    "scalar_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS and_lo,
+           o_orderkey | 4096 AS or_hi,
+           xor(o_orderkey, 1023) AS xored,
+           bit_count(o_orderkey) AS popcnt,
+           o_orderkey << 2 AS shl,
+           o_orderkey >> 3 AS shr
+    FROM orders WHERE o_orderkey < 2000
+    """,
+    doc="Bitwise scalar family: and/or/xor, popcount, shifts — the hash/"
+        "partition-bucket arithmetic primitives, all inside codegen.",
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("and_lo"),
+        k.bitwiseOR(F.lit(4096)).alias("or_hi"),
+        k.bitwiseXOR(F.lit(1023)).alias("xored"),
+        F.bit_count(k).alias("popcnt"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+    )
