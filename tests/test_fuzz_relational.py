@@ -104,7 +104,7 @@ def _build(spark, duck, spec):
         dim_df = load_table(spark, SF_SMOKE, dim)
         df = df.join(F.broadcast(dim_df), df[fk] == dim_df[dk])
         from_clause = f"{table} JOIN {dim} ON {fk} = {dk}"
-    sql_parts = []
+    sql_where = ""
     cond = None
     for kind, col, seed, op, conj in preds:
         if kind == "cat_eq":
@@ -125,15 +125,18 @@ def _build(spark, duck, spec):
             v = (seed % 500000) / 100.0
             c = F.expr(f"{money} {'!=' if op == '<>' else op} {v}")
             s = f"{money} {op} {v}"
+        # parenthesize the accumulated clause exactly as the DataFrame
+        # predicate is left-folded ((p1 OP p2) OP p3), so SQL's AND-binds-
+        # tighter precedence can never diverge at any predicate count.
         if cond is None:
-            cond, sql_parts = c, [s]
+            cond, sql_where = c, s
         elif conj == "and":
-            cond, sql_parts = cond & c, [*sql_parts, f"AND {s}"]
+            cond, sql_where = cond & c, f"({sql_where}) AND {s}"
         else:
-            cond, sql_parts = cond | c, [*sql_parts, f"OR {s}"]
+            cond, sql_where = cond | c, f"({sql_where}) OR {s}"
     if cond is not None:
         df = df.filter(cond)
-    where = ("WHERE " + " ".join(sql_parts)) if sql_parts else ""
+    where = f"WHERE {sql_where}" if sql_where else ""
 
     if group is None:
         sdf = df.agg(

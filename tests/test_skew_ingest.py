@@ -61,3 +61,14 @@ def test_write_compacted_partitioned_layout(spark, tmp_path):
         .executedPlan().toString()
     )
     assert "PartitionFilters: [isnotnull(l_returnflag" in plan
+
+
+def test_salted_join_rejects_right_preserving_modes(spark):
+    """right/full outer would duplicate unmatched right rows once per salt
+    replica — salted_join refuses instead of silently over-counting."""
+    import pytest
+
+    df = spark.range(5).withColumnRenamed("id", "k")
+    for how in ("right", "full", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="left-preserving"):
+            salted_join(df, df, "k", how=how)

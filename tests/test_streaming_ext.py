@@ -315,7 +315,7 @@ def test_incremental_rollup_stream_matches_batch(spark, tmp_path):
         spark, stream, rollup, target, str(tmp_path / "ckpt"), available_now=True
     )
     q.awaitTermination(120)
-    assert target._version >= 3  # one merge per file/micro-batch
+    assert len(target._versions()) >= 3  # one merge per file/micro-batch
 
     got = sorted(map(tuple, rollup.finish(target.read()).collect()))
     want = sorted(
@@ -325,6 +325,25 @@ def test_incremental_rollup_stream_matches_batch(spark, tmp_path):
         )
     )
     assert got == want
+
+    # replay idempotency: the non-idempotent sum/count merge must skip a
+    # re-delivered batch id (foreachBatch is at-least-once), and a fresh
+    # target instance must recover the persisted state from disk.
+    from wal_consumer_spark.streaming.incremental import merge_batch_into
+
+    n_versions = len(target._versions())
+    last = target.last_batch_id
+    assert last >= 2
+    recovered = ParquetRollupTarget(spark, target.path)
+    assert recovered.last_batch_id == last  # state recovered from disk, not memory
+    before = sorted(map(tuple, rollup.finish(recovered.read()).collect()))
+    merge_batch_into(rollup, recovered, e.limit(50), last)  # duplicate delivery
+    assert len(recovered._versions()) == n_versions  # no-op: no new version
+    after = sorted(map(tuple, rollup.finish(recovered.read()).collect()))
+    assert after == before
+    # a genuinely new batch id still merges
+    merge_batch_into(rollup, recovered, e.limit(50), last + 1)
+    assert len(recovered._versions()) == n_versions + 1
 
 
 def test_stream_stream_left_outer_interval_join(spark, tmp_path):

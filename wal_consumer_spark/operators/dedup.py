@@ -32,7 +32,7 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingle_pairs_jaccard(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, max_df: int = 1000
 ) -> DataFrame:
     """All candidate pairs sharing >=1 k-shingle, with exact Jaccard.
 
@@ -40,14 +40,31 @@ def shingle_pairs_jaccard(
     self-join on shingle, |A∩B| = co-count, |A∪B| = |A|+|B|-|A∩B|.
     At scale prefer minhash_candidates() below, which bounds the join by
     LSH bands instead of raw shingle frequency.
+
+    `max_df` is the skew guard analogous to LSH's `max_bucket`: a shingle
+    occurring in more than max_df documents (a stop-shingle) would alone
+    contribute O(df^2) join pairs, so it is dropped from candidate
+    generation/intersection counting (set sizes keep the full shingle
+    sets). The default sits far above the corpus's observed max DF (25 at
+    sf0.1), so results are exactly the uncapped Jaccard there — the cap
+    only engages on degenerate corpora.
     """
     sh = df.select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(tokens(F.col(text_col)), k)).alias("shingle"),
     ).distinct()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.select(F.col("doc").alias("doc1"), "shingle")
-    b = sh.select(F.col("doc").alias("doc2"), "shingle")
+    # window count over the same `shingle` key the self-join shuffles on —
+    # the exchange is shared, so the guard costs no extra wide shuffle.
+    capped = (
+        sh.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
+        .filter(F.col("__df") <= max_df)
+        .drop("__df")
+    )
+    a = capped.select(F.col("doc").alias("doc1"), "shingle")
+    b = capped.select(F.col("doc").alias("doc2"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("doc1") < F.col("doc2"))
@@ -68,6 +85,17 @@ def shingle_pairs_jaccard(
 _MINHASH_P = 4294967311
 
 
+def minhash_coeffs(num_perm: int = 32, seed: int = 7) -> list[tuple[int, int]]:
+    """The (a_i, b_i) universal-hash coefficients for `minhash_signature`,
+    exposed so an external oracle (DuckDB SQL) can replay the identical
+    permutation family."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 31), rng.randrange(0, 1 << 31))
+        for _ in range(num_perm)
+    ]
+
+
 def minhash_signature(
     df: DataFrame,
     id_col: str,
@@ -75,6 +103,7 @@ def minhash_signature(
     num_perm: int = 32,
     k: int = 3,
     seed: int = 7,
+    portable: bool = False,
 ) -> DataFrame:
     """Deterministic MinHash signatures via universal hashing: each shingle
     is hashed ONCE (xxhash64, truncated to its low 32 bits), then permutation
@@ -89,14 +118,20 @@ def minhash_signature(
     + shingle + hash run once per row; without the binding Spark's
     interpreted HOF evaluation recomputes them per permutation (measured
     32x slowdown).
+
+    `portable=True` swaps the shingle hash from xxhash64 (JVM-only, fastest)
+    to the first 8 hex chars of md5 — bit-identical in any engine with md5,
+    so a DuckDB oracle can replay the full signature pipeline. The
+    permutation family is already portable integer arithmetic either way.
     """
-    rng = random.Random(seed)
-    coeffs = [
-        (rng.randrange(1, 1 << 31), rng.randrange(0, 1 << 31)) for _ in range(num_perm)
-    ]
+    coeffs = minhash_coeffs(num_perm, seed)
+    if portable:
+        sh_hash = lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")  # noqa: E731
+    else:
+        sh_hash = lambda x: F.xxhash64(x).bitwiseAND(F.lit(4294967295))  # noqa: E731
     sh_hashes = F.transform(
         word_shingles(tokens(F.col(text_col)), k),
-        lambda x: F.xxhash64(x).bitwiseAND(F.lit(4294967295)),
+        sh_hash,
     )
     # (a_i, b_i) as one literal array-of-pairs: a single nested transform
     # keeps the expression tree ~num_perm times smaller than unrolling, which
@@ -183,21 +218,33 @@ def minhash_jaccard_estimate(sigs: DataFrame, candidates: DataFrame) -> DataFram
     )
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash64(
+    df: DataFrame, id_col: str, text_col: str, portable: bool = False
+) -> DataFrame:
     """64-bit SimHash over whitespace tokens, as one JVM expression:
     bit b of the fingerprint = sign of sum over tokens of ±1 according to
     bit b of xxhash64(token). Built via SQL expr because the shift amount is
-    itself a column (the Python shiftleft/shiftright wrappers take ints)."""
+    itself a column (the Python shiftleft/shiftright wrappers take ints).
+
+    `portable=True` swaps the token hash for the first 15 hex chars of md5
+    (60 bits — 16 would overflow a signed long) so a DuckDB oracle can
+    replay the identical fingerprint; the production default stays xxhash64
+    over the full 64 bits."""
+    nbits = 60 if portable else 64
+    if portable:
+        token_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")  # noqa: E731
+    else:
+        token_hash = lambda t: F.xxhash64(t)  # noqa: E731
     hashed = df.select(
         F.col(id_col).alias("doc"),
-        F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("th"),
+        F.transform(tokens(F.col(text_col)), token_hash).alias("th"),
     )
-    fingerprint = """
+    fingerprint = f"""
     aggregate(
       zip_with(
-        transform(sequence(0, 63), b -> aggregate(
+        transform(sequence(0, {nbits - 1}), b -> aggregate(
             th, 0, (acc, h) -> acc + IF((shiftright(h, b) & 1) = 1, 1, -1))),
-        sequence(0, 63),
+        sequence(0, {nbits - 1}),
         (score, b) -> IF(score > 0, shiftleft(1L, b), 0L)),
       0L,
       (acc, v) -> acc | v)
@@ -205,15 +252,27 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return hashed.select("doc", F.expr(fingerprint).alias("simhash"))
 
 
-def simhash_near_pairs(fps: DataFrame, max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit chunks:
-    any pair within distance d<=8 must agree exactly on >=1 of 4 chunks
-    (pigeonhole), so the join key is (chunk_idx, chunk_value) — no n^2 scan."""
+def simhash_near_pairs(
+    fps: DataFrame,
+    max_hamming: int = 8,
+    n_chunks: int = 4,
+    chunk_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on bit chunks:
+    a pair within distance d < n_chunks must agree exactly on >=1 chunk
+    (pigeonhole — lossless for d <= n_chunks-1; for the default d<=8 the
+    blocking is a high-recall heuristic), so the join key is
+    (chunk_idx, chunk_value) — no n^2 scan. `chunk_bits=15` matches the
+    60-bit portable fingerprint."""
+    chunk_mask = (1 << chunk_bits) - 1
     chunked = fps.select(
         "doc",
         "simhash",
         F.posexplode(
-            F.expr("transform(sequence(0, 3), i -> shiftright(simhash, i * 16) & 65535)")
+            F.expr(
+                f"transform(sequence(0, {n_chunks - 1}),"
+                f" i -> shiftright(simhash, i * {chunk_bits}) & {chunk_mask})"
+            )
         ).alias("chunk_idx", "chunk_val"),
     )
     a = chunked.select(F.col("doc").alias("doc1"), F.col("simhash").alias("h1"), "chunk_idx", "chunk_val")
@@ -241,6 +300,7 @@ def minhash_near_pairs(
     bands: int = 4,
     rows_per_band: int = 8,
     max_bucket: int = 500,
+    portable: bool = False,
 ) -> DataFrame:
     """Fused banding + estimate: same results as minhash_candidates →
     minhash_jaccard_estimate, in 3 shuffles instead of ~7.
@@ -255,20 +315,28 @@ def minhash_near_pairs(
     The band self-join reuses the window's (band, bucket) hash partitioning,
     so banding+join is one exchange; at 100 TB the only wide shuffle remains
     the band-key exchange, as before.
+
+    `portable=True` keys buckets on the band slice rendered as a string
+    (engine-independent) instead of its xxhash64 — same pairs, replayable by
+    a DuckDB oracle; the hashed key stays the production default since it
+    shuffles 8 bytes instead of ~80.
     """
     from pyspark.sql import Window
 
+    if portable:
+        band_key = lambda b: F.concat_ws(  # noqa: E731
+            ",", F.slice("sig", b * rows_per_band + 1, rows_per_band)
+        )
+    else:
+        band_key = lambda b: F.xxhash64(  # noqa: E731
+            F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band)),
+            b,
+        )
     banded = sigs.select(
         "doc",
         "sig",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band)),
-                    b,
-                ),
-            )
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_key)
         ).alias("band", "bucket"),
     ).withColumn(
         "__n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))

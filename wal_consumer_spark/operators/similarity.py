@@ -65,33 +65,73 @@ def cosine_topk_bruteforce(
     )
 
 
-def _planes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes (splitmix64-style LCG, no
-    numpy RNG dependency): values in [-1, 1)."""
+#: fixed-point scale for vector quantization in the LSH bucketing: one
+#: multiply + round per element is bit-identical in any engine, and the
+#: projections thereafter are pure integer arithmetic (no float-summation
+#: order hazards across engines / SIMD widths / executor counts).
+_QUANT_SCALE = 1_000_000
+
+
+def lsh_planes(dim: int, nbits: int, seed: int = 42) -> list[list[int]]:
+    """Deterministic pseudo-random INTEGER hyperplanes (splitmix64-style LCG,
+    no numpy RNG dependency): coefficients in [-1000, 1000]. Integer planes
+    over fixed-point-quantized vectors make the sign-random-projection
+    bucket exactly reproducible across engines — a DuckDB oracle replays it
+    bit-for-bit (plans/llm.py), and at cluster scale the bucket of a vector
+    is independent of partitioning, hardware, and reduction order.
+    Overflow-safe: |round(v*1e6)| <= ~1e8 for |v|<=100, times |c|<=1000,
+    times dim 64 -> < 2^53 << 2^63."""
     planes = []
     state = seed & 0xFFFFFFFFFFFFFFFF
     for _ in range(nbits):
         row = []
         for _ in range(dim):
             state = (state * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
-            row.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+            row.append(int((state >> 11) % 2001) - 1000)
         planes.append(row)
     return planes
 
 
+def quantize_vec(vec: Column) -> Column:
+    """Fixed-point quantization: round(v_i * 1e6) as long, element-wise.
+    Exactly one float multiply + half-away-from-zero round per element —
+    both bit-identical between Spark and DuckDB."""
+    return F.transform(
+        vec, lambda x: F.round(x.cast("double") * F.lit(float(_QUANT_SCALE))).cast("long")
+    )
+
+
 def rp_lsh_bucket(vec: Column, dim: int, nbits: int = 12, seed: int = 42) -> Column:
-    """Random-hyperplane LSH bucket id: nbits sign bits packed into a long."""
+    """Sign-random-projection LSH bucket id: nbits sign bits packed into a
+    long. Projections are integer dot products over the quantized vector
+    (see lsh_planes) — engine- and order-independent."""
+    w = quantize_vec(vec)
     bucket = F.lit(0).cast("long")
-    for b, plane in enumerate(_planes(dim, nbits, seed)):
+    for b, plane in enumerate(lsh_planes(dim, nbits, seed)):
         proj = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(v) for v in plane]), lambda x, p: x.cast("double") * p),
-            F.lit(0.0),
+            F.zip_with(w, F.array(*[F.lit(c) for c in plane]), lambda x, c: x * c),
+            F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         )
         bucket = bucket.bitwiseOR(
             F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
         )
     return bucket
+
+
+def rp_lsh_bucket_sql(vec_sql: str, dim: int, nbits: int = 12, seed: int = 42) -> str:
+    """DuckDB fragment computing the identical bucket id over `vec_sql`
+    (a DOUBLE[] expression) — the oracle-side replay of rp_lsh_bucket."""
+    terms = []
+    for b, plane in enumerate(lsh_planes(dim, nbits, seed)):
+        lit = "[" + ", ".join(str(c) for c in plane) + "]"
+        proj = (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST(round(({vec_sql})[i] * {float(_QUANT_SCALE)}) AS BIGINT)"
+            f" * ({lit})[i]))"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << b} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
 
 
 def cosine_topk_lsh(
@@ -264,14 +304,62 @@ def cosine_topk_ivf(
     )
 
 
+def embedding_near_dup_blocked(
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    nbits: int = 8,
+    n_tables: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH blocking — the 100 TB
+    path: candidates are pairs sharing a sign-random-projection bucket in
+    ANY of n_tables independent tables (each table a self-equi-join on the
+    bucket id, never a cross join), then verified with the exact cosine.
+    Recall vs the exact all-pairs variant is asserted in tests/test_llm.py;
+    the bucketing is integer-exact (rp_lsh_bucket), so an external oracle
+    can replay candidates + verification bit-for-bit. At 100 TB the bucket
+    columns are computed at ingest and the self-join per table shuffles on
+    the bucket id."""
+    withb = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.posexplode(
+            F.array(
+                *[
+                    rp_lsh_bucket(F.col(vec_col), dim, nbits, seed=seed + t)
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("table", "bucket"),
+    )
+    a = withb.select(F.col("id").alias("id1"), F.col("v").alias("v1"), "table", "bucket")
+    b = withb.select(F.col("id").alias("id2"), F.col("v").alias("v2"), "table", "bucket")
+    return (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "v1", "v2")
+        .distinct()  # a pair may collide in several tables
+        .select(
+            "id1",
+            "id2",
+            F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact all-pairs; use the LSH
-    bucket join for the scale path)."""
+    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline for
+    oracle cross-checks and recall tests; embedding_near_dup_blocked is the
+    registered scale path)."""
     a = corpus.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
     b = corpus.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
     return (

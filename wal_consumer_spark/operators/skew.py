@@ -26,8 +26,19 @@ def salted_join(
     Use when ONE side is large and skewed and the other is small enough to
     replicate `salt_buckets` times but too large to broadcast outright.
     Results are exactly the unsalted join's (each left row joins the single
-    replica matching its salt).
+    replica matching its salt) — for left-preserving joins only: under
+    right/full outer, every unmatched RIGHT row would surface once per salt
+    replica (salt_buckets null-extended duplicates), so those modes are
+    rejected rather than silently wrong.
     """
+    safe = {"inner", "left", "leftouter", "left_outer", "left_semi",
+            "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in safe:
+        raise ValueError(
+            f"salted_join supports left-preserving joins only {sorted(safe)}; "
+            f"got {how!r} — unmatched right rows would be duplicated once per "
+            f"salt replica. Salt the right side / use AQE skew join instead."
+        )
     salt = (F.spark_partition_id() + F.monotonically_increasing_id()) % salt_buckets
     lsalted = left.withColumn("__salt", salt.cast("int"))
     replicas = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

@@ -31,6 +31,70 @@ class QuerySpec:
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
+#: Names pinned, in order, to the head of the `all_specs()` iteration. The
+#: grading driver correctness-checks only the FIRST 50 registry entries, so
+#: this list places >=1 representative of every operator family from
+#: SURVEY.md §2 inside that window (VERDICT.md round 1, "Next round" #1):
+#: flagship TPC-H, join variants, as-of/interval, sort/set-ops, aggregates,
+#: sketches (CMS/HLL/approx-distinct), window functions, scalar families,
+#: CDC, dedup (exact/minhash/simhash/jaccard/clusters), similarity search,
+#: text analysis, multimodal, UDFs, stream-batch analogs, and the curation
+#: pipeline. The TPC-H bulk and remaining per-family variants follow after;
+#: any spec without an oracle sorts last so it can never burn a window slot
+#: on a rows-only check.
+DRIVER_WINDOW: list[str] = [
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "join_inner_basic",
+    "join_full_outer",
+    "join_theta_nonequi",
+    "join_range_band",
+    "asof_join_events_orders",
+    "join_interval_overlap",
+    "topk_global",
+    "sort_multi_nulls",
+    "set_union_distinct",
+    "set_except",
+    "dedup_keep_first",
+    "agg_group_stats",
+    "agg_count_distinct",
+    "agg_approx_count_distinct",
+    "agg_rollup",
+    "agg_percentiles",
+    "agg_argmax",
+    "agg_count_min_sketch",
+    "agg_hll_partial_merge",
+    "win_topk_per_group",
+    "win_lag_lead",
+    "win_sessionize_gap",
+    "scalar_string_funcs",
+    "scalar_datetime_funcs",
+    "scalar_array_funcs",
+    "scalar_json_funcs",
+    "cdc_last_op_per_key",
+    "cdc_apply_final_state",
+    "cdc_replay_idempotency",
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_clusters_cc",
+    "sim_topk_bruteforce",
+    "sim_embedding_near_dup",
+    "sim_topk_lsh",
+    "text_token_stats",
+    "text_langid",
+    "text_quality",
+    "text_tfidf_topk",
+    "multimodal_decode_meta",
+    "multimodal_kind_stats",
+    "udf_pandas_scalar",
+    "udf_grouped_agg_median",
+    "stream_window_tumbling",
+    "stream_incremental_rollup",
+    "pipeline_corpus_curation",
+]
+
 
 def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQuery], SparkQuery]:
     def deco(fn: SparkQuery) -> SparkQuery:
@@ -43,7 +107,15 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQue
 
 
 def all_specs() -> dict[str, QuerySpec]:
-    return dict(_REGISTRY)
+    """Registry in driver-certification order: DRIVER_WINDOW names first,
+    then remaining oracle-backed specs in registration order, then
+    oracle-less (rows-only) specs last."""
+    pinned = [n for n in DRIVER_WINDOW if n in _REGISTRY]
+    seen = set(pinned)
+    rest = [n for n in _REGISTRY if n not in seen]
+    rest_oracle = [n for n in rest if _REGISTRY[n].oracle is not None]
+    rest_none = [n for n in rest if _REGISTRY[n].oracle is None]
+    return {n: _REGISTRY[n] for n in (*pinned, *rest_oracle, *rest_none)}
 
 
 def get_spec(name: str) -> QuerySpec:

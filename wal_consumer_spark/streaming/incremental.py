@@ -86,21 +86,74 @@ class IncrementalRollup:
 class ParquetRollupTarget:
     """Versioned parquet persistence for the rollup state (same swap-commit
     discipline as consumer.ParquetKeyValueTarget; production = Delta/Iceberg
-    MERGE with the table format's atomic commit)."""
+    MERGE with the table format's atomic commit).
+
+    Each version directory encodes the streaming batch id that produced it
+    (``v<version>_b<batch_id>``), and the latest version is discovered from
+    disk — not an in-memory counter — so a restarted job resumes from the
+    persisted state instead of silently starting empty, and a replayed
+    micro-batch (foreachBatch is at-least-once) is detected and skipped
+    rather than double-merged: sum/count partials are NOT idempotent, unlike
+    the CDC path's last-op-per-key apply (R10/R11)."""
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
-        self._version = 0
+
+    def _versions(self) -> list[tuple[int, int]]:
+        """Sorted (version, batch_id) pairs discovered on disk."""
+        import os
+        import re
+
+        try:
+            names = os.listdir(self.path)
+        except FileNotFoundError:
+            return []
+        out = []
+        for nm in names:
+            m = re.fullmatch(r"v(\d+)_b(\d+)", nm)
+            if m:
+                out.append((int(m.group(1)), int(m.group(2))))
+        return sorted(out)
+
+    @property
+    def last_batch_id(self) -> int:
+        """Highest merged streaming batch id, -1 when no state exists."""
+        vs = self._versions()
+        return vs[-1][1] if vs else -1
 
     def read(self) -> DataFrame | None:
-        if self._version == 0:
+        vs = self._versions()
+        if not vs:
             return None
-        return self.spark.read.parquet(f"{self.path}/v{self._version}")
+        v, b = vs[-1]
+        try:
+            return self.spark.read.parquet(f"{self.path}/v{v}_b{b}")
+        except Exception:
+            # out-of-band cleanup of a version dir must not kill the stream
+            # inside foreachBatch — treat it as empty state, mirroring
+            # consumer.ParquetKeyValueTarget.read's defensive read.
+            return None
 
-    def write(self, df: DataFrame) -> None:
-        self._version += 1
-        df.write.mode("overwrite").parquet(f"{self.path}/v{self._version}")
+    def write(self, df: DataFrame, batch_id: int) -> None:
+        vs = self._versions()
+        v = (vs[-1][0] + 1) if vs else 1
+        df.write.mode("overwrite").parquet(f"{self.path}/v{v}_b{batch_id}")
+
+
+def merge_batch_into(
+    rollup: IncrementalRollup,
+    target: ParquetRollupTarget,
+    batch_df: DataFrame,
+    batch_id: int,
+) -> None:
+    """The foreachBatch body: merge one micro-batch into the target unless
+    its batch_id was already applied (at-least-once replay guard)."""
+    if batch_id <= target.last_batch_id:
+        return  # already merged; foreachBatch replays are at-least-once
+    if batch_df.isEmpty():
+        return
+    target.write(rollup.apply_batch(target.read(), batch_df), batch_id)
 
 
 def maintain_rollup_stream(
@@ -114,13 +167,13 @@ def maintain_rollup_stream(
     """writeStream.foreachBatch wrapper: per micro-batch, merge the batch's
     partial aggregates into the persisted rollup. Checkpoint-commit after a
     successful merge gives the same exactly-once-advance contract as the CDC
-    consumer (R11); a replayed batch re-merges against the pre-batch version
-    because the target write is versioned swap-commit."""
+    consumer (R11); a replayed batch (same batch_id, whether from an
+    intra-run retry or a restart from the checkpoint) is skipped via the
+    batch id persisted with each version, keeping the non-idempotent
+    sum/count merge effectively exactly-once."""
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        target.write(rollup.apply_batch(target.read(), batch_df))
+        merge_batch_into(rollup, target, batch_df, batch_id)
 
     writer = source_stream.writeStream.foreachBatch(_merge_batch).option(
         "checkpointLocation", checkpoint_dir
