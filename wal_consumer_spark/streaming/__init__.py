@@ -1,4 +1,5 @@
 from wal_consumer_spark.streaming.consumer import (  # noqa: F401
+    BucketedParquetKeyValueTarget,
     ParquetKeyValueTarget,
     WalStreamConsumer,
 )

@@ -78,10 +78,9 @@ class WalQueryListener(StreamingQueryListener):
 
     def onQueryProgress(self, event) -> None:  # noqa: N802
         rows = event.progress.numInputRows
-        # R14 backlog gauge: the reference serves a 60s-cached COUNT
-        # (WalConsumer.java:78-88); here the closest free signal is rows seen
-        # in the last trigger — 0 once the backlog is drained.
-        self.metrics.backlog = rows
+        # R14 backlog gauge lives on WalStreamConsumer.backlog() (cached
+        # COUNT of unconsumed ids, the reference's semantics); the trigger's
+        # input rows only drive the EMPTY/NOT_EMPTY state machine here.
         self.metrics.set_state(WalState.NOT_EMPTY if rows > 0 else WalState.EMPTY)
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
