@@ -43,6 +43,14 @@ HEADLINE = [
     "pipeline_corpus_curation",
     "stream_incremental_rollup",
     "win_sessionize_gap",
+    # r2 additions (appended only — the first 21 stay identical to r1 for
+    # round-over-round comparability): one representative per family that
+    # joined the driver-certified window this round.
+    "scalar_string_funcs",
+    "udf_pandas_scalar",
+    "agg_hll_partial_merge",
+    "dedup_simhash",
+    "sim_embedding_near_dup",
 ]
 
 

@@ -12,6 +12,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from wal_consumer_spark.functions.text import let
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -119,6 +121,107 @@ def rp_lsh_bucket(vec: Column, dim: int, nbits: int = 12, seed: int = 42) -> Col
     return bucket
 
 
+def rp_lsh_buckets(
+    vec: Column, dim: int, nbits: int = 4, n_tables: int = 8, seed0: int = 42
+) -> Column:
+    """All n_tables LSH bucket ids in ONE pass: array<long>, element t =
+    rp_lsh_bucket(vec, ..., seed0+t). The quantized vector is let-bound so
+    fixed-point quantization runs once per row — not once per (table, bit)
+    reference after Catalyst's projection collapse inlines it (the same
+    recompute hazard functions.text.let documents). Bit-identical to
+    calling rp_lsh_bucket per table."""
+
+    def bucket_for(w: Column, t: int) -> Column:
+        b = F.lit(0).cast("long")
+        for i, plane in enumerate(lsh_planes(dim, nbits, seed0 + t)):
+            proj = F.aggregate(
+                F.zip_with(w, F.array(*[F.lit(c) for c in plane]), lambda x, c: x * c),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            b = b.bitwiseOR(
+                F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+        return b
+
+    return let(
+        quantize_vec(vec),
+        lambda w: F.array(*[bucket_for(w, t) for t in range(n_tables)]),
+    )
+
+
+def rp_lsh_buckets_np(
+    vec: Column, dim: int, nbits: int = 4, n_tables: int = 8, seed0: int = 42
+) -> Column:
+    """rp_lsh_buckets as a vectorized Arrow/numpy kernel: one int64 matmul
+    (N x dim) @ (dim x n_tables*nbits) replaces n_tables*nbits interpreted
+    aggregate() passes per row. Bit-identical to the expression variant —
+    quantization stays a JVM expression (quantize_vec), and the projections
+    are exact int64 arithmetic in both paths (overflow bound in lsh_planes).
+    Input column = the QUANTIZED vector (array<long>)."""
+    planes = []
+    for t in range(n_tables):
+        planes.extend(lsh_planes(dim, nbits, seed0 + t))
+
+    @F.pandas_udf("array<long>")
+    def _kernel(q):
+        import numpy as np
+        import pandas as pd
+
+        P = np.array(planes, dtype=np.int64)  # (n_tables*nbits, dim)
+        Q = np.stack(q.to_numpy()).astype(np.int64)  # (N, dim)
+        proj = Q @ P.T  # (N, n_tables*nbits) exact int64
+        bits = (proj > 0).astype(np.int64)
+        weights = np.tile(1 << np.arange(nbits, dtype=np.int64), n_tables)
+        packed = bits * weights  # bit value within its table's bucket
+        buckets = packed.reshape(len(Q), n_tables, nbits).sum(axis=2)
+        return pd.Series(list(buckets))
+
+    return _kernel(vec)
+
+
+def quant_cosine(q1: Column, q2: Column) -> Column:
+    """Exact cosine over fixed-point-quantized int64 vectors, as a
+    vectorized Arrow/numpy pandas UDF — the verification kernel for
+    LSH-blocked near-dup at scale.
+
+    Engine-exact by construction: dot and squared norms are int64 sums
+    (associative, order-independent, overflow-safe — see lsh_planes), and
+    the final scalar ops (cast, sqrt, multiply, divide) are each a single
+    correctly-rounded IEEE-754 double operation, so numpy, the JVM, and a
+    SQL oracle produce the identical bits. numpy crunches the batched
+    integer dot ~100x faster than the interpreted higher-order-function
+    expression (the round-1 bottleneck on candidate verification)."""
+
+    @F.pandas_udf("double")
+    def _kernel(a, b):
+        import numpy as np
+        import pandas as pd
+
+        A = np.stack(a.to_numpy()).astype(np.int64)
+        B = np.stack(b.to_numpy()).astype(np.int64)
+        dot = (A * B).sum(axis=1).astype(np.float64)
+        na = (A * A).sum(axis=1).astype(np.float64)
+        nb = (B * B).sum(axis=1).astype(np.float64)
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    return _kernel(q1, q2)
+
+
+def quant_cosine_sql(q1_sql: str, q2_sql: str, dim: int) -> str:
+    """DuckDB fragment replaying quant_cosine bit-for-bit over two BIGINT[]
+    expressions (same int64 sums, same scalar double ops)."""
+    dot = f"list_sum(list_transform(range(1, {dim + 1}), i -> ({q1_sql})[i] * ({q2_sql})[i]))"
+    n1 = f"list_sum(list_transform(range(1, {dim + 1}), i -> ({q1_sql})[i] * ({q1_sql})[i]))"
+    n2 = f"list_sum(list_transform(range(1, {dim + 1}), i -> ({q2_sql})[i] * ({q2_sql})[i]))"
+    return (
+        f"(CAST({dot} AS DOUBLE) / "
+        f"(sqrt(CAST({n1} AS DOUBLE)) * sqrt(CAST({n2} AS DOUBLE))))"
+    )
+
+
 def rp_lsh_bucket_sql(vec_sql: str, dim: int, nbits: int = 12, seed: int = 42) -> str:
     """DuckDB fragment computing the identical bucket id over `vec_sql`
     (a DOUBLE[] expression) — the oracle-side replay of rp_lsh_bucket."""
@@ -152,20 +255,14 @@ def cosine_topk_lsh(
     corpus."""
 
     def with_buckets(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
-        d = df.select(
+        return df.select(
             F.col(id_col).alias(out_id),
             F.col(vec_col).alias(out_vec),
-            *[
-                rp_lsh_bucket(F.col(vec_col), dim, nbits, seed=42 + t).alias(f"b{t}")
-                for t in range(n_tables)
-            ],
-        )
-        return d.select(
-            out_id,
-            out_vec,
-            F.posexplode(F.array(*[F.col(f"b{t}") for t in range(n_tables)])).alias(
-                "table", "bucket"
-            ),
+            F.posexplode(
+                rp_lsh_buckets_np(
+                    quantize_vec(F.col(vec_col)), dim, nbits, n_tables, seed0=42
+                )
+            ).alias("table", "bucket"),
         )
 
     c = with_buckets(corpus, "cand_id", "cvec")
@@ -317,35 +414,41 @@ def embedding_near_dup_blocked(
     """Embedding-cosine near-duplicate pairs via LSH blocking — the 100 TB
     path: candidates are pairs sharing a sign-random-projection bucket in
     ANY of n_tables independent tables (each table a self-equi-join on the
-    bucket id, never a cross join), then verified with the exact cosine.
-    Recall vs the exact all-pairs variant is asserted in tests/test_llm.py;
-    the bucketing is integer-exact (rp_lsh_bucket), so an external oracle
-    can replay candidates + verification bit-for-bit. At 100 TB the bucket
-    columns are computed at ingest and the self-join per table shuffles on
-    the bucket id."""
-    withb = corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
+    bucket id, never a cross join), then verified with the exact quantized
+    cosine (quant_cosine: int64 sums + scalar IEEE doubles — bit-identical
+    across engines, so an external oracle replays candidates AND
+    verification). Recall vs the exact all-pairs float baseline is asserted
+    in tests/test_llm.py.
+
+    The plan keeps candidate pairs NARROW: the bucket self-join and the
+    distinct carry only (id1, id2); vectors are joined back (quantized,
+    once per row, map-side) only for the surviving distinct pairs. At
+    100 TB the bucket column is computed at ingest, the per-table self-join
+    shuffles on the bucket id, and the two id-keyed vector joins are plain
+    narrow-key shuffle joins (broadcast-able per corpus chunk)."""
+    base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    withb = base.select(
+        "id",
         F.posexplode(
-            F.array(
-                *[
-                    rp_lsh_bucket(F.col(vec_col), dim, nbits, seed=seed + t)
-                    for t in range(n_tables)
-                ]
-            )
+            rp_lsh_buckets_np(quantize_vec(F.col("v")), dim, nbits, n_tables, seed0=seed)
         ).alias("table", "bucket"),
     )
-    a = withb.select(F.col("id").alias("id1"), F.col("v").alias("v1"), "table", "bucket")
-    b = withb.select(F.col("id").alias("id2"), F.col("v").alias("v2"), "table", "bucket")
-    return (
+    a = withb.select(F.col("id").alias("id1"), "table", "bucket")
+    b = withb.select(F.col("id").alias("id2"), "table", "bucket")
+    pairs = (
         a.join(b, ["table", "bucket"])
         .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", "v1", "v2")
+        .select("id1", "id2")
         .distinct()  # a pair may collide in several tables
+    )
+    q = base.select("id", quantize_vec(F.col("v")).alias("qv"))
+    return (
+        pairs.join(q.select(F.col("id").alias("id1"), F.col("qv").alias("q1")), "id1")
+        .join(q.select(F.col("id").alias("id2"), F.col("qv").alias("q2")), "id2")
         .select(
             "id1",
             "id2",
-            F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("cosine_sim"),
+            F.round(quant_cosine(F.col("q1"), F.col("q2")), 6).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )

@@ -1,0 +1,254 @@
+"""Training-corpus curation queries beyond the basic text family
+(SURVEY.md §2.B "LLM-data-pipeline extensions"): repetition scoring,
+PII scrubbing, quantile-gated quality filtering, and sequence packing.
+
+All pure Column expressions — no Python in any hot path — and every query
+carries a DuckDB oracle replaying the identical rule, so the driver's
+hash-match certifies them end-to-end.
+
+Reference parity note: the reference (sahabpardaz/wal-consumer) has no text
+processing at all (SURVEY.md §2.A "explicitly absent"); this module is
+declared extension surface, not a port.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wal_consumer_spark.functions.text import lexicon_hits, tokens, word_shingles
+from wal_consumer_spark.plans.registry import register
+from wal_consumer_spark.sources.tables import load_table
+
+#: DuckDB fragment matching functions.text.tokens()
+_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+#: DuckDB fragment matching word_shingles(k=2) (distinct per-doc bigrams)
+_BIGRAMS = (
+    "list_distinct(list_transform(generate_series(0, greatest(len({t}) - 2, 0)), "
+    "i -> array_to_string(list_slice({t}, i + 1, i + 2), ' ')))"
+).format(t=_TOKS)
+
+
+# --------------------------------------------------------------------------
+# Repetition / diversity signal
+# --------------------------------------------------------------------------
+
+@register(
+    "text_repetition",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKS}) AS n_tokens,
+           greatest(len({_TOKS}) - 2, 0) + 1 AS n_bigrams,
+           len({_BIGRAMS}) AS n_distinct_bigrams,
+           round(len({_BIGRAMS}) / (greatest(len({_TOKS}) - 2, 0) + 1), 6)
+               AS bigram_diversity,
+           (len({_BIGRAMS}) / (greatest(len({_TOKS}) - 2, 0) + 1)) < 0.6
+               AS is_repetitive
+    FROM documents
+    """,
+    doc="Repetition quality signal: distinct-bigram / total-bigram ratio per "
+        "document (the standard cheap proxy for boilerplate / degenerate "
+        "generation). Entirely map-side — one pass, zero shuffles; at 100 TB "
+        "this is a free co-resident stage of any curation scan.",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    n_tok = F.size(tok).cast("long")
+    n_bi = (F.greatest(n_tok - 2, F.lit(0)) + 1).cast("long")
+    n_dist = F.size(word_shingles(tok, 2)).cast("long")
+    diversity = n_dist / n_bi
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_bi.alias("n_bigrams"),
+        n_dist.alias("n_distinct_bigrams"),
+        F.round(diversity, 6).alias("bigram_diversity"),
+        (diversity < 0.6).alias("is_repetitive"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing
+# --------------------------------------------------------------------------
+
+#: redaction patterns (ASCII, valid in both Java regex and RE2, applied in
+#: this exact order in both engines)
+_RE_URL = r"https?://[^\s]+"
+_RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_RE_PHONE = r"\b555-[0-9]{4}\b"
+
+
+def _pii_sql() -> str:
+    # synthetic-but-deterministic PII injected from doc_id: the driver corpus
+    # is clean word soup, so the scrubber needs something to find; both
+    # engines build the identical string.
+    full = (
+        "concat(text, ' contact user', CAST(doc_id AS VARCHAR), "
+        "'@example.com see https://ex.example/p/', CAST(doc_id AS VARCHAR), "
+        "' or call 555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))"
+    )
+    scrub = (
+        f"regexp_replace(regexp_replace(regexp_replace({full}, "
+        f"'{_RE_URL}', '<URL>', 'g'), "
+        f"'{_RE_EMAIL}', '<EMAIL>', 'g'), "
+        f"'{_RE_PHONE}', '<PHONE>', 'g')"
+    )
+    return f"""
+    SELECT doc_id,
+           len(regexp_extract_all({full}, '{_RE_URL}')) AS n_urls,
+           len(regexp_extract_all({full}, '{_RE_EMAIL}')) AS n_emails,
+           len(regexp_extract_all({full}, '{_RE_PHONE}')) AS n_phones,
+           length({scrub}) AS scrubbed_len,
+           md5({scrub}) AS scrub_fp
+    FROM documents
+    """
+
+
+@register(
+    "text_pii_scrub",
+    oracle=_pii_sql(),
+    doc="PII scrubbing: URL / email / phone redaction with per-doc match "
+        "counts and an md5 fingerprint of the scrubbed text (the fingerprint "
+        "proves byte-identical redaction across engines). PII is injected "
+        "deterministically from doc_id since the synthetic corpus is clean. "
+        "Pure regexp expressions — map-side, zero shuffles at any scale.",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    full = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com see https://ex.example/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(full, _RE_URL, "<URL>"), _RE_EMAIL, "<EMAIL>"
+        ),
+        _RE_PHONE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(full, F.lit(_RE_URL), F.lit(0))).cast("long").alias("n_urls"),
+        F.size(F.regexp_extract_all(full, F.lit(_RE_EMAIL), F.lit(0))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(full, F.lit(_RE_PHONE), F.lit(0))).cast("long").alias("n_phones"),
+        F.length(scrub).cast("long").alias("scrubbed_len"),
+        F.md5(scrub).alias("scrub_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quantile-gated quality filter
+# --------------------------------------------------------------------------
+
+_SCORE = f"(len(list_filter({_TOKS}, t -> list_contains(['the','and','of','to','in','is','a'], t))) / greatest(len({_TOKS}), 1))"
+
+
+@register(
+    "pipeline_quality_filter",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang, source, {_SCORE} AS score FROM documents
+    ),
+    thr AS (
+        SELECT lang, round(quantile_cont(score, 0.5), 9) AS med
+        FROM scored GROUP BY lang
+    )
+    SELECT s.lang, s.source,
+           COUNT(*) AS n_docs,
+           CAST(count_if(round(s.score, 9) >= t.med) AS BIGINT) AS n_kept
+    FROM scored s JOIN thr t USING (lang)
+    GROUP BY s.lang, s.source
+    ORDER BY s.lang, s.source
+    """,
+    doc="Quantile-gated quality filter: per-language median stopword-density "
+        "score, keep docs at or above their language's median, report "
+        "kept/total per (lang, source). The threshold side is O(#langs) and "
+        "broadcast. Exact interpolated percentile here for oracle parity; at "
+        "100 TB swap percentile -> approx_percentile(score, 0.5, 10000) — "
+        "the exact aggregate buffers per-group values, the approx sketch is "
+        "mergeable and bounded.",
+)
+def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    score = lexicon_hits(tok, "en").cast("long") / F.greatest(
+        F.size(tok).cast("long"), F.lit(1)
+    )
+    scored = d.select("doc_id", "lang", "source", score.alias("score"))
+    thr = scored.groupBy("lang").agg(
+        F.round(F.expr("percentile(score, 0.5)"), 9).alias("med")
+    )
+    return (
+        scored.join(F.broadcast(thr), "lang")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.round(F.col("score"), 9) >= F.col("med")).alias("n_kept"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (concat-then-chunk into fixed context windows)
+# --------------------------------------------------------------------------
+
+_PACK_CAP = 512
+
+
+@register(
+    "pipeline_sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, len({_TOKS}) AS n_tokens FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_tokens
+        FROM toks
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(floor((cum_tokens - n_tokens) / {_PACK_CAP}) AS BIGINT) AS start_chunk,
+           CAST(floor((cum_tokens - 1) / {_PACK_CAP}) AS BIGINT) AS end_chunk,
+           CAST(floor((cum_tokens - 1) / {_PACK_CAP})
+                - floor((cum_tokens - n_tokens) / {_PACK_CAP}) + 1 AS BIGINT) AS n_chunks
+    FROM cum
+    """,
+    doc=f"Sequence packing for pretraining batches: concatenate each source "
+        f"shard's docs in doc_id order and chunk into {_PACK_CAP}-token "
+        f"context windows; per doc, the chunk span it lands in (standard "
+        f"concat-then-chunk packing). The running sum is partitioned by "
+        f"source — shard-local, so shards pack in parallel and no single "
+        f"partition sees the whole corpus; at 100 TB shards are the "
+        f"ingest-time file groups. Integer arithmetic only.",
+)
+def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = d.select("doc_id", "source", n_tok.alias("n_tokens")).withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w)
+    )
+    start = F.floor((F.col("cum_tokens") - F.col("n_tokens")) / _PACK_CAP)
+    end = F.floor((F.col("cum_tokens") - 1) / _PACK_CAP)
+    return cum.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        start.cast("long").alias("start_chunk"),
+        end.cast("long").alias("end_chunk"),
+        (end - start + 1).cast("long").alias("n_chunks"),
+    )

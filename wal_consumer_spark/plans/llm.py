@@ -345,25 +345,41 @@ def _near_dup_blocked_sql(
     threshold: float = 0.45,
 ) -> str:
     """DuckDB replay of the LSH-blocked embedding near-dup search: identical
-    integer bucket ids, identical candidate join, identical cosine verify."""
+    integer bucket ids, identical narrow candidate join, identical
+    quantized-cosine verify (int64 sums + scalar IEEE doubles — see
+    operators/similarity.py::quant_cosine)."""
+    from wal_consumer_spark.operators.similarity import quant_cosine_sql
+
     branches = "\n        UNION ALL ".join(
-        f"SELECT vec_id, v, {t} AS tbl, "
+        f"SELECT vec_id, {t} AS tbl, "
         f"{rp_lsh_bucket_sql('v', dim, nbits, seed=seed + t)} AS bucket FROM e"
         for t in range(n_tables)
     )
+    qvec = (
+        f"list_transform(range(1, {dim + 1}), "
+        f"i -> CAST(round(v[i] * 1000000.0) AS BIGINT))"
+    )
+    qcos = quant_cosine_sql("q1", "q2", dim)
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     cb AS (
         {branches}
     ),
-    cand AS (
-        SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2, a.v AS v1, b.v AS v2
+    pairs AS (
+        SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
         FROM cb a JOIN cb b USING (tbl, bucket)
         WHERE a.vec_id < b.vec_id
+    ),
+    q AS (SELECT vec_id, {qvec} AS qv FROM e),
+    cand AS (
+        SELECT id1, id2, qa.qv AS q1, qb.qv AS q2
+        FROM pairs
+        JOIN q qa ON qa.vec_id = pairs.id1
+        JOIN q qb ON qb.vec_id = pairs.id2
     )
-    SELECT id1, id2, round(list_cosine_similarity(v1, v2), 6) AS cosine_sim
+    SELECT id1, id2, round({qcos}, 6) AS cosine_sim
     FROM cand
-    WHERE round(list_cosine_similarity(v1, v2), 6) >= {threshold}
+    WHERE round({qcos}, 6) >= {threshold}
     """
 
 
