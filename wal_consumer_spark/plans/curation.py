@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wal_consumer_spark.functions.text import lexicon_hits, tokens, word_shingles
+from wal_consumer_spark.functions.text import let  # noqa: F401  (re-export convenience)
 from wal_consumer_spark.plans.registry import register
 from wal_consumer_spark.sources.tables import load_table
 
@@ -251,4 +252,173 @@ def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         start.cast("long").alias("start_chunk"),
         end.cast("long").alias("end_chunk"),
         (end - start + 1).cast("long").alias("n_chunks"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split
+# --------------------------------------------------------------------------
+
+def _split_hash_spark(key: str, salt: str) -> F.Column:
+    """First 8 md5 hex chars of key||salt as a long, mod 100 — the same
+    hash-gating primitive as agg_stratified_sample (plans/aggregates.py)."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.col(key).cast("string"), F.lit(salt))), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(100),
+    )
+
+
+_SPLIT_SALT = ":split42"
+_SPLIT_SQL = (
+    "('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '{salt}'), 1, 8))::BIGINT % 100"
+).format(salt=_SPLIT_SALT)
+
+
+@register(
+    "pipeline_train_split",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT doc_id, lang, n_chars,
+               CASE WHEN {_SPLIT_SQL} < 90 THEN 'train'
+                    WHEN {_SPLIT_SQL} < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM assigned GROUP BY split, lang ORDER BY split, lang
+    """,
+    doc="Deterministic train/val/test split (90/5/5) by md5 hash-gating on "
+        "doc_id: membership is a per-row scan-resident predicate — exactly "
+        "reproducible across engines, re-runs, retries, and scale factors, "
+        "with no RNG state and no shuffle to assign. The only shuffle is "
+        "the audit aggregation.",
+)
+def pipeline_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = _split_hash_spark("doc_id", _SPLIT_SALT)
+    split = (
+        F.when(h < 90, "train").when(h < 95, "val").otherwise("test").alias("split")
+    )
+    return (
+        d.select(split, "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination
+# --------------------------------------------------------------------------
+
+_DECON_K = 5
+_SHINGLES_K5 = (
+    "list_distinct(list_transform(generate_series(0, greatest(len({t}) - {k}, 0)), "
+    "i -> array_to_string(list_slice({t}, i + 1, i + {k}), ' ')))"
+).format(t=_TOKS, k=_DECON_K)
+
+
+@register(
+    "pipeline_decontaminate",
+    oracle=f"""
+    WITH ev AS (
+        SELECT DISTINCT unnest({_SHINGLES_K5}) AS shingle
+        FROM documents WHERE doc_id < 20
+    ),
+    tr AS (
+        SELECT doc_id, unnest({_SHINGLES_K5}) AS shingle
+        FROM documents WHERE doc_id >= 20
+    ),
+    hits AS (
+        SELECT DISTINCT doc_id FROM tr WHERE shingle IN (SELECT shingle FROM ev)
+    )
+    SELECT d.doc_id, d.doc_id IN (SELECT doc_id FROM hits) AS contaminated
+    FROM documents d WHERE d.doc_id >= 20
+    ORDER BY d.doc_id
+    """,
+    doc=f"Benchmark decontamination: flag training docs sharing any distinct "
+        f"{_DECON_K}-gram shingle with the eval set (docs 0-19 stand in for "
+        f"a held-out benchmark). The eval shingle set is tiny and BROADCAST "
+        f"— the scan-side semi-join never shuffles the corpus, so at 100 TB "
+        f"this is one pass over training data. The standard n-gram-overlap "
+        f"decontamination rule (GPT-3 appendix C / PaLM style).",
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(tokens(F.col("text")), _DECON_K)
+    ev = (
+        d.filter(F.col("doc_id") < 20)
+        .select(F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+    tr = d.filter(F.col("doc_id") >= 20).select("doc_id", sh.alias("shingles"))
+    hits = (
+        tr.select("doc_id", F.explode("shingles").alias("shingle"))
+        .join(F.broadcast(ev), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        tr.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce(F.col("contaminated"), F.lit(False)).alias("contaminated")
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Global deterministic shuffle (training-order randomization)
+# --------------------------------------------------------------------------
+
+_SHUF_SALT = ":shuf42"
+
+
+@register(
+    "pipeline_global_shuffle",
+    oracle=f"""
+    SELECT doc_id,
+           substring(md5(CAST(doc_id AS VARCHAR) || '{_SHUF_SALT}'), 1, 16) AS shuffle_key,
+           ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '{_SHUF_SALT}'), 1, 8))::BIGINT % 1024
+               AS shard
+    FROM documents
+    ORDER BY shuffle_key, doc_id
+    """,
+    doc="Global deterministic training-order shuffle: sort the corpus by "
+        "md5(doc_id||salt) — a reproducible pseudo-random permutation with "
+        "no RNG state — plus a 1024-way shard assignment from the same "
+        "hash. Spark executes the global sort as a range-partitioned sort "
+        "(sampled range boundaries, fully parallel), NOT a single-partition "
+        "window — the scalable formulation of 'shuffle the dataset' at "
+        "100 TB. Re-shuffling per epoch = new salt.",
+)
+def pipeline_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    key = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_SHUF_SALT))), 1, 16
+    )
+    shard = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_SHUF_SALT))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1024),
+    )
+    return (
+        d.select("doc_id", key.alias("shuffle_key"), shard.alias("shard"))
+        .orderBy("shuffle_key", "doc_id")
     )
