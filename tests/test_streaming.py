@@ -337,6 +337,67 @@ def test_backlog_gauge_counts_unconsumed_records(spark, tmp_path):
     assert c.backlog(max_age=0) == 4
 
 
+def test_source_failure_backoff_and_recovery(spark, tmp_path):
+    """R13 (WalConsumer.java:136-142): a WAL source failure moves the state
+    gauge to INACCESSIBLE_IO_FAILURE and the supervisor restarts the query
+    with backoff against the same checkpoint until the source is readable
+    again — consumption then resumes exactly where it left off (no loss, no
+    double-apply). Failure injection: a corrupt parquet file appears in the
+    WAL dir (the moral equivalent of the DB becoming unreachable), then is
+    replaced in place by a valid file."""
+    import time as _time
+
+    wal, ckpt, tgt = str(tmp_path / "wal"), str(tmp_path / "ckpt"), str(tmp_path / "tgt")
+    _write_wal_file(spark, wal, [(1, "ADD", "a1")], start_id=1)
+    consumer = WalStreamConsumer(
+        spark,
+        wal,
+        ckpt,
+        ParquetKeyValueTarget(spark, tgt),
+        trigger_interval="1 second",
+        sleep_on_io_failure=0.3,
+    )
+    consumer.start_supervised()
+    try:
+        deadline = _time.monotonic() + 60
+        while _time.monotonic() < deadline and _state(consumer.target) != {1: "a1"}:
+            _time.sleep(0.2)
+        assert _state(consumer.target) == {1: "a1"}
+
+        corrupt = f"{wal}/part-corrupt.parquet"
+        with open(corrupt, "wb") as f:
+            f.write(b"this is not a parquet file")
+        deadline = _time.monotonic() + 60
+        while _time.monotonic() < deadline and consumer.metrics.num_io_failures == 0:
+            _time.sleep(0.2)
+        assert consumer.metrics.num_io_failures >= 1
+
+        # source becomes readable again: same path, now-valid content
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pa.table(
+            {
+                "id": pa.array([2], pa.int64()),
+                "entity_id": pa.array([2], pa.int64()),
+                "operation": pa.array(["ADD"], pa.string()),
+                "entity_bytes": pa.array([b"b1"], pa.binary()),
+                "entity_type": pa.array(["TestEntity"], pa.string()),
+            }
+        )
+        pq.write_table(table, corrupt)
+        deadline = _time.monotonic() + 60
+        while _time.monotonic() < deadline and _state(consumer.target) != {
+            1: "a1",
+            2: "b1",
+        }:
+            _time.sleep(0.2)
+        assert _state(consumer.target) == {1: "a1", 2: "b1"}
+        assert consumer.metrics.num_io_failures >= 1
+    finally:
+        consumer.close()
+
+
 def test_cross_process_lock_sentinel(spark, tmp_path):
     """Single-consumer exclusion holds across processes: even with no
     in-process registry state, a second consumer on the same checkpoint

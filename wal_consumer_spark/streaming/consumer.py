@@ -18,7 +18,11 @@ re-expressed on Structured Streaming. Semantic mapping (SURVEY.md §2.A):
       to the checkpoint only after foreachBatch returns; a failure replays
       the whole batch (at-least-once, idempotent by R10)
 - R12 empty-poll sleep (WalConsumer.java:150-154) -> processingTime trigger
-- R13 source-failure backoff -> Spark task retry + restart supervision
+- R13 source-failure backoff (WalConsumer.java:136-142) -> start_supervised:
+      query termination with an exception flips the state gauge to
+      INACCESSIBLE_IO_FAILURE and the supervisor restarts the query against
+      the same checkpoint after `sleep_on_io_failure`, forever (bounded only
+      if max_restarts is set)
 - R14/R15 metrics -> ConsumerMetrics + WalQueryListener
 - R16 start/close (WalConsumer.java:127-182, 299-317) -> query.start/stop
       with listener deregistration
@@ -368,9 +372,12 @@ class WalStreamConsumer:
         self._wcs_checkpoint = self.checkpoint_dir
         _ACTIVE_CONSUMERS.add(self)
 
-        stream = read_wal_stream(self.spark, self.wal_dir, self.max_files_per_trigger)
         self._listener = WalQueryListener(self.metrics)
         self.spark.streams.addListener(self._listener)
+        return self._start_query(available_now)
+
+    def _start_query(self, available_now: bool = False):
+        stream = read_wal_stream(self.spark, self.wal_dir, self.max_files_per_trigger)
         writer = stream.writeStream.foreachBatch(self._apply_batch).option(
             "checkpointLocation", self.checkpoint_dir
         )
@@ -379,6 +386,49 @@ class WalStreamConsumer:
         else:
             writer = writer.trigger(processingTime=self.trigger_interval)
         self.query = writer.start()
+        return self.query
+
+    def start_supervised(self, max_restarts: int | None = None):
+        """R13 source-failure backoff (WalConsumer.java:136-142): when the
+        WAL source becomes unreachable the reference enters state
+        INACCESSIBLE_IO_FAILURE, sleeps `sleepMillisOnIoFailure`, and
+        retries acquisition forever. Spark surfaces a source failure as
+        query termination with an exception, so the equivalent is a
+        supervisor that restarts the query against the SAME checkpoint
+        (offset log makes the retried batch idempotent, R11) after
+        `sleep_on_io_failure`, marking the failure state and counter in
+        between. A clean stop() never restarts."""
+        import threading
+
+        self.start()
+        self._stop_supervisor = False
+
+        def _supervise() -> None:
+            restarts = 0
+            while True:
+                try:
+                    self.query.awaitTermination()
+                except Exception:
+                    pass  # the failure is inspected via query.exception()
+                if self._stop_supervisor or self.query.exception() is None:
+                    return
+                self.metrics.set_state(WalState.INACCESSIBLE_IO_FAILURE)
+                self.metrics.num_io_failures += 1
+                restarts += 1
+                if max_restarts is not None and restarts > max_restarts:
+                    return
+                time.sleep(self.sleep_on_io_failure)
+                if self._stop_supervisor:
+                    return
+                try:
+                    self._start_query()
+                except Exception:
+                    continue  # source still down: sleep and retry (R13 loop)
+
+        self._supervisor = threading.Thread(
+            target=_supervise, name="wcs-supervisor", daemon=True
+        )
+        self._supervisor.start()
         return self.query
 
     def _lock_path(self) -> str:
@@ -438,8 +488,12 @@ class WalStreamConsumer:
     def close(self) -> None:
         """≙ WalConsumer.close() (WalConsumer.java:299-317): stop the query,
         deregister metrics listener."""
+        self._stop_supervisor = True
         if self.query is not None and self.query.isActive:
             self.query.stop()
+        sup = getattr(self, "_supervisor", None)
+        if sup is not None and sup.is_alive():
+            sup.join(timeout=10)
         if self._listener is not None:
             self.spark.streams.removeListener(self._listener)
             self._listener = None
