@@ -115,3 +115,42 @@ def test_embedding_near_dup_has_no_cross_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark):
+    """pipeline_decontaminate's semi-join against the eval shingle set is a
+    BroadcastHashJoin — the training corpus is never shuffled on shingles
+    (SCALE.md §12: one corpus pass at any scale)."""
+    from wal_consumer_spark.plans import all_specs
+
+    df = all_specs()["pipeline_decontaminate"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin [shingle" in plan and "LeftSemi" in plan, plan[:2000]
+    # the corpus side must not sort-merge on shingles; the only shingle
+    # exchange allowed is the tiny eval-set dedup inside the broadcast
+    # subtree (bounded by the benchmark's size, not the corpus's)
+    assert "SortMergeJoin [shingle" not in plan, plan[:2000]
+    assert plan.count("Exchange hashpartitioning(shingle") <= 1, plan[:2000]
+
+
+def test_sequence_packing_has_no_global_window(spark):
+    """pipeline_sequence_packing's running sum is partitioned by source
+    shard — the plan must not contain a single-partition exchange (the
+    global-window scale-killer SCALE.md §12 calls out)."""
+    from wal_consumer_spark.plans import all_specs
+
+    df = all_specs()["pipeline_sequence_packing"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
+    assert "Window" in plan
+
+
+def test_global_shuffle_uses_range_partitioned_sort(spark):
+    """pipeline_global_shuffle's ORDER BY compiles to a range-partitioned
+    sort (sampled boundaries, parallel) — not a single-partition sort."""
+    from wal_consumer_spark.plans import all_specs
+
+    df = all_specs()["pipeline_global_shuffle"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower(), plan[:2000]
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
