@@ -37,6 +37,21 @@ def test_json_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, orig.collect()))
 
 
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from wal_consumer_spark.sources.tables import read_orc
+
+    path = str(tmp_path / "orders_orc")
+    orig = _orders_sample(spark)
+    orig.write.orc(path)
+    back = read_orc(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, orig.collect()))
+    # same free Catalyst rewrites as parquet: pushdown + pruning on ORC scans
+    q = read_orc(spark, path).filter(F.col("o_orderkey") < 50).select("o_orderkey")
+    scan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_orderkey), LessThan(o_orderkey,50)]" in scan, scan[:1500]
+    assert "ReadSchema: struct<o_orderkey:bigint>" in scan, scan[:1500]
+
+
 def test_json_missing_fields_are_null(spark, tmp_path):
     path = str(tmp_path / "sparse_json")
     spark.createDataFrame([("{\"a\": 1}",), ("{\"a\": 2, \"b\": \"x\"}",)], "v STRING") \

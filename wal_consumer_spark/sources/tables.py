@@ -68,3 +68,10 @@ def read_json(spark: SparkSession, path: str, schema: str, **options) -> DataFra
     the opaque-payload contract of the reference (WalEntity.java:38-39 —
     payload schema belongs to the client, not the engine)."""
     return spark.read.options(**options).schema(schema).json(path)
+
+
+def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    """ORC scan (SURVEY.md §2.B sources): columnar like parquet — schema
+    travels with the files, predicate pushdown and column pruning apply the
+    same way (Spark's native vectorized ORC reader)."""
+    return spark.read.options(**options).orc(path)
