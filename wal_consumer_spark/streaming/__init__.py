@@ -8,3 +8,7 @@ from wal_consumer_spark.streaming.metrics import (  # noqa: F401
     WalQueryListener,
     WalState,
 )
+from wal_consumer_spark.streaming.dedup_index import (  # noqa: F401
+    StreamingMinHashIndex,
+    minhash_buckets,
+)
