@@ -103,6 +103,17 @@ def quantize_vec(vec: Column) -> Column:
     )
 
 
+def quantize_vec32(vec: Column) -> Column:
+    """quantize_vec with int32 transport: |round(v*1e6)| <= ~1e8 < 2^31 for
+    |v| <= 100, so the narrower lanes are lossless — and the Arrow batches
+    the numpy kernels consume are half the bytes (the near-dup verification
+    moves ~|pairs| * 2 * dim elements through Arrow; lane width is the
+    dominant cost). Kernels upcast to int64 before any product."""
+    return F.transform(
+        vec, lambda x: F.round(x.cast("double") * F.lit(float(_QUANT_SCALE))).cast("int")
+    )
+
+
 def rp_lsh_bucket(vec: Column, dim: int, nbits: int = 12, seed: int = 42) -> Column:
     """Sign-random-projection LSH bucket id: nbits sign bits packed into a
     long. Projections are integer dot products over the quantized vector
@@ -260,7 +271,7 @@ def cosine_topk_lsh(
             F.col(vec_col).alias(out_vec),
             F.posexplode(
                 rp_lsh_buckets_np(
-                    quantize_vec(F.col(vec_col)), dim, nbits, n_tables, seed0=42
+                    quantize_vec32(F.col(vec_col)), dim, nbits, n_tables, seed0=42
                 )
             ).alias("table", "bucket"),
         )
@@ -430,7 +441,7 @@ def embedding_near_dup_blocked(
     withb = base.select(
         "id",
         F.posexplode(
-            rp_lsh_buckets_np(quantize_vec(F.col("v")), dim, nbits, n_tables, seed0=seed)
+            rp_lsh_buckets_np(quantize_vec32(F.col("v")), dim, nbits, n_tables, seed0=seed)
         ).alias("table", "bucket"),
     )
     a = withb.select(F.col("id").alias("id1"), "table", "bucket")
@@ -441,7 +452,7 @@ def embedding_near_dup_blocked(
         .select("id1", "id2")
         .distinct()  # a pair may collide in several tables
     )
-    q = base.select("id", quantize_vec(F.col("v")).alias("qv"))
+    q = base.select("id", quantize_vec32(F.col("v")).alias("qv"))
     return (
         pairs.join(q.select(F.col("id").alias("id1"), F.col("qv").alias("q1")), "id1")
         .join(q.select(F.col("id").alias("id2"), F.col("qv").alias("q2")), "id2")
