@@ -1,0 +1,73 @@
+"""SQL-front-door queries: the Spark side is RAW ANSI SQL text through
+`sqlapi.sql` (not the DataFrame API), proving the textual entry point end to
+end — parse, analyze, optimize, execute — against the same DuckDB oracles as
+everything else. Catalyst compiles both entry points to the same plans, so
+SCALE.md applies unchanged.
+
+Reference parity note: the reference has no query language at all
+(SURVEY.md §3 — five fixed native-SQL strings); this is extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from wal_consumer_spark.plans.registry import register
+from wal_consumer_spark.sqlapi import sql
+
+#: one SQL text per query, valid verbatim in BOTH Spark SQL and DuckDB —
+#: the Spark side runs the identical string the oracle runs.
+_SHARED_SQL = {
+    "sql_front_agg_join": """
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice * 100 AS DECIMAL(18,0))) AS BIGINT)
+               AS revenue_cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    "sql_front_window_rank": """
+    SELECT c_mktsegment, c_custkey, bal_cents, rnk FROM (
+        SELECT c_mktsegment, c_custkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+               row_number() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) DESC, c_custkey
+               ) AS rnk
+        FROM customer
+    ) t WHERE rnk <= 3
+    ORDER BY c_mktsegment, rnk
+    """,
+    "sql_front_exists_subquery": """
+    SELECT s_suppkey, s_name
+    FROM supplier s
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49
+    )
+    ORDER BY s_suppkey
+    """,
+}
+
+
+def _make(name: str, text: str):
+    @register(
+        name,
+        oracle=text,
+        doc="SQL front door: this exact SQL text is executed by BOTH Spark "
+            "(sqlapi.sql over registered views) and the DuckDB oracle — "
+            "textual entry point proven end to end.",
+    )
+    def _q(spark: SparkSession, sf_dir: str, _text: str = text) -> DataFrame:
+        return sql(spark, sf_dir, _text)
+
+    _q.__name__ = name
+    return _q
+
+
+for _name, _text in _SHARED_SQL.items():
+    _make(_name, _text)
