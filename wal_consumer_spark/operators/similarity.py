@@ -181,6 +181,8 @@ def rp_lsh_buckets_np(
         import numpy as np
         import pandas as pd
 
+        if len(q) == 0:  # Arrow may hand the kernel an empty batch
+            return pd.Series([], dtype=object)
         P = np.array(planes, dtype=np.int64)  # (n_tables*nbits, dim)
         Q = np.stack(q.to_numpy()).astype(np.int64)  # (N, dim)
         proj = Q @ P.T  # (N, n_tables*nbits) exact int64
@@ -211,6 +213,8 @@ def quant_cosine(q1: Column, q2: Column) -> Column:
         import numpy as np
         import pandas as pd
 
+        if len(a) == 0:  # Arrow may hand the kernel an empty batch
+            return pd.Series([], dtype=np.float64)
         A = np.stack(a.to_numpy()).astype(np.int64)
         B = np.stack(b.to_numpy()).astype(np.int64)
         dot = (A * B).sum(axis=1).astype(np.float64)
@@ -437,7 +441,9 @@ def embedding_near_dup_blocked(
     100 TB the bucket column is computed at ingest, the per-table self-join
     shuffles on the bucket id, and the two id-keyed vector joins are plain
     narrow-key shuffle joins (broadcast-able per corpus chunk)."""
-    base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    base = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
     withb = base.select(
         "id",
         F.posexplode(

@@ -422,3 +422,70 @@ def pipeline_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", key.alias("shuffle_key"), shard.alias("shard"))
         .orderBy("shuffle_key", "doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Domain-mixture rebalancing
+# --------------------------------------------------------------------------
+
+_MIX_SALT = ":mix42"
+_MIX_HASH = (
+    "('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '{salt}'), 1, 8))::BIGINT % 1000000"
+).format(salt=_MIX_SALT)
+
+
+@register(
+    "pipeline_domain_mixture",
+    oracle=f"""
+    WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT MIN(n) AS mn FROM counts),
+    thr AS (
+        SELECT lang, n,
+               CAST(floor(CAST(mn AS DOUBLE) / n * 1000000) AS BIGINT) AS t
+        FROM counts CROSS JOIN m
+    )
+    SELECT d.lang,
+           CAST(MAX(thr.n) AS BIGINT) AS n_before,
+           CAST(count_if({_MIX_HASH} < thr.t) AS BIGINT) AS n_kept
+    FROM documents d JOIN thr USING (lang)
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+    doc="Domain-mixture rebalancing: per-language keep-fractions derived "
+        "FROM the data (downsample every language toward the smallest "
+        "one's count), applied as a deterministic md5 hash gate. The "
+        "threshold table is O(#languages) and broadcast; membership is "
+        "decided per-row at the scan with no RNG state, so the mixture is "
+        "reproducible across engines, retries, and scale factors — the "
+        "data-mixing primitive of pretraining corpora (weights are a "
+        "config knob; equal-share here keeps the oracle self-contained).",
+)
+def pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    mn = counts.agg(F.min("n").alias("mn"))
+    thr = counts.crossJoin(F.broadcast(mn)).select(
+        "lang",
+        "n",
+        F.floor(F.col("mn").cast("double") / F.col("n") * 1000000)
+        .cast("long")
+        .alias("t"),
+    )
+    h = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_MIX_SALT))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1000000),
+    )
+    return (
+        d.join(F.broadcast(thr), "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("n").alias("n_before"),
+            F.count_if(h < F.col("t")).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
