@@ -51,6 +51,10 @@ HEADLINE = [
     "agg_hll_partial_merge",
     "dedup_simhash",
     "sim_embedding_near_dup",
+    "pipeline_decontaminate",
+    "pipeline_sequence_packing",
+    "pipeline_domain_mixture",
+    "sql_front_agg_join",
 ]
 
 
