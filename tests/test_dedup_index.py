@@ -108,3 +108,27 @@ def test_streaming_wiring_detects_cross_batch_dups(spark, tmp_path):
     q.awaitTermination(120)
     assert found == _batch_mode_pairs(spark)
     assert _EXPECTED <= found
+
+
+def test_partial_bucket_write_is_retried_not_skipped(spark, tmp_path):
+    """Crash window: Spark creates the bucket dir before the write job
+    completes, so the replay guard must key on the _SUCCESS marker — a
+    bare (partial) dir has to be rewritten, or the batch's band-bucket
+    rows stay incomplete forever and its near-dup pairs are never found."""
+    import os
+
+    idx = StreamingMinHashIndex(spark, str(tmp_path / "idx"), threshold=0.5)
+    idx.process_batch(_df(spark, _BATCHES[0]), 0).collect()
+
+    # simulate a crash mid-write of batch 1's buckets: dir without _SUCCESS
+    partial = f"{idx.path}/buckets/b1"
+    os.makedirs(partial)
+    with open(f"{partial}/part-garbage.parquet", "wb") as f:
+        f.write(b"not parquet")
+
+    got = {
+        (r.doc1, r.doc2)
+        for r in idx.process_batch(_df(spark, _BATCHES[1]), 1).collect()
+    }
+    assert (1, 7) in got and (5, 6) in got  # batch 1's pairs fully detected
+    assert os.path.exists(f"{partial}/_SUCCESS")  # rewrite actually committed

@@ -292,7 +292,7 @@ def test_bucketed_target_rewrites_only_touched_buckets(spark, tmp_path):
 
     one = spark.createDataFrame([(100, 7, "UPDATE", b"v7b", "T")], WAL_COLS)
     red1 = last_op_per_key(one)
-    touched = target._touched_buckets(red1)
+    touched = target.touched_buckets(red1)
     assert len(touched) == 1
     target.write_for(apply_cdc_batch(target.read_for(red1), red1), red1)
     manifest_after = target._manifest()
@@ -450,3 +450,92 @@ def test_cross_process_lock_sentinel(spark, tmp_path):
         consumer_mod._ACTIVE_CONSUMERS.clear()
         consumer_mod._ACTIVE_CONSUMERS.update(saved)
         c1.close()
+
+
+def test_bucketed_target_replay_after_crash_no_duplicates(spark, tmp_path):
+    """Crash window: version files land but the manifest commit never runs
+    (process dies between the parquet write and _commit_manifest). The
+    foreachBatch replay recomputes the same version number — the write must
+    OVERWRITE the partial attempt, not append to it, or every row of the
+    first attempt is duplicated in the committed state."""
+    from wal_consumer_spark.operators.cdc import apply_cdc_batch, last_op_per_key
+    from wal_consumer_spark.streaming import BucketedParquetKeyValueTarget
+
+    tgt = str(tmp_path / "tgt")
+    target = BucketedParquetKeyValueTarget(spark, tgt, n_buckets=4)
+    seed = spark.createDataFrame(
+        [(i, i, "ADD", f"v{i}".encode(), "T") for i in range(1, 9)], WAL_COLS
+    )
+    reduced = last_op_per_key(seed)
+
+    real_commit = target._commit_manifest
+    crashed = {"n": 0}
+
+    def crashing_commit(manifest):
+        crashed["n"] += 1
+        raise RuntimeError("simulated crash before manifest commit")
+
+    target._commit_manifest = crashing_commit
+    try:
+        target.write_for(apply_cdc_batch(target.read_for(reduced), reduced), reduced)
+    except RuntimeError:
+        pass
+    assert crashed["n"] == 1
+    assert _state(target) == {}  # nothing committed — old state intact
+
+    # foreachBatch replay: same batch against the same (empty) manifest
+    target._commit_manifest = real_commit
+    target.write_for(apply_cdc_batch(target.read_for(reduced), reduced), reduced)
+    rows = target.read().collect()
+    assert len(rows) == 8  # one row per key — no duplicated first attempt
+    assert _state(target) == {i: f"v{i}" for i in range(1, 9)}
+
+
+def test_rollup_target_ignores_partial_version_dir(spark, tmp_path):
+    """Crash window: a version dir without Spark's _SUCCESS marker must not
+    count as committed — otherwise last_batch_id claims the batch was
+    applied (the replay is then skipped and its data lost) and read()
+    abandons all accumulated state."""
+    import os
+
+    from wal_consumer_spark.streaming.incremental import (
+        IncrementalRollup,
+        ParquetRollupTarget,
+        merge_batch_into,
+    )
+
+    rollup = IncrementalRollup(group_cols=["k"], measure="v")
+    target = ParquetRollupTarget(spark, str(tmp_path / "roll"))
+    b0 = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "k STRING, v DOUBLE")
+    merge_batch_into(rollup, target, b0, 0)
+    assert target.last_batch_id == 0
+
+    # simulate a crash mid-write of batch 1: dir exists, no _SUCCESS
+    partial = f"{target.path}/v2_b1"
+    os.makedirs(partial)
+    with open(f"{partial}/part-garbage.parquet", "wb") as f:
+        f.write(b"not parquet")
+
+    assert target.last_batch_id == 0  # partial dir is NOT committed
+    b1 = spark.createDataFrame([("a", 4.0), ("b", 8.0)], "k STRING, v DOUBLE")
+    merge_batch_into(rollup, target, b1, 1)  # replay must actually merge
+    final = {r["k"]: (r["n"], r["total"]) for r in rollup.finish(target.read()).collect()}
+    assert final["a"][0] == 3 and abs(final["a"][1] - 7.0) < 1e-9
+    assert final["b"][0] == 1 and abs(final["b"][1] - 8.0) < 1e-9
+
+
+def test_backlog_gauge_survives_restart(spark, tmp_path):
+    """R14 after a restart: the applied-id high-water mark is persisted next
+    to the checkpoint, so a fresh consumer instance on a drained WAL reports
+    backlog 0 instead of re-counting every already-consumed record."""
+    wal, ckpt, tgt = str(tmp_path / "wal"), str(tmp_path / "ckpt"), str(tmp_path / "tgt")
+    _write_wal_file(spark, wal, [(1, "ADD", "a1"), (2, "ADD", "b1")], start_id=1)
+    target = ParquetKeyValueTarget(spark, tgt)
+    c = WalStreamConsumer(spark, wal, ckpt, target)
+    _drain(c)
+    assert c.backlog(max_age=0) == 0
+
+    restarted = WalStreamConsumer(spark, wal, ckpt, ParquetKeyValueTarget(spark, tgt))
+    assert restarted.backlog(max_age=0) == 0  # NOT 2
+    _write_wal_file(spark, wal, [(3, "ADD", "c1")], start_id=3)
+    assert restarted.backlog(max_age=0) == 1

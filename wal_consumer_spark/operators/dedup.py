@@ -149,6 +149,20 @@ def minhash_signature(
     return df.select(F.col(id_col).alias("doc"), sig.alias("sig"))
 
 
+def lsh_band_key(b, rows_per_band: int, portable: bool = False):
+    """THE band-bucket key expression — single source of truth for every
+    LSH banding site (minhash_candidates, minhash_near_pairs, and the
+    streaming index's minhash_buckets): bucket = hash of the band's
+    signature slice, salted with the band index. All sites must stay
+    bit-identical or the streaming index silently diverges from the batch
+    dedup it is asserted equivalent to (tests/test_dedup_index.py).
+    `b` may be a python int or a Column (transform lambda variable).
+    `portable=True` renders the slice as a string instead of hashing —
+    engine-independent, replayable by a SQL oracle."""
+    slice_ = F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band))
+    return slice_ if portable else F.xxhash64(slice_, b)
+
+
 def minhash_candidates(
     sigs: DataFrame,
     bands: int = 4,
@@ -171,10 +185,7 @@ def minhash_candidates(
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band)),
-                    b,
-                ),
+                lambda b: lsh_band_key(b, rows_per_band),
             )
         ).alias("band", "bucket"),
     )
@@ -344,15 +355,7 @@ def minhash_near_pairs(
     """
     from pyspark.sql import Window
 
-    if portable:
-        band_key = lambda b: F.concat_ws(  # noqa: E731
-            ",", F.slice("sig", b * rows_per_band + 1, rows_per_band)
-        )
-    else:
-        band_key = lambda b: F.xxhash64(  # noqa: E731
-            F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band)),
-            b,
-        )
+    band_key = lambda b: lsh_band_key(b, rows_per_band, portable)  # noqa: E731
     banded = sigs.select(
         "doc",
         "sig",

@@ -175,13 +175,17 @@ class BucketedParquetKeyValueTarget:
         manifest = self._manifest()
         return self._read_buckets(manifest, [int(b) for b in manifest])
 
-    def read_for(self, batch: DataFrame) -> DataFrame:
+    def read_for(self, batch: DataFrame, touched: list[int] | None = None) -> DataFrame:
         """Only the buckets the batch's keys hash into: the collect is
-        bounded by n_buckets, and every other bucket is never opened."""
-        touched = self._touched_buckets(batch)
+        bounded by n_buckets, and every other bucket is never opened. Pass
+        `touched` (from touched_buckets) to reuse an already-computed bucket
+        list — the consumer computes it once per micro-batch for both the
+        read and the write."""
+        if touched is None:
+            touched = self.touched_buckets(batch)
         return self._read_buckets(self._manifest(), touched)
 
-    def _touched_buckets(self, batch: DataFrame) -> list[int]:
+    def touched_buckets(self, batch: DataFrame) -> list[int]:
         rows = (
             self._bucket(batch.select("entity_id"))
             .select("__bucket")
@@ -190,18 +194,28 @@ class BucketedParquetKeyValueTarget:
         )
         return sorted(r["__bucket"] for r in rows)
 
-    def write_for(self, new_state: DataFrame, batch: DataFrame) -> None:
+    def write_for(
+        self,
+        new_state: DataFrame,
+        batch: DataFrame,
+        touched: list[int] | None = None,
+    ) -> None:
         """Persist the post-apply state of the batch's buckets as a new
         version, then commit the manifest. `new_state` must be the full new
         content of exactly those buckets (which apply_cdc_batch over
         read_for's slice produces)."""
         manifest = self._manifest()
-        touched = self._touched_buckets(batch)
+        if touched is None:
+            touched = self.touched_buckets(batch)
         version = max(manifest.values(), default=0) + 1
+        # overwrite, not append: the version dir is invisible until the
+        # manifest commit below, and a foreachBatch REPLAY of a crash that
+        # landed files but never committed recomputes the same version
+        # number — append would double every row of the first attempt.
         (
             self._bucket(new_state)
             .write.partitionBy("__bucket")
-            .mode("append")  # fresh dir: append avoids clobbering guards
+            .mode("overwrite")
             .parquet(f"{self.path}/v{version}")
         )
         for b in touched:
@@ -209,8 +223,27 @@ class BucketedParquetKeyValueTarget:
         self._commit_manifest(manifest)
 
     def write(self, df: DataFrame) -> None:
-        """Whole-state write (compaction / bootstrap path)."""
-        self.write_for(df, df)
+        """Whole-state write (compaction / bootstrap): the committed
+        manifest is REPLACED, so buckets absent from `df` (e.g. fully
+        deleted keys) stop referencing stale versions instead of
+        resurrecting on the next read."""
+        import os
+
+        manifest = self._manifest()
+        version = max(manifest.values(), default=0) + 1
+        vdir = f"{self.path}/v{version}"
+        (
+            self._bucket(df)
+            .write.partitionBy("__bucket")
+            .mode("overwrite")
+            .parquet(vdir)
+        )
+        written = [
+            int(nm.split("=", 1)[1])
+            for nm in os.listdir(vdir)
+            if nm.startswith("__bucket=")
+        ]
+        self._commit_manifest({str(b): version for b in written})
 
 
 class WalStreamConsumer:
@@ -259,8 +292,15 @@ class WalStreamConsumer:
         reduced = last_op_per_key(batch_df).persist()
         try:
             n_batch = reduced.count()
-            # bucketed targets read only the state slice the batch can touch
-            current = self.target.read_for(reduced)
+            # bucketed targets read only the state slice the batch can touch;
+            # the touched-bucket list is computed ONCE and shared with the
+            # write below (each computation is a distinct+collect Spark job)
+            tb_fn = getattr(self.target, "touched_buckets", None)
+            touched = tb_fn(reduced) if tb_fn is not None else None
+            if touched is not None:
+                current = self.target.read_for(reduced, touched)
+            else:
+                current = self.target.read_for(reduced)
             # R10: upserts whose payload is already in the target were applied
             # before a replay -> count as ignored_already_done.
             already = (
@@ -288,7 +328,10 @@ class WalStreamConsumer:
                     write_for = getattr(self.target, "write_for", None)
                     if write_for is not None:
                         # rewrite only the batch's buckets (incremental)
-                        write_for(new_state, reduced)
+                        if touched is not None:
+                            write_for(new_state, reduced, touched)
+                        else:
+                            write_for(new_state, reduced)
                     else:
                         self.target.write(new_state)
                     break
@@ -310,16 +353,41 @@ class WalStreamConsumer:
         finally:
             reduced.unpersist()
 
+    def _applied_id_path(self) -> str:
+        return f"{self.checkpoint_dir}/_wcs_applied_id"
+
     def _record_applied(self, reduced: DataFrame) -> None:
         """Advance the applied-id high-water mark (the batch's max id — the
         last-op-per-key reduction keeps each key's max id, so its global max
-        equals the raw batch's) and invalidate the backlog cache."""
+        equals the raw batch's), persist it next to the checkpoint so a
+        RESTARTED consumer doesn't over-report the backlog (the checkpoint
+        skips already-consumed files, so the mark can never be relearned
+        from processed data), and invalidate the backlog cache."""
+        import os
+
         max_id = reduced.agg(F.max("id")).collect()[0][0]
         if max_id is not None and (
             self._last_applied_id is None or max_id > self._last_applied_id
         ):
             self._last_applied_id = max_id
+            try:
+                os.makedirs(self.checkpoint_dir, exist_ok=True)
+                tmp = f"{self._applied_id_path()}.tmp"
+                with open(tmp, "w", encoding="utf-8") as f:
+                    f.write(str(max_id))
+                os.replace(tmp, self._applied_id_path())
+            except OSError:
+                pass  # gauge durability is best-effort; correctness unaffected
         self._backlog_cache = None
+
+    def _load_applied_id(self) -> None:
+        if self._last_applied_id is not None:
+            return
+        try:
+            with open(self._applied_id_path(), encoding="utf-8") as f:
+                self._last_applied_id = int(f.read().strip())
+        except (OSError, ValueError):
+            pass
 
     def backlog(self, max_age: float = 60.0) -> int:
         """R14 backlog gauge with the reference's semantics: the COUNT of
@@ -332,6 +400,7 @@ class WalStreamConsumer:
         now = time.monotonic()
         if self._backlog_cache is not None and now - self._backlog_cache[1] < max_age:
             return self._backlog_cache[0]
+        self._load_applied_id()  # restart: recover the persisted mark
         from wal_consumer_spark.sources.wal_source import read_wal_batch
 
         df = read_wal_batch(self.spark, self.wal_dir)
@@ -424,6 +493,15 @@ class WalStreamConsumer:
                     self._start_query()
                 except Exception:
                     continue  # source still down: sleep and retry (R13 loop)
+                if self._stop_supervisor:
+                    # close() ran between the flag check and the restart:
+                    # it saw the OLD dead query, so stop the fresh one here
+                    # instead of leaving it consuming after close() returns
+                    try:
+                        self.query.stop()
+                    except Exception:
+                        pass
+                    return
 
         self._supervisor = threading.Thread(
             target=_supervise, name="wcs-supervisor", daemon=True
@@ -465,10 +543,20 @@ class WalStreamConsumer:
                         f"live consumer process {owner}; one consumer per "
                         "checkpoint (single-consumer lock semantics)"
                     )
-                # stale sentinel (dead process) or re-entry by this process:
-                # break it and retry the exclusive create.
+                # Stale sentinel (dead process) or re-entry by this process.
+                # Break it with an atomic RENAME, not a remove: two racers
+                # that both saw the stale pid would otherwise both remove —
+                # the second remove deleting the first racer's FRESH lock
+                # and letting both become owners. rename succeeds for
+                # exactly one breaker; the loser re-enters the loop and sees
+                # the winner's live lock.
+                stale = f"{self._lock_path()}.stale.{os.getpid()}"
                 try:
-                    os.remove(self._lock_path())
+                    os.rename(self._lock_path(), stale)
+                except FileNotFoundError:
+                    continue  # another process broke it first; recompete
+                try:
+                    os.remove(stale)
                 except FileNotFoundError:
                     pass
 
@@ -494,6 +582,10 @@ class WalStreamConsumer:
         sup = getattr(self, "_supervisor", None)
         if sup is not None and sup.is_alive():
             sup.join(timeout=10)
+        # the supervisor may have swapped in a restarted query between our
+        # flag-set and its own flag-check — stop whatever is current now
+        if self.query is not None and self.query.isActive:
+            self.query.stop()
         if self._listener is not None:
             self.spark.streams.removeListener(self._listener)
             self._listener = None

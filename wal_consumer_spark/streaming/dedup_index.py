@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wal_consumer_spark.operators.dedup import (
+    lsh_band_key,
     minhash_jaccard_estimate,
     minhash_signature,
 )
@@ -47,19 +48,15 @@ _BUCKET_SCHEMA = "doc LONG, band INT, bucket LONG"
 
 
 def minhash_buckets(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
-    """(doc, band, bucket) rows: bucket = xxhash64 of the band's signature
-    slice — the LSH banding key (identical to minhash_candidates')."""
+    """(doc, band, bucket) rows via the shared band-bucket key
+    (operators/dedup.py::lsh_band_key — single source of truth, so the
+    index stays bit-identical to the batch dedup path)."""
     return sigs.select(
         "doc",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",", F.slice("sig", b * rows_per_band + 1, rows_per_band)
-                    ),
-                    b,
-                ),
+                lambda b: lsh_band_key(b, rows_per_band),
             )
         ).alias("band", "bucket"),
     )
@@ -119,17 +116,27 @@ class StreamingMinHashIndex:
         """Index the batch and return its near-dup pairs (doc1 < doc2,
         est_jaccard >= threshold) against everything indexed so far,
         including within-batch pairs."""
-        sigs = minhash_signature(
-            batch_df, id_col, text_col, num_perm=self.num_perm, k=self.k,
-            seed=self.seed,
-        )
-        buckets = minhash_buckets(sigs, self.bands, self.rows_per_band)
-
         sig_dir = f"{self.path}/sigs/b{batch_id}"
         bucket_dir = f"{self.path}/buckets/b{batch_id}"
-        if not os.path.isdir(bucket_dir):  # replayed batch: never re-append
-            sigs.write.mode("overwrite").parquet(sig_dir)
-            buckets.write.mode("overwrite").parquet(bucket_dir)
+        # Replay guard keyed on the _SUCCESS marker of the LAST write, not
+        # the dir's existence: Spark creates the dir before the job
+        # finishes, so a crash mid-write would otherwise make the replay
+        # skip the append and leave the batch's bucket rows partial forever.
+        # Both writes are mode("overwrite"), so re-running after a partial
+        # attempt is safe; buckets are derived from the PERSISTED signature
+        # parquet so the expensive signature pipeline runs once per batch
+        # (not once per output) and the bucket table provably matches the
+        # stored signatures.
+        if not os.path.exists(os.path.join(bucket_dir, "_SUCCESS")):
+            minhash_signature(
+                batch_df, id_col, text_col, num_perm=self.num_perm, k=self.k,
+                seed=self.seed,
+            ).write.mode("overwrite").parquet(sig_dir)
+            minhash_buckets(
+                self._read(f"sigs/b{batch_id}", _SIG_SCHEMA),
+                self.bands,
+                self.rows_per_band,
+            ).write.mode("overwrite").parquet(bucket_dir)
 
         hist_b = self._read("buckets", _BUCKET_SCHEMA)
         # skew cap at detection time: over-full buckets carry no signal

@@ -101,7 +101,12 @@ class ParquetRollupTarget:
         self.path = path
 
     def _versions(self) -> list[tuple[int, int]]:
-        """Sorted (version, batch_id) pairs discovered on disk."""
+        """Sorted (version, batch_id) pairs discovered on disk. Only dirs
+        carrying Spark's _SUCCESS marker count: a crash mid-write leaves a
+        partial dir whose name would otherwise (a) make last_batch_id claim
+        the batch was applied — the replay then skipped and its data LOST —
+        and (b) make read() return empty state, silently discarding every
+        earlier version's accumulated aggregates."""
         import os
         import re
 
@@ -112,7 +117,7 @@ class ParquetRollupTarget:
         out = []
         for nm in names:
             m = re.fullmatch(r"v(\d+)_b(\d+)", nm)
-            if m:
+            if m and os.path.exists(os.path.join(self.path, nm, "_SUCCESS")):
                 out.append((int(m.group(1)), int(m.group(2))))
         return sorted(out)
 
@@ -123,17 +128,15 @@ class ParquetRollupTarget:
         return vs[-1][1] if vs else -1
 
     def read(self) -> DataFrame | None:
-        vs = self._versions()
-        if not vs:
-            return None
-        v, b = vs[-1]
-        try:
-            return self.spark.read.parquet(f"{self.path}/v{v}_b{b}")
-        except Exception:
-            # out-of-band cleanup of a version dir must not kill the stream
-            # inside foreachBatch — treat it as empty state, mirroring
-            # consumer.ParquetKeyValueTarget.read's defensive read.
-            return None
+        for v, b in reversed(self._versions()):
+            try:
+                return self.spark.read.parquet(f"{self.path}/v{v}_b{b}")
+            except Exception:
+                # out-of-band cleanup of a newer version dir must not kill
+                # the stream inside foreachBatch — fall back to the next
+                # older committed version instead of discarding all state.
+                continue
+        return None
 
     def write(self, df: DataFrame, batch_id: int) -> None:
         vs = self._versions()
