@@ -539,3 +539,29 @@ def test_backlog_gauge_survives_restart(spark, tmp_path):
     assert restarted.backlog(max_age=0) == 0  # NOT 2
     _write_wal_file(spark, wal, [(3, "ADD", "c1")], start_id=3)
     assert restarted.backlog(max_age=0) == 1
+
+
+def test_bucketed_target_gc_removes_only_unreferenced_versions(spark, tmp_path):
+    """gc() deletes version dirs no manifest entry references and leaves
+    every referenced one readable — state is byte-identical after the
+    sweep."""
+    import os
+
+    from wal_consumer_spark.operators.cdc import apply_cdc_batch, last_op_per_key
+    from wal_consumer_spark.streaming import BucketedParquetKeyValueTarget
+
+    target = BucketedParquetKeyValueTarget(spark, str(tmp_path / "tgt"), n_buckets=4)
+    for step in range(3):  # three writes to the same key: two dead versions
+        one = spark.createDataFrame(
+            [(step + 1, 1, "ADD" if step == 0 else "UPDATE", f"v{step}".encode(), "T")],
+            WAL_COLS,
+        )
+        red = last_op_per_key(one)
+        target.write_for(apply_cdc_batch(target.read_for(red), red), red)
+    before = _state(target)
+    removed = target.gc()
+    assert len(removed) == 2  # v1, v2 superseded; v3 referenced
+    assert _state(target) == before
+    live = {f"v{v}" for v in target._manifest().values()}
+    on_disk = {n for n in os.listdir(target.path) if n.startswith("v")}
+    assert on_disk == live

@@ -222,6 +222,30 @@ class BucketedParquetKeyValueTarget:
             manifest[str(b)] = version
         self._commit_manifest(manifest)
 
+    def gc(self) -> list[str]:
+        """Remove version dirs no committed manifest entry references (the
+        compaction sweep the class docstring promises). Safe to run any
+        time AFTER in-flight writes finish: a concurrent writer's new
+        version dir is unreferenced until its manifest commit, so gc must
+        not race an active write_for — the consumer is single-process by
+        the checkpoint lock, making 'between batches' the natural slot.
+        Returns the removed dir paths."""
+        import os
+        import re
+        import shutil
+
+        live = {f"v{v}" for v in self._manifest().values()}
+        removed = []
+        try:
+            names = os.listdir(self.path)
+        except FileNotFoundError:
+            return removed
+        for nm in names:
+            if re.fullmatch(r"v\d+", nm) and nm not in live:
+                shutil.rmtree(f"{self.path}/{nm}", ignore_errors=True)
+                removed.append(f"{self.path}/{nm}")
+        return removed
+
     def write(self, df: DataFrame) -> None:
         """Whole-state write (compaction / bootstrap): the committed
         manifest is REPLACED, so buckets absent from `df` (e.g. fully
