@@ -75,7 +75,11 @@ def plan_specs(draw):
     table = draw(st.sampled_from(sorted(TABLES)))
     cats, nums, money = TABLES[table]
     preds = []
-    for _ in range(draw(st.integers(0, 2))):
+    # up to 4 predicates: >=3 exercises mixed AND/OR precedence, which is
+    # safe since the SQL oracle parenthesizes exactly as the DataFrame
+    # predicate folds (left-assoc) — raising the cap past 2 was blocked on
+    # that fix (r1 ADVICE).
+    for _ in range(draw(st.integers(0, 4))):
         kind = draw(st.sampled_from(["cat_eq", "cat_in", "num_cmp", "money_cmp"]))
         preds.append(
             (
