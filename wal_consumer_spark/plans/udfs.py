@@ -155,3 +155,51 @@ def udf_row_scalar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r = load_table(spark, sf_dir, "region")
     return r.select("r_regionkey", tag("r_name", "r_regionkey").alias("region_tag"))
+
+
+@register(
+    "udf_cogrouped_map",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey AS custkey, COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+    ),
+    l AS (
+        SELECT o_custkey AS custkey, COUNT(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_custkey
+    )
+    SELECT COALESCE(o.custkey, l.custkey) AS custkey,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(n_items, 0) AS n_items
+    FROM o FULL OUTER JOIN l USING (custkey)
+    ORDER BY custkey
+    """,
+    doc="Cogrouped-map applyInPandas (the remaining UDF-surface API): the "
+        "orders and order-joined lineitem sides cogroup on custkey and each "
+        "(left_pdf, right_pdf) pair reduces in one pandas call. Both sides "
+        "shuffle once on the cogroup key; each group's frames are bounded "
+        "by group size, not corpus size. Oracle = the relational "
+        "formulation (two aggregates full-outer-joined).",
+)
+def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def stats(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        key = left["custkey"].iloc[0] if len(left) else right["custkey"].iloc[0]
+        return pd.DataFrame(
+            {"custkey": [key], "n_orders": [len(left)], "n_items": [len(right)]}
+        )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    items = li.join(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(F.col("o_custkey").alias("custkey"))
+    return (
+        o.groupBy("custkey")
+        .cogroup(items.groupBy("custkey"))
+        .applyInPandas(stats, "custkey long, n_orders long, n_items long")
+        .orderBy("custkey")
+    )
