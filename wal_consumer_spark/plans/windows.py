@@ -204,3 +204,42 @@ def win_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
     )
+
+
+@register(
+    "win_first_last_ignore_nulls",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(big_val IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS first_big,
+           last_value(big_val IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS last_big
+    FROM (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN value >= 50 THEN round(value, 2) END AS big_val
+        FROM events
+    )
+    """,
+    doc="first/last with IGNORE NULLS over a running frame — the "
+        "carry-forward-last-observation primitive (gap filling in time "
+        "series). Nulls are derived deterministically (value < 50 -> NULL) "
+        "since the synthetic tables are fully populated.",
+)
+def win_first_last_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    big = F.when(F.col("value") >= 50, F.round("value", 2))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select("event_id", "user_id", "ts", big.alias("big_val")).select(
+        "event_id",
+        "user_id",
+        F.first("big_val", ignorenulls=True).over(w).alias("first_big"),
+        F.last("big_val", ignorenulls=True).over(w).alias("last_big"),
+    )
