@@ -565,3 +565,38 @@ def test_bucketed_target_gc_removes_only_unreferenced_versions(spark, tmp_path):
     live = {f"v{v}" for v in target._manifest().values()}
     on_disk = {n for n in os.listdir(target.path) if n.startswith("v")}
     assert on_disk == live
+
+
+def test_rollup_damaged_newest_version_falls_back_and_remerges(spark, tmp_path):
+    """read() and last_batch_id must agree on the newest READABLE version:
+    if the newest committed dir is damaged out-of-band, the state falls
+    back one version AND the damaged version's batch id stops claiming
+    'already applied' — so the replay actually re-merges it instead of
+    silently losing its deltas."""
+    import os
+    import shutil
+
+    from wal_consumer_spark.streaming.incremental import (
+        IncrementalRollup,
+        ParquetRollupTarget,
+        merge_batch_into,
+    )
+
+    rollup = IncrementalRollup(group_cols=["k"], measure="v")
+    target = ParquetRollupTarget(spark, str(tmp_path / "roll"))
+    merge_batch_into(rollup, target, spark.createDataFrame([("a", 1.0)], "k STRING, v DOUBLE"), 0)
+    merge_batch_into(rollup, target, spark.createDataFrame([("a", 2.0)], "k STRING, v DOUBLE"), 1)
+    assert target.last_batch_id == 1
+
+    # damage the newest committed version out-of-band (keep _SUCCESS)
+    vdir = f"{target.path}/v2_b1"
+    for nm in os.listdir(vdir):
+        if nm.endswith(".parquet"):
+            os.remove(os.path.join(vdir, nm))
+    shutil.rmtree(f"{vdir}/.crc", ignore_errors=True)
+
+    assert target.last_batch_id == 0  # agrees with what read() can serve
+    # the checkpoint replays batch 1: it must actually merge again
+    merge_batch_into(rollup, target, spark.createDataFrame([("a", 2.0)], "k STRING, v DOUBLE"), 1)
+    final = {r["k"]: (r["n"], r["total"]) for r in rollup.finish(target.read()).collect()}
+    assert final["a"][0] == 2 and abs(final["a"][1] - 3.0) < 1e-9

@@ -207,20 +207,29 @@ class BucketedParquetKeyValueTarget:
         manifest = self._manifest()
         if touched is None:
             touched = self.touched_buckets(batch)
-        version = max(manifest.values(), default=0) + 1
-        # overwrite, not append: the version dir is invisible until the
-        # manifest commit below, and a foreachBatch REPLAY of a crash that
-        # landed files but never committed recomputes the same version
-        # number — append would double every row of the first attempt.
-        (
-            self._bucket(new_state)
-            .write.partitionBy("__bucket")
-            .mode("overwrite")
-            .parquet(f"{self.path}/v{version}")
-        )
+        version, _ = self._write_version(new_state, manifest)
         for b in touched:
             manifest[str(b)] = version
         self._commit_manifest(manifest)
+
+    def _write_version(
+        self, df: DataFrame, manifest: dict[str, int]
+    ) -> tuple[int, str]:
+        """The single write protocol for both the incremental and the
+        compaction path: land `df` bucketed under the next version dir.
+        Overwrite, not append: the dir is invisible until the caller's
+        manifest commit, and a foreachBatch REPLAY of a crash that landed
+        files but never committed recomputes the same version number —
+        append would double every row of the first attempt."""
+        version = max(manifest.values(), default=0) + 1
+        vdir = f"{self.path}/v{version}"
+        (
+            self._bucket(df)
+            .write.partitionBy("__bucket")
+            .mode("overwrite")
+            .parquet(vdir)
+        )
+        return version, vdir
 
     def gc(self) -> list[str]:
         """Remove version dirs no committed manifest entry references (the
@@ -242,8 +251,13 @@ class BucketedParquetKeyValueTarget:
             return removed
         for nm in names:
             if re.fullmatch(r"v\d+", nm) and nm not in live:
-                shutil.rmtree(f"{self.path}/{nm}", ignore_errors=True)
-                removed.append(f"{self.path}/{nm}")
+                path = f"{self.path}/{nm}"
+                shutil.rmtree(path, ignore_errors=True)
+                # report only what actually left the disk — a failed rmtree
+                # (EPERM, lingering handle) must not read as a clean sweep;
+                # the survivor is retried on the next gc()
+                if not os.path.exists(path):
+                    removed.append(path)
         return removed
 
     def write(self, df: DataFrame) -> None:
@@ -253,15 +267,7 @@ class BucketedParquetKeyValueTarget:
         resurrecting on the next read."""
         import os
 
-        manifest = self._manifest()
-        version = max(manifest.values(), default=0) + 1
-        vdir = f"{self.path}/v{version}"
-        (
-            self._bucket(df)
-            .write.partitionBy("__bucket")
-            .mode("overwrite")
-            .parquet(vdir)
-        )
+        version, vdir = self._write_version(df, self._manifest())
         written = [
             int(nm.split("=", 1)[1])
             for nm in os.listdir(vdir)
@@ -579,6 +585,22 @@ class WalStreamConsumer:
                     os.rename(self._lock_path(), stale)
                 except FileNotFoundError:
                     continue  # another process broke it first; recompete
+                # Verify we renamed the dead sentinel we inspected and not a
+                # FRESH lock a racer created between our read and rename
+                # (or a mid-write lock read back as empty/owner-0): if the
+                # renamed file holds a live foreign pid, hand it back and
+                # recompete.
+                try:
+                    with open(stale, encoding="utf-8") as f:
+                        grabbed = int(f.read().strip() or "0")
+                except (FileNotFoundError, ValueError):
+                    grabbed = 0
+                if grabbed and grabbed != os.getpid() and _pid_alive(grabbed):
+                    try:
+                        os.rename(stale, self._lock_path())
+                    except OSError:
+                        pass  # a newer lock appeared; the live owner re-locks
+                    continue
                 try:
                     os.remove(stale)
                 except FileNotFoundError:

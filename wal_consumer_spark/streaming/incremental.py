@@ -121,22 +121,33 @@ class ParquetRollupTarget:
                 out.append((int(m.group(1)), int(m.group(2))))
         return sorted(out)
 
-    @property
-    def last_batch_id(self) -> int:
-        """Highest merged streaming batch id, -1 when no state exists."""
-        vs = self._versions()
-        return vs[-1][1] if vs else -1
-
-    def read(self) -> DataFrame | None:
+    def _latest_readable(self) -> tuple[int, int, DataFrame] | None:
+        """Newest committed version whose parquet actually loads. read()
+        and last_batch_id MUST agree on this: if last_batch_id reported a
+        newer-but-unreadable version while read() fell back to an older
+        one, the newer version's batch would be skipped as 'already
+        applied' while its deltas are missing from the state served —
+        silent data loss. Deriving both from the same newest-READABLE
+        version means an out-of-band-damaged newest version degrades to
+        'that batch replays', which the id guard then re-merges correctly."""
         for v, b in reversed(self._versions()):
             try:
-                return self.spark.read.parquet(f"{self.path}/v{v}_b{b}")
+                df = self.spark.read.parquet(f"{self.path}/v{v}_b{b}")
+                return v, b, df
             except Exception:
-                # out-of-band cleanup of a newer version dir must not kill
-                # the stream inside foreachBatch — fall back to the next
-                # older committed version instead of discarding all state.
-                continue
+                continue  # damaged/cleaned out-of-band: fall back one version
         return None
+
+    @property
+    def last_batch_id(self) -> int:
+        """Highest batch id merged into the newest READABLE version, -1
+        when no readable state exists (see _latest_readable)."""
+        latest = self._latest_readable()
+        return latest[1] if latest else -1
+
+    def read(self) -> DataFrame | None:
+        latest = self._latest_readable()
+        return latest[2] if latest else None
 
     def write(self, df: DataFrame, batch_id: int) -> None:
         vs = self._versions()
