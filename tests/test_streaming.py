@@ -600,3 +600,25 @@ def test_rollup_damaged_newest_version_falls_back_and_remerges(spark, tmp_path):
     merge_batch_into(rollup, target, spark.createDataFrame([("a", 2.0)], "k STRING, v DOUBLE"), 1)
     final = {r["k"]: (r["n"], r["total"]) for r in rollup.finish(target.read()).collect()}
     assert final["a"][0] == 2 and abs(final["a"][1] - 3.0) < 1e-9
+
+
+def test_max_files_per_trigger_drains_in_bounded_batches(spark, tmp_path):
+    """Ingest rate limiting (R12's production knob): with
+    maxFilesPerTrigger=1, an N-file backlog drains as N micro-batches —
+    each trigger's work is bounded by one WAL file, the backpressure
+    control for a consumer restarted against a deep backlog."""
+    wal, ckpt, tgt = str(tmp_path / "wal"), str(tmp_path / "ckpt"), str(tmp_path / "tgt")
+    next_id = 1
+    for i in range(3):
+        next_id = _write_wal_file(
+            spark, wal, [(10 + i, "ADD", f"v{i}")], start_id=next_id
+        )
+    target = ParquetKeyValueTarget(spark, tgt)
+    batches = []
+    c = WalStreamConsumer(
+        spark, wal, ckpt, target, max_files_per_trigger=1,
+        callback=lambda df: batches.append(df.count()) or True,
+    )
+    _drain(c)
+    assert _state(target) == {10: "v0", 11: "v1", 12: "v2"}
+    assert batches == [1, 1, 1]  # one file -> one record per micro-batch
