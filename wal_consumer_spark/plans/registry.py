@@ -38,24 +38,25 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: flagship TPC-H, join variants, as-of/interval, sort/set-ops, aggregates,
 #: sketches (CMS/HLL/approx-distinct), window functions, scalar families,
 #: CDC, dedup (exact/minhash/simhash/jaccard/clusters), similarity search,
-#: text analysis, multimodal, UDFs, stream-batch analogs, and the curation
-#: pipeline. The TPC-H bulk and remaining per-family variants follow after;
-#: any spec without an oracle sorts last so it can never burn a window slot
-#: on a rows-only check.
+#: text analysis, multimodal, UDFs, stream-batch analogs, the curation
+#: pipeline (corpus curation, train split, decontamination), and the SQL
+#: front door. The TPC-H bulk and remaining per-family variants follow
+#: after; any spec without an oracle sorts last so it can never burn a
+#: window slot on a rows-only check.
 DRIVER_WINDOW: list[str] = [
     "q1_pricing_summary",
     "q5_region_revenue",
     "join_inner_basic",
     "join_full_outer",
     "join_theta_nonequi",
-    "join_range_band",
+    "pipeline_train_split",
     "asof_join_events_orders",
     "join_interval_overlap",
     "topk_global",
     "sort_multi_nulls",
     "set_union_distinct",
-    "set_except",
-    "dedup_keep_first",
+    "pipeline_decontaminate",
+    "sql_front_agg_join",
     "agg_group_stats",
     "agg_count_distinct",
     "agg_approx_count_distinct",
