@@ -171,3 +171,40 @@ def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("neutral")
         .alias("label"),
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+    vocab AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM vocab)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           round(AVG(-ln(n / total)), 6) AS avg_neg_logprob
+    FROM tok JOIN vocab USING (t) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    doc="Unigram LM quality score (the CCNet-style perplexity-filter "
+        "primitive, with the corpus itself as the LM): per-doc average "
+        "negative log-probability of its tokens under corpus-wide unigram "
+        "frequencies. The vocab side is O(|vocab|) and broadcast; the only "
+        "corpus-sized shuffle is the (doc, token) re-aggregation. At "
+        "100 TB the vocab table is computed once per corpus snapshot and "
+        "reused across scoring runs.",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    total = vocab.agg(F.sum("n").cast("double").alias("total"))
+    return (
+        tok.join(F.broadcast(vocab), "t")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("n") / F.col("total"))), 6)
+            .alias("avg_neg_logprob"),
+        )
+    )
