@@ -471,3 +471,45 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c_acctbal").cast("double").alias("max_bal"),
         F.min("c_acctbal").cast("double").alias("min_bal"),
     )
+
+
+@register(
+    "agg_approx_quantiles_bounded",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(quantile_cont(o_totalprice, 0.10) AS DOUBLE) AS p10_lo,
+           CAST(quantile_cont(o_totalprice, 0.90) AS DOUBLE) AS p90_hi,
+           TRUE AS approx_within_rank_eps
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="approx_percentile (KLL/GK-style mergeable quantile sketch): the "
+        "100 TB path for percentiles — bounded memory, partial-mergeable, "
+        "vs the exact percentile aggregate that buffers each group. The "
+        "sketch value is implementation-defined, so the output is engine-"
+        "independent: the exact p10/p90 rank-error envelope plus an "
+        "in-plan boolean that the approx median (accuracy 100 -> rank "
+        "error <= 1%) lands inside the exact [p50-eps, p50+eps] value "
+        "band, computed here with eps = 40 percentile points of slack "
+        "around the median (generous vs the 1% guarantee; the envelope "
+        "bounds are what the oracle asserts).",
+)
+def agg_approx_quantiles_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.10)").alias("__p10"),
+            F.expr("percentile(o_totalprice, 0.90)").alias("__p90"),
+            F.expr("approx_percentile(o_totalprice, 0.5, 100)").alias("__ap50"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("__p10").cast("double").alias("p10_lo"),
+            F.col("__p90").cast("double").alias("p90_hi"),
+            (
+                (F.col("__ap50") >= F.col("__p10"))
+                & (F.col("__ap50") <= F.col("__p90"))
+            ).alias("approx_within_rank_eps"),
+        )
+        .orderBy("o_orderpriority")
+    )
