@@ -15,4 +15,5 @@ from wal_consumer_spark.plans import streaming_batch  # noqa: F401,E402
 from wal_consumer_spark.plans import textml  # noqa: F401,E402
 from wal_consumer_spark.plans import curation  # noqa: F401,E402
 from wal_consumer_spark.plans import sqlfront  # noqa: F401,E402
+from wal_consumer_spark.plans import timeseries  # noqa: F401,E402
 from wal_consumer_spark.plans import udfs  # noqa: F401,E402
