@@ -331,3 +331,49 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(k, 2).alias("shl"),
         F.shiftright(k, 3).alias("shr"),
     )
+
+
+@register(
+    "scalar_struct_funcs",
+    oracle="""
+    SELECT c_custkey,
+           struct_extract({'name': c_name, 'nation': c_nationkey,
+                           'bal_cents': CAST(round(c_acctbal * 100) AS BIGINT)},
+                          'name') AS s_name,
+           struct_extract(struct_extract(
+               {'id': c_custkey,
+                'geo': {'nation': c_nationkey, 'segment': c_mktsegment}},
+               'geo'), 'segment') AS nested_segment,
+           struct_extract({'a': c_nationkey, 'b': c_custkey}, 'a')
+               + struct_extract({'a': c_nationkey, 'b': c_custkey}, 'b')
+               AS sum_fields
+    FROM customer WHERE c_custkey <= 200
+    """,
+    doc="Struct scalar family: named_struct construction, field extraction, "
+        "two-level nesting — the building blocks of typed multimodal "
+        "metadata columns (SURVEY.md §2.B). Output columns are the "
+        "extracted flat fields so both engines compare value-for-value "
+        "(struct rendering differs across engines; the ops are what is "
+        "under test).",
+)
+def scalar_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    flat = F.struct(
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nation"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    nested = F.struct(
+        F.col("c_custkey").alias("id"),
+        F.struct(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        ).alias("geo"),
+    )
+    two = F.struct(F.col("c_nationkey").alias("a"), F.col("c_custkey").alias("b"))
+    return c.select(
+        "c_custkey",
+        flat.getField("name").alias("s_name"),
+        nested.getField("geo").getField("segment").alias("nested_segment"),
+        (two.getField("a") + two.getField("b")).alias("sum_fields"),
+    )
