@@ -154,3 +154,17 @@ def test_global_shuffle_uses_range_partitioned_sort(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower(), plan[:2000]
     assert "Exchange SinglePartition" not in plan, plan[:2000]
+
+
+def test_keyless_range_join_is_not_nested_loop(spark):
+    """join_range_keyless_binned has no equi key in its *logical* condition,
+    which naively plans as BroadcastNestedLoopJoin (O(n*m) comparisons). The
+    binned formulation must surface a hash-joinable bin key: the physical
+    plan carries a real equi join and no nested-loop/cartesian operator."""
+    from wal_consumer_spark.plans import all_specs
+
+    df = all_specs()["join_range_keyless_binned"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan[:2000]

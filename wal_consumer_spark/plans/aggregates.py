@@ -513,3 +513,58 @@ def agg_approx_quantiles_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "agg_corr_regression",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                        * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                        * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS corr_qty_price,
+           round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+           round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 4) AS intercept,
+           round((n*sxy - sx*sy) * (n*sxy - sx*sy)
+                 / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+    FROM s
+    """,
+    doc="Pearson correlation + OLS regression (slope/intercept/R^2) of "
+        "l_extendedprice on l_quantity per return flag. Built-in corr()/"
+        "regr_*() stream doubles and are partition-order dependent, so both "
+        "engines instead derive the statistics from exact decimal power "
+        "sums (n, sx, sy, sxx, syy, sxy) — a single map-side-combinable "
+        "aggregate pass, then identical double arithmetic on 6 scalars. "
+        "Mergeable partials: the same trick the variance query uses "
+        "(agg_group_stats), extended to the bivariate moment matrix.",
+)
+def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    n = F.count(F.lit(1))
+    sx = F.sum(x).cast("double")
+    sy = F.sum(y).cast("double")
+    sxx = F.sum(x * x).cast("double")
+    syy = F.sum(y * y).cast("double")
+    sxy = F.sum(x * y).cast("double")
+    covn = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        F.round(covn / F.sqrt(varx * vary), 6).alias("corr_qty_price"),
+        F.round(covn / varx, 6).alias("slope"),
+        F.round((sy - (covn / varx) * sx) / n, 4).alias("intercept"),
+        F.round(covn * covn / (varx * vary), 6).alias("r2"),
+    )

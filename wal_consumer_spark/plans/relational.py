@@ -593,3 +593,69 @@ def asof_join_forward_events_orders(spark: SparkSession, sf_dir: str) -> DataFra
         direction="forward",
     )
     return joined.select("event_id", "user_id", "event_type", "next_orderkey", "next_totalprice")
+
+
+@register(
+    "join_range_keyless_binned",
+    oracle="""
+    WITH w AS (
+        SELECT event_id AS window_id,
+               CAST(ts AS TIMESTAMP) AS w_start,
+               CAST(ts AS TIMESTAMP) + INTERVAL 2 HOUR AS w_end
+        FROM events WHERE event_id % 499 = 0
+    )
+    SELECT w.window_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM w JOIN events e
+      ON CAST(e.ts AS TIMESTAMP) >= w.w_start
+     AND CAST(e.ts AS TIMESTAMP) <  w.w_end
+    GROUP BY w.window_id
+    """,
+    doc="Keyless interval join, binned formulation. Every 499th event opens a "
+        "2-hour 'incident window'; count/sum all events (any user) landing "
+        "inside each window. There is NO equi key, so the naive plan is a "
+        "BroadcastNestedLoopJoin — O(|e|x|w|) comparisons, the one join shape "
+        "that cannot survive 100 TB. Scale path: discretize time into 1-hour "
+        "bins, explode each window into the bins it covers (<=3 rows), "
+        "equi-join on the bin, keep the range predicate as a residual filter. "
+        "An event's bin hits exactly one exploded row per window, so no "
+        "dedupe is needed. The bin join is left un-hinted: AQE broadcasts "
+        "the window side while it fits and falls back to a shuffled hash "
+        "join on the bin when it does not. Plan asserted nested-loop-free "
+        "in tests/test_scale_plans.py.",
+)
+def join_range_keyless_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    w = (
+        e.filter(F.col("event_id") % 499 == 0)
+        .select(
+            F.col("event_id").alias("window_id"),
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOUR")).alias("w_end"),
+        )
+        .withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    F.date_trunc("hour", F.col("w_start")),
+                    F.date_trunc("hour", F.col("w_end")),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ),
+        )
+    )
+    eb = e.withColumn("bin", F.date_trunc("hour", F.col("ts")))
+    return (
+        eb.join(
+            w,
+            (eb["bin"] == w["bin"])
+            & (eb["ts"] >= w["w_start"])
+            & (eb["ts"] < w["w_end"]),
+        )
+        .groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+        )
+    )

@@ -92,3 +92,148 @@ def ts_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("staleness_s"),
     )
+
+
+@register(
+    "ts_resample_interp",
+    oracle=f"""
+    WITH grid AS (
+        SELECT u.user_id, g.gts
+        FROM (SELECT DISTINCT user_id FROM events) u
+        CROSS JOIN (
+            SELECT unnest(generate_series(
+                TIMESTAMP '{_GRID_START}', TIMESTAMP '{_GRID_END}',
+                INTERVAL 1 DAY)) AS gts
+        ) g
+    ),
+    ev AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               max_by(round(value, 2), event_id) AS obs_value
+        FROM events GROUP BY user_id, CAST(ts AS TIMESTAMP)
+    ),
+    prev AS (
+        SELECT grid.user_id, grid.gts, ev.ts AS pts, ev.obs_value AS pv
+        FROM grid ASOF LEFT JOIN ev
+          ON grid.user_id = ev.user_id AND ev.ts <= grid.gts
+    ),
+    nxt AS (
+        SELECT grid.user_id, grid.gts, ev.ts AS nts, ev.obs_value AS nv
+        FROM grid ASOF LEFT JOIN ev
+          ON grid.user_id = ev.user_id AND ev.ts >= grid.gts
+    )
+    SELECT p.user_id, p.gts AS grid_ts,
+           round(CASE
+               WHEN p.pts IS NOT NULL AND n.nts IS NOT NULL AND n.nts <> p.pts
+               THEN p.pv + (n.nv - p.pv)
+                    * (CAST(floor(epoch(p.gts)) - floor(epoch(p.pts)) AS DOUBLE)
+                       / CAST(floor(epoch(n.nts)) - floor(epoch(p.pts)) AS DOUBLE))
+               WHEN p.pts IS NOT NULL THEN p.pv
+           END, 4) AS interp_value,
+           (p.pts IS NOT NULL AND n.nts IS NOT NULL) AS bracketed
+    FROM prev p JOIN nxt n ON p.user_id = n.user_id AND p.gts = n.gts
+    """,
+    doc="Resample to the daily grid with LINEAR INTERPOLATION between the "
+        "bracketing observations: backward as-of picks the newest obs at or "
+        "before each grid point, forward as-of the earliest at or after; "
+        "value = pv + (nv-pv) * elapsed/gap. Falls back to carry-forward "
+        "when only the left neighbour exists, NULL before the first obs; "
+        "`bracketed` flags true interpolation. Both as-of passes are the "
+        "single-shuffle union+window carry (operators/asof.py) — two narrow "
+        "shuffles + one (user,grid_ts) equi-join, no per-pair range "
+        "explosion at any scale. DuckDB replays with two native ASOF joins.",
+)
+def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    users = e.select("user_id").distinct()
+    grid = users.crossJoin(
+        F.broadcast(
+            spark.range(1).select(
+                F.explode(
+                    F.sequence(
+                        F.lit(_GRID_START).cast("timestamp"),
+                        F.lit(_GRID_END).cast("timestamp"),
+                        F.expr("interval 1 day"),
+                    )
+                ).alias("grid_ts")
+            )
+        )
+    )
+    obs = e.groupBy("user_id", "ts").agg(
+        F.max_by(F.round("value", 2), F.col("event_id")).alias("obs_value")
+    )
+    prev = asof_join(
+        grid,
+        obs.select("user_id", F.col("ts"), F.col("obs_value").alias("pv"),
+                   F.col("ts").alias("pts")),
+        left_key="user_id", right_key="user_id",
+        left_ts="grid_ts", right_ts="ts",
+        payload_cols=["pv", "pts"],
+    ).select("user_id", "grid_ts", "pv", "pts")
+    nxt = asof_join(
+        grid,
+        obs.select("user_id", F.col("ts"), F.col("obs_value").alias("nv"),
+                   F.col("ts").alias("nts")),
+        left_key="user_id", right_key="user_id",
+        left_ts="grid_ts", right_ts="ts",
+        payload_cols=["nv", "nts"],
+        direction="forward",
+    ).select("user_id", "grid_ts", "nv", "nts")
+    j = prev.join(nxt, ["user_id", "grid_ts"])
+    gd = (F.unix_timestamp("grid_ts") - F.unix_timestamp("pts")).cast("double")
+    nd = (F.unix_timestamp("nts") - F.unix_timestamp("pts")).cast("double")
+    interp = F.when(
+        F.col("pts").isNotNull() & F.col("nts").isNotNull()
+        & (F.col("nts") != F.col("pts")),
+        F.col("pv") + (F.col("nv") - F.col("pv")) * (gd / nd),
+    ).when(F.col("pts").isNotNull(), F.col("pv"))
+    return j.select(
+        "user_id",
+        "grid_ts",
+        F.round(interp, 4).alias("interp_value"),
+        (F.col("pts").isNotNull() & F.col("nts").isNotNull()).alias("bracketed"),
+    )
+
+
+@register(
+    "ts_hierarchical_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type, date_trunc('day', CAST(ts AS TIMESTAMP))
+    """,
+    doc="Hierarchical (hypertable-style) rollup: aggregate events to "
+        "(event_type, hour) partials first, then merge the hourly partials "
+        "into daily totals — the continuous-aggregate pattern where coarse "
+        "resolutions are maintained FROM the fine ones instead of rescanning "
+        "raw data. Correctness hinges on mergeable partials: the hourly sum "
+        "stays DECIMAL (exact, associative) until the final daily merge, so "
+        "the two-level result is bit-identical to the oracle's direct "
+        "single-level aggregation. At 100 TB the first level is the only "
+        "pass over raw data; the second aggregates ~24x fewer rows, and the "
+        "same merge runs incrementally per micro-batch in "
+        "streaming/incremental.py.",
+)
+def ts_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_partial"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_partial"),
+        )
+    )
+    return (
+        hourly.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("hour")).alias("day"),
+        )
+        .agg(
+            F.sum("n_partial").alias("n_events"),
+            F.sum("sum_partial").cast("double").alias("sum_value"),
+        )
+    )

@@ -243,3 +243,56 @@ def win_first_last_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("big_val", ignorenulls=True).over(w).alias("first_big"),
         F.last("big_val", ignorenulls=True).over(w).alias("last_big"),
     )
+
+
+@register(
+    "win_zscore_outliers",
+    oracle="""
+    WITH s AS (
+        SELECT event_id, user_id, value,
+               COUNT(*) OVER (PARTITION BY user_id) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,2)))
+                    OVER (PARTITION BY user_id) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))
+                        * CAST(value AS DECIMAL(12,2)))
+                    OVER (PARTITION BY user_id) AS DOUBLE) AS sxx
+        FROM events
+    )
+    SELECT event_id, user_id, round(value, 2) AS obs_value,
+           round((value - sx / n)
+                 / sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS z
+    FROM s
+    WHERE n >= 10
+      AND (sxx - sx * sx / n) / (n - 1) > 0
+      AND abs((value - sx / n)
+              / sqrt((sxx - sx * sx / n) / (n - 1))) > 2.5
+    """,
+    doc="Per-entity anomaly detection: z-score each event against its "
+        "user's mean/stddev and keep |z| > 2.5 outliers. The moments come "
+        "from exact decimal power sums over an unordered partition window "
+        "(order-independent, both engines bit-identical); users with <10 "
+        "events or zero variance are excluded. One hash shuffle on user_id; "
+        "at 100 TB the same statistics could come from a pre-aggregated "
+        "per-user profile broadcast against the stream.",
+)
+def win_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    d = F.col("value").cast("decimal(12,2)")
+    w = Window.partitionBy("user_id")
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum(d).over(w).cast("double")
+    sxx = F.sum(d * d).over(w).cast("double")
+    mean = sx / n
+    var = (sxx - sx * sx / n) / (n - F.lit(1))
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.round("value", 2).alias("obs_value"),
+            F.round(z, 4).alias("z"),
+            n.alias("__n"), var.alias("__var"), z.alias("__z"),
+        )
+        .filter((F.col("__n") >= 10) & (F.col("__var") > 0) & (F.abs("__z") > 2.5))
+        .drop("__n", "__var", "__z")
+    )
