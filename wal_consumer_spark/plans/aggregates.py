@@ -568,3 +568,106 @@ def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sy - (covn / varx) * sx) / n, 4).alias("intercept"),
         F.round(covn * covn / (varx * vary), 6).alias("r2"),
     )
+
+
+@register(
+    "agg_histogram_totalprice",
+    oracle="""
+    SELECT LEAST(CAST(floor(o_totalprice / 50000) AS BIGINT), 9) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS bucket_total
+    FROM orders
+    GROUP BY LEAST(CAST(floor(o_totalprice / 50000) AS BIGINT), 9)
+    """,
+    doc="Fixed-width histogram of order value: 10 buckets of 50k with the "
+        "last bucket open-ended (width_bucket semantics spelled out as "
+        "floor+least so both engines share the exact expression). The "
+        "bucketing is a scan-resident projection; the aggregation sees at "
+        "most 10 groups, so partial (map-side) aggregation reduces each "
+        "task's output to <=10 rows before a trivial exchange — the "
+        "histogram costs one data pass at any scale.",
+)
+def agg_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / 50000).cast("long"), F.lit(9).cast("long")
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "bucket_total"),
+        )
+    )
+
+
+@register(
+    "agg_profile_orders",
+    oracle="""
+    SELECT 'o_orderkey' AS col,
+           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_s
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR),
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate',
+           CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+           CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR),
+           CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           MIN(o_orderpriority),
+           MAX(o_orderpriority)
+    FROM orders
+    """,
+    doc="Data-profiling summary: one output row per profiled column with "
+        "null count, distinct count, and string-rendered min/max (numerics "
+        "rendered through DECIMAL and dates through ISO casts so both "
+        "engines print identically). The Spark side computes every metric "
+        "in a SINGLE aggregation pass and unpivots with stack() — the "
+        "oracle's 4x UNION ALL rescans are the naive formulation this "
+        "replaces; at 100 TB profiling N columns costs one scan, not N.",
+)
+def agg_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    row = o.agg(
+        (n - F.count("o_orderkey")).alias("k_null"),
+        F.countDistinct("o_orderkey").alias("k_dist"),
+        F.min("o_orderkey").cast("string").alias("k_min"),
+        F.max("o_orderkey").cast("string").alias("k_max"),
+        (n - F.count("o_totalprice")).alias("p_null"),
+        F.countDistinct("o_totalprice").alias("p_dist"),
+        F.min(F.col("o_totalprice").cast("decimal(12,2)")).cast("string").alias("p_min"),
+        F.max(F.col("o_totalprice").cast("decimal(12,2)")).cast("string").alias("p_max"),
+        (n - F.count("o_orderdate")).alias("d_null"),
+        F.countDistinct("o_orderdate").alias("d_dist"),
+        F.min(F.col("o_orderdate").cast("date")).cast("string").alias("d_min"),
+        F.max(F.col("o_orderdate").cast("date")).cast("string").alias("d_max"),
+        (n - F.count("o_orderpriority")).alias("pr_null"),
+        F.countDistinct("o_orderpriority").alias("pr_dist"),
+        F.min("o_orderpriority").alias("pr_min"),
+        F.max("o_orderpriority").alias("pr_max"),
+    )
+    return row.select(
+        F.expr(
+            "stack(4, "
+            "'o_orderkey', k_null, k_dist, k_min, k_max, "
+            "'o_totalprice', p_null, p_dist, p_min, p_max, "
+            "'o_orderdate', d_null, d_dist, d_min, d_max, "
+            "'o_orderpriority', pr_null, pr_dist, pr_min, pr_max) "
+            "AS (col, n_null, n_distinct, min_s, max_s)"
+        )
+    )

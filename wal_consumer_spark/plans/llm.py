@@ -834,3 +834,46 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = attach_media_columns(d, "doc_id", "text", "source")
     return extract_features(media).filter(F.col("n_bytes") > 0)
+
+
+@register(
+    "sim_label_centroids",
+    oracle="""
+    WITH flat AS (
+        SELECT label,
+               unnest(range(len(embedding))) AS dim,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS qval
+        FROM embeddings
+    )
+    SELECT label, dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           round(CAST(SUM(qval) AS DOUBLE) / 1000000 / COUNT(*), 6)
+               AS centroid_val
+    FROM flat GROUP BY label, dim
+    """,
+    doc="Per-label embedding centroid (the k-means E-step / IVF coarse-"
+        "quantizer training primitive) as a pure relational plan: posexplode "
+        "the vector to (label, dim, value) rows, quantize each float to an "
+        "exact micro-unit BIGINT (round(x*1e6) — float sums in double are "
+        "partition-order dependent, int64 sums are exact and associative), "
+        "then one hash aggregation on (label, dim). Scale: the explode is "
+        "map-side (no shuffle), the aggregate shuffles label*dim groups — "
+        "independent of row count; partial aggregation compresses each map "
+        "task to <=|labels|*dim rows before the exchange.",
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label",
+        F.posexplode("embedding").alias("dim", "val"),
+    ).select(
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("val").cast("double") * 1000000).cast("long").alias("qval"),
+    )
+    return flat.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.sum("qval").cast("double") / 1000000 / F.count(F.lit(1)), 6)
+            .alias("centroid_val"),
+    )

@@ -659,3 +659,47 @@ def join_range_keyless_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value", "sum_value"),
         )
     )
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+    WITH c AS (
+        SELECT CASE WHEN c_custkey % 11 = 0 THEN NULL
+                    ELSE c_nationkey END AS ck
+        FROM customer
+    ),
+    s AS (
+        SELECT CASE WHEN s_suppkey % 5 = 0 THEN NULL
+                    ELSE s_nationkey END AS sk
+        FROM supplier
+    )
+    SELECT COALESCE(c.ck, -1) AS nation_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM c JOIN s ON c.ck IS NOT DISTINCT FROM s.sk
+    GROUP BY COALESCE(c.ck, -1)
+    """,
+    doc="Null-safe equality join (Spark <=> / SQL IS NOT DISTINCT FROM): "
+        "NULL keys match each other instead of vanishing, here on "
+        "deterministically nulled nation keys. Spark plans <=> as a real "
+        "hash-join key (NULLs hash to one partition) — semantically an "
+        "equi join, so no nested loop; note the NULL bucket is the "
+        "canonical skew hot spot at scale, the case operators/skew.py's "
+        "salted_join exists for.",
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(None))
+        .otherwise(F.col("c_nationkey"))
+        .alias("ck")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.when(F.col("s_suppkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("s_nationkey"))
+        .alias("sk")
+    )
+    return (
+        c.join(s, c["ck"].eqNullSafe(s["sk"]))
+        .groupBy(F.coalesce(c["ck"], F.lit(-1)).alias("nation_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
