@@ -17,3 +17,4 @@ from wal_consumer_spark.plans import curation  # noqa: F401,E402
 from wal_consumer_spark.plans import sqlfront  # noqa: F401,E402
 from wal_consumer_spark.plans import timeseries  # noqa: F401,E402
 from wal_consumer_spark.plans import udfs  # noqa: F401,E402
+from wal_consumer_spark.plans import analytics  # noqa: F401,E402
