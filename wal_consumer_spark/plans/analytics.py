@@ -109,3 +109,78 @@ def analytics_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("funnel_stage")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+_PR_ITERS = 3
+_Q_INIT = 40_000_000_000  # 1/25 * 1e12, exact
+_Q_TELEPORT = 6_000_000_000  # 0.15/25 * 1e12, exact
+
+
+@register(
+    "graph_pagerank",
+    oracle="""
+    WITH edges AS (
+        SELECT a.n_nationkey AS u, b.n_nationkey AS v
+        FROM nation a JOIN nation b
+          ON a.n_regionkey = b.n_regionkey
+         AND a.n_nationkey <> b.n_nationkey
+    ),
+    p0 AS (SELECT n_nationkey AS node, CAST(40000000000 AS BIGINT) AS q FROM nation),
+    p1 AS (
+        SELECT e.v AS node,
+               CAST(round(0.85 * CAST(SUM(p.q // 4) AS DOUBLE)) AS BIGINT)
+                   + 6000000000 AS q
+        FROM edges e JOIN p0 p ON p.node = e.u GROUP BY e.v
+    ),
+    p2 AS (
+        SELECT e.v AS node,
+               CAST(round(0.85 * CAST(SUM(p.q // 4) AS DOUBLE)) AS BIGINT)
+                   + 6000000000 AS q
+        FROM edges e JOIN p1 p ON p.node = e.u GROUP BY e.v
+    ),
+    p3 AS (
+        SELECT e.v AS node,
+               CAST(round(0.85 * CAST(SUM(p.q // 4) AS DOUBLE)) AS BIGINT)
+                   + 6000000000 AS q
+        FROM edges e JOIN p2 p ON p.node = e.u GROUP BY e.v
+    )
+    SELECT n.n_name, round(CAST(p3.q AS DOUBLE) / 1000000000000, 10) AS pagerank
+    FROM p3 JOIN nation n ON n.n_nationkey = p3.node
+    """,
+    doc="PageRank (3 power iterations, damping 0.85) over the intra-region "
+        "nation digraph, as repeated join+aggregate passes. Floating-point "
+        "sums would drift with partition order across engines, so every "
+        "iteration runs in FIXED-POINT: ranks live as exact 1e-12-unit "
+        "BIGINTs, contributions use integer division by out-degree, and "
+        "only the damping multiply touches (deterministic single-op) double "
+        "arithmetic before re-quantizing. Same loop shape as connected "
+        "components (operators/graph.py): per iteration one equi-join + one "
+        "aggregation, localCheckpoint per round at real graph sizes to cut "
+        "lineage; the oracle unrolls the identical 3 iterations as chained "
+        "CTEs.",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    a = n.select(F.col("n_nationkey").alias("u"), F.col("n_regionkey").alias("ru"))
+    b = n.select(F.col("n_nationkey").alias("v"), F.col("n_regionkey").alias("rv"))
+    edges = a.join(b, (F.col("ru") == F.col("rv")) & (F.col("u") != F.col("v"))).select(
+        "u", "v"
+    )
+    pr = n.select(
+        F.col("n_nationkey").alias("node"), F.lit(_Q_INIT).cast("long").alias("q")
+    )
+    for _ in range(_PR_ITERS):
+        pr = (
+            edges.join(pr, edges["u"] == pr["node"])
+            .groupBy(F.col("v").alias("node"))
+            .agg(
+                (
+                    F.round(0.85 * F.sum(F.expr("q div 4")).cast("double")).cast("long")
+                    + F.lit(_Q_TELEPORT)
+                ).alias("q")
+            )
+        )
+    return pr.join(n, pr["node"] == n["n_nationkey"]).select(
+        "n_name",
+        F.round(F.col("q").cast("double") / 1_000_000_000_000, 10).alias("pagerank"),
+    )
