@@ -59,12 +59,15 @@ def _build(spark, duck, spec):
     table, part, order, desc, fn, offset = spec
     _, _, pk, money = _TABLES[table]
     df = load_table(spark, SF_SMOKE, table)
-    # unique total order inside each partition: order col + pk tiebreak
+    # unique total order inside each partition: order col + pk tiebreak.
+    # Null placement is EXPLICIT on both sides: Spark's ASC default is
+    # NULLS FIRST while DuckDB's is NULLS LAST, so relying on defaults would
+    # silently diverge the moment a nullable order column joins _TABLES.
     ob = [
-        F.col(order).desc() if desc else F.col(order).asc(),
+        F.col(order).desc_nulls_last() if desc else F.col(order).asc_nulls_first(),
         F.col(pk).asc(),
     ]
-    dir_sql = "DESC" if desc else "ASC"
+    dir_sql = "DESC NULLS LAST" if desc else "ASC NULLS FIRST"
     over = (
         f"PARTITION BY {part} ORDER BY {order} {dir_sql}, {pk} ASC"
     )

@@ -168,3 +168,51 @@ def test_keyless_range_join_is_not_nested_loop(spark):
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan[:2000]
+
+
+def test_cohort_retention_single_scan_single_wide_shuffle(spark):
+    """analytics_cohort_retention derives the cohort day with a window over
+    the same user_id partitioning as the dedupe — one events scan, one wide
+    exchange, no self-join (code-review r2: the join formulation scanned and
+    shuffled the corpus twice while claiming one pass)."""
+    from wal_consumer_spark.plans import all_specs
+
+    df = all_specs()["analytics_cohort_retention"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_dynamic_partition_pruning_on_partitioned_ingest(spark, tmp_path):
+    """Facts written through sources/ingest.py partitioned on the join key
+    get DYNAMIC partition pruning when joined to a filtered dim: Catalyst
+    injects a dynamicpruning subquery into the scan's PartitionFilters, so
+    at 100 TB only the partitions matching the dim filter are read at all —
+    runtime scan skipping, no manual predicate needed."""
+    from pyspark.sql import functions as F
+
+    from wal_consumer_spark.sources.ingest import write_compacted
+    from wal_consumer_spark.sources.tables import load_table
+
+    path = str(tmp_path / "orders_by_priority")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    write_compacted(orders, path, partition_by=["o_orderpriority"])
+
+    facts = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("1-URGENT", 1), ("2-HIGH", 2), ("3-MEDIUM", 3),
+         ("4-NOT SPECIFIED", 4), ("5-LOW", 5)],
+        "prio string, rank int",
+    ).filter(F.col("rank") == 1)
+    joined = facts.join(
+        F.broadcast(dim), facts["o_orderpriority"] == dim["prio"]
+    ).groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:3000]
+    # and the pruned result is correct
+    rows = {r["o_orderpriority"]: r["n"] for r in joined.collect()}
+    expected = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    )
+    assert rows == {"1-URGENT": expected}

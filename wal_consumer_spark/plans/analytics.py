@@ -9,7 +9,7 @@ every later step, so cost is one narrow hash shuffle at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wal_consumer_spark.plans.registry import register
@@ -35,21 +35,22 @@ from wal_consumer_spark.sources.tables import load_table
     """,
     doc="Cohort retention triangle: each user is cohorted by their first "
         "active day; n_users counts how many of each cohort were active "
-        "again N days later. Plan: dedupe (user, day) -> per-user min -> "
-        "self-join on user_id -> (cohort, offset) count-distinct. The "
-        "dedupe, the min, and the join all share the user_id hash "
-        "partitioning, so the whole query is ONE wide shuffle plus a "
-        "final small aggregation (output is bounded by days^2/2, "
-        "independent of event volume).",
+        "again N days later. Plan: ONE corpus scan, ONE wide shuffle — an "
+        "explicit repartition(user_id) whose partitioning satisfies the "
+        "(user_id, day) dedupe AND the min-over-user window (cohort day "
+        "derived in-stream, no self-join / second scan), then a final "
+        "aggregation over the bounded (cohort, offset) grid (<= days^2/2 "
+        "groups, independent of event volume). Plan shape asserted in "
+        "tests/test_scale_plans.py.",
 )
 def analytics_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("d")
     )
-    act = e.distinct()
-    firsts = act.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    act = e.repartition("user_id").distinct()
+    cohort = F.min("d").over(Window.partitionBy("user_id"))
     return (
-        act.join(firsts, "user_id")
+        act.withColumn("cohort_day", cohort)
         .groupBy(
             F.col("cohort_day").cast("timestamp").alias("cohort_day"),
             F.datediff(F.col("d"), F.col("cohort_day")).cast("long").alias("day_offset"),
@@ -125,24 +126,41 @@ _Q_TELEPORT = 6_000_000_000  # 0.15/25 * 1e12, exact
           ON a.n_regionkey = b.n_regionkey
          AND a.n_nationkey <> b.n_nationkey
     ),
-    p0 AS (SELECT n_nationkey AS node, CAST(40000000000 AS BIGINT) AS q FROM nation),
+    deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
+    nodes AS (SELECT n_nationkey AS node FROM nation),
+    p0 AS (SELECT node, CAST(40000000000 AS BIGINT) AS q FROM nodes),
+    c1 AS (
+        SELECT e.v AS node, SUM(p.q // g.d) AS contrib
+        FROM edges e JOIN deg g ON g.u = e.u JOIN p0 p ON p.node = e.u
+        GROUP BY e.v
+    ),
     p1 AS (
-        SELECT e.v AS node,
-               CAST(round(0.85 * CAST(SUM(p.q // 4) AS DOUBLE)) AS BIGINT)
+        SELECT nodes.node,
+               CAST(round(0.85 * CAST(COALESCE(c1.contrib, 0) AS DOUBLE)) AS BIGINT)
                    + 6000000000 AS q
-        FROM edges e JOIN p0 p ON p.node = e.u GROUP BY e.v
+        FROM nodes LEFT JOIN c1 ON c1.node = nodes.node
+    ),
+    c2 AS (
+        SELECT e.v AS node, SUM(p.q // g.d) AS contrib
+        FROM edges e JOIN deg g ON g.u = e.u JOIN p1 p ON p.node = e.u
+        GROUP BY e.v
     ),
     p2 AS (
-        SELECT e.v AS node,
-               CAST(round(0.85 * CAST(SUM(p.q // 4) AS DOUBLE)) AS BIGINT)
+        SELECT nodes.node,
+               CAST(round(0.85 * CAST(COALESCE(c2.contrib, 0) AS DOUBLE)) AS BIGINT)
                    + 6000000000 AS q
-        FROM edges e JOIN p1 p ON p.node = e.u GROUP BY e.v
+        FROM nodes LEFT JOIN c2 ON c2.node = nodes.node
+    ),
+    c3 AS (
+        SELECT e.v AS node, SUM(p.q // g.d) AS contrib
+        FROM edges e JOIN deg g ON g.u = e.u JOIN p2 p ON p.node = e.u
+        GROUP BY e.v
     ),
     p3 AS (
-        SELECT e.v AS node,
-               CAST(round(0.85 * CAST(SUM(p.q // 4) AS DOUBLE)) AS BIGINT)
+        SELECT nodes.node,
+               CAST(round(0.85 * CAST(COALESCE(c3.contrib, 0) AS DOUBLE)) AS BIGINT)
                    + 6000000000 AS q
-        FROM edges e JOIN p2 p ON p.node = e.u GROUP BY e.v
+        FROM nodes LEFT JOIN c3 ON c3.node = nodes.node
     )
     SELECT n.n_name, round(CAST(p3.q AS DOUBLE) / 1000000000000, 10) AS pagerank
     FROM p3 JOIN nation n ON n.n_nationkey = p3.node
@@ -151,13 +169,16 @@ _Q_TELEPORT = 6_000_000_000  # 0.15/25 * 1e12, exact
         "nation digraph, as repeated join+aggregate passes. Floating-point "
         "sums would drift with partition order across engines, so every "
         "iteration runs in FIXED-POINT: ranks live as exact 1e-12-unit "
-        "BIGINTs, contributions use integer division by out-degree, and "
-        "only the damping multiply touches (deterministic single-op) double "
-        "arithmetic before re-quantizing. Same loop shape as connected "
-        "components (operators/graph.py): per iteration one equi-join + one "
-        "aggregation, localCheckpoint per round at real graph sizes to cut "
-        "lineage; the oracle unrolls the identical 3 iterations as chained "
-        "CTEs.",
+        "BIGINTs, contributions use integer division by the node's COMPUTED "
+        "out-degree (edges groupBy — no structural assumptions), and only "
+        "the damping multiply touches (deterministic single-op) double "
+        "arithmetic before re-quantizing. Nodes with no in-edges are kept "
+        "via a left join against the full node set (teleport-only rank), so "
+        "no rank row is silently dropped on arbitrary graphs. Same loop "
+        "shape as connected components (operators/graph.py): per iteration "
+        "one equi-join + one aggregation, localCheckpoint per round at real "
+        "graph sizes to cut lineage; the oracle unrolls the identical 3 "
+        "iterations as chained CTEs.",
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
@@ -166,19 +187,24 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = a.join(b, (F.col("ru") == F.col("rv")) & (F.col("u") != F.col("v"))).select(
         "u", "v"
     )
-    pr = n.select(
-        F.col("n_nationkey").alias("node"), F.lit(_Q_INIT).cast("long").alias("q")
-    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    ed = edges.join(deg, "u")
+    nodes = n.select(F.col("n_nationkey").alias("node"))
+    pr = nodes.withColumn("q", F.lit(_Q_INIT).cast("long"))
     for _ in range(_PR_ITERS):
-        pr = (
-            edges.join(pr, edges["u"] == pr["node"])
+        contrib = (
+            ed.join(pr, ed["u"] == pr["node"])
             .groupBy(F.col("v").alias("node"))
-            .agg(
-                (
-                    F.round(0.85 * F.sum(F.expr("q div 4")).cast("double")).cast("long")
-                    + F.lit(_Q_TELEPORT)
-                ).alias("q")
-            )
+            .agg(F.sum(F.expr("q div d")).alias("contrib"))
+        )
+        pr = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.round(
+                    0.85 * F.coalesce(F.col("contrib"), F.lit(0)).cast("double")
+                ).cast("long")
+                + F.lit(_Q_TELEPORT)
+            ).alias("q"),
         )
     return pr.join(n, pr["node"] == n["n_nationkey"]).select(
         "n_name",

@@ -181,7 +181,8 @@ def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM vocab)
     SELECT doc_id,
            COUNT(*) AS n_tokens,
-           round(AVG(-ln(n / total)), 6) AS avg_neg_logprob
+           round(CAST(SUM(CAST(round(-ln(n / total) * 1000000) AS BIGINT))
+                      AS DOUBLE) / 1000000 / COUNT(*), 6) AS avg_neg_logprob
     FROM tok JOIN vocab USING (t) CROSS JOIN tot
     GROUP BY doc_id
     """,
@@ -204,7 +205,18 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg(-F.log(F.col("n") / F.col("total"))), 6)
-            .alias("avg_neg_logprob"),
+            # Per-token -ln(p) is a deterministic scalar, but AVERAGING raw
+            # doubles is partition-order dependent; quantize each term to
+            # exact 1e-6-unit int64s so the sum is associative and both
+            # engines emit bit-identical scores (<=5e-7/token quantization,
+            # immaterial for a quality filter).
+            F.round(
+                F.sum(
+                    F.round(-F.log(F.col("n") / F.col("total")) * 1000000).cast("long")
+                ).cast("double")
+                / 1000000
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_neg_logprob"),
         )
     )

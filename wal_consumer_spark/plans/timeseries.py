@@ -73,7 +73,11 @@ def ts_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = (
         e.groupBy("user_id", "ts")
         .agg(F.max_by(F.round("value", 2), F.col("event_id")).alias("locf_value"))
-        .withColumn("obs_ts", F.col("ts"))
+        # Atomic payload: value and its timestamp travel as ONE struct so the
+        # as-of carry can never pair an older value with a newer timestamp
+        # (per-column last(ignorenulls) would desync on NULL-valued
+        # observations — DuckDB's ASOF JOIN picks whole rows).
+        .withColumn("obs", F.struct(F.col("ts").alias("ts"), F.col("locf_value").alias("v")))
     )
     out = asof_join(
         grid,
@@ -82,13 +86,13 @@ def ts_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_key="user_id",
         left_ts="grid_ts",
         right_ts="ts",
-        payload_cols=["locf_value", "obs_ts"],
+        payload_cols=["obs"],
     )
     return out.select(
         "user_id",
         "grid_ts",
-        "locf_value",
-        (F.unix_timestamp("grid_ts") - F.unix_timestamp("obs_ts"))
+        F.col("obs.v").alias("locf_value"),
+        (F.unix_timestamp("grid_ts") - F.unix_timestamp("obs.ts"))
         .cast("long")
         .alias("staleness_s"),
     )
@@ -161,23 +165,29 @@ def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = e.groupBy("user_id", "ts").agg(
         F.max_by(F.round("value", 2), F.col("event_id")).alias("obs_value")
     )
+    # Atomic (ts, value) struct payloads: per-column carries could pair an
+    # older value with a newer timestamp on NULL-valued observations.
+    pobs = obs.select(
+        "user_id", "ts",
+        F.struct(F.col("ts").alias("ts"), F.col("obs_value").alias("v")).alias("pobs"),
+    )
+    nobs = obs.select(
+        "user_id", "ts",
+        F.struct(F.col("ts").alias("ts"), F.col("obs_value").alias("v")).alias("nobs"),
+    )
     prev = asof_join(
-        grid,
-        obs.select("user_id", F.col("ts"), F.col("obs_value").alias("pv"),
-                   F.col("ts").alias("pts")),
+        grid, pobs,
         left_key="user_id", right_key="user_id",
         left_ts="grid_ts", right_ts="ts",
-        payload_cols=["pv", "pts"],
-    ).select("user_id", "grid_ts", "pv", "pts")
+        payload_cols=["pobs"],
+    ).select("user_id", "grid_ts", F.col("pobs.v").alias("pv"), F.col("pobs.ts").alias("pts"))
     nxt = asof_join(
-        grid,
-        obs.select("user_id", F.col("ts"), F.col("obs_value").alias("nv"),
-                   F.col("ts").alias("nts")),
+        grid, nobs,
         left_key="user_id", right_key="user_id",
         left_ts="grid_ts", right_ts="ts",
-        payload_cols=["nv", "nts"],
+        payload_cols=["nobs"],
         direction="forward",
-    ).select("user_id", "grid_ts", "nv", "nts")
+    ).select("user_id", "grid_ts", F.col("nobs.v").alias("nv"), F.col("nobs.ts").alias("nts"))
     j = prev.join(nxt, ["user_id", "grid_ts"])
     gd = (F.unix_timestamp("grid_ts") - F.unix_timestamp("pts")).cast("double")
     nd = (F.unix_timestamp("nts") - F.unix_timestamp("pts")).cast("double")
