@@ -123,3 +123,50 @@ def test_malformed_json_rows_are_null_not_fatal(spark):
     ).select("id", F.col("p.a").alias("a"))
     got = {r.id: r.a for r in parsed.collect()}
     assert got == {1: 1, 2: None, 3: None, 4: None}
+
+
+def test_read_text_lines_and_whole(spark, tmp_path):
+    """read_text: line mode yields one row per line across files; wholetext
+    yields one row per file preserving newlines."""
+    from wal_consumer_spark.sources.tables import read_text
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("alpha\nbeta\n")
+    (d / "b.txt").write_text("gamma\n")
+
+    lines = read_text(spark, str(d))
+    assert sorted(r["value"] for r in lines.collect()) == ["alpha", "beta", "gamma"]
+
+    whole = read_text(spark, str(d), whole=True)
+    assert sorted(r["value"] for r in whole.collect()) == ["alpha\nbeta\n", "gamma\n"]
+
+
+def test_read_binary_files_with_glob(spark, tmp_path):
+    """read_binary_files: one row per file with exact bytes; pathGlobFilter
+    prunes non-matching files at listing time; the content column feeds the
+    multimodal byte-feature kernel unchanged."""
+    from pyspark.sql import functions as F
+
+    from wal_consumer_spark.sources.tables import read_binary_files
+
+    d = tmp_path / "media"
+    d.mkdir()
+    payload = bytes(range(256))
+    (d / "x.img").write_bytes(payload)
+    (d / "y.img").write_bytes(b"\x00\x01")
+    (d / "skip.txt").write_bytes(b"nope")
+
+    df = read_binary_files(spark, str(d), glob="*.img")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"x.img", "y.img"}
+    assert bytes(rows["x.img"]["content"]) == payload
+    assert rows["x.img"]["length"] == 256
+
+    # plumbs into byte-level feature extraction (no decode needed)
+    feats = df.select(
+        F.col("path"),
+        F.length("content").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("digest"),
+    ).collect()
+    assert {f["n_bytes"] for f in feats} == {256, 2}

@@ -210,3 +210,57 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         F.round(F.col("q").cast("double") / 1_000_000_000_000, 10).alias("pagerank"),
     )
+
+
+@register(
+    "ml_feature_scaling",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))
+                        * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+               MIN(value) AS lo,
+               MAX(value) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round((e.value - s.lo) / (s.hi - s.lo), 6) AS minmax_scaled,
+           round((e.value - s.sx / s.n)
+                 / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1)), 6)
+               AS zscore_scaled
+    FROM events e JOIN stats s USING (event_type)
+    WHERE s.hi > s.lo AND s.n > 1
+    """,
+    doc="Feature scaling as fit+transform: per-feature-group statistics "
+        "(min/max + mean/std from exact decimal power sums) are FIT in one "
+        "aggregation pass into a |groups|-row profile, then BROADCAST back "
+        "onto the stream so the transform is a map-side scalar projection — "
+        "the raw data is never shuffled. This is the scale-path shape "
+        "win_zscore_outliers' doc points at: window statistics need the "
+        "corpus partitioned per entity; a broadcast profile join does not. "
+        "Groups with degenerate spread (hi == lo or n <= 1) are excluded.",
+)
+def ml_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    d = F.col("value").cast("decimal(12,2)")
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d).cast("double").alias("sx"),
+        F.sum(d * d).cast("double").alias("sxx"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+    j = e.join(F.broadcast(stats), "event_type").filter(
+        (F.col("hi") > F.col("lo")) & (F.col("n") > 1)
+    )
+    mean = F.col("sx") / F.col("n")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - F.lit(1))
+    return j.select(
+        "event_id",
+        "event_type",
+        F.round((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")), 6)
+            .alias("minmax_scaled"),
+        F.round((F.col("value") - mean) / F.sqrt(var), 6).alias("zscore_scaled"),
+    )

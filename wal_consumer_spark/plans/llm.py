@@ -877,3 +877,66 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("qval").cast("double") / 1000000 / F.count(F.lit(1)), 6)
             .alias("centroid_val"),
     )
+
+
+@register(
+    "sim_centroid_distances",
+    oracle="""
+    WITH flat AS (
+        SELECT label,
+               unnest(range(len(embedding))) AS dim,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS qval
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, dim,
+               round(CAST(SUM(qval) AS DOUBLE) / 1000000 / COUNT(*), 6)
+                   AS centroid_val
+        FROM flat GROUP BY label, dim
+    ),
+    cq AS (
+        SELECT label, dim,
+               CAST(round(centroid_val * 1000000) AS BIGINT) AS q
+        FROM cent
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           round(sqrt(CAST(SUM((a.q - b.q) * (a.q - b.q)) AS DOUBLE))
+                 / 1000000, 6) AS l2_dist
+    FROM cq a JOIN cq b ON a.dim = b.dim AND a.label < b.label
+    GROUP BY a.label, b.label
+    """,
+    doc="Pairwise L2 distance between label centroids (cluster-separation "
+        "diagnostics; the |C|^2 step of k-means centroid merging). Builds "
+        "on sim_label_centroids' exact-quantized centroids, re-quantizes to "
+        "1e-6-unit int64s, and sums SQUARED INTEGER diffs per pair — 64 "
+        "double additions per pair would be partition-order dependent, "
+        "int64 sums are exact — taking one sqrt/round at the end. The "
+        "distance matrix input is |labels|*dim rows (data-size "
+        "independent), so the self-join is a broadcast at any corpus "
+        "scale.",
+)
+def sim_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cent = sim_label_centroids(spark, sf_dir).select(
+        "label", "dim",
+        F.round(F.col("centroid_val") * 1000000).cast("long").alias("q"),
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), F.col("dim").alias("dim_a"),
+        F.col("q").alias("qa"),
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), F.col("dim").alias("dim_b"),
+        F.col("q").alias("qb"),
+    )
+    d = F.col("qa") - F.col("qb")
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("dim_a") == F.col("dim_b")) & (F.col("label_a") < F.col("label_b")),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.round(F.sqrt(F.sum(d * d).cast("double")) / 1000000, 6).alias("l2_dist")
+        )
+    )

@@ -81,3 +81,30 @@ def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
     travels with the files, predicate pushdown and column pruning apply the
     same way (Spark's native vectorized ORC reader)."""
     return spark.read.options(**options).orc(path)
+
+
+def read_text(spark: SparkSession, path: str, whole: bool = False) -> DataFrame:
+    """Plain-text scan: one row per line (``value: string``), or one row per
+    file with ``wholetext`` — the raw-corpus ingest path before tokenize/
+    quality stages (plans/llm.py, plans/curation.py). Line mode splits at
+    block boundaries, so a 100 TB text dump parallelizes like any file
+    scan; wholetext pins each file to one task (use for document-per-file
+    corpora with bounded file sizes)."""
+    # NB: text() re-sets wholetext from its keyword (default False), which
+    # silently overrides a prior .option("wholetext", ...) — pass it directly.
+    return spark.read.text(path, wholetext=whole)
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Raw-file scan via Spark's ``binaryFile`` source: one row per file
+    with (path, modificationTime, length, content: binary) — the ingest
+    edge for multimodal corpora (images/audio/video as opaque payloads,
+    functions/multimodal.py decodes downstream). ``pathGlobFilter`` prunes
+    by extension at listing time, before any bytes are read. Driver-side
+    file listing is the scale limit (O(files) metadata): at 100 TB pack
+    small media into parquet binary columns at ingest (sources/ingest.py)
+    rather than keeping billions of loose files."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
