@@ -9,7 +9,7 @@ DuckDB's quantile_cont linear interpolation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wal_consumer_spark.plans._util import davg, dsum
@@ -669,5 +669,62 @@ def agg_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'o_orderdate', d_null, d_dist, d_min, d_max, "
             "'o_orderpriority', pr_null, pr_dist, pr_min, pr_max) "
             "AS (col, n_null, n_distinct, min_s, max_s)"
+        )
+    )
+
+
+@register(
+    "agg_key_skew_profile",
+    oracle="""
+    WITH c AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY o_custkey
+    ),
+    t AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(MAX(cnt) AS BIGINT) AS max_cnt
+        FROM c
+    )
+    SELECT o_custkey, cnt, rnk, n_keys, max_cnt,
+           round(CAST(cnt AS DOUBLE) / total, 6) AS share,
+           round(CAST(cnt AS DOUBLE) * n_keys / total, 6) AS skew_ratio
+    FROM (
+        SELECT o_custkey, cnt,
+               row_number() OVER (ORDER BY cnt DESC, o_custkey) AS rnk
+        FROM c
+    ) CROSS JOIN t
+    WHERE rnk <= 5
+    """,
+    doc="Join-key skew diagnostics: the 5 heaviest o_custkey values with "
+        "their row share and skew ratio (share * n_keys; 1.0 = perfectly "
+        "uniform) plus global key stats — the profiling query you run "
+        "BEFORE choosing between a plain shuffle join and operators/"
+        "skew.py::salted_join, and the detector feeding AQE's skew-join "
+        "threshold choice. Scale: one key-count aggregation (map-side "
+        "partials), then top-5 via TakeOrderedAndProject — no global "
+        "single-partition window over the key table; the rank is computed "
+        "on the collected top-5 only, and the stats row is a 1-row "
+        "broadcast cross join.",
+)
+def agg_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.agg(
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    top5 = c.orderBy(F.col("cnt").desc(), F.col("o_custkey")).limit(5)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("o_custkey"))
+    return (
+        top5.withColumn("rnk", F.row_number().over(w))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "o_custkey", "cnt", "rnk", "n_keys", "max_cnt",
+            F.round(F.col("cnt").cast("double") / F.col("total"), 6).alias("share"),
+            F.round(
+                F.col("cnt").cast("double") * F.col("n_keys") / F.col("total"), 6
+            ).alias("skew_ratio"),
         )
     )

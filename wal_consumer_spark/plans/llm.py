@@ -8,7 +8,7 @@ their quality is asserted against the exact variants in tests/test_llm.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wal_consumer_spark.functions.multimodal import (
@@ -938,5 +938,93 @@ def sim_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label_a", "label_b")
         .agg(
             F.round(F.sqrt(F.sum(d * d).cast("double")) / 1000000, 6).alias("l2_dist")
+        )
+    )
+
+
+@register(
+    "ml_kmeans_refine",
+    oracle="""
+    WITH flat AS (
+        SELECT vec_id, label,
+               unnest(range(len(embedding))) AS dim,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS qval
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label AS cluster, dim,
+               CAST(round(round(CAST(SUM(qval) AS DOUBLE) / 1000000
+                                / COUNT(*), 6) * 1000000) AS BIGINT) AS q
+        FROM flat GROUP BY label, dim
+    ),
+    assign AS (
+        SELECT vec_id, cluster FROM (
+            SELECT f.vec_id, c.cluster,
+                   row_number() OVER (
+                       PARTITION BY f.vec_id
+                       ORDER BY SUM((f.qval - c.q) * (f.qval - c.q)) ASC,
+                                c.cluster ASC
+                   ) AS rn
+            FROM flat f JOIN cent c ON f.dim = c.dim
+            GROUP BY f.vec_id, c.cluster
+        ) WHERE rn = 1
+    )
+    SELECT a.cluster, f.dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           round(CAST(SUM(f.qval) AS DOUBLE) / 1000000 / COUNT(*), 6)
+               AS centroid_val
+    FROM assign a JOIN flat f ON f.vec_id = a.vec_id
+    GROUP BY a.cluster, f.dim
+    """,
+    doc="One full k-means Lloyd iteration as a relational plan (assignment "
+        "E-step + centroid M-step), seeded from the per-label centroids of "
+        "sim_label_centroids: each vector joins the broadcast |k|*dim "
+        "centroid table on dim, squared-L2 distances accumulate as EXACT "
+        "int64 sums of quantized diffs (order-independent, so the argmin is "
+        "engine-deterministic; ties break on cluster id), the nearest "
+        "cluster is picked by window rank, and new centroids re-aggregate "
+        "on (cluster, dim). Iterating = re-running with cent := output "
+        "(graph_pagerank shows the loop pattern with localCheckpoint per "
+        "round). Scale: centroid table is k*dim rows — broadcast at any "
+        "corpus size; the E-step fanout is k rows per (vec,dim) compressed "
+        "map-side by partial aggregation before the (vec,cluster) shuffle.",
+)
+def ml_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("dim", "val"),
+    ).select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("val").cast("double") * 1000000).cast("long").alias("qval"),
+    )
+    cent = sim_label_centroids(spark, sf_dir).select(
+        F.col("label").alias("cluster"),
+        F.col("dim").alias("cdim"),
+        F.round(F.col("centroid_val") * 1000000).cast("long").alias("q"),
+    )
+    d = F.col("qval") - F.col("q")
+    scored = (
+        flat.join(F.broadcast(cent), F.col("dim") == F.col("cdim"))
+        .groupBy("vec_id", "cluster")
+        .agg(F.sum(d * d).alias("dist2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dist2").asc(), F.col("cluster").asc()
+    )
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster")
+    )
+    return (
+        assign.join(flat, "vec_id")
+        .groupBy("cluster", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.sum("qval").cast("double") / 1000000 / F.count(F.lit(1)), 6)
+                .alias("centroid_val"),
         )
     )

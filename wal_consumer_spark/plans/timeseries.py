@@ -247,3 +247,85 @@ def ts_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_partial").cast("double").alias("sum_value"),
         )
     )
+
+
+@register(
+    "ts_ewma_decay",
+    oracle="""
+    SELECT event_id, user_id,
+           round(
+               (  coalesce(l0, 0) * 1.0
+                + coalesce(l1, 0) * 0.5
+                + coalesce(l2, 0) * 0.25
+                + coalesce(l3, 0) * 0.125
+                + coalesce(l4, 0) * 0.0625
+                + coalesce(l5, 0) * 0.03125
+                + coalesce(l6, 0) * 0.015625
+                + coalesce(l7, 0) * 0.0078125)
+               / (  (CASE WHEN l0 IS NULL THEN 0 ELSE 1.0 END)
+                  + (CASE WHEN l1 IS NULL THEN 0 ELSE 0.5 END)
+                  + (CASE WHEN l2 IS NULL THEN 0 ELSE 0.25 END)
+                  + (CASE WHEN l3 IS NULL THEN 0 ELSE 0.125 END)
+                  + (CASE WHEN l4 IS NULL THEN 0 ELSE 0.0625 END)
+                  + (CASE WHEN l5 IS NULL THEN 0 ELSE 0.03125 END)
+                  + (CASE WHEN l6 IS NULL THEN 0 ELSE 0.015625 END)
+                  + (CASE WHEN l7 IS NULL THEN 0 ELSE 0.0078125 END))
+               / 100.0,
+           6) AS ewma
+    FROM (
+        SELECT event_id, user_id,
+               lag(cents, 0) OVER w AS l0,
+               lag(cents, 1) OVER w AS l1,
+               lag(cents, 2) OVER w AS l2,
+               lag(cents, 3) OVER w AS l3,
+               lag(cents, 4) OVER w AS l4,
+               lag(cents, 5) OVER w AS l5,
+               lag(cents, 6) OVER w AS l6,
+               lag(cents, 7) OVER w AS l7
+        FROM (
+            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS tsv,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        WINDOW w AS (PARTITION BY user_id ORDER BY tsv, event_id)
+    )
+    """,
+    doc="Per-user exponentially-weighted moving average (half-life decay, "
+        "8-tap truncated kernel) over the event stream — the feature-"
+        "engineering smoother for activity/rate signals. EWMA's recursive "
+        "form is inherently sequential; the truncated geometric kernel "
+        "re-expresses it as 8 lag() taps inside ONE window pass, which "
+        "Spark executes per user partition with no cross-row dependency "
+        "chain. Determinism: alpha = 0.5 makes every weight an exact "
+        "binary fraction and values are cents-quantized int64s, so each "
+        "tap product and the tap sum are EXACT doubles (<= 34 significant "
+        "bits) — both engines emit bit-identical results; partial leading "
+        "windows renormalize by the present-tap weight sum. Scale: single "
+        "hash shuffle on user_id, then one sorted window scan; the kernel "
+        "adds zero extra shuffles vs any other per-user window feature.",
+)
+def ts_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("tsv"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tsv", "event_id")
+    taps = [F.lag("cents", k).over(w).alias(f"l{k}") for k in range(8)]
+    lagged = e.select("event_id", "user_id", *taps)
+    wsum = None
+    wnorm = None
+    for k in range(8):
+        wt = F.lit(0.5 ** k)
+        term = F.coalesce(F.col(f"l{k}"), F.lit(0)) * wt
+        pres = F.when(F.col(f"l{k}").isNull(), F.lit(0.0)).otherwise(wt)
+        wsum = term if wsum is None else wsum + term
+        wnorm = pres if wnorm is None else wnorm + pres
+    return lagged.select(
+        "event_id",
+        "user_id",
+        F.round(wsum / wnorm / F.lit(100.0), 6).alias("ewma"),
+    )
