@@ -55,6 +55,14 @@ HEADLINE = [
     "pipeline_sequence_packing",
     "pipeline_domain_mixture",
     "sql_front_agg_join",
+    # r2 driver-window swap-ins (appended only, same continuity rule): the
+    # six families promoted into the correctness window this round.
+    "ts_resample_locf",
+    "analytics_cohort_retention",
+    "graph_pagerank",
+    "ml_feature_scaling",
+    "join_fuzzy_name_pairs",
+    "sim_doc_cosine_sparse",
 ]
 
 

@@ -39,26 +39,33 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: sketches (CMS/HLL/approx-distinct), window functions, scalar families,
 #: CDC, dedup (exact/minhash/simhash/jaccard/clusters), similarity search,
 #: text analysis, multimodal, UDFs, stream-batch analogs, the curation
-#: pipeline (corpus curation, train split, decontamination), and the SQL
-#: front door. The TPC-H bulk and remaining per-family variants follow
+#: pipeline (corpus curation, train split, decontamination), the SQL
+#: front door, and the round-2 families: time-series (resample/LOCF),
+#: product analytics (cohort retention), graph (PageRank), ML primitives
+#: (feature scaling), fuzzy join, and sparse-vector cosine similarity.
+#: Families with several window slots in round 1 (plain join variants,
+#: sorts, scalar families) were trimmed to one-or-two representatives to
+#: make room — each trimmed family keeps >=1 green slot, and the trimmed
+#: variants remain oracle-checked in tests/test_parity.py and in the
+#: post-window registry tail. The TPC-H bulk and remaining variants follow
 #: after; any spec without an oracle sorts last so it can never burn a
 #: window slot on a rows-only check.
 DRIVER_WINDOW: list[str] = [
     "q1_pricing_summary",
     "q5_region_revenue",
     "join_inner_basic",
-    "join_full_outer",
-    "join_theta_nonequi",
+    "join_fuzzy_name_pairs",
+    "ts_resample_locf",
     "pipeline_train_split",
     "asof_join_events_orders",
     "join_interval_overlap",
     "topk_global",
-    "sort_multi_nulls",
+    "analytics_cohort_retention",
     "set_union_distinct",
     "pipeline_decontaminate",
     "sql_front_agg_join",
     "agg_group_stats",
-    "agg_count_distinct",
+    "graph_pagerank",
     "agg_approx_count_distinct",
     "agg_rollup",
     "agg_percentiles",
@@ -66,12 +73,12 @@ DRIVER_WINDOW: list[str] = [
     "agg_count_min_sketch",
     "agg_hll_partial_merge",
     "win_topk_per_group",
-    "win_lag_lead",
+    "ml_feature_scaling",
     "win_sessionize_gap",
     "scalar_string_funcs",
     "scalar_datetime_funcs",
     "scalar_array_funcs",
-    "scalar_json_funcs",
+    "sim_doc_cosine_sparse",
     "cdc_last_op_per_key",
     "cdc_apply_final_state",
     "cdc_replay_idempotency",

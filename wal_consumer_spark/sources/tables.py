@@ -47,6 +47,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+            # Newer testdata writes ts as TIMESTAMP(MICROS, isAdjustedToUTC
+            # =false) which Spark maps to TIMESTAMP_NTZ. Normalize to the
+            # session-zoned TIMESTAMP type: under the UTC session pinned
+            # above the cast is wall-clock identity (oracle-comparable),
+            # and event-time features (withWatermark, streaming window())
+            # require TIMESTAMP, not NTZ.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
