@@ -295,7 +295,17 @@ def simhash_near_pairs(
     (pigeonhole — lossless for d <= n_chunks-1; for the default d<=8 the
     blocking is a high-recall heuristic), so the join key is
     (chunk_idx, chunk_value) — no n^2 scan. `chunk_bits=15` matches the
-    60-bit portable fingerprint."""
+    60-bit portable fingerprint.
+
+    The fingerprint frame is materialized once (localCheckpoint) before the
+    self-join: both join sides reference the same subtree, and without the
+    cut Spark recomputes the whole fingerprint pipeline (tokenize + per-
+    token hash + bit scoring — the dominant cost) once per side. This is
+    also the 100 TB shape: fingerprints are computed at ingest and stored;
+    pair generation reads the fingerprint table, not the raw text. The
+    Hamming cut runs in the join stage, before the distinct, so random
+    chunk collisions never reach the shuffle."""
+    fps = fps.localCheckpoint(eager=True)
     chunk_mask = (1 << chunk_bits) - 1
     chunked = fps.select(
         "doc",
@@ -312,12 +322,12 @@ def simhash_near_pairs(
     pairs = (
         a.join(b, ["chunk_idx", "chunk_val"])
         .filter(F.col("doc1") < F.col("doc2"))
-        .select("doc1", "doc2", "h1", "h2")
+        .withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc1", "doc2", "hamming")
         .distinct()
     )
-    return pairs.withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))).filter(
-        F.col("hamming") <= max_hamming
-    ).select("doc1", "doc2", "hamming")
+    return pairs
 
 
 def near_dedup_canonical(pairs: DataFrame, all_ids: DataFrame, id_col: str) -> DataFrame:

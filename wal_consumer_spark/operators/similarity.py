@@ -195,6 +195,80 @@ def rp_lsh_buckets_np(
     return _kernel(vec)
 
 
+def rp_lsh_buckets_sig_np(
+    vec: Column,
+    dim: int,
+    nbits: int = 4,
+    n_tables: int = 8,
+    seed0: int = 42,
+    sig_bits: int = 256,
+    sig_seed: int = 9001,
+    word_bits: int = 32,
+) -> Column:
+    """rp_lsh_buckets_np plus a wide sign signature, in ONE Arrow pass:
+    returns struct(buckets array<long>, sig array<long>) where `sig` packs
+    sig_bits extra sign-random-projection bits into sig_bits/word_bits
+    words of word_bits each (32 by default, so every word fits a BIGINT in
+    any engine with headroom — no sign-bit edge case at bit 63).
+
+    The signature powers a Hamming prefilter on bucket-join candidates:
+    for a pair with cosine c the expected mismatch fraction is acos(c)/pi,
+    so a popcount cut separates near-threshold pairs (mean ~0.35*sig_bits
+    at c=0.45) from random collisions (mean 0.5*sig_bits) BEFORE the
+    expensive distinct + vector joins + exact verification. All integer
+    arithmetic — an external oracle replays it bit-for-bit
+    (rp_sign_sig_words_sql). Input column = the QUANTIZED vector."""
+    n_words = sig_bits // word_bits
+    assert n_words * word_bits == sig_bits
+    planes = []
+    for t in range(n_tables):
+        planes.extend(lsh_planes(dim, nbits, seed0 + t))
+    sig_planes = lsh_planes(dim, sig_bits, sig_seed)
+
+    @F.pandas_udf("buckets array<long>, sig array<long>")
+    def _kernel(q):
+        import numpy as np
+        import pandas as pd
+
+        if len(q) == 0:  # Arrow may hand the kernel an empty batch
+            return pd.DataFrame({"buckets": [], "sig": []})
+        P = np.array(planes + sig_planes, dtype=np.int64)  # (nb*nt+sig, dim)
+        Q = np.stack(q.to_numpy()).astype(np.int64)  # (N, dim)
+        bits = (Q @ P.T > 0).astype(np.int64)  # exact int64 projections
+        bbits = bits[:, : n_tables * nbits]
+        weights = np.tile(1 << np.arange(nbits, dtype=np.int64), n_tables)
+        buckets = (bbits * weights).reshape(len(Q), n_tables, nbits).sum(axis=2)
+        sbits = bits[:, n_tables * nbits :]
+        wweights = np.tile(1 << np.arange(word_bits, dtype=np.int64), n_words)
+        words = (sbits * wweights).reshape(len(Q), n_words, word_bits).sum(axis=2)
+        return pd.DataFrame({"buckets": list(buckets), "sig": list(words)})
+
+    return _kernel(vec)
+
+
+def rp_sign_sig_words_sql(
+    vec_sql: str, dim: int, sig_bits: int, seed: int, word_bits: int = 32
+) -> list[str]:
+    """DuckDB fragments (one per packed word) replaying the signature half
+    of rp_lsh_buckets_sig_np bit-for-bit over a DOUBLE[] expression."""
+    n_words = sig_bits // word_bits
+    sig_planes = lsh_planes(dim, sig_bits, seed)
+    words = []
+    for w in range(n_words):
+        terms = []
+        for j in range(word_bits):
+            plane = sig_planes[w * word_bits + j]
+            lit = "[" + ", ".join(str(c) for c in plane) + "]"
+            proj = (
+                f"list_sum(list_transform(range(1, {dim + 1}), "
+                f"i -> CAST(round(({vec_sql})[i] * {float(_QUANT_SCALE)}) AS BIGINT)"
+                f" * ({lit})[i]))"
+            )
+            terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)")
+        words.append("(" + " + ".join(terms) + ")")
+    return words
+
+
 def quant_cosine(q1: Column, q2: Column) -> Column:
     """Exact cosine over fixed-point-quantized int64 vectors, as a
     vectorized Arrow/numpy pandas UDF — the verification kernel for
@@ -425,6 +499,9 @@ def embedding_near_dup_blocked(
     nbits: int = 8,
     n_tables: int = 6,
     seed: int = 42,
+    sig_bits: int = 256,
+    sig_seed: int = 9001,
+    sig_max_hamming: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH blocking — the 100 TB
     path: candidates are pairs sharing a sign-random-projection bucket in
@@ -435,27 +512,66 @@ def embedding_near_dup_blocked(
     verification). Recall vs the exact all-pairs float baseline is asserted
     in tests/test_llm.py.
 
-    The plan keeps candidate pairs NARROW: the bucket self-join and the
-    distinct carry only (id1, id2); vectors are joined back (quantized,
-    once per row, map-side) only for the surviving distinct pairs. At
-    100 TB the bucket column is computed at ingest, the per-table self-join
-    shuffles on the bucket id, and the two id-keyed vector joins are plain
-    narrow-key shuffle joins (broadcast-able per corpus chunk)."""
+    Bucket-join output is prefiltered by a sig_bits-wide sign-signature
+    Hamming cut (codegen'd xor+bit_count on packed words, in the SAME stage
+    as the join — never materialized): at low thresholds the buckets are
+    necessarily coarse (few sign bits per table or recall dies), so almost
+    all bucket collisions are random pairs whose expected mismatch is
+    sig_bits/2, far from a true pair's acos(threshold)/pi * sig_bits; the
+    cut (default mean_true + 2.6 sigma) drops ~99% of collisions before
+    they reach the distinct or carry any vector payload. Integer-exact, so
+    the oracle replays it (rp_sign_sig_words_sql). Disable with
+    sig_max_hamming=-1.
+
+    The plan keeps candidate pairs NARROW: the bucket self-join carries
+    (id, 8 sig words); the distinct carries only (id1, id2); vectors are
+    joined back (quantized, once per row, map-side) only for the surviving
+    distinct pairs. At 100 TB bucket+signature columns are computed at
+    ingest, the per-table self-join shuffles on the bucket id, and the two
+    id-keyed vector joins are plain narrow-key shuffle joins
+    (broadcast-able per corpus chunk)."""
+    import math
+
+    word_bits = 32
+    n_words = sig_bits // word_bits
+    if sig_max_hamming is None:
+        # mean mismatch for a pair AT the threshold, plus 2.6 sigma margin:
+        # keeps >99.5% of borderline-true pairs, rejects random collisions
+        # (mean sig_bits/2) at ~2+ sigma.
+        p = math.acos(max(min(threshold, 1.0), -1.0)) / math.pi
+        sig_max_hamming = int(sig_bits * p + 2.6 * math.sqrt(sig_bits * p * (1 - p)))
     base = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     )
-    withb = base.select(
+    bs = base.select(
         "id",
-        F.posexplode(
-            rp_lsh_buckets_np(quantize_vec32(F.col("v")), dim, nbits, n_tables, seed0=seed)
-        ).alias("table", "bucket"),
+        rp_lsh_buckets_sig_np(
+            quantize_vec32(F.col("v")), dim, nbits, n_tables,
+            seed0=seed, sig_bits=sig_bits, sig_seed=sig_seed, word_bits=word_bits,
+        ).alias("bs"),
     )
-    a = withb.select(F.col("id").alias("id1"), "table", "bucket")
-    b = withb.select(F.col("id").alias("id2"), "table", "bucket")
+    withb = bs.select(
+        "id",
+        *[F.col("bs.sig")[w].alias(f"s{w}") for w in range(n_words)],
+        F.posexplode(F.col("bs.buckets")).alias("table", "bucket"),
+    )
+    a = withb.select(
+        F.col("id").alias("id1"), "table", "bucket",
+        *[F.col(f"s{w}").alias(f"a{w}") for w in range(n_words)],
+    )
+    b = withb.select(
+        F.col("id").alias("id2"), "table", "bucket",
+        *[F.col(f"s{w}").alias(f"b{w}") for w in range(n_words)],
+    )
+    joined = a.join(b, ["table", "bucket"]).filter(F.col("id1") < F.col("id2"))
+    if sig_max_hamming >= 0:
+        hamming = sum(
+            F.bit_count(F.col(f"a{w}").bitwiseXOR(F.col(f"b{w}")))
+            for w in range(n_words)
+        )
+        joined = joined.filter(hamming <= F.lit(sig_max_hamming))
     pairs = (
-        a.join(b, ["table", "bucket"])
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
+        joined.select("id1", "id2")
         .distinct()  # a pair may collide in several tables
     )
     q = base.select("id", quantize_vec32(F.col("v")).alias("qv"))

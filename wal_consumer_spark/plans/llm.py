@@ -342,14 +342,30 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _near_dup_blocked_sql(
     dim: int = 64, nbits: int = 4, n_tables: int = 12, seed: int = 77,
-    threshold: float = 0.45,
+    threshold: float = 0.45, sig_bits: int = 256, sig_seed: int = 9001,
 ) -> str:
     """DuckDB replay of the LSH-blocked embedding near-dup search: identical
-    integer bucket ids, identical narrow candidate join, identical
-    quantized-cosine verify (int64 sums + scalar IEEE doubles — see
-    operators/similarity.py::quant_cosine)."""
-    from wal_consumer_spark.operators.similarity import quant_cosine_sql
+    integer bucket ids, identical sign-signature Hamming prefilter
+    (xor + bit_count over the same packed 32-bit words), identical narrow
+    candidate join, identical quantized-cosine verify (int64 sums + scalar
+    IEEE doubles — see operators/similarity.py::quant_cosine)."""
+    import math
 
+    from wal_consumer_spark.operators.similarity import (
+        quant_cosine_sql,
+        rp_sign_sig_words_sql,
+    )
+
+    # same default cut as embedding_near_dup_blocked
+    p = math.acos(threshold) / math.pi
+    cut = int(sig_bits * p + 2.6 * math.sqrt(sig_bits * p * (1 - p)))
+    words = rp_sign_sig_words_sql("v", dim, sig_bits, sig_seed)
+    sig_select = ", ".join(f"{w} AS s{i}" for i, w in enumerate(words))
+    # DuckDB bit_count returns TINYINT; widen before summing (256 bits max)
+    hamming = " + ".join(
+        f"CAST(bit_count(xor(sa.s{i}, sb.s{i})) AS INTEGER)"
+        for i in range(len(words))
+    )
     branches = "\n        UNION ALL ".join(
         f"SELECT vec_id, {t} AS tbl, "
         f"{rp_lsh_bucket_sql('v', dim, nbits, seed=seed + t)} AS bucket FROM e"
@@ -365,10 +381,13 @@ def _near_dup_blocked_sql(
     cb AS (
         {branches}
     ),
+    s AS (SELECT vec_id, {sig_select} FROM e),
     pairs AS (
         SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
         FROM cb a JOIN cb b USING (tbl, bucket)
-        WHERE a.vec_id < b.vec_id
+        JOIN s sa ON sa.vec_id = a.vec_id
+        JOIN s sb ON sb.vec_id = b.vec_id
+        WHERE a.vec_id < b.vec_id AND {hamming} <= {cut}
     ),
     q AS (SELECT vec_id, {qvec} AS qv FROM e),
     cand AS (
@@ -387,11 +406,15 @@ def _near_dup_blocked_sql(
     "sim_embedding_near_dup",
     oracle=_near_dup_blocked_sql(),
     doc="Embedding-cosine near-duplicate pairs at threshold 0.45 via "
-        "multi-table LSH blocking + exact cosine verification — the 100 TB "
-        "path: every join is a bucket equi-join, no cross join in the "
-        "physical plan (asserted in tests/test_scale_plans.py). Buckets are "
-        "integer-exact, so the DuckDB oracle replays blocking and "
-        "verification bit-for-bit; recall vs the exact all-pairs baseline "
+        "multi-table LSH blocking + 256-bit sign-signature Hamming "
+        "prefilter + exact cosine verification — the 100 TB path: every "
+        "join is a bucket equi-join, no cross join in the physical plan "
+        "(asserted in tests/test_scale_plans.py), and the codegen'd "
+        "xor/bit_count prefilter drops ~99% of random bucket collisions "
+        "in the join stage before the distinct or any vector payload. "
+        "Buckets, signatures, and the cut are integer-exact, so the DuckDB "
+        "oracle replays blocking, prefilter, and verification bit-for-bit; "
+        "recall vs the exact all-pairs baseline "
         "(operators/similarity.py::embedding_near_dup_pairs) is asserted "
         "in tests/test_llm.py.",
 )
