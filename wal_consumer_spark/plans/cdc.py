@@ -142,6 +142,112 @@ def cdc_replay_idempotency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_state_asof",
+    oracle=f"""
+    WITH wal AS ({WAL_SQL}),
+    cut AS (SELECT MAX(id) // 2 AS t FROM wal),
+    last AS (
+        SELECT * FROM (
+            SELECT w.*, row_number() OVER (PARTITION BY entity_id ORDER BY id DESC) AS rn
+            FROM wal w, cut WHERE w.id <= cut.t)
+        WHERE rn = 1
+    )
+    SELECT entity_id, payload, entity_type
+    FROM last WHERE operation <> 'DELETE'
+    """,
+    doc="Point-in-time state reconstruction (time travel): the target state "
+        "after applying only WAL ids <= T (here T = max(id) div 2, a "
+        "deterministic mid-stream cut). Same last-op-per-key reduction as "
+        "cdc_apply_final_state over the bounded prefix — what a consumer "
+        "recovering to a historical position (or an auditor) replays. The "
+        "cut is a 1-row broadcast scalar, not a driver-side collect, so the "
+        "plan stays fully distributed at any WAL size.",
+)
+def cdc_state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wal = synthetic_wal(spark, sf_dir)
+    cut = wal.agg(F.expr("max(id) div 2").alias("t"))
+    upto = wal.join(F.broadcast(cut), F.col("id") <= F.col("t"), "inner").drop("t")
+    empty_target = spark.createDataFrame(
+        [], "entity_id LONG, entity_bytes BINARY, entity_type STRING"
+    )
+    final = apply_cdc_batch(empty_target, upto)
+    return final.select(
+        "entity_id",
+        F.col("entity_bytes").cast("string").alias("payload"),
+        "entity_type",
+    )
+
+
+@register(
+    "cdc_net_changes",
+    oracle=f"""
+    WITH wal AS ({WAL_SQL}),
+    cuts AS (SELECT MAX(id) // 3 AS t1, 2 * (MAX(id) // 3) AS t2 FROM wal),
+    before AS (
+        SELECT entity_id FROM (
+            SELECT w.*, row_number() OVER (PARTITION BY entity_id ORDER BY id DESC) AS rn
+            FROM wal w, cuts WHERE w.id <= cuts.t1)
+        WHERE rn = 1 AND operation <> 'DELETE'
+    ),
+    win AS (
+        SELECT * FROM (
+            SELECT w.*, row_number() OVER (PARTITION BY entity_id ORDER BY id DESC) AS rn
+            FROM wal w, cuts WHERE w.id > cuts.t1 AND w.id <= cuts.t2)
+        WHERE rn = 1
+    )
+    SELECT w.entity_id,
+           CASE WHEN w.operation = 'DELETE' THEN 'DELETE'
+                WHEN b.entity_id IS NOT NULL THEN 'UPDATE'
+                ELSE 'INSERT' END AS change
+    FROM win w LEFT JOIN before b ON w.entity_id = b.entity_id
+    WHERE NOT (w.operation = 'DELETE' AND b.entity_id IS NULL)
+    """,
+    doc="Net-changes feed between two WAL positions (T1, T2]: per key, the "
+        "net effect classified as INSERT (new key), UPDATE (existed at T1), "
+        "or DELETE (existed and last op in the window deletes); keys "
+        "added-and-deleted entirely inside the window net out to nothing. "
+        "This is the changelog a downstream incremental consumer applies "
+        "instead of replaying every intermediate op — the batch analog of "
+        "the reference's at-least-once apply collapsing to last-op-per-key "
+        "(SURVEY.md §4.3). Cuts are broadcast scalars; the classification "
+        "join is per-key (narrow), never a scan of intermediate ops.",
+)
+def cdc_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wal = synthetic_wal(spark, sf_dir)
+    cuts = wal.agg(
+        F.expr("max(id) div 3").alias("t1"),
+        F.expr("2 * (max(id) div 3)").alias("t2"),
+    )
+    before = (
+        last_op_per_key(
+            wal.join(F.broadcast(cuts), F.col("id") <= F.col("t1"), "inner")
+            .drop("t1", "t2")
+        )
+        .filter(F.col("operation") != "DELETE")
+        .select("entity_id")
+    )
+    win = last_op_per_key(
+        wal.join(
+            F.broadcast(cuts),
+            (F.col("id") > F.col("t1")) & (F.col("id") <= F.col("t2")),
+            "inner",
+        ).drop("t1", "t2")
+    )
+    existed = before.withColumn("__existed", F.lit(True))
+    return (
+        win.join(existed, "entity_id", "left")
+        .filter(~((F.col("operation") == "DELETE") & F.col("__existed").isNull()))
+        .select(
+            "entity_id",
+            F.when(F.col("operation") == "DELETE", "DELETE")
+            .when(F.col("__existed").isNotNull(), "UPDATE")
+            .otherwise("INSERT")
+            .alias("change"),
+        )
+    )
+
+
+@register(
     "cdc_backlog_metrics",
     oracle=f"""
     WITH wal AS ({WAL_SQL})
