@@ -179,6 +179,30 @@ def test_embedding_near_dup_blocked_recall(spark):
     assert recall >= 0.7, f"blocked near-dup recall too low: {recall:.2f}"
 
 
+def test_near_dup_signature_prefilter_loss_bound(spark):
+    """The 256-bit Hamming prefilter only drops random bucket collisions:
+    against the same blocking with the prefilter disabled
+    (sig_max_hamming=-1) the result must be a subset with >=95% of pairs
+    kept — the 2.6-sigma cut's design loss is <0.5% for borderline-true
+    pairs, so a bigger drop means the cut or the signature drifted."""
+    from wal_consumer_spark.operators.similarity import embedding_near_dup_blocked
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    kw = dict(dim=64, threshold=0.45, nbits=4, n_tables=12, seed=77)
+    unfiltered = {
+        (r.id1, r.id2)
+        for r in embedding_near_dup_blocked(emb, sig_max_hamming=-1, **kw).collect()
+    }
+    filtered = {
+        (r.id1, r.id2)
+        for r in embedding_near_dup_blocked(emb, **kw).collect()
+    }
+    assert unfiltered, "unfiltered blocked result unexpectedly empty"
+    assert filtered <= unfiltered
+    kept = len(filtered) / len(unfiltered)
+    assert kept >= 0.95, f"prefilter dropped too many true pairs: kept {kept:.2%}"
+
+
 def test_shingle_df_cap_drops_stop_shingles(spark):
     """A shingle shared by more than max_df docs (a stop-shingle) is excluded
     from candidate generation: without the cap a degenerate corpus produces

@@ -14,8 +14,9 @@ FAMILY_PREFIXES = [
     "q",            # TPC-H flagship
     "join_",
     "asof_",
-    "topk_",
-    "sort_",
+    "topk_",      # covers the sort/limit/top-k SURVEY §2 row (global sort +
+                  # limit); the plain sort_ variants stay in the registry
+                  # tail and tests/test_parity.py
     "set_",
     "agg_",
     "win_",
@@ -28,6 +29,12 @@ FAMILY_PREFIXES = [
     "udf_",
     "stream_",
     "pipeline_",
+    "sql_front_",
+    # round-2 families promoted into the window (r2 registry swap)
+    "ts_",
+    "analytics_",
+    "graph_",
+    "ml_",
 ]
 
 
