@@ -543,13 +543,20 @@ def embedding_near_dup_blocked(
     base = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     )
+    # Materialize the per-vector index frame (quantized vector + buckets +
+    # signature) ONCE: it feeds three consumers — both sides of the bucket
+    # self-join and the verification join-back — and without the cut Spark
+    # recomputes the scan + quantization + Arrow kernel per consumer. This
+    # is also the 100 TB shape: the index table is computed at ingest and
+    # stored next to the corpus.
     bs = base.select(
         "id",
+        quantize_vec32(F.col("v")).alias("qv"),
         rp_lsh_buckets_sig_np(
             quantize_vec32(F.col("v")), dim, nbits, n_tables,
             seed0=seed, sig_bits=sig_bits, sig_seed=sig_seed, word_bits=word_bits,
         ).alias("bs"),
-    )
+    ).localCheckpoint(eager=True)
     withb = bs.select(
         "id",
         *[F.col("bs.sig")[w].alias(f"s{w}") for w in range(n_words)],
@@ -574,7 +581,7 @@ def embedding_near_dup_blocked(
         joined.select("id1", "id2")
         .distinct()  # a pair may collide in several tables
     )
-    q = base.select("id", quantize_vec32(F.col("v")).alias("qv"))
+    q = bs.select("id", "qv")
     return (
         pairs.join(q.select(F.col("id").alias("id1"), F.col("qv").alias("q1")), "id1")
         .join(q.select(F.col("id").alias("id2"), F.col("qv").alias("q2")), "id2")
