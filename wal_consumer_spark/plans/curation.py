@@ -378,6 +378,141 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_contamination_score",
+    oracle=f"""
+    WITH ev AS (
+        SELECT DISTINCT unnest({_SHINGLES_K5}) AS shingle
+        FROM documents WHERE doc_id < 20
+    ),
+    tr AS (
+        SELECT doc_id, {_SHINGLES_K5} AS sh
+        FROM documents WHERE doc_id >= 20
+    ),
+    ex AS (SELECT doc_id, unnest(sh) AS shingle FROM tr),
+    hits AS (
+        SELECT doc_id, COUNT(*) AS n_hits FROM ex
+        WHERE shingle IN (SELECT shingle FROM ev)
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           len(t.sh) AS n_shingles,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           round(COALESCE(h.n_hits, 0) / CAST(len(t.sh) AS DOUBLE), 6) AS overlap
+    FROM tr t LEFT JOIN hits h USING (doc_id)
+    """,
+    doc=f"Graded contamination scoring: for each training doc, the fraction "
+        f"of its distinct {_DECON_K}-gram shingles that appear in the eval "
+        f"set (docs 0-19) — the quantitative companion to "
+        f"pipeline_decontaminate's boolean flag, used to set an overlap "
+        f"threshold instead of dropping on any single shared shingle. Same "
+        f"scale shape: the eval shingle set is broadcast, hits are counted "
+        f"in one pass over the corpus (scan-side semi-join + per-doc "
+        f"count), and the score is an exact long/long division both "
+        f"engines compute bit-identically.",
+)
+def text_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(tokens(F.col("text")), _DECON_K)
+    ev = (
+        d.filter(F.col("doc_id") < 20)
+        .select(F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+    tr = d.filter(F.col("doc_id") >= 20).select("doc_id", sh.alias("sh"))
+    hits = (
+        tr.select("doc_id", F.explode("sh").alias("shingle"))
+        .join(F.broadcast(ev), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        tr.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("sh").cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0).cast("long"))
+                / F.size("sh").cast("double"),
+                6,
+            ).alias("overlap"),
+        )
+    )
+
+
+#: passage size (tokens) for passage-granular dedup
+_PASSAGE_K = 16
+
+
+@register(
+    "pipeline_passage_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    p AS (
+        SELECT doc_id, i AS pidx,
+               array_to_string(list_slice(tk, i * {_PASSAGE_K} + 1,
+                                          i * {_PASSAGE_K} + {_PASSAGE_K}), ' ') AS ptext
+        FROM t, unnest(range(0, (len(tk) + {_PASSAGE_K} - 1) // {_PASSAGE_K})) AS u(i)
+    ),
+    d AS (
+        SELECT *, row_number() OVER (PARTITION BY ptext ORDER BY doc_id, pidx) AS rn
+        FROM p
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE rn = 1) AS n_kept,
+           COALESCE(string_agg(ptext, ' ' ORDER BY pidx) FILTER (WHERE rn = 1), '')
+               AS kept_text
+    FROM d GROUP BY doc_id
+    """,
+    doc=f"Passage-granular dedup (C4-style line dedup generalized to token "
+        f"streams): each doc splits into consecutive {_PASSAGE_K}-token "
+        f"passages; a passage repeated anywhere in the corpus survives only "
+        f"at its first occurrence (ordered by doc_id, then position — a "
+        f"deterministic window rank, not an arbitrary drop), and each doc "
+        f"is reassembled from its surviving passages in order. Removes "
+        f"boilerplate shared across documents without dropping whole docs. "
+        f"Scale: one shuffle on passage text for the occurrence rank, one "
+        f"shuffle back on doc_id for reassembly; the in-order rebuild is "
+        f"array_sort over (position, text) structs — no order-dependent "
+        f"collect.",
+)
+def pipeline_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wal_consumer_spark.functions.text import let
+
+    d = load_table(spark, sf_dir, "documents")
+    k = _PASSAGE_K
+    passages = let(
+        tokens(F.col("text")),
+        lambda t: F.transform(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.size(t) + F.lit(k - 1)) / F.lit(k)).cast("int") - 1,
+            ),
+            lambda i: F.array_join(F.slice(t, i * k + 1, k), " "),
+        ),
+    )
+    p = d.select("doc_id", F.posexplode(passages).alias("pidx", "ptext"))
+    w = Window.partitionBy("ptext").orderBy("doc_id", "pidx")
+    ranked = p.withColumn("keep", F.row_number().over(w) == 1)
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("pidx", "ptext"))
+                    )
+                ),
+                lambda s: s["ptext"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Global deterministic shuffle (training-order randomization)
 # --------------------------------------------------------------------------
