@@ -225,13 +225,17 @@ def rp_lsh_buckets_sig_np(
         planes.extend(lsh_planes(dim, nbits, seed0 + t))
     sig_planes = lsh_planes(dim, sig_bits, sig_seed)
 
-    @F.pandas_udf("buckets array<long>, sig array<long>")
+    # The kernel ECHOES its quantized input as `qv`: projection collapse
+    # would otherwise inline the quantization expression into both the UDF
+    # argument and a separate qv output column (subexpression elimination
+    # does not span the Python-eval boundary), running it twice per row.
+    @F.pandas_udf("qv array<int>, buckets array<long>, sig array<long>")
     def _kernel(q):
         import numpy as np
         import pandas as pd
 
         if len(q) == 0:  # Arrow may hand the kernel an empty batch
-            return pd.DataFrame({"buckets": [], "sig": []})
+            return pd.DataFrame({"qv": [], "buckets": [], "sig": []})
         P = np.array(planes + sig_planes, dtype=np.int64)  # (nb*nt+sig, dim)
         Q = np.stack(q.to_numpy()).astype(np.int64)  # (N, dim)
         bits = (Q @ P.T > 0).astype(np.int64)  # exact int64 projections
@@ -241,7 +245,9 @@ def rp_lsh_buckets_sig_np(
         sbits = bits[:, n_tables * nbits :]
         wweights = np.tile(1 << np.arange(word_bits, dtype=np.int64), n_words)
         words = (sbits * wweights).reshape(len(Q), n_words, word_bits).sum(axis=2)
-        return pd.DataFrame({"buckets": list(buckets), "sig": list(words)})
+        return pd.DataFrame(
+            {"qv": list(q.to_numpy()), "buckets": list(buckets), "sig": list(words)}
+        )
 
     return _kernel(vec)
 
@@ -551,7 +557,6 @@ def embedding_near_dup_blocked(
     # stored next to the corpus.
     bs = base.select(
         "id",
-        quantize_vec32(F.col("v")).alias("qv"),
         rp_lsh_buckets_sig_np(
             quantize_vec32(F.col("v")), dim, nbits, n_tables,
             seed0=seed, sig_bits=sig_bits, sig_seed=sig_seed, word_bits=word_bits,
@@ -581,7 +586,7 @@ def embedding_near_dup_blocked(
         joined.select("id1", "id2")
         .distinct()  # a pair may collide in several tables
     )
-    q = bs.select("id", "qv")
+    q = bs.select("id", F.col("bs.qv").alias("qv"))
     return (
         pairs.join(q.select(F.col("id").alias("id1"), F.col("qv").alias("q1")), "id1")
         .join(q.select(F.col("id").alias("id2"), F.col("qv").alias("q2")), "id2")

@@ -419,23 +419,27 @@ def text_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(sh).alias("shingle"))
         .distinct()
     )
-    tr = d.filter(F.col("doc_id") >= 20).select("doc_id", sh.alias("sh"))
-    hits = (
-        tr.select("doc_id", F.explode("sh").alias("shingle"))
-        .join(F.broadcast(ev), "shingle", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+    # single pass, single shingle evaluation: word_shingles is distinct, so
+    # the exploded row count per doc IS n_shingles — both counters come out
+    # of one groupBy over the exploded+left-joined rows, with no size()
+    # recompute and no join-back (the recompute hazard simhash/near-dup
+    # avoid with localCheckpoint, avoided here by restructuring instead).
+    ex = d.filter(F.col("doc_id") >= 20).select(
+        "doc_id", F.explode(sh).alias("shingle")
     )
     return (
-        tr.join(hits, "doc_id", "left")
+        ex.join(F.broadcast(ev.withColumn("__hit", F.lit(1))), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hits"),
+        )
         .select(
             "doc_id",
-            F.size("sh").cast("long").alias("n_shingles"),
-            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+            "n_shingles",
+            "n_hits",
             F.round(
-                F.coalesce(F.col("n_hits"), F.lit(0).cast("long"))
-                / F.size("sh").cast("double"),
-                6,
+                F.col("n_hits") / F.col("n_shingles").cast("double"), 6
             ).alias("overlap"),
         )
     )
@@ -479,8 +483,6 @@ _PASSAGE_K = 16
         f"collect.",
 )
 def pipeline_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from wal_consumer_spark.functions.text import let
-
     d = load_table(spark, sf_dir, "documents")
     k = _PASSAGE_K
     passages = let(

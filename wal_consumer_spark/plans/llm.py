@@ -356,8 +356,8 @@ def _near_dup_blocked_sql(
         rp_sign_sig_words_sql,
     )
 
-    # same default cut as embedding_near_dup_blocked
-    p = math.acos(threshold) / math.pi
+    # same default cut as embedding_near_dup_blocked (incl. the clamp)
+    p = math.acos(max(min(threshold, 1.0), -1.0)) / math.pi
     cut = int(sig_bits * p + 2.6 * math.sqrt(sig_bits * p * (1 - p)))
     words = rp_sign_sig_words_sql("v", dim, sig_bits, sig_seed)
     sig_select = ", ".join(f"{w} AS s{i}" for i, w in enumerate(words))
