@@ -248,6 +248,114 @@ def cdc_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_scd2_history",
+    oracle=f"""
+    WITH wal AS ({WAL_SQL}),
+    v AS (
+        SELECT entity_id, id AS valid_from, operation, payload,
+               lead(id) OVER (PARTITION BY entity_id ORDER BY id) AS valid_to
+        FROM wal
+    )
+    SELECT entity_id, payload, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM v WHERE operation <> 'DELETE'
+    """,
+    doc="SCD Type-2 dimension build from the WAL: every ADD/UPDATE opens a "
+        "version valid over [its id, next op's id); a DELETE closes the "
+        "prior version without opening one (its lead() id becomes the "
+        "predecessor's valid_to), and the open version per key is flagged "
+        "is_current. The full audit history a warehouse derives from the "
+        "reference's change stream — one window pass over the WAL, "
+        "partitioned by entity_id, no joins.",
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    wal = synthetic_wal(spark, sf_dir)
+    w = Window.partitionBy("entity_id").orderBy("id")
+    return (
+        wal.select(
+            "entity_id",
+            F.col("id").alias("valid_from"),
+            "operation",
+            F.col("entity_bytes").cast("string").alias("payload"),
+            F.lead("id").over(w).alias("valid_to"),
+        )
+        .filter(F.col("operation") != "DELETE")
+        .select(
+            "entity_id",
+            "payload",
+            "valid_from",
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
+
+
+@register(
+    "dq_constraint_checks",
+    oracle="""
+    SELECT 'orders_pk_unique' AS check_name,
+           COUNT(*) - COUNT(DISTINCT o_orderkey) AS violations FROM orders
+    UNION ALL
+    SELECT 'orders_fk_customer',
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'orders_totalprice_positive',
+           COUNT(*) FILTER (WHERE o_totalprice <= 0) FROM orders
+    UNION ALL
+    SELECT 'lineitem_quantity_range',
+           (SELECT COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+            FROM lineitem)
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           (SELECT COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1)
+            FROM lineitem)
+    """,
+    doc="Data-quality constraint suite (Deequ/dbt-test style) as ONE query: "
+        "primary-key uniqueness, referential integrity (orders->customer "
+        "anti-join), and domain-range checks, each reported as a named "
+        "violation count. Scale: every check is a scan-level aggregate over "
+        "its table (map-side partials), the FK check is a single "
+        "null-aware anti-join on the key, and the union of 1-row results "
+        "is free — one pass per table regardless of how many range checks "
+        "ride along.",
+)
+def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    # one aggregate per table, unpivoted with stack — N checks per table
+    # never means N scans of it
+    o_checks = o.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("pk_v"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("price_v"),
+    ).selectExpr(
+        "stack(2, 'orders_pk_unique', pk_v,"
+        " 'orders_totalprice_positive', price_v) AS (check_name, violations)"
+    )
+    fk = (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("orders_fk_customer").alias("check_name"), "violations")
+    )
+    li_checks = li.agg(
+        F.count(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+        ).alias("qty_v"),
+        F.count(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+        ).alias("disc_v"),
+    ).selectExpr(
+        "stack(2, 'lineitem_quantity_range', qty_v,"
+        " 'lineitem_discount_range', disc_v) AS (check_name, violations)"
+    )
+    return o_checks.unionAll(fk).unionAll(li_checks)
+
+
+@register(
     "cdc_backlog_metrics",
     oracle=f"""
     WITH wal AS ({WAL_SQL})
