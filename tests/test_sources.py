@@ -52,6 +52,29 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     assert "ReadSchema: struct<o_orderkey:bigint>" in scan, scan[:1500]
 
 
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Files written under an evolving schema read as one table: columns
+    absent from older files are null, and the merged schema is the union —
+    the add-a-column-without-rewriting-history path for long-lived tables."""
+    from wal_consumer_spark.sources.tables import read_parquet_evolving
+
+    v1 = str(tmp_path / "t" / "batch=1")
+    v2 = str(tmp_path / "t" / "batch=2")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id BIGINT, name STRING") \
+        .write.parquet(v1)
+    spark.createDataFrame(
+        [(3, "c", 9.5)], "id BIGINT, name STRING, score DOUBLE"
+    ).write.parquet(v2)
+    back = read_parquet_evolving(spark, v1, v2)
+    assert set(back.columns) == {"id", "name", "score"}
+    rows = sorted((r.id, r.name, r.score) for r in back.collect())
+    assert rows == [(1, "a", None), (2, "b", None), (3, "c", 9.5)]
+    # without mergeSchema the planner picks one footer and may drop the
+    # new column — the helper exists so callers opt in explicitly
+    one = read_parquet_evolving(spark, v1, v2, merge_schema=False)
+    assert set(one.columns) <= {"id", "name", "score"}
+
+
 def test_json_missing_fields_are_null(spark, tmp_path):
     path = str(tmp_path / "sparse_json")
     spark.createDataFrame([("{\"a\": 1}",), ("{\"a\": 2, \"b\": \"x\"}",)], "v STRING") \

@@ -91,6 +91,20 @@ def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
     return spark.read.options(**options).orc(path)
 
 
+def read_parquet_evolving(
+    spark: SparkSession, *paths: str, merge_schema: bool = True
+) -> DataFrame:
+    """Parquet scan across files written under EVOLVING schemas
+    (mergeSchema): columns absent from older files read as null, so a
+    long-lived 100 TB table can gain columns without rewriting history.
+    mergeSchema is opt-in per scan (not session-wide) because the footer
+    merge touches every file's metadata at planning time — the default
+    single-footer fast path stays the norm for stable tables. Type
+    conflicts between files fail loudly at plan time rather than coercing
+    silently."""
+    return spark.read.option("mergeSchema", merge_schema).parquet(*paths)
+
+
 def read_text(spark: SparkSession, path: str, whole: bool = False) -> DataFrame:
     """Plain-text scan: one row per line (``value: string``), or one row per
     file with ``wholetext`` — the raw-corpus ingest path before tokenize/
