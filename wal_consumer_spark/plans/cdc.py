@@ -356,6 +356,50 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dq_sequence_gap_audit",
+    oracle="""
+    SELECT gap_after, next_present, next_present - gap_after - 1 AS n_missing
+    FROM (
+        SELECT o_orderkey AS gap_after,
+               lead(o_orderkey) OVER (ORDER BY o_orderkey) AS next_present
+        FROM (SELECT DISTINCT o_orderkey FROM orders)
+    )
+    WHERE next_present - gap_after > 1
+    ORDER BY gap_after LIMIT 100
+    """,
+    doc="Sequence-gap audit (lost-write detection for id-ordered stores — "
+        "the operational check a WAL/outbox operator runs when producers "
+        "claim writes that never surfaced): every run of missing ids in "
+        "the key sequence, as (last id before gap, next id present, count "
+        "missing). One global-ordered window pass; at 100 TB the same "
+        "query runs per partition-range first (gaps can only span chunk "
+        "boundaries at the chunk edges, which a cheap second pass over "
+        "per-chunk min/max closes) — the global sort here is the "
+        "oracle-checkable formulation. o_orderkey is TPC-H-sparse, so the "
+        "audit is non-degenerate.",
+)
+def dq_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey").distinct()
+    w = Window.orderBy("o_orderkey")
+    return (
+        o.select(
+            F.col("o_orderkey").alias("gap_after"),
+            F.lead("o_orderkey").over(w).alias("next_present"),
+        )
+        .filter(F.col("next_present") - F.col("gap_after") > 1)
+        .select(
+            "gap_after",
+            "next_present",
+            (F.col("next_present") - F.col("gap_after") - 1).alias("n_missing"),
+        )
+        .orderBy("gap_after")
+        .limit(100)
+    )
+
+
+@register(
     "cdc_backlog_metrics",
     oracle=f"""
     WITH wal AS ({WAL_SQL})
