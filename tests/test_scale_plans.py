@@ -117,6 +117,43 @@ def test_embedding_near_dup_has_no_cross_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
 
 
+def test_passage_dedup_shuffle_count(spark):
+    """pipeline_passage_dedup is exactly two exchanges: the occurrence-rank
+    window shuffles on passage text, the reassembly aggregate shuffles back
+    on doc_id — no hidden third shuffle from the rebuild (the in-order
+    concat is array_sort over collected structs, not a second window)."""
+    from wal_consumer_spark.plans import all_specs
+
+    df = all_specs()["pipeline_passage_dedup"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("+- Exchange") + plan.count(":- Exchange")
+    assert n_exchanges == 2, f"{n_exchanges} exchanges:\n{plan[:2000]}"
+
+
+def test_contamination_score_single_corpus_pass(spark):
+    """text_contamination_score scans `documents` exactly twice — once for
+    the tiny eval side, once for the training corpus (n_shingles rides the
+    exploded rows; no join-back rescan)."""
+    from wal_consumer_spark.plans import all_specs
+
+    df = all_specs()["text_contamination_score"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_scans = plan.count("documents.parquet")
+    assert n_scans == 2, f"{n_scans} document scans:\n{plan[:2000]}"
+
+
+def test_dq_constraint_checks_one_scan_per_range_table(spark):
+    """dq_constraint_checks folds all range checks on a table into one
+    aggregate via stack: lineitem appears exactly once in the plan, orders
+    twice (the combined aggregate + the FK anti-join side)."""
+    from wal_consumer_spark.plans import all_specs
+
+    df = all_specs()["dq_constraint_checks"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lineitem.parquet") == 1, plan[:2000]
+    assert plan.count("orders.parquet") == 2, plan[:2000]
+
+
 def test_decontaminate_broadcasts_eval_shingles(spark):
     """pipeline_decontaminate's semi-join against the eval shingle set is a
     BroadcastHashJoin — the training corpus is never shuffled on shingles
