@@ -22,6 +22,7 @@ FAMILY_PREFIXES = [
     "win_",
     "scalar_",
     "cdc_",
+    "dq_",
     "dedup_",
     "sim_",
     "text_",

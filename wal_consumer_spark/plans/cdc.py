@@ -317,11 +317,13 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Data-quality constraint suite (Deequ/dbt-test style) as ONE query: "
         "primary-key uniqueness, referential integrity (orders->customer "
         "anti-join), and domain-range checks, each reported as a named "
-        "violation count. Scale: every check is a scan-level aggregate over "
-        "its table (map-side partials), the FK check is a single "
-        "null-aware anti-join on the key, and the union of 1-row results "
-        "is free — one pass per table regardless of how many range checks "
-        "ride along.",
+        "violation count. Scale: all range/uniqueness checks on a table "
+        "fold into one scan-level aggregate (stack unpivot — adding more "
+        "range checks adds no scan); the FK check is its own left "
+        "anti-join on the key and therefore a second orders scan "
+        "(asserted in tests/test_scale_plans.py). o_custkey is non-null "
+        "in this schema; a nullable FK would need Spark's null-aware "
+        "NOT IN instead of left_anti.",
 )
 def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")

@@ -81,7 +81,7 @@ DRIVER_WINDOW: list[str] = [
     "sim_doc_cosine_sparse",
     "cdc_last_op_per_key",
     "cdc_apply_final_state",
-    "cdc_replay_idempotency",
+    "dq_constraint_checks",
     "dedup_exact_hash",
     "dedup_minhash_lsh",
     "dedup_simhash",
