@@ -293,6 +293,69 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_temporal_join",
+    oracle=f"""
+    WITH wal AS ({WAL_SQL}),
+    v AS (
+        SELECT entity_id, id AS valid_from, operation, payload,
+               lead(id) OVER (PARTITION BY entity_id ORDER BY id) AS valid_to
+        FROM wal
+    ),
+    versions AS (SELECT * FROM v WHERE operation <> 'DELETE'),
+    facts AS (SELECT id AS fact_id, entity_id FROM wal WHERE id % 7 = 0)
+    SELECT f.fact_id, f.entity_id, ver.payload AS version_payload,
+           ver.valid_from
+    FROM facts f
+    JOIN versions ver
+      ON ver.entity_id = f.entity_id
+     AND f.fact_id >= ver.valid_from
+     AND (ver.valid_to IS NULL OR f.fact_id < ver.valid_to)
+    """,
+    doc="Temporal (point-in-time) join: each fact row joins the SCD2 "
+        "version of its entity that was valid AT the fact's position — the "
+        "feature-store / audit join that prevents training-time leakage "
+        "(a fact must never see a dimension version from its future). "
+        "Implementation is an equi-join on entity_id with the interval "
+        "predicate as a post-join filter: per-entity version counts are "
+        "bounded (~ops/key), so the fanout before the filter is a small "
+        "constant — a band join, never a cross join; at 100 TB both sides "
+        "shuffle once on entity_id. Facts = every 7th WAL id, giving a "
+        "deterministic non-degenerate fact set.",
+)
+def cdc_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    wal = synthetic_wal(spark, sf_dir)
+    w = Window.partitionBy("entity_id").orderBy("id")
+    versions = (
+        wal.select(
+            "entity_id",
+            F.col("id").alias("valid_from"),
+            "operation",
+            F.col("entity_bytes").cast("string").alias("payload"),
+            F.lead("id").over(w).alias("valid_to"),
+        )
+        .filter(F.col("operation") != "DELETE")
+    )
+    facts = wal.filter(F.col("id") % 7 == 0).select(
+        F.col("id").alias("fact_id"), "entity_id"
+    )
+    return (
+        facts.join(versions, "entity_id")
+        .filter(
+            (F.col("fact_id") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("fact_id") < F.col("valid_to")))
+        )
+        .select(
+            "fact_id",
+            "entity_id",
+            F.col("payload").alias("version_payload"),
+            "valid_from",
+        )
+    )
+
+
+@register(
     "dq_constraint_checks",
     oracle="""
     SELECT 'orders_pk_unique' AS check_name,
