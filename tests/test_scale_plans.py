@@ -162,7 +162,9 @@ def test_decontaminate_broadcasts_eval_shingles(spark):
 
     df = all_specs()["pipeline_decontaminate"].spark(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin [shingle" in plan and "LeftSemi" in plan, plan[:2000]
+    # left outer against the broadcast eval set (the hit flag feeds one
+    # groupBy; a semi-join couldn't carry the per-doc zero counts)
+    assert "BroadcastHashJoin [shingle" in plan and "LeftOuter" in plan, plan[:2000]
     # the corpus side must not sort-merge on shingles; the only shingle
     # exchange allowed is the tiny eval-set dedup inside the broadcast
     # subtree (bounded by the benchmark's size, not the corpus's)

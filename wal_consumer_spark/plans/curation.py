@@ -360,20 +360,17 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(sh).alias("shingle"))
         .distinct()
     )
-    tr = d.filter(F.col("doc_id") >= 20).select("doc_id", sh.alias("shingles"))
-    hits = (
-        tr.select("doc_id", F.explode("shingles").alias("shingle"))
-        .join(F.broadcast(ev), "shingle", "left_semi")
-        .select("doc_id")
-        .distinct()
-        .withColumn("contaminated", F.lit(True))
+    # single pass: every doc has >=1 shingle row, so one groupBy over the
+    # exploded+left-joined rows yields the flag for ALL training docs — no
+    # distinct + join-back rescan (same restructure as
+    # text_contamination_score).
+    ex = d.filter(F.col("doc_id") >= 20).select(
+        "doc_id", F.explode(sh).alias("shingle")
     )
     return (
-        tr.select("doc_id")
-        .join(hits, "doc_id", "left")
-        .select(
-            "doc_id", F.coalesce(F.col("contaminated"), F.lit(False)).alias("contaminated")
-        )
+        ex.join(F.broadcast(ev.withColumn("__hit", F.lit(1))), "shingle", "left")
+        .groupBy("doc_id")
+        .agg((F.count(F.col("__hit")) > 0).alias("contaminated"))
         .orderBy("doc_id")
     )
 
