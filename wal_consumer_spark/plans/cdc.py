@@ -356,6 +356,70 @@ def cdc_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_incremental_join_view",
+    oracle=f"""
+    WITH wal AS ({WAL_SQL}),
+    last AS (
+        SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY entity_id ORDER BY id DESC) AS rn
+                       FROM wal) WHERE rn = 1
+    )
+    SELECT l.entity_id, l.payload, n.n_name AS region_name
+    FROM last l
+    JOIN nation n ON n.n_nationkey = l.entity_id % 25
+    WHERE l.operation <> 'DELETE'
+    """,
+    doc="Incremental maintenance of a materialized JOIN view (delta-view "
+        "algorithm, the join-side complement to the aggregate-rollup MV in "
+        "streaming/incremental.py): the WAL arrives in three id-ordered "
+        "waves, and per wave the view is updated as "
+        "V := (V anti-join delta-keys) UNION (delta-upserts JOIN dim) — "
+        "old view rows are never re-joined, only the delta touches the "
+        "dimension. The oracle is the FULL recomputed join, so the check "
+        "proves three incremental applications converge to the batch "
+        "answer exactly. Scale: per wave, one anti-join on the key and one "
+        "broadcast dim join sized by the delta, independent of view size "
+        "beyond the key anti-join.",
+)
+def cdc_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wal = synthetic_wal(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("__nk"), F.col("n_name").alias("region_name")
+    )
+    cuts = wal.agg(
+        F.expr("max(id) div 3").alias("t1"),
+        F.expr("2 * (max(id) div 3)").alias("t2"),
+    )
+    waves = [
+        wal.join(F.broadcast(cuts), F.col("id") <= F.col("t1"), "inner").drop("t1", "t2"),
+        wal.join(
+            F.broadcast(cuts),
+            (F.col("id") > F.col("t1")) & (F.col("id") <= F.col("t2")),
+            "inner",
+        ).drop("t1", "t2"),
+        wal.join(F.broadcast(cuts), F.col("id") > F.col("t2"), "inner").drop("t1", "t2"),
+    ]
+    view = spark.createDataFrame(
+        [], "entity_id LONG, payload STRING, region_name STRING"
+    )
+    for wave in waves:
+        delta = last_op_per_key(wave)
+        upserts = (
+            delta.filter(F.col("operation") != "DELETE")
+            .select(
+                "entity_id",
+                F.col("entity_bytes").cast("string").alias("payload"),
+                (F.col("entity_id") % 25).alias("__nk"),
+            )
+            .join(F.broadcast(dim), "__nk")
+            .select("entity_id", "payload", "region_name")
+        )
+        view = view.join(
+            delta.select("entity_id"), "entity_id", "left_anti"
+        ).unionByName(upserts)
+    return view
+
+
+@register(
     "dq_constraint_checks",
     oracle="""
     SELECT 'orders_pk_unique' AS check_name,
