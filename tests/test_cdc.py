@@ -90,3 +90,17 @@ def test_replay_is_idempotent_and_counted(spark):
 def test_last_op_reduction(spark):
     last = {r.entity_id: r.operation for r in last_op_per_key(_wal(spark, SCENARIO)).collect()}
     assert last == {1: "UPDATE", 2: "DELETE", 3: "UPDATE", 4: "ADD"}
+
+
+def test_gap_audit_is_non_degenerate(spark):
+    """dq_sequence_gap_audit must return gaps on the shipped testdata —
+    an empty result would make the parity check vacuous (any inverted
+    filter or off-by-one would pass unnoticed)."""
+    from tests.conftest import SF_ORACLE
+    from wal_consumer_spark.plans import all_specs
+
+    rows = all_specs()["dq_sequence_gap_audit"].spark(spark, SF_ORACLE).collect()
+    assert rows, "gap audit found no gaps — audited sequence is dense, check is vacuous"
+    for r in rows:
+        assert r.n_missing == r.next_present - r.gap_after - 1
+        assert r.n_missing >= 1

@@ -252,6 +252,20 @@ def rp_lsh_buckets_sig_np(
     return _kernel(vec)
 
 
+def default_sig_cut(threshold: float, sig_bits: int) -> int:
+    """The default Hamming cut for the sign-signature prefilter: expected
+    mismatch for a pair AT the cosine threshold (acos(t)/pi * sig_bits)
+    plus 2.6 sigma of binomial margin — keeps >99.5% of borderline-true
+    pairs, rejects random collisions (mean sig_bits/2) at ~2+ sigma. The
+    SINGLE source of truth for both the Spark plan and the SQL oracle
+    replay: a margin tweak applied to one side only would silently desync
+    the two engines' candidate sets."""
+    import math
+
+    p = math.acos(max(min(threshold, 1.0), -1.0)) / math.pi
+    return int(sig_bits * p + 2.6 * math.sqrt(sig_bits * p * (1 - p)))
+
+
 def rp_sign_sig_words_sql(
     vec_sql: str, dim: int, sig_bits: int, seed: int, word_bits: int = 32
 ) -> list[str]:
@@ -536,16 +550,10 @@ def embedding_near_dup_blocked(
     ingest, the per-table self-join shuffles on the bucket id, and the two
     id-keyed vector joins are plain narrow-key shuffle joins
     (broadcast-able per corpus chunk)."""
-    import math
-
     word_bits = 32
     n_words = sig_bits // word_bits
     if sig_max_hamming is None:
-        # mean mismatch for a pair AT the threshold, plus 2.6 sigma margin:
-        # keeps >99.5% of borderline-true pairs, rejects random collisions
-        # (mean sig_bits/2) at ~2+ sigma.
-        p = math.acos(max(min(threshold, 1.0), -1.0)) / math.pi
-        sig_max_hamming = int(sig_bits * p + 2.6 * math.sqrt(sig_bits * p * (1 - p)))
+        sig_max_hamming = default_sig_cut(threshold, sig_bits)
     base = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     )
@@ -562,18 +570,20 @@ def embedding_near_dup_blocked(
             seed0=seed, sig_bits=sig_bits, sig_seed=sig_seed, word_bits=word_bits,
         ).alias("bs"),
     ).localCheckpoint(eager=True)
+    # with the prefilter disabled the sig words never ride the self-join
+    sig_words = range(n_words) if sig_max_hamming >= 0 else range(0)
     withb = bs.select(
         "id",
-        *[F.col("bs.sig")[w].alias(f"s{w}") for w in range(n_words)],
+        *[F.col("bs.sig")[w].alias(f"s{w}") for w in sig_words],
         F.posexplode(F.col("bs.buckets")).alias("table", "bucket"),
     )
     a = withb.select(
         F.col("id").alias("id1"), "table", "bucket",
-        *[F.col(f"s{w}").alias(f"a{w}") for w in range(n_words)],
+        *[F.col(f"s{w}").alias(f"a{w}") for w in sig_words],
     )
     b = withb.select(
         F.col("id").alias("id2"), "table", "bucket",
-        *[F.col(f"s{w}").alias(f"b{w}") for w in range(n_words)],
+        *[F.col(f"s{w}").alias(f"b{w}") for w in sig_words],
     )
     joined = a.join(b, ["table", "bucket"]).filter(F.col("id1") < F.col("id2"))
     if sig_max_hamming >= 0:

@@ -327,48 +327,65 @@ _SHINGLES_K5 = (
 ).format(t=_TOKS, k=_DECON_K)
 
 
-@register(
-    "pipeline_decontaminate",
-    oracle=f"""
+#: shared SQL CTE prefix for decontamination-family oracles: the eval
+#: shingle dictionary (docs 0-19) and the exploded training-corpus
+#: shingles. BOTH engines derive their output from the exploded rows, so a
+#: null-text doc (no tokens -> no shingle rows) is consistently absent
+#: from both results — deriving one side from `documents` directly would
+#: silently diverge on null text.
+_DECON_CTES = f"""
     WITH ev AS (
         SELECT DISTINCT unnest({_SHINGLES_K5}) AS shingle
         FROM documents WHERE doc_id < 20
     ),
-    tr AS (
+    ex AS (
         SELECT doc_id, unnest({_SHINGLES_K5}) AS shingle
         FROM documents WHERE doc_id >= 20
-    ),
-    hits AS (
-        SELECT DISTINCT doc_id FROM tr WHERE shingle IN (SELECT shingle FROM ev)
     )
-    SELECT d.doc_id, d.doc_id IN (SELECT doc_id FROM hits) AS contaminated
-    FROM documents d WHERE d.doc_id >= 20
-    ORDER BY d.doc_id
-    """,
-    doc=f"Benchmark decontamination: flag training docs sharing any distinct "
-        f"{_DECON_K}-gram shingle with the eval set (docs 0-19 stand in for "
-        f"a held-out benchmark). The eval shingle set is tiny and BROADCAST "
-        f"— the scan-side semi-join never shuffles the corpus, so at 100 TB "
-        f"this is one pass over training data. The standard n-gram-overlap "
-        f"decontamination rule (GPT-3 appendix C / PaLM style).",
-)
-def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def _decon_frames(spark: SparkSession, sf_dir: str):
+    """Shared Spark-side frames for the decontamination family: broadcast
+    eval shingle dictionary (with hit flag) and exploded training-corpus
+    shingles — one definition so the eval cutoff and shingle k can never
+    desynchronize between the flag and the score query."""
     d = load_table(spark, sf_dir, "documents")
     sh = word_shingles(tokens(F.col("text")), _DECON_K)
     ev = (
         d.filter(F.col("doc_id") < 20)
         .select(F.explode(sh).alias("shingle"))
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    # single pass: every doc has >=1 shingle row, so one groupBy over the
-    # exploded+left-joined rows yields the flag for ALL training docs — no
-    # distinct + join-back rescan (same restructure as
-    # text_contamination_score).
     ex = d.filter(F.col("doc_id") >= 20).select(
         "doc_id", F.explode(sh).alias("shingle")
     )
+    return ev, ex
+
+
+@register(
+    "pipeline_decontaminate",
+    oracle=f"""
+    {_DECON_CTES}
+    SELECT doc_id,
+           COUNT(*) FILTER (WHERE shingle IN (SELECT shingle FROM ev)) > 0
+               AS contaminated
+    FROM ex GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc=f"Benchmark decontamination: flag training docs sharing any distinct "
+        f"{_DECON_K}-gram shingle with the eval set (docs 0-19 stand in for "
+        f"a held-out benchmark). The eval shingle set is tiny and BROADCAST "
+        f"— the corpus is ONE pass (broadcast left join carrying a hit flag "
+        f"into a single per-doc aggregate), never shuffled on shingles. The "
+        f"standard n-gram-overlap decontamination rule (GPT-3 appendix C / "
+        f"PaLM style).",
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev, ex = _decon_frames(spark, sf_dir)
     return (
-        ex.join(F.broadcast(ev.withColumn("__hit", F.lit(1))), "shingle", "left")
+        ex.join(F.broadcast(ev), "shingle", "left")
         .groupBy("doc_id")
         .agg((F.count(F.col("__hit")) > 0).alias("contaminated"))
         .orderBy("doc_id")
@@ -378,54 +395,29 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_contamination_score",
     oracle=f"""
-    WITH ev AS (
-        SELECT DISTINCT unnest({_SHINGLES_K5}) AS shingle
-        FROM documents WHERE doc_id < 20
-    ),
-    tr AS (
-        SELECT doc_id, {_SHINGLES_K5} AS sh
-        FROM documents WHERE doc_id >= 20
-    ),
-    ex AS (SELECT doc_id, unnest(sh) AS shingle FROM tr),
-    hits AS (
-        SELECT doc_id, COUNT(*) AS n_hits FROM ex
-        WHERE shingle IN (SELECT shingle FROM ev)
-        GROUP BY doc_id
-    )
-    SELECT t.doc_id,
-           len(t.sh) AS n_shingles,
-           COALESCE(h.n_hits, 0) AS n_hits,
-           round(COALESCE(h.n_hits, 0) / CAST(len(t.sh) AS DOUBLE), 6) AS overlap
-    FROM tr t LEFT JOIN hits h USING (doc_id)
+    {_DECON_CTES}
+    SELECT doc_id,
+           COUNT(*) AS n_shingles,
+           COUNT(*) FILTER (WHERE shingle IN (SELECT shingle FROM ev)) AS n_hits,
+           round(COUNT(*) FILTER (WHERE shingle IN (SELECT shingle FROM ev))
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS overlap
+    FROM ex GROUP BY doc_id
     """,
     doc=f"Graded contamination scoring: for each training doc, the fraction "
         f"of its distinct {_DECON_K}-gram shingles that appear in the eval "
         f"set (docs 0-19) — the quantitative companion to "
         f"pipeline_decontaminate's boolean flag, used to set an overlap "
         f"threshold instead of dropping on any single shared shingle. Same "
-        f"scale shape: the eval shingle set is broadcast, hits are counted "
-        f"in one pass over the corpus (scan-side semi-join + per-doc "
-        f"count), and the score is an exact long/long division both "
-        f"engines compute bit-identically.",
+        f"scale shape: the eval shingle set is broadcast, both counters come "
+        f"out of ONE per-doc aggregate over the exploded corpus (word_"
+        f"shingles is distinct, so the exploded row count IS n_shingles), "
+        f"and the score is an exact long/long division both engines compute "
+        f"bit-identically.",
 )
 def text_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(tokens(F.col("text")), _DECON_K)
-    ev = (
-        d.filter(F.col("doc_id") < 20)
-        .select(F.explode(sh).alias("shingle"))
-        .distinct()
-    )
-    # single pass, single shingle evaluation: word_shingles is distinct, so
-    # the exploded row count per doc IS n_shingles — both counters come out
-    # of one groupBy over the exploded+left-joined rows, with no size()
-    # recompute and no join-back (the recompute hazard simhash/near-dup
-    # avoid with localCheckpoint, avoided here by restructuring instead).
-    ex = d.filter(F.col("doc_id") >= 20).select(
-        "doc_id", F.explode(sh).alias("shingle")
-    )
+    ev, ex = _decon_frames(spark, sf_dir)
     return (
-        ex.join(F.broadcast(ev.withColumn("__hit", F.lit(1))), "shingle", "left")
+        ex.join(F.broadcast(ev), "shingle", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

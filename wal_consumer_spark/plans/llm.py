@@ -349,16 +349,13 @@ def _near_dup_blocked_sql(
     (xor + bit_count over the same packed 32-bit words), identical narrow
     candidate join, identical quantized-cosine verify (int64 sums + scalar
     IEEE doubles — see operators/similarity.py::quant_cosine)."""
-    import math
-
     from wal_consumer_spark.operators.similarity import (
+        default_sig_cut,
         quant_cosine_sql,
         rp_sign_sig_words_sql,
     )
 
-    # same default cut as embedding_near_dup_blocked (incl. the clamp)
-    p = math.acos(max(min(threshold, 1.0), -1.0)) / math.pi
-    cut = int(sig_bits * p + 2.6 * math.sqrt(sig_bits * p * (1 - p)))
+    cut = default_sig_cut(threshold, sig_bits)  # single source of truth
     words = rp_sign_sig_words_sql("v", dim, sig_bits, sig_seed)
     sig_select = ", ".join(f"{w} AS s{i}" for i, w in enumerate(words))
     # DuckDB bit_count returns TINYINT; widen before summing (256 bits max)
