@@ -28,3 +28,18 @@ def test_query_parity(spark, duck, name):
         return
     ddf = duck.execute(spec.oracle).fetchdf()
     compare(sdf, ddf, name)
+
+
+def test_driver_window_results_non_degenerate(spark):
+    """Every driver-window query must return >=1 row at the driver's scale
+    factor: an empty result hash-matches an empty oracle no matter how
+    broken the query is (the vacuous-verification failure mode found on
+    dq_sequence_gap_audit and join_interval_overlap in round 2)."""
+    from wal_consumer_spark.plans.registry import DRIVER_WINDOW
+
+    empty = [
+        n
+        for n in DRIVER_WINDOW
+        if len(_SPECS[n].spark(spark, SF_ORACLE).take(1)) == 0
+    ]
+    assert not empty, f"window queries with empty (vacuous) results: {empty}"

@@ -519,36 +519,52 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_interval_overlap",
     oracle="""
-    SELECT o.o_orderpriority,
+    WITH iv AS (
+        SELECT user_id, ts AS start_ts, ts + INTERVAL 1 HOUR AS end_ts
+        FROM events WHERE event_type = 'signup'
+    ),
+    p AS (
+        SELECT user_id, ts, event_type, value
+        FROM events WHERE event_type <> 'signup'
+    )
+    SELECT p.event_type,
            COUNT(*) AS n_overlaps,
-           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
-    FROM events e
-    JOIN orders o
-      ON o.o_custkey = e.user_id
-     AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate
-     AND CAST(e.ts AS TIMESTAMP) < o.o_orderdate + INTERVAL 7 DAY
-    GROUP BY o.o_orderpriority
+           CAST(SUM(CAST(p.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM p
+    JOIN iv ON iv.user_id = p.user_id
+           AND p.ts >= iv.start_ts AND p.ts < iv.end_ts
+    GROUP BY p.event_type
     """,
-    doc="Interval-overlap join: events landing inside a 7-day window after "
-        "each order of the same customer. Equi key (user_id = o_custkey) + "
-        "range predicate: Catalyst plans the equi part as a shuffled "
-        "hash/sort-merge join and applies the range as a post-join filter, "
-        "so there is no pair explosion - the batch analog of the streaming "
-        "interval join in tests/test_streaming_ext.py.",
+    doc="Interval-overlap join: activity events landing inside the 1-hour "
+        "window after each signup event of the same user. Equi key "
+        "(user_id) + range predicate: Catalyst plans the equi part as a "
+        "shuffled hash/sort-merge join and applies the range as a "
+        "post-join filter, so there is no pair explosion — the batch "
+        "analog of the streaming interval join in "
+        "tests/test_streaming_ext.py. Both interval and probe sides come "
+        "from the events table, so the result is non-degenerate at every "
+        "scale factor (the earlier orders-x-events formulation was "
+        "vacuously empty: the two tables' time ranges never intersect in "
+        "this testdata).",
 )
 def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderdate", "o_orderpriority"
+    e = load_table(spark, sf_dir, "events")
+    iv = e.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("iv_user"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+    )
+    p = e.filter(F.col("event_type") != "signup").select(
+        "user_id", "ts", "event_type", "value"
     )
     cond = (
-        (e["user_id"] == o["o_custkey"])
-        & (e["ts"] >= o["o_orderdate"])
-        & (e["ts"] < o["o_orderdate"] + F.expr("INTERVAL 7 DAY"))
+        (p["user_id"] == iv["iv_user"])
+        & (p["ts"] >= iv["start_ts"])
+        & (p["ts"] < iv["end_ts"])
     )
     return (
-        e.join(o, cond)
-        .groupBy("o_orderpriority")
+        p.join(iv, cond)
+        .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_overlaps"),
             dsum("value", "sum_value"),
