@@ -474,6 +474,45 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_mode_per_group",
+    oracle="""
+    SELECT o_orderstatus, priority_mode, mode_count FROM (
+        SELECT o_orderstatus, o_orderpriority AS priority_mode,
+               COUNT(*) AS mode_count,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ) WHERE rn = 1
+    """,
+    doc="mode() — most frequent value per group, with the tie broken "
+        "deterministically toward the lexicographically smallest value "
+        "(built-in mode() is engine-arbitrary on ties, so the registered "
+        "formulation is count + rank). Scale: the first aggregation "
+        "shuffles on the (group, value) pair and reduces each to one "
+        "counted row; the rank window then runs over |distinct values| "
+        "rows per group, not the raw data — at 100 TB the heavy input "
+        "never reaches the window.",
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("mode_count")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("mode_count").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("priority_mode"),
+            "mode_count",
+        )
+    )
+
+
+@register(
     "agg_approx_quantiles_bounded",
     oracle="""
     SELECT o_orderpriority,
