@@ -204,6 +204,55 @@ _PACK_CAP = 512
 
 
 @register(
+    "pipeline_length_bucketing",
+    oracle=f"""
+    SELECT (len({_TOKS}) // 32) * 32 AS bucket_lo,
+           COUNT(*) AS n_docs,
+           MIN(len({_TOKS})) AS min_tokens,
+           MAX(len({_TOKS})) AS max_tokens,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS sum_tokens,
+           CAST(SUM((len({_TOKS}) // 32) * 32 + 32 - len({_TOKS})) AS BIGINT)
+               AS padding_tokens
+    FROM documents
+    GROUP BY bucket_lo
+    ORDER BY bucket_lo
+    """,
+    doc="Length bucketing for padded-batch inference: docs grouped into "
+        "32-token-wide length buckets, reporting per-bucket doc count, "
+        "token range, and the padding waste if each bucket pads to its "
+        "ceiling — the standard pre-batching step that minimizes wasted "
+        "compute when serving variable-length sequences. One map-side "
+        "tokenize + one bounded aggregation (|buckets| = max_len/32 "
+        "groups), no shuffle of the documents themselves.",
+)
+def pipeline_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wal_consumer_spark.functions.text import let
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            let(
+                F.size(tokens(F.col("text"))),
+                lambda n: F.struct(
+                    ((n / 32).cast("long") * 32).alias("bucket_lo"),
+                    n.alias("n_tokens"),
+                ),
+            ).alias("s")
+        )
+        .select(F.col("s.bucket_lo").alias("bucket_lo"), F.col("s.n_tokens").alias("n_tokens"))
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.sum(F.col("bucket_lo") + 32 - F.col("n_tokens")).cast("long").alias("padding_tokens"),
+        )
+        .orderBy("bucket_lo")
+    )
+
+
+@register(
     "pipeline_sequence_packing",
     oracle=f"""
     WITH toks AS (
