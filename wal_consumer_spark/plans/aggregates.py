@@ -513,6 +513,93 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                    * CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE)
+               / CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE)
+               AS wavg_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS total_weight
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Quantity-weighted average price per return flag: weighted mean as "
+        "exact decimal sum-of-products / exact decimal sum-of-weights, with "
+        "ONE double division at the end — the order-independent formulation "
+        "(a streaming weighted mean of doubles is partition-order "
+        "dependent). Map-side partial sums like any algebraic aggregate; "
+        "mergeable across levels and micro-batches.",
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wsum = F.sum(
+        F.col("l_extendedprice").cast("decimal(14,2)")
+        * F.col("l_quantity").cast("decimal(14,2)")
+    ).cast("double")
+    w = F.sum(F.col("l_quantity").cast("decimal(14,2)")).cast("double")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            (wsum / w).alias("wavg_price"),
+            w.alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "win_islands",
+    oracle="""
+    WITH k AS (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderstatus = 'F'),
+    g AS (
+        SELECT o_orderkey,
+               o_orderkey - row_number() OVER (ORDER BY o_orderkey) AS grp
+        FROM k
+    )
+    SELECT MIN(o_orderkey) AS island_start,
+           MAX(o_orderkey) AS island_end,
+           COUNT(*) AS island_len
+    FROM g GROUP BY grp
+    ORDER BY island_start LIMIT 200
+    """,
+    doc="Gaps-and-islands: maximal runs of consecutive ids, via the classic "
+        "difference-grouping trick (id - row_number() is constant within a "
+        "consecutive run) — the islands complement of dq_sequence_gap_audit "
+        "over the same status='F' key slice (non-degenerate: the slice has "
+        "many islands). One ordered window + one bounded aggregation; at "
+        "100 TB the window runs per id-chunk with a cheap boundary-merge "
+        "pass, same as the gap audit.",
+)
+def win_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    k = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+        .distinct()
+    )
+    g = k.select(
+        "o_orderkey",
+        (F.col("o_orderkey") - F.row_number().over(Window.orderBy("o_orderkey"))).alias(
+            "grp"
+        ),
+    )
+    return (
+        g.groupBy("grp")
+        .agg(
+            F.min("o_orderkey").alias("island_start"),
+            F.max("o_orderkey").alias("island_end"),
+            F.count(F.lit(1)).alias("island_len"),
+        )
+        .drop("grp")
+        .orderBy("island_start")
+        .limit(200)
+    )
+
+
+@register(
     "agg_approx_quantiles_bounded",
     oracle="""
     SELECT o_orderpriority,
