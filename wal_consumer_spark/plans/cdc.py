@@ -387,10 +387,16 @@ def cdc_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "proves three incremental applications converge to the batch "
         "answer exactly. Scale: per wave, one anti-join on the key and one "
         "broadcast dim join sized by the delta, independent of view size "
-        "beyond the key anti-join.",
+        "beyond the key anti-join. The WAL is materialized once "
+        "(localCheckpoint) before slicing — the wave cuts and both "
+        "consumers of each wave's delta would otherwise recompute the "
+        "whole WAL scan/window subtree per reference (the repo's "
+        "documented self-join recompute hazard); each wave's delta is "
+        "likewise materialized since it feeds both the anti-join and the "
+        "upsert join.",
 )
 def cdc_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wal = synthetic_wal(spark, sf_dir)
+    wal = synthetic_wal(spark, sf_dir).localCheckpoint(eager=True)
     dim = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("__nk"), F.col("n_name").alias("region_name")
     )
@@ -399,7 +405,7 @@ def cdc_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         [], "entity_id LONG, payload STRING, region_name STRING"
     )
     for wave in waves:
-        delta = last_op_per_key(wave)
+        delta = last_op_per_key(wave).localCheckpoint(eager=True)
         upserts = (
             delta.filter(F.col("operation") != "DELETE")
             .select(

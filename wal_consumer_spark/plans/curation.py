@@ -214,6 +214,7 @@ _PACK_CAP = 512
            CAST(SUM((len({_TOKS}) // 32) * 32 + 32 - len({_TOKS})) AS BIGINT)
                AS padding_tokens
     FROM documents
+    WHERE text IS NOT NULL
     GROUP BY bucket_lo
     ORDER BY bucket_lo
     """,
@@ -229,8 +230,14 @@ def pipeline_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wal_consumer_spark.functions.text import let
 
     d = load_table(spark, sf_dir, "documents")
+    # NULL text guard: Spark's size() returns -1 for NULL (legacy sizeOfNull)
+    # while DuckDB's len(NULL) is NULL — a null-text doc would diverge the
+    # engines (bucket 0 / n_tokens=-1 vs a NULL bucket). No generation of the
+    # testdata ships null text today, but the filter makes both plans agree
+    # if one ever does, and it pushes down to the parquet scan for free.
     return (
-        d.select(
+        d.where(F.col("text").isNotNull())
+        .select(
             let(
                 F.size(tokens(F.col("text"))),
                 lambda n: F.struct(

@@ -32,75 +32,97 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 
 #: Names pinned, in order, to the head of the `all_specs()` iteration. The
-#: grading driver correctness-checks only the FIRST 50 registry entries, so
-#: this list places >=1 representative of every operator family from
-#: SURVEY.md §2 inside that window (VERDICT.md round 1, "Next round" #1):
-#: flagship TPC-H, join variants, as-of/interval, sort/set-ops, aggregates,
-#: sketches (CMS/HLL/approx-distinct), window functions, scalar families,
-#: CDC, dedup (exact/minhash/simhash/jaccard/clusters), similarity search,
-#: text analysis, multimodal, UDFs, stream-batch analogs, the curation
-#: pipeline (corpus curation, train split, decontamination), the SQL
-#: front door, and the round-2 families: time-series (resample/LOCF),
-#: product analytics (cohort retention), graph (PageRank), ML primitives
-#: (feature scaling), fuzzy join, and sparse-vector cosine similarity.
-#: Families with several window slots in round 1 (plain join variants,
-#: sorts, scalar families) were trimmed to one-or-two representatives to
-#: make room — each trimmed family keeps >=1 green slot, and the trimmed
-#: variants remain oracle-checked in tests/test_parity.py and in the
-#: post-window registry tail. The TPC-H bulk and remaining variants follow
-#: after; any spec without an oracle sorts last so it can never burn a
-#: window slot on a rows-only check.
+#: grading driver correctness-checks only the FIRST 50 registry entries,
+#: and CORRECTNESS_r{N}.json files ACCUMULATE across rounds — so the
+#: window is ROTATED each round to extend cumulative driver coverage
+#: (VERDICT.md round 2, "Next round" #1). Rounds 1–2 certified 89 distinct
+#: queries (every TPC-H query, the join/set/sort variants, sketches,
+#: dedup ×5, similarity ×4, text ×4, multimodal ×2, UDF ×2, CDC core,
+#: streaming analogs, curation core, time-series LOCF, cohort/PageRank/
+#: feature-scaling, fuzzy join, sparse cosine — see CORRECTNESS_r01/r02).
+#: Round 3 swaps ALL 50 slots to the still-uncertified families: semi/anti
+#: variants' remaining cousins (null-safe eq, keyless binned range),
+#: pivot/unpivot/mode/weighted-avg/corr/bounded-quantiles, the window-
+#: function long tail (islands, lag/lead, range frames, ignore-nulls,
+#: z-score outliers), scalar math/cond/map/json/cast/explode, the CDC
+#: temporal suite (as-of state, net-changes, SCD2, temporal join,
+#: incremental join-view, gap audit), IVF top-k + k-means, the text-
+#: analysis tail (fingerprint, stopword, unigram-LM, repetition, PII,
+#: contamination), multimodal frame sampling, sliding/session stream
+#: analogs, the curation tail (length bucketing, packing, passage dedup,
+#: global shuffle, domain mixture), SQL-front window/EXISTS, time-series
+#: interp/rollup/EWMA, grouped-map/table-fn/cogrouped UDFs, and funnel
+#: analytics. Every rotated-out name keeps its green row in a committed
+#: CORRECTNESS_r*.json — enforced by
+#: tests/test_registry.py::test_rotated_out_names_have_committed_green_rows
+#: — and stays oracle-checked in tests/test_parity.py. Any spec without an
+#: oracle sorts last so it can never burn a window slot on a rows-only
+#: check.
 DRIVER_WINDOW: list[str] = [
-    "q1_pricing_summary",
-    "q5_region_revenue",
-    "join_inner_basic",
-    "join_fuzzy_name_pairs",
-    "ts_resample_locf",
-    "pipeline_train_split",
-    "asof_join_events_orders",
-    "join_interval_overlap",
-    "topk_global",
-    "analytics_cohort_retention",
-    "set_union_distinct",
-    "pipeline_decontaminate",
-    "sql_front_agg_join",
-    "agg_group_stats",
-    "graph_pagerank",
-    "agg_approx_count_distinct",
-    "agg_rollup",
-    "agg_percentiles",
-    "agg_argmax",
-    "agg_count_min_sketch",
-    "agg_hll_partial_merge",
-    "win_topk_per_group",
-    "ml_feature_scaling",
-    "win_sessionize_gap",
-    "scalar_string_funcs",
-    "scalar_datetime_funcs",
-    "scalar_array_funcs",
-    "sim_doc_cosine_sparse",
-    "cdc_last_op_per_key",
-    "cdc_apply_final_state",
-    "dq_constraint_checks",
-    "dedup_exact_hash",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_clusters_cc",
-    "sim_topk_bruteforce",
-    "sim_embedding_near_dup",
-    "sim_topk_lsh",
-    "text_token_stats",
-    "text_langid",
-    "text_quality",
-    "text_tfidf_topk",
-    "multimodal_decode_meta",
-    "multimodal_kind_stats",
-    "udf_pandas_scalar",
-    "udf_grouped_agg_median",
-    "stream_window_tumbling",
-    "stream_incremental_rollup",
-    "pipeline_corpus_curation",
+    # joins: remaining uncertified variants
+    "join_null_safe_eq",
+    "join_range_keyless_binned",
+    # aggregates: reshaping + robust stats
+    "agg_pivot",
+    "agg_unpivot",
+    "agg_mode_per_group",
+    "agg_weighted_avg",
+    "agg_approx_quantiles_bounded",
+    "agg_corr_regression",
+    # window functions: long tail
+    "win_islands",
+    "win_lag_lead",
+    "win_range_frame",
+    "win_first_last_ignore_nulls",
+    "win_zscore_outliers",
+    # scalar expression families
+    "scalar_math_funcs",
+    "scalar_conditional",
+    "scalar_map_funcs",
+    "scalar_json_funcs",
+    "scalar_cast_matrix",
+    "explode_posexplode",
+    # CDC temporal suite + DQ gap audit
+    "cdc_state_asof",
+    "cdc_net_changes",
+    "cdc_scd2_history",
+    "cdc_temporal_join",
+    "cdc_incremental_join_view",
+    "dq_sequence_gap_audit",
+    # similarity / ML
+    "sim_topk_ivf",
+    "ml_kmeans_refine",
+    # text analysis tail
+    "text_fingerprint",
+    "text_stopword_filter",
+    "text_unigram_logprob",
+    "text_repetition",
+    "text_pii_scrub",
+    "text_contamination_score",
+    # multimodal
+    "multimodal_frame_sample",
+    # stream-batch analogs
+    "stream_window_sliding",
+    "stream_session_window",
+    # curation pipeline tail
+    "pipeline_length_bucketing",
+    "pipeline_sequence_packing",
+    "pipeline_passage_dedup",
+    "pipeline_global_shuffle",
+    "pipeline_domain_mixture",
+    # SQL front door
+    "sql_front_window_rank",
+    "sql_front_exists_subquery",
+    # time-series
+    "ts_resample_interp",
+    "ts_hierarchical_rollup",
+    "ts_ewma_decay",
+    # UDF surface
+    "udf_grouped_map_zscore",
+    "udf_table_function_sentences",
+    "udf_cogrouped_map",
+    # product analytics
+    "analytics_funnel_conversion",
 ]
 
 
