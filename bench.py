@@ -97,11 +97,16 @@ def main() -> None:
     specs = all_specs()
     warmup(spark, sf_dir)
 
-    # two full passes, keep the per-query minimum: local runs share the box
-    # with other processes, and min-of-N is the standard way to report the
-    # query's actual cost rather than scheduler noise.
-    timings: dict[str, float] = {}
-    for _ in range(2):
+    # Three full passes over the suite, report the per-query MEDIAN
+    # (VERDICT r2 "Next round" #2: one JVM running 36 queries sequentially
+    # at n<=2 could not distinguish a regression from session noise — every
+    # sf0.1 parquet is a single row group, so scans are single-threaded and
+    # jittery). Median-of-3 is robust to a one-off GC/compilation stall in
+    # either direction; passes iterate the whole suite round-robin so one
+    # noisy wall-clock era doesn't bias a single query's three samples.
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(n_passes):
         for name in HEADLINE:
             # time construction + execution: some queries materialize an
             # index frame eagerly at construction (localCheckpoint in the
@@ -110,9 +115,14 @@ def main() -> None:
             t0 = time.perf_counter()
             df = specs[name].spark(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            t = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, t), t)
+            samples[name].append(time.perf_counter() - t0)
 
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    timings = {name: round(median(xs), 3) for name, xs in samples.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -122,6 +132,15 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # Methodology provenance (ADVICE r2): r1 = min-of-2 timing
+                # execution only; r2 = min-of-2 timing construction+execution
+                # (shifted construction-heavy entries: dedup_simhash,
+                # sim_embedding_near_dup); r3+ = median-of-3, same
+                # construction+execution span as r2.
+                "bench_version": 3,
+                "method": f"median-of-{n_passes}, construction+execution, "
+                          "single shared JVM, untimed steady-state warmup",
+                "n_per_query": n_passes,
             }
         )
     )

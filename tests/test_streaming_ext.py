@@ -284,6 +284,42 @@ def test_transform_with_state_in_pandas(spark, tmp_path):
         == [("a", 2), ("b", 1)]
 
 
+def test_transform_with_state_scenario_under_apply_in_pandas(spark, tmp_path):
+    """Scenario-parity twin of test_transform_with_state_in_pandas above,
+    runnable in THIS container: identical input ([a, b, a]), identical
+    per-key counter state machine, identical expected output — expressed
+    with applyInPandasWithState. The container cannot run the v2 API at all
+    (the Python runner imports google.protobuf, and no protobuf install
+    exists here — not a version break; vendoring was ruled out since
+    installs are unavailable), so this pins the BEHAVIOR the v2 test will
+    re-verify on a full image: migrating is renaming the call and moving
+    the handler into a StatefulProcessor, nothing semantic."""
+    src = str(tmp_path / "tws_twin")
+    spark.createDataFrame([("a",), ("b",), ("a",)], "k STRING").coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    out_t = StructType([StructField("k", StringType()), StructField("n", LongType())])
+    state_t = StructType([StructField("n", LongType())])
+
+    def counter(key, pdf_iter, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"k": [key[0]], "n": [n]})
+
+    q = (
+        spark.readStream.schema("k STRING").parquet(src)
+        .groupBy("k")
+        .applyInPandasWithState(counter, out_t, state_t, "update", "NoTimeout")
+        .writeStream.format("memory").queryName("tws_twin")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert sorted((r.k, r.n) for r in spark.sql("select * from tws_twin").collect()) \
+        == [("a", 2), ("b", 1)]
+
+
 def test_incremental_rollup_stream_matches_batch(spark, tmp_path):
     """Micro-batched incremental rollup maintenance converges to exactly the
     from-scratch GROUP BY, regardless of batch boundaries (exact decimal

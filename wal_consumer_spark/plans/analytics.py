@@ -113,6 +113,10 @@ def analytics_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PR_ITERS = 3
+#: Iteration index after which `pr` is localCheckpointed every round. 0 =
+#: from the first round; raised only if the checkpoint overhead ever
+#: dominates at tiny iteration counts.
+_PR_CHECKPOINT_AFTER = 0
 _Q_INIT = 40_000_000_000  # 1/25 * 1e12, exact
 _Q_TELEPORT = 6_000_000_000  # 0.15/25 * 1e12, exact
 
@@ -176,8 +180,13 @@ _Q_TELEPORT = 6_000_000_000  # 0.15/25 * 1e12, exact
         "via a left join against the full node set (teleport-only rank), so "
         "no rank row is silently dropped on arbitrary graphs. Same loop "
         "shape as connected components (operators/graph.py): per iteration "
-        "one equi-join + one aggregation, localCheckpoint per round at real "
-        "graph sizes to cut lineage; the oracle unrolls the identical 3 "
+        "one equi-join + one aggregation; the edge+degree frame is "
+        "materialized ONCE before the loop (every iteration references it — "
+        "without truncation the final plan nests the edge subtree per "
+        "round) and `pr` is localCheckpointed each round past the lineage "
+        "threshold, so an iterate-to-convergence run re-plans a constant-"
+        "depth tree per round instead of a growing one (the Spark "
+        "iterative-algorithm trap). The oracle unrolls the identical 3 "
         "iterations as chained CTEs.",
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -188,10 +197,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "u", "v"
     )
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-    ed = edges.join(deg, "u")
+    # Loop-invariant join input, referenced by every iteration: materialize
+    # once (localCheckpoint, like connected_components) instead of
+    # recomputing the nation self-join + degree agg per round.
+    ed = edges.join(deg, "u").localCheckpoint(eager=True)
     nodes = n.select(F.col("n_nationkey").alias("node"))
     pr = nodes.withColumn("q", F.lit(_Q_INIT).cast("long"))
-    for _ in range(_PR_ITERS):
+    for i in range(_PR_ITERS):
         contrib = (
             ed.join(pr, ed["u"] == pr["node"])
             .groupBy(F.col("v").alias("node"))
@@ -206,6 +218,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.lit(_Q_TELEPORT)
             ).alias("q"),
         )
+        # Truncate pr's lineage each round past the threshold; the last
+        # round is left lazy so the returned DataFrame still ends in a
+        # normal plan the caller can compose/explain.
+        if i >= _PR_CHECKPOINT_AFTER and i < _PR_ITERS - 1:
+            pr = pr.localCheckpoint(eager=True)
     return pr.join(n, pr["node"] == n["n_nationkey"]).select(
         "n_name",
         F.round(F.col("q").cast("double") / 1_000_000_000_000, 10).alias("pagerank"),
