@@ -124,6 +124,7 @@ def main() -> None:
 
     timings = {name: round(median(xs), 3) for name, xs in samples.items()}
     total = round(sum(timings.values()), 3)
+    raw = {name: [round(x, 3) for x in xs] for name, xs in samples.items()}
     print(
         json.dumps(
             {
@@ -141,6 +142,16 @@ def main() -> None:
                 "method": f"median-of-{n_passes}, construction+execution, "
                           "single shared JVM, untimed steady-state warmup",
                 "n_per_query": n_passes,
+                # Raw per-pass samples (suite-order round-robin): lets a
+                # cross-round reader separate plan cost from session noise.
+                # NOTE r1->r2 comparability: r1 timed EXECUTION only; r2+
+                # times construction+execution. Construction (Catalyst
+                # analysis of the big minhash/simhash expression trees) is
+                # ~0.7-1.0 s of dedup_minhash_lsh's total — the r2 '+36%'
+                # on that query was this methodology change, not a plan
+                # regression (execution alone matches r1; measured
+                # construct~0.8s/execute~1.2s steady-state).
+                "samples": raw,
             }
         )
     )
