@@ -854,3 +854,75 @@ def agg_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("skew_ratio"),
         )
     )
+
+
+@register(
+    "agg_higher_moments",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(CAST(o_totalprice * 100 AS DECIMAL(18,0)) AS HUGEINT))
+                   AS DOUBLE) AS s1,
+               CAST(SUM(CAST(CAST(o_totalprice * 100 AS DECIMAL(18,0)) AS HUGEINT)
+                        * CAST(CAST(o_totalprice * 100 AS DECIMAL(18,0)) AS HUGEINT))
+                   AS DOUBLE) AS s2,
+               CAST(SUM(CAST(CAST(o_totalprice * 100 AS DECIMAL(18,0)) AS HUGEINT)
+                        * CAST(CAST(o_totalprice * 100 AS DECIMAL(18,0)) AS HUGEINT)
+                        * CAST(CAST(o_totalprice * 100 AS DECIMAL(18,0)) AS HUGEINT))
+                   AS DOUBLE) AS s3,
+               CAST(SUM(CAST(CAST(o_totalprice * 100 AS DECIMAL(18,0)) AS HUGEINT)
+                        * CAST(CAST(o_totalprice * 100 AS DECIMAL(18,0)) AS HUGEINT)
+                        * CAST(CAST(o_totalprice * 100 AS DECIMAL(18,0)) AS HUGEINT)
+                        * CAST(CAST(o_totalprice * 100 AS DECIMAL(18,0)) AS HUGEINT))
+                   AS DOUBLE) AS s4
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+           round(((s3 / n) - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / pow((s2 / n) - (s1 / n) * (s1 / n), 1.5), 6) AS skewness,
+           round(((s4 / n) - 4 * (s1 / n) * (s3 / n)
+                  + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                  - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                 / pow((s2 / n) - (s1 / n) * (s1 / n), 2) - 3, 6) AS excess_kurtosis
+    FROM s
+    ORDER BY o_orderpriority
+    """,
+    doc="Skewness and excess kurtosis per order priority from exact DECIMAL "
+        "power sums (s1..s4 in cents; s4 of a 5e7-cent value is ~6e30 — "
+        "Spark sums in DECIMAL(38), the DuckDB oracle in HUGEINT/int128, "
+        "both exact) — the mergeable-moments "
+        "pattern: partial (n, s1..s4) tuples combine associatively across "
+        "partitions, the float math happens once per GROUP on the merged "
+        "sums via the raw-moment expansions, so partition order can't "
+        "perturb the result. Both engines evaluate the IDENTICAL "
+        "expression tree on identical sums -> bit-identical doubles. Note "
+        "Spark's built-in skewness()/kurtosis() use streaming float "
+        "updates (order-dependent ulps) — this formulation trades one "
+        "extra decimal multiply for cross-engine determinism.",
+)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c18 = (F.col("o_totalprice") * 100).cast("decimal(18,0)")
+    c38 = (F.col("o_totalprice") * 100).cast("decimal(38,0)")
+    s = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c18).cast("double").alias("s1"),
+        F.sum(c18 * c18).cast("double").alias("s2"),
+        F.sum(c18 * c18 * c38).cast("double").alias("s3"),
+        F.sum(c18 * c18 * c18 * c38).cast("double").alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(x) for x in ("n", "s1", "s2", "s3", "s4"))
+    m = s1 / n
+    m2 = s2 / n
+    m3 = s3 / n
+    m4 = s4 / n
+    var = m2 - m * m
+    skew = (m3 - 3 * m * m2 + 2 * m * m * m) / F.pow(var, 1.5)
+    kurt = (m4 - 4 * m * m3 + 6 * m * m * m2 - 3 * m * m * m * m) / F.pow(var, 2) - 3
+    return s.select(
+        "o_orderpriority",
+        n.cast("long").alias("n"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+    ).orderBy("o_orderpriority")

@@ -281,3 +281,325 @@ def ml_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("minmax_scaled"),
         F.round((F.col("value") - mean) / F.sqrt(var), 6).alias("zscore_scaled"),
     )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH e AS (
+        SELECT a.n_nationkey AS u, b.n_nationkey AS v, a.n_regionkey AS rk
+        FROM nation a JOIN nation b
+          ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    )
+    SELECT r.r_name AS region, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.v
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    JOIN region r ON r.r_regionkey = e1.rk
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+    doc="Triangle counting per region over the intra-region nation graph — "
+        "the third classic distributed graph primitive next to PageRank and "
+        "connected components. Edges are ORIENTED low-id -> high-id so each "
+        "triangle {a<b<c} is enumerated exactly once as (a,b)+(b,c) "
+        "wedge-closed by (a,c): two equi-joins on node keys, no "
+        "direction-dedup pass. At 100 TB the standard refinement is "
+        "degree-ordering instead of id-ordering (wedges pivot at low-degree "
+        "nodes, bounding per-key fan-out on power-law graphs) — same plan "
+        "shape, different orientation key; the e2 wedge join shuffles on "
+        "node id and the e3 closure join on the (u,v) edge key.",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    a = n.select(F.col("n_nationkey").alias("u"), F.col("n_regionkey").alias("rk"))
+    b = n.select(F.col("n_nationkey").alias("v"), F.col("n_regionkey").alias("rk2"))
+    e = (
+        a.join(b, (F.col("rk") == F.col("rk2")) & (F.col("u") < F.col("v")))
+        .select("u", "v", "rk")
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"), "rk")
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    r = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("rk"), F.col("r_name").alias("region")
+    )
+    return (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .join(F.broadcast(r), "rk")
+        .groupBy("region")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .orderBy("region")
+    )
+
+
+@register(
+    "analytics_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey,
+               datediff('day', CAST(MAX(o_orderdate) AS DATE), DATE '2001-08-01')
+                   AS recency_days,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(18,0))) AS BIGINT)
+                   AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    th AS (
+        SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS tr,
+               quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS tf,
+               quantile_cont(monetary_cents, [0.2, 0.4, 0.6, 0.8]) AS tm
+        FROM rfm
+    ),
+    scored AS (
+        SELECT o_custkey,
+               5 - ((recency_days > tr[1])::INT + (recency_days > tr[2])::INT
+                  + (recency_days > tr[3])::INT + (recency_days > tr[4])::INT)
+                   AS r_score,
+               1 + (frequency > tf[1])::INT + (frequency > tf[2])::INT
+                 + (frequency > tf[3])::INT + (frequency > tf[4])::INT AS f_score,
+               1 + (monetary_cents > tm[1])::INT + (monetary_cents > tm[2])::INT
+                 + (monetary_cents > tm[3])::INT + (monetary_cents > tm[4])::INT
+                   AS m_score,
+               monetary_cents
+        FROM rfm CROSS JOIN th
+    )
+    SELECT CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_cents) AS BIGINT) AS segment_monetary_cents
+    FROM scored
+    GROUP BY 1, 2, 3
+    """,
+    doc="RFM customer segmentation: per-customer recency (days before the "
+        "corpus max order date), frequency, and monetary value (exact "
+        "cents), each scored 1-5 against the metric's exact interpolated "
+        "quintile thresholds, then aggregated to the <=125-cell segment "
+        "grid. The scale-critical choice: scores come from FIVE BROADCAST "
+        "THRESHOLD NUMBERS per metric (percentile aggregate -> cross join), "
+        "making scoring a map-side projection — NOT a global ntile window, "
+        "which would force a total sort of all customers into one "
+        "partition. At 100 TB swap the exact percentile for "
+        "approx_percentile with the same plan. Integer metrics keep the "
+        "interpolation arithmetic (lo + g*(hi-lo)) bit-identical across "
+        "engines.",
+)
+def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.to_date(F.lit("2001-08-01")), F.to_date(F.max("o_orderdate"))
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum((F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    qs = F.array(F.lit(0.2), F.lit(0.4), F.lit(0.6), F.lit(0.8))
+    th = rfm.agg(
+        F.percentile("recency_days", qs).alias("tr"),
+        F.percentile("frequency", qs).alias("tf"),
+        F.percentile("monetary_cents", qs).alias("tm"),
+    )
+
+    def score(col: str, t: str, invert: bool = False):
+        hits = sum(
+            (F.col(col) > F.col(t)[i]).cast("int") for i in range(4)
+        )
+        return (F.lit(5) - hits) if invert else (F.lit(1) + hits)
+
+    return (
+        rfm.join(F.broadcast(th))
+        .select(
+            "o_custkey",
+            score("recency_days", "tr", invert=True).alias("r_score"),
+            score("frequency", "tf").alias("f_score"),
+            score("monetary_cents", "tm").alias("m_score"),
+            "monetary_cents",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("monetary_cents").cast("long").alias("segment_monetary_cents"),
+        )
+    )
+
+
+@register(
+    "analytics_attribution_last_touch",
+    oracle="""
+    WITH attributed AS (
+        SELECT event_id, value,
+               COALESCE(
+                   last_value(CASE WHEN event_type <> 'purchase'
+                                   THEN event_type END IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 'organic') AS channel,
+               event_type
+        FROM events
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(SUM(CAST(value * 100 AS DECIMAL(18,0))) AS BIGINT)
+               AS attributed_cents
+    FROM attributed
+    WHERE event_type = 'purchase'
+    GROUP BY channel
+    """,
+    doc="Last-touch marketing attribution: every purchase event is credited "
+        "to the user's most recent PRECEDING non-purchase event type "
+        "(organic if none), then conversions and exact-cents value roll up "
+        "per channel. One window pass — last(...ignorenulls) over a "
+        "user-partitioned frame ending 1 PRECEDING — so cost is one "
+        "user_id shuffle regardless of corpus size; the (ts, event_id) "
+        "order key makes the frame total and both engines deterministic. "
+        "First-touch attribution is the same plan with an "
+        "UNBOUNDED-PRECEDING first() frame.",
+)
+def analytics_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chan = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.withColumn("channel", F.coalesce(chan, F.lit("organic")))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_conversions"),
+            F.sum((F.col("value") * 100).cast("decimal(18,0)"))
+            .cast("long")
+            .alias("attributed_cents"),
+        )
+    )
+
+
+@register(
+    "analytics_pareto_share",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT COUNT(*) AS n_users, SUM(n_events) AS total_events FROM per_user),
+    ranked AS (
+        SELECT user_id, n_events,
+               row_number() OVER (ORDER BY n_events DESC, user_id) AS rnk
+        FROM per_user
+    )
+    SELECT CAST(CAST(ceil(rnk * 10.0 / n_users) AS INT) AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           round(CAST(SUM(n_events) AS DOUBLE) / total_events, 6) AS event_share
+    FROM ranked CROSS JOIN tot
+    GROUP BY 1, total_events
+    ORDER BY 1
+    """,
+    doc="Pareto / Lorenz concentration profile: users ranked by activity, "
+        "bucketed into deciles of the USER population, each decile's share "
+        "of total events — the 'do 10% of users produce 80% of traffic' "
+        "skew diagnostic that decides whether hot-key mitigation (salting, "
+        "per-entity caps) is needed at all. The global sort ranks the "
+        "AGGREGATED per-user table (|users| rows, orders of magnitude "
+        "smaller than the event corpus) via Spark's range-partitioned "
+        "window — the raw events see only one hash aggregation. Totals "
+        "ride along as a broadcast 1-row cross join.",
+)
+def analytics_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    tot = per_user.agg(
+        F.count(F.lit(1)).alias("n_users_total"),
+        F.sum("n_events").alias("total_events"),
+    )
+    w = Window.orderBy(F.col("n_events").desc(), "user_id")
+    ranked = per_user.withColumn("rnk", F.row_number().over(w))
+    decile = F.ceil(F.col("rnk") * 10.0 / F.col("n_users_total")).cast("int")
+    return (
+        ranked.join(F.broadcast(tot))
+        .groupBy(decile.alias("decile"), "total_events")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+        .select(
+            "decile",
+            "n_users",
+            "n_events",
+            F.round(F.col("n_events").cast("double") / F.col("total_events"), 6)
+            .alias("event_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "ml_classification_metrics",
+    oracle="""
+    WITH t AS (SELECT unnest([5.0, 10.0, 20.0]) AS threshold),
+    scored AS (
+        SELECT t.threshold,
+               (e.event_type = 'purchase') AS actual,
+               (e.value > t.threshold) AS predicted
+        FROM events e CROSS JOIN t
+    ),
+    cm AS (
+        SELECT threshold,
+               count_if(actual AND predicted) AS tp,
+               count_if(NOT actual AND predicted) AS fp,
+               count_if(actual AND NOT predicted) AS fn,
+               count_if(NOT actual AND NOT predicted) AS tn
+        FROM scored GROUP BY threshold
+    )
+    SELECT threshold,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+           round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall,
+           round(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1
+    FROM cm
+    ORDER BY threshold
+    """,
+    doc="Binary classification metrics over a threshold sweep: a "
+        "3-threshold grid is exploded against the corpus once, confusion "
+        "counts aggregate per threshold, and precision/recall/F1 derive "
+        "from the integer counts (single-division doubles — "
+        "order-independent). This is the model-eval shape for threshold "
+        "tuning at corpus scale: one scan x |grid| map-side replication, "
+        "one bounded aggregation; an N-point PR curve is the same plan "
+        "with a bigger literal grid. F1 computed as 2tp/(2tp+fp+fn) — no "
+        "intermediate rounding.",
+)
+def ml_classification_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        F.explode(F.array(F.lit(5.0), F.lit(10.0), F.lit(20.0))).alias("threshold"),
+        (F.col("event_type") == "purchase").alias("actual"),
+        "value",
+    ).select(
+        "threshold", "actual", (F.col("value") > F.col("threshold")).alias("predicted")
+    )
+    cm = scored.groupBy("threshold").agg(
+        F.count(F.when(F.col("actual") & F.col("predicted"), 1)).alias("tp"),
+        F.count(F.when(~F.col("actual") & F.col("predicted"), 1)).alias("fp"),
+        F.count(F.when(F.col("actual") & ~F.col("predicted"), 1)).alias("fn"),
+        F.count(F.when(~F.col("actual") & ~F.col("predicted"), 1)).alias("tn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return cm.select(
+        "threshold",
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        F.col("tn").cast("long").alias("tn"),
+        F.round(tp.cast("double") / (tp + fp), 6).alias("precision"),
+        F.round(tp.cast("double") / (tp + fn), 6).alias("recall"),
+        F.round(2.0 * tp / (2.0 * tp + fp + fn), 6).alias("f1"),
+    ).orderBy("threshold")

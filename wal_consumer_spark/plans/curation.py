@@ -671,3 +671,176 @@ def pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "text_token_entropy",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, term, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+        GROUP BY doc_id, term
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           round(log2(CAST(SUM(c) AS DOUBLE))
+                 - CAST(SUM(CAST(round(c * log2(CAST(c AS DOUBLE)) * 1000000)
+                                 AS BIGINT)) AS DOUBLE)
+                   / 1000000 / SUM(c), 6) AS entropy_bits
+    FROM tf GROUP BY doc_id
+    """,
+    doc="Token-level Shannon entropy per document — the information-density "
+        "quality signal (low-entropy docs are boilerplate/repetition; "
+        "complements text_repetition's bigram-diversity ratio). Uses the "
+        "decomposition H = log2(n) - (1/n)*sum(c*log2 c) so the inner sum "
+        "is over per-term counts; each c*log2(c) term is quantized to "
+        "exact micro-bit BIGINTs before summing, making the aggregate "
+        "order-independent and bit-identical across engines (the repo's "
+        "standard decimal-sum discipline applied to a float-valued term). "
+        "Plan: one token explode + two hash aggregations on (doc,term) "
+        "then doc — linear, no shuffle wider than the token count.",
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    s_micro = F.sum(
+        F.round(F.col("c") * F.log2(F.col("c").cast("double")) * 1_000_000).cast("long")
+    )
+    return tf.groupBy("doc_id").agg(
+        n.cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.round(
+            F.log2(n.cast("double")) - s_micro.cast("double") / 1_000_000 / n, 6
+        ).alias("entropy_bits"),
+    )
+
+
+@register(
+    "pipeline_sample_k_per_group",
+    oracle="""
+    SELECT doc_id, source, rn FROM (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS rn
+        FROM documents
+    ) WHERE rn <= 5
+    """,
+    doc="Deterministic k-per-group sampling (k=5 docs per source shard): "
+        "rank by the md5 of the stable id and keep the first k — the "
+        "reproducible form of reservoir sampling for building eval slices "
+        "and debugging subsets (same hash-gating discipline as "
+        "pipeline_train_split, but with an exact per-group quota instead "
+        "of a global fraction). One hash shuffle on the group key; the "
+        "window never sees more than a group's rows, and at 100 TB a "
+        "pre-filter on the hash prefix (keep ~2k/|group| of rows) bounds "
+        "the sort input before the window runs.",
+)
+def pipeline_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+    )
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization dedup
+# --------------------------------------------------------------------------
+
+#: synthetic URL built deterministically from doc_id (the corpus has no URL
+#: column): host case and tracking params vary per doc, the canonical
+#: (host, path) collides every ~250 docs — both engines build the identical
+#: string.
+_URL_SQL = (
+    "concat(CASE WHEN doc_id % 2 = 0 THEN 'https://EX' ELSE 'https://ex' END, "
+    "CAST(doc_id % 5 AS VARCHAR), '.Example.COM/doc/', "
+    "CAST(doc_id % 50 AS VARCHAR), '?utm_source=s', CAST(doc_id AS VARCHAR), "
+    "'&utm_campaign=c', CAST(doc_id % 3 AS VARCHAR), '#sec', "
+    "CAST(doc_id AS VARCHAR))"
+)
+#: canonicalization pipeline (identical regex semantics in Java/RE2):
+#: strip fragment -> strip utm_* params -> strip dangling ?/& -> lowercase
+#: scheme+host (the part before the first path slash)
+
+
+def _canon_sql_lower() -> str:
+    # lowercase only the scheme+authority via a scalar subquery-free split:
+    # lower(first part) || rest
+    # NB: DuckDB regexp_replace replaces only the FIRST match unless the
+    # 'g' flag is given; Spark's always replaces all — flag every strip.
+    stripped = (
+        f"regexp_replace(regexp_replace(regexp_replace({_URL_SQL}, "
+        "'#.*$', '', 'g'), 'utm_[a-z_]+=[^&#]*&?', '', 'g'), '[?&]$', '', 'g')"
+    )
+    return (
+        f"concat(lower(regexp_extract({stripped}, '^[^/]*//[^/]+', 0)), "
+        f"regexp_replace({stripped}, '^[^/]*//[^/]+', ''))"
+    )
+
+
+@register(
+    "pipeline_url_canonical_dedup",
+    oracle=f"""
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+    FROM (SELECT doc_id, {_canon_sql_lower()} AS canonical_url FROM documents)
+    GROUP BY canonical_url
+    """,
+    doc="URL canonicalization dedup — the web-crawl first pass that runs "
+        "BEFORE any content hashing: strip the fragment, drop utm_* "
+        "tracking params, trim dangling separators, lowercase scheme+host "
+        "(path case preserved), then group by the canonical form keeping "
+        "the smallest doc_id as representative. URLs are synthesized "
+        "deterministically from doc_id (clean corpus); the rule chain is "
+        "four shared-semantics regexes, so the whole canonicalizer is "
+        "map-side — the only shuffle is the final hash aggregation on the "
+        "canonical key, exactly like exact-hash dedup.",
+)
+def pipeline_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https://EX")).otherwise(
+            F.lit("https://ex")
+        ),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".Example.COM/doc/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("?utm_source=s"),
+        F.col("doc_id").cast("string"),
+        F.lit("&utm_campaign=c"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("#sec"),
+        F.col("doc_id").cast("string"),
+    )
+    stripped = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(url, r"#.*$", ""), r"utm_[a-z_]+=[^&#]*&?", ""
+        ),
+        r"[?&]$",
+        "",
+    )
+    canonical = F.concat(
+        F.lower(F.regexp_extract(stripped, r"^[^/]*//[^/]+", 0)),
+        F.regexp_replace(stripped, r"^[^/]*//[^/]+", ""),
+    )
+    return (
+        d.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+        )
+    )

@@ -1048,3 +1048,50 @@ def ml_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("centroid_val"),
         )
     )
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)
+    SELECT doc1, doc2, n_common,
+           round(n_common / s1.n, 6) AS containment_1_in_2,
+           round(n_common / s2.n, 6) AS containment_2_in_1
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = doc1
+    JOIN sizes s2 ON s2.doc_id = doc2
+    WHERE n_common / s1.n >= 0.5 OR n_common / s2.n >= 0.5
+    """,
+    doc="Shingle CONTAINMENT pairs (asymmetric Jaccard, |A∩B|/|A|): flags "
+        "doc pairs where one side's shingle set is mostly inside the "
+        "other's — catches quotes, excerpts, and supersets that symmetric "
+        "Jaccard misses (a 100-token doc embedded in a 10k-token doc has "
+        "tiny Jaccard but containment ~1). Same df-capped shingle "
+        "inverted-index self-join as dedup_ngram_jaccard — one extra "
+        "column of arithmetic, no new shuffle; the MinHash analog at scale "
+        "swaps the estimator, not the plan.",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = shingle_pairs_jaccard(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    c12 = F.col("n_common") / F.col("n1")
+    c21 = F.col("n_common") / F.col("n2")
+    return (
+        pairs.filter((c12 >= 0.5) | (c21 >= 0.5))
+        .select(
+            "doc1",
+            "doc2",
+            "n_common",
+            F.round(c12, 6).alias("containment_1_in_2"),
+            F.round(c21, 6).alias("containment_2_in_1"),
+        )
+    )

@@ -719,3 +719,44 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.coalesce(c["ck"], F.lit(-1)).alias("nation_bucket"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT p.p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+    doc="Skew-salted join certified against the plain-join oracle: the fact "
+        "side's rows get a deterministic-per-row salt, the dim side is "
+        "replicated once per salt bucket, and the join key becomes "
+        "(key, salt) — spreading any hot key over salt_buckets reducers "
+        "(operators/skew.py::salted_join; equivalence also property-tested "
+        "in tests/test_skew_ingest.py). The aggregate over the salted "
+        "join's output is EXACTLY the unsalted join's, which is what the "
+        "oracle checks. Use when one side is too big to broadcast and a "
+        "key is too hot for AQE's skew split; replication factor = "
+        "salt_buckets on the small side only.",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wal_consumer_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"), "l_quantity"
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"), F.col("p_brand").alias("brand")
+    )
+    return (
+        salted_join(li, p, key="pk", salt_buckets=8)
+        .groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+            dsum("l_quantity", "sum_qty"),
+        )
+        .orderBy("brand")
+    )

@@ -51,6 +51,30 @@ _SHARED_SQL = {
     )
     ORDER BY s_suppkey
     """,
+    # Recursive CTE (Spark 4.x WITH RECURSIVE): a 12-row month spine
+    # generated recursively, LEFT JOINed to per-month order aggregates so
+    # empty months surface as explicit zero rows — the gap-fill idiom
+    # expressed entirely in shared ANSI SQL. The recursion is depth-12 and
+    # data-independent; the work is the one orders aggregation.
+    "sql_front_recursive_cte": """
+    WITH RECURSIVE months(m) AS (
+        SELECT 1
+        UNION ALL
+        SELECT m + 1 FROM months WHERE m < 12
+    ),
+    per_month AS (
+        SELECT CAST(month(o_orderdate) AS INT) AS m,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(18,0))) AS BIGINT)
+                   AS revenue_cents
+        FROM orders GROUP BY CAST(month(o_orderdate) AS INT)
+    )
+    SELECT CAST(months.m AS INT) AS month,
+           CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(revenue_cents, 0) AS BIGINT) AS revenue_cents
+    FROM months LEFT JOIN per_month ON per_month.m = months.m
+    ORDER BY months.m
+    """,
 }
 
 

@@ -364,3 +364,47 @@ def join_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows_a", "n_rows_b",
         )
     )
+
+
+#: GPT-2-style pre-tokenization regex, restricted to constructs with
+#: identical semantics in Java regex (Spark) and RE2 (DuckDB): contraction
+#: suffixes, space-prefixed letter runs, digit runs, punctuation runs, and
+#: whitespace runs. No lookarounds (RE2 has none).
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+|\s+"
+#: the same pattern as a SQL string literal (embedded quotes doubled)
+_BPE_RE_SQL = _BPE_RE.replace("'", "''")
+
+
+@register(
+    "text_bpe_regex_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{_BPE_RE_SQL}')) AS BIGINT)
+               AS n_bpe_tokens,
+           CAST(len({_TOKS}) AS BIGINT) AS n_ws_tokens,
+           round(CAST(len(regexp_extract_all(lower(text), '{_BPE_RE_SQL}')) AS DOUBLE)
+                 / greatest(len({_TOKS}), 1), 6) AS bpe_per_word
+    FROM documents
+    """,
+    doc="BPE-style token counting: a GPT-2-ish pre-tokenizer regex "
+        "(contractions / letter runs / digit runs / punctuation runs / "
+        "whitespace) counted per document next to the whitespace token "
+        "count, plus the tokens-per-word expansion ratio — the standard "
+        "cost model for context-window budgeting when the real tokenizer "
+        "is too expensive to run corpus-wide. The pattern is restricted to "
+        "the Java-regex/RE2 common subset so both engines tokenize "
+        "byte-identically. Map-side only: regexp_extract_all + size, zero "
+        "shuffles at any corpus size.",
+)
+def text_bpe_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE), F.lit(0)))
+    ws = F.size(tokens(F.col("text")))
+    return d.select(
+        "doc_id",
+        bpe.cast("long").alias("n_bpe_tokens"),
+        ws.cast("long").alias("n_ws_tokens"),
+        F.round(
+            bpe.cast("double") / F.greatest(ws, F.lit(1)), 6
+        ).alias("bpe_per_word"),
+    )

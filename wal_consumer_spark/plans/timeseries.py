@@ -329,3 +329,124 @@ def ts_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(wsum / wnorm / F.lit(100.0), 6).alias("ewma"),
     )
+
+
+@register(
+    "ts_gapfill_zero",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+               CAST(MAX(o_orderdate) AS DATE) AS hi
+        FROM orders
+    ),
+    spine AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS TIMESTAMP)
+            AS day
+        FROM bounds
+    ),
+    per_day AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS day,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(18,0))) AS BIGINT)
+                   AS revenue_cents
+        FROM orders GROUP BY 1
+    )
+    SELECT spine.day,
+           CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(revenue_cents, 0) AS BIGINT) AS revenue_cents
+    FROM spine LEFT JOIN per_day ON per_day.day = spine.day
+    """,
+    doc="Calendar gap-fill with explicit zeros: a generated daily spine "
+        "spanning [min, max] order date LEFT JOINs the per-day aggregates, "
+        "so inactive days appear as (day, 0, 0) rows — the complement of "
+        "ts_resample_locf (which carries values) for rate-style metrics "
+        "where a missing day MEANS zero. The spine comes from "
+        "sequence(min, max) on a 1-row bounds aggregate — O(days) rows "
+        "generated driver-free — and the join is broadcast (spine side is "
+        "calendar-sized, thousands of rows for decades). One scan + one "
+        "date-keyed aggregation regardless of fact volume.",
+)
+def ts_gapfill_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    ).select(F.col("d").cast("timestamp").alias("day"))
+    per_day = o.groupBy(
+        F.to_date("o_orderdate").cast("timestamp").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum((F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+    return (
+        F.broadcast(spine)
+        .join(per_day, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce("revenue_cents", F.lit(0)).cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+@register(
+    "ts_seasonal_naive_error",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS TIMESTAMP) AS day,
+               CAST(SUM(CAST(value * 100 AS DECIMAL(18,0))) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT event_type, day, cents,
+               lag(cents, 1) OVER (PARTITION BY event_type ORDER BY day) AS naive,
+               lag(cents, 7) OVER (PARTITION BY event_type ORDER BY day) AS seasonal
+        FROM daily
+    )
+    SELECT event_type,
+           CAST(COUNT(naive) AS BIGINT) AS n_naive,
+           CAST(SUM(abs(cents - naive)) AS BIGINT) AS naive_abs_err_cents,
+           CAST(COUNT(seasonal) AS BIGINT) AS n_seasonal,
+           CAST(SUM(abs(cents - seasonal)) AS BIGINT) AS seasonal_abs_err_cents
+    FROM p GROUP BY event_type
+    """,
+    doc="Seasonal-naive forecast backtest: per event type, the daily value "
+        "total is 'predicted' by yesterday (naive, lag 1) and by the same "
+        "weekday last week (seasonal, lag 7); total absolute error in "
+        "exact cents scores both — the standard sanity baseline every real "
+        "forecasting pipeline must beat, and a pure two-window-function "
+        "plan: one (type, day) aggregation, one type-partitioned ordered "
+        "pass, integer errors immune to summation order. Rows whose lag "
+        "falls before the series start are excluded per-baseline via "
+        "COUNT/SUM null-skipping.",
+)
+def ts_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").cast("timestamp").alias("day")
+    ).agg(
+        F.sum((F.col("value") * 100).cast("decimal(18,0)")).cast("long").alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    p = daily.select(
+        "event_type",
+        "cents",
+        F.lag("cents", 1).over(w).alias("naive"),
+        F.lag("cents", 7).over(w).alias("seasonal"),
+    )
+    return p.groupBy("event_type").agg(
+        F.count("naive").cast("long").alias("n_naive"),
+        F.sum(F.abs(F.col("cents") - F.col("naive"))).cast("long")
+        .alias("naive_abs_err_cents"),
+        F.count("seasonal").cast("long").alias("n_seasonal"),
+        F.sum(F.abs(F.col("cents") - F.col("seasonal"))).cast("long")
+        .alias("seasonal_abs_err_cents"),
+    )

@@ -296,3 +296,41 @@ def win_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("__n") >= 10) & (F.col("__var") > 0) & (F.abs("__z") > 2.5))
         .drop("__n", "__var", "__z")
     )
+
+
+@register(
+    "win_moving_median",
+    oracle="""
+    SELECT event_id, event_type,
+           round(median(value) OVER (
+               PARTITION BY event_type ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+           ), 6) AS moving_median
+    FROM events
+    """,
+    doc="Centered 7-point moving MEDIAN per event_type — the robust "
+        "smoother (immune to single-spike outliers) next to the moving "
+        "averages the frame family already covers. Spark has no median "
+        "window function, so the frame's values are collected+sorted per "
+        "row (bounded: 7 elements, constant memory) and the median is the "
+        "interpolated middle — exactly DuckDB's windowed median() "
+        "semantics, including the (a+b)/2 even-count case at partition "
+        "edges. One event_type shuffle; the frame work is O(7 log 7) per "
+        "row regardless of corpus size.",
+)
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 3)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    mid_hi = arr[(n / 2).cast("int")]          # 0-based upper middle
+    mid_lo = arr[((n - 1) / 2).cast("int")]    # 0-based lower middle
+    return e.select(
+        "event_id",
+        "event_type",
+        F.round((mid_lo + mid_hi) / 2, 6).alias("moving_median"),
+    )
