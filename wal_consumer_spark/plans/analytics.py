@@ -603,3 +603,79 @@ def ml_classification_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tp.cast("double") / (tp + fn), 6).alias("recall"),
         F.round(2.0 * tp / (2.0 * tp + fp + fn), 6).alias("f1"),
     ).orderBy("threshold")
+
+
+@register(
+    "analytics_market_basket",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n_orders AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n FROM items),
+    brand_n AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_b FROM items GROUP BY brand),
+    pairs AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM items a JOIN items b
+          ON a.okey = b.okey AND a.brand < b.brand
+        GROUP BY 1, 2
+    )
+    SELECT p.brand_a, p.brand_b, p.n_ab,
+           round(CAST(p.n_ab AS DOUBLE) / n_orders.n, 6) AS support,
+           round(CAST(p.n_ab AS DOUBLE) * n_orders.n / (na.n_b * nb.n_b), 6) AS lift
+    FROM pairs p
+    JOIN brand_n na ON na.brand = p.brand_a
+    JOIN brand_n nb ON nb.brand = p.brand_b
+    CROSS JOIN n_orders
+    WHERE p.n_ab >= 20
+    """,
+    doc="Market-basket co-occurrence mining (the A-priori support/lift "
+        "core): which part brands ship together in the same order more "
+        "often than independence predicts. items is the distinct "
+        "(order, brand) incidence frame — the dictionary collapse that "
+        "bounds everything downstream: the self-join explodes per-order "
+        "C(b,2) pairs where b <= |brands| = 25, never per-lineitem, and "
+        "the pair aggregate lands on a <= 300-row (brand_a, brand_b) key "
+        "space. The self-join key is okey, co-partitioned with the "
+        "incidence frame's own distinct shuffle, so AQE reuses one "
+        "exchange; brand marginals and the scalar order count broadcast. "
+        "At 100 TB the same plan holds: pair cardinality is quadratic in "
+        "the VOCABULARY (bounded), linear in orders. Reference parity: "
+        "extension surface (SURVEY.md §2.B analytics).",
+)
+def analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    items = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_orders = items.select(F.countDistinct("okey").alias("n"))
+    brand_n = items.groupBy("brand").agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    a = items.select(F.col("okey"), F.col("brand").alias("brand_a"))
+    b = items.select(F.col("okey"), F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, (a.okey == b.okey) & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 20)
+    )
+    na = brand_n.select(F.col("brand").alias("brand_a"), F.col("n_b").alias("na"))
+    nb = brand_n.select(F.col("brand").alias("brand_b"), F.col("n_b").alias("nb"))
+    return (
+        pairs.join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            F.round(F.col("n_ab").cast("double") / F.col("n"), 6).alias("support"),
+            F.round(
+                F.col("n_ab").cast("double") * F.col("n") / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )

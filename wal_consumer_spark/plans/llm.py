@@ -1095,3 +1095,86 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(c21, 6).alias("containment_2_in_1"),
         )
     )
+
+
+@register(
+    "pipeline_cluster_representative",
+    oracle=f"""
+    WITH RECURSIVE
+    sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+    inter AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+        SELECT doc1, doc2 FROM inter
+        JOIN sizes s1 ON s1.doc_id = doc1
+        JOIN sizes s2 ON s2.doc_id = doc2
+        WHERE n_common / (s1.n + s2.n - n_common) >= 0.5
+    ),
+    sym AS (SELECT doc1 AS a, doc2 AS b FROM pairs
+            UNION SELECT doc2, doc1 FROM pairs
+            UNION SELECT doc1, doc1 FROM pairs
+            UNION SELECT doc2, doc2 FROM pairs),
+    reach AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a),
+    ranked AS (
+        SELECT comp.component, comp.node, d.n_chars,
+               row_number() OVER (PARTITION BY comp.component
+                                  ORDER BY d.n_chars DESC, comp.node) AS rk,
+               COUNT(*) OVER (PARTITION BY comp.component) AS n_members
+        FROM comp JOIN documents d ON d.doc_id = comp.node
+    )
+    SELECT component, CAST(n_members AS BIGINT) AS n_members,
+           node AS rep_doc_id, n_chars AS rep_n_chars
+    FROM ranked WHERE rk = 1
+    """,
+    doc="Duplicate-cluster representative selection — the step that turns "
+        "near-dup clustering into an actual training-set decision: within "
+        "each connected component of Jaccard>=0.5 pairs, KEEP the longest "
+        "document (n_chars, doc_id tiebreak) and drop the rest. "
+        "Quality-ranked retention, not min-id retention: dedup_clusters_cc "
+        "answers 'what are the clusters', this answers 'which copy "
+        "survives' the way production corpus dedup does (keep the most "
+        "complete variant, not the first-crawled one). The component "
+        "frame is (node, component) pairs only — document text never "
+        "enters the clustering shuffles; n_chars joins in at the end on "
+        "the narrow membership frame, and the per-component pick is one "
+        "window over components (each a handful of rows). Oracle replays "
+        "the transitive closure recursively plus the same ranked pick. "
+        "Scale: inherits connected_components' O(log^2 n) bounded-shuffle "
+        "rounds with lineage truncation (operators/graph.py).",
+)
+def pipeline_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from wal_consumer_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = shingle_pairs_jaccard(docs, "doc_id", "text").filter(
+        F.col("jaccard") >= 0.5
+    )
+    cc = connected_components(pairs.select("doc1", "doc2"))
+    member = cc.join(
+        docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("node"))
+    ranked = member.select(
+        "component",
+        "node",
+        "n_chars",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("component")).alias("n_members"),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "component",
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("node").alias("rep_doc_id"),
+        F.col("n_chars").alias("rep_n_chars"),
+    )

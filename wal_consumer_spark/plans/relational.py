@@ -760,3 +760,111 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+def _bloom_pos_spark(col: F.Column, lo: int, m: int) -> F.Column:
+    """Bloom bit position from md5 hex chars [lo, lo+8) of the key — the
+    same md5-slice primitive as the split/shuffle hash gates
+    (plans/curation.py::_split_hash_spark)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col.cast("string")), lo, 8), 16, 10).cast("long"),
+        F.lit(m),
+    )
+
+
+def _bloom_pos_sql(expr: str, lo: int, m: int) -> str:
+    return (
+        f"('0x' || substring(md5(CAST({expr} AS VARCHAR)), {lo}, 8))::BIGINT % {m}"
+    )
+
+
+_BLOOM_M = 8192  # bits; build side is <= ~3k distinct keys at sf0.01
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle=f"""
+    WITH build AS (
+        SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    bits AS (
+        SELECT {_bloom_pos_sql('c_custkey', 1, _BLOOM_M)} AS bit FROM build
+        UNION
+        SELECT {_bloom_pos_sql('c_custkey', 9, _BLOOM_M)} AS bit FROM build
+    ),
+    probe AS (
+        SELECT o_orderkey, o_custkey,
+               {_bloom_pos_sql('o_custkey', 1, _BLOOM_M)} AS h1,
+               {_bloom_pos_sql('o_custkey', 9, _BLOOM_M)} AS h2
+        FROM orders
+    ),
+    flagged AS (
+        SELECT p.o_orderkey,
+               (p.h1 IN (SELECT bit FROM bits)
+                AND p.h2 IN (SELECT bit FROM bits)) AS bloom_hit,
+               p.o_custkey IN (SELECT c_custkey FROM build) AS exact_hit
+        FROM probe p
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
+           CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+           CAST(SUM(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_pass,
+           CAST(SUM(CASE WHEN bloom_hit AND NOT exact_hit THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positive,
+           bool_and(NOT exact_hit OR bloom_hit) AS no_false_negatives
+    FROM flagged
+    """,
+    doc="Bloom-filter semi-join prefilter, the runtime-filter pattern a "
+        "100 TB fact-dim join lives on: hash every build-side key into a "
+        f"k=2, m={_BLOOM_M}-bit filter, broadcast the SET BITS (<= 2|build| "
+        "rows, bytes not gigabytes), and gate the fact scan on membership "
+        "of both probe positions BEFORE any shuffle — false positives "
+        "possible (counted), false negatives impossible (asserted in-plan "
+        "via no_false_negatives, the same exact+bound certification used "
+        "for the CMS/HLL sketches). Spark's own runtime row-level filtering "
+        "(spark.sql.optimizer.runtime.bloomFilter.enabled) does this "
+        "transparently inside the optimizer; this query expresses the plan "
+        "explicitly so the mechanism itself is oracle-certified. Both "
+        "engines derive positions from the identical md5-slice hash, so "
+        "the false-positive set — not just its count — is bit-identical. "
+        "Scale: bits/build-keys broadcast (plan-asserted in "
+        "tests/test_scale_plans.py); the probe never shuffles.",
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    build = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey").distinct()
+    bits = (
+        build.select(_bloom_pos_spark(F.col("c_custkey"), 1, _BLOOM_M).alias("bit"))
+        .unionByName(
+            build.select(_bloom_pos_spark(F.col("c_custkey"), 9, _BLOOM_M).alias("bit"))
+        )
+        .distinct()
+    )
+    probe = o.select(
+        "o_orderkey",
+        "o_custkey",
+        _bloom_pos_spark(F.col("o_custkey"), 1, _BLOOM_M).alias("h1"),
+        _bloom_pos_spark(F.col("o_custkey"), 9, _BLOOM_M).alias("h2"),
+    )
+    b1 = bits.select(F.col("bit").alias("h1"), F.lit(1).alias("m1"))
+    b2 = bits.select(F.col("bit").alias("h2"), F.lit(1).alias("m2"))
+    bk = build.select(F.col("c_custkey").alias("o_custkey"), F.lit(1).alias("mx"))
+    flagged = (
+        probe.join(broadcast(b1), "h1", "left")
+        .join(broadcast(b2), "h2", "left")
+        .join(broadcast(bk), "o_custkey", "left")
+        .select(
+            (F.col("m1").isNotNull() & F.col("m2").isNotNull()).alias("bloom_hit"),
+            F.col("mx").isNotNull().alias("exact_hit"),
+        )
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe"),
+        F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0)).cast("long")
+        .alias("n_bloom_pass"),
+        F.sum(F.when(F.col("exact_hit"), 1).otherwise(0)).cast("long")
+        .alias("n_exact_pass"),
+        F.sum(F.when(F.col("bloom_hit") & ~F.col("exact_hit"), 1).otherwise(0))
+        .cast("long").alias("n_false_positive"),
+        F.bool_and(~F.col("exact_hit") | F.col("bloom_hit")).alias("no_false_negatives"),
+    )

@@ -450,3 +450,59 @@ def ts_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.abs(F.col("cents") - F.col("seasonal"))).cast("long")
         .alias("seasonal_abs_err_cents"),
     )
+
+
+@register(
+    "ts_anomaly_mad",
+    oracle="""
+    WITH v AS (
+        SELECT event_id, user_id, round(value, 2) AS v
+        FROM events
+    ),
+    med AS (
+        SELECT user_id, median(v) AS med FROM v GROUP BY user_id
+    ),
+    dev AS (
+        SELECT v.event_id, v.user_id, v.v, med.med, abs(v.v - med.med) AS d
+        FROM v JOIN med USING (user_id)
+    ),
+    mad AS (
+        SELECT user_id, median(d) AS mad FROM dev GROUP BY user_id
+    )
+    SELECT dev.event_id, dev.user_id, dev.v AS value_r,
+           round(dev.med, 6) AS med, round(mad.mad, 6) AS mad,
+           round(dev.d / (1.4826 * mad.mad), 4) AS robust_z
+    FROM dev JOIN mad USING (user_id)
+    WHERE mad.mad > 0 AND dev.d > 3 * 1.4826 * mad.mad
+    """,
+    doc="Robust per-key anomaly detection: flag events whose absolute "
+        "deviation from the per-user median exceeds 3 scaled MADs "
+        "(median absolute deviation, consistency constant 1.4826) — the "
+        "outlier gate that survives the heavy-tailed value distributions "
+        "where mean/stddev z-scores (win_zscore_outliers) break down. "
+        "Two grouped exact-median passes over (user_id, value) pairs: "
+        "both shuffles are narrow 2-column frames on the same key, so AQE "
+        "reuses the exchange; no window function, no sort of the full "
+        "event set. Values are rounded to cents first so both engines "
+        "interpolate medians over identical doubles, making the >3-MAD "
+        "boundary decision bit-identical. Reference parity: extension "
+        "surface (SURVEY.md §2.B robust stats).",
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = e.select("event_id", "user_id", F.round("value", 2).alias("v"))
+    med = v.groupBy("user_id").agg(F.expr("percentile(v, 0.5)").alias("med"))
+    dev = v.join(med, "user_id").withColumn("d", F.abs(F.col("v") - F.col("med")))
+    mad = dev.groupBy("user_id").agg(F.expr("percentile(d, 0.5)").alias("mad"))
+    return (
+        dev.join(mad, "user_id")
+        .filter((F.col("mad") > 0) & (F.col("d") > 3 * 1.4826 * F.col("mad")))
+        .select(
+            "event_id",
+            "user_id",
+            F.col("v").alias("value_r"),
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            F.round(F.col("d") / (1.4826 * F.col("mad")), 4).alias("robust_z"),
+        )
+    )

@@ -334,3 +334,54 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round((mid_lo + mid_hi) / 2, 6).alias("moving_median"),
     )
+
+
+@register(
+    "win_cumulative_distinct",
+    oracle="""
+    WITH marked AS (
+        SELECT event_id, user_id, ts, event_type,
+               CASE WHEN row_number() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS first_seen
+        FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(SUM(first_seen) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_distinct_types
+    FROM marked
+    """,
+    doc="Running COUNT(DISTINCT) over an ordered stream — per user, how "
+        "many distinct event types have appeared up to and including each "
+        "event. SQL engines cannot express COUNT(DISTINCT ...) OVER "
+        "directly; the scalable formulation marks each (user, type)'s "
+        "first occurrence with one row_number window, then running-sums "
+        "the 0/1 markers with a second window on the same user_id "
+        "partitioning — two sorts, zero state proportional to the "
+        "distinct-value universe (the naive collect_set-over-frame "
+        "approach carries a growing set per row and explodes at scale). "
+        "Ties are impossible: (ts, event_id) is unique per user. "
+        "Reference parity: extension surface (SURVEY.md §2.B windows).",
+)
+def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    return marked.select(
+        "event_id",
+        "user_id",
+        F.sum("first_seen").over(w_run).cast("long").alias("cum_distinct_types"),
+    )
