@@ -390,3 +390,33 @@ def test_lsh_candidate_growth_is_linear(spark):
     assert e1 > 0, "smoke corpus must contain near-dup embedding pairs"
     assert ex == 0, f"sign-flipped replicas produced {ex} cross-replica near-dups"
     assert ek <= 2 * K * e1 + 10, f"near-dup pairs super-linear: {e1} -> {ek} at x{K}"
+
+
+def test_bloom_prefilter_broadcasts_bits_and_build_keys(spark):
+    """join_bloom_prefilter's three membership joins (bit-set x2, exact build
+    keys) must all be BroadcastHashJoins: the probe (fact) side is never
+    shuffled — the whole point of a bloom runtime filter is that only
+    kilobytes of set bits move, not the 100 TB scan."""
+    from wal_consumer_spark.plans import all_specs
+
+    df = all_specs()["join_bloom_prefilter"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    # no exchange may repartition the orders probe side by join key
+    assert "Exchange hashpartitioning(o_custkey" not in plan, plan[:2000]
+
+
+def test_market_basket_pair_join_reuses_incidence_shuffle(spark):
+    """analytics_market_basket: the okey self-join and the incidence
+    distinct must share one hashpartitioning(okey) exchange layout (AQE
+    exchange reuse), and the brand marginal joins must broadcast — the
+    only non-broadcast traffic is the narrow (okey, brand) frame."""
+    from wal_consumer_spark.plans import all_specs
+
+    df = all_specs()["analytics_market_basket"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+    # lineitem->part dimension join is broadcast, so no exchange ever
+    # carries l_partkey
+    assert "Exchange hashpartitioning(l_partkey" not in plan, plan[:2000]
