@@ -679,3 +679,83 @@ def analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "analytics_ab_welch_ttest",
+    oracle="""
+    WITH cents AS (
+        SELECT event_type, CAST(value * 100 AS DECIMAL(18,0)) AS c FROM events
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS DOUBLE) AS s1,
+               CAST(SUM(c * c) AS DOUBLE) AS s2
+        FROM cents GROUP BY event_type
+    ),
+    mv AS (
+        SELECT event_type, n, s1 / n AS m,
+               (s2 - s1 * s1 / n) / (n - 1) AS v
+        FROM stats
+    )
+    SELECT a.event_type AS group_a, b.event_type AS group_b,
+           a.n AS n_a, b.n AS n_b,
+           round(a.m / 100, 4) AS mean_a, round(b.m / 100, 4) AS mean_b,
+           round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 4) AS t_stat,
+           round(pow(a.v / a.n + b.v / b.n, 2)
+                 / (pow(a.v / a.n, 2) / (a.n - 1)
+                    + pow(b.v / b.n, 2) / (b.n - 1)), 2) AS welch_df,
+           abs((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n)) > 1.96 AS significant_05
+    FROM mv a JOIN mv b ON a.event_type < b.event_type
+    """,
+    doc="A/B experiment readout: Welch's unequal-variance t-test between "
+        "every pair of event types over `value`. The distributed-exactness "
+        "move: per-group n / sum(x) / sum(x^2) are accumulated as exact "
+        "DECIMAL cents (order-independent — double summation order varies "
+        "with partitioning and would diverge in the last ulp between "
+        "engines AND between cluster runs), then mean, pooled variance, "
+        "t-statistic, and Welch-Satterthwaite df are derived from those "
+        "exact integers with identical double arithmetic. One narrow "
+        "groupBy on a 5-value key; the pair frame is a broadcast self-join "
+        "of 5 aggregate rows. At 100 TB the same plan is one partial-agg "
+        "scan. Reference parity: extension surface (SURVEY.md §2.B "
+        "analytics).",
+)
+def analytics_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    c = (F.col("value") * 100).cast("decimal(18,0)")
+    stats = e.select(F.col("event_type"), c.alias("c")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("double").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("double").alias("s2"),
+    )
+    mv = stats.select(
+        "event_type",
+        "n",
+        (F.col("s1") / F.col("n")).alias("m"),
+        ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1))
+        .alias("v"),
+    )
+    a = mv.select(*[F.col(x).alias(f"{x}_a") for x in mv.columns])
+    b = mv.select(*[F.col(x).alias(f"{x}_b") for x in mv.columns])
+    se2 = F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    t = (F.col("m_a") - F.col("m_b")) / F.sqrt(se2)
+    df = F.pow(se2, 2) / (
+        F.pow(F.col("v_a") / F.col("n_a"), 2) / (F.col("n_a") - 1)
+        + F.pow(F.col("v_b") / F.col("n_b"), 2) / (F.col("n_b") - 1)
+    )
+    return (
+        a.join(F.broadcast(b), F.col("event_type_a") < F.col("event_type_b"))
+        .select(
+            F.col("event_type_a").alias("group_a"),
+            F.col("event_type_b").alias("group_b"),
+            F.col("n_a"),
+            F.col("n_b"),
+            F.round(F.col("m_a") / 100, 4).alias("mean_a"),
+            F.round(F.col("m_b") / 100, 4).alias("mean_b"),
+            F.round(t, 4).alias("t_stat"),
+            F.round(df, 2).alias("welch_df"),
+            (F.abs(t) > 1.96).alias("significant_05"),
+        )
+    )

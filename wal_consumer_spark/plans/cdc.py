@@ -575,3 +575,58 @@ def cdc_op_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("id").alias("first_id"),
         F.max("id").alias("last_id"),
     )
+
+
+@register(
+    "dq_benford_digit_audit",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(floor(o_totalprice / power(10, floor(log10(o_totalprice))))
+                    AS INTEGER) AS digit
+        FROM orders WHERE o_totalprice > 0
+    ),
+    obs AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders FROM d GROUP BY digit
+    ),
+    tot AS (SELECT CAST(SUM(n_orders) AS DOUBLE) AS t FROM obs)
+    SELECT digit, n_orders,
+           round(n_orders / t, 6) AS p_obs,
+           round(log10(1 + 1.0 / digit), 6) AS p_benford,
+           round(pow(n_orders / t - log10(1 + 1.0 / digit), 2)
+                 / log10(1 + 1.0 / digit) * t, 4) AS chi2_contrib
+    FROM obs CROSS JOIN tot
+    """,
+    doc="Benford first-digit audit — the fraud/synthetic-data smell test "
+        "for monetary columns: observed first-significant-digit frequency "
+        "of o_totalprice vs the Benford expectation log10(1+1/d), with "
+        "per-digit chi-square contributions. The digit is extracted "
+        "arithmetically (floor(x/10^floor(log10 x))) rather than via "
+        "double-to-string formatting, which differs between engines; "
+        "libm log10/floor on identical doubles is bit-identical. One "
+        "partial-agg scan onto a 9-row key space, scalar total broadcast "
+        "back — the cheapest possible DQ pass at any scale. Reference "
+        "parity: extends the reference's implicit data-quality stance "
+        "(it trusts upstream; SURVEY.md §2.A has no DQ) with warehouse "
+        "audit operators.",
+)
+def dq_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.floor(
+        F.col("o_totalprice") / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("int")
+    obs = (
+        o.filter(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    tot = obs.agg(F.sum("n_orders").cast("double").alias("t"))
+    p_obs = F.col("n_orders") / F.col("t")
+    p_ben = F.log10(1 + 1.0 / F.col("digit"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_orders",
+        F.round(p_obs, 6).alias("p_obs"),
+        F.round(p_ben, 6).alias("p_benford"),
+        F.round(F.pow(p_obs - p_ben, 2) / p_ben * F.col("t"), 4).alias("chi2_contrib"),
+    )

@@ -844,3 +844,58 @@ def pipeline_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("long").alias("keep_doc_id"),
         )
     )
+
+
+@register(
+    "pipeline_bpe_first_merges",
+    oracle=f"""
+    WITH w AS (SELECT unnest({_TOKS}) AS w FROM documents),
+    pairs AS (
+        SELECT unnest(CASE WHEN length(w) >= 2
+                           THEN list_transform(generate_series(1, length(w) - 1),
+                                i -> substring(w, i, 1) || substring(w, i + 1, 1))
+                           ELSE [] END) AS pair
+        FROM w
+    ),
+    counts AS (
+        SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY pair
+    )
+    SELECT pair, n, CAST(rk AS INTEGER) AS rank FROM (
+        SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rk
+        FROM counts
+    ) WHERE rk <= 20
+    """,
+    doc="Tokenizer-training primitive — the first BPE merge round: corpus "
+        "frequency of every adjacent character pair inside words, top-20 "
+        "merge candidates (count desc, pair asc tiebreak). This is the "
+        "inner loop of byte-pair-encoding vocabulary induction; one round "
+        "is registered because each subsequent round is the identical "
+        "count-and-rank plan over a re-paired corpus. Shuffle profile: the "
+        "char-pair explode is map-side (flatMap of bounded per-word "
+        "arrays), the count lands on a key space bounded by the SQUARE OF "
+        "THE ALPHABET (not the corpus), and the top-20 is a single-reducer "
+        "sort of those few hundred rows. At 100 TB this is exactly the "
+        "Hadoop-era wordcount shape — the cheapest distributed aggregation "
+        "there is. Reference parity: extension surface (SURVEY.md §2.B "
+        "curation).",
+)
+def pipeline_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(F.explode(tokens(F.col("text"))).alias("w"))
+    pair_arr = F.expr(
+        "CASE WHEN length(w) >= 2 THEN "
+        "transform(sequence(1, length(w) - 1), "
+        "i -> concat(substring(w, i, 1), substring(w, i + 1, 1))) "
+        "ELSE array() END"
+    )
+    counts = (
+        w.select(F.explode(pair_arr).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rk = F.row_number().over(Window.orderBy(F.desc("n"), F.asc("pair")))
+    return (
+        counts.withColumn("rank", rk.cast("int"))
+        .filter(F.col("rank") <= 20)
+        .select("pair", "n", "rank")
+    )

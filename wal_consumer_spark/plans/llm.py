@@ -1178,3 +1178,94 @@ def pipeline_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("node").alias("rep_doc_id"),
         F.col("n_chars").alias("rep_n_chars"),
     )
+
+
+def _sim_recall_eval_sql(dim: int = 64, nbits: int = 4, n_tables: int = 8, k: int = 10) -> str:
+    branches = "\n        UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS tbl, "
+        f"{rp_lsh_bucket_sql('v', dim, nbits, seed=42 + t)} AS bucket FROM e"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cb AS (
+        {branches}
+    ),
+    qb AS (SELECT vec_id AS query_id, v AS qv, tbl, bucket FROM cb WHERE vec_id < 5),
+    cand AS (
+        SELECT DISTINCT q.query_id, c.vec_id AS cand_id, q.qv, c.v AS cv
+        FROM cb c JOIN qb q USING (tbl, bucket)
+        WHERE c.vec_id <> q.query_id
+    ),
+    lsh AS (
+        SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC,
+                                cand_id) AS rank
+            FROM cand
+        ) WHERE rank <= {k}
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    truth AS (
+        SELECT query_id, cand_id FROM (
+            SELECT q.query_id, c.vec_id AS cand_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY round(list_cosine_similarity(q.qv, c.v), 6) DESC,
+                                c.vec_id) AS rank
+            FROM e c CROSS JOIN q
+            WHERE c.vec_id <> q.query_id
+        ) WHERE rank <= {k}
+    )
+    SELECT t.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(SUM(CASE WHEN l.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hit,
+           round(SUM(CASE WHEN l.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS recall_at_k
+    FROM truth t LEFT JOIN lsh l
+      ON l.query_id = t.query_id AND l.cand_id = t.cand_id
+    GROUP BY t.query_id
+    """
+
+
+@register(
+    "sim_ann_recall_eval",
+    oracle=_sim_recall_eval_sql(),
+    doc="ANN quality certification as a first-class query: per-query "
+        "recall@10 of the LSH approximate top-k against the exact "
+        "brute-force ground truth, computed in ONE plan (truth LEFT JOIN "
+        "approx on (query, candidate), grouped per query). This is the "
+        "eval loop every production vector index ships with — recall is a "
+        "measured, driver-hash-checked number, not a test-suite "
+        "assumption (tests/test_llm.py asserts a floor; this query "
+        "certifies the exact value). Scale: the ground-truth side is the "
+        "documented exact baseline (bounded query set, broadcast "
+        "queries); the LSH side is the bucket-equi-join scale path — at "
+        "100 TB one runs this eval on a sampled query set, exactly this "
+        "shape. Both engines replay the identical integer bucket hashes "
+        "and 6-dp-rounded cosine ranking, so the recall numbers are "
+        "bit-identical.",
+)
+def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q5 = emb.filter(F.col("vec_id") < 5)
+    truth = cosine_topk_bruteforce(emb, q5, k=10).select("query_id", "cand_id")
+    approx = cosine_topk_lsh(emb, q5, dim=64, k=10).select(
+        "query_id", F.col("cand_id").alias("hit_id")
+    )
+    joined = truth.join(
+        approx,
+        (truth.query_id == approx.query_id) & (truth.cand_id == approx.hit_id),
+        "left",
+    ).select(truth.query_id, "cand_id", "hit_id")
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth"),
+        F.sum(F.when(F.col("hit_id").isNotNull(), 1).otherwise(0)).cast("long")
+        .alias("n_hit"),
+        F.round(
+            F.sum(F.when(F.col("hit_id").isNotNull(), 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("recall_at_k"),
+    )

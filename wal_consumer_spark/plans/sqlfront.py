@@ -75,6 +75,20 @@ _SHARED_SQL = {
     FROM months LEFT JOIN per_month ON per_month.m = months.m
     ORDER BY months.m
     """,
+    # LATERAL correlated subquery (ANSI, Spark 3.2+/DuckDB): a per-outer-row
+    # derived table — the SQL spelling of "for each nation, compute its
+    # customer aggregate". Catalyst decorrelates this into the same
+    # broadcast-join + aggregate plan the DataFrame API produces; nothing
+    # is executed per-row.
+    "sql_front_lateral_join": """
+    SELECT n.n_name AS nation, t.n_cust, t.max_bal_cents
+    FROM nation n, LATERAL (
+        SELECT COUNT(*) AS n_cust,
+               CAST(round(MAX(c.c_acctbal) * 100) AS BIGINT) AS max_bal_cents
+        FROM customer c WHERE c.c_nationkey = n.n_nationkey
+    ) t
+    ORDER BY n.n_name
+    """,
 }
 
 

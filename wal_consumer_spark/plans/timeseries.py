@@ -506,3 +506,90 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("d") / (1.4826 * F.col("mad")), 4).alias("robust_z"),
         )
     )
+
+
+@register(
+    "ts_changepoint_cusum",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(value * 100 AS DECIMAL(18,0)) AS cents
+        FROM events
+    ),
+    s AS (
+        SELECT event_type, event_id, ts,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS DECIMAL(38,0)) AS n,
+               CAST(SUM(cents) OVER (PARTITION BY event_type) AS DECIMAL(38,0)) AS tot,
+               CAST(SUM(cents) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DECIMAL(38,0)) AS pre,
+               CAST(row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+                 AS DECIMAL(38,0)) AS j
+        FROM c
+    ),
+    cusum AS (SELECT event_type, event_id, ts, n, n * pre - j * tot AS cs FROM s),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY abs(cs) DESC, ts, event_id) AS rk
+        FROM cusum
+    )
+    SELECT event_type, ts AS changepoint_ts, event_id AS changepoint_event_id,
+           round(CAST(abs(cs) AS DOUBLE) / (CAST(n AS DOUBLE) * 100), 4)
+               AS max_cusum_dollars
+    FROM ranked WHERE rk = 1
+    """,
+    doc="CUSUM changepoint detection per series: the instant where the "
+        "cumulative sum of deviations from the series mean peaks — the "
+        "classic level-shift locator. The exactness trick: instead of "
+        "cumsum(x_i - mean) in floats (mean is irrational, every engine "
+        "and partition order rounds differently), the scaled statistic "
+        "n*prefix_j - j*total is computed entirely in DECIMAL cents — "
+        "integer-exact, order-independent, bit-identical across engines — "
+        "and only the final reported magnitude is scaled back to dollars. "
+        "One window sort per series plus two unbounded frames on the same "
+        "partitioning; the argmax is a second pass over the same sort "
+        "order (no extra shuffle). Reference parity: extension surface "
+        "(SURVEY.md §2.B time-series).",
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    c = e.select(
+        "event_type",
+        "event_id",
+        "ts",
+        (F.col("value") * 100).cast("decimal(18,0)").alias("cents"),
+    )
+    w_all = Window.partitionBy("event_type")
+    w_run = w_all.orderBy("ts", "event_id")
+    s = c.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.count(F.lit(1)).over(w_all).cast("decimal(38,0)").alias("n"),
+        F.sum("cents").over(w_all).cast("decimal(38,0)").alias("tot"),
+        F.sum("cents")
+        .over(w_run.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("decimal(38,0)")
+        .alias("pre"),
+        F.row_number().over(w_run).cast("decimal(38,0)").alias("j"),
+    )
+    cusum = s.withColumn("cs", F.col("n") * F.col("pre") - F.col("j") * F.col("tot"))
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.abs(F.col("cs")).desc(), "ts", "event_id"
+        )
+    )
+    return (
+        cusum.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("ts").alias("changepoint_ts"),
+            F.col("event_id").alias("changepoint_event_id"),
+            F.round(
+                F.abs(F.col("cs")).cast("double") / (F.col("n").cast("double") * 100), 4
+            ).alias("max_cusum_dollars"),
+        )
+    )
