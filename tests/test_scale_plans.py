@@ -407,16 +407,20 @@ def test_bloom_prefilter_broadcasts_bits_and_build_keys(spark):
     assert "Exchange hashpartitioning(o_custkey" not in plan, plan[:2000]
 
 
-def test_market_basket_pair_join_reuses_incidence_shuffle(spark):
-    """analytics_market_basket: the okey self-join and the incidence
-    distinct must share one hashpartitioning(okey) exchange layout (AQE
-    exchange reuse), and the brand marginal joins must broadcast — the
-    only non-broadcast traffic is the narrow (okey, brand) frame."""
+def test_market_basket_generates_pairs_map_side(spark):
+    """analytics_market_basket must NOT self-join the incidence frame:
+    pairs are generated map-side from each basket's sorted brand array, so
+    the visible plan (downstream of the checkpointed basket frame) has no
+    SortMergeJoin and no okey exchange at all — only the bounded-key pair
+    aggregate plus broadcast marginal joins."""
     from wal_consumer_spark.plans import all_specs
 
     df = all_specs()["analytics_market_basket"].spark(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "Exchange hashpartitioning(okey" not in plan, plan[:2000]
+    # brand marginals broadcast back onto the <=300-row pair frame
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
     # lineitem->part dimension join is broadcast, so no exchange ever
     # carries l_partkey
     assert "Exchange hashpartitioning(l_partkey" not in plan, plan[:2000]

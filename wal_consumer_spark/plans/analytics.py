@@ -632,32 +632,45 @@ def ml_classification_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Market-basket co-occurrence mining (the A-priori support/lift "
         "core): which part brands ship together in the same order more "
-        "often than independence predicts. items is the distinct "
-        "(order, brand) incidence frame — the dictionary collapse that "
-        "bounds everything downstream: the self-join explodes per-order "
-        "C(b,2) pairs where b <= |brands| = 25, never per-lineitem, and "
-        "the pair aggregate lands on a <= 300-row (brand_a, brand_b) key "
-        "space. The self-join key is okey, co-partitioned with the "
-        "incidence frame's own distinct shuffle, so AQE reuses one "
-        "exchange; brand marginals and the scalar order count broadcast. "
-        "At 100 TB the same plan holds: pair cardinality is quadratic in "
-        "the VOCABULARY (bounded), linear in orders. Reference parity: "
-        "extension surface (SURVEY.md §2.B analytics).",
+        "often than independence predicts. NOT a self-join: each order's "
+        "brand set is collected ONCE (one okey shuffle, map-side partial "
+        "collect_set), sorted, and the C(b,2) pairs (b <= |brands| = 25) "
+        "are generated map-side from the array with a nested transform — "
+        "the oracle's self-join formulation would scan and shuffle the "
+        "incidence frame twice for the same answer. The basket frame is "
+        "localCheckpointed once for its three consumers (order count, "
+        "brand marginals, pair counts — the repo's standard "
+        "materialize-once move for multi-consumer frames); the pair "
+        "aggregate lands on a <= 300-row (brand_a, brand_b) key space and "
+        "marginals broadcast back. At 100 TB the same plan holds: pair "
+        "cardinality is quadratic in the VOCABULARY (bounded), linear in "
+        "orders. Reference parity: extension surface (SURVEY.md §2.B "
+        "analytics).",
 )
 def analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    items = (
+    baskets = (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+        .localCheckpoint(eager=True)
     )
-    n_orders = items.select(F.countDistinct("okey").alias("n"))
-    brand_n = items.groupBy("brand").agg(F.count(F.lit(1)).cast("long").alias("n_b"))
-    a = items.select(F.col("okey"), F.col("brand").alias("brand_a"))
-    b = items.select(F.col("okey"), F.col("brand").alias("brand_b"))
+    n_orders = baskets.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    brand_n = (
+        baskets.select(F.explode("brands").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    )
+    # sorted array => x precedes y iff x < y: pair orientation by position
+    pair_arr = F.expr(
+        "flatten(transform(brands, (x, i) -> "
+        "transform(slice(brands, i + 2, size(brands)), "
+        "y -> struct(x AS brand_a, y AS brand_b))))"
+    )
     pairs = (
-        a.join(b, (a.okey == b.okey) & (F.col("brand_a") < F.col("brand_b")))
+        baskets.select(F.explode(pair_arr).alias("pr"))
+        .select("pr.brand_a", "pr.brand_b")
         .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
         .filter(F.col("n_ab") >= 20)
