@@ -424,3 +424,41 @@ def test_market_basket_generates_pairs_map_side(spark):
     # lineitem->part dimension join is broadcast, so no exchange ever
     # carries l_partkey
     assert "Exchange hashpartitioning(l_partkey" not in plan, plan[:2000]
+
+
+def test_clustered_write_yields_disjoint_file_ranges(spark, tmp_path):
+    """write_clustered: parquet files carry pairwise-disjoint min/max ranges
+    on the leading cluster key (the footer-stats pruning property), and the
+    pre-write plan is range-partitioned (no hash shuffle)."""
+    from pyspark.sql import functions as F
+
+    from wal_consumer_spark.sources.ingest import write_clustered
+    from wal_consumer_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "clustered")
+    out = write_clustered(e, path, ["ts", "event_id"], num_partitions=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(ts" in plan.lower(), plan[:1500]
+
+    per_file = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .collect()
+    )
+    assert len(per_file) >= 2, "need multiple files to prove disjointness"
+    ranges = sorted((r["lo"], r["hi"]) for r in per_file)
+    for (_, prev_hi), (cur_lo, _) in zip(ranges, ranges[1:]):
+        assert prev_hi <= cur_lo, (prev_hi, cur_lo)
+
+    # the pruning payoff: a narrow ts predicate scans a subset of files
+    lo = min(r["lo"] for r in per_file)
+    hit = (
+        spark.read.parquet(path)
+        .filter(F.col("ts") == F.lit(lo))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    assert hit < len(per_file)
