@@ -772,3 +772,61 @@ def analytics_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(t) > 1.96).alias("significant_05"),
         )
     )
+
+
+@register(
+    "analytics_path_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type AS from_type, event_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n_transitions
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT from_type, to_type, n_transitions,
+           round(n_transitions / CAST(SUM(n_transitions) OVER (
+                 PARTITION BY from_type) AS DOUBLE), 6) AS p_transition
+    FROM trans
+    """,
+    doc="User-journey Markov transition matrix: for every consecutive "
+        "event pair within a user's timeline, count (from_state, "
+        "to_state) transitions and the per-source transition probability "
+        "— the path-analysis primitive behind funnel discovery and "
+        "next-action prediction features. One user_id window sort "
+        "produces the lag; the count lands on a key space bounded by "
+        "|event_type|^2 (25 cells here), and the probability "
+        "normalization is a window over those few cells — nothing "
+        "downstream of the first shuffle scales with the corpus. "
+        "Reference parity: extension surface (SURVEY.md §2.B analytics).",
+)
+def analytics_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+    w_src = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(w_src).cast("double"),
+            6,
+        ).alias("p_transition"),
+    )

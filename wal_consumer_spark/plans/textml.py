@@ -408,3 +408,62 @@ def text_bpe_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             bpe.cast("double") / F.greatest(ws, F.lit(1)), 6
         ).alias("bpe_per_word"),
     )
+
+
+@register(
+    "text_readability",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_words,
+           CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+               AS n_sentences,
+           CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+               AS BIGINT) AS n_syllables,
+           round(206.835
+                 - 1.015 * (len({_TOKS})
+                            / CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                                   AS DOUBLE))
+                 - 84.6 * (greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+                           / CAST(greatest(len({_TOKS}), 1) AS DOUBLE)), 4)
+               AS flesch_score
+    FROM documents
+    """,
+    doc="Flesch reading-ease scoring per document — the readability axis "
+        "of corpus quality filtering (too-hard and too-trivial documents "
+        "both get down-weighted in curation mixes). Sentences are counted "
+        "as terminal-punctuation runs and syllables approximated as vowel-"
+        "group runs — the standard dictionary-free heuristic — with both "
+        "counts floored at 1 so the formula is total on degenerate "
+        "inputs. Pure per-row JVM regexp/arithmetic column work: no "
+        "shuffle, no UDF, whole-stage-codegen end to end; the regex "
+        "subset ([.!?]+ / [aeiouy]+ character-class runs) has identical "
+        "semantics in Java regex and RE2. Reference parity: extension "
+        "surface (SURVEY.md §2.B text analysis).",
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(tokens(F.col("text"))).cast("long")
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), F.lit(0))),
+        F.lit(1),
+    ).cast("long")
+    n_syll = F.greatest(
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiouy]+"), F.lit(0))
+        ),
+        F.lit(1),
+    ).cast("long")
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words / n_sent.cast("double"))
+        - F.lit(84.6)
+        * (n_syll / F.greatest(n_words, F.lit(1)).cast("double")),
+        4,
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+        flesch.alias("flesch_score"),
+    )

@@ -593,3 +593,69 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("max_cusum_dollars"),
         )
     )
+
+
+@register(
+    "ts_period_over_period",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(SUM(CAST(value * 100 AS DECIMAL(18,0))) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    )
+    SELECT cur.event_type, CAST(cur.day AS TIMESTAMP) AS day,
+           cur.cents AS cents, prev.cents AS cents_wk_ago,
+           round((cur.cents - prev.cents) / CAST(prev.cents AS DOUBLE), 6)
+               AS wow_growth
+    FROM daily cur JOIN daily prev
+      ON cur.event_type = prev.event_type
+     AND prev.day = cur.day - INTERVAL 7 DAY
+    WHERE prev.cents <> 0
+    """,
+    doc="Calendar-correct week-over-week growth per series: today's daily "
+        "total joined to the total EXACTLY 7 calendar days earlier — a "
+        "date-key equi-join, not lag(7) rows, which silently misaligns "
+        "whenever a day is missing from the series "
+        "(ts_seasonal_naive_error's row-offset baseline is the contrast). "
+        "Daily totals are exact DECIMAL-cents sums so the growth ratio's "
+        "operands are bit-identical across engines. Shuffle profile: one "
+        "(type, day) aggregation, then a self-join of that already-small "
+        "daily frame on its own grouping key — at 100 TB the daily frame "
+        "is |series| x |days| rows, O(10^5), broadcastable. Reference "
+        "parity: extension surface (SURVEY.md §2.B time-series).",
+)
+def ts_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum((F.col("value") * 100).cast("decimal(18,0)")).cast("long").alias("cents")
+    )
+    cur = daily.select(
+        "event_type", "day", F.col("cents").alias("cents_cur")
+    )
+    prev = daily.select(
+        F.col("event_type").alias("event_type_p"),
+        F.col("day").alias("day_p"),
+        F.col("cents").alias("cents_wk_ago"),
+    )
+    return (
+        cur.join(
+            prev,
+            (F.col("event_type") == F.col("event_type_p"))
+            & (F.col("day_p") == F.date_sub(F.col("day"), 7)),
+        )
+        .filter(F.col("cents_wk_ago") != 0)
+        .select(
+            "event_type",
+            F.col("day").cast("timestamp").alias("day"),
+            F.col("cents_cur").alias("cents"),
+            "cents_wk_ago",
+            F.round(
+                (F.col("cents_cur") - F.col("cents_wk_ago"))
+                / F.col("cents_wk_ago").cast("double"),
+                6,
+            ).alias("wow_growth"),
+        )
+    )
