@@ -899,3 +899,61 @@ def pipeline_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 20)
         .select("pair", "n", "rank")
     )
+
+
+@register(
+    "pipeline_mixture_temperature",
+    oracle="""
+    WITH src AS (
+        SELECT source,
+               CAST(SUM(len(string_split_regex(lower(trim(text)), '\\s+')))
+                    AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS t FROM src),
+    p AS (
+        SELECT source, n_tokens, n_tokens / t AS p_raw,
+               pow(n_tokens / t, 0.3) AS p_temp
+        FROM src CROSS JOIN tot
+    ),
+    z AS (SELECT SUM(p_temp) AS z FROM p)
+    SELECT source, n_tokens,
+           round(p_raw, 6) AS p_natural,
+           round(p_temp / z, 6) AS p_sampled,
+           round((p_temp / z) / p_raw, 4) AS upsample_factor
+    FROM p CROSS JOIN z
+    """,
+    doc="Temperature-scaled data-mixture weights (alpha=0.3, the "
+        "multilingual-LLM sampling recipe): per-source natural token "
+        "share p_i, temperature-flattened share p_i^alpha / sum p^alpha, "
+        "and the implied up/down-sampling factor — the numbers a "
+        "training-data pipeline feeds its per-source samplers so "
+        "low-resource sources are boosted without erasing scale "
+        "differences. One partial-agg scan onto the |sources| key space; "
+        "the two scalar normalizers broadcast back. The float math "
+        "(pow, ratios) runs on per-source token counts that are exact "
+        "BIGINTs, so both engines' doubles are identical. Reference "
+        "parity: extension surface (SURVEY.md §2.B curation).",
+)
+def pipeline_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text"))).cast("long")).cast("long")
+        .alias("n_tokens")
+    )
+    tot = src.agg(F.sum("n_tokens").cast("double").alias("t"))
+    p = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        (F.col("n_tokens") / F.col("t")).alias("p_raw"),
+        F.pow(F.col("n_tokens") / F.col("t"), 0.3).alias("p_temp"),
+    )
+    z = p.agg(F.sum("p_temp").alias("z"))
+    return p.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_tokens",
+        F.round("p_raw", 6).alias("p_natural"),
+        F.round(F.col("p_temp") / F.col("z"), 6).alias("p_sampled"),
+        F.round((F.col("p_temp") / F.col("z")) / F.col("p_raw"), 4)
+        .alias("upsample_factor"),
+    )

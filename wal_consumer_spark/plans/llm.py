@@ -23,6 +23,7 @@ from wal_consumer_spark.functions.text import (
     punct_count,
     token_count_regex,
     tokens,
+    word_shingles,
 )
 from wal_consumer_spark.operators.dedup import (
     exact_dedup,
@@ -1268,4 +1269,58 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double"),
             4,
         ).alias("recall_at_k"),
+    )
+
+
+@register(
+    "text_shingle_novelty",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+    ),
+    first_seen AS (
+        SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+    )
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+    FROM sh JOIN first_seen f USING (shingle)
+    GROUP BY sh.doc_id
+    """,
+    doc="Incremental novelty scoring: per document, the fraction of its "
+        "3-word shingles that NO earlier document (by doc_id ingest "
+        "order) contains — the dataset-curation signal that separates "
+        "genuinely new content from recombinations of already-ingested "
+        "text, without any pairwise comparison. Plan: one shingle "
+        "explode, one MIN(doc_id) aggregation on the shingle key, one "
+        "join back on that same key (partitioning reused), one doc_id "
+        "rollup — every frame is narrow (shingle hash, doc_id) and the "
+        "pairwise-explosion trap of the Jaccard formulation never "
+        "appears: cost is linear in total shingle volume at any corpus "
+        "size. Reference parity: extension surface (SURVEY.md §2.B text "
+        "analysis).",
+)
+def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(word_shingles(tokens(F.col("text")), 3)).alias("shingle")
+    )
+    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first_seen, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+            F.round(
+                F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("novelty"),
+        )
     )
