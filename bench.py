@@ -119,7 +119,11 @@ def main() -> None:
         pass N's storage footprint identical to pass 1's."""
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         for rid in list(jmap.keySet().toArray()):
-            jmap.get(rid).unpersist(False)
+            # blocking: the next query must start from the same (empty)
+            # block-manager state every pass — async release left the
+            # biggest checkpointing query's old blocks still draining when
+            # its next pass began (samples 3.4s -> 6.1s within one run)
+            jmap.get(rid).unpersist(True)
         spark.catalog.clearCache()
 
     # One untimed full-suite pass first: the generic warmup above covers
@@ -139,6 +143,11 @@ def main() -> None:
             release_persisted()
 
     for _ in range(n_passes):
+        # level the JVM heap between passes (outside any timed span):
+        # py4j object churn + released block references accumulate across
+        # a 36-query pass, and leaving their collection to lazy old-gen GC
+        # lets heap pressure leak into the next pass's timings
+        spark.sparkContext._jvm.System.gc()
         for name in HEADLINE:
             # time construction + execution: some queries materialize an
             # index frame eagerly at construction (localCheckpoint in the
