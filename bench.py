@@ -63,6 +63,14 @@ HEADLINE = [
     "ml_feature_scaling",
     "join_fuzzy_name_pairs",
     "sim_doc_cosine_sparse",
+    # r3 additions (appended only, same continuity rule): one representative
+    # per family added this round.
+    "join_bloom_prefilter",
+    "analytics_market_basket",
+    "sim_ann_recall_eval",
+    "ts_changepoint_cusum",
+    "text_shingle_novelty",
+    "pipeline_mixture_temperature",
 ]
 
 

@@ -830,3 +830,71 @@ def analytics_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p_transition"),
     )
+
+
+@register(
+    "graph_two_hop_reach",
+    oracle="""
+    WITH edges AS (
+        SELECT a.n_nationkey AS u, b.n_nationkey AS v
+        FROM nation a JOIN nation b
+          ON a.n_regionkey = b.n_regionkey
+         AND a.n_nationkey <> b.n_nationkey
+    ),
+    two_hop AS (
+        SELECT DISTINCT e1.u, e2.v
+        FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+        WHERE e2.v <> e1.u
+    ),
+    pure AS (
+        SELECT t.u, t.v FROM two_hop t
+        LEFT JOIN edges d ON d.u = t.u AND d.v = t.v
+        WHERE d.u IS NULL
+    ),
+    direct AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n_direct FROM edges GROUP BY u)
+    SELECT n.n_name, d.n_direct,
+           CAST(COALESCE(p.n_two_hop, 0) AS BIGINT) AS n_two_hop_only
+    FROM direct d
+    LEFT JOIN (SELECT u, COUNT(*) AS n_two_hop FROM pure GROUP BY u) p ON p.u = d.u
+    JOIN nation n ON n.n_nationkey = d.u
+    """,
+    doc="Two-hop reachability per node: how many distinct nodes are "
+        "exactly two hops away (reachable via a neighbor, not a neighbor "
+        "themselves, not self) — the friend-of-friend / expansion metric "
+        "behind recommendation candidates and graph connectivity audits. "
+        "The scale discipline multi-hop traversal demands: DISTINCT the "
+        "(source, destination) pair frame IMMEDIATELY after the hop join "
+        "— path multiplicity explodes combinatorially but the reachable "
+        "SET is bounded by the neighborhood — then remove direct edges "
+        "with an anti-join and count. Every frame is a narrow 2-column "
+        "id pair; the hop join, dedup, and anti-join all share the edge "
+        "key partitioning. On the intra-region clique digraph the "
+        "expected n_two_hop_only is 0 for every node — asserted "
+        "non-vacuous by the n_direct column. Reference parity: extension "
+        "surface (SURVEY.md §2.B graph).",
+)
+def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    a = n.select(F.col("n_nationkey").alias("u"), F.col("n_regionkey").alias("r"))
+    b = n.select(F.col("n_nationkey").alias("v"), F.col("n_regionkey").alias("r"))
+    edges = a.join(b, "r").filter(F.col("u") != F.col("v")).select("u", "v")
+    e2 = edges.select(F.col("u").alias("mid"), F.col("v").alias("dst"))
+    two_hop = (
+        edges.join(e2, edges.v == e2.mid)
+        .filter(F.col("dst") != F.col("u"))
+        .select("u", F.col("dst").alias("v"))
+        .distinct()
+    )
+    pure = two_hop.join(edges, ["u", "v"], "left_anti")
+    direct = edges.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("n_direct"))
+    two_cnt = pure.groupBy("u").agg(F.count(F.lit(1)).alias("n_two_hop"))
+    return (
+        direct.join(two_cnt, "u", "left")
+        .join(n.select(F.col("n_nationkey").alias("u"), "n_name"), "u")
+        .select(
+            "n_name",
+            "n_direct",
+            F.coalesce(F.col("n_two_hop"), F.lit(0)).cast("long")
+            .alias("n_two_hop_only"),
+        )
+    )

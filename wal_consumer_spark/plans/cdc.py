@@ -630,3 +630,68 @@ def dq_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_ben, 6).alias("p_benford"),
         F.round(F.pow(p_obs - p_ben, 2) / p_ben * F.col("t"), 4).alias("chi2_contrib"),
     )
+
+
+@register(
+    "cdc_tombstone_retention",
+    oracle=f"""
+    WITH wal AS ({{WAL_SQL}}),
+    per_key AS (
+        SELECT entity_id,
+               MAX(id) AS last_id,
+               MAX(CASE WHEN operation = 'DELETE' THEN id END) AS last_delete_id,
+               MAX(CASE WHEN operation <> 'DELETE' THEN id END) AS last_write_id,
+               CAST(SUM(CASE WHEN operation = 'DELETE' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_deletes
+        FROM wal GROUP BY entity_id
+    )
+    SELECT CASE
+               WHEN last_delete_id IS NULL THEN 'never_deleted'
+               WHEN last_write_id IS NULL OR last_write_id < last_delete_id
+                   THEN 'purgeable_tombstone'
+               ELSE 'resurrected'
+           END AS tombstone_state,
+           CAST(COUNT(*) AS BIGINT) AS n_entities,
+           CAST(SUM(n_deletes) AS BIGINT) AS n_delete_ops
+    FROM per_key GROUP BY 1
+    """.format(WAL_SQL=WAL_SQL),
+    doc="Tombstone retention audit — the compaction-planning query every "
+        "log-structured CDC target runs before purging DELETE markers: "
+        "classify each entity as never_deleted, purgeable_tombstone (its "
+        "latest DELETE is the final word — safe to drop the tombstone "
+        "after the retention window) or resurrected (a later ADD/UPDATE "
+        "landed after the DELETE, so the tombstone must NOT purge or the "
+        "resurrection replays wrong). One entity_id aggregation computing "
+        "per-key last-op positions as conditional MAXes (no window sort "
+        "needed), then a 3-row rollup. Extends the reference's DELETE "
+        "semantics (Operation.java:6-10, WalConsumerTest.java:96-101 "
+        "verifies deletes apply) with the retention decision the "
+        "reference leaves to the target store. Scale: narrow (entity_id, "
+        "id, op) frame, one shuffle.",
+)
+def cdc_tombstone_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wal = synthetic_wal(spark, sf_dir)
+    per_key = wal.groupBy("entity_id").agg(
+        F.max(F.when(F.col("operation") == "DELETE", F.col("id"))).alias(
+            "last_delete_id"
+        ),
+        F.max(F.when(F.col("operation") != "DELETE", F.col("id"))).alias(
+            "last_write_id"
+        ),
+        F.sum(F.when(F.col("operation") == "DELETE", 1).otherwise(0))
+        .cast("long")
+        .alias("n_deletes"),
+    )
+    state = (
+        F.when(F.col("last_delete_id").isNull(), "never_deleted")
+        .when(
+            F.col("last_write_id").isNull()
+            | (F.col("last_write_id") < F.col("last_delete_id")),
+            "purgeable_tombstone",
+        )
+        .otherwise("resurrected")
+    )
+    return per_key.groupBy(state.alias("tombstone_state")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_entities"),
+        F.sum("n_deletes").cast("long").alias("n_delete_ops"),
+    )

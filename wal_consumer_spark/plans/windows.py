@@ -385,3 +385,89 @@ def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum("first_seen").over(w_run).cast("long").alias("cum_distinct_types"),
     )
+
+
+@register(
+    "win_rolling_autocorr",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(value * 100 AS DECIMAL(18,0)) AS x
+        FROM events
+    ),
+    lagged AS (
+        SELECT event_type, event_id, ts, x,
+               lag(x) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS y
+        FROM c
+    ),
+    sums AS (
+        SELECT event_type, event_id, ts,
+               CAST(COUNT(y) OVER w AS BIGINT) AS n,
+               CAST(SUM(x) OVER w AS DOUBLE) AS sx,
+               CAST(SUM(y) OVER w AS DOUBLE) AS sy,
+               CAST(SUM(x * y) OVER w AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) OVER w AS DOUBLE) AS sxx,
+               CAST(SUM(y * y) OVER w AS DOUBLE) AS syy
+        FROM lagged
+        WHERE y IS NOT NULL
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, event_id,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               AS autocorr_14
+    FROM sums
+    WHERE n = 14
+      AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+    """,
+    doc="Rolling lag-1 autocorrelation over a 14-observation window per "
+        "series — the regime-shift / seasonality-onset detector that "
+        "rolling mean and variance miss. Same exactness discipline as "
+        "analytics_ab_welch_ttest: every windowed sum (x, y, xy, x^2, "
+        "y^2) accumulates exact DECIMAL cents over the frame, and the "
+        "Pearson formula touches doubles only on those identical "
+        "integers, so the correlation is bit-identical across engines "
+        "and partitionings. One window sort per series shared by the lag "
+        "and all five frame sums (same partitioning AND ordering — "
+        "Catalyst plans one Sort + one Window node); partial frames and "
+        "zero-variance frames are excluded exactly (integer compares). "
+        "Reference parity: extension surface (SURVEY.md §2.B windows).",
+)
+def win_rolling_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    c = e.select(
+        "event_type",
+        "event_id",
+        "ts",
+        (F.col("value") * 100).cast("decimal(18,0)").alias("x"),
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = c.withColumn("y", F.lag("x").over(w_ord)).filter(
+        F.col("y").isNotNull()
+    )
+    w = w_ord.rowsBetween(-13, Window.currentRow)
+    sums = lagged.select(
+        "event_type",
+        "event_id",
+        F.count("y").over(w).cast("long").alias("n"),
+        F.sum("x").over(w).cast("double").alias("sx"),
+        F.sum("y").over(w).cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("double").alias("syy"),
+    )
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        sums.filter((F.col("n") == 14) & (var_x > 0) & (var_y > 0))
+        .select(
+            "event_type",
+            "event_id",
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / F.sqrt(var_x * var_y),
+                6,
+            ).alias("autocorr_14"),
+        )
+    )
