@@ -898,3 +898,201 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_two_hop_only"),
         )
     )
+
+
+@register(
+    "ml_decision_stump",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(floor(c_acctbal / 100) AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pos
+        FROM customer GROUP BY 1
+    ),
+    c AS (
+        SELECT bin,
+               SUM(n) OVER (ORDER BY bin) AS nl,
+               SUM(pos) OVER (ORDER BY bin) AS pl,
+               SUM(n) OVER () AS nt,
+               SUM(pos) OVER () AS pt
+        FROM b
+    ),
+    s AS (
+        SELECT bin,
+               CAST(nl AS BIGINT) AS n_left, CAST(nt - nl AS BIGINT) AS n_right,
+               CAST(pl AS BIGINT) AS pos_left, CAST(pt - pl AS BIGINT) AS pos_right,
+               (CAST(nl AS DOUBLE)
+                * (1 - (CAST(pl AS DOUBLE) / nl) * (CAST(pl AS DOUBLE) / nl)
+                     - (CAST(nl - pl AS DOUBLE) / nl) * (CAST(nl - pl AS DOUBLE) / nl))
+                + CAST(nt - nl AS DOUBLE)
+                * (1 - (CAST(pt - pl AS DOUBLE) / (nt - nl)) * (CAST(pt - pl AS DOUBLE) / (nt - nl))
+                     - (CAST((nt - nl) - (pt - pl) AS DOUBLE) / (nt - nl))
+                       * (CAST((nt - nl) - (pt - pl) AS DOUBLE) / (nt - nl))))
+               / CAST(nt AS DOUBLE) AS wg
+        FROM c WHERE nl > 0 AND nt - nl > 0
+    )
+    SELECT bin AS threshold_bin, n_left, n_right, pos_left, pos_right,
+           round(wg, 6) AS weighted_gini
+    FROM s
+    QUALIFY row_number() OVER (ORDER BY wg, bin) = 1
+    """,
+    doc="Decision-stump training (best single split of c_acctbal predicting "
+        "mktsegment='BUILDING' by weighted Gini impurity) as a relational "
+        "plan: bin the feature to a BOUNDED candidate-threshold grid "
+        "(100-unit bins, ~110 candidates regardless of row count), one "
+        "map-side-combinable (n, pos) aggregate pass over the corpus, then "
+        "cumulative class counts + impurity arithmetic entirely on the tiny "
+        "candidate table (the global window orders ~110 rows, not the "
+        "corpus). Gini uses only +,-,*,/ on exact integer counts, so both "
+        "engines emit bit-identical doubles; argmin tie-breaks on bin. At "
+        "100 TB this is the per-feature inner loop of a distributed "
+        "tree/GBDT trainer: the data pass is one histogram aggregation "
+        "(XGBoost's approx split finding), everything after is O(bins). "
+        "Reference parity: extension surface (SURVEY.md §2.B, LLM/ML rows).",
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    g = (
+        c.select(
+            F.floor(F.col("c_acctbal") / 100).cast("long").alias("bin"),
+            (F.col("c_mktsegment") == "BUILDING").cast("long").alias("y"),
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
+    )
+    cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cu = g.select(
+        "bin",
+        F.sum("n").over(cum).alias("nl"),
+        F.sum("pos").over(cum).alias("pl"),
+        F.sum("n").over(tot).alias("nt"),
+        F.sum("pos").over(tot).alias("pt"),
+    ).filter((F.col("nl") > 0) & (F.col("nt") - F.col("nl") > 0))
+
+    def gini(p: F.Column, n: F.Column) -> F.Column:
+        pd, nd = p.cast("double"), n.cast("double")
+        return (
+            F.lit(1)
+            - (pd / nd) * (pd / nd)
+            - ((nd - pd) / nd) * ((nd - pd) / nd)
+        )
+
+    nl, pl = F.col("nl"), F.col("pl")
+    nr, pr = F.col("nt") - F.col("nl"), F.col("pt") - F.col("pl")
+    wg = (
+        nl.cast("double") * gini(pl, nl) + nr.cast("double") * gini(pr, nr)
+    ) / F.col("nt").cast("double")
+    ranked = cu.select(
+        F.col("bin").alias("threshold_bin"),
+        nl.cast("long").alias("n_left"),
+        nr.cast("long").alias("n_right"),
+        pl.cast("long").alias("pos_left"),
+        pr.cast("long").alias("pos_right"),
+        wg.alias("wg"),
+    ).withColumn(
+        "rn", F.row_number().over(Window.orderBy("wg", "threshold_bin"))
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "threshold_bin",
+        "n_left",
+        "n_right",
+        "pos_left",
+        "pos_right",
+        F.round(F.col("wg"), 6).alias("weighted_gini"),
+    )
+
+
+@register(
+    "ml_linear_regression_multi",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx1,
+               CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sx2,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                        * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s11,
+               CAST(SUM(CAST(l_discount AS DECIMAL(12,2))
+                        * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS s22,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                        * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS s12,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                        * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS s1y,
+               CAST(SUM(CAST(l_discount AS DECIMAL(12,2))
+                        * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS s2y,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    m AS (
+        SELECT l_returnflag, n, sx1, sx2, sy,
+               n*s11 - sx1*sx1 AS c11, n*s22 - sx2*sx2 AS c22,
+               n*s12 - sx1*sx2 AS c12, n*s1y - sx1*sy AS c1y,
+               n*s2y - sx2*sy AS c2y, n*syy - sy*sy AS cyy
+        FROM s
+    )
+    SELECT l_returnflag, n,
+           round((c22*c1y - c12*c2y) / (c11*c22 - c12*c12), 6) AS beta_qty,
+           round((c11*c2y - c12*c1y) / (c11*c22 - c12*c12), 6) AS beta_disc,
+           round((sy - ((c22*c1y - c12*c2y) / (c11*c22 - c12*c12)) * sx1
+                     - ((c11*c2y - c12*c1y) / (c11*c22 - c12*c12)) * sx2) / n,
+                 4) AS intercept,
+           round((((c22*c1y - c12*c2y) / (c11*c22 - c12*c12)) * c1y
+                  + ((c11*c2y - c12*c1y) / (c11*c22 - c12*c12)) * c2y) / cyy,
+                 6) AS r2
+    FROM m
+    """,
+    doc="Two-feature OLS (l_extendedprice ~ l_quantity + l_discount per "
+        "return flag) via the normal equations in closed form: ONE "
+        "map-side-combinable aggregate pass collects the exact DECIMAL "
+        "bivariate moment matrix (9 power sums), then Cramer's rule solves "
+        "the centered 2x2 system with +,-,*,/ on 9 scalars per group — both "
+        "engines run identical IEEE double arithmetic on identical exact "
+        "sums, so betas/R^2 are bit-stable under any partitioning. This is "
+        "the mergeable-statistics generalization of agg_corr_regression to "
+        "multiple regressors; at 100 TB the data pass is the entire cost "
+        "and the solve is free (the same pattern scales to k features as a "
+        "k^2-sum gram-matrix aggregate + driver-side k x k solve). "
+        "Reference parity: extension surface (SURVEY.md §2.B, ML rows).",
+)
+def ml_linear_regression_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x1 = F.col("l_quantity").cast("decimal(12,2)")
+    x2 = F.col("l_discount").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    n = F.count(F.lit(1))
+    agg = li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        F.sum(x1).cast("double").alias("sx1"),
+        F.sum(x2).cast("double").alias("sx2"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x1 * x1).cast("double").alias("s11"),
+        F.sum(x2 * x2).cast("double").alias("s22"),
+        F.sum(x1 * x2).cast("double").alias("s12"),
+        F.sum(x1 * y).cast("double").alias("s1y"),
+        F.sum(x2 * y).cast("double").alias("s2y"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    nn = F.col("n")
+    c11 = nn * F.col("s11") - F.col("sx1") * F.col("sx1")
+    c22 = nn * F.col("s22") - F.col("sx2") * F.col("sx2")
+    c12 = nn * F.col("s12") - F.col("sx1") * F.col("sx2")
+    c1y = nn * F.col("s1y") - F.col("sx1") * F.col("sy")
+    c2y = nn * F.col("s2y") - F.col("sx2") * F.col("sy")
+    cyy = nn * F.col("syy") - F.col("sy") * F.col("sy")
+    det = c11 * c22 - c12 * c12
+    b1 = (c22 * c1y - c12 * c2y) / det
+    b2 = (c11 * c2y - c12 * c1y) / det
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(b1, 6).alias("beta_qty"),
+        F.round(b2, 6).alias("beta_disc"),
+        F.round(
+            (F.col("sy") - b1 * F.col("sx1") - b2 * F.col("sx2")) / nn, 4
+        ).alias("intercept"),
+        F.round((b1 * c1y + b2 * c2y) / cyy, 6).alias("r2"),
+    )

@@ -695,3 +695,62 @@ def cdc_tombstone_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_entities"),
         F.sum("n_deletes").cast("long").alias("n_delete_ops"),
     )
+
+
+@register(
+    "dq_freshness_lag",
+    oracle="""
+    WITH t AS (
+        SELECT event_type, MAX(CAST(ts AS TIMESTAMP)) AS max_ts
+        FROM events GROUP BY event_type
+    ),
+    g AS (SELECT MAX(max_ts) AS global_max FROM t)
+    SELECT t.event_type, t.max_ts,
+           (CAST(epoch(g.global_max) AS BIGINT)
+            - CAST(epoch(t.max_ts) AS BIGINT)) // 60 AS lag_minutes,
+           CASE
+               WHEN (CAST(epoch(g.global_max) AS BIGINT)
+                     - CAST(epoch(t.max_ts) AS BIGINT)) // 60 < 60 THEN 'fresh'
+               WHEN (CAST(epoch(g.global_max) AS BIGINT)
+                     - CAST(epoch(t.max_ts) AS BIGINT)) // 60 < 1440 THEN 'lagging'
+               ELSE 'stale'
+           END AS freshness
+    FROM t CROSS JOIN g
+    """,
+    doc="Per-stream freshness audit (the ops-dashboard query behind every "
+        "data-SLA alert): latest event time per type, its lag in whole "
+        "minutes behind the freshest stream, and a fresh/lagging/stale "
+        "classification. One map-side-combinable MAX pass over the corpus; "
+        "the lag arithmetic runs on the bounded per-type table with the "
+        "global max as a 1-row broadcast scalar (no driver collect). Lag is "
+        "computed as floored epoch-second difference in BOTH engines — "
+        "deliberately avoiding engine-specific 'minute difference' "
+        "boundary-crossing semantics. Batch analog of the reference's "
+        "backlog/staleness gauges (WalConsumer.java:78-96): where the "
+        "reference reports one scalar for one WAL, this reports the full "
+        "per-stream freshness surface.",
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    t = e.groupBy("event_type").agg(F.max("ts").alias("max_ts"))
+    g = t.agg(F.max("max_ts").alias("global_max"))
+    lag_min = (
+        (
+            F.unix_timestamp("global_max").cast("long")
+            - F.unix_timestamp("max_ts").cast("long")
+        )
+        / 60
+    ).cast("long")
+    # floor-div: unix diffs are non-negative here, so int cast == floor
+    return (
+        t.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "max_ts",
+            lag_min.alias("lag_minutes"),
+            F.when(lag_min < 60, "fresh")
+            .when(lag_min < 1440, "lagging")
+            .otherwise("stale")
+            .alias("freshness"),
+        )
+    )

@@ -659,3 +659,93 @@ def ts_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("wow_growth"),
         )
     )
+
+
+@register(
+    "ts_cross_correlation",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS d,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS rev_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    ),
+    pairs AS (
+        SELECT l.lag AS lag, a.rev_cents AS x, b.n_orders AS y
+        FROM daily a
+        CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS lag) l
+        JOIN daily b ON b.d = a.d + CAST(l.lag AS INTEGER)
+    ),
+    s AS (
+        SELECT lag,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                    AS DOUBLE) AS syy,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                    AS DOUBLE) AS sxy
+        FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n_days,
+           round((n_days*sxy - sx*sy)
+                 / sqrt((n_days*sxx - sx*sx) * (n_days*syy - sy*sy)), 6)
+               AS corr_rev_orders
+    FROM s
+    """,
+    doc="Lagged cross-correlation between two daily series (revenue vs "
+        "order count, lags 0..7): does today's revenue predict order volume "
+        "N days out? The corpus-sized work is ONE aggregation to the "
+        "bounded daily grid (~2.4k rows regardless of order count, exact "
+        "integer cents so the rollup is order-independent); the lag "
+        "expansion and Pearson statistics then run on that tiny table — 8 "
+        "lags x days pairs via an equi-join on the shifted date (no "
+        "windowed self-scan per lag). Sums use DECIMAL(38) exact "
+        "arithmetic; corr is identical IEEE double math (+,-,*,/ and the "
+        "correctly-rounded sqrt) on exact sums, so both engines emit "
+        "bit-identical correlations. At 100 TB the daily rollup is the "
+        "only data pass — the classic pre-aggregate-then-analyze shape. "
+        "Reference parity: extension surface (SURVEY.md §2.B time-series).",
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    lags = spark.range(0, 8).select(F.col("id").cast("int").alias("lag"))
+    a = daily.crossJoin(F.broadcast(lags)).select(
+        "lag",
+        F.date_add(F.col("d"), F.col("lag")).alias("match_d"),
+        F.col("rev_cents").alias("x"),
+    )
+    b = daily.select(F.col("d").alias("match_d"), F.col("n_orders").alias("y"))
+    x = F.col("x").cast("decimal(38,0)")
+    y = F.col("y").cast("decimal(38,0)")
+    n = F.count(F.lit(1))
+    s = (
+        a.join(b, "match_d")
+        .groupBy("lag")
+        .agg(
+            n.alias("n_days"),
+            F.sum(x).cast("double").alias("sx"),
+            F.sum(y).cast("double").alias("sy"),
+            F.sum(x * x).cast("double").alias("sxx"),
+            F.sum(y * y).cast("double").alias("syy"),
+            F.sum(x * y).cast("double").alias("sxy"),
+        )
+    )
+    nd = F.col("n_days")
+    cov = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_days",
+        F.round(cov / F.sqrt(vx * vy), 6).alias("corr_rev_orders"),
+    )
