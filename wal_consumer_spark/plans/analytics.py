@@ -1096,3 +1096,57 @@ def ml_linear_regression_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept"),
         F.round((b1 * c1y + b2 * c2y) / cyy, 6).alias("r2"),
     )
+
+
+@register(
+    "graph_copurchase_degree",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    e AS (
+        SELECT DISTINCT a.p AS p1, b.p AS p2
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    ),
+    deg AS (
+        SELECT p, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM (SELECT p1 AS p FROM e UNION ALL SELECT p2 AS p FROM e)
+        GROUP BY p
+    )
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM deg GROUP BY degree
+    """,
+    doc="Degree distribution of the co-purchase graph (parts linked when "
+        "they appear in the same order) — the first diagnostic run on any "
+        "large graph before choosing join strategies, and the input to "
+        "power-law/skew decisions (degree-ordered triangle counting, "
+        "salted joins). Edge generation is per-order LOCAL: orders bound "
+        "the pair fanout (k items -> k(k-1)/2 pairs with k ~ single "
+        "digits), so the explosion is linear in lineitem volume, then one "
+        "(p1,p2) DISTINCT collapses multi-order repeats. Degrees and the "
+        "final histogram are narrow-key aggregations; the histogram output "
+        "is bounded by the max degree regardless of corpus size. "
+        "Reference parity: extension surface (SURVEY.md §2.B graph rows).",
+)
+def graph_copurchase_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = op.select("o", F.col("p").alias("p1"))
+    b = op.select("o", F.col("p").alias("p2"))
+    e = (
+        a.join(b, "o")
+        .where(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("p1").alias("p"))
+        .unionAll(e.select(F.col("p2").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )

@@ -957,3 +957,114 @@ def pipeline_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("p_temp") / F.col("z")) / F.col("p_raw"), 4)
         .alias("upsample_factor"),
     )
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source, lang, n_chars,
+               len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+               string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ),
+    base AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE)
+                   / COUNT(*) AS avg_chars_raw
+        FROM d GROUP BY source
+    ),
+    vocab AS (
+        SELECT source, CAST(COUNT(DISTINCT t) AS BIGINT) AS vocab_terms
+        FROM (SELECT source, unnest(toks) AS t FROM d) GROUP BY source
+    ),
+    med AS (
+        SELECT source, n_tokens AS p50_tokens
+        FROM (SELECT source, n_tokens, doc_id,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_tokens, doc_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY source) AS n
+              FROM d)
+        WHERE rn = (n + 1) // 2
+    ),
+    tot AS (SELECT CAST(SUM(total_tokens) AS DOUBLE) AS corpus_tokens FROM base)
+    SELECT b.source, b.n_docs, b.n_langs, b.total_tokens, v.vocab_terms,
+           round(b.total_tokens / t.corpus_tokens, 6) AS token_share,
+           m.p50_tokens,
+           round(b.avg_chars_raw, 2) AS avg_chars
+    FROM base b JOIN vocab v USING (source) JOIN med m USING (source)
+    CROSS JOIN tot t
+    """,
+    doc="Dataset-card summary (the per-source statistics table published "
+        "with every training-corpus release): document/language counts, "
+        "exact token totals and corpus share, vocabulary size, lower-median "
+        "document length (rank-picked with a doc_id tie-break — exact and "
+        "deterministic in both engines, no interpolation semantics to "
+        "disagree on) and mean chars. Two corpus passes: one doc-level "
+        "aggregation and one token explode for per-source vocabulary; the "
+        "share/median arithmetic runs on the bounded per-source table with "
+        "the corpus total as a broadcast scalar. At 100 TB each pass is "
+        "map-side combinable and the distinct-token count per source can "
+        "swap to HLL partials (agg_hll_partial_merge) without changing the "
+        "output contract. Reference parity: extension surface "
+        "(SURVEY.md §2.B curation rows).",
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_chars",
+            tokens(F.col("text")).alias("toks"),
+        )
+        .withColumn("n_tokens", F.size("toks"))
+    )
+    base = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (
+            F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_chars_raw"),
+    )
+    vocab = (
+        d.select("source", F.explode("toks").alias("t"))
+        .groupBy("source")
+        .agg(F.countDistinct("t").alias("vocab_terms"))
+    )
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    med = (
+        d.select(
+            "source",
+            "n_tokens",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+        )
+        .where(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select("source", F.col("n_tokens").alias("p50_tokens"))
+    )
+    tot = base.agg(F.sum("total_tokens").cast("double").alias("corpus_tokens"))
+    return (
+        base.join(vocab, "source")
+        .join(med, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_langs",
+            "total_tokens",
+            "vocab_terms",
+            F.round(F.col("total_tokens") / F.col("corpus_tokens"), 6).alias(
+                "token_share"
+            ),
+            "p50_tokens",
+            F.round(F.col("avg_chars_raw"), 2).alias("avg_chars"),
+        )
+    )

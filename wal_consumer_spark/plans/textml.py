@@ -467,3 +467,69 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_syll.alias("n_syllables"),
         flesch.alias("flesch_score"),
     )
+
+
+@register(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    pairs AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM tk, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+    ),
+    big AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2),
+    uni AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT w2) AS vocab FROM pairs)
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(CAST(SUM(CAST(round(
+                     -ln((c12 + 1.0) / (c1 + vocab)) * 1000000) AS BIGINT))
+                 AS DOUBLE) / 1000000 / COUNT(*), 6) AS avg_neg_logprob
+    FROM pairs p
+    JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+    GROUP BY p.doc_id
+    """,
+    doc="Bigram LM quality score with add-one smoothing (the next step up "
+        "from text_unigram_logprob's CCNet-style filter): per-doc average "
+        "negative log P(w2|w1) under corpus-wide bigram statistics. Bigram "
+        "pairs are built ARRAY-LOCALLY inside each row (slice+transform — "
+        "no positional self-join shuffle); the count tables are "
+        "vocabulary-bounded and broadcast back onto the pair stream, so "
+        "the only corpus-sized shuffles are the two count aggregations. "
+        "Per-pair -ln(p) is quantized to exact 1e-6-unit int64s before "
+        "summing (the established cross-engine determinism trick). At "
+        "100 TB the LM tables are computed once per corpus snapshot and "
+        "reused; scoring is a broadcast-join map pass. Reference parity: "
+        "extension surface (SURVEY.md §2.B text analysis).",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    pairs = tk.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, greatest(size(t) - 1, 0)), "
+                "(w, i) -> struct(w AS w1, element_at(t, i + 2) AS w2))"
+            )
+        ).alias("pr"),
+    ).select("doc_id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = pairs.agg(F.countDistinct("w2").alias("vocab"))
+    term = F.round(
+        -F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("vocab")))
+        * 1000000
+    ).cast("long")
+    return (
+        pairs.join(F.broadcast(big), ["w1", "w2"])
+        .join(F.broadcast(uni), "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum(term).cast("double") / 1000000 / F.count(F.lit(1)), 6
+            ).alias("avg_neg_logprob"),
+        )
+    )
