@@ -533,3 +533,127 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_neg_logprob"),
         )
     )
+
+
+_RAKE_STOPS = "('a','the','of','and','in','to','is')"
+
+
+@register(
+    "text_keyword_rake",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    tok AS (
+        SELECT doc_id, i AS pos, t[i] AS w,
+               t[i] IN {_RAKE_STOPS} AS is_stop
+        FROM tk, UNNEST(generate_series(1, len(t))) AS u(i)
+    ),
+    ns AS (
+        SELECT doc_id, pos, w,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM tok WHERE NOT is_stop
+    ),
+    pg AS (
+        SELECT doc_id, grp,
+               string_agg(w, ' ' ORDER BY pos) AS phrase,
+               CAST(COUNT(*) AS BIGINT) AS plen
+        FROM ns GROUP BY doc_id, grp
+    ),
+    phrases AS (
+        SELECT n.doc_id, n.grp, n.w, g.plen, g.phrase
+        FROM ns n JOIN pg g USING (doc_id, grp)
+    ),
+    wstat AS (
+        SELECT w,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(plen) AS BIGINT) AS deg
+        FROM phrases GROUP BY w
+    ),
+    scored AS (
+        SELECT p.phrase,
+               SUM(CAST(round(CAST(s.deg AS DOUBLE) / s.freq * 1000000)
+                        AS BIGINT)) AS score_micro
+        FROM phrases p JOIN wstat s USING (w)
+        GROUP BY p.doc_id, p.grp, p.phrase
+    )
+    SELECT phrase,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           round(CAST(MAX(score_micro) AS DOUBLE) / 1000000, 6) AS rake_score
+    FROM scored
+    GROUP BY phrase
+    QUALIFY row_number() OVER (ORDER BY MAX(score_micro) DESC, phrase) <= 25
+    """,
+    doc="RAKE keyword extraction (Rose et al. 2010): candidate phrases are "
+        "maximal runs of non-stopword tokens (recovered RELATIONALLY with "
+        "the gaps-and-islands difference trick — no per-row parser UDF); "
+        "each word scores deg(w)/freq(w) over all phrase occurrences and a "
+        "phrase scores the sum of its word scores; top-25 phrases by "
+        "score. Word scores are quantized to exact 1e-6-unit int64s before "
+        "the per-phrase sum so both engines rank identical integers (ties "
+        "break on the phrase string). The word-stat table is "
+        "vocabulary-bounded and broadcast; corpus-sized work is the "
+        "tokenize pass plus one (doc, phrase-island) aggregation. At "
+        "100 TB the top-25 collapses via partial TakeOrdered partials — "
+        "no global sort of the phrase table. Reference parity: extension "
+        "surface (SURVEY.md §2.B text analysis).",
+)
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    stops = ["a", "the", "of", "and", "in", "to", "is"]
+    tok = d.select(
+        "doc_id",
+        F.posexplode(tokens(F.col("text"))).alias("pos0", "w"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    ns = tok.where(~F.col("w").isin(stops)).withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    island = Window.partitionBy("doc_id", "grp")
+    pw = ns.select(
+        "doc_id",
+        "grp",
+        "w",
+        F.count(F.lit(1)).over(island).alias("plen"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "w")).over(island)
+                ),
+                lambda s: s.w,
+            ),
+            " ",
+        ).alias("phrase"),
+    )
+    wstat = pw.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").cast("long").alias("deg"),
+    )
+    score_term = F.round(
+        F.col("deg").cast("double") / F.col("freq") * 1000000
+    ).cast("long")
+    scored = (
+        pw.join(F.broadcast(wstat), "w")
+        .groupBy("doc_id", "grp", "phrase")
+        .agg(F.sum(score_term).alias("score_micro"))
+    )
+    ranked = (
+        scored.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max("score_micro").alias("score_micro"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("score_micro").desc(), "phrase")
+            ),
+        )
+        .where(F.col("rn") <= 25)
+    )
+    return ranked.select(
+        "phrase",
+        "n_occurrences",
+        F.round(F.col("score_micro").cast("double") / 1000000, 6).alias(
+            "rake_score"
+        ),
+    )

@@ -12,7 +12,7 @@ Reference parity note: the reference has no event-time processing at all
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wal_consumer_spark.operators.asof import asof_join
@@ -748,4 +748,98 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lag").cast("long").alias("lag"),
         "n_days",
         F.round(cov / F.sqrt(vx * vy), 6).alias("corr_rev_orders"),
+    )
+
+
+@register(
+    "ts_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS d,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    tr AS (
+        SELECT d, cents,
+               datediff('day', DATE '1995-01-01', d) % 7 AS dow,
+               CASE WHEN COUNT(*) OVER w = 7
+                    THEN CAST(SUM(cents) OVER w AS DOUBLE) / 7 END AS trend
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    se AS (
+        SELECT d, cents, dow, trend,
+               CAST(SUM(CAST(round((cents - trend) * 100) AS BIGINT))
+                    FILTER (WHERE trend IS NOT NULL) OVER (PARTITION BY dow)
+                    AS DOUBLE)
+               / 100
+               / COUNT(trend) OVER (PARTITION BY dow) AS seasonal
+        FROM tr
+    )
+    SELECT CAST(d AS TIMESTAMP) AS day, cents,
+           round(trend, 4) AS trend,
+           round(seasonal, 4) AS seasonal,
+           round(cents - trend - seasonal, 4) AS residual
+    FROM se WHERE trend IS NOT NULL
+    """,
+    doc="Classical additive seasonal decomposition of the daily-revenue "
+        "series (trend = centered 7-row moving average, complete windows "
+        "only; seasonal = per-day-of-week mean detrended value; residual = "
+        "remainder). The corpus-sized work is ONE aggregation to the "
+        "bounded daily grid in exact integer cents; both windows then run "
+        "on ~2.4k rows. Day-of-week comes from an epoch-anchored modulo "
+        "(datediff from a pinned date) — NOT the engines' dayofweek(), "
+        "whose Sunday=0/1 conventions differ. Per-day detrended values are "
+        "quantized to exact 1e-2-unit int64s before the seasonal mean so "
+        "the only unquantized float ops (two divisions, the final "
+        "subtraction) are identical IEEE arithmetic in both engines. At "
+        "100 TB this is the standard pre-aggregate-then-decompose shape; "
+        "the grid windows are a single-partition concern only because the "
+        "grid is bounded — per-series decomposition would partition by "
+        "series key. Reference parity: extension surface (SURVEY.md §2.B "
+        "time-series).",
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "cents",
+        (F.datediff(F.col("d"), F.lit("1995-01-01").cast("date")) % 7).alias(
+            "dow"
+        ),
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            F.sum("cents").over(w).cast("double") / 7,
+        ).alias("trend"),
+    )
+    dw = Window.partitionBy("dow")
+    detr_q = F.when(
+        F.col("trend").isNotNull(),
+        F.round((F.col("cents") - F.col("trend")) * 100).cast("long"),
+    )
+    se = tr.select(
+        "d",
+        "cents",
+        "trend",
+        (
+            F.sum(detr_q).over(dw).cast("double")
+            / 100
+            / F.count("trend").over(dw)
+        ).alias("seasonal"),
+    )
+    return se.where(F.col("trend").isNotNull()).select(
+        F.col("d").cast("timestamp").alias("day"),
+        "cents",
+        F.round("trend", 4).alias("trend"),
+        F.round("seasonal", 4).alias("seasonal"),
+        F.round(F.col("cents") - F.col("trend") - F.col("seasonal"), 4).alias(
+            "residual"
+        ),
     )
