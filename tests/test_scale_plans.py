@@ -462,3 +462,62 @@ def test_clustered_write_yields_disjoint_file_ranges(spark, tmp_path):
         .count()
     )
     assert hit < len(per_file)
+
+
+def test_bigram_lm_joins_are_broadcast(spark):
+    """text_bigram_logprob scores pairs by joining the vocabulary-bounded
+    LM count tables BACK onto the corpus-sized pair stream: all three
+    membership joins (bigram counts, unigram counts, vocab scalar) must be
+    broadcast — the pair stream itself is never shuffled for a join, and
+    pair construction is array-local (no positional self-join)."""
+    from wal_consumer_spark.plans import all_specs
+
+    df = all_specs()["text_bigram_logprob"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row vocab scalar
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    # the pair stream is only ever exchanged for the final doc_id rollup
+    assert "Exchange hashpartitioning(w1" not in plan.split("HashAggregate")[0]
+
+
+def test_cross_correlation_broadcasts_lag_spine_and_grid(spark):
+    """ts_cross_correlation pre-aggregates to the bounded daily grid, then
+    expands 8 lags via a broadcast cross join and matches the shifted date
+    with a broadcast equi-join — after the one corpus aggregation, nothing
+    shuffles."""
+    from wal_consumer_spark.plans import all_specs
+
+    df = all_specs()["ts_cross_correlation"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_copurchase_degree_has_no_cartesian(spark):
+    """graph_copurchase_degree's edge generation is an equi-join on the
+    order key (per-order-local fanout), never a cartesian/nested-loop
+    product of the part incidence table with itself."""
+    from wal_consumer_spark.plans import all_specs
+
+    df = all_specs()["graph_copurchase_degree"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_decision_stump_windows_run_on_bin_grid(spark):
+    """ml_decision_stump's cumulative/impurity windows must consume the
+    BOUNDED bin histogram (output of the single corpus aggregation), not
+    corpus rows: exactly one scan of customer, and every Window sits above
+    a HashAggregate."""
+    from wal_consumer_spark.plans import all_specs
+
+    df = all_specs()["ml_decision_stump"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+    # the corpus aggregation happens below (deeper than) any window node:
+    # the single-partition exchange feeding the first Window must come
+    # after the partial aggregate in execution order
+    assert "Exchange SinglePartition" in plan, plan[:2000]

@@ -926,3 +926,38 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(skew, 6).alias("skewness"),
         F.round(kurt, 6).alias("excess_kurtosis"),
     ).orderBy("o_orderpriority")
+
+
+@register(
+    "agg_boolean_conditional",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+           CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_totalprice > 400000) AS any_huge,
+           CAST(MIN(CASE WHEN o_orderstatus = 'O' THEN o_orderkey END)
+                AS BIGINT) AS first_open_key
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Boolean/conditional aggregate family: count_if, bool_and/bool_or "
+        "(ANSI EVERY/ANY), and a conditional MIN — the idioms dashboards "
+        "compile to instead of N filtered subqueries. All six aggregates "
+        "run in ONE map-side-combinable pass over orders (a filtered "
+        "subquery per metric would scan six times); boolean aggs are "
+        "commutative so partial aggregation is exact under any "
+        "partitioning. Reference parity: extension surface (SURVEY.md "
+        "§2.B aggregation rows; the reference has only MIN/COUNT, "
+        "WalConsumer.java:246,326).",
+)
+def agg_boolean_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_huge"),
+        F.min(
+            F.when(F.col("o_orderstatus") == "O", F.col("o_orderkey"))
+        ).alias("first_open_key"),
+    )

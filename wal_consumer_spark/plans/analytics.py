@@ -1150,3 +1150,101 @@ def graph_copurchase_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(
         F.count(F.lit(1)).cast("long").alias("n_parts")
     )
+
+
+@register(
+    "graph_jaccard_neighbors",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    e AS (
+        SELECT DISTINCT a.p AS p1, b.p AS p2
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    ),
+    adj AS (
+        SELECT p1 AS u, p2 AS v FROM e
+        UNION ALL SELECT p2 AS u, p1 AS v FROM e
+    ),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u),
+    via AS (
+        SELECT a.v AS w, a.u AS x, b.u AS y
+        FROM adj a JOIN adj b ON a.v = b.v AND a.u < b.u
+        JOIN deg dw ON dw.u = a.v
+        WHERE dw.d <= 64
+    ),
+    common AS (
+        SELECT x AS p1, y AS p2, CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM via GROUP BY x, y
+    )
+    SELECT c.p1, c.p2, c.n_common,
+           round(CAST(c.n_common AS DOUBLE)
+                 / (d1.d + d2.d - c.n_common), 6) AS jaccard
+    FROM common c
+    JOIN deg d1 ON d1.u = c.p1
+    JOIN deg d2 ON d2.u = c.p2
+    QUALIFY row_number() OVER (
+        ORDER BY CAST(c.n_common AS DOUBLE)
+                 / (d1.d + d2.d - c.n_common) DESC, c.p1, c.p2) <= 50
+    """,
+    doc="Neighbor-set Jaccard similarity over the co-purchase graph (the "
+        "classic link-prediction / related-items score): for part pairs "
+        "sharing at least one neighbor, |N(u) ∩ N(v)| / |N(u) ∪ N(v)|, "
+        "top-50. Common neighbors come from the wedge join (adjacency "
+        "self-join on the shared middle vertex) with the standard HUB CAP: "
+        "middle vertices with degree > 64 are excluded, bounding the "
+        "per-vertex wedge fanout at 64^2 — on power-law graphs this is "
+        "what keeps the wedge count near-linear (the same degree-bound "
+        "argument as the triangle count's orientation trick), and both "
+        "engines apply the identical cap so the oracle certifies the "
+        "capped semantics. Degrees broadcast back onto the bounded pair "
+        "table; union arithmetic is +,-,/ on exact counts. Reference "
+        "parity: extension surface (SURVEY.md §2.B graph rows).",
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    e = (
+        op.select("o", F.col("p").alias("p1"))
+        .join(op.select("o", F.col("p").alias("p2")), "o")
+        .where(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+        .distinct()
+    )
+    adj = e.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionAll(
+        e.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a = adj.select(F.col("v").alias("w"), F.col("u").alias("x"))
+    b = adj.select(F.col("v").alias("w"), F.col("u").alias("y"))
+    via = (
+        a.join(b, "w")
+        .where(F.col("x") < F.col("y"))
+        .join(
+            F.broadcast(deg.select(F.col("u").alias("w"), F.col("d").alias("dw"))),
+            "w",
+        )
+        .where(F.col("dw") <= 64)
+    )
+    common = via.groupBy(
+        F.col("x").alias("p1"), F.col("y").alias("p2")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    d1 = deg.select(F.col("u").alias("p1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("u").alias("p2"), F.col("d").alias("d2"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("d1") + F.col("d2") - F.col("n_common")
+    )
+    ranked = (
+        common.join(F.broadcast(d1), "p1")
+        .join(F.broadcast(d2), "p2")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(jac.desc(), "p1", "p2")),
+        )
+        .where(F.col("rn") <= 50)
+    )
+    return ranked.select(
+        "p1", "p2", "n_common", F.round(jac, 6).alias("jaccard")
+    )

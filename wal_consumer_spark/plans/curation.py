@@ -1068,3 +1068,67 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("avg_chars_raw"), 2).alias("avg_chars"),
         )
     )
+
+
+@register(
+    "pipeline_oversample_minority",
+    oracle="""
+    WITH lt AS (
+        SELECT lang,
+               CAST(SUM(len(string_split_regex(lower(trim(text)), '\\s+')))
+                    AS BIGINT) AS lang_tokens
+        FROM documents WHERE text IS NOT NULL GROUP BY lang
+    ),
+    mx AS (SELECT MAX(lang_tokens) AS max_tokens FROM lt),
+    fac AS (
+        SELECT lang,
+               LEAST(CAST(ceil(CAST(m.max_tokens AS DOUBLE) / lang_tokens)
+                          AS BIGINT), 4) AS factor
+        FROM lt CROSS JOIN mx m
+    )
+    SELECT d.doc_id, d.lang, f.factor, u.copy_idx
+    FROM documents d
+    JOIN fac f USING (lang)
+    CROSS JOIN UNNEST(generate_series(1, 4)) AS u(copy_idx)
+    WHERE d.text IS NOT NULL AND u.copy_idx <= f.factor
+    """,
+    doc="Deterministic minority-language oversampling (the upsampling half "
+        "of domain-mixture rebalancing: low-resource languages are "
+        "replicated toward the largest language's token count, capped at "
+        "4x — the standard multilingual-pretraining epoch trick): per-lang "
+        "token totals are a bounded broadcast table; each doc then emits "
+        "factor copies ARRAY-LOCALLY via a bounded sequence explode with a "
+        "copy index (so downstream global shuffle separates the copies). "
+        "No shuffle touches the corpus: the only wide op is the per-lang "
+        "aggregate; replication happens map-side at scan parallelism. At "
+        "100 TB the same plan emits (doc, epoch) training instances "
+        "without materializing the replicated corpus. Reference parity: "
+        "extension surface (SURVEY.md §2.B curation rows).",
+)
+def pipeline_oversample_minority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    lt = d.groupBy("lang").agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("lang_tokens")
+    )
+    mx = lt.agg(F.max("lang_tokens").alias("max_tokens"))
+    fac = lt.crossJoin(F.broadcast(mx)).select(
+        "lang",
+        F.least(
+            F.ceil(
+                F.col("max_tokens").cast("double") / F.col("lang_tokens")
+            ).cast("long"),
+            F.lit(4).cast("long"),
+        ).alias("factor"),
+    )
+    return (
+        d.join(F.broadcast(fac), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "factor",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("factor"))).alias(
+                "copy_idx"
+            ),
+        )
+        .select("doc_id", "lang", "factor", "copy_idx")
+    )

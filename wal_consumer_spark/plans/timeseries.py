@@ -729,7 +729,9 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = F.col("y").cast("decimal(38,0)")
     n = F.count(F.lit(1))
     s = (
-        a.join(b, "match_d")
+        # the probe side is the bounded daily grid — broadcast it so the
+        # lag expansion never shuffles
+        a.join(F.broadcast(b), "match_d")
         .groupBy("lag")
         .agg(
             n.alias("n_days"),
