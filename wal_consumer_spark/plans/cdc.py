@@ -706,13 +706,13 @@ def cdc_tombstone_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     g AS (SELECT MAX(max_ts) AS global_max FROM t)
     SELECT t.event_type, t.max_ts,
-           (CAST(epoch(g.global_max) AS BIGINT)
-            - CAST(epoch(t.max_ts) AS BIGINT)) // 60 AS lag_minutes,
+           (epoch_us(g.global_max) - epoch_us(t.max_ts)) // 60000000
+               AS lag_minutes,
            CASE
-               WHEN (CAST(epoch(g.global_max) AS BIGINT)
-                     - CAST(epoch(t.max_ts) AS BIGINT)) // 60 < 60 THEN 'fresh'
-               WHEN (CAST(epoch(g.global_max) AS BIGINT)
-                     - CAST(epoch(t.max_ts) AS BIGINT)) // 60 < 1440 THEN 'lagging'
+               WHEN (epoch_us(g.global_max) - epoch_us(t.max_ts)) // 60000000
+                    < 60 THEN 'fresh'
+               WHEN (epoch_us(g.global_max) - epoch_us(t.max_ts)) // 60000000
+                    < 1440 THEN 'lagging'
                ELSE 'stale'
            END AS freshness
     FROM t CROSS JOIN g
@@ -723,9 +723,10 @@ def cdc_tombstone_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "classification. One map-side-combinable MAX pass over the corpus; "
         "the lag arithmetic runs on the bounded per-type table with the "
         "global max as a 1-row broadcast scalar (no driver collect). Lag is "
-        "computed as floored epoch-second difference in BOTH engines — "
-        "deliberately avoiding engine-specific 'minute difference' "
-        "boundary-crossing semantics. Batch analog of the reference's "
+        "computed as floored exact epoch-MICROsecond difference in BOTH "
+        "engines — deliberately avoiding engine-specific 'minute "
+        "difference' boundary-crossing semantics and the second-epoch "
+        "round-vs-truncate divergence. Batch analog of the reference's "
         "backlog/staleness gauges (WalConsumer.java:78-96): where the "
         "reference reports one scalar for one WAL, this reports the full "
         "per-stream freshness surface.",
@@ -735,13 +736,11 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = e.groupBy("event_type").agg(F.max("ts").alias("max_ts"))
     g = t.agg(F.max("max_ts").alias("global_max"))
     lag_min = (
-        (
-            F.unix_timestamp("global_max").cast("long")
-            - F.unix_timestamp("max_ts").cast("long")
-        )
-        / 60
+        (F.unix_micros("global_max") - F.unix_micros("max_ts")) / 60_000_000
     ).cast("long")
-    # floor-div: unix diffs are non-negative here, so int cast == floor
+    # exact microsecond diff (epoch_us both engines — second-granularity
+    # epoch() rounds in DuckDB but truncates in Spark); diffs are
+    # non-negative here, so int cast == floor-div
     return (
         t.crossJoin(F.broadcast(g))
         .select(
@@ -753,4 +752,71 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("stale")
             .alias("freshness"),
         )
+    )
+
+
+@register(
+    "dq_reconcile_totals",
+    oracle="""
+    WITH lg AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS gross_cents
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+        SELECT o.o_orderkey,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS order_cents,
+               COALESCE(lg.gross_cents, 0) AS line_cents
+        FROM orders o LEFT JOIN lg ON o.o_orderkey = lg.l_orderkey
+    )
+    SELECT CASE WHEN line_cents = 0 THEN 'no_lines'
+                WHEN order_cents = line_cents THEN 'exact'
+                WHEN abs(order_cents - line_cents) * 100 <= order_cents
+                    THEN 'within_1pct'
+                ELSE 'mismatch' END AS recon_class,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MAX(abs(order_cents - line_cents)) AS BIGINT) AS max_abs_diff_cents
+    FROM j GROUP BY 1
+    """,
+    doc="Cross-table totals reconciliation (the finance-closing audit "
+        "every warehouse runs: does the order header total equal the sum "
+        "of its lines?): per-order line totals in exact integer cents, one "
+        "header LEFT JOIN, classify exact / within-1% / mismatch / "
+        "no-lines with integer-only arithmetic (the 1% gate is "
+        "cross-multiplied, not divided — no float anywhere). One narrow "
+        "orderkey shuffle; headers join on the already-partitioned key; "
+        "output is 4 classes. The DQ complement of dq_constraint_checks' "
+        "row-level rules: this one certifies AGGREGATE consistency between "
+        "fact tables. Reference parity: extension surface (SURVEY.md §2.B "
+        "DQ rows).",
+)
+def dq_reconcile_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lg = li.groupBy("l_orderkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("gross_cents")
+    )
+    j = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("order_cents"),
+    ).join(lg, o.o_orderkey == lg.l_orderkey, "left").select(
+        "o_orderkey",
+        "order_cents",
+        F.coalesce(F.col("gross_cents"), F.lit(0).cast("long")).alias(
+            "line_cents"
+        ),
+    )
+    diff = F.abs(F.col("order_cents") - F.col("line_cents"))
+    cls = (
+        F.when(F.col("line_cents") == 0, "no_lines")
+        .when(F.col("order_cents") == F.col("line_cents"), "exact")
+        .when(diff * 100 <= F.col("order_cents"), "within_1pct")
+        .otherwise("mismatch")
+    )
+    return j.groupBy(cls.alias("recon_class")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max(diff).cast("long").alias("max_abs_diff_cents"),
     )

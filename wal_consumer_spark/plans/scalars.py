@@ -377,3 +377,42 @@ def scalar_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         nested.getField("geo").getField("segment").alias("nested_segment"),
         (two.getField("a") + two.getField("b")).alias("sum_fields"),
     )
+
+
+@register(
+    "scalar_encoding_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           base64(CAST(o_orderpriority AS BLOB)) AS b64,
+           CAST(o_orderstatus AS BLOB) = CAST('F' AS BLOB) AS status_is_f,
+           md5(concat(CAST(o_orderkey AS VARCHAR), '|', o_orderpriority))
+               AS row_fp,
+           lower(hex(CAST(substr(o_orderpriority, 1, 2) AS BLOB))) AS hex2
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+    doc="Binary encoding scalar family: base64, string<->binary casts with "
+        "binary equality, md5 row fingerprinting, hex encoding — the "
+        "building blocks of payload fingerprints (the engine's CDC payload "
+        "is BinaryType, WalEntity.java:38-39) and content-addressed dedup "
+        "keys. All map-side codegen expressions; the modulo filter is "
+        "pushed into the scan.",
+)
+def scalar_encoding_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 97 == 0)
+    return o.select(
+        "o_orderkey",
+        F.base64(F.col("o_orderpriority").cast("binary")).alias("b64"),
+        (
+            F.col("o_orderstatus").cast("binary") == F.lit("F").cast("binary")
+        ).alias("status_is_f"),
+        F.md5(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit("|"),
+                F.col("o_orderpriority"),
+            )
+        ).alias("row_fp"),
+        F.lower(F.hex(F.substring("o_orderpriority", 1, 2).cast("binary"))).alias(
+            "hex2"
+        ),
+    )

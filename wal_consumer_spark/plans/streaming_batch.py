@@ -10,7 +10,7 @@ epoch seconds; ts is compared µs-truncated on both sides.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wal_consumer_spark.plans._util import dsum
@@ -159,3 +159,69 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         state = rollup.apply_batch(state, batch)
     return rollup.finish(state)
+
+
+@register(
+    "stream_watermark_lateness_audit",
+    oracle="""
+    WITH arr AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               MAX(CAST(ts AS TIMESTAMP)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY md5(CAST(event_id AS VARCHAR))
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS high_water
+        FROM events
+    ),
+    lat AS (
+        SELECT user_id, epoch_us(high_water) - epoch_us(ts) AS late_us
+        FROM arr
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(count_if(late_us > 0) AS BIGINT) AS n_out_of_order,
+           CAST(count_if(late_us > 300000000) AS BIGINT) AS dropped_5m,
+           CAST(count_if(late_us > 3600000000) AS BIGINT) AS dropped_1h,
+           CAST(MAX(late_us) // 1000000 AS BIGINT) AS max_late_s
+    FROM lat GROUP BY user_id
+    HAVING count_if(late_us > 0) > 0
+    """,
+    doc="Watermark lateness audit — the batch query that answers 'what "
+        "watermark delay would my stream need?' before deploying a "
+        "streaming job (SURVEY.md §2.B watermark row; the reference is "
+        "arrival-ordered only and cannot ask this): per user, replay "
+        "events in a deterministic adversarially-shuffled arrival order "
+        "(md5 of event_id — the driver corpus arrives pre-sorted, which "
+        "would make the audit vacuous), track the running event-time "
+        "high-water mark, and count events that a 5-minute / 1-hour "
+        "watermark would have dropped. One user_id shuffle feeds both the "
+        "running-max window and the rollup; lateness arithmetic is "
+        "floored epoch seconds (engine-agnostic). At 100 TB this runs per "
+        "key partition — exactly how the streaming watermark tracks state "
+        "— never as a global ordering. Output keeps only users with "
+        "out-of-order events (non-vacuous by construction).",
+)
+def stream_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.md5(F.col("event_id").cast("string")))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lat = e.select(
+        "user_id",
+        (F.unix_micros(F.max("ts").over(w)) - F.unix_micros("ts")).alias(
+            "late_us"
+        ),
+    )
+    return (
+        lat.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_if(F.col("late_us") > 0).alias("n_out_of_order"),
+            F.count_if(F.col("late_us") > 300_000_000).alias("dropped_5m"),
+            F.count_if(F.col("late_us") > 3_600_000_000).alias("dropped_1h"),
+            F.floor(F.max("late_us") / 1000000).cast("long").alias("max_late_s"),
+        )
+        .where(F.col("n_out_of_order") > 0)
+    )

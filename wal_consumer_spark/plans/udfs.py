@@ -203,3 +203,56 @@ def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(stats, "custkey long, n_orders long, n_items long")
         .orderBy("custkey")
     )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_micro
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="mapInArrow (the zero-copy tier of the Python UDF surface: raw "
+        "pyarrow RecordBatches, no pandas conversion): computes exact "
+        "discounted revenue in integer micro-cents per batch with pyarrow "
+        "compute kernels, then aggregates JVM-side. Each batch is "
+        "processed columnar-in/columnar-out — for numeric kernels this "
+        "skips the pandas materialization cost that pandas_udf pays, the "
+        "right tier for 100 TB feature extraction. The integer math "
+        "(cents x basis points) is exact, so the Python boundary does not "
+        "break cross-engine determinism. Reference parity: extension "
+        "surface (SURVEY.md §2.B UDF rows).",
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def rev_batches(batches):
+        for batch in batches:
+            price = pc.cast(
+                pc.round(pc.multiply(batch.column("l_extendedprice"), 100)),
+                pa.int64(),
+            )
+            disc = pc.cast(
+                pc.round(pc.multiply(batch.column("l_discount"), 100)),
+                pa.int64(),
+            )
+            rev = pc.multiply(price, pc.subtract(pa.scalar(100, pa.int64()), disc))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("l_returnflag"), rev],
+                ["l_returnflag", "revenue_micro"],
+            )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    mapped = li.mapInArrow(
+        rev_batches, "l_returnflag string, revenue_micro long"
+    )
+    return mapped.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("revenue_micro").cast("long").alias("revenue_micro"),
+    )
