@@ -868,3 +868,114 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("n_false_positive"),
         F.bool_and(~F.col("exact_hit") | F.col("bloom_hit")).alias("no_false_negatives"),
     )
+
+
+@register(
+    "asof_join_nearest_events_orders",
+    oracle="""
+    WITH back AS (
+        SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+               epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(o.o_orderdate)
+                   AS dist_us,
+               row_number() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.o_orderdate DESC,
+                                           o.o_orderkey DESC) AS rn
+        FROM events e
+        JOIN orders o ON o.o_custkey = e.user_id
+                     AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+    ),
+    fwd AS (
+        SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+               epoch_us(o.o_orderdate) - epoch_us(CAST(e.ts AS TIMESTAMP))
+                   AS dist_us,
+               row_number() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.o_orderdate ASC,
+                                           o.o_orderkey ASC) AS rn
+        FROM events e
+        JOIN orders o ON o.o_custkey = e.user_id
+                     AND o.o_orderdate > CAST(e.ts AS TIMESTAMP)
+    )
+    SELECT e.event_id, e.user_id,
+           CASE WHEN b.event_id IS NOT NULL
+                     AND (f.event_id IS NULL OR b.dist_us <= f.dist_us)
+                THEN b.o_orderkey ELSE f.o_orderkey END AS nearest_orderkey,
+           CASE WHEN b.event_id IS NOT NULL
+                     AND (f.event_id IS NULL OR b.dist_us <= f.dist_us)
+                THEN b.o_totalprice ELSE f.o_totalprice END
+               AS nearest_totalprice,
+           CASE WHEN b.event_id IS NULL AND f.event_id IS NULL THEN NULL
+                WHEN b.event_id IS NOT NULL
+                     AND (f.event_id IS NULL OR b.dist_us <= f.dist_us)
+                THEN 'backward' ELSE 'forward' END AS direction
+    FROM events e
+    LEFT JOIN (SELECT * FROM back WHERE rn = 1) b ON b.event_id = e.event_id
+    LEFT JOIN (SELECT * FROM fwd WHERE rn = 1) f ON f.event_id = e.event_id
+    """,
+    doc="Nearest-in-time as-of join (absolute distance, backward wins "
+        "ties): each event matched to the same user's closest order in "
+        "EITHER time direction — the pandas merge_asof(direction="
+        "'nearest') semantics. Composed from the engine's backward and "
+        "forward as-of operators (operators/asof.py union+window plans — "
+        "no pair explosion), then one event_id-keyed pick of the nearer "
+        "side with exact microsecond distances. Three narrow key shuffles "
+        "total at any scale; the oracle replays the same semantics with "
+        "windowed candidate joins. Reference parity: extension surface "
+        "(SURVEY.md §2.B as-of row).",
+)
+def asof_join_nearest_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders")
+
+    def side(direction: str, okey: str, oval: str) -> DataFrame:
+        ob = o.select(
+            "o_custkey",
+            "o_orderdate",
+            F.col("o_orderkey").alias(okey),
+            F.col("o_totalprice").alias(oval),
+        )
+        j = asof_join(
+            e,
+            ob,
+            left_key="user_id",
+            right_key="o_custkey",
+            left_ts="ts",
+            right_ts="o_orderdate",
+            payload_cols=[okey, oval, "o_orderdate"],
+            tiebreak_cols=[okey],
+            direction=direction,
+        )
+        dist = F.abs(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        )
+        return j.select(
+            "event_id",
+            "user_id",
+            F.col(okey),
+            F.col(oval),
+            F.when(F.col(okey).isNotNull(), dist).alias(f"dist_{direction}"),
+        )
+
+    b = side("backward", "b_key", "b_val")
+    f = side("forward", "f_key", "f_val").drop("user_id")
+    both = b.join(f, "event_id", "full")
+    pick_back = F.col("b_key").isNotNull() & (
+        F.col("f_key").isNull()
+        | (F.col("dist_backward") <= F.col("dist_forward"))
+    )
+    return both.select(
+        "event_id",
+        "user_id",
+        F.when(pick_back, F.col("b_key")).otherwise(F.col("f_key")).alias(
+            "nearest_orderkey"
+        ),
+        F.when(pick_back, F.col("b_val")).otherwise(F.col("f_val")).alias(
+            "nearest_totalprice"
+        ),
+        F.when(
+            F.col("b_key").isNull() & F.col("f_key").isNull(), F.lit(None)
+        )
+        .when(pick_back, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+    )

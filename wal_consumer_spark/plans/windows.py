@@ -471,3 +471,57 @@ def win_rolling_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("autocorr_14"),
         )
     )
+
+
+@register(
+    "win_trailing_7d_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT l_returnflag,
+               CAST(CAST(l_shipdate AS TIMESTAMP) AS DATE) AS d,
+               datediff('day', DATE '1995-01-01',
+                        CAST(CAST(l_shipdate AS TIMESTAMP) AS DATE)) AS dayidx,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem GROUP BY 1, 2, 3
+    )
+    SELECT l_returnflag, CAST(d AS TIMESTAMP) AS day,
+           CAST(SUM(cents) OVER (
+               PARTITION BY l_returnflag ORDER BY dayidx
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS trailing_7d_cents
+    FROM daily
+    """,
+    doc="Time-interval trailing window (7 calendar days, inclusive): daily "
+        "revenue per return flag with a RANGE frame over the day INDEX — "
+        "a true calendar-range frame, immune to missing days (a ROWS "
+        "frame would silently span gaps; win_range_frame covers numeric "
+        "ranges, this covers time). The corpus collapses to the bounded "
+        "(flag, day) grid in exact cents first; the range window runs "
+        "per-flag on ~2.4k rows. Day index is an epoch-anchored datediff "
+        "— identical in both engines. Reference parity: extension surface "
+        "(SURVEY.md §2.B window rows).",
+)
+def win_trailing_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_returnflag",
+        F.to_date("l_shipdate").alias("d"),
+        F.datediff(
+            F.to_date("l_shipdate"), F.lit("1995-01-01").cast("date")
+        ).alias("dayidx"),
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("dayidx")
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "l_returnflag",
+        F.col("d").cast("timestamp").alias("day"),
+        F.sum("cents").over(w).cast("long").alias("trailing_7d_cents"),
+    )
