@@ -1248,3 +1248,112 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "p1", "p2", "n_common", F.round(jac, 6).alias("jaccard")
     )
+
+
+@register(
+    "analytics_time_to_convert",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view'
+                        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS first_view,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN epoch_us(CAST(ts AS TIMESTAMP)) END)
+                   AS first_purchase
+        FROM events GROUP BY user_id
+    ),
+    conv AS (
+        SELECT user_id,
+               (first_purchase - first_view) // 60000000 AS mins_to_convert
+        FROM per_user
+        WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+              AND first_purchase >= first_view
+    ),
+    ranked AS (
+        SELECT mins_to_convert,
+               row_number() OVER (ORDER BY mins_to_convert, user_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM conv
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM per_user
+            WHERE first_view IS NOT NULL) AS n_viewers,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM conv) AS n_converted,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN mins_to_convert END)
+                AS BIGINT) AS p50_mins,
+           CAST(MAX(CASE WHEN rn = greatest((n * 9) // 10, 1)
+                         THEN mins_to_convert END) AS BIGINT) AS p90_mins
+    FROM ranked
+    """,
+    doc="Time-to-convert funnel timing: minutes from each user's first "
+        "view to their first purchase, with rank-picked lower-median and "
+        "p90 (deterministic — no interpolation semantics) and the "
+        "viewer/converter counts. ONE user_id aggregation pass computes "
+        "both first-touch timestamps as conditional MINs (no self-join of "
+        "the event stream); the duration distribution then lives on the "
+        "bounded converter table. Exact epoch-microsecond arithmetic "
+        "floored to minutes. At 100 TB the conditional-MIN trick is the "
+        "difference between one shuffle and the naive two-scan-plus-join "
+        "plan. Reference parity: extension surface (SURVEY.md §2.B "
+        "analytics rows).",
+)
+def analytics_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias(
+            "first_purchase"
+        ),
+    )
+    conv = per_user.where(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        "user_id",
+        F.floor(
+            (F.col("first_purchase") - F.col("first_view")) / 60_000_000
+        ).alias("mins_to_convert"),
+    )
+    ranked = conv.select(
+        "mins_to_convert",
+        F.row_number()
+        .over(Window.orderBy("mins_to_convert", "user_id"))
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    n_viewers = per_user.where(F.col("first_view").isNotNull()).count()
+    stats = ranked.agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.floor((F.col("n") + 1) / 2),
+                F.col("mins_to_convert"),
+            )
+        )
+        .cast("long")
+        .alias("p50_mins"),
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.greatest(
+                    F.floor(F.col("n") * 9 / 10), F.lit(1).cast("long")
+                ),
+                F.col("mins_to_convert"),
+            )
+        )
+        .cast("long")
+        .alias("p90_mins"),
+        F.count(F.lit(1)).alias("n_converted_inner"),
+    )
+    return stats.select(
+        F.lit(n_viewers).cast("long").alias("n_viewers"),
+        F.col("n_converted_inner").cast("long").alias("n_converted"),
+        "p50_mins",
+        "p90_mins",
+    )

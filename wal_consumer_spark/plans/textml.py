@@ -657,3 +657,79 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rake_score"
         ),
     )
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS t FROM documents),
+    vocab AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY t),
+    ranked AS (
+        SELECT freq,
+               row_number() OVER (ORDER BY freq DESC, t) AS rnk
+        FROM vocab
+    ),
+    pts AS (
+        SELECT CAST(round(ln(rnk) * 1000000) AS BIGINT) AS lx,
+               CAST(round(ln(freq) * 1000000) AS BIGINT) AS ly
+        FROM ranked WHERE rnk <= 1000
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(lx) AS DOUBLE) / 1000000 AS sx,
+               CAST(SUM(ly) AS DOUBLE) / 1000000 AS sy,
+               CAST(SUM(CAST(lx AS DECIMAL(38,0)) * CAST(lx AS DECIMAL(38,0)))
+                    AS DOUBLE) / 1000000000000 AS sxx,
+               CAST(SUM(CAST(lx AS DECIMAL(38,0)) * CAST(ly AS DECIMAL(38,0)))
+                    AS DOUBLE) / 1000000000000 AS sxy,
+               CAST(SUM(CAST(ly AS DECIMAL(38,0)) * CAST(ly AS DECIMAL(38,0)))
+                    AS DOUBLE) / 1000000000000 AS syy
+        FROM pts
+    )
+    SELECT n AS n_terms,
+           round(-(n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS zipf_exponent,
+           round((n*sxy - sx*sy) * (n*sxy - sx*sy)
+                 / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+    FROM s
+    """,
+    doc="Zipf's-law fit of the corpus frequency distribution (the "
+        "corpus-health diagnostic: natural text has exponent ~1, spammy or "
+        "templated corpora deviate): OLS of ln(freq) on ln(rank) over the "
+        "top-1000 vocabulary terms. Ranks are deterministic (freq desc, "
+        "term tie-break); each ln() is quantized to exact 1e-6-unit int64 "
+        "BEFORE the regression sums (ln is not IEEE-pinned across "
+        "engines, +,-,*,/ on the quantized sums are), so both engines fit "
+        "identical integers. Corpus-sized work is one token count; the "
+        "fit runs on 1000 rows. Reference parity: extension surface "
+        "(SURVEY.md §2.B text analysis).",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("t"))
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    ranked = vocab.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.col("freq").desc(), "t"))
+    ).where(F.col("rnk") <= 1000)
+    pts = ranked.select(
+        F.round(F.log("rnk") * 1000000).cast("long").alias("lx"),
+        F.round(F.log("freq") * 1000000).cast("long").alias("ly"),
+    )
+    lx38 = F.col("lx").cast("decimal(38,0)")
+    ly38 = F.col("ly").cast("decimal(38,0)")
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("lx").cast("double") / 1000000).alias("sx"),
+        (F.sum("ly").cast("double") / 1000000).alias("sy"),
+        (F.sum(lx38 * lx38).cast("double") / 1_000_000_000_000).alias("sxx"),
+        (F.sum(lx38 * ly38).cast("double") / 1_000_000_000_000).alias("sxy"),
+        (F.sum(ly38 * ly38).cast("double") / 1_000_000_000_000).alias("syy"),
+    )
+    n = F.col("n")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        n.alias("n_terms"),
+        F.round(-cov / vx, 6).alias("zipf_exponent"),
+        F.round(cov * cov / (vx * vy), 6).alias("r2"),
+    )
