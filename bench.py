@@ -71,6 +71,13 @@ HEADLINE = [
     "ts_changepoint_cusum",
     "text_shingle_novelty",
     "pipeline_mixture_temperature",
+    # r3 session-2 additions (appended only, same continuity rule): one
+    # representative per family added in the second round-3 session.
+    "text_bigram_logprob",
+    "graph_jaccard_neighbors",
+    "dq_reconcile_totals",
+    "udf_map_in_arrow",
+    "ml_decision_stump",
 ]
 
 

@@ -1324,3 +1324,76 @@ def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+@register(
+    "sim_embedding_qc_stats",
+    oracle="""
+    WITH per_vec AS (
+        SELECT vec_id, label,
+               len(embedding) AS n_dims,
+               list_sum(list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                   * 1000000) AS BIGINT))) AS norm2_micro,
+               len(list_filter(embedding, x -> x = 0)) AS n_zero_dims
+        FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(count_if(n_dims <> 64) AS BIGINT) AS n_dim_violations,
+           CAST(count_if(norm2_micro = 0) AS BIGINT) AS n_zero_vectors,
+           CAST(MIN(norm2_micro) AS BIGINT) AS min_norm2_micro,
+           CAST(MAX(norm2_micro) AS BIGINT) AS max_norm2_micro,
+           round(CAST(SUM(CAST(norm2_micro AS DECIMAL(38,0))) AS DOUBLE)
+                 / 1000000 / COUNT(*), 6) AS avg_norm2,
+           round(CAST(SUM(CAST(n_zero_dims AS DECIMAL(18,0))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_zero_dims
+    FROM per_vec GROUP BY label
+    """,
+    doc="Embedding quality-control profile (the pre-index DQ gate every "
+        "vector pipeline needs: a handful of zero or truncated vectors "
+        "silently poison ANN recall): per-label vector counts, dimension "
+        "violations, zero vectors, and the squared-norm distribution. "
+        "Per-component squares are quantized to exact 1e-6-unit int64s "
+        "ARRAY-LOCALLY (list_transform/list_sum — no explode shuffle), so "
+        "the norm rollup is an order-independent integer aggregate in "
+        "both engines. One map-side pass + a label-keyed aggregation to "
+        "~#labels rows. At 100 TB this co-resides with embedding "
+        "ingestion as a free scan stage. Reference parity: extension "
+        "surface (SURVEY.md §2.B similarity/DQ rows).",
+)
+def sim_embedding_qc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq_micro = F.aggregate(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * x.cast("double") * 1000000)
+            .cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    per_vec = emb.select(
+        "label",
+        F.size("embedding").alias("n_dims"),
+        sq_micro.alias("norm2_micro"),
+        F.size(F.filter("embedding", lambda x: x == 0)).alias("n_zero_dims"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.count_if(F.col("n_dims") != 64).alias("n_dim_violations"),
+        F.count_if(F.col("norm2_micro") == 0).alias("n_zero_vectors"),
+        F.min("norm2_micro").cast("long").alias("min_norm2_micro"),
+        F.max("norm2_micro").cast("long").alias("max_norm2_micro"),
+        F.round(
+            F.sum(F.col("norm2_micro").cast("decimal(38,0)")).cast("double")
+            / 1000000
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_norm2"),
+        F.round(
+            F.sum(F.col("n_zero_dims").cast("decimal(18,0)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_zero_dims"),
+    )
