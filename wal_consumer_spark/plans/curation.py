@@ -1132,3 +1132,77 @@ def pipeline_oversample_minority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "factor", "copy_idx")
     )
+
+
+@register(
+    "pipeline_shard_skew_report",
+    oracle="""
+    WITH sh AS (
+        SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                   % 64 AS shard,
+               len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+        FROM documents WHERE text IS NOT NULL
+    ),
+    per AS (
+        SELECT shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+        FROM sh GROUP BY shard
+    ),
+    g AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
+               CAST(MAX(shard_tokens) AS BIGINT) AS max_tokens,
+               CAST(MIN(shard_tokens) AS BIGINT) AS min_tokens,
+               CAST(SUM(shard_tokens) AS DECIMAL(38,0)) AS total_tokens
+        FROM per
+    )
+    SELECT n_shards, max_tokens, min_tokens,
+           round(CAST(max_tokens AS DOUBLE)
+                 / (CAST(total_tokens AS DOUBLE) / n_shards), 6)
+               AS skew_ratio,
+           CAST(total_tokens AS BIGINT) AS total_tokens
+    FROM g
+    """,
+    doc="Shard-skew report for hash-sharded training output (the check run "
+        "after pipeline_global_shuffle before handing shards to data "
+        "loaders: one hot shard stalls every training step): md5-hash "
+        "shard assignment into 64 shards, per-shard token totals, and the "
+        "max-shard/mean-shard skew ratio. One corpus pass to a 64-row "
+        "table; the report is arithmetic on broadcast scalars. The hash "
+        "gate is the same family as pipeline_train_split's (first 4 md5 "
+        "hex chars — exact in both engines). At 100 TB a skew ratio near "
+        "1.0 certifies the shuffle; >1.2 means re-shard. Reference "
+        "parity: extension surface (SURVEY.md §2.B curation rows).",
+)
+def pipeline_shard_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 64
+    )
+    per = (
+        d.select(shard.alias("shard"), F.size(tokens(F.col("text"))).alias("n_tokens"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("shard_tokens"),
+        )
+    )
+    g = per.agg(
+        F.count(F.lit(1)).alias("n_shards"),
+        F.max("shard_tokens").cast("long").alias("max_tokens"),
+        F.min("shard_tokens").cast("long").alias("min_tokens"),
+        F.sum(F.col("shard_tokens").cast("decimal(38,0)")).alias("total_dec"),
+    )
+    return g.select(
+        "n_shards",
+        "max_tokens",
+        "min_tokens",
+        F.round(
+            F.col("max_tokens").cast("double")
+            / (F.col("total_dec").cast("double") / F.col("n_shards")),
+            6,
+        ).alias("skew_ratio"),
+        F.col("total_dec").cast("long").alias("total_tokens"),
+    )

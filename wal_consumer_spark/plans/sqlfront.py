@@ -89,6 +89,23 @@ _SHARED_SQL = {
     ) t
     ORDER BY n.n_name
     """,
+    # GROUPING SETS with GROUPING() disambiguation (ANSI): three
+    # aggregation granularities in ONE pass — per (status, priority),
+    # per status, and grand total — with grouping flags so NULL group keys
+    # are distinguishable from NULL data. Catalyst expands this to a
+    # single Expand + hash aggregate, not three scans.
+    "sql_front_grouping_sets": """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(18,0))) AS BIGINT)
+               AS revenue_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+    """,
 }
 
 

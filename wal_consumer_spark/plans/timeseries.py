@@ -845,3 +845,68 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             "residual"
         ),
     )
+
+
+@register(
+    "ts_max_silence_gap",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+        FROM events
+    ),
+    gaps AS (
+        SELECT user_id, (us - prev_us) // 60000000 AS gap_min
+        FROM ordered WHERE prev_us IS NOT NULL
+    ),
+    per AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               CAST(MAX(gap_min) AS BIGINT) AS max_gap_min
+        FROM gaps GROUP BY user_id
+    )
+    SELECT user_id, n_gaps, max_gap_min
+    FROM per
+    QUALIFY row_number() OVER (ORDER BY max_gap_min DESC, user_id) <= 20
+    """,
+    doc="Max-silence-gap detection (the liveness complement of "
+        "dq_sequence_gap_audit's id-space check: which sensors/users went "
+        "quiet longest?): per-key largest inter-event time gap via one "
+        "lag window over (ts, event_id) order, top-20 silent keys. Exact "
+        "epoch-microsecond arithmetic floored to minutes; the lag window "
+        "and the per-key MAX share one user_id shuffle+sort, and the "
+        "top-20 collapses via TakeOrdered partials — no global sort of "
+        "the per-user table. Reference parity: extension surface "
+        "(SURVEY.md §2.B time-series/DQ rows).",
+)
+def ts_max_silence_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    gaps = (
+        e.select("user_id", us.alias("us"), F.lag(us).over(w).alias("prev_us"))
+        .where(F.col("prev_us").isNotNull())
+        .select(
+            "user_id",
+            F.floor((F.col("us") - F.col("prev_us")) / 60_000_000).alias(
+                "gap_min"
+            ),
+        )
+    )
+    per = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.max("gap_min").cast("long").alias("max_gap_min"),
+    )
+    return (
+        per.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("max_gap_min").desc(), "user_id")
+            ),
+        )
+        .where(F.col("rn") <= 20)
+        .select("user_id", "n_gaps", "max_gap_min")
+    )
