@@ -1357,3 +1357,91 @@ def analytics_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p50_mins",
         "p90_mins",
     )
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    e AS (
+        SELECT DISTINCT a.p AS p1, b.p AS p2
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    ),
+    adj AS (
+        SELECT p1 AS u, p2 AS v FROM e
+        UNION ALL SELECT p2 AS u, p1 AS v FROM e
+    ),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u),
+    pairs AS (
+        SELECT du.d AS x, dv.d AS y
+        FROM adj JOIN deg du ON du.u = adj.u JOIN deg dv ON dv.u = adj.v
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                    AS DOUBLE) AS syy,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                    AS DOUBLE) AS sxy
+        FROM pairs
+    )
+    SELECT n // 2 AS n_edges,
+           round((n*sxy - sx*sy)
+                 / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6)
+               AS assortativity
+    FROM s
+    """,
+    doc="Degree assortativity of the co-purchase graph (Newman's r: do "
+        "high-degree parts connect to other high-degree parts?) — the "
+        "scalar that decides whether hub-cap strategies (see "
+        "graph_jaccard_neighbors) and degree-ordered orientations will "
+        "pay off. Pearson correlation of endpoint degrees over the "
+        "directed edge incidence (both orientations — the standard "
+        "symmetric treatment), computed from exact DECIMAL power sums "
+        "with the established identical-double-arithmetic finish. Edge "
+        "generation is order-local; the degree joins broadcast the "
+        "bounded degree table; the correlation aggregates to one row. "
+        "Reference parity: extension surface (SURVEY.md §2.B graph rows).",
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    e = (
+        op.select("o", F.col("p").alias("p1"))
+        .join(op.select("o", F.col("p").alias("p2")), "o")
+        .where(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+        .distinct()
+    )
+    adj = e.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionAll(
+        e.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    du = deg.select(F.col("u"), F.col("d").alias("x"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("y"))
+    pairs = adj.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    x = F.col("x").cast("decimal(38,0)")
+    y = F.col("y").cast("decimal(38,0)")
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        F.floor(n / 2).cast("long").alias("n_edges"),
+        F.round(cov / F.sqrt(vx * vy), 6).alias("assortativity"),
+    )

@@ -1397,3 +1397,81 @@ def sim_embedding_qc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_zero_dims"),
     )
+
+
+@register(
+    "sim_matryoshka_prefix_recall",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+    truth AS (
+        SELECT query_id, cand_id FROM (
+            SELECT q.query_id, c.vec_id AS cand_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(list_cosine_similarity(q.qv, c.v), 6)
+                                DESC, c.vec_id) AS rank
+            FROM e c CROSS JOIN q WHERE c.vec_id <> q.query_id
+        ) WHERE rank <= 5
+    ),
+    approx AS (
+        SELECT query_id, cand_id FROM (
+            SELECT q.query_id, c.vec_id AS cand_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(list_cosine_similarity(
+                                    list_slice(q.qv, 1, 16),
+                                    list_slice(c.v, 1, 16)), 6)
+                                DESC, c.vec_id) AS rank
+            FROM e c CROSS JOIN q WHERE c.vec_id <> q.query_id
+        ) WHERE rank <= 5
+    )
+    SELECT t.query_id,
+           CAST(COUNT(a.cand_id) AS BIGINT) AS n_hits,
+           round(COUNT(a.cand_id) / 5.0, 6) AS recall_at_5
+    FROM truth t
+    LEFT JOIN approx a ON a.query_id = t.query_id AND a.cand_id = t.cand_id
+    GROUP BY t.query_id
+    """,
+    doc="Matryoshka / truncated-dimension retrieval evaluation: recall@5 "
+        "of top-k search on the FIRST 16 of 64 embedding dimensions "
+        "against full-dimension ground truth, per query — the measurement "
+        "behind the 'can we store 4x less and re-rank?' decision (MRL, "
+        "Kusupati et al. 2022). Both rankings run the engine's broadcast "
+        "brute-force pattern (corpus streams once per ranking, prefix "
+        "slice is array-local); the recall join is on narrow "
+        "(query, cand) keys. In-plan evaluation like sim_ann_recall_eval: "
+        "a truncation-quality regression fails correctness, not a test "
+        "floor. At 100 TB the same plan runs over a sampled query set "
+        "with the ANN index standing in for brute force. Reference "
+        "parity: extension surface (SURVEY.md §2.B similarity rows).",
+)
+def sim_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wal_consumer_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 20)
+    truth = cosine_topk_bruteforce(emb, queries, k=5).select(
+        "query_id", "cand_id"
+    )
+    pre = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    pre_q = pre.where(F.col("vec_id") < 20)
+    approx = cosine_topk_bruteforce(pre, pre_q, k=5).select(
+        F.col("query_id").alias("a_query_id"), F.col("cand_id").alias("a_cand_id")
+    )
+    return (
+        truth.join(
+            approx,
+            (F.col("query_id") == F.col("a_query_id"))
+            & (F.col("cand_id") == F.col("a_cand_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("a_cand_id").cast("long").alias("n_hits"),
+            F.round(F.count("a_cand_id") / 5.0, 6).alias("recall_at_5"),
+        )
+    )
