@@ -733,3 +733,90 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-cov / vx, 6).alias("zipf_exponent"),
         F.round(cov * cov / (vx * vy), 6).alias("r2"),
     )
+
+
+@register(
+    "text_source_divergence",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest({_TOKS}) AS t FROM documents
+    ),
+    cs AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok GROUP BY source, t),
+    ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+           FROM tok GROUP BY source),
+    cv AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY t),
+    nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+    grid AS (
+        SELECT s.source, v.t, COALESCE(cs.c, 0) AS c_src,
+               s.n AS n_src, v.c AS c_all, nc.n AS n_all
+        FROM ns s CROSS JOIN cv v CROSS JOIN nc
+        LEFT JOIN cs ON cs.source = s.source AND cs.t = v.t
+    ),
+    terms AS (
+        SELECT source,
+               CAST(round((
+                   CASE WHEN c_src > 0
+                        THEN 0.5 * (CAST(c_src AS DOUBLE) / n_src)
+                             * ln((CAST(c_src AS DOUBLE) / n_src)
+                                  / ((CAST(c_src AS DOUBLE) / n_src
+                                      + CAST(c_all AS DOUBLE) / n_all) / 2))
+                        ELSE 0 END
+                   + 0.5 * (CAST(c_all AS DOUBLE) / n_all)
+                     * ln((CAST(c_all AS DOUBLE) / n_all)
+                          / ((CASE WHEN c_src > 0
+                                   THEN CAST(c_src AS DOUBLE) / n_src
+                                   ELSE 0 END
+                              + CAST(c_all AS DOUBLE) / n_all) / 2))
+               ) * 1000000000) AS BIGINT) AS term_nano
+        FROM grid
+    )
+    SELECT source,
+           round(CAST(SUM(term_nano) AS DOUBLE) / 1000000000, 6)
+               AS js_divergence
+    FROM terms GROUP BY source
+    """,
+    doc="Per-source Jensen-Shannon divergence from the corpus unigram "
+        "distribution (the drift/distinctiveness score used to spot "
+        "off-distribution sources before they skew training): "
+        "JS(P_source || P_corpus) summed over the corpus vocabulary. The "
+        "probability grid is (sources x vocab) — BOTH bounded, built from "
+        "three broadcast-sized count tables; the only corpus-sized work "
+        "is the one token-count pass. Per-term contributions are "
+        "quantized to exact 1e-9-unit int64s before summation (ln is not "
+        "IEEE-pinned; the divisions feeding it are identical doubles), so "
+        "both engines sum identical integers. At 100 TB the vocab tables "
+        "are snapshot artifacts reused across scoring runs. Reference "
+        "parity: extension surface (SURVEY.md §2.B text analysis).",
+)
+def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(tokens(F.col("text"))).alias("t"))
+    cs = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c_src"))
+    ns = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    cv = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c_all"))
+    nc = tok.agg(F.count(F.lit(1)).alias("n_all"))
+    grid = (
+        ns.crossJoin(F.broadcast(cv))
+        .crossJoin(F.broadcast(nc))
+        .join(F.broadcast(cs), ["source", "t"], "left")
+        .withColumn("c_src", F.coalesce(F.col("c_src"), F.lit(0)))
+    )
+    ps = F.col("c_src").cast("double") / F.col("n_src")
+    pc = F.col("c_all").cast("double") / F.col("n_all")
+    m = (F.when(F.col("c_src") > 0, ps).otherwise(F.lit(0.0)) + pc) / 2
+    term = (
+        F.when(F.col("c_src") > 0, F.lit(0.5) * ps * F.log(ps / m)).otherwise(
+            F.lit(0.0)
+        )
+        + F.lit(0.5) * pc * F.log(pc / m)
+    )
+    terms = grid.select(
+        "source",
+        F.round(term * 1_000_000_000).cast("long").alias("term_nano"),
+    )
+    return terms.groupBy("source").agg(
+        F.round(F.sum("term_nano").cast("double") / 1_000_000_000, 6).alias(
+            "js_divergence"
+        )
+    )

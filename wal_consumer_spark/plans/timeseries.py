@@ -910,3 +910,53 @@ def ts_max_silence_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 20)
         .select("user_id", "n_gaps", "max_gap_min")
     )
+
+
+@register(
+    "ts_record_highs",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS d,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ),
+    runs AS (
+        SELECT d, cents,
+               MAX(cents) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_max
+        FROM daily
+    )
+    SELECT CAST(d AS TIMESTAMP) AS day, cents,
+           CAST(COALESCE(prev_max, 0) AS BIGINT) AS prev_max_cents
+    FROM runs
+    WHERE prev_max IS NULL OR cents > prev_max
+    """,
+    doc="Record-high detection (the 'new all-time high' monitor): days "
+        "whose daily revenue exceeds every prior day, via a running MAX "
+        "over the 1-PRECEDING frame (so the current day never masks "
+        "itself). The corpus collapses to the bounded daily grid in exact "
+        "cents first; the running window orders ~2.4k rows. First day "
+        "counts as a record (NULL prior max). Per-series variants "
+        "partition the window by key. Reference parity: extension surface "
+        "(SURVEY.md §2.B time-series rows).",
+)
+def ts_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    runs = daily.withColumn("prev_max", F.max("cents").over(w))
+    return runs.where(
+        F.col("prev_max").isNull() | (F.col("cents") > F.col("prev_max"))
+    ).select(
+        F.col("d").cast("timestamp").alias("day"),
+        "cents",
+        F.coalesce(F.col("prev_max"), F.lit(0)).cast("long").alias(
+            "prev_max_cents"
+        ),
+    )
