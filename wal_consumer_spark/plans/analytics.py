@@ -1445,3 +1445,65 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(n / 2).cast("long").alias("n_edges"),
         F.round(cov / F.sqrt(vx * vy), 6).alias("assortativity"),
     )
+
+
+@register(
+    "analytics_dau_wau_stickiness",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        FROM events
+    ),
+    spine AS (SELECT DISTINCT d FROM ud),
+    dau AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY d
+    ),
+    wau AS (
+        SELECT s.d, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+        FROM spine s
+        JOIN ud u ON u.d <= s.d AND u.d >= s.d - INTERVAL 6 DAY
+        GROUP BY s.d
+    )
+    SELECT CAST(dau.d AS TIMESTAMP) AS day, dau.dau, wau.wau,
+           round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+    doc="DAU / WAU stickiness (the engagement ratio every growth dashboard "
+        "leads with): daily active users, trailing-7-day active users, "
+        "and their ratio per day. The corpus collapses to the DISTINCT "
+        "(user, day) incidence first — the only corpus-sized shuffle; the "
+        "trailing-distinct then runs as a bounded band join of the day "
+        "spine against user-days (7x incidence rows, NOT a sliding "
+        "distinct over raw events — COUNT(DISTINCT) cannot ride a window "
+        "frame in either engine). At 100 TB the incidence table is the "
+        "persisted daily-rollup artifact and the band join touches 7 "
+        "partitions per day. Reference parity: extension surface "
+        "(SURVEY.md §2.B analytics rows).",
+)
+def analytics_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    spine = ud.select("d").distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    s = spine.select(F.col("d").alias("sd"))
+    wau = (
+        s.join(
+            ud,
+            (F.col("d") <= F.col("sd"))
+            & (F.col("d") >= F.date_sub(F.col("sd"), 6)),
+        )
+        .groupBy("sd")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.d == wau.sd)
+        .select(
+            F.col("d").cast("timestamp").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )

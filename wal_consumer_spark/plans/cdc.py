@@ -820,3 +820,46 @@ def dq_reconcile_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.max(diff).cast("long").alias("max_abs_diff_cents"),
     )
+
+
+@register(
+    "cdc_ops_per_entity_histogram",
+    oracle="""
+    WITH wal AS ({WAL_SQL}),
+    per AS (
+        SELECT entity_id,
+               CAST(COUNT(*) AS BIGINT) AS n_ops,
+               CAST(count_if(operation = 'DELETE') AS BIGINT) AS n_tombstones
+        FROM wal GROUP BY entity_id
+    )
+    SELECT LEAST(n_tombstones, 8) AS tombstone_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_entities,
+           CAST(SUM(n_ops) AS BIGINT) AS total_ops,
+           CAST(MIN(n_ops) AS BIGINT) AS min_ops,
+           CAST(MAX(n_ops) AS BIGINT) AS max_ops
+    FROM per GROUP BY LEAST(n_tombstones, 8)
+    """.format(WAL_SQL=WAL_SQL),
+    doc="Per-entity op-mix histogram over the WAL — the snapshot-cadence / "
+        "compaction planning profile for event-sourced targets: entities "
+        "bucketed by tombstone (DELETE) count with an open last bucket, "
+        "with per-bucket op totals (churn-heavy keys replay slowly from "
+        "op 0 and are the first candidates for periodic state snapshots; "
+        "the same skew profile sizes per-key state in the streaming "
+        "apply). One entity_id aggregation, then a <=9-group rollup — "
+        "map-side combinable end to end. Complements "
+        "cdc_tombstone_retention: that classifies WHICH tombstones are "
+        "purgeable, this sizes HOW MUCH compaction each key class needs.",
+)
+def cdc_ops_per_entity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wal = synthetic_wal(spark, sf_dir)
+    per = wal.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_ops"),
+        F.count_if(F.col("operation") == "DELETE").alias("n_tombstones"),
+    )
+    bucket = F.least(F.col("n_tombstones"), F.lit(8).cast("long"))
+    return per.groupBy(bucket.alias("tombstone_bucket")).agg(
+        F.count(F.lit(1)).alias("n_entities"),
+        F.sum("n_ops").cast("long").alias("total_ops"),
+        F.min("n_ops").cast("long").alias("min_ops"),
+        F.max("n_ops").cast("long").alias("max_ops"),
+    )
