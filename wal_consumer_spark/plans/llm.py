@@ -1475,3 +1475,68 @@ def sim_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("a_cand_id") / 5.0, 6).alias("recall_at_5"),
         )
     )
+
+
+@register(
+    "multimodal_frame_dedup",
+    oracle="""
+    WITH v AS (SELECT doc_id, encode(text) AS payload,
+                      1 + octet_length(encode(text)) % 30 AS n_frames
+               FROM documents WHERE doc_id % 3 = 2),
+         e AS (SELECT doc_id, payload, unnest(range(0, n_frames, 4)) AS f
+               FROM v),
+         fr AS (SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+                       lower(substring(hex(payload),
+                                       CAST(f * 16 AS INTEGER) + 1, 16))
+                           AS frame_hex
+                FROM e)
+    SELECT frame_hex,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(media_id) AS BIGINT) AS keeper_media_id,
+           CAST(MIN(frame_idx) FILTER (
+               WHERE media_id = (SELECT MIN(media_id) FROM fr f2
+                                 WHERE f2.frame_hex = fr.frame_hex))
+               AS INTEGER) AS keeper_frame_idx
+    FROM fr GROUP BY frame_hex
+    HAVING COUNT(*) > 1
+    """,
+    doc="Cross-media frame-level deduplication (the video counterpart of "
+        "passage dedup: identical frames repeated across clips — intro "
+        "cards, black frames, looped content — waste multimodal training "
+        "tokens): sample frames via the deterministic decode plumbing "
+        "(functions/multimodal.py::sample_frames, same 1-to-N batch shape "
+        "as multimodal_frame_sample), group by frame payload, keep the "
+        "first occurrence (min media, then min frame index) and report "
+        "every duplicated frame. The frame table shuffles once on the "
+        "frame-hash key; at 100 TB the hash would be a perceptual hash "
+        "from the real decoder and the groupBy is unchanged. Reference "
+        "parity: extension surface (SURVEY.md §2.B multimodal rows; "
+        "payload opacity per WalEntity.java:38-39).",
+)
+def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_media_columns(d, "doc_id", "text", "source")
+    frames = sample_frames(
+        decode_media(media, fake=True), every_n=4, frame_len=8
+    ).select(
+        "media_id",
+        "frame_idx",
+        F.lower(F.hex("frame_bytes")).alias("frame_hex"),
+    )
+    w = Window.partitionBy("frame_hex").orderBy("media_id", "frame_idx")
+    ranked = frames.select(
+        "frame_hex",
+        "media_id",
+        "frame_idx",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("frame_hex")).alias("n"),
+    )
+    return (
+        ranked.where((F.col("rn") == 1) & (F.col("n") > 1))
+        .select(
+            "frame_hex",
+            F.col("n").cast("long").alias("n_occurrences"),
+            F.col("media_id").cast("long").alias("keeper_media_id"),
+            F.col("frame_idx").cast("int").alias("keeper_frame_idx"),
+        )
+    )
