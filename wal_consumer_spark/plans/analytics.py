@@ -1482,7 +1482,13 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def analytics_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    ud = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    # the incidence table feeds three consumers (spine, DAU, band join) —
+    # materialize the corpus distinct once (self-reuse recompute hazard)
+    ud = (
+        e.select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     spine = ud.select("d").distinct()
     dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
     s = spine.select(F.col("d").alias("sd"))

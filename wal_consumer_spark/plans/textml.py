@@ -478,8 +478,8 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tk, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
     ),
     big AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2),
-    uni AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1),
-    v AS (SELECT COUNT(DISTINCT w2) AS vocab FROM pairs)
+    uni AS (SELECT w1, SUM(c12) AS c1 FROM big GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT w2) AS vocab FROM big)
     SELECT p.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
            round(CAST(SUM(CAST(round(
@@ -514,9 +514,12 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pr"),
     ).select("doc_id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+    # one corpus-sized count; the unigram and vocab tables DERIVE from it
+    # (grouping the pair stream three times would re-explode the corpus
+    # per consumer — big is vocabulary^2-bounded, its rollups are free)
     big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    uni = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    v = pairs.agg(F.countDistinct("w2").alias("vocab"))
+    uni = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = big.agg(F.countDistinct("w2").alias("vocab"))
     term = F.round(
         -F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("vocab")))
         * 1000000
@@ -743,10 +746,9 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cs AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
            FROM tok GROUP BY source, t),
-    ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
-           FROM tok GROUP BY source),
-    cv AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY t),
-    nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+    ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cs GROUP BY source),
+    cv AS (SELECT t, CAST(SUM(c) AS BIGINT) AS c FROM cs GROUP BY t),
+    nc AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cs),
     grid AS (
         SELECT s.source, v.t, COALESCE(cs.c, 0) AS c_src,
                s.n AS n_src, v.c AS c_all, nc.n AS n_all
@@ -792,10 +794,12 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("source", F.explode(tokens(F.col("text"))).alias("t"))
+    # one corpus-sized count to the (source, term) grid; the three
+    # marginals DERIVE from it instead of re-exploding the corpus each
     cs = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c_src"))
-    ns = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
-    cv = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c_all"))
-    nc = tok.agg(F.count(F.lit(1)).alias("n_all"))
+    ns = cs.groupBy("source").agg(F.sum("c_src").alias("n_src"))
+    cv = cs.groupBy("t").agg(F.sum("c_src").alias("c_all"))
+    nc = cs.agg(F.sum("c_src").alias("n_all"))
     grid = (
         ns.crossJoin(F.broadcast(cv))
         .crossJoin(F.broadcast(nc))
