@@ -1540,3 +1540,37 @@ def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("frame_idx").cast("int").alias("keeper_frame_idx"),
         )
     )
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH pred AS ({_langid_sql()})
+    SELECT labeled_lang, predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN labeled_lang = predicted_lang
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+    FROM pred GROUP BY labeled_lang, predicted_lang
+    """,
+    doc="Language-ID confusion matrix — the in-plan evaluation of the "
+        "text_langid heuristic against the labeled lang column (same "
+        "hash-certified-eval pattern as sim_ann_recall_eval and "
+        "sim_matryoshka_prefix_recall: a classifier regression fails "
+        "CORRECTNESS, not a test floor). One map-side scoring pass, then "
+        "a <=|langs|^2-group rollup — map-side combinable, bounded "
+        "output at any corpus size. The diagonal gives per-language "
+        "recall; off-diagonal cells localize which lexicons collide. "
+        "Reference parity: extension surface (SURVEY.md §2.B text rows).",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = text_langid(spark, sf_dir)
+    return pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(
+                F.col("labeled_lang") == F.col("predicted_lang"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_correct"),
+    )
