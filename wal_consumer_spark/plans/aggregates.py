@@ -961,3 +961,97 @@ def agg_boolean_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("o_orderstatus") == "O", F.col("o_orderkey"))
         ).alias("first_open_key"),
     )
+
+
+@register(
+    "agg_median_of_means",
+    oracle="""
+    WITH g AS (
+        SELECT ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))
+                   ::BIGINT % 16 AS grp,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    means AS (
+        SELECT grp,
+               CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)
+                   AS grp_mean,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM g GROUP BY grp
+    ),
+    ranked AS (
+        SELECT grp_mean,
+               row_number() OVER (ORDER BY grp_mean, grp) AS rn,
+               COUNT(*) OVER () AS k
+        FROM means
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS n_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM means) AS n_groups,
+           round(MAX(CASE WHEN rn = (k + 1) // 2 THEN grp_mean END) / 100, 4)
+               AS median_of_means
+    FROM ranked
+    """,
+    doc="Median-of-means robust mean estimator (the standard "
+        "heavy-tail-safe estimator: split into k=16 deterministic hash "
+        "groups, average each, take the median of the 16 averages — one "
+        "adversarial/corrupt shard shifts the plain mean unboundedly but "
+        "moves this estimator only past k/2 corruption): group means from "
+        "exact DECIMAL cent sums, lower-median rank-picked with a group "
+        "tie-break. ONE map-side-combinable pass over the corpus to 16 "
+        "rows; everything after is free. The hash gate is the engine's "
+        "md5-prefix idiom (pipeline_train_split). At 100 TB this is how "
+        "you estimate a mean on data with outliers without a sort. "
+        "Reference parity: extension surface (SURVEY.md §2.B aggregation "
+        "rows).",
+)
+def agg_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    grp = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        % 16
+    )
+    g = o.select(
+        grp.alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    means = g.groupBy("grp").agg(
+        (
+            F.sum(F.col("cents").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("grp_mean"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ranked = means.select(
+        "grp_mean",
+        F.row_number().over(Window.orderBy("grp_mean", "grp")).alias("rn"),
+        F.count(F.lit(1))
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("k"),
+    )
+    totals = g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    mom = ranked.agg(
+        F.round(
+            F.max(
+                F.when(
+                    F.col("rn") == F.floor((F.col("k") + 1) / 2),
+                    F.col("grp_mean"),
+                )
+            )
+            / 100,
+            4,
+        ).alias("median_of_means"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+    )
+    return totals.crossJoin(F.broadcast(mom)).select(
+        "n_rows", "n_groups", "median_of_means"
+    )

@@ -1512,3 +1512,79 @@ def analytics_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "ml_auc_rank_sum",
+    oracle="""
+    WITH scored AS (
+        SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS score_cents,
+               c_custkey,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS y
+        FROM customer
+    ),
+    ranked AS (
+        SELECT y,
+               row_number() OVER (ORDER BY score_cents, c_custkey) AS rnk
+        FROM scored
+    ),
+    s AS (
+        SELECT CAST(SUM(CASE WHEN y = 1 THEN rnk ELSE 0 END) AS BIGINT)
+                   AS pos_rank_sum,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg
+        FROM ranked
+    )
+    SELECT n_pos, n_neg,
+           round((CAST(pos_rank_sum AS DOUBLE)
+                  - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2)
+                 / (CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc
+    FROM s
+    """,
+    doc="ROC-AUC via the Mann-Whitney rank-sum identity (does account "
+        "balance rank BUILDING-segment customers above the rest?): AUC = "
+        "(R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) from one global "
+        "rank pass over exact integer cents — no threshold sweep, no "
+        "curve materialization (the pairwise definition is O(n^2); the "
+        "rank identity is O(n log n) and the arithmetic is on 3 exact "
+        "scalars). Ties break deterministically on the entity key, "
+        "pinning identical ranks in both engines (documented: tie-broken "
+        "AUC, which converges to the midrank AUC as ties thin out). At "
+        "100 TB the global sort is the cost — or swap in the "
+        "histogram-bucket approximation over the existing bounded-bin "
+        "machinery (ml_decision_stump) without changing the identity. "
+        "Complements ml_classification_metrics' fixed-threshold sweep. "
+        "Reference parity: extension surface (SURVEY.md §2.B ML rows).",
+)
+def ml_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    scored = c.select(
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("score_cents"),
+        "c_custkey",
+        (F.col("c_mktsegment") == "BUILDING").cast("long").alias("y"),
+    )
+    ranked = scored.select(
+        "y",
+        F.row_number()
+        .over(Window.orderBy("score_cents", "c_custkey"))
+        .alias("rnk"),
+    )
+    s = ranked.agg(
+        F.sum(F.when(F.col("y") == 1, F.col("rnk")).otherwise(0))
+        .cast("long")
+        .alias("pos_rank_sum"),
+        F.sum("y").cast("long").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("n_neg"),
+    )
+    return s.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            (
+                F.col("pos_rank_sum").cast("double")
+                - F.col("n_pos").cast("double") * (F.col("n_pos") + 1) / 2
+            )
+            / (F.col("n_pos").cast("double") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )

@@ -1206,3 +1206,80 @@ def pipeline_shard_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("skew_ratio"),
         F.col("total_dec").cast("long").alias("total_tokens"),
     )
+
+
+@register(
+    "pipeline_boilerplate_strip",
+    oracle=f"""
+    WITH bg AS (
+        SELECT doc_id, unnest({_BIGRAMS}) AS bigram FROM documents
+    ),
+    top AS (
+        SELECT bigram FROM (
+            SELECT bigram, COUNT(*) AS df,
+                   row_number() OVER (ORDER BY COUNT(*) DESC, bigram) AS rn
+            FROM bg GROUP BY bigram
+        ) WHERE rn <= 10
+    ),
+    hits AS (
+        SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_boiler
+        FROM bg b JOIN top USING (bigram) GROUP BY b.doc_id
+    )
+    SELECT d.doc_id,
+           len({_BIGRAMS}) AS n_distinct_bigrams,
+           COALESCE(h.n_boiler, 0) AS n_boilerplate_bigrams,
+           round(COALESCE(h.n_boiler, 0)
+                 / greatest(len({_BIGRAMS}), 1), 6) AS boilerplate_ratio,
+           COALESCE(h.n_boiler, 0) / greatest(len({_BIGRAMS}), 1) > 0.5
+               AS is_boilerplate_heavy
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    """,
+    doc="Boilerplate detection by corpus-common phrases (the C4/RefinedWeb "
+        "stage that strips nav-bars, cookie banners, and license headers: "
+        "a phrase appearing in a large share of documents is template, "
+        "not content): top-10 bigrams by document frequency form the "
+        "boilerplate set, each doc scores the fraction of its distinct "
+        "bigrams that are boilerplate, with a 50% flag. The phrase set is "
+        "bounded (top-10 via TakeOrdered partials) and joins back "
+        "broadcast; corpus work is the one bigram-explode count plus the "
+        "per-doc membership rollup. At 100 TB the boilerplate set is a "
+        "corpus-snapshot artifact exactly like the LM tables. Reference "
+        "parity: extension surface (SURVEY.md §2.B curation rows).",
+)
+def pipeline_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bg = d.select(
+        "doc_id",
+        F.explode(word_shingles(tokens(F.col("text")), 2)).alias("bigram"),
+    )
+    top = (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.col("df").desc(), "bigram")),
+        )
+        .where(F.col("rn") <= 10)
+        .select("bigram")
+    )
+    hits = (
+        bg.join(F.broadcast(top), "bigram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    nb = F.size(word_shingles(tokens(F.col("text")), 2)).cast("long")
+    ratio = F.coalesce(F.col("n_boiler"), F.lit(0)) / F.greatest(
+        nb, F.lit(1).cast("long")
+    )
+    return (
+        d.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            nb.alias("n_distinct_bigrams"),
+            F.coalesce(F.col("n_boiler"), F.lit(0).cast("long")).alias(
+                "n_boilerplate_bigrams"
+            ),
+            F.round(ratio, 6).alias("boilerplate_ratio"),
+            (ratio > 0.5).alias("is_boilerplate_heavy"),
+        )
+    )

@@ -960,3 +960,110 @@ def ts_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prev_max_cents"
         ),
     )
+
+
+@register(
+    "ts_winsorize_robust_mean",
+    oracle="""
+    WITH v AS (
+        SELECT user_id,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               event_id
+        FROM events
+    ),
+    ranked AS (
+        SELECT user_id, cents,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY cents, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM v
+    ),
+    thr AS (
+        SELECT user_id,
+               MAX(CASE WHEN rn = greatest((n * 1) // 10, 1)
+                        THEN cents END) AS lo,
+               MAX(CASE WHEN rn = greatest((n * 9) // 10, 1)
+                        THEN cents END) AS hi
+        FROM ranked GROUP BY user_id
+    )
+    SELECT v.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(v.cents) AS BIGINT) * 100 // COUNT(*)
+                AS BIGINT) AS raw_mean_microcents,
+           CAST(CAST(SUM(least(greatest(v.cents, t.lo), t.hi)) AS BIGINT)
+                * 100 // COUNT(*)
+                AS BIGINT) AS winsorized_mean_microcents,
+           CAST(count_if(v.cents < t.lo OR v.cents > t.hi) AS BIGINT)
+               AS n_clamped
+    FROM v JOIN thr t USING (user_id)
+    GROUP BY v.user_id
+    """,
+    doc="Per-key winsorized mean (robust feature prep: clamp each user's "
+        "values to their own rank-picked p10/p90 before averaging, so a "
+        "few extreme events cannot dominate the profile): thresholds come "
+        "from one per-key rank window (deterministic event_id tie-break, "
+        "no interpolation), the clamp+mean is a second pass over the same "
+        "user_id partitioning — Catalyst reuses the shuffle. Exact "
+        "integer-cents arithmetic throughout; the two divisions are "
+        "identical doubles. Reports raw vs winsorized mean and the clamp "
+        "count per user. Reference parity: extension surface (SURVEY.md "
+        "§2.B time-series/ML rows).",
+)
+def ts_winsorize_robust_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("cents", "event_id")
+    ranked = v.select(
+        "user_id",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n"),
+    )
+    one = F.lit(1).cast("long")
+    thr = ranked.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.greatest(F.floor(F.col("n") / 10), one),
+                F.col("cents"),
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.greatest(F.floor(F.col("n") * 9 / 10), one),
+                F.col("cents"),
+            )
+        ).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    return (
+        v.join(thr, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.sum(clamped).cast("long").alias("sum_wins_cents"),
+            F.count_if(
+                (F.col("cents") < F.col("lo")) | (F.col("cents") > F.col("hi"))
+            ).alias("n_clamped"),
+        )
+        # floor-divided integer micro-cents via true integral `div`:
+        # double (or decimal) division rounds at the boundary and the
+        # rounding differs between engines; integer division of exact
+        # sums cannot
+        .select(
+            "user_id",
+            "n_events",
+            F.expr("(sum_cents * 100) div n_events").alias(
+                "raw_mean_microcents"
+            ),
+            F.expr("(sum_wins_cents * 100) div n_events").alias(
+                "winsorized_mean_microcents"
+            ),
+            "n_clamped",
+        )
+    )
