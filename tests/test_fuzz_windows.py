@@ -1,11 +1,15 @@
-"""Property-based differential testing of WINDOW functions vs DuckDB
-(extends tests/test_fuzz_relational.py's SQLancer-style harness to the
-window family): random (partition, order, function, frame) combinations
-over the driver tables, always ordered with a unique tiebreak so every
-function is deterministic in both engines."""
+"""Property-based differential testing of WINDOW functions vs DuckDB.
+
+Random (partition, order, function, frame) specs are built twice — once
+through the DataFrame Window API, once as ANSI SQL — and compared through
+the driver's canonicalisation. Determinism rules mirror the registry
+contract: frame aggregates and positional functions always include the
+primary key in ORDER BY (total order); rank/dense_rank order by the value
+alone (their outputs are tie-invariant)."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import Window
@@ -15,25 +19,24 @@ from tests.conftest import SF_SMOKE
 from tests.oracle_harness import compare, duck_connection
 from wal_consumer_spark.sources.tables import load_table
 
-import pytest
-
-# (table, partition cols, order cols, unique pk, money col)
-_TABLES = {
-    "orders": (
-        ["o_orderstatus", "o_orderpriority"],
-        ["o_orderdate", "o_custkey"],
-        "o_orderkey",
-        "o_totalprice",
-    ),
-    "customer": (
-        ["c_mktsegment", "c_nationkey"],
-        ["c_acctbal", "c_name"],
-        "c_custkey",
-        "c_acctbal",
-    ),
+# table -> (partition cols, numeric order col, money col, pk col)
+WTABLES = {
+    "orders": ("o_orderstatus", "o_custkey", "o_totalprice", "o_orderkey"),
+    "customer": ("c_mktsegment", "c_nationkey", "c_acctbal", "c_custkey"),
+    "supplier": ("s_nationkey", "s_suppkey", "s_acctbal", "s_suppkey"),
 }
 
-_FUNCS = ["row_number", "rank", "dense_rank", "lag", "lead", "sum_frame", "cume_dist"]
+FUNCS = [
+    "row_number",
+    "rank",
+    "dense_rank",
+    "lag",
+    "lead",
+    "sum_frame",
+    "count_frame",
+    "min_frame",
+    "max_frame",
+]
 
 
 @pytest.fixture(scope="module")
@@ -45,60 +48,61 @@ def duck():
 
 @st.composite
 def window_specs(draw):
-    table = draw(st.sampled_from(sorted(_TABLES)))
-    parts, orders, pk, money = _TABLES[table]
-    part = draw(st.sampled_from(parts))
-    order = draw(st.sampled_from(orders))
-    desc = draw(st.booleans())
-    fn = draw(st.sampled_from(_FUNCS))
+    table = draw(st.sampled_from(sorted(WTABLES)))
+    fn = draw(st.sampled_from(FUNCS))
+    lo = draw(st.integers(0, 5))
+    hi = draw(st.integers(0, 5))
+    unbounded = draw(st.booleans())
     offset = draw(st.integers(1, 3))
-    return (table, part, order, desc, fn, offset)
+    return (table, fn, lo, hi, unbounded, offset)
 
 
 def _build(spark, duck, spec):
-    table, part, order, desc, fn, offset = spec
-    _, _, pk, money = _TABLES[table]
+    table, fn, lo, hi, unbounded, offset = spec
+    part, ocol, money, pk = WTABLES[table]
     df = load_table(spark, SF_SMOKE, table)
-    # unique total order inside each partition: order col + pk tiebreak.
-    # Null placement is EXPLICIT on both sides: Spark's ASC default is
-    # NULLS FIRST while DuckDB's is NULLS LAST, so relying on defaults would
-    # silently diverge the moment a nullable order column joins _TABLES.
-    ob = [
-        F.col(order).desc_nulls_last() if desc else F.col(order).asc_nulls_first(),
-        F.col(pk).asc(),
-    ]
-    dir_sql = "DESC NULLS LAST" if desc else "ASC NULLS FIRST"
-    over = (
-        f"PARTITION BY {part} ORDER BY {order} {dir_sql}, {pk} ASC"
-    )
-    w = Window.partitionBy(part).orderBy(*ob)
-    if fn == "row_number":
-        col, sql_expr = F.row_number().over(w), f"row_number() OVER ({over})"
-    elif fn == "rank":
-        col, sql_expr = F.rank().over(w), f"rank() OVER ({over})"
-    elif fn == "dense_rank":
-        col, sql_expr = F.dense_rank().over(w), f"dense_rank() OVER ({over})"
-    elif fn == "lag":
-        col = F.lag(pk, offset).over(w)
-        sql_expr = f"lag({pk}, {offset}) OVER ({over})"
-    elif fn == "lead":
-        col = F.lead(pk, offset).over(w)
-        sql_expr = f"lead({pk}, {offset}) OVER ({over})"
-    elif fn == "cume_dist":
-        col = F.round(F.cume_dist().over(w), 9)
-        sql_expr = f"round(cume_dist() OVER ({over}), 9)"
-    else:  # sum_frame: running decimal sum over a rows frame
-        wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        col = F.sum(F.col(money).cast("decimal(14,2)")).over(wf).cast("double")
+    cents = F.round(F.col(money) * 100).cast("long")
+    cents_sql = f"CAST(round({money} * 100) AS BIGINT)"
+    rank_like = fn in ("rank", "dense_rank")
+    order_sql = f"{ocol}" if rank_like else f"{ocol}, {pk}"
+    w = Window.partitionBy(part)
+    w = w.orderBy(ocol) if rank_like else w.orderBy(ocol, pk)
+
+    if fn in ("row_number", "rank", "dense_rank"):
+        col = getattr(F, fn)().over(w)
+        sql_expr = f"{fn}() OVER (PARTITION BY {part} ORDER BY {order_sql})"
+    elif fn in ("lag", "lead"):
+        col = getattr(F, fn)(cents, offset).over(w)
         sql_expr = (
-            f"CAST(SUM(CAST({money} AS DECIMAL(14,2))) OVER ({over} "
-            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)"
+            f"{fn}({cents_sql}, {offset}) OVER "
+            f"(PARTITION BY {part} ORDER BY {order_sql})"
         )
-    sdf = df.select(F.col(pk), col.alias("w_out"))
-    ddf = duck.execute(
-        f"SELECT {pk}, {sql_expr} AS w_out FROM {table}"
-    ).fetchdf()
-    return sdf, ddf
+    else:
+        agg = fn.split("_")[0]
+        if unbounded:
+            wf = w.rowsBetween(Window.unboundedPreceding, 0)
+            frame_sql = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        else:
+            wf = w.rowsBetween(-lo, hi)
+            frame_sql = f"ROWS BETWEEN {lo} PRECEDING AND {hi} FOLLOWING"
+        target = F.lit(1) if agg == "count" else cents
+        target_sql = "1" if agg == "count" else cents_sql
+        col = getattr(F, agg)(target).over(wf)
+        if agg in ("sum", "count"):
+            col = col.cast("long")
+            sql_expr = (
+                f"CAST({agg}({target_sql}) OVER (PARTITION BY {part} "
+                f"ORDER BY {order_sql} {frame_sql}) AS BIGINT)"
+            )
+        else:
+            sql_expr = (
+                f"{agg}({target_sql}) OVER (PARTITION BY {part} "
+                f"ORDER BY {order_sql} {frame_sql})"
+            )
+
+    sdf = df.select(F.col(pk).alias("pk"), col.alias("v"))
+    sql = f"SELECT {pk} AS pk, {sql_expr} AS v FROM {table}"
+    return sdf, duck.execute(sql).fetchdf()
 
 
 @given(spec=window_specs())
@@ -109,4 +113,4 @@ def _build(spark, duck, spec):
 )
 def test_random_window_matches_duckdb(spark, duck, spec):
     sdf, ddf = _build(spark, duck, spec)
-    compare(sdf.toPandas(), ddf, f"winfuzz:{spec}")
+    compare(sdf.toPandas(), ddf, f"wfuzz:{spec}")

@@ -521,3 +521,50 @@ def test_decision_stump_windows_run_on_bin_grid(spark):
     # the single-partition exchange feeding the first Window must come
     # after the partial aggregate in execution order
     assert "Exchange SinglePartition" in plan, plan[:2000]
+
+
+def test_wedge_candidate_growth_is_linear(spark):
+    """Scale-up guard for the capped wedge enumeration behind the graph
+    similarity queries: on a lineitem replicated xK with DISJOINT order and
+    part id blocks per replica, edges and capped wedges must grow exactly
+    linearly in K and no wedge may cross replicas — a broken cap (or a
+    join key mixing replicas) shows up as super-linear wedge growth, which
+    is the quadratic blow-up the cap exists to prevent."""
+    from wal_consumer_spark.plans.analytics import (
+        edges_from_incidence,
+        wedge_pairs,
+    )
+
+    K = 4
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+
+    def replicated(reps: int):
+        parts = [
+            li.select(
+                (F.col("o") + F.lit(i * 100_000_000)).alias("o"),
+                (F.col("p") + F.lit(i * 10_000_000)).alias("p"),
+            )
+            for i in range(reps)
+        ]
+        out = parts[0]
+        for pt in parts[1:]:
+            out = out.unionByName(pt)
+        return out
+
+    e1 = edges_from_incidence(replicated(1))
+    v1, _ = wedge_pairs(e1, cap=64)
+    n_e1, n_v1 = e1.count(), v1.count()
+
+    ek = edges_from_incidence(replicated(K))
+    vk, _ = wedge_pairs(ek, cap=64)
+    n_ek, n_vk = ek.count(), vk.count()
+
+    assert n_ek == K * n_e1, f"edges not linear: {n_e1} -> {n_ek} at x{K}"
+    assert n_vk == K * n_v1, f"wedges not linear: {n_v1} -> {n_vk} at x{K}"
+    cross = vk.filter(
+        (F.col("x") / 10_000_000).cast("long")
+        != (F.col("y") / 10_000_000).cast("long")
+    ).count()
+    assert cross == 0, f"{cross} cross-replica wedges"

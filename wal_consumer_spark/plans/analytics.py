@@ -1098,8 +1098,9 @@ def ml_linear_regression_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct co-purchase edges (p1 < p2), materialized ONCE.
+def edges_from_incidence(op: DataFrame) -> DataFrame:
+    """Distinct co-occurrence edges (p1 < p2) from an (o, p) incidence
+    frame, materialized ONCE.
 
     Every graph query over this projection consumes the edge frame several
     times (degree table + both wedge sides + pair rollups); without an
@@ -1108,10 +1109,6 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured on graph_jaccard_neighbors at sf0.1: 9.9 s median with
     recompute vs materialize-once). At real scale this frame is a
     persisted graph-projection artifact, built once per corpus snapshot."""
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
     edges = (
         op.select("o", F.col("p").alias("p1"))
         .join(op.withColumnRenamed("p", "p2"), "o")
@@ -1120,6 +1117,35 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return edges.localCheckpoint(eager=True)
+
+
+def wedge_pairs(e: DataFrame, cap: int = 64) -> tuple[DataFrame, DataFrame]:
+    """(via, deg) for the capped wedge enumeration over an edge frame.
+
+    The hub cap is applied BEFORE the self-join: only adjacency rows whose
+    middle vertex has degree <= cap enter it, so over-cap hubs' deg^2
+    fanout is never generated. Growth-guarded (linear in disjoint-replica
+    scale-up) by tests/test_scale_plans.py."""
+    adj = e.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionAll(
+        e.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    ok_mid = deg.where(F.col("d") <= cap).select(F.col("u").alias("w"))
+    capped = adj.select(F.col("v").alias("w"), F.col("u").alias("x")).join(
+        F.broadcast(ok_mid), "w"
+    )
+    via = capped.join(capped.select("w", F.col("x").alias("y")), "w").where(
+        F.col("x") < F.col("y")
+    )
+    return via, deg
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    return edges_from_incidence(op)
 
 
 @register(
@@ -1220,23 +1246,7 @@ def graph_copurchase_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _copurchase_edges(spark, sf_dir)
-    adj = e.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionAll(
-        e.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
-    )
-    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    # hub cap BEFORE the self-join: only adjacency rows whose middle
-    # vertex qualifies enter the wedge join, so the deg^2 fanout of
-    # over-cap hubs is never generated (filtering after the join computes
-    # the same rows only to drop them — measured 6.2 s vs 2.5 s at sf0.1)
-    ok_mid = deg.where(F.col("d") <= 64).select(F.col("u").alias("w"))
-    capped = adj.select(F.col("v").alias("w"), F.col("u").alias("x")).join(
-        F.broadcast(ok_mid), "w"
-    )
-    via = (
-        capped.join(
-            capped.select("w", F.col("x").alias("y")), "w"
-        ).where(F.col("x") < F.col("y"))
-    )
+    via, deg = wedge_pairs(e, cap=64)
     common = via.groupBy(
         F.col("x").alias("p1"), F.col("y").alias("p2")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_common"))
