@@ -416,3 +416,43 @@ def scalar_encoding_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hex2"
         ),
     )
+
+
+@register(
+    "scalar_calendar_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(last_day(CAST(o_orderdate AS TIMESTAMP)) AS TIMESTAMP)
+               AS month_end,
+           CAST(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 1 MONTH
+                AS TIMESTAMP) AS next_month,
+           CAST(quarter(CAST(o_orderdate AS TIMESTAMP)) AS INT) AS qtr,
+           CAST(date_trunc('quarter', CAST(o_orderdate AS TIMESTAMP))
+                AS TIMESTAMP) AS quarter_start,
+           CAST(datediff('day', CAST(o_orderdate AS TIMESTAMP),
+                         last_day(CAST(o_orderdate AS TIMESTAMP)))
+                AS INT) AS days_to_month_end
+    FROM orders WHERE o_orderkey % 101 = 0
+    """,
+    doc="Calendar-arithmetic scalar family: month-end (leap-aware), "
+        "add-a-month with end-of-month clamping (Spark add_months == SQL "
+        "+ INTERVAL 1 MONTH — both clamp Jan 31 + 1mo to Feb 29, "
+        "verified), quarter extraction/truncation, and days-to-month-end. "
+        "All map-side codegen; the modulo filter is scan-resident. These "
+        "are the fiscal-boundary building blocks the period-over-period "
+        "and gap-fill queries assume. Reference parity: extension surface "
+        "(SURVEY.md §2.B scalar date/time rows).",
+)
+def scalar_calendar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 101 == 0)
+    d = F.col("o_orderdate").cast("timestamp")
+    return o.select(
+        "o_orderkey",
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.add_months(d, 1).cast("timestamp").alias("next_month"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.date_trunc("quarter", d).cast("timestamp").alias("quarter_start"),
+        F.datediff(F.last_day(d), F.to_date(d)).cast("int").alias(
+            "days_to_month_end"
+        ),
+    )

@@ -106,6 +106,25 @@ _SHARED_SQL = {
                             (o_orderstatus), ())
     ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
     """,
+    # ANSI set operations through the textual front door: customers of
+    # high-value open orders INTERSECT / EXCEPT urgent-priority customers.
+    # Catalyst compiles INTERSECT to a left-semi aggregate and EXCEPT to a
+    # left-anti aggregate — same plans the DataFrame set-op queries get.
+    "sql_front_set_ops": """
+    SELECT c AS custkey, which FROM (
+        SELECT o_custkey AS c, 'both' AS which FROM orders
+        WHERE o_totalprice > 250000
+        INTERSECT
+        SELECT o_custkey AS c, 'both' AS which FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    ) t
+    UNION ALL
+    SELECT c AS custkey, 'only_big' AS which FROM (
+        SELECT o_custkey AS c FROM orders WHERE o_totalprice > 250000
+        EXCEPT
+        SELECT o_custkey AS c FROM orders WHERE o_orderpriority = '1-URGENT'
+    ) t2
+    """,
 }
 
 

@@ -1067,3 +1067,71 @@ def ts_winsorize_robust_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_clamped",
         )
     )
+
+
+@register(
+    "ts_max_drawdown",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS d,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ),
+    cum AS (
+        SELECT d, cents,
+               SUM(cents) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS equity
+        FROM daily
+    ),
+    dd AS (
+        SELECT d, equity,
+               MAX(equity) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS peak
+        FROM cum
+    )
+    SELECT CAST(d AS TIMESTAMP) AS trough_day,
+           CAST(peak - equity AS BIGINT) AS drawdown_cents,
+           CAST(peak AS BIGINT) AS peak_cents
+    FROM dd
+    QUALIFY row_number() OVER (ORDER BY peak - equity DESC, d) = 1
+    """,
+    doc="Maximum drawdown of the cumulative daily-revenue curve (the "
+        "risk metric: largest peak-to-trough fall of the running total): "
+        "running equity and running peak share ONE ordered window pass on "
+        "the bounded daily grid (exact integer cents — a float cumsum "
+        "would drift between engines); the argmax trough is rank-picked "
+        "with a date tie-break. Corpus work is the one daily "
+        "aggregation. Per-series drawdown partitions the windows by key. "
+        "Reference parity: extension surface (SURVEY.md §2.B time-series "
+        "rows).",
+)
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    dd = daily.select(
+        "d",
+        F.sum("cents").over(w).alias("equity"),
+    ).select(
+        "d",
+        "equity",
+        F.max("equity").over(w).alias("peak"),
+    )
+    ranked = dd.select(
+        F.col("d").cast("timestamp").alias("trough_day"),
+        (F.col("peak") - F.col("equity")).cast("long").alias("drawdown_cents"),
+        F.col("peak").cast("long").alias("peak_cents"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("drawdown_cents").desc(), "trough_day")
+        ),
+    )
+    return ranked.where(F.col("rn") == 1).drop("rn")
