@@ -1283,3 +1283,82 @@ def pipeline_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ratio > 0.5).alias("is_boilerplate_heavy"),
         )
     )
+
+
+@register(
+    "pipeline_epoch_plan",
+    oracle="""
+    WITH lt AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split_regex(lower(trim(text)), '\\s+')))
+                    AS BIGINT) AS lang_tokens
+        FROM documents WHERE text IS NOT NULL GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(lang_tokens) AS BIGINT) AS corpus_tokens FROM lt),
+    w AS (
+        SELECT lang, n_docs, lang_tokens,
+               CAST(round(pow(CAST(lang_tokens AS DOUBLE)
+                              / t.corpus_tokens, 0.5) * 1000000) AS BIGINT)
+                   AS w_micro
+        FROM lt CROSS JOIN tot t
+    ),
+    ws AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS w_total FROM w)
+    SELECT w.lang, w.n_docs, w.lang_tokens,
+           CAST(200000 * w.w_micro // ws.w_total AS BIGINT)
+               AS budget_tokens,
+           CAST((200000 * w.w_micro // ws.w_total) * 100 // w.lang_tokens
+                AS BIGINT) AS epochs_x100
+    FROM w CROSS JOIN ws
+    """,
+    doc="Epoch planning from temperature-scaled mixture weights (the last "
+        "step of the mixture pipeline: turn alpha=0.5 sampling weights "
+        "and a 200k-token training budget into per-language token budgets "
+        "and epoch counts — epochs > 1 means that language repeats, the "
+        "signal to raise its cap or lower alpha): per-lang exact token "
+        "totals (one corpus pass), then all planning arithmetic on the "
+        "bounded language table with broadcast scalars. The only "
+        "non-rational op (pow 0.5 = sqrt, IEEE-pinned) is quantized to "
+        "1e-6 weights; budgets and epochs use integral division so both "
+        "engines emit identical integers. Companion to "
+        "pipeline_mixture_temperature (weights) and "
+        "pipeline_oversample_minority (replication). Reference parity: "
+        "extension surface (SURVEY.md §2.B curation rows).",
+)
+def pipeline_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    lt = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("lang_tokens"),
+    )
+    tot = lt.agg(F.sum("lang_tokens").cast("long").alias("corpus_tokens"))
+    w = lt.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "lang_tokens",
+        F.round(
+            F.sqrt(
+                F.col("lang_tokens").cast("double") / F.col("corpus_tokens")
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("w_micro"),
+    )
+    ws = w.agg(F.sum("w_micro").cast("long").alias("w_total"))
+    return (
+        w.crossJoin(F.broadcast(ws))
+        .withColumn(
+            "budget_tokens",
+            F.expr("(200000 * w_micro) div w_total").cast("long"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "lang_tokens",
+            "budget_tokens",
+            F.expr("(budget_tokens * 100) div lang_tokens")
+            .cast("long")
+            .alias("epochs_x100"),
+        )
+    )

@@ -58,6 +58,25 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: — and stays oracle-checked in tests/test_parity.py. Any spec without an
 #: oracle sorts last so it can never burn a window slot on a rows-only
 #: check.
+#:
+#: ROUND-4 ROTATION CANDIDATES (registered in round 3 AFTER this window
+#: was frozen, so none have a driver-green row yet — swap them in next
+#: round): ml_decision_stump, ml_linear_regression_multi, ml_auc_rank_sum,
+#: ts_cross_correlation, ts_seasonal_decompose, ts_max_silence_gap,
+#: ts_record_highs, ts_winsorize_robust_mean, ts_max_drawdown,
+#: dq_freshness_lag, dq_reconcile_totals, cdc_ops_per_entity_histogram,
+#: text_bigram_logprob, text_keyword_rake, text_zipf_fit,
+#: text_source_divergence, text_langid_confusion, pipeline_dataset_card,
+#: pipeline_oversample_minority, pipeline_shard_skew_report,
+#: pipeline_boilerplate_strip, pipeline_epoch_plan,
+#: graph_copurchase_degree, graph_jaccard_neighbors,
+#: graph_degree_assortativity, agg_boolean_conditional,
+#: agg_median_of_means, udf_map_in_arrow, scalar_encoding_funcs,
+#: scalar_calendar_funcs, stream_watermark_lateness_audit,
+#: asof_join_nearest_events_orders, win_trailing_7d_revenue,
+#: analytics_time_to_convert, analytics_dau_wau_stickiness,
+#: sim_embedding_qc_stats, sim_matryoshka_prefix_recall,
+#: multimodal_frame_dedup, sql_front_grouping_sets, sql_front_set_ops.
 DRIVER_WINDOW: list[str] = [
     # joins: remaining uncertified variants
     "join_null_safe_eq",
