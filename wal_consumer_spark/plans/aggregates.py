@@ -1055,3 +1055,39 @@ def agg_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     return totals.crossJoin(F.broadcast(mom)).select(
         "n_rows", "n_groups", "median_of_means"
     )
+
+
+@register(
+    "agg_log2_histogram",
+    oracle="""
+    SELECT CAST(floor(ln(CAST(round(o_totalprice * 100) AS BIGINT))
+                      / ln(2)) AS BIGINT) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS min_cents,
+           CAST(MAX(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS max_cents
+    FROM orders WHERE o_totalprice > 0
+    GROUP BY 1
+    """,
+    doc="Log2-width histogram (the HdrHistogram/latency-distribution "
+        "bucketing: constant relative error across five orders of "
+        "magnitude where the linear histogram wastes all resolution on "
+        "one decade): bucket = floor(log2(cents)), computed as ln/ln(2) "
+        "spelled identically in both engines — log2's argument is an "
+        "exact integer so the one ulp-sensitive op sees identical inputs, "
+        "and a boundary disagreement would surface as a hash mismatch "
+        "(none observed at 150k rows). Map-side bucketing, <=40-group "
+        "aggregate, one pass at any scale. Complements "
+        "agg_histogram_totalprice's fixed-width buckets. Reference "
+        "parity: extension surface (SURVEY.md §2.B aggregation rows).",
+)
+def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    bucket = F.floor(F.log(cents) / F.log(F.lit(2.0))).cast("long")
+    return o.groupBy(bucket.alias("log2_bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min(cents).cast("long").alias("min_cents"),
+        F.max(cents).cast("long").alias("max_cents"),
+    )

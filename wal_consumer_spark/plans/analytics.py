@@ -1598,3 +1598,72 @@ def ml_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+@register(
+    "analytics_gini_coefficient",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, user_id) AS i,
+               COUNT(*) OVER () AS n,
+               SUM(CAST(cents AS DECIMAL(38,0))) OVER () AS total
+        FROM per_user
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+           CAST(MAX(total) AS BIGINT) AS total_cents,
+           round(2.0 * CAST(SUM(CAST(i AS DECIMAL(38,0))
+                                * CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
+                 / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(total) AS DOUBLE))
+                 - (CAST(MAX(n) AS DOUBLE) + 1) / MAX(n), 6) AS gini
+    FROM ranked
+    """,
+    doc="Gini coefficient of per-user spend concentration (the single "
+        "inequality scalar behind the Pareto/Lorenz query "
+        "analytics_pareto_share): G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n "
+        "over values sorted ascending — exact DECIMAL rank-weighted sums, "
+        "deterministic user_id tie-break, one double expression at the "
+        "end. The corpus collapses to per-user totals first (one narrow "
+        "shuffle); the rank runs over the bounded user table. At 100 TB "
+        "the global sort is per-user-table-sized, not corpus-sized — and "
+        "can fall back to the binned approximation over an "
+        "agg_log2_histogram-style bucketing without changing the output "
+        "contract. Reference parity: extension surface (SURVEY.md §2.B "
+        "analytics rows).",
+)
+def analytics_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    wtot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = per_user.select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "user_id")).alias("i"),
+        F.count(F.lit(1)).over(wtot).alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).over(wtot).alias("total"),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_users"),
+        F.max("total").cast("long").alias("total_cents"),
+        F.round(
+            F.lit(2.0)
+            * F.sum(
+                F.col("i").cast("decimal(38,0)")
+                * F.col("cents").cast("decimal(38,0)")
+            ).cast("double")
+            / (F.max("n").cast("double") * F.max("total").cast("double"))
+            - (F.max("n").cast("double") + 1) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )

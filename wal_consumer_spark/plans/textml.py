@@ -824,3 +824,105 @@ def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "js_divergence"
         )
     )
+
+
+@register(
+    "text_vocab_growth_heaps",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+    first_doc AS (SELECT t, MIN(doc_id) AS fd FROM tok GROUP BY t),
+    new_terms AS (
+        SELECT fd AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_new
+        FROM first_doc GROUP BY fd
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+        FROM tok GROUP BY doc_id
+    ),
+    growth AS (
+        SELECT p.doc_id,
+               SUM(p.n_tok) OVER (ORDER BY p.doc_id) AS cum_tokens,
+               SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY p.doc_id)
+                   AS cum_vocab
+        FROM per_doc p LEFT JOIN new_terms n ON n.doc_id = p.doc_id
+    ),
+    pts AS (
+        SELECT CAST(round(ln(cum_tokens) * 1000000) AS BIGINT) AS lx,
+               CAST(round(ln(cum_vocab) * 1000000) AS BIGINT) AS ly
+        FROM growth
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(lx) AS DOUBLE) / 1000000 AS sx,
+               CAST(SUM(ly) AS DOUBLE) / 1000000 AS sy,
+               CAST(SUM(CAST(lx AS DECIMAL(38,0)) * CAST(lx AS DECIMAL(38,0)))
+                    AS DOUBLE) / 1000000000000 AS sxx,
+               CAST(SUM(CAST(lx AS DECIMAL(38,0)) * CAST(ly AS DECIMAL(38,0)))
+                    AS DOUBLE) / 1000000000000 AS sxy
+        FROM pts
+    )
+    SELECT n AS n_points,
+           round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS heaps_beta,
+           (SELECT CAST(MAX(cum_vocab) AS BIGINT) FROM growth)
+               AS final_vocab,
+           (SELECT CAST(MAX(cum_tokens) AS BIGINT) FROM growth)
+               AS final_tokens
+    FROM s
+    """,
+    doc="Heaps'-law vocabulary-growth fit (V ~ k*N^beta; beta far from "
+        "~0.4-0.6 flags synthetic or repetitive corpora — the companion "
+        "diagnostic to text_zipf_fit): cumulative vocabulary is computed "
+        "WITHOUT a corpus-ordered scan by assigning each term to its "
+        "FIRST document (one vocabulary-keyed MIN), rolling new-term "
+        "counts up to the bounded per-doc grid, and running both "
+        "cumulative sums over #docs rows. The log-log OLS uses the "
+        "engine's quantized-ln + exact-sum recipe. Corpus-sized work: the "
+        "token count and the first-doc MIN — both map-side combinable. "
+        "Reference parity: extension surface (SURVEY.md §2.B text rows).",
+)
+def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    first_doc = tok.groupBy("t").agg(F.min("doc_id").alias("fd"))
+    new_terms = first_doc.groupBy(F.col("fd").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    per_doc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    growth = (
+        per_doc.join(new_terms, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_tok").over(w).alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0))).over(w).alias(
+                "cum_vocab"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pts = growth.select(
+        F.round(F.log("cum_tokens") * 1000000).cast("long").alias("lx"),
+        F.round(F.log("cum_vocab") * 1000000).cast("long").alias("ly"),
+    )
+    lx38 = F.col("lx").cast("decimal(38,0)")
+    ly38 = F.col("ly").cast("decimal(38,0)")
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("lx").cast("double") / 1000000).alias("sx"),
+        (F.sum("ly").cast("double") / 1000000).alias("sy"),
+        (F.sum(lx38 * lx38).cast("double") / 1_000_000_000_000).alias("sxx"),
+        (F.sum(lx38 * ly38).cast("double") / 1_000_000_000_000).alias("sxy"),
+    )
+    maxes = growth.agg(
+        F.max("cum_vocab").cast("long").alias("final_vocab"),
+        F.max("cum_tokens").cast("long").alias("final_tokens"),
+    )
+    n = F.col("n")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.crossJoin(F.broadcast(maxes)).select(
+        n.alias("n_points"),
+        F.round(cov / vx, 6).alias("heaps_beta"),
+        "final_vocab",
+        "final_tokens",
+    )

@@ -1135,3 +1135,40 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return ranked.where(F.col("rn") == 1).drop("rn")
+
+
+@register(
+    "ts_calendar_heatmap",
+    oracle="""
+    SELECT datediff('day', DATE '1995-01-01',
+                    CAST(CAST(ts AS TIMESTAMP) AS DATE)) % 7 AS dow,
+           CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Day-of-week x hour-of-day activity heatmap (the load-profile "
+        "matrix behind capacity planning and anomaly baselines): "
+        "epoch-anchored day-of-week (never the engines' divergent "
+        "dayofweek() conventions) crossed with hour-of-day, counting "
+        "events and exact cents per cell. Pure map-side bucketing into a "
+        "fixed <=168-cell grid — partial aggregation reduces every task "
+        "to the grid size before one trivial exchange, one pass at any "
+        "scale. Reference parity: extension surface (SURVEY.md §2.B "
+        "time-series rows).",
+)
+def ts_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    dow = (
+        F.datediff(F.to_date("ts"), F.lit("1995-01-01").cast("date")) % 7
+    ).alias("dow")
+    return e.groupBy(
+        dow, F.hour(F.col("ts").cast("timestamp")).cast("int").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("value_cents"),
+    )
