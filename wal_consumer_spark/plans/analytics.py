@@ -1667,3 +1667,45 @@ def analytics_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "analytics_new_vs_returning",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        FROM events
+    ),
+    f AS (SELECT user_id, MIN(d) AS first_day FROM ud GROUP BY user_id)
+    SELECT CAST(ud.d AS TIMESTAMP) AS day,
+           CAST(count_if(ud.d = f.first_day) AS BIGINT) AS new_users,
+           CAST(count_if(ud.d > f.first_day) AS BIGINT) AS returning_users
+    FROM ud JOIN f USING (user_id)
+    GROUP BY ud.d
+    """,
+    doc="New-vs-returning daily split (the acquisition/retention divider "
+        "on every growth dashboard): each user's first active day is a "
+        "window MIN over the distinct (user, day) incidence, then one "
+        "rollup classifies every active day. ONE user_id shuffle serves "
+        "the dedupe, the first-day window, and the classification "
+        "(cohort-retention's single-shuffle pattern); output is bounded "
+        "by the calendar. Reference parity: extension surface "
+        "(SURVEY.md §2.B analytics rows).",
+)
+def analytics_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("d")).repartition(
+        "user_id"
+    ).distinct()
+    first = F.min("d").over(Window.partitionBy("user_id"))
+    return (
+        ud.withColumn("first_day", first)
+        .groupBy(F.col("d").cast("timestamp").alias("day"))
+        .agg(
+            F.count_if(F.col("d") == F.col("first_day")).alias("new_users"),
+            F.count_if(F.col("d") > F.col("first_day")).alias(
+                "returning_users"
+            ),
+        )
+    )

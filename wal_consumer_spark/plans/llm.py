@@ -1574,3 +1574,98 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_correct"),
     )
+
+
+@register(
+    "ml_knn_loo_accuracy",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 100),
+    c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+    nn AS (
+        SELECT query_id, cand_label FROM (
+            SELECT e.vec_id AS query_id, c.label AS cand_label,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.v, c.v), 6)
+                                DESC, c.vec_id) AS rank
+            FROM c CROSS JOIN e WHERE c.vec_id <> e.vec_id
+        ) WHERE rank <= 5
+    ),
+    votes AS (
+        SELECT query_id, cand_label, COUNT(*) AS n_votes
+        FROM nn GROUP BY query_id, cand_label
+    ),
+    pred AS (
+        SELECT query_id, cand_label AS pred_label FROM (
+            SELECT query_id, cand_label, n_votes,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY n_votes DESC, cand_label)
+                       AS rn
+            FROM votes
+        ) WHERE rn = 1
+    )
+    SELECT e.label AS true_label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(count_if(p.pred_label = e.label) AS BIGINT) AS n_correct
+    FROM e JOIN pred p ON p.query_id = e.vec_id
+    GROUP BY e.label
+    """,
+    doc="Leave-one-out kNN classification accuracy over the embedding "
+        "space (k=5 cosine neighbours, majority vote with smallest-label "
+        "tie-break; the query excludes itself) — the standard "
+        "label-coherence probe of an embedding table, reported per class "
+        "as another in-plan hash-certified evaluation. Rankings use the "
+        "broadcast brute-force pattern over a 100-query sample (the "
+        "documented exact baseline; at scale the ANN index substitutes "
+        "for brute force, recall certified by sim_ann_recall_eval). "
+        "Voting and accuracy are bounded narrow-key aggregations. "
+        "Reference parity: extension surface (SURVEY.md §2.B "
+        "similarity/ML rows).",
+)
+def ml_knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wal_consumer_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    queries = emb.where(F.col("vec_id") < 100)
+    nn = cosine_topk_bruteforce(emb, queries, k=5).select(
+        "query_id", "cand_id"
+    )
+    cand_labels = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("label").alias("cand_label")
+    )
+    votes = (
+        nn.join(F.broadcast(cand_labels), "cand_id")
+        .groupBy("query_id", "cand_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    pred = (
+        votes.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("n_votes").desc(), "cand_label"
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("query_id", F.col("cand_label").alias("pred_label"))
+    )
+    truth = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return (
+        truth.join(pred, "query_id")
+        .groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.count_if(F.col("pred_label") == F.col("true_label")).alias(
+                "n_correct"
+            ),
+        )
+    )

@@ -926,3 +926,57 @@ def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "final_vocab",
         "final_tokens",
     )
+
+
+@register(
+    "text_char_trigram_profile",
+    oracle="""
+    WITH ch AS (
+        SELECT lang,
+               substring(lower(trim(text)), i, 3) AS tri
+        FROM documents,
+             UNNEST(generate_series(1, greatest(length(trim(text)) - 2, 0)))
+                 AS u(i)
+        WHERE text IS NOT NULL
+    ),
+    counts AS (
+        SELECT lang, tri, CAST(COUNT(*) AS BIGINT) AS n
+        FROM ch WHERE tri NOT LIKE '% %' GROUP BY lang, tri
+    )
+    SELECT lang, tri, n, rnk FROM (
+        SELECT lang, tri, n,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY n DESC, tri) AS rnk
+        FROM counts
+    ) WHERE rnk <= 10
+    """,
+    doc="Character-trigram language signatures (the Cavnar-Trenkle n-gram "
+        "profile behind real language-ID, vs text_langid's stopword "
+        "shortcut): per language, the top-10 space-free character "
+        "trigrams by frequency. Trigrams are generated ARRAY-LOCALLY per "
+        "row (positional substring over an index spine — no "
+        "self-join); the count table is alphabet^3-bounded per language, "
+        "so the only corpus-sized work is the one generate+count pass "
+        "and the per-lang rank runs on bounded rows. At 100 TB these "
+        "profiles are the classifier model — built once per corpus "
+        "snapshot, then applied map-side. Reference parity: extension "
+        "surface (SURVEY.md §2.B text analysis).",
+)
+def text_char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    tri = d.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(trim(text)) - 2, 0)), "
+                "i -> substring(lower(trim(text)), i, 3))"
+            )
+        ).alias("tri"),
+    ).where(~F.col("tri").contains(" "))
+    counts = tri.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "tri")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select("lang", "tri", "n", "rnk")
+    )
