@@ -21,7 +21,7 @@ and what the SQL oracle replays with a window function.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wal_consumer_spark.operators.cdc import apply_cdc_batch, last_op_per_key
@@ -862,4 +862,128 @@ def cdc_ops_per_entity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_ops").cast("long").alias("total_ops"),
         F.min("n_ops").cast("long").alias("min_ops"),
         F.max("n_ops").cast("long").alias("max_ops"),
+    )
+
+
+@register(
+    "dq_psi_drift",
+    oracle="""
+    WITH half AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey,
+               CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE)
+                   >= DATE '1998-01-01' AS is_recent
+        FROM orders
+    ),
+    base AS (SELECT cents, o_orderkey FROM half WHERE NOT is_recent),
+    edges AS (
+        SELECT CAST(MAX(CASE WHEN rn = (n * d) // 10 THEN cents END)
+                    AS BIGINT) AS edge, d
+        FROM (SELECT cents,
+                     row_number() OVER (ORDER BY cents, o_orderkey) AS rn,
+                     COUNT(*) OVER () AS n
+              FROM base),
+             UNNEST(generate_series(1, 9)) AS u(d)
+        GROUP BY d
+    ),
+    bucketed AS (
+        SELECT h.is_recent,
+               CAST(COALESCE(SUM(CASE WHEN h.cents > e.edge THEN 1 END), 0)
+                    AS BIGINT) AS bucket
+        FROM half h LEFT JOIN edges e ON TRUE
+        GROUP BY h.is_recent, h.cents, h.o_orderkey
+    ),
+    counts AS (
+        SELECT bucket,
+               CAST(count_if(NOT is_recent) AS BIGINT) AS n_base,
+               CAST(count_if(is_recent) AS BIGINT) AS n_recent
+        FROM bucketed GROUP BY bucket
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_base) AS DOUBLE) AS tb,
+               CAST(SUM(n_recent) AS DOUBLE) AS tr
+        FROM counts
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           round(CAST(SUM(CAST(round(
+                     (n_base / t.tb - n_recent / t.tr)
+                     * ln((n_base / t.tb) / (n_recent / t.tr))
+                     * 1000000000) AS BIGINT)) AS DOUBLE)
+                 / 1000000000, 6) AS psi
+    FROM counts CROSS JOIN tot t
+    WHERE n_base > 0 AND n_recent > 0
+    """,
+    doc="Population-stability-index drift audit (the ML-ops metric gating "
+        "model retrains: PSI > 0.2 between the training-era and recent "
+        "value distributions means the feature drifted): decile edges are "
+        "rank-picked from the pre-1998 baseline (deterministic orderkey "
+        "tie-break), every order is bucketed by counting edges below it "
+        "(a 9-row broadcast join — no per-row binary search), and PSI "
+        "sums (p-q)*ln(p/q) per bucket with the engine's 1e-9 "
+        "quantization (ln is the one non-IEEE-pinned op; its inputs are "
+        "identical doubles from exact counts). Corpus work: one scan + "
+        "the baseline rank; the PSI arithmetic runs on <=10 rows. "
+        "Reference parity: extension surface (SURVEY.md §2.B DQ rows).",
+)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    half = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+        (F.to_date("o_orderdate") >= F.lit("1998-01-01").cast("date")).alias(
+            "is_recent"
+        ),
+    )
+    base = half.where(~F.col("is_recent"))
+    ranked = base.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy("cents", "o_orderkey"))
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    deciles = spark.range(1, 10).select(F.col("id").cast("int").alias("d"))
+    edges = (
+        ranked.crossJoin(F.broadcast(deciles))
+        .where(F.col("rn") == F.expr("(n * d) div 10"))
+        .groupBy("d")
+        .agg(F.max("cents").cast("long").alias("edge"))
+    )
+    bucketed = (
+        half.crossJoin(F.broadcast(edges))
+        .groupBy("is_recent", "cents", "o_orderkey")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("cents") > F.col("edge"), 1)), F.lit(0)
+            )
+            .cast("long")
+            .alias("bucket")
+        )
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.count_if(~F.col("is_recent")).alias("n_base"),
+        F.count_if(F.col("is_recent")).alias("n_recent"),
+    )
+    tot = counts.agg(
+        F.sum("n_base").cast("double").alias("tb"),
+        F.sum("n_recent").cast("double").alias("tr"),
+    )
+    p = F.col("n_base") / F.col("tb")
+    q = F.col("n_recent") / F.col("tr")
+    term = F.round((p - q) * F.log(p / q) * 1_000_000_000).cast("long")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .where((F.col("n_base") > 0) & (F.col("n_recent") > 0))
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.round(F.sum(term).cast("double") / 1_000_000_000, 6).alias(
+                "psi"
+            ),
+        )
     )

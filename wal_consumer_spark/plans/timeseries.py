@@ -1172,3 +1172,85 @@ def ts_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("value_cents"),
     )
+
+
+@register(
+    "ts_longest_rising_streak",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS d,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ),
+    flagged AS (
+        SELECT d, cents,
+               CASE WHEN cents > lag(cents) OVER (ORDER BY d)
+                    THEN 0 ELSE 1 END AS brk
+        FROM daily
+    ),
+    grouped AS (
+        SELECT d, cents,
+               SUM(brk) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS grp
+        FROM flagged
+    ),
+    streaks AS (
+        SELECT grp,
+               CAST(COUNT(*) AS BIGINT) AS len,
+               CAST(MIN(d) AS TIMESTAMP) AS start_day,
+               CAST(MAX(d) AS TIMESTAMP) AS end_day
+        FROM grouped GROUP BY grp
+    )
+    SELECT len AS streak_days, start_day, end_day
+    FROM streaks
+    QUALIFY row_number() OVER (ORDER BY len DESC, start_day) <= 5
+    """,
+    doc="Longest strictly-rising revenue streaks (momentum detection): "
+        "break flags from a lag comparison, runs recovered with the "
+        "running-sum-of-breaks variant of gaps-and-islands (win_islands "
+        "uses the id-difference form; this is the order-dependent-"
+        "predicate form the id trick cannot express), top-5 streaks by "
+        "length with a date tie-break. All on the bounded exact-cents "
+        "daily grid after one corpus aggregation; per-series streaks "
+        "partition every window by key. Reference parity: extension "
+        "surface (SURVEY.md §2.B window/time-series rows).",
+)
+def ts_longest_rising_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    wo = Window.orderBy("d")
+    flagged = daily.select(
+        "d",
+        "cents",
+        F.when(F.col("cents") > F.lag("cents").over(wo), 0)
+        .otherwise(1)
+        .alias("brk"),
+    )
+    grouped = flagged.select(
+        "d",
+        "cents",
+        F.sum("brk")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("grp"),
+    )
+    streaks = grouped.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("streak_days"),
+        F.min("d").cast("timestamp").alias("start_day"),
+        F.max("d").cast("timestamp").alias("end_day"),
+    )
+    return (
+        streaks.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("streak_days").desc(), "start_day")
+            ),
+        )
+        .where(F.col("rn") <= 5)
+        .select("streak_days", "start_day", "end_day")
+    )
