@@ -1709,3 +1709,82 @@ def analytics_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle="""
+    WITH e AS (
+        SELECT a.n_nationkey AS u, b.n_nationkey AS v
+        FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey
+        WHERE a.n_nationkey < b.n_nationkey
+    ),
+    adj AS (
+        SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+    ),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u),
+    tri AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS t FROM (
+            SELECT a.u AS w, a.v AS x, b.v AS y
+            FROM adj a JOIN adj b ON a.u = b.u AND a.v < b.v
+        ) wedge
+        JOIN e ON e.u = wedge.x AND e.v = wedge.y
+        GROUP BY w
+    )
+    SELECT n.n_name, deg.d AS degree,
+           CAST(COALESCE(tri.t, 0) AS BIGINT) AS n_triangles,
+           round(2.0 * COALESCE(tri.t, 0)
+                 / (CAST(deg.d AS DOUBLE) * (deg.d - 1)), 6)
+               AS clustering_coeff
+    FROM deg
+    LEFT JOIN tri ON tri.w = deg.u
+    JOIN nation n ON n.n_nationkey = deg.u
+    WHERE deg.d > 1
+    """,
+    doc="Per-node local clustering coefficient c(v) = 2*T(v) / (d(v) * "
+        "(d(v)-1)) over the intra-region nation graph: wedges centred at "
+        "each node (adjacency self-join on the centre with v < y "
+        "dedup), closed by an edge-table join, normalized by the degree "
+        "pair count. On the clique test graph every coefficient is 1.0 — "
+        "asserted non-vacuous by the degree/triangle columns; at real "
+        "scale the wedge join takes the same degree-cap guard as "
+        "graph_jaccard_neighbors (wedge_pairs), and the closing join "
+        "shuffles on the (x, y) edge key. The node-level refinement of "
+        "graph_triangle_count's global tally. Reference parity: "
+        "extension surface (SURVEY.md §2.B graph rows).",
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    a = n.select(F.col("n_nationkey").alias("u"), F.col("n_regionkey").alias("r"))
+    b = n.select(F.col("n_nationkey").alias("v"), F.col("n_regionkey").alias("r"))
+    e = a.join(b, "r").where(F.col("u") < F.col("v")).select("u", "v")
+    adj = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    wedge = (
+        adj.select(F.col("u").alias("w"), F.col("v").alias("x"))
+        .join(adj.select(F.col("u").alias("w"), F.col("v").alias("y")), "w")
+        .where(F.col("x") < F.col("y"))
+    )
+    tri = (
+        wedge.join(
+            e.select(F.col("u").alias("x"), F.col("v").alias("y")), ["x", "y"]
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    return (
+        deg.where(F.col("d") > 1)
+        .join(tri, deg.u == tri.w, "left")
+        .join(n.select(F.col("n_nationkey").alias("u"), "n_name"), "u")
+        .select(
+            "n_name",
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("n_triangles"),
+            F.round(
+                F.lit(2.0)
+                * F.coalesce(F.col("t"), F.lit(0))
+                / (F.col("d").cast("double") * (F.col("d") - 1)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )

@@ -987,3 +987,83 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "dq_scd2_interval_audit",
+    oracle=f"""
+    WITH wal AS ({WAL_SQL}),
+    v AS (
+        SELECT entity_id, id AS valid_from, operation,
+               lead(id) OVER (PARTITION BY entity_id ORDER BY id) AS valid_to
+        FROM wal
+    ),
+    versions AS (
+        SELECT entity_id, valid_from, valid_to
+        FROM v WHERE operation <> 'DELETE'
+    ),
+    seq AS (
+        SELECT entity_id, valid_from, valid_to,
+               lag(valid_to) OVER (PARTITION BY entity_id
+                                   ORDER BY valid_from) AS prev_to
+        FROM versions
+    )
+    SELECT entity_id,
+           CAST(COUNT(*) AS BIGINT) AS n_versions,
+           CAST(count_if(valid_to IS NOT NULL
+                         AND valid_to <= valid_from) AS BIGINT)
+               AS n_inverted,
+           CAST(count_if(prev_to IS NOT NULL
+                         AND valid_from < prev_to) AS BIGINT) AS n_overlaps,
+           CAST(count_if(prev_to IS NOT NULL
+                         AND valid_from > prev_to) AS BIGINT) AS n_gaps,
+           CAST(count_if(valid_to IS NULL) AS BIGINT) AS n_open
+    FROM seq GROUP BY entity_id
+    HAVING count_if(prev_to IS NOT NULL AND valid_from > prev_to) > 0
+        OR COUNT(*) > 25
+    """,
+    doc="SCD2 validity-interval audit — the DQ gate every slowly-changing "
+        "dimension needs after a build or a merge: per entity, inverted "
+        "intervals (valid_to <= valid_from), OVERLAPS between consecutive "
+        "versions (two truths at one time — corrupts every temporal "
+        "join), GAPS (a DELETE legitimately opens one — the count "
+        "separates tombstone gaps from lost versions) and dangling open "
+        "versions. One entity-partitioned window pass over the version "
+        "table (the same shuffle the SCD2 build itself uses — at 100 TB "
+        "the audit co-rides the build). Output keeps gap-bearing or "
+        "high-churn entities so the result is non-vacuous on the "
+        "driver corpus (DELETEs create real gaps). Companion to "
+        "cdc_scd2_history and cdc_temporal_join.",
+)
+def dq_scd2_interval_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wal = synthetic_wal(spark, sf_dir)
+    w = Window.partitionBy("entity_id").orderBy("id")
+    versions = (
+        wal.select(
+            "entity_id",
+            F.col("id").alias("valid_from"),
+            "operation",
+            F.lead("id").over(w).alias("valid_to"),
+        )
+        .filter(F.col("operation") != "DELETE")
+        .select("entity_id", "valid_from", "valid_to")
+    )
+    ws = Window.partitionBy("entity_id").orderBy("valid_from")
+    seq = versions.withColumn("prev_to", F.lag("valid_to").over(ws))
+    out = seq.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.count_if(
+            F.col("valid_to").isNotNull()
+            & (F.col("valid_to") <= F.col("valid_from"))
+        ).alias("n_inverted"),
+        F.count_if(
+            F.col("prev_to").isNotNull()
+            & (F.col("valid_from") < F.col("prev_to"))
+        ).alias("n_overlaps"),
+        F.count_if(
+            F.col("prev_to").isNotNull()
+            & (F.col("valid_from") > F.col("prev_to"))
+        ).alias("n_gaps"),
+        F.count_if(F.col("valid_to").isNull()).alias("n_open"),
+    )
+    return out.where((F.col("n_gaps") > 0) | (F.col("n_versions") > 25))
