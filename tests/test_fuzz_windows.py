@@ -64,9 +64,22 @@ def _build(spark, duck, spec):
     cents = F.round(F.col(money) * 100).cast("long")
     cents_sql = f"CAST(round({money} * 100) AS BIGINT)"
     rank_like = fn in ("rank", "dense_rank")
-    order_sql = f"{ocol}" if rank_like else f"{ocol}, {pk}"
+    # pin NULLS FIRST explicitly in BOTH engines: Spark's ASC default is
+    # NULLS FIRST but DuckDB's is NULLS LAST — relying on defaults would
+    # silently diverge the moment a nullable order column joins WTABLES
+    order_sql = (
+        f"{ocol} ASC NULLS FIRST"
+        if rank_like
+        else f"{ocol} ASC NULLS FIRST, {pk} ASC NULLS FIRST"
+    )
     w = Window.partitionBy(part)
-    w = w.orderBy(ocol) if rank_like else w.orderBy(ocol, pk)
+    w = (
+        w.orderBy(F.col(ocol).asc_nulls_first())
+        if rank_like
+        else w.orderBy(
+            F.col(ocol).asc_nulls_first(), F.col(pk).asc_nulls_first()
+        )
+    )
 
     if fn in ("row_number", "rank", "dense_rank"):
         col = getattr(F, fn)().over(w)

@@ -1119,6 +1119,20 @@ def edges_from_incidence(op: DataFrame) -> DataFrame:
     return edges.localCheckpoint(eager=True)
 
 
+def adjacency_degrees(
+    e: DataFrame, u: str = "p1", v: str = "p2"
+) -> tuple[DataFrame, DataFrame]:
+    """(adj, deg) for an undirected edge frame: both-direction adjacency
+    (u, v) and the per-vertex degree table. The ONE definition of degree
+    semantics every graph query shares — hub caps, self-loop policy, or
+    weighting changes happen here, not in three inlined copies."""
+    adj = e.select(F.col(u).alias("u"), F.col(v).alias("v")).unionAll(
+        e.select(F.col(v).alias("u"), F.col(u).alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    return adj, deg
+
+
 def wedge_pairs(e: DataFrame, cap: int = 64) -> tuple[DataFrame, DataFrame]:
     """(via, deg) for the capped wedge enumeration over an edge frame.
 
@@ -1126,10 +1140,7 @@ def wedge_pairs(e: DataFrame, cap: int = 64) -> tuple[DataFrame, DataFrame]:
     middle vertex has degree <= cap enter it, so over-cap hubs' deg^2
     fanout is never generated. Growth-guarded (linear in disjoint-replica
     scale-up) by tests/test_scale_plans.py."""
-    adj = e.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionAll(
-        e.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
-    )
-    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    adj, deg = adjacency_degrees(e)
     ok_mid = deg.where(F.col("d") <= cap).select(F.col("u").alias("w"))
     capped = adj.select(F.col("v").alias("w"), F.col("u").alias("x")).join(
         F.broadcast(ok_mid), "w"
@@ -1318,12 +1329,15 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 def analytics_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
+    # the per-user first-touch table feeds two consumers (converter slice
+    # + viewer count): materialize the corpus aggregation once instead of
+    # recomputing it per consumer (self-reuse recompute hazard)
     per_user = e.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", us)).alias("first_view"),
         F.min(F.when(F.col("event_type") == "purchase", us)).alias(
             "first_purchase"
         ),
-    )
+    ).localCheckpoint(eager=True)
     conv = per_user.where(
         F.col("first_view").isNotNull()
         & F.col("first_purchase").isNotNull()
@@ -1347,7 +1361,12 @@ def analytics_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("n"),
     )
-    n_viewers = per_user.where(F.col("first_view").isNotNull()).count()
+    # viewer count stays in-plan (a 1-row broadcast), not a driver-side
+    # .count() at construction time
+    viewers = (
+        per_user.where(F.col("first_view").isNotNull())
+        .agg(F.count(F.lit(1)).cast("long").alias("n_viewers"))
+    )
     stats = ranked.agg(
         F.max(
             F.when(
@@ -1370,8 +1389,8 @@ def analytics_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p90_mins"),
         F.count(F.lit(1)).alias("n_converted_inner"),
     )
-    return stats.select(
-        F.lit(n_viewers).cast("long").alias("n_viewers"),
+    return stats.crossJoin(F.broadcast(viewers)).select(
+        "n_viewers",
         F.col("n_converted_inner").cast("long").alias("n_converted"),
         "p50_mins",
         "p90_mins",
@@ -1429,10 +1448,7 @@ def analytics_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _copurchase_edges(spark, sf_dir)
-    adj = e.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionAll(
-        e.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
-    )
-    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    adj, deg = adjacency_degrees(e)
     du = deg.select(F.col("u"), F.col("d").alias("x"))
     dv = deg.select(F.col("u").alias("v"), F.col("d").alias("y"))
     pairs = adj.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
@@ -1758,8 +1774,7 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = n.select(F.col("n_nationkey").alias("u"), F.col("n_regionkey").alias("r"))
     b = n.select(F.col("n_nationkey").alias("v"), F.col("n_regionkey").alias("r"))
     e = a.join(b, "r").where(F.col("u") < F.col("v")).select("u", "v")
-    adj = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    adj, deg = adjacency_degrees(e, u="u", v="v")
     wedge = (
         adj.select(F.col("u").alias("w"), F.col("v").alias("x"))
         .join(adj.select(F.col("u").alias("w"), F.col("v").alias("y")), "w")

@@ -964,15 +964,23 @@ def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    tri = d.select(
-        "lang",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(length(trim(text)) - 2, 0)), "
-                "i -> substring(lower(trim(text)), i, 3))"
-            )
-        ).alias("tri"),
-    ).where(~F.col("tri").contains(" "))
+    tri = (
+        d.select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(length(trim(text)) - 2, 0)), "
+                    "i -> substring(lower(trim(text)), i, 3))"
+                )
+            ).alias("tri"),
+        )
+        # guard BOTH the space filter and the short-text edge: Spark's
+        # sequence(1, 0) is DESCENDING [1, 0] (not empty like DuckDB's
+        # generate_series), so texts under 3 chars would emit two bogus
+        # sub-3-char "trigrams"; exact-length-3 keeps engines identical
+        # on any input
+        .where((F.length("tri") == 3) & ~F.col("tri").contains(" "))
+    )
     counts = tri.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "tri")
     return (

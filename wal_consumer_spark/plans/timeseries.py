@@ -970,6 +970,7 @@ def ts_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(round(value * 100) AS BIGINT) AS cents,
                event_id
         FROM events
+        WHERE CAST(round(value * 100) AS BIGINT) >= 0
     ),
     ranked AS (
         SELECT user_id, cents,
@@ -1004,10 +1005,12 @@ def ts_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from one per-key rank window (deterministic event_id tie-break, "
         "no interpolation), the clamp+mean is a second pass over the same "
         "user_id partitioning — Catalyst reuses the shuffle. Exact "
-        "integer-cents arithmetic throughout; the two divisions are "
-        "identical doubles. Reports raw vs winsorized mean and the clamp "
-        "count per user. Reference parity: extension surface (SURVEY.md "
-        "§2.B time-series/ML rows).",
+        "integer-cents arithmetic throughout; means emerge from integral "
+        "division of exact sums (non-negative domain enforced in-plan, "
+        "where Spark's truncating div and DuckDB's flooring // agree). "
+        "Reports raw vs winsorized mean and the clamp count per user. "
+        "Reference parity: extension surface (SURVEY.md §2.B "
+        "time-series/ML rows).",
 )
 def ts_winsorize_robust_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -1015,7 +1018,9 @@ def ts_winsorize_robust_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
         "event_id",
-    )
+        # non-negative guard: the integral division below truncates in
+        # Spark but floors in DuckDB — identical only for cents >= 0
+    ).where(F.col("cents") >= 0)
     w = Window.partitionBy("user_id").orderBy("cents", "event_id")
     ranked = v.select(
         "user_id",
@@ -1051,10 +1056,12 @@ def ts_winsorize_robust_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("cents") < F.col("lo")) | (F.col("cents") > F.col("hi"))
             ).alias("n_clamped"),
         )
-        # floor-divided integer micro-cents via true integral `div`:
-        # double (or decimal) division rounds at the boundary and the
-        # rounding differs between engines; integer division of exact
-        # sums cannot
+        # Integer-divided micro-cents: double (or decimal) division rounds
+        # at the half-boundary and the rounding differs between engines;
+        # integer division of exact sums cannot. DOMAIN NOTE: Spark `div`
+        # truncates toward zero while DuckDB `//` floors — identical ONLY
+        # for non-negative numerators, which the cents >= 0 guard above
+        # makes structural rather than a testdata accident.
         .select(
             "user_id",
             "n_events",
