@@ -1261,3 +1261,62 @@ def ts_longest_rising_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("streak_days", "start_day", "end_day")
     )
+
+
+@register(
+    "ts_mtd_ytd_running",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS d,
+               CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS INT) AS y,
+               CAST(month(CAST(o_orderdate AS TIMESTAMP)) AS INT) AS m,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1, 2, 3
+    )
+    SELECT CAST(d AS TIMESTAMP) AS day, cents,
+           CAST(SUM(cents) OVER (PARTITION BY y, m ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS mtd_cents,
+           CAST(SUM(cents) OVER (PARTITION BY y ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS ytd_cents
+    FROM daily
+    """,
+    doc="Month-to-date / year-to-date running totals (the fiscal "
+        "reporting primitive): exact-cents daily grid, then two running "
+        "windows whose partitions nest (month inside year) — Catalyst "
+        "computes both off ONE sort order since (y, d) ordering also "
+        "satisfies the (y, m) partitioning, the same shared-sort trick "
+        "as win_rolling_autocorr's five frames. Corpus work is the one "
+        "daily aggregation; windows run on the bounded calendar. "
+        "Reference parity: extension surface (SURVEY.md §2.B "
+        "window/time-series rows).",
+)
+def ts_mtd_ytd_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.to_date("o_orderdate").alias("d"),
+        F.year(F.col("o_orderdate").cast("timestamp")).cast("int").alias("y"),
+        F.month(F.col("o_orderdate").cast("timestamp")).cast("int").alias("m"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    wm = (
+        Window.partitionBy("y", "m")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wy = (
+        Window.partitionBy("y")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        F.col("d").cast("timestamp").alias("day"),
+        "cents",
+        F.sum("cents").over(wm).cast("long").alias("mtd_cents"),
+        F.sum("cents").over(wy).cast("long").alias("ytd_cents"),
+    )

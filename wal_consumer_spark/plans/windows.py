@@ -525,3 +525,62 @@ def win_trailing_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("timestamp").alias("day"),
         F.sum("cents").over(w).cast("long").alias("trailing_7d_cents"),
     )
+
+
+@register(
+    "win_share_of_group",
+    oracle="""
+    WITH n AS (
+        SELECT c_nationkey,
+               CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS nation_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_cust
+        FROM customer WHERE c_acctbal > 0 GROUP BY c_nationkey
+    )
+    SELECT c_nationkey, nation_cents, n_cust,
+           round(CAST(nation_cents AS DOUBLE)
+                 / CAST(SUM(CAST(nation_cents AS DECIMAL(38,0))) OVER ()
+                        AS DOUBLE), 6) AS share_of_total,
+           round(CAST(nation_cents AS DOUBLE)
+                 / CAST(MAX(nation_cents) OVER () AS DOUBLE), 6)
+               AS vs_largest
+    FROM n
+    """,
+    doc="Contribution analysis (percent-of-total and vs-largest per "
+        "group — the 'which segments matter' decomposition on every "
+        "revenue report): per-nation positive balances aggregated in "
+        "exact cents, then two unpartitioned window ratios over the "
+        "BOUNDED nation table (the window is global only because the "
+        "grouped table is ~25 rows; contribution WITHIN groups would "
+        "partition it). Exact DECIMAL totals; the two divisions are "
+        "identical doubles. Reference parity: extension surface "
+        "(SURVEY.md §2.B window rows).",
+)
+def win_share_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 0)
+    n = c.groupBy("c_nationkey").agg(
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+        .cast("long")
+        .alias("nation_cents"),
+        F.count(F.lit(1)).alias("n_cust"),
+    )
+    wtot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return n.select(
+        "c_nationkey",
+        "nation_cents",
+        "n_cust",
+        F.round(
+            F.col("nation_cents").cast("double")
+            / F.sum(F.col("nation_cents").cast("decimal(38,0)"))
+            .over(wtot)
+            .cast("double"),
+            6,
+        ).alias("share_of_total"),
+        F.round(
+            F.col("nation_cents").cast("double")
+            / F.max("nation_cents").over(wtot).cast("double"),
+            6,
+        ).alias("vs_largest"),
+    )
