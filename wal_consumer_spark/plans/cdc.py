@@ -1067,3 +1067,78 @@ def dq_scd2_interval_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("valid_to").isNull()).alias("n_open"),
     )
     return out.where((F.col("n_gaps") > 0) | (F.col("n_versions") > 25))
+
+
+@register(
+    "cdc_gdpr_erasure_audit",
+    oracle=f"""
+    WITH wal AS ({WAL_SQL}),
+    last AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY entity_id
+                                         ORDER BY id DESC) AS rn
+            FROM wal) WHERE rn = 1
+    ),
+    erased AS (SELECT entity_id FROM last WHERE operation = 'DELETE'),
+    state AS (SELECT entity_id FROM last WHERE operation <> 'DELETE'),
+    residual AS (
+        SELECT e.entity_id FROM erased e JOIN state s USING (entity_id)
+    ),
+    history AS (
+        SELECT w.entity_id, CAST(COUNT(*) AS BIGINT) AS n_history_rows
+        FROM wal w JOIN erased e USING (entity_id)
+        GROUP BY w.entity_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM erased) AS n_erasure_requests,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM residual)
+               AS n_residual_in_state,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM history)
+               AS n_entities_with_history,
+           (SELECT CAST(COALESCE(SUM(n_history_rows), 0) AS BIGINT)
+            FROM history) AS n_history_rows_to_purge
+    """,
+    doc="GDPR / right-to-be-forgotten erasure audit: entities whose final "
+        "WAL op is DELETE are erasure requests; the audit proves the "
+        "applied state holds NO residual row for any of them (the "
+        "semi-join count must be zero — a nonzero value is a compliance "
+        "incident) and sizes the WAL-history purge the retention job "
+        "still owes (every historical op of an erased entity, the part "
+        "checkpoint-based CDC keeps after the state forgets — "
+        "cdc_tombstone_retention decides WHEN those tombstones can go, "
+        "this counts WHAT must go). One last-op window pass + two "
+        "narrow entity-keyed joins; all four outputs are broadcast-sized "
+        "scalars. Reference parity: R6-R8 DELETE semantics "
+        "(WalConsumerTest.java:114-116) elevated to the audit a real "
+        "deployment runs.",
+)
+def cdc_gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wal = synthetic_wal(spark, sf_dir)
+    last = last_op_per_key(wal).localCheckpoint(eager=True)
+    erased = last.where(F.col("operation") == "DELETE").select("entity_id")
+    state = last.where(F.col("operation") != "DELETE").select("entity_id")
+    residual = erased.join(state, "entity_id")
+    history = (
+        wal.join(F.broadcast(erased), "entity_id")
+        .groupBy("entity_id")
+        .agg(F.count(F.lit(1)).alias("n_history_rows"))
+    )
+    a = erased.agg(F.count(F.lit(1)).cast("long").alias("n_erasure_requests"))
+    b = residual.agg(
+        F.count(F.lit(1)).cast("long").alias("n_residual_in_state")
+    )
+    c = history.agg(
+        F.count(F.lit(1)).cast("long").alias("n_entities_with_history"),
+        F.coalesce(F.sum("n_history_rows"), F.lit(0))
+        .cast("long")
+        .alias("n_history_rows_to_purge"),
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(c))
+        .select(
+            "n_erasure_requests",
+            "n_residual_in_state",
+            "n_entities_with_history",
+            "n_history_rows_to_purge",
+        )
+    )

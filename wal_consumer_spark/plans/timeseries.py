@@ -1320,3 +1320,88 @@ def ts_mtd_ytd_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").over(wm).cast("long").alias("mtd_cents"),
         F.sum("cents").over(wy).cast("long").alias("ytd_cents"),
     )
+
+
+@register(
+    "ts_acf_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS d,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ),
+    pairs AS (
+        SELECT l.lag AS lag, a.cents AS x, b.cents AS y
+        FROM daily a
+        CROSS JOIN (SELECT unnest(generate_series(1, 14)) AS lag) l
+        JOIN daily b ON b.d = a.d + CAST(l.lag AS INTEGER)
+    ),
+    s AS (
+        SELECT lag,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                    AS DOUBLE) AS syy,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                    AS DOUBLE) AS sxy
+        FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n_days,
+           round((n_days*sxy - sx*sy)
+                 / sqrt((n_days*sxx - sx*sx) * (n_days*syy - sy*sy)), 6)
+               AS acf
+    FROM s
+    """,
+    doc="Autocorrelation function of the daily-revenue series, lags 1..14 "
+        "(the full ACF diagnostic behind ARIMA order selection and "
+        "seasonality confirmation — win_rolling_autocorr tracks lag-1 "
+        "over a moving frame; this is the all-lags global view): the "
+        "corpus collapses once to the exact-cents daily grid, the lag "
+        "expansion is a shifted-date equi-join on the bounded grid (the "
+        "ts_cross_correlation machinery, self-joined), and each lag's "
+        "Pearson uses exact DECIMAL(38) sums with the IEEE-pinned "
+        "+,-,*,/,sqrt finish. Reference parity: extension surface "
+        "(SURVEY.md §2.B time-series rows).",
+)
+def ts_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    ).localCheckpoint(eager=True)
+    lags = spark.range(1, 15).select(F.col("id").cast("int").alias("lag"))
+    a = daily.crossJoin(F.broadcast(lags)).select(
+        "lag",
+        F.date_add(F.col("d"), F.col("lag")).alias("match_d"),
+        F.col("cents").alias("x"),
+    )
+    b = daily.select(F.col("d").alias("match_d"), F.col("cents").alias("y"))
+    x = F.col("x").cast("decimal(38,0)")
+    y = F.col("y").cast("decimal(38,0)")
+    n = F.count(F.lit(1))
+    s = (
+        a.join(F.broadcast(b), "match_d")
+        .groupBy("lag")
+        .agg(
+            n.alias("n_days"),
+            F.sum(x).cast("double").alias("sx"),
+            F.sum(y).cast("double").alias("sy"),
+            F.sum(x * x).cast("double").alias("sxx"),
+            F.sum(y * y).cast("double").alias("syy"),
+            F.sum(x * y).cast("double").alias("sxy"),
+        )
+    )
+    nd = F.col("n_days")
+    cov = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_days",
+        F.round(cov / F.sqrt(vx * vy), 6).alias("acf"),
+    )
