@@ -1803,3 +1803,87 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+@register(
+    "analytics_conversion_curve",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view'
+                        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS fv,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS fp
+        FROM events GROUP BY user_id
+    ),
+    conv AS (
+        SELECT LEAST((fp - fv) // 86400000000, 14) AS day_bucket
+        FROM per_user
+        WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv
+    ),
+    viewers AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_viewers FROM per_user
+        WHERE fv IS NOT NULL
+    ),
+    buckets AS (
+        SELECT day_bucket, CAST(COUNT(*) AS BIGINT) AS n
+        FROM conv GROUP BY day_bucket
+    )
+    SELECT CAST(b.day_bucket AS BIGINT) AS day_bucket, b.n AS n_converted,
+           CAST(SUM(b.n) OVER (ORDER BY b.day_bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_converted,
+           round(CAST(SUM(b.n) OVER (ORDER BY b.day_bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / v.n_viewers, 6) AS cum_conversion_rate
+    FROM buckets b CROSS JOIN viewers v
+    """,
+    doc="Cumulative conversion curve (the 'X% convert within N days' "
+        "plot product teams set attribution windows from — the curve "
+        "view of analytics_time_to_convert's two quantiles): first-touch "
+        "timestamps via the conditional-MIN single pass, conversion "
+        "delays bucketed into whole days (14+ capped), cumulative share "
+        "of viewers per bucket. The curve arithmetic runs on <=15 rows "
+        "with the viewer count as a broadcast scalar; exact "
+        "epoch-microsecond floors throughout. Reference parity: "
+        "extension surface (SURVEY.md §2.B analytics rows).",
+)
+def analytics_conversion_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("fv"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("fp"),
+    ).localCheckpoint(eager=True)
+    conv = per_user.where(
+        F.col("fv").isNotNull()
+        & F.col("fp").isNotNull()
+        & (F.col("fp") >= F.col("fv"))
+    ).select(
+        F.least(
+            F.floor((F.col("fp") - F.col("fv")) / 86_400_000_000),
+            F.lit(14).cast("long"),
+        ).alias("day_bucket")
+    )
+    viewers = per_user.where(F.col("fv").isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_viewers")
+    )
+    buckets = conv.groupBy("day_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted")
+    )
+    wc = Window.orderBy("day_bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        buckets.crossJoin(F.broadcast(viewers))
+        .select(
+            F.col("day_bucket").cast("long").alias("day_bucket"),
+            "n_converted",
+            F.sum("n_converted").over(wc).cast("long").alias("cum_converted"),
+            F.round(
+                F.sum("n_converted").over(wc).cast("double")
+                / F.col("n_viewers"),
+                6,
+            ).alias("cum_conversion_rate"),
+        )
+    )

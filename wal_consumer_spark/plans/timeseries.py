@@ -1405,3 +1405,71 @@ def ts_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days",
         F.round(cov / F.sqrt(vx * vy), 6).alias("acf"),
     )
+
+
+@register(
+    "ts_missing_data_profile",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        FROM events
+    ),
+    span AS (
+        SELECT user_id, MIN(d) AS first_d, MAX(d) AS last_d,
+               CAST(COUNT(*) AS BIGINT) AS observed_days
+        FROM ud GROUP BY user_id
+    )
+    SELECT user_id, observed_days,
+           CAST(datediff('day', first_d, last_d) + 1 AS BIGINT)
+               AS span_days,
+           CAST(datediff('day', first_d, last_d) + 1 AS BIGINT)
+               - observed_days AS missing_days,
+           round(CAST(observed_days AS DOUBLE)
+                 / (datediff('day', first_d, last_d) + 1), 6) AS coverage
+    FROM span
+    QUALIFY row_number() OVER (
+        ORDER BY CAST(observed_days AS DOUBLE)
+                 / (datediff('day', first_d, last_d) + 1), user_id) <= 25
+    """,
+    doc="Per-series data-completeness profile (the pre-flight check "
+        "before any resample/interpolate run: a series with 40% coverage "
+        "needs LOCF policy decisions, not silent interpolation): observed "
+        "active days vs the first-to-last calendar span per user, "
+        "reporting the 25 sparsest series. One DISTINCT incidence pass + "
+        "a per-key MIN/MAX/COUNT — a single user_id shuffle; the "
+        "coverage ranking runs on the bounded per-user table via "
+        "TakeOrdered partials. Companion to ts_resample_locf (which "
+        "fills the gaps this query measures) and ts_max_silence_gap "
+        "(intra-day granularity). Reference parity: extension surface "
+        "(SURVEY.md §2.B time-series/DQ rows).",
+)
+def ts_missing_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    span = ud.groupBy("user_id").agg(
+        F.min("d").alias("first_d"),
+        F.max("d").alias("last_d"),
+        F.count(F.lit(1)).alias("observed_days"),
+    )
+    span_days = (F.datediff(F.col("last_d"), F.col("first_d")) + 1).cast(
+        "long"
+    )
+    coverage = F.col("observed_days").cast("double") / (
+        F.datediff(F.col("last_d"), F.col("first_d")) + 1
+    )
+    return (
+        span.withColumn(
+            "rn", F.row_number().over(Window.orderBy(coverage, "user_id"))
+        )
+        .where(F.col("rn") <= 25)
+        .select(
+            "user_id",
+            "observed_days",
+            span_days.alias("span_days"),
+            (span_days - F.col("observed_days")).cast("long").alias(
+                "missing_days"
+            ),
+            F.round(coverage, 6).alias("coverage"),
+        )
+    )
