@@ -1887,3 +1887,169 @@ def analytics_conversion_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_conversion_rate"),
         )
     )
+
+
+@register(
+    "ml_calibration_bins",
+    oracle="""
+    WITH ranked AS (
+        SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS y,
+               row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rn,
+               COUNT(*) OVER () AS n
+        FROM customer
+    ),
+    binned AS (
+        SELECT LEAST((rn - 1) * 10 // n, 9) AS bin, y, rn, n
+        FROM ranked
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(y) AS BIGINT) AS n_positive,
+           CAST(SUM(rn) AS BIGINT) * 1000000 // (CAST(COUNT(*) AS BIGINT)
+               * MAX(n)) AS mean_score_ppm,
+           CAST(SUM(y) AS BIGINT) * 1000000 // COUNT(*) AS observed_ppm
+    FROM binned GROUP BY bin
+    """,
+    doc="Calibration / reliability bins (the diagram behind 'is the "
+        "score a probability?'): the score is the rank percentile of "
+        "c_acctbal (deterministic custkey tie-break), decile-binned; "
+        "each bin reports mean score vs observed positive rate — both in "
+        "integral parts-per-million (integer division of exact rank/count "
+        "sums, no float anywhere, non-negative by construction). A "
+        "calibrated score tracks the diagonal; the gap per bin is the "
+        "reliability error. One global rank pass (same shape as "
+        "ml_auc_rank_sum — at scale the same histogram fallback applies), "
+        "then a 10-group rollup. Reference parity: extension surface "
+        "(SURVEY.md §2.B ML rows).",
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    ranked = c.select(
+        (F.col("c_mktsegment") == "BUILDING").cast("long").alias("y"),
+        F.row_number()
+        .over(Window.orderBy("c_acctbal", "c_custkey"))
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    binned = ranked.select(
+        F.least(
+            F.expr("((rn - 1) * 10) div n"), F.lit(9).cast("long")
+        ).alias("bin"),
+        "y",
+        "rn",
+        "n",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("y").cast("long").alias("n_positive"),
+            F.sum("rn").cast("long").alias("sum_rn"),
+            F.max("n").alias("max_n"),
+        )
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            "n_rows",
+            "n_positive",
+            F.expr("(sum_rn * 1000000) div (n_rows * max_n)").alias(
+                "mean_score_ppm"
+            ),
+            F.expr("(n_positive * 1000000) div n_rows").alias("observed_ppm"),
+        )
+    )
+
+
+@register(
+    "analytics_cohort_ltv",
+    oracle="""
+    WITH act AS (
+        SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    f AS (SELECT user_id, MIN(d) AS cohort_day FROM act GROUP BY user_id),
+    wk AS (
+        SELECT f.cohort_day,
+               datediff('day', f.cohort_day, a.d) // 7 AS week_offset,
+               CAST(SUM(a.cents) AS BIGINT) AS week_cents
+        FROM act a JOIN f ON a.user_id = f.user_id
+        GROUP BY f.cohort_day, datediff('day', f.cohort_day, a.d) // 7
+    ),
+    sized AS (
+        SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        FROM f GROUP BY cohort_day
+    )
+    SELECT CAST(w.cohort_day AS TIMESTAMP) AS cohort_day,
+           CAST(w.week_offset AS BIGINT) AS week_offset,
+           s.cohort_size,
+           CAST(SUM(w.week_cents) OVER (PARTITION BY w.cohort_day
+               ORDER BY w.week_offset
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_cents,
+           CAST(SUM(w.week_cents) OVER (PARTITION BY w.cohort_day
+               ORDER BY w.week_offset
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) * 100 // s.cohort_size AS ltv_microcents_per_user
+    FROM wk w JOIN sized s USING (cohort_day)
+    """,
+    doc="Cohort LTV curves (cumulative value per user by cohort age — the "
+        "payback-period table under every acquisition-spend decision, and "
+        "the revenue-weighted big sibling of analytics_cohort_retention's "
+        "activity triangle): users cohorted by first active day, weekly "
+        "revenue rolled to the bounded (cohort, week-offset) grid in "
+        "exact cents, then a per-cohort running sum and an "
+        "integral-divided per-user LTV (non-negative cents; truncating "
+        "div == flooring //). One user_id shuffle for cohorting, one "
+        "grid-keyed rollup; the running window orders the tiny grid. "
+        "Reference parity: extension surface (SURVEY.md §2.B analytics "
+        "rows).",
+)
+def analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    act = e.select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).repartition("user_id")
+    cohort = F.min("d").over(Window.partitionBy("user_id"))
+    wk = (
+        act.withColumn("cohort_day", cohort)
+        .groupBy(
+            "cohort_day",
+            F.floor(F.datediff(F.col("d"), F.col("cohort_day")) / 7).alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.sum("cents").cast("long").alias("week_cents"))
+    )
+    sized = (
+        act.groupBy("user_id")
+        .agg(F.min("d").alias("cohort_day"))
+        .groupBy("cohort_day")
+        .agg(F.count(F.lit(1)).cast("long").alias("cohort_size"))
+    )
+    wcum = (
+        Window.partitionBy("cohort_day")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        wk.join(F.broadcast(sized), "cohort_day")
+        .select(
+            F.col("cohort_day").cast("timestamp").alias("cohort_day"),
+            F.col("week_offset").cast("long").alias("week_offset"),
+            "cohort_size",
+            F.sum("week_cents").over(wcum).cast("long").alias("cum_cents"),
+            F.expr(
+                "(CAST(sum(week_cents) OVER (PARTITION BY cohort_day "
+                "ORDER BY week_offset ROWS BETWEEN UNBOUNDED PRECEDING "
+                "AND CURRENT ROW) AS BIGINT) * 100) div cohort_size"
+            ).alias("ltv_microcents_per_user"),
+        )
+    )

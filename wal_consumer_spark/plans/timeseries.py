@@ -1473,3 +1473,94 @@ def ts_missing_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(coverage, 6).alias("coverage"),
         )
     )
+
+
+@register(
+    "ts_anova_weekday_effect",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS d,
+               datediff('day', DATE '1995-01-01',
+                        CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE)) % 7
+                   AS dow,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT dow,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(cents AS DECIMAL(38,0))
+                        * CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS ss
+        FROM daily GROUP BY dow
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nt,
+               CAST(SUM(CAST(s AS DECIMAL(38,6))) AS DOUBLE) AS st,
+               CAST(SUM(CAST(ss AS DECIMAL(38,6))) AS DOUBLE) AS sst,
+               CAST(SUM(CAST(s * s / n AS DECIMAL(38,0))) AS DOUBLE) AS sm,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM g
+    )
+    SELECT t.k AS n_groups, t.nt AS n_days,
+           round((t.sm - t.st * t.st / t.nt) / (t.k - 1)
+                 / ((t.sst - t.sm) / (t.nt - t.k)), 6) AS f_stat
+    FROM tot t
+    """,
+    doc="One-way ANOVA F-statistic for a day-of-week effect on daily "
+        "revenue (is weekday seasonality real or noise? — the hypothesis "
+        "test behind ts_seasonal_decompose's seasonal term): "
+        "between-group and within-group sums of squares derive entirely "
+        "from per-group (n, sum, sum-of-squares) in exact DECIMAL over "
+        "the bounded daily grid; F = (SSB/(k-1)) / (SSW/(N-k)) is "
+        "identical double arithmetic on 7 group rows. Epoch-anchored "
+        "day-of-week as everywhere. Corpus work: the one daily rollup. "
+        "Reference parity: extension surface (SURVEY.md §2.B "
+        "time-series/stats rows).",
+)
+def ts_anova_weekday_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.to_date("o_orderdate").alias("d"),
+        (
+            F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+            % 7
+        ).alias("dow"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    g = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).cast("double").alias("s"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)")
+            * F.col("cents").cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("ss"),
+    )
+    agg = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").cast("long").alias("nt"),
+        F.sum(F.col("s").cast("decimal(38,6)")).cast("double").alias("st"),
+        F.sum(F.col("ss").cast("decimal(38,6)")).cast("double").alias("sst"),
+        # each s^2/n term quantized to integer DECIMAL before the sum:
+        # summing raw doubles across 7 group rows is partition-order
+        # dependent; the exact-decimal sum is not (term magnitude ~1e18,
+        # so the <1-unit quantization is immaterial)
+        F.sum((F.col("s") * F.col("s") / F.col("n")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sm"),
+    )
+    ssb = F.col("sm") - F.col("st") * F.col("st") / F.col("nt")
+    ssw = F.col("sst") - F.col("sm")
+    return agg.select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("nt").alias("n_days"),
+        F.round(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("nt") - F.col("k"))), 6
+        ).alias("f_stat"),
+    )
