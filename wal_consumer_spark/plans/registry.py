@@ -76,7 +76,17 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: asof_join_nearest_events_orders, win_trailing_7d_revenue,
 #: analytics_time_to_convert, analytics_dau_wau_stickiness,
 #: sim_embedding_qc_stats, sim_matryoshka_prefix_recall,
-#: multimodal_frame_dedup, sql_front_grouping_sets, sql_front_set_ops.
+#: multimodal_frame_dedup, sql_front_grouping_sets, sql_front_set_ops,
+#: text_vocab_growth_heaps, text_char_trigram_profile,
+#: analytics_new_vs_returning, analytics_gini_coefficient,
+#: analytics_conversion_curve, analytics_cohort_ltv,
+#: ml_knn_loo_accuracy, ml_calibration_bins, agg_log2_histogram,
+#: ts_calendar_heatmap, ts_acf_daily, ts_missing_data_profile,
+#: ts_longest_rising_streak, ts_anova_weekday_effect, dq_psi_drift,
+#: dq_scd2_interval_audit, cdc_gdpr_erasure_audit,
+#: graph_clustering_coefficient, pipeline_epoch_plan,
+#: win_share_of_group, ts_mtd_ytd_running — 66 uncertified total, two
+#: window rotations' worth.
 DRIVER_WINDOW: list[str] = [
     # joins: remaining uncertified variants
     "join_null_safe_eq",
