@@ -2053,3 +2053,55 @@ def analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ltv_microcents_per_user"),
         )
     )
+
+
+@register(
+    "analytics_user_activity_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id, event_type
+    ),
+    t AS (SELECT user_id, CAST(SUM(n) AS BIGINT) AS nt FROM c GROUP BY user_id)
+    SELECT c.user_id,
+           CAST(MAX(t.nt) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           round(CAST(SUM(CAST(round(
+                     -(CAST(c.n AS DOUBLE) / t.nt)
+                     * ln(CAST(c.n AS DOUBLE) / t.nt) / ln(2)
+                     * 1000000000) AS BIGINT)) AS DOUBLE)
+                 / 1000000000, 6) AS entropy_bits
+    FROM c JOIN t USING (user_id)
+    GROUP BY c.user_id
+    """,
+    doc="Per-user behavioral entropy (Shannon entropy of the event-type "
+        "mix, in bits — the diversity score that separates single-action "
+        "bots from organically varied users): per-(user, type) counts in "
+        "one pass, per-term -p*log2(p) quantized to exact 1e-9-unit "
+        "int64s before the per-user sum (ln is not IEEE-pinned; its "
+        "input ratios are identical doubles from exact counts). Both "
+        "aggregations share the user_id shuffle; output is "
+        "user-table-bounded. Reference parity: extension surface "
+        "(SURVEY.md §2.B analytics rows).",
+)
+def analytics_user_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = c.groupBy("user_id").agg(F.sum("n").cast("long").alias("nt"))
+    p = F.col("n").cast("double") / F.col("nt")
+    term = F.round(-p * F.log(p) / F.log(F.lit(2.0)) * 1_000_000_000).cast(
+        "long"
+    )
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("nt").cast("long").alias("n_events"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(
+                F.sum(term).cast("double") / 1_000_000_000, 6
+            ).alias("entropy_bits"),
+        )
+    )

@@ -1362,3 +1362,54 @@ def pipeline_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("epochs_x100"),
         )
     )
+
+
+@register(
+    "pipeline_char_budget_truncation",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, trim(text) AS t FROM documents WHERE text IS NOT NULL
+    ),
+    cut AS (
+        SELECT doc_id, t,
+               CASE WHEN length(t) <= 200 THEN t
+                    WHEN strpos(reverse(substring(t, 1, 200)), ' ') = 0
+                        THEN substring(t, 1, 200)
+                    ELSE substring(t, 1,
+                         200 - strpos(reverse(substring(t, 1, 200)), ' '))
+               END AS kept
+        FROM d
+    )
+    SELECT doc_id,
+           CAST(length(t) AS BIGINT) AS orig_chars,
+           CAST(length(kept) AS BIGINT) AS kept_chars,
+           length(t) > 200 AS truncated,
+           md5(kept) AS kept_fp
+    FROM cut
+    """,
+    doc="Character-budget truncation at a word boundary (the context-"
+        "window guard every embedding/labeling pipeline applies before "
+        "calling a model: hard 200-char cap, backed off to the last "
+        "space so no word is split; whole prefix kept when it contains "
+        "no space). Pure string expressions — the backoff is "
+        "reverse+strpos, no UDF, no shuffle; the md5 fingerprint proves "
+        "byte-identical truncation across engines. Reference parity: "
+        "extension surface (SURVEY.md §2.B curation rows).",
+)
+def pipeline_char_budget_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    t = F.trim(F.col("text"))
+    prefix = F.substring(t, 1, 200)
+    back = F.expr("instr(reverse(substring(trim(text), 1, 200)), ' ')")
+    kept = (
+        F.when(F.length(t) <= 200, t)
+        .when(back == 0, prefix)
+        .otherwise(F.substring(t, 1, F.lit(200) - back))
+    )
+    return d.select(
+        "doc_id",
+        F.length(t).cast("long").alias("orig_chars"),
+        F.length(kept).cast("long").alias("kept_chars"),
+        (F.length(t) > 200).alias("truncated"),
+        F.md5(kept).alias("kept_fp"),
+    )
