@@ -1669,3 +1669,122 @@ def ml_knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "sim_label_silhouette",
+    oracle="""
+    WITH flat AS (
+        SELECT vec_id, label,
+               unnest(range(len(embedding))) AS dim,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS qval
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label AS clabel, dim,
+               CAST(round(round(CAST(SUM(qval) AS DOUBLE) / 1000000
+                                / COUNT(*), 6) * 1000000) AS BIGINT) AS cq
+        FROM flat GROUP BY label, dim
+    ),
+    d2 AS (
+        SELECT f.vec_id, f.label, c.clabel,
+               SUM(CAST(f.qval - c.cq AS DECIMAL(38,0))
+                   * CAST(f.qval - c.cq AS DECIMAL(38,0))) AS dist2
+        FROM flat f JOIN cent c USING (dim)
+        GROUP BY f.vec_id, f.label, c.clabel
+    ),
+    ab AS (
+        SELECT vec_id, label,
+               CAST(MAX(CASE WHEN clabel = label THEN dist2 END) AS DOUBLE)
+                   AS a,
+               CAST(MIN(CASE WHEN clabel <> label THEN dist2 END) AS DOUBLE)
+                   AS b
+        FROM d2 GROUP BY vec_id, label
+    ),
+    s AS (
+        SELECT label,
+               CAST(round(CASE WHEN greatest(a, b) = 0 THEN 0
+                               ELSE (b - a) / greatest(a, b) END
+                          * 1000000000) AS BIGINT) AS s_nano
+        FROM ab
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           round(CAST(SUM(s_nano) AS DOUBLE) / 1000000000 / COUNT(*), 6)
+               AS mean_silhouette
+    FROM s GROUP BY label
+    """,
+    doc="Simplified silhouette per label (cluster-quality score from "
+        "centroid distances: s = (b - a) / max(a, b) with a = squared "
+        "distance to the own-label centroid and b = to the nearest other "
+        "centroid; positive means labels separate in embedding space — "
+        "the acceptance metric for sim_label_centroids' clustering): "
+        "centroids come from the established exact micro-unit quantized "
+        "aggregation, the |labels| x dim centroid table (~640 rows) "
+        "broadcasts back onto the exploded vector stream, and squared "
+        "distances are exact DECIMAL(38) integer sums. Per-point s is "
+        "quantized to 1e-9 int64s before the per-label mean (the division "
+        "is identical doubles, but the MEAN would be partition-order "
+        "dependent unquantized). One (vec, centroid-label) aggregation is "
+        "the only corpus-scaled shuffle. Reference parity: extension "
+        "surface (SURVEY.md §2.B similarity/ML rows).",
+)
+def sim_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "val"),
+    ).select(
+        "vec_id",
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("val").cast("double") * 1000000).cast("long").alias(
+            "qval"
+        ),
+    )
+    cent = flat.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        F.round(
+            F.round(
+                F.sum("qval").cast("double") / 1000000 / F.count(F.lit(1)), 6
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("cq")
+    )
+    diff = (F.col("qval") - F.col("cq")).cast("decimal(38,0)")
+    d2 = (
+        flat.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum(diff * diff).alias("dist2"))
+    )
+    ab = d2.groupBy("vec_id", "label").agg(
+        F.max(
+            F.when(F.col("clabel") == F.col("label"), F.col("dist2"))
+        )
+        .cast("double")
+        .alias("a"),
+        F.min(
+            F.when(F.col("clabel") != F.col("label"), F.col("dist2"))
+        )
+        .cast("double")
+        .alias("b"),
+    )
+    s_nano = F.round(
+        F.when(F.greatest("a", "b") == 0, F.lit(0.0))
+        .otherwise((F.col("b") - F.col("a")) / F.greatest("a", "b"))
+        * 1_000_000_000
+    ).cast("long")
+    return (
+        ab.select("label", s_nano.alias("s_nano"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(
+                F.sum("s_nano").cast("double") / 1_000_000_000 / F.count(F.lit(1)),
+                6,
+            ).alias("mean_silhouette"),
+        )
+    )
