@@ -984,17 +984,21 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     wg = (
         nl.cast("double") * gini(pl, nl) + nr.cast("double") * gini(pr, nr)
     ) / F.col("nt").cast("double")
-    ranked = cu.select(
-        F.col("bin").alias("threshold_bin"),
-        nl.cast("long").alias("n_left"),
-        nr.cast("long").alias("n_right"),
-        pl.cast("long").alias("pos_left"),
-        pr.cast("long").alias("pos_right"),
-        wg.alias("wg"),
-    ).withColumn(
-        "rn", F.row_number().over(Window.orderBy("wg", "threshold_bin"))
+    # Argmin split via orderBy().limit(1) (TakeOrderedAndProject over the
+    # bounded bin table) — no global row_number window needed.
+    ranked = (
+        cu.select(
+            F.col("bin").alias("threshold_bin"),
+            nl.cast("long").alias("n_left"),
+            nr.cast("long").alias("n_right"),
+            pl.cast("long").alias("pos_left"),
+            pr.cast("long").alias("pos_right"),
+            wg.alias("wg"),
+        )
+        .orderBy("wg", "threshold_bin")
+        .limit(1)
     )
-    return ranked.filter(F.col("rn") == 1).select(
+    return ranked.select(
         "threshold_bin",
         "n_left",
         "n_right",
@@ -1233,9 +1237,9 @@ def graph_copurchase_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM common c
     JOIN deg d1 ON d1.u = c.p1
     JOIN deg d2 ON d2.u = c.p2
-    QUALIFY row_number() OVER (
-        ORDER BY CAST(c.n_common AS DOUBLE)
-                 / (d1.d + d2.d - c.n_common) DESC, c.p1, c.p2) <= 50
+    ORDER BY CAST(c.n_common AS DOUBLE)
+             / (d1.d + d2.d - c.n_common) DESC, c.p1, c.p2
+    LIMIT 50
     """,
     doc="Neighbor-set Jaccard similarity over the co-purchase graph (the "
         "classic link-prediction / related-items score): for part pairs "
@@ -1266,14 +1270,17 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_common").cast("double") / (
         F.col("d1") + F.col("d2") - F.col("n_common")
     )
+    # Top-50 via orderBy().limit(): Spark plans TakeOrderedAndProject — a
+    # distributed per-partition partial top-k merged on the driver — instead
+    # of an unpartitioned row_number() window that would sort the ENTIRE
+    # O(E*cap) pair aggregate on one partition (the scale-killer flagged in
+    # round-3 VERDICT "What's wrong" #3). Same rows: identical sort keys
+    # with the (p1, p2) deterministic tie-break.
     ranked = (
         common.join(F.broadcast(d1), "p1")
         .join(F.broadcast(d2), "p2")
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.orderBy(jac.desc(), "p1", "p2")),
-        )
-        .where(F.col("rn") <= 50)
+        .orderBy(jac.desc(), "p1", "p2")
+        .limit(50)
     )
     return ranked.select(
         "p1", "p2", "n_common", F.round(jac, 6).alias("jaccard")
@@ -1549,68 +1556,88 @@ def analytics_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS y
         FROM customer
     ),
-    ranked AS (
-        SELECT y,
-               row_number() OVER (ORDER BY score_cents, c_custkey) AS rnk
-        FROM scored
+    g AS (
+        SELECT score_cents, CAST(COUNT(*) AS BIGINT) AS n_g,
+               CAST(SUM(y) AS BIGINT) AS n_pos_g
+        FROM scored GROUP BY score_cents
+    ),
+    cum AS (
+        SELECT n_g, n_pos_g,
+               COALESCE(SUM(n_g) OVER (
+                   ORDER BY score_cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM g
     ),
     s AS (
-        SELECT CAST(SUM(CASE WHEN y = 1 THEN rnk ELSE 0 END) AS BIGINT)
-                   AS pos_rank_sum,
-               CAST(SUM(y) AS BIGINT) AS n_pos,
-               CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg
-        FROM ranked
+        SELECT CAST(SUM(n_pos_g * (2 * cum_before + n_g + 1)) AS BIGINT)
+                   AS pos_rank_sum_x2,
+               CAST(SUM(n_pos_g) AS BIGINT) AS n_pos,
+               CAST(SUM(n_g) - SUM(n_pos_g) AS BIGINT) AS n_neg
+        FROM cum
     )
     SELECT n_pos, n_neg,
-           round((CAST(pos_rank_sum AS DOUBLE)
-                  - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2)
-                 / (CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc
+           round((CAST(pos_rank_sum_x2 AS DOUBLE)
+                  - CAST(n_pos AS DOUBLE) * (n_pos + 1))
+                 / (2 * CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc
     FROM s
     """,
-    doc="ROC-AUC via the Mann-Whitney rank-sum identity (does account "
-        "balance rank BUILDING-segment customers above the rest?): AUC = "
-        "(R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) from one global "
-        "rank pass over exact integer cents — no threshold sweep, no "
-        "curve materialization (the pairwise definition is O(n^2); the "
-        "rank identity is O(n log n) and the arithmetic is on 3 exact "
-        "scalars). Ties break deterministically on the entity key, "
-        "pinning identical ranks in both engines (documented: tie-broken "
-        "AUC, which converges to the midrank AUC as ties thin out). At "
-        "100 TB the global sort is the cost — or swap in the "
-        "histogram-bucket approximation over the existing bounded-bin "
-        "machinery (ml_decision_stump) without changing the identity. "
-        "Complements ml_classification_metrics' fixed-threshold sweep. "
-        "Reference parity: extension surface (SURVEY.md §2.B ML rows).",
+    doc="ROC-AUC via the Mann-Whitney rank-sum identity with MIDRANKS "
+        "(the standard tie correction): AUC = (R_pos - n_pos(n_pos+1)/2) "
+        "/ (n_pos * n_neg), where every member of a score-tie group gets "
+        "the group's average rank. The midrank form is what makes the "
+        "plan scale: all rows with equal score_cents collapse into ONE "
+        "aggregate row (n_g, n_pos_g), the group's rank-sum contribution "
+        "is n_pos_g * (2*cum_before + n_g + 1) / 2 in closed form, and "
+        "the only global-ordered pass is a cumulative sum over the "
+        "DISTINCT-score table — bounded by the score domain (cents), not "
+        "the row count, so no per-row global sort exists anywhere in the "
+        "plan (round-3 VERDICT sweep #5; the previous per-row row_number "
+        "formulation sorted the whole customer table on one partition). "
+        "Rank sums are kept doubled (x2) so midrank halves stay exact "
+        "integers; one double division at the end. Complements "
+        "ml_classification_metrics' fixed-threshold sweep. Reference "
+        "parity: extension surface (SURVEY.md §2.B ML rows).",
 )
 def ml_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     scored = c.select(
         F.round(F.col("c_acctbal") * 100).cast("long").alias("score_cents"),
-        "c_custkey",
         (F.col("c_mktsegment") == "BUILDING").cast("long").alias("y"),
     )
-    ranked = scored.select(
-        "y",
-        F.row_number()
-        .over(Window.orderBy("score_cents", "c_custkey"))
-        .alias("rnk"),
+    g = scored.groupBy("score_cents").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("y").cast("long").alias("n_pos_g"),
     )
-    s = ranked.agg(
-        F.sum(F.when(F.col("y") == 1, F.col("rnk")).otherwise(0))
+    wcum = Window.orderBy("score_cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = g.select(
+        "n_g",
+        "n_pos_g",
+        F.coalesce(F.sum("n_g").over(wcum), F.lit(0)).alias("cum_before"),
+    )
+    s = cum.agg(
+        F.sum(
+            (
+                F.col("n_pos_g")
+                * (2 * F.col("cum_before") + F.col("n_g") + 1)
+            ).cast("decimal(38,0)")
+        )
         .cast("long")
-        .alias("pos_rank_sum"),
-        F.sum("y").cast("long").alias("n_pos"),
-        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("n_neg"),
+        .alias("pos_rank_sum_x2"),
+        F.sum("n_pos_g").cast("long").alias("n_pos"),
+        (F.sum("n_g") - F.sum("n_pos_g")).cast("long").alias("n_neg"),
     )
     return s.select(
         "n_pos",
         "n_neg",
         F.round(
             (
-                F.col("pos_rank_sum").cast("double")
-                - F.col("n_pos").cast("double") * (F.col("n_pos") + 1) / 2
+                F.col("pos_rank_sum_x2").cast("double")
+                - F.col("n_pos").cast("double") * (F.col("n_pos") + 1)
             )
-            / (F.col("n_pos").cast("double") * F.col("n_neg")),
+            / (F.lit(2) * F.col("n_pos").cast("double") * F.col("n_neg")),
             6,
         ).alias("auc"),
     )
@@ -1892,74 +1919,111 @@ def analytics_conversion_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ml_calibration_bins",
     oracle="""
-    WITH ranked AS (
-        SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS y,
-               row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rn,
-               COUNT(*) OVER () AS n
+    WITH scored AS (
+        SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS score_cents,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS y
         FROM customer
     ),
-    binned AS (
-        SELECT LEAST((rn - 1) * 10 // n, 9) AS bin, y, rn, n
-        FROM ranked
+    g AS (
+        SELECT score_cents, y, CAST(COUNT(*) AS BIGINT) AS n_g
+        FROM scored GROUP BY score_cents, y
+    ),
+    cum AS (
+        SELECT y, n_g,
+               COALESCE(SUM(n_g) OVER (ORDER BY score_cents, y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum,
+               SUM(n_g) OVER () AS n
+        FROM g
+    ),
+    part AS (
+        SELECT b.bin, c.y, c.n,
+               greatest((b.bin * c.n + 9) // 10 + 1, c.cum + 1) AS a,
+               least(((b.bin + 1) * c.n + 9) // 10, c.cum + c.n_g) AS z
+        FROM cum c
+        CROSS JOIN (SELECT UNNEST(generate_series(0, 9)) AS bin) b
     )
     SELECT CAST(bin AS BIGINT) AS bin,
-           CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(y) AS BIGINT) AS n_positive,
-           CAST(SUM(rn) AS BIGINT) * 1000000 // (CAST(COUNT(*) AS BIGINT)
-               * MAX(n)) AS mean_score_ppm,
-           CAST(SUM(y) AS BIGINT) * 1000000 // COUNT(*) AS observed_ppm
-    FROM binned GROUP BY bin
+           CAST(SUM(z - a + 1) AS BIGINT) AS n_rows,
+           CAST(SUM((z - a + 1) * y) AS BIGINT) AS n_positive,
+           CAST((CAST(SUM((a + z) * (z - a + 1)) AS BIGINT) // 2) * 1000000
+                // (CAST(SUM(z - a + 1) AS BIGINT) * CAST(MAX(n) AS BIGINT))
+                AS BIGINT) AS mean_score_ppm,
+           CAST(CAST(SUM((z - a + 1) * y) AS BIGINT) * 1000000
+                // CAST(SUM(z - a + 1) AS BIGINT) AS BIGINT) AS observed_ppm
+    FROM part WHERE z >= a GROUP BY bin
     """,
     doc="Calibration / reliability bins (the diagram behind 'is the "
         "score a probability?'): the score is the rank percentile of "
-        "c_acctbal (deterministic custkey tie-break), decile-binned; "
-        "each bin reports mean score vs observed positive rate — both in "
-        "integral parts-per-million (integer division of exact rank/count "
-        "sums, no float anywhere, non-negative by construction). A "
-        "calibrated score tracks the diagonal; the gap per bin is the "
-        "reliability error. One global rank pass (same shape as "
-        "ml_auc_rank_sum — at scale the same histogram fallback applies), "
-        "then a 10-group rollup. Reference parity: extension surface "
-        "(SURVEY.md §2.B ML rows).",
+        "integer account-balance cents, decile-binned; each bin reports "
+        "mean rank percentile vs observed positive rate, both in integral "
+        "parts-per-million (integer division of exact rank/count sums — "
+        "no float anywhere). NO per-row global rank exists in the plan: "
+        "rows are grouped by (score_cents, y), each group occupies the "
+        "CONTIGUOUS rank range [cum+1, cum+n_g] under the (score, y) "
+        "ordering, and a bin's membership is the closed-form overlap of "
+        "that range with the bin's rank interval — count = z-a+1, rank "
+        "sum = (a+z)(z-a+1)/2 (always even product, exact). The only "
+        "ordered pass is the cumulative count over the distinct "
+        "(score, y) table, bounded by the value domain, not the row "
+        "count (round-3 VERDICT sweep #5: the previous formulation "
+        "row_number'd the whole customer table on one partition). "
+        "Reference parity: extension surface (SURVEY.md §2.B ML rows).",
 )
 def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    ranked = c.select(
+    scored = c.select(
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("score_cents"),
         (F.col("c_mktsegment") == "BUILDING").cast("long").alias("y"),
-        F.row_number()
-        .over(Window.orderBy("c_acctbal", "c_custkey"))
-        .alias("rn"),
-        F.count(F.lit(1))
-        .over(
-            Window.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        )
-        .alias("n"),
     )
-    binned = ranked.select(
-        F.least(
-            F.expr("((rn - 1) * 10) div n"), F.lit(9).cast("long")
-        ).alias("bin"),
+    g = scored.groupBy("score_cents", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g")
+    )
+    wcum = Window.orderBy("score_cents", "y").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wtot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = g.select(
         "y",
-        "rn",
-        "n",
+        "n_g",
+        F.coalesce(F.sum("n_g").over(wcum), F.lit(0)).alias("cum"),
+        F.sum("n_g").over(wtot).alias("n"),
     )
+    bins = spark.range(0, 10).select(F.col("id").cast("long").alias("bin"))
+    j = cum.crossJoin(F.broadcast(bins))
+    a = F.greatest(
+        F.expr("(bin * n + 9) div 10 + 1"), F.col("cum") + 1
+    )
+    z = F.least(
+        F.expr("((bin + 1) * n + 9) div 10"),
+        F.col("cum") + F.col("n_g"),
+    )
+    part = j.select(
+        "bin",
+        "y",
+        "n",
+        (z - a + 1).alias("cnt"),
+        ((a + z) * (z - a + 1)).alias("rn_x2"),
+    ).where(F.col("cnt") > 0)
     return (
-        binned.groupBy("bin")
+        part.groupBy("bin")
         .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum("y").cast("long").alias("n_positive"),
-            F.sum("rn").cast("long").alias("sum_rn"),
-            F.max("n").alias("max_n"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.sum(F.col("cnt") * F.col("y")).cast("long").alias("n_positive"),
+            F.sum(F.col("rn_x2").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("sum_rn_x2"),
+            F.max("n").cast("long").alias("max_n"),
         )
         .select(
-            F.col("bin").cast("long").alias("bin"),
+            "bin",
             "n_rows",
             "n_positive",
-            F.expr("(sum_rn * 1000000) div (n_rows * max_n)").alias(
-                "mean_score_ppm"
-            ),
+            F.expr(
+                "(sum_rn_x2 div 2 * 1000000) div (n_rows * max_n)"
+            ).alias("mean_score_ppm"),
             F.expr("(n_positive * 1000000) div n_rows").alias("observed_ppm"),
         )
     )

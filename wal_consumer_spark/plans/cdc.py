@@ -935,23 +935,29 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     base = half.where(~F.col("is_recent"))
-    ranked = base.select(
+    # Rank-picked decile edges WITHOUT a per-row global row_number: the
+    # value at global rank r (ordered by cents, orderkey) is exactly the
+    # cents group whose cumulative-count range [cum-cnt+1, cum] contains r
+    # — the orderkey tie-break never changes the picked VALUE. So the
+    # global window runs over the DISTINCT-cents aggregate (bounded by the
+    # value domain), not the raw order rows; identical result, identical
+    # oracle.
+    by_val = base.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    wtot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = by_val.select(
         "cents",
-        F.row_number()
-        .over(Window.orderBy("cents", "o_orderkey"))
-        .alias("rn"),
-        F.count(F.lit(1))
-        .over(
-            Window.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        )
-        .alias("n"),
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wtot).alias("n"),
     )
     deciles = spark.range(1, 10).select(F.col("id").cast("int").alias("d"))
+    rank_d = F.expr("(n * d) div 10")
     edges = (
-        ranked.crossJoin(F.broadcast(deciles))
-        .where(F.col("rn") == F.expr("(n * d) div 10"))
+        cum.crossJoin(F.broadcast(deciles))
+        .where((rank_d > F.col("cum") - F.col("cnt")) & (rank_d <= F.col("cum")))
         .groupBy("d")
         .agg(F.max("cents").cast("long").alias("edge"))
     )

@@ -893,12 +893,13 @@ def pipeline_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pair")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+    # Top-20 via orderBy().limit() (TakeOrderedAndProject over the pair
+    # vocabulary), then re-rank the BOUNDED 20-row result with a window —
+    # the output keeps the rank column without a global sort of the full
+    # vocabulary on one partition.
+    top = counts.orderBy(F.desc("n"), F.asc("pair")).limit(20)
     rk = F.row_number().over(Window.orderBy(F.desc("n"), F.asc("pair")))
-    return (
-        counts.withColumn("rank", rk.cast("int"))
-        .filter(F.col("rank") <= 20)
-        .select("pair", "n", "rank")
-    )
+    return top.withColumn("rank", rk.cast("int")).select("pair", "n", "rank")
 
 
 @register(
@@ -1252,14 +1253,14 @@ def pipeline_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(word_shingles(tokens(F.col("text")), 2)).alias("bigram"),
     )
+    # Top-10 boilerplate bigrams via orderBy().limit()
+    # (TakeOrderedAndProject), not a single-partition row_number sort of
+    # the whole bigram vocabulary.
     top = (
         bg.groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("df"))
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.orderBy(F.col("df").desc(), "bigram")),
-        )
-        .where(F.col("rn") <= 10)
+        .orderBy(F.col("df").desc(), "bigram")
+        .limit(10)
         .select("bigram")
     )
     hits = (

