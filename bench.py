@@ -220,42 +220,73 @@ def main() -> None:
     timings = {name: round(median(xs), 3) for name, xs in samples.items()}
     total = round(sum(timings.values()), 3)
     raw = {name: [round(x, 3) for x in xs] for name, xs in samples.items()}
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                # Methodology provenance (ADVICE r2): r1 = min-of-2 timing
-                # execution only; r2 = min-of-2 timing construction+execution
-                # (shifted construction-heavy entries: dedup_simhash,
-                # sim_embedding_near_dup); r3+ = median-of-3, same
-                # construction+execution span as r2.
-                "bench_version": 4,
-                "method": f"median-of-{n_passes} steady-state passes after "
-                          "one untimed full-suite warmup pass; "
-                          "construction+execution; single shared JVM; "
-                          "persisted RDDs/cache released between queries",
-                "n_per_query": n_passes,
-                # Raw per-pass samples (suite-order round-robin): lets a
-                # cross-round reader separate plan cost from session noise.
-                # NOTE r1->r2 comparability: r1 timed EXECUTION only; r2+
-                # times construction+execution. Construction (Catalyst
-                # analysis of the big minhash/simhash expression trees) is
-                # ~0.7-1.0 s of dedup_minhash_lsh's total — the r2 '+36%'
-                # on that query was this methodology change, not a plan
-                # regression (execution alone matches r1; measured
-                # construct~0.8s/execute~1.2s steady-state).
-                "samples": raw,
-                # Fixed-workload environment probes (identical code every
-                # round): divide query timings by the calibration ratio
-                # before reading a cross-round delta as a regression.
-                "calibration": calibration,
-            }
-        )
-    )
+
+    # Full methodology record goes to a SIDE FILE, not stdout: the grading
+    # driver keeps only the last 2000 chars of stdout, and the round-3
+    # record (medians + 43x3 raw samples + method text on one line) outgrew
+    # that tail — BENCH_r03.json landed with "parsed": null and the round's
+    # headline value was lost (VERDICT r3, "What's wrong" #1). The final
+    # stdout line below carries ONLY the driver contract (metric/value/
+    # unit/queries/sf) and stays well under the tail size.
+    detail = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        # Methodology provenance (ADVICE r2): r1 = min-of-2 timing
+        # execution only; r2 = min-of-2 timing construction+execution
+        # (shifted construction-heavy entries: dedup_simhash,
+        # sim_embedding_near_dup); r3+ = median-of-3, same
+        # construction+execution span as r2.
+        "bench_version": 5,
+        "method": f"median-of-{n_passes} steady-state passes after "
+                  "one untimed full-suite warmup pass; "
+                  "construction+execution; single shared JVM; "
+                  "persisted RDDs/cache released between queries",
+        "n_per_query": n_passes,
+        # Raw per-pass samples (suite-order round-robin): lets a
+        # cross-round reader separate plan cost from session noise.
+        # NOTE r1->r2 comparability: r1 timed EXECUTION only; r2+
+        # times construction+execution (~0.7-1.0 s of Catalyst analysis
+        # on the big minhash/simhash expression trees).
+        "samples": raw,
+        # Fixed-workload environment probes (identical code every
+        # round): divide query timings by the calibration ratio
+        # before reading a cross-round delta as a regression.
+        "calibration": calibration,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(f[len("BENCH_r"):-len(".json")])
+        for f in os.listdir(here)
+        if f.startswith("BENCH_r") and f.endswith(".json")
+        and f[len("BENCH_r"):-len(".json")].isdigit()
+    ]
+    rnd = (max(rounds) + 1) if rounds else 0
+    detail_path = os.path.join(here, f"BENCH_DETAIL_r{rnd:02d}.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(f"detail -> {detail_path}", file=sys.stderr)
+
+    compact = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "bench_version": 5,
+        "n_per_query": n_passes,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # defensive: medians only, never raw samples
+        compact["queries"] = {
+            k: v for k, v in sorted(
+                timings.items(), key=lambda kv: -kv[1]
+            )[:40]
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

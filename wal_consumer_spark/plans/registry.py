@@ -59,99 +59,114 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: oracle sorts last so it can never burn a window slot on a rows-only
 #: check.
 #:
-#: ROUND-4 ROTATION CANDIDATES (registered in round 3 AFTER this window
-#: was frozen, so none have a driver-green row yet — swap them in next
-#: round): ml_decision_stump, ml_linear_regression_multi, ml_auc_rank_sum,
-#: ts_cross_correlation, ts_seasonal_decompose, ts_max_silence_gap,
-#: ts_record_highs, ts_winsorize_robust_mean, ts_max_drawdown,
-#: dq_freshness_lag, dq_reconcile_totals, cdc_ops_per_entity_histogram,
-#: text_bigram_logprob, text_keyword_rake, text_zipf_fit,
-#: text_source_divergence, text_langid_confusion, pipeline_dataset_card,
-#: pipeline_oversample_minority, pipeline_shard_skew_report,
-#: pipeline_boilerplate_strip, pipeline_epoch_plan,
-#: graph_copurchase_degree, graph_jaccard_neighbors,
-#: graph_degree_assortativity, agg_boolean_conditional,
-#: agg_median_of_means, udf_map_in_arrow, scalar_encoding_funcs,
-#: scalar_calendar_funcs, stream_watermark_lateness_audit,
-#: asof_join_nearest_events_orders, win_trailing_7d_revenue,
-#: analytics_time_to_convert, analytics_dau_wau_stickiness,
-#: sim_embedding_qc_stats, sim_matryoshka_prefix_recall,
-#: multimodal_frame_dedup, sql_front_grouping_sets, sql_front_set_ops,
-#: text_vocab_growth_heaps, text_char_trigram_profile,
-#: analytics_new_vs_returning, analytics_gini_coefficient,
-#: analytics_conversion_curve, analytics_cohort_ltv,
-#: ml_knn_loo_accuracy, ml_calibration_bins, agg_log2_histogram,
-#: ts_calendar_heatmap, ts_acf_daily, ts_missing_data_profile,
-#: ts_longest_rising_streak, ts_anova_weekday_effect, dq_psi_drift,
-#: dq_scd2_interval_audit, cdc_gdpr_erasure_audit,
-#: graph_clustering_coefficient, pipeline_epoch_plan,
-#: win_share_of_group, ts_mtd_ytd_running — 66 uncertified total, two
-#: window rotations' worth.
+#: Round 4 swaps ALL 50 slots again, to names with no driver-green row in
+#: any committed CORRECTNESS file (cumulative certified after r3: 139
+#: distinct): the graph tail (all six), the DQ tail (Benford, PSI,
+#: freshness, reconcile, SCD2 audit), the ML evals (stump, multi-var OLS,
+#: midrank AUC, kNN-LOO, calibration bins), scalar encoding/calendar,
+#: arrow map UDF, nearest as-of, watermark lateness audit, and the
+#: ts/text/analytics/pipeline/sim/sql tails (round-3 VERDICT "Next
+#: round" #1).
+#:
+#: ROUND-5 ROTATION CANDIDATES — the exact 71 registered names that will
+#: still lack a driver-green row once CORRECTNESS_r04 certifies this
+#: window (VERDICT r3 #6; keep this list in sync when adding queries):
+#: agg_having, agg_higher_moments, agg_histogram_totalprice,
+#: agg_key_skew_profile, agg_log2_histogram, agg_percentile_approx,
+#: agg_profile_orders, agg_stratified_sample, analytics_ab_welch_ttest,
+#: analytics_attribution_last_touch, analytics_cohort_ltv,
+#: analytics_conversion_curve, analytics_market_basket,
+#: analytics_pareto_share, analytics_path_transitions,
+#: analytics_rfm_segments, analytics_user_activity_entropy,
+#: cdc_backlog_metrics, cdc_gdpr_erasure_audit, cdc_op_mix,
+#: cdc_replay_idempotency, cdc_tombstone_retention,
+#: dedup_containment_pairs, join_bloom_prefilter, join_skew_salted,
+#: ml_classification_metrics, multimodal_feature_extract,
+#: multimodal_resize_meta, pipeline_boilerplate_strip,
+#: pipeline_bpe_first_merges, pipeline_char_budget_truncation,
+#: pipeline_cluster_representative, pipeline_epoch_plan,
+#: pipeline_mixture_temperature, pipeline_quality_filter,
+#: pipeline_sample_k_per_group, pipeline_url_canonical_dedup,
+#: scalar_bitwise, scalar_struct_funcs, sim_ann_recall_eval,
+#: sim_centroid_distances, sim_label_centroids, sim_label_silhouette,
+#: sql_front_lateral_join, sql_front_recursive_cte, text_bigram_df,
+#: text_bpe_regex_tokens, text_char_trigram_profile, text_readability,
+#: text_rolling_hash, text_sentiment_lexicon, text_shingle_novelty,
+#: text_token_entropy, ts_anomaly_mad, ts_anova_weekday_effect,
+#: ts_calendar_heatmap, ts_changepoint_cusum, ts_gapfill_zero,
+#: ts_longest_rising_streak, ts_max_silence_gap, ts_missing_data_profile,
+#: ts_mtd_ytd_running, ts_period_over_period, ts_seasonal_naive_error,
+#: udf_row_scalar_dim, win_cume_percent, win_cumulative_distinct,
+#: win_moving_median, win_rank_dense_ntile, win_rolling_autocorr,
+#: win_running_sum.
 DRIVER_WINDOW: list[str] = [
-    # joins: remaining uncertified variants
-    "join_null_safe_eq",
-    "join_range_keyless_binned",
-    # aggregates: reshaping + robust stats
-    "agg_pivot",
-    "agg_unpivot",
-    "agg_mode_per_group",
-    "agg_weighted_avg",
-    "agg_approx_quantiles_bounded",
-    "agg_corr_regression",
-    # window functions: long tail
-    "win_islands",
-    "win_lag_lead",
-    "win_range_frame",
-    "win_first_last_ignore_nulls",
-    "win_zscore_outliers",
+    # as-of join: nearest variant
+    "asof_join_nearest_events_orders",
+    # aggregates: boolean rollup + robust median-of-means
+    "agg_boolean_conditional",
+    "agg_median_of_means",
+    # window functions
+    "win_trailing_7d_revenue",
+    "win_share_of_group",
     # scalar expression families
-    "scalar_math_funcs",
-    "scalar_conditional",
-    "scalar_map_funcs",
-    "scalar_json_funcs",
-    "scalar_cast_matrix",
-    "explode_posexplode",
-    # CDC temporal suite + DQ gap audit
-    "cdc_state_asof",
-    "cdc_net_changes",
-    "cdc_scd2_history",
-    "cdc_temporal_join",
-    "cdc_incremental_join_view",
-    "dq_sequence_gap_audit",
-    # similarity / ML
-    "sim_topk_ivf",
-    "ml_kmeans_refine",
-    # text analysis tail
-    "text_fingerprint",
-    "text_stopword_filter",
-    "text_unigram_logprob",
-    "text_repetition",
-    "text_pii_scrub",
-    "text_contamination_score",
-    # multimodal
-    "multimodal_frame_sample",
-    # stream-batch analogs
-    "stream_window_sliding",
-    "stream_session_window",
-    # curation pipeline tail
-    "pipeline_length_bucketing",
-    "pipeline_sequence_packing",
-    "pipeline_passage_dedup",
-    "pipeline_global_shuffle",
-    "pipeline_domain_mixture",
-    # SQL front door
-    "sql_front_window_rank",
-    "sql_front_exists_subquery",
-    # time-series
-    "ts_resample_interp",
-    "ts_hierarchical_rollup",
-    "ts_ewma_decay",
+    "scalar_encoding_funcs",
+    "scalar_calendar_funcs",
     # UDF surface
-    "udf_grouped_map_zscore",
-    "udf_table_function_sentences",
-    "udf_cogrouped_map",
+    "udf_map_in_arrow",
+    # streaming analog
+    "stream_watermark_lateness_audit",
+    # CDC
+    "cdc_ops_per_entity_histogram",
+    # data-quality tail
+    "dq_freshness_lag",
+    "dq_reconcile_totals",
+    "dq_psi_drift",
+    "dq_scd2_interval_audit",
+    "dq_benford_digit_audit",
+    # graph analytics (entire tail)
+    "graph_triangle_count",
+    "graph_two_hop_reach",
+    "graph_jaccard_neighbors",
+    "graph_clustering_coefficient",
+    "graph_degree_assortativity",
+    "graph_copurchase_degree",
+    # in-plan ML evals
+    "ml_decision_stump",
+    "ml_linear_regression_multi",
+    "ml_auc_rank_sum",
+    "ml_knn_loo_accuracy",
+    "ml_calibration_bins",
+    # similarity / embedding QC
+    "sim_embedding_qc_stats",
+    "sim_matryoshka_prefix_recall",
+    # multimodal
+    "multimodal_frame_dedup",
+    # SQL front door
+    "sql_front_grouping_sets",
+    "sql_front_set_ops",
+    # time-series diagnostics
+    "ts_cross_correlation",
+    "ts_seasonal_decompose",
+    "ts_record_highs",
+    "ts_winsorize_robust_mean",
+    "ts_max_drawdown",
+    "ts_acf_daily",
+    # text analysis tail
+    "text_bigram_logprob",
+    "text_keyword_rake",
+    "text_zipf_fit",
+    "text_source_divergence",
+    "text_langid_confusion",
+    "text_vocab_growth_heaps",
     # product analytics
-    "analytics_funnel_conversion",
+    "analytics_time_to_convert",
+    "analytics_dau_wau_stickiness",
+    "analytics_new_vs_returning",
+    "analytics_gini_coefficient",
+    # curation pipeline tail
+    "pipeline_dataset_card",
+    "pipeline_oversample_minority",
+    "pipeline_shard_skew_report",
 ]
 
 
