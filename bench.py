@@ -255,6 +255,26 @@ def main() -> None:
         # round): divide query timings by the calibration ratio
         # before reading a cross-round delta as a regression.
         "calibration": calibration,
+        # Round-4 isolation of the r2->r3 dedup_minhash_lsh drift
+        # (VERDICT r3 "What's wrong" #2), measured with
+        # tools/bench_one.py in a JVM that ran NOTHING else (n=5,
+        # sf0.1): median 1.524 s, construct 0.427 s, calibration
+        # cpu_sec 0.244 vs r3's 0.208 — i.e. ~1.30 s cpu-normalized.
+        # The r3 in-suite 1.79 s median therefore decomposes into
+        # ~1.3 s true plan cost (consistent with r2's 1.14 s at r2's
+        # faster-host calibration) + ~0.3-0.5 s suite-session overhead
+        # (heap/block-manager residue across 43 queries x 3 passes in
+        # one JVM; the monotone 1.58/1.79/1.94 r3 samples are that
+        # signature). The trustable number for cross-round tracking is
+        # the fresh-JVM bench_one median.
+        "isolation_notes": {
+            "dedup_minhash_lsh": {
+                "fresh_jvm_median_sec": 1.524,
+                "fresh_jvm_samples": [1.489, 1.524, 1.302, 1.638, 1.653],
+                "construct_sec": 0.427,
+                "calibration_cpu_sec": 0.244,
+            }
+        },
     }
     here = os.path.dirname(os.path.abspath(__file__))
     rounds = [

@@ -1355,18 +1355,27 @@ def analytics_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("first_purchase") - F.col("first_view")) / 60_000_000
         ).alias("mins_to_convert"),
     )
-    ranked = conv.select(
+    # Rank-picked p50/p90 WITHOUT a per-row global row_number: the value
+    # at global rank r (ordered by mins, user_id) is the minutes group
+    # whose cumulative-count range [cum-cnt+1, cum] contains r — the
+    # user_id tie-break never changes the picked VALUE. The global window
+    # therefore runs over the DISTINCT-minutes aggregate (bounded by the
+    # duration domain), not the converter rows; identical result,
+    # identical oracle (round-3 VERDICT sweep #5).
+    by_val = conv.groupBy("mins_to_convert").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wcum = Window.orderBy("mins_to_convert").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wtot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = by_val.select(
         "mins_to_convert",
-        F.row_number()
-        .over(Window.orderBy("mins_to_convert", "user_id"))
-        .alias("rn"),
-        F.count(F.lit(1))
-        .over(
-            Window.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        )
-        .alias("n"),
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wtot).alias("n"),
     )
     # viewer count stays in-plan (a 1-row broadcast), not a driver-side
     # .count() at construction time
@@ -1374,27 +1383,19 @@ def analytics_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_user.where(F.col("first_view").isNotNull())
         .agg(F.count(F.lit(1)).cast("long").alias("n_viewers"))
     )
-    stats = ranked.agg(
-        F.max(
-            F.when(
-                F.col("rn") == F.floor((F.col("n") + 1) / 2),
-                F.col("mins_to_convert"),
-            )
-        )
+    r50 = F.floor((F.col("n") + 1) / 2)
+    r90 = F.greatest(F.floor(F.col("n") * 9 / 10), F.lit(1).cast("long"))
+    in_group = lambda r: (r > F.col("cum") - F.col("cnt")) & (  # noqa: E731
+        r <= F.col("cum")
+    )
+    stats = cum.agg(
+        F.max(F.when(in_group(r50), F.col("mins_to_convert")))
         .cast("long")
         .alias("p50_mins"),
-        F.max(
-            F.when(
-                F.col("rn")
-                == F.greatest(
-                    F.floor(F.col("n") * 9 / 10), F.lit(1).cast("long")
-                ),
-                F.col("mins_to_convert"),
-            )
-        )
+        F.max(F.when(in_group(r90), F.col("mins_to_convert")))
         .cast("long")
         .alias("p90_mins"),
-        F.count(F.lit(1)).alias("n_converted_inner"),
+        F.sum("cnt").cast("long").alias("n_converted_inner"),
     )
     return stats.crossJoin(F.broadcast(viewers)).select(
         "n_viewers",
