@@ -636,3 +636,39 @@ def test_jaccard_topk_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan, plan
     # no global single-partition Sort anywhere upstream of the limit
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_degree_orientation_cuts_wedge_count(spark):
+    """Round-3 VERDICT stretch #8: degree-ordered orientation
+    (orient_by_degree) must enumerate measurably fewer wedges than
+    id-ordered orientation on the skewed co-purchase graph, while closing
+    the exact same set of triangles. sum(outdeg^2) under degree order is
+    bounded by O(E^1.5) on any graph; under id order a high-degree
+    low-id hub still pivots deg^2 wedges."""
+    from wal_consumer_spark.plans.analytics import (
+        _copurchase_edges,
+        orient_by_degree,
+        oriented_wedges,
+    )
+
+    e = _copurchase_edges(spark, SF_SMOKE)  # (p1, p2) with p1 < p2
+    # id-orientation = the edge frame as-is: pivot at the low-id endpoint
+    w_id = (
+        e.select(F.col("p1").alias("w"), F.col("p2").alias("x"))
+        .join(e.select(F.col("p1").alias("w"), F.col("p2").alias("y")), "w")
+        .where(F.col("x") < F.col("y"))
+    )
+    n_w_id = w_id.count()
+    o = orient_by_degree(e).localCheckpoint(eager=True)
+    n_w_deg = oriented_wedges(o).count()
+    assert n_w_deg < n_w_id, (
+        f"degree orientation did not cut wedges: {n_w_deg} vs {n_w_id}"
+    )
+    # both orientations close the same number of triangles
+    tri_id = w_id.join(
+        e.select(F.col("p1").alias("x"), F.col("p2").alias("y")), ["x", "y"]
+    ).count()
+    tri_deg = oriented_wedges(o).join(
+        o.select(F.col("lo").alias("x"), F.col("hi").alias("y")), ["x", "y"]
+    ).count()
+    assert tri_id == tri_deg, f"{tri_id} != {tri_deg}"
