@@ -1264,6 +1264,114 @@ def graph_copurchase_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_label_propagation",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    e AS (
+        SELECT a.p AS p1, b.p AS p2
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    adj AS (
+        SELECT p1 AS u, p2 AS v FROM e
+        UNION ALL SELECT p2 AS u, p1 AS v FROM e
+    ),
+    l0 AS (SELECT DISTINCT u, u AS lbl FROM adj),
+    l1 AS (
+        SELECT a.u, least(MIN(s.lbl), MIN(l.lbl)) AS lbl
+        FROM adj a JOIN l0 s ON s.u = a.u JOIN l0 l ON l.u = a.v
+        GROUP BY a.u
+    ),
+    l2 AS (
+        SELECT a.u, least(MIN(s.lbl), MIN(l.lbl)) AS lbl
+        FROM adj a JOIN l1 s ON s.u = a.u JOIN l1 l ON l.u = a.v
+        GROUP BY a.u
+    ),
+    l3 AS (
+        SELECT a.u, least(MIN(s.lbl), MIN(l.lbl)) AS lbl
+        FROM adj a JOIN l2 s ON s.u = a.u JOIN l2 l ON l.u = a.v
+        GROUP BY a.u
+    ),
+    sizes AS (
+        SELECT lbl, CAST(COUNT(*) AS BIGINT) AS sz FROM l3 GROUP BY lbl
+    )
+    SELECT CAST(sz AS BIGINT) AS community_size,
+           CAST(COUNT(*) AS BIGINT) AS n_communities
+    FROM sizes GROUP BY sz
+    """,
+    doc="Synchronized min-label propagation over the support-2 "
+        "co-purchase graph (pairs co-bought in >=2 orders; one shared "
+        "order is coincidence, two is signal — and the gate keeps the "
+        "projection sparse enough to have real community structure), "
+        "3 rounds, reporting the community-size histogram — the "
+        "bounded-round core of distributed connected components / "
+        "community detection (Hash-Min): each round every vertex takes "
+        "the minimum of its own and its neighbors' labels, one "
+        "adjacency-keyed join + one vertex-keyed aggregation per round, "
+        "lineage truncated per round with localCheckpoint exactly like "
+        "graph_pagerank (without truncation the plan doubles per round). "
+        "Min-label updates are deterministic and order-independent — the "
+        "oracle unrolls the identical 3 rounds as CTEs. At 100 TB the "
+        "round count is driven to convergence (the large-star/small-star "
+        "dedup clustering in operators/graph.py is the "
+        "convergence-checked variant); 3 fixed rounds keep the certified "
+        "query deterministic. The output histogram is bounded by the max "
+        "community size, not the vertex count. Reference parity: "
+        "extension surface (SURVEY.md §2.B graph rows).",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    # support>=2 edge filter: keep pairs co-purchased in at least two
+    # orders — the standard noise gate that keeps the projection sparse
+    # (one shared order is coincidence; two is signal) and, at scale,
+    # cuts the edge volume the propagation rounds shuffle
+    e = (
+        op.select("o", F.col("p").alias("p1"))
+        .join(op.withColumnRenamed("p", "p2"), "o")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_o"))
+        .where(F.col("n_o") >= 2)
+        .select("p1", "p2")
+        .localCheckpoint(eager=True)
+    )
+    adj, _ = adjacency_degrees(e)
+    labels = adj.select("u").distinct().select(
+        "u", F.col("u").alias("lbl")
+    )
+    for _ in range(3):
+        neigh = (
+            adj.join(
+                labels.select(
+                    F.col("u").alias("v"), F.col("lbl").alias("nl")
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("nl").alias("minn"))
+        )
+        labels = (
+            labels.join(neigh, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("minn"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.groupBy(
+        F.col("sz").cast("long").alias("community_size")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_communities"))
+
+
+@register(
     "graph_jaccard_neighbors",
     oracle="""
     WITH op AS (
@@ -2082,6 +2190,160 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "(sum_rn_x2 div 2 * 1000000) div (n_rows * max_n)"
             ).alias("mean_score_ppm"),
             F.expr("(n_positive * 1000000) div n_rows").alias("observed_ppm"),
+        )
+    )
+
+
+@register(
+    "ml_naive_bayes_binary",
+    oracle="""
+    WITH base AS (
+        SELECT c_nationkey AS f1,
+               CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END AS f2,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS y
+        FROM customer
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT f1) AS BIGINT) AS k1,
+               CAST(COUNT(DISTINCT f2) AS BIGINT) AS k2
+        FROM base
+    ),
+    cls AS (SELECT y AS c, CAST(COUNT(*) AS BIGINT) AS n_c FROM base GROUP BY y),
+    f1c AS (
+        SELECT f1, y AS c, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM base GROUP BY f1, y
+    ),
+    f2c AS (
+        SELECT f2, y AS c, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM base GROUP BY f2, y
+    ),
+    combos AS (
+        SELECT f1, f2, y, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM base GROUP BY f1, f2, y
+    ),
+    cells AS (SELECT DISTINCT f1, f2 FROM base),
+    scored AS (
+        SELECT ce.f1, ce.f2, cl.c,
+               CAST(round(ln(CAST(cl.n_c + 1 AS DOUBLE) / (t.n + 2))
+                          * 1000000) AS BIGINT)
+               + CAST(round(ln(CAST(COALESCE(a.cnt, 0) + 1 AS DOUBLE)
+                               / (cl.n_c + t.k1)) * 1000000) AS BIGINT)
+               + CAST(round(ln(CAST(COALESCE(b.cnt, 0) + 1 AS DOUBLE)
+                               / (cl.n_c + t.k2)) * 1000000) AS BIGINT)
+                   AS score
+        FROM cells ce
+        CROSS JOIN cls cl
+        CROSS JOIN tot t
+        LEFT JOIN f1c a ON a.f1 = ce.f1 AND a.c = cl.c
+        LEFT JOIN f2c b ON b.f2 = ce.f2 AND b.c = cl.c
+    ),
+    pred AS (
+        SELECT f1, f2,
+               CASE WHEN MAX(CASE WHEN c = 1 THEN score END)
+                       > MAX(CASE WHEN c = 0 THEN score END)
+                    THEN 1 ELSE 0 END AS yhat
+        FROM scored GROUP BY f1, f2
+    )
+    SELECT CAST(SUM(cm.cnt) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN cm.y = p.yhat THEN cm.cnt ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(CAST(SUM(CASE WHEN cm.y = p.yhat THEN cm.cnt ELSE 0 END)
+                      AS DOUBLE) / SUM(cm.cnt), 6) AS accuracy
+    FROM combos cm JOIN pred p ON p.f1 = cm.f1 AND p.f2 = cm.f2
+    """,
+    doc="In-plan Laplace-smoothed naive Bayes (train + training-accuracy "
+        "eval in one relational plan): features are nation key and "
+        "account-balance sign, class is the BUILDING segment. All "
+        "sufficient statistics are exact grouped COUNTs (one scan, four "
+        "narrow aggregations); log-probabilities use the engine's "
+        "quantized-ln recipe — each ln term's argument is a division of "
+        "identical exact integers, quantized to 1e-6 units BEFORE "
+        "summing so the score comparison is integer-exact in both "
+        "engines. Scoring happens on the bounded DISTINCT feature-cell "
+        "grid (|nations| x 2 rows), never per row; accuracy comes from "
+        "joining cell predictions back to the (cell, class) count table. "
+        "At 100 TB this is the canonical 'ML as aggregation' shape: "
+        "model fit cost = one map-side-combinable count pass, eval cost "
+        "= a broadcast join of a model table bounded by the feature "
+        "domain. Reference parity: extension surface (SURVEY.md §2.B ML "
+        "rows).",
+)
+def ml_naive_bayes_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_nationkey").cast("long").alias("f1"),
+        (F.col("c_acctbal") >= 0).cast("long").alias("f2"),
+        (F.col("c_mktsegment") == "BUILDING").cast("long").alias("y"),
+    ).localCheckpoint(eager=True)  # five aggregation consumers below
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("f1").cast("long").alias("k1"),
+        F.countDistinct("f2").cast("long").alias("k2"),
+    )
+    cls = base.groupBy(F.col("y").alias("c")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_c")
+    )
+    f1c = base.groupBy("f1", F.col("y").alias("c")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt1")
+    )
+    f2c = base.groupBy("f2", F.col("y").alias("c")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt2")
+    )
+    combos = base.groupBy("f1", "f2", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    cells = base.select("f1", "f2").distinct()
+
+    def q(x: F.Column) -> F.Column:
+        return F.round(F.log(x) * 1_000_000).cast("long")
+
+    scored = (
+        cells.crossJoin(F.broadcast(cls))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(f1c), ["f1", "c"], "left")
+        .join(F.broadcast(f2c), ["f2", "c"], "left")
+        .select(
+            "f1",
+            "f2",
+            "c",
+            (
+                q(
+                    (F.col("n_c") + 1).cast("double")
+                    / (F.col("n") + 2)
+                )
+                + q(
+                    (F.coalesce(F.col("cnt1"), F.lit(0)) + 1).cast("double")
+                    / (F.col("n_c") + F.col("k1"))
+                )
+                + q(
+                    (F.coalesce(F.col("cnt2"), F.lit(0)) + 1).cast("double")
+                    / (F.col("n_c") + F.col("k2"))
+                )
+            ).alias("score"),
+        )
+    )
+    pred = scored.groupBy("f1", "f2").agg(
+        F.when(
+            F.max(F.when(F.col("c") == 1, F.col("score")))
+            > F.max(F.when(F.col("c") == 0, F.col("score"))),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("yhat")
+    )
+    correct = F.sum(
+        F.when(F.col("y") == F.col("yhat"), F.col("cnt")).otherwise(0)
+    ).cast("long")
+    return (
+        combos.join(F.broadcast(pred), ["f1", "f2"])
+        .agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            correct.alias("n_correct"),
+            F.round(
+                correct.cast("double") / F.sum("cnt"), 6
+            ).alias("accuracy"),
         )
     )
 

@@ -1145,6 +1145,115 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_theil_sen_slope",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS d,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ),
+    pts AS (
+        SELECT datediff('day', DATE '1995-01-01', d) AS di, cents AS yi
+        FROM daily
+    ),
+    pairs AS (
+        SELECT CAST(round(CAST(b.yi - a.yi AS DOUBLE) * 1000000
+                          / (b.di - a.di)) AS BIGINT) AS slope_micro
+        FROM pts a JOIN pts b ON a.di < b.di
+    ),
+    by_val AS (
+        SELECT slope_micro, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM pairs GROUP BY slope_micro
+    ),
+    cum AS (
+        SELECT slope_micro, cnt,
+               SUM(cnt) OVER (ORDER BY slope_micro
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(cnt) OVER () AS n
+        FROM by_val
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+           CAST(MAX(n) AS BIGINT) AS n_pairs,
+           CAST(MAX(CASE WHEN (n + 1) // 2 > cum - cnt
+                          AND (n + 1) // 2 <= cum
+                         THEN slope_micro END) AS BIGINT)
+               AS slope_micro_per_day
+    FROM cum
+    """,
+    doc="Theil-Sen robust trend estimator over the daily-revenue series: "
+        "the median of all pairwise slopes (y_j - y_i) / (d_j - d_i) — "
+        "the breakdown-resistant alternative to OLS slope "
+        "(agg_corr_regression) that one outlier day cannot move. The "
+        "pairwise join runs on the BOUNDED day-aggregated grid (#days^2 "
+        "pairs — ~7 years of days, not corpus rows; the corpus-sized "
+        "work is the one daily aggregation), slopes are quantized to "
+        "exact micro-units (one IEEE-pinned multiply+divide per pair, "
+        "then round — identical in both engines), and the median is "
+        "picked from cumulative counts over the DISTINCT-slope aggregate "
+        "(the engine's value-domain rank-pick recipe — no per-row global "
+        "sort). At larger grids the standard refinement is the "
+        "randomized O(n log n) Theil-Sen (sample pairs), which keeps the "
+        "same plan shape over a hash-sampled pair subset. Reference "
+        "parity: extension surface (SURVEY.md §2.B time-series rows).",
+)
+def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+        .cast("long")
+        .alias("cents")
+    ).localCheckpoint(eager=True)  # pair join consumes it twice
+    pts = daily.select(
+        F.datediff(F.col("d"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("di"),
+        F.col("cents").alias("yi"),
+    )
+    b = pts.select(F.col("di").alias("dj"), F.col("yi").alias("yj"))
+    slope = F.round(
+        (F.col("yj") - F.col("yi")).cast("double")
+        * 1_000_000
+        / (F.col("dj") - F.col("di"))
+    ).cast("long")
+    pairs = pts.join(b, F.col("di") < F.col("dj")).select(
+        slope.alias("slope_micro")
+    )
+    by_val = pairs.groupBy("slope_micro").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wcum = Window.orderBy("slope_micro").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wtot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = by_val.select(
+        "slope_micro",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wtot).alias("n"),
+    )
+    rmed = F.floor((F.col("n") + 1) / 2)
+    n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    picked = cum.agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        F.max(
+            F.when(
+                (rmed > F.col("cum") - F.col("cnt"))
+                & (rmed <= F.col("cum")),
+                F.col("slope_micro"),
+            )
+        )
+        .cast("long")
+        .alias("slope_micro_per_day"),
+    )
+    return n_days.crossJoin(F.broadcast(picked)).select(
+        "n_days", "n_pairs", "slope_micro_per_day"
+    )
+
+
+@register(
     "ts_calendar_heatmap",
     oracle="""
     SELECT datediff('day', DATE '1995-01-01',
