@@ -78,6 +78,11 @@ HEADLINE = [
     "dq_reconcile_totals",
     "udf_map_in_arrow",
     "ml_decision_stump",
+    # r4 additions (appended only, same continuity rule): the operators
+    # added this round.
+    "graph_label_propagation",
+    "ts_theil_sen_slope",
+    "ml_naive_bayes_binary",
 ]
 
 

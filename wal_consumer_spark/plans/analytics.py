@@ -2195,6 +2195,86 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "analytics_session_duration_histogram",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                         - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                         > 1800000000
+                         OR lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                            IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+    ),
+    s AS (
+        SELECT user_id, us,
+               SUM(new_session) OVER (PARTITION BY user_id
+                   ORDER BY us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM g
+    ),
+    per AS (
+        SELECT user_id, session_idx,
+               (MAX(us) - MIN(us)) // 60000000 AS mins
+        FROM s GROUP BY user_id, session_idx
+    )
+    SELECT CAST(length(bin(mins + 1)) - 1 AS BIGINT)
+               AS duration_log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(mins) AS BIGINT) AS sum_minutes
+    FROM per GROUP BY 1
+    """,
+    doc="Session-duration distribution: 30-min-gap sessionization (the "
+        "win_sessionize_gap recipe — lag + running break-flag sum, ONE "
+        "user_id window shuffle that the per-session rollup reuses), "
+        "session length in exact epoch-microsecond-floored minutes, then "
+        "a log2-width histogram. The log2 bucket is computed as "
+        "length(bin(mins+1))-1 — pure integer/string arithmetic, exactly "
+        "floor(log2(x)) with NO ln() anywhere, so there is no float "
+        "boundary for engines to disagree on at powers of two (the "
+        "agg_log2_histogram ln/ln(2) idiom is safe on its data but this "
+        "form is categorically safe). Output is bounded by the max "
+        "bucket (~40 rows at any scale); the one corpus-sized op is the "
+        "per-user window pass every sessionized metric in the engine "
+        "already shares. Reference parity: extension surface (SURVEY.md "
+        "§2.B analytics rows).",
+)
+def analytics_session_duration_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    g = e.select("user_id", "event_id", us.alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    g2 = g.withColumn(
+        "new_session",
+        F.when(
+            (F.col("us") - F.lag("us").over(w) > 1_800_000_000)
+            | F.lag("us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    s = g2.withColumn(
+        "session_idx",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per = s.groupBy("user_id", "session_idx").agg(
+        F.expr("(max(us) - min(us)) div 60000000").alias("mins")
+    )
+    bucket = (F.length(F.bin(F.col("mins") + 1)) - 1).cast("long")
+    return per.groupBy(bucket.alias("duration_log2_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("mins").cast("long").alias("sum_minutes"),
+    )
+
+
+@register(
     "ml_naive_bayes_binary",
     oracle="""
     WITH base AS (

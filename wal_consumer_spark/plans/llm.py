@@ -226,6 +226,131 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(fps, max_hamming=8, n_chunks=4, chunk_bits=15)
 
 
+def _dedup_lsh_eval_sql() -> str:
+    """Composes the exact-Jaccard truth CTEs (dedup_ngram_jaccard) with the
+    portable MinHash+LSH replay CTEs (dedup_minhash_lsh) and compares the
+    two pair sets."""
+    coeffs = "[" + ", ".join(f"[{a}, {b}]" for a, b in minhash_coeffs(32, 7)) + "]"
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    truth AS (
+        SELECT doc1, doc2 FROM inter
+        JOIN sizes s1 ON s1.doc_id = doc1
+        JOIN sizes s2 ON s2.doc_id = doc2
+        WHERE n_common / (s1.n + s2.n - n_common) >= 0.5
+    ),
+    hs AS (
+        SELECT doc_id,
+               list_transform({_SHINGLES},
+                              s -> ('0x' || substring(md5(s), 1, 8))::BIGINT) AS h
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+               list_transform({coeffs}, c ->
+                   list_min(list_transform(h, x -> (c[1] * x + c[2]) % 4294967311))) AS sig
+        FROM hs
+    ),
+    banded AS (
+        SELECT doc_id, sig, b.b AS band,
+               array_to_string(list_slice(sig, b.b * 8 + 1, b.b * 8 + 8), ',') AS bucket
+        FROM sig, (SELECT unnest(range(0, 4)) AS b) b
+    ),
+    cand AS (
+        SELECT a.doc_id AS doc1, c.doc_id AS doc2, a.sig AS sig1, c.sig AS sig2
+        FROM banded a JOIN banded c USING (band, bucket)
+        WHERE a.doc_id < c.doc_id
+    ),
+    est AS (
+        SELECT doc1, doc2,
+               MAX(list_sum(list_transform(range(1, 33),
+                       i -> CASE WHEN sig1[i] = sig2[i] THEN 1 ELSE 0 END)) / 32.0)
+                   AS est
+        FROM cand GROUP BY doc1, doc2
+    ),
+    pred AS (SELECT doc1, doc2 FROM est WHERE est >= 0.4),
+    m AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM pred) AS n_pred,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM truth JOIN pred USING (doc1, doc2)) AS tp
+    )
+    SELECT n_truth, n_pred, tp,
+           round(CAST(tp AS DOUBLE) / n_pred, 6) AS lsh_precision,
+           round(CAST(tp AS DOUBLE) / n_truth, 6) AS lsh_recall,
+           CASE WHEN tp = 0 THEN 0.0
+                ELSE round(2 * (CAST(tp AS DOUBLE) / n_pred)
+                             * (CAST(tp AS DOUBLE) / n_truth)
+                           / ((CAST(tp AS DOUBLE) / n_pred)
+                              + (CAST(tp AS DOUBLE) / n_truth)), 6)
+           END AS lsh_f1
+    FROM m
+    """
+
+
+@register(
+    "dedup_lsh_eval",
+    oracle=_dedup_lsh_eval_sql(),
+    doc="Dedup-pipeline quality certification: precision/recall/F1 of the "
+        "MinHash(32)+LSH(4x8) candidate set (est >= 0.4) against the "
+        "exact shingle-Jaccard >= 0.5 ground truth — the number you tune "
+        "bands/rows/thresholds against before trusting LSH on the full "
+        "corpus (the dedup analog of sim_ann_recall_eval). Both pipelines "
+        "run in ONE plan with the portable md5 hash tier so the oracle "
+        "replays truth, candidates, and estimates bit-for-bit; the three "
+        "pair-set cardinalities are in-plan scalar aggregates (no "
+        "collect), and P/R/F1 are divisions of those exact integers. At "
+        "100 TB the exact truth side is the expensive half — run it on a "
+        "hash-sampled doc subset (pipeline_sample_k_per_group's gate) "
+        "against the same LSH index; the comparison plan is unchanged. "
+        "Reference parity: extension surface (SURVEY.md §2.B dedup rows).",
+)
+def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    truth = (
+        shingle_pairs_jaccard(docs, "doc_id", "text")
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc1", "doc2")
+    )
+    sigs = minhash_signature(
+        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id"),
+        "doc_id",
+        "text",
+        portable=True,
+    ).persist()
+    pred = (
+        minhash_near_pairs(sigs, portable=True)
+        .filter(F.col("est_jaccard") >= 0.4)
+        .select("doc1", "doc2")
+    )
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    npred = pred.agg(F.count(F.lit(1)).cast("long").alias("n_pred"))
+    tp = truth.join(pred, ["doc1", "doc2"]).agg(
+        F.count(F.lit(1)).cast("long").alias("tp")
+    )
+    m = nt.crossJoin(F.broadcast(npred)).crossJoin(F.broadcast(tp))
+    p = F.col("tp").cast("double") / F.col("n_pred")
+    r = F.col("tp").cast("double") / F.col("n_truth")
+    return m.select(
+        "n_truth",
+        "n_pred",
+        "tp",
+        F.round(p, 6).alias("lsh_precision"),
+        F.round(r, 6).alias("lsh_recall"),
+        F.when(F.col("tp") == 0, F.lit(0.0))
+        .otherwise(F.round(2 * p * r / (p + r), 6))
+        .alias("lsh_f1"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------

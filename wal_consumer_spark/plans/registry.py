@@ -68,11 +68,12 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: ts/text/analytics/pipeline/sim/sql tails (round-3 VERDICT "Next
 #: round" #1).
 #:
-#: ROUND-5 ROTATION CANDIDATES — the exact 74 registered names that will
+#: ROUND-5 ROTATION CANDIDATES — the exact 76 registered names that will
 #: still lack a driver-green row once CORRECTNESS_r04 certifies this
 #: window (VERDICT r3 #6; keep this list in sync when adding queries —
 #: the round-4 session added graph_label_propagation, ts_theil_sen_slope,
-#: ml_naive_bayes_binary after the window froze):
+#: ml_naive_bayes_binary, dedup_lsh_eval,
+#: analytics_session_duration_histogram after the window froze):
 #: agg_having, agg_higher_moments, agg_histogram_totalprice,
 #: agg_key_skew_profile, agg_log2_histogram, agg_percentile_approx,
 #: agg_profile_orders, agg_stratified_sample, analytics_ab_welch_ttest,
@@ -101,7 +102,8 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: udf_row_scalar_dim, win_cume_percent, win_cumulative_distinct,
 #: win_moving_median, win_rank_dense_ntile, win_rolling_autocorr,
 #: win_running_sum, graph_label_propagation, ts_theil_sen_slope,
-#: ml_naive_bayes_binary.
+#: ml_naive_bayes_binary, dedup_lsh_eval,
+#: analytics_session_duration_histogram.
 DRIVER_WINDOW: list[str] = [
     # as-of join: nearest variant
     "asof_join_nearest_events_orders",

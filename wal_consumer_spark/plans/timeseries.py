@@ -1216,40 +1216,86 @@ def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 1_000_000
         / (F.col("dj") - F.col("di"))
     ).cast("long")
-    pairs = pts.join(b, F.col("di") < F.col("dj")).select(
-        slope.alias("slope_micro")
+    # NO theta-join: a di<dj BroadcastNestedLoopJoin is row-at-a-time
+    # outside whole-stage codegen (measured 17 s as a stats-less
+    # CartesianProduct, ~7 s even broadcast, at sf0.1). Instead each day
+    # EXPLODES its candidate partner range di+1..max(di) map-side (pure
+    # codegen) and a broadcast HASH join on dj keeps only observed days —
+    # identical pair set, ~1 s. The explode volume is the pair count
+    # itself (#days^2/2), which the estimator inherently enumerates.
+    dmax = pts.agg(F.max("di").alias("dmax"))
+    pairs = (
+        pts.crossJoin(F.broadcast(dmax))
+        .where(F.col("di") < F.col("dmax"))
+        .select(
+            "di",
+            "yi",
+            F.explode(
+                F.sequence(F.col("di") + 1, F.col("dmax"))
+            ).alias("dj"),
+        )
+        .join(F.broadcast(b), "dj")
+        .select(slope.alias("slope_micro"))
     )
-    by_val = pairs.groupBy("slope_micro").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
-    )
-    wcum = Window.orderBy("slope_micro").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    wtot = Window.rowsBetween(
+    # Exact median by TWO-PHASE DISTRIBUTED SELECTION: micro-quantized
+    # slopes are nearly all distinct, so a groupBy(slope) + global cum
+    # window degenerates to a no-reduction 2.9M-group aggregate feeding a
+    # 2.9M-row single-partition window (measured 6.8 s at sf0.1). Instead:
+    # (1) coarse buckets (slope div 1e9 — truncation is monotonic, which
+    # is all selection needs) aggregate with real map-side combining to a
+    # bounded table; (2) a cum window over THAT locates the bucket holding
+    # global rank (n+1)//2 and the residual rank within it (1 broadcast
+    # row); (3) only that bucket's pairs are re-scanned and resolved with
+    # a small value-level cum. Same value as the naive global rank-pick —
+    # the oracle keeps the one-shot formulation. Measured 6.8 s -> ~2.5 s;
+    # at 100 TB this is the textbook exact-quantile-without-global-sort
+    # plan (generalizes to any rank).
+    pairs = pairs.persist()
+    buckets = pairs.groupBy(
+        F.expr("slope_micro div 1000000000").alias("bk")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wcumb = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, 0)
+    wtotb = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    cum = by_val.select(
-        "slope_micro",
+    # the pair total rides the bounded bucket table (one wide pass over
+    # pairs total, not two)
+    cumb = buckets.select(
+        "bk",
         "cnt",
-        F.sum("cnt").over(wcum).alias("cum"),
-        F.sum("cnt").over(wtot).alias("n"),
+        F.sum("cnt").over(wcumb).alias("cum"),
+        F.sum("cnt").over(wtotb).alias("n"),
     )
     rmed = F.floor((F.col("n") + 1) / 2)
-    n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
-    picked = cum.agg(
-        F.max("n").cast("long").alias("n_pairs"),
-        F.max(
-            F.when(
-                (rmed > F.col("cum") - F.col("cnt"))
-                & (rmed <= F.col("cum")),
-                F.col("slope_micro"),
-            )
-        )
-        .cast("long")
-        .alias("slope_micro_per_day"),
+    tgt = cumb.where(
+        (rmed > F.col("cum") - F.col("cnt")) & (rmed <= F.col("cum"))
+    ).select(
+        "bk",
+        (rmed - (F.col("cum") - F.col("cnt"))).alias("r_in"),
+        F.col("n").cast("long").alias("n_pairs"),
     )
-    return n_days.crossJoin(F.broadcast(picked)).select(
-        "n_days", "n_pairs", "slope_micro_per_day"
+    sub = pairs.join(
+        F.broadcast(tgt.select("bk", "r_in")),
+        F.expr("slope_micro div 1000000000") == F.col("bk"),
+    )
+    by_val = sub.groupBy("slope_micro", "r_in").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wcum2 = Window.orderBy("slope_micro").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum2 = by_val.select(
+        "slope_micro", "r_in", "cnt", F.sum("cnt").over(wcum2).alias("cum")
+    )
+    med = cum2.where(
+        (F.col("r_in") > F.col("cum") - F.col("cnt"))
+        & (F.col("r_in") <= F.col("cum"))
+    ).select(F.col("slope_micro").alias("slope_micro_per_day"))
+    n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (
+        n_days.crossJoin(F.broadcast(tgt.select("n_pairs")))
+        .crossJoin(F.broadcast(med))
+        .select("n_days", "n_pairs", "slope_micro_per_day")
     )
 
 
