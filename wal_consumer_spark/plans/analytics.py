@@ -1264,6 +1264,107 @@ def graph_copurchase_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_kcore_peel",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    e0 AS (
+        SELECT DISTINCT a.p AS p1, b.p AS p2
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    ),
+    deg1 AS (
+        SELECT u, COUNT(*) AS d FROM (
+            SELECT p1 AS u FROM e0 UNION ALL SELECT p2 FROM e0
+        ) GROUP BY u
+    ),
+    keep1 AS (SELECT u FROM deg1 WHERE d >= 100),
+    e1 AS (
+        SELECT p1, p2 FROM e0
+        JOIN keep1 a ON a.u = e0.p1 JOIN keep1 b ON b.u = e0.p2
+    ),
+    deg2 AS (
+        SELECT u, COUNT(*) AS d FROM (
+            SELECT p1 AS u FROM e1 UNION ALL SELECT p2 FROM e1
+        ) GROUP BY u
+    ),
+    keep2 AS (SELECT u FROM deg2 WHERE d >= 100),
+    e2 AS (
+        SELECT p1, p2 FROM e1
+        JOIN keep2 a ON a.u = e1.p1 JOIN keep2 b ON b.u = e1.p2
+    ),
+    deg3 AS (
+        SELECT u, COUNT(*) AS d FROM (
+            SELECT p1 AS u FROM e2 UNION ALL SELECT p2 FROM e2
+        ) GROUP BY u
+    ),
+    keep3 AS (SELECT u FROM deg3 WHERE d >= 100),
+    e3 AS (
+        SELECT p1, p2 FROM e2
+        JOIN keep3 a ON a.u = e2.p1 JOIN keep3 b ON b.u = e2.p2
+    )
+    SELECT CAST(1 AS BIGINT) AS round,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM keep1) AS n_vertices,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e1) AS n_edges
+    UNION ALL
+    SELECT CAST(2 AS BIGINT),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM keep2),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e2)
+    UNION ALL
+    SELECT CAST(3 AS BIGINT),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM keep3),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e3)
+    """,
+    doc="k-core peeling (k=100) over the co-purchase graph, 3 rounds: "
+        "each round drops vertices whose CURRENT degree is below k and "
+        "keeps only edges between survivors — the standard distributed "
+        "dense-subgraph/degeneracy primitive (spam rings, influence "
+        "cores, graph sparsification before expensive triangle/embedding "
+        "passes). Per round: one narrow degree aggregation + two "
+        "semi-join-shaped filters of the shrinking edge frame, "
+        "checkpoint-truncated so round N+1's plan does not replay round "
+        "N (the PageRank lineage rule). Edge volume is monotonically "
+        "non-increasing, so rounds get CHEAPER at scale — the opposite "
+        "of wedge-style blowups; at 100 TB the loop runs to fixpoint "
+        "with the single-aggregate convergence check used by the CC "
+        "operator. Per-round survivor counts ride as in-plan scalar "
+        "aggregates (3 bounded rows out, no collect). Reference parity: "
+        "extension surface (SURVEY.md §2.B graph rows).",
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cur = _copurchase_edges(spark, sf_dir)
+    out = None
+    for rnd in (1, 2, 3):
+        deg = (
+            cur.select(F.col("p1").alias("u"))
+            .unionAll(cur.select(F.col("p2").alias("u")))
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.where(F.col("d") >= 100).select("u")
+        cur = (
+            cur.join(keep.withColumnRenamed("u", "p1"), "p1")
+            .join(keep.withColumnRenamed("u", "p2"), "p2")
+            .localCheckpoint(eager=True)
+        )
+        stats = (
+            keep.agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+            .crossJoin(
+                F.broadcast(
+                    cur.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+                )
+            )
+            .select(
+                F.lit(rnd).cast("long").alias("round"),
+                "n_vertices",
+                "n_edges",
+            )
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out
+
+
+@register(
     "graph_label_propagation",
     oracle="""
     WITH op AS (
@@ -1344,26 +1445,28 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = adj.select("u").distinct().select(
         "u", F.col("u").alias("lbl")
     )
+    # each round is ONE aggregation: min over (own label UNION neighbor
+    # labels). The round's label table feeds both next-round consumers
+    # (join side + union side) from the same aggregate subtree, which
+    # Catalyst plans as a ReusedExchange — no per-round checkpoint jobs
+    # needed at a fixed 3 rounds (the convergence-loop variant in
+    # operators/graph.py checkpoints per round because its round count is
+    # unbounded); adj itself reads the eagerly-checkpointed edge frame,
+    # so the expensive support-2 build is never recomputed across rounds.
     for _ in range(3):
-        neigh = (
+        labels = (
             adj.join(
                 labels.select(
                     F.col("u").alias("v"), F.col("lbl").alias("nl")
                 ),
                 "v",
             )
-            .groupBy("u")
-            .agg(F.min("nl").alias("minn"))
-        )
-        labels = (
-            labels.join(neigh, "u", "left")
-            .select(
-                "u",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("minn"), F.col("lbl"))
-                ).alias("lbl"),
+            .select("u", "nl")
+            .unionByName(
+                labels.select("u", F.col("lbl").alias("nl"))
             )
-            .localCheckpoint(eager=True)
+            .groupBy("u")
+            .agg(F.min("nl").alias("lbl"))
         )
     sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("sz"))
     return sizes.groupBy(

@@ -866,6 +866,80 @@ def cdc_ops_per_entity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dq_functional_dependency",
+    oracle="""
+    WITH fd1 AS (
+        SELECT o_orderkey AS det, o_custkey AS dep FROM orders
+    ),
+    fd2 AS (
+        SELECT o_custkey AS det, o_orderpriority AS dep FROM orders
+    ),
+    fd3 AS (
+        SELECT o_custkey AS det, o_orderstatus AS dep FROM orders
+    ),
+    a1 AS (
+        SELECT det, COUNT(DISTINCT dep) AS ndep FROM fd1 GROUP BY det
+    ),
+    a2 AS (
+        SELECT det, COUNT(DISTINCT dep) AS ndep FROM fd2 GROUP BY det
+    ),
+    a3 AS (
+        SELECT det, COUNT(DISTINCT dep) AS ndep FROM fd3 GROUP BY det
+    )
+    SELECT 'o_orderkey->o_custkey' AS fd,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(count_if(ndep > 1) AS BIGINT) AS n_violating_keys,
+           CAST(MAX(ndep) AS BIGINT) AS max_distinct_dependents
+    FROM a1
+    UNION ALL
+    SELECT 'o_custkey->o_orderpriority',
+           CAST(COUNT(*) AS BIGINT), CAST(count_if(ndep > 1) AS BIGINT),
+           CAST(MAX(ndep) AS BIGINT)
+    FROM a2
+    UNION ALL
+    SELECT 'o_custkey->o_orderstatus',
+           CAST(COUNT(*) AS BIGINT), CAST(count_if(ndep > 1) AS BIGINT),
+           CAST(MAX(ndep) AS BIGINT)
+    FROM a3
+    """,
+    doc="Functional-dependency audit — the schema-discovery/denormal-"
+        "ization-integrity DQ primitive (does X really determine Y?): "
+        "for each candidate FD, group by the determinant, count distinct "
+        "dependents, report violating-key counts and the worst fan-out. "
+        "Audits one true FD (the PK: o_orderkey->o_custkey, must show "
+        "zero violations), one false one (o_custkey->o_orderpriority — "
+        "customers reorder at different priorities), and one "
+        "low-cardinality one (o_custkey->o_orderstatus, 3-value domain "
+        "caps the fan-out) so different severity shapes are certified. Each audit is one narrow groupBy + a 1-row "
+        "rollup; k audited FDs = k independent map-side-combinable "
+        "passes (at 100 TB: share one shuffle per distinct determinant "
+        "column). Complements dq_constraint_checks (PK/FK/domain) with "
+        "the inter-column dependency axis. Reference parity: extension "
+        "surface (SURVEY.md §2.B DQ rows).",
+)
+def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def audit(det: str, dep: str) -> DataFrame:
+        g = o.groupBy(F.col(det).alias("det")).agg(
+            F.countDistinct(dep).alias("ndep")
+        )
+        return g.agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.count_if(F.col("ndep") > 1).cast("long").alias(
+                "n_violating_keys"
+            ),
+            F.max("ndep").cast("long").alias("max_distinct_dependents"),
+        ).select(F.lit(f"{det}->{dep}").alias("fd"), "*")
+
+    return (
+        audit("o_orderkey", "o_custkey")
+        .unionByName(audit("o_custkey", "o_orderpriority"))
+        .unionByName(audit("o_custkey", "o_orderstatus"))
+    )
+
+
+@register(
     "dq_psi_drift",
     oracle="""
     WITH half AS (

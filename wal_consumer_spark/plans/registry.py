@@ -68,12 +68,13 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: ts/text/analytics/pipeline/sim/sql tails (round-3 VERDICT "Next
 #: round" #1).
 #:
-#: ROUND-5 ROTATION CANDIDATES — the exact 76 registered names that will
+#: ROUND-5 ROTATION CANDIDATES — the exact 78 registered names that will
 #: still lack a driver-green row once CORRECTNESS_r04 certifies this
 #: window (VERDICT r3 #6; keep this list in sync when adding queries —
 #: the round-4 session added graph_label_propagation, ts_theil_sen_slope,
 #: ml_naive_bayes_binary, dedup_lsh_eval,
-#: analytics_session_duration_histogram after the window froze):
+#: analytics_session_duration_histogram, graph_kcore_peel,
+#: dq_functional_dependency after the window froze):
 #: agg_having, agg_higher_moments, agg_histogram_totalprice,
 #: agg_key_skew_profile, agg_log2_histogram, agg_percentile_approx,
 #: agg_profile_orders, agg_stratified_sample, analytics_ab_welch_ttest,
@@ -103,7 +104,8 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: win_moving_median, win_rank_dense_ntile, win_rolling_autocorr,
 #: win_running_sum, graph_label_propagation, ts_theil_sen_slope,
 #: ml_naive_bayes_binary, dedup_lsh_eval,
-#: analytics_session_duration_histogram.
+#: analytics_session_duration_histogram, graph_kcore_peel,
+#: dq_functional_dependency.
 DRIVER_WINDOW: list[str] = [
     # as-of join: nearest variant
     "asof_join_nearest_events_orders",
