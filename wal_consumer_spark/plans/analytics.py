@@ -2378,6 +2378,163 @@ def analytics_session_duration_histogram(
 
 
 @register(
+    "ml_pca_top_component",
+    oracle="""
+    WITH f AS (
+        SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS x1,
+               CAST(c_nationkey AS BIGINT) AS x2,
+               CAST(length(c_mktsegment) AS BIGINT) AS x3
+        FROM customer
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x1 AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(x2 AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+               CAST(SUM(CAST(x3 AS DECIMAL(38,0))) AS DOUBLE) AS s3,
+               CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,0))) AS DOUBLE) AS s11,
+               CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,0))) AS DOUBLE) AS s22,
+               CAST(SUM(CAST(x3 * x3 AS DECIMAL(38,0))) AS DOUBLE) AS s33,
+               CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,0))) AS DOUBLE) AS s12,
+               CAST(SUM(CAST(x1 * x3 AS DECIMAL(38,0))) AS DOUBLE) AS s13,
+               CAST(SUM(CAST(x2 * x3 AS DECIMAL(38,0))) AS DOUBLE) AS s23
+        FROM f
+    ),
+    cov AS (
+        SELECT n,
+               CAST(n AS DOUBLE) * s11 - s1 * s1 AS c11,
+               CAST(n AS DOUBLE) * s22 - s2 * s2 AS c22,
+               CAST(n AS DOUBLE) * s33 - s3 * s3 AS c33,
+               CAST(n AS DOUBLE) * s12 - s1 * s2 AS c12,
+               CAST(n AS DOUBLE) * s13 - s1 * s3 AS c13,
+               CAST(n AS DOUBLE) * s23 - s2 * s3 AS c23
+        FROM s
+    ),
+    r AS (
+        SELECT n,
+               c11 / sqrt(c11 * c11) AS r11,
+               c22 / sqrt(c22 * c22) AS r22,
+               c33 / sqrt(c33 * c33) AS r33,
+               c12 / sqrt(c11 * c22) AS r12,
+               c13 / sqrt(c11 * c33) AS r13,
+               c23 / sqrt(c22 * c33) AS r23
+        FROM cov
+    ),
+    a AS (
+        SELECT n, r11, r22, r33, r12, r13, r23,
+               r11 + r12 + r13 AS a1,
+               r12 + r22 + r23 AS a2,
+               r13 + r23 + r33 AS a3
+        FROM r
+    ),
+    b AS (
+        SELECT n,
+               r11 * a1 + r12 * a2 + r13 * a3 AS b1,
+               r12 * a1 + r22 * a2 + r23 * a3 AS b2,
+               r13 * a1 + r23 * a2 + r33 * a3 AS b3
+        FROM a
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           round(b1 / sqrt(b1 * b1 + b2 * b2 + b3 * b3), 6) AS pc1_acctbal,
+           round(b2 / sqrt(b1 * b1 + b2 * b2 + b3 * b3), 6) AS pc1_nation,
+           round(b3 / sqrt(b1 * b1 + b2 * b2 + b3 * b3), 6) AS pc1_seglen
+    FROM b
+    """,
+    doc="Top principal component by in-plan power iteration: the 3x3 "
+        "CORRELATION matrix comes from one pass of exact DECIMAL power "
+        "sums (the mergeable-moments recipe agg_corr_regression/"
+        "agg_higher_moments already use), then two unrolled power-"
+        "iteration steps v <- R v from v0 = ones run as scalar double "
+        "arithmetic on a single 1-row frame, normalized once at the end "
+        "(+,*,/ and sqrt are IEEE-pinned on identical doubles — no "
+        "quantization needed anywhere). Correlation (not raw covariance) "
+        "so the cents-scaled balance feature cannot degenerate the "
+        "eigenvector. The corpus-sized work is ONE map-side-combinable "
+        "aggregation; the iteration cost is O(d^2) scalars regardless of "
+        "row count — the canonical 'fit on sufficient statistics' shape "
+        "that scales to 100 TB by construction (d features -> d(d+1)/2 "
+        "sums, same one-pass plan). Reference parity: extension surface "
+        "(SURVEY.md §2.B ML rows).",
+)
+def ml_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    f = c.select(
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("x1"),
+        F.col("c_nationkey").cast("long").alias("x2"),
+        F.length("c_mktsegment").cast("long").alias("x3"),
+    )
+
+    def dsum(expr: F.Column) -> F.Column:
+        return F.sum(expr.cast("decimal(38,0)")).cast("double")
+
+    s = f.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum(F.col("x1")).alias("s1"),
+        dsum(F.col("x2")).alias("s2"),
+        dsum(F.col("x3")).alias("s3"),
+        dsum(F.col("x1") * F.col("x1")).alias("s11"),
+        dsum(F.col("x2") * F.col("x2")).alias("s22"),
+        dsum(F.col("x3") * F.col("x3")).alias("s33"),
+        dsum(F.col("x1") * F.col("x2")).alias("s12"),
+        dsum(F.col("x1") * F.col("x3")).alias("s13"),
+        dsum(F.col("x2") * F.col("x3")).alias("s23"),
+    )
+    nd = F.col("n").cast("double")
+    cov = s.select(
+        "n",
+        (nd * F.col("s11") - F.col("s1") * F.col("s1")).alias("c11"),
+        (nd * F.col("s22") - F.col("s2") * F.col("s2")).alias("c22"),
+        (nd * F.col("s33") - F.col("s3") * F.col("s3")).alias("c33"),
+        (nd * F.col("s12") - F.col("s1") * F.col("s2")).alias("c12"),
+        (nd * F.col("s13") - F.col("s1") * F.col("s3")).alias("c13"),
+        (nd * F.col("s23") - F.col("s2") * F.col("s3")).alias("c23"),
+    )
+    r = cov.select(
+        "n",
+        (F.col("c11") / F.sqrt(F.col("c11") * F.col("c11"))).alias("r11"),
+        (F.col("c22") / F.sqrt(F.col("c22") * F.col("c22"))).alias("r22"),
+        (F.col("c33") / F.sqrt(F.col("c33") * F.col("c33"))).alias("r33"),
+        (F.col("c12") / F.sqrt(F.col("c11") * F.col("c22"))).alias("r12"),
+        (F.col("c13") / F.sqrt(F.col("c11") * F.col("c33"))).alias("r13"),
+        (F.col("c23") / F.sqrt(F.col("c22") * F.col("c33"))).alias("r23"),
+    )
+    a = r.select(
+        "*",
+        (F.col("r11") + F.col("r12") + F.col("r13")).alias("a1"),
+        (F.col("r12") + F.col("r22") + F.col("r23")).alias("a2"),
+        (F.col("r13") + F.col("r23") + F.col("r33")).alias("a3"),
+    )
+    b = a.select(
+        "n",
+        (
+            F.col("r11") * F.col("a1")
+            + F.col("r12") * F.col("a2")
+            + F.col("r13") * F.col("a3")
+        ).alias("b1"),
+        (
+            F.col("r12") * F.col("a1")
+            + F.col("r22") * F.col("a2")
+            + F.col("r23") * F.col("a3")
+        ).alias("b2"),
+        (
+            F.col("r13") * F.col("a1")
+            + F.col("r23") * F.col("a2")
+            + F.col("r33") * F.col("a3")
+        ).alias("b3"),
+    )
+    norm = F.sqrt(
+        F.col("b1") * F.col("b1")
+        + F.col("b2") * F.col("b2")
+        + F.col("b3") * F.col("b3")
+    )
+    return b.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(F.col("b1") / norm, 6).alias("pc1_acctbal"),
+        F.round(F.col("b2") / norm, 6).alias("pc1_nation"),
+        F.round(F.col("b3") / norm, 6).alias("pc1_seglen"),
+    )
+
+
+@register(
     "ml_naive_bayes_binary",
     oracle="""
     WITH base AS (

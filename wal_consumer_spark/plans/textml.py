@@ -660,6 +660,75 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest({_TOKS}) AS t FROM documents
+    ),
+    vocab AS (
+        SELECT t FROM (
+            SELECT t, COUNT(*) AS freq FROM tok GROUP BY t
+            ORDER BY freq DESC, t LIMIT 10
+        )
+    ),
+    flagged AS (
+        SELECT k.doc_id, k.lang,
+               CASE WHEN v.t IS NULL THEN 1 ELSE 0 END AS oov
+        FROM tok k LEFT JOIN vocab v USING (t)
+    )
+    SELECT lang,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           CAST(CAST(SUM(oov) AS BIGINT) * 1000000
+                // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS oov_ppm
+    FROM flagged GROUP BY lang
+    """,
+    doc="Out-of-vocabulary rate per language against the corpus's own "
+        "top-10 token vocabulary (the synthetic corpus has ~31 distinct "
+        "tokens, so top-10 leaves a real OOV tail; production sizes the "
+        "cut to the tokenizer vocabulary) — the tokenizer-coverage / domain-"
+        "shift signal a training pipeline checks before fixing a "
+        "vocabulary (high OOV => the tokenizer will fragment this slice "
+        "into rare pieces). The vocabulary is a TakeOrderedAndProject "
+        "top-k of the token counts (freq-desc, token tie-break — "
+        "deterministic, no global sort materialized) broadcast back "
+        "over the token stream as a LEFT join null-flag; the rollup is "
+        "one narrow lang-keyed aggregation with integral-ppm output. "
+        "Corpus-sized work: the token explode feeds both the vocabulary "
+        "count and the flag join — one scan each, both map-side "
+        "combinable. Against a FIXED external vocabulary the top-k stage "
+        "disappears and the join input is a constant table. Reference "
+        "parity: extension surface (SURVEY.md §2.B text rows).",
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("t")
+    )
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "t")
+        .limit(10)
+        .select("t", F.lit(1).alias("iv"))
+    )
+    flagged = tok.join(F.broadcast(vocab), "t", "left").select(
+        "doc_id",
+        "lang",
+        F.when(F.col("iv").isNull(), 1).otherwise(0).alias("oov"),
+    )
+    return flagged.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("oov").cast("long").alias("n_oov"),
+        F.expr("(sum(oov) * 1000000) div count(1)")
+        .cast("long")
+        .alias("oov_ppm"),
+    )
+
+
+@register(
     "text_zipf_fit",
     oracle=f"""
     WITH tok AS (SELECT unnest({_TOKS}) AS t FROM documents),

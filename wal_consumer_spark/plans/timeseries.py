@@ -1145,6 +1145,85 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_bollinger_breakouts",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS d,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ),
+    wnd AS (
+        SELECT d, cents,
+               COUNT(*) OVER w AS cnt,
+               CAST(SUM(CAST(cents AS DECIMAL(18,0))) OVER w AS DOUBLE)
+                   AS s1,
+               CAST(SUM(CAST(cents AS DECIMAL(18,0))
+                        * CAST(cents AS DECIMAL(18,0))) OVER w AS DOUBLE)
+                   AS s2
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ),
+    ev AS (
+        SELECT cents,
+               CAST(cents AS DOUBLE) - s1 / CAST(cnt AS DOUBLE) AS dev,
+               sqrt((CAST(cnt AS DOUBLE) * s2 - s1 * s1)
+                    / (CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE))) AS std
+        FROM wnd WHERE cnt = 20
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days_evaluated,
+           CAST(count_if(dev > 2 * std) AS BIGINT) AS n_upper_breakouts,
+           CAST(count_if(dev < -2 * std) AS BIGINT) AS n_lower_breakouts
+    FROM ev
+    """,
+    doc="Bollinger-band breakout detection on the daily-revenue series: "
+        "20-day trailing mean and population sigma from exact DECIMAL "
+        "power sums sharing ONE ordered window pass over the bounded "
+        "daily grid (count/sum/sum-of-squares ride the same frame — the "
+        "engine's mergeable-moments recipe applied to a rolling frame), "
+        "then a 2-sigma deviation test per full-window day. All float "
+        "math is +,-,*,/,sqrt on identical doubles derived from exact "
+        "integers — IEEE-pinned, no quantization needed even for the "
+        "comparison against 2*std. Days with fewer than 20 trailing "
+        "observations are excluded deterministically (cnt = 20). "
+        "Per-series variants partition the same window by key. Reference "
+        "parity: extension surface (SURVEY.md §2.B time-series rows).",
+)
+def ts_bollinger_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("d").rowsBetween(-19, 0)
+    dec = F.col("cents").cast("decimal(18,0)")
+    wnd = daily.select(
+        "cents",
+        F.count(F.lit(1)).over(w).alias("cnt"),
+        F.sum(dec).over(w).cast("double").alias("s1"),
+        F.sum(dec * dec).over(w).cast("double").alias("s2"),
+    )
+    cntd = F.col("cnt").cast("double")
+    ev = wnd.where(F.col("cnt") == 20).select(
+        (F.col("cents").cast("double") - F.col("s1") / cntd).alias("dev"),
+        F.sqrt(
+            (cntd * F.col("s2") - F.col("s1") * F.col("s1"))
+            / (cntd * cntd)
+        ).alias("std"),
+    )
+    return ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_evaluated"),
+        F.count_if(F.col("dev") > 2 * F.col("std"))
+        .cast("long")
+        .alias("n_upper_breakouts"),
+        F.count_if(F.col("dev") < -2 * F.col("std"))
+        .cast("long")
+        .alias("n_lower_breakouts"),
+    )
+
+
+@register(
     "ts_theil_sen_slope",
     oracle="""
     WITH daily AS (
