@@ -672,3 +672,81 @@ def test_degree_orientation_cuts_wedge_count(spark):
         o.select(F.col("lo").alias("x"), F.col("hi").alias("y")), ["x", "y"]
     ).count()
     assert tri_id == tri_deg, f"{tri_id} != {tri_deg}"
+
+
+def test_theil_sen_has_no_nested_loop_join(spark):
+    """ts_theil_sen_slope's pair generation must be the map-side range
+    explode + broadcast HASH join — a di<dj theta-join plans as
+    CartesianProduct / BroadcastNestedLoopJoin (row-at-a-time, outside
+    codegen; measured 17 s vs ~1 s at sf0.1 for the identical pair set)."""
+    from wal_consumer_spark.plans.timeseries import ts_theil_sen_slope
+
+    plan = (
+        ts_theil_sen_slope(spark, SF_SMOKE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    # the dj equi-join is the pair generator
+    assert "BroadcastHashJoin [dj" in plan, plan
+    # any nested-loop join must be a 1-row scalar attachment (the dmax
+    # cut / final result assembly), never the pair condition
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line and "(" in line.split("Cross")[-1]:
+            assert "dmax" in line, line
+
+
+def test_oov_vocab_is_take_ordered_broadcast(spark):
+    """text_oov_rate's vocabulary must be a distributed top-k
+    (TakeOrderedAndProject) broadcast back over the token stream — not a
+    global row_number sort of the vocabulary."""
+    from wal_consumer_spark.plans.textml import text_oov_rate
+
+    plan = (
+        text_oov_rate(spark, SF_SMOKE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_kcore_edges_shrink_monotonically(spark):
+    """graph_kcore_peel's defining invariant: the surviving edge frame
+    never grows across peel rounds (at scale this is why rounds get
+    cheaper, not costlier)."""
+    from wal_consumer_spark.plans.analytics import graph_kcore_peel
+
+    rows = {
+        r["round"]: (r["n_vertices"], r["n_edges"])
+        for r in graph_kcore_peel(spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert rows[1][1] >= rows[2][1] >= rows[3][1], rows
+    assert rows[1][0] >= rows[2][0] >= rows[3][0], rows
+
+
+def test_bollinger_moments_share_one_window(spark):
+    """ts_bollinger_breakouts' count/sum/sum-of-squares must ride ONE
+    physical Window over one Sort — three separate window passes over the
+    daily grid would be three sorts."""
+    from wal_consumer_spark.plans.timeseries import ts_bollinger_breakouts
+
+    plan = (
+        ts_bollinger_breakouts(spark, SF_SMOKE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Window") == 1, plan
+
+
+def test_session_histogram_single_user_shuffle(spark):
+    """analytics_session_duration_histogram: the sessionize windows and
+    the per-session rollup share the user_id shuffle — exactly one
+    user-keyed exchange in the whole plan."""
+    from wal_consumer_spark.plans.analytics import (
+        analytics_session_duration_histogram,
+    )
+
+    plan = (
+        analytics_session_duration_histogram(spark, SF_SMOKE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
