@@ -2378,6 +2378,91 @@ def analytics_session_duration_histogram(
 
 
 @register(
+    "analytics_view_abandonment",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id, event_type,
+               CAST(ts AS TIMESTAMP) AS tts,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+    ),
+    nx AS (
+        SELECT *,
+               MIN(CASE WHEN event_type = 'purchase' THEN us END) OVER (
+                   PARTITION BY user_id ORDER BY us DESC, event_id DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS next_purchase_us
+        FROM ev
+    ),
+    v AS (
+        SELECT CAST(CAST(tts AS DATE) AS TIMESTAMP) AS day,
+               CASE WHEN next_purchase_us IS NOT NULL
+                         AND next_purchase_us - us <= 86400000000
+                    THEN 1 ELSE 0 END AS conv
+        FROM nx WHERE event_type = 'view'
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_views,
+           CAST(SUM(conv) AS BIGINT) AS n_converted_views,
+           CAST((CAST(COUNT(*) AS BIGINT) - CAST(SUM(conv) AS BIGINT))
+                * 1000000 // CAST(COUNT(*) AS BIGINT) AS BIGINT)
+               AS abandonment_ppm
+    FROM v GROUP BY day
+    """,
+    doc="Per-day view abandonment: the share of views NOT followed by a "
+        "purchase from the same user within 24 hours. The "
+        "next-purchase-after-each-event lookup is the reversed-window "
+        "trick — ONE per-user window ordered by time DESCENDING carrying "
+        "a running conditional MIN of purchase timestamps gives every "
+        "event its next purchase at-or-after, with no event-to-purchase "
+        "self-join and no per-row subquery (the forward as-of join "
+        "collapsed into the sessionize-class user_id shuffle every "
+        "behavioral metric here already pays). Exact epoch-microsecond "
+        "arithmetic; integral-ppm output. At 100 TB this is the "
+        "difference between one window pass and an O(views x purchases) "
+        "range join. Reference parity: extension surface (SURVEY.md "
+        "§2.B analytics rows).",
+)
+def analytics_view_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("tts"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    nx = ev.withColumn(
+        "next_purchase_us",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("us"))
+        ).over(w),
+    )
+    v = nx.where(F.col("event_type") == "view").select(
+        F.to_date("tts").cast("timestamp").alias("day"),
+        F.when(
+            F.col("next_purchase_us").isNotNull()
+            & (F.col("next_purchase_us") - F.col("us") <= 86_400_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("conv"),
+    )
+    return v.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_views"),
+        F.sum("conv").cast("long").alias("n_converted_views"),
+        F.expr("((count(1) - sum(conv)) * 1000000) div count(1)")
+        .cast("long")
+        .alias("abandonment_ppm"),
+    )
+
+
+@register(
     "ml_pca_top_component",
     oracle="""
     WITH f AS (

@@ -22,6 +22,47 @@ from wal_consumer_spark.sources.tables import load_table
 
 
 @register(
+    "scalar_regexp_funcs",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+               AS n_digit_runs,
+           regexp_extract(text, '([0-9]+)', 1) AS first_num,
+           CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT)
+               AS n_vowel_runs,
+           md5(regexp_replace(lower(text), '[aeiou]', '_', 'g'))
+               AS devoweled_fp
+    FROM documents
+    """,
+    doc="Regexp scalar family over the common RE2/Java subset: "
+        "regexp_count (spelled len(regexp_extract_all(..)) in the "
+        "oracle), group extraction, and global regexp_replace (Spark "
+        "replaces all matches by default; DuckDB needs the explicit 'g' "
+        "flag — the one semantic asymmetry this query certifies). The "
+        "replaced text travels as an md5 fingerprint so the value hash "
+        "stays engine-neutral. Pure codegen row-local expressions — "
+        "regexps compile once per task, no shuffle, scan-resident at any "
+        "scale. Reference parity: extension surface (SURVEY.md §2.B "
+        "scalar rows).",
+)
+def scalar_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(r"[0-9]+"))
+        .cast("long")
+        .alias("n_digit_runs"),
+        F.regexp_extract(F.col("text"), r"([0-9]+)", 1).alias("first_num"),
+        F.regexp_count(F.lower(F.col("text")), F.lit(r"[aeiou]+"))
+        .cast("long")
+        .alias("n_vowel_runs"),
+        F.md5(
+            F.regexp_replace(F.lower(F.col("text")), r"[aeiou]", "_")
+        ).alias("devoweled_fp"),
+    )
+
+
+@register(
     "scalar_string_funcs",
     oracle="""
     SELECT p_partkey,

@@ -1145,6 +1145,146 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_pacf_durbin_levinson",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS d,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ),
+    lagged AS (
+        SELECT l.k, a.cents AS x, b.cents AS y
+        FROM (SELECT unnest(generate_series(1, 3)) AS k) l
+        JOIN daily b ON TRUE
+        JOIN daily a ON a.d = b.d + CAST(l.k AS INTEGER)
+    ),
+    s AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(18,0))
+                        * CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y AS DECIMAL(18,0))
+                        * CAST(y AS DECIMAL(18,0))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(x AS DECIMAL(18,0))
+                        * CAST(y AS DECIMAL(18,0))) AS DOUBLE) AS sxy
+        FROM lagged GROUP BY k
+    ),
+    acf AS (
+        SELECT k,
+               (CAST(n AS DOUBLE) * sxy - sx * sy)
+               / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                      * (CAST(n AS DOUBLE) * syy - sy * sy)) AS r
+        FROM s
+    ),
+    rp AS (
+        SELECT MAX(CASE WHEN k = 1 THEN r END) AS r1,
+               MAX(CASE WHEN k = 2 THEN r END) AS r2,
+               MAX(CASE WHEN k = 3 THEN r END) AS r3
+        FROM acf
+    ),
+    lvl2 AS (
+        SELECT r1, r2, r3,
+               (r2 - r1 * r1) / (1 - r1 * r1) AS p22
+        FROM rp
+    )
+    SELECT round(r1, 6) AS acf1, round(r2, 6) AS acf2,
+           round(r3, 6) AS acf3,
+           round(r1, 6) AS pacf1,
+           round(p22, 6) AS pacf2,
+           round((r3 - (r1 - p22 * r1) * r2 - p22 * r1)
+                 / (1 - (r1 - p22 * r1) * r1 - p22 * r2), 6) AS pacf3
+    FROM lvl2
+    """,
+    doc="Partial autocorrelation (lags 1-3) via the Durbin-Levinson "
+        "recursion — the ARIMA order-selection diagnostic that, unlike "
+        "plain ACF (ts_acf_daily), removes the shorter-lag carryover. "
+        "Lag correlations come from shifted-date equi-joins over the "
+        "bounded daily grid with exact DECIMAL power sums (the "
+        "ts_cross_correlation recipe: Pearson on identical integers — "
+        "one join keyed on the shifted date, all three lags share it via "
+        "a 3-row lag spine); the recursion itself is unrolled scalar "
+        "double arithmetic on a 1-row frame (+,-,*,/ and sqrt only — "
+        "IEEE-pinned, no quantization needed). Corpus-sized work is the "
+        "one daily aggregation; everything after is O(lags^2) scalars. "
+        "Reference parity: extension surface (SURVEY.md §2.B time-series "
+        "rows).",
+)
+def ts_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+        .cast("long")
+        .alias("cents")
+    ).localCheckpoint(eager=True)  # both sides of the lag join
+    lags = spark.range(1, 4).select(F.col("id").cast("int").alias("k"))
+    b = daily.crossJoin(F.broadcast(lags)).select(
+        "k",
+        F.date_add(F.col("d"), F.col("k")).alias("d"),
+        F.col("cents").alias("y"),
+    )
+    lagged = daily.select("d", F.col("cents").alias("x")).join(
+        b, "d"
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    s = lagged.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec("x")).cast("double").alias("sx"),
+        F.sum(dec("y")).cast("double").alias("sy"),
+        F.sum(dec("x") * dec("x")).cast("double").alias("sxx"),
+        F.sum(dec("y") * dec("y")).cast("double").alias("syy"),
+        F.sum(dec("x") * dec("y")).cast("double").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    acf = s.select(
+        "k",
+        (
+            (nd * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (nd * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("r"),
+    )
+    rp = acf.agg(
+        F.max(F.when(F.col("k") == 1, F.col("r"))).alias("r1"),
+        F.max(F.when(F.col("k") == 2, F.col("r"))).alias("r2"),
+        F.max(F.when(F.col("k") == 3, F.col("r"))).alias("r3"),
+    )
+    lvl2 = rp.select(
+        "r1",
+        "r2",
+        "r3",
+        (
+            (F.col("r2") - F.col("r1") * F.col("r1"))
+            / (1 - F.col("r1") * F.col("r1"))
+        ).alias("p22"),
+    )
+    p21 = F.col("r1") - F.col("p22") * F.col("r1")
+    return lvl2.select(
+        F.round("r1", 6).alias("acf1"),
+        F.round("r2", 6).alias("acf2"),
+        F.round("r3", 6).alias("acf3"),
+        F.round("r1", 6).alias("pacf1"),
+        F.round("p22", 6).alias("pacf2"),
+        F.round(
+            (
+                F.col("r3")
+                - p21 * F.col("r2")
+                - F.col("p22") * F.col("r1")
+            )
+            / (
+                1
+                - p21 * F.col("r1")
+                - F.col("p22") * F.col("r2")
+            ),
+            6,
+        ).alias("pacf3"),
+    )
+
+
+@register(
     "ts_bollinger_breakouts",
     oracle="""
     WITH daily AS (
