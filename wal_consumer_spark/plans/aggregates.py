@@ -1091,3 +1091,104 @@ def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(cents).cast("long").alias("min_cents"),
         F.max(cents).cast("long").alias("max_cents"),
     )
+
+
+@register(
+    "agg_exact_percentile_selection",
+    oracle="""
+    WITH rows_ AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    by_val AS (
+        SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM rows_ GROUP BY cents
+    ),
+    cum AS (
+        SELECT cents, cnt,
+               SUM(cnt) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(cnt) OVER () AS n
+        FROM by_val
+    ),
+    qs AS (SELECT unnest([50, 90, 99]) AS q)
+    SELECT CAST(q.q AS BIGINT) AS percentile,
+           CAST(MAX(CASE WHEN greatest((c.n * q.q) // 100, 1)
+                              > c.cum - c.cnt
+                          AND greatest((c.n * q.q) // 100, 1) <= c.cum
+                         THEN c.cents END) AS BIGINT) AS value_cents
+    FROM cum c CROSS JOIN qs q
+    GROUP BY q.q
+    """,
+    doc="EXACT p50/p90/p99 of line-item price cents by two-phase "
+        "distributed selection — the generalized form of the "
+        "ts_theil_sen_slope median plan, promoted to a first-class "
+        "operator: phase 1 aggregates rows into ~100 coarse value "
+        "buckets (map-side combinable, bounded), a cumulative pass over "
+        "THAT bucket table locates, for every requested quantile at "
+        "once, the bucket holding global rank max(n*q//100, 1) plus the "
+        "residual rank (3 broadcast rows); phase 2 re-scans only the "
+        "target buckets and resolves each rank with a per-quantile "
+        "value-level cumulative window (partitioned by quantile — never "
+        "global). No full sort, no single-partition pass over row-count-"
+        "sized data ever exists; contrast agg_percentile_approx "
+        "(bounded-error sketch) and the oracle's one-shot rank-pick "
+        "(value-identical by the cumulative-containment argument). At "
+        "100 TB phase 1 is one narrow aggregation and phase 2 touches "
+        "~1/n_buckets of the data per quantile. Reference parity: "
+        "extension surface (SURVEY.md §2.B percentile rows).",
+)
+def agg_exact_percentile_selection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    buckets = rows.groupBy(
+        F.expr("cents div 100000").alias("bk")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wcumb = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, 0)
+    wtotb = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cumb = buckets.select(
+        "bk",
+        "cnt",
+        F.sum("cnt").over(wcumb).alias("cum"),
+        F.sum("cnt").over(wtotb).alias("n"),
+    )
+    qs = spark.createDataFrame([(50,), (90,), (99,)], "q INT")
+    rank_q = F.greatest(
+        F.expr("(n * q) div 100"), F.lit(1).cast("long")
+    )
+    tgt = (
+        cumb.crossJoin(F.broadcast(qs))
+        .where((rank_q > F.col("cum") - F.col("cnt")) & (rank_q <= F.col("cum")))
+        .select(
+            "q",
+            "bk",
+            (rank_q - (F.col("cum") - F.col("cnt"))).alias("r_in"),
+        )
+    )
+    sub = rows.join(
+        F.broadcast(tgt), F.expr("cents div 100000") == F.col("bk")
+    )
+    by_val = sub.groupBy("q", "r_in", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wq = (
+        Window.partitionBy("q")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum2 = by_val.select(
+        "q", "r_in", "cents", "cnt", F.sum("cnt").over(wq).alias("cum")
+    )
+    return cum2.where(
+        (F.col("r_in") > F.col("cum") - F.col("cnt"))
+        & (F.col("r_in") <= F.col("cum"))
+    ).select(
+        F.col("q").cast("long").alias("percentile"),
+        F.col("cents").cast("long").alias("value_cents"),
+    )

@@ -372,6 +372,94 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("event_id", "user_id", "event_type", "asof_orderkey", "asof_totalprice")
 
 
+@register(
+    "asof_join_tolerance_error_click",
+    oracle="""
+    WITH err AS (
+        SELECT event_id, user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events WHERE event_type = 'error'
+    ),
+    clk AS (
+        SELECT event_id AS click_id, user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS cus
+        FROM events WHERE event_type = 'click'
+    ),
+    best AS (
+        SELECT e.event_id, c.click_id, c.cus,
+               row_number() OVER (PARTITION BY e.event_id
+                                  ORDER BY c.cus DESC, c.click_id DESC) AS rn
+        FROM err e
+        JOIN clk c ON c.user_id = e.user_id AND c.cus <= e.us
+    )
+    SELECT e.event_id, e.user_id,
+           CASE WHEN b.click_id IS NOT NULL
+                     AND e.us - b.cus <= 3600000000
+                THEN b.click_id END AS last_click_id,
+           CASE WHEN b.click_id IS NOT NULL
+                     AND e.us - b.cus <= 3600000000
+                THEN (e.us - b.cus) // 1000000 END AS secs_since_click,
+           CAST(CASE WHEN b.click_id IS NOT NULL
+                          AND e.us - b.cus <= 3600000000
+                     THEN 1 ELSE 0 END AS BIGINT) AS matched_within_1h
+    FROM err e
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+        ON b.event_id = e.event_id
+    """,
+    doc="Tolerance-bounded as-of join (pandas merge_asof's `tolerance`): "
+        "each error event takes the same user's most recent click, but "
+        "ONLY if it happened within the last hour — matches staler than "
+        "the tolerance become NULL (a feature-store staleness cap: a "
+        "26-hour-old context row is not a feature, it is leakage of a "
+        "dead session). Runs as the engine's standard union+window as-of "
+        "(operators/asof.py — one user-keyed shuffle, no event-to-event "
+        "range join) followed by a row-local tolerance gate on the "
+        "carried match timestamp; exact epoch-microsecond arithmetic. "
+        "The oracle replays the naive rank-picked formulation. Reference "
+        "parity: extension surface (SURVEY.md §2.B as-of rows).",
+)
+def asof_join_tolerance_error_click(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    err = e.where(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ets"),
+        us.alias("us"),
+    )
+    clk = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("cts"),
+        F.col("event_id").alias("click_id"),
+        us.alias("matched_cus"),
+    )
+    joined = asof_join(
+        err,
+        clk,
+        left_key="user_id",
+        right_key="user_id",
+        left_ts="ets",
+        right_ts="cts",
+        payload_cols=["click_id", "matched_cus"],
+        tiebreak_cols=["click_id"],
+    )
+    in_tol = F.col("click_id").isNotNull() & (
+        F.col("us") - F.col("matched_cus") <= 3_600_000_000
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.when(in_tol, F.col("click_id")).alias("last_click_id"),
+        F.when(
+            in_tol,
+            F.expr("(us - matched_cus) div 1000000"),
+        ).alias("secs_since_click"),
+        in_tol.cast("long").alias("matched_within_1h"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Sort / limit / set ops / distinct
 # --------------------------------------------------------------------------
