@@ -1141,54 +1141,26 @@ def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_exact_percentile_selection(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from wal_consumer_spark.operators.selection import exact_rank_selection
+
     li = load_table(spark, sf_dir, "lineitem")
     rows = li.select(
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
     )
-    buckets = rows.groupBy(
-        F.expr("cents div 100000").alias("bk")
-    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    wcumb = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, 0)
-    wtotb = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cumb = buckets.select(
-        "bk",
-        "cnt",
-        F.sum("cnt").over(wcumb).alias("cum"),
-        F.sum("cnt").over(wtotb).alias("n"),
-    )
-    qs = spark.createDataFrame([(50,), (90,), (99,)], "q INT")
-    rank_q = F.greatest(
-        F.expr("(n * q) div 100"), F.lit(1).cast("long")
-    )
-    tgt = (
-        cumb.crossJoin(F.broadcast(qs))
-        .where((rank_q > F.col("cum") - F.col("cnt")) & (rank_q <= F.col("cum")))
-        .select(
-            "q",
-            "bk",
-            (rank_q - (F.col("cum") - F.col("cnt"))).alias("r_in"),
+
+    def pct_rank(q: int):
+        # floor(n*q/100) via double is exact below 2^53 rows
+        return lambda n: F.greatest(
+            F.floor(n * q / 100).cast("long"), F.lit(1).cast("long")
         )
+
+    sel = exact_rank_selection(
+        rows,
+        "cents",
+        {str(q): pct_rank(q) for q in (50, 90, 99)},
+        bucket_div=100_000,
     )
-    sub = rows.join(
-        F.broadcast(tgt), F.expr("cents div 100000") == F.col("bk")
-    )
-    by_val = sub.groupBy("q", "r_in", "cents").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
-    )
-    wq = (
-        Window.partitionBy("q")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum2 = by_val.select(
-        "q", "r_in", "cents", "cnt", F.sum("cnt").over(wq).alias("cum")
-    )
-    return cum2.where(
-        (F.col("r_in") > F.col("cum") - F.col("cnt"))
-        & (F.col("r_in") <= F.col("cum"))
-    ).select(
-        F.col("q").cast("long").alias("percentile"),
-        F.col("cents").cast("long").alias("value_cents"),
+    return sel.select(
+        F.col("label").cast("long").alias("percentile"),
+        F.col("value").cast("long").alias("value_cents"),
     )

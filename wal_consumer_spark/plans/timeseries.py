@@ -1469,50 +1469,19 @@ def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle keeps the one-shot formulation. Measured 6.8 s -> ~2.5 s;
     # at 100 TB this is the textbook exact-quantile-without-global-sort
     # plan (generalizes to any rank).
+    from wal_consumer_spark.operators.selection import exact_rank_selection
+
     pairs = pairs.persist()
-    buckets = pairs.groupBy(
-        F.expr("slope_micro div 1000000000").alias("bk")
-    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    wcumb = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, 0)
-    wtotb = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    # the pair total rides the bounded bucket table (one wide pass over
-    # pairs total, not two)
-    cumb = buckets.select(
-        "bk",
-        "cnt",
-        F.sum("cnt").over(wcumb).alias("cum"),
-        F.sum("cnt").over(wtotb).alias("n"),
-    )
-    rmed = F.floor((F.col("n") + 1) / 2)
-    tgt = cumb.where(
-        (rmed > F.col("cum") - F.col("cnt")) & (rmed <= F.col("cum"))
-    ).select(
-        "bk",
-        (rmed - (F.col("cum") - F.col("cnt"))).alias("r_in"),
-        F.col("n").cast("long").alias("n_pairs"),
-    )
-    sub = pairs.join(
-        F.broadcast(tgt.select("bk", "r_in")),
-        F.expr("slope_micro div 1000000000") == F.col("bk"),
-    )
-    by_val = sub.groupBy("slope_micro", "r_in").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
-    )
-    wcum2 = Window.orderBy("slope_micro").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum2 = by_val.select(
-        "slope_micro", "r_in", "cnt", F.sum("cnt").over(wcum2).alias("cum")
-    )
-    med = cum2.where(
-        (F.col("r_in") > F.col("cum") - F.col("cnt"))
-        & (F.col("r_in") <= F.col("cum"))
-    ).select(F.col("slope_micro").alias("slope_micro_per_day"))
+    med = exact_rank_selection(
+        pairs,
+        "slope_micro",
+        {"median": lambda n: F.floor((n + 1) / 2).cast("long")},
+        bucket_div=1_000_000_000,
+    ).select(F.col("value").alias("slope_micro_per_day"))
+    n_pairs = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
     return (
-        n_days.crossJoin(F.broadcast(tgt.select("n_pairs")))
+        n_days.crossJoin(F.broadcast(n_pairs))
         .crossJoin(F.broadcast(med))
         .select("n_days", "n_pairs", "slope_micro_per_day")
     )
