@@ -866,6 +866,118 @@ def cdc_ops_per_entity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dq_outlier_iqr",
+    oracle="""
+    WITH rows_ AS (
+        SELECT event_type AS prio,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY event_type, user_id
+    ),
+    by_val AS (
+        SELECT prio, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM rows_ GROUP BY prio, cents
+    ),
+    cum AS (
+        SELECT prio, cents, cnt,
+               SUM(cnt) OVER (PARTITION BY prio ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(cnt) OVER (PARTITION BY prio) AS n
+        FROM by_val
+    ),
+    qs AS (
+        SELECT prio,
+               CAST(MAX(n) AS BIGINT) AS n_entities,
+               CAST(MAX(CASE WHEN greatest((n * 25) // 100, 1)
+                                  > cum - cnt
+                              AND greatest((n * 25) // 100, 1) <= cum
+                             THEN cents END) AS BIGINT) AS q1_cents,
+               CAST(MAX(CASE WHEN greatest((n * 75) // 100, 1)
+                                  > cum - cnt
+                              AND greatest((n * 75) // 100, 1) <= cum
+                             THEN cents END) AS BIGINT) AS q3_cents
+        FROM cum GROUP BY prio
+    )
+    SELECT q.prio, q.n_entities, q.q1_cents, q.q3_cents,
+           CAST(COALESCE(SUM(CASE WHEN 2 * r.cents < 5 * q.q1_cents
+                                       - 3 * q.q3_cents
+                                    OR 2 * r.cents > 5 * q.q3_cents
+                                       - 3 * q.q1_cents
+                                  THEN 1 END), 0) AS BIGINT) AS n_outliers
+    FROM qs q JOIN rows_ r ON r.prio = q.prio
+    GROUP BY q.prio, q.n_entities, q.q1_cents, q.q3_cents
+    """,
+    doc="Per-group IQR (Tukey-fence) outlier audit — the box-plot DQ rule: "
+        "per-user value totals outside [q1 - 1.5*IQR, q3 + 1.5*IQR] "
+        "within each event type (per-entity rollups are where real "
+        "pipelines grow tails; raw TPC-H prices are uniform and fence "
+        "nothing). "
+        "Quartiles are rank-picked from per-group cumulative counts over "
+        "the DISTINCT-value aggregate (partitioned windows — never a "
+        "global sort; the same cumulative-containment recipe as "
+        "operators/selection.py, here per key). The 1.5x fences are kept "
+        "INTEGRAL by comparing doubled values against 5*q1-3*q3 / "
+        "5*q3-3*q1 — zero floats anywhere in the query, so there is no "
+        "engine boundary to disagree on. The outlier count joins the "
+        "5-row fence table broadcast back onto the rows. Complements "
+        "ts_anomaly_mad (median-based) and win_zscore_outliers "
+        "(moment-based) with the quartile-based family member. "
+        "Reference parity: extension surface (SURVEY.md §2.B DQ rows).",
+)
+def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    rows = e.groupBy(
+        F.col("event_type").alias("prio"), "user_id"
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    ).select("prio", "cents")
+    by_val = rows.groupBy("prio", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wc = (
+        Window.partitionBy("prio")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("prio")
+    cum = by_val.select(
+        "prio",
+        "cents",
+        "cnt",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+
+    def pick(q: int) -> F.Column:
+        r = F.greatest(
+            F.expr(f"(n * {q}) div 100"), F.lit(1).cast("long")
+        )
+        return F.max(
+            F.when(
+                (r > F.col("cum") - F.col("cnt")) & (r <= F.col("cum")),
+                F.col("cents"),
+            )
+        ).cast("long")
+
+    qs = cum.groupBy("prio").agg(
+        F.max("n").cast("long").alias("n_entities"),
+        pick(25).alias("q1_cents"),
+        pick(75).alias("q3_cents"),
+    )
+    joined = rows.join(F.broadcast(qs), "prio")
+    is_out = (
+        2 * F.col("cents") < 5 * F.col("q1_cents") - 3 * F.col("q3_cents")
+    ) | (2 * F.col("cents") > 5 * F.col("q3_cents") - 3 * F.col("q1_cents"))
+    return joined.groupBy("prio", "n_entities", "q1_cents", "q3_cents").agg(
+        F.coalesce(F.sum(F.when(is_out, 1)), F.lit(0))
+        .cast("long")
+        .alias("n_outliers")
+    )
+
+
+@register(
     "dq_functional_dependency",
     oracle="""
     WITH fd1 AS (
