@@ -1263,6 +1263,91 @@ def graph_copurchase_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _support2_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """support>=2 co-purchase edges: pairs co-purchased in at least two
+    orders — the standard noise gate that keeps the projection sparse
+    (one shared order is coincidence; two is signal) and, at scale, cuts
+    the edge volume downstream graph passes shuffle. Materialized once
+    (the repo's multi-consumer edge-frame rule)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    return (
+        op.select("o", F.col("p").alias("p1"))
+        .join(op.withColumnRenamed("p", "p2"), "o")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_o"))
+        .where(F.col("n_o") >= 2)
+        .select("p1", "p2")
+        .localCheckpoint(eager=True)
+    )
+
+
+@register(
+    "graph_connected_components",
+    oracle="""
+    WITH RECURSIVE op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    e AS (
+        SELECT a.p AS p1, b.p AS p2
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    adj AS (
+        SELECT p1 AS u, p2 AS v FROM e
+        UNION ALL SELECT p2 AS u, p1 AS v FROM e
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM adj
+        UNION
+        SELECT r.u, a.v FROM reach r JOIN adj a ON a.u = r.v
+    ),
+    comp AS (
+        SELECT u, least(u, MIN(v)) AS component FROM reach GROUP BY u
+    ),
+    sizes AS (
+        SELECT component, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM comp GROUP BY component
+    )
+    SELECT CAST(sz AS BIGINT) AS component_size,
+           CAST(COUNT(*) AS BIGINT) AS n_components
+    FROM sizes GROUP BY sz
+    """,
+    doc="CONVERGED connected components over the support-2 co-purchase "
+        "graph (component-size histogram) — the fixpoint complement to "
+        "graph_label_propagation's bounded 3 rounds: runs the "
+        "large-star/small-star algorithm (operators/graph.py — "
+        "O(log^2 n) rounds, per-round localCheckpoint lineage "
+        "truncation, single-aggregate edge-set-checksum convergence "
+        "check) to completion, so the result is the exact partition "
+        "regardless of graph diameter. The oracle computes the same "
+        "partition by recursive-CTE transitive closure + min-label — "
+        "O(component_size^2) rows, viable for the oracle at test scale "
+        "precisely where the Spark side's star-contraction stays "
+        "near-linear; the size histogram output is bounded by the "
+        "largest component. The certified pair proves the iterative "
+        "operator's fixpoint, not just one round of it. Reference "
+        "parity: extension surface (SURVEY.md §2.B graph rows; also the "
+        "engine's dedup-cluster primitive, operators/graph.py:109).",
+)
+def graph_connected_components(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from wal_consumer_spark.operators.graph import connected_components
+
+    e = _support2_copurchase_edges(spark, sf_dir)
+    cc = connected_components(e, src="p1", dst="p2")
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    return sizes.groupBy(F.col("sz").alias("component_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_components")
+    )
+
+
 @register(
     "graph_kcore_peel",
     oracle="""
@@ -1423,24 +1508,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "extension surface (SURVEY.md §2.B graph rows).",
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    # support>=2 edge filter: keep pairs co-purchased in at least two
-    # orders — the standard noise gate that keeps the projection sparse
-    # (one shared order is coincidence; two is signal) and, at scale,
-    # cuts the edge volume the propagation rounds shuffle
-    e = (
-        op.select("o", F.col("p").alias("p1"))
-        .join(op.withColumnRenamed("p", "p2"), "o")
-        .where(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("n_o"))
-        .where(F.col("n_o") >= 2)
-        .select("p1", "p2")
-        .localCheckpoint(eager=True)
-    )
+    e = _support2_copurchase_edges(spark, sf_dir)
     adj, _ = adjacency_degrees(e)
     labels = adj.select("u").distinct().select(
         "u", F.col("u").alias("lbl")
