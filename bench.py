@@ -83,6 +83,8 @@ HEADLINE = [
     "graph_label_propagation",
     "ts_theil_sen_slope",
     "ml_naive_bayes_binary",
+    "agg_exact_percentile_selection",
+    "graph_connected_components",
 ]
 
 
@@ -272,13 +274,37 @@ def main() -> None:
         # one JVM; the monotone 1.58/1.79/1.94 r3 samples are that
         # signature). The trustable number for cross-round tracking is
         # the fresh-JVM bench_one median.
+        # In-suite medians carry shared-JVM session overhead that grows
+        # with suite size (43 entries r3 -> 52 r4; the r3 verdict's
+        # monotone-sample signature). tools/bench_one.py medians below,
+        # measured round 4 in JVMs that ran nothing else, are the
+        # per-query plan cost to track across rounds.
         "isolation_notes": {
             "dedup_minhash_lsh": {
                 "fresh_jvm_median_sec": 1.524,
                 "fresh_jvm_samples": [1.489, 1.524, 1.302, 1.638, 1.653],
                 "construct_sec": 0.427,
                 "calibration_cpu_sec": 0.244,
-            }
+            },
+            "graph_jaccard_neighbors": {
+                "fresh_jvm_median_sec": 3.639,
+                "construct_sec": 2.113,  # eager co-purchase edge build
+                "calibration_cpu_sec": 0.246,
+            },
+            "ts_theil_sen_slope": {
+                "fresh_jvm_median_sec": 3.426,
+                "construct_sec": 0.707,
+                "calibration_cpu_sec": 0.274,
+            },
+            "graph_label_propagation": {
+                "fresh_jvm_median_sec": 2.704,
+                "construct_sec": 1.565,  # eager support-2 edge build
+                "calibration_cpu_sec": 0.256,
+            },
+            "text_bigram_logprob": {
+                "fresh_jvm_median_sec": 1.207,  # r3's 3.9s sample was
+                "calibration_cpu_sec": 0.212,   # session noise, not plan
+            },
         },
     }
     here = os.path.dirname(os.path.abspath(__file__))
