@@ -1414,3 +1414,84 @@ def pipeline_char_budget_truncation(spark: SparkSession, sf_dir: str) -> DataFra
         (F.length(t) > 200).alias("truncated"),
         F.md5(kept).alias("kept_fp"),
     )
+
+
+_KFOLD_SALT = ":kfold7"
+_KFOLD_SQL = (
+    "('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '{salt}'), 1, 8))"
+    "::BIGINT % 5"
+).format(salt=_KFOLD_SALT)
+
+
+@register(
+    "pipeline_kfold_assignment",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT doc_id, lang, n_chars, {_KFOLD_SQL} AS fold
+        FROM documents
+    ),
+    per AS (
+        SELECT fold,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM assigned GROUP BY fold
+    )
+    SELECT CAST(fold AS BIGINT) AS fold, n_docs, n_langs, sum_chars,
+           CAST(n_docs * 1000000 // SUM(n_docs) OVER () AS BIGINT)
+               AS docs_share_ppm
+    FROM per
+    """,
+    doc="Deterministic k-fold (k=5) cross-validation assignment by the "
+        "same md5 hash-gate primitive as pipeline_train_split: fold "
+        "membership is a scan-resident per-row predicate — reproducible "
+        "across engines, retries, and scale factors, disjoint and "
+        "complete BY CONSTRUCTION (every doc hashes to exactly one "
+        "residue), with no RNG state and no shuffle to assign. The audit "
+        "reports per-fold size, language diversity, and share in "
+        "integral ppm (share rides a window over the bounded 5-row fold "
+        "table). At 100 TB fold i's training pass is a predicate "
+        "pushdown (fold != i), not a materialized copy — k-fold costs "
+        "k scans, zero storage. Reference parity: extension surface "
+        "(SURVEY.md §2.B curation rows).",
+)
+def pipeline_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fold = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit(_KFOLD_SALT)
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(5),
+    )
+    per = d.groupBy(fold.alias("fold")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    wtot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per.select(
+        F.col("fold").cast("long").alias("fold"),
+        "n_docs",
+        "n_langs",
+        "sum_chars",
+        F.expr("n_docs * 1000000").cast("long").alias("__num"),
+        F.sum("n_docs").over(wtot).alias("__tot"),
+    ).select(
+        "fold",
+        "n_docs",
+        "n_langs",
+        "sum_chars",
+        F.expr("__num div __tot").cast("long").alias("docs_share_ppm"),
+    )

@@ -584,3 +584,73 @@ def win_share_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("vs_largest"),
     )
+
+
+@register(
+    "win_longest_streak_per_user",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+                   AS rn_all,
+               row_number() OVER (PARTITION BY user_id, event_type
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+                   AS rn_type
+        FROM events
+    ),
+    streaks AS (
+        SELECT user_id, event_type,
+               CAST(COUNT(*) AS BIGINT) AS streak_len
+        FROM ev GROUP BY user_id, event_type, rn_all - rn_type
+    ),
+    per_user AS (
+        SELECT event_type, user_id, MAX(streak_len) AS best
+        FROM streaks GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+           CAST(MAX(best) AS BIGINT) AS max_streak,
+           CAST(count_if(best >= 3) AS BIGINT) AS n_users_streak_ge_3
+    FROM per_user GROUP BY event_type
+    """,
+    doc="Longest same-type event run per user (the habit/repetition "
+        "signal: how many identical actions in a row), rolled up per "
+        "event type — the per-key gaps-and-islands classic: the "
+        "difference of two row_numbers (overall vs per-type, both "
+        "partitioned by user and sharing ONE user-keyed sort order) is "
+        "constant exactly within a run, so streaks fall out of a "
+        "three-key groupBy with no iteration. Both windows and both "
+        "rollups ride the same user_id shuffle. Epoch-microsecond "
+        "ordering with event_id tie-break pins identical run boundaries "
+        "in both engines. Reference parity: extension surface "
+        "(SURVEY.md §2.B window rows).",
+)
+def win_longest_streak_per_user(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = e.select("user_id", "event_type", us.alias("us"), "event_id")
+    w_all = Window.partitionBy("user_id").orderBy("us", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(
+        "us", "event_id"
+    )
+    ev = base.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias(
+            "grp"
+        ),
+    )
+    streaks = ev.groupBy("user_id", "event_type", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("streak_len")
+    )
+    per_user = streaks.groupBy("event_type", "user_id").agg(
+        F.max("streak_len").alias("best")
+    )
+    return per_user.groupBy("event_type").agg(
+        F.max("best").cast("long").alias("max_streak"),
+        F.count_if(F.col("best") >= 3).cast("long").alias(
+            "n_users_streak_ge_3"
+        ),
+    )
