@@ -256,3 +256,55 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("revenue_micro").cast("long").alias("revenue_micro"),
     )
+
+
+@register(
+    "udf_pandas_scalar_iter",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT) * 3 + 7)
+                AS BIGINT) AS score_sum,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="Iterator-of-series pandas UDF (the init-amortized tier of the "
+        "Python UDF surface, completing it alongside scalar pandas_udf / "
+        "grouped-map / grouped-agg / table-function / cogrouped-map / "
+        "mapInArrow / row UDF): the generator form receives ALL of a "
+        "worker's Arrow batches through one invocation, so expensive "
+        "one-time setup — in production a model or tokenizer load — "
+        "happens once per Python worker instead of once per batch; here "
+        "the 'model' is a pair of constants so the oracle can replay the "
+        "scoring exactly. Value arithmetic is floor(x*100 + 0.5) on the "
+        "positive domain — identical doubles and a pinned floor in "
+        "pandas, Spark, and DuckDB (pandas' own round() is banker's and "
+        "is deliberately NOT used). The rollup shuffles integer scores "
+        "only. Reference parity: extension surface (SURVEY.md §2.B UDF "
+        "rows).",
+)
+def udf_pandas_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType
+
+    # functionType given explicitly: under `from __future__ import
+    # annotations` the Iterator[pd.Series] hints are strings Spark's
+    # signature sniffing cannot resolve in this scope
+    @pandas_udf("long", PandasUDFType.SCALAR_ITER)
+    def score(batches):
+        # one-time per-worker "model load", amortized over every batch
+        # this worker processes (the point of the iterator form)
+        a, b = 3, 7
+        for s in batches:
+            cents = np.floor(s.to_numpy() * 100 + 0.5).astype("int64")
+            yield pd.Series(cents * a + b)
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select("event_type", score(F.col("value")).alias("sc"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("sc").cast("long").alias("score_sum"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
