@@ -2981,3 +2981,130 @@ def analytics_user_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFra
             ).alias("entropy_bits"),
         )
     )
+
+
+@register(
+    "analytics_survival_km",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view'
+                        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS fv,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS fp
+        FROM events GROUP BY user_id
+    ),
+    obs AS (
+        SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS end_us FROM events
+    ),
+    flagged AS (
+        SELECT CASE WHEN p.fp IS NOT NULL AND p.fp >= p.fv
+                    THEN (p.fp - p.fv) // 86400000000
+                    ELSE (o.end_us - p.fv) // 86400000000 END AS dur,
+               CASE WHEN p.fp IS NOT NULL AND p.fp >= p.fv
+                    THEN 0 ELSE 1 END AS censored
+        FROM per_user p CROSS JOIN obs o
+        WHERE p.fv IS NOT NULL
+    ),
+    by_t AS (
+        SELECT dur AS t,
+               CAST(count_if(censored = 0) AS BIGINT) AS d_t,
+               CAST(COUNT(*) AS BIGINT) AS leaving
+        FROM flagged GROUP BY dur
+    ),
+    risk AS (
+        SELECT t, d_t,
+               SUM(leaving) OVER (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_t
+        FROM by_t
+    ),
+    horizons AS (SELECT unnest([1, 3, 7]) AS h)
+    SELECT CAST(h.h AS BIGINT) AS horizon_days,
+           CAST(COALESCE(SUM(CASE WHEN r.d_t > 0 AND r.d_t < r.n_t
+                    THEN CAST(round(-ln(1 - CAST(r.d_t AS DOUBLE) / r.n_t)
+                                    * 1000000) AS BIGINT) END), 0)
+                AS BIGINT) AS neg_ln_survival_micro,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM flagged) AS n_viewers,
+           (SELECT CAST(SUM(censored) AS BIGINT) FROM flagged)
+               AS n_censored
+    FROM horizons h
+    LEFT JOIN risk r ON r.t <= h.h
+    GROUP BY h.h
+    """,
+    doc="Kaplan-Meier time-to-conversion survival at 1/3/7-day horizons "
+        "— the censoring-correct version of analytics_conversion_curve: "
+        "viewers who never purchased are CENSORED at the observation "
+        "boundary instead of silently dropped, so the estimate is not "
+        "biased by the window cutoff (the textbook reason KM exists). "
+        "Duration = whole days from first view to first purchase, or to "
+        "observation end when censored; the KM product over event days, "
+        "prod(1 - d_t/n_t), travels as the engine's quantized -ln SUM — "
+        "each factor's argument is a division of exact integer counts, "
+        "so both engines quantize identical doubles and product order "
+        "never matters. At-risk counts come from ONE descending "
+        "cumulative window over the duration-aggregated table (bounded "
+        "by the day span); horizons attach as a broadcast 3-row spine; "
+        "corpus-sized work is the conditional-MIN first-touch pass "
+        "shared with the funnel metrics. Reference parity: extension "
+        "surface (SURVEY.md §2.B analytics rows).",
+)
+def analytics_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("fv"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("fp"),
+    )
+    obs = e.agg(F.max(us).alias("end_us"))
+    converted = F.col("fp").isNotNull() & (F.col("fp") >= F.col("fv"))
+    flagged = (
+        per_user.where(F.col("fv").isNotNull())
+        .crossJoin(F.broadcast(obs))
+        .select(
+            F.when(
+                converted,
+                F.expr("(fp - fv) div 86400000000"),
+            )
+            .otherwise(F.expr("(end_us - fv) div 86400000000"))
+            .alias("dur"),
+            F.when(converted, 0).otherwise(1).alias("censored"),
+        )
+    )
+    by_t = flagged.groupBy(F.col("dur").alias("t")).agg(
+        F.count_if(F.col("censored") == 0).cast("long").alias("d_t"),
+        F.count(F.lit(1)).cast("long").alias("leaving"),
+    )
+    wdesc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = by_t.select(
+        "t", "d_t", F.sum("leaving").over(wdesc).alias("n_t")
+    )
+    horizons = spark.createDataFrame([(1,), (3,), (7,)], "h INT")
+    term = F.when(
+        (F.col("d_t") > 0) & (F.col("d_t") < F.col("n_t")),
+        F.round(
+            -F.log(1 - F.col("d_t").cast("double") / F.col("n_t"))
+            * 1_000_000
+        ).cast("long"),
+    )
+    totals = flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_viewers"),
+        F.sum("censored").cast("long").alias("n_censored"),
+    )
+    return (
+        horizons.join(risk, F.col("t") <= F.col("h"), "left")
+        .groupBy("h")
+        .agg(
+            F.coalesce(F.sum(term), F.lit(0))
+            .cast("long")
+            .alias("neg_ln_survival_micro")
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("h").cast("long").alias("horizon_days"),
+            "neg_ln_survival_micro",
+            "n_viewers",
+            "n_censored",
+        )
+    )

@@ -68,7 +68,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: ts/text/analytics/pipeline/sim/sql tails (round-3 VERDICT "Next
 #: round" #1).
 #:
-#: ROUND-5 ROTATION CANDIDATES — the exact 91 registered names that will
+#: ROUND-5 ROTATION CANDIDATES — the exact 92 registered names that will
 #: still lack a driver-green row once CORRECTNESS_r04 certifies this
 #: window (VERDICT r3 #6; keep this list in sync when adding queries —
 #: the round-4 session added graph_label_propagation, ts_theil_sen_slope,
@@ -80,7 +80,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: agg_exact_percentile_selection, asof_join_tolerance_error_click,
 #: dq_outlier_iqr, graph_connected_components,
 #: pipeline_kfold_assignment, win_longest_streak_per_user,
-#: udf_pandas_scalar_iter after the window froze):
+#: udf_pandas_scalar_iter, analytics_survival_km after the window froze):
 #: agg_having, agg_higher_moments, agg_histogram_totalprice,
 #: agg_key_skew_profile, agg_log2_histogram, agg_percentile_approx,
 #: agg_profile_orders, agg_stratified_sample, analytics_ab_welch_ttest,
@@ -117,7 +117,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: agg_exact_percentile_selection, asof_join_tolerance_error_click,
 #: dq_outlier_iqr, graph_connected_components,
 #: pipeline_kfold_assignment, win_longest_streak_per_user,
-#: udf_pandas_scalar_iter.
+#: udf_pandas_scalar_iter, analytics_survival_km.
 DRIVER_WINDOW: list[str] = [
     # as-of join: nearest variant
     "asof_join_nearest_events_orders",
