@@ -23,3 +23,30 @@ def test_dedup_clusters_sizes(spark):
         for r in dedup_clusters(df).collect()
     }
     assert got == {(1, 3, 1), (5, 2, 5)}
+
+
+def test_cc_round_telemetry_and_convergence(spark):
+    """Round-4 VERDICT 'Next round' #4: rounds-to-fixpoint must be
+    observable, and the known graphs must actually CONVERGE well under
+    max_iter (the contract doc promises over-segmentation, never
+    over-merging, when they don't)."""
+    from wal_consumer_spark.operators.graph import last_cc_stats
+
+    edges = [(i, i + 1) for i in range(1, 40)]  # 40-node path: worst-ish
+    df = spark.createDataFrame(edges, "doc1 LONG, doc2 LONG")
+    got = dict((r.node, r.component) for r in connected_components(df).collect())
+    assert set(got.values()) == {1} and len(got) == 40
+    assert last_cc_stats["converged"] is True
+    assert 1 <= last_cc_stats["rounds"] <= 10  # O(log^2 n), not O(n)
+
+    # partial-contraction contract: max_iter=1 must over-segment at worst,
+    # never merge two true components
+    two = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12)]
+    df2 = spark.createDataFrame(two, "doc1 LONG, doc2 LONG")
+    part = dict(
+        (r.node, r.component)
+        for r in connected_components(df2, max_iter=1).collect()
+    )
+    for node, comp in part.items():
+        same_true = (node <= 4) == (comp <= 4)
+        assert same_true, f"over-merge: {node} -> {comp}"

@@ -728,6 +728,58 @@ def test_jaccard_topk_is_take_ordered(spark):
     assert "Exchange SinglePartition" not in plan, plan
 
 
+def test_degree_broadcast_is_size_conditional(spark):
+    """Round-4 VERDICT 'Next round' #5: per-node degree tables in the
+    graph family must broadcast only while Catalyst's size estimate fits
+    the budget — on a billion-node graph the same plans must degrade to
+    shuffled joins instead of OOMing the driver. maybe_broadcast applies
+    the hint below threshold (today's plans: BroadcastHashJoin at test
+    SF) and returns the frame UNHINTED above it, where the static planner
+    picks a shuffled join under a forced-low autoBroadcastJoinThreshold."""
+    from wal_consumer_spark.operators.graph import maybe_broadcast
+    from wal_consumer_spark.plans.analytics import graph_jaccard_neighbors
+
+    # (1) today's SF: the degree tables derive from localCheckpointed
+    # edges, so Catalyst's static estimate is UNKNOWN (treated as huge) —
+    # maybe_broadcast correctly withholds the hint (the conservative
+    # billion-node default) and AQE converts the join to broadcast at
+    # RUNTIME from actual stats: the final adaptive plan must show
+    # BroadcastHashJoin even though the static plan was a shuffled join.
+    df = graph_jaccard_neighbors(spark, SF_SMOKE)
+    df.collect()  # finalize the adaptive plan through df's own execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+    # (2) the hint is present below threshold and ABSENT above it
+    deg = (
+        spark.read.parquet(f"{SF_SMOKE}/part.parquet")
+        .groupBy("p_partkey")
+        .count()
+    )
+    hinted = maybe_broadcast(deg)
+    assert "hint" in hinted._jdf.queryExecution().logical().toString().lower()
+    unhinted = maybe_broadcast(deg, threshold_bytes=1)
+    assert unhinted is deg  # no hint wrapper at all
+
+    # (3) over-threshold degree table + forced-low broadcast threshold:
+    # the join plans as a shuffled join, not a driver-side broadcast
+    fact = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        F.col("l_partkey").alias("p_partkey")
+    )
+    prev_static = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = fact.join(maybe_broadcast(deg, threshold_bytes=1), "p_partkey")
+        shuffled_plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_static)
+    assert "BroadcastHashJoin" not in shuffled_plan, shuffled_plan
+    assert (
+        "SortMergeJoin" in shuffled_plan or "ShuffledHashJoin" in shuffled_plan
+    ), shuffled_plan
+
+
 def test_degree_orientation_cuts_wedge_count(spark):
     """Round-3 VERDICT stretch #8: degree-ordered orientation
     (orient_by_degree) must enumerate measurably fewer wedges than

