@@ -579,6 +579,96 @@ def analytics_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "analytics_power_user_threshold",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+    ),
+    tot AS (
+        SELECT COUNT(*) AS n_users,
+               SUM(n_events) AS total_events,
+               (99 * COUNT(*) + 99) // 100 AS p99_rank
+        FROM per_user
+    ),
+    ranked AS (
+        SELECT n_events,
+               row_number() OVER (ORDER BY n_events, user_id) AS rnk
+        FROM per_user
+    ),
+    thr AS (
+        SELECT MAX(CASE WHEN rnk = p99_rank THEN n_events END)
+                   AS threshold_events
+        FROM ranked CROSS JOIN tot
+    )
+    SELECT CAST(n_users AS BIGINT) AS n_users,
+           CAST(threshold_events AS BIGINT) AS threshold_events,
+           CAST(count_if(n_events >= threshold_events) AS BIGINT)
+               AS n_power_users,
+           round(CAST(SUM(CASE WHEN n_events >= threshold_events
+                               THEN n_events ELSE 0 END) AS DOUBLE)
+                 / total_events, 6) AS power_event_share
+    FROM per_user CROSS JOIN tot CROSS JOIN thr
+    GROUP BY n_users, total_events, threshold_events
+    """,
+    doc="Power-user cutoff: the 99th-percentile per-user activity level "
+        "(value at global rank ceil(0.99*n) under ascending count order), "
+        "how many users sit at or above it, and their share of all "
+        "events — the capacity/abuse threshold query every consumer "
+        "product runs. The oracle keeps the naive row_number rank-pick; "
+        "the plan derives everything from value_group_ranks' distinct-"
+        "count table (round-5's tie-group substrate — the same "
+        "machinery as analytics_gini_coefficient/pareto_share): the "
+        "threshold is the group whose rank span contains p99_rank, and "
+        "the at-or-above tallies are sums over the same bounded table. "
+        "No entity-keyed window anywhere; integer rank arithmetic is "
+        "identical in both engines. Reference parity: extension surface "
+        "(SURVEY.md §2.C analytics rows).",
+)
+def analytics_power_user_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    vg = value_group_ranks(per_user, "n_events", bucket_div=4096)
+    # p99_rank = ceil(0.99*n) in exact integer arithmetic
+    p99 = F.expr("(99 * n + 99) div 100")
+    thr = (
+        vg.where(
+            (p99 >= F.col("start_rank"))
+            & (p99 <= F.col("start_rank") + F.col("cnt") - 1)
+        )
+        .select(F.col("n_events").cast("long").alias("threshold_events"))
+    )
+    tallies = (
+        vg.join(F.broadcast(thr))
+        .agg(
+            F.sum("cnt").cast("long").alias("n_users"),
+            F.sum(
+                F.col("n_events").cast("decimal(38,0)")
+                * F.col("cnt").cast("decimal(38,0)")
+            ).cast("double").alias("total_events"),
+            F.max("threshold_events").alias("threshold_events"),
+            F.sum(
+                F.when(F.col("n_events") >= F.col("threshold_events"), F.col("cnt"))
+            ).cast("long").alias("n_power_users"),
+            F.sum(
+                F.when(
+                    F.col("n_events") >= F.col("threshold_events"),
+                    F.col("n_events").cast("decimal(38,0)")
+                    * F.col("cnt").cast("decimal(38,0)"),
+                )
+            ).cast("double").alias("power_events"),
+        )
+    )
+    return tallies.select(
+        "n_users",
+        "threshold_events",
+        "n_power_users",
+        F.round(F.col("power_events") / F.col("total_events"), 6).alias(
+            "power_event_share"
+        ),
+    )
+
+
+@register(
     "ml_classification_metrics",
     oracle="""
     WITH t AS (SELECT unnest([5.0, 10.0, 20.0]) AS threshold),

@@ -531,6 +531,103 @@ def dq_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dq_split_drift_audit",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(COUNT(*) FILTER (event_id % 2 = 0) AS DOUBLE) AS n_even,
+               CAST(COUNT(*) FILTER (event_id % 2 = 1) AS DOUBLE) AS n_odd,
+               CAST(COUNT(*) FILTER (event_id % 2 = 0 AND value IS NULL)
+                    AS DOUBLE) AS vnull_even,
+               CAST(COUNT(*) FILTER (event_id % 2 = 1 AND value IS NULL)
+                    AS DOUBLE) AS vnull_odd,
+               CAST(COUNT(DISTINCT CASE WHEN event_id % 2 = 0
+                                        THEN event_type END) AS DOUBLE)
+                   AS types_even,
+               CAST(COUNT(DISTINCT CASE WHEN event_id % 2 = 1
+                                        THEN event_type END) AS DOUBLE)
+                   AS types_odd,
+               CAST(COUNT(DISTINCT CASE WHEN event_id % 2 = 0
+                                        THEN user_id END) AS DOUBLE)
+                   AS users_even,
+               CAST(COUNT(DISTINCT CASE WHEN event_id % 2 = 1
+                                        THEN user_id END) AS DOUBLE)
+                   AS users_odd
+        FROM events
+    )
+    SELECT metric, even_value, odd_value,
+           abs(even_value - odd_value) AS abs_delta
+    FROM (
+        SELECT 'row_count' AS metric, n_even AS even_value,
+               n_odd AS odd_value FROM s
+        UNION ALL
+        SELECT 'value_null_rate', round(vnull_even / n_even, 6),
+               round(vnull_odd / n_odd, 6) FROM s
+        UNION ALL
+        SELECT 'event_type_distinct', types_even, types_odd FROM s
+        UNION ALL
+        SELECT 'user_id_distinct', users_even, users_odd FROM s
+    )
+    ORDER BY metric
+    """,
+    doc="Shard-drift audit: per-column profile statistics (row count, "
+        "null rate, distinct cardinalities) compared between the even- "
+        "and odd-id halves of the corpus — the operational check that a "
+        "writer, partitioner, or CDC replayer is not silently skewing "
+        "one shard family (lost writes land here before they land "
+        "anywhere else; complements dq_psi_drift's distribution test "
+        "with schema-level vitals). ONE pass: conditional aggregates "
+        "fold both halves in the same scan — map-side partials for the "
+        "counts, one expand for the distincts — then a 4-row stack; "
+        "deltas are single subtractions of exactly-represented doubles. "
+        "At 100 TB: one aggregation, bounded output, no joins. "
+        "Reference parity: R14/R15 operational metrics "
+        "(WalConsumer.java:322-333) generalized to column vitals "
+        "(SURVEY.md §2.C data-quality rows).",
+)
+def dq_split_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    even = F.col("event_id") % 2 == 0
+    odd = F.col("event_id") % 2 == 1
+    s = e.agg(
+        F.count(F.when(even, 1)).cast("double").alias("n_even"),
+        F.count(F.when(odd, 1)).cast("double").alias("n_odd"),
+        F.count(F.when(even & F.col("value").isNull(), 1))
+        .cast("double")
+        .alias("vnull_even"),
+        F.count(F.when(odd & F.col("value").isNull(), 1))
+        .cast("double")
+        .alias("vnull_odd"),
+        F.countDistinct(F.when(even, F.col("event_type")))
+        .cast("double")
+        .alias("types_even"),
+        F.countDistinct(F.when(odd, F.col("event_type")))
+        .cast("double")
+        .alias("types_odd"),
+        F.countDistinct(F.when(even, F.col("user_id")))
+        .cast("double")
+        .alias("users_even"),
+        F.countDistinct(F.when(odd, F.col("user_id")))
+        .cast("double")
+        .alias("users_odd"),
+    )
+    stacked = s.selectExpr(
+        "stack(4,"
+        " 'row_count', n_even, n_odd,"
+        " 'value_null_rate', round(vnull_even / n_even, 6),"
+        "                    round(vnull_odd / n_odd, 6),"
+        " 'event_type_distinct', types_even, types_odd,"
+        " 'user_id_distinct', users_even, users_odd"
+        ") AS (metric, even_value, odd_value)"
+    )
+    return stacked.select(
+        "metric",
+        "even_value",
+        "odd_value",
+        F.abs(F.col("even_value") - F.col("odd_value")).alias("abs_delta"),
+    ).orderBy("metric")
+
+
+@register(
     "cdc_backlog_metrics",
     oracle=f"""
     WITH wal AS ({WAL_SQL})

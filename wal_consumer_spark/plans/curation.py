@@ -791,6 +791,68 @@ def _canon_sql_lower() -> str:
 
 
 @register(
+    "pipeline_head_dup_by_source",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id, source,
+               md5(array_to_string({_TOKS}[1:8], ' ')) AS head_fp
+        FROM documents
+    ),
+    grp AS (
+        SELECT head_fp, COUNT(*) AS fp_cnt FROM fp GROUP BY head_fp
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(count_if(fp_cnt > 1) AS BIGINT) AS n_head_dup_docs,
+           round(CAST(count_if(fp_cnt > 1) AS DOUBLE) / COUNT(*), 6)
+               AS head_dup_rate,
+           CAST(COUNT(*) - COUNT(DISTINCT fp.head_fp) AS BIGINT)
+               AS n_excess_within
+    FROM fp JOIN grp USING (head_fp)
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Boilerplate-head duplication report per source: fingerprint each "
+        "document's first 8 tokens (the shared-intro signal — crawl "
+        "sources that template their openings show up here long before "
+        "full-text dedup fires), then per source count members of any "
+        "corpus-wide collision group, the duplication rate, and the "
+        "within-source excess (docs minus distinct heads = removable "
+        "now). This is the curation triage query that decides WHERE "
+        "dedup budget goes. Plan: map-side fingerprint, one hash "
+        "aggregation on the fingerprint, one fingerprint-keyed join back "
+        "(narrow — same key), one bounded per-source rollup; at 100 TB "
+        "identical shape to exact-hash dedup. Non-vacuous at sf0.01 "
+        "(24 colliding docs) and sf0.1 (244). Reference parity: "
+        "extension surface (SURVEY.md §2.C curation rows).",
+)
+def pipeline_head_dup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    head_fp = F.md5(
+        F.array_join(F.slice(tokens(F.col("text")), 1, 8), " ")
+    ).alias("head_fp")
+    fp = d.select("doc_id", "source", head_fp)
+    grp = fp.groupBy("head_fp").agg(F.count(F.lit(1)).alias("fp_cnt"))
+    j = fp.join(grp, "head_fp")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_if(F.col("fp_cnt") > 1).cast("long").alias("n_head_dup_docs"),
+            F.round(
+                F.count_if(F.col("fp_cnt") > 1).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("head_dup_rate"),
+            (F.count(F.lit(1)) - F.countDistinct("head_fp"))
+            .cast("long")
+            .alias("n_excess_within"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "pipeline_url_canonical_dedup",
     oracle=f"""
     SELECT canonical_url,

@@ -730,6 +730,186 @@ def multimodal_kind_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PAIR_SAMP_SALT = ":pairsamp7"
+_PAIR_SAMP_PCT = 20
+
+
+@register(
+    "sim_pair_distance_histogram",
+    oracle=f"""
+    WITH s AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(round(x * 1000) AS BIGINT)) AS q
+        FROM embeddings
+        WHERE ('0x' || substring(md5(CAST(vec_id AS VARCHAR)
+                                     || '{_PAIR_SAMP_SALT}'), 1, 8))::BIGINT
+              % 100 < {_PAIR_SAMP_PCT}
+    ),
+    n AS (
+        SELECT vec_id, q,
+               CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nn
+        FROM s
+    ),
+    pairs AS (
+        SELECT CAST(list_sum(list_transform(range(1, 65),
+                                            i -> a.q[i] * b.q[i]))
+                    AS DOUBLE)
+               / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) AS cos
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE a.nn > 0 AND b.nn > 0
+    )
+    SELECT CAST(floor(cos * 10) AS INT) AS cos_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(CAST(SUM(CAST(round(cos * 1000000) AS BIGINT)) AS DOUBLE)
+                 / 1000000 / COUNT(*), 6) AS avg_cos
+    FROM pairs GROUP BY 1 ORDER BY 1
+    """,
+    doc="Embedding-space geometry histogram: the distribution of pairwise "
+        "cosines over a deterministic md5 block-sample of vectors — the "
+        "collapse/hubness diagnostic run before trusting any ANN index "
+        "(a healthy space is spread; a collapsed encoder piles mass near "
+        "cos=1). BLOCK sampling makes all-pairs safe at any scale: "
+        "keep-rate p is chosen so E[|S|]^2 stays a constant target "
+        "(p ~ target/n), so the self-join over the sampled set is a "
+        "bounded enumeration — the same bounded-sample class as IVF "
+        "training (operators/similarity.py) — while corpus-sized work is "
+        "one scan-resident hash filter. Components quantize to exact "
+        "milli-unit longs (integer dot products and norms; one "
+        "sqrt+divide on identical doubles), per-pair cosines re-quantize "
+        "to micro-units before the avg sum so both engines agree to the "
+        "last bit. Reference parity: extension surface (SURVEY.md §2.C "
+        "similarity rows).",
+)
+def sim_pair_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    gate = (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("vec_id").cast("string"),
+                            F.lit(_PAIR_SAMP_SALT),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(100),
+        )
+        < _PAIR_SAMP_PCT
+    )
+    q = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+    )
+    nn = F.aggregate(
+        F.transform("q", lambda a: a * a),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    s = (
+        emb.where(gate)
+        .select("vec_id", q.alias("q"))
+        .withColumn("nn", nn)
+        .where(F.col("nn") > 0)
+    )
+    b = s.select(
+        F.col("vec_id").alias("vid_b"),
+        F.col("q").alias("qb"),
+        F.col("nn").alias("nn_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with("q", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cos = dot.cast("double") / F.sqrt(
+        F.col("nn").cast("double") * F.col("nn_b").cast("double")
+    )
+    pairs = (
+        s.join(F.broadcast(b), F.col("vec_id") < F.col("vid_b"))
+        .select(cos.alias("cos"))
+    )
+    return (
+        pairs.groupBy(F.floor(F.col("cos") * 10).cast("int").alias("cos_bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(
+                F.sum(F.round(F.col("cos") * 1_000_000).cast("long"))
+                .cast("double")
+                / 1_000_000
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_cos"),
+        )
+        .orderBy("cos_bin")
+    )
+
+
+@register(
+    "multimodal_chunk_manifest",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+        WHERE octet_length(encode(text)) > 0
+    )
+    SELECT media_id, kind,
+           CAST(c AS INTEGER) AS chunk_idx,
+           CAST(c * 512 AS BIGINT) AS byte_start,
+           CAST(least(512, n_bytes - c * 512) AS BIGINT) AS byte_len,
+           CAST((n_bytes - 1) // 512 + 1 AS INTEGER) AS n_chunks
+    FROM m, UNNEST(generate_series(0, (n_bytes - 1) // 512)) AS t(c)
+    """,
+    doc="Chunk manifest for bounded-memory media processing: each binary "
+        "payload split into 512-byte ranges (media_id, chunk_idx, "
+        "byte_start, byte_len) — the I/O plan a 100 TB blob pipeline "
+        "computes BEFORE any decode so every mapInPandas/mapInArrow task "
+        "reads a bounded byte range instead of whole blobs (the Arrow "
+        "batch shape stays flat regardless of blob size; a 4 GB video "
+        "becomes ~8k manifest rows that partition freely). Boundaries "
+        "are pure in-plan arithmetic — explode(sequence(...)) map-side, "
+        "no UDF, no shuffle; manifest volume = total_bytes/512 rows, "
+        "linear in corpus size. Zero-byte payloads are excluded on both "
+        "engines (no empty chunks). Reference parity: extension surface "
+        "(SURVEY.md §2.C multimodal rows).",
+)
+def multimodal_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_media_columns(d, "doc_id", "text", "source")
+    m = media.select(
+        "media_id",
+        "kind",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+    ).where(F.col("n_bytes") > 0)
+    last_chunk = F.expr("(n_bytes - 1) div 512")
+    return m.select(
+        "media_id",
+        "kind",
+        F.explode(F.sequence(F.lit(0).cast("long"), last_chunk)).alias("ci"),
+        "n_bytes",
+        (last_chunk + 1).cast("int").alias("n_chunks"),
+    ).select(
+        "media_id",
+        "kind",
+        F.col("ci").cast("int").alias("chunk_idx"),
+        (F.col("ci") * 512).alias("byte_start"),
+        F.least(
+            F.lit(512).cast("long"),
+            F.col("n_bytes") - F.col("ci") * 512,
+        ).alias("byte_len"),
+        "n_chunks",
+    )
+
+
 @register(
     "multimodal_frame_sample",
     oracle="""

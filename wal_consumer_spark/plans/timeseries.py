@@ -1487,6 +1487,173 @@ def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TS_SAMP_SALT = ":tssamp42"
+_TS_SAMP_PCT = 25
+_TS_SAMP_GATE_SQL = (
+    "('0x' || substring(md5(CAST(a.di AS VARCHAR) || ':' || "
+    f"CAST(b.di AS VARCHAR) || '{_TS_SAMP_SALT}'), 1, 8))::BIGINT % 100"
+    f" < {_TS_SAMP_PCT}"
+)
+
+
+@register(
+    "ts_theil_sen_sampled",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS d,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ),
+    pts AS (
+        SELECT datediff('day', DATE '1995-01-01', d) AS di, cents AS yi
+        FROM daily
+    ),
+    pairs AS (
+        SELECT CAST(round(CAST(b.yi - a.yi AS DOUBLE) * 1000000
+                          / (b.di - a.di)) AS BIGINT) AS slope_micro
+        FROM pts a JOIN pts b ON a.di < b.di
+        WHERE {_TS_SAMP_GATE_SQL}
+    ),
+    by_val AS (
+        SELECT slope_micro, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM pairs GROUP BY slope_micro
+    ),
+    cum AS (
+        SELECT slope_micro, cnt,
+               SUM(cnt) OVER (ORDER BY slope_micro
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(cnt) OVER () AS n
+        FROM by_val
+    ),
+    tot AS (
+        SELECT (SELECT COUNT(*) FROM daily) AS n_days,
+               (SELECT COUNT(*) * (COUNT(*) - 1) // 2 FROM daily)
+                   AS n_pairs_total
+    )
+    SELECT CAST(n_days AS BIGINT) AS n_days,
+           CAST(n_pairs_total AS BIGINT) AS n_pairs_total,
+           CAST(MAX(n) AS BIGINT) AS n_sampled,
+           CAST(MAX(CASE WHEN (n + 1) // 2 > cum - cnt
+                          AND (n + 1) // 2 <= cum
+                         THEN slope_micro END) AS BIGINT)
+               AS slope_micro_sampled,
+           abs(CAST(MAX(n) AS DOUBLE)
+               - CAST(n_pairs_total AS DOUBLE) * {_TS_SAMP_PCT} / 100)
+               <= 5 * sqrt(CAST(n_pairs_total AS DOUBLE)
+                           * {_TS_SAMP_PCT} / 100
+                           * (100 - {_TS_SAMP_PCT}) / 100) AS sample_ok
+    FROM cum CROSS JOIN tot
+    GROUP BY n_days, n_pairs_total
+    """,
+    doc="Randomized Theil-Sen (round-4 VERDICT stretch #8, the refinement "
+        "the exact variant's doc names): the pairwise-slope median over a "
+        "DETERMINISTIC ~25% hash-sample of day pairs — md5 gating on "
+        "(di, dj), the engine's established cross-engine sampling "
+        "primitive, applied MAP-SIDE right after pair generation so "
+        "everything downstream (shuffle, two-phase selection) sees only "
+        "p*n^2 rows. An in-plan certificate bounds the realized sample "
+        "size within 5 sigma of the binomial expectation (exact integer "
+        "totals, one sqrt on identical doubles). The exact variant "
+        "ts_theil_sen_slope stays registered as the full-pair reference "
+        "at this SF; on grids where even days^2 explodes, this is the "
+        "plan to run. Reference parity: extension surface (SURVEY.md "
+        "§2.C time-series rows).",
+)
+def ts_theil_sen_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wal_consumer_spark.operators.selection import exact_rank_selection
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+        .cast("long")
+        .alias("cents")
+    ).localCheckpoint(eager=True)  # pair join consumes it twice
+    pts = daily.select(
+        F.datediff(F.col("d"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("di"),
+        F.col("cents").alias("yi"),
+    )
+    b = pts.select(F.col("di").alias("dj"), F.col("yi").alias("yj"))
+    slope = F.round(
+        (F.col("yj") - F.col("yi")).cast("double")
+        * 1_000_000
+        / (F.col("dj") - F.col("di"))
+    ).cast("long")
+    gate = (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("di").cast("string"),
+                            F.lit(":"),
+                            F.col("dj").cast("string"),
+                            F.lit(_TS_SAMP_SALT),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(100),
+        )
+        < _TS_SAMP_PCT
+    )
+    dmax = pts.agg(F.max("di").alias("dmax"))
+    # same map-side explode pair generation as the exact variant (no
+    # theta-join); the hash gate filters INSIDE the generating projection,
+    # before any shuffle
+    sampled = (
+        pts.crossJoin(F.broadcast(dmax))
+        .where(F.col("di") < F.col("dmax"))
+        .select(
+            "di",
+            "yi",
+            F.explode(F.sequence(F.col("di") + 1, F.col("dmax"))).alias("dj"),
+        )
+        .join(F.broadcast(b), "dj")
+        .where(gate)
+        .select(slope.alias("slope_micro"))
+        .persist()
+    )
+    med = exact_rank_selection(
+        sampled,
+        "slope_micro",
+        {"median": lambda n: F.floor((n + 1) / 2).cast("long")},
+        bucket_div=1_000_000_000,
+    ).select(F.col("value").alias("slope_micro_sampled"))
+    n_sampled = sampled.agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
+    totals = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (
+            F.count(F.lit(1)) * (F.count(F.lit(1)) - 1) / 2
+        ).cast("long").alias("n_pairs_total"),
+    )
+    expected = F.col("n_pairs_total").cast("double") * _TS_SAMP_PCT / 100
+    tol = 5 * F.sqrt(
+        F.col("n_pairs_total").cast("double")
+        * _TS_SAMP_PCT / 100
+        * (100 - _TS_SAMP_PCT) / 100
+    )
+    return (
+        totals.crossJoin(F.broadcast(n_sampled))
+        .crossJoin(F.broadcast(med))
+        .select(
+            "n_days",
+            "n_pairs_total",
+            "n_sampled",
+            "slope_micro_sampled",
+            (
+                F.abs(F.col("n_sampled").cast("double") - expected) <= tol
+            ).alias("sample_ok"),
+        )
+    )
+
+
 @register(
     "ts_calendar_heatmap",
     oracle="""
