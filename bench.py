@@ -85,6 +85,11 @@ HEADLINE = [
     "ml_naive_bayes_binary",
     "agg_exact_percentile_selection",
     "graph_connected_components",
+    # r5 additions (appended only, same continuity rule): one
+    # representative per family added this round.
+    "analytics_power_user_threshold",
+    "sim_pair_distance_histogram",
+    "pipeline_head_dup_by_source",
 ]
 
 #: FROZEN cross-round comparison basis (round-4 VERDICT "What's wrong" #2:

@@ -1756,6 +1756,202 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_adamic_adar",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    e AS (
+        SELECT DISTINCT a.p AS p1, b.p AS p2
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    ),
+    adj AS (
+        SELECT p1 AS u, p2 AS v FROM e
+        UNION ALL SELECT p2 AS u, p1 AS v FROM e
+    ),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u),
+    mid AS (
+        SELECT u AS w, CAST(round(1000000 / ln(CAST(d AS DOUBLE))) AS BIGINT)
+                   AS term_micro
+        FROM deg WHERE d BETWEEN 2 AND 64
+    ),
+    via AS (
+        SELECT a.u AS x, b.u AS y, m.term_micro
+        FROM adj a JOIN adj b ON a.v = b.v AND a.u < b.u
+        JOIN mid m ON m.w = a.v
+    )
+    SELECT x AS p1, y AS p2,
+           CAST(COUNT(*) AS BIGINT) AS n_common,
+           CAST(SUM(term_micro) AS BIGINT) AS aa_score_micro
+    FROM via GROUP BY x, y
+    ORDER BY aa_score_micro DESC, p1, p2
+    LIMIT 50
+    """,
+    doc="Adamic-Adar link prediction over the co-purchase graph: "
+        "sum(1/ln(deg(w))) over common neighbors w — the degree-"
+        "discounted refinement of graph_jaccard_neighbors (rare shared "
+        "neighbors count more than hub co-occurrence), top-50 pairs. "
+        "Same scale machinery as jaccard: the hub cap (deg <= 64) "
+        "filters middle vertices BEFORE the wedge self-join so over-cap "
+        "deg^2 fanout never generates, and each middle vertex's "
+        "1/ln(deg) term is precomputed ON THE DEGREE TABLE and carried "
+        "through the join (one ln per vertex, not per wedge; ln is the "
+        "only non-IEEE-pinned function here, so terms quantize to "
+        "micro-unit longs BEFORE the sum — the established "
+        "text_unigram_logprob recipe — making the score an exact "
+        "integer on both engines). deg >= 2 is implied for any wedge "
+        "middle but stated so ln never sees 1. Top-50 via "
+        "orderBy().limit() -> TakeOrderedAndProject. Reference parity: "
+        "extension surface (SURVEY.md §2.C graph rows).",
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wal_consumer_spark.operators.graph import maybe_broadcast
+
+    e = _copurchase_edges(spark, sf_dir)
+    adj, deg = adjacency_degrees(e)
+    mid = deg.where((F.col("d") >= 2) & (F.col("d") <= 64)).select(
+        F.col("u").alias("w"),
+        F.round(1_000_000 / F.log(F.col("d").cast("double")))
+        .cast("long")
+        .alias("term_micro"),
+    )
+    capped = adj.select(F.col("v").alias("w"), F.col("u").alias("x")).join(
+        maybe_broadcast(mid), "w"
+    )
+    via = capped.join(
+        capped.select("w", F.col("x").alias("y")), "w"
+    ).where(F.col("x") < F.col("y"))
+    return (
+        via.groupBy(F.col("x").alias("p1"), F.col("y").alias("p2"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum("term_micro").cast("long").alias("aa_score_micro"),
+        )
+        .orderBy(F.col("aa_score_micro").desc(), "p1", "p2")
+        .limit(50)
+    )
+
+
+@register(
+    "analytics_funnel_step_latency",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view'
+                        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS fv,
+               MIN(CASE WHEN event_type = 'click'
+                        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS fc,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS fp
+        FROM events GROUP BY user_id
+    ),
+    durs AS (
+        SELECT 'view_to_click' AS step, (fc - fv) // 60000000 AS mins
+        FROM per_user WHERE fv IS NOT NULL AND fc IS NOT NULL AND fc >= fv
+        UNION ALL
+        SELECT 'click_to_purchase', (fp - fc) // 60000000
+        FROM per_user WHERE fc IS NOT NULL AND fp IS NOT NULL AND fp >= fc
+    ),
+    by_val AS (
+        SELECT step, mins, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM durs GROUP BY step, mins
+    ),
+    cum AS (
+        SELECT step, mins, cnt,
+               SUM(cnt) OVER (PARTITION BY step ORDER BY mins
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(cnt) OVER (PARTITION BY step) AS n
+        FROM by_val
+    )
+    SELECT step,
+           CAST(MAX(n) AS BIGINT) AS n_users,
+           CAST(MAX(CASE WHEN (n + 1) // 2 > cum - cnt
+                          AND (n + 1) // 2 <= cum THEN mins END) AS BIGINT)
+               AS p50_mins,
+           CAST(MAX(CASE WHEN (9 * n + 9) // 10 > cum - cnt
+                          AND (9 * n + 9) // 10 <= cum THEN mins END)
+                AS BIGINT) AS p90_mins
+    FROM cum GROUP BY step ORDER BY step
+    """,
+    doc="Funnel step latency: p50/p90 minutes between each user's FIRST "
+        "view and FIRST click, and FIRST click and FIRST purchase "
+        "(analytics_time_to_convert's first-touch convention, applied "
+        "per funnel edge; analytics_funnel_conversion counts WHO "
+        "converts, this measures HOW FAST). One conditional-MIN pass "
+        "collapses the corpus to per-user first-touch epochs (exact "
+        "unix_micros / epoch_us — the engines' shared microsecond "
+        "primitive), durations floor to a bounded minute domain, and "
+        "the percentiles are rank-picked from cumulative counts over "
+        "the per-step DISTINCT-minute aggregate (partitioned by step — "
+        "never a per-user window, integer rank arithmetic both "
+        "engines). At 100 TB: one user_id shuffle, one bounded "
+        "value-domain pass. Reference parity: extension surface "
+        "(SURVEY.md §2.C analytics rows).",
+)
+def analytics_funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    mics = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", mics)).alias("fv"),
+        F.min(F.when(F.col("event_type") == "click", mics)).alias("fc"),
+        F.min(F.when(F.col("event_type") == "purchase", mics)).alias("fp"),
+    )
+    v2c = per_user.where(
+        F.col("fv").isNotNull() & F.col("fc").isNotNull() & (F.col("fc") >= F.col("fv"))
+    ).select(
+        F.lit("view_to_click").alias("step"),
+        F.expr("(fc - fv) div 60000000").alias("mins"),
+    )
+    c2p = per_user.where(
+        F.col("fc").isNotNull() & F.col("fp").isNotNull() & (F.col("fp") >= F.col("fc"))
+    ).select(
+        F.lit("click_to_purchase").alias("step"),
+        F.expr("(fp - fc) div 60000000").alias("mins"),
+    )
+    by_val = (
+        v2c.unionByName(c2p)
+        .groupBy("step", "mins")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wcum = (
+        Window.partitionBy("step")
+        .orderBy("mins")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("step").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = by_val.select(
+        "step",
+        "mins",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wtot).alias("n"),
+    )
+    p50 = F.expr("(n + 1) div 2")
+    p90 = F.expr("(9 * n + 9) div 10")
+    return (
+        cum.groupBy("step")
+        .agg(
+            F.max("n").cast("long").alias("n_users"),
+            F.max(
+                F.when(
+                    (p50 > F.col("cum") - F.col("cnt")) & (p50 <= F.col("cum")),
+                    F.col("mins"),
+                )
+            ).cast("long").alias("p50_mins"),
+            F.max(
+                F.when(
+                    (p90 > F.col("cum") - F.col("cnt")) & (p90 <= F.col("cum")),
+                    F.col("mins"),
+                )
+            ).cast("long").alias("p90_mins"),
+        )
+        .orderBy("step")
+    )
+
+
+@register(
     "analytics_time_to_convert",
     oracle="""
     WITH per_user AS (
