@@ -67,6 +67,39 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     assert recall >= 0.6, f"IVF top-k recall too low: {recall:.2f}"
 
 
+def test_ivf_nprobe_curve_contract_and_values(spark):
+    """sim_ivf_nprobe_curve's driver-checked output asserts the monotone/
+    exact-at-full CONTRACT; here we pin the actual recall numbers it
+    certifies: recall must strictly improve somewhere across the sweep and
+    reach exactly 1.0 at nprobe=n_clusters (probing every list IS exact
+    search)."""
+    from wal_consumer_spark.operators.similarity import (
+        cosine_topk_ivf,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    bf_pairs = {
+        (r.query_id, r.cand_id)
+        for r in cosine_topk_bruteforce(emb, queries, k=10).collect()
+    }
+    recalls = []
+    for nprobe in (1, 4, 16):
+        pairs = {
+            (r.query_id, r.cand_id)
+            for r in cosine_topk_ivf(
+                emb, queries, k=10, n_clusters=16, nprobe=nprobe
+            ).collect()
+        }
+        recalls.append(len(bf_pairs & pairs) / len(bf_pairs))
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    assert recalls[-1] == 1.0, f"full probe not exact: {recalls}"
+    assert recalls[-1] > recalls[0], f"sweep has no signal: {recalls}"
+    # centroids train deterministically (fixed hash-ordered sample + seed)
+    assert train_ivf_centroids(emb) == train_ivf_centroids(emb)
+
+
 def test_near_dedup_canonical_partition(spark):
     docs = load_table(spark, SF_ORACLE, "documents")
     n_docs = docs.count()

@@ -466,6 +466,102 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_ivf_nprobe_curve",
+    oracle="""
+    SELECT c AS nprobe, 5 AS n_queries,
+           TRUE AS recall_ge_prev, TRUE AS exact_at_full
+    FROM (SELECT unnest([1, 2, 4, 16]) AS c)
+    ORDER BY nprobe
+    """,
+    doc="IVF tuning curve certification: recall@10 swept over nprobe in "
+        "{1, 2, 4, 16} against the in-plan brute-force truth — the table "
+        "an ANN operator reads to pick its latency/recall point. "
+        "Centroids train ONCE on the bounded sample and the corpus is "
+        "assigned ONCE (at 100 TB the cluster column is an ingest-time "
+        "partition key; each sweep point just probes more partitions); "
+        "only the query-side probe explode varies per point. Trained "
+        "centroids are engine-internal, so the driver-checked output is "
+        "the engine-independent CONTRACT of any IVF index: recall is "
+        "monotone non-decreasing in nprobe (a larger probe set is a "
+        "superset — asserted per point vs the previous), and probing "
+        "ALL lists (nprobe = n_clusters = 16) IS exact search "
+        "(hits == brute-force top-k, asserted). Actual recall values "
+        "are asserted in tests/test_llm.py. Reference parity: extension "
+        "surface (SURVEY.md §2.C similarity rows).",
+)
+def sim_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wal_consumer_spark.operators.similarity import (
+        cosine,
+        cosine_topk_bruteforce,
+        ivf_assign,
+        ivf_probes,
+        train_ivf_centroids,
+    )
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    centroids = train_ivf_centroids(emb)
+    corpus = ivf_assign(
+        emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cvec")),
+        centroids,
+        "cvec",
+    ).persist()
+    exact = cosine_topk_bruteforce(emb, queries, k=10).persist()
+    n_exact = exact.count()
+    prev_hits = 0
+    rows = []
+    for nprobe in (1, 2, 4, 16):
+        q = ivf_probes(
+            queries.select(
+                F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+            ),
+            centroids,
+            "qvec",
+            nprobe,
+        )
+        scored = (
+            corpus.join(broadcast(q), "cluster")
+            .filter(F.col("cand_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "cand_id",
+                F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias(
+                    "cosine_sim"
+                ),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine_sim").desc(), F.col("cand_id")
+        )
+        approx = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select("query_id", "cand_id")
+        )
+        hits = (
+            exact.select("query_id", "cand_id")
+            .join(approx, ["query_id", "cand_id"], "left_semi")
+            .count()
+        )
+        rows.append(
+            (
+                nprobe,
+                5,
+                hits >= prev_hits,
+                (nprobe < 16) or (hits == n_exact),
+            )
+        )
+        prev_hits = hits
+    corpus.unpersist()
+    exact.unpersist()
+    return spark.createDataFrame(
+        rows, "nprobe int, n_queries int, recall_ge_prev boolean, exact_at_full boolean"
+    ).orderBy("nprobe")
+
+
 def _near_dup_blocked_sql(
     dim: int = 64, nbits: int = 4, n_tables: int = 12, seed: int = 77,
     threshold: float = 0.45, sig_bits: int = 256, sig_seed: int = 9001,

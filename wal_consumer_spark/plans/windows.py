@@ -38,6 +38,37 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "win_topk_with_ties",
+    oracle="""
+    SELECT p_brand, p_partkey, p_size, rnk FROM (
+        SELECT p_brand, p_partkey, p_size,
+               rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS rnk
+        FROM part
+    ) WHERE rnk <= 3
+    """,
+    doc="Ties-INCLUSIVE top-k per group (SQL's WITH TIES semantics): "
+        "rank() with NO tie-break column, so every row sharing a "
+        "qualifying value survives — the correct semantics when top-k "
+        "feeds a business rule ('all parts of the 3 largest sizes') and "
+        "dropping an arbitrary tied row would be wrong. Complements "
+        "win_topk_per_group's row_number() (exactly-k) variant. The "
+        "result is SET-deterministic without any tie-break because ties "
+        "are kept, not picked among — order-insensitive hash-safe. Same "
+        "scale shape: one partitioned window, WindowGroupLimit pushdown "
+        "applies since rank() is monotone per partition. Reference "
+        "parity: extension surface (SURVEY.md §2.B window rows).",
+)
+def win_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_size").desc())
+    return (
+        p.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "p_size", "rnk")
+    )
+
+
+@register(
     "win_rank_dense_ntile",
     oracle="""
     SELECT s_suppkey, s_nationkey, s_acctbal,
