@@ -1833,6 +1833,77 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_hub_cap_sensitivity",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    e AS (
+        SELECT DISTINCT a.p AS p1, b.p AS p2
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    ),
+    adj AS (
+        SELECT p1 AS u, p2 AS v FROM e
+        UNION ALL SELECT p2 AS u, p1 AS v FROM e
+    ),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u),
+    caps AS (SELECT unnest([16, 64, 256]) AS cap),
+    wedges AS (
+        SELECT c.cap,
+               a.u AS x, b.u AS y
+        FROM caps c
+        JOIN deg dw ON dw.d <= c.cap
+        JOIN adj a ON a.v = dw.u
+        JOIN adj b ON b.v = dw.u AND a.u < b.u
+    )
+    SELECT caps.cap,
+           CAST(COALESCE(w.n_wedges, 0) AS BIGINT) AS n_wedges,
+           CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs
+    FROM caps
+    LEFT JOIN (SELECT cap, CAST(COUNT(*) AS BIGINT) AS n_wedges
+               FROM wedges GROUP BY cap) w USING (cap)
+    LEFT JOIN (SELECT cap, CAST(COUNT(*) AS BIGINT) AS n_pairs
+               FROM (SELECT DISTINCT cap, x, y FROM wedges) GROUP BY cap) p
+    USING (cap)
+    ORDER BY caps.cap
+    """,
+    doc="Hub-cap sensitivity sweep for the wedge-join family "
+        "(graph_jaccard_neighbors, graph_adamic_adar, triangle counting "
+        "all cap middle-vertex degree): wedge volume and distinct "
+        "candidate-pair count at cap in {16, 64, 256} — the tuning table "
+        "that says what recall a cap buys and what fanout it costs "
+        "(both counts are monotone in cap by construction; the oracle "
+        "replays all three caps EXACTLY, not just the contract). One "
+        "degree table serves every cap; each sweep point filters "
+        "middles BEFORE its wedge self-join (over-cap deg^2 fanout "
+        "never generates — same discipline as the production queries). "
+        "At 100 TB you run this on a hash-sampled edge subset first; "
+        "the plan is identical. Reference parity: extension surface "
+        "(SURVEY.md §2.C graph rows).",
+)
+def graph_hub_cap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wal_consumer_spark.operators.graph import maybe_broadcast
+
+    e = _copurchase_edges(spark, sf_dir)
+    adj, deg = adjacency_degrees(e)
+    out = None
+    for cap in (16, 64, 256):
+        ok_mid = deg.where(F.col("d") <= cap).select(F.col("u").alias("w"))
+        capped = adj.select(F.col("v").alias("w"), F.col("u").alias("x")).join(
+            maybe_broadcast(ok_mid), "w"
+        )
+        via = capped.join(
+            capped.select("w", F.col("x").alias("y")), "w"
+        ).where(F.col("x") < F.col("y"))
+        stats = via.agg(
+            F.count(F.lit(1)).cast("long").alias("n_wedges"),
+            F.count_distinct(F.col("x"), F.col("y")).cast("long").alias("n_pairs"),
+        ).select(F.lit(cap).cast("int").alias("cap"), "n_wedges", "n_pairs")
+        out = stats if out is None else out.unionByName(stats)
+    return out.orderBy("cap")
+
+
+@register(
     "analytics_funnel_step_latency",
     oracle="""
     WITH per_user AS (

@@ -791,6 +791,104 @@ def _canon_sql_lower() -> str:
 
 
 @register(
+    "pipeline_length_percentile_caps",
+    oracle="""
+    WITH by_val AS (
+        SELECT lang, n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY lang, n_chars
+    ),
+    cum AS (
+        SELECT lang, n_chars, cnt,
+               SUM(cnt) OVER (PARTITION BY lang ORDER BY n_chars
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(cnt) OVER (PARTITION BY lang) AS n
+        FROM by_val
+    ),
+    p95 AS (
+        SELECT lang, MAX(CASE WHEN (95 * n + 99) // 100 > cum - cnt
+                               AND (95 * n + 99) // 100 <= cum
+                              THEN n_chars END) AS p95_chars
+        FROM cum GROUP BY lang
+    )
+    SELECT cum.lang,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(MAX(p95_chars) AS BIGINT) AS p95_chars,
+           CAST(COALESCE(SUM(CASE WHEN n_chars > p95_chars THEN cnt END), 0)
+                AS BIGINT) AS n_over_cap,
+           CAST(COALESCE(SUM(CASE WHEN n_chars > p95_chars
+                                  THEN cnt * (n_chars - p95_chars) END), 0)
+                AS BIGINT) AS chars_saved
+    FROM cum JOIN p95 USING (lang)
+    GROUP BY cum.lang
+    ORDER BY cum.lang
+    """,
+    doc="Per-language truncation-cap policy table: the p95 document "
+        "length (rank-picked, exact), how many docs exceed it, and the "
+        "total characters a cap-at-p95 truncation would save — the "
+        "numbers that decide a context-budget policy before running "
+        "pipeline_char_budget_truncation. All windows run over the "
+        "per-(lang, n_chars) DISTINCT-value aggregate, PARTITIONED by "
+        "lang — the value-domain rank-pick recipe, never a per-doc "
+        "window; integer rank arithmetic identical in both engines. At "
+        "100 TB: one narrow aggregation, a bounded cumulative pass, one "
+        "lang-keyed join. Reference parity: extension surface "
+        "(SURVEY.md §2.C curation rows).",
+)
+def pipeline_length_percentile_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    by_val = d.groupBy("lang", "n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("lang").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = by_val.select(
+        "lang",
+        "n_chars",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wtot).alias("n"),
+    )
+    r95 = F.expr("(95 * n + 99) div 100")
+    p95 = cum.groupBy("lang").agg(
+        F.max(
+            F.when(
+                (r95 > F.col("cum") - F.col("cnt")) & (r95 <= F.col("cum")),
+                F.col("n_chars"),
+            )
+        ).alias("p95_chars")
+    )
+    over = F.col("n_chars") > F.col("p95_chars")
+    return (
+        cum.join(p95, "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            F.max("p95_chars").cast("long").alias("p95_chars"),
+            F.coalesce(F.sum(F.when(over, F.col("cnt"))), F.lit(0))
+            .cast("long")
+            .alias("n_over_cap"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        over, F.col("cnt") * (F.col("n_chars") - F.col("p95_chars"))
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("chars_saved"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "pipeline_head_dup_by_source",
     oracle=f"""
     WITH fp AS (

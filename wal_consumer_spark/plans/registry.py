@@ -56,16 +56,17 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: enters AFTER its round-5 rewrite onto the two-phase selection
 #: operator (VERDICT r4 "What's wrong" #1).
 #:
-#: ROUND-6 ROTATION CANDIDATES — the exact 52 registered names that will
+#: ROUND-6 ROTATION CANDIDATES — the exact 54 registered names that will
 #: still lack a driver-green row once CORRECTNESS_r05 certifies this
 #: window (keep in sync when adding queries; the round-5 session added
 #: ts_theil_sen_sampled, analytics_power_user_threshold,
 #: dq_split_drift_audit, multimodal_chunk_manifest,
 #: sim_pair_distance_histogram, pipeline_head_dup_by_source,
 #: graph_adamic_adar, analytics_funnel_step_latency,
-#: sim_ivf_nprobe_curve, win_topk_with_ties after the window was
-#: pinned — 52 means round 6 certifies 50 and round 7 closes the
-#: remainder plus any round-6 additions):
+#: sim_ivf_nprobe_curve, win_topk_with_ties,
+#: graph_hub_cap_sensitivity, pipeline_length_percentile_caps after the
+#: window was pinned — 54 means round 6 certifies 50 and round 7 closes
+#: the remainder plus any round-6 additions):
 #: agg_having, agg_higher_moments, agg_histogram_totalprice,
 #: agg_key_skew_profile, agg_log2_histogram, agg_percentile_approx,
 #: agg_profile_orders, agg_stratified_sample, analytics_ab_welch_ttest,
