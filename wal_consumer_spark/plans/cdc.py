@@ -126,6 +126,48 @@ def cdc_apply_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_shuffled_replay_equivalence",
+    oracle=f"""
+    WITH wal AS ({WAL_SQL}),
+    last AS (
+        SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY entity_id ORDER BY id DESC) AS rn
+                       FROM wal) WHERE rn = 1
+    )
+    SELECT entity_id, payload, entity_type
+    FROM last WHERE operation <> 'DELETE'
+    """,
+    doc="Out-of-order replay invariance, driver-certified: the WAL is "
+        "deterministically SHUFFLED (hash-reordered and re-partitioned — "
+        "the arrival pattern of a parallel backfill or a multi-partition "
+        "Kafka topic) before the same CDC apply as "
+        "cdc_apply_final_state, and the oracle applies IN WAL ORDER. "
+        "They match because the apply's last-op reduction keys on the "
+        "monotonic WAL id (max-by, commutative), never on arrival order "
+        "— the semantic property that lets a 100 TB backfill run with "
+        "arbitrary parallelism instead of a serial replay. The "
+        "property-based suite (tests/test_cdc_property.py) proves this "
+        "for random sequences; this query puts one instance behind the "
+        "driver's hash gate. Reference parity: R6-R8 + the R4 "
+        "lost-race/ordering discussion (WalConsumer.java:186-257).",
+)
+def cdc_shuffled_replay_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wal = synthetic_wal(spark, sf_dir)
+    shuffled = (
+        wal.orderBy(F.xxhash64("id", F.lit(17)))
+        .repartition(16, F.pmod(F.xxhash64("id", F.lit(23)), F.lit(16)))
+    )
+    empty_target = spark.createDataFrame(
+        [], "entity_id LONG, entity_bytes BINARY, entity_type STRING"
+    )
+    final = apply_cdc_batch(empty_target, shuffled)
+    return final.select(
+        "entity_id",
+        F.col("entity_bytes").cast("string").alias("payload"),
+        "entity_type",
+    )
+
+
+@register(
     "cdc_replay_idempotency",
     oracle=f"""
     WITH wal AS ({WAL_SQL}),
