@@ -892,3 +892,49 @@ def test_session_histogram_single_user_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_priority_sample_is_take_ordered(spark):
+    """pipeline_weighted_priority_sample's top-50 must plan as
+    TakeOrderedAndProject (per-partition heaps), never a single-partition
+    global Sort — the whole point of priority sampling at 100 TB is that
+    the draw is a scan + bounded merge."""
+    from wal_consumer_spark.plans.curation import pipeline_weighted_priority_sample
+
+    df = pipeline_weighted_priority_sample(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_prefix_filter_join_is_shingle_keyed(spark):
+    """dedup_prefix_filter_jaccard's candidate generation must be an
+    equi-join on the shingle key (shuffle or broadcast hash join) with no
+    cartesian/nested-loop anywhere, and the per-doc prefix ranking must be
+    a doc-partitioned window (never global)."""
+    from wal_consumer_spark.plans.llm import dedup_prefix_filter_jaccard
+
+    df = dedup_prefix_filter_jaccard(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_rolling_distinct_users_two_phase(spark):
+    """ts_rolling_distinct_users must expand count(DISTINCT user) into the
+    two-phase (day, user) partial aggregate (Expand/partial_count path) and
+    keep the calendar spine join broadcast — no range join, no global
+    window."""
+    from wal_consumer_spark.plans.timeseries import ts_rolling_distinct_users
+
+    df = ts_rolling_distinct_users(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # spine LEFT JOIN rolled must broadcast the aggregate (build right) —
+    # broadcasting the preserved spine side is unsupported and would
+    # silently degrade to a shuffle join (HintErrorLogger).
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # exact-distinct expansion: partial aggregate keyed by (day, user)
+    assert "count(distinct" in plan.lower() or "partial_count" in plan.lower(), plan

@@ -1655,3 +1655,59 @@ def pipeline_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_chars",
         F.expr("__num div __tot").cast("long").alias("docs_share_ppm"),
     )
+
+
+_PRIO_SALT = "ps1"
+#: DuckDB fragment: deterministic uniform-in-(0,1) draw per doc, identical
+#: to the Spark expression in pipeline_weighted_priority_sample.
+_PRIO_U32 = (
+    "(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '"
+    + _PRIO_SALT
+    + "'), 1, 8))::BIGINT)"
+)
+
+
+@register(
+    "pipeline_weighted_priority_sample",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               n_chars * 4294967296.0 / ({_PRIO_U32} + 0.5) AS priority
+        FROM documents
+    )
+    SELECT doc_id, n_chars, round(priority, 6) AS priority
+    FROM keyed ORDER BY priority DESC, doc_id LIMIT 50
+    """,
+    doc="Deterministic weighted sampling without replacement via priority "
+        "sampling (Duffield-Lund-Thorup, JACM'07): each doc draws "
+        "u ~ Uniform(0,1) from a salted md5 of its id (reproducible "
+        "across runs AND engines — sampling lineage is an audit "
+        "requirement for training corpora), gets priority = weight/u "
+        "with weight = n_chars, and the sample is the top-k by "
+        "priority — longer docs proportionally likelier, any fixed k, "
+        "mergeable across shards by construction (max-k of per-shard "
+        "top-ks). Unlike Efraimidis-Spirakis u^(1/w) keys this needs "
+        "no transcendentals, so the double arithmetic is bit-identical "
+        "in any IEEE engine and the driver hash certifies the full "
+        "draw. Top-k plans as TakeOrderedAndProject (per-partition "
+        "heaps + driver merge of 50) — no global sort at 100 TB.",
+)
+def pipeline_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_PRIO_SALT))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        (F.col("n_chars") * F.lit(4294967296.0) / (v + F.lit(0.5))).alias("priority"),
+    )
+    return (
+        keyed.orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(50)
+        .select("doc_id", "n_chars", F.round("priority", 6).alias("priority"))
+    )

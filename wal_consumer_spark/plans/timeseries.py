@@ -383,14 +383,13 @@ def ts_gapfill_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("revenue_cents"),
     )
-    return (
-        F.broadcast(spine)
-        .join(per_day, "day", "left")
-        .select(
-            "day",
-            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
-            F.coalesce("revenue_cents", F.lit(0)).cast("long").alias("revenue_cents"),
-        )
+    # broadcast the per-day AGGREGATE (calendar-bounded): a left join cannot
+    # build its preserved left side, so the old broadcast(spine) hint was
+    # silently dropped (HintErrorLogger) and the join shuffled both sides.
+    return spine.join(F.broadcast(per_day), "day", "left").select(
+        "day",
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+        F.coalesce("revenue_cents", F.lit(0)).cast("long").alias("revenue_cents"),
     )
 
 
@@ -2070,4 +2069,67 @@ def ts_anova_weekday_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (ssb / (F.col("k") - 1)) / (ssw / (F.col("nt") - F.col("k"))), 6
         ).alias("f_stat"),
+    )
+
+
+@register(
+    "ts_rolling_distinct_users",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        FROM events
+    ),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ud),
+    spine AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+            AS day
+        FROM bounds
+    ),
+    rolled AS (
+        SELECT s.day, COUNT(DISTINCT u.user_id) AS n
+        FROM spine s JOIN ud u ON u.day BETWEEN s.day - 6 AND s.day
+        GROUP BY 1
+    )
+    SELECT CAST(spine.day AS TIMESTAMP) AS day,
+           CAST(COALESCE(n, 0) AS BIGINT) AS active_users_7d
+    FROM spine LEFT JOIN rolled ON rolled.day = spine.day
+    """,
+    doc="Exact trailing-7-day distinct active users per calendar day — the "
+        "sliding-window COUNT(DISTINCT) Spark windows cannot express "
+        "(DISTINCT is unsupported in window frames) and a range join "
+        "does in O(days * activity). Instead each distinct (user, day) "
+        "row is exploded to the 7 report days it contributes to "
+        "(map-side, bounded fan-out = window width), then one "
+        "day-keyed exact distinct aggregate runs per report day — "
+        "Catalyst expands it to a two-phase (day, user) partial so no "
+        "day's full user set ever sits in one task's memory. The "
+        "calendar spine LEFT JOIN (broadcast, calendar-sized) restores "
+        "quiet days as explicit zeros. The oracle is the naive "
+        "range-join formulation, certifying the offset-explode rewrite. "
+        "At 100 TB: 2 narrow shuffles ((user,day) distinct, then "
+        "(day,user) partial), fan-out fixed at 7, no global window.",
+)
+def ts_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date(F.col("ts").cast("timestamp")).alias("day")
+    ).distinct()
+    bounds = ud.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    rolled = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+            "day",
+        )
+        .select("user_id", F.date_add(F.col("day"), F.col("off")).alias("day"))
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("long").alias("n"))
+    )
+    # broadcast the AGGREGATE (calendar-bounded) side: a left join cannot
+    # build its preserved left side, so hinting the spine would silently
+    # degrade to a shuffle join (HintErrorLogger warning).
+    return spine.join(F.broadcast(rolled), "day", "left").select(
+        F.col("day").cast("timestamp").alias("day"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("active_users_7d"),
     )
