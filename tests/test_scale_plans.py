@@ -938,3 +938,32 @@ def test_rolling_distinct_users_two_phase(spark):
     assert "CartesianProduct" not in plan, plan
     # exact-distinct expansion: partial aggregate keyed by (day, user)
     assert "count(distinct" in plan.lower() or "partial_count" in plan.lower(), plan
+
+
+def test_join_forecast_reads_only_key_columns(spark):
+    """dq_join_cardinality_forecast must forecast from narrow (key, count)
+    aggregates: both parquet scans prune to the single join-key column
+    (no wide fact columns anywhere in the plan) and no cartesian/nested
+    loop appears."""
+    from wal_consumer_spark.plans.cdc import dq_join_cardinality_forecast
+
+    df = dq_join_cardinality_forecast(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for wide in ("o_totalprice", "l_quantity", "l_extendedprice", "o_orderdate"):
+        assert wide not in plan, (wide, plan)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_zorder_layout_is_udf_free_single_shuffle(spark):
+    """pipeline_zorder_layout's 32-term Morton interleave must stay a JVM
+    column expression (no Python eval node) with exactly the one zbucket
+    aggregation shuffle, scanning only the 3 needed columns."""
+    from wal_consumer_spark.plans.curation import pipeline_zorder_layout
+
+    df = pipeline_zorder_layout(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan  # one hashpartitioning exchange (AQE may restring it)
+    assert "o_totalprice" not in plan, plan

@@ -1465,3 +1465,49 @@ def cdc_gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_history_rows_to_purge",
         )
     )
+
+
+@register(
+    "dq_join_cardinality_forecast",
+    oracle="""
+    WITH joined AS (
+        SELECT o.o_orderkey AS k
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    per_key AS (SELECT k, COUNT(*) AS c FROM joined GROUP BY k)
+    SELECT CAST(SUM(c) AS BIGINT) AS est_join_rows,
+           CAST(MAX(c) AS BIGINT) AS max_key_pairs,
+           CAST(COUNT(*) AS BIGINT) AS n_matching_keys
+    FROM per_key
+    """,
+    doc="Pre-flight join-size forecast WITHOUT executing the join: for an "
+        "equi-join, output rows = sum over keys of count_left(k) * "
+        "count_right(k) — an exact identity, not an estimate — so two "
+        "narrow per-key COUNT aggregates plus a key-only join of the "
+        "count tables predict the cost of a 100 TB fact-fact join "
+        "before a single wide row is shuffled. max_key_pairs is the "
+        "skew certificate (the largest single-key blowup — the row "
+        "count AQE's skew-join would have to split), n_matching_keys "
+        "the join selectivity. The ORACLE runs the REAL join and "
+        "measures it, so the driver hash certifies the identity "
+        "end-to-end. Shuffle cost: two (key,count) aggregates + a "
+        "count-table equi-join — key-cardinality-sized, never "
+        "fact-sized.",
+)
+def dq_join_cardinality_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ca = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    cb = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    per_key = ca.join(cb, "k").select(
+        "k", (F.col("ca") * F.col("cb")).alias("pairs")
+    )
+    return per_key.agg(
+        F.sum("pairs").cast("long").alias("est_join_rows"),
+        F.max("pairs").cast("long").alias("max_key_pairs"),
+        F.count(F.lit(1)).cast("long").alias("n_matching_keys"),
+    )
