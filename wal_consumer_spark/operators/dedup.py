@@ -429,10 +429,17 @@ def prefix_filtered_jaccard(
     bit-for-bit with no float boundary cases.
     """
     tn, td = threshold_num, threshold_den
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(tokens(F.col(text_col)), k)).alias("shingle"),
-    ).distinct()
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(word_shingles(tokens(F.col(text_col)), k)).alias("shingle"),
+        )
+        .distinct()
+        # consumed 3x (df counts, prefix ranking, verification sets):
+        # materialize once so tokenize+explode+distinct doesn't run per
+        # consumer (the multi-consumer recompute trap; see SCALE.md §19).
+        .localCheckpoint(eager=True)
+    )
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc").orderBy(F.asc("df"), F.asc("shingle"))
     ranked = (
