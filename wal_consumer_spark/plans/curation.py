@@ -1784,3 +1784,56 @@ def pipeline_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("y").cast("long").alias("min_day"),
         F.max("y").cast("long").alias("max_day"),
     )
+
+
+@register(
+    "pipeline_group_priority_sample",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               n_chars * 4294967296.0 / ({_PRIO_U32} + 0.5) AS priority
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source, n_chars, priority,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY priority DESC, doc_id) AS rk
+        FROM keyed
+    )
+    SELECT source, doc_id, n_chars, round(priority, 6) AS priority, rk
+    FROM ranked WHERE rk <= 3
+    """,
+    doc="Stratified weighted sampling: the same deterministic priority "
+        "draw as pipeline_weighted_priority_sample (weight/u, salted-md5 "
+        "uniform, transcendental-free) but top-3 PER SOURCE via a window "
+        "partitioned by the source dimension — per-stratum quotas with "
+        "one shuffle on the stratum key, the shape of a "
+        "mixture-controlled corpus draw (N docs per domain). The window "
+        "is value-domain-partitioned (source catalog), never global; "
+        "ranks are fully deterministic so both engines select and "
+        "number the identical rows.",
+)
+def pipeline_group_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_PRIO_SALT))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.col("n_chars") * F.lit(4294967296.0) / (v + F.lit(0.5))).alias("priority"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("priority"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "source", "doc_id", "n_chars",
+            F.round("priority", 6).alias("priority"), "rk",
+        )
+    )

@@ -2133,3 +2133,77 @@ def ts_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").cast("timestamp").alias("day"),
         F.coalesce("n", F.lit(0)).cast("long").alias("active_users_7d"),
     )
+
+
+@register(
+    "ts_rolling_distinct_hll",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        FROM events
+    ),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ud),
+    spine AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+            AS day
+        FROM bounds
+    ),
+    rolled AS (
+        SELECT s.day, COUNT(DISTINCT u.user_id) AS n
+        FROM spine s JOIN ud u ON u.day BETWEEN s.day - 6 AND s.day
+        GROUP BY 1
+    )
+    SELECT CAST(spine.day AS TIMESTAMP) AS day,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_exact,
+           TRUE AS within_5pct
+    FROM spine LEFT JOIN rolled ON rolled.day = spine.day
+    """,
+    doc="Sliding 7-day distinct actives via MERGEABLE HLL sketches — the "
+        "100 TB companion to ts_rolling_distinct_users: one HLL sketch "
+        "per day (the only pass over raw events), then the window merge "
+        "operates on the PER-DAY SKETCH TABLE (days x 7 rows total, "
+        "calendar-bounded) with hll_union_agg — so widening the window "
+        "or recomputing a corrected day re-merges kilobyte sketches "
+        "instead of rescanning event history, and daily sketches can "
+        "be persisted as the incremental state of a metrics pipeline. "
+        "Output is the exact count (computed by the certified "
+        "offset-explode path) plus an in-plan check that the merged "
+        "estimate (lgK 14, rsd ~0.8%) lands within 5%; the oracle "
+        "replays the exact counts via the naive range join and asserts "
+        "literal TRUE, the same certification pattern as "
+        "agg_hll_partial_merge.",
+)
+def ts_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date(F.col("ts").cast("timestamp")).alias("day")
+    ).distinct()
+    bounds = ud.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    off = F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off")
+    exact = (
+        ud.select("user_id", off, "day")
+        .select("user_id", F.date_add(F.col("day"), F.col("off")).alias("day"))
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_exact"))
+    )
+    sk_day = ud.groupBy("day").agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    sk_roll = (
+        sk_day.select(off, "day", "sk")
+        .select(F.date_add(F.col("day"), F.col("off")).alias("day"), "sk")
+        .groupBy("day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk", True)).alias("est"))
+    )
+    return (
+        spine.join(F.broadcast(exact), "day", "left")
+        .join(F.broadcast(sk_roll), "day", "left")
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            F.coalesce("n_exact", F.lit(0)).cast("long").alias("n_exact"),
+            F.coalesce(
+                F.abs(F.col("est") - F.col("n_exact"))
+                <= F.lit(0.05) * F.col("n_exact"),
+                F.lit(True),
+            ).alias("within_5pct"),
+        )
+    )
