@@ -1511,3 +1511,47 @@ def dq_join_cardinality_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("pairs").cast("long").alias("max_key_pairs"),
         F.count(F.lit(1)).cast("long").alias("n_matching_keys"),
     )
+
+
+@register(
+    "dq_decimal_overflow_headroom",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MAX(abs(CAST(round(l_extendedprice * 100) AS BIGINT)))
+                AS BIGINT) AS max_abs_cents,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           (log10(CAST(COUNT(*) AS DOUBLE))
+              + log10(CAST(MAX(abs(CAST(round(l_extendedprice * 100) AS BIGINT)))
+                           AS DOUBLE)) < 27.0) AS sum_digits_safe
+    FROM lineitem
+    """,
+    doc="Aggregation-overflow headroom audit for the engine's own "
+        "exact-decimal summation convention: one pass computes row count, "
+        "the worst single-row magnitude, the exact total, and an in-plan "
+        "certificate that log10(n_rows) + log10(max_abs) stays under the "
+        "27 digits a Spark SUM(DECIMAL(18,0)) accumulator guarantees "
+        "(Spark widens sums to DECIMAL(p+10); DuckDB to DECIMAL(38)) — "
+        "i.e. even the impossible all-rows-at-max corpus cannot overflow. "
+        "At 100 TB this is the pre-flight a pipeline runs before trusting "
+        "fixed-precision rollups: n ~ 6e11 rows x max ~ 1e7 cents is "
+        "~10^18.8, inside the 10^27 accumulator with 8 orders of "
+        "headroom but OUTSIDE a naive 18-digit sum — exactly the class "
+        "of silent-at-test-scale overflow this catches. Single narrow "
+        "aggregate, no shuffle beyond the 1-row reduce; the margin is "
+        "~13 orders of magnitude so the transcendental log10 can never "
+        "flip the boolean across engines.",
+)
+def dq_decimal_overflow_headroom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return li.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.max(F.abs(cents)).cast("long").alias("max_abs_cents"),
+        F.sum(cents).cast("long").alias("total_cents"),
+        (
+            F.log10(F.count(F.lit(1)).cast("double"))
+            + F.log10(F.max(F.abs(cents)).cast("double"))
+            < F.lit(27.0)
+        ).alias("sum_digits_safe"),
+    )

@@ -685,3 +685,101 @@ def win_longest_streak_per_user(
             "n_users_streak_ge_3"
         ),
     )
+
+
+@register(
+    "win_max_concurrent_sessions",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN epoch(CAST(ts AS TIMESTAMP))
+                         - epoch(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800
+                         OR lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ),
+    s AS (
+        SELECT user_id,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_idx,
+               ts
+        FROM g
+    ),
+    iv AS (
+        SELECT user_id, session_idx, MIN(ts) AS s_start,
+               MAX(ts) + INTERVAL 1 SECOND AS s_end_excl
+        FROM s GROUP BY 1, 2
+    ),
+    deltas AS (
+        SELECT s_start AS t, 1 AS d FROM iv
+        UNION ALL
+        SELECT s_end_excl AS t, -1 AS d FROM iv
+    ),
+    net AS (SELECT t, SUM(d) AS nd FROM deltas GROUP BY t),
+    run AS (
+        SELECT t, SUM(nd) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS conc
+        FROM net
+    )
+    SELECT CAST(CAST(t AS DATE) AS TIMESTAMP) AS day,
+           CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+    FROM run GROUP BY 1
+    """,
+    doc="Peak concurrent sessions per day — the classic sweep line, "
+        "DISTRIBUTED: sessions (30-min-gap, same derivation as "
+        "win_sessionize_gap) become +1/-1 boundary deltas, netted per "
+        "distinct instant; the running count then splits two-level — a "
+        "per-DAY cumulative window (partitioned, bounded partitions) "
+        "plus a day-level exclusive prefix offset computed on the "
+        "calendar-sized per-day net table — so no unbounded global "
+        "window ever orders the full delta stream. Concurrency is "
+        "evaluated AFTER all deltas of an instant (simultaneous "
+        "end/start never overlap), making every intermediate value "
+        "deterministic. The ORACLE runs the naive single global "
+        "running sum, certifying the chunked decomposition. Same "
+        "two-level prefix-sum algebra as operators/sequence.py's "
+        "chunked islands; at 100 TB both windows are bounded (within "
+        "one day / across the calendar).",
+)
+def win_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = (
+        prev_ts.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > 1800)
+    ).cast("int")
+    s = e.withColumn(
+        "session_idx",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    iv = s.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("s_start"),
+        (F.max("ts") + F.expr("INTERVAL 1 SECOND")).alias("s_end_excl"),
+    )
+    deltas = iv.select(F.col("s_start").alias("t"), F.lit(1).alias("d")).unionAll(
+        iv.select(F.col("s_end_excl").alias("t"), F.lit(-1).alias("d"))
+    )
+    net = deltas.groupBy("t").agg(F.sum("d").alias("nd"))
+    # two-level prefix sum: within-day cumulative (partitioned window over
+    # bounded day slices) + exclusive day offset over the calendar-sized
+    # per-day net table — never one global window over all instants.
+    day = F.to_date("t")
+    wday = Window.partitionBy(day).orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    within = net.withColumn("cum_in_day", F.sum("nd").over(wday))
+    day_net = net.groupBy(day.alias("day")).agg(F.sum("nd").alias("day_nd"))
+    wdays = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    day_off = day_net.withColumn(
+        "day_offset", F.coalesce(F.sum("day_nd").over(wdays), F.lit(0))
+    ).select("day", "day_offset")
+    conc = within.join(
+        F.broadcast(day_off), F.to_date("t") == F.col("day")
+    ).select("t", (F.col("day_offset") + F.col("cum_in_day")).alias("conc"))
+    return conc.groupBy(F.to_date("t").cast("timestamp").alias("day")).agg(
+        F.max("conc").cast("long").alias("peak_concurrency")
+    )
