@@ -967,3 +967,15 @@ def test_zorder_layout_is_udf_free_single_shuffle(spark):
     assert "Exchange SinglePartition" not in plan, plan
     assert plan.count("Exchange") <= 2, plan  # one hashpartitioning exchange (AQE may restring it)
     assert "o_totalprice" not in plan, plan
+
+
+def test_random_walk_steps_are_equi_joins(spark):
+    """graph_random_walk_3step must advance all walks via equi-joins on the
+    current node (residual rank predicate evaluated on matches) — no
+    cartesian/nested-loop step."""
+    from wal_consumer_spark.plans.analytics import graph_random_walk_3step
+
+    df = graph_random_walk_3step(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -3511,3 +3511,94 @@ def analytics_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_censored",
         )
     )
+
+
+def _rw_hash_sql(node: str, step: int) -> str:
+    return (
+        f"(('0x' || substring(md5(CAST({node} AS VARCHAR) || ':{step}'), 1, 8))"
+        "::BIGINT)"
+    )
+
+
+@register(
+    "graph_random_walk_3step",
+    oracle=f"""
+    WITH e AS (
+        SELECT a.n_nationkey AS u, b.n_nationkey AS v
+        FROM nation a JOIN nation b
+          ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey
+    ),
+    ranked AS (
+        SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY v) AS rk,
+               COUNT(*) OVER (PARTITION BY u) AS deg
+        FROM e
+    ),
+    s1 AS (
+        SELECT n.n_nationkey AS start, r.v AS h1
+        FROM nation n JOIN ranked r
+          ON r.u = n.n_nationkey
+         AND r.rk = 1 + ({_rw_hash_sql('n.n_nationkey', 1)} % r.deg)
+    ),
+    s2 AS (
+        SELECT s1.start, s1.h1, r.v AS h2
+        FROM s1 JOIN ranked r
+          ON r.u = s1.h1 AND r.rk = 1 + ({_rw_hash_sql('s1.h1', 2)} % r.deg)
+    ),
+    s3 AS (
+        SELECT s2.start, s2.h1, s2.h2, r.v AS h3
+        FROM s2 JOIN ranked r
+          ON r.u = s2.h2 AND r.rk = 1 + ({_rw_hash_sql('s2.h2', 3)} % r.deg)
+    )
+    SELECT start, h1, h2, h3 FROM s3
+    """,
+    doc="Deterministic 3-step random walks from every node of the "
+        "intra-region nation digraph — the walk-corpus generator for "
+        "DeepWalk/node2vec-style graph embeddings, made reproducible "
+        "(and hash-certifiable) by drawing each step from a salted md5 "
+        "of (current node, step) mod out-degree over a canonically "
+        "ranked adjacency. All walks advance in LOCKSTEP: one equi-join "
+        "per step against the ranked adjacency (walk frontier joins on "
+        "the current node; the picked rank is computed map-side into "
+        "the join key), so a billion walks are three vectorized joins, "
+        "never per-walk driver loops; the adjacency ranking is one "
+        "node-partitioned window. The oracle unrolls the identical "
+        "three picks as chained CTEs.",
+)
+def graph_random_walk_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    a = n.select(F.col("n_nationkey").alias("u"), F.col("n_regionkey").alias("ru"))
+    b = n.select(F.col("n_nationkey").alias("v"), F.col("n_regionkey").alias("rv"))
+    edges = a.join(b, (F.col("ru") == F.col("rv")) & (F.col("u") != F.col("v"))).select(
+        "u", "v"
+    )
+    wu = Window.partitionBy("u")
+    ranked = edges.withColumn("rk", F.row_number().over(wu.orderBy("v"))).withColumn(
+        "deg", F.count(F.lit(1)).over(wu)
+    )
+
+    def pick(node_col, step: int):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(node_col.cast("string"), F.lit(f":{step}"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        return h
+
+    walk = n.select(F.col("n_nationkey").alias("start"))
+    cur = F.col("start")
+    for step in (1, 2, 3):
+        r = ranked.select(
+            F.col("u").alias("__u"),
+            F.col("v").alias(f"h{step}"),
+            F.col("rk").alias("__rk"),
+            F.col("deg").alias("__deg"),
+        )
+        walk = walk.join(
+            r,
+            (F.col("__u") == cur)
+            & (F.col("__rk") == 1 + F.pmod(pick(cur, step), F.col("__deg"))),
+        ).drop("__u", "__rk", "__deg")
+        cur = F.col(f"h{step}")
+    return walk.select("start", "h1", "h2", "h3")

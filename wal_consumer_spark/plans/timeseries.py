@@ -2207,3 +2207,109 @@ def ts_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_5pct"),
         )
     )
+
+
+@register(
+    "ts_holt_linear_smoothing",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+    spine AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+            AS day
+        FROM bounds
+    ),
+    grid AS (
+        SELECT et.event_type, s.day
+        FROM (SELECT DISTINCT event_type FROM events) et CROSS JOIN spine s
+    ),
+    series AS (
+        SELECT grid.event_type, grid.day,
+               CAST(COALESCE(daily.c, 0) AS DOUBLE) AS v
+        FROM grid LEFT JOIN daily
+          ON daily.event_type = grid.event_type AND daily.day = grid.day
+    ),
+    idx AS (
+        SELECT event_type, v,
+               row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+        FROM series
+    ),
+    n AS (SELECT event_type, MAX(i) AS n_days FROM idx GROUP BY 1)
+    , st AS (
+        SELECT event_type, i, v AS l, CAST(0.0 AS DOUBLE) AS b
+        FROM idx WHERE i = 1
+        UNION ALL
+        SELECT nxt.event_type, nxt.i,
+               0.5 * nxt.v + 0.5 * (st.l + st.b) AS l,
+               0.25 * ((0.5 * nxt.v + 0.5 * (st.l + st.b)) - st.l)
+                   + 0.75 * st.b AS b
+        FROM st JOIN idx nxt
+          ON nxt.event_type = st.event_type AND nxt.i = st.i + 1
+    )
+    SELECT st.event_type, CAST(n.n_days AS BIGINT) AS n_days,
+           round(st.l, 6) AS level_cents,
+           round(st.b, 6) AS trend_cents,
+           round(st.l + 7 * st.b, 6) AS forecast_7d_cents
+    FROM st JOIN n ON n.event_type = st.event_type AND st.i = n.n_days
+    """,
+    doc="Holt's linear (double-exponential) smoothing per event type — a "
+        "RECURSIVE model no window frame can express (each state depends "
+        "on the previous state, not a fixed frame) — as a higher-order "
+        "fold: the gap-filled daily series is collected to a "
+        "calendar-bounded array per series and aggregate()-folded with a "
+        "struct {level, trend} accumulator, all inside whole-stage "
+        "codegen (no UDF, no driver loop, one shuffle per series key). "
+        "alpha=0.5 / beta=0.25 are exact binary fractions and both "
+        "engines evaluate the textually identical update over the same "
+        "ordered series, so every intermediate double is bit-identical. "
+        "The oracle replays the recursion as a RECURSIVE CTE rather than "
+        "DuckDB's list_reduce: that builtin mutates the accumulator "
+        "struct field-by-field (the b update would see the already-"
+        "overwritten level), which is not a left fold — discovered and "
+        "pinned down while certifying this query. At 100 TB the array is "
+        "bounded by the CALENDAR (days), never by event volume — the "
+        "per-day pre-aggregation is the only pass over raw data; "
+        "state-space models over unbounded keys would instead go "
+        "through applyInPandasWithState (streaming/), this is the batch "
+        "declarative form.",
+)
+def ts_holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.col("ts").cast("timestamp")).alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    ets = ev.select("event_type").distinct()
+    grid = ets.crossJoin(F.broadcast(spine))
+    series = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce(F.col("c"), F.lit(0)).cast("double").alias("v"),
+    )
+    arr = series.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "v"))).alias("pairs"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    vs = F.transform(F.col("pairs"), lambda p: p["v"])
+    def step(acc, x):
+        newl = 0.5 * x["l"] + 0.5 * (acc["l"] + acc["b"])
+        return F.struct(
+            newl.alias("l"),
+            (0.25 * (newl - acc["l"]) + 0.75 * acc["b"]).alias("b"),
+        )
+    # Emulate DuckDB's list_reduce (acc = first element) by folding the
+    # tail with the head as the init struct.
+    sv = F.transform(vs, lambda v: F.struct(v.alias("l"), F.lit(0.0).alias("b")))
+    folded = F.aggregate(F.slice(sv, 2, F.size(sv) - 1), F.element_at(sv, 1), step)
+    return arr.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(folded["l"], 6).alias("level_cents"),
+        F.round(folded["b"], 6).alias("trend_cents"),
+        F.round(folded["l"] + 7 * folded["b"], 6).alias("forecast_7d_cents"),
+    )
