@@ -2230,3 +2230,138 @@ def sim_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_silhouette"),
         )
     )
+
+
+@register(
+    "sim_mmr_diversified_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT v FROM e WHERE vec_id = 0),
+    scored AS (
+        SELECT c.vec_id AS cid,
+               round(list_cosine_similarity(q.v, c.v), 6) AS rel, c.v
+        FROM e c, q WHERE c.vec_id <> 0
+    ),
+    pool AS (
+        SELECT * FROM (
+            SELECT cid, rel, v,
+                   row_number() OVER (ORDER BY rel DESC, cid) AS rk
+            FROM scored
+        ) WHERE rk <= 8
+    ),
+    pairs AS (
+        SELECT a.cid AS ca, b.cid AS cb,
+               round(list_cosine_similarity(a.v, b.v), 6) AS s
+        FROM pool a, pool b WHERE a.cid <> b.cid
+    ),
+    s1 AS (SELECT cid, rel, round(0.5 * rel, 6) AS mmr FROM pool WHERE rk = 1),
+    s2 AS (
+        SELECT cid, rel, round(sc, 6) AS mmr FROM (
+            SELECT p.cid, p.rel, 0.5 * p.rel - 0.5 * MAX(pr.s) AS sc
+            FROM pool p JOIN pairs pr
+              ON pr.ca = p.cid AND pr.cb IN (SELECT cid FROM s1)
+            WHERE p.cid NOT IN (SELECT cid FROM s1)
+            GROUP BY p.cid, p.rel
+        ) ORDER BY sc DESC, cid LIMIT 1
+    ),
+    s3 AS (
+        SELECT cid, rel, round(sc, 6) AS mmr FROM (
+            SELECT p.cid, p.rel, 0.5 * p.rel - 0.5 * MAX(pr.s) AS sc
+            FROM pool p JOIN pairs pr
+              ON pr.ca = p.cid
+             AND pr.cb IN (SELECT cid FROM s1 UNION SELECT cid FROM s2)
+            WHERE p.cid NOT IN (SELECT cid FROM s1 UNION SELECT cid FROM s2)
+            GROUP BY p.cid, p.rel
+        ) ORDER BY sc DESC, cid LIMIT 1
+    ),
+    s4 AS (
+        SELECT cid, rel, round(sc, 6) AS mmr FROM (
+            SELECT p.cid, p.rel, 0.5 * p.rel - 0.5 * MAX(pr.s) AS sc
+            FROM pool p JOIN pairs pr
+              ON pr.ca = p.cid
+             AND pr.cb IN (SELECT cid FROM s1 UNION SELECT cid FROM s2
+                           UNION SELECT cid FROM s3)
+            WHERE p.cid NOT IN (SELECT cid FROM s1 UNION SELECT cid FROM s2
+                                UNION SELECT cid FROM s3)
+            GROUP BY p.cid, p.rel
+        ) ORDER BY sc DESC, cid LIMIT 1
+    )
+    SELECT 1 AS sel_order, cid AS cand_id, rel, mmr AS mmr_score FROM s1
+    UNION ALL SELECT 2, cid, rel, mmr FROM s2
+    UNION ALL SELECT 3, cid, rel, mmr FROM s3
+    UNION ALL SELECT 4, cid, rel, mmr FROM s4
+    """,
+    doc="Maximal Marginal Relevance diversified retrieval (Carbonell & "
+        "Goldstein SIGIR'98): top-4 of an 8-candidate pool re-ranked "
+        "greedily by 0.5*relevance - 0.5*max-similarity-to-already-"
+        "selected — the RAG/retrieval primitive that trades pure "
+        "similarity for coverage. The DISTRIBUTED part is pool "
+        "selection (exact brute-force cosine top-8, corpus streams "
+        "once, broadcast query); the inherently sequential greedy then "
+        "runs as 4 unrolled join+argmax steps over the k-BOUNDED pool "
+        "(8x8 pairwise frame, broadcast) — never over the corpus. All "
+        "similarities are rounded to 6dp before scoring and halving is "
+        "an exact double scaling, so both engines pick identical "
+        "winners at every step; ties break on candidate id. The oracle "
+        "unrolls the identical greedy as chained CTEs.",
+)
+def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pool = cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") == 0), k=8)
+    poolv = (
+        pool.select(F.col("cand_id"), F.col("cosine_sim").alias("rel"), "rank")
+        .join(
+            emb.select(F.col("vec_id").alias("cand_id"), "embedding"), "cand_id"
+        )
+        .localCheckpoint(eager=True)  # 8 rows; consumed by every greedy step
+    )
+    from wal_consumer_spark.operators.similarity import cosine
+
+    b = poolv.select(
+        F.col("cand_id").alias("cb"), F.col("embedding").alias("emb_b")
+    )
+    pairs = (
+        poolv.select(F.col("cand_id").alias("ca"), F.col("embedding").alias("emb_a"))
+        .crossJoin(F.broadcast(b))
+        .filter(F.col("ca") != F.col("cb"))
+        .select("ca", "cb", F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("s"))
+    )
+    sel = poolv.filter(F.col("rank") == 1).select(
+        F.lit(1).alias("sel_order"),
+        "cand_id",
+        "rel",
+        F.round(0.5 * F.col("rel"), 6).alias("mmr_score"),
+    )
+    picks = [sel]
+    for step in (2, 3, 4):
+        sel_ids = picks[0].select("cand_id")
+        for p in picks[1:]:
+            sel_ids = sel_ids.unionAll(p.select("cand_id"))
+        ms = (
+            pairs.join(
+                F.broadcast(sel_ids.withColumnRenamed("cand_id", "cb")), "cb"
+            )
+            .groupBy(F.col("ca").alias("cand_id"))
+            .agg(F.max("s").alias("ms"))
+        )
+        cand = poolv.join(sel_ids, "cand_id", "left_anti").join(ms, "cand_id")
+        pick = (
+            cand.select(
+                "cand_id",
+                "rel",
+                (0.5 * F.col("rel") - 0.5 * F.col("ms")).alias("sc"),
+            )
+            .orderBy(F.desc("sc"), F.asc("cand_id"))
+            .limit(1)
+            .select(
+                F.lit(step).alias("sel_order"),
+                "cand_id",
+                "rel",
+                F.round(F.col("sc"), 6).alias("mmr_score"),
+            )
+        )
+        picks.append(pick)
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionAll(p)
+    return out
