@@ -46,3 +46,30 @@ def test_asof_struct_payload_carries_atomically(spark):
     assert len(rows) == 1
     assert rows[0]["obs_ts"] == _ts("2024-01-01T00:02:00")
     assert rows[0]["obs_v"] is None  # newest row's value, even though NULL
+
+
+def test_isotonic_calibration_properties(spark):
+    """The antitonic fit must be (a) non-increasing across bins, (b) a
+    weighted-mean-preserving pooling of raw rates: on every maximal run
+    of constant fitted value, the weighted average of raw rates equals
+    the fitted value (the PAV pooling invariant), and fitted == raw on
+    singleton runs."""
+    from tests.conftest import SF_ORACLE
+    from wal_consumer_spark.plans.analytics import ml_isotonic_calibration
+
+    rows = sorted(
+        ml_isotonic_calibration(spark, SF_ORACLE).collect(),
+        key=lambda r: r.bin,
+    )
+    fitted = [r.fitted_rate for r in rows]
+    assert all(a >= b - 1e-9 for a, b in zip(fitted, fitted[1:])), fitted
+    # pooling invariant per constant-run
+    i = 0
+    while i < len(rows):
+        j = i
+        while j + 1 < len(rows) and abs(fitted[j + 1] - fitted[i]) < 1e-9:
+            j += 1
+        n = sum(r.n for r in rows[i : j + 1])
+        pos = sum(r.pos for r in rows[i : j + 1])
+        assert abs(pos / n - fitted[i]) < 2e-6, (i, j, pos / n, fitted[i])
+        i = j + 1

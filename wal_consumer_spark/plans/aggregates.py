@@ -1159,3 +1159,76 @@ def agg_exact_percentile_selection(
         F.col("label").cast("long").alias("percentile"),
         F.col("value").cast("long").alias("value_cents"),
     )
+
+
+@register(
+    "agg_weighted_percentiles",
+    oracle="""
+    WITH by_val AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+               SUM(CAST(l_quantity AS BIGINT)) AS w
+        FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+        SELECT v, SUM(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw,
+               (SELECT SUM(w) FROM by_val) AS tw
+        FROM by_val
+    )
+    SELECT CAST(MIN(CASE WHEN 4 * cw >= tw THEN v END) AS BIGINT)
+               AS p25_cents,
+           CAST(MIN(CASE WHEN 2 * cw >= tw THEN v END) AS BIGINT)
+               AS wmedian_cents,
+           CAST(MIN(CASE WHEN 4 * cw >= 3 * tw THEN v END) AS BIGINT)
+               AS p75_cents,
+           CAST(MAX(tw) AS BIGINT) AS total_weight
+    FROM cum
+    """,
+    doc="Quantity-weighted price percentiles (weighted p25/median/p75): "
+        "the weighted quantile every mixture-balancing / pricing "
+        "pipeline needs, computed WITHOUT any global cumulative window "
+        "over rows — per-value weight sums feed the same two-level "
+        "bucketed cumulative as operators/selection.py (intra-bucket "
+        "window partitioned by value div 100000, bucket-table prefix "
+        "bounded by the VALUE domain), and thresholds compare in pure "
+        "integers (4*cw >= k*tw), no float quantile boundaries. The "
+        "oracle is the naive single global cumulative window over "
+        "distinct values — value-identical by construction. At 100 TB "
+        "the only row-scaled step is the narrow (value, weight) "
+        "aggregate; everything after is value-domain-sized.",
+)
+def agg_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    by_val = li.groupBy(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
+    bk = F.expr("v div 100000").alias("bk")
+    wloc = (
+        Window.partitionBy("bk").orderBy("v").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    loc = by_val.select("v", "w", bk).withColumn("cw_in", F.sum("w").over(wloc))
+    bucket_tot = loc.groupBy("bk").agg(F.sum("w").alias("bw"))
+    wbk = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
+    off = bucket_tot.withColumn(
+        "bk_off", F.coalesce(F.sum("bw").over(wbk), F.lit(0))
+    ).select("bk", "bk_off")
+    cum = loc.join(off, "bk").select(
+        "v", (F.col("bk_off") + F.col("cw_in")).alias("cw")
+    )
+    tot = by_val.agg(F.sum("w").alias("tw"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(F.when(4 * F.col("cw") >= F.col("tw"), F.col("v")))
+            .cast("long")
+            .alias("p25_cents"),
+            F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("v")))
+            .cast("long")
+            .alias("wmedian_cents"),
+            F.min(F.when(4 * F.col("cw") >= 3 * F.col("tw"), F.col("v")))
+            .cast("long")
+            .alias("p75_cents"),
+            F.max("tw").cast("long").alias("total_weight"),
+        )
+    )

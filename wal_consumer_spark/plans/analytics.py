@@ -3602,3 +3602,99 @@ def graph_random_walk_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).drop("__u", "__rk", "__deg")
         cur = F.col(f"h{step}")
     return walk.select("start", "h1", "h2", "h3")
+
+
+@register(
+    "ml_isotonic_calibration",
+    oracle="""
+    WITH bins AS (
+        SELECT LEAST(CAST(floor(value / 5) AS INTEGER), 15) AS bin,
+               COUNT(*) AS n,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos
+        FROM events GROUP BY 1
+    ),
+    pre AS (
+        SELECT bin, n, pos,
+               SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cn,
+               SUM(pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cp
+        FROM bins
+    ),
+    pairs AS (
+        SELECT j.bin AS j, k.bin AS k,
+               CAST(k.cp - (j.cp - j.pos) AS DOUBLE)
+                   / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS a
+        FROM pre j JOIN pre k ON j.bin <= k.bin
+    ),
+    m AS (
+        SELECT i.bin AS i, p.j, MAX(p.a) AS mx
+        FROM pre i JOIN pairs p ON p.j <= i.bin AND p.k >= i.bin
+        GROUP BY 1, 2
+    ),
+    fit AS (SELECT i AS bin, MIN(mx) AS fitted FROM m GROUP BY 1)
+    SELECT b.bin, CAST(b.n AS BIGINT) AS n, CAST(b.pos AS BIGINT) AS pos,
+           round(CAST(b.pos AS DOUBLE) / b.n, 6) AS raw_rate,
+           round(f.fitted, 6) AS fitted_rate
+    FROM bins b JOIN fit f ON f.bin = b.bin
+    """,
+    doc="Isotonic (antitonic, non-increasing) calibration of purchase "
+        "rate against a 16-bin value grid via the exact minimax "
+        "characterization fitted[i] = min_{j<=i} max_{k>=i} "
+        "weighted-avg(j..k) (Barlow et al., the closed form of Pool "
+        "Adjacent Violators) — score calibration for ranking/propensity "
+        "models, computed entirely in-plan. The row-scaled work is ONE "
+        "narrow binning aggregate; every later step (prefix sums, "
+        "interval averages, the (i,j,k) minimax triple) lives on the "
+        "FIXED 16-bin grid (<= 2k tiny rows at any corpus size), all "
+        "interval averages are exact-integer prefix-sum ratios so both "
+        "engines agree bit-for-bit, and the oracle replays the identical "
+        "minimax. tests assert the fitted sequence is monotone and "
+        "minorizes/majorizes raw rates where PAV pools.",
+)
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bins = ev.groupBy(
+        F.least(F.floor(F.col("value") / 5).cast("int"), F.lit(15)).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("pos"),
+    )
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pre = bins.select(
+        "bin", "n", "pos",
+        F.sum("n").over(wc).alias("cn"),
+        F.sum("pos").over(wc).alias("cp"),
+    ).localCheckpoint(eager=True)  # 16 rows; consumed by three grid joins
+    j = pre.select(
+        F.col("bin").alias("j"),
+        (F.col("cp") - F.col("pos")).alias("cp0"),
+        (F.col("cn") - F.col("n")).alias("cn0"),
+    )
+    k = pre.select(
+        F.col("bin").alias("k"), F.col("cp").alias("cpk"), F.col("cn").alias("cnk")
+    )
+    pairs = (
+        j.crossJoin(F.broadcast(k))
+        .filter(F.col("j") <= F.col("k"))
+        .select(
+            "j", "k",
+            (
+                (F.col("cpk") - F.col("cp0")).cast("double")
+                / (F.col("cnk") - F.col("cn0")).cast("double")
+            ).alias("a"),
+        )
+    )
+    i = pre.select(F.col("bin").alias("i"))
+    m = (
+        i.crossJoin(F.broadcast(pairs))
+        .filter((F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")))
+        .groupBy("i", "j")
+        .agg(F.max("a").alias("mx"))
+    )
+    fit = m.groupBy(F.col("i").alias("bin")).agg(F.min("mx").alias("fitted"))
+    return bins.join(fit, "bin").select(
+        "bin",
+        F.col("n").cast("long").alias("n"),
+        F.col("pos").cast("long").alias("pos"),
+        F.round(F.col("pos").cast("double") / F.col("n"), 6).alias("raw_rate"),
+        F.round("fitted", 6).alias("fitted_rate"),
+    )
