@@ -3698,3 +3698,72 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("pos").cast("double") / F.col("n"), 6).alias("raw_rate"),
         F.round("fitted", 6).alias("fitted_rate"),
     )
+
+
+#: SPRT constants, precomputed as LITERALS so neither engine evaluates a
+#: transcendental: H0 p=0.18 vs H1 p=0.22, alpha=beta=0.05 (Wald bounds
+#: ln(19), ln(1/19)).
+_SPRT_C_POS = 0.20067069546215124  # ln(0.22/0.18)
+_SPRT_C_NEG = -0.050010420574661305  # ln(0.78/0.82)
+_SPRT_UPPER = 2.9444389791664403  # ln((1-beta)/alpha)
+_SPRT_LOWER = -2.9444389791664407  # ln(beta/(1-alpha))
+
+
+@register(
+    "analytics_sprt_sequential_test",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos,
+               SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS neg
+        FROM events GROUP BY 1
+    ),
+    run AS (
+        SELECT day, pos, neg,
+               SUM(pos * {_SPRT_C_POS} + neg * ({_SPRT_C_NEG}))
+                   OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS llr
+        FROM daily
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day,
+           CAST(pos AS BIGINT) AS pos, CAST(neg AS BIGINT) AS neg,
+           round(llr, 6) AS cum_llr,
+           CASE WHEN llr >= {_SPRT_UPPER} THEN 'accept_h1'
+                WHEN llr <= {_SPRT_LOWER} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM run
+    """,
+    doc="Wald's Sequential Probability Ratio Test on the daily purchase "
+        "share (H0 p=0.18 vs H1 p=0.22, alpha=beta=0.05): the "
+        "experimentation-platform primitive that lets an A/B test STOP "
+        "EARLY with controlled error instead of waiting for a fixed "
+        "horizon. Per-day binomial log-likelihood-ratio terms are "
+        "integer counts times PRECOMPUTED literal constants (neither "
+        "engine evaluates ln at query time — no libm divergence "
+        "possible), accumulated by a cumulative window over the "
+        "calendar-bounded per-day aggregate in identical order, so the "
+        "running LLR and the Wald-boundary decisions hash-match "
+        "exactly. Row-scaled work is one narrow day aggregate; the "
+        "sequential state is day-grid-sized at any corpus size.",
+)
+def analytics_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.col("ts").cast("timestamp")).alias("day")
+    ).agg(
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("pos"),
+        F.sum((F.col("event_type") != "purchase").cast("long")).alias("neg"),
+    )
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    llr = F.sum(
+        F.col("pos") * F.lit(_SPRT_C_POS) + F.col("neg") * F.lit(_SPRT_C_NEG)
+    ).over(wc)
+    return daily.select(
+        F.col("day").cast("timestamp").alias("day"),
+        F.col("pos").cast("long").alias("pos"),
+        F.col("neg").cast("long").alias("neg"),
+        F.round(llr, 6).alias("cum_llr"),
+        F.when(llr >= F.lit(_SPRT_UPPER), F.lit("accept_h1"))
+        .when(llr <= F.lit(_SPRT_LOWER), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )

@@ -72,8 +72,9 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: win_max_concurrent_sessions, dq_decimal_overflow_headroom,
 #: ts_holt_linear_smoothing, graph_random_walk_3step,
 #: sim_mmr_diversified_topk, agg_weighted_percentiles,
-#: ml_isotonic_calibration after the
-#: window was pinned — 69 means round 6 certifies 50 and round 7 closes
+#: ml_isotonic_calibration, analytics_sprt_sequential_test,
+#: text_duplicated_span_profile after the
+#: window was pinned — 71 means round 6 certifies 50 and round 7 closes
 #: the remainder plus any round-6 additions):
 #: agg_having, agg_higher_moments, agg_histogram_totalprice,
 #: agg_key_skew_profile, agg_log2_histogram, agg_percentile_approx,

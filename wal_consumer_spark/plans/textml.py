@@ -1060,3 +1060,76 @@ def text_char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 10)
         .select("lang", "tri", "n", "rnk")
     )
+
+
+def _kgram_sql(k: int) -> str:
+    """DuckDB fragment matching word_shingles(tokens(text), k)."""
+    return (
+        "list_distinct(list_transform(generate_series(0, greatest(len({t}) - "
+        f"{k}, 0)), i -> array_to_string(list_slice({{t}}, i + 1, i + {k}), ' ')))"
+    ).format(t=_TOKS)
+
+
+@register(
+    "text_duplicated_span_profile",
+    oracle=f"""
+    WITH grams AS (
+        SELECT 4 AS l, doc_id, unnest({_kgram_sql(4)}) AS g FROM documents
+        UNION ALL
+        SELECT 8 AS l, doc_id, unnest({_kgram_sql(8)}) AS g FROM documents
+        UNION ALL
+        SELECT 16 AS l, doc_id, unnest({_kgram_sql(16)}) AS g FROM documents
+    ),
+    per_gram AS (
+        SELECT l, g, COUNT(DISTINCT doc_id) AS n_docs FROM grams GROUP BY 1, 2
+    )
+    SELECT l AS span_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_spans,
+           CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cross_doc_spans,
+           round(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS cross_doc_rate,
+           CAST(MAX(n_docs) AS BIGINT) AS max_span_df
+    FROM per_gram GROUP BY 1
+    """,
+    doc="Cross-document duplicated-span profile at doubling span lengths "
+        "(4/8/16 tokens) — the diagnostic behind exact-substring "
+        "training-data dedup (Lee et al. 2022, 'Deduplicating Training "
+        "Data Makes Language Models Better'): the rate at which spans "
+        "of each scale recur across documents tells you whether "
+        "boilerplate is phrase-level (high at 4, gone by 16) or "
+        "wholesale template reuse (persists at 16), and max_span_df "
+        "pinpoints the worst offender's spread. One exploded "
+        "union-of-scales pass, grouped by (scale, span) — span strings "
+        "are the group keys so the shuffle carries each distinct span "
+        "once per doc; at 100 TB swap the span string for its sha2 to "
+        "narrow the shuffle further (same plan shape, noted not done "
+        "here to keep the oracle exact on the string domain).",
+)
+def text_duplicated_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    parts = []
+    for k in (4, 8, 16):
+        parts.append(
+            d.select(
+                F.lit(k).alias("l"),
+                F.col("doc_id"),
+                F.explode(word_shingles(tokens(F.col("text")), k)).alias("g"),
+            )
+        )
+    grams = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    per_gram = grams.groupBy("l", "g").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    return per_gram.groupBy(F.col("l").alias("span_tokens")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_spans"),
+        F.sum((F.col("n_docs") >= 2).cast("long")).cast("long").alias(
+            "n_cross_doc_spans"
+        ),
+        F.round(
+            F.sum((F.col("n_docs") >= 2).cast("long"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("cross_doc_rate"),
+        F.max("n_docs").cast("long").alias("max_span_df"),
+    )
