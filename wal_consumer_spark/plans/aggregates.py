@@ -1232,3 +1232,122 @@ def agg_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("tw").cast("long").alias("total_weight"),
         )
     )
+
+
+#: Inverse-CDF thresholds for Poisson(1) as literal constants (cumulative
+#: probabilities P(X<=k), k=0..4): the bootstrap replicate weights are
+#: drawn by comparing a salted-md5 uniform against these — deterministic
+#: in any engine, no RNG state anywhere.
+_POIS1_CDF = (0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+              0.9810118431238462, 0.9963401531726563)
+
+
+def _pois_w_sql(u: str) -> str:
+    c = _POIS1_CDF
+    return (
+        f"(CASE WHEN {u} < {c[0]} THEN 0 WHEN {u} < {c[1]} THEN 1 "
+        f"WHEN {u} < {c[2]} THEN 2 WHEN {u} < {c[3]} THEN 3 "
+        f"WHEN {u} < {c[4]} THEN 4 ELSE 5 END)"
+    )
+
+
+@register(
+    "agg_poisson_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               b.b,
+               (('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || ':' ||
+                                       CAST(b.b AS VARCHAR)), 1, 8))::BIGINT
+                + 0.5) / 4294967296.0 AS u
+        FROM orders CROSS JOIN (SELECT unnest(range(0, 32)) AS b) b
+    ),
+    repmeans AS (
+        SELECT b,
+               CAST(SUM({_pois_w_sql('u')} * cents) AS DOUBLE)
+                   / SUM({_pois_w_sql('u')}) AS m
+        FROM reps GROUP BY b
+    ),
+    ranked AS (
+        SELECT m, row_number() OVER (ORDER BY m) AS rk FROM repmeans
+    )
+    SELECT round(CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*), 6) AS point_mean_cents,
+           (SELECT round(m, 6) FROM ranked WHERE rk = 2) AS ci_lo_cents,
+           (SELECT round(m, 6) FROM ranked WHERE rk = 31) AS ci_hi_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders
+    """,
+    doc="Poisson bootstrap confidence interval for the mean order value "
+        "(Chamandy et al., 'Estimating Uncertainty for Massive Data "
+        "Streams', Google 2012): instead of resampling n rows per "
+        "replicate (impossible distributed — requires global "
+        "coordination), each row draws an independent Poisson(1) "
+        "replicate weight, here DETERMINISTICALLY via inverse-CDF over "
+        "a salted-md5 uniform with literal thresholds — so the whole "
+        "resample is reproducible, mergeable across shards "
+        "(weighted sums add), and hash-certifiable. 32 replicates ride "
+        "one explode x one aggregate (weights are tiny ints; sums are "
+        "exact integer cents x weights, divided once per replicate); "
+        "the CI is order statistics on the 32-row replicate-mean frame. "
+        "At 100 TB: one pass over the fact table, 32x map-side fan-out, "
+        "shuffle carries 32 partial-sum rows per partition.",
+)
+def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    reps = o.select(
+        "o_orderkey", cents.alias("cents"),
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    c = _POIS1_CDF
+    w = (
+        F.when(u < c[0], 0)
+        .when(u < c[1], 1)
+        .when(u < c[2], 2)
+        .when(u < c[3], 3)
+        .when(u < c[4], 4)
+        .otherwise(5)
+    )
+    repmeans = reps.select("b", (w * F.col("cents")).alias("wc"), w.alias("w")).groupBy(
+        "b"
+    ).agg((F.sum("wc").cast("double") / F.sum("w")).alias("m"))
+    ranked = repmeans.select(
+        "m", F.row_number().over(Window.orderBy("m")).alias("rk")
+    )
+    point = o.agg(
+        F.round(F.sum(cents).cast("double") / F.count(F.lit(1)), 6).alias(
+            "point_mean_cents"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    lo = ranked.filter(F.col("rk") == 2).select(
+        F.round("m", 6).alias("ci_lo_cents")
+    )
+    hi = ranked.filter(F.col("rk") == 31).select(
+        F.round("m", 6).alias("ci_hi_cents")
+    )
+    return (
+        point.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select("point_mean_cents", "ci_lo_cents", "ci_hi_cents", "n_rows")
+    )
