@@ -3767,3 +3767,107 @@ def analytics_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFram
         .otherwise(F.lit("continue"))
         .alias("decision"),
     )
+
+
+@register(
+    "analytics_chi_square_independence",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type,
+               datediff('day', DATE '1995-01-01',
+                        CAST(CAST(ts AS TIMESTAMP) AS DATE)) % 7 AS dow,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r
+           FROM cells GROUP BY event_type),
+    ct AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY dow),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells,
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+                   CAST(COUNT(DISTINCT dow) AS BIGINT) AS n_dows
+            FROM cells),
+    terms AS (
+        SELECT CAST(round(
+                   (CAST(cells.o AS DOUBLE)
+                    - CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE)
+                      / CAST(tot.n AS DOUBLE))
+                   * (CAST(cells.o AS DOUBLE)
+                      - CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE)
+                        / CAST(tot.n AS DOUBLE))
+                   / (CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE)
+                      / CAST(tot.n AS DOUBLE))
+                   * 1000000) AS BIGINT) AS q
+        FROM cells
+        JOIN rt USING (event_type)
+        JOIN ct USING (dow)
+        CROSS JOIN tot
+    )
+    SELECT tot.n AS n_rows, tot.n_cells AS n_cells,
+           (tot.n_types - 1) * (tot.n_dows - 1) AS df,
+           round(CAST(SUM(terms.q) AS DOUBLE) / 1000000, 6) AS chi2_stat
+    FROM terms CROSS JOIN tot
+    GROUP BY tot.n, tot.n_cells, tot.n_types, tot.n_dows
+    """,
+    doc="Pearson chi-square test of independence for event type vs "
+        "day-of-week — the categorical counterpart to "
+        "ts_anova_weekday_effect (does behavior MIX shift by weekday, "
+        "not just volume?). One shuffle over events builds the "
+        "types-x-7 contingency table; row totals, column totals and the "
+        "grand total all derive from that bounded cell table (never a "
+        "second corpus scan). Expected counts E=r*c/n and the "
+        "(O-E)^2/E terms are identical IEEE-pinned double expressions "
+        "on exact integers, quantized to 1e-6 units before the "
+        "order-independent integer sum. Epoch-anchored dow as "
+        "everywhere. At 100 TB the post-rollup work is O(types x 7).",
+)
+def analytics_chi_square_independence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cells = (
+        e.groupBy(
+            "event_type",
+            (
+                F.datediff(
+                    F.to_date(F.col("ts")), F.lit("1995-01-01").cast("date")
+                )
+                % 7
+            ).alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        .localCheckpoint(eager=True)  # 4 marginal consumers below
+    )
+    rt = cells.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
+    ct = cells.groupBy("dow").agg(F.sum("o").cast("long").alias("c"))
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.countDistinct("dow").cast("long").alias("n_dows"),
+    )
+    ex = (
+        F.col("r").cast("double")
+        * F.col("c").cast("double")
+        / F.col("n").cast("double")
+    )
+    q = F.round(
+        (F.col("o").cast("double") - ex)
+        * (F.col("o").cast("double") - ex)
+        / ex
+        * 1000000
+    ).cast("long")
+    terms = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(q.alias("q"), "n", "n_cells", "n_types", "n_dows")
+    )
+    return terms.groupBy("n", "n_cells", "n_types", "n_dows").agg(
+        F.round(F.sum("q").cast("double") / 1000000, 6).alias("chi2_stat")
+    ).select(
+        F.col("n").alias("n_rows"),
+        "n_cells",
+        ((F.col("n_types") - 1) * (F.col("n_dows") - 1)).alias("df"),
+        "chi2_stat",
+    )

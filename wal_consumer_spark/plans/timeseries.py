@@ -2313,3 +2313,147 @@ def ts_holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(folded["b"], 6).alias("trend_cents"),
         F.round(folded["l"] + 7 * folded["b"], 6).alias("forecast_7d_cents"),
     )
+
+
+@register(
+    "ts_mann_kendall_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS d,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS y
+        FROM orders GROUP BY 1
+    ),
+    pts AS (
+        SELECT datediff('day', DATE '1995-01-01', d) AS di, y FROM daily
+    ),
+    s AS (
+        SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                             WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+                   AS s_stat
+        FROM pts a JOIN pts b ON b.di > a.di
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM pts),
+    ties AS (
+        SELECT COALESCE(CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0)
+                   AS tsum
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM pts GROUP BY y) g
+    ),
+    v AS (
+        SELECT n.nd,
+               (n.nd * (n.nd - 1) * (2 * n.nd + 5) - ties.tsum) AS var18
+        FROM n, ties
+    )
+    SELECT v.nd AS n_days, s.s_stat AS s_stat,
+           CAST(v.var18 AS BIGINT) AS var18,
+           round(CASE WHEN s.s_stat > 0 THEN
+                          (CAST(s.s_stat AS DOUBLE) - 1)
+                          / sqrt(CAST(v.var18 AS DOUBLE) / 18.0)
+                      WHEN s.s_stat < 0 THEN
+                          (CAST(s.s_stat AS DOUBLE) + 1)
+                          / sqrt(CAST(v.var18 AS DOUBLE) / 18.0)
+                      ELSE 0.0 END, 6) AS z_stat,
+           CASE WHEN round(CASE WHEN s.s_stat > 0 THEN
+                          (CAST(s.s_stat AS DOUBLE) - 1)
+                          / sqrt(CAST(v.var18 AS DOUBLE) / 18.0)
+                      WHEN s.s_stat < 0 THEN
+                          (CAST(s.s_stat AS DOUBLE) + 1)
+                          / sqrt(CAST(v.var18 AS DOUBLE) / 18.0)
+                      ELSE 0.0 END, 6) > 1.96 THEN 'increasing'
+                WHEN round(CASE WHEN s.s_stat > 0 THEN
+                          (CAST(s.s_stat AS DOUBLE) - 1)
+                          / sqrt(CAST(v.var18 AS DOUBLE) / 18.0)
+                      WHEN s.s_stat < 0 THEN
+                          (CAST(s.s_stat AS DOUBLE) + 1)
+                          / sqrt(CAST(v.var18 AS DOUBLE) / 18.0)
+                      ELSE 0.0 END, 6) < -1.96 THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM v, s
+    """,
+    doc="Mann-Kendall non-parametric trend test on daily revenue — the "
+        "distribution-free companion to ts_theil_sen_slope (same pair "
+        "space, S = sum of pairwise sign(y_j - y_i)): robust trend "
+        "DETECTION where Theil-Sen gives the magnitude. The S statistic "
+        "is an exact integer; the tie-corrected variance "
+        "[n(n-1)(2n+5) - sum t(t-1)(2t+5)]/18 is exact-integer until one "
+        "final sqrt/division (IEEE-pinned, then 1e-6 quantized). Pair "
+        "enumeration reuses the Theil-Sen shape: map-side sequence "
+        "explode + broadcast HASH join on the observed-day table (pure "
+        "codegen, no BroadcastNestedLoop theta join) — the pair volume "
+        "is days^2/2 on the CALENDAR-BOUNDED daily grid, independent of "
+        "corpus row count. At 100 TB: one daily rollup over orders, then "
+        "grid-sized work.",
+)
+def ts_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+            .cast("long")
+            .alias("y")
+        )
+        .localCheckpoint(eager=True)  # pairs + ties + count all consume it
+    )
+    pts = daily.select(
+        F.datediff(F.col("d"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("di"),
+        "y",
+    )
+    b = pts.select(F.col("di").alias("dj"), F.col("y").alias("yj"))
+    dmax = pts.agg(F.max("di").alias("dmax"))
+    sgn = (
+        F.when(F.col("yj") > F.col("y"), 1)
+        .when(F.col("yj") < F.col("y"), -1)
+        .otherwise(0)
+    )
+    s = (
+        pts.crossJoin(F.broadcast(dmax))
+        .where(F.col("di") < F.col("dmax"))
+        .select(
+            "y",
+            F.explode(F.sequence(F.col("di") + 1, F.col("dmax"))).alias("dj"),
+        )
+        .join(F.broadcast(b), "dj")
+        .agg(F.sum(sgn).cast("long").alias("s_stat"))
+    )
+    n = pts.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    ties = (
+        pts.groupBy("y")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ).cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("tsum")
+        )
+    )
+    v = n.crossJoin(F.broadcast(ties)).select(
+        "nd",
+        (
+            F.col("nd") * (F.col("nd") - 1) * (2 * F.col("nd") + 5)
+            - F.col("tsum")
+        ).alias("var18"),
+    )
+    joined = v.crossJoin(F.broadcast(s))
+    sd = F.col("s_stat").cast("double")
+    denom = F.sqrt(F.col("var18").cast("double") / 18.0)
+    z = F.round(
+        F.when(F.col("s_stat") > 0, (sd - 1) / denom)
+        .when(F.col("s_stat") < 0, (sd + 1) / denom)
+        .otherwise(F.lit(0.0)),
+        6,
+    )
+    return joined.select(
+        F.col("nd").alias("n_days"),
+        "s_stat",
+        F.col("var18").cast("long").alias("var18"),
+        z.alias("z_stat"),
+        F.when(z > 1.96, F.lit("increasing"))
+        .when(z < -1.96, F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    )
