@@ -1133,3 +1133,113 @@ def text_duplicated_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cross_doc_rate"),
         F.max("n_docs").cast("long").alias("max_span_df"),
     )
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+        GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+    corp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(dl) AS BIGINT) AS sdl FROM dl),
+    q AS (SELECT unnest(['spark', 'join', 'scan']) AS term),
+    df AS (SELECT tf.term, CAST(COUNT(*) AS BIGINT) AS df
+           FROM tf JOIN q USING (term) GROUP BY 1),
+    idf AS (
+        SELECT term,
+               CAST(round(ln(1 + (CAST(corp.n AS DOUBLE) - CAST(df AS DOUBLE)
+                                  + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+                          * 1000000) AS BIGINT) AS idf_u
+        FROM df CROSS JOIN corp
+    ),
+    scores AS (
+        SELECT tf.doc_id,
+               CAST(round(CAST(idf.idf_u AS DOUBLE)
+                   * (CAST(tf.tf AS DOUBLE) * 2.2
+                      / (CAST(tf.tf AS DOUBLE)
+                         + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+                                  * CAST(corp.n AS DOUBLE)
+                                  / CAST(corp.sdl AS DOUBLE)))))
+                   AS BIGINT) AS s_u
+        FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN corp
+    )
+    SELECT doc_id, round(CAST(SUM(s_u) AS DOUBLE) / 1000000, 6) AS bm25
+    FROM scores GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+    doc="BM25 ranked retrieval (Robertson-Sparck Jones, k1=1.2 b=0.75, "
+        "the +1 idf variant that stays positive at df > N/2) for a fixed "
+        "3-term query over the documents corpus — the lexical-retrieval "
+        "baseline every RAG/hybrid-search stack needs next to the "
+        "embedding top-k family. One explode+groupBy shuffle builds the "
+        "(doc, term, tf) table; doc lengths derive from THAT table (no "
+        "second corpus scan); df/idf live on the 3-row query-term frame "
+        "and broadcast back. Each term's idf is ln-quantized to 1e-6 "
+        "int64 before the pinned tf-saturation product, per-doc sums are "
+        "exact integers, and top-10 is orderBy+limit = "
+        "TakeOrderedAndProject. At 100 TB: linear in token volume, "
+        "never materializes doc-x-vocab.",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=True)  # dl, df and scores all consume it
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    corp = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("sdl"),
+    )
+    qterms = ["spark", "join", "scan"]
+    df = (
+        tf.where(F.col("term").isin(qterms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    idf = df.crossJoin(F.broadcast(corp)).select(
+        "term",
+        F.round(
+            F.log(
+                1
+                + (F.col("n").cast("double") - F.col("df").cast("double") + 0.5)
+                / (F.col("df").cast("double") + 0.5)
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("idf_u"),
+    )
+    s_u = F.round(
+        F.col("idf_u").cast("double")
+        * (
+            F.col("tf").cast("double")
+            * 2.2
+            / (
+                F.col("tf").cast("double")
+                + 1.2
+                * (
+                    0.25
+                    + 0.75
+                    * F.col("dl").cast("double")
+                    * F.col("n").cast("double")
+                    / F.col("sdl").cast("double")
+                )
+            )
+        )
+    ).cast("long")
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corp))
+        .select("doc_id", s_u.alias("s_u"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s_u").cast("double") / 1000000, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
