@@ -1243,3 +1243,116 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(10)
     )
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    uni AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(t) AS term FROM toks) GROUP BY term
+    ),
+    nt AS (SELECT CAST(SUM(c) AS BIGINT) AS nt FROM uni),
+    bg AS (
+        SELECT split_part(bgs, ' ', 1) AS w1, split_part(bgs, ' ', 2) AS w2,
+               CAST(COUNT(*) AS BIGINT) AS cab
+        FROM (
+            SELECT unnest(list_transform(generate_series(0, len(t) - 2),
+                          i -> array_to_string(list_slice(t, i + 1, i + 2),
+                                               ' '))) AS bgs
+            FROM toks WHERE len(t) >= 2
+        ) GROUP BY 1, 2
+    ),
+    nb AS (SELECT CAST(SUM(cab) AS BIGINT) AS nb FROM bg),
+    scored AS (
+        SELECT bg.w1, bg.w2, bg.cab,
+               CAST(round(ln(CAST(bg.cab AS DOUBLE) * CAST(nt.nt AS DOUBLE)
+                             * CAST(nt.nt AS DOUBLE)
+                             / (CAST(nb.nb AS DOUBLE)
+                                * CAST(u1.c AS DOUBLE)
+                                * CAST(u2.c AS DOUBLE))) * 1000000)
+                    AS BIGINT) AS pmi_u
+        FROM bg
+        JOIN uni u1 ON u1.term = bg.w1
+        JOIN uni u2 ON u2.term = bg.w2
+        CROSS JOIN nt CROSS JOIN nb
+        WHERE bg.cab >= 25
+    )
+    SELECT w1, w2, cab, round(CAST(pmi_u AS DOUBLE) / 1000000, 6) AS pmi
+    FROM scored ORDER BY pmi_u DESC, w1, w2 LIMIT 15
+    """,
+    doc="Pointwise-mutual-information collocation mining (Church & Hanks "
+        "1990) — the phrase-discovery primitive behind tokenizer merge "
+        "rules and multi-word-expression detection: PMI = "
+        "ln(p(ab)/(p(a)p(b))) over adjacent token pairs, support-floored "
+        "at 25 occurrences so rare-pair noise never surfaces. Two "
+        "explode+groupBy passes (unigrams, positional bigrams) — the "
+        "bigram key space is vocab^2-bounded, NOT corpus-sized — then "
+        "broadcast unigram-count joins onto the bigram table; each "
+        "ln() is quantized to 1e-6-unit int64 BEFORE ranking so both "
+        "engines order identically, and top-15 is "
+        "TakeOrderedAndProject. At 100 TB: linear token-volume scans, "
+        "bounded everything after.",
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        tokens("text").alias("t")
+    )
+    uni = (
+        d.select(F.explode("t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)  # joined twice + totalled
+    )
+    nt = uni.agg(F.sum("c").cast("long").alias("nt"))
+    bg = (
+        d.where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> array_join(slice(t, i + 1, 2), ' '))"
+                )
+            ).alias("bgs")
+        )
+        .groupBy("bgs")
+        .agg(F.count(F.lit(1)).cast("long").alias("cab"))
+        .select(
+            F.split_part(F.col("bgs"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("bgs"), F.lit(" "), F.lit(2)).alias("w2"),
+            "cab",
+        )
+    )
+    nb = bg.agg(F.sum("cab").cast("long").alias("nb"))
+    u1 = uni.select(F.col("term").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("c").alias("c2"))
+    pmi_u = F.round(
+        F.log(
+            F.col("cab").cast("double")
+            * F.col("nt").cast("double")
+            * F.col("nt").cast("double")
+            / (
+                F.col("nb").cast("double")
+                * F.col("c1").cast("double")
+                * F.col("c2").cast("double")
+            )
+        )
+        * 1000000
+    ).cast("long")
+    return (
+        bg.where(F.col("cab") >= 25)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nb))
+        .select("w1", "w2", "cab", pmi_u.alias("pmi_u"))
+        .orderBy(F.col("pmi_u").desc(), "w1", "w2")
+        .limit(15)
+        .select(
+            "w1",
+            "w2",
+            "cab",
+            F.round(F.col("pmi_u").cast("double") / 1000000, 6).alias("pmi"),
+        )
+    )

@@ -783,3 +783,168 @@ def win_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conc.groupBy(F.to_date("t").cast("timestamp").alias("day")).agg(
         F.max("conc").cast("long").alias("peak_concurrency")
     )
+
+
+@register(
+    "win_covered_seconds_per_day",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS es
+        FROM events
+    ),
+    g AS (
+        SELECT user_id, event_id, es,
+               CASE WHEN es - lag(es) OVER w > 1800
+                         OR lag(es) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+    ),
+    s AS (
+        SELECT user_id, es,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY es, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM g
+    ),
+    iv AS (
+        SELECT user_id, session_idx, MIN(es) AS t0, MAX(es) + 1 AS t1
+        FROM s GROUP BY 1, 2
+    ),
+    deltas AS (
+        SELECT t0 AS t, 1 AS d FROM iv
+        UNION ALL
+        SELECT t1 AS t, -1 AS d FROM iv
+    ),
+    net AS (SELECT t, CAST(SUM(d) AS BIGINT) AS nd FROM deltas GROUP BY t),
+    run AS (
+        SELECT t,
+               SUM(nd) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS conc,
+               lead(t) OVER (ORDER BY t) AS nt
+        FROM net
+    ),
+    seg AS (SELECT t, nt FROM run WHERE nt IS NOT NULL AND conc > 0),
+    clipped AS (
+        SELECT di,
+               least(nt, (di + 1) * 86400) - greatest(t, di * 86400)
+                   AS covered
+        FROM (SELECT t, nt,
+                     unnest(generate_series(t // 86400, (nt - 1) // 86400))
+                         AS di
+              FROM seg)
+    )
+    SELECT CAST(DATE '1970-01-01' + CAST(di AS INTEGER) AS TIMESTAMP) AS day,
+           CAST(SUM(covered) AS BIGINT) AS covered_seconds
+    FROM clipped GROUP BY 1
+    """,
+    doc="Interval-union coverage per day (seconds of each UTC day with "
+        ">= 1 session active) — the utilization/SLA complement to "
+        "win_max_concurrent_sessions on the SAME sweep-line substrate: "
+        "session intervals in integer epoch seconds become +1/-1 "
+        "deltas netted per instant; the running count again splits "
+        "two-level (within-day cumulative over bounded day slices + a "
+        "calendar-sized exclusive day offset), within-day lead() gives "
+        "intra-day segments and the per-day (max_t -> next day's min_t) "
+        "boundary pass stitches cross-midnight segments, each "
+        "covered segment day-clipped via a bounded sequence explode. "
+        "All arithmetic is integer (unix_micros div — no engine "
+        "epoch-rounding divergence); the ORACLE runs the naive single "
+        "global running sum + lead. At 100 TB no unbounded global "
+        "window ever orders the full boundary stream.",
+)
+def win_covered_seconds_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(ts) div 1000000").alias("es"),
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    prev = F.lag("es").over(w)
+    new_session = (prev.isNull() | ((F.col("es") - prev) > 1800)).cast("int")
+    s = e.withColumn(
+        "session_idx",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    iv = s.groupBy("user_id", "session_idx").agg(
+        F.min("es").alias("t0"), (F.max("es") + 1).alias("t1")
+    )
+    deltas = iv.select(F.col("t0").alias("t"), F.lit(1).alias("d")).unionAll(
+        iv.select(F.col("t1").alias("t"), F.lit(-1).alias("d"))
+    )
+    net = (
+        deltas.groupBy("t")
+        .agg(F.sum("d").cast("long").alias("nd"))
+        .withColumn("di", F.expr("t div 86400"))
+    )
+    wday = Window.partitionBy("di").orderBy("t")
+    within = net.select(
+        "t",
+        "di",
+        F.sum("nd").over(wday.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum_in_day"
+        ),
+        F.lead("t").over(wday).alias("nt_in_day"),
+    )
+    day_net = net.groupBy(F.col("di").alias("dday")).agg(
+        F.sum("nd").alias("day_nd"),
+        F.min("t").alias("min_t"),
+        F.max("t").alias("max_t"),
+    )
+    wdays = Window.orderBy("dday")
+    day_off = day_net.select(
+        "dday",
+        F.coalesce(
+            F.sum("day_nd").over(
+                wdays.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("day_offset"),
+        (
+            F.coalesce(
+                F.sum("day_nd").over(
+                    wdays.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+            + F.col("day_nd")
+        ).alias("day_end_conc"),
+        F.lead("min_t").over(wdays).alias("next_min_t"),
+        "max_t",
+    )
+    seg1 = (
+        within.join(F.broadcast(day_off), F.col("di") == F.col("dday"))
+        .where(
+            F.col("nt_in_day").isNotNull()
+            & ((F.col("day_offset") + F.col("cum_in_day")) > 0)
+        )
+        .select("t", F.col("nt_in_day").alias("nt"))
+    )
+    seg2 = day_off.where(
+        F.col("next_min_t").isNotNull() & (F.col("day_end_conc") > 0)
+    ).select(F.col("max_t").alias("t"), F.col("next_min_t").alias("nt"))
+    segs = seg1.unionAll(seg2)
+    clipped = segs.select(
+        "t",
+        "nt",
+        F.explode(
+            F.sequence(
+                F.expr("t div 86400"), F.expr("(nt - 1) div 86400")
+            )
+        ).alias("di2"),
+    ).select(
+        "di2",
+        (
+            F.least(F.col("nt"), (F.col("di2") + 1) * 86400)
+            - F.greatest(F.col("t"), F.col("di2") * 86400)
+        ).alias("covered"),
+    )
+    return clipped.groupBy("di2").agg(
+        F.sum("covered").cast("long").alias("covered_seconds")
+    ).select(
+        F.date_add(
+            F.lit("1970-01-01").cast("date"), F.col("di2").cast("int")
+        )
+        .cast("timestamp")
+        .alias("day"),
+        "covered_seconds",
+    )
