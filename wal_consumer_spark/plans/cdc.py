@@ -1555,3 +1555,136 @@ def dq_decimal_overflow_headroom(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.lit(27.0)
         ).alias("sum_digits_safe"),
     )
+
+
+@register(
+    "dq_ks_two_sample",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+               CASE WHEN CAST(o_orderdate AS TIMESTAMP)
+                         < TIMESTAMP '1998-04-01 00:00:00'
+                    THEN 1 ELSE 0 END AS s1
+        FROM orders
+    ),
+    byv AS (
+        SELECT c, CAST(SUM(s1) AS BIGINT) AS c1,
+               CAST(SUM(1 - s1) AS BIGINT) AS c2
+        FROM v GROUP BY c
+    ),
+    tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                   CAST(SUM(c2) AS BIGINT) AS n2 FROM byv),
+    cum AS (
+        SELECT SUM(c1) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS k1,
+               SUM(c2) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS k2
+        FROM byv
+    ),
+    d AS (
+        SELECT MAX(abs(CAST(cum.k1 AS DECIMAL(38,0)) * tot.n2
+                       - CAST(cum.k2 AS DECIMAL(38,0)) * tot.n1)) AS dm
+        FROM cum CROSS JOIN tot
+    )
+    SELECT tot.n1 AS n1, tot.n2 AS n2,
+           round(CAST(d.dm AS DOUBLE)
+                 / (CAST(tot.n1 AS DOUBLE) * CAST(tot.n2 AS DOUBLE)), 6)
+               AS d_stat,
+           round(1.358 * sqrt((CAST(tot.n1 AS DOUBLE)
+                               + CAST(tot.n2 AS DOUBLE))
+                              / (CAST(tot.n1 AS DOUBLE)
+                                 * CAST(tot.n2 AS DOUBLE))), 6) AS ks_crit,
+           round(CAST(d.dm AS DOUBLE)
+                 / (CAST(tot.n1 AS DOUBLE) * CAST(tot.n2 AS DOUBLE)), 6)
+           > round(1.358 * sqrt((CAST(tot.n1 AS DOUBLE)
+                                 + CAST(tot.n2 AS DOUBLE))
+                                / (CAST(tot.n1 AS DOUBLE)
+                                   * CAST(tot.n2 AS DOUBLE))), 6)
+               AS drift_detected
+    FROM d CROSS JOIN tot
+    """,
+    doc="Two-sample Kolmogorov-Smirnov drift test (early vs late order "
+        "values, cut 1998-04-01) — the nonparametric whole-distribution "
+        "companion to dq_psi_drift's binned divergence: D = "
+        "max |F1 - F2| over the pooled value domain, computed EXACTLY "
+        "as max |k1*n2 - k2*n1| in DECIMAL(38) integers (no float until "
+        "the final 1-row division; overflow-safe past 1e9-row sides). "
+        "The cumulative CDFs ride the engine's two-level bucketed "
+        "substrate (operators/selection.py shape): intra-bucket windows "
+        "partitioned by cents div 10000 are bounded by BUCKET WIDTH, "
+        "the bucket-offset window by the price domain — never an "
+        "entity-scaled global sort (the ORACLE keeps the naive single "
+        "global cumulative). alpha=0.05 rejection via the 1.358 "
+        "large-sample coefficient, compared on 1e-6-rounded values so "
+        "both engines decide identically.",
+)
+def dq_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    byv = (
+        o.select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+            F.when(
+                F.col("o_orderdate")
+                < F.lit("1998-04-01 00:00:00").cast("timestamp"),
+                1,
+            )
+            .otherwise(0)
+            .alias("s1"),
+        )
+        .groupBy("c")
+        .agg(
+            F.sum("s1").cast("long").alias("c1"),
+            F.sum(1 - F.col("s1")).cast("long").alias("c2"),
+        )
+        .withColumn("bk", F.expr("c div 10000"))
+        .localCheckpoint(eager=True)  # totals + bucket table + intra-bucket
+    )
+    tot = byv.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    wloc = (
+        Window.partitionBy("bk")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    loc = byv.select(
+        "c",
+        "bk",
+        F.sum("c1").over(wloc).alias("l1"),
+        F.sum("c2").over(wloc).alias("l2"),
+    )
+    wcum = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
+    cumb = (
+        byv.groupBy("bk")
+        .agg(
+            F.sum("c1").alias("b1"),
+            F.sum("c2").alias("b2"),
+        )
+        .select(
+            "bk",
+            F.coalesce(F.sum("b1").over(wcum), F.lit(0)).alias("off1"),
+            F.coalesce(F.sum("b2").over(wcum), F.lit(0)).alias("off2"),
+        )
+    )
+    cum = loc.join(cumb, "bk").select(
+        (F.col("off1") + F.col("l1")).alias("k1"),
+        (F.col("off2") + F.col("l2")).alias("k2"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.abs(
+                F.col("k1").cast("decimal(38,0)") * F.col("n2")
+                - F.col("k2").cast("decimal(38,0)") * F.col("n1")
+            )
+        ).alias("dm")
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    d_stat = F.round(F.col("dm").cast("double") / (n1d * n2d), 6)
+    crit = F.round(1.358 * F.sqrt((n1d + n2d) / (n1d * n2d)), 6)
+    return d.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n2",
+        d_stat.alias("d_stat"),
+        crit.alias("ks_crit"),
+        (d_stat > crit).alias("drift_detected"),
+    )

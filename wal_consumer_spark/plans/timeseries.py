@@ -2457,3 +2457,69 @@ def ts_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("no_trend"))
         .alias("trend"),
     )
+
+
+@register(
+    "ts_decayed_user_score",
+    oracle="""
+    WITH t AS (
+        SELECT user_id,
+               CASE datediff('day',
+                             CAST(CAST(ts AS TIMESTAMP) AS DATE),
+                             DATE '2024-01-31') // 7
+                    WHEN 0 THEN 32 WHEN 1 THEN 16 WHEN 2 THEN 8
+                    WHEN 3 THEN 4 WHEN 4 THEN 2 WHEN 5 THEN 1
+                    ELSE 0 END
+               * CAST(round(value * 100) AS BIGINT) AS w32
+        FROM events
+    )
+    SELECT user_id,
+           round(CAST(SUM(w32) AS DOUBLE) / 32, 6) AS decayed_cents
+    FROM t GROUP BY user_id
+    ORDER BY SUM(w32) DESC, user_id LIMIT 20
+    """,
+    doc="Recency-weighted user value score with EXACT half-life decay: "
+        "weight 2^(-age_weeks) anchored at 2024-01-31 is kept as the "
+        "integer 32 >> age (a dyadic rational scaled by 2^5), so every "
+        "term is an exact int64 product, the per-user sum is "
+        "order-independent and MERGEABLE (partials add across "
+        "executors/shards — the incremental-scoring property pow()-"
+        "based decay loses), and the one final /32 division is exact "
+        "binary. No transcendental anywhere, so both engines agree "
+        "bit-for-bit. One map-side expression + one user_id "
+        "aggregation + TakeOrdered top-20; the weekly CASE ladder is "
+        "the entire 'model'. The standard recency-ranking primitive "
+        "for retention targeting / feature stores.",
+)
+def ts_decayed_user_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    age_w = F.expr(
+        "datediff(DATE '2024-01-31', to_date(ts)) div 7"
+    )
+    w = (
+        F.when(age_w == 0, 32)
+        .when(age_w == 1, 16)
+        .when(age_w == 2, 8)
+        .when(age_w == 3, 4)
+        .when(age_w == 4, 2)
+        .when(age_w == 5, 1)
+        .otherwise(0)
+    )
+    scored = (
+        e.select(
+            "user_id",
+            (w * F.round(F.col("value") * 100).cast("long")).alias("w32"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("w32").cast("long").alias("s32"))
+    )
+    return (
+        scored.orderBy(F.col("s32").desc(), "user_id")
+        .limit(20)
+        .select(
+            "user_id",
+            F.round(F.col("s32").cast("double") / 32, 6).alias(
+                "decayed_cents"
+            ),
+        )
+    )
