@@ -2365,3 +2365,116 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in picks[1:]:
         out = out.unionAll(p)
     return out
+
+
+@register(
+    "sim_triplet_margin_audit",
+    oracle="""
+    WITH a AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 50),
+    c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+    scored AS (
+        SELECT a.vec_id AS query_id, a.label AS anchor_label,
+               c.vec_id AS cand_id, c.label AS cand_label,
+               round(list_cosine_similarity(a.v, c.v), 6) AS sim
+        FROM c CROSS JOIN a WHERE c.vec_id <> a.vec_id
+    ),
+    pos AS (
+        SELECT query_id, anchor_label, cand_id AS pos_id, sim AS pos_sim
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY sim DESC, cand_id) AS rn
+              FROM scored WHERE cand_label = anchor_label)
+        WHERE rn = 1
+    ),
+    neg AS (
+        SELECT query_id, cand_id AS neg_id, sim AS neg_sim
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY sim DESC, cand_id) AS rn
+              FROM scored WHERE cand_label <> anchor_label)
+        WHERE rn = 1
+    )
+    SELECT p.query_id, p.anchor_label, p.pos_id, p.pos_sim,
+           n.neg_id, n.neg_sim,
+           round(p.pos_sim - n.neg_sim, 6) AS margin,
+           round(p.pos_sim - n.neg_sim, 6) < 0.2 AS violated
+    FROM pos p JOIN neg n USING (query_id)
+    """,
+    doc="Triplet-margin audit / hard-negative mining over the embedding "
+        "table: for each of 50 deterministic anchors, the nearest "
+        "SAME-label neighbour (hardest positive), the nearest "
+        "OTHER-label neighbour (hardest negative — the pair contrastive "
+        "training most wants), and the margin between them with a "
+        "0.2-margin violation flag — the metric-learning curriculum "
+        "miner and the embedding-health audit in one plan. One "
+        "broadcast of the bounded anchor set against the streaming "
+        "corpus (cosine_topk_bruteforce's shape — corpus never "
+        "shuffles), two bounded per-anchor rankings off the SAME "
+        "scored frame. Margins compare 1e-6-rounded sims so both "
+        "engines flag identically. At scale the ANN bucketed join "
+        "substitutes for the linear scan (recall certified by "
+        "sim_ann_recall_eval).",
+)
+def sim_triplet_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wal_consumer_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("v").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        F.col("v").alias("cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(a))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "anchor_label",
+            "cand_id",
+            "cand_label",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+        .localCheckpoint(eager=True)  # pos and neg rankings both consume it
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), "cand_id"
+    )
+    pos = (
+        scored.where(F.col("cand_label") == F.col("anchor_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "anchor_label",
+            F.col("cand_id").alias("pos_id"),
+            F.col("sim").alias("pos_sim"),
+        )
+    )
+    neg = (
+        scored.where(F.col("cand_label") != F.col("anchor_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("cand_id").alias("neg_id"),
+            F.col("sim").alias("neg_sim"),
+        )
+    )
+    margin = F.round(F.col("pos_sim") - F.col("neg_sim"), 6)
+    return pos.join(neg, "query_id").select(
+        "query_id",
+        "anchor_label",
+        "pos_id",
+        "pos_sim",
+        "neg_id",
+        "neg_sim",
+        margin.alias("margin"),
+        (margin < 0.2).alias("violated"),
+    )

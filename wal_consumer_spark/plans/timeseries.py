@@ -2523,3 +2523,84 @@ def ts_decayed_user_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "ts_xmr_control_chart",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS d,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ),
+    mr AS (
+        SELECT d, cents,
+               abs(cents - lag(cents) OVER (ORDER BY d)) AS mrange
+        FROM daily
+    ),
+    lims AS (
+        SELECT CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
+                   / COUNT(*) AS center,
+               CAST(SUM(CAST(mrange AS DECIMAL(38,0))) AS DOUBLE)
+                   / count(mrange) AS mrbar
+        FROM mr
+    )
+    SELECT CAST(mr.d AS TIMESTAMP) AS day, mr.cents AS cents,
+           round(lims.center, 6) AS center,
+           round(lims.center + 2.66 * lims.mrbar, 6) AS ucl,
+           round(lims.center - 2.66 * lims.mrbar, 6) AS lcl,
+           CAST(mr.cents AS DOUBLE)
+               > round(lims.center + 2.66 * lims.mrbar, 6)
+           OR CAST(mr.cents AS DOUBLE)
+               < round(lims.center - 2.66 * lims.mrbar, 6)
+               AS out_of_control
+    FROM mr CROSS JOIN lims
+    """,
+    doc="XmR (individuals & moving-range) control chart over daily "
+        "revenue — the Shewhart SPC primitive for pipeline-health "
+        "monitoring: process limits center ± 2.66·MRbar derive from "
+        "the mean and the mean consecutive-day |delta| (the 2.66 = "
+        "3/d2 constant for n=2 subgroups), every day flagged against "
+        "the 1e-6-rounded limits so both engines agree at the "
+        "boundary. Center and MRbar are exact-DECIMAL sums with one "
+        "final division; the lag ride is a single window over the "
+        "calendar-bounded daily grid (Aggregate-by-date child — "
+        "value-domain, never entity-scaled), and the 1-row limits "
+        "frame broadcasts back. Complements ts_anomaly_mad (robust "
+        "outliers) with the sequential-process view.",
+)
+def ts_xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+        .cast("long")
+        .alias("cents")
+    )
+    mr = daily.withColumn(
+        "mrange",
+        F.abs(F.col("cents") - F.lag("cents").over(Window.orderBy("d"))),
+    ).localCheckpoint(eager=True)  # limits + per-day flags both consume it
+    lims = mr.agg(
+        (
+            F.sum(F.col("cents").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("center"),
+        (
+            F.sum(F.col("mrange").cast("decimal(38,0)")).cast("double")
+            / F.count("mrange")
+        ).alias("mrbar"),
+    )
+    ucl = F.round(F.col("center") + 2.66 * F.col("mrbar"), 6)
+    lcl = F.round(F.col("center") - 2.66 * F.col("mrbar"), 6)
+    return mr.crossJoin(F.broadcast(lims)).select(
+        F.col("d").cast("timestamp").alias("day"),
+        "cents",
+        F.round(F.col("center"), 6).alias("center"),
+        ucl.alias("ucl"),
+        lcl.alias("lcl"),
+        (
+            (F.col("cents").cast("double") > ucl)
+            | (F.col("cents").cast("double") < lcl)
+        ).alias("out_of_control"),
+    )
