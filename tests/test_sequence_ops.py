@@ -78,3 +78,72 @@ def test_chunked_gaps_matches_oracle(spark, name, chunk_w):
         for r in chunked_gaps(df, "k", chunk_w).collect()
     }
     assert got == _gaps_oracle(set(keys)), f"{name} w={chunk_w}"
+
+
+# ---------------------------------------------------------------------------
+# union_coverage_per_day: sweep-line coverage vs a brute-force second-set
+# oracle. The sf data's ~1 s sessions never cross midnight, so the
+# boundary-stitch (seg2) and multi-day clipping paths only fire here.
+# ---------------------------------------------------------------------------
+
+def _coverage_oracle(intervals: list[tuple[int, int]]) -> dict[int, int]:
+    covered: set[int] = set()
+    for t0, t1 in intervals:
+        covered.update(range(t0, t1))
+    out: dict[int, int] = {}
+    for s in covered:
+        out[s // 86400] = out.get(s // 86400, 0) + 1
+    return out
+
+
+def _run_coverage(spark, intervals):
+    from wal_consumer_spark.operators.sequence import union_coverage_per_day
+
+    iv = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in intervals], "t0 long, t1 long"
+    )
+    got = {
+        r["di"]: r["covered_seconds"]
+        for r in union_coverage_per_day(iv).collect()
+    }
+    assert got == _coverage_oracle(intervals)
+
+
+def test_coverage_midnight_crossing(spark):
+    # one interval straddling the day-0/day-1 boundary, one disjoint
+    _run_coverage(spark, [(86400 - 600, 86400 + 600), (90000, 90010)])
+
+
+def test_coverage_multi_day_span(spark):
+    # a single interval covering > 2 full days: the boundary segment must
+    # clip into every day it overlaps (day explode path)
+    _run_coverage(spark, [(80000, 80000 + 3 * 86400 + 5000)])
+
+
+def test_coverage_overlapping_and_nested(spark):
+    _run_coverage(
+        spark,
+        [(100, 500), (300, 900), (400, 450), (900, 1000), (2000, 2001)],
+    )
+
+
+def test_coverage_touching_endpoints_do_not_merge_days(spark):
+    # interval ending exactly at midnight and another starting there:
+    # running count dips to 0 at the shared instant only if they don't
+    # overlap — coverage must still be exact on both sides
+    _run_coverage(spark, [(86400 - 100, 86400), (86400, 86400 + 100)])
+
+
+def test_coverage_gap_across_midnight_not_covered(spark):
+    # activity ends before midnight, resumes next day: the cross-day
+    # boundary segment has conc == 0 and must contribute nothing
+    _run_coverage(spark, [(86400 - 500, 86400 - 400), (86400 + 300, 86400 + 350)])
+
+
+def test_coverage_randomized(spark):
+    rng = random.Random(7)
+    intervals = []
+    for _ in range(40):
+        t0 = rng.randrange(0, 4 * 86400)
+        intervals.append((t0, t0 + rng.randrange(1, 90000)))
+    _run_coverage(spark, intervals)

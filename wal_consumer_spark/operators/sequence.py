@@ -148,3 +148,92 @@ def chunked_islands(keys: DataFrame, key: str, chunk_w: int) -> DataFrame:
         F.col("len").alias("island_len"),
     )
     return merged.unionByName(unmerged)
+
+
+def union_coverage_per_day(iv: "DataFrame") -> "DataFrame":
+    """Interval-union coverage per UTC day from half-open integer-second
+    intervals ``(t0, t1)`` — the distributed sweep line shared by
+    win_covered_seconds_per_day (plans/windows.py).
+
+    Same two-level prefix-sum algebra as the chunked islands above:
+    interval endpoints become +1/-1 deltas netted per distinct instant;
+    the running active-count splits into a within-day cumulative window
+    (PARTITIONED by ``t div 86400`` — bounded by the day's boundary
+    volume, parallel across days) plus an exclusive per-day offset over
+    the calendar-sized day table, so no global window ever orders the
+    full boundary stream. Within-day lead() yields intra-day covered
+    segments; the day table's (max_t -> next day's min_t) pass stitches
+    segments that cross midnight — including multi-day spans, which the
+    final bounded sequence-explode clips to each day they overlap.
+
+    Returns (di, covered_seconds) with ``di`` the epoch day index.
+    Tested against a brute-force per-second Python oracle with
+    midnight-crossing, multi-day and overlapping intervals in
+    tests/test_sequence_ops.py (the sf test data's ~1 s sessions never
+    exercise the boundary-stitch path).
+    """
+    deltas = iv.select(F.col("t0").alias("t"), F.lit(1).alias("d")).unionAll(
+        iv.select(F.col("t1").alias("t"), F.lit(-1).alias("d"))
+    )
+    net = (
+        deltas.groupBy("t")
+        .agg(F.sum("d").cast("long").alias("nd"))
+        .withColumn("di", F.expr("t div 86400"))
+    )
+    wday = Window.partitionBy("di").orderBy("t")
+    within = net.select(
+        "t",
+        "di",
+        F.sum("nd").over(wday.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum_in_day"
+        ),
+        F.lead("t").over(wday).alias("nt_in_day"),
+    )
+    day_net = net.groupBy(F.col("di").alias("dday")).agg(
+        F.sum("nd").alias("day_nd"),
+        F.min("t").alias("min_t"),
+        F.max("t").alias("max_t"),
+    )
+    wdays = Window.orderBy("dday")
+    excl = F.coalesce(
+        F.sum("day_nd").over(wdays.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    day_off = day_net.select(
+        "dday",
+        excl.alias("day_offset"),
+        (excl + F.col("day_nd")).alias("day_end_conc"),
+        F.lead("min_t").over(wdays).alias("next_min_t"),
+        "max_t",
+    )
+    seg1 = (
+        within.join(F.broadcast(day_off), F.col("di") == F.col("dday"))
+        .where(
+            F.col("nt_in_day").isNotNull()
+            & ((F.col("day_offset") + F.col("cum_in_day")) > 0)
+        )
+        .select("t", F.col("nt_in_day").alias("nt"))
+    )
+    seg2 = day_off.where(
+        F.col("next_min_t").isNotNull() & (F.col("day_end_conc") > 0)
+    ).select(F.col("max_t").alias("t"), F.col("next_min_t").alias("nt"))
+    clipped = (
+        seg1.unionAll(seg2)
+        .select(
+            "t",
+            "nt",
+            F.explode(
+                F.sequence(F.expr("t div 86400"), F.expr("(nt - 1) div 86400"))
+            ).alias("di2"),
+        )
+        .select(
+            "di2",
+            (
+                F.least(F.col("nt"), (F.col("di2") + 1) * 86400)
+                - F.greatest(F.col("t"), F.col("di2") * 86400)
+            ).alias("covered"),
+        )
+    )
+    return clipped.groupBy(F.col("di2").alias("di")).agg(
+        F.sum("covered").cast("long").alias("covered_seconds")
+    )

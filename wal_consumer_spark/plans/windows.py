@@ -868,81 +868,11 @@ def win_covered_seconds_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     iv = s.groupBy("user_id", "session_idx").agg(
         F.min("es").alias("t0"), (F.max("es") + 1).alias("t1")
     )
-    deltas = iv.select(F.col("t0").alias("t"), F.lit(1).alias("d")).unionAll(
-        iv.select(F.col("t1").alias("t"), F.lit(-1).alias("d"))
-    )
-    net = (
-        deltas.groupBy("t")
-        .agg(F.sum("d").cast("long").alias("nd"))
-        .withColumn("di", F.expr("t div 86400"))
-    )
-    wday = Window.partitionBy("di").orderBy("t")
-    within = net.select(
-        "t",
-        "di",
-        F.sum("nd").over(wday.rowsBetween(Window.unboundedPreceding, 0)).alias(
-            "cum_in_day"
-        ),
-        F.lead("t").over(wday).alias("nt_in_day"),
-    )
-    day_net = net.groupBy(F.col("di").alias("dday")).agg(
-        F.sum("nd").alias("day_nd"),
-        F.min("t").alias("min_t"),
-        F.max("t").alias("max_t"),
-    )
-    wdays = Window.orderBy("dday")
-    day_off = day_net.select(
-        "dday",
-        F.coalesce(
-            F.sum("day_nd").over(
-                wdays.rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).alias("day_offset"),
-        (
-            F.coalesce(
-                F.sum("day_nd").over(
-                    wdays.rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            )
-            + F.col("day_nd")
-        ).alias("day_end_conc"),
-        F.lead("min_t").over(wdays).alias("next_min_t"),
-        "max_t",
-    )
-    seg1 = (
-        within.join(F.broadcast(day_off), F.col("di") == F.col("dday"))
-        .where(
-            F.col("nt_in_day").isNotNull()
-            & ((F.col("day_offset") + F.col("cum_in_day")) > 0)
-        )
-        .select("t", F.col("nt_in_day").alias("nt"))
-    )
-    seg2 = day_off.where(
-        F.col("next_min_t").isNotNull() & (F.col("day_end_conc") > 0)
-    ).select(F.col("max_t").alias("t"), F.col("next_min_t").alias("nt"))
-    segs = seg1.unionAll(seg2)
-    clipped = segs.select(
-        "t",
-        "nt",
-        F.explode(
-            F.sequence(
-                F.expr("t div 86400"), F.expr("(nt - 1) div 86400")
-            )
-        ).alias("di2"),
-    ).select(
-        "di2",
-        (
-            F.least(F.col("nt"), (F.col("di2") + 1) * 86400)
-            - F.greatest(F.col("t"), F.col("di2") * 86400)
-        ).alias("covered"),
-    )
-    return clipped.groupBy("di2").agg(
-        F.sum("covered").cast("long").alias("covered_seconds")
-    ).select(
+    from wal_consumer_spark.operators.sequence import union_coverage_per_day
+
+    return union_coverage_per_day(iv).select(
         F.date_add(
-            F.lit("1970-01-01").cast("date"), F.col("di2").cast("int")
+            F.lit("1970-01-01").cast("date"), F.col("di").cast("int")
         )
         .cast("timestamp")
         .alias("day"),
