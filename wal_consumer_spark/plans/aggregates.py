@@ -1351,3 +1351,109 @@ def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(hi))
         .select("point_mean_cents", "ci_lo_cents", "ci_hi_cents", "n_rows")
     )
+
+
+@register(
+    "agg_hll_audience_overlap",
+    oracle="""
+    WITH pu AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'click'
+                             AND CAST(ts AS TIMESTAMP)
+                                 < TIMESTAMP '2024-01-03 00:00:00'
+                        THEN 1 ELSE 0 END) AS ha,
+               MAX(CASE WHEN event_type = 'purchase'
+                             AND CAST(ts AS TIMESTAMP)
+                                 >= TIMESTAMP '2024-01-29 00:00:00'
+                        THEN 1 ELSE 0 END) AS hb
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(SUM(ha) AS BIGINT) AS n_click,
+           CAST(SUM(hb) AS BIGINT) AS n_purchase,
+           CAST(count_if(ha = 1 OR hb = 1) AS BIGINT) AS n_union,
+           CAST(SUM(ha) + SUM(hb) - count_if(ha = 1 OR hb = 1) AS BIGINT)
+               AS n_overlap,
+           TRUE AS overlap_within_5pct_of_union
+    FROM pu
+    """,
+    doc="Audience-overlap estimation via HLL inclusion-exclusion "
+        "(|A∩B| = est(A) + est(B) − est(A∪B)) — the mergeable-sketch "
+        "answer to 'how many launch-week clickers purchase in the closing week' when A and B live "
+        "on different shards/days and raw user sets are too big to "
+        "intersect: per-audience sketches union WITHOUT rescanning "
+        "(hll_union), so a cross-campaign overlap matrix costs one "
+        "sketch per cell-side, not one shuffle per pair. Output is the "
+        "exact counts (one user_id aggregation — the verification "
+        "plane) plus an in-plan certificate that the sketch-derived "
+        "overlap lands within 5% of the UNION size (the correct error "
+        "scale for inclusion-exclusion — per-sketch rsd ~0.8% at lgK "
+        "14 compounds on the difference); the oracle asserts the exact "
+        "counts and a literal TRUE, per the agg_hll_partial_merge "
+        "convention.",
+)
+def agg_hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    pu = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "click")
+                & (
+                    F.col("ts")
+                    < F.lit("2024-01-03 00:00:00").cast("timestamp")
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("ha"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (
+                    F.col("ts")
+                    >= F.lit("2024-01-29 00:00:00").cast("timestamp")
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("hb"),
+    )
+    agg = pu.agg(
+        F.sum("ha").cast("long").alias("n_click"),
+        F.sum("hb").cast("long").alias("n_purchase"),
+        F.count_if((F.col("ha") == 1) | (F.col("hb") == 1))
+        .cast("long")
+        .alias("n_union"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(
+                F.when(F.col("ha") == 1, F.col("user_id")), 14
+            )
+        ).alias("__ea"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(
+                F.when(F.col("hb") == 1, F.col("user_id")), 14
+            )
+        ).alias("__eb"),
+        # the A∪B sketch a cross-shard pipeline would get from
+        # hll_union(sk_a, sk_b) equals the sketch built directly over
+        # union membership (same lgK, same hashed inserts) — built here
+        # in the same single pass; agg_hll_partial_merge demonstrates
+        # the explicit hll_union_agg merge path.
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(
+                F.when(
+                    (F.col("ha") == 1) | (F.col("hb") == 1),
+                    F.col("user_id"),
+                ),
+                14,
+            )
+        ).alias("__eu"),
+    )
+    n_overlap = F.col("n_click") + F.col("n_purchase") - F.col("n_union")
+    est_overlap = F.col("__ea") + F.col("__eb") - F.col("__eu")
+    return agg.select(
+        "n_click",
+        "n_purchase",
+        "n_union",
+        n_overlap.alias("n_overlap"),
+        (
+            F.abs(est_overlap - n_overlap) <= F.lit(0.05) * F.col("n_union")
+        ).alias("overlap_within_5pct_of_union"),
+    )

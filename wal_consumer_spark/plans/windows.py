@@ -878,3 +878,56 @@ def win_covered_seconds_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("day"),
         "covered_seconds",
     )
+
+
+@register(
+    "win_pareto_skyline",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS d,
+               MAX(CAST(round(o_totalprice * 100) AS BIGINT)) AS best_cents
+        FROM orders GROUP BY 1
+    ),
+    sky AS (
+        SELECT d, best_cents,
+               MAX(best_cents) OVER (ORDER BY d DESC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS later_best
+        FROM daily
+    )
+    SELECT CAST(d AS TIMESTAMP) AS day, best_cents
+    FROM sky WHERE later_best IS NULL OR best_cents > later_best
+    """,
+    doc="2-D Pareto skyline (maximal-vector query, Kung et al. JACM'75; "
+        "the SKYLINE operator of Borzsony et al. ICDE'01): the days "
+        "whose best order value is not dominated by any LATER day — "
+        "i.e. the (recency, value) staircase no other point beats on "
+        "both axes, the multi-criteria shortlist primitive. "
+        "Dominance reduces to a right-to-left running MAX over the "
+        "per-day best (exact integer cents, strict >), so the whole "
+        "skyline costs one calendar-bounded window over the "
+        "Aggregate-by-date grid — never the O(n²) pairwise dominance "
+        "join, and never a per-order sort: the corpus-sized work is "
+        "ONE groupBy(day).max() with map-side combine. The naive "
+        "formulation is its own oracle.",
+)
+def win_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.max(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "best_cents"
+        )
+    )
+    later = F.max("best_cents").over(
+        Window.orderBy(F.col("d").desc()).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+    )
+    return (
+        daily.withColumn("later_best", later)
+        .where(
+            F.col("later_best").isNull()
+            | (F.col("best_cents") > F.col("later_best"))
+        )
+        .select(F.col("d").cast("timestamp").alias("day"), "best_cents")
+    )
