@@ -3971,3 +3971,103 @@ def analytics_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var_y * (1 - rho2), 6).alias("var_cuped_cents2"),
         F.round(rho2 * 100, 6).alias("var_reduction_pct"),
     )
+
+
+@register(
+    "analytics_funnel_window_constrained",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS um
+        FROM events
+    ),
+    s1 AS (
+        SELECT user_id, MIN(um) AS t1 FROM e
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.um) AS t2 FROM e
+        JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click'
+              AND e.um > s1.t1 AND e.um <= s1.t1 + 86400000000
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.um) AS t3 FROM e
+        JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase'
+              AND e.um > s2.t2 AND e.um <= s2.t2 + 86400000000
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_click_24h,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_purchase_24h,
+           round(CAST((SELECT COUNT(*) FROM s2) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM s1), 6) AS conv_click,
+           round(CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM s2), 6) AS conv_purchase,
+           round(CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM s1), 6) AS conv_overall
+    """,
+    doc="Time-window-constrained funnel (view -> click within 24 h -> "
+        "purchase within 24 h of the click) — MATCH_RECOGNIZE's WITHIN "
+        "clause semantics, which the unconstrained "
+        "analytics_funnel_conversion cannot express: each stage is a "
+        "conditional-MIN aggregation JOINED to the previous stage's "
+        "first-touch time, so the chain is three narrow user_id "
+        "shuffles (each output strictly shrinking) and never a "
+        "per-user ordered scan or an event-to-event self-join. All "
+        "deadline arithmetic is exact integer microseconds "
+        "(epoch_us/unix_micros — no second-rounding divergence). The "
+        "standard growth-analytics shape for campaign attribution "
+        "windows.",
+)
+def analytics_funnel_window_constrained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    DAY = 86400000000
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("um")
+    )
+    s1 = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("um").alias("t1"))
+    )
+    s2 = (
+        e.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where((F.col("um") > F.col("t1")) & (F.col("um") <= F.col("t1") + DAY))
+        .groupBy("user_id")
+        .agg(F.min("um").alias("t2"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where((F.col("um") > F.col("t2")) & (F.col("um") <= F.col("t2") + DAY))
+        .groupBy("user_id")
+        .agg(F.min("um").alias("t3"))
+    )
+    c1 = s1.agg(F.count(F.lit(1)).cast("long").alias("n_view"))
+    c2 = s2.agg(F.count(F.lit(1)).cast("long").alias("n_click_24h"))
+    c3 = s3.agg(F.count(F.lit(1)).cast("long").alias("n_purchase_24h"))
+    return (
+        c1.crossJoin(F.broadcast(c2))
+        .crossJoin(F.broadcast(c3))
+        .select(
+            "n_view",
+            "n_click_24h",
+            "n_purchase_24h",
+            F.round(
+                F.col("n_click_24h").cast("double") / F.col("n_view"), 6
+            ).alias("conv_click"),
+            F.round(
+                F.col("n_purchase_24h").cast("double")
+                / F.col("n_click_24h"),
+                6,
+            ).alias("conv_purchase"),
+            F.round(
+                F.col("n_purchase_24h").cast("double") / F.col("n_view"), 6
+            ).alias("conv_overall"),
+        )
+    )

@@ -1837,3 +1837,65 @@ def pipeline_group_priority_sample(spark: SparkSession, sf_dir: str) -> DataFram
             F.round("priority", 6).alias("priority"), "rk",
         )
     )
+
+
+@register(
+    "pipeline_negative_samples",
+    oracle="""
+    WITH a AS (SELECT doc_id AS anchor_id, source AS a_source
+               FROM documents WHERE doc_id < 20),
+    c AS (SELECT doc_id AS neg_id, source AS neg_source FROM documents),
+    ranked AS (
+        SELECT a.anchor_id, c.neg_id, c.neg_source,
+               row_number() OVER (
+                   PARTITION BY a.anchor_id
+                   ORDER BY md5(CAST(a.anchor_id AS VARCHAR) || ':'
+                                || CAST(c.neg_id AS VARCHAR)), c.neg_id
+               ) AS rk
+        FROM c CROSS JOIN a
+        WHERE c.neg_source <> a.a_source
+    )
+    SELECT anchor_id, rk, neg_id, neg_source
+    FROM ranked WHERE rk <= 4
+    """,
+    doc="Deterministic cross-source negative sampling for contrastive "
+        "training (4 negatives per anchor, drawn only from OTHER "
+        "sources so trivially-related same-source docs never pollute "
+        "the negative set): candidates rank by a salted md5 of the "
+        "(anchor, candidate) pair — a per-anchor uniform permutation "
+        "that is reproducible across runs AND engines, giving the "
+        "sampling-lineage audit trail pipeline_weighted_priority_"
+        "sample established, now for pair construction. The bounded "
+        "anchor batch broadcasts against the streaming corpus (no "
+        "corpus shuffle); per-anchor top-4 is a bounded window. "
+        "Complements sim_triplet_margin_audit's HARD negatives with "
+        "the uniform in-batch negatives SimCLR/DPR-style training "
+        "mixes in.",
+)
+def pipeline_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    a = d.where(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("anchor_id"), F.col("source").alias("a_source")
+    )
+    c = d.select(
+        F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("anchor_id").orderBy(
+            F.md5(
+                F.concat(
+                    F.col("anchor_id").cast("string"),
+                    F.lit(":"),
+                    F.col("neg_id").cast("string"),
+                )
+            ),
+            "neg_id",
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(a))
+        .where(F.col("neg_source") != F.col("a_source"))
+        .withColumn("rk", rk)
+        .where(F.col("rk") <= 4)
+        .select("anchor_id", "rk", "neg_id", "neg_source")
+    )
