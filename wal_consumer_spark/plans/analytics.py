@@ -4071,3 +4071,124 @@ def analytics_funnel_window_constrained(
             ).alias("conv_overall"),
         )
     )
+
+
+@register(
+    "ml_lift_gain_curve",
+    oracle="""
+    WITH scored AS (
+        SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS score_cents,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS y
+        FROM customer
+    ),
+    g AS (
+        SELECT score_cents, y, CAST(COUNT(*) AS BIGINT) AS n_g
+        FROM scored GROUP BY score_cents, y
+    ),
+    cum AS (
+        SELECT y, n_g,
+               COALESCE(SUM(n_g) OVER (ORDER BY score_cents DESC, y DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum,
+               SUM(n_g) OVER () AS n
+        FROM g
+    ),
+    part AS (
+        SELECT b.bin, c.y, c.n,
+               greatest((b.bin * c.n + 9) // 10 + 1, c.cum + 1) AS a,
+               least(((b.bin + 1) * c.n + 9) // 10, c.cum + c.n_g) AS z
+        FROM cum c
+        CROSS JOIN (SELECT UNNEST(generate_series(0, 9)) AS bin) b
+    ),
+    per_bin AS (
+        SELECT CAST(bin AS BIGINT) AS bin,
+               CAST(SUM(z - a + 1) AS BIGINT) AS n_rows,
+               CAST(SUM((z - a + 1) * y) AS BIGINT) AS n_positive
+        FROM part WHERE z >= a GROUP BY bin
+    ),
+    curve AS (
+        SELECT bin, n_rows, n_positive,
+               SUM(n_rows) OVER (ORDER BY bin
+                   ROWS UNBOUNDED PRECEDING) AS cum_rows,
+               SUM(n_positive) OVER (ORDER BY bin
+                   ROWS UNBOUNDED PRECEDING) AS cum_positive,
+               SUM(n_rows) OVER () AS n_total,
+               SUM(n_positive) OVER () AS total_pos
+        FROM per_bin
+    )
+    SELECT bin, n_rows, n_positive,
+           CAST(cum_positive AS BIGINT) AS cum_positive,
+           CAST(cum_positive * 1000000 // total_pos AS BIGINT) AS gain_ppm,
+           CAST(cum_positive * n_total * 1000000
+                // (cum_rows * total_pos) AS BIGINT) AS lift_ppm
+    FROM curve
+    """,
+    doc="Cumulative gains and lift curve by score decile — the "
+        "campaign-targeting readout next to ml_auc_rank_sum (how much "
+        "of the response does the top-k% capture; lift vs random): "
+        "reuses ml_calibration_bins' closed-form bin-overlap of "
+        "contiguous (score,y)-group rank ranges under score-DESC "
+        "order — per-row decile assignment WITHOUT a per-row global "
+        "rank — then the cumulative curve is a 10-row window. "
+        "gain/lift are integral ppm (integer division of exact count "
+        "products), so both engines emit identical integers. Corpus "
+        "work: one (score,y) aggregation.",
+)
+def ml_lift_gain_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    scored = c.select(
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("score_cents"),
+        (F.col("c_mktsegment") == "BUILDING").cast("long").alias("y"),
+    )
+    g = scored.groupBy("score_cents", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g")
+    )
+    wcum = Window.orderBy(
+        F.col("score_cents").desc(), F.col("y").desc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    wtot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = g.select(
+        "y",
+        "n_g",
+        F.coalesce(F.sum("n_g").over(wcum), F.lit(0)).alias("cum"),
+        F.sum("n_g").over(wtot).alias("n"),
+    )
+    bins = spark.range(0, 10).select(F.col("id").cast("long").alias("bin"))
+    j = cum.crossJoin(F.broadcast(bins))
+    a = F.greatest(F.expr("(bin * n + 9) div 10 + 1"), F.col("cum") + 1)
+    z = F.least(
+        F.expr("((bin + 1) * n + 9) div 10"), F.col("cum") + F.col("n_g")
+    )
+    per_bin = (
+        j.select("bin", "y", (z - a + 1).alias("cnt"))
+        .where(F.col("cnt") > 0)
+        .groupBy("bin")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.sum(F.col("cnt") * F.col("y")).cast("long").alias("n_positive"),
+        )
+    )
+    wline = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    curve = per_bin.select(
+        "bin",
+        "n_rows",
+        "n_positive",
+        F.sum("n_rows").over(wline).alias("cum_rows"),
+        F.sum("n_positive").over(wline).alias("cum_positive"),
+        F.sum("n_rows").over(wtot).alias("n_total"),
+        F.sum("n_positive").over(wtot).alias("total_pos"),
+    )
+    return curve.select(
+        "bin",
+        "n_rows",
+        "n_positive",
+        F.col("cum_positive").cast("long").alias("cum_positive"),
+        F.expr("cum_positive * 1000000 div total_pos")
+        .cast("long")
+        .alias("gain_ppm"),
+        F.expr("cum_positive * n_total * 1000000 div (cum_rows * total_pos)")
+        .cast("long")
+        .alias("lift_ppm"),
+    )

@@ -1899,3 +1899,104 @@ def pipeline_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 4)
         .select("anchor_id", "rk", "neg_id", "neg_source")
     )
+
+
+@register(
+    "pipeline_span_corruption_stats",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id, source,
+               string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, source, len(t) AS n_tok,
+               list_transform(generate_series(0, len(t) - 1),
+                   i -> CASE WHEN ('0x' || substring(
+                                 md5(CAST(doc_id AS VARCHAR) || ':'
+                                     || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+                             % 20 < 3
+                        THEN 1 ELSE 0 END) AS msk
+        FROM d WHERE len(t) >= 1
+    ),
+    per_doc AS (
+        SELECT source, n_tok,
+               COALESCE(list_sum(msk), 0) AS n_masked,
+               msk[1] + COALESCE(list_sum(list_transform(
+                   generate_series(2, n_tok),
+                   i -> msk[i] * (1 - msk[i - 1]))), 0) AS n_spans
+        FROM m
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_masked) AS BIGINT) AS n_masked,
+           CAST(SUM(n_spans) AS BIGINT) AS n_spans,
+           CAST(SUM(n_masked) * 1000000 // SUM(n_tok) AS BIGINT)
+               AS mask_rate_ppm,
+           CAST(SUM(n_masked) * 1000000 // greatest(SUM(n_spans), 1)
+                AS BIGINT) AS mean_span_len_ppm
+    FROM per_doc GROUP BY source
+    """,
+    doc="T5-style span-corruption mask planning (Raffel et al. 2020): "
+        "each token position masks iff a salted md5 of (doc, position) "
+        "falls under the 15% rate, so the corruption pattern is "
+        "REPRODUCIBLE across runs, engines and epochs (the property a "
+        "pretraining pipeline needs to regenerate identical batches "
+        "without storing masks); contiguous masked runs (= sentinel "
+        "spans) are counted ROW-LOCALLY with array HOFs — zero "
+        "explode, zero shuffle until the per-source rollup of 5 "
+        "integer sums. Reports achieved mask rate and mean span "
+        "length per source in integral ppm. At 100 TB: pure map-side "
+        "expression work, one bounded aggregation.",
+)
+def pipeline_span_corruption_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokens("text").alias("t")
+    )
+    m = d.where(F.size("t") >= 1).select(
+        "source",
+        F.size("t").cast("long").alias("n_tok"),
+        F.expr(
+            "transform(sequence(0, size(t) - 1),"
+            " i -> CASE WHEN conv(substring("
+            "md5(concat(cast(doc_id as string), ':', cast(i as string)))"
+            ", 1, 8), 16, 10) % 20 < 3 THEN 1 ELSE 0 END)"
+        ).alias("msk"),
+    )
+    per_doc = m.select(
+        "source",
+        "n_tok",
+        F.coalesce(
+            F.expr("aggregate(msk, 0L, (acc, x) -> acc + x)"), F.lit(0)
+        ).alias("n_masked"),
+        (
+            F.expr("element_at(msk, 1)")
+            + F.coalesce(
+                # n_tok guard: Spark's sequence(2, 1) is DESCENDING
+                # (DuckDB's generate_series(2, 1) is empty), so a
+                # 1-token doc must skip the pair scan entirely
+                F.expr(
+                    "IF(n_tok < 2, 0L,"
+                    " aggregate(transform(sequence(2, int(n_tok)),"
+                    " i -> element_at(msk, i) * (1 - element_at(msk, i - 1))),"
+                    " 0L, (acc, x) -> acc + x))"
+                ),
+                F.lit(0),
+            )
+        ).alias("n_spans"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("n_masked").cast("long").alias("n_masked"),
+        F.sum("n_spans").cast("long").alias("n_spans"),
+        F.expr("sum(n_masked) * 1000000 div sum(n_tok)")
+        .cast("long")
+        .alias("mask_rate_ppm"),
+        F.expr("sum(n_masked) * 1000000 div greatest(sum(n_spans), 1L)")
+        .cast("long")
+        .alias("mean_span_len_ppm"),
+    )

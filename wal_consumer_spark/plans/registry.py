@@ -79,7 +79,8 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: win_covered_seconds_per_day, dq_ks_two_sample, ts_decayed_user_score,
 #: sim_triplet_margin_audit, ts_xmr_control_chart,
 #: agg_hll_audience_overlap, win_pareto_skyline,
-#: analytics_funnel_window_constrained, pipeline_negative_samples
+#: analytics_funnel_window_constrained, pipeline_negative_samples,
+#: ml_lift_gain_curve, pipeline_span_corruption_stats
 #: after the
 #: window was pinned — 71 means round 6 certifies 50 and round 7 closes
 #: the remainder plus any round-6 additions):
