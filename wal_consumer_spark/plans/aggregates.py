@@ -1457,3 +1457,49 @@ def agg_hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est_overlap - n_overlap) <= F.lit(0.05) * F.col("n_union")
         ).alias("overlap_within_5pct_of_union"),
     )
+
+
+@register(
+    "agg_multi_distinct_one_pass",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(COUNT(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE))
+                AS BIGINT) AS n_days,
+           CAST(COUNT(DISTINCT (CAST(user_id AS VARCHAR) || ':' ||
+                 CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS VARCHAR)))
+                AS BIGINT) AS n_user_days
+    FROM events
+    """,
+    doc="Several EXACT count-distincts over different keys in ONE "
+        "statement — the vitals header of every dataset card: Catalyst "
+        "compiles multiple DISTINCT aggregates via a single Expand "
+        "operator (each input row fans out once per distinct group with "
+        "a grouping id) so the table is still scanned ONCE, rather than "
+        "one job per metric; the n_user_days composite key rides the "
+        "same Expand. At 100 TB the Expand multiplies shuffle volume by "
+        "the number of distinct specs — the documented crossover point "
+        "where the mergeable-sketch plane (agg_hll_partial_merge, "
+        "ts_rolling_distinct_hll) takes over with one sketch per "
+        "metric; this operator is the exact-verification side of that "
+        "pair.",
+)
+def agg_multi_distinct_one_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    return e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.countDistinct(day).cast("long").alias("n_days"),
+        F.countDistinct(
+            F.concat(
+                F.col("user_id").cast("string"),
+                F.lit(":"),
+                day.cast("string"),
+            )
+        )
+        .cast("long")
+        .alias("n_user_days"),
+    )

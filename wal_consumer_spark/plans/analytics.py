@@ -4192,3 +4192,105 @@ def ml_lift_gain_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lift_ppm"),
     )
+
+
+@register(
+    "graph_personalized_pagerank",
+    oracle="""
+    WITH edges AS (
+        SELECT a.n_nationkey AS u, b.n_nationkey AS v
+        FROM nation a JOIN nation b
+          ON a.n_regionkey = b.n_regionkey
+         AND a.n_nationkey <> b.n_nationkey
+    ),
+    deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
+    nodes AS (SELECT n_nationkey AS node,
+                     CASE WHEN n_regionkey = 0 THEN 1 ELSE 0 END AS seed
+              FROM nation),
+    p0 AS (SELECT node, seed,
+                  CAST(seed * 200000000000 AS BIGINT) AS q FROM nodes),
+    c1 AS (
+        SELECT e.v AS node, SUM(p.q // g.d) AS contrib
+        FROM edges e JOIN deg g ON g.u = e.u JOIN p0 p ON p.node = e.u
+        GROUP BY e.v
+    ),
+    p1 AS (
+        SELECT nodes.node, nodes.seed,
+               CAST(round(0.85 * CAST(COALESCE(c1.contrib, 0) AS DOUBLE))
+                    AS BIGINT) + nodes.seed * 30000000000 AS q
+        FROM nodes LEFT JOIN c1 ON c1.node = nodes.node
+    ),
+    c2 AS (
+        SELECT e.v AS node, SUM(p.q // g.d) AS contrib
+        FROM edges e JOIN deg g ON g.u = e.u JOIN p1 p ON p.node = e.u
+        GROUP BY e.v
+    ),
+    p2 AS (
+        SELECT nodes.node, nodes.seed,
+               CAST(round(0.85 * CAST(COALESCE(c2.contrib, 0) AS DOUBLE))
+                    AS BIGINT) + nodes.seed * 30000000000 AS q
+        FROM nodes LEFT JOIN c2 ON c2.node = nodes.node
+    ),
+    c3 AS (
+        SELECT e.v AS node, SUM(p.q // g.d) AS contrib
+        FROM edges e JOIN deg g ON g.u = e.u JOIN p2 p ON p.node = e.u
+        GROUP BY e.v
+    ),
+    p3 AS (
+        SELECT nodes.node, nodes.seed,
+               CAST(round(0.85 * CAST(COALESCE(c3.contrib, 0) AS DOUBLE))
+                    AS BIGINT) + nodes.seed * 30000000000 AS q
+        FROM nodes LEFT JOIN c3 ON c3.node = nodes.node
+    )
+    SELECT n.n_name, CAST(p3.seed AS BIGINT) AS is_seed,
+           round(CAST(p3.q AS DOUBLE) / 1000000000000, 10) AS ppr
+    FROM p3 JOIN nation n ON n.n_nationkey = p3.node
+    """,
+    doc="Personalized PageRank from a seed set (region-0 nations, "
+        "teleport mass restricted to seeds — Jeh & Widom WWW'03): the "
+        "recommendation/similar-entity primitive global PageRank can't "
+        "provide, because rank localizes around the seeds instead of "
+        "measuring global centrality. Identical fixed-point discipline "
+        "to graph_pagerank (exact 1e-12-unit BIGINT ranks, integer "
+        "division by computed out-degree, one deterministic damping "
+        "multiply per round), seed-conditional teleport 0.15/|S|, "
+        "3 unrolled rounds, edge+degree frame materialized once. "
+        "Non-seed no-in-edge nodes correctly decay to 0 via the left "
+        "join. At 100 TB: per round one equi-join + one aggregation, "
+        "same as the certified PageRank loop.",
+)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    a = n.select(F.col("n_nationkey").alias("u"), F.col("n_regionkey").alias("ru"))
+    b = n.select(F.col("n_nationkey").alias("v"), F.col("n_regionkey").alias("rv"))
+    edges = a.join(
+        b, (F.col("ru") == F.col("rv")) & (F.col("u") != F.col("v"))
+    ).select("u", "v")
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    ed = edges.join(deg, "u").localCheckpoint(eager=True)
+    nodes = n.select(
+        F.col("n_nationkey").alias("node"),
+        (F.col("n_regionkey") == 0).cast("long").alias("seed"),
+    )
+    pr = nodes.withColumn("q", (F.col("seed") * 200000000000).cast("long"))
+    for _ in range(3):
+        contrib = (
+            ed.join(pr, ed["u"] == pr["node"])
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum(F.expr("q div d")).alias("contrib"))
+        )
+        pr = nodes.join(contrib, "node", "left").select(
+            "node",
+            "seed",
+            (
+                F.round(
+                    0.85 * F.coalesce(F.col("contrib"), F.lit(0)).cast("double")
+                ).cast("long")
+                + F.col("seed") * 30000000000
+            ).alias("q"),
+        )
+    return pr.join(n, pr["node"] == n["n_nationkey"]).select(
+        "n_name",
+        F.col("seed").cast("long").alias("is_seed"),
+        F.round(F.col("q").cast("double") / 1_000_000_000_000, 10).alias("ppr"),
+    )

@@ -80,7 +80,8 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: sim_triplet_margin_audit, ts_xmr_control_chart,
 #: agg_hll_audience_overlap, win_pareto_skyline,
 #: analytics_funnel_window_constrained, pipeline_negative_samples,
-#: ml_lift_gain_curve, pipeline_span_corruption_stats
+#: ml_lift_gain_curve, pipeline_span_corruption_stats,
+#: graph_personalized_pagerank, agg_multi_distinct_one_pass
 #: after the
 #: window was pinned — 71 means round 6 certifies 50 and round 7 closes
 #: the remainder plus any round-6 additions):
