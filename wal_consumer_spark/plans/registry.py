@@ -47,120 +47,101 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: oracle sorts last so it can never burn a window slot on a rows-only
 #: check.
 #:
-#: Round 5 swaps ALL 50 slots again, to names with no driver-green row in
-#: any committed CORRECTNESS file (92 remained after r4). Priority per
-#: round-4 VERDICT "Next round" #1: the 21 round-4 additions first (the
-#: r4 window froze before they landed), then the judge-named six (market
-#: basket, ANN recall eval, bloom + salted joins, recursive CTE,
-#: LATERAL), then win/ts/text/analytics tails. analytics_pareto_share
-#: enters AFTER its round-5 rewrite onto the two-phase selection
-#: operator (VERDICT r4 "What's wrong" #1).
+#: Round 6 swaps ALL 50 slots a fourth time, per round-5 VERDICT "Next
+#: round" #1: the 48 round-5 additions (which froze out of the r5
+#: window), PLUS a re-pin of analytics_gini_coefficient — its r4 driver
+#: row predates the round-5 rewrite onto the tie-group rank substrate
+#: (operators/selection.py::value_group_ranks), so the driver must
+#: certify the formulation that actually ships (VERDICT r5 "What's
+#: wrong" #1) — PLUS analytics_ab_welch_ttest from the older tail to
+#: fill the 50th slot. 90 names lacked a driver row after r5; this
+#: window certifies 49 of them, leaving exactly the 41 below.
 #:
-#: ROUND-6 ROTATION CANDIDATES — the exact 54 registered names that will
-#: still lack a driver-green row once CORRECTNESS_r05 certifies this
-#: window (keep in sync when adding queries; the round-5 session added
-#: ts_theil_sen_sampled, analytics_power_user_threshold,
-#: dq_split_drift_audit, multimodal_chunk_manifest,
-#: sim_pair_distance_histogram, pipeline_head_dup_by_source,
-#: graph_adamic_adar, analytics_funnel_step_latency,
-#: sim_ivf_nprobe_curve, win_topk_with_ties,
-#: graph_hub_cap_sensitivity, pipeline_length_percentile_caps,
-#: cdc_shuffled_replay_equivalence, dedup_prefix_filter_jaccard,
-#: ts_rolling_distinct_users, pipeline_weighted_priority_sample,
-#: dq_join_cardinality_forecast, pipeline_zorder_layout,
-#: ts_rolling_distinct_hll, pipeline_group_priority_sample,
-#: win_max_concurrent_sessions, dq_decimal_overflow_headroom,
-#: ts_holt_linear_smoothing, graph_random_walk_3step,
-#: sim_mmr_diversified_topk, agg_weighted_percentiles,
-#: ml_isotonic_calibration, analytics_sprt_sequential_test,
-#: text_duplicated_span_profile, agg_poisson_bootstrap_ci,
-#: ts_mann_kendall_trend, analytics_chi_square_independence,
-#: text_bm25_topk, analytics_cuped_adjustment, text_pmi_collocations,
-#: win_covered_seconds_per_day, dq_ks_two_sample, ts_decayed_user_score,
-#: sim_triplet_margin_audit, ts_xmr_control_chart,
-#: agg_hll_audience_overlap, win_pareto_skyline,
-#: analytics_funnel_window_constrained, pipeline_negative_samples,
-#: ml_lift_gain_curve, pipeline_span_corruption_stats,
-#: graph_personalized_pagerank, agg_multi_distinct_one_pass
-#: after the
-#: window was pinned — 71 means round 6 certifies 50 and round 7 closes
-#: the remainder plus any round-6 additions):
+#: ROUND-7 ROTATION CANDIDATES — the exact 41 registered names that
+#: will still lack a driver-green row once CORRECTNESS_r06 certifies
+#: this window (keep in sync when adding queries; round 7 closes
+#: driver coverage at 329/329 plus any round-6 additions):
 #: agg_having, agg_higher_moments, agg_histogram_totalprice,
 #: agg_key_skew_profile, agg_log2_histogram, agg_percentile_approx,
-#: agg_profile_orders, agg_stratified_sample, analytics_ab_welch_ttest,
-#: analytics_conversion_curve, analytics_path_transitions,
-#: analytics_user_activity_entropy, cdc_backlog_metrics,
+#: agg_profile_orders, agg_stratified_sample, analytics_conversion_curve,
+#: analytics_path_transitions, analytics_user_activity_entropy, cdc_backlog_metrics,
 #: cdc_gdpr_erasure_audit, cdc_op_mix, cdc_tombstone_retention,
-#: dedup_containment_pairs, ml_classification_metrics,
-#: multimodal_feature_extract, multimodal_resize_meta,
-#: pipeline_boilerplate_strip, pipeline_bpe_first_merges,
-#: pipeline_char_budget_truncation, pipeline_epoch_plan,
-#: pipeline_mixture_temperature, pipeline_quality_filter,
-#: pipeline_sample_k_per_group, pipeline_url_canonical_dedup,
+#: dedup_containment_pairs, ml_classification_metrics, multimodal_feature_extract,
+#: multimodal_resize_meta, pipeline_boilerplate_strip, pipeline_bpe_first_merges,
+#: pipeline_char_budget_truncation, pipeline_epoch_plan, pipeline_mixture_temperature,
+#: pipeline_quality_filter, pipeline_sample_k_per_group, pipeline_url_canonical_dedup,
 #: scalar_bitwise, scalar_struct_funcs, sim_centroid_distances,
 #: sim_label_centroids, sim_label_silhouette, text_bigram_df,
-#: text_char_trigram_profile, text_sentiment_lexicon,
-#: ts_anova_weekday_effect, ts_calendar_heatmap, ts_gapfill_zero,
-#: ts_missing_data_profile, ts_seasonal_naive_error, udf_row_scalar_dim.
+#: text_char_trigram_profile, text_sentiment_lexicon, ts_anova_weekday_effect,
+#: ts_calendar_heatmap, ts_gapfill_zero, ts_missing_data_profile,
+#: ts_seasonal_naive_error, udf_row_scalar_dim.
 DRIVER_WINDOW: list[str] = [
-    # --- the 21 round-4 additions (froze out of the r4 window) ---
-    "graph_connected_components",
-    "graph_label_propagation",
-    "graph_kcore_peel",
-    "agg_exact_percentile_selection",
-    "ts_theil_sen_slope",
-    "ts_pacf_durbin_levinson",
-    "ts_bollinger_breakouts",
-    "analytics_survival_km",
-    "analytics_session_duration_histogram",
-    "analytics_view_abandonment",
-    "udf_pandas_scalar_iter",
-    "dedup_lsh_eval",
-    "ml_pca_top_component",
-    "ml_naive_bayes_binary",
-    "dq_functional_dependency",
-    "dq_outlier_iqr",
-    "text_oov_rate",
-    "scalar_regexp_funcs",
-    "asof_join_tolerance_error_click",
-    "pipeline_kfold_assignment",
-    "win_longest_streak_per_user",
-    # --- judge-named priorities ---
-    "analytics_market_basket",
-    "sim_ann_recall_eval",
-    "join_bloom_prefilter",
-    "join_skew_salted",
-    "sql_front_recursive_cte",
-    "sql_front_lateral_join",
-    # --- rewritten this round (two-phase selection, no global window) ---
-    "analytics_pareto_share",
-    # --- analytics tail ---
-    "analytics_rfm_segments",
-    "analytics_attribution_last_touch",
-    "analytics_cohort_ltv",
-    # --- window-function tail ---
-    "win_running_sum",
-    "win_moving_median",
-    "win_rank_dense_ntile",
-    "win_cume_percent",
-    "win_rolling_autocorr",
-    "win_cumulative_distinct",
-    # --- time-series tail ---
-    "ts_anomaly_mad",
-    "ts_changepoint_cusum",
-    "ts_mtd_ytd_running",
-    "ts_period_over_period",
-    "ts_longest_rising_streak",
-    "ts_max_silence_gap",
-    # --- text-analysis tail ---
-    "text_readability",
-    "text_rolling_hash",
-    "text_token_entropy",
-    "text_shingle_novelty",
-    "text_bpe_regex_tokens",
-    # --- CDC + curation ---
-    "cdc_replay_idempotency",
-    "pipeline_cluster_representative",
+    # --- re-pin: driver must certify the post-rewrite tie-group-rank
+    # --- formulation (r4 row predates the rewrite; VERDICT r5 wrong #1)
+    "analytics_gini_coefficient",
+    # --- aggregate tail (round-5 additions) ---
+    "agg_weighted_percentiles",
+    "agg_poisson_bootstrap_ci",
+    "agg_hll_audience_overlap",
+    "agg_multi_distinct_one_pass",
+    # --- window-function tail (round-5 additions) ---
+    "win_topk_with_ties",
+    "win_max_concurrent_sessions",
+    "win_covered_seconds_per_day",
+    "win_pareto_skyline",
+    # --- data-quality tail (round-5 additions) ---
+    "dq_split_drift_audit",
+    "dq_join_cardinality_forecast",
+    "dq_decimal_overflow_headroom",
+    "dq_ks_two_sample",
+    # --- CDC (round-5 additions) ---
+    "cdc_shuffled_replay_equivalence",
+    # --- dedup (round-5 additions) ---
+    "dedup_prefix_filter_jaccard",
+    # --- similarity / embedding evals (round-5 additions) ---
+    "sim_pair_distance_histogram",
+    "sim_ivf_nprobe_curve",
+    "sim_mmr_diversified_topk",
+    "sim_triplet_margin_audit",
+    # --- multimodal (round-5 additions) ---
+    "multimodal_chunk_manifest",
+    # --- text analysis (round-5 additions) ---
+    "text_duplicated_span_profile",
+    "text_bm25_topk",
+    "text_pmi_collocations",
+    # --- curation pipeline (round-5 additions) ---
+    "pipeline_head_dup_by_source",
+    "pipeline_length_percentile_caps",
+    "pipeline_weighted_priority_sample",
+    "pipeline_zorder_layout",
+    "pipeline_group_priority_sample",
+    "pipeline_negative_samples",
+    "pipeline_span_corruption_stats",
+    # --- time-series (round-5 additions) ---
+    "ts_theil_sen_sampled",
+    "ts_rolling_distinct_users",
+    "ts_rolling_distinct_hll",
+    "ts_holt_linear_smoothing",
+    "ts_mann_kendall_trend",
+    "ts_decayed_user_score",
+    "ts_xmr_control_chart",
+    # --- analytics (round-5 additions) ---
+    "analytics_power_user_threshold",
+    "analytics_funnel_step_latency",
+    "analytics_sprt_sequential_test",
+    "analytics_chi_square_independence",
+    "analytics_cuped_adjustment",
+    "analytics_funnel_window_constrained",
+    # --- graph (round-5 additions) ---
+    "graph_adamic_adar",
+    "graph_hub_cap_sensitivity",
+    "graph_random_walk_3step",
+    "graph_personalized_pagerank",
+    # --- ML-in-plan (round-5 additions) ---
+    "ml_isotonic_calibration",
+    "ml_lift_gain_curve",
+    # --- older tail (50th slot) ---
+    "analytics_ab_welch_ttest",
 ]
 
 
