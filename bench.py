@@ -126,6 +126,55 @@ COMPARABLE_41 = [
 #: by exactly that factor).
 ANCHOR_CPU_SEC = 0.208
 
+#: A comparable-41 query whose calibration-normalized median exceeds the
+#: previous committed round's by more than this factor gets flagged in the
+#: bench JSON (VERDICT r5 "Next round" #6: the r4 join_bloom_prefilter
+#: "regression" took a round of measurement archaeology to dismiss as
+#: 3-sample noise — the tripwire turns that into an automatic signal).
+TRIPWIRE_RATIO = 1.5
+
+
+def regression_tripwire(
+    normalized_queries: dict[str, float],
+    prev_normalized: dict[str, float],
+    comparable: list[str] = COMPARABLE_41,
+    threshold: float = TRIPWIRE_RATIO,
+) -> dict:
+    """Flag comparable-basis queries whose host-normalized median grew by
+    more than `threshold`x since the previous round. Pure function of the
+    two normalized blocks so the deliberate-regression unit test can feed
+    it synthetic rounds."""
+    flagged = {}
+    for name in comparable:
+        now, prev = normalized_queries.get(name), prev_normalized.get(name)
+        if now is None or not prev:
+            continue
+        if now > prev * threshold:
+            flagged[name] = {
+                "prev_normalized": prev,
+                "now_normalized": now,
+                "ratio": round(now / prev, 2),
+            }
+    return {"threshold_ratio": threshold, "flagged": flagged}
+
+
+def latest_committed_normalized(here: str) -> tuple[str | None, dict[str, float]]:
+    """Normalized per-query medians from the newest committed
+    BENCH_DETAIL_r*.json (the previous round's record)."""
+    details = sorted(
+        f for f in os.listdir(here)
+        if f.startswith("BENCH_DETAIL_r") and f.endswith(".json")
+    )
+    for f in reversed(details):
+        try:
+            with open(os.path.join(here, f)) as fh:
+                block = json.load(fh).get("normalized", {}).get("queries", {})
+            if block:
+                return f, block
+        except (OSError, json.JSONDecodeError):
+            continue
+    return None, {}
+
 
 def warmup(spark, sf_dir: str) -> None:
     """Untimed steady-state warmup (JMH-style): first-stage costs — parquet
@@ -285,6 +334,14 @@ def main() -> None:
         "comparable_41": comparable,
     }
 
+    # Automatic cross-round regression signal (VERDICT r5 "Next round" #6):
+    # compare this session's normalized medians against the newest committed
+    # BENCH_DETAIL record on the frozen comparable-41 basis.
+    here_dir = os.path.dirname(os.path.abspath(__file__))
+    prev_file, prev_norm = latest_committed_normalized(here_dir)
+    tripwire = regression_tripwire(normalized, prev_norm)
+    tripwire["baseline_file"] = prev_file
+
     # Full methodology record goes to a SIDE FILE, not stdout: the grading
     # driver keeps only the last 2000 chars of stdout, and the round-3
     # record (medians + 43x3 raw samples + method text on one line) outgrew
@@ -323,6 +380,9 @@ def main() -> None:
         # Host-normalized medians + the FROZEN 41-query cross-round
         # comparison basis (see COMPARABLE_41 above).
         "normalized": normalized_block,
+        # >1.5x normalized growth vs the previous committed round on the
+        # comparable-41 basis (empty flagged = no regression signal).
+        "tripwire": tripwire,
         # Round-4 isolation of the r2->r3 dedup_minhash_lsh drift
         # (VERDICT r3 "What's wrong" #2), measured with
         # tools/bench_one.py in a JVM that ran NOTHING else (n=5,
@@ -450,6 +510,8 @@ def main() -> None:
         "calibration_cpu_sec": calibration["cpu_sec"],
         "normalized_value": normalized_block["value"],
         "normalized_comparable_41_sum": normalized_block["comparable_41_sum"],
+        # names only; per-query prev/now/ratio in BENCH_DETAIL's tripwire
+        "tripwire_flagged": sorted(tripwire["flagged"]),
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # defensive: medians only, never raw samples

@@ -245,7 +245,12 @@ def test_rate_source_smoke(spark):
 def test_transform_with_state_in_pandas(spark, tmp_path):
     """transformWithStateInPandas (Spark 4.x stateful API). Environment-gated:
     the Python runner needs a working protobuf install, absent in this
-    container — skipped here, exercised on a full cluster image."""
+    container — skipped here, exercised on a full cluster image.
+
+    Re-attempted rounds 3, 4, 5 and 6 (2026-08-14): `pip install protobuf`
+    fails at DNS resolution of the configured index ("Failed to establish
+    a new connection: [Errno -2] Name or service not known") — the
+    container has no network route to any package index."""
     pytest.importorskip("google.protobuf.descriptor")
     from pyspark.sql.streaming import StatefulProcessor
 
