@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from wal_consumer_spark.operators.broadcast import maybe_broadcast
 from wal_consumer_spark.operators.selection import value_group_ranks
 from wal_consumer_spark.plans.registry import register
 from wal_consumer_spark.sources.tables import load_table
@@ -270,7 +271,7 @@ def ml_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
     )
-    j = e.join(F.broadcast(stats), "event_type").filter(
+    j = e.join(maybe_broadcast(stats), "event_type").filter(
         (F.col("hi") > F.col("lo")) & (F.col("n") > 1)
     )
     mean = F.col("sx") / F.col("n")
@@ -413,7 +414,7 @@ def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (F.lit(5) - hits) if invert else (F.lit(1) + hits)
 
     return (
-        rfm.join(F.broadcast(th))
+        rfm.join(maybe_broadcast(th))
         .select(
             "o_custkey",
             score("recency_days", "tr", invert=True).alias("r_score"),

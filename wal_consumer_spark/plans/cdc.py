@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from wal_consumer_spark.operators.broadcast import maybe_broadcast
 from wal_consumer_spark.operators.cdc import apply_cdc_batch, last_op_per_key
 from wal_consumer_spark.plans.registry import register
 
@@ -1441,7 +1442,7 @@ def cdc_gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = last.where(F.col("operation") != "DELETE").select("entity_id")
     residual = erased.join(state, "entity_id")
     history = (
-        wal.join(F.broadcast(erased), "entity_id")
+        wal.join(maybe_broadcast(erased), "entity_id")
         .groupBy("entity_id")
         .agg(F.count(F.lit(1)).alias("n_history_rows"))
     )

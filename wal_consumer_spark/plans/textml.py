@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from wal_consumer_spark.operators.broadcast import maybe_broadcast
 from wal_consumer_spark.functions.text import LANG_LEXICONS, tokens, word_shingles
 from wal_consumer_spark.plans.registry import register
 from wal_consumer_spark.sources.tables import load_table
@@ -53,8 +54,9 @@ NEG_WORDS: tuple[str, ...] = ("no", "not", "never", "bad", "worst", "against", "
     ) WHERE rnk <= 3
     """,
     doc="TF-IDF top-3 terms per document: token explode -> (doc,term) counts "
-        "-> doc-frequency join -> per-doc rank. The df side is tiny (vocab) "
-        "and broadcast; the only big shuffle is the (doc,term) count.",
+        "-> doc-frequency join -> per-doc rank. The df side is vocab-sized: "
+        "broadcast while Catalyst's estimate fits (maybe_broadcast), shuffled "
+        "at billion-term scale; the only big shuffle is the (doc,term) count.",
 )
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -62,7 +64,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
     n_docs = d.count()  # scalar; corpus size is a metadata lookup at scale
-    scored = tf.join(F.broadcast(df_), "term").withColumn(
+    scored = tf.join(maybe_broadcast(df_), "term").withColumn(
         "tfidf_raw", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_raw").desc(), F.col("term"))
@@ -200,7 +202,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
     total = vocab.agg(F.sum("n").cast("double").alias("total"))
     return (
-        tok.join(F.broadcast(vocab), "t")
+        tok.join(maybe_broadcast(vocab), "t")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
@@ -282,7 +284,7 @@ def sim_doc_cosine_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= 100)
         .select("term")
     )
-    capped = tf.join(F.broadcast(keep), "term")
+    capped = tf.join(maybe_broadcast(keep), "term")
     nrm = capped.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("tf") * F.col("tf")).cast("double")).alias("nrm")
     )
@@ -525,8 +527,8 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 1000000
     ).cast("long")
     return (
-        pairs.join(F.broadcast(big), ["w1", "w2"])
-        .join(F.broadcast(uni), "w1")
+        pairs.join(maybe_broadcast(big), ["w1", "w2"])
+        .join(maybe_broadcast(uni), "w1")
         .crossJoin(F.broadcast(v))
         .groupBy("doc_id")
         .agg(
@@ -635,7 +637,7 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("deg").cast("double") / F.col("freq") * 1000000
     ).cast("long")
     scored = (
-        pw.join(F.broadcast(wstat), "w")
+        pw.join(maybe_broadcast(wstat), "w")
         .groupBy("doc_id", "grp", "phrase")
         .agg(F.sum(score_term).alias("score_micro"))
     )
@@ -873,9 +875,9 @@ def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     cv = cs.groupBy("t").agg(F.sum("c_src").alias("c_all"))
     nc = cs.agg(F.sum("c_src").alias("n_all"))
     grid = (
-        ns.crossJoin(F.broadcast(cv))
+        ns.crossJoin(maybe_broadcast(cv))
         .crossJoin(F.broadcast(nc))
-        .join(F.broadcast(cs), ["source", "t"], "left")
+        .join(maybe_broadcast(cs), ["source", "t"], "left")
         .withColumn("c_src", F.coalesce(F.col("c_src"), F.lit(0)))
     )
     ps = F.col("c_src").cast("double") / F.col("n_src")
@@ -1234,7 +1236,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).cast("long")
     return (
-        tf.join(F.broadcast(idf), "term")
+        tf.join(maybe_broadcast(idf), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(corp))
         .select("doc_id", s_u.alias("s_u"))
@@ -1342,8 +1344,8 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     return (
         bg.where(F.col("cab") >= 25)
-        .join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        .join(maybe_broadcast(u1), "w1")
+        .join(maybe_broadcast(u2), "w2")
         .crossJoin(F.broadcast(nt))
         .crossJoin(F.broadcast(nb))
         .select("w1", "w2", "cab", pmi_u.alias("pmi_u"))
