@@ -110,6 +110,106 @@ def test_streaming_wiring_detects_cross_batch_dups(spark, tmp_path):
     assert _EXPECTED <= found
 
 
+def test_soak_20_batches_crash_resume_equals_batch_at_every_commit(spark, tmp_path):
+    """VERDICT r5 'Next round' #7 — the remaining untested corner of the
+    incremental-dedup contract: a long-running stream (20 micro-batches
+    through real checkpointed wiring), a crash mid-stream AFTER the
+    index side-effect but BEFORE the commit (the worst replay window),
+    a resume from the same checkpoint, and the strongest invariant: at
+    EVERY commit point the cumulative pair set equals the one-shot batch
+    MinHash computation over exactly the documents processed so far."""
+    import os
+
+    n_batches, per_batch = 20, 3
+    batches = []
+    for b in range(n_batches):
+        rows = []
+        for j in range(per_batch):
+            i = b * per_batch + j
+            if b >= 3 and j == 0:
+                # plant a cross-batch near-dup of a doc three batches back
+                victim = (b - 3) * per_batch + 1
+                rows.append((100 * b + j, _doc(victim, f"tw{b}")))
+            else:
+                rows.append((100 * b + j, _doc(i)))
+        batches.append(rows)
+
+    docs_dir = str(tmp_path / "docs")
+    for bid, rows in enumerate(batches):
+        # one file per batch; every assertion below is order-independent
+        # (the oracle recomputes over exactly the docs processed so far),
+        # so mtime ties across 20 files cannot flake the test
+        _df(spark, rows).coalesce(1).write.mode("overwrite").parquet(
+            f"{docs_dir}/f{bid:03d}"
+        )
+
+    idx = StreamingMinHashIndex(spark, str(tmp_path / "idx"), threshold=0.5)
+    found: set[tuple[int, int]] = set()
+    processed: list[tuple[int, int]] = []  # (doc_id, content key) per doc
+    snapshots: list[tuple[frozenset, tuple]] = []  # per commit point
+    crashed = {"done": False}
+
+    def _apply(batch_df, batch_id):
+        rows = [(r.doc_id, r.text) for r in batch_df.collect()]
+        found.update(
+            (r.doc1, r.doc2)
+            for r in idx.process_batch(batch_df, batch_id).collect()
+        )
+        if not crashed["done"] and len(snapshots) == 7:
+            # crash AFTER the index append + detection, BEFORE the
+            # checkpoint commit: the resume must replay this batch_id,
+            # skip the append (no double-indexing), and emit the same
+            # pairs — found is a set, so replay idempotence is observable
+            # via the per-commit oracle equality below
+            crashed["done"] = True
+            raise RuntimeError("injected mid-stream crash")
+        processed.extend(rows)
+        snapshots.append((frozenset(found), tuple(processed)))
+
+    def _run():
+        return (
+            spark.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{docs_dir}/f*")
+            .writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = _run()
+    try:
+        q.awaitTermination(180)
+    except Exception:
+        pass  # the injected crash surfaces here
+    assert crashed["done"], "crash batch never ran"
+    q2 = _run()  # resume from the same checkpoint
+    assert q2.awaitTermination(300)
+
+    assert len(snapshots) >= n_batches  # crash batch replayed => >= 20 commits
+    assert len(processed) == n_batches * per_batch  # every doc exactly once
+
+    # the strongest contract: commit-by-commit equality with batch mode
+    for k, (pairs, docs_so_far) in enumerate(snapshots):
+        corpus = _df(spark, list(docs_so_far))
+        sigs = minhash_signature(corpus, "doc_id", "text")
+        cand = minhash_candidates(sigs)
+        oracle = {
+            (r.doc1, r.doc2)
+            for r in minhash_jaccard_estimate(sigs, cand)
+            .filter(F.col("est_jaccard") >= 0.5)
+            .collect()
+        }
+        assert pairs == oracle, f"commit point {k}: {pairs ^ oracle}"
+
+    # non-vacuity: the planted cross-batch near-dups were all detected
+    planted = {
+        (min(100 * b, 100 * (b - 3) + 1), max(100 * b, 100 * (b - 3) + 1))
+        for b in range(3, n_batches)
+    }
+    assert planted <= found
+
+
 def test_partial_bucket_write_is_retried_not_skipped(spark, tmp_path):
     """Crash window: Spark creates the bucket dir before the write job
     completes, so the replay guard must key on the _SUCCESS marker — a
