@@ -4295,3 +4295,397 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seed").cast("long").alias("is_seed"),
         F.round(F.col("q").cast("double") / 1_000_000_000_000, 10).alias("ppr"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-6 additions: HITS, 3-step paths, Holm-Bonferroni, ROC curve
+# --------------------------------------------------------------------------
+
+@register(
+    "graph_hits_hubs_authorities",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    h1 AS (  -- hub round 1: auth_0 = 1 everywhere, so h1(u) = out-degree
+        SELECT u, CAST(COUNT(*) AS BIGINT) AS h FROM edges GROUP BY u
+    ),
+    a1 AS (
+        SELECT i, CAST(SUM(h1.h) AS BIGINT) AS a
+        FROM edges JOIN h1 USING (u) GROUP BY i
+    ),
+    h2 AS (
+        SELECT u, CAST(SUM(a1.a) AS BIGINT) AS h
+        FROM edges JOIN a1 USING (i) GROUP BY u
+    ),
+    a2 AS (
+        SELECT i, CAST(SUM(h2.h) AS BIGINT) AS a
+        FROM edges JOIN h2 USING (u) GROUP BY i
+    )
+    SELECT CAST(i AS BIGINT) AS part_key, a AS authority_score
+    FROM a2 ORDER BY a DESC, i LIMIT 10
+    """,
+    doc="HITS (Kleinberg hubs-and-authorities) on the customer->part "
+        "purchase bipartite graph, two synchronized power-iteration "
+        "rounds from a0 = 1 in EXACT integer arithmetic (normalization "
+        "only rescales, so the unnormalized top-k ranking is identical "
+        "to the normalized one and no float summation ever happens): "
+        "h1 = out-degree, a1 = sum of adjacent h1, h2 = sum of adjacent "
+        "a1, a2 = sum of adjacent h2. Top-10 authorities via "
+        "orderBy+limit (TakeOrderedAndProject, no global sort). Scale: "
+        "each round is ONE aggregation plus one equi-join on the edge "
+        "key, the same fixed-round discipline as graph_pagerank — cost "
+        "is O(rounds * |edges|) shuffles, nothing quadratic. Reference "
+        "parity: extension surface (SURVEY.md §2.B graph rows).",
+)
+def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed by 3 rounds
+    )
+    h1 = edges.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("h"))
+    a1 = (
+        edges.join(h1, "u")
+        .groupBy("i")
+        .agg(F.sum("h").cast("long").alias("a"))
+    )
+    h2 = (
+        edges.join(a1, "i")
+        .groupBy("u")
+        .agg(F.sum("a").cast("long").alias("h"))
+    )
+    a2 = (
+        edges.join(h2, "u")
+        .groupBy("i")
+        .agg(F.sum("h").cast("long").alias("a"))
+    )
+    return (
+        a2.select(F.col("i").cast("long").alias("part_key"),
+                  F.col("a").alias("authority_score"))
+        .orderBy(F.col("authority_score").desc(), "part_key")
+        .limit(10)
+    )
+
+
+@register(
+    "analytics_sequence_top3_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS s1,
+               lead(event_type, 1) OVER w AS s2,
+               lead(event_type, 2) OVER w AS s3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT s1, s2, s3, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM seq WHERE s3 IS NOT NULL
+    GROUP BY s1, s2, s3
+    ORDER BY n_occurrences DESC, s1, s2, s3 LIMIT 10
+    """,
+    doc="Top-10 3-step behavioral sequences (the PrefixSpan-lite pattern "
+        "query behind journey mining — extends the 2-step Markov matrix "
+        "of analytics_path_transitions to trigram paths): two leads over "
+        "ONE per-user window sort (ties broken by event_id), a count on "
+        "the |event_type|^3-bounded key space, TakeOrderedAndProject "
+        "top-10. The single shuffle is the user_id window partition; "
+        "everything after is value-domain-bounded. Reference parity: "
+        "extension surface (SURVEY.md §2.B analytics rows).",
+)
+def analytics_sequence_top3_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("s1"),
+        F.lead("event_type", 1).over(w).alias("s2"),
+        F.lead("event_type", 2).over(w).alias("s3"),
+    )
+    return (
+        seq.where(F.col("s3").isNotNull())
+        .groupBy("s1", "s2", "s3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "s1", "s2", "s3")
+        .limit(10)
+    )
+
+
+#: Holm step-down critical values for m = 25 two-sided tests at alpha =
+#: 0.05: z_crit(rank r) = Phi^-1(1 - 0.025/(m - r + 1)), precomputed by
+#: deterministic bisection on erfc (normal approximation; no inverse-CDF
+#: exists in either engine) and embedded as identical literals in BOTH
+#: the Spark plan and the SQL text.
+_HOLM_M = 25
+_HOLM_CRITS = [
+    3.090232, 3.078088, 3.065383, 3.052065, 3.038074, 3.023341, 3.007787,
+    2.991316, 2.97382, 2.955167, 2.935199, 2.913726, 2.890512, 2.86526,
+    2.837597, 2.807034, 2.772921, 2.734369, 2.69011, 2.638257, 2.575829,
+    2.497705, 2.39398, 2.241403, 1.959964,
+]
+_HOLM_SPLIT = "1998-01-01"
+
+
+def _holm_crit_values_sql() -> str:
+    rows = ", ".join(
+        f"({r + 1}, {c})" for r, c in enumerate(_HOLM_CRITS)
+    )
+    return f"(VALUES {rows}) AS crit(rnk, z_crit)"
+
+
+@register(
+    "analytics_holm_bonferroni",
+    oracle=f"""
+    WITH per AS (
+        SELECT n.n_name,
+               CASE WHEN CAST(o.o_orderdate AS TIMESTAMP)
+                         < TIMESTAMP '{_HOLM_SPLIT}' THEN 0 ELSE 1 END AS grp,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    s AS (
+        SELECT n_name, grp,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(cents AS DECIMAL(38,0))
+                        * CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS s2
+        FROM per GROUP BY n_name, grp
+    ),
+    z AS (
+        SELECT a.n_name,
+               a.n AS n_before, b.n AS n_after,
+               abs((a.s1 / a.n - b.s1 / b.n)
+                   / sqrt(((a.s2 - a.s1 * a.s1 / a.n) / (a.n - 1)) / a.n
+                          + ((b.s2 - b.s1 * b.s1 / b.n) / (b.n - 1)) / b.n))
+                   AS abs_z
+        FROM s a JOIN s b ON a.n_name = b.n_name AND a.grp = 0 AND b.grp = 1
+        WHERE a.n > 1 AND b.n > 1
+    ),
+    ranked AS (
+        SELECT n_name, n_before, n_after, abs_z,
+               row_number() OVER (ORDER BY abs_z DESC, n_name) AS rnk
+        FROM z
+    ),
+    flagged AS (
+        SELECT r.*, crit.z_crit, (r.abs_z >= crit.z_crit) AS pass_step
+        FROM ranked r JOIN {_holm_crit_values_sql()} ON crit.rnk = r.rnk
+    )
+    SELECT n_name, n_before, n_after,
+           round(abs_z, 4) AS abs_z,
+           CAST(rnk AS BIGINT) AS holm_rank,
+           z_crit,
+           CAST(min(CASE WHEN pass_step THEN 1 ELSE 0 END)
+                OVER (ORDER BY rnk ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS BOOLEAN) AS holm_reject
+    FROM flagged
+    """,
+    doc="Holm-Bonferroni step-down multiple-testing correction over 25 "
+        "simultaneous per-nation mean-shift tests (order value before vs "
+        "after {split}): Welch z per nation from exact DECIMAL sums, "
+        "tests ranked by |z| descending, rank r compared against the "
+        "precomputed normal critical value for alpha/(m-r+1), and the "
+        "step-down rule applied as a cumulative min (a rejection chain "
+        "stops at the first failure) — the standard guard against the "
+        "25-way false-discovery problem a naive per-segment 1.96 test "
+        "creates. Plan: nation-keyed aggregate (25 x 2 rows), a 25-row "
+        "window, a broadcast literal critical table — the only corpus-"
+        "scaled work is the first aggregation. Reference parity: "
+        "extension surface (SURVEY.md §2.B analytics rows).".format(
+            split=_HOLM_SPLIT
+        ),
+)
+def analytics_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.when(
+                F.col("o_orderdate") < F.lit(_HOLM_SPLIT).cast("timestamp"), 0
+            ).otherwise(1).alias("grp"),
+            cents.alias("cents"),
+        )
+    )
+    cd = F.col("cents").cast("decimal(38,0)")
+    s = per.groupBy("n_name", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cd).cast("double").alias("s1"),
+        F.sum(cd * cd).cast("double").alias("s2"),
+    )
+    a = s.where(F.col("grp") == 0).select(
+        "n_name",
+        F.col("n").alias("n_before"),
+        F.col("s1").alias("s1a"),
+        F.col("s2").alias("s2a"),
+    )
+    b = s.where(F.col("grp") == 1).select(
+        F.col("n_name").alias("n_name_b"),
+        F.col("n").alias("n_after"),
+        F.col("s1").alias("s1b"),
+        F.col("s2").alias("s2b"),
+    )
+    va = (F.col("s2a") - F.col("s1a") * F.col("s1a") / F.col("n_before")) / (
+        F.col("n_before") - 1
+    )
+    vb = (F.col("s2b") - F.col("s1b") * F.col("s1b") / F.col("n_after")) / (
+        F.col("n_after") - 1
+    )
+    abs_z = F.abs(
+        (F.col("s1a") / F.col("n_before") - F.col("s1b") / F.col("n_after"))
+        / F.sqrt(va / F.col("n_before") + vb / F.col("n_after"))
+    )
+    z = (
+        a.join(b, a.n_name == b.n_name_b)
+        .where((F.col("n_before") > 1) & (F.col("n_after") > 1))
+        .select("n_name", "n_before", "n_after", abs_z.alias("abs_z"))
+    )
+    ranked = z.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("abs_z").desc(), "n_name"))
+        .alias("rnk"),
+    )
+    crit = spark.createDataFrame(
+        [(r + 1, c_) for r, c_ in enumerate(_HOLM_CRITS)], "rnk INT, z_crit DOUBLE"
+    )
+    flagged = ranked.join(F.broadcast(crit), "rnk").select(
+        "*", (F.col("abs_z") >= F.col("z_crit")).alias("pass_step")
+    )
+    wcum = Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0)
+    return flagged.select(
+        "n_name",
+        "n_before",
+        "n_after",
+        F.round("abs_z", 4).alias("abs_z"),
+        F.col("rnk").cast("long").alias("holm_rank"),
+        "z_crit",
+        F.min(F.when(F.col("pass_step"), 1).otherwise(0))
+        .over(wcum)
+        .cast("boolean")
+        .alias("holm_reject"),
+    )
+
+
+_ROC_QS = [i / 10 for i in range(1, 10)]
+
+
+@register(
+    "ml_roc_curve_points",
+    oracle=f"""
+    WITH per_vec AS (
+        SELECT vec_id,
+               CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y,
+               list_sum(list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                   * 1000000) AS BIGINT))) AS score
+        FROM embeddings
+    ),
+    thr AS (
+        SELECT g.decile, round(q.qv[g.decile], 9) AS thr
+        FROM (SELECT quantile_cont(score,
+                  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qv
+              FROM per_vec) q
+        CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS decile) g
+    ),
+    pts AS (
+        SELECT t.decile, t.thr,
+               CAST(count_if(p.score >= t.thr AND p.y = 1) AS BIGINT) AS tp,
+               CAST(count_if(p.score >= t.thr AND p.y = 0) AS BIGINT) AS fp,
+               CAST(count_if(p.y = 1) AS BIGINT) AS pos,
+               CAST(count_if(p.y = 0) AS BIGINT) AS neg
+        FROM per_vec p CROSS JOIN thr t
+        GROUP BY t.decile, t.thr
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, thr, tp, fp,
+           round(tp / CAST(pos AS DOUBLE), 6) AS tpr,
+           round(fp / CAST(neg AS DOUBLE), 6) AS fpr,
+           CAST(round((tp / CAST(pos AS DOUBLE)
+                       - fp / CAST(neg AS DOUBLE)) * 1000000) AS BIGINT)
+               AS youden_j_micro,
+           CAST(round((tp / CAST(pos AS DOUBLE)
+                       - fp / CAST(neg AS DOUBLE)) * 1000000) AS BIGINT)
+               = MAX(CAST(round((tp / CAST(pos AS DOUBLE)
+                       - fp / CAST(neg AS DOUBLE)) * 1000000) AS BIGINT))
+                 OVER () AS is_youden_best
+    FROM pts
+    """,
+    doc="ROC operating points at the nine decile thresholds of a scoring "
+        "feature (embedding squared norm, exact 1e-6-quantized "
+        "array-local sums) against the binarized label (label >= 5): "
+        "TP/FP counts, TPR/FPR, and the Youden J statistic with the "
+        "best-threshold flag — the threshold-selection companion to "
+        "ml_auc_rank_sum (AUC summarizes the curve; deployment needs a "
+        "point on it). Plan: one map-side score pass, one 9-value "
+        "percentile aggregate, a broadcast 9-row threshold table "
+        "crossed against the scores, one bounded 9-group rollup and a "
+        "window over those 9 rows — no entity-keyed window, no sort of "
+        "the corpus. Reference parity: extension surface (SURVEY.md "
+        "§2.B ML rows).",
+)
+def ml_roc_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    score = F.aggregate(
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * x.cast("double") * 1_000_000)
+            .cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    per_vec = emb.select(
+        "vec_id",
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
+        score.alias("score"),
+    )
+    thr = per_vec.agg(
+        F.expr(
+            "percentile(score, array({}))".format(
+                ", ".join(str(q) for q in _ROC_QS)
+            )
+        ).alias("ts")
+    ).select(
+        F.posexplode("ts").alias("d0", "thr_raw")
+    ).select(
+        (F.col("d0") + 1).alias("decile"), F.round("thr_raw", 9).alias("thr")
+    )
+    pts = (
+        per_vec.crossJoin(F.broadcast(thr))
+        .groupBy("decile", "thr")
+        .agg(
+            F.count_if((F.col("score") >= F.col("thr")) & (F.col("y") == 1))
+            .cast("long")
+            .alias("tp"),
+            F.count_if((F.col("score") >= F.col("thr")) & (F.col("y") == 0))
+            .cast("long")
+            .alias("fp"),
+            F.count_if(F.col("y") == 1).cast("long").alias("pos"),
+            F.count_if(F.col("y") == 0).cast("long").alias("neg"),
+        )
+    )
+    tpr = F.col("tp") / F.col("pos").cast("double")
+    fpr = F.col("fp") / F.col("neg").cast("double")
+    j_micro = F.round((tpr - fpr) * 1_000_000).cast("long")
+    return pts.select(
+        F.col("decile").cast("long").alias("decile"),
+        "thr",
+        "tp",
+        "fp",
+        F.round(tpr, 6).alias("tpr"),
+        F.round(fpr, 6).alias("fpr"),
+        j_micro.alias("youden_j_micro"),
+        (
+            j_micro
+            == F.max(j_micro).over(
+                Window.partitionBy()
+            )
+        ).alias("is_youden_best"),
+    )

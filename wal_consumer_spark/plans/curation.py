@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from wal_consumer_spark.operators.broadcast import maybe_broadcast
 from wal_consumer_spark.functions.text import lexicon_hits, tokens, word_shingles
 from wal_consumer_spark.functions.text import let  # noqa: F401  (re-export convenience)
 from wal_consumer_spark.plans.registry import register
@@ -1999,4 +2000,125 @@ def pipeline_span_corruption_stats(
         F.expr("sum(n_masked) * 1000000 div greatest(sum(n_spans), 1L)")
         .cast("long")
         .alias("mean_span_len_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score every raw document by
+# how target-like its hashed-unigram distribution is.
+# --------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 256
+_DSIR_TARGET_SOURCE = "src0"
+#: cross-engine bucket hash: first 4 md5 hex chars of the token -> 16-bit
+#: int -> mod 256 (same md5-gating trick as the split/shuffle queries)
+_DSIR_BUCKET_SQL = (
+    "('0x' || substring(md5(t), 1, 4))::BIGINT % {b}".format(b=_DSIR_BUCKETS)
+)
+
+
+@register(
+    "pipeline_dsir_importance_weights",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source, unnest({_TOKS}) AS t FROM documents
+    ),
+    feat AS (
+        SELECT doc_id, source, {_DSIR_BUCKET_SQL} AS b FROM tok
+    ),
+    raw_p AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS c_raw FROM feat GROUP BY b
+    ),
+    tgt_p AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS c_tgt
+        FROM feat WHERE source = '{_DSIR_TARGET_SOURCE}' GROUP BY b
+    ),
+    tot AS (
+        SELECT CAST(SUM(c_raw) AS BIGINT) AS n_raw,
+               (SELECT CAST(SUM(c_tgt) AS BIGINT) FROM tgt_p) AS n_tgt
+        FROM raw_p
+    ),
+    ratio AS (  -- add-1 smoothed per-bucket log importance ratio, 1e-6 ints
+        SELECT r.b,
+               CAST(round((ln((COALESCE(g.c_tgt, 0) + 1)
+                              / CAST(tot.n_tgt + {_DSIR_BUCKETS} AS DOUBLE))
+                           - ln((r.c_raw + 1)
+                                / CAST(tot.n_raw + {_DSIR_BUCKETS} AS DOUBLE)))
+                          * 1000000) AS BIGINT) AS logr_micro
+        FROM raw_p r LEFT JOIN tgt_p g USING (b), tot
+    )
+    SELECT f.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(ratio.logr_micro) AS BIGINT) AS log_weight_micro
+    FROM feat f JOIN ratio USING (b)
+    GROUP BY f.doc_id
+    """,
+    doc="DSIR importance weights (Xie et al. 2023): each document's "
+        "log-importance under a hashed-unigram bag-of-words model — the "
+        "sum over its tokens of ln p_target(bucket) - ln p_raw(bucket), "
+        "with 256 md5 buckets, add-1 smoothing, the target distribution "
+        "estimated from the '{tgt}' slice and the raw distribution from "
+        "the full corpus. Sampling propto exp(weight) yields the "
+        "target-matched training subset; this query materializes the "
+        "per-doc weights (quantized per-bucket to exact 1e-6-unit int64 "
+        "log terms, so the token-sum is associative and engine-exact). "
+        "Scale: one token explode -> a 256-key bucket count (bounded) -> "
+        "a broadcast 256-row ratio table joined back map-side; the only "
+        "corpus-scaled shuffle is the per-doc rollup — the exact DSIR "
+        "production shape at 100 TB. Reference parity: extension "
+        "surface (SURVEY.md §2.B curation rows).".format(
+            tgt=_DSIR_TARGET_SOURCE
+        ),
+)
+def pipeline_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    feat = d.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("t")
+    ).select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5("t"), 1, 4), 16, 10).cast("long")
+            % _DSIR_BUCKETS
+        ).alias("b"),
+    )
+    raw_p = feat.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("c_raw"))
+    tgt_p = (
+        feat.where(F.col("source") == _DSIR_TARGET_SOURCE)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_tgt"))
+    )
+    tot = raw_p.agg(F.sum("c_raw").cast("long").alias("n_raw")).crossJoin(
+        tgt_p.agg(F.sum("c_tgt").cast("long").alias("n_tgt"))
+    )
+    ratio = (
+        raw_p.join(tgt_p, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("c_tgt"), F.lit(0)) + 1)
+                        / (F.col("n_tgt") + _DSIR_BUCKETS).cast("double")
+                    )
+                    - F.log(
+                        (F.col("c_raw") + 1)
+                        / (F.col("n_raw") + _DSIR_BUCKETS).cast("double")
+                    )
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("logr_micro"),
+        )
+    )
+    return (
+        feat.join(maybe_broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("logr_micro").cast("long").alias("log_weight_micro"),
+        )
     )

@@ -57,10 +57,15 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: fill the 50th slot. 90 names lacked a driver row after r5; this
 #: window certifies 49 of them, leaving exactly the 41 below.
 #:
-#: ROUND-7 ROTATION CANDIDATES — the exact 41 registered names that
+#: ROUND-7 ROTATION CANDIDATES — the exact 50 registered names that
 #: will still lack a driver-green row once CORRECTNESS_r06 certifies
-#: this window (keep in sync when adding queries; round 7 closes
-#: driver coverage at 329/329 plus any round-6 additions):
+#: this window: the 41 older names below PLUS the 9 round-6 additions
+#: (graph_hits_hubs_authorities, sim_int8_quantized_recall,
+#: ml_roc_curve_points, pipeline_dsir_importance_weights,
+#: ts_ljung_box_whiteness, ts_seasonal_strength,
+#: analytics_sequence_top3_paths, analytics_holm_bonferroni,
+#: set_bag_except_intersect_all) — exactly one final 50-slot window,
+#: closing driver coverage at 338/338:
 #: agg_having, agg_higher_moments, agg_histogram_totalprice,
 #: agg_key_skew_profile, agg_log2_histogram, agg_percentile_approx,
 #: agg_profile_orders, agg_stratified_sample, analytics_conversion_curve,

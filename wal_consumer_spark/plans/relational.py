@@ -1067,3 +1067,64 @@ def asof_join_nearest_events_orders(spark: SparkSession, sf_dir: str) -> DataFra
         .otherwise(F.lit("forward"))
         .alias("direction"),
     )
+
+
+@register(
+    "set_bag_except_intersect_all",
+    oracle="""
+    WITH ea AS (
+        SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        EXCEPT ALL
+        SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+    ),
+    ia AS (
+        SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        INTERSECT ALL
+        SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+    )
+    SELECT 'except_all' AS op, CAST(l_partkey AS BIGINT) AS part_key,
+           CAST(COUNT(*) AS BIGINT) AS multiplicity
+    FROM ea GROUP BY 2
+    UNION ALL
+    SELECT 'intersect_all' AS op, CAST(l_partkey AS BIGINT) AS part_key,
+           CAST(COUNT(*) AS BIGINT) AS multiplicity
+    FROM ia GROUP BY 2
+    """,
+    doc="Bag-semantics set operations (EXCEPT ALL / INTERSECT ALL): the "
+        "surviving multiplicity per part key between the returned-'R' and "
+        "returned-'A' line-item multisets — max(na - nb, 0) and "
+        "min(na, nb) per key, which is what dataframe exceptAll / "
+        "intersectAll compute. Complements the round-4 ANSI "
+        "INTERSECT/EXCEPT (distinct) rows: bag semantics is the "
+        "correct tool for inventory-style reconciliation where COUNT "
+        "matters. Spark plans both as a single hash aggregate of "
+        "per-side counts (no sort, no join explosion); the grouped "
+        "multiplicity output keeps the driver hash deterministic. "
+        "Reference parity: extension surface (SURVEY.md §2.B set-ops "
+        "row).",
+)
+def set_bag_except_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_returnflag") == "R").select("l_partkey")
+    b = li.where(F.col("l_returnflag") == "A").select("l_partkey")
+    ea = (
+        a.exceptAll(b)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("multiplicity"))
+        .select(
+            F.lit("except_all").alias("op"),
+            F.col("l_partkey").cast("long").alias("part_key"),
+            "multiplicity",
+        )
+    )
+    ia = (
+        a.intersectAll(b)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("multiplicity"))
+        .select(
+            F.lit("intersect_all").alias("op"),
+            F.col("l_partkey").cast("long").alias("part_key"),
+            "multiplicity",
+        )
+    )
+    return ea.unionByName(ia)

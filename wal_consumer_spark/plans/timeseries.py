@@ -2604,3 +2604,219 @@ def ts_xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("cents").cast("double") < lcl)
         ).alias("out_of_control"),
     )
+
+
+# --------------------------------------------------------------------------
+# Whiteness / seasonality diagnostics on the daily-revenue series (round 6)
+# --------------------------------------------------------------------------
+
+_LB_LAGS = 14
+#: chi-square 0.95 critical value at df=14 (fixed literal in both engines)
+_LB_CHI2_CRIT = 23.6848
+
+
+@register(
+    "ts_ljung_box_whiteness",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS d,
+               CAST(SUM(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s
+        FROM daily
+    ),
+    c AS (
+        SELECT d, CAST(tot.n AS DECIMAL(38,0)) * x - tot.s AS c, tot.n AS n
+        FROM daily, tot
+    ),
+    den AS (
+        SELECT CAST(SUM(c * c) AS DOUBLE) AS den, MAX(n) AS n FROM c
+    ),
+    num AS (
+        SELECT l.lag AS lag, CAST(SUM(a.c * b.c) AS DOUBLE) AS num
+        FROM c a
+        CROSS JOIN (SELECT unnest(generate_series(1, {_LB_LAGS})) AS lag) l
+        JOIN c b ON b.d = a.d + CAST(l.lag AS INTEGER)
+        GROUP BY 1
+    ),
+    terms AS (
+        SELECT lag,
+               CAST(round((num / den.den) * (num / den.den)
+                          / (den.n - lag) * 1e15) AS BIGINT) AS term_f,
+               den.n AS n
+        FROM num, den
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_lags,
+           CAST(SUM(term_f) AS BIGINT) AS sum_term_femto,
+           round(MAX(n) * (MAX(n) + 2)
+                 * CAST(SUM(term_f) AS DOUBLE) / 1e15, 6) AS q_stat,
+           (MAX(n) * (MAX(n) + 2) * CAST(SUM(term_f) AS DOUBLE) / 1e15)
+               <= {_LB_CHI2_CRIT} AS white_noise_05
+    FROM terms
+    """,
+    doc="Ljung-Box portmanteau whiteness test on the daily-revenue series "
+        "(lags 1..14): Q = n(n+2) * sum_k rho_k^2/(n-k) against the "
+        "chi-square(14) 0.95 critical value — the standard residual "
+        "diagnostic after any ts fit (complements ts_acf_daily, which "
+        "reports the per-lag values; this is the aggregate test). "
+        "Determinism: centered products use c_t = n*x_t - S (exact "
+        "integers in DECIMAL(38) sums — the n^2 scaling cancels in "
+        "rho = num/den), the per-lag Q terms are quantized to 1e-15 "
+        "units before the 14-term sum, and the finish is IEEE-pinned "
+        "*,/. Scale: one date-grid collapse, a 14-way bounded lag "
+        "self-join on the grid, two scalar aggregates — nothing "
+        "downstream of the first shuffle scales with the corpus.",
+)
+def ts_ljung_box_whiteness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.to_date("o_orderdate").alias("d")
+    ).agg(F.sum(F.round("o_totalprice").cast("long")).cast("long").alias("x"))
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).cast("decimal(38,0)").alias("s"),
+    )
+    c = daily.crossJoin(F.broadcast(tot)).select(
+        "d",
+        (F.col("n").cast("decimal(38,0)") * F.col("x") - F.col("s")).alias("c"),
+        "n",
+    )
+    den = c.agg(
+        F.sum(F.col("c") * F.col("c")).cast("double").alias("den"),
+        F.max("n").alias("n"),
+    )
+    lags = spark.range(1, _LB_LAGS + 1).select(F.col("id").cast("int").alias("lag"))
+    a = c.crossJoin(F.broadcast(lags)).select(
+        "lag", F.date_add(F.col("d"), F.col("lag")).alias("md"), F.col("c").alias("ca")
+    )
+    b = c.select(F.col("d").alias("md"), F.col("c").alias("cb"))
+    num = (
+        a.join(b, "md")
+        .groupBy("lag")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("double").alias("num"))
+    )
+    rho = F.col("num") / F.col("den")
+    terms = num.crossJoin(F.broadcast(den)).select(
+        "lag",
+        F.round(rho * rho / (F.col("n") - F.col("lag")) * F.lit(1e15))
+        .cast("long")
+        .alias("term_f"),
+        "n",
+    )
+    q = (
+        F.max("n") * (F.max("n") + F.lit(2))
+        * F.sum("term_f").cast("double") / F.lit(1e15)
+    )
+    return terms.agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.count(F.lit(1)).cast("long").alias("n_lags"),
+        F.sum("term_f").cast("long").alias("sum_term_femto"),
+        F.round(q, 6).alias("q_stat"),
+        (q <= F.lit(_LB_CHI2_CRIT)).alias("white_noise_05"),
+    )
+
+
+@register(
+    "ts_seasonal_strength",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS d,
+               CAST(SUM(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    tr AS (
+        SELECT d, x,
+               CAST(SUM(x) OVER w7 AS BIGINT) AS s7,
+               CAST(COUNT(*) OVER w7 AS BIGINT) AS c7,
+               CAST((d - DATE '1970-01-01') % 7 AS BIGINT) AS wd
+        FROM daily
+        WINDOW w7 AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+        SELECT wd, 7 * x - s7 AS d7 FROM tr WHERE c7 = 7
+    ),
+    wk AS (
+        SELECT wd,
+               CAST(SUM(CAST(d7 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sw,
+               CAST(COUNT(*) AS BIGINT) AS nw,
+               CAST(SUM(CAST(d7 AS DECIMAL(38,0)) * CAST(d7 AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS sww
+        FROM det GROUP BY wd
+    ),
+    tot AS (
+        SELECT CAST(SUM(sw) AS DOUBLE) AS s,
+               CAST(SUM(sww) AS DOUBLE) AS ss,
+               CAST(SUM(nw) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / nw)
+                             AS BIGINT)) AS BIGINT) AS ssw_unit
+        FROM wk
+    )
+    SELECT n AS n_days,
+           round(greatest(0.0,
+                 1 - (ss - ssw_unit) / (ss - s * s / n)), 6)
+               AS seasonal_strength_w,
+           round((ss - s * s / n) / 49.0 / n, 3) AS var_detrended,
+           round((ss - ssw_unit) / 49.0 / n, 3) AS var_remainder
+    FROM tot
+    """,
+    doc="Weekly seasonal-strength statistic (Hyndman/Wang feature-based "
+        "ts analysis): detrend daily revenue with a centered 7-day "
+        "moving average (full frames only), fit a weekday-means seasonal "
+        "component, and report 1 - Var(remainder)/Var(detrended) in "
+        "[0, 1] — ~0 means the weekday pattern explains nothing, ~1 "
+        "means the series is pure weekly seasonality. Determinism: the "
+        "detrended series is kept exact-integer via d7 = 7*x - sum7 (the "
+        "/7 cancels in the variance RATIO), within/between sums of "
+        "squares come from exact DECIMAL(38) aggregates, the one "
+        "rational per-weekday term sw^2/nw is quantized to integer units "
+        "before its 7-term sum, and weekday uses the epoch-anchored "
+        "modulo (no engine dayofweek conventions). Scale: date-grid "
+        "collapse -> one bounded calendar window -> 7-group aggregate.",
+)
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.to_date("o_orderdate").alias("d")
+    ).agg(F.sum(F.round("o_totalprice").cast("long")).cast("long").alias("x"))
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "x",
+        F.sum("x").over(w7).cast("long").alias("s7"),
+        F.count(F.lit(1)).over(w7).cast("long").alias("c7"),
+        (F.datediff(F.col("d"), F.to_date(F.lit("1970-01-01"))) % 7)
+        .cast("long")
+        .alias("wd"),
+    )
+    det = tr.where(F.col("c7") == 7).select(
+        "wd", (F.lit(7) * F.col("x") - F.col("s7")).alias("d7")
+    )
+    d7d = F.col("d7").cast("decimal(38,0)")
+    wk = det.groupBy("wd").agg(
+        F.sum(d7d).cast("decimal(38,0)").alias("sw"),
+        F.count(F.lit(1)).cast("long").alias("nw"),
+        F.sum(d7d * d7d).cast("decimal(38,0)").alias("sww"),
+    )
+    swd = F.col("sw").cast("double")
+    tot = wk.agg(
+        F.sum("sw").cast("double").alias("s"),
+        F.sum("sww").cast("double").alias("ss"),
+        F.sum("nw").cast("long").alias("n"),
+        F.sum(F.round(swd * swd / F.col("nw")).cast("long"))
+        .cast("long")
+        .alias("ssw_unit"),
+    )
+    ss_det = F.col("ss") - F.col("s") * F.col("s") / F.col("n")
+    ss_res = F.col("ss") - F.col("ssw_unit")
+    return tot.select(
+        F.col("n").alias("n_days"),
+        F.round(
+            F.greatest(F.lit(0.0), F.lit(1) - ss_res / ss_det), 6
+        ).alias("seasonal_strength_w"),
+        F.round(ss_det / F.lit(49.0) / F.col("n"), 3).alias("var_detrended"),
+        F.round(ss_res / F.lit(49.0) / F.col("n"), 3).alias("var_remainder"),
+    )
