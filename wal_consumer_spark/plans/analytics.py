@@ -4689,3 +4689,200 @@ def ml_roc_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("is_youden_best"),
     )
+
+
+@register(
+    "graph_degree_powerlaw_fit",
+    oracle="""
+    WITH deg AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS k
+        FROM orders GROUP BY o_custkey
+    ),
+    dist AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n_k FROM deg GROUP BY k
+    ),
+    pts AS (  -- per-point quantized logs: exact int64 coordinates
+        SELECT CAST(round(ln(CAST(k AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+               CAST(round(ln(CAST(n_k AS DOUBLE)) * 1000000) AS BIGINT) AS y
+        FROM dist
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                    AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                    AS DOUBLE) AS syy
+        FROM pts
+    )
+    SELECT m AS n_points,
+           round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS alpha_slope,
+           round((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx)
+                 / m / 1000000, 6) AS log_intercept,
+           round((m * sxy - sx * sy) * (m * sxy - sx * sy)
+                 / ((m * sxx - sx * sx) * (m * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+    doc="Power-law exponent fit of the degree distribution (orders per "
+        "customer): OLS of ln(count-of-customers-with-degree-k) on ln(k) "
+        "— slope ~ -alpha is the scale-free diagnostic that decides "
+        "whether hub-capping / skew-salting is needed before any graph "
+        "join on this key (the planning companion to the hub-cap sweep "
+        "and skew-salt operators). Determinism: per-point logs are "
+        "quantized to 1e-6-unit int64s BEFORE the regression sums "
+        "(ln is not IEEE-pinned cross-engine; +,*,/ on the exact "
+        "DECIMAL-summed moments are), slope/intercept/r2 finish in "
+        "pinned arithmetic. Scale: degree aggregate -> degree-DOMAIN "
+        "distribution (bounded by max degree, not corpus size) -> "
+        "five-moment scalar fold. Reference parity: extension surface "
+        "(SURVEY.md §2.B graph rows).",
+)
+def graph_degree_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    deg = o.groupBy("o_custkey").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    dist = deg.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n_k"))
+    pts = dist.select(
+        F.round(F.log(F.col("k").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("n_k").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("y"),
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+    )
+    m, sx, sy = F.col("m"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    return s.select(
+        m.alias("n_points"),
+        F.round(slope, 6).alias("alpha_slope"),
+        F.round((sy - slope * sx) / m / F.lit(1_000_000), 6).alias("log_intercept"),
+        F.round(
+            (m * sxy - sx * sy) * (m * sxy - sx * sy)
+            / ((m * sxx - sx * sx) * (m * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
+
+
+_DID_SPLIT_TS = "2024-01-15 00:00:00"
+
+
+@register(
+    "analytics_diff_in_differences",
+    oracle=f"""
+    WITH cells AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated,
+               CASE WHEN CAST(ts AS TIMESTAMP)
+                         >= TIMESTAMP '{_DID_SPLIT_TS}' THEN 1 ELSE 0 END AS post,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    s AS (
+        SELECT treated, post,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(cents AS DECIMAL(38,0))
+                        * CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS s2
+        FROM cells GROUP BY treated, post
+    ),
+    wide AS (
+        SELECT
+            MAX(CASE WHEN treated = 1 AND post = 0 THEN s1 / n END) AS m_t0,
+            MAX(CASE WHEN treated = 1 AND post = 1 THEN s1 / n END) AS m_t1,
+            MAX(CASE WHEN treated = 0 AND post = 0 THEN s1 / n END) AS m_c0,
+            MAX(CASE WHEN treated = 0 AND post = 1 THEN s1 / n END) AS m_c1,
+            MAX(CASE WHEN treated = 1 AND post = 0 THEN
+                ((s2 - s1 * s1 / n) / (n - 1)) / n END) AS v_t0,
+            MAX(CASE WHEN treated = 1 AND post = 1 THEN
+                ((s2 - s1 * s1 / n) / (n - 1)) / n END) AS v_t1,
+            MAX(CASE WHEN treated = 0 AND post = 0 THEN
+                ((s2 - s1 * s1 / n) / (n - 1)) / n END) AS v_c0,
+            MAX(CASE WHEN treated = 0 AND post = 1 THEN
+                ((s2 - s1 * s1 / n) / (n - 1)) / n END) AS v_c1,
+            CAST(SUM(n) AS BIGINT) AS n_events
+        FROM s
+    )
+    SELECT n_events,
+           round(m_t0 / 100, 4) AS mean_treated_pre,
+           round(m_t1 / 100, 4) AS mean_treated_post,
+           round(m_c0 / 100, 4) AS mean_control_pre,
+           round(m_c1 / 100, 4) AS mean_control_post,
+           round(((m_t1 - m_t0) - (m_c1 - m_c0)) / 100, 4) AS did_estimate,
+           round(sqrt(v_t0 + v_t1 + v_c0 + v_c1) / 100, 4) AS did_se,
+           round(((m_t1 - m_t0) - (m_c1 - m_c0))
+                 / sqrt(v_t0 + v_t1 + v_c0 + v_c1), 4) AS did_z,
+           abs(((m_t1 - m_t0) - (m_c1 - m_c0))
+               / sqrt(v_t0 + v_t1 + v_c0 + v_c1)) > 1.96 AS significant_05
+    FROM wide
+    """,
+    doc="Difference-in-differences estimator over the event stream: the "
+        "2x2 (treated x pre/post) cell means of event value around the "
+        "{split} cutover, the DiD effect (the causal-inference workhorse "
+        "for launch evaluation when randomization is by cohort, here the "
+        "deterministic user_id parity assignment), its large-sample SE "
+        "sqrt(sum of cell mean-variances) and z — one pass to 4 exact "
+        "DECIMAL cells, IEEE-pinned finish. Scale: the only shuffle is "
+        "a 4-cell aggregate. Reference parity: extension surface "
+        "(SURVEY.md §2.B analytics rows).".format(split=_DID_SPLIT_TS),
+)
+def analytics_diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long").cast("decimal(38,0)")
+    cells = e.select(
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("treated"),
+        F.when(
+            F.col("ts") >= F.lit(_DID_SPLIT_TS).cast("timestamp"), 1
+        ).otherwise(0).alias("post"),
+        cents.alias("cents"),
+    )
+    s = cells.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("double").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    mvar = ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)) / F.col("n")
+
+    def cell(t: int, p: int, expr):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p), expr)
+        )
+
+    wide = s.agg(
+        cell(1, 0, mean).alias("m_t0"),
+        cell(1, 1, mean).alias("m_t1"),
+        cell(0, 0, mean).alias("m_c0"),
+        cell(0, 1, mean).alias("m_c1"),
+        cell(1, 0, mvar).alias("v_t0"),
+        cell(1, 1, mvar).alias("v_t1"),
+        cell(0, 0, mvar).alias("v_c0"),
+        cell(0, 1, mvar).alias("v_c1"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+    did = (F.col("m_t1") - F.col("m_t0")) - (F.col("m_c1") - F.col("m_c0"))
+    se = F.sqrt(F.col("v_t0") + F.col("v_t1") + F.col("v_c0") + F.col("v_c1"))
+    return wide.select(
+        "n_events",
+        F.round(F.col("m_t0") / 100, 4).alias("mean_treated_pre"),
+        F.round(F.col("m_t1") / 100, 4).alias("mean_treated_post"),
+        F.round(F.col("m_c0") / 100, 4).alias("mean_control_pre"),
+        F.round(F.col("m_c1") / 100, 4).alias("mean_control_post"),
+        F.round(did / 100, 4).alias("did_estimate"),
+        F.round(se / 100, 4).alias("did_se"),
+        F.round(did / se, 4).alias("did_z"),
+        (F.abs(did / se) > 1.96).alias("significant_05"),
+    )

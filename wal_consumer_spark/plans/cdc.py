@@ -1689,3 +1689,97 @@ def dq_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         crit.alias("ks_crit"),
         (d_stat > crit).alias("drift_detected"),
     )
+
+
+#: (edge name, child table, child FK col, parent table, parent PK col) —
+#: the declared referential edges of the star schema plus the
+#: deliberately-unconstrained events->supplier probe (events user ids are
+#: NOT supplier keys, so the audit demonstrably reports real orphans
+#: rather than a vacuous all-zero table on clean TPC-H data).
+_REF_EDGES = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("events.user_id->supplier", "events", "user_id", "supplier", "s_suppkey"),
+]
+
+
+def _ref_audit_sql() -> str:
+    parts = []
+    for name, child, fk, parent, pk in _REF_EDGES:
+        parts.append(f"""
+    SELECT '{name}' AS edge,
+           CAST((SELECT COUNT(*) FROM {child}) AS BIGINT) AS child_rows,
+           CAST((SELECT COUNT(DISTINCT {fk}) FROM {child}) AS BIGINT)
+               AS distinct_fk_keys,
+           CAST((SELECT COUNT(*) FROM {child} c
+                 WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                                   WHERE p.{pk} = c.{fk})) AS BIGINT)
+               AS orphan_rows,
+           round((SELECT COUNT(*) FROM {child} c
+                  WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                                    WHERE p.{pk} = c.{fk}))
+                 / CAST((SELECT COUNT(*) FROM {child}) AS DOUBLE), 6)
+               AS orphan_rate,
+           CAST((SELECT COUNT(*) FROM (
+                     SELECT {pk} FROM {parent} GROUP BY {pk}
+                     HAVING COUNT(*) > 1)) AS BIGINT) AS dup_parent_keys""")
+    return "\n    UNION ALL".join(parts)
+
+
+@register(
+    "dq_referential_integrity_audit",
+    oracle=_ref_audit_sql(),
+    doc="Referential-integrity audit across the schema's declared FK "
+        "edges in one result table: per edge, child cardinality, "
+        "distinct FK keys, orphan rows (children whose key has no "
+        "parent — a LEFT ANTI join), orphan rate, and duplicate-PK "
+        "count on the parent — the cross-table counterpart of the "
+        "single-table dq_constraint checks, and the first thing a "
+        "migration/backfill validation runs. The events->supplier probe "
+        "edge is deliberately unconstrained so the audit provably "
+        "reports non-zero orphans on this data. Scale: each edge is a "
+        "distinct-key anti-join (narrow key columns, broadcastable "
+        "parent key sets for dimension tables) plus count aggregates; "
+        "edges are independent and union at the end — no cross-edge "
+        "shuffle. Reference parity: the reference trusts its single "
+        "walTable's FK-free schema (SURVEY.md §2.A); extension surface.",
+)
+def dq_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for name, child, fk, parent, pk in _REF_EDGES:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent)
+        orphans = c.select(F.col(fk)).join(
+            p.select(F.col(pk)), c[fk] == p[pk], "left_anti"
+        )
+        dups = (
+            p.groupBy(pk).agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1)
+        )
+        row = (
+            c.agg(
+                F.count(F.lit(1)).cast("long").alias("child_rows"),
+                F.count_distinct(F.col(fk)).cast("long").alias("distinct_fk_keys"),
+            )
+            .crossJoin(
+                orphans.agg(F.count(F.lit(1)).cast("long").alias("orphan_rows"))
+            )
+            .crossJoin(
+                dups.agg(F.count(F.lit(1)).cast("long").alias("dup_parent_keys"))
+            )
+            .select(
+                F.lit(name).alias("edge"),
+                "child_rows",
+                "distinct_fk_keys",
+                "orphan_rows",
+                F.round(
+                    F.col("orphan_rows") / F.col("child_rows").cast("double"), 6
+                ).alias("orphan_rate"),
+                "dup_parent_keys",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -2610,3 +2610,80 @@ def sim_int8_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         hit.cast("long").alias("n_hit"),
         F.round(hit / F.count(F.lit(1)).cast("double"), 4).alias("recall_at_k"),
     )
+
+
+_ELBOW_KS = [2, 4, 8]
+
+
+@register(
+    "ml_kmeans_inertia_elbow",
+    oracle=f"""
+    WITH flat AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS dim,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS qval
+        FROM embeddings
+    ),
+    ks AS (SELECT unnest([{", ".join(str(k) for k in _ELBOW_KS)}]) AS k),
+    cent AS (  -- deterministic seeds: cluster c of run k = vector c
+        SELECT ks.k, f.vec_id AS cluster, f.dim, f.qval AS q
+        FROM flat f JOIN ks ON f.vec_id < ks.k
+    ),
+    dists AS (
+        SELECT c.k, f.vec_id, c.cluster,
+               SUM((f.qval - c.q) * (f.qval - c.q)) AS dist2
+        FROM flat f JOIN cent c ON f.dim = c.dim
+        GROUP BY c.k, f.vec_id, c.cluster
+    ),
+    nearest AS (
+        SELECT k, vec_id, MIN(dist2) AS min_dist2
+        FROM dists GROUP BY k, vec_id
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CAST(min_dist2 AS DECIMAL(38,0))) AS BIGINT)
+               AS inertia_q
+    FROM nearest GROUP BY k
+    """,
+    doc="K-means elbow curve: total inertia (sum over vectors of the "
+        "squared L2 distance to the nearest seed centroid) at k = 2, 4, "
+        "8 with deterministic seeding (cluster c of run k = vector c) — "
+        "the k-selection diagnostic that precedes the Lloyd refinement "
+        "of ml_kmeans_refine. Entirely EXACT integer arithmetic on "
+        "1e-6-quantized components (distances, argmin, inertia sums), "
+        "so the curve is engine-identical with no rounding anywhere. "
+        "Scale: the seed table is sum(k)*dim rows — broadcast at any "
+        "corpus size; the E-step fanout aggregates map-side per "
+        "(k, vec, cluster) before the shuffle, and the two rollups are "
+        "on (k, vec) then k. Reference parity: extension surface "
+        "(SURVEY.md §2.B ML rows).",
+)
+def ml_kmeans_inertia_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "val")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("val").cast("double") * 1_000_000).cast("long").alias("qval"),
+    )
+    ks = spark.createDataFrame([(k,) for k in _ELBOW_KS], "k INT")
+    cent = (
+        flat.where(F.col("vec_id") < max(_ELBOW_KS))
+        .join(F.broadcast(ks), F.col("vec_id") < F.col("k"))
+        .select("k", F.col("vec_id").alias("cluster"),
+                F.col("dim").alias("cdim"), F.col("qval").alias("q"))
+    )
+    d = F.col("qval") - F.col("q")
+    dists = (
+        flat.join(F.broadcast(cent), F.col("dim") == F.col("cdim"))
+        .groupBy("k", "vec_id", "cluster")
+        .agg(F.sum(d * d).alias("dist2"))
+    )
+    nearest = dists.groupBy("k", "vec_id").agg(F.min("dist2").alias("min_dist2"))
+    return nearest.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(F.col("min_dist2").cast("decimal(38,0)")).cast("long")
+        .alias("inertia_q"),
+    ).select(F.col("k").cast("long").alias("k"), "n_vectors", "inertia_q")
