@@ -90,6 +90,13 @@ HEADLINE = [
     "analytics_power_user_threshold",
     "sim_pair_distance_histogram",
     "pipeline_head_dup_by_source",
+    # r6 additions (appended only, same continuity rule): one
+    # representative per family added this round.
+    "graph_hits_hubs_authorities",
+    "sim_int8_quantized_recall",
+    "pipeline_dsir_importance_weights",
+    "dq_referential_integrity_audit",
+    "ts_ljung_box_whiteness",
 ]
 
 #: FROZEN cross-round comparison basis (round-4 VERDICT "What's wrong" #2:
