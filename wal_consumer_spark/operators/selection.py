@@ -148,3 +148,59 @@ def exact_rank_selection(
         (F.col("r_in") > F.col("cum") - F.col("cnt"))
         & (F.col("r_in") <= F.col("cum"))
     ).select(F.col("lbl").alias("label"), F.col(value_col).alias("value"))
+
+
+def value_group_ranks_by(
+    rows: DataFrame, seg_col: str, value_col: str, bucket_div: int
+) -> DataFrame:
+    """Per-segment variant of :func:`value_group_ranks`: one row per
+    distinct (`seg_col`, `value_col`) pair with the group's WITHIN-SEGMENT
+    rank range — (seg_col, value_col, cnt, start_rank, n), where
+    start_rank is 1-based within the segment and n is the segment's row
+    count.
+
+    Same boundedness story with one extra partition key everywhere: the
+    intra-bucket window partitions on (segment, bucket) — still at most
+    ~bucket_div distinct values per partition — and the bucket-level
+    cumulative partitions on the segment, so its per-partition size is
+    bounded by the segment's VALUE domain. No global window at all (the
+    one in value_group_ranks' bucket table becomes segment-partitioned),
+    so this is safe even for corpus-scaled segment columns.
+    """
+    by_val = rows.groupBy(seg_col, value_col).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    bk = F.expr(f"{value_col} div {bucket_div}").alias("bk")
+    wloc = (
+        Window.partitionBy(seg_col, "bk")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    loc = by_val.select(seg_col, value_col, "cnt", bk).withColumn(
+        "loc_before", F.sum("cnt").over(wloc) - F.col("cnt")
+    )
+    wcum = (
+        Window.partitionBy(seg_col)
+        .orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy(seg_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cumb = (
+        by_val.groupBy(seg_col, F.expr(f"{value_col} div {bucket_div}").alias("bk"))
+        .agg(F.sum("cnt").alias("bcnt"))
+        .select(
+            seg_col,
+            "bk",
+            (F.sum("bcnt").over(wcum) - F.col("bcnt")).alias("bucket_before"),
+            F.sum("bcnt").over(wtot).alias("n"),
+        )
+    )
+    return loc.join(cumb, [seg_col, "bk"]).select(
+        seg_col,
+        value_col,
+        "cnt",
+        (F.col("bucket_before") + F.col("loc_before") + 1).alias("start_rank"),
+        "n",
+    )

@@ -4886,3 +4886,201 @@ def analytics_diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(did / se, 4).alias("did_z"),
         (F.abs(did / se) > 1.96).alias("significant_05"),
     )
+
+
+@register(
+    "analytics_gini_by_nation",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c.c_nationkey,
+               o.o_custkey,
+               CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_nationkey, o.o_custkey
+    ),
+    ranked AS (
+        SELECT n.n_name, cents,
+               row_number() OVER (PARTITION BY n.n_name
+                                  ORDER BY cents, o_custkey) AS i,
+               COUNT(*) OVER (PARTITION BY n.n_name) AS n,
+               SUM(CAST(cents AS DECIMAL(38,0)))
+                   OVER (PARTITION BY n.n_name) AS total
+        FROM per_cust
+        JOIN nation n ON n.n_nationkey = per_cust.c_nationkey
+    )
+    SELECT n_name,
+           CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(MAX(total) AS BIGINT) AS total_cents,
+           round(2.0 * CAST(SUM(CAST(i AS DECIMAL(38,0))
+                                * CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
+                 / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(total) AS DOUBLE))
+                 - (CAST(MAX(n) AS DOUBLE) + 1) / MAX(n), 6) AS gini
+    FROM ranked GROUP BY n_name
+    """,
+    doc="Per-nation Gini coefficient of customer spend concentration — "
+        "the segmented companion to the global analytics_gini_coefficient, "
+        "built on the new PER-SEGMENT tie-group rank substrate "
+        "(operators/selection.py::value_group_ranks_by): within-nation "
+        "rank-weighted sums decompose per (nation, value) tie group as "
+        "v*(c*s + c(c-1)/2), so no per-customer window exists anywhere — "
+        "the intra-bucket window partitions on (nation, value-bucket) and "
+        "the bucket cumulative on nation, both bounded by value-domain "
+        "widths, never by customer count. The oracle keeps the naive "
+        "partitioned row_number formulation (value-identical by the "
+        "tie-group invariance argument). Scale: safe even for "
+        "corpus-scaled segment columns — every window is "
+        "segment-partitioned. Reference parity: extension surface "
+        "(SURVEY.md §2.B analytics rows).",
+)
+def analytics_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wal_consumer_spark.operators.selection import value_group_ranks_by
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    per_cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "cents")
+    )
+    vg = value_group_ranks_by(per_cust, "n_name", "cents", bucket_div=1 << 20)
+    v = F.col("cents").cast("decimal(38,0)")
+    cdec = F.col("cnt").cast("decimal(38,0)")
+    s = F.col("start_rank").cast("decimal(38,0)")
+    rank_sum = cdec * s + (
+        cdec * (cdec - F.lit(1).cast("decimal(38,0)"))
+    ) / F.lit(2).cast("decimal(38,0)")
+    return vg.groupBy("n_name").agg(
+        F.sum("cnt").cast("long").alias("n_customers"),
+        F.sum(v * cdec).cast("long").alias("total_cents"),
+        F.round(
+            F.lit(2.0)
+            * F.sum((v * rank_sum.cast("decimal(38,0)")).cast("decimal(38,0)"))
+            .cast("double")
+            / (F.sum("cnt").cast("double") * F.sum(v * cdec).cast("double"))
+            - (F.sum("cnt").cast("double") + 1) / F.sum("cnt"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "analytics_uplift_by_decile",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS BIGINT) AS treated,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS purchase_cents
+        FROM events GROUP BY user_id
+    ),
+    thr AS (
+        SELECT g.q, qq.qv[g.q] AS t
+        FROM (SELECT quantile_cont(CAST(n_events AS DOUBLE),
+                  [0.2, 0.4, 0.6, 0.8]) AS qv FROM per_user) qq
+        CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS q) g
+    ),
+    bucketed AS (
+        SELECT p.user_id, p.treated, p.purchase_cents,
+               CAST(1 + SUM(CASE WHEN p.n_events > thr.t THEN 1 ELSE 0 END)
+                    AS BIGINT) AS activity_quintile
+        FROM per_user p CROSS JOIN thr
+        GROUP BY p.user_id, p.treated, p.purchase_cents
+    ),
+    cells AS (
+        SELECT activity_quintile, treated,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(purchase_cents AS DECIMAL(38,0))) AS DOUBLE) AS s
+        FROM bucketed GROUP BY activity_quintile, treated
+    )
+    SELECT a.activity_quintile,
+           a.n AS n_treated, b.n AS n_control,
+           round(a.s / a.n / 100, 4) AS mean_treated,
+           round(b.s / b.n / 100, 4) AS mean_control,
+           round((a.s / a.n - b.s / b.n) / 100, 4) AS uplift
+    FROM cells a JOIN cells b
+      ON a.activity_quintile = b.activity_quintile
+     AND a.treated = 1 AND b.treated = 0
+    """,
+    doc="Uplift curve by activity quintile: per-user purchase outcome "
+        "split by the deterministic treatment assignment (user parity, "
+        "as in analytics_diff_in_differences) and stratified by overall "
+        "activity level — the heterogeneous-treatment-effect readout "
+        "behind targeting decisions (treat only the quintiles with "
+        "positive uplift). Quintile edges come from one interpolated "
+        "percentile aggregate (9-dp rounded in both engines) and are "
+        "applied by a broadcast 4-row threshold cross — no entity "
+        "window. Scale: per-user rollup -> bounded 5x2 cell aggregate. "
+        "Reference parity: extension surface (SURVEY.md §2.B analytics "
+        "rows).",
+)
+def analytics_uplift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        (F.col("user_id") % 2).cast("long").alias("treated"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("purchase_cents"),
+    )
+    thr = per_user.agg(
+        F.expr(
+            "percentile(cast(n_events as double), array(0.2, 0.4, 0.6, 0.8))"
+        ).alias("qv")
+    ).select(F.explode("qv").alias("t"))
+    bucketed = (
+        per_user.crossJoin(F.broadcast(thr))
+        .groupBy("user_id", "treated", "purchase_cents")
+        .agg(
+            (
+                F.lit(1)
+                + F.sum(
+                    F.when(
+                        F.col("n_events").cast("double") > F.col("t"), 1
+                    ).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias("activity_quintile")
+        )
+    )
+    cells = bucketed.groupBy("activity_quintile", "treated").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("purchase_cents").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s"),
+    )
+    a = cells.where(F.col("treated") == 1).select(
+        "activity_quintile",
+        F.col("n").alias("n_treated"),
+        F.col("s").alias("sa"),
+    )
+    b = cells.where(F.col("treated") == 0).select(
+        F.col("activity_quintile").alias("aq_b"),
+        F.col("n").alias("n_control"),
+        F.col("s").alias("sb"),
+    )
+    ma = F.col("sa") / F.col("n_treated")
+    mb = F.col("sb") / F.col("n_control")
+    return a.join(b, a.activity_quintile == b.aq_b).select(
+        "activity_quintile",
+        "n_treated",
+        "n_control",
+        F.round(ma / 100, 4).alias("mean_treated"),
+        F.round(mb / 100, 4).alias("mean_control"),
+        F.round((ma - mb) / 100, 4).alias("uplift"),
+    )

@@ -2687,3 +2687,92 @@ def ml_kmeans_inertia_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("min_dist2").cast("decimal(38,0)")).cast("long")
         .alias("inertia_q"),
     ).select(F.col("k").cast("long").alias("k"), "n_vectors", "inertia_q")
+
+
+@register(
+    "ml_multiclass_confusion_centroid",
+    oracle="""
+    WITH flat AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS dim,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS qval
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label AS cls, dim,
+               CAST(round(round(CAST(SUM(qval) AS DOUBLE) / 1000000
+                                / COUNT(*), 6) * 1000000) AS BIGINT) AS q
+        FROM flat GROUP BY label, dim
+    ),
+    pred AS (
+        SELECT vec_id, true_label, cls AS pred_label FROM (
+            SELECT f.vec_id, f.label AS true_label, c.cls,
+                   row_number() OVER (
+                       PARTITION BY f.vec_id
+                       ORDER BY SUM((f.qval - c.q) * (f.qval - c.q)) ASC,
+                                c.cls ASC) AS rn
+            FROM flat f JOIN cent c ON f.dim = c.dim
+            GROUP BY f.vec_id, f.label, c.cls
+        ) WHERE rn = 1
+    )
+    SELECT CAST(true_label AS BIGINT) AS true_label,
+           CAST(pred_label AS BIGINT) AS pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(COUNT(*) / CAST(SUM(COUNT(*)) OVER (
+                 PARTITION BY true_label) AS DOUBLE), 6) AS row_rate
+    FROM pred GROUP BY true_label, pred_label
+    """,
+    doc="Multiclass confusion matrix of the nearest-centroid classifier "
+        "(10 label centroids, same quantized-L2 E-step as "
+        "ml_kmeans_refine): per (true, predicted) cell count and the "
+        "row-normalized rate — the full-matrix companion to the binary "
+        "ml_classification_metrics, showing WHICH classes bleed into "
+        "which. Distances are exact int64 sums of quantized diffs with "
+        "class-id tie-break, so the argmin (and every cell) is "
+        "engine-deterministic. Scale: the centroid table is |k|*dim "
+        "broadcast rows; the per-vector window partitions on vec_id; "
+        "the output is bounded by |labels|^2. Reference parity: "
+        "extension surface (SURVEY.md §2.B ML rows).",
+)
+def ml_multiclass_confusion_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim0", "val")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("val").cast("double") * 1_000_000).cast("long").alias("qval"),
+    )
+    cent = flat.groupBy(F.col("label").alias("cls"), F.col("dim").alias("cdim")).agg(
+        F.round(
+            F.round(F.sum("qval").cast("double") / 1_000_000 / F.count(F.lit(1)), 6)
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("q")
+    )
+    d = F.col("qval") - F.col("q")
+    scored = (
+        flat.join(F.broadcast(cent), F.col("dim") == F.col("cdim"))
+        .groupBy("vec_id", F.col("label").alias("true_label"), "cls")
+        .agg(F.sum(d * d).alias("dist2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist2").asc(), F.col("cls").asc())
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("true_label", F.col("cls").alias("pred_label"))
+    )
+    cells = pred.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wrow = Window.partitionBy("true_label")
+    return cells.select(
+        F.col("true_label").cast("long").alias("true_label"),
+        F.col("pred_label").cast("long").alias("pred_label"),
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wrow).cast("double"), 6)
+        .alias("row_rate"),
+    )

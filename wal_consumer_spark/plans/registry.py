@@ -64,11 +64,14 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: ml_roc_curve_points, pipeline_dsir_importance_weights,
 #: ts_ljung_box_whiteness, ts_seasonal_strength,
 #: analytics_sequence_top3_paths, analytics_holm_bonferroni,
-#: set_bag_except_intersect_all) — exactly one 50-slot window. Four
+#: set_bag_except_intersect_all) — exactly one 50-slot window. Eight
 #: late round-6 additions overflow to a ROUND-8 window of their own
 #: (graph_degree_powerlaw_fit, analytics_diff_in_differences,
-#: dq_referential_integrity_audit, ml_kmeans_inertia_elbow — plus any
-#: round-7 additions), after which driver coverage closes at 342/342:
+#: dq_referential_integrity_audit, ml_kmeans_inertia_elbow,
+#: analytics_gini_by_nation, text_burstiness_dispersion,
+#: analytics_uplift_by_decile, ml_multiclass_confusion_centroid — plus
+#: any round-7 additions), after which driver coverage closes at
+#: 346/346:
 #: agg_having, agg_higher_moments, agg_histogram_totalprice,
 #: agg_key_skew_profile, agg_log2_histogram, agg_percentile_approx,
 #: agg_profile_orders, agg_stratified_sample, analytics_conversion_curve,

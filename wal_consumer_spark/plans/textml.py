@@ -1358,3 +1358,68 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("pmi_u").cast("double") / 1000000, 6).alias("pmi"),
         )
     )
+
+
+@register(
+    "text_burstiness_dispersion",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+    ),
+    per_doc AS (
+        SELECT t, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY t, doc_id
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    stats AS (
+        SELECT t,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(c) AS BIGINT) AS tf,
+               CAST(SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+                    AS DOUBLE) AS sc2
+        FROM per_doc GROUP BY t
+    )
+    SELECT t AS term, df, tf,
+           round((sc2 - CAST(tf AS DOUBLE) * tf / n_docs)
+                 / CAST(tf AS DOUBLE), 6) AS vmr_dispersion,
+           ((sc2 - CAST(tf AS DOUBLE) * tf / n_docs)
+            / CAST(tf AS DOUBLE)) > 1.5 AS is_bursty
+    FROM stats, nd
+    """,
+    doc="Per-term burstiness via the variance-to-mean (Fano) dispersion "
+        "of per-document counts, zeros included (Church & Gale: content "
+        "words are bursty — VMR >> 1 — while function words approach the "
+        "Poisson VMR of 1): VMR = (sum c^2 - tf^2/N) / tf, computed from "
+        "exact integer/DECIMAL sums with an IEEE-pinned finish, so the "
+        "flag threshold compares identical doubles in both engines. The "
+        "signal separates topical terms from glue vocabulary for "
+        "keyword extraction and stopword induction without any lexicon. "
+        "Scale: one (term, doc) count -> a vocab-bounded per-term "
+        "rollup; the 1-row corpus count attaches via broadcast — cost "
+        "is linear in token volume, output bounded by vocabulary. "
+        "Reference parity: extension surface (SURVEY.md §2.B text "
+        "rows).",
+)
+def text_burstiness_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    per_doc = tok.groupBy("t", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    cdec = F.col("c").cast("decimal(38,0)")
+    stats = per_doc.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("tf"),
+        F.sum(cdec * cdec).cast("double").alias("sc2"),
+    )
+    vmr = (
+        F.col("sc2") - F.col("tf").cast("double") * F.col("tf") / F.col("n_docs")
+    ) / F.col("tf").cast("double")
+    return stats.crossJoin(F.broadcast(nd)).select(
+        F.col("t").alias("term"),
+        "df",
+        "tf",
+        F.round(vmr, 6).alias("vmr_dispersion"),
+        (vmr > 1.5).alias("is_bursty"),
+    )
