@@ -5084,3 +5084,113 @@ def analytics_uplift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mb / 100, 4).alias("mean_control"),
         F.round((ma - mb) / 100, 4).alias("uplift"),
     )
+
+
+@register(
+    "graph_community_modularity",
+    oracle="""
+    WITH op AS (  -- distinct (order, part) incidence
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    edges AS (   -- undirected distinct co-purchase part pairs
+        SELECT DISTINCT a.p AS pa, b.p AS pb
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    ),
+    comm AS (SELECT p_partkey, p_brand FROM part),
+    tagged AS (
+        SELECT ca.p_brand AS ba, cb.p_brand AS bb
+        FROM edges
+        JOIN comm ca ON ca.p_partkey = edges.pa
+        JOIN comm cb ON cb.p_partkey = edges.pb
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM tagged),
+    within AS (
+        SELECT ba AS brand, CAST(COUNT(*) AS BIGINT) AS e_in
+        FROM tagged WHERE ba = bb GROUP BY ba
+    ),
+    deg AS (     -- community degree sum: every edge endpoint
+        SELECT brand, CAST(SUM(cnt) AS BIGINT) AS d_c FROM (
+            SELECT ba AS brand, COUNT(*) AS cnt FROM tagged GROUP BY ba
+            UNION ALL
+            SELECT bb AS brand, COUNT(*) AS cnt FROM tagged GROUP BY bb
+        ) GROUP BY brand
+    ),
+    terms AS (
+        SELECT d.brand,
+               COALESCE(w.e_in, 0) AS e_in,
+               d.d_c,
+               CAST(round((COALESCE(w.e_in, 0) / CAST(m.m AS DOUBLE)
+                           - (d.d_c / (2.0 * m.m)) * (d.d_c / (2.0 * m.m)))
+                          * 1000000000) AS BIGINT) AS q_nano
+        FROM deg d LEFT JOIN within w ON w.brand = d.brand, m
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+           CAST(MAX(m.m) AS BIGINT) AS n_edges,
+           CAST(SUM(q_nano) AS BIGINT) AS modularity_nano,
+           round(CAST(SUM(q_nano) AS DOUBLE) / 1e9, 6) AS modularity
+    FROM terms, m
+    """,
+    doc="Newman modularity Q of the brand partition over the co-purchase "
+        "part graph: Q = sum_c (e_c/m - (d_c/2m)^2) from exact integer "
+        "edge/degree counts, per-community terms quantized to 1e-9 "
+        "units before the bounded |brands|-term sum — the community-"
+        "quality score that validates (or rejects) a clustering before "
+        "it drives mixture weights or negative-sampling pools. Scale: "
+        "co-purchase pair expansion is the market-basket shape "
+        "(quadratic in per-order basket size, linear in orders), "
+        "everything after collapses to the bounded brand domain. "
+        "Reference parity: extension surface (SURVEY.md §2.B graph "
+        "rows).",
+)
+def graph_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    a = op.select(F.col("o"), F.col("p").alias("pa"))
+    b = op.select(F.col("o").alias("ob"), F.col("p").alias("pb"))
+    edges = (
+        a.join(b, (a.o == b.ob) & (F.col("pa") < F.col("pb")))
+        .select("pa", "pb")
+        .distinct()
+    )
+    comm = p.select("p_partkey", "p_brand")
+    tagged = (
+        edges.join(
+            maybe_broadcast(comm.select(F.col("p_partkey").alias("pa"),
+                                        F.col("p_brand").alias("ba"))), "pa")
+        .join(
+            maybe_broadcast(comm.select(F.col("p_partkey").alias("pb"),
+                                        F.col("p_brand").alias("bb"))), "pb")
+        .select("ba", "bb")
+        .localCheckpoint(eager=True)  # consumed by m, within, and deg
+    )
+    m = tagged.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    within = tagged.where(F.col("ba") == F.col("bb")).groupBy(
+        F.col("ba").alias("brand")
+    ).agg(F.count(F.lit(1)).cast("long").alias("e_in"))
+    deg = (
+        tagged.select(F.col("ba").alias("brand"))
+        .unionAll(tagged.select(F.col("bb").alias("brand")))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).cast("long").alias("d_c"))
+    )
+    md = F.col("m").cast("double")
+    q_nano = F.round(
+        (
+            F.coalesce(F.col("e_in"), F.lit(0)) / md
+            - (F.col("d_c") / (F.lit(2.0) * F.col("m")))
+            * (F.col("d_c") / (F.lit(2.0) * F.col("m")))
+        )
+        * F.lit(1_000_000_000)
+    ).cast("long")
+    terms = (
+        deg.join(within, "brand", "left")
+        .crossJoin(F.broadcast(m))
+        .select("brand", q_nano.alias("q_nano"), "m")
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.max("m").cast("long").alias("n_edges"),
+        F.sum("q_nano").cast("long").alias("modularity_nano"),
+        F.round(F.sum("q_nano").cast("double") / F.lit(1e9), 6).alias("modularity"),
+    )

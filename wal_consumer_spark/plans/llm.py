@@ -2776,3 +2776,145 @@ def ml_multiclass_confusion_centroid(spark: SparkSession, sf_dir: str) -> DataFr
         F.round(F.col("n") / F.sum("n").over(wrow).cast("double"), 6)
         .alias("row_rate"),
     )
+
+
+@register(
+    "pipeline_dedup_impact_report",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id, source,
+               len({_TOKS}) AS n_tokens,
+               sha256(text) AS h
+        FROM documents
+    ),
+    keep AS (SELECT h, MIN(doc_id) AS canonical FROM fp GROUP BY h)
+    SELECT fp.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(count_if(fp.doc_id <> k.canonical) AS BIGINT) AS n_removed,
+           CAST(SUM(fp.n_tokens) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN fp.doc_id <> k.canonical
+                    THEN fp.n_tokens ELSE 0 END) AS BIGINT) AS tokens_removed,
+           round(SUM(CASE WHEN fp.doc_id <> k.canonical
+                     THEN fp.n_tokens ELSE 0 END)
+                 / CAST(SUM(fp.n_tokens) AS DOUBLE), 6) AS token_removal_rate
+    FROM fp JOIN keep k USING (h)
+    GROUP BY fp.source
+    """,
+    doc="Dedup impact report: what exact-hash dedup (keep-first by "
+        "doc_id, the dedup_exact_hash policy) would remove, broken down "
+        "by source — document counts, token counts, and the token "
+        "removal rate per source. This is the before/after accounting a "
+        "curation run publishes alongside the dedup itself (which "
+        "sources are redundant mirrors, how much of the token budget "
+        "dedup buys back). Plan: one fingerprint pass, a MIN(doc_id) "
+        "aggregate on the hash key, a join back on that key (partition "
+        "reuse), one bounded per-source rollup — linear at any corpus "
+        "size. Reference parity: extension surface (SURVEY.md §2.B "
+        "curation rows).",
+)
+def pipeline_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.sha2("text", 256).alias("h"),
+    )
+    keep = fp.groupBy("h").agg(F.min("doc_id").alias("canonical"))
+    removed = F.col("doc_id") != F.col("canonical")
+    return (
+        fp.join(keep, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_if(removed).cast("long").alias("n_removed"),
+            F.sum("n_tokens").cast("long").alias("tokens_total"),
+            F.sum(F.when(removed, F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("tokens_removed"),
+            F.round(
+                F.sum(F.when(removed, F.col("n_tokens")).otherwise(0))
+                / F.sum("n_tokens").cast("double"),
+                6,
+            ).alias("token_removal_rate"),
+        )
+    )
+
+
+def _dedup_threshold_sweep_sql() -> str:
+    coeffs = "[" + ", ".join(f"[{a}, {b}]" for a, b in minhash_coeffs(32, 7)) + "]"
+    return f"""
+    WITH hs AS (
+        SELECT doc_id,
+               list_transform({_SHINGLES},
+                              s -> ('0x' || substring(md5(s), 1, 8))::BIGINT) AS h
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+               list_transform({coeffs}, c ->
+                   list_min(list_transform(h, x -> (c[1] * x + c[2]) % 4294967311))) AS sig
+        FROM hs
+    ),
+    banded AS (
+        SELECT doc_id, sig, b.b AS band,
+               array_to_string(list_slice(sig, b.b * 8 + 1, b.b * 8 + 8), ',') AS bucket
+        FROM sig, (SELECT unnest(range(0, 4)) AS b) b
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc1, c.doc_id AS doc2, a.sig AS sig1, c.sig AS sig2
+        FROM banded a JOIN banded c USING (band, bucket)
+        WHERE a.doc_id < c.doc_id
+    ),
+    est AS (
+        SELECT doc1, doc2,
+               MAX(list_sum(list_transform(range(1, 33),
+                       i -> CASE WHEN sig1[i] = sig2[i] THEN 1 ELSE 0 END)) / 32.0)
+                   AS est
+        FROM pairs GROUP BY doc1, doc2
+    ),
+    grid AS (SELECT unnest([40, 50, 60, 70, 80, 90]) AS thr_centi)
+    SELECT g.thr_centi,
+           CAST(count_if(e.est * 100 >= g.thr_centi) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN e.est * 100 >= g.thr_centi
+                                    THEN e.doc2 END) AS BIGINT)
+               AS n_docs_droppable
+    FROM grid g CROSS JOIN est e
+    GROUP BY g.thr_centi
+    """
+
+
+@register(
+    "dedup_threshold_sensitivity",
+    oracle=_dedup_threshold_sweep_sql(),
+    doc="Near-dup threshold sensitivity sweep: for Jaccard cutoffs 0.40 "
+        "to 0.90, how many candidate pairs the MinHash-LSH estimate "
+        "keeps and how many documents keep-first dedup would drop (the "
+        "later member doc2 of each surviving pair) — the tuning readout "
+        "run before committing a threshold, since the drop count is "
+        "what moves the token budget. Pipeline identical to "
+        "dedup_minhash_lsh (same portable hashes, so the sweep is "
+        "engine-exact); the sweep itself is a broadcast 6-row grid "
+        "against the bounded candidate-pair table — free relative to "
+        "candidate generation at any scale. Reference parity: "
+        "extension surface (SURVEY.md §2.B dedup rows).",
+)
+def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # portable hashes so the oracle replays signatures bit-identically
+    # (same contract as dedup_minhash_lsh)
+    sigs = minhash_signature(d, "doc_id", "text", portable=True).persist()
+    cand = minhash_candidates(sigs)
+    est = minhash_jaccard_estimate(sigs, cand)
+    grid = spark.range(4, 10).select((F.col("id") * 10).cast("int").alias("thr_centi"))
+    hit = F.col("est_jaccard") * 100 >= F.col("thr_centi")
+    return (
+        est.crossJoin(F.broadcast(grid))
+        .groupBy("thr_centi")
+        .agg(
+            F.count_if(hit).cast("long").alias("n_pairs"),
+            F.count_distinct(F.when(hit, F.col("doc2")))
+            .cast("long")
+            .alias("n_docs_droppable"),
+        )
+    )
