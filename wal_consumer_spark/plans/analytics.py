@@ -5194,3 +5194,365 @@ def graph_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("q_nano").cast("long").alias("modularity_nano"),
         F.round(F.sum("q_nano").cast("double") / F.lit(1e9), 6).alias("modularity"),
     )
+
+
+@register(
+    "ml_pr_curve_average_precision",
+    oracle="""
+    WITH scored AS (
+        SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS s,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS y
+        FROM customer
+    ),
+    by_s AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS n_s,
+               CAST(SUM(y) AS BIGINT) AS tp_s
+        FROM scored GROUP BY s
+    ),
+    blocks AS (
+        SELECT s, n_s, tp_s,
+               CAST(SUM(n_s) OVER (ORDER BY s DESC) AS BIGINT) AS cum_n,
+               CAST(SUM(tp_s) OVER (ORDER BY s DESC) AS BIGINT) AS cum_tp,
+               CAST(SUM(tp_s) OVER () AS BIGINT) AS p
+        FROM by_s
+    ),
+    terms AS (
+        SELECT cum_tp, cum_n, p,
+               CAST(CUM_TP AS DOUBLE) / cum_n AS prec_end,
+               CAST(cum_tp AS DOUBLE) / p AS recall_end,
+               CAST(round(((tp_s * (CAST(cum_tp AS DOUBLE) / cum_n)) / p)
+                          * 1000000000000) AS BIGINT) AS ap_pico
+        FROM blocks
+    ),
+    ap AS (
+        SELECT round(CAST(SUM(ap_pico) AS DOUBLE) / 1000000000000, 9) AS ap
+        FROM terms
+    ),
+    grid AS (SELECT CAST(unnest(generate_series(0, 10)) AS BIGINT) AS r_idx)
+    SELECT g.r_idx,
+           CAST(g.r_idx AS DOUBLE) / 10.0 AS recall_target,
+           round(MAX(t.prec_end), 9) AS precision_interp,
+           MAX(ap.ap) AS ap
+    FROM grid g
+    JOIN terms t ON t.recall_end >= CAST(g.r_idx AS DOUBLE) / 10.0
+    CROSS JOIN ap
+    GROUP BY g.r_idx
+    """,
+    doc="Eleven-point interpolated precision-recall curve plus tie-aware "
+        "average precision for the acctbal score against the BUILDING "
+        "label: score-tie blocks (descending) carry exact cumulative "
+        "TP/row counts; AP = sum over blocks of tp_block * "
+        "precision_at_block_end / P with per-block terms quantized to "
+        "1e-12 before the sum; interpolated precision at recall r is "
+        "the max block precision among blocks with recall >= r. The "
+        "ranking-eval companion to ml_auc_rank_sum / "
+        "ml_roc_curve_points for imbalanced-positive retrieval. Plan: "
+        "one narrow groupBy collapses rows to distinct scores; "
+        "cumulative ranks come from the bucketed two-level pattern of "
+        "operators/selection.py::value_group_ranks (intra-bucket window "
+        "partitioned by score div 10000, global cumulative only over "
+        "the bounded bucket AGGREGATE); the 11-point grid is a "
+        "broadcast Range joined by a theta condition to the bounded "
+        "block table. No per-row global window, no corpus sort. "
+        "Reference parity: extension surface (SURVEY.md §2.B ML rows).",
+)
+def ml_pr_curve_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    scored = cust.select(
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("s"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("y"),
+    )
+    by_s = scored.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s"),
+        F.sum("y").cast("long").alias("tp_s"),
+    ).withColumn("neg", -F.col("s"))
+    # Bucketed descending cumulative (value_group_ranks pattern): the only
+    # global window runs over the bounded bucket AGGREGATE, never the rows.
+    wloc = (
+        Window.partitionBy("bk")
+        .orderBy("neg")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    loc = by_s.withColumn("bk", F.expr("neg div 10000")).select(
+        "s", "n_s", "tp_s", "neg", "bk",
+        F.sum("n_s").over(wloc).alias("loc_n"),
+        F.sum("tp_s").over(wloc).alias("loc_tp"),
+    )
+    wcum = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, 0)
+    wtot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cumb = (
+        by_s.groupBy(F.expr("neg div 10000").alias("bk"))
+        .agg(F.sum("n_s").alias("bn"), F.sum("tp_s").alias("btp"))
+        .select(
+            "bk",
+            (F.sum("bn").over(wcum) - F.col("bn")).alias("before_n"),
+            (F.sum("btp").over(wcum) - F.col("btp")).alias("before_tp"),
+            F.sum("btp").over(wtot).cast("long").alias("p"),
+        )
+    )
+    blocks = loc.join(cumb, "bk").select(
+        "tp_s",
+        (F.col("before_n") + F.col("loc_n")).cast("long").alias("cum_n"),
+        (F.col("before_tp") + F.col("loc_tp")).cast("long").alias("cum_tp"),
+        "p",
+    )
+    prec_end = F.col("cum_tp").cast("double") / F.col("cum_n")
+    recall_end = F.col("cum_tp").cast("double") / F.col("p")
+    ap_pico = F.round(
+        ((F.col("tp_s") * (F.col("cum_tp").cast("double") / F.col("cum_n")))
+         / F.col("p"))
+        * F.lit(1_000_000_000_000)
+    ).cast("long")
+    terms = blocks.select(
+        prec_end.alias("prec_end"),
+        recall_end.alias("recall_end"),
+        ap_pico.alias("ap_pico"),
+    ).localCheckpoint(eager=True)  # consumed by ap and the grid join
+    ap = terms.agg(
+        F.round(
+            F.sum("ap_pico").cast("double") / F.lit(1_000_000_000_000), 9
+        ).alias("ap")
+    )
+    grid = spark.range(0, 11).select(F.col("id").cast("long").alias("r_idx"))
+    return (
+        terms.join(
+            F.broadcast(grid),
+            F.col("recall_end")
+            >= F.col("r_idx").cast("double") / F.lit(10.0),
+        )
+        .groupBy("r_idx")
+        .agg(F.round(F.max("prec_end"), 9).alias("precision_interp"))
+        .crossJoin(F.broadcast(ap))
+        .select(
+            "r_idx",
+            (F.col("r_idx").cast("double") / F.lit(10.0)).alias("recall_target"),
+            "precision_interp",
+            "ap",
+        )
+    )
+
+
+@register(
+    "ml_brier_decomposition",
+    oracle="""
+    WITH mm AS (
+        SELECT CAST(MIN(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS min_c,
+               CAST(MAX(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS max_c
+        FROM customer
+    ),
+    scored AS (
+        SELECT CAST(round(c_acctbal * 100) AS BIGINT) - mm.min_c AS f_rel,
+               mm.max_c - mm.min_c AS rng,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS y
+        FROM customer, mm
+    ),
+    binned AS (
+        SELECT CASE WHEN (f_rel * 10) // rng > 9 THEN 9
+                    ELSE (f_rel * 10) // rng END AS bin,
+               f_rel, rng, y
+        FROM scored
+    ),
+    gtot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS pos,
+               CAST(SUM((f_rel - y * rng) * (f_rel - y * rng)) AS BIGINT)
+                   AS sq_sum,
+               CAST(MAX(rng) AS BIGINT) AS rng
+        FROM binned
+    ),
+    bins AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_k,
+               CAST(SUM(y) AS BIGINT) AS tp_k,
+               CAST(SUM(f_rel) AS BIGINT) AS sum_rel
+        FROM binned GROUP BY bin
+    ),
+    terms AS (
+        SELECT CAST(round(n_k * ((CAST(sum_rel AS DOUBLE) / (n_k * g.rng)
+                                  - CAST(tp_k AS DOUBLE) / n_k)
+                                 * (CAST(sum_rel AS DOUBLE) / (n_k * g.rng)
+                                    - CAST(tp_k AS DOUBLE) / n_k))
+                          / g.n * 1000000000) AS BIGINT) AS rel_nano,
+               CAST(round(n_k * ((CAST(tp_k AS DOUBLE) / n_k
+                                  - CAST(g.pos AS DOUBLE) / g.n)
+                                 * (CAST(tp_k AS DOUBLE) / n_k
+                                    - CAST(g.pos AS DOUBLE) / g.n))
+                          / g.n * 1000000000) AS BIGINT) AS res_nano
+        FROM bins, gtot g
+    )
+    SELECT g.n, g.pos,
+           round(CAST(g.sq_sum AS DOUBLE)
+                 / ((CAST(g.rng AS DOUBLE) * g.rng) * g.n), 9) AS brier,
+           round((CAST(g.pos AS DOUBLE) / g.n)
+                 * (1.0 - CAST(g.pos AS DOUBLE) / g.n), 9) AS uncertainty,
+           round(CAST(SUM(t.rel_nano) AS DOUBLE) / 1000000000, 9)
+               AS reliability,
+           round(CAST(SUM(t.res_nano) AS DOUBLE) / 1000000000, 9)
+               AS resolution
+    FROM terms t, gtot g
+    GROUP BY g.n, g.pos, g.sq_sum, g.rng
+    """,
+    doc="Murphy decomposition of the Brier score for the min-max-"
+        "normalized acctbal forecast against the BUILDING label: "
+        "brier = reliability - resolution + uncertainty, with the raw "
+        "Brier term computed EXACTLY as an integer sum "
+        "(sum((f_rel - y*range)^2) / (range^2 * n) — the numerator "
+        "never leaves int64), ten equal-width forecast bins, and "
+        "per-bin reliability/resolution terms quantized to 1e-9 before "
+        "the bounded 10-term sum — the calibration-quality triage that "
+        "says WHY a score is miscalibrated (bad bins) vs undiscriminating "
+        "(no resolution), one level deeper than ml_calibration_bins. "
+        "Plan: one 2-scalar min/max aggregate broadcast into a single "
+        "map-side pass, one bounded 10-group rollup, two 1-row joins; "
+        "int64 headroom holds to ~sf10 (sq_sum <= rng^2 * n ~ 1.8e18). "
+        "Reference parity: extension surface (SURVEY.md §2.B ML rows).",
+)
+def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    base = cust.select(
+        cents.alias("s"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("y"),
+    )
+    mm = base.agg(
+        F.min("s").cast("long").alias("min_c"),
+        F.max("s").cast("long").alias("max_c"),
+    )
+    binned = (
+        base.crossJoin(F.broadcast(mm))
+        .select(
+            (F.col("s") - F.col("min_c")).alias("f_rel"),
+            (F.col("max_c") - F.col("min_c")).alias("rng"),
+            "y",
+        )
+        .select(
+            F.when(F.expr("(f_rel * 10) div rng") > 9, F.lit(9))
+            .otherwise(F.expr("(f_rel * 10) div rng"))
+            .alias("bin"),
+            "f_rel",
+            "rng",
+            "y",
+        )
+    )
+    glob = binned.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+        F.sum(
+            (F.col("f_rel") - F.col("y") * F.col("rng"))
+            * (F.col("f_rel") - F.col("y") * F.col("rng"))
+        ).cast("long").alias("sq_sum"),
+        F.max("rng").cast("long").alias("rng"),
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_k"),
+        F.sum("y").cast("long").alias("tp_k"),
+        F.sum("f_rel").cast("long").alias("sum_rel"),
+    )
+    fbar = F.col("sum_rel").cast("double") / (F.col("n_k") * F.col("rng"))
+    ybar_k = F.col("tp_k").cast("double") / F.col("n_k")
+    ybar = F.col("pos").cast("double") / F.col("n")
+    terms = bins.crossJoin(F.broadcast(glob)).select(
+        F.round(
+            F.col("n_k") * ((fbar - ybar_k) * (fbar - ybar_k))
+            / F.col("n") * F.lit(1_000_000_000)
+        ).cast("long").alias("rel_nano"),
+        F.round(
+            F.col("n_k") * ((ybar_k - ybar) * (ybar_k - ybar))
+            / F.col("n") * F.lit(1_000_000_000)
+        ).cast("long").alias("res_nano"),
+        "n", "pos", "sq_sum", "rng",
+    )
+    return terms.groupBy("n", "pos", "sq_sum", "rng").agg(
+        F.round(F.sum("rel_nano").cast("double") / F.lit(1_000_000_000), 9)
+        .alias("reliability"),
+        F.round(F.sum("res_nano").cast("double") / F.lit(1_000_000_000), 9)
+        .alias("resolution"),
+    ).select(
+        "n",
+        "pos",
+        F.round(
+            F.col("sq_sum").cast("double")
+            / ((F.col("rng").cast("double") * F.col("rng")) * F.col("n")),
+            9,
+        ).alias("brier"),
+        F.round(ybar * (F.lit(1.0) - ybar), 9).alias("uncertainty"),
+        "reliability",
+        "resolution",
+    )
+
+
+@register(
+    "ml_cohens_kappa",
+    oracle="""
+    WITH rated AS (
+        SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+               CASE WHEN length(text) - length(replace(text, ' ', '')) + 1
+                         >= 55 THEN 1 ELSE 0 END AS b
+        FROM documents
+    ),
+    cm AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(count_if(a = 1 AND b = 1) AS BIGINT) AS n11,
+               CAST(count_if(a = 1 AND b = 0) AS BIGINT) AS n10,
+               CAST(count_if(a = 0 AND b = 1) AS BIGINT) AS n01,
+               CAST(count_if(a = 0 AND b = 0) AS BIGINT) AS n00
+        FROM rated
+    )
+    SELECT n, n11, n10, n01, n00,
+           round(CAST(n11 + n00 AS DOUBLE) / n, 6) AS p_observed,
+           round(((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                 / (CAST(n AS DOUBLE) * n), 6) AS p_expected,
+           round((CAST(n11 + n00 AS DOUBLE) / n
+                  - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                    / (CAST(n AS DOUBLE) * n))
+                 / (1.0 - ((n11 + n10) * (n11 + n01)
+                           + (n01 + n00) * (n10 + n00))
+                          / (CAST(n AS DOUBLE) * n)), 9) AS kappa
+    FROM cm
+    """,
+    doc="Cohen's kappa chance-corrected agreement between two length-proxy "
+        "binary raters over documents (stored n_chars >= 300 vs "
+        "whitespace token count >= 55 — both measure document length, so "
+        "agreement is real: kappa ~0.98 at sf0.01/sf0.1, probed before "
+        "committing to the thresholds): exact int64 confusion counts in "
+        "ONE map-side-combinable aggregate, marginal-product expected "
+        "agreement (integer numerator, headroom to ~sf100 at n^2 ~ "
+        "3.6e17), kappa = (po - pe)/(1 - pe) — the inter-annotator / "
+        "model-vs-model agreement gate used before trusting auto-labels "
+        "in a training pipeline. Plan: single full-scan aggregate, no "
+        "shuffle beyond the 1-row combine, everything whole-stage "
+        "codegen. Reference parity: extension surface (SURVEY.md §2.B "
+        "ML rows).",
+)
+def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    rated = docs.select(
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("a"),
+        F.when(tokens >= 55, 1).otherwise(0).alias("b"),
+    )
+    cm = rated.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_if((F.col("a") == 1) & (F.col("b") == 1)).cast("long").alias("n11"),
+        F.count_if((F.col("a") == 1) & (F.col("b") == 0)).cast("long").alias("n10"),
+        F.count_if((F.col("a") == 0) & (F.col("b") == 1)).cast("long").alias("n01"),
+        F.count_if((F.col("a") == 0) & (F.col("b") == 0)).cast("long").alias("n00"),
+    )
+    po = (F.col("n11") + F.col("n00")).cast("double") / F.col("n")
+    pe = (
+        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    ) / (F.col("n").cast("double") * F.col("n"))
+    return cm.select(
+        "n", "n11", "n10", "n01", "n00",
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 9).alias("kappa"),
+    )
