@@ -5556,3 +5556,207 @@ def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 6).alias("p_expected"),
         F.round((po - pe) / (F.lit(1.0) - pe), 9).alias("kappa"),
     )
+
+
+@register(
+    "graph_bfs_distance_histogram",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    e AS (       -- co-purchase pairs seen in >= 2 distinct orders
+        SELECT a.p AS pa, b.p AS pb
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+    ),
+    edges AS (
+        SELECT pa AS src, pb AS dst FROM e
+        UNION ALL
+        SELECT pb AS src, pa AS dst FROM e
+    ),
+    walk AS (
+        WITH RECURSIVE w(p, d) AS (
+            SELECT p_partkey, 0 FROM part WHERE p_brand = 'Brand#13'
+            UNION
+            SELECT edges.dst, w.d + 1
+            FROM w JOIN edges ON edges.src = w.p
+            WHERE w.d < 4
+        )
+        SELECT p, CAST(MIN(d) AS BIGINT) AS dist FROM w GROUP BY p
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_parts FROM part)
+    SELECT dist,
+           CAST(COUNT(*) AS BIGINT) AS n_reached,
+           round(CAST(COUNT(*) AS DOUBLE) / MAX(tot.n_parts), 6)
+               AS share_of_parts
+    FROM walk, tot
+    GROUP BY dist
+    """,
+    doc="Multi-source BFS distance histogram over the strength-thresholded "
+        "co-purchase part graph (pairs co-bought in >= 2 distinct orders "
+        "— the raw co-purchase graph is near-complete and collapses every "
+        "distance to <= 2, probed before committing; thresholded it "
+        "spreads 5 populated levels): seeds are one brand's parts, four "
+        "fixed frontier-expansion rounds with min-distance semantics, "
+        "per-level reach counts and share of the part domain — the "
+        "ego-network / blast-radius readout (how far does an association "
+        "propagate) that two-hop reach cannot answer. Plan: each round "
+        "is one equi-join frontier expansion + distinct + anti-join "
+        "against the visited set; the new frontier is localCheckpointed "
+        "per round (consumed by both the union and the next expansion), "
+        "so no round re-derives prior rounds; the edge list is built "
+        "once and checkpointed. At 100 TB the frontier joins shuffle on "
+        "part keys only; no global window, no collect. DuckDB oracle is "
+        "the depth-bounded UNION-dedup recursive CTE — true BFS, not "
+        "path enumeration. Reference parity: extension surface "
+        "(SURVEY.md §2.B graph rows).",
+)
+def graph_bfs_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = op.select("o", F.col("p").alias("pa"))
+    b = op.select(F.col("o").alias("ob"), F.col("p").alias("pb"))
+    e = (
+        a.join(b, (a.o == b.ob) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("pa", "pb")
+    )
+    edges = (
+        e.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionByName(e.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .localCheckpoint(eager=True)  # reused by all four rounds
+    )
+    seeds = (
+        part.where(F.col("p_brand") == "Brand#13")
+        .select(F.col("p_partkey").alias("p"))
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    visited = seeds
+    frontier = seeds.select("p")
+    for d in range(1, 5):
+        cand = (
+            frontier.join(edges, frontier.p == edges.src)
+            .select(F.col("dst").alias("p"))
+            .distinct()
+        )
+        new = (
+            cand.join(visited, "p", "left_anti")
+            .withColumn("dist", F.lit(d).cast("long"))
+            .localCheckpoint(eager=True)  # consumed by union AND next frontier
+        )
+        visited = visited.unionByName(new)
+        frontier = new.select("p")
+    tot = part.agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+    return (
+        visited.groupBy("dist")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_reached"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dist",
+            "n_reached",
+            F.round(
+                F.col("n_reached").cast("double") / F.col("n_parts"), 6
+            ).alias("share_of_parts"),
+        )
+    )
+
+
+@register(
+    "analytics_order_gap_distribution",
+    oracle="""
+    WITH d AS (
+        SELECT o_custkey,
+               epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+               o_orderkey
+        FROM orders
+    ),
+    g AS (
+        SELECT day - lag(day) OVER (
+                   PARTITION BY o_custkey ORDER BY day, o_orderkey) AS gap
+        FROM d
+    ),
+    b AS (
+        SELECT CASE WHEN gap = 0 THEN 0 WHEN gap <= 7 THEN 1
+                    WHEN gap <= 30 THEN 2 WHEN gap <= 90 THEN 3
+                    WHEN gap <= 365 THEN 4 ELSE 5 END AS bucket_id,
+               CASE WHEN gap = 0 THEN 'same_day' WHEN gap <= 7 THEN '1_7d'
+                    WHEN gap <= 30 THEN '8_30d' WHEN gap <= 90 THEN '31_90d'
+                    WHEN gap <= 365 THEN '91_365d' ELSE 'over_1y'
+                    END AS bucket,
+               gap
+        FROM g WHERE gap IS NOT NULL
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM b)
+    SELECT CAST(bucket_id AS BIGINT) AS bucket_id, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           round(CAST(COUNT(*) AS DOUBLE) / MAX(tot.n_total), 6) AS share,
+           round(CAST(SUM(gap) AS DOUBLE) / COUNT(*), 6) AS mean_gap_days
+    FROM b, tot
+    GROUP BY bucket_id, bucket
+    """,
+    doc="Repeat-purchase latency distribution: per-customer consecutive "
+        "order-date gaps (floored epoch-day difference — no engine "
+        "datediff conventions) bucketed into six fixed ranges with "
+        "counts, shares, and exact-integer per-bucket mean gaps — the "
+        "inter-purchase-time readout behind replenishment forecasting "
+        "and churn-window selection (all six buckets populated at "
+        "sf0.01, probed). Plan: the lag window is customer-partitioned "
+        "(bounded per entity, never global), the bucket rollup is a "
+        "bounded 6-group aggregate, and the total is a broadcast 1-row "
+        "scalar. Reference parity: extension surface (SURVEY.md §2.B "
+        "analytics rows).",
+)
+def analytics_order_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    # integer floor-div mirrors the oracle's `//` exactly (all positive)
+    day = F.expr(
+        "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+    )
+    d = o.select(F.col("o_custkey"), day.alias("day"), F.col("o_orderkey"))
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    g = d.select((F.col("day") - F.lag("day").over(w)).alias("gap")).where(
+        F.col("gap").isNotNull()
+    )
+    bucket_id = (
+        F.when(F.col("gap") == 0, 0)
+        .when(F.col("gap") <= 7, 1)
+        .when(F.col("gap") <= 30, 2)
+        .when(F.col("gap") <= 90, 3)
+        .when(F.col("gap") <= 365, 4)
+        .otherwise(5)
+    )
+    bucket = (
+        F.when(F.col("gap") == 0, "same_day")
+        .when(F.col("gap") <= 7, "1_7d")
+        .when(F.col("gap") <= 30, "8_30d")
+        .when(F.col("gap") <= 90, "31_90d")
+        .when(F.col("gap") <= 365, "91_365d")
+        .otherwise("over_1y")
+    )
+    b = g.select(
+        bucket_id.cast("long").alias("bucket_id"), bucket.alias("bucket"), "gap"
+    ).localCheckpoint(eager=True)  # consumed by tot and the rollup
+    tot = b.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        b.groupBy("bucket_id", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.sum("gap").cast("long").alias("gap_sum"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket_id",
+            "bucket",
+            "n_gaps",
+            F.round(F.col("n_gaps").cast("double") / F.col("n_total"), 6)
+            .alias("share"),
+            F.round(F.col("gap_sum").cast("double") / F.col("n_gaps"), 6)
+            .alias("mean_gap_days"),
+        )
+    )

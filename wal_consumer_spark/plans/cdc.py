@@ -1783,3 +1783,97 @@ def dq_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFram
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def _uniq_profile_sql(col_expr: str, col_name: str) -> str:
+    """One column's uniqueness-profile SELECT (DuckDB side)."""
+    return f"""
+    SELECT '{col_name}' AS col_name, n, n_distinct,
+           round(1.0 - CAST(n_distinct AS DOUBLE) / n, 6) AS dup_ratio,
+           round(CAST(top1 AS DOUBLE) / n, 6) AS top1_share,
+           round(CAST(ent_micro AS DOUBLE) / n / 1000000, 6) AS entropy_nats
+    FROM (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(MAX(c) AS BIGINT) AS top1,
+               CAST(SUM(CAST(round(c * ln(CAST(nn.n AS DOUBLE) / c)
+                                   * 1000000) AS BIGINT)) AS BIGINT)
+                   AS ent_micro
+        FROM (SELECT {col_expr} AS v, COUNT(*) AS c FROM orders GROUP BY 1) g,
+             (SELECT COUNT(*) AS n FROM orders) nn
+        GROUP BY nn.n
+    )
+    """
+
+
+@register(
+    "dq_uniqueness_profile",
+    oracle=" UNION ALL ".join(
+        _uniq_profile_sql(expr, name)
+        for expr, name in [
+            ("o_custkey", "o_custkey"),
+            ("o_orderstatus", "o_orderstatus"),
+            ("o_orderpriority", "o_orderpriority"),
+            ("CAST(round(o_totalprice * 100) AS BIGINT)", "o_totalprice"),
+            ("epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000",
+             "o_orderdate"),
+        ]
+    ),
+    doc="Per-column uniqueness/cardinality profile of orders (key, two "
+        "enums, price, date): row count, exact distinct count, "
+        "duplication ratio, top-1 value share, and Shannon entropy in "
+        "nats (per-group terms c*ln(n/c) quantized to 1e-6 before the "
+        "sum — the ln-determinism convention) — the column-profiling "
+        "pass that catches silent key collapse, enum drift, and "
+        "constant columns before they poison joins or training labels. "
+        "Plan: one narrow hash groupBy per profiled column (5 bounded "
+        "passes over a projected scan), each collapsed map-side; the "
+        "corpus-size scalar joins in as a broadcast 1-row aggregate; "
+        "output is exactly 5 rows. Reference parity: extension surface "
+        "(SURVEY.md §2.B DQ rows).",
+)
+def dq_uniqueness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cols = {
+        "o_custkey": F.col("o_custkey"),
+        "o_orderstatus": F.col("o_orderstatus"),
+        "o_orderpriority": F.col("o_orderpriority"),
+        "o_totalprice": F.round(F.col("o_totalprice") * 100).cast("long"),
+        "o_orderdate": F.expr(
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+        ),
+    }
+    out = None
+    for name, expr in cols.items():
+        g = o.groupBy(expr.alias("v")).agg(F.count(F.lit(1)).alias("c"))
+        nn = o.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        ent_term = F.round(
+            F.col("c") * F.log(F.col("n").cast("double") / F.col("c"))
+            * F.lit(1_000_000)
+        ).cast("long")
+        prof = (
+            g.crossJoin(F.broadcast(nn))
+            .agg(
+                F.max("n").alias("n"),
+                F.count(F.lit(1)).cast("long").alias("n_distinct"),
+                F.max("c").cast("long").alias("top1"),
+                F.sum(ent_term).cast("long").alias("ent_micro"),
+            )
+            .select(
+                F.lit(name).alias("col_name"),
+                "n",
+                "n_distinct",
+                F.round(
+                    F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n"),
+                    6,
+                ).alias("dup_ratio"),
+                F.round(F.col("top1").cast("double") / F.col("n"), 6)
+                .alias("top1_share"),
+                F.round(
+                    F.col("ent_micro").cast("double") / F.col("n") / F.lit(1_000_000),
+                    6,
+                ).alias("entropy_nats"),
+            )
+        )
+        out = prof if out is None else out.unionByName(prof)
+    return out

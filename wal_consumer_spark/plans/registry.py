@@ -72,8 +72,11 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: analytics_uplift_by_decile, ml_multiclass_confusion_centroid,
 #: graph_community_modularity, pipeline_dedup_impact_report,
 #: dedup_threshold_sensitivity, ml_pr_curve_average_precision,
-#: ml_brier_decomposition, ml_cohens_kappa — plus any round-7
-#: additions), after which driver coverage closes at 352/352:
+#: ml_brier_decomposition, ml_cohens_kappa,
+#: graph_bfs_distance_histogram, text_source_shingle_jaccard,
+#: analytics_order_gap_distribution, dq_uniqueness_profile,
+#: ts_spectral_dft_topk — plus any round-7 additions), after which
+#: driver coverage closes at 357/357:
 #: agg_having, agg_higher_moments, agg_histogram_totalprice,
 #: agg_key_skew_profile, agg_log2_histogram, agg_percentile_approx,
 #: agg_profile_orders, agg_stratified_sample, analytics_conversion_curve,

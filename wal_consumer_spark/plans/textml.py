@@ -1423,3 +1423,92 @@ def text_burstiness_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(vmr, 6).alias("vmr_dispersion"),
         (vmr > 1.5).alias("is_bursty"),
     )
+
+
+_TRIGRAMS = (
+    "list_distinct(list_transform(generate_series(0, greatest(len({t}) - 3, 0)), "
+    "i -> array_to_string(list_slice({t}, i + 1, i + 3), ' ')))"
+).format(t=_TOKS)
+
+
+@register(
+    "text_source_shingle_jaccard",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT source, unnest({_TRIGRAMS}) AS s FROM documents
+    ),
+    sizes AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM tok GROUP BY source
+    ),
+    inter AS (
+        SELECT a.source AS sa, b.source AS sb,
+               CAST(COUNT(*) AS BIGINT) AS inter_cnt
+        FROM tok a JOIN tok b ON a.s = b.s AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT i.sa AS source_a, i.sb AS source_b,
+           x.v AS vocab_a, y.v AS vocab_b, i.inter_cnt,
+           round(CAST(i.inter_cnt AS DOUBLE)
+                 / (x.v + y.v - i.inter_cnt), 9) AS jaccard
+    FROM inter i
+    JOIN sizes x ON x.source = i.sa
+    JOIN sizes y ON y.source = i.sb
+    """,
+    doc="Pairwise trigram-shingle vocabulary Jaccard between every pair of "
+        "sources (|A intersect B| / |A union B| with the union size "
+        "derived from exact integer counts, never materialized): the "
+        "corpus-level source-similarity matrix that drives mixture "
+        "dedup decisions — which crawls are near-copies of each other — "
+        "one level above document-pair dedup. Trigram shingles, not "
+        "unigrams: this corpus has only ~31 distinct tokens (probed "
+        "before committing — unigram Jaccard is ~1.0 for every pair, "
+        "vacuous), while trigram Jaccard spreads 0.01-0.08. Plan: one "
+        "distinct (source, shingle) incidence collapse, then a "
+        "shingle-keyed equi-join whose per-key fanout is bounded by the "
+        "source domain — pair space is quadratic in |sources|, linear "
+        "in shingle volume; at corpus-scale source counts (thousands of "
+        "crawls) swap the exact pair join for the MinHash-LSH tier "
+        "(operators/dedup.py) — same contract, banded candidates. "
+        "Size-conditional broadcast on the per-source size table. "
+        "Reference parity: extension surface (SURVEY.md §2.B text "
+        "rows).",
+)
+def text_source_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "source",
+            F.explode(word_shingles(tokens(F.col("text")), 3)).alias("s"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed by sizes and the pair join
+    )
+    sizes = tok.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("v"))
+    a = tok.select(F.col("source").alias("sa"), "s")
+    b = tok.select(F.col("source").alias("sb"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter_cnt"))
+    )
+    return (
+        inter.join(
+            maybe_broadcast(sizes.select(F.col("source").alias("sa"),
+                                         F.col("v").alias("vocab_a"))), "sa")
+        .join(
+            maybe_broadcast(sizes.select(F.col("source").alias("sb"),
+                                         F.col("v").alias("vocab_b"))), "sb")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "vocab_a",
+            "vocab_b",
+            "inter_cnt",
+            F.round(
+                F.col("inter_cnt").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("inter_cnt")),
+                9,
+            ).alias("jaccard"),
+        )
+    )

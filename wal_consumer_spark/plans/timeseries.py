@@ -2820,3 +2820,98 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ss_det / F.lit(49.0) / F.col("n"), 3).alias("var_detrended"),
         F.round(ss_res / F.lit(49.0) / F.col("n"), 3).alias("var_remainder"),
     )
+
+
+_PI_LIT = "3.141592653589793"
+
+
+@register(
+    "ts_spectral_dft_topk",
+    oracle=f"""
+    WITH daily AS (
+        SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM events GROUP BY 1
+    ),
+    mn AS (SELECT CAST(MIN(d) AS BIGINT) AS d0 FROM daily),
+    idx AS (SELECT d - mn.d0 AS t, v FROM daily, mn),
+    periods AS (SELECT CAST(unnest(generate_series(2, 15)) AS BIGINT) AS p),
+    terms AS (
+        SELECT p.p,
+               CAST(round(i.v * cos(2 * {_PI_LIT} * (i.t % p.p) / p.p)
+                          * 1000) AS BIGINT) AS c_milli,
+               CAST(round(i.v * sin(2 * {_PI_LIT} * (i.t % p.p) / p.p)
+                          * 1000) AS BIGINT) AS s_milli
+        FROM idx i CROSS JOIN periods p
+    ),
+    spec AS (
+        SELECT p,
+               CAST(SUM(c_milli) AS BIGINT) AS cs_milli,
+               CAST(SUM(s_milli) AS BIGINT) AS ss_milli
+        FROM terms GROUP BY p
+    )
+    SELECT p AS period_days,
+           round((CAST(cs_milli AS DOUBLE) / 1000)
+                 * (CAST(cs_milli AS DOUBLE) / 1000)
+                 + (CAST(ss_milli AS DOUBLE) / 1000)
+                   * (CAST(ss_milli AS DOUBLE) / 1000), 6) AS power
+    FROM spec
+    ORDER BY power DESC, period_days
+    LIMIT 5
+    """,
+    doc="Top-5 spectral peaks of the daily event-count series: single-"
+        "frequency DFT power at each candidate period 2-15 days "
+        "(bounded grid), cos/sin terms per (day, period) quantized to "
+        "1e-3 units before the integer sum so the two engines' libm "
+        "last-ulp differences cannot reach the hash (quantization error "
+        "~1e-7 of a unit per term at sf0.1 counts — three orders of "
+        "magnitude inside the rounding margin, vs ~1e-4 at the 1e-6 "
+        "grain the ln convention uses) — the periodicity detector that "
+        "finds weekly/biweekly cycles without assuming them, "
+        "complementing ts_acf_daily (ACF needs the lag aligned; DFT "
+        "power integrates over phase). Plan: one narrow daily rollup "
+        "(bounded by the date domain), a broadcast 14-row period Range "
+        "crossed against it, one bounded 14-group aggregate, and a "
+        "TakeOrderedAndProject over 14 rows. Reference parity: "
+        "extension surface (SURVEY.md §2.B time-series rows).",
+)
+def ts_spectral_dft_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            .alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    mn = daily.agg(F.min("d").cast("long").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(mn)).select(
+        (F.col("d") - F.col("d0")).alias("t"), "v"
+    )
+    periods = spark.range(2, 16).select(F.col("id").cast("long").alias("p"))
+    angle = (
+        F.lit(2) * F.lit(3.141592653589793) * (F.col("t") % F.col("p"))
+        / F.col("p")
+    )
+    terms = idx.crossJoin(F.broadcast(periods)).select(
+        "p",
+        F.round(F.col("v") * F.cos(angle) * F.lit(1000)).cast("long")
+        .alias("c_milli"),
+        F.round(F.col("v") * F.sin(angle) * F.lit(1000)).cast("long")
+        .alias("s_milli"),
+    )
+    spec = terms.groupBy("p").agg(
+        F.sum("c_milli").cast("long").alias("cs_milli"),
+        F.sum("s_milli").cast("long").alias("ss_milli"),
+    )
+    cs = F.col("cs_milli").cast("double") / F.lit(1000)
+    ss = F.col("ss_milli").cast("double") / F.lit(1000)
+    return (
+        spec.select(
+            F.col("p").alias("period_days"),
+            F.round(cs * cs + ss * ss, 6).alias("power"),
+        )
+        .orderBy(F.col("power").desc(), F.col("period_days"))
+        .limit(5)
+    )
