@@ -5760,3 +5760,226 @@ def analytics_order_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFr
             .alias("mean_gap_days"),
         )
     )
+
+
+@register(
+    "analytics_markov_stationary",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+        FROM events
+    ),
+    trans AS (
+        SELECT prev, event_type AS next, CAST(COUNT(*) AS BIGINT) AS c
+        FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type
+    ),
+    t2 AS (
+        SELECT prev, next,
+               CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY prev) AS p
+        FROM trans
+    ),
+    v0 AS (
+        SELECT DISTINCT event_type AS s,
+               CAST(200000000000 AS BIGINT) AS v
+        FROM events
+    ),
+    v1 AS (
+        SELECT t.next AS s,
+               CAST(SUM(CAST(round(v0.v * t.p) AS BIGINT)) AS BIGINT) AS v
+        FROM v0 JOIN t2 t ON t.prev = v0.s GROUP BY t.next
+    ),
+    v2 AS (
+        SELECT t.next AS s,
+               CAST(SUM(CAST(round(v1.v * t.p) AS BIGINT)) AS BIGINT) AS v
+        FROM v1 JOIN t2 t ON t.prev = v1.s GROUP BY t.next
+    ),
+    v3 AS (
+        SELECT t.next AS s,
+               CAST(SUM(CAST(round(v2.v * t.p) AS BIGINT)) AS BIGINT) AS v
+        FROM v2 JOIN t2 t ON t.prev = v2.s GROUP BY t.next
+    )
+    SELECT s AS event_type, v AS stationary_pico,
+           round(CAST(v AS DOUBLE) / 1000000000000, 9) AS stationary
+    FROM v3
+    """,
+    doc="Stationary distribution of the per-user event-type Markov chain "
+        "after three fixed power-iteration rounds from the uniform "
+        "start: transition counts from user-partitioned lag sequences "
+        "(ts, event_id tie-break), row-normalized transition "
+        "probabilities, and a probability vector carried in exact "
+        "1e-12-unit integers across iterations (each v*p product is "
+        "rounded to pico-units before the bounded |states|-term sum, so "
+        "the iterate — not just the final readout — is bit-identical in "
+        "both engines) — the steady-state behavioral mix that "
+        "complements analytics_path_transitions (edge frequencies) with "
+        "where the chain settles. Plan: the lag window is user-"
+        "partitioned; everything after is algebra on the bounded "
+        "|states|^2 transition AGGREGATE (25 rows) — three 5-row joins, "
+        "no corpus-scale shuffle at all. Reference parity: extension "
+        "surface (SURVEY.md §2.B analytics rows).",
+)
+def analytics_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").cast("timestamp"), F.col("event_id")
+    )
+    seq = ev.select(
+        F.col("event_type"), F.lag("event_type").over(w).alias("prev")
+    )
+    trans = (
+        seq.where(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wrow = Window.partitionBy("prev")
+    t2 = trans.select(
+        "prev",
+        "next",
+        (F.col("c").cast("double") / F.sum("c").over(wrow)).alias("p"),
+    )
+    v = ev.select(F.col("event_type").alias("s")).distinct().withColumn(
+        "v", F.lit(200_000_000_000).cast("long")
+    )
+    for _ in range(3):
+        v = (
+            v.join(t2, v.s == t2.prev)
+            .groupBy(F.col("next").alias("s2"))
+            .agg(
+                F.sum(F.round(F.col("v") * F.col("p")).cast("long"))
+                .cast("long")
+                .alias("v")
+            )
+            .withColumnRenamed("s2", "s")
+        )
+    return v.select(
+        F.col("s").alias("event_type"),
+        F.col("v").alias("stationary_pico"),
+        F.round(F.col("v").cast("double") / F.lit(1_000_000_000_000), 9)
+        .alias("stationary"),
+    )
+
+
+@register(
+    "analytics_theil_decomposition",
+    oracle="""
+    WITH rev AS (
+        SELECT c.c_custkey, c.c_nationkey,
+               CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS x
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_nationkey
+    ),
+    grp AS (
+        SELECT c_nationkey, CAST(SUM(x) AS BIGINT) AS xg,
+               CAST(COUNT(*) AS BIGINT) AS ng
+        FROM rev GROUP BY c_nationkey
+    ),
+    tot AS (
+        SELECT CAST(SUM(xg) AS BIGINT) AS xt, CAST(SUM(ng) AS BIGINT) AS nt
+        FROM grp
+    ),
+    ent AS (
+        SELECT CAST(SUM(CAST(round((CAST(r.x AS DOUBLE) / t.xt)
+                                   * ln(CAST(r.x AS DOUBLE) * t.nt / t.xt)
+                                   * 1000000000000) AS BIGINT))
+                    AS BIGINT) AS total_pico,
+               CAST(SUM(CAST(round((CAST(r.x AS DOUBLE) / t.xt)
+                                   * ln(CAST(r.x AS DOUBLE) * g.ng / g.xg)
+                                   * 1000000000000) AS BIGINT))
+                    AS BIGINT) AS within_pico
+        FROM rev r
+        JOIN grp g ON g.c_nationkey = r.c_nationkey
+        CROSS JOIN tot t
+    ),
+    btw AS (
+        SELECT CAST(SUM(CAST(round((CAST(g.xg AS DOUBLE) / t.xt)
+                                   * ln((CAST(g.xg AS DOUBLE) / t.xt)
+                                        * (CAST(t.nt AS DOUBLE) / g.ng))
+                                   * 1000000000000) AS BIGINT))
+                    AS BIGINT) AS between_pico,
+               CAST(MAX(t.nt) AS BIGINT) AS n
+        FROM grp g CROSS JOIN tot t
+    )
+    SELECT b.n,
+           round(CAST(e.total_pico AS DOUBLE) / 1000000000000, 9)
+               AS theil_total,
+           round(CAST(e.within_pico AS DOUBLE) / 1000000000000, 9)
+               AS theil_within,
+           round(CAST(b.between_pico AS DOUBLE) / 1000000000000, 9)
+               AS theil_between
+    FROM ent e, btw b
+    """,
+    doc="Theil inequality index of per-customer revenue with the exact "
+        "between/within-nation decomposition: T = sum (x_i/X) "
+        "ln(x_i n/X), T_within = sum (x_i/X) ln(x_i n_g/X_g), "
+        "T_between = sum (X_g/X) ln((X_g/X)(n/n_g)) — the additive "
+        "inequality measure Gini cannot decompose (which share of "
+        "revenue concentration is cross-market vs in-market). "
+        "Per-entity ln terms quantized to 1e-12 before the integer "
+        "sums (the ln-determinism convention; terms ~1e-5 at sf0.1 so "
+        "pico-units keep 7 significant digits). Plan: one narrow "
+        "join-aggregate to per-customer cents, a bounded nation-"
+        "domain rollup, broadcast 1-row totals, and three map-side "
+        "quantized sums — no window anywhere, no sort. Reference "
+        "parity: extension surface (SURVEY.md §2.B analytics rows; "
+        "inequality family with analytics_gini_coefficient).",
+)
+def analytics_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    grp = rev.groupBy("c_nationkey").agg(
+        F.sum("x").cast("long").alias("xg"),
+        F.count(F.lit(1)).cast("long").alias("ng"),
+    )
+    tot = grp.agg(
+        F.sum("xg").cast("long").alias("xt"),
+        F.sum("ng").cast("long").alias("nt"),
+    )
+    xd = F.col("x").cast("double")
+    total_term = F.round(
+        (xd / F.col("xt"))
+        * F.log(xd * F.col("nt") / F.col("xt"))
+        * F.lit(1_000_000_000_000)
+    ).cast("long")
+    within_term = F.round(
+        (xd / F.col("xt"))
+        * F.log(xd * F.col("ng") / F.col("xg"))
+        * F.lit(1_000_000_000_000)
+    ).cast("long")
+    ent = (
+        rev.join(maybe_broadcast(grp), "c_nationkey")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(total_term).cast("long").alias("total_pico"),
+            F.sum(within_term).cast("long").alias("within_pico"),
+        )
+    )
+    xgd = F.col("xg").cast("double")
+    between_term = F.round(
+        (xgd / F.col("xt"))
+        * F.log((xgd / F.col("xt")) * (F.col("nt").cast("double") / F.col("ng")))
+        * F.lit(1_000_000_000_000)
+    ).cast("long")
+    btw = grp.crossJoin(F.broadcast(tot)).agg(
+        F.sum(between_term).cast("long").alias("between_pico"),
+        F.max("nt").cast("long").alias("n"),
+    )
+    pico = F.lit(1_000_000_000_000)
+    return ent.crossJoin(F.broadcast(btw)).select(
+        "n",
+        F.round(F.col("total_pico").cast("double") / pico, 9).alias("theil_total"),
+        F.round(F.col("within_pico").cast("double") / pico, 9).alias("theil_within"),
+        F.round(F.col("between_pico").cast("double") / pico, 9).alias("theil_between"),
+    )

@@ -1512,3 +1512,129 @@ def text_source_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+_TRIGRAMS_ALL = (
+    "list_transform(generate_series(0, greatest(len({t}) - 3, 0)), "
+    "i -> array_to_string(list_slice({t}, i + 1, i + 3), ' '))"
+).format(t=_TOKS)
+
+
+@register(
+    "text_shingle_concentration",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest({_TRIGRAMS_ALL}) AS s FROM documents
+    ),
+    c AS (
+        SELECT source, s, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY source, s
+    ),
+    per_src AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab,
+               CAST(SUM(c) AS BIGINT) AS n_shingles,
+               CAST(count_if(c = 1) AS BIGINT) AS hapax
+        FROM c GROUP BY source
+    ),
+    ranked AS (
+        SELECT source, c,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY c DESC, s) AS rk
+        FROM c
+    ),
+    top10 AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS top10_mass
+        FROM ranked WHERE rk <= 10 GROUP BY source
+    ),
+    ent AS (
+        SELECT c.source,
+               CAST(SUM(CAST(round(c.c * ln(CAST(p.n_shingles AS DOUBLE)
+                                            / c.c) * 1000000) AS BIGINT))
+                    AS BIGINT) AS ent_micro
+        FROM c JOIN per_src p ON p.source = c.source
+        GROUP BY c.source
+    )
+    SELECT p.source, p.n_shingles, p.vocab,
+           round(CAST(p.hapax AS DOUBLE) / p.vocab, 6) AS hapax_share,
+           round(CAST(t.top10_mass AS DOUBLE) / p.n_shingles, 6)
+               AS top10_mass_share,
+           round(CAST(e.ent_micro AS DOUBLE) / p.n_shingles / 1000000, 6)
+               AS entropy_nats
+    FROM per_src p
+    JOIN top10 t ON t.source = p.source
+    JOIN ent e ON e.source = p.source
+    """,
+    doc="Per-source trigram-shingle frequency concentration: vocabulary "
+        "size, hapax share (fraction of shingles seen once — the "
+        "novelty ceiling for dedup), top-10 shingle mass (boilerplate "
+        "signature), and Shannon entropy in nats (1e-6-quantized ln "
+        "terms) — the per-crawl repetitiveness profile that flags "
+        "template-heavy sources before they skew mixture weights "
+        "(trigrams, not unigrams: this corpus's ~31-token unigram "
+        "vocabulary has zero hapaxes, probed). Plan: one (source, "
+        "shingle) count collapse; the top-10 rank window partitions by "
+        "source over the count AGGREGATE (per-partition size bounded "
+        "by the source's vocabulary, never the corpus); everything "
+        "else is per-source bounded algebra. Reference parity: "
+        "extension surface (SURVEY.md §2.B text rows).",
+)
+def text_shingle_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # ALL shingle occurrences (not distinct) — concentration needs counts
+    toks = tokens(F.col("text"))
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, 3), " "),
+    )
+    tok = d.select("source", F.explode(shingles).alias("s"))
+    c = tok.groupBy("source", "s").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=True)  # consumed by per_src, ranked, ent
+    per_src = c.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum("c").cast("long").alias("n_shingles"),
+        F.count_if(F.col("c") == 1).cast("long").alias("hapax"),
+    )
+    wr = Window.partitionBy("source").orderBy(F.col("c").desc(), "s")
+    top10 = (
+        c.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= 10)
+        .groupBy("source")
+        .agg(F.sum("c").cast("long").alias("top10_mass"))
+    )
+    ent = (
+        c.join(
+            maybe_broadcast(per_src.select("source", "n_shingles")), "source"
+        )
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("c")
+                    * F.log(F.col("n_shingles").cast("double") / F.col("c"))
+                    * F.lit(1_000_000)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("ent_micro")
+        )
+    )
+    return (
+        per_src.join(top10, "source")
+        .join(ent, "source")
+        .select(
+            "source",
+            "n_shingles",
+            "vocab",
+            F.round(F.col("hapax").cast("double") / F.col("vocab"), 6)
+            .alias("hapax_share"),
+            F.round(
+                F.col("top10_mass").cast("double") / F.col("n_shingles"), 6
+            ).alias("top10_mass_share"),
+            F.round(
+                F.col("ent_micro").cast("double") / F.col("n_shingles")
+                / F.lit(1_000_000),
+                6,
+            ).alias("entropy_nats"),
+        )
+    )

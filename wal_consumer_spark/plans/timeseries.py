@@ -2915,3 +2915,92 @@ def ts_spectral_dft_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("power").desc(), F.col("period_days"))
         .limit(5)
     )
+
+
+@register(
+    "ts_rolling_beta",
+    oracle="""
+    WITH daily AS (
+        SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+               CAST(SUM(CASE WHEN event_type = 'view'
+                    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'click'
+                    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events
+        WHERE event_type IN ('view', 'click')
+        GROUP BY 1
+    ),
+    roll AS (
+        SELECT d,
+               CAST(COUNT(*) OVER w AS BIGINT) AS k,
+               CAST(SUM(CAST(x AS DECIMAL(38, 0))) OVER w AS DECIMAL(38, 0))
+                   AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38, 0))) OVER w AS DECIMAL(38, 0))
+                   AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(38, 0))
+                        * CAST(y AS DECIMAL(38, 0))) OVER w
+                    AS DECIMAL(38, 0)) AS sxy,
+               CAST(SUM(CAST(x AS DECIMAL(38, 0))
+                        * CAST(x AS DECIMAL(38, 0))) OVER w
+                    AS DECIMAL(38, 0)) AS sxx
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT d AS day,
+           round((CAST(k * sxy - sx * sy AS DOUBLE))
+                 / (CAST(k * sxx - sx * sx AS DOUBLE)), 9) AS beta
+    FROM roll WHERE k = 7
+    """,
+    doc="Trailing-7-day rolling beta of daily click value-cents against "
+        "daily view value-cents: beta = (k*Sxy - Sx*Sy) / (k*Sxx - "
+        "Sx^2) from EXACT integer/decimal window sums (cents quantized "
+        "per event, cross-products accumulated in DECIMAL(38,0) so "
+        "partition order can never perturb a double sum; the only "
+        "doubles are the final two casts and one division — IEEE-"
+        "pinned) — the co-movement tracker behind anomaly attribution "
+        "(did clicks move because views moved?). Emitted only for full "
+        "7-day windows. Plan: one narrow daily rollup bounded by the "
+        "date domain, then bounded-frame windows over that AGGREGATE "
+        "(guard-compliant: the global ordering runs over the day "
+        "grid, never corpus rows). Reference parity: extension "
+        "surface (SURVEY.md §2.B time-series rows).",
+)
+def ts_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = (
+        ev.where(F.col("event_type").isin("view", "click"))
+        .groupBy(
+            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            .alias("d")
+        )
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", cents).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "click", cents).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    dec = "decimal(38,0)"
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    roll = daily.select(
+        "d",
+        F.count(F.lit(1)).over(w).cast("long").alias("k"),
+        F.sum(F.col("x").cast(dec)).over(w).cast(dec).alias("sx"),
+        F.sum(F.col("y").cast(dec)).over(w).cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).over(w)
+        .cast(dec)
+        .alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).over(w)
+        .cast(dec)
+        .alias("sxx"),
+    )
+    num = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return roll.where(F.col("k") == 7).select(
+        F.col("d").alias("day"), F.round(num / den, 9).alias("beta")
+    )
