@@ -6162,3 +6162,191 @@ def ml_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
             -(F.col("ll_micro").cast("double") / F.lit(1000000)) / F.col("n"), 9
         ).alias("log_loss"),
     )
+
+
+@register(
+    "ml_spearman_rank_corr",
+    oracle=f"""
+    WITH base AS (
+        SELECT n_chars AS x,
+               CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+                    AS BIGINT) AS y
+        FROM documents
+    ),
+    ranked AS (
+        SELECT
+            2 * RANK() OVER (ORDER BY x)
+                + COUNT(*) OVER (PARTITION BY x) - 1 AS rx2,
+            2 * RANK() OVER (ORDER BY y)
+                + COUNT(*) OVER (PARTITION BY y) - 1 AS ry2
+        FROM base
+    ),
+    sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(rx2 AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS sx,
+               CAST(SUM(CAST(ry2 AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS sy,
+               CAST(SUM(CAST(rx2 AS DECIMAL(38, 0))
+                        * CAST(rx2 AS DECIMAL(38, 0)))
+                    AS DECIMAL(38, 0)) AS sxx,
+               CAST(SUM(CAST(ry2 AS DECIMAL(38, 0))
+                        * CAST(ry2 AS DECIMAL(38, 0)))
+                    AS DECIMAL(38, 0)) AS syy,
+               CAST(SUM(CAST(rx2 AS DECIMAL(38, 0))
+                        * CAST(ry2 AS DECIMAL(38, 0)))
+                    AS DECIMAL(38, 0)) AS sxy
+        FROM ranked
+    )
+    SELECT n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 9)
+               AS spearman_rho
+    FROM sums
+    """,
+    doc="Tie-corrected Spearman rank correlation between stored n_chars "
+        "and whitespace token count over documents: average ranks for "
+        "tie groups carried in exact doubled units (2*avg_rank = "
+        "2*start_rank + cnt - 1, an integer), Pearson over those rank "
+        "scores with DECIMAL(38,0)-exact sums and one IEEE-pinned "
+        "sqrt/division at the end — the monotone-association check "
+        "(rho ~0.99 here, the two columns measure the same length) "
+        "that validates a cheap proxy metric before it replaces an "
+        "expensive one in a filter. Plan: ranks come from the bucketed "
+        "value_group_ranks substrate (operators/selection.py:42 — "
+        "per-value rank ranges from bounded bucketed windows, no "
+        "per-row global window), joined back on the value column; the "
+        "oracle keeps the naive RANK()-window formulation, value-"
+        "identical by the tie-group argument. Reference parity: "
+        "extension surface (SURVEY.md §2.B ML rows).",
+)
+def ml_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wal_consumer_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("n_chars").alias("x"),
+        F.size(tokens(F.col("text"))).cast("long").alias("y"),
+    ).localCheckpoint(eager=True)  # consumed by two rank substrates + join
+    rx = value_group_ranks(base.select("x"), "x", 100).select(
+        "x",
+        (F.lit(2) * F.col("start_rank") + F.col("cnt") - 1).alias("rx2"),
+    )
+    ry = value_group_ranks(base.select("y"), "y", 20).select(
+        "y",
+        (F.lit(2) * F.col("start_rank") + F.col("cnt") - 1).alias("ry2"),
+    )
+    dec = "decimal(38,0)"
+    ranked = base.join(maybe_broadcast(rx), "x").join(maybe_broadcast(ry), "y")
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("rx2").cast(dec)).cast(dec).alias("sx"),
+        F.sum(F.col("ry2").cast(dec)).cast(dec).alias("sy"),
+        F.sum(F.col("rx2").cast(dec) * F.col("rx2").cast(dec)).cast(dec)
+        .alias("sxx"),
+        F.sum(F.col("ry2").cast(dec) * F.col("ry2").cast(dec)).cast(dec)
+        .alias("syy"),
+        F.sum(F.col("rx2").cast(dec) * F.col("ry2").cast(dec)).cast(dec)
+        .alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return sums.select("n", F.round(num / den, 9).alias("spearman_rho"))
+
+
+@register(
+    "graph_edge_support_histogram",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    e AS (
+        SELECT a.p AS pa, b.p AS pb
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+    ),
+    adj AS (
+        SELECT pa AS src, pb AS dst FROM e
+        UNION ALL
+        SELECT pb AS src, pa AS dst FROM e
+    ),
+    common AS (
+        SELECT e.pa, e.pb, CAST(COUNT(*) AS BIGINT) AS s
+        FROM e
+        JOIN adj x ON x.src = e.pa
+        JOIN adj y ON y.src = e.pb AND y.dst = x.dst
+        GROUP BY e.pa, e.pb
+    ),
+    sup AS (
+        SELECT e.pa, e.pb, COALESCE(c.s, 0) AS s
+        FROM e LEFT JOIN common c ON c.pa = e.pa AND c.pb = e.pb
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+    SELECT CAST(CASE WHEN s > 8 THEN 8 ELSE s END AS BIGINT)
+               AS support_capped,
+           CAST(COUNT(*) AS BIGINT) AS n_edges,
+           round(CAST(COUNT(*) AS DOUBLE) / MAX(tot.n_edges), 6) AS share
+    FROM sup, tot
+    GROUP BY CASE WHEN s > 8 THEN 8 ELSE s END
+    """,
+    doc="Per-edge triangle-support histogram of the strength-thresholded "
+        "co-purchase graph (support = common neighbors of the edge's "
+        "endpoints; support-0 edges are bridge candidates — ~95% here, "
+        "the sparse-graph signature): the truss-decomposition readout "
+        "that says which associations are structurally reinforced vs "
+        "hanging by one co-purchase, one level finer than the global "
+        "graph_triangle_count. Plan: one wedge equi-join per edge "
+        "endpoint over the checkpointed thresholded edge list (the "
+        ">= 2-order threshold is the density knob — see "
+        "graph_hub_cap_sensitivity for the cap-sweep companion), a "
+        "left join to recover zero-support edges, and a bounded "
+        "9-bucket rollup. Reference parity: extension surface "
+        "(SURVEY.md §2.B graph rows).",
+)
+def graph_edge_support_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = op.select("o", F.col("p").alias("pa"))
+    b = op.select(F.col("o").alias("ob"), F.col("p").alias("pb"))
+    e = (
+        a.join(b, (a.o == b.ob) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("pa", "pb")
+        .localCheckpoint(eager=True)  # consumed by adj, common, sup, tot
+    )
+    adj = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionByName(
+        e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    x = adj.select(F.col("src").alias("pa"), F.col("dst").alias("w"))
+    y = adj.select(F.col("src").alias("pb"), F.col("dst").alias("w"))
+    common = (
+        e.join(x, "pa")
+        .join(y, ["pb", "w"])
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("s"))
+    )
+    sup = e.join(common, ["pa", "pb"], "left").select(
+        F.coalesce(F.col("s"), F.lit(0)).alias("s")
+    )
+    tot = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        sup.groupBy(
+            F.when(F.col("s") > 8, 8).otherwise(F.col("s")).cast("long")
+            .alias("support_capped")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        .crossJoin(F.broadcast(tot).withColumnRenamed("n_edges", "tot_edges"))
+        .select(
+            "support_capped",
+            "n_edges",
+            F.round(
+                F.col("n_edges").cast("double") / F.col("tot_edges"), 6
+            ).alias("share"),
+        )
+    )

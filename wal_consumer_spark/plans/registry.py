@@ -77,8 +77,9 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: analytics_order_gap_distribution, dq_uniqueness_profile,
 #: ts_spectral_dft_topk, analytics_markov_stationary,
 #: analytics_theil_decomposition, ts_rolling_beta,
-#: text_shingle_concentration, ml_logistic_irls — plus any round-7
-#: additions), after which driver coverage closes at 362/362:
+#: text_shingle_concentration, ml_logistic_irls,
+#: ml_spearman_rank_corr, graph_edge_support_histogram — plus any
+#: round-7 additions), after which driver coverage closes at 364/364:
 #: agg_having, agg_higher_moments, agg_histogram_totalprice,
 #: agg_key_skew_profile, agg_log2_histogram, agg_percentile_approx,
 #: agg_profile_orders, agg_stratified_sample, analytics_conversion_curve,
