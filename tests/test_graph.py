@@ -50,3 +50,29 @@ def test_cc_round_telemetry_and_convergence(spark):
     for node, comp in part.items():
         same_true = (node <= 4) == (comp <= 4)
         assert same_true, f"over-merge: {node} -> {comp}"
+
+
+def test_connected_components_accepts_non_nullable_input(spark):
+    """Regression: non-nullable edge columns (spark.range ids, collect_set
+    elements, non-null group-by keys) used to trip a Catalyst rewrite bug
+    in the star iteration under localCheckpoint on Spark 4.1
+    ("NoSuchElementException: key not found: dst#NL"); the operator now
+    forces its working columns nullable. A range-derived chain graph is
+    the minimal trigger."""
+    from pyspark.sql import functions as F
+
+    from wal_consumer_spark.operators.graph import (
+        connected_components,
+        last_cc_stats,
+    )
+
+    pairs = spark.range(0, 50).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    assert not pairs.schema["a"].nullable  # the trigger precondition
+    got = dict(
+        (r.node, r.component)
+        for r in connected_components(pairs, src="a", dst="b").collect()
+    )
+    assert set(got.values()) == {0} and len(got) == 51
+    assert last_cc_stats["converged"] is True

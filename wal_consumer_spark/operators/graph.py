@@ -108,10 +108,22 @@ def connected_components(
     # iteration and Catalyst planning goes exponential (measured: 90s/test
     # with persist, <15s with checkpoint). On a cluster with failure
     # tolerance requirements use checkpoint() to a reliable dir instead.
+    #
+    # The no-op CASE wrapper forces src/dst NULLABLE: with non-nullable
+    # inputs (spark.range ids, collect_set elements, group-by keys over
+    # non-null columns) the star iteration's self-union + aggregate join
+    # trips a Catalyst rewrite bug under localCheckpoint in Spark 4.1
+    # ("java.util.NoSuchElementException: key not found: dst#NL" during
+    # plan normalization); nullable attributes take the healthy path.
+    # Regression-tested with a range-derived chain graph in
+    # tests/test_graph.py.
+    def _nullable(c):
+        return F.when(F.lit(False), F.lit(None)).otherwise(c)
+
     edges = (
         pairs.select(
-            F.greatest(F.col(src), F.col(dst)).alias("src"),
-            F.least(F.col(src), F.col(dst)).alias("dst"),
+            _nullable(F.greatest(F.col(src), F.col(dst))).alias("src"),
+            _nullable(F.least(F.col(src), F.col(dst))).alias("dst"),
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()

