@@ -1503,3 +1503,73 @@ def agg_multi_distinct_one_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_user_days"),
     )
+
+
+@register(
+    "agg_heavy_hitters_misra_gries",
+    oracle=r"""
+    WITH tok AS (
+        SELECT string_split_regex(lower(trim(text)), '\s+') AS ts
+        FROM documents
+    ),
+    bg AS (
+        SELECT array_to_string(list_slice(ts, i + 1, i + 2), ' ') AS item
+        FROM tok, UNNEST(generate_series(0, greatest(len(ts) - 2, 0))) AS g(i)
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bg),
+    cnt AS (
+        SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY item
+    )
+    SELECT item, cnt,
+           CAST(cnt * 1000000 // n AS BIGINT) AS share_ppm
+    FROM cnt CROSS JOIN tot
+    WHERE cnt >= (n + 1023) // 1024
+    """,
+    doc="Exact heavy hitters (token bigrams with frequency >= n/1024 of "
+        "the corpus stream) via a Misra-Gries candidate prune + exact "
+        "recount — the frequent-items architecture for domains too large "
+        "to groupBy in full. Phase 1 streams each partition through 1024 "
+        "bounded counters (operators/sketch.py::misra_gries_candidates — "
+        "Arrow-batched mapInPandas, vectorized value_counts folding, the "
+        "mergeable-summaries decrement), whose survivor union provably "
+        "contains every item reaching the threshold (per-partition "
+        "undercount <= n_p/1025, additive across partitions) in at most "
+        "#partitions x 1024 rows regardless of domain size; phase 2 "
+        "semi-joins the stream on the broadcast candidate set and "
+        "recounts EXACTLY, so the result is identical to the full "
+        "groupBy the oracle runs — the sketch changes the shuffle "
+        "volume, never the answer. At 100 TB the recount shuffle "
+        "carries only candidate-matched rows (grep-selectivity), not "
+        "the domain. Reference parity: extension surface (SURVEY.md "
+        "§2.B aggregate rows).",
+)
+def agg_heavy_hitters_misra_gries(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from wal_consumer_spark.functions.text import tokens
+    from wal_consumer_spark.operators.sketch import misra_gries_candidates
+
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    items = d.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(t) - 2, F.lit(0))),
+                lambda i: F.array_join(F.slice(t, i + 1, 2), " "),
+            )
+        ).alias("item")
+    ).localCheckpoint(eager=True)  # consumed by candidates + total + recount
+    cand = misra_gries_candidates(items, "item", 1024)
+    tot = items.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        items.join(F.broadcast(cand), "item", "semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("cnt") >= F.expr("(n + 1023) div 1024"))
+        .select(
+            "item",
+            "cnt",
+            F.expr("cnt * 1000000 div n").cast("long").alias("share_ppm"),
+        )
+    )

@@ -6345,3 +6345,520 @@ def graph_edge_support_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share"),
         )
     )
+
+
+#: 1e9-unit NDCG position discounts round(1e9 / log2(i + 1)) for ranks
+#: 1..10, computed once in Python (math.log2) and embedded as IDENTICAL
+#: integer literals in the Spark plan and the DuckDB oracle — the same
+#: build-time-constant trick as the Holm z_crit values, removing every
+#: cross-engine transcendental from the hot path.
+_NDCG_DISC = [
+    1000000000, 630929754, 500000000, 430676558, 386852807,
+    356207187, 333333333, 315464877, 301029996, 289064826,
+]
+
+_NDCG_DISC_SQL_CASE = "CASE rn " + " ".join(
+    f"WHEN {i + 1} THEN {d}" for i, d in enumerate(_NDCG_DISC)
+) + " END"
+
+
+@register(
+    "ml_mrr_at_k",
+    oracle="""
+    WITH ranked AS (
+        SELECT c_nationkey, c_mktsegment,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer
+    ),
+    top10 AS (SELECT * FROM ranked WHERE rn <= 10),
+    hit AS (
+        SELECT c_nationkey, MIN(rn) AS first_rank
+        FROM top10 WHERE c_mktsegment = 'AUTOMOBILE'
+        GROUP BY c_nationkey
+    )
+    SELECT CAST(n.c_nationkey AS BIGINT) AS nationkey,
+           CAST(COALESCE(h.first_rank, 0) AS BIGINT) AS first_relevant_rank,
+           CAST(COALESCE(round(1000000.0 / h.first_rank), 0) AS BIGINT)
+               AS rr_ppm
+    FROM (SELECT DISTINCT c_nationkey FROM customer) n
+    LEFT JOIN hit h ON h.c_nationkey = n.c_nationkey
+    """,
+    doc="Mean-reciprocal-rank readout (MRR@10) of a retrieval ranking: "
+        "each nation is a 'query', its customers ranked by account "
+        "balance are the 'retrieved list', and AUTOMOBILE-segment "
+        "membership is the relevance label — the first-stage ranking "
+        "metric for search/RAG evaluation (mean over queries is a "
+        "trivial avg of rr_ppm/1e6). Determinism: reciprocal ranks are "
+        "quantized to exact ppm integers (round(1e6/rank) for rank<=10 "
+        "never lands on a .5 boundary), queries with no relevant hit in "
+        "the top-10 emit rank 0 / rr 0 explicitly so the row set is the "
+        "full query universe. Plan: ONE partitioned window with a rn<=10 "
+        "filter — Catalyst's WindowGroupLimit pushes the per-group top-k "
+        "into each map task before the shuffle, so per-query list length "
+        "never materializes; the hit table is a 25-row aggregate "
+        "broadcast back onto the query universe. Reference parity: "
+        "extension surface (SURVEY.md §2.B ML rows).",
+)
+def ml_mrr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    top10 = c.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+    hit = (
+        top10.where(F.col("c_mktsegment") == "AUTOMOBILE")
+        .groupBy("c_nationkey")
+        .agg(F.min("rn").alias("first_rank"))
+    )
+    queries = c.select("c_nationkey").distinct()
+    return (
+        queries.join(maybe_broadcast(hit), "c_nationkey", "left")
+        .select(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            F.coalesce(F.col("first_rank"), F.lit(0))
+            .cast("long")
+            .alias("first_relevant_rank"),
+            F.coalesce(
+                F.round(F.lit(1000000.0) / F.col("first_rank")), F.lit(0)
+            )
+            .cast("long")
+            .alias("rr_ppm"),
+        )
+    )
+
+
+@register(
+    "ml_ndcg_at_k",
+    oracle=f"""
+    WITH gain AS (
+        SELECT c.c_nationkey, c.c_custkey, c.c_acctbal,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS g
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey, c.c_custkey, c.c_acctbal
+    ),
+    retrieved AS (
+        SELECT c_nationkey, g, rn FROM (
+            SELECT c_nationkey, g,
+                   row_number() OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_acctbal DESC, c_custkey)
+                       AS rn
+            FROM gain
+        ) WHERE rn <= 10
+    ),
+    ideal AS (
+        SELECT c_nationkey, g, rn FROM (
+            SELECT c_nationkey, g,
+                   row_number() OVER (PARTITION BY c_nationkey
+                                      ORDER BY g DESC, c_custkey) AS rn
+            FROM gain
+        ) WHERE rn <= 10
+    ),
+    dcg AS (
+        SELECT c_nationkey,
+               CAST(SUM(g * ({_NDCG_DISC_SQL_CASE})) AS BIGINT) AS dcg_units
+        FROM retrieved GROUP BY c_nationkey
+    ),
+    idcg AS (
+        SELECT c_nationkey,
+               CAST(SUM(g * ({_NDCG_DISC_SQL_CASE})) AS BIGINT) AS idcg_units
+        FROM ideal GROUP BY c_nationkey
+    )
+    SELECT CAST(d.c_nationkey AS BIGINT) AS nationkey,
+           d.dcg_units, i.idcg_units,
+           round(CAST(d.dcg_units AS DOUBLE) / i.idcg_units, 6) AS ndcg
+    FROM dcg d JOIN idcg i ON i.c_nationkey = d.c_nationkey
+    """,
+    doc="NDCG@10 of the same per-nation retrieval ranking as ml_mrr_at_k, "
+        "with GRADED relevance (a customer's order count) instead of the "
+        "binary label — the ranking metric that rewards putting high-gain "
+        "items early. DCG and ideal-DCG are exact BIGINT unit sums: the "
+        "ten position discounts round(1e9/log2(i+1)) are computed once in "
+        "Python and embedded as identical integer literals in both "
+        "engines (the Holm-z_crit constant trick), so no transcendental "
+        "is ever evaluated at query time and gain*discount products stay "
+        "integral; the single ndcg division is IEEE-pinned. Plan: the "
+        "gain table is one orders->customer aggregation; retrieved and "
+        "ideal top-10s are partitioned windows with rn<=10 filters "
+        "(WindowGroupLimit pushes per-group top-k map-side), joined on "
+        "the bounded nation grain. Reference parity: extension surface "
+        "(SURVEY.md §2.B ML rows).",
+)
+def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    gain = (
+        c.join(
+            o.select(F.col("o_custkey").alias("c_custkey"), "o_orderkey"),
+            "c_custkey",
+            "left",
+        )
+        .groupBy("c_nationkey", "c_custkey", "c_acctbal")
+        .agg(F.count("o_orderkey").cast("long").alias("g"))
+        .localCheckpoint(eager=True)  # consumed by both top-10 windows
+    )
+    disc = F.element_at(
+        F.array(*[F.lit(d) for d in _NDCG_DISC]), F.col("rn")
+    ).cast("long")
+    wr = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    wi = Window.partitionBy("c_nationkey").orderBy(
+        F.col("g").desc(), F.col("c_custkey")
+    )
+    dcg = (
+        gain.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 10)
+        .groupBy("c_nationkey")
+        .agg(F.sum(F.col("g") * disc).cast("long").alias("dcg_units"))
+    )
+    idcg = (
+        gain.withColumn("rn", F.row_number().over(wi))
+        .filter(F.col("rn") <= 10)
+        .groupBy("c_nationkey")
+        .agg(F.sum(F.col("g") * disc).cast("long").alias("idcg_units"))
+    )
+    return (
+        dcg.join(idcg, "c_nationkey")
+        .select(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            "dcg_units",
+            "idcg_units",
+            F.round(
+                F.col("dcg_units").cast("double") / F.col("idcg_units"), 6
+            ).alias("ndcg"),
+        )
+    )
+
+
+@register(
+    "ml_kendall_tau_b",
+    oracle="""
+    WITH m AS (
+        SELECT date_trunc('month', o_orderdate) AS mo,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS DECIMAL(18,0)))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    p AS (
+        SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+        FROM m a JOIN m b ON a.mo < b.mo
+    ),
+    cnt AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN (x2 - x1) * (y2 - y1) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN (x2 - x1) * (y2 - y1) < 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS d,
+               CAST(SUM(CASE WHEN x1 = x2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS tx,
+               CAST(SUM(CASE WHEN y1 = y2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ty
+        FROM p
+    )
+    SELECT n0, c AS concordant, d AS discordant, tx AS ties_x, ty AS ties_y,
+           round(CAST(c - d AS DOUBLE)
+                 / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)),
+                 9) AS kendall_tau_b
+    FROM cnt
+    """,
+    doc="Tie-corrected Kendall tau-b rank correlation between monthly "
+        "order volume and monthly revenue — the pair-concordance "
+        "association measure that (unlike Pearson/Spearman) is a direct "
+        "probability statement: P(concordant) - P(discordant). Exact by "
+        "construction: concordance/discordance/tie classification is "
+        "integer sign arithmetic on exact counts and DECIMAL-summed "
+        "revenue cents, and the single tau division+sqrt at the end is "
+        "IEEE-pinned. Plan: the inherently quadratic pair enumeration "
+        "runs on the BOUNDED month-aggregated grid (#months^2/2 pairs — "
+        "value-domain, never corpus-scaled; ~3k pairs per decade of "
+        "data) as a broadcast self-join, the same containment strategy "
+        "as ts_theil_sen_slope's day grid; corpus-sized data touches "
+        "only the one month-rollup shuffle. Reference parity: extension "
+        "surface (SURVEY.md §2.B ML rows).",
+)
+def ml_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("mo")).agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+        .cast("long")
+        .alias("y"),
+    ).localCheckpoint(eager=True)  # both sides of the pair join
+    b = m.select(
+        F.col("mo").alias("mo2"),
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+    )
+    p = m.join(F.broadcast(b), m["mo"] < b["mo2"]).select(
+        F.col("x").alias("x1"),
+        F.col("y").alias("y1"),
+        "x2",
+        "y2",
+    )
+    sgn = (F.col("x2") - F.col("x1")) * (F.col("y2") - F.col("y1"))
+    cnt = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum((sgn > 0).cast("long")).cast("long").alias("c"),
+        F.sum((sgn < 0).cast("long")).cast("long").alias("d"),
+        F.sum((F.col("x1") == F.col("x2")).cast("long"))
+        .cast("long")
+        .alias("tx"),
+        F.sum((F.col("y1") == F.col("y2")).cast("long"))
+        .cast("long")
+        .alias("ty"),
+    )
+    return cnt.select(
+        "n0",
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.col("tx").alias("ties_x"),
+        F.col("ty").alias("ties_y"),
+        F.round(
+            (F.col("c") - F.col("d")).cast("double")
+            / F.sqrt(
+                (F.col("n0") - F.col("tx")).cast("double")
+                * (F.col("n0") - F.col("ty")).cast("double")
+            ),
+            9,
+        ).alias("kendall_tau_b"),
+    )
+
+
+@register(
+    "ml_mutual_information",
+    oracle="""
+    WITH cell AS (
+        SELECT c_mktsegment AS s, c_nationkey AS k,
+               CAST(COUNT(*) AS BIGINT) AS n_xy
+        FROM customer GROUP BY 1, 2
+    ),
+    mx AS (SELECT s, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM cell GROUP BY s),
+    my AS (SELECT k, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM cell GROUP BY k),
+    tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM cell)
+    SELECT MAX(n) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           round(CAST(SUM(CAST(round(ln(CAST(n_xy * n AS DOUBLE)
+                                         / CAST(n_x * n_y AS DOUBLE))
+                                      * 1000000) AS BIGINT) * n_xy)
+                      AS DOUBLE) / 1000000 / MAX(n), 9) AS mi_nats
+    FROM cell JOIN mx USING (s) JOIN my USING (k) CROSS JOIN tot
+    GROUP BY n
+    """,
+    doc="Mutual information (nats) between market segment and nation over "
+        "the customer table — the dependence screen behind feature "
+        "selection and leakage detection (MI ~0 here: the generator "
+        "assigns segments independently of geography, and the query "
+        "proves it). Determinism: each cell's pointwise log-ratio "
+        "ln(n_xy*n/(n_x*n_y)) takes exact BIGINT products into one "
+        "IEEE-pinned division, is quantized to 1e-6-nat int64 units "
+        "(the text_unigram_logprob trick), and weighted by the exact "
+        "cell count, so the sum is associative and both engines emit "
+        "identical values. Plan: one (segment, nation) aggregation — "
+        "cells and margins are value-domain bounded (|segments| x "
+        "|nations|), margins derive from the cell table without "
+        "rescanning the corpus, the 1-row total attaches by broadcast "
+        "cross join. Reference parity: extension surface (SURVEY.md "
+        "§2.B ML rows).",
+)
+def ml_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    cell = c.groupBy(
+        F.col("c_mktsegment").alias("s"), F.col("c_nationkey").alias("k")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_xy")).localCheckpoint(
+        eager=True
+    )  # cells feed margins + total + the weighted sum
+    mx = cell.groupBy("s").agg(F.sum("n_xy").cast("long").alias("n_x"))
+    my = cell.groupBy("k").agg(F.sum("n_xy").cast("long").alias("n_y"))
+    tot = cell.agg(F.sum("n_xy").cast("long").alias("n"))
+    term_q = F.round(
+        F.log(
+            (F.col("n_xy") * F.col("n")).cast("double")
+            / (F.col("n_x") * F.col("n_y")).cast("double")
+        )
+        * 1000000
+    ).cast("long") * F.col("n_xy")
+    return (
+        cell.join(maybe_broadcast(mx), "s")
+        .join(maybe_broadcast(my), "k")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.round(
+                F.sum(term_q).cast("double") / 1000000 / F.max("n"), 9
+            ).alias("mi_nats"),
+        )
+        .select("n", "n_cells", "mi_nats")
+    )
+
+
+@register(
+    "ml_expected_calibration_error",
+    oracle="""
+    WITH scored AS (
+        SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS score_cents,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS y
+        FROM customer
+    ),
+    g AS (
+        SELECT score_cents, y, CAST(COUNT(*) AS BIGINT) AS n_g
+        FROM scored GROUP BY score_cents, y
+    ),
+    cum AS (
+        SELECT y, n_g,
+               COALESCE(SUM(n_g) OVER (ORDER BY score_cents, y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum,
+               SUM(n_g) OVER () AS n
+        FROM g
+    ),
+    part AS (
+        SELECT b.bin, c.y, c.n,
+               greatest((b.bin * c.n + 9) // 10 + 1, c.cum + 1) AS a,
+               least(((b.bin + 1) * c.n + 9) // 10, c.cum + c.n_g) AS z
+        FROM cum c
+        CROSS JOIN (SELECT UNNEST(generate_series(0, 9)) AS bin) b
+    ),
+    bins AS (
+        SELECT CAST(SUM(z - a + 1) AS BIGINT) AS n_rows,
+               CAST((CAST(SUM((a + z) * (z - a + 1)) AS BIGINT) // 2)
+                    * 1000000
+                    // (CAST(SUM(z - a + 1) AS BIGINT)
+                        * CAST(MAX(n) AS BIGINT)) AS BIGINT)
+                   AS mean_score_ppm,
+               CAST(CAST(SUM((z - a + 1) * y) AS BIGINT) * 1000000
+                    // CAST(SUM(z - a + 1) AS BIGINT) AS BIGINT)
+                   AS observed_ppm
+        FROM part WHERE z >= a GROUP BY bin
+    )
+    SELECT CAST(SUM(n_rows) AS BIGINT) AS n,
+           CAST(SUM(n_rows * abs(mean_score_ppm - observed_ppm))
+                // SUM(n_rows) AS BIGINT) AS ece_ppm,
+           CAST(MAX(abs(mean_score_ppm - observed_ppm)) AS BIGINT)
+               AS mce_ppm
+    FROM bins
+    """,
+    doc="Expected calibration error (and max calibration error) over the "
+        "ml_calibration_bins reliability deciles: the one-number summary "
+        "ECE = sum_b (n_b/n)|confidence_b - accuracy_b| that gates "
+        "whether a score can be treated as a probability, reported in "
+        "integral parts-per-million. Exact END-TO-END in integer "
+        "arithmetic — bin confidences/accuracies are already integral "
+        "ppm (closed-form rank-range overlaps, no per-row global rank), "
+        "and ECE adds only integer |diff|, products, and one floor "
+        "division — zero floats anywhere, so cross-engine hash equality "
+        "is structural rather than numerical. Plan: inherits the bins "
+        "plan (one value-domain aggregation + a bounded cumulative pass "
+        "over distinct score groups) plus a 10-row final rollup. "
+        "Reference parity: extension surface (SURVEY.md §2.B ML rows).",
+)
+def ml_expected_calibration_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    bins = ml_calibration_bins(spark, sf_dir)
+    gap = F.abs(F.col("mean_score_ppm") - F.col("observed_ppm"))
+    return bins.agg(
+        F.sum("n_rows").cast("long").alias("n"),
+        F.expr(
+            "sum(n_rows * abs(mean_score_ppm - observed_ppm)) div sum(n_rows)"
+        )
+        .cast("long")
+        .alias("ece_ppm"),
+        F.max(gap).cast("long").alias("mce_ppm"),
+    )
+
+
+@register(
+    "analytics_cramers_v",
+    oracle="""
+    WITH cell AS (
+        SELECT o_orderpriority AS r, o_orderstatus AS c,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM orders GROUP BY 1, 2
+    ),
+    rt AS (SELECT r, CAST(SUM(o) AS BIGINT) AS n_r FROM cell GROUP BY r),
+    ct AS (SELECT c, CAST(SUM(o) AS BIGINT) AS n_c FROM cell GROUP BY c),
+    tot AS (
+        SELECT CAST(SUM(o) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT r) AS BIGINT) AS nr,
+               CAST(COUNT(DISTINCT c) AS BIGINT) AS nc
+        FROM cell
+    ),
+    q AS (
+        SELECT MAX(n) AS n, MAX(nr) AS nr, MAX(nc) AS nc,
+               CAST(SUM(CAST(round(
+                   (o - CAST(n_r * n_c AS DOUBLE) / n)
+                   * (o - CAST(n_r * n_c AS DOUBLE) / n)
+                   / (CAST(n_r * n_c AS DOUBLE) / n) * 1000000)
+                   AS BIGINT)) AS BIGINT) AS chi2_micro
+        FROM cell JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN tot
+        GROUP BY n
+    )
+    SELECT n, nr AS n_rows_levels, nc AS n_col_levels,
+           round(CAST(chi2_micro AS DOUBLE) / 1000000, 6) AS chi2,
+           round(sqrt(CAST(chi2_micro AS DOUBLE) / 1000000
+                      / (n * (least(nr, nc) - 1))), 6) AS cramers_v
+    FROM q
+    """,
+    doc="Cramer's V effect size for the order-priority x order-status "
+        "contingency — the bounded [0,1] association strength that makes "
+        "chi-square comparable across tables of different size (the "
+        "analytics_chi_square_independence companion reports the test; "
+        "this reports HOW MUCH dependence). Determinism: each cell's "
+        "(o-e)^2/e uses only IEEE-pinned ops (the expectation n_r*n_c/n "
+        "is one pinned division of exact BIGINT products), is quantized "
+        "to 1e-6 int64 units before the associative sum, and the final "
+        "sqrt is pinned; n_r*n_c*n stays below 2^53 up to ~10^8 orders "
+        "per level pair — beyond that the products move to DECIMAL. "
+        "Plan: one value-domain (priority, status) aggregation; margins "
+        "and totals derive from the bounded cell table (|priorities| x "
+        "|statuses| rows) without rescanning orders. Reference parity: "
+        "extension surface (SURVEY.md §2.B analytics rows).",
+)
+def analytics_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cell = o.groupBy(
+        F.col("o_orderpriority").alias("r"), F.col("o_orderstatus").alias("c")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o")).localCheckpoint(
+        eager=True
+    )  # cells feed margins + totals + the chi-square sum
+    rt = cell.groupBy("r").agg(F.sum("o").cast("long").alias("n_r"))
+    ct = cell.groupBy("c").agg(F.sum("o").cast("long").alias("n_c"))
+    tot = cell.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("r").cast("long").alias("nr"),
+        F.countDistinct("c").cast("long").alias("nc"),
+    )
+    e = (F.col("n_r") * F.col("n_c")).cast("double") / F.col("n")
+    term_q = F.round(
+        (F.col("o") - e) * (F.col("o") - e) / e * 1000000
+    ).cast("long")
+    q = (
+        cell.join(maybe_broadcast(rt), "r")
+        .join(maybe_broadcast(ct), "c")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.max("nr").alias("nr"),
+            F.max("nc").alias("nc"),
+            F.sum(term_q).cast("long").alias("chi2_micro"),
+        )
+    )
+    return q.select(
+        "n",
+        F.col("nr").alias("n_rows_levels"),
+        F.col("nc").alias("n_col_levels"),
+        F.round(F.col("chi2_micro").cast("double") / 1000000, 6).alias(
+            "chi2"
+        ),
+        F.round(
+            F.sqrt(
+                F.col("chi2_micro").cast("double")
+                / 1000000
+                / (F.col("n") * (F.least(F.col("nr"), F.col("nc")) - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

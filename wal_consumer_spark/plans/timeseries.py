@@ -3004,3 +3004,193 @@ def ts_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roll.where(F.col("k") == 7).select(
         F.col("d").alias("day"), F.round(num / den, 9).alias("beta")
     )
+
+
+#: Build-time constants for ts_hurst_rescaled_range: block sizes and
+#: round(ln(n) * 1e6) — computed once in Python (math.log) and embedded
+#: as identical integer literals in the Spark plan and the DuckDB oracle
+#: so no cross-engine ln() of the x-axis is ever evaluated at query time.
+_HURST_BLOCKS = [(8, 2079442), (16, 2772589), (32, 3465736)]
+
+_HURST_NS_SQL = "(VALUES " + ", ".join(
+    f"({n}, {lq})" for n, lq in _HURST_BLOCKS
+) + ") AS ns(bn, ln_n_micro)"
+
+
+@register(
+    "ts_hurst_rescaled_range",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(CAST(SUM(CAST(round(o_totalprice * 100) AS
+                    DECIMAL(18,0))) AS BIGINT) // 100 AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT y, row_number() OVER (ORDER BY d) - 1 AS t FROM daily
+    ),
+    blk AS (
+        SELECT ns.bn, ns.ln_n_micro, idx.t // ns.bn AS b, idx.t, idx.y
+        FROM idx CROSS JOIN {_HURST_NS_SQL}
+    ),
+    dev AS (
+        SELECT bn, ln_n_micro, b,
+               bn * SUM(y) OVER (PARTITION BY bn, b ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - (row_number() OVER (PARTITION BY bn, b ORDER BY t))
+                     * SUM(y) OVER (PARTITION BY bn, b) AS z,
+               y, COUNT(*) OVER (PARTITION BY bn, b) AS blen
+        FROM blk
+    ),
+    rs AS (
+        SELECT bn, ln_n_micro,
+               CAST(round(CAST(MAX(z) - MIN(z) AS DOUBLE)
+                    / sqrt(CAST(bn * SUM(y * y) - SUM(y) * SUM(y)
+                                AS DOUBLE)) * 1000000) AS BIGINT) AS rs_micro
+        FROM dev WHERE blen = bn
+        GROUP BY bn, ln_n_micro, b
+        HAVING bn * SUM(y * y) - SUM(y) * SUM(y) > 0
+    ),
+    pt AS (
+        SELECT bn, CAST(MAX(ln_n_micro) AS BIGINT) AS x,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks,
+               CAST(round(ln(CAST(SUM(rs_micro) AS DOUBLE)
+                             / (COUNT(*) * 1000000)) * 1000000) AS BIGINT)
+                   AS yq
+        FROM rs GROUP BY bn
+    ),
+    fit AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * yq) AS BIGINT) AS sxy
+        FROM pt
+    )
+    SELECT (SELECT round(CAST(SUM(rs_micro) AS DOUBLE) / COUNT(*) / 1000000, 6)
+            FROM rs WHERE bn = 8) AS avg_rs_8,
+           (SELECT round(CAST(SUM(rs_micro) AS DOUBLE) / COUNT(*) / 1000000, 6)
+            FROM rs WHERE bn = 16) AS avg_rs_16,
+           (SELECT round(CAST(SUM(rs_micro) AS DOUBLE) / COUNT(*) / 1000000, 6)
+            FROM rs WHERE bn = 32) AS avg_rs_32,
+           round(CAST(k * sxy - sx * sy AS DOUBLE)
+                 / CAST(k * sxx - sx * sx AS DOUBLE), 6) AS hurst
+    FROM fit
+    """,
+    doc="Hurst exponent of daily revenue by rescaled-range (R/S) "
+        "analysis — the long-memory diagnostic (H~0.5 = random walk, "
+        ">0.5 trending, <0.5 mean-reverting) behind volatility "
+        "persistence checks and seasonality-vs-drift triage. Exactness: "
+        "the series is integer daily dollars (floored cents//100); "
+        "within each block the cumulative deviation is computed in "
+        "CLEARED-DENOMINATOR form z_j = n*cumsum_j - j*total (exact "
+        "BIGINT — no fractional mean ever materializes), R/S = "
+        "(max z - min z)/sqrt(n*sum(y^2) - sum(y)^2) is one pinned "
+        "division+sqrt per block quantized to 1e-6 units, per-size "
+        "means are exact integer sums, and the 3-point log-log OLS "
+        "slope uses build-time ln(n) literals with one final pinned "
+        "division. Sums stay under 2^63 to ~1e8-dollar days; larger "
+        "corpora rescale the unit. Plan: one day-grain rollup (value-"
+        "domain), a 3x fanout over block sizes, and windows partitioned "
+        "by (size, block) — every partition is <= 32 rows by "
+        "construction; the only global window is the day row_number "
+        "over the bounded aggregated day table. Reference parity: "
+        "extension surface (SURVEY.md §2.B time-series rows).",
+)
+def ts_hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.expr(
+            "cast(cast(sum(cast(round(o_totalprice * 100) as decimal(18,0)))"
+            " as bigint) div 100 as bigint)"
+        ).alias("y")
+    )
+    idx = daily.select(
+        "y", (F.row_number().over(Window.orderBy("d")) - 1).alias("t")
+    )
+    ns = spark.createDataFrame(
+        [(n, lq) for n, lq in _HURST_BLOCKS], "bn long, ln_n_micro long"
+    )
+    blk = idx.crossJoin(F.broadcast(ns)).select(
+        "bn", "ln_n_micro", F.expr("t div bn").alias("b"), "t", "y"
+    )
+    wrun = (
+        Window.partitionBy("bn", "b")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("bn", "b")
+    dev = blk.select(
+        "bn",
+        "ln_n_micro",
+        "b",
+        (
+            F.col("bn") * F.sum("y").over(wrun)
+            - F.row_number().over(Window.partitionBy("bn", "b").orderBy("t"))
+            * F.sum("y").over(wall)
+        ).alias("z"),
+        "y",
+        F.count(F.lit(1)).over(wall).alias("blen"),
+    )
+    rs = (
+        dev.where(F.col("blen") == F.col("bn"))
+        .groupBy("bn", "ln_n_micro", "b")
+        .agg(
+            (F.max("z") - F.min("z")).alias("r2"),
+            (
+                F.first("bn") * F.sum(F.col("y") * F.col("y"))
+                - F.sum("y") * F.sum("y")
+            ).alias("s2"),
+        )
+        .where(F.col("s2") > 0)
+        .select(
+            "bn",
+            "ln_n_micro",
+            F.round(
+                F.col("r2").cast("double") / F.sqrt(F.col("s2").cast("double"))
+                * 1000000
+            )
+            .cast("long")
+            .alias("rs_micro"),
+        )
+        .localCheckpoint(eager=True)  # per-size means + the log-log fit
+    )
+    pt = rs.groupBy("bn").agg(
+        F.max("ln_n_micro").alias("x"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.round(
+            F.log(
+                F.sum("rs_micro").cast("double")
+                / (F.count(F.lit(1)) * 1000000)
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("yq"),
+        F.round(
+            F.sum("rs_micro").cast("double") / F.count(F.lit(1)) / 1000000, 6
+        ).alias("avg_rs"),
+    )
+    fit = pt.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("yq").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("yq")).cast("long").alias("sxy"),
+    ).select(
+        F.round(
+            (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            ),
+            6,
+        ).alias("hurst")
+    )
+    wide = pt.groupBy().pivot("bn", [8, 16, 32]).agg(F.max("avg_rs"))
+    return wide.crossJoin(F.broadcast(fit)).select(
+        F.col("8").alias("avg_rs_8"),
+        F.col("16").alias("avg_rs_16"),
+        F.col("32").alias("avg_rs_32"),
+        "hurst",
+    )
