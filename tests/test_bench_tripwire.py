@@ -62,14 +62,50 @@ def test_zero_prev_never_divides():
     assert regression_tripwire(now, prev)["flagged"] == {}
 
 
-def test_latest_committed_normalized_reads_r5_record():
-    """The committed BENCH_DETAIL_r05.json must be discoverable as the
-    baseline, with normalized medians for the comparable basis."""
-    f, block = latest_committed_normalized(REPO)
-    assert f is not None and f >= "BENCH_DETAIL_r05.json"
-    covered = [n for n in COMPARABLE_41 if n in block]
-    assert len(covered) == len(COMPARABLE_41)
-    # and the real current-vs-r5 wiring runs end-to-end on committed data
-    with open(os.path.join(REPO, f)) as fh:
+def test_baseline_never_from_current_round():
+    """A round-7 bench run must baseline against a round < 7 detail file —
+    NEVER a same-round snapshot (VERDICT r6 "What's wrong" #1: a mid-round
+    r6 file on disk served as r6's own 'previous round' and shipped 7
+    false-positive flags). Exercised against the real committed files: with
+    before_round=7 the baseline is r6; with before_round=6 it must skip the
+    committed r6 file and fall back to r5."""
+    f7, block7, raw7 = latest_committed_normalized(REPO, before_round=7)
+    assert f7 == "BENCH_DETAIL_r06.json"
+    f6, block6, raw6 = latest_committed_normalized(REPO, before_round=6)
+    assert f6 == "BENCH_DETAIL_r05.json"
+    for block in (block7, block6, raw7, raw6):
+        covered = [n for n in COMPARABLE_41 if n in block]
+        assert len(covered) == len(COMPARABLE_41)
+    # self-comparison sanity: a record never flags against itself
+    with open(os.path.join(REPO, f7)) as fh:
         same = json.load(fh)["normalized"]["queries"]
-    assert regression_tripwire(same, block)["flagged"] == {}
+    assert regression_tripwire(same, block7)["flagged"] == {}
+
+
+def test_baseline_skips_same_and_future_rounds(tmp_path):
+    """Synthetic directory: files for rounds 5, 6, 7 on disk; benching
+    round 7 must pick 6, never 7 (same-round) and never anything >= 7."""
+    for rnd, val in [(5, 1.0), (6, 2.0), (7, 99.0)]:
+        rec = {
+            "queries": {"dedup_exact_hash": val},
+            "normalized": {"queries": {"dedup_exact_hash": val}},
+        }
+        (tmp_path / f"BENCH_DETAIL_r{rnd:02d}.json").write_text(json.dumps(rec))
+    f, norm, raw = latest_committed_normalized(str(tmp_path), before_round=7)
+    assert f == "BENCH_DETAIL_r06.json"
+    assert norm["dedup_exact_hash"] == 2.0 and raw["dedup_exact_hash"] == 2.0
+    # no eligible baseline at all -> empty blocks, no crash
+    f0, norm0, raw0 = latest_committed_normalized(str(tmp_path), before_round=5)
+    assert f0 is None and norm0 == {} and raw0 == {}
+
+
+def test_r6_false_positives_dissolve_against_true_r5_baseline():
+    """Regression lock for the exact r6 incident: the 7 committed
+    tripwire_flagged names in BENCH_r06.json must NOT flag when r6's
+    normalized medians are compared against the TRUE previous round
+    (r5) — proving the flags were a baseline-selection artifact."""
+    with open(os.path.join(REPO, "BENCH_DETAIL_r06.json")) as fh:
+        r6 = json.load(fh)["normalized"]["queries"]
+    _, r5, _ = latest_committed_normalized(REPO, before_round=6)
+    flagged = regression_tripwire(r6, r5)["flagged"]
+    assert flagged == {}, f"true-baseline tripwire should be clean: {flagged}"

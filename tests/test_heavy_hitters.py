@@ -61,3 +61,22 @@ def test_recount_matches_python_oracle(spark):
     exact = Counter(rows)
     want = {(i, c) for i, c in exact.items() if c >= thresh}
     assert got == want
+
+
+def test_intra_batch_chunked_trim_bounds_counters(spark):
+    """ADVICE r6: one oversized Arrow batch with a huge distinct domain
+    must not balloon the counter table to the batch's distinct count —
+    the fold trims back to k within the batch (chunk size max(4k, 4096)).
+    Guarantee check: the genuinely heavy item still survives, and each
+    partition emits at most k survivors even though its single batch
+    carries ~7000 distinct values >> k."""
+    k = 4
+    # 12_000 rows in ONE partition / one Arrow batch: hot 5000x,
+    # 7000 distinct singletons — multiple 4096-row chunks, every chunk
+    # overflowing k so the intra-batch decrement fires repeatedly.
+    rows = ["hot"] * 5000 + [f"u{i}" for i in range(7000)]
+    rows = [s for _, s in sorted(enumerate(rows), key=lambda p: (p[0] * 104729) % len(rows))]
+    df = spark.createDataFrame([(r,) for r in rows], "item string").coalesce(1)
+    got = {r.item for r in misra_gries_candidates(df, "item", k).collect()}
+    assert "hot" in got, "heavy item lost by chunked trimming"
+    assert len(got) <= k, f"partition emitted {len(got)} > k survivors"

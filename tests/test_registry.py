@@ -123,3 +123,51 @@ def test_oracle_less_specs_sort_last():
     oracle_positions = [i for i, n in enumerate(names) if specs[n].oracle is not None]
     if none_positions and oracle_positions:
         assert min(none_positions) > max(oracle_positions)
+
+
+def test_staging_partitions_registry():
+    """cumulative-green ∪ DRIVER_WINDOW ∪ NEXT_WINDOW must cover the
+    registry EXACTLY: every spec is either already driver-certified or
+    staged in a concrete upcoming window, and no staged name is a
+    duplicate or already-certified slot-waster. Keeping NEXT_WINDOW as a
+    real constant (not a comment) makes the rotation arithmetic
+    machine-checked (VERDICT r6 "What's wrong" #3)."""
+    from wal_consumer_spark.plans.registry import NEXT_WINDOW
+
+    specs = all_specs()
+    green = {n for n, row in _committed_correctness().items() if _is_green(row)}
+    window = set(DRIVER_WINDOW)
+    staged = set(NEXT_WINDOW)
+
+    assert len(set(NEXT_WINDOW)) == len(NEXT_WINDOW), "duplicate NEXT_WINDOW names"
+    assert not window & staged, f"names staged twice: {sorted(window & staged)}"
+    wasted = sorted((window | staged) & green)
+    assert not wasted, f"already-certified names burning staged slots: {wasted}"
+    missing = sorted(set(specs) - green - window - staged)
+    assert not missing, f"registered specs in no window and not certified: {missing}"
+    unknown = sorted((window | staged) - set(specs))
+    assert not unknown, f"staged names not registered: {unknown}"
+    assert len(staged) <= 50, "NEXT_WINDOW overflows a single 50-slot round"
+
+
+def test_next_window_slots_all_certifiable():
+    from wal_consumer_spark.plans.registry import NEXT_WINDOW
+
+    specs = all_specs()
+    no_oracle = [n for n in NEXT_WINDOW if specs[n].oracle is None]
+    assert not no_oracle, f"oracle-less specs staged: {no_oracle}"
+
+
+def test_survey_count_matches_registry():
+    """SURVEY.md §2.C's headline query count must equal len(all_specs())
+    so documentation can't drift from the registry (VERDICT r6 "What's
+    wrong" #3 flagged exactly this: SURVEY said 364 while the registry
+    held 372)."""
+    import re
+
+    text = (REPO / "SURVEY.md").read_text()
+    m = re.search(r"as of round \d+: \*\*(\d+) named", text)
+    assert m, "SURVEY.md §2.C count header not found"
+    assert int(m.group(1)) == len(all_specs()), (
+        f"SURVEY.md says {m.group(1)} queries; registry has {len(all_specs())}"
+    )

@@ -71,41 +71,51 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
 
 def misra_gries_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
     """Misra-Gries heavy-hitter CANDIDATE set with ``k`` counters per
-    Arrow batch stream: one column ``item`` holding every value whose true
+    partition stream: one column ``item`` holding every value whose true
     global count can reach ``ceil(n/k)``.
 
     The per-partition pass is the MERGEABLE-summaries formulation
-    (Agarwal et al., PODS'12): each Arrow batch is folded in via exact
-    ``value_counts`` (vectorized — no per-row Python), and whenever the
-    counter table exceeds ``k`` entries the (k+1)-th largest count is
-    subtracted from every counter and non-positive ones are dropped —
-    the classic decrement step batched. Each summary under-counts any
-    item by at most n_p/(k+1) of the n_p rows it saw; under-counts add
-    across partitions, so the UNION of per-partition survivor sets
-    contains every item with global count > n/(k+1) — in particular
-    every item with count >= ceil(n/k). The union is at most
-    #partitions * k rows regardless of domain size: the candidate
-    pruning that lets a 100 TB stream find frequent items with ONE
-    narrow recount shuffle instead of a full-domain groupBy.
+    (Agarwal et al., PODS'12): each Arrow batch is folded in CHUNKS of
+    ``max(4k, 4096)`` rows via exact ``value_counts`` (vectorized — no
+    per-row Python), and whenever the counter table exceeds ``k`` entries
+    the (k+1)-th largest count is subtracted from every counter and
+    non-positive ones are dropped — the classic decrement step batched.
+    Trimming per CHUNK (not per whole Arrow batch) bounds transient
+    memory at O(k + chunk_rows) even when one Arrow batch carries
+    millions of distinct values; the guarantee is trim-frequency
+    independent — every decrement subtracts its cut from >= k+1 counters
+    that each hold >= cut, so the cuts sum to <= n_p/(k+1) no matter how
+    often they fire. Each summary therefore under-counts any item by at
+    most n_p/(k+1) of the n_p rows it saw; under-counts add across
+    partitions, so the UNION of per-partition survivor sets contains
+    every item with global count > n/(k+1) — in particular every item
+    with count >= ceil(n/k). The union is at most #partitions * k rows
+    regardless of domain size: the candidate pruning that lets a 100 TB
+    stream find frequent items with ONE narrow recount shuffle instead
+    of a full-domain groupBy.
 
     Callers must verify candidates with an exact recount (semi-join +
     count) — this function guarantees no false NEGATIVES above the
     threshold, not exact counts.
     """
+    chunk_rows = max(4 * k, 4096)
 
     def fold(batches):
         import pandas as pd
 
         counters: dict = {}
         for pdf in batches:
-            for item, cnt in pdf[col].value_counts().items():
-                counters[item] = counters.get(item, 0) + int(cnt)
-            if len(counters) > k:
-                # batched decrement: subtract the (k+1)-th largest count
-                cut = sorted(counters.values(), reverse=True)[k]
-                counters = {
-                    i: c - cut for i, c in counters.items() if c - cut > 0
-                }
+            for lo in range(0, len(pdf), chunk_rows):
+                for item, cnt in (
+                    pdf[col].iloc[lo : lo + chunk_rows].value_counts().items()
+                ):
+                    counters[item] = counters.get(item, 0) + int(cnt)
+                if len(counters) > k:
+                    # batched decrement: subtract the (k+1)-th largest count
+                    cut = sorted(counters.values(), reverse=True)[k]
+                    counters = {
+                        i: c - cut for i, c in counters.items() if c - cut > 0
+                    }
         yield pd.DataFrame({"item": pd.Series(list(counters), dtype="object")})
 
     field = df.schema[col]

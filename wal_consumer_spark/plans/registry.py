@@ -36,133 +36,131 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: and CORRECTNESS_r{N}.json files ACCUMULATE across rounds — so the
 #: window is ROTATED each round to extend cumulative driver coverage
 #: (VERDICT.md round 2, "Next round" #1). Rounds 1–2 certified 89 distinct
-#: queries; round 3 another 50 (joins/windows/scalars/CDC-temporal/IVF/
-#: text/curation/SQL-front/ts/UDF/funnel families); round 4 another 50
-#: (graph tail, DQ tail, ML evals, scalar enc/calendar, arrow UDF,
-#: nearest as-of, lateness audit, ts/text/analytics/pipeline/sim/sql
-#: tails) — cumulative 189/281 distinct. Every rotated-out name keeps its
-#: green row in a committed CORRECTNESS_r*.json — enforced by
+#: queries; rounds 3–5 another 50 each; round 6 another 49 (+1 re-pin) —
+#: cumulative 288/372 distinct entering round 7. Every rotated-out name
+#: keeps its green row in a committed CORRECTNESS_r*.json — enforced by
 #: tests/test_registry.py::test_rotated_out_names_have_committed_green_rows
 #: — and stays oracle-checked in tests/test_parity.py. Any spec without an
 #: oracle sorts last so it can never burn a window slot on a rows-only
 #: check.
 #:
-#: Round 6 swaps ALL 50 slots a fourth time, per round-5 VERDICT "Next
-#: round" #1: the 48 round-5 additions (which froze out of the r5
-#: window), PLUS a re-pin of analytics_gini_coefficient — its r4 driver
-#: row predates the round-5 rewrite onto the tie-group rank substrate
-#: (operators/selection.py::value_group_ranks), so the driver must
-#: certify the formulation that actually ships (VERDICT r5 "What's
-#: wrong" #1) — PLUS analytics_ab_welch_ttest from the older tail to
-#: fill the 50th slot. 90 names lacked a driver row after r5; this
-#: window certifies 49 of them, leaving exactly the 41 below.
-#:
-#: ROUND-7 ROTATION CANDIDATES — the exact 50 registered names that
-#: will still lack a driver-green row once CORRECTNESS_r06 certifies
-#: this window: the 41 older names below PLUS the 9 round-6 additions
-#: (graph_hits_hubs_authorities, sim_int8_quantized_recall,
-#: ml_roc_curve_points, pipeline_dsir_importance_weights,
-#: ts_ljung_box_whiteness, ts_seasonal_strength,
-#: analytics_sequence_top3_paths, analytics_holm_bonferroni,
-#: set_bag_except_intersect_all) — exactly one 50-slot window. Eight
-#: late round-6 additions overflow to a ROUND-8 window of their own
-#: (graph_degree_powerlaw_fit, analytics_diff_in_differences,
-#: dq_referential_integrity_audit, ml_kmeans_inertia_elbow,
-#: analytics_gini_by_nation, text_burstiness_dispersion,
-#: analytics_uplift_by_decile, ml_multiclass_confusion_centroid,
-#: graph_community_modularity, pipeline_dedup_impact_report,
-#: dedup_threshold_sensitivity, ml_pr_curve_average_precision,
-#: ml_brier_decomposition, ml_cohens_kappa,
-#: graph_bfs_distance_histogram, text_source_shingle_jaccard,
-#: analytics_order_gap_distribution, dq_uniqueness_profile,
-#: ts_spectral_dft_topk, analytics_markov_stationary,
-#: analytics_theil_decomposition, ts_rolling_beta,
-#: text_shingle_concentration, ml_logistic_irls,
-#: ml_spearman_rank_corr, graph_edge_support_histogram — plus any
-#: round-7 additions), after which driver coverage closes at 364/364:
-#: agg_having, agg_higher_moments, agg_histogram_totalprice,
-#: agg_key_skew_profile, agg_log2_histogram, agg_percentile_approx,
-#: agg_profile_orders, agg_stratified_sample, analytics_conversion_curve,
-#: analytics_path_transitions, analytics_user_activity_entropy, cdc_backlog_metrics,
-#: cdc_gdpr_erasure_audit, cdc_op_mix, cdc_tombstone_retention,
-#: dedup_containment_pairs, ml_classification_metrics, multimodal_feature_extract,
-#: multimodal_resize_meta, pipeline_boilerplate_strip, pipeline_bpe_first_merges,
-#: pipeline_char_budget_truncation, pipeline_epoch_plan, pipeline_mixture_temperature,
-#: pipeline_quality_filter, pipeline_sample_k_per_group, pipeline_url_canonical_dedup,
-#: scalar_bitwise, scalar_struct_funcs, sim_centroid_distances,
-#: sim_label_centroids, sim_label_silhouette, text_bigram_df,
-#: text_char_trigram_profile, text_sentiment_lexicon, ts_anova_weekday_effect,
-#: ts_calendar_heatmap, ts_gapfill_zero, ts_missing_data_profile,
-#: ts_seasonal_naive_error, udf_row_scalar_dim.
+#: Round 7 swaps ALL 50 slots a fifth time, per round-6 VERDICT "Next
+#: round" #2: the 41 pre-round-6 names that have never held a driver row,
+#: plus the 9 round-6 additions staged for this window. Everything that
+#: remains after this window goes into NEXT_WINDOW below (the round-8
+#: closing set); tests/test_registry.py::test_staging_partitions_registry
+#: enforces that cumulative-green ∪ DRIVER_WINDOW ∪ NEXT_WINDOW covers the
+#: registry exactly, so staging arithmetic can never silently drift again
+#: (VERDICT r6 "What's wrong" #3).
 DRIVER_WINDOW: list[str] = [
-    # --- re-pin: driver must certify the post-rewrite tie-group-rank
-    # --- formulation (r4 row predates the rewrite; VERDICT r5 wrong #1)
-    "analytics_gini_coefficient",
-    # --- aggregate tail (round-5 additions) ---
-    "agg_weighted_percentiles",
-    "agg_poisson_bootstrap_ci",
-    "agg_hll_audience_overlap",
-    "agg_multi_distinct_one_pass",
-    # --- window-function tail (round-5 additions) ---
-    "win_topk_with_ties",
-    "win_max_concurrent_sessions",
-    "win_covered_seconds_per_day",
-    "win_pareto_skyline",
-    # --- data-quality tail (round-5 additions) ---
-    "dq_split_drift_audit",
-    "dq_join_cardinality_forecast",
-    "dq_decimal_overflow_headroom",
-    "dq_ks_two_sample",
-    # --- CDC (round-5 additions) ---
-    "cdc_shuffled_replay_equivalence",
-    # --- dedup (round-5 additions) ---
-    "dedup_prefix_filter_jaccard",
-    # --- similarity / embedding evals (round-5 additions) ---
-    "sim_pair_distance_histogram",
-    "sim_ivf_nprobe_curve",
-    "sim_mmr_diversified_topk",
-    "sim_triplet_margin_audit",
-    # --- multimodal (round-5 additions) ---
-    "multimodal_chunk_manifest",
-    # --- text analysis (round-5 additions) ---
-    "text_duplicated_span_profile",
-    "text_bm25_topk",
-    "text_pmi_collocations",
-    # --- curation pipeline (round-5 additions) ---
-    "pipeline_head_dup_by_source",
-    "pipeline_length_percentile_caps",
-    "pipeline_weighted_priority_sample",
-    "pipeline_zorder_layout",
-    "pipeline_group_priority_sample",
-    "pipeline_negative_samples",
-    "pipeline_span_corruption_stats",
-    # --- time-series (round-5 additions) ---
-    "ts_theil_sen_sampled",
-    "ts_rolling_distinct_users",
-    "ts_rolling_distinct_hll",
-    "ts_holt_linear_smoothing",
-    "ts_mann_kendall_trend",
-    "ts_decayed_user_score",
-    "ts_xmr_control_chart",
-    # --- analytics (round-5 additions) ---
-    "analytics_power_user_threshold",
-    "analytics_funnel_step_latency",
-    "analytics_sprt_sequential_test",
-    "analytics_chi_square_independence",
-    "analytics_cuped_adjustment",
-    "analytics_funnel_window_constrained",
-    # --- graph (round-5 additions) ---
-    "graph_adamic_adar",
-    "graph_hub_cap_sensitivity",
-    "graph_random_walk_3step",
-    "graph_personalized_pagerank",
-    # --- ML-in-plan (round-5 additions) ---
-    "ml_isotonic_calibration",
-    "ml_lift_gain_curve",
-    # --- older tail (50th slot) ---
-    "analytics_ab_welch_ttest",
+    # --- aggregate tail (pre-round-6) ---
+    "agg_having",
+    "agg_higher_moments",
+    "agg_histogram_totalprice",
+    "agg_key_skew_profile",
+    "agg_log2_histogram",
+    "agg_percentile_approx",
+    "agg_profile_orders",
+    "agg_stratified_sample",
+    # --- analytics tail (pre-round-6) ---
+    "analytics_conversion_curve",
+    "analytics_path_transitions",
+    "analytics_user_activity_entropy",
+    # --- CDC tail (pre-round-6) ---
+    "cdc_backlog_metrics",
+    "cdc_gdpr_erasure_audit",
+    "cdc_op_mix",
+    "cdc_tombstone_retention",
+    # --- dedup tail (pre-round-6) ---
+    "dedup_containment_pairs",
+    # --- ML tail (pre-round-6) ---
+    "ml_classification_metrics",
+    # --- multimodal tail (pre-round-6) ---
+    "multimodal_feature_extract",
+    "multimodal_resize_meta",
+    # --- curation-pipeline tail (pre-round-6) ---
+    "pipeline_boilerplate_strip",
+    "pipeline_bpe_first_merges",
+    "pipeline_char_budget_truncation",
+    "pipeline_epoch_plan",
+    "pipeline_mixture_temperature",
+    "pipeline_quality_filter",
+    "pipeline_sample_k_per_group",
+    "pipeline_url_canonical_dedup",
+    # --- scalar tail (pre-round-6) ---
+    "scalar_bitwise",
+    "scalar_struct_funcs",
+    # --- similarity tail (pre-round-6) ---
+    "sim_centroid_distances",
+    "sim_label_centroids",
+    "sim_label_silhouette",
+    # --- text tail (pre-round-6) ---
+    "text_bigram_df",
+    "text_char_trigram_profile",
+    "text_sentiment_lexicon",
+    # --- time-series tail (pre-round-6) ---
+    "ts_anova_weekday_effect",
+    "ts_calendar_heatmap",
+    "ts_gapfill_zero",
+    "ts_missing_data_profile",
+    "ts_seasonal_naive_error",
+    # --- UDF surface demo (pre-round-6) ---
+    "udf_row_scalar_dim",
+    # --- round-6 additions staged for this window ---
+    "graph_hits_hubs_authorities",
+    "sim_int8_quantized_recall",
+    "ml_roc_curve_points",
+    "pipeline_dsir_importance_weights",
+    "ts_ljung_box_whiteness",
+    "ts_seasonal_strength",
+    "analytics_sequence_top3_paths",
+    "analytics_holm_bonferroni",
+    "set_bag_except_intersect_all",
 ]
 
+#: ROUND-8 CLOSING WINDOW — every registered name that will still lack a
+#: driver-green row once CORRECTNESS_r07 certifies DRIVER_WINDOW above:
+#: the 26 round-6-staged names, the 8 late round-6 additions the r6
+#: VERDICT flagged as unstaged ("What's wrong" #3), plus round-7 session
+#: additions appended as they land. Kept as a REAL constant (not a
+#: comment) so test_staging_partitions_registry can enforce that
+#: cumulative-green ∪ DRIVER_WINDOW ∪ NEXT_WINDOW == all_specs() exactly.
+NEXT_WINDOW: list[str] = [
+    "agg_heavy_hitters_misra_gries",
+    "analytics_cramers_v",
+    "analytics_diff_in_differences",
+    "analytics_gini_by_nation",
+    "analytics_markov_stationary",
+    "analytics_order_gap_distribution",
+    "analytics_theil_decomposition",
+    "analytics_uplift_by_decile",
+    "dedup_threshold_sensitivity",
+    "dq_referential_integrity_audit",
+    "dq_uniqueness_profile",
+    "graph_bfs_distance_histogram",
+    "graph_community_modularity",
+    "graph_degree_powerlaw_fit",
+    "graph_edge_support_histogram",
+    "ml_brier_decomposition",
+    "ml_cohens_kappa",
+    "ml_expected_calibration_error",
+    "ml_kendall_tau_b",
+    "ml_kmeans_inertia_elbow",
+    "ml_logistic_irls",
+    "ml_mrr_at_k",
+    "ml_multiclass_confusion_centroid",
+    "ml_mutual_information",
+    "ml_ndcg_at_k",
+    "ml_pr_curve_average_precision",
+    "ml_spearman_rank_corr",
+    "pipeline_dedup_impact_report",
+    "text_burstiness_dispersion",
+    "text_shingle_concentration",
+    "text_source_shingle_jaccard",
+    "ts_hurst_rescaled_range",
+    "ts_rolling_beta",
+    "ts_spectral_dft_topk",
+]
 
 def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQuery], SparkQuery]:
     def deco(fn: SparkQuery) -> SparkQuery:
