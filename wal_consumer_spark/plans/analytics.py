@@ -6862,3 +6862,775 @@ def analytics_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-7 additions: multiclass eval, threshold sweep, OLS diagnostics,
+# grouped-ranking macro summary, k-truss peel, interpurchase decay,
+# price elasticity
+# --------------------------------------------------------------------------
+
+@register(
+    "ml_macro_f1_multiclass",
+    oracle="""
+    WITH scored AS (
+        SELECT label AS truth,
+               ((CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+                 % 10) + 10) % 10 AS pred
+        FROM embeddings
+    ),
+    classes AS (SELECT DISTINCT truth AS cls FROM scored),
+    m AS (
+        SELECT c.cls,
+               CAST(COUNT(*) FILTER (WHERE s.truth = c.cls AND s.pred = c.cls)
+                    AS BIGINT) AS tp,
+               CAST(COUNT(*) FILTER (WHERE s.truth <> c.cls AND s.pred = c.cls)
+                    AS BIGINT) AS fp,
+               CAST(COUNT(*) FILTER (WHERE s.truth = c.cls AND s.pred <> c.cls)
+                    AS BIGINT) AS fn
+        FROM scored s CROSS JOIN classes c
+        GROUP BY c.cls
+    )
+    SELECT CAST(cls AS BIGINT) AS cls, tp, fp, fn,
+           round(CASE WHEN tp + fp = 0 THEN 0.0
+                      ELSE CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS precision_c,
+           round(CASE WHEN tp + fn = 0 THEN 0.0
+                      ELSE CAST(tp AS DOUBLE) / (tp + fn) END, 6) AS recall_c,
+           round(CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+                      ELSE CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END, 6)
+               AS f1_c
+    FROM m
+    """,
+    doc="Per-class precision/recall/F1 for a 10-class problem — the "
+        "multiclass companion to the binary ml_classification_metrics "
+        "(macro-F1 is the mean of f1_c; micro == accuracy falls out of "
+        "the tp sums). The deterministic fixture predictor is a "
+        "quantized-coordinate hash of embedding[0] so both engines score "
+        "the identical prediction column; the OPERATOR under test is the "
+        "confusion decomposition. F1 uses the 2tp/(2tp+fp+fn) harmonic "
+        "form so zero-denominator classes are exact, not NaN-coalesced. "
+        "Plan: one scan -> per-(truth,pred) cell agg would need the "
+        "bounded class grid anyway, so the cells aggregate directly per "
+        "class via conditional counts against the broadcast class list; "
+        "every division is exact-long / exact-long (IEEE-pinned). "
+        "Reference parity: extension surface (SURVEY.md §2.B ML rows).",
+)
+def ml_macro_f1_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    pred = (
+        (
+            F.round(F.element_at("embedding", 1).cast("double") * 1000000)
+            .cast("long")
+            % 10
+            + 10
+        )
+        % 10
+    )
+    scored = e.select(
+        F.col("label").alias("truth"), pred.alias("pred")
+    )
+    classes = scored.select(F.col("truth").alias("cls")).distinct()
+    m = (
+        scored.crossJoin(F.broadcast(classes))
+        .groupBy("cls")
+        .agg(
+            F.count_if((F.col("truth") == F.col("cls")) & (F.col("pred") == F.col("cls")))
+            .cast("long")
+            .alias("tp"),
+            F.count_if((F.col("truth") != F.col("cls")) & (F.col("pred") == F.col("cls")))
+            .cast("long")
+            .alias("fp"),
+            F.count_if((F.col("truth") == F.col("cls")) & (F.col("pred") != F.col("cls")))
+            .cast("long")
+            .alias("fn"),
+        )
+    )
+    z = F.lit(0.0)
+    return m.select(
+        F.col("cls").cast("long").alias("cls"),
+        "tp",
+        "fp",
+        "fn",
+        F.round(
+            F.when(F.col("tp") + F.col("fp") == 0, z).otherwise(
+                F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))
+            ),
+            6,
+        ).alias("precision_c"),
+        F.round(
+            F.when(F.col("tp") + F.col("fn") == 0, z).otherwise(
+                F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))
+            ),
+            6,
+        ).alias("recall_c"),
+        F.round(
+            F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") == 0, z).otherwise(
+                (2 * F.col("tp")).cast("double")
+                / (2 * F.col("tp") + F.col("fp") + F.col("fn"))
+            ),
+            6,
+        ).alias("f1_c"),
+    )
+
+
+@register(
+    "ml_threshold_sweep_confusion",
+    oracle="""
+    WITH b AS (
+        SELECT least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bucket,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+                   AS pos,
+               CAST(COUNT(*) FILTER (WHERE event_type <> 'purchase') AS BIGINT)
+                   AS neg
+        FROM events GROUP BY 1
+    ),
+    cum AS (
+        SELECT bucket,
+               CAST(SUM(pos) OVER (ORDER BY bucket DESC) AS BIGINT) AS tp,
+               CAST(SUM(neg) OVER (ORDER BY bucket DESC) AS BIGINT) AS fp,
+               CAST(SUM(pos) OVER () AS BIGINT) AS p_all,
+               CAST(SUM(neg) OVER () AS BIGINT) AS n_all
+        FROM b
+    )
+    SELECT CAST(bucket * 50 AS BIGINT) AS threshold,
+           tp, fp, p_all - tp AS fn, n_all - fp AS tn,
+           round(CASE WHEN tp + fp = 0 THEN 0.0
+                      ELSE CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS precision_t,
+           round(CAST(tp AS DOUBLE) / p_all, 6) AS recall_t,
+           round(CAST(fp AS DOUBLE) / n_all, 6) AS fpr_t
+    FROM cum WHERE bucket >= 1
+    """,
+    doc="Operating-point sweep: the full confusion matrix (tp/fp/fn/tn, "
+        "precision, recall, FPR) of the score-threshold classifier "
+        "`value >= t` for t on the bounded 50-unit grid — the table a "
+        "deployment reads to pick its alert threshold, complementing "
+        "ml_roc_curve_points (which sweeps per-distinct-score) with the "
+        "business-grid view. Plan: ONE corpus scan aggregates positives/"
+        "negatives per score bucket (bounded 10-row grid), and every "
+        "threshold's counts are DESCENDING prefix sums over that grid — "
+        "a window on an Aggregate child over the value domain, never a "
+        "per-row window; all rates are exact-long divisions. Scales as "
+        "one narrow shuffle regardless of corpus size. Reference parity: "
+        "extension surface (SURVEY.md §2.B ML rows).",
+)
+def ml_threshold_sweep_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        F.least((F.floor(F.col("value") / 50.0)).cast("long"), F.lit(9)).alias(
+            "bucket"
+        )
+    ).agg(
+        F.count_if(F.col("event_type") == "purchase").cast("long").alias("pos"),
+        F.count_if(F.col("event_type") != "purchase").cast("long").alias("neg"),
+    )
+    w = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = b.select(
+        "bucket",
+        F.sum("pos").over(w).cast("long").alias("tp"),
+        F.sum("neg").over(w).cast("long").alias("fp"),
+        F.sum("pos").over(wall).cast("long").alias("p_all"),
+        F.sum("neg").over(wall).cast("long").alias("n_all"),
+    ).where(F.col("bucket") >= 1)
+    return cum.select(
+        (F.col("bucket") * 50).cast("long").alias("threshold"),
+        "tp",
+        "fp",
+        (F.col("p_all") - F.col("tp")).alias("fn"),
+        (F.col("n_all") - F.col("fp")).alias("tn"),
+        F.round(
+            F.when(F.col("tp") + F.col("fp") == 0, F.lit(0.0)).otherwise(
+                F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))
+            ),
+            6,
+        ).alias("precision_t"),
+        F.round(F.col("tp").cast("double") / F.col("p_all"), 6).alias("recall_t"),
+        F.round(F.col("fp").cast("double") / F.col("n_all"), 6).alias("fpr_t"),
+    )
+
+
+@register(
+    "ml_ols_durbin_watson",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                   AS x,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS DECIMAL(18,0)))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY o_orderdate
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy
+        FROM d
+    ),
+    fit AS (
+        SELECT n,
+               (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   AS beta,
+               CAST(sy AS DOUBLE) / n AS ybar, CAST(sx AS DOUBLE) / n AS xbar
+        FROM s
+    ),
+    res AS (
+        SELECT d.x,
+               CAST(round((d.y - (fit.ybar + fit.beta * (d.x - fit.xbar)))
+                          * 1000) AS DECIMAL(38,0)) AS e
+        FROM d, fit
+    ),
+    lagd AS (
+        SELECT e, lag(e) OVER (ORDER BY x) AS ep FROM res
+    ),
+    dw AS (
+        SELECT CAST(SUM(CASE WHEN ep IS NULL THEN CAST(0 AS DECIMAL(38,0))
+                             ELSE (e - ep) * (e - ep) END) AS DECIMAL(38,0))
+                   AS num,
+               CAST(SUM(e * e) AS DECIMAL(38,0)) AS den
+        FROM lagd
+    )
+    SELECT fit.n AS n_days,
+           round(fit.beta, 9) AS slope_cents_per_day,
+           round(CAST(dw.num AS DOUBLE) / CAST(dw.den AS DOUBLE), 9) AS dw_stat,
+           round(1.0 - CAST(dw.num AS DOUBLE) / CAST(dw.den AS DOUBLE) / 2.0, 9)
+               AS rho_approx
+    FROM fit, dw
+    """,
+    doc="OLS residual diagnostics: fit daily revenue ~ day index by exact "
+        "closed-form least squares, then the Durbin-Watson statistic "
+        "sum((e_t - e_{t-1})^2)/sum(e_t^2) over the date-ordered "
+        "residuals — the standard check that a trend model's errors are "
+        "serially independent (DW ~ 2) before trusting its inference; "
+        "rho_approx = 1 - DW/2 is the implied lag-1 residual "
+        "autocorrelation. Determinism: the OLS moment sums are exact "
+        "DECIMAL(38,0) over integer (day, cents) pairs so beta is the "
+        "identical double in both engines; residuals are quantized to "
+        "1e-3-cent integer units BEFORE squaring/summing so the two "
+        "quadratic forms are exact integer sums (double summation is "
+        "order-dependent; quantized-int summation is not) and the final "
+        "divisions are IEEE-pinned. Plan: one narrow date rollup, one "
+        "1-row moment aggregate broadcast back, one lag window on the "
+        "bounded day grid (Aggregate child). Reference parity: extension "
+        "surface (SURVEY.md §2.B ML rows).",
+)
+def ml_ols_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy("o_orderdate").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+        .cast("long")
+        .alias("y"),
+    ).select(
+        F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1970-01-01")))
+        .cast("long")
+        .alias("x"),
+        "y",
+    ).localCheckpoint(eager=True)  # consumed by the moment agg AND residuals
+    dec = "decimal(38,0)"
+    s = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast(dec).alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).cast(dec).alias("sxy"),
+    )
+    fit = s.select(
+        "n",
+        (
+            (
+                F.col("n") * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy").cast("double")
+            )
+            / (
+                F.col("n") * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double")
+            )
+        ).alias("beta"),
+        (F.col("sy").cast("double") / F.col("n")).alias("ybar"),
+        (F.col("sx").cast("double") / F.col("n")).alias("xbar"),
+    )
+    res = d.crossJoin(F.broadcast(fit)).select(
+        "x",
+        "n",
+        "beta",
+        F.round(
+            (
+                F.col("y")
+                - (F.col("ybar") + F.col("beta") * (F.col("x") - F.col("xbar")))
+            )
+            * 1000
+        )
+        .cast(dec)
+        .alias("e"),
+    )
+    lagd = res.select(
+        "n",
+        "beta",
+        "e",
+        F.lag("e").over(Window.orderBy("x")).alias("ep"),
+    )
+    dw = lagd.groupBy("n", "beta").agg(
+        F.sum(
+            F.when(F.col("ep").isNull(), F.lit(0).cast(dec)).otherwise(
+                (F.col("e") - F.col("ep")) * (F.col("e") - F.col("ep"))
+            )
+        )
+        .cast(dec)
+        .alias("num"),
+        F.sum(F.col("e") * F.col("e")).cast(dec).alias("den"),
+    )
+    ratio = dw["num"].cast("double") / dw["den"].cast("double")
+    return dw.select(
+        F.col("n").alias("n_days"),
+        F.round(F.col("beta"), 9).alias("slope_cents_per_day"),
+        F.round(ratio, 9).alias("dw_stat"),
+        F.round(F.lit(1.0) - ratio / 2.0, 9).alias("rho_approx"),
+    )
+
+
+@register(
+    "ml_ndcg_macro_summary",
+    oracle=f"""
+    WITH gain AS (
+        SELECT c.c_nationkey, c.c_custkey, c.c_acctbal,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS g
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey, c.c_custkey, c.c_acctbal
+    ),
+    retrieved AS (
+        SELECT c_nationkey, g, rn FROM (
+            SELECT c_nationkey, g,
+                   row_number() OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_acctbal DESC, c_custkey)
+                       AS rn
+            FROM gain
+        ) WHERE rn <= 10
+    ),
+    ideal AS (
+        SELECT c_nationkey, g, rn FROM (
+            SELECT c_nationkey, g,
+                   row_number() OVER (PARTITION BY c_nationkey
+                                      ORDER BY g DESC, c_custkey) AS rn
+            FROM gain
+        ) WHERE rn <= 10
+    ),
+    dcg AS (
+        SELECT c_nationkey,
+               CAST(SUM(g * ({{disc}})) AS BIGINT) AS dcg_units
+        FROM retrieved GROUP BY c_nationkey
+    ),
+    idcg AS (
+        SELECT c_nationkey,
+               CAST(SUM(g * ({{disc}})) AS BIGINT) AS idcg_units
+        FROM ideal GROUP BY c_nationkey
+    ),
+    per_group AS (
+        SELECT CAST(round(CAST(d.dcg_units AS DOUBLE) / i.idcg_units * 1000000)
+                    AS BIGINT) AS ndcg_q
+        FROM dcg d JOIN idcg i ON i.c_nationkey = d.c_nationkey
+        WHERE i.idcg_units > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           round(CAST(SUM(ndcg_q) AS DOUBLE) / COUNT(*) / 1000000, 6)
+               AS macro_ndcg,
+           round(CAST(MIN(ndcg_q) AS DOUBLE) / 1000000, 6) AS min_ndcg,
+           round(CAST(MAX(ndcg_q) AS DOUBLE) / 1000000, 6) AS max_ndcg,
+           CAST(COUNT(*) FILTER (WHERE ndcg_q >= 900000) AS BIGINT)
+               AS n_groups_ge_090
+    FROM per_group
+    """.replace("{disc}", _NDCG_DISC_SQL_CASE),
+    doc="Macro-averaged NDCG@10 across query groups: the per-group "
+        "rankings of ml_ndcg_at_k reduced to ONE retrieval-system grade — "
+        "mean / min / max NDCG over the 25 nation-groups plus the count "
+        "of groups clearing 0.9 (macro averaging weights every query "
+        "group equally, the standard IR evaluation convention; the min "
+        "exposes the worst-served group that the mean hides). Per-group "
+        "NDCG is the same exact BIGINT dcg/idcg unit ratio (build-time "
+        "integer discount literals), quantized to 1e-6 units before the "
+        "cross-group sum so the macro mean is an exact integer sum in "
+        "both engines, never an order-dependent double accumulation. "
+        "Plan: everything up to the per-group ratio is ml_ndcg_at_k's "
+        "plan (one gain agg, two windowed top-10s on the nation grain); "
+        "the summary adds one bounded-grid aggregate. Reference parity: "
+        "extension surface (SURVEY.md §2.B ML rows).",
+)
+def ml_ndcg_macro_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    gain = (
+        c.join(
+            o.select(F.col("o_custkey").alias("c_custkey"), "o_orderkey"),
+            "c_custkey",
+            "left",
+        )
+        .groupBy("c_nationkey", "c_custkey", "c_acctbal")
+        .agg(F.count("o_orderkey").cast("long").alias("g"))
+        .localCheckpoint(eager=True)  # consumed by both top-10 windows
+    )
+    disc = F.element_at(
+        F.array(*[F.lit(d) for d in _NDCG_DISC]), F.col("rn")
+    ).cast("long")
+    wr = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    wi = Window.partitionBy("c_nationkey").orderBy(
+        F.col("g").desc(), F.col("c_custkey")
+    )
+    dcg = (
+        gain.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 10)
+        .groupBy("c_nationkey")
+        .agg(F.sum(F.col("g") * disc).cast("long").alias("dcg_units"))
+    )
+    idcg = (
+        gain.withColumn("rn", F.row_number().over(wi))
+        .filter(F.col("rn") <= 10)
+        .groupBy("c_nationkey")
+        .agg(F.sum(F.col("g") * disc).cast("long").alias("idcg_units"))
+    )
+    per_group = (
+        dcg.join(idcg, "c_nationkey")
+        .where(F.col("idcg_units") > 0)
+        .select(
+            F.round(
+                F.col("dcg_units").cast("double") / F.col("idcg_units") * 1000000
+            )
+            .cast("long")
+            .alias("ndcg_q")
+        )
+    )
+    return per_group.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.round(
+            F.sum("ndcg_q").cast("double") / F.count(F.lit(1)) / 1000000, 6
+        ).alias("macro_ndcg"),
+        F.round(F.min("ndcg_q").cast("double") / 1000000, 6).alias("min_ndcg"),
+        F.round(F.max("ndcg_q").cast("double") / 1000000, 6).alias("max_ndcg"),
+        F.count_if(F.col("ndcg_q") >= 900000).cast("long").alias(
+            "n_groups_ge_090"
+        ),
+    )
+
+
+def _edge_support(e: DataFrame) -> DataFrame:
+    """Triangle support per undirected edge (pa < pb): the number of
+    common neighbors of the edge's endpoints, via one wedge equi-join per
+    endpoint over the symmetrized adjacency — zero-support edges kept
+    through a left join. Shared by graph_edge_support_histogram's readout
+    and the k-truss peel rounds."""
+    adj = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionByName(
+        e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    x = adj.select(F.col("src").alias("pa"), F.col("dst").alias("w"))
+    y = adj.select(F.col("src").alias("pb"), F.col("dst").alias("w"))
+    common = (
+        e.join(x, "pa")
+        .join(y, ["pb", "w"])
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("s"))
+    )
+    return e.join(common, ["pa", "pb"], "left").select(
+        "pa", "pb", F.coalesce(F.col("s"), F.lit(0)).alias("s")
+    )
+
+
+_KTRUSS_SUPPORT_SQL = """
+        SELECT e.pa, e.pb, COALESCE(c.s, 0) AS s
+        FROM {e} e LEFT JOIN (
+            SELECT e.pa, e.pb, CAST(COUNT(*) AS BIGINT) AS s
+            FROM {e} e
+            JOIN (SELECT pa AS src, pb AS dst FROM {e}
+                  UNION ALL SELECT pb, pa FROM {e}) x ON x.src = e.pa
+            JOIN (SELECT pa AS src, pb AS dst FROM {e}
+                  UNION ALL SELECT pb, pa FROM {e}) y
+                 ON y.src = e.pb AND y.dst = x.dst
+            GROUP BY e.pa, e.pb
+        ) c ON c.pa = e.pa AND c.pb = e.pb
+"""
+
+
+@register(
+    "graph_ktruss_edges",
+    oracle=f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    e0 AS (
+        SELECT a.p AS pa, b.p AS pb
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+    ),
+    sup0 AS ({_KTRUSS_SUPPORT_SQL.format(e="e0")}),
+    e1 AS (SELECT pa, pb FROM sup0 WHERE s >= 1),
+    sup1 AS ({_KTRUSS_SUPPORT_SQL.format(e="e1")}),
+    e2 AS (SELECT pa, pb FROM sup1 WHERE s >= 1)
+    SELECT * FROM (
+        SELECT 1 AS round,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM e0) AS edges_before,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM e1) AS edges_after
+        UNION ALL
+        SELECT 2,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM e1),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM e2)
+    ) ORDER BY round
+    """,
+    doc="3-truss peeling, two synchronized rounds: drop every edge whose "
+        "triangle support is below k-2 = 1, recount support on the "
+        "survivor subgraph, drop again — per-round edge attrition is the "
+        "readout (a 3-truss is the maximal subgraph where every edge sits "
+        "in >= 1 triangle; truss decomposition is the standard "
+        "cohesive-core extractor one level finer than k-core, Cohen "
+        "2008). Fixed-round formulation like graph_label_propagation: "
+        "each round is one wedge equi-join + one aggregation over the "
+        "CHECKPOINTED shrinking edge frame (the multi-consumer edge-frame "
+        "rule), no driver-side loop; at 100 TB each round is a bounded "
+        "number of narrow shuffles on an edge list that only shrinks. "
+        "At this graph's density round 2 IS the fixpoint (181 -> 181 at sf0.01); "
+        "convergence-depth telemetry belongs to the unbounded variant of "
+        "the same loop (see operators/graph.py connected-components "
+        "contract). Reference parity: extension surface (SURVEY.md §2.B "
+        "graph rows).",
+)
+def graph_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e0 = _support2_copurchase_edges(spark, sf_dir).select(
+        F.col("p1").alias("pa"), F.col("p2").alias("pb")
+    ).localCheckpoint(eager=True)
+    e1 = (
+        _edge_support(e0)
+        .where(F.col("s") >= 1)
+        .select("pa", "pb")
+        .localCheckpoint(eager=True)
+    )
+    e2 = _edge_support(e1).where(F.col("s") >= 1).select("pa", "pb")
+    n0 = e0.agg(F.count(F.lit(1)).cast("long").alias("c0"))
+    n1 = e1.agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    n2 = e2.agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    counts = n0.crossJoin(F.broadcast(n1)).crossJoin(F.broadcast(n2))
+    r1 = counts.select(
+        F.lit(1).cast("int").alias("round"),
+        F.col("c0").alias("edges_before"),
+        F.col("c1").alias("edges_after"),
+    )
+    r2 = counts.select(
+        F.lit(2).cast("int").alias("round"),
+        F.col("c1").alias("edges_before"),
+        F.col("c2").alias("edges_after"),
+    )
+    return r1.unionByName(r2)
+
+
+#: ln(2) * 1e6 as one shared double literal (build-time constant trick):
+#: halflife = LN2_1E6 / (-slope_in_1e-6-ln-units-per-day).
+_LN2_1E6 = 693147.180559945
+
+
+@register(
+    "analytics_interpurchase_halflife",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT CAST(CAST(o_orderdate AS DATE)
+                    - lag(CAST(o_orderdate AS DATE))
+                          OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+                   AS gap
+        FROM orders
+    ),
+    g AS (SELECT gap FROM gaps WHERE gap IS NOT NULL),
+    surv AS (
+        SELECT t.g AS thresh,
+               CAST(COUNT(*) FILTER (WHERE gap > t.g) AS BIGINT) AS n_gt,
+               CAST(COUNT(*) AS BIGINT) AS n_all
+        FROM g CROSS JOIN (
+            SELECT UNNEST([30, 60, 90, 120, 150, 180, 210, 240, 270, 300,
+                           330, 360]) AS g
+        ) t
+        GROUP BY t.g
+    ),
+    pts AS (
+        SELECT CAST(thresh AS BIGINT) AS x,
+               CAST(round(ln(CAST(n_gt AS DOUBLE) / n_all) * 1000000)
+                    AS BIGINT) AS y,
+               n_all
+        FROM surv WHERE n_gt > 0
+    ),
+    fit AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k, MAX(n_all) AS n_gaps,
+               (COUNT(*) * CAST(SUM(x * y) AS DOUBLE)
+                - CAST(SUM(x) AS DOUBLE) * SUM(y))
+               / (COUNT(*) * CAST(SUM(x * x) AS DOUBLE)
+                  - CAST(SUM(x) AS DOUBLE) * SUM(x)) AS slope_units
+        FROM pts
+    )
+    SELECT n_gaps, k AS n_grid_points,
+           round(slope_units / 1000000, 9) AS decay_per_day,
+           round({_LN2_1E6} / (-slope_units), 6) AS halflife_days
+    FROM fit
+    """,
+    doc="Inter-purchase decay half-life: per-customer gaps between "
+        "consecutive orders -> empirical survival S(g) = P(gap > g) on a "
+        "bounded 30-day grid -> log-linear OLS of ln S(g) on g -> the "
+        "exponential-decay rate and its half-life in days — the "
+        "churn-model constant (time until half the repeat customers have "
+        "reordered). Determinism: survival counts are exact longs from "
+        "ONE conditional-count aggregate per grid point; ln is evaluated "
+        "on the identical count/count double then quantized per-term to "
+        "1e-6 integer units before the OLS sums (the established "
+        "transcendental containment rule), so slope is a ratio of exact "
+        "integer sums and ln(2)*1e6 enters as one shared build-time "
+        "literal. Plan: one lag window partitioned by customer (narrow, "
+        "corpus-keyed), one scan aggregated to the 12-point grid, OLS on "
+        "the bounded grid — no corpus-scaled shuffle beyond the "
+        "per-customer ordering. Reference parity: extension surface "
+        "(SURVEY.md §2.B analytics rows).",
+)
+def analytics_interpurchase_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).cast("long").alias("gap")
+    ).where(F.col("gap").isNotNull())
+    grid = [30 * i for i in range(1, 13)]
+    one = gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        *[
+            F.count_if(F.col("gap") > g).cast("long").alias(f"c{g}")
+            for g in grid
+        ],
+    )
+    stack_expr = "stack({n}, {args}) as (x, n_gt)".format(
+        n=len(grid),
+        args=", ".join(f"CAST({g} AS BIGINT), c{g}" for g in grid),
+    )
+    pts = (
+        one.selectExpr("n_all", stack_expr)
+        .where(F.col("n_gt") > 0)
+        .select(
+            "n_all",
+            "x",
+            F.round(
+                F.log(F.col("n_gt").cast("double") / F.col("n_all")) * 1000000
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.max("n_all").alias("n_gaps"),
+        (
+            (
+                F.count(F.lit(1)) * F.sum(F.col("x") * F.col("y")).cast("double")
+                - F.sum("x").cast("double") * F.sum("y")
+            )
+            / (
+                F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x")).cast("double")
+                - F.sum("x").cast("double") * F.sum("x")
+            )
+        ).alias("slope_units"),
+    )
+    return fit.select(
+        "n_gaps",
+        F.col("k").alias("n_grid_points"),
+        F.round(F.col("slope_units") / 1000000, 9).alias("decay_per_day"),
+        F.round(F.lit(_LN2_1E6) / (-F.col("slope_units")), 6).alias(
+            "halflife_days"
+        ),
+    )
+
+
+@register(
+    "analytics_price_elasticity",
+    oracle="""
+    WITH b AS (
+        SELECT p.p_brand,
+               CAST(SUM(CAST(round(l.l_extendedprice * 100) AS DECIMAL(38,0)))
+                    AS BIGINT) AS rev_cents,
+               CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,0))) AS BIGINT) AS qty
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_brand
+    ),
+    pts AS (
+        SELECT CAST(round(ln(CAST(rev_cents AS DOUBLE) / qty) * 1000000)
+                    AS BIGINT) AS x,
+               CAST(round(ln(CAST(qty AS DOUBLE)) * 1000000) AS BIGINT) AS y
+        FROM b WHERE qty > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_brands,
+           round((COUNT(*) * CAST(SUM(x * y) AS DOUBLE)
+                  - CAST(SUM(x) AS DOUBLE) * SUM(y))
+                 / (COUNT(*) * CAST(SUM(x * x) AS DOUBLE)
+                    - CAST(SUM(x) AS DOUBLE) * SUM(x)), 6) AS elasticity,
+           round((CAST(SUM(y) AS DOUBLE) / COUNT(*)
+                  - ((COUNT(*) * CAST(SUM(x * y) AS DOUBLE)
+                      - CAST(SUM(x) AS DOUBLE) * SUM(y))
+                     / (COUNT(*) * CAST(SUM(x * x) AS DOUBLE)
+                        - CAST(SUM(x) AS DOUBLE) * SUM(x)))
+                    * CAST(SUM(x) AS DOUBLE) / COUNT(*)) / 1000000, 6)
+               AS intercept_ln_qty
+    FROM pts
+    """,
+    doc="Log-log price elasticity of demand across the bounded brand "
+        "grid: each brand contributes one (ln avg unit price, ln total "
+        "quantity) point; the OLS slope of ln-quantity on ln-price IS "
+        "the constant-elasticity estimate (the econometric workhorse "
+        "regression). Determinism: per-brand revenue/quantity are exact "
+        "DECIMAL sums; avg price is an exact-long/exact-long pinned "
+        "division; both logs are quantized per-term to 1e-6 integer "
+        "units before the moment sums (transcendental containment), so "
+        "slope and intercept are ratios of exact integer sums — the 1e6 "
+        "scale cancels in the slope. Plan: one lineitem-part join "
+        "aggregated straight to the ~25-brand grid, then a bounded "
+        "2-row-deep OLS aggregate; one corpus shuffle total. Reference "
+        "parity: extension surface (SURVEY.md §2.B analytics rows).",
+)
+def analytics_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    b = (
+        li.join(
+            p.select(F.col("p_partkey").alias("l_partkey"), "p_brand"),
+            "l_partkey",
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+            )
+            .cast("long")
+            .alias("rev_cents"),
+            F.sum(F.col("l_quantity").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("qty"),
+        )
+        .where(F.col("qty") > 0)
+    )
+    pts = b.select(
+        F.round(
+            F.log(F.col("rev_cents").cast("double") / F.col("qty")) * 1000000
+        )
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("qty").cast("double")) * 1000000)
+        .cast("long")
+        .alias("y"),
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("x").cast("double")
+    sy = F.sum("y").cast("double")
+    sxy = F.sum(F.col("x") * F.col("y")).cast("double")
+    sxx = F.sum(F.col("x") * F.col("x")).cast("double")
+    slope = (n * sxy - sx * F.sum("y")) / (n * sxx - sx * F.sum("x"))
+    return pts.agg(
+        n.cast("long").alias("n_brands"),
+        F.round(slope, 6).alias("elasticity"),
+        F.round((sy / n - slope * sx / n) / 1000000, 6).alias(
+            "intercept_ln_qty"
+        ),
+    )

@@ -160,6 +160,15 @@ NEXT_WINDOW: list[str] = [
     "ts_hurst_rescaled_range",
     "ts_rolling_beta",
     "ts_spectral_dft_topk",
+    # --- round-7 session additions (this window closes coverage at
+    # --- len(all_specs()) when certified in round 8) ---
+    "ml_macro_f1_multiclass",
+    "ml_threshold_sweep_confusion",
+    "ml_ols_durbin_watson",
+    "ml_ndcg_macro_summary",
+    "graph_ktruss_edges",
+    "analytics_interpurchase_halflife",
+    "analytics_price_elasticity",
 ]
 
 def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQuery], SparkQuery]:
