@@ -1877,3 +1877,240 @@ def dq_uniqueness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = prof if out is None else out.unionByName(prof)
     return out
+
+
+def _str_profile_sql(table: str, col: str) -> str:
+    return f"""
+    SELECT '{table}.{col}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE {col} IS NULL) AS BIGINT) AS n_null,
+           CAST(COUNT(*) FILTER (WHERE {col} IS NOT NULL
+                                 AND trim({col}) = '') AS BIGINT)
+               AS n_empty_or_ws,
+           CAST(COUNT(*) FILTER (WHERE lower(trim({col})) IN
+                ('null', 'none', 'n/a', 'na', '-', 'nan')) AS BIGINT)
+               AS n_null_like,
+           CAST(COUNT(*) FILTER (WHERE regexp_matches({col}, '[0-9]'))
+                AS BIGINT) AS n_with_digit,
+           CAST(MIN(length({col})) AS BIGINT) AS min_len,
+           CAST(MAX(length({col})) AS BIGINT) AS max_len,
+           CAST(SUM(CAST(length({col}) AS DECIMAL(38,0))) AS DOUBLE)
+               / COUNT(*) AS avg_len
+    FROM {table}
+    """
+
+
+@register(
+    "dq_string_profile_audit",
+    oracle=" UNION ALL ".join(
+        _str_profile_sql(t, c)
+        for t, c in [
+            ("documents", "text"),
+            ("documents", "lang"),
+            ("documents", "source"),
+            ("events", "event_type"),
+            ("events", "props"),
+        ]
+    ),
+    doc="String-hygiene audit across the corpus's text columns: NULLs, "
+        "empty/whitespace-only values, disguised-null literals ('null', "
+        "'N/A', 'nan', ...), digit-bearing values, and length envelope "
+        "per column — the ingestion gate that catches the classic "
+        "CSV-era rot (empty-string-as-null, placeholder literals) before "
+        "it trains or joins as real data; the string-shape companion to "
+        "dq_uniqueness_profile's cardinality pass. Plan: ONE conditional "
+        "aggregate per column over a projected scan (map-side collapse, "
+        "no shuffle wider than 1 row each), 5 output rows; lengths sum "
+        "in DECIMAL so avg_len is an exact-sum / count pinned division. "
+        "Reference parity: extension surface (SURVEY.md §2.B DQ rows).",
+)
+def dq_string_profile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    null_like = ["null", "none", "n/a", "na", "-", "nan"]
+    out = None
+    for table, col in [
+        ("documents", "text"),
+        ("documents", "lang"),
+        ("documents", "source"),
+        ("events", "event_type"),
+        ("events", "props"),
+    ]:
+        t = load_table(spark, sf_dir, table)
+        c = F.col(col)
+        prof = t.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_if(c.isNull()).cast("long").alias("n_null"),
+            F.count_if(c.isNotNull() & (F.trim(c) == "")).cast("long").alias(
+                "n_empty_or_ws"
+            ),
+            F.count_if(F.lower(F.trim(c)).isin(null_like))
+            .cast("long")
+            .alias("n_null_like"),
+            F.count_if(c.rlike("[0-9]")).cast("long").alias("n_with_digit"),
+            F.min(F.length(c)).cast("long").alias("min_len"),
+            F.max(F.length(c)).cast("long").alias("max_len"),
+            (
+                F.sum(F.length(c).cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_len"),
+        ).select(F.lit(f"{table}.{col}").alias("column_name"), "*")
+        out = prof if out is None else out.unionByName(prof)
+    return out
+
+
+#: (table, column, Java-regex/RE2-common-subset pattern) conformance rules;
+#: full-match anchored on both engines.
+_CONFORMANCE_RULES = [
+    ("documents", "lang", "^[a-z]{2}$"),
+    ("documents", "source", "^src[0-9]{1,3}$"),
+    ("events", "event_type", "^(signup|click|view|purchase|error)$"),
+    ("events", "props", "^\\{.*\\}$"),
+    ("orders", "o_orderpriority", "^[1-5]-[A-Z]+$"),
+]
+
+
+def _conformance_sql(t: str, c: str, p: str) -> str:
+    # DuckDB single-quoted literals are RAW (no backslash processing):
+    # only quotes need escaping, and the regex text must stay byte-equal
+    # to the Spark-side pattern.
+    lit = p.replace("'", "''")
+    return f"""
+    SELECT '{t}.{c}' AS column_name,
+           '{lit}' AS pattern,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE {c} IS NOT NULL
+                                 AND regexp_matches({c}, '{lit}'))
+                AS BIGINT) AS n_conforming,
+           CAST(COUNT(*) FILTER (WHERE {c} IS NULL
+                                 OR NOT regexp_matches({c}, '{lit}'))
+                AS BIGINT) AS n_violations
+    FROM {t}
+    """
+
+
+@register(
+    "dq_format_conformance_audit",
+    oracle=" UNION ALL ".join(
+        _conformance_sql(t, c, p) for t, c, p in _CONFORMANCE_RULES
+    ),
+    doc="Format-conformance audit: every value of each declared column "
+        "must full-match its contract regex (ISO language codes, source "
+        "ids, a closed event-type enum, JSON-object-shaped props, TPC-H "
+        "priority codes); NULL counts as a violation because the "
+        "contract says the value exists. The declarative-expectations "
+        "pattern (Deequ/Great-Expectations style) as one engine query. "
+        "Patterns are restricted to the Java-regex/RE2 common subset so "
+        "both engines match byte-identically. Plan: one conditional "
+        "aggregate per rule over a projected scan — map-side collapse, "
+        "5 one-row partials, zero wide shuffles at any corpus size. "
+        "Reference parity: extension surface (SURVEY.md §2.B DQ rows).",
+)
+def dq_format_conformance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for table, col, pat in _CONFORMANCE_RULES:
+        t = load_table(spark, sf_dir, table)
+        c = F.col(col)
+        ok = c.isNotNull() & c.rlike(pat)
+        prof = t.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_if(ok).cast("long").alias("n_conforming"),
+            F.count_if(~ok | c.isNull()).cast("long").alias("n_violations"),
+        ).select(
+            F.lit(f"{table}.{col}").alias("column_name"),
+            F.lit(pat).alias("pattern"),
+            "*",
+        )
+        out = prof if out is None else out.unionByName(prof)
+    return out
+
+
+def _pow2_case_sql(expr: str, max_k: int = 30) -> str:
+    """CASE ladder mapping a non-negative BIGINT to its power-of-two
+    bucket floor (0, 1, 2, 4, ... 2^max_k) — log2 without log2, so both
+    engines bucket by exact integer comparison instead of a
+    transcendental."""
+    whens = " ".join(
+        f"WHEN {expr} < {1 << (k + 1)} THEN {1 << k}" for k in range(max_k)
+    )
+    return f"CASE WHEN {expr} < 1 THEN 0 {whens} ELSE {1 << max_k} END"
+
+
+@register(
+    "cdc_entity_update_cadence",
+    oracle=f"""
+    WITH wal AS (
+        SELECT event_id % 500 AS entity_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+    ),
+    per AS (
+        SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_ops,
+               (MAX(us) - MIN(us)) // (COUNT(*) - 1) // 1000000
+                   AS mean_gap_s
+        FROM wal GROUP BY entity_id HAVING COUNT(*) >= 2
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_entities FROM per)
+    SELECT CAST({_pow2_case_sql("mean_gap_s")} AS BIGINT) AS gap_bucket_lo_s,
+           CAST(COUNT(*) AS BIGINT) AS n_entities,
+           CAST(SUM(n_ops) AS BIGINT) AS n_ops,
+           round(CAST(COUNT(*) AS DOUBLE) / MAX(tot.n_entities), 6) AS share
+    FROM per, tot
+    GROUP BY 1
+    """,
+    doc="Per-entity update-cadence histogram of the WAL: each entity's "
+        "mean seconds between consecutive operations ((last - first) / "
+        "(n - 1) — exact integer floor arithmetic on epoch micros), "
+        "bucketed by powers of two — the hot/warm/cold key profile that "
+        "sizes CDC state stores and picks compaction cadence (a key "
+        "updating every 2 s and one updating every 2 days need different "
+        "retention). The power-of-two bucket is a CASE ladder of integer "
+        "comparisons, not log2 (transcendental containment); mean-gap "
+        "needs only min/max/count, so the whole profile is ONE narrow "
+        "groupBy per entity plus a bounded-bucket rollup — no per-op lag "
+        "window, which at 100 TB is the difference between a count-style "
+        "shuffle and a full event-time sort. Reference analog: the WAL "
+        "entity stream of WalEntity.java:38-39 (extension surface, "
+        "SURVEY.md §2.B CDC rows).",
+)
+def cdc_entity_update_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    wal = e.select(
+        (F.col("event_id") % 500).alias("entity_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    per = (
+        wal.groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ops"),
+            F.max("us").alias("mx"),
+            F.min("us").alias("mn"),
+        )
+        .where(F.col("n_ops") >= 2)
+        .selectExpr(
+            "entity_id",
+            "n_ops",
+            "((mx - mn) div (n_ops - 1)) div 1000000 AS mean_gap_s",
+        )
+    )
+    bucket = F.lit(1 << 30)
+    for k in reversed(range(30)):
+        bucket = F.when(
+            F.col("mean_gap_s") < (1 << (k + 1)), F.lit(1 << k)
+        ).otherwise(bucket)
+    bucket = F.when(F.col("mean_gap_s") < 1, F.lit(0)).otherwise(bucket)
+    tot = per.agg(F.count(F.lit(1)).cast("long").alias("tot_entities"))
+    return (
+        per.groupBy(bucket.cast("long").alias("gap_bucket_lo_s"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_entities"),
+            F.sum("n_ops").cast("long").alias("n_ops"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "gap_bucket_lo_s",
+            "n_entities",
+            "n_ops",
+            F.round(
+                F.col("n_entities").cast("double") / F.col("tot_entities"), 6
+            ).alias("share"),
+        )
+    )

@@ -169,6 +169,12 @@ NEXT_WINDOW: list[str] = [
     "graph_ktruss_edges",
     "analytics_interpurchase_halflife",
     "analytics_price_elasticity",
+    "ts_ewm_mean_variance",
+    "ts_wow_poisson_z",
+    "text_hapax_ratio_by_source",
+    "dq_string_profile_audit",
+    "dq_format_conformance_audit",
+    "cdc_entity_update_cadence",
 ]
 
 def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQuery], SparkQuery]:

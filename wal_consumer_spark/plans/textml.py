@@ -1638,3 +1638,65 @@ def text_shingle_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("entropy_nats"),
         )
     )
+
+
+#: non-distinct per-doc word bigrams (every occurrence counts — hapax
+#: analysis needs raw frequencies, unlike the _BIGRAMS dedup'd variant)
+_BIGRAMS_ALL = (
+    "list_transform(generate_series(0, greatest(len({t}) - 2, 0)), "
+    "i -> array_to_string(list_slice({t}, i + 1, i + 2), ' '))"
+).format(t=_TOKS)
+
+
+@register(
+    "text_hapax_ratio_by_source",
+    oracle=f"""
+    WITH occ AS (
+        SELECT source, unnest({_BIGRAMS_ALL}) AS bg FROM documents
+    ),
+    cnt AS (
+        SELECT source, bg, CAST(COUNT(*) AS BIGINT) AS c
+        FROM occ GROUP BY source, bg
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS vocab_bigrams,
+           CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS hapax_bigrams,
+           CAST(SUM(c) AS BIGINT) AS n_bigram_occurrences,
+           round(CAST(COUNT(*) FILTER (WHERE c = 1) AS DOUBLE) / COUNT(*), 6)
+               AS hapax_ratio
+    FROM cnt GROUP BY source
+    """,
+    doc="Hapax-legomenon share per source: the fraction of each source's "
+        "word-bigram vocabulary that occurs exactly once — the classic "
+        "lexical-novelty signal (high hapax ratio = fresh productive "
+        "text worth keeping; low = templated/boilerplate-heavy source "
+        "worth down-weighting or dedup-auditing), the per-source "
+        "companion to the global Zipf/Heaps fits. Bigrams are counted "
+        "NON-distinct (raw occurrences — hapax needs true frequencies), "
+        "generated by the same JVM expression shape as the corpus's "
+        "other shingle ops. Plan: one explode scan -> (source, bigram) "
+        "count -> bounded per-source rollup; both divisions are "
+        "exact-long/exact-long. At corpus scale the only wide shuffle is "
+        "the (source, bigram) count, the same key cardinality every "
+        "df-style text op here already shuffles on. Reference parity: "
+        "extension surface (SURVEY.md §2.B text rows).",
+)
+def text_hapax_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    bigrams_all = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(t) - 2, F.lit(0))),
+        lambda i: F.array_join(F.slice(t, i + 1, 2), " "),
+    )
+    occ = d.select("source", F.explode(bigrams_all).alias("bg"))
+    cnt = occ.groupBy("source", "bg").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return cnt.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_bigrams"),
+        F.count_if(F.col("c") == 1).cast("long").alias("hapax_bigrams"),
+        F.sum("c").cast("long").alias("n_bigram_occurrences"),
+        F.round(
+            F.count_if(F.col("c") == 1).cast("double") / F.count(F.lit(1)), 6
+        ).alias("hapax_ratio"),
+    )

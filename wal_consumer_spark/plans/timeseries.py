@@ -3194,3 +3194,152 @@ def ts_hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("32").alias("avg_rs_32"),
         "hurst",
     )
+
+
+#: Dyadic EWM weights 2^15 .. 2^0 (alpha = 1/2 over a 16-observation
+#: trailing window): integer geometric weights make the exponentially
+#: weighted sums EXACT integer arithmetic in both engines — no pow(), no
+#: float accumulation order — while keeping the defining EWM property
+#: (each older observation counts half as much).
+_EWM_W = [2 ** (15 - j) for j in range(16)]
+_EWM_WSUM = sum(_EWM_W)  # 65535
+
+
+def _ewm_sql() -> str:
+    lags = ",\n               ".join(
+        f"lag(y, {j}) OVER (ORDER BY day) AS y{j}" for j in range(16)
+    )
+    m1 = " + ".join(f"{w} * CAST(y{j} AS DECIMAL(38,0))" for j, w in enumerate(_EWM_W))
+    m2 = " + ".join(
+        f"{w} * CAST(y{j} AS DECIMAL(38,0)) * y{j}" for j, w in enumerate(_EWM_W)
+    )
+    return f"""
+    WITH d AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS day,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS DECIMAL(18,0)))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    lagd AS (
+        SELECT day,
+               {lags}
+        FROM d
+    ),
+    m AS (
+        SELECT day,
+               CAST({m1} AS DECIMAL(38,0)) AS m1,
+               CAST({m2} AS DECIMAL(38,0)) AS m2
+        FROM lagd WHERE y15 IS NOT NULL
+    )
+    SELECT day,
+           CAST(CAST(m1 AS HUGEINT) // {_EWM_WSUM} AS BIGINT)
+               AS ewm_mean_cents,
+           CAST(CAST({_EWM_WSUM} * m2 - m1 * m1 AS HUGEINT)
+                // {_EWM_WSUM * _EWM_WSUM} AS BIGINT) AS ewm_var_cents2
+    FROM m
+    """
+
+
+@register(
+    "ts_ewm_mean_variance",
+    oracle=_ewm_sql(),
+    doc="Exponentially weighted mean AND variance of daily revenue over a "
+        "16-observation trailing window with alpha = 1/2 — the adaptive "
+        "baseline + volatility pair behind anomaly bands that must react "
+        "to regime changes faster than a flat rolling window (RiskMetrics "
+        "EWMA volatility). Determinism: the weights are the dyadic "
+        "integers 2^15..2^0, so both weighted moments are EXACT "
+        "DECIMAL(38,0) integer sums over revenue cents (no pow(), no "
+        "float accumulation); both the mean and the variance are kept "
+        "FULLY integral to the end — (W*M2 - M1^2) DIV W^2 in cents^2, floor "
+        "division of exact decimals, because casting a ~1e20 decimal to "
+        "double is not identically rounded across engines. Plan: one date "
+        "rollup, then 16 lag columns over ONE ordered window on the "
+        "bounded day grid (Aggregate child — the value-domain window "
+        "rule); at 100 TB the corpus-scaled work is only the rollup "
+        "shuffle. Reference parity: extension surface (SURVEY.md §2.B "
+        "time-series rows).",
+)
+def ts_ewm_mean_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.col("o_orderdate").cast("date").cast("timestamp").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+        .cast("long")
+        .alias("y")
+    )
+    w = Window.orderBy("day")
+    lagd = d.select(
+        "day", *[F.lag("y", j).over(w).alias(f"y{j}") for j in range(16)]
+    ).where(F.col("y15").isNotNull())
+    dec = "decimal(38,0)"
+    m1 = sum(
+        (F.lit(wt) * F.col(f"y{j}").cast(dec) for j, wt in enumerate(_EWM_W)),
+        F.lit(0).cast(dec),
+    ).cast(dec)
+    m2 = sum(
+        (
+            F.lit(wt) * F.col(f"y{j}").cast(dec) * F.col(f"y{j}")
+            for j, wt in enumerate(_EWM_W)
+        ),
+        F.lit(0).cast(dec),
+    ).cast(dec)
+    numer = (F.lit(_EWM_WSUM).cast(dec) * m2 - m1 * m1).alias("numer")
+    return lagd.select("day", m1.alias("m1"), numer).selectExpr(
+        "day",
+        f"CAST(m1 DIV {_EWM_WSUM} AS BIGINT) AS ewm_mean_cents",
+        f"CAST(numer DIV {_EWM_WSUM * _EWM_WSUM} AS BIGINT) AS ewm_var_cents2",
+    )
+
+
+@register(
+    "ts_wow_poisson_z",
+    oracle="""
+    WITH w AS (
+        SELECT date_trunc('week', CAST(o_orderdate AS DATE)) AS wk,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1
+    ),
+    lagd AS (
+        SELECT CAST(wk AS TIMESTAMP) AS week, n,
+               lag(n) OVER (ORDER BY wk) AS prev_n
+        FROM w
+    )
+    SELECT week, n AS n_orders, prev_n AS prev_orders,
+           round(CAST(n - prev_n AS DOUBLE) / sqrt(CAST(n + prev_n AS DOUBLE)),
+                 6) AS z,
+           abs(CAST(n - prev_n AS DOUBLE) / sqrt(CAST(n + prev_n AS DOUBLE)))
+               > 2.0 AS significant
+    FROM lagd WHERE prev_n IS NOT NULL
+    """,
+    doc="Week-over-week change significance under a Poisson count model: "
+        "for independent Poisson counts the difference's null variance is "
+        "the sum, so z = (c2 - c1)/sqrt(c1 + c2) is the standard two-rate "
+        "test statistic (the quick answer to 'is this week's drop real or "
+        "noise?' that raw percent deltas can't give, because the same -10% "
+        "means nothing at 100 events and everything at 1M). Exact longs "
+        "from one rollup; sqrt and division are IEEE-pinned; lag runs on "
+        "the bounded week grid (Aggregate child). Reference parity: "
+        "extension surface (SURVEY.md §2.B time-series rows).",
+)
+def ts_wow_poisson_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = o.groupBy(
+        F.date_trunc("week", F.col("o_orderdate").cast("date")).alias("wk")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    lagd = w.select(
+        F.col("wk").cast("timestamp").alias("week"),
+        "n",
+        F.lag("n").over(Window.orderBy("wk")).alias("prev_n"),
+    ).where(F.col("prev_n").isNotNull())
+    z = (F.col("n") - F.col("prev_n")).cast("double") / F.sqrt(
+        (F.col("n") + F.col("prev_n")).cast("double")
+    )
+    return lagd.select(
+        "week",
+        F.col("n").alias("n_orders"),
+        F.col("prev_n").alias("prev_orders"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 2.0).alias("significant"),
+    )
