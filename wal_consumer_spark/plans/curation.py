@@ -2122,3 +2122,105 @@ def pipeline_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFr
             F.sum("logr_micro").cast("long").alias("log_weight_micro"),
         )
     )
+
+
+@register(
+    "pipeline_contamination_report",
+    oracle=f"""
+    WITH ev AS (
+        SELECT doc_id AS eval_id, unnest({_SHINGLES_K5}) AS shingle
+        FROM documents WHERE doc_id < 20
+    ),
+    tr AS (
+        SELECT doc_id AS train_id, source, unnest({_SHINGLES_K5}) AS shingle
+        FROM documents WHERE doc_id >= 20
+    ),
+    hits AS (
+        SELECT ev.eval_id, tr.train_id, tr.source, ev.shingle
+        FROM ev JOIN tr USING (shingle)
+    ),
+    per AS (
+        SELECT eval_id,
+               CAST(COUNT(DISTINCT train_id) AS BIGINT) AS n_train_docs_hit,
+               CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_shingles_hit
+        FROM hits GROUP BY eval_id
+    ),
+    src AS (
+        SELECT eval_id, source,
+               CAST(COUNT(DISTINCT train_id) AS BIGINT) AS c
+        FROM hits GROUP BY eval_id, source
+    ),
+    topsrc AS (
+        SELECT eval_id, source FROM (
+            SELECT *, row_number() OVER (PARTITION BY eval_id
+                                         ORDER BY c DESC, source) AS rn
+            FROM src
+        ) WHERE rn = 1
+    )
+    SELECT e.eval_id AS eval_doc_id,
+           COALESCE(p.n_train_docs_hit, 0) AS n_train_docs_hit,
+           COALESCE(p.n_shingles_hit, 0) AS n_shingles_hit,
+           COALESCE(t.source, '') AS top_source
+    FROM (SELECT DISTINCT doc_id AS eval_id FROM documents WHERE doc_id < 20) e
+    LEFT JOIN per p ON p.eval_id = e.eval_id
+    LEFT JOIN topsrc t ON t.eval_id = e.eval_id
+    """,
+    doc="Eval-side leakage report — the inverse view of "
+        "pipeline_decontaminate: for every held-out benchmark item, how "
+        "many TRAINING docs share a 5-gram shingle with it, how many of "
+        "its shingles leaked, and which source leaks it hardest "
+        "(deterministic top-1: distinct-doc hits, source tie-break). "
+        "Decontaminate says which training docs to drop; this says which "
+        "EVAL items are already compromised and must be excluded from "
+        "reporting (the GPT-3 appendix-C dirty-eval table) plus where to "
+        "aim the crawler blocklist. Zero-hit items kept via left join — "
+        "an empty report must mean clean, not silent. Plan: eval "
+        "shingles are the tiny broadcast side joined into ONE exploded "
+        "training scan; every later agg/window is keyed by the bounded "
+        "eval grain. Reference parity: extension surface (SURVEY.md §2.C "
+        "curation rows).",
+)
+def pipeline_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(tokens(F.col("text")), 5)
+    ev = d.where(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("eval_id"), F.explode(sh).alias("shingle")
+    )
+    tr = d.where(F.col("doc_id") >= 20).select(
+        F.col("doc_id").alias("train_id"), "source", F.explode(sh).alias("shingle")
+    )
+    hits = tr.join(F.broadcast(ev), "shingle").localCheckpoint(
+        eager=True
+    )  # consumed by the per-eval rollup AND the top-source window
+    per = hits.groupBy("eval_id").agg(
+        F.count_distinct("train_id").cast("long").alias("n_train_docs_hit"),
+        F.count_distinct("shingle").cast("long").alias("n_shingles_hit"),
+    )
+    src = hits.groupBy("eval_id", "source").agg(
+        F.count_distinct("train_id").cast("long").alias("c")
+    )
+    topsrc = (
+        src.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("eval_id").orderBy(
+                    F.col("c").desc(), F.col("source")
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("eval_id", "source")
+    )
+    base = d.where(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("eval_id")
+    ).distinct()
+    return (
+        base.join(per, "eval_id", "left")
+        .join(topsrc, "eval_id", "left")
+        .select(
+            F.col("eval_id").alias("eval_doc_id"),
+            F.coalesce("n_train_docs_hit", F.lit(0)).alias("n_train_docs_hit"),
+            F.coalesce("n_shingles_hit", F.lit(0)).alias("n_shingles_hit"),
+            F.coalesce("source", F.lit("")).alias("top_source"),
+        )
+    )

@@ -43,7 +43,11 @@ from wal_consumer_spark.operators.similarity import (
     cosine_topk_lsh,
     embedding_near_dup_blocked,
     embedding_near_dup_pairs,
+    quant_cosine,
+    quant_cosine_sql,
+    quantize_vec32,
     rp_lsh_bucket_sql,
+    rp_lsh_buckets_np,
 )
 from wal_consumer_spark.plans.registry import register
 from wal_consumer_spark.sources.tables import load_table
@@ -2917,4 +2921,210 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_docs_droppable"),
         )
+    )
+
+
+def _lsh_buckets_cte(nbits: int = 4, n_tables: int = 8) -> str:
+    """All (table, bucket) assignments of every embedding — the DuckDB
+    replay of rp_lsh_buckets_np over the whole corpus."""
+    branches = "\n        UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, "
+        f"{rp_lsh_bucket_sql('v', 64, nbits, seed=42 + t)} AS bucket FROM e"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    cb AS (
+        {branches}
+    )"""
+
+
+@register(
+    "sim_lsh_bucket_balance",
+    oracle=f"""
+    {_lsh_buckets_cte()},
+    occ AS (
+        SELECT tbl, bucket, CAST(COUNT(*) AS BIGINT) AS n
+        FROM cb GROUP BY tbl, bucket
+    )
+    SELECT CAST(tbl AS INT) AS tbl,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+           CAST(SUM(n) AS BIGINT) AS n_vectors,
+           CAST(MAX(n) AS BIGINT) AS max_occupancy,
+           CAST(MIN(n) AS BIGINT) AS min_occupancy,
+           CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs,
+           round(CAST(MAX(n) AS DOUBLE) * COUNT(*) / SUM(n), 6)
+               AS imbalance_factor
+    FROM occ GROUP BY tbl
+    """,
+    doc="LSH hash-table balance audit: per sign-random-projection table, "
+        "bucket occupancy extremes, the implied candidate-pair volume "
+        "sum n_b*(n_b-1)/2 (the EXACT join cost the banded dedup/ANN "
+        "path will pay), and the imbalance factor max/mean — the "
+        "capacity-planning readout that catches a skewed hash table "
+        "BEFORE the bucket equi-join turns into a straggler at 100 TB "
+        "(one hot bucket = one hot task; the fix is more bits or bucket "
+        "caps, and this table says which). Bucket ids are exact integer "
+        "projections over fixed-point-quantized vectors (the "
+        "sim_topk_lsh machinery), so the oracle replays every "
+        "assignment bit-for-bit. Plan: one Arrow-vectorized bucket "
+        "kernel pass, one (table, bucket) count, one 8-row rollup. "
+        "Reference parity: extension surface (SURVEY.md §2.C similarity "
+        "rows).",
+)
+def sim_lsh_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = emb.select(
+        F.posexplode(
+            rp_lsh_buckets_np(
+                quantize_vec32(F.col("embedding")), 64, 4, 8, seed0=42
+            )
+        ).alias("tbl", "bucket")
+    )
+    occ = cb.groupBy("tbl", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return occ.groupBy(F.col("tbl").cast("int").alias("tbl")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets_used"),
+        F.sum("n").cast("long").alias("n_vectors"),
+        F.max("n").cast("long").alias("max_occupancy"),
+        F.min("n").cast("long").alias("min_occupancy"),
+        F.sum(
+            (F.col("n") * (F.col("n") - 1)).cast("long") / F.lit(2)
+        )
+        .cast("long")
+        .alias("candidate_pairs"),
+        F.round(
+            F.max("n").cast("double") * F.count(F.lit(1)) / F.sum("n"), 6
+        ).alias("imbalance_factor"),
+    )
+
+
+def _knn_purity_sql(dim: int = 64, nbits: int = 4, n_tables: int = 8, k: int = 5) -> str:
+    qvec = (
+        f"list_transform(range(1, {dim + 1}), "
+        f"i -> CAST(round(v[i] * 1000000.0) AS BIGINT))"
+    )
+    branches = "\n        UNION ALL ".join(
+        f"SELECT vec_id, label, qv, {t} AS tbl, "
+        f"{rp_lsh_bucket_sql('v', dim, nbits, seed=42 + t)} AS bucket FROM q0"
+        for t in range(n_tables)
+    )
+    qcos = quant_cosine_sql("q1", "q2", dim)
+    return f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q0 AS (SELECT vec_id, label, v, {qvec} AS qv FROM e),
+    cb AS (
+        {branches}
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, q.label AS qlabel,
+               c.vec_id AS cand_id, c.label AS clabel,
+               q.qv AS q1, c.qv AS q2
+        FROM cb q JOIN cb c USING (tbl, bucket)
+        WHERE c.vec_id <> q.vec_id
+    ),
+    scored AS (
+        SELECT query_id, qlabel, cand_id, clabel,
+               round({qcos}, 6) AS cs
+        FROM cand
+    ),
+    top AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cs DESC, cand_id) AS rn
+            FROM scored
+        ) WHERE rn <= {k}
+    )
+    SELECT CAST(qlabel AS INT) AS label,
+           CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+           CAST(COUNT(*) FILTER (WHERE clabel = qlabel) AS BIGINT)
+               AS n_same_label,
+           round(CAST(COUNT(*) FILTER (WHERE clabel = qlabel) AS DOUBLE)
+                 / COUNT(*), 6) AS purity
+    FROM top GROUP BY qlabel
+    """
+
+
+@register(
+    "sim_knn_label_purity",
+    oracle=_knn_purity_sql(),
+    doc="Embedding-space label purity: every vector queries its 5 nearest "
+        "neighbors (exact cosine among LSH-bucketed candidates — the "
+        "SCALE path: all-corpus kNN as a bucket equi-join, never an "
+        "O(N^2) cross join) and each class reports what fraction of its "
+        "members' neighbors share the class label — the standard "
+        "embedding-quality probe (high purity = classes separate in the "
+        "space; a class whose purity craters is where a classifier or "
+        "dedup threshold will fail first). Pooled per-class ratio, not "
+        "mean-of-means, so the output is an exact-long division. Bucket "
+        "ids and cosines replay bit-for-bit in the oracle "
+        "(integer projections + quantized-cosine kernel, the "
+        "sim_topk_lsh machinery); ranking tie-breaks on cand_id. Plan: "
+        "bucket kernel pass -> (table, bucket) self-equi-join -> "
+        "distinct pairs -> Arrow-vectorized cosine -> per-query top-5 "
+        "window (corpus-keyed partition, map-side group limit) -> "
+        "bounded label rollup. Reference parity: extension surface "
+        "(SURVEY.md §2.C similarity rows).",
+)
+def sim_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        "label",
+        quantize_vec32(F.col("embedding")).alias("qv"),
+    )
+    cb = base.select(
+        "vec_id",
+        "label",
+        "qv",
+        F.posexplode(
+            rp_lsh_buckets_np(F.col("qv"), 64, 4, 8, seed0=42)
+        ).alias("tbl", "bucket"),
+    )
+    q = cb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("qv").alias("q1"),
+        "tbl",
+        "bucket",
+    )
+    c = cb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("clabel"),
+        F.col("qv").alias("q2"),
+        "tbl",
+        "bucket",
+    )
+    scored = (
+        q.join(c, ["tbl", "bucket"])
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "qlabel", "cand_id", "clabel", "q1", "q2")
+        .distinct()  # a pair may collide in several tables
+        .select(
+            "query_id",
+            "qlabel",
+            "cand_id",
+            "clabel",
+            F.round(quant_cosine(F.col("q1"), F.col("q2")), 6).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cs").desc(), F.col("cand_id")
+    )
+    top = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
+    return top.groupBy(F.col("qlabel").cast("int").alias("label")).agg(
+        F.count_distinct(F.col("query_id")).cast("long").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+        F.count_if(F.col("clabel") == F.col("qlabel"))
+        .cast("long")
+        .alias("n_same_label"),
+        F.round(
+            F.count_if(F.col("clabel") == F.col("qlabel")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("purity"),
     )

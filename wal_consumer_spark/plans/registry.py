@@ -175,6 +175,9 @@ NEXT_WINDOW: list[str] = [
     "dq_string_profile_audit",
     "dq_format_conformance_audit",
     "cdc_entity_update_cadence",
+    "sim_lsh_bucket_balance",
+    "sim_knn_label_purity",
+    "pipeline_contamination_report",
 ]
 
 def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQuery], SparkQuery]:
