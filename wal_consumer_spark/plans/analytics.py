@@ -7079,21 +7079,24 @@ def ml_threshold_sweep_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sy AS DOUBLE) / n AS ybar, CAST(sx AS DOUBLE) / n AS xbar
         FROM s
     ),
-    res AS (
-        SELECT d.x,
-               CAST(round((d.y - (fit.ybar + fit.beta * (d.x - fit.xbar)))
-                          * 1000) AS DECIMAL(38,0)) AS e
-        FROM d, fit
-    ),
     lagd AS (
-        SELECT e, lag(e) OVER (ORDER BY x) AS ep FROM res
+        SELECT x, y, lag(x) OVER (ORDER BY x) AS xp,
+               lag(y) OVER (ORDER BY x) AS yp
+        FROM d
+    ),
+    res AS (
+        SELECT CAST(round((l.y - (fit.ybar + fit.beta * (l.x - fit.xbar)))
+                          * 1000) AS DECIMAL(38,0)) AS e,
+               CASE WHEN l.xp IS NULL THEN NULL
+                    ELSE CAST(round(((l.y - l.yp) - fit.beta * (l.x - l.xp))
+                              * 1000) AS DECIMAL(38,0)) END AS de
+        FROM lagd l, fit
     ),
     dw AS (
-        SELECT CAST(SUM(CASE WHEN ep IS NULL THEN CAST(0 AS DECIMAL(38,0))
-                             ELSE (e - ep) * (e - ep) END) AS DECIMAL(38,0))
-                   AS num,
+        SELECT CAST(SUM(CASE WHEN de IS NULL THEN CAST(0 AS DECIMAL(38,0))
+                             ELSE de * de END) AS DECIMAL(38,0)) AS num,
                CAST(SUM(e * e) AS DECIMAL(38,0)) AS den
-        FROM lagd
+        FROM res
     )
     SELECT fit.n AS n_days,
            round(fit.beta, 9) AS slope_cents_per_day,
@@ -7114,9 +7117,14 @@ def ml_threshold_sweep_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "1e-3-cent integer units BEFORE squaring/summing so the two "
         "quadratic forms are exact integer sums (double summation is "
         "order-dependent; quantized-int summation is not) and the final "
-        "divisions are IEEE-pinned. Plan: one narrow date rollup, one "
-        "1-row moment aggregate broadcast back, one lag window on the "
-        "bounded day grid (Aggregate child). Reference parity: extension "
+        "divisions are IEEE-pinned; the residual DIFFERENCE is formed "
+        "algebraically ((y_t - y_t-1) - beta*(x_t - x_t-1)) and quantized "
+        "as its own term, so the lag window needs only raw (x, y) and "
+        "sits DIRECTLY on the day-grid Aggregate (the value-domain "
+        "global-window rule — no checkpointed child hiding the "
+        "aggregate). Plan: one narrow date rollup (computed twice: once "
+        "into the 1-row moment aggregate, once under the window — two "
+        "scans beat a single-partition sort of unaggregated rows). Reference parity: extension "
         "surface (SURVEY.md §2.B ML rows).",
 )
 def ml_ols_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7130,7 +7138,7 @@ def ml_ols_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("x"),
         "y",
-    ).localCheckpoint(eager=True)  # consumed by the moment agg AND residuals
+    )
     dec = "decimal(38,0)"
     s = d.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -7154,8 +7162,14 @@ def ml_ols_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sy").cast("double") / F.col("n")).alias("ybar"),
         (F.col("sx").cast("double") / F.col("n")).alias("xbar"),
     )
-    res = d.crossJoin(F.broadcast(fit)).select(
+    w = Window.orderBy("x")
+    lagd = d.select(
         "x",
+        "y",
+        F.lag("x").over(w).alias("xp"),
+        F.lag("y").over(w).alias("yp"),
+    )
+    res = lagd.crossJoin(F.broadcast(fit)).select(
         "n",
         "beta",
         F.round(
@@ -7167,17 +7181,22 @@ def ml_ols_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast(dec)
         .alias("e"),
+        F.when(
+            F.col("xp").isNull(), F.lit(None).cast(dec)
+        ).otherwise(
+            F.round(
+                (
+                    (F.col("y") - F.col("yp"))
+                    - F.col("beta") * (F.col("x") - F.col("xp"))
+                )
+                * 1000
+            ).cast(dec)
+        ).alias("de"),
     )
-    lagd = res.select(
-        "n",
-        "beta",
-        "e",
-        F.lag("e").over(Window.orderBy("x")).alias("ep"),
-    )
-    dw = lagd.groupBy("n", "beta").agg(
+    dw = res.groupBy("n", "beta").agg(
         F.sum(
-            F.when(F.col("ep").isNull(), F.lit(0).cast(dec)).otherwise(
-                (F.col("e") - F.col("ep")) * (F.col("e") - F.col("ep"))
+            F.when(F.col("de").isNull(), F.lit(0).cast(dec)).otherwise(
+                F.col("de") * F.col("de")
             )
         )
         .cast(dec)
