@@ -1103,3 +1103,145 @@ def test_cross_join_guard_flags_accidental_cartesian(spark):
                 or _subtree_is_bounded(ch.apply(1))
             )
     assert flagged, "detector failed to flag a raw cartesian product"
+
+
+#: Columns whose distinct count grows with the CORPUS when used as an
+#: aggregate's grouping key under a broadcast hint: term/token vocabularies
+#: (Heaps' law), shingles/n-grams, URLs/domains, the open source set, plus
+#: every entity key. A broadcast of such an aggregate fits at test SF and
+#: OOMs the driver at 100 TB — exactly the class maybe_broadcast gates.
+_UNBOUNDED_BROADCAST_KEYS = _ENTITY_KEYS | {
+    "term", "token", "word", "shingle", "bg", "bigram", "trigram",
+    "passage", "phrase", "domain", "source",
+}
+
+#: name -> written justification for a broadcast-hinted aggregate keyed by
+#: an _UNBOUNDED_BROADCAST_KEYS column that is nevertheless bounded by
+#: CONSTRUCTION (not by Catalyst size estimate). Keep every entry honest:
+#: the boundedness must come from a fixed-size upstream set, never from
+#: "it's small at this SF".
+_BOUNDED_BROADCAST_ALLOWLIST: dict[str, str] = {
+    # The decontamination family broadcasts the EVAL set's shingle
+    # dictionary: doc_id < 20 is a fixed held-out benchmark whose size is
+    # set by the benchmark, not the corpus — the standard GPT-3 appendix-C
+    # shape (eval sets are O(10^3-10^5) items at any training scale).
+    "pipeline_decontaminate": "eval-set shingles (fixed benchmark, doc_id < 20)",
+    "text_contamination_score": "eval-set shingles (fixed benchmark)",
+    "pipeline_contamination_report": "eval-set shingles (fixed benchmark)",
+}
+
+
+def _unconditional_broadcast_violations(df, name: str) -> list[str]:
+    """Broadcast hints in the ANALYZED plan (where ResolvedHint nodes still
+    exist as subtree roots) whose hinted frame's OUTPUT cardinality grows
+    with the corpus — the OOM-at-100TB broadcast class. Callers run this
+    with maybe_broadcast patched to identity, so every hint seen here is
+    UNCONDITIONAL by construction.
+
+    FRONTIER rule: what matters is the cardinality of the frame being
+    broadcast, so walk DOWN from the hint and stop at the first
+    cardinality-bounding node on each branch — a Limit / literal relation /
+    1-row aggregate, or any Aggregate grouped purely by value-domain keys
+    (dates, buckets, enums: bounded regardless of corpus size). A frontier
+    Aggregate/Deduplicate keyed by a corpus-growing column (entity ids,
+    terms/shingles/urls) IS the violation; aggregates hidden BELOW a
+    value-domain rollup are fine (e.g. per-user counts feeding a per-day
+    cohort size — the broadcast frame is day-sized, not user-sized)."""
+    analyzed = df._jdf.queryExecution().analyzed()
+    bad = []
+
+    def frontier_violation(nd) -> bool:
+        nn = nd.nodeName()
+        if nn in ("GlobalLimit", "LocalLimit", "Range", "LocalRelation",
+                  "OneRowRelation"):
+            return False
+        if nn == "Aggregate":
+            if nd.groupingExpressions().isEmpty():
+                return False
+            return _aggregate_groups_unbounded(nd)  # value-domain -> stop
+        if nn == "Deduplicate":
+            head = nd.toString().splitlines()[0]
+            return any(
+                re.search(rf"\b{k}#\d+", head) for k in _UNBOUNDED_BROADCAST_KEYS
+            )
+        ch = nd.children()
+        return any(frontier_violation(ch.apply(i)) for i in range(ch.size()))
+
+    for nd in _iter_jnodes(analyzed):
+        if nd.nodeName() != "ResolvedHint":
+            continue
+        if frontier_violation(nd.child()):
+            bad.append(
+                f"{name}: unconditional broadcast of a corpus-growing frame"
+            )
+    return bad
+
+
+def _aggregate_groups_unbounded(agg_jnode) -> bool:
+    ge = agg_jnode.groupingExpressions()
+    for i in range(ge.size()):
+        s = ge.apply(i).toString()
+        m = re.fullmatch(r"([A-Za-z_][A-Za-z0-9_]*)#\d+[A-Za-z]*", s)
+        if m and m.group(1).lower() in _UNBOUNDED_BROADCAST_KEYS:
+            return True
+    return False
+
+
+def _patch_out_maybe_broadcast(monkeypatch):
+    """Replace every module-level binding of maybe_broadcast with identity,
+    simulating the >threshold / unknown-stats path at any SF."""
+    import sys
+
+    def _identity(df, threshold_bytes: int = 0):
+        return df
+
+    for mod_name, mod in list(sys.modules.items()):
+        if mod_name.startswith("wal_consumer_spark") and hasattr(
+            mod, "maybe_broadcast"
+        ):
+            monkeypatch.setattr(mod, "maybe_broadcast", _identity)
+
+
+def test_no_unconditional_broadcast_of_unbounded_aggregates(spark, monkeypatch):
+    """VERDICT r6 'Next round' #6 (stretch): registry-wide sweep of the
+    broadcast discipline. With maybe_broadcast neutralized (so every
+    size-gated site falls back to a shuffle, as it would at 100 TB), no
+    registered plan may still carry a broadcast hint over an aggregate
+    keyed by a corpus-growing column (term/token/shingle/url/source/
+    entity keys) unless the hinted subtree is bounded by construction
+    (Limit / 1-row aggregate / fixed eval set, see allowlist). New
+    queries are enrolled automatically."""
+    from wal_consumer_spark.plans import all_specs
+
+    _patch_out_maybe_broadcast(monkeypatch)
+    bad, errors = [], []
+    for name, spec in all_specs().items():
+        if name in _BOUNDED_BROADCAST_ALLOWLIST:
+            continue
+        try:
+            df = spec.spark(spark, SF_SMOKE)
+        except Exception as ex:  # noqa: BLE001 — collect, don't mask
+            errors.append(f"{name}: {ex}")
+            continue
+        bad.extend(_unconditional_broadcast_violations(df, name))
+    assert not errors, f"{len(errors)} queries failed to plan: {errors[:5]}"
+    assert not bad, (
+        "unconditional broadcasts that OOM at corpus scale: "
+        + "; ".join(sorted(set(bad))[:10])
+    )
+
+
+def test_broadcast_guard_flags_deliberate_violation(spark):
+    """Deliberate regression: an unconditional F.broadcast of a term-keyed
+    vocabulary aggregate must be flagged by the detector."""
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    vocab = tok.groupBy("term").count()
+    j = tok.join(F.broadcast(vocab), "term")
+    assert _unconditional_broadcast_violations(j, "deliberate"), (
+        "detector failed to flag an unconditional vocab broadcast"
+    )
+    # and the capped variant stays allowed: top-k limited vocab is bounded
+    capped = vocab.orderBy(F.col("count").desc(), "term").limit(100)
+    j2 = tok.join(F.broadcast(capped), "term")
+    assert not _unconditional_broadcast_violations(j2, "capped")

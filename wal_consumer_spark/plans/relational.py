@@ -937,10 +937,17 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     b1 = bits.select(F.col("bit").alias("h1"), F.lit(1).alias("m1"))
     b2 = bits.select(F.col("bit").alias("h2"), F.lit(1).alias("m2"))
     bk = build.select(F.col("c_custkey").alias("o_custkey"), F.lit(1).alias("mx"))
+    # b1/b2 are bit-position tables (bounded by _BLOOM_M — value domain);
+    # bk is the EXACT membership list the certification compares against,
+    # which is entity-keyed and corpus-scaled, so its hint goes through
+    # the size gate (at 100 TB this side becomes a shuffled join / AQE
+    # decision — the bloom bits are the part that stays broadcastable).
+    from wal_consumer_spark.operators.broadcast import maybe_broadcast
+
     flagged = (
         probe.join(broadcast(b1), "h1", "left")
         .join(broadcast(b2), "h2", "left")
-        .join(broadcast(bk), "o_custkey", "left")
+        .join(maybe_broadcast(bk), "o_custkey", "left")
         .select(
             (F.col("m1").isNotNull() & F.col("m2").isNotNull()).alias("bloom_hit"),
             F.col("mx").isNotNull().alias("exact_hit"),

@@ -475,12 +475,29 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(correlated AVG subquery == broadcast join of a per-part aggregate).",
 )
 def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wal_consumer_spark.operators.broadcast import maybe_broadcast
+
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
-    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(davg("l_quantity", "avg_qty"))
+    # Restrict the per-part AVG table to the brand's parts BEFORE any
+    # broadcast decision: the correlated subquery is only consulted for
+    # Brand#1 lineitems, so the semi-join is value-preserving and cuts the
+    # aggregate from |parts| rows (corpus-scaled — an unconditional
+    # broadcast of it OOMs at 100 TB, caught by the registry-wide
+    # broadcast sweep) to the brand's slice; the hint itself then goes
+    # through the size gate, with AQE as the runtime fallback.
+    per_part = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(davg("l_quantity", "avg_qty"))
+        .join(
+            broadcast(p.select(F.col("p_partkey").alias("pk"))),
+            "pk",
+            "left_semi",
+        )
+    )
     return (
         li.join(broadcast(p), li.l_partkey == p.p_partkey)
-        .join(broadcast(per_part), li.l_partkey == F.col("pk"))
+        .join(maybe_broadcast(per_part), li.l_partkey == F.col("pk"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
             (F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double") / 7.0)
