@@ -622,3 +622,89 @@ def test_max_files_per_trigger_drains_in_bounded_batches(spark, tmp_path):
     _drain(c)
     assert _state(target) == {10: "v0", 11: "v1", 12: "v2"}
     assert batches == [1, 1, 1]  # one file -> one record per micro-batch
+
+
+def test_soak_20_batches_consumer_crash_resume_equals_dict_oracle(spark, tmp_path):
+    """VERDICT r6 'Next round' #7 (stretch) — the R11 exactly-once
+    contract at soak length: 20 WAL files drained one-per-micro-batch
+    through the checkpointed consumer against the bucketed
+    (manifest-committed) target, with the process killed TWICE in the
+    worst replay window — after the target write succeeded, before the
+    checkpoint commit — and resumed each time by a fresh consumer on the
+    same checkpoint + target directories (a real process restart: new
+    objects, same durable state). Invariant: the final target equals a
+    dict oracle applying every record in id order, with each replayed
+    batch absorbed idempotently (no duplicates, no lost ops)."""
+    from wal_consumer_spark.streaming import BucketedParquetKeyValueTarget
+
+    wal, ckpt, tgt = str(tmp_path / "wal"), str(tmp_path / "ckpt"), str(tmp_path / "tgt")
+
+    # 20 batches x 5 ops over 12 entities: deterministic churn with
+    # cross-batch ADD/UPDATE/DELETE interleavings (entity e sees a DELETE
+    # whenever step % 7 == 3, else upserts with a fresh payload).
+    records: list[tuple[int, str, str | None]] = []
+    for step in range(100):
+        e = (step * 5) % 12 + 1
+        if step % 7 == 3:
+            records.append((e, "DELETE", None))
+        elif step % 11 == 0:
+            records.append((e, "ADD", f"v{step}"))
+        else:
+            records.append((e, "UPDATE", f"v{step}"))
+
+    next_id = 1
+    for b in range(20):
+        next_id = _write_wal_file(
+            spark, wal, records[b * 5 : (b + 1) * 5], start_id=next_id
+        )
+
+    # dict oracle in id order (ADD/UPDATE upsert, DELETE removes)
+    oracle: dict[int, str] = {}
+    for e, op, v in records:
+        if op == "DELETE":
+            oracle.pop(e, None)
+        else:
+            oracle[e] = v
+
+    applied = {"n": 0}
+    crash_after = {6, 13}  # batch counts to kill at (post-write)
+
+    def run_consumer() -> bool:
+        """One consumer 'process'; returns True if it crashed."""
+        target = BucketedParquetKeyValueTarget(spark, tgt, n_buckets=8)
+        c = WalStreamConsumer(spark, wal, ckpt, target, max_files_per_trigger=1)
+        real_apply = c._apply_batch
+
+        def crashing_apply(batch_df, batch_id):
+            real_apply(batch_df, batch_id)  # full apply INCLUDING write
+            if not batch_df.isEmpty():
+                applied["n"] += 1
+                if applied["n"] in crash_after:
+                    crash_after.discard(applied["n"])
+                    # simulated kill AFTER the target manifest commit,
+                    # BEFORE Spark commits the checkpoint offset
+                    raise RuntimeError("injected post-write crash")
+
+        c._apply_batch = crashing_apply
+        crashed = False
+        try:
+            c.start(available_now=True)
+            c.await_backlog_drained()
+        except Exception:  # StreamingQueryException from the injected kill
+            crashed = True
+        finally:
+            c.close()
+        return crashed
+
+    runs, crashes = 0, 0
+    while runs < 6:  # 2 crashes + 1 clean drain expected; cap defensively
+        runs += 1
+        if not run_consumer():
+            break
+        crashes += 1
+
+    assert crashes == 2, f"expected both injected crashes to fire, got {crashes}"
+    assert applied["n"] >= 20  # every batch applied (replays re-count)
+
+    final = BucketedParquetKeyValueTarget(spark, tgt, n_buckets=8)
+    assert _state(final) == oracle
