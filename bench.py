@@ -97,6 +97,13 @@ HEADLINE = [
     "pipeline_dsir_importance_weights",
     "dq_referential_integrity_audit",
     "ts_ljung_box_whiteness",
+    # r7 additions (appended only, same continuity rule): one
+    # representative per family added this round.
+    "sim_knn_label_purity",
+    "graph_ktruss_edges",
+    "ml_ndcg_macro_summary",
+    "text_hapax_ratio_by_source",
+    "pipeline_contamination_report",
 ]
 
 #: FROZEN cross-round comparison basis (round-4 VERDICT "What's wrong" #2:
@@ -584,6 +591,40 @@ def main() -> None:
                 "fresh_jvm_samples": [2.449, 2.365, 2.179, 2.215, 2.176],
                 "construct_sec": 1.124,
                 "calibration_cpu_sec": 0.262,
+            },
+            # Round-7 same-session isolation notes for every new
+            # headline entrant >= 1 s (VERDICT r6 "Next round" #4 rule:
+            # notes land in the same session that benches them), n=3
+            # fresh JVMs. graph_ktruss_edges' 3.1 s is 2.55 s one-time
+            # co-purchase edge construction (same shared frame as the
+            # other graph entries) + two bounded peel rounds.
+            # sim_knn_label_purity was 8.85 s at 4-bit buckets with
+            # vectors carried through the collision distinct; 8-bit x 6
+            # tables + id-first distinct landed 1.76 s (the committed
+            # formulation).
+            "sim_knn_label_purity": {
+                "fresh_jvm_median_sec": 1.762,
+                "fresh_jvm_samples": [1.812, 1.762, 1.668],
+                "construct_sec": 0.354,
+                "calibration_cpu_sec": 0.231,
+            },
+            "graph_ktruss_edges": {
+                "fresh_jvm_median_sec": 3.109,
+                "fresh_jvm_samples": [3.488, 3.109, 2.797],
+                "construct_sec": 2.553,
+                "calibration_cpu_sec": 0.325,
+            },
+            "ml_ndcg_macro_summary": {
+                "fresh_jvm_median_sec": 1.056,
+                "fresh_jvm_samples": [1.468, 1.056, 1.029],
+                "construct_sec": 0.727,
+                "calibration_cpu_sec": 0.269,
+            },
+            "pipeline_contamination_report": {
+                "fresh_jvm_median_sec": 1.248,
+                "fresh_jvm_samples": [1.429, 1.248, 1.234],
+                "construct_sec": 0.908,
+                "calibration_cpu_sec": 0.257,
             },
             "pipeline_decontaminate": {
                 "fresh_jvm_median_sec": 0.973,

@@ -3001,7 +3001,7 @@ def sim_lsh_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_purity_sql(dim: int = 64, nbits: int = 4, n_tables: int = 8, k: int = 5) -> str:
+def _knn_purity_sql(dim: int = 64, nbits: int = 8, n_tables: int = 6, k: int = 5) -> str:
     qvec = (
         f"list_transform(range(1, {dim + 1}), "
         f"i -> CAST(round(v[i] * 1000000.0) AS BIGINT))"
@@ -3059,8 +3059,11 @@ def _knn_purity_sql(dim: int = 64, nbits: int = 4, n_tables: int = 8, k: int = 5
         "members' neighbors share the class label — the standard "
         "embedding-quality probe (high purity = classes separate in the "
         "space; a class whose purity craters is where a classifier or "
-        "dedup threshold will fail first). Pooled per-class ratio, not "
-        "mean-of-means, so the output is an exact-long division. Bucket "
+        "dedup threshold will fail first). 8-bit buckets x 6 tables size "
+        "collision sets for an ALL-corpus query load (the 4-bit tier is "
+        "for handfuls of queries); the collision distinct runs on bare "
+        "id pairs with vectors re-joined after. Pooled per-class ratio, "
+        "not mean-of-means, so the output is an exact-long division. Bucket "
         "ids and cosines replay bit-for-bit in the oracle "
         "(integer projections + quantized-cosine kernel, the "
         "sim_topk_lsh machinery); ranking tie-breaks on cand_id. Plan: "
@@ -3079,31 +3082,34 @@ def sim_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cb = base.select(
         "vec_id",
-        "label",
-        "qv",
         F.posexplode(
-            rp_lsh_buckets_np(F.col("qv"), 64, 4, 8, seed0=42)
+            rp_lsh_buckets_np(F.col("qv"), 64, 8, 6, seed0=42)
         ).alias("tbl", "bucket"),
     )
-    q = cb.select(
+    q = cb.select(F.col("vec_id").alias("query_id"), "tbl", "bucket")
+    c = cb.select(F.col("vec_id").alias("cand_id"), "tbl", "bucket")
+    # distinct on the ID pair FIRST (narrow shuffle), vectors re-joined
+    # after: carrying two 64-wide arrays through the multi-table collision
+    # distinct tripled this query's runtime at sf0.1
+    pairs = (
+        q.join(c, ["tbl", "bucket"])
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id")
+        .distinct()  # a pair may collide in several tables
+    )
+    qside = base.select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),
         F.col("qv").alias("q1"),
-        "tbl",
-        "bucket",
     )
-    c = cb.select(
+    cside = base.select(
         F.col("vec_id").alias("cand_id"),
         F.col("label").alias("clabel"),
         F.col("qv").alias("q2"),
-        "tbl",
-        "bucket",
     )
     scored = (
-        q.join(c, ["tbl", "bucket"])
-        .where(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "qlabel", "cand_id", "clabel", "q1", "q2")
-        .distinct()  # a pair may collide in several tables
+        pairs.join(qside, "query_id")
+        .join(cside, "cand_id")
         .select(
             "query_id",
             "qlabel",

@@ -1682,11 +1682,18 @@ _BIGRAMS_ALL = (
         "extension surface (SURVEY.md §2.B text rows).",
 )
 def text_hapax_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wal_consumer_spark.functions.text import let
+
     d = load_table(spark, sf_dir, "documents")
-    t = tokens(F.col("text"))
-    bigrams_all = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(t) - 2, F.lit(0))),
-        lambda i: F.array_join(F.slice(t, i + 1, 2), " "),
+    # let-bind the token array: every lambda reference below becomes a
+    # variable lookup instead of re-running the tokenizer per bigram
+    # position (the word_shingles lesson — 3.5 s -> ~1 s at sf0.1)
+    bigrams_all = let(
+        tokens(F.col("text")),
+        lambda t: F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(t) - 2, F.lit(0))),
+            lambda i: F.array_join(F.slice(t, i + 1, 2), " "),
+        ),
     )
     occ = d.select("source", F.explode(bigrams_all).alias("bg"))
     cnt = occ.groupBy("source", "bg").agg(
