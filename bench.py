@@ -267,6 +267,10 @@ def main() -> None:
         normalization itself is noisier than the signal it corrects."""
 
         def med5(fn) -> tuple[float, list[float]]:
+            fn()  # untimed probe warmup: the first execution pays the
+            # probe's own whole-stage-codegen compilation (~2.4x observed),
+            # which would otherwise dominate the spread metric and force
+            # the raw-median fallback even on a quiet host
             ts = []
             for _ in range(5):
                 t0 = time.perf_counter()
