@@ -7653,3 +7653,408 @@ def analytics_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept_ln_qty"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-7 second wave (staged for the round-9 window)
+# --------------------------------------------------------------------------
+
+@register(
+    "graph_global_transitivity",
+    oracle=f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    e0 AS (
+        SELECT a.p AS pa, b.p AS pb
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+    ),
+    sup AS ({_KTRUSS_SUPPORT_SQL.format(e="e0")}),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT pa AS node FROM e0 UNION ALL SELECT pb FROM e0
+        ) GROUP BY node
+    ),
+    w AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS wedges FROM deg),
+    t AS (SELECT CAST(SUM(s) / 3 AS BIGINT) AS triangles,
+                 CAST(SUM(s) AS BIGINT) AS support_sum
+          FROM sup)
+    SELECT t.triangles, w.wedges,
+           round(CAST(t.support_sum AS DOUBLE) / w.wedges, 6)
+               AS transitivity
+    FROM t, w
+    """,
+    doc="Global transitivity ratio 3*triangles/wedges of the co-purchase "
+        "graph — the one-number cohesion summary next to the per-node "
+        "clustering coefficient (a near-zero value on a dense-degree "
+        "graph is the bipartite-projection-artifact signature). Derived "
+        "WITHOUT a separate triangle enumeration: the edge-support sum "
+        "IS 3*triangles (each triangle contributes 1 support to each of "
+        "its 3 edges), so one wedge-join pass shared with the "
+        "support-histogram/k-truss family plus a degree rollup produce "
+        "the exact integer numerator and denominator; the single "
+        "division is IEEE-pinned. Reference parity: extension surface "
+        "(SURVEY.md §2.B graph rows).",
+)
+def graph_global_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e0 = _support2_copurchase_edges(spark, sf_dir).select(
+        F.col("p1").alias("pa"), F.col("p2").alias("pb")
+    ).localCheckpoint(eager=True)  # consumed by support AND degree rollups
+    sup = _edge_support(e0).agg(
+        (F.sum("s") / 3).cast("long").alias("triangles"),
+        F.sum("s").cast("long").alias("support_sum"),
+    )
+    deg = (
+        e0.select(F.col("pa").alias("node"))
+        .unionByName(e0.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    w = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long"))
+        .cast("long")
+        .alias("wedges")
+    )
+    return sup.crossJoin(F.broadcast(w)).select(
+        "triangles",
+        "wedges",
+        F.round(
+            F.col("support_sum").cast("double") / F.col("wedges"), 6
+        ).alias("transitivity"),
+    )
+
+
+@register(
+    "analytics_revenue_retention_nrr",
+    oracle="""
+    WITH m AS (
+        SELECT o_custkey AS cust,
+               CAST(year(CAST(o_orderdate AS DATE)) * 12
+                    + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS midx,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS DECIMAL(38,0)))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    paired AS (
+        SELECT a.midx, a.cents AS base_cents,
+               COALESCE(b.cents, 0) AS retained_cents
+        FROM m a LEFT JOIN m b
+          ON b.cust = a.cust AND b.midx = a.midx + 1
+    )
+    SELECT midx AS month_index,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(base_cents AS DECIMAL(38,0))) AS BIGINT) AS base_cents,
+           CAST(SUM(CAST(retained_cents AS DECIMAL(38,0))) AS BIGINT)
+               AS retained_cents,
+           round(CAST(SUM(CAST(retained_cents AS DECIMAL(38,0))) AS DOUBLE)
+                 / CAST(SUM(CAST(base_cents AS DECIMAL(38,0))) AS DOUBLE), 6)
+               AS nrr
+    FROM paired GROUP BY midx
+    """,
+    doc="Net revenue retention per month: for each customer-month, the "
+        "same customer's revenue one month later; NRR(m) = retained(m+1) "
+        "/ base(m) summed over month-m customers — the SaaS health "
+        "metric that separates 'growing because existing accounts "
+        "expand' (NRR > 1) from 'growing on churn-and-replace' (NRR < "
+        "1), the revenue-weighted complement of count-based "
+        "analytics_cohort_retention. Months index as exact integers "
+        "(year*12 + month - 1), revenue in DECIMAL-summed cents; the "
+        "month self-join is an equi-join on (cust, midx) — one narrow "
+        "shuffle at any scale — and the final rollup lands on the "
+        "bounded month grid. Reference parity: extension surface "
+        "(SURVEY.md §2.B analytics rows).",
+)
+def analytics_revenue_retention_nrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.col("o_custkey").alias("cust"),
+        (
+            F.year(F.col("o_orderdate").cast("date")) * 12
+            + F.month(F.col("o_orderdate").cast("date"))
+            - 1
+        )
+        .cast("long")
+        .alias("midx"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("cents")
+    ).localCheckpoint(eager=True)  # both sides of the month self-join
+    b = m.select(
+        F.col("cust").alias("cust"),
+        (F.col("midx") - 1).alias("midx"),
+        F.col("cents").alias("next_cents"),
+    )
+    paired = m.join(b, ["cust", "midx"], "left").select(
+        "midx",
+        F.col("cents").alias("base_cents"),
+        F.coalesce("next_cents", F.lit(0)).alias("retained_cents"),
+    )
+    dec = "decimal(38,0)"
+    return paired.groupBy(F.col("midx").alias("month_index")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.col("base_cents").cast(dec)).cast("long").alias("base_cents"),
+        F.sum(F.col("retained_cents").cast(dec))
+        .cast("long")
+        .alias("retained_cents"),
+        F.round(
+            F.sum(F.col("retained_cents").cast(dec)).cast("double")
+            / F.sum(F.col("base_cents").cast(dec)).cast("double"),
+            6,
+        ).alias("nrr"),
+    )
+
+
+@register(
+    "analytics_rfm_migration_matrix",
+    oracle="""
+    WITH cut AS (
+        SELECT MIN(CAST(o_orderdate AS DATE))
+               + CAST((MAX(CAST(o_orderdate AS DATE))
+                       - MIN(CAST(o_orderdate AS DATE))) // 2 AS INTEGER)
+                   AS mid
+        FROM orders
+    ),
+    seg AS (
+        SELECT o_custkey AS cust,
+               CASE WHEN CAST(o_orderdate AS DATE) < cut.mid THEN 1 ELSE 2
+                   END AS half,
+               CAST(COUNT(*) AS BIGINT) AS freq
+        FROM orders, cut GROUP BY 1, 2
+    ),
+    lab AS (
+        SELECT cust, half,
+               CASE WHEN freq >= 6 THEN 'high'
+                    WHEN freq >= 3 THEN 'mid'
+                    ELSE 'low' END AS seg
+        FROM seg
+    ),
+    mat AS (
+        SELECT COALESCE(a.seg, 'none') AS seg_h1,
+               COALESCE(b.seg, 'none') AS seg_h2,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM (SELECT cust, seg FROM lab WHERE half = 1) a
+        FULL OUTER JOIN (SELECT cust, seg FROM lab WHERE half = 2) b
+          ON b.cust = a.cust
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(n_customers) AS BIGINT) AS n FROM mat)
+    SELECT seg_h1, seg_h2, n_customers,
+           round(CAST(n_customers AS DOUBLE) / tot.n, 6) AS share
+    FROM mat, tot
+    """,
+    doc="Customer-segment migration matrix: order-frequency class (low "
+        "< 3, mid 3-5, high >= 6 orders) in the dataset's first half vs "
+        "its second half (midpoint date from one 1-row broadcast "
+        "aggregate), with 'none' rows capturing churned and newly "
+        "acquired customers — the base-dynamics table behind every "
+        "'where did our high-value users go' question, the transition "
+        "view that point-in-time analytics_rfm_segments cannot give. "
+        "Fixed thresholds (not quantiles) keep the labeling exact and "
+        "scale-free. Plan: one (cust, half) count shuffle, a cust-keyed "
+        "full outer self-join, and a <= 16-row matrix rollup. Reference "
+        "parity: extension surface (SURVEY.md §2.B analytics rows).",
+)
+def analytics_rfm_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    cut = o.agg(
+        F.date_add(
+            F.min(d), (F.datediff(F.max(d), F.min(d)) / 2).cast("int")
+        ).alias("mid")
+    )
+    seg = (
+        o.crossJoin(F.broadcast(cut))
+        .groupBy(
+            F.col("o_custkey").alias("cust"),
+            F.when(d < F.col("mid"), 1).otherwise(2).alias("half"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    lab = seg.select(
+        "cust",
+        "half",
+        F.when(F.col("freq") >= 6, "high")
+        .when(F.col("freq") >= 3, "mid")
+        .otherwise("low")
+        .alias("seg"),
+    ).localCheckpoint(eager=True)  # both halves of the outer join
+    a = lab.where(F.col("half") == 1).select("cust", F.col("seg").alias("s1"))
+    b = lab.where(F.col("half") == 2).select("cust", F.col("seg").alias("s2"))
+    mat = (
+        a.join(b, "cust", "full_outer")
+        .groupBy(
+            F.coalesce("s1", F.lit("none")).alias("seg_h1"),
+            F.coalesce("s2", F.lit("none")).alias("seg_h2"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+    tot = mat.agg(F.sum("n_customers").cast("long").alias("n"))
+    return mat.crossJoin(F.broadcast(tot)).select(
+        "seg_h1",
+        "seg_h2",
+        "n_customers",
+        F.round(F.col("n_customers").cast("double") / F.col("n"), 6).alias(
+            "share"
+        ),
+    )
+
+
+@register(
+    "ml_conformal_interval_coverage",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                   AS x,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS DECIMAL(18,0)))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY o_orderdate
+    ),
+    cal AS (SELECT * FROM d WHERE x % 2 = 0),
+    tst AS (SELECT * FROM d WHERE x % 2 = 1),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy
+        FROM cal
+    ),
+    fit AS (
+        SELECT n,
+               (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   AS beta,
+               CAST(sy AS DOUBLE) / n AS ybar, CAST(sx AS DOUBLE) / n AS xbar
+        FROM s
+    ),
+    calr AS (
+        SELECT abs(CAST(round((c.y - (fit.ybar + fit.beta * (c.x - fit.xbar)))
+                              * 1000) AS BIGINT)) AS aq, c.x
+        FROM cal c, fit
+    ),
+    ranked AS (
+        SELECT aq, row_number() OVER (ORDER BY aq, x) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n_cal
+        FROM calr
+    ),
+    qhat AS (
+        SELECT n_cal, aq AS q_hat FROM ranked
+        WHERE rn = least(CAST(ceil(0.9 * (n_cal + 1)) AS BIGINT), n_cal)
+    ),
+    tstr AS (
+        SELECT abs(CAST(round((t.y - (fit.ybar + fit.beta * (t.x - fit.xbar)))
+                              * 1000) AS BIGINT)) AS aq
+        FROM tst t, fit
+    )
+    SELECT q.n_cal, CAST(COUNT(*) AS BIGINT) AS n_test, q.q_hat,
+           round(CAST(COUNT(*) FILTER (WHERE t.aq <= q.q_hat) AS DOUBLE)
+                 / COUNT(*), 6) AS coverage,
+           0.9 AS target_level
+    FROM tstr t, qhat q
+    GROUP BY q.n_cal, q.q_hat
+    """,
+    doc="Split-conformal prediction interval for the daily-revenue trend "
+        "model: fit OLS on the even-epoch-day calibration half, take the "
+        "ceil(0.9*(n+1))-th smallest absolute residual as the "
+        "distribution-free interval half-width q_hat (Vovk's conformal "
+        "guarantee: >= 90% coverage on exchangeable data with NO "
+        "distributional assumption), then report realized coverage on "
+        "the held-out odd days — the honest uncertainty band a forecast "
+        "consumer should get instead of Gaussian +-2sigma. Determinism: "
+        "exact DECIMAL moment sums -> pinned beta; residuals quantized "
+        "to 1e-3-cent integers; q_hat is a rank-picked integer (x "
+        "tie-break) via one global window over the bounded day grid; "
+        "coverage is an exact-long division. Reference parity: extension "
+        "surface (SURVEY.md §2.B ML rows).",
+)
+def ml_conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy("o_orderdate").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+        .cast("long")
+        .alias("y"),
+    ).select(
+        F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1970-01-01")))
+        .cast("long")
+        .alias("x"),
+        "y",
+    )
+    cal = d.where(F.col("x") % 2 == 0)
+    tst = d.where(F.col("x") % 2 == 1)
+    dec = "decimal(38,0)"
+    s = cal.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast(dec).alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).cast(dec).alias("sxy"),
+    )
+    fit = s.select(
+        "n",
+        (
+            (
+                F.col("n") * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy").cast("double")
+            )
+            / (
+                F.col("n") * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double")
+            )
+        ).alias("beta"),
+        (F.col("sy").cast("double") / F.col("n")).alias("ybar"),
+        (F.col("sx").cast("double") / F.col("n")).alias("xbar"),
+    )
+
+    def abs_resid(df: DataFrame) -> DataFrame:
+        return df.crossJoin(F.broadcast(fit)).select(
+            F.abs(
+                F.round(
+                    (
+                        F.col("y")
+                        - (
+                            F.col("ybar")
+                            + F.col("beta") * (F.col("x") - F.col("xbar"))
+                        )
+                    )
+                    * 1000
+                ).cast("long")
+            ).alias("aq"),
+            "x",
+        )
+
+    ranked = abs_resid(cal).select(
+        "aq",
+        F.row_number().over(Window.orderBy("aq", "x")).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .cast("long")
+        .alias("n_cal"),
+    )
+    qhat = ranked.where(
+        F.col("rn")
+        == F.least(
+            F.ceil(0.9 * (F.col("n_cal") + 1)).cast("long"), F.col("n_cal")
+        )
+    ).select("n_cal", F.col("aq").alias("q_hat"))
+    tstr = abs_resid(tst)
+    return (
+        tstr.crossJoin(F.broadcast(qhat))
+        .groupBy("n_cal", "q_hat")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.round(
+                F.count_if(F.col("aq") <= F.col("q_hat")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("coverage"),
+        )
+        .select(
+            "n_cal",
+            "n_test",
+            "q_hat",
+            "coverage",
+            F.lit(0.9).alias("target_level"),
+        )
+    )

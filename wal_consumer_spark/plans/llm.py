@@ -3134,3 +3134,165 @@ def sim_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("purity"),
     )
+
+
+@register(
+    "pipeline_dedup_cluster_sizes",
+    oracle=f"""
+    WITH RECURSIVE
+    sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+    inter AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+        SELECT doc1, doc2 FROM inter
+        JOIN sizes s1 ON s1.doc_id = doc1
+        JOIN sizes s2 ON s2.doc_id = doc2
+        WHERE n_common / (s1.n + s2.n - n_common) >= 0.5
+    ),
+    sym AS (SELECT doc1 AS a, doc2 AS b FROM pairs
+            UNION SELECT doc2, doc1 FROM pairs
+            UNION SELECT doc1, doc1 FROM pairs
+            UNION SELECT doc2, doc2 FROM pairs),
+    reach AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a),
+    csize AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS sz
+              FROM comp GROUP BY component),
+    hist AS (
+        SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+        FROM csize GROUP BY sz
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM documents),
+    indup AS (SELECT CAST(COALESCE(SUM(n_docs), 0) AS BIGINT) AS n FROM hist)
+    SELECT h.cluster_size, h.n_clusters, h.n_docs,
+           CAST(h.n_docs - h.n_clusters AS BIGINT) AS removable_docs
+    FROM hist h
+    UNION ALL
+    SELECT 1, tot.n_all - indup.n, tot.n_all - indup.n, 0
+    FROM tot, indup
+    """,
+    doc="Near-dup cluster-size distribution: how many duplicate clusters "
+        "of each size the Jaccard>=0.5 graph contains, how many documents "
+        "they hold, and how many are removable under keep-one-per-cluster "
+        "— the dedup capacity forecast read BEFORE running the removal "
+        "(a corpus whose mass sits in a few giant clusters needs "
+        "representative-selection care; one dominated by pairs doesn't), "
+        "completing pipeline_dedup_impact_report's per-source accounting "
+        "with the structural view. Singleton documents (no near-dup "
+        "edge) appear as the size-1 row, so the histogram totals the "
+        "corpus exactly. Spark path: the O(log^2 n) alternating-star CC "
+        "shared with dedup_clusters_cc, then two bounded rollups; oracle "
+        "replays with a recursive closure. Reference parity: extension "
+        "surface (SURVEY.md §2.C dedup rows).",
+)
+def pipeline_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wal_consumer_spark.operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = shingle_pairs_jaccard(docs, "doc_id", "text").filter(
+        F.col("jaccard") >= 0.5
+    )
+    comp = dedup_clusters(pairs.select("doc1", "doc2"))
+    hist = comp.groupBy(F.col("n_members").cast("long").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("n_members").cast("long").alias("n_docs"),
+    ).select(
+        "cluster_size",
+        "n_clusters",
+        "n_docs",
+        (F.col("n_docs") - F.col("n_clusters")).cast("long").alias(
+            "removable_docs"
+        ),
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    indup = hist.agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("n")
+    )
+    singleton = (
+        tot.crossJoin(F.broadcast(indup))
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            (F.col("n_all") - F.col("n")).cast("long").alias("n_clusters"),
+            (F.col("n_all") - F.col("n")).cast("long").alias("n_docs"),
+            F.lit(0).cast("long").alias("removable_docs"),
+        )
+    )
+    return hist.unionByName(singleton)
+
+
+@register(
+    "sim_exact_duplicate_vectors",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               md5(array_to_string(
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> CAST(CAST(round(x * 1000000) AS BIGINT)
+                                            AS VARCHAR)), ',')) AS sig
+        FROM embeddings
+    ),
+    g AS (SELECT sig, CAST(COUNT(*) AS BIGINT) AS c FROM q GROUP BY sig)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_signatures,
+           CAST(SUM(c) AS BIGINT) AS n_vectors,
+           CAST(COUNT(*) FILTER (WHERE c > 1) AS BIGINT) AS n_dup_groups,
+           CAST(COALESCE(SUM(c - 1) FILTER (WHERE c > 1), 0) AS BIGINT)
+               AS n_redundant_vectors,
+           round(CAST(COALESCE(SUM(c - 1) FILTER (WHERE c > 1), 0) AS DOUBLE)
+                 / SUM(c), 6) AS redundancy_share
+    FROM g
+    """,
+    doc="Exact-duplicate embedding detection: fingerprint each vector as "
+        "md5 over its 1e-6 fixed-point quantization and count colliding "
+        "signatures — the cheapest, highest-precision dedup tier that "
+        "should ALWAYS run before MinHash/SimHash (re-encoded or "
+        "re-crawled items produce bit-identical vectors; at training "
+        "scale a few percent of exact dups silently reweight the loss). "
+        "The quantization is the repo's standard pinned round(x*1e6), so "
+        "signatures are engine-identical; counts are exact longs; output "
+        "is a 1-row corpus summary (zero dup groups on clean data is "
+        "itself the audit result). Plan: one map-side fingerprint pass + "
+        "one signature count — the same shape as dedup_exact_hash on "
+        "documents, here for the embedding modality. Reference parity: "
+        "extension surface (SURVEY.md §2.C similarity rows).",
+)
+def sim_exact_duplicate_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = F.md5(
+        F.array_join(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double") * 1000000)
+                .cast("long")
+                .cast("string"),
+            ),
+            ",",
+        )
+    )
+    g = emb.select(sig.alias("sig")).groupBy("sig").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_signatures"),
+        F.sum("c").cast("long").alias("n_vectors"),
+        F.count_if(F.col("c") > 1).cast("long").alias("n_dup_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") > 1, F.col("c") - 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_redundant_vectors"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("c") > 1, F.col("c") - 1)), F.lit(0)
+            ).cast("double")
+            / F.sum("c"),
+            6,
+        ).alias("redundancy_share"),
+    )

@@ -180,6 +180,23 @@ NEXT_WINDOW: list[str] = [
     "pipeline_contamination_report",
 ]
 
+#: ROUND-9 WINDOW — second-wave round-7 session additions that overflow
+#: NEXT_WINDOW's 50 slots. Same contract as NEXT_WINDOW: a real constant,
+#: every name oracle-backed, enforced by
+#: tests/test_registry.py::test_staging_partitions_registry so
+#: cumulative-green ∪ DRIVER_WINDOW ∪ NEXT_WINDOW ∪ FUTURE_WINDOW covers
+#: the registry exactly.
+FUTURE_WINDOW: list[str] = [
+    "graph_global_transitivity",
+    "analytics_revenue_retention_nrr",
+    "analytics_rfm_migration_matrix",
+    "ts_peak_detection_prominence",
+    "ml_conformal_interval_coverage",
+    "pipeline_dedup_cluster_sizes",
+    "sim_exact_duplicate_vectors",
+    "ts_downsample_lttb",
+]
+
 def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQuery], SparkQuery]:
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in _REGISTRY:

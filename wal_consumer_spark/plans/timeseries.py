@@ -3343,3 +3343,258 @@ def ts_wow_poisson_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z"),
         (F.abs(z) > 2.0).alias("significant"),
     )
+
+
+@register(
+    "ts_peak_detection_prominence",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS day,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS DECIMAL(18,0)))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    w AS (
+        SELECT day, y,
+               lag(y) OVER (ORDER BY day) AS yp,
+               lead(y) OVER (ORDER BY day) AS yn,
+               CAST(SUM(y) OVER (ORDER BY day
+                                 ROWS BETWEEN 7 PRECEDING AND 7 FOLLOWING)
+                    - y AS BIGINT) AS wsum,
+               CAST(COUNT(*) OVER (ORDER BY day
+                                   ROWS BETWEEN 7 PRECEDING AND 7 FOLLOWING)
+                    - 1 AS BIGINT) AS wcnt
+        FROM d
+    )
+    SELECT day, y AS y_cents, wsum AS window_sum_cents,
+           wcnt AS window_cnt,
+           round(CAST(y AS DOUBLE) * wcnt / wsum, 6) AS prominence_ratio
+    FROM w
+    WHERE yp IS NOT NULL AND yn IS NOT NULL
+      AND y > yp AND y > yn
+      AND 10 * y * wcnt >= 12 * wsum
+    """,
+    doc="Spike detection on the daily-revenue series: a peak is a strict "
+        "local maximum whose value clears 1.2x the mean of its 15-day "
+        "centered neighborhood (self excluded) — the alert primitive "
+        "that rolls up cleanly at any scale because both conditions are "
+        "pure integer arithmetic: the neighborhood test cross-multiplies "
+        "(10*y*cnt >= 12*sum) instead of dividing, so no float threshold "
+        "ever differs between engines; the reported prominence_ratio is "
+        "one pinned division. All windows ride ONE ordered pass over the "
+        "bounded day-grid aggregate. Complements ts_anomaly_mad (robust "
+        "global outliers) and ts_changepoint_cusum (level shifts) with "
+        "the local-shape notion of 'spike'. Reference parity: extension "
+        "surface (SURVEY.md §2.B time-series rows).",
+)
+def ts_peak_detection_prominence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.col("o_orderdate").cast("date").cast("timestamp").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+        .cast("long")
+        .alias("y")
+    )
+    wo = Window.orderBy("day")
+    wf = wo.rowsBetween(-7, 7)
+    w = d.select(
+        "day",
+        "y",
+        F.lag("y").over(wo).alias("yp"),
+        F.lead("y").over(wo).alias("yn"),
+        (F.sum("y").over(wf) - F.col("y")).cast("long").alias("wsum"),
+        (F.count(F.lit(1)).over(wf) - 1).cast("long").alias("wcnt"),
+    )
+    return (
+        w.where(
+            F.col("yp").isNotNull()
+            & F.col("yn").isNotNull()
+            & (F.col("y") > F.col("yp"))
+            & (F.col("y") > F.col("yn"))
+            & (10 * F.col("y") * F.col("wcnt") >= 12 * F.col("wsum"))
+        )
+        .select(
+            "day",
+            F.col("y").alias("y_cents"),
+            F.col("wsum").alias("window_sum_cents"),
+            F.col("wcnt").alias("window_cnt"),
+            F.round(
+                F.col("y").cast("double") * F.col("wcnt") / F.col("wsum"), 6
+            ).alias("prominence_ratio"),
+        )
+    )
+
+
+_LTTB_B = 24  # interior buckets
+
+
+@register(
+    "ts_downsample_lttb",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                   AS x,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS DECIMAL(18,0)))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY o_orderdate
+    ),
+    ends AS (
+        SELECT MIN(x) AS x_lo, arg_min(y, x) AS y_lo,
+               MAX(x) AS x_hi, arg_max(y, x) AS y_hi
+        FROM d
+    ),
+    interior AS (
+        SELECT d.x, d.y,
+               row_number() OVER (ORDER BY d.x) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM d, ends WHERE d.x > ends.x_lo AND d.x < ends.x_hi
+    ),
+    pts AS (
+        SELECT x, y, CAST((rn - 1) * {_LTTB_B} // n AS BIGINT) AS b
+        FROM interior
+    ),
+    bsum AS (
+        SELECT b, CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS DECIMAL(38,0))
+                   AS sy, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pts GROUP BY b
+    ),
+    anch AS (
+        SELECT b,
+               COALESCE(lag(sx) OVER (ORDER BY b), (SELECT x_lo FROM ends))
+                   AS sxp,
+               COALESCE(lag(sy) OVER (ORDER BY b),
+                        (SELECT CAST(y_lo AS DECIMAL(38,0)) FROM ends)) AS syp,
+               COALESCE(lag(c) OVER (ORDER BY b), 1) AS cp,
+               COALESCE(lead(sx) OVER (ORDER BY b), (SELECT x_hi FROM ends))
+                   AS sxn,
+               COALESCE(lead(sy) OVER (ORDER BY b),
+                        (SELECT CAST(y_hi AS DECIMAL(38,0)) FROM ends)) AS syn,
+               COALESCE(lead(c) OVER (ORDER BY b), 1) AS cn
+        FROM bsum
+    ),
+    scored AS (
+        SELECT p.b, p.x, p.y,
+               abs(CAST((a.sxp * a.cn - a.sxn * a.cp) AS DECIMAL(38,0))
+                     * (p.y * a.cp - a.syp)
+                   - CAST((a.sxp - p.x * a.cp) AS DECIMAL(38,0))
+                     * (a.syn * a.cp - a.syp * a.cn)) AS area2
+        FROM pts p JOIN anch a USING (b)
+    ),
+    picked AS (
+        SELECT b, x, y FROM (
+            SELECT *, row_number() OVER (PARTITION BY b
+                                         ORDER BY area2 DESC, x) AS rnk
+            FROM scored
+        ) WHERE rnk = 1
+    )
+    SELECT CAST(-1 AS BIGINT) AS bucket, x_lo AS x_day, y_lo AS y_cents
+        FROM ends
+    UNION ALL
+    SELECT b, x, y FROM picked
+    UNION ALL
+    SELECT CAST({_LTTB_B} AS BIGINT), x_hi, y_hi FROM ends
+    """,
+    doc="Largest-Triangle-Three-Buckets downsampling of the daily series "
+        "to ~26 visually-representative points (Steinarsson 2013, the "
+        "standard dashboard decimation): split the interior into 24 "
+        "positional buckets and keep, per bucket, the point forming the "
+        "largest triangle with the NEIGHBOR BUCKETS' mean points, plus "
+        "both endpoints. Uses the independent-anchor LTTB variant (both "
+        "anchors are bucket means rather than the previously-selected "
+        "point) so every bucket scores in parallel — no sequential "
+        "dependence, which is what makes it a two-shuffle distributed "
+        "plan instead of a driver loop. Exactness: the triangle area is "
+        "cross-multiplied through the anchor counts into one pure-"
+        "integer DECIMAL(38,0) expression (no mean is ever materialized "
+        "as a float), and the per-bucket argmax tie-breaks on x, so both "
+        "engines pick identical points. All windows ride the bounded "
+        "day-grid aggregate / 24-row bucket table. Reference parity: "
+        "extension surface (SURVEY.md §2.B time-series rows).",
+)
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy("o_orderdate").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+        .cast("long")
+        .alias("y"),
+    ).select(
+        F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1970-01-01")))
+        .cast("long")
+        .alias("x"),
+        "y",
+    ).localCheckpoint(eager=True)  # ends scalars + interior both consume it
+    ends = d.agg(
+        F.min("x").alias("x_lo"),
+        F.expr("min_by(y, x)").alias("y_lo"),
+        F.max("x").alias("x_hi"),
+        F.expr("max_by(y, x)").alias("y_hi"),
+    )
+    interior = (
+        d.crossJoin(F.broadcast(ends))
+        .where((F.col("x") > F.col("x_lo")) & (F.col("x") < F.col("x_hi")))
+        .select(
+            "x",
+            "y",
+            F.row_number().over(Window.orderBy("x")).alias("rn"),
+            F.count(F.lit(1))
+            .over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .cast("long")
+            .alias("n"),
+        )
+    )
+    pts = interior.selectExpr(
+        "x", "y", f"CAST((rn - 1) * {_LTTB_B} div n AS BIGINT) AS b"
+    ).localCheckpoint(eager=True)  # bucket sums AND the scoring join
+    dec = "decimal(38,0)"
+    bsum = pts.groupBy("b").agg(
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast(dec).alias("sy"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    wb = Window.orderBy("b")
+    anch = bsum.crossJoin(F.broadcast(ends)).select(
+        "b",
+        F.coalesce(F.lag("sx").over(wb), F.col("x_lo")).alias("sxp"),
+        F.coalesce(F.lag("sy").over(wb), F.col("y_lo").cast(dec)).alias("syp"),
+        F.coalesce(F.lag("c").over(wb), F.lit(1)).alias("cp"),
+        F.coalesce(F.lead("sx").over(wb), F.col("x_hi")).alias("sxn"),
+        F.coalesce(F.lead("sy").over(wb), F.col("y_hi").cast(dec)).alias("syn"),
+        F.coalesce(F.lead("c").over(wb), F.lit(1)).alias("cn"),
+    )
+    scored = pts.join(F.broadcast(anch), "b").select(
+        "b",
+        "x",
+        "y",
+        F.abs(
+            (F.col("sxp") * F.col("cn") - F.col("sxn") * F.col("cp")).cast(dec)
+            * (F.col("y") * F.col("cp") - F.col("syp"))
+            - (F.col("sxp") - F.col("x") * F.col("cp")).cast(dec)
+            * (F.col("syn") * F.col("cp") - F.col("syp") * F.col("cn"))
+        ).alias("area2"),
+    )
+    wpick = Window.partitionBy("b").orderBy(F.col("area2").desc(), F.col("x"))
+    picked = (
+        scored.withColumn("rnk", F.row_number().over(wpick))
+        .where(F.col("rnk") == 1)
+        .select(
+            F.col("b").alias("bucket"),
+            F.col("x").alias("x_day"),
+            F.col("y").alias("y_cents"),
+        )
+    )
+    lo = ends.select(
+        F.lit(-1).cast("long").alias("bucket"),
+        F.col("x_lo").alias("x_day"),
+        F.col("y_lo").alias("y_cents"),
+    )
+    hi = ends.select(
+        F.lit(_LTTB_B).cast("long").alias("bucket"),
+        F.col("x_hi").alias("x_day"),
+        F.col("y_hi").alias("y_cents"),
+    )
+    return lo.unionByName(picked).unionByName(hi)
