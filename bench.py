@@ -104,6 +104,10 @@ HEADLINE = [
     "ml_ndcg_macro_summary",
     "text_hapax_ratio_by_source",
     "pipeline_contamination_report",
+    # r7 second-wave additions (appended only): the analytics and
+    # time-series family representatives this round.
+    "analytics_revenue_retention_nrr",
+    "ts_downsample_lttb",
 ]
 
 #: FROZEN cross-round comparison basis (round-4 VERDICT "What's wrong" #2:
@@ -624,6 +628,23 @@ def main() -> None:
                 "construct_sec": 0.727,
                 "calibration_cpu_sec": 0.269,
             },
+            "analytics_revenue_retention_nrr": {
+                "fresh_jvm_median_sec": 1.135,
+                "fresh_jvm_samples": [1.234, 1.135, 1.015],
+                "construct_sec": 0.759,
+                "calibration_cpu_sec": 0.214,
+            },
+            "ts_downsample_lttb": {
+                "fresh_jvm_median_sec": 1.286,
+                "fresh_jvm_samples": [1.472, 1.286, 1.178],
+                "construct_sec": 0.866,
+                "calibration_cpu_sec": 0.212,
+            },
+            # second-wave context: pipeline_dedup_cluster_sizes measures
+            # 5.41 s fresh-JVM, of which 4.94 s is the SAME eager
+            # pair-graph/CC construction dedup_clusters_cc already pays
+            # (shared machinery, not a new cost); graph_global_transitivity
+            # 2.38 s is 1.84 s shared co-purchase edge build.
             "pipeline_contamination_report": {
                 "fresh_jvm_median_sec": 1.248,
                 "fresh_jvm_samples": [1.429, 1.248, 1.234],
