@@ -8058,3 +8058,245 @@ def ml_conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFram
             F.lit(0.9).alias("target_level"),
         )
     )
+
+
+@register(
+    "graph_rich_club_coefficient",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    e0 AS (
+        SELECT a.p AS pa, b.p AS pb
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT pa AS node FROM e0 UNION ALL SELECT pb FROM e0
+        ) GROUP BY node
+    ),
+    grid AS (SELECT UNNEST([1, 2, 4, 8, 16]) AS k),
+    club AS (
+        SELECT g.k, CAST(COUNT(*) AS BIGINT) AS n_k
+        FROM deg, grid g WHERE deg.d > g.k GROUP BY g.k
+    ),
+    ek AS (
+        SELECT g.k, CAST(COUNT(*) AS BIGINT) AS e_k
+        FROM e0
+        JOIN deg da ON da.node = e0.pa
+        JOIN deg db ON db.node = e0.pb
+        CROSS JOIN grid g
+        WHERE da.d > g.k AND db.d > g.k
+        GROUP BY g.k
+    )
+    SELECT c.k, c.n_k, COALESCE(ek.e_k, 0) AS e_k,
+           round(CAST(2 * COALESCE(ek.e_k, 0) AS DOUBLE)
+                 / (c.n_k * (c.n_k - 1)), 6) AS rich_club_phi
+    FROM club c LEFT JOIN ek ON ek.k = c.k
+    WHERE c.n_k >= 2
+    """,
+    doc="Rich-club coefficient phi(k) = 2*E_k / (N_k*(N_k-1)) over the "
+        "degree-threshold grid {1,2,4,8,16}: how densely the hubs of the "
+        "co-purchase graph connect to EACH OTHER — the hub-oligarchy "
+        "diagnostic (Colizza et al. 2006) that degree distribution and "
+        "assortativity scalars both miss. Exact: degrees and club sizes "
+        "are one rollup; E_k comes from one degree-annotated edge pass "
+        "against the bounded 5-point grid (the only fan-out is x5 on "
+        "edges, value-domain); the density division is pinned. Reference "
+        "parity: extension surface (SURVEY.md §2.B graph rows).",
+)
+def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e0 = _support2_copurchase_edges(spark, sf_dir).select(
+        F.col("p1").alias("pa"), F.col("p2").alias("pb")
+    ).localCheckpoint(eager=True)
+    deg = (
+        e0.select(F.col("pa").alias("node"))
+        .unionByName(e0.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    ).localCheckpoint(eager=True)  # club sizes AND two edge-annotation joins
+    grid = spark.range(0).sparkSession.createDataFrame(
+        [(1,), (2,), (4,), (8,), (16,)], "k LONG"
+    )
+    club = (
+        deg.crossJoin(F.broadcast(grid))
+        .where(F.col("d") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_k"))
+    )
+    da = deg.select(F.col("node").alias("pa"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("pb"), F.col("d").alias("db"))
+    ek = (
+        e0.join(da, "pa")
+        .join(db, "pb")
+        .crossJoin(F.broadcast(grid))
+        .where((F.col("da") > F.col("k")) & (F.col("db") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("e_k"))
+    )
+    return (
+        club.join(ek, "k", "left")
+        .where(F.col("n_k") >= 2)
+        .select(
+            "k",
+            "n_k",
+            F.coalesce("e_k", F.lit(0)).alias("e_k"),
+            F.round(
+                (2 * F.coalesce(F.col("e_k"), F.lit(0))).cast("double")
+                / (F.col("n_k") * (F.col("n_k") - 1)),
+                6,
+            ).alias("rich_club_phi"),
+        )
+    )
+
+
+@register(
+    "ml_pinball_loss_quantile_eval",
+    oracle="""
+    WITH d AS (
+        SELECT date_trunc('week', CAST(o_orderdate AS DATE)) AS wk,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS DECIMAL(18,0)))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    f AS (
+        SELECT wk, y, lag(y) OVER (ORDER BY wk) AS yhat FROM d
+    ),
+    terms AS (
+        SELECT q,
+               CASE WHEN y >= yhat THEN q * (y - yhat)
+                    ELSE (10 - q) * (yhat - y) END AS loss10
+        FROM f CROSS JOIN (SELECT UNNEST([1, 5, 9]) AS q)
+        WHERE yhat IS NOT NULL
+    )
+    SELECT CAST(q AS BIGINT) * 10 AS quantile_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_weeks,
+           CAST(SUM(CAST(loss10 AS DECIMAL(38,0))) AS BIGINT)
+               AS pinball_units,
+           round(CAST(SUM(CAST(loss10 AS DECIMAL(38,0))) AS DOUBLE)
+                 / COUNT(*) / 10 / 100, 4) AS mean_pinball_dollars
+    FROM terms GROUP BY q
+    """,
+    doc="Pinball (quantile) loss of the naive last-week forecast at the "
+        "10th/50th/90th percentiles — the scoring rule for quantile "
+        "forecasts (pinball at q=0.5 is half the MAE; the 10/90 losses "
+        "grade under- vs over-forecasting asymmetry), giving the "
+        "baseline any probabilistic forecaster must beat, the quantile "
+        "companion to ts_seasonal_naive_error's point metrics. Exact: "
+        "losses are integer cents scaled by 10q in {1,5,9} (so every "
+        "term is an exact long), DECIMAL-summed per quantile over the "
+        "bounded week grid; only the final per-week mean divides. "
+        "Reference parity: extension surface (SURVEY.md §2.B ML rows).",
+)
+def ml_pinball_loss_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.date_trunc("week", F.col("o_orderdate").cast("date")).alias("wk")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+        .cast("long")
+        .alias("y")
+    )
+    f = d.select(
+        "y", F.lag("y").over(Window.orderBy("wk")).alias("yhat")
+    ).where(F.col("yhat").isNotNull())
+    grid = f.sparkSession.createDataFrame([(1,), (5,), (9,)], "q LONG")
+    terms = f.crossJoin(F.broadcast(grid)).select(
+        "q",
+        F.when(
+            F.col("y") >= F.col("yhat"), F.col("q") * (F.col("y") - F.col("yhat"))
+        )
+        .otherwise((10 - F.col("q")) * (F.col("yhat") - F.col("y")))
+        .alias("loss10"),
+    )
+    dec = "decimal(38,0)"
+    return terms.groupBy("q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_weeks"),
+        F.sum(F.col("loss10").cast(dec)).cast("long").alias("pinball_units"),
+        F.round(
+            F.sum(F.col("loss10").cast(dec)).cast("double")
+            / F.count(F.lit(1))
+            / 10
+            / 100,
+            4,
+        ).alias("mean_pinball_dollars"),
+    ).select(
+        (F.col("q") * 10).cast("long").alias("quantile_pct"),
+        "n_weeks",
+        "pinball_units",
+        "mean_pinball_dollars",
+    )
+
+
+@register(
+    "analytics_revenue_hhi",
+    oracle="""
+    WITH per AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS DECIMAL(38,0)))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS BIGINT) AS t,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM per),
+    ppm AS (
+        SELECT CAST(round(CAST(cents AS DOUBLE) * 1000000 / tot.t) AS BIGINT)
+                   AS share_ppm
+        FROM per, tot
+    )
+    SELECT tot.n AS n_customers,
+           CAST(SUM(share_ppm * share_ppm) AS BIGINT) AS hhi_ppm2,
+           round(CAST(SUM(share_ppm * share_ppm) AS DOUBLE) / 1e12, 9)
+               AS hhi,
+           round(1.0 / tot.n, 9) AS hhi_uniform_floor
+    FROM ppm, tot
+    GROUP BY tot.n
+    """,
+    doc="Herfindahl-Hirschman revenue concentration index: the sum of "
+        "squared customer revenue shares — the antitrust-grade "
+        "concentration scalar (1/n = perfectly even, 1.0 = monopsony) "
+        "that answers 'how dependent is revenue on a few accounts' more "
+        "directly than Gini (HHI is what contract-risk and market-power "
+        "review actually use); the 1/n uniform floor ships alongside for "
+        "calibration. Determinism: per-customer shares quantize to exact "
+        "ppm integers (pinned exact-long/exact-long division + round), "
+        "so the squared sum is pure int64 arithmetic (max 1e12 per term, "
+        "n terms — DECIMAL-safe); one narrow per-customer rollup + a "
+        "1-row broadcast total. Reference parity: extension surface "
+        "(SURVEY.md §2.B analytics rows).",
+)
+def analytics_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("cents")
+    )
+    tot = per.agg(
+        F.sum(F.col("cents").cast("decimal(38,0)")).cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    ppm = per.crossJoin(F.broadcast(tot)).select(
+        "n",
+        F.round(F.col("cents").cast("double") * 1000000 / F.col("t"))
+        .cast("long")
+        .alias("share_ppm"),
+    )
+    return ppm.groupBy("n").agg(
+        F.sum(F.col("share_ppm") * F.col("share_ppm"))
+        .cast("long")
+        .alias("hhi_ppm2"),
+        F.round(
+            F.sum(F.col("share_ppm") * F.col("share_ppm")).cast("double")
+            / 1e12,
+            9,
+        ).alias("hhi"),
+        F.round(F.lit(1.0) / F.max("n"), 9).alias("hhi_uniform_floor"),
+    ).select(
+        F.col("n").alias("n_customers"),
+        "hhi_ppm2",
+        "hhi",
+        "hhi_uniform_floor",
+    )

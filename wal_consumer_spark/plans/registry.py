@@ -195,6 +195,9 @@ FUTURE_WINDOW: list[str] = [
     "pipeline_dedup_cluster_sizes",
     "sim_exact_duplicate_vectors",
     "ts_downsample_lttb",
+    "graph_rich_club_coefficient",
+    "ml_pinball_loss_quantile_eval",
+    "analytics_revenue_hhi",
 ]
 
 def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQuery], SparkQuery]:
