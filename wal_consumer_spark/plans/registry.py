@@ -44,88 +44,16 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: oracle sorts last so it can never burn a window slot on a rows-only
 #: check.
 #:
-#: Round 7 swaps ALL 50 slots a fifth time, per round-6 VERDICT "Next
-#: round" #2: the 41 pre-round-6 names that have never held a driver row,
-#: plus the 9 round-6 additions staged for this window. Everything that
-#: remains after this window goes into NEXT_WINDOW below (the round-8
-#: closing set); tests/test_registry.py::test_staging_partitions_registry
-#: enforces that cumulative-green ∪ DRIVER_WINDOW ∪ NEXT_WINDOW covers the
-#: registry exactly, so staging arithmetic can never silently drift again
-#: (VERDICT r6 "What's wrong" #3).
+#: Round 8 rotates ALL 50 slots a sixth time, per round-7 VERDICT "Next
+#: round" #1–2: CORRECTNESS_r07 certified the round-7 window 50/50 green
+#: (cumulative 338/399), so this window holds the round-7 NEXT_WINDOW
+#: verbatim — the 34 round-6-session names plus 16 first-wave round-7
+#: additions. NEXT_WINDOW below (the round-9 closing set) holds the
+#: second-wave round-7 overflow; FUTURE_WINDOW stages round-8 session
+#: additions in the same commit that registers them (VERDICT r7 stretch
+#: #6). tests/test_registry.py::test_staging_partitions_registry enforces
+#: the exact-cover arithmetic.
 DRIVER_WINDOW: list[str] = [
-    # --- aggregate tail (pre-round-6) ---
-    "agg_having",
-    "agg_higher_moments",
-    "agg_histogram_totalprice",
-    "agg_key_skew_profile",
-    "agg_log2_histogram",
-    "agg_percentile_approx",
-    "agg_profile_orders",
-    "agg_stratified_sample",
-    # --- analytics tail (pre-round-6) ---
-    "analytics_conversion_curve",
-    "analytics_path_transitions",
-    "analytics_user_activity_entropy",
-    # --- CDC tail (pre-round-6) ---
-    "cdc_backlog_metrics",
-    "cdc_gdpr_erasure_audit",
-    "cdc_op_mix",
-    "cdc_tombstone_retention",
-    # --- dedup tail (pre-round-6) ---
-    "dedup_containment_pairs",
-    # --- ML tail (pre-round-6) ---
-    "ml_classification_metrics",
-    # --- multimodal tail (pre-round-6) ---
-    "multimodal_feature_extract",
-    "multimodal_resize_meta",
-    # --- curation-pipeline tail (pre-round-6) ---
-    "pipeline_boilerplate_strip",
-    "pipeline_bpe_first_merges",
-    "pipeline_char_budget_truncation",
-    "pipeline_epoch_plan",
-    "pipeline_mixture_temperature",
-    "pipeline_quality_filter",
-    "pipeline_sample_k_per_group",
-    "pipeline_url_canonical_dedup",
-    # --- scalar tail (pre-round-6) ---
-    "scalar_bitwise",
-    "scalar_struct_funcs",
-    # --- similarity tail (pre-round-6) ---
-    "sim_centroid_distances",
-    "sim_label_centroids",
-    "sim_label_silhouette",
-    # --- text tail (pre-round-6) ---
-    "text_bigram_df",
-    "text_char_trigram_profile",
-    "text_sentiment_lexicon",
-    # --- time-series tail (pre-round-6) ---
-    "ts_anova_weekday_effect",
-    "ts_calendar_heatmap",
-    "ts_gapfill_zero",
-    "ts_missing_data_profile",
-    "ts_seasonal_naive_error",
-    # --- UDF surface demo (pre-round-6) ---
-    "udf_row_scalar_dim",
-    # --- round-6 additions staged for this window ---
-    "graph_hits_hubs_authorities",
-    "sim_int8_quantized_recall",
-    "ml_roc_curve_points",
-    "pipeline_dsir_importance_weights",
-    "ts_ljung_box_whiteness",
-    "ts_seasonal_strength",
-    "analytics_sequence_top3_paths",
-    "analytics_holm_bonferroni",
-    "set_bag_except_intersect_all",
-]
-
-#: ROUND-8 CLOSING WINDOW — every registered name that will still lack a
-#: driver-green row once CORRECTNESS_r07 certifies DRIVER_WINDOW above:
-#: the 26 round-6-staged names, the 8 late round-6 additions the r6
-#: VERDICT flagged as unstaged ("What's wrong" #3), plus round-7 session
-#: additions appended as they land. Kept as a REAL constant (not a
-#: comment) so test_staging_partitions_registry can enforce that
-#: cumulative-green ∪ DRIVER_WINDOW ∪ NEXT_WINDOW == all_specs() exactly.
-NEXT_WINDOW: list[str] = [
     "agg_heavy_hitters_misra_gries",
     "analytics_cramers_v",
     "analytics_diff_in_differences",
@@ -160,8 +88,7 @@ NEXT_WINDOW: list[str] = [
     "ts_hurst_rescaled_range",
     "ts_rolling_beta",
     "ts_spectral_dft_topk",
-    # --- round-7 session additions (this window closes coverage at
-    # --- len(all_specs()) when certified in round 8) ---
+    # --- round-7 first-wave additions staged for this window ---
     "ml_macro_f1_multiclass",
     "ml_threshold_sweep_confusion",
     "ml_ols_durbin_watson",
@@ -180,13 +107,14 @@ NEXT_WINDOW: list[str] = [
     "pipeline_contamination_report",
 ]
 
-#: ROUND-9 WINDOW — second-wave round-7 session additions that overflow
-#: NEXT_WINDOW's 50 slots. Same contract as NEXT_WINDOW: a real constant,
-#: every name oracle-backed, enforced by
-#: tests/test_registry.py::test_staging_partitions_registry so
-#: cumulative-green ∪ DRIVER_WINDOW ∪ NEXT_WINDOW ∪ FUTURE_WINDOW covers
-#: the registry exactly.
-FUTURE_WINDOW: list[str] = [
+#: ROUND-9 CLOSING WINDOW — the second-wave round-7 additions that
+#: overflowed round 8's 50 slots. Certifying these (plus FUTURE_WINDOW's
+#: round-8 session additions, which roll into the round-9 window at the
+#: next rotation) closes driver coverage at len(all_specs()). Kept as a
+#: REAL constant (not a comment) so test_staging_partitions_registry can
+#: enforce that cumulative-green ∪ DRIVER_WINDOW ∪ NEXT_WINDOW ∪
+#: FUTURE_WINDOW == all_specs() exactly.
+NEXT_WINDOW: list[str] = [
     "graph_global_transitivity",
     "analytics_revenue_retention_nrr",
     "analytics_rfm_migration_matrix",
@@ -199,6 +127,12 @@ FUTURE_WINDOW: list[str] = [
     "ml_pinball_loss_quantile_eval",
     "analytics_revenue_hhi",
 ]
+
+#: ROUND-8 SESSION ADDITIONS — every operator registered during round 8
+#: lands here IN THE SAME COMMIT that registers it (VERDICT r7 stretch
+#: #6), so the partition test enforces staging at authoring time. These
+#: roll into the round-9 DRIVER_WINDOW together with NEXT_WINDOW above.
+FUTURE_WINDOW: list[str] = []
 
 def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQuery], SparkQuery]:
     def deco(fn: SparkQuery) -> SparkQuery:
