@@ -195,9 +195,14 @@ def latest_committed_normalized(
     session to itself at a different calibration — exactly the bug that
     shipped 7 false-positive flags in BENCH_r06 (VERDICT r6 "What's
     wrong" #1)."""
+    # Sort by the PARSED round number, not the raw filename — lexicographic
+    # order would rank r100 before r99 (ADVICE r7).
     details = sorted(
-        f for f in os.listdir(here)
-        if f.startswith("BENCH_DETAIL_r") and f.endswith(".json")
+        (
+            f for f in os.listdir(here)
+            if f.startswith("BENCH_DETAIL_r") and f.endswith(".json")
+        ),
+        key=lambda f: (_detail_round(f) is not None, _detail_round(f) or -1),
     )
     for f in reversed(details):
         rnd = _detail_round(f)

@@ -2990,9 +2990,11 @@ def sim_lsh_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("n_vectors"),
         F.max("n").cast("long").alias("max_occupancy"),
         F.min("n").cast("long").alias("min_occupancy"),
-        F.sum(
-            (F.col("n") * (F.col("n") - 1)).cast("long") / F.lit(2)
-        )
+        # Integral end-to-end: n*(n-1) is even so DIV 2 is exact per term,
+        # and the sum runs in DECIMAL(38,0) — a double-typed sum would lose
+        # ulps past 2^53 total pairs, exactly the 100 TB capacity-planning
+        # regime this audit exists for (ADVICE r7).
+        F.sum(F.expr("CAST(n * (n - 1) DIV 2 AS DECIMAL(38,0))"))
         .cast("long")
         .alias("candidate_pairs"),
         F.round(

@@ -1641,10 +1641,15 @@ def text_shingle_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: non-distinct per-doc word bigrams (every occurrence counts — hapax
-#: analysis needs raw frequencies, unlike the _BIGRAMS dedup'd variant)
+#: analysis needs raw frequencies, unlike the _BIGRAMS dedup'd variant).
+#: Docs with < 2 tokens emit NO bigrams (ADVICE r7: the old greatest(..., 0)
+#: clamp let a 1-token doc contribute its lone token and an empty doc the
+#: empty string, inflating vocab/hapax counts with degenerate entries).
 _BIGRAMS_ALL = (
-    "list_transform(generate_series(0, greatest(len({t}) - 2, 0)), "
-    "i -> array_to_string(list_slice({t}, i + 1, i + 2), ' '))"
+    "CASE WHEN len({t}) >= 2 THEN "
+    "list_transform(generate_series(0, len({t}) - 2), "
+    "i -> array_to_string(list_slice({t}, i + 1, i + 2), ' ')) "
+    "ELSE CAST([] AS VARCHAR[]) END"
 ).format(t=_TOKS)
 
 
@@ -1688,12 +1693,17 @@ def text_hapax_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # let-bind the token array: every lambda reference below becomes a
     # variable lookup instead of re-running the tokenizer per bigram
     # position (the word_shingles lesson — 3.5 s -> ~1 s at sf0.1)
+    # Docs with < 2 tokens emit no bigrams — mirrors the oracle's
+    # len(t) >= 2 guard (ADVICE r7: degenerate 1-token/empty entries).
     bigrams_all = let(
         tokens(F.col("text")),
-        lambda t: F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(t) - 2, F.lit(0))),
-            lambda i: F.array_join(F.slice(t, i + 1, 2), " "),
-        ),
+        lambda t: F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - 2),
+                lambda i: F.array_join(F.slice(t, i + 1, 2), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
     )
     occ = d.select("source", F.explode(bigrams_all).alias("bg"))
     cnt = occ.groupBy("source", "bg").agg(
