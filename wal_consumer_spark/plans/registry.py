@@ -132,7 +132,9 @@ NEXT_WINDOW: list[str] = [
 #: lands here IN THE SAME COMMIT that registers it (VERDICT r7 stretch
 #: #6), so the partition test enforces staging at authoring time. These
 #: roll into the round-9 DRIVER_WINDOW together with NEXT_WINDOW above.
-FUTURE_WINDOW: list[str] = []
+FUTURE_WINDOW: list[str] = [
+    "stream_stateful_sessionize",
+]
 
 def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQuery], SparkQuery]:
     def deco(fn: SparkQuery) -> SparkQuery:

@@ -161,6 +161,162 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup.finish(state)
 
 
+#: 30-minute session gap in microseconds (shared by the stateful
+#: sessionize query and its oracle text).
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def _make_sessionize_fn(gap_us: int):
+    """Per-user session builder for applyInPandasWithState: carries the
+    OPEN session (start_us, last_us, n_events) in GroupState across
+    micro-batches and emits a session only once a later event closes it
+    (gap > gap_us). Sessions still open when the stream ends are never
+    emitted — deterministically excluded from the oracle too. Returned as
+    a closure so cloudpickle ships it BY VALUE: Python workers don't have
+    the repo on sys.path, so a module-level function (pickled by
+    reference) would fail to import there."""
+
+    def sessionize(key, pdf_iter, state):
+        import pandas as pd
+
+        ts: list[int] = []
+        for pdf in pdf_iter:
+            ts.extend(int(t) for t in pdf["ts_us"])
+        ts.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = n = None
+        closed: list[tuple[int, int, int, int]] = []
+        for t in ts:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_us:
+                closed.append((key[0], start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        if start is not None:
+            state.update((start, last, n))
+        yield pd.DataFrame(
+            closed,
+            columns=[
+                "user_id", "session_start_us", "session_end_us", "n_events",
+            ],
+        ).astype("int64")
+
+    return sessionize
+
+
+@register(
+    "stream_stateful_sessionize",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+    ),
+    brk AS (
+        SELECT user_id, ts_us,
+               CASE WHEN ts_us - lag(ts_us) OVER w > {_SESSION_GAP_US}
+                      OR lag(ts_us) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+    ),
+    sess AS (
+        SELECT user_id, ts_us,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS sid
+        FROM brk
+    ),
+    agg AS (
+        SELECT user_id, sid,
+               CAST(MIN(ts_us) AS BIGINT) AS session_start_us,
+               CAST(MAX(ts_us) AS BIGINT) AS session_end_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MAX(sid) OVER (PARTITION BY user_id) AS max_sid
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, session_start_us,
+           session_end_us, n_events
+    FROM agg WHERE sid < max_sid
+    """,
+    doc="CUSTOM STATEFUL STREAMING OPERATOR driven end-to-end and verified "
+        "against a batch oracle (VERDICT r7 stretch #7): a real Structured "
+        "Streaming query sessionizes events per user with "
+        "applyInPandasWithState — GroupState carries each user's OPEN "
+        "session (start/last/count) across micro-batches; a session is "
+        "emitted (append mode) only when a later event closes it with a "
+        "> 30 min gap. Events are replayed in FOUR ts-range micro-batches "
+        "(maxFilesPerTrigger=1 + availableNow), so sessions spanning batch "
+        "boundaries genuinely exercise cross-batch state. Still-open "
+        "sessions at end-of-stream are never emitted, which makes the "
+        "result batch-split-invariant: the DuckDB oracle replays it as "
+        "gaps-and-islands MINUS each user's final session. State is "
+        "partitioned by user_id — at 100 TB this is the standard per-key "
+        "stateful scale path (state store per partition, no global "
+        "ordering); the memory sink is only the certification harness, a "
+        "production run writes the same stream to a real sink. Reference "
+        "parity: the per-entity sequential apply loop "
+        "(WalConsumer.java:157-165) generalized to partitioned event-time "
+        "state (SURVEY.md §2.B streaming rows).",
+)
+def stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    lo, hi = e.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    tmp = tempfile.mkdtemp(prefix="sessionize_stream_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        # four half-open ts ranges written as 00.parquet..03.parquet in
+        # increasing-mtime order: the file stream source processes them
+        # oldest-first, so arrival order == event-time order and the
+        # sessionization is deterministic
+        step = (hi - lo) // 4 + 1
+        for i in range(4):
+            part = os.path.join(tmp, f"part{i}")
+            e.filter(
+                (F.col("ts_us") >= lo + i * step)
+                & (F.col("ts_us") < lo + (i + 1) * step)
+            ).coalesce(1).write.parquet(part)
+            pf = next(
+                f for f in sorted(os.listdir(part)) if f.endswith(".parquet")
+            )
+            shutil.move(
+                os.path.join(part, pf), os.path.join(src, f"{i:02d}.parquet")
+            )
+        name = f"sessionize_{uuid.uuid4().hex[:12]}"
+        q = (
+            spark.readStream.schema("user_id long, ts_us long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _make_sessionize_fn(_SESSION_GAP_US),
+                "user_id long, session_start_us long, "
+                "session_end_us long, n_events long",
+                "start long, last long, n long",
+                "append",
+                "NoTimeout",
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @register(
     "stream_watermark_lateness_audit",
     oracle="""
