@@ -1,0 +1,124 @@
+"""Plan-shape regression pins for the most expensive headline queries
+(VERDICT r7 stretch #8). PLANS.md documents WHY each shape is right; these
+tests make the shape itself a regression surface: the optimized logical
+plan's node-type multiset is pinned, so a future edit that silently
+reintroduces a per-round shuffle, drops a checkpoint reuse, or doubles an
+aggregation fails here instead of showing up as an unexplained bench drift
+two rounds later.
+
+The fingerprint is STRUCTURAL (node types and counts only — no literals,
+no statistics), so it is invariant to data scale and session config; it
+changes exactly when the plan gains or loses operators.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from wal_consumer_spark.plans import all_specs
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _iter_jnodes(node):
+    yield node
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _iter_jnodes(ch.apply(i))
+
+
+def fingerprint(df) -> dict[str, int]:
+    opt = df._jdf.queryExecution().optimizedPlan()
+    return dict(Counter(n.nodeName() for n in _iter_jnodes(opt)))
+
+
+#: Pinned node-type multisets for the 5 most expensive headline queries
+#: (BENCH_DETAIL_r07 isolation notes). A deliberate change to one of these
+#: plans should update the pin IN THE SAME COMMIT, with the bench_one
+#: number that justifies it.
+PINNED: dict[str, dict[str, int]] = {
+    # alternating-star CC: the returned frame is the post-fixpoint
+    # contraction over checkpointed leaves — one Join, one Union, three
+    # Aggregates; a per-round shuffle leaking into the RESULT plan would
+    # add Joins/Unions here.
+    "graph_connected_components": {
+        "Aggregate": 3, "Union": 1, "Project": 4, "LogicalRDD": 3, "Join": 1,
+    },
+    # hub-capped wedge join over the shared co-purchase edge build
+    # (checkpointed LogicalRDD leaves) + TakeOrderedAndProject top-50
+    # (GlobalLimit/LocalLimit/Sort, no Window).
+    "graph_jaccard_neighbors": {
+        "GlobalLimit": 1, "LocalLimit": 1, "Project": 20, "Sort": 1,
+        "Join": 5, "Aggregate": 5, "Union": 6, "LogicalRDD": 12, "Filter": 2,
+    },
+    # pairwise slopes on the bounded day grid (cached: InMemoryRelation),
+    # two-phase selection median = 3 bounded Windows, never a global
+    # row_number over raw rows.
+    "ts_theil_sen_slope": {
+        "Join": 3, "Aggregate": 4, "Project": 6, "LogicalRDD": 1,
+        "InMemoryRelation": 3, "Filter": 3, "Window": 3,
+    },
+    # 3 synchronized Hash-Min rounds, lineage truncated per round: the
+    # plan is the fixed 3-round expansion over checkpointed leaves — a
+    # 4th round (or un-truncated lineage) changes these counts.
+    "graph_label_propagation": {
+        "Aggregate": 17, "Union": 22, "Project": 37, "Join": 7,
+        "LogicalRDD": 30,
+    },
+    # k-truss: support recount ONLY on checkpointed survivor frames
+    # (LogicalRDD leaves); recounting on the un-checkpointed lineage
+    # would multiply the Join/Union counts.
+    "graph_ktruss_edges": {
+        "Union": 5, "Project": 22, "Join": 10, "Aggregate": 8,
+        "LogicalRDD": 16, "Filter": 2,
+    },
+}
+
+
+@pytest.mark.parametrize("name", sorted(PINNED))
+def test_plan_fingerprint_pinned(spark, name):
+    df = all_specs()[name].spark(spark, SF_SMOKE)
+    assert fingerprint(df) == PINNED[name], (
+        f"{name}: optimized-plan shape changed — if intentional, update "
+        "the pin in the same commit with a fresh bench_one number"
+    )
+
+
+def test_cc_converges_in_bounded_rounds(spark):
+    """Behavioral pin to go with the structural one: the alternating-star
+    loop must still reach a CONVERGED fixpoint in a handful of rounds at
+    smoke scale (it was 3-4 rounds in every round since r5). A regression
+    to O(diameter) propagation would blow this bound long before it
+    showed up at sf0.1."""
+    from wal_consumer_spark.operators import graph
+
+    all_specs()["graph_connected_components"].spark(spark, SF_SMOKE).collect()
+    stats = graph.last_cc_stats
+    assert stats["converged"] is True
+    assert 1 <= stats["rounds"] <= 6, stats
+
+
+def test_fingerprint_flags_deliberate_extra_shuffle(spark):
+    """Deliberate violation: recomputing an aggregate that the real plan
+    derives from ONE aggregation (the frame-reuse anti-pattern from
+    rounds 4-5) must change the fingerprint — proving the pin would catch
+    exactly the regression class it exists for."""
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    good = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q")
+    )
+    # the anti-pattern: two separate aggregations joined back together
+    bad = (
+        li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+        .join(
+            li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q")),
+            "l_orderkey",
+        )
+    )
+    assert fingerprint(good) != fingerprint(bad)
+    assert fingerprint(bad).get("Aggregate", 0) > fingerprint(good).get(
+        "Aggregate", 0
+    )
