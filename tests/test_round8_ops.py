@@ -73,3 +73,198 @@ def test_stateful_sessionize_crosses_batch_boundaries(spark):
         "no session spans a micro-batch boundary — the replay would not "
         "be testing cross-batch GroupState at all"
     )
+
+
+def _tokens(text: str) -> list[str]:
+    import re
+
+    return re.split(r"\s+", text.strip().lower())
+
+
+def test_vocab_topk_coverage_matches_pure_python(spark):
+    from collections import Counter
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    cnt = Counter()
+    for t in docs["text"]:
+        cnt.update(_tokens(t))
+    total = sum(cnt.values())
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    expected = {}
+    for k in (1, 2, 4, 8, 16):
+        mass = sum(c for _, c in ranked[:k])
+        expected[k] = (ranked[k - 1][0], mass, total, mass / total)
+
+    got = all_specs()["text_vocab_topk_coverage"].spark(spark, SF).collect()
+    assert len(got) == 5
+    for r in got:
+        tok, mass, tot, share = expected[r.k]
+        assert (r.boundary_token, r.topk_occurrences, r.total_occurrences) == (
+            tok, mass, tot,
+        )
+        assert r.coverage_share == pytest.approx(share, abs=1e-12)
+
+
+def test_padding_waste_curve_matches_pure_python(spark):
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    lens = [len(_tokens(t)) for t in docs["text"]]
+    got = {
+        r.max_len: r
+        for r in all_specs()["pipeline_padding_waste_curve"]
+        .spark(spark, SF)
+        .collect()
+    }
+    assert set(got) == {64, 128, 256}
+    for L, r in got.items():
+        kept = sum(min(n, L) for n in lens)
+        pad = sum(L - min(n, L) for n in lens)
+        trunc = sum(max(n - L, 0) for n in lens)
+        assert (r.n_docs, r.total_tokens, r.kept_tokens) == (
+            len(lens), sum(lens), kept,
+        )
+        assert (r.pad_tokens, r.truncated_tokens) == (pad, trunc)
+        assert r.batch_utilization == pytest.approx(kept / (kept + pad))
+        assert r.truncation_loss_share == pytest.approx(trunc / sum(lens))
+
+
+def test_embedding_norm_audit_matches_pure_python(spark):
+    import math
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet", columns=["label", "embedding"])
+    norms: dict[int, list[int]] = {}
+    for lab, vec in zip(emb["label"], emb["embedding"]):
+        q = [round(float(x) * 1_000_000) for x in vec]
+        nm = math.floor(math.sqrt(sum(v * v for v in q)))
+        norms.setdefault(int(lab), []).append(nm)
+
+    got = {
+        r.label: r
+        for r in all_specs()["sim_embedding_norm_audit"].spark(spark, SF).collect()
+    }
+    assert set(got) == set(norms)
+    for lab, ns in norms.items():
+        r = got[lab]
+        n, s, s2 = len(ns), sum(ns), sum(v * v for v in ns)
+        assert r.n_vectors == n
+        assert r.mean_norm_micro == s // n
+        assert r.var_norm_micro == (n * s2 - s * s) // (n * n)
+        assert (r.min_norm_micro, r.max_norm_micro) == (min(ns), max(ns))
+
+
+def test_psi_matches_pure_python(spark):
+    import hashlib
+    import math
+
+    orders = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    bins: dict[int, list[int]] = {}
+    for key, price in zip(orders["o_orderkey"], orders["o_totalprice"]):
+        cents = round(float(price) * 100)
+        b = min(math.floor(cents / 5_000_000.0), 9)
+        g = int(hashlib.md5(f"{key}:psi".encode()).hexdigest()[:8], 16) % 2
+        cur = bins.setdefault(b, [0, 0])
+        cur[g] += 1
+    tot_ref = sum(v[0] for v in bins.values())
+    tot_cur = sum(v[1] for v in bins.values())
+
+    got = {
+        r.bin: r
+        for r in all_specs()["ml_psi_population_stability"].spark(spark, SF).collect()
+    }
+    assert set(got) == set(bins)
+    for b, (na, nb) in bins.items():
+        r = got[b]
+        assert (r.n_ref, r.n_cur) == (na, nb)
+        if na > 0 and nb > 0:
+            pa, pb = na / tot_ref, nb / tot_cur
+            assert r.psi_term_micro == round((pa - pb) * math.log(pa / pb) * 1e6)
+        else:
+            assert r.psi_term_micro is None
+
+
+def test_changepoint_argmax_matches_pure_python(spark):
+    orders = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    daily = (
+        orders.assign(
+            d=orders["o_orderdate"].dt.date,
+            cents=[round(float(p) * 100) for p in orders["o_totalprice"]],
+        )
+        .groupby("d")["cents"]
+        .sum()
+        .sort_index()
+    )
+    vals = [float(v) for v in daily.values]
+    n, tot = len(vals), float(sum(daily.values))
+    best = []
+    cum = 0.0
+    for k in range(1, n):
+        cum += vals[k - 1]
+        ma, mb = cum / k, (tot - cum) / (n - k)
+        score = (k * (n - k) / n) * (ma - mb) ** 2
+        best.append((-score, daily.index[k - 1], k, ma, mb, score))
+    best.sort()
+
+    got = sorted(
+        all_specs()["ts_changepoint_argmax_split"].spark(spark, SF).collect(),
+        key=lambda r: r.rank,
+    )
+    assert len(got) == 3
+    for r, (_, d, k, ma, mb, score) in zip(got, best[:3]):
+        assert r.split_date.date() == d
+        assert (r.n_days_before, r.n_days_after) == (k, n - k)
+        assert r.mean_before_cents == math_floor(ma)
+        assert r.mean_after_cents == math_floor(mb)
+        assert r.score_floor_m == math_floor(score / 1e6)
+
+
+def math_floor(x: float) -> int:
+    import math
+
+    return math.floor(x)
+
+
+def test_triangle_participation_matches_pure_python(spark):
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    import itertools
+    import math
+    from collections import defaultdict
+
+    orders = defaultdict(set)
+    for o, p in zip(li["l_orderkey"], li["l_partkey"]):
+        orders[o].add(int(p))
+    edges = set()
+    for parts in orders.values():
+        for a, b in itertools.combinations(sorted(parts), 2):
+            edges.add((a, b))
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = defaultdict(int)
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            if c > b:  # a < b < c exactly once
+                tri[a] += 1
+                tri[b] += 1
+                tri[c] += 1
+    buckets = defaultdict(list)
+    for v in adj:
+        t = tri.get(v, 0)
+        bk = -1 if t == 0 else math.floor(math.log(t) / math.log(2))
+        buckets[bk].append(t)
+
+    got = {
+        r.tri_bucket: r
+        for r in all_specs()["graph_triangle_participation"].spark(spark, SF).collect()
+    }
+    assert set(got) == set(buckets)
+    for bk, ts in buckets.items():
+        r = got[bk]
+        assert (r.n_parts, r.min_triangles, r.max_triangles) == (
+            len(ts), min(ts), max(ts),
+        )

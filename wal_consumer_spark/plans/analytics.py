@@ -8300,3 +8300,186 @@ def analytics_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hhi",
         "hhi_uniform_floor",
     )
+
+
+@register(
+    "ml_psi_population_stability",
+    oracle="""
+    WITH rows_ AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || ':psi'),
+                                  1, 8))::BIGINT % 2 AS grp
+        FROM orders
+    ),
+    binned AS (
+        SELECT least(CAST(floor(CAST(cents AS DOUBLE) / 5000000.0)
+                          AS BIGINT), 9) AS bin,
+               CAST(count_if(grp = 0) AS BIGINT) AS n_ref,
+               CAST(count_if(grp = 1) AS BIGINT) AS n_cur
+        FROM rows_ GROUP BY 1
+    ),
+    tot AS (
+        SELECT bin, n_ref, n_cur,
+               SUM(n_ref) OVER () AS tot_ref,
+               SUM(n_cur) OVER () AS tot_cur
+        FROM binned
+    )
+    SELECT bin, n_ref, n_cur,
+           CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+               CAST(round((CAST(n_ref AS DOUBLE) / tot_ref
+                           - CAST(n_cur AS DOUBLE) / tot_cur)
+                          * ln((CAST(n_ref AS DOUBLE) / tot_ref)
+                               / (CAST(n_cur AS DOUBLE) / tot_cur))
+                          * 1000000.0) AS BIGINT)
+           END AS psi_term_micro
+    FROM tot
+    """,
+    doc="Population Stability Index between two deterministic md5-hash "
+        "halves of the order value distribution — the standard "
+        "score/feature drift monitor for deployed models and the "
+        "train/serve skew gate for training-data pipelines (PSI < 0.1 "
+        "stable, > 0.25 action): per fixed-width value bin, reference and "
+        "current counts plus the bin's PSI contribution "
+        "(p_ref - p_cur) * ln(p_ref / p_cur). The hash split makes the "
+        "query self-oracle-able AND is exactly how a real drift check "
+        "pins cohorts without a timestamp join. Proportions are pinned "
+        "integer-over-integer divisions; the one ulp-sensitive op (ln) is "
+        "quantized to 1e-6 per term (text_unigram_logprob convention). "
+        "Map-side bin+cohort bucketing, one 10-row aggregate, a global "
+        "window only over the bounded bin table. Reference parity: "
+        "extension surface (SURVEY.md §2.C ML rows).",
+)
+def ml_psi_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    grp = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":psi"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(2),
+    )
+    binned = (
+        o.select(
+            F.least(
+                F.floor(cents.cast("double") / F.lit(5_000_000.0)).cast("long"),
+                F.lit(9).cast("long"),
+            ).alias("bin"),
+            grp.alias("grp"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count_if(F.col("grp") == 0).cast("long").alias("n_ref"),
+            F.count_if(F.col("grp") == 1).cast("long").alias("n_cur"),
+        )
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    p_ref = F.col("n_ref").cast("double") / F.col("tot_ref")
+    p_cur = F.col("n_cur").cast("double") / F.col("tot_cur")
+    return (
+        binned.withColumn("tot_ref", F.sum("n_ref").over(wt))
+        .withColumn("tot_cur", F.sum("n_cur").over(wt))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            F.when(
+                (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+                F.round((p_ref - p_cur) * F.log(p_ref / p_cur) * 1e6).cast(
+                    "long"
+                ),
+            ).alias("psi_term_micro"),
+        )
+    )
+
+
+@register(
+    "graph_triangle_participation",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    e AS (
+        SELECT DISTINCT a.p AS p1, b.p AS p2
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    ),
+    tri AS (
+        SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+        FROM e e1
+        JOIN e e2 ON e2.p1 = e1.p2
+        JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+    ),
+    part AS (
+        SELECT p, CAST(COUNT(*) AS BIGINT) AS t
+        FROM (SELECT unnest([a, b, c]) AS p FROM tri) GROUP BY p
+    ),
+    verts AS (
+        SELECT DISTINCT p
+        FROM (SELECT p1 AS p FROM e UNION ALL SELECT p2 AS p FROM e)
+    ),
+    full_ AS (
+        SELECT v.p, COALESCE(part.t, 0) AS t
+        FROM verts v LEFT JOIN part ON part.p = v.p
+    )
+    SELECT CASE WHEN t = 0 THEN -1
+                ELSE CAST(floor(ln(CAST(t AS DOUBLE)) / ln(2)) AS BIGINT)
+           END AS tri_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(MIN(t) AS BIGINT) AS min_triangles,
+           CAST(MAX(t) AS BIGINT) AS max_triangles
+    FROM full_ GROUP BY 1
+    """,
+    doc="Per-node triangle participation distribution over the co-purchase "
+        "graph: how many triangles each part belongs to, rolled into "
+        "log2-width buckets (bucket -1 = triangle-free nodes) — the local "
+        "clustering readout that separates 'a few dense communities' from "
+        "'uniformly clustered' where graph_triangle_count's global tally "
+        "and graph_global_transitivity's single ratio cannot. Triangles "
+        "enumerate once each via DEGREE-ORDERED wedges closed by the "
+        "oriented edge (sum(outdeg^2) work, power-law-safe); every "
+        "triangle credits its three corners through ONE explode (no "
+        "triple-scan of the triangle frame), and the edge frame is "
+        "localCheckpointed once for its five consumers (degree attach x2, "
+        "wedge build, closure, vertex universe). The log2 bucket's ln "
+        "argument is an exact integer (agg_log2_histogram convention). "
+        "Oracle enumerates the same triangles id-ordered. Reference "
+        "parity: extension surface (SURVEY.md §2.C graph rows).",
+)
+def graph_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    o = orient_by_degree(e)
+    tri = oriented_wedges(o).join(
+        o.select(F.col("lo").alias("x"), F.col("hi").alias("y")), ["x", "y"]
+    )
+    part = (
+        tri.select(
+            F.explode(F.array(F.col("w"), F.col("x"), F.col("y"))).alias("p")
+        )
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    verts = (
+        e.select(F.col("p1").alias("p"))
+        .unionAll(e.select(F.col("p2").alias("p")))
+        .distinct()
+    )
+    full = verts.join(part, "p", "left").select(
+        "p", F.coalesce(F.col("t"), F.lit(0).cast("long")).alias("t")
+    )
+    bucket = F.when(F.col("t") == 0, F.lit(-1).cast("long")).otherwise(
+        F.floor(F.log(F.col("t").cast("double")) / F.log(F.lit(2.0))).cast(
+            "long"
+        )
+    )
+    return full.groupBy(bucket.alias("tri_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.min("t").cast("long").alias("min_triangles"),
+        F.max("t").cast("long").alias("max_triangles"),
+    )

@@ -2224,3 +2224,76 @@ def pipeline_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame
             F.coalesce("source", F.lit("")).alias("top_source"),
         )
     )
+
+
+@register(
+    "pipeline_padding_waste_curve",
+    oracle=f"""
+    WITH toks AS (
+        SELECT len({_TOKS}) AS n FROM documents
+    ),
+    grid AS (SELECT unnest([64, 128, 256]) AS max_len),
+    per AS (
+        SELECT g.max_len,
+               t.n,
+               least(t.n, g.max_len) AS kept,
+               g.max_len - least(t.n, g.max_len) AS pad,
+               greatest(t.n - g.max_len, 0) AS trunc
+        FROM toks t CROSS JOIN grid g
+    )
+    SELECT CAST(max_len AS BIGINT) AS max_len,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(SUM(kept) AS BIGINT) AS kept_tokens,
+           CAST(SUM(pad) AS BIGINT) AS pad_tokens,
+           CAST(SUM(trunc) AS BIGINT) AS truncated_tokens,
+           CAST(SUM(kept) AS DOUBLE) / (SUM(kept) + SUM(pad))
+               AS batch_utilization,
+           CAST(SUM(trunc) AS DOUBLE) / SUM(n) AS truncation_loss_share
+    FROM per GROUP BY max_len
+    """,
+    doc="Padding/truncation waste curve for pad-to-max_len batching: for "
+        "each candidate context length in {64,128,256}, the tokens kept, "
+        "padded, and truncated if every document is padded (or cut) to "
+        "max_len — the capacity-planning complement to "
+        "pipeline_sequence_packing's concat-then-chunk packing (pick the "
+        "context length, or decide packing is worth it, from the "
+        "batch_utilization column; at real corpus lengths the 3-point "
+        "grid reads straight onto the standard 2k/4k/8k decision). The "
+        "3-row grid explodes map-side per doc (fixed 3x fanout, no "
+        "shuffle), then one 3-group rollup with exact integer sums; the "
+        "two shares are single pinned divisions of exact longs. "
+        "Reference parity: extension surface (SURVEY.md §2.B curation "
+        "rows).",
+)
+def pipeline_padding_waste_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(tokens(F.col("text"))).cast("long")
+    per = d.select(n.alias("n")).select(
+        "n", F.explode(F.array(F.lit(64), F.lit(128), F.lit(256))).alias("max_len")
+    )
+    kept = F.least(F.col("n"), F.col("max_len"))
+    return (
+        per.select(
+            F.col("max_len").cast("long").alias("max_len"),
+            "n",
+            kept.alias("kept"),
+            (F.col("max_len") - kept).alias("pad"),
+            F.greatest(F.col("n") - F.col("max_len"), F.lit(0)).alias("trunc"),
+        )
+        .groupBy("max_len")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("total_tokens"),
+            F.sum("kept").cast("long").alias("kept_tokens"),
+            F.sum("pad").cast("long").alias("pad_tokens"),
+            F.sum("trunc").cast("long").alias("truncated_tokens"),
+            (
+                F.sum("kept").cast("double")
+                / (F.sum("kept") + F.sum("pad")).cast("double")
+            ).alias("batch_utilization"),
+            (F.sum("trunc").cast("double") / F.sum("n").cast("double")).alias(
+                "truncation_loss_share"
+            ),
+        )
+    )

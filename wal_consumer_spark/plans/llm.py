@@ -3298,3 +3298,85 @@ def sim_exact_duplicate_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("redundancy_share"),
     )
+
+
+@register(
+    "sim_embedding_norm_audit",
+    oracle="""
+    WITH q AS (
+        SELECT label,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(round(x * 1000000.0) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    nm AS (
+        SELECT label,
+               CAST(floor(sqrt(CAST(list_sum(
+                   list_transform(qv, x -> x * x)) AS DOUBLE))) AS BIGINT)
+                   AS norm_micro
+        FROM q
+    ),
+    st AS (
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(SUM(norm_micro) AS HUGEINT) AS s,
+               CAST(SUM(norm_micro * norm_micro) AS HUGEINT) AS s2,
+               CAST(MIN(norm_micro) AS BIGINT) AS min_norm_micro,
+               CAST(MAX(norm_micro) AS BIGINT) AS max_norm_micro
+        FROM nm GROUP BY label
+    )
+    SELECT CAST(label AS INT) AS label, n_vectors,
+           CAST(s // n_vectors AS BIGINT) AS mean_norm_micro,
+           CAST((n_vectors * s2 - s * s) // (n_vectors * n_vectors)
+                AS BIGINT) AS var_norm_micro,
+           min_norm_micro, max_norm_micro
+    FROM st
+    """,
+    doc="Embedding L2-norm audit per label: count, mean, variance, and "
+        "extremes of vector norms — the first sanity gate on an embedding "
+        "table before any cosine machinery (un-normalized or degenerate "
+        "vectors show up here as cross-label norm spread; a collapsed "
+        "encoder shows up as near-zero variance). Norms are computed on "
+        "the same 1e-6 fixed-point quantization as every sim_* op "
+        "(integer q*q sums; floor(sqrt) of an exact integer — sqrt is "
+        "IEEE-pinned so both engines agree bit-for-bit), and the "
+        "mean/variance stay INTEGRAL to the end (HUGEINT/DECIMAL floor "
+        "division — the ewm_var lesson: giant-decimal->double casts "
+        "differ in the last ulp across engines). One narrow label-keyed "
+        "shuffle of 4 longs per vector; output bounded by |labels|. "
+        "Reference parity: extension surface (SURVEY.md §2.C similarity "
+        "rows).",
+)
+def sim_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * F.lit(1000000.0)).cast("long"),
+    )
+    norm2 = F.aggregate(
+        qv, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    nm = emb.select(
+        "label",
+        F.floor(F.sqrt(norm2.cast("double"))).cast("long").alias("norm_micro"),
+    )
+    st = nm.groupBy(F.col("label").cast("int").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(F.col("norm_micro").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            (F.col("norm_micro") * F.col("norm_micro")).cast("decimal(38,0)")
+        ).alias("s2"),
+        F.min("norm_micro").cast("long").alias("min_norm_micro"),
+        F.max("norm_micro").cast("long").alias("max_norm_micro"),
+    )
+    return st.select(
+        "label",
+        "n_vectors",
+        F.expr("CAST(s DIV n_vectors AS BIGINT)").alias("mean_norm_micro"),
+        F.expr(
+            "CAST((n_vectors * s2 - s * s) DIV (n_vectors * n_vectors) "
+            "AS BIGINT)"
+        ).alias("var_norm_micro"),
+        "min_norm_micro",
+        "max_norm_micro",
+    )

@@ -134,6 +134,12 @@ NEXT_WINDOW: list[str] = [
 #: roll into the round-9 DRIVER_WINDOW together with NEXT_WINDOW above.
 FUTURE_WINDOW: list[str] = [
     "stream_stateful_sessionize",
+    "text_vocab_topk_coverage",
+    "pipeline_padding_waste_curve",
+    "sim_embedding_norm_audit",
+    "ml_psi_population_stability",
+    "ts_changepoint_argmax_split",
+    "graph_triangle_participation",
 ]
 
 def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQuery], SparkQuery]:

@@ -1717,3 +1717,89 @@ def text_hapax_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("c") == 1).cast("double") / F.count(F.lit(1)), 6
         ).alias("hapax_ratio"),
     )
+
+
+@register(
+    "text_vocab_topk_coverage",
+    oracle=f"""
+    WITH occ AS (
+        SELECT unnest({_TOKS}) AS tok FROM documents
+    ),
+    cnt AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM occ GROUP BY tok
+    ),
+    total AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt),
+    top AS (
+        SELECT tok, c,
+               row_number() OVER (ORDER BY c DESC, tok) AS rk
+        FROM cnt ORDER BY c DESC, tok LIMIT 16
+    ),
+    cum AS (
+        SELECT rk, tok, c,
+               SUM(c) OVER (ORDER BY rk
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS mass
+        FROM top
+    )
+    SELECT CAST(k.k AS BIGINT) AS k,
+           cum.tok AS boundary_token,
+           CAST(cum.mass AS BIGINT) AS topk_occurrences,
+           t.n AS total_occurrences,
+           CAST(cum.mass AS DOUBLE) / t.n AS coverage_share
+    FROM (SELECT unnest([1, 2, 4, 8, 16]) AS k) k
+    JOIN cum ON cum.rk = k.k
+    CROSS JOIN total t
+    """,
+    doc="Vocabulary coverage curve: the share of all token occurrences "
+        "captured by the top-k most frequent tokens, for k in "
+        "{1,2,4,8,16} — the token-budget planning readout behind "
+        "vocabulary-size decisions (how big must the vocab be before "
+        "OOV mass is negligible?), complementing text_zipf_fit (slope) "
+        "and text_vocab_growth_heaps (growth). The top-k pick is "
+        "orderBy().limit(16) — TakeOrderedAndProject, never a global "
+        "window over the corpus-growing token table; the cumulative sum "
+        "runs on the bounded 16-row frame. Ties at the rank boundary "
+        "break deterministically on the token string. One explode scan, "
+        "one token-keyed count (the same key cardinality every text op "
+        "shuffles on), then bounded work. Reference parity: extension "
+        "surface (SURVEY.md §2.B text rows).",
+)
+def text_vocab_topk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    total = cnt.agg(F.sum("c").cast("long").alias("n"))
+    top = cnt.orderBy(F.col("c").desc(), "tok").limit(16)
+    w = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
+    cum = top.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), "tok"))
+        .alias("rk"),
+        "tok",
+        "c",
+    ).withColumn("mass", F.sum("c").over(w))
+    ks = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(*[F.lit(k) for k in (1, 2, 4, 8, 16)])
+            ).alias("k0")
+        )
+        .select(F.col("k0").cast("long").alias("k"))
+    )
+    return (
+        ks.join(cum, ks.k == cum.rk)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            F.col("tok").alias("boundary_token"),
+            F.col("mass").cast("long").alias("topk_occurrences"),
+            F.col("n").alias("total_occurrences"),
+            (F.col("mass").cast("double") / F.col("n")).alias(
+                "coverage_share"
+            ),
+        )
+    )

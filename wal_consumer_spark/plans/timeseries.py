@@ -3598,3 +3598,106 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y_hi").alias("y_cents"),
     )
     return lo.unionByName(picked).unionByName(hi)
+
+
+@register(
+    "ts_changepoint_argmax_split",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS HUGEINT) AS rev
+        FROM orders GROUP BY 1
+    ),
+    cum AS (
+        SELECT d,
+               row_number() OVER (ORDER BY d) AS k,
+               CAST(SUM(rev) OVER (ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS cum_rev,
+               CAST(SUM(rev) OVER () AS DOUBLE) AS tot_rev,
+               COUNT(*) OVER () AS n
+        FROM daily
+    ),
+    scored AS (
+        SELECT d, k, n,
+               (CAST(k AS DOUBLE) * (n - k) / n)
+               * (cum_rev / k - (tot_rev - cum_rev) / (n - k))
+               * (cum_rev / k - (tot_rev - cum_rev) / (n - k)) AS score,
+               cum_rev / k AS mean_before,
+               (tot_rev - cum_rev) / (n - k) AS mean_after
+        FROM cum WHERE k < n
+    )
+    SELECT CAST(rnk AS BIGINT) AS rank,
+           CAST(d AS TIMESTAMP) AS split_date,
+           CAST(k AS BIGINT) AS n_days_before,
+           CAST(n - k AS BIGINT) AS n_days_after,
+           CAST(floor(mean_before) AS BIGINT) AS mean_before_cents,
+           CAST(floor(mean_after) AS BIGINT) AS mean_after_cents,
+           CAST(floor(score / 1000000.0) AS BIGINT) AS score_floor_m
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY score DESC, d) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3
+    """,
+    doc="Single-changepoint detection by exhaustive argmax of the "
+        "between-segment variance reduction (the first step of binary "
+        "segmentation / CUSUM's offline twin, complementing "
+        "ts_changepoint_cusum's sequential detector): over the daily "
+        "revenue series, score every split k by n_A*n_B/n * "
+        "(mean_A - mean_B)^2 and return the top-3 candidate dates. All "
+        "prefix sums live on the BOUNDED day grid (one narrow date "
+        "aggregate feeds every window — the two global windows sit on "
+        "value-domain children, never raw rows); sums are exact "
+        "DECIMAL/HUGEINT cast to double once, and every scoring op is "
+        "IEEE-pinned (+,-,*,/), so both engines agree bit-for-bit below "
+        "2^53 total cents. Outputs are floored integers; ties break on "
+        "the earlier date. Reference parity: extension surface "
+        "(SURVEY.md §2.C time-series rows).",
+)
+def ts_changepoint_argmax_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(cents.cast("decimal(38,0)")).alias("rev")
+    )
+    w_ord = Window.orderBy("d")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = daily.select(
+        "d",
+        F.row_number().over(w_ord).alias("k"),
+        F.sum("rev").over(w_cum).cast("double").alias("cum_rev"),
+        F.sum("rev").over(w_all).cast("double").alias("tot_rev"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    mean_before = F.col("cum_rev") / F.col("k")
+    mean_after = (F.col("tot_rev") - F.col("cum_rev")) / (F.col("n") - F.col("k"))
+    diff = mean_before - mean_after
+    score = (
+        F.col("k").cast("double") * (F.col("n") - F.col("k")) / F.col("n")
+    ) * diff * diff
+    scored = cum.where(F.col("k") < F.col("n")).select(
+        "d",
+        "k",
+        "n",
+        score.alias("score"),
+        mean_before.alias("mean_before"),
+        mean_after.alias("mean_after"),
+    )
+    ranked = scored.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.col("score").desc(), "d"))
+    ).where(F.col("rnk") <= 3)
+    return ranked.select(
+        F.col("rnk").cast("long").alias("rank"),
+        F.col("d").cast("timestamp").alias("split_date"),
+        F.col("k").cast("long").alias("n_days_before"),
+        (F.col("n") - F.col("k")).cast("long").alias("n_days_after"),
+        F.floor("mean_before").cast("long").alias("mean_before_cents"),
+        F.floor("mean_after").cast("long").alias("mean_after_cents"),
+        F.floor(F.col("score") / F.lit(1_000_000.0))
+        .cast("long")
+        .alias("score_floor_m"),
+    )
