@@ -237,10 +237,12 @@ def test_triangle_participation_matches_pure_python(spark):
     orders = defaultdict(set)
     for o, p in zip(li["l_orderkey"], li["l_partkey"]):
         orders[o].add(int(p))
-    edges = set()
+    pair_orders = defaultdict(int)
     for parts in orders.values():
         for a, b in itertools.combinations(sorted(parts), 2):
-            edges.add((a, b))
+            pair_orders[(a, b)] += 1
+    # support >= 2 gate: co-purchased in at least two distinct orders
+    edges = {pair for pair, n in pair_orders.items() if n >= 2}
     adj = defaultdict(set)
     for a, b in edges:
         adj[a].add(b)

@@ -8407,8 +8407,9 @@ def ml_psi_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
     ),
     e AS (
-        SELECT DISTINCT a.p AS p1, b.p AS p2
+        SELECT a.p AS p1, b.p AS p2
         FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p HAVING COUNT(*) >= 2
     ),
     tri AS (
         SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
@@ -8436,12 +8437,12 @@ def ml_psi_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(t) AS BIGINT) AS max_triangles
     FROM full_ GROUP BY 1
     """,
-    doc="Per-node triangle participation distribution over the co-purchase "
+    doc="Per-node triangle participation distribution over the support-2 co-purchase "
         "graph: how many triangles each part belongs to, rolled into "
         "log2-width buckets (bucket -1 = triangle-free nodes) — the local "
         "clustering readout that separates 'a few dense communities' from "
         "'uniformly clustered' where graph_triangle_count's global tally "
-        "and graph_global_transitivity's single ratio cannot. Triangles "
+        "and graph_global_transitivity's single ratio cannot. The support>=2 noise gate (shared with the ktruss/transitivity family, materialized once) keeps the projection sparse before any quadratic wedge work. Triangles "
         "enumerate once each via DEGREE-ORDERED wedges closed by the "
         "oriented edge (sum(outdeg^2) work, power-law-safe); every "
         "triangle credits its three corners through ONE explode (no "
@@ -8453,8 +8454,11 @@ def ml_psi_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "parity: extension surface (SURVEY.md §2.C graph rows).",
 )
 def graph_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
-    o = orient_by_degree(e)
+    e = _support2_copurchase_edges(spark, sf_dir)
+    # the ORIENTED frame is consumed three times (both wedge sides + the
+    # closure edge list) and derives the vertex universe — checkpoint it
+    # too, or the two degree-attach joins re-run per consumer
+    o = orient_by_degree(e).localCheckpoint(eager=True)
     tri = oriented_wedges(o).join(
         o.select(F.col("lo").alias("x"), F.col("hi").alias("y")), ["x", "y"]
     )
@@ -8466,8 +8470,8 @@ def graph_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("t"))
     )
     verts = (
-        e.select(F.col("p1").alias("p"))
-        .unionAll(e.select(F.col("p2").alias("p")))
+        o.select(F.col("lo").alias("p"))
+        .unionAll(o.select(F.col("hi").alias("p")))
         .distinct()
     )
     full = verts.join(part, "p", "left").select(
