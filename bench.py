@@ -718,6 +718,22 @@ def main() -> None:
                 "construct_sec": 5.366,
                 "calibration_cpu_sec": 0.234,
             },
+            # Round-8 second wave (same-session rule, n=3 fresh JVMs).
+            # The dup matrix's cost is the shared df-capped shingle
+            # self-join (the dedup_ngram_jaccard machinery); McNemar's is
+            # the 640-row centroid join + (vec,label) distance aggregate.
+            "pipeline_cross_source_dup_matrix": {
+                "fresh_jvm_median_sec": 2.312,
+                "fresh_jvm_samples": [2.819, 2.199, 2.312],
+                "construct_sec": 0.379,
+                "calibration_cpu_sec": 0.207,
+            },
+            "ml_mcnemar_dim_ablation": {
+                "fresh_jvm_median_sec": 1.106,
+                "fresh_jvm_samples": [1.322, 1.106, 1.017],
+                "construct_sec": 0.35,
+                "calibration_cpu_sec": 0.323,
+            },
         },
     }
     detail_path = os.path.join(here_dir, f"BENCH_DETAIL_r{rnd:02d}.json")

@@ -270,3 +270,88 @@ def test_triangle_participation_matches_pure_python(spark):
         assert (r.n_parts, r.min_triangles, r.max_triangles) == (
             len(ts), min(ts), max(ts),
         )
+
+
+def test_cross_source_dup_matrix_matches_pure_python(spark):
+    import itertools
+    from collections import defaultdict
+
+    docs = pd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    shingles, source = {}, {}
+    for did, text, src in zip(docs["doc_id"], docs["text"], docs["source"]):
+        toks = _tokens(text)
+        n = max(len(toks) - 3, 0) + 1  # matches greatest(len-3,0) span
+        shingles[did] = {" ".join(toks[i : i + 3]) for i in range(n)}
+        source[did] = src
+    pairs = defaultdict(list)
+    for d1, d2 in itertools.combinations(sorted(shingles), 2):
+        inter = len(shingles[d1] & shingles[d2])
+        if inter == 0:
+            continue
+        j = inter / len(shingles[d1] | shingles[d2])
+        if j >= 0.5:
+            a, b = sorted((source[d1], source[d2]))
+            pairs[(a, b)].append(int(j * 1e6))  # floor of exact ratio
+    total = sum(len(v) for v in pairs.values())
+
+    got = {
+        (r.source_a, r.source_b): r
+        for r in all_specs()["pipeline_cross_source_dup_matrix"]
+        .spark(spark, SF)
+        .collect()
+    }
+    assert set(got) == set(pairs) and total > 0
+    for key, js in pairs.items():
+        r = got[key]
+        assert r.n_pairs == len(js)
+        assert (r.min_jaccard_micro, r.max_jaccard_micro) == (min(js), max(js))
+        assert r.share_of_pairs == pytest.approx(len(js) / total)
+
+
+def test_mcnemar_dim_ablation_matches_pure_python(spark):
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    vecs = {
+        int(v): [round(float(x) * 1e6) + 2_000_000 for x in e]
+        for v, e in zip(emb["vec_id"], emb["embedding"])
+    }
+    labels = {int(v): int(l) for v, l in zip(emb["vec_id"], emb["label"])}
+    from collections import defaultdict
+
+    sums = defaultdict(lambda: [0] * 64)
+    counts = defaultdict(int)
+    for v, q in vecs.items():
+        lab = labels[v]
+        counts[lab] += 1
+        for d in range(64):
+            sums[lab][d] += q[d]
+    cent = {
+        lab: [s // counts[lab] for s in sums[lab]] for lab in sums
+    }
+
+    def classify(q, dims):
+        best = None
+        for lab in sorted(cent):
+            dist = sum((q[d] - cent[lab][d]) ** 2 for d in dims)
+            if best is None or (dist, lab) < best:
+                best = (dist, lab)
+        return best[1]
+
+    b = c = ok_f = ok_h = 0
+    for v, q in vecs.items():
+        pf = classify(q, range(64))
+        ph = classify(q, range(32))
+        f_ok, h_ok = pf == labels[v], ph == labels[v]
+        ok_f += f_ok
+        ok_h += h_ok
+        b += f_ok and not h_ok
+        c += h_ok and not f_ok
+    n = len(vecs)
+
+    r = all_specs()["ml_mcnemar_dim_ablation"].spark(spark, SF).collect()[0]
+    assert r.n_vectors == n
+    assert r.acc_full_ppm == ok_f * 1_000_000 // n
+    assert r.acc_half_ppm == ok_h * 1_000_000 // n
+    assert (r.n_full_only, r.n_half_only) == (b, c)
+    assert r.mcnemar_chi2_cc_micro == (abs(b - c) - 1) ** 2 * 1_000_000 // (b + c)

@@ -3380,3 +3380,267 @@ def sim_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_norm_micro",
         "max_norm_micro",
     )
+
+
+@register(
+    "pipeline_cross_source_dup_matrix",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    p AS (
+        SELECT doc1, doc2,
+               CAST(floor(n_common / (s1.n + s2.n - n_common) * 1000000.0)
+                    AS BIGINT) AS j_micro
+        FROM inter
+        JOIN sizes s1 ON s1.doc_id = doc1
+        JOIN sizes s2 ON s2.doc_id = doc2
+        WHERE n_common / (s1.n + s2.n - n_common) >= 0.5
+    ),
+    m AS (
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               j_micro
+        FROM p
+        JOIN documents da ON da.doc_id = p.doc1
+        JOIN documents db ON db.doc_id = p.doc2
+    ),
+    g AS (
+        SELECT source_a, source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(MIN(j_micro) AS BIGINT) AS min_jaccard_micro,
+               CAST(MAX(j_micro) AS BIGINT) AS max_jaccard_micro
+        FROM m GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_pairs, min_jaccard_micro,
+           max_jaccard_micro,
+           CAST(n_pairs AS DOUBLE) / SUM(n_pairs) OVER () AS share_of_pairs
+    FROM g
+    """,
+    doc="Cross-source duplication matrix: near-duplicate pairs (exact "
+        "3-shingle Jaccard >= 0.5, the same df-capped pair machinery as "
+        "dedup_ngram_jaccard) rolled up by unordered source pair — the "
+        "curation readout that tells you WHICH sources mirror which "
+        "(licensing syndication, scraped re-posts, cross-domain "
+        "boilerplate) before deciding per-source dedup priorities; the "
+        "diagonal rows are within-source redundancy. Candidate "
+        "generation is the shared shingle equi-join (df-capped, never "
+        "all-pairs); the source attach is two narrow id joins on the "
+        "already-tiny pair table; output is bounded by |sources|^2 and "
+        "the share division is IEEE-pinned over exact counts, with "
+        "Jaccard micro-quantized by floor. Reference parity: extension "
+        "surface (SURVEY.md §2.C curation rows).",
+)
+def pipeline_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wal_consumer_spark.operators.dedup import shingle_pairs_jaccard
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = shingle_pairs_jaccard(docs, "doc_id", "text").filter(
+        F.col("jaccard") >= 0.5
+    )
+    src = docs.select("doc_id", "source")
+    m = (
+        pairs.join(
+            src.withColumnsRenamed({"doc_id": "doc1", "source": "s1"}), "doc1"
+        )
+        .join(
+            src.withColumnsRenamed({"doc_id": "doc2", "source": "s2"}), "doc2"
+        )
+        .select(
+            F.least("s1", "s2").alias("source_a"),
+            F.greatest("s1", "s2").alias("source_b"),
+            F.floor(F.col("jaccard") * F.lit(1_000_000.0))
+            .cast("long")
+            .alias("j_micro"),
+        )
+    )
+    g = m.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.min("j_micro").cast("long").alias("min_jaccard_micro"),
+        F.max("j_micro").cast("long").alias("max_jaccard_micro"),
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return g.select(
+        "source_a",
+        "source_b",
+        "n_pairs",
+        "min_jaccard_micro",
+        "max_jaccard_micro",
+        (F.col("n_pairs").cast("double") / F.sum("n_pairs").over(wt)).alias(
+            "share_of_pairs"
+        ),
+    )
+
+
+@register(
+    "ml_mcnemar_dim_ablation",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(round(x * 1000000.0) AS BIGINT) + 2000000)
+                   AS qv
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT vec_id, label, generate_subscripts(qv, 1) - 1 AS dim,
+               unnest(qv) AS v
+        FROM q
+    ),
+    cent AS (
+        SELECT label AS clabel, dim,
+               CAST(CAST(SUM(v) AS HUGEINT) // COUNT(*) AS BIGINT) AS c
+        FROM dims GROUP BY label, dim
+    ),
+    dist AS (
+        SELECT d.vec_id, d.label, ct.clabel,
+               SUM((d.v - ct.c) * (d.v - ct.c)) AS dist_full,
+               SUM(CASE WHEN d.dim < 32
+                        THEN (d.v - ct.c) * (d.v - ct.c) ELSE 0 END)
+                   AS dist_half
+        FROM dims d JOIN cent ct ON ct.dim = d.dim
+        GROUP BY d.vec_id, d.label, ct.clabel
+    ),
+    pred AS (
+        -- composite scalar argmin key: labels are < 16, so
+        -- dist*16 + clabel orders exactly like (dist, clabel)
+        SELECT vec_id, label,
+               arg_min(clabel, CAST(dist_full AS BIGINT) * 16 + clabel)
+                   AS pred_full,
+               arg_min(clabel, CAST(dist_half AS BIGINT) * 16 + clabel)
+                   AS pred_half
+        FROM dist GROUP BY vec_id, label
+    ),
+    flags AS (
+        SELECT CAST(pred_full = label AS INT) AS ok_full,
+               CAST(pred_half = label AS INT) AS ok_half
+        FROM pred
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(CAST(SUM(ok_full) AS HUGEINT) * 1000000 // COUNT(*)
+                AS BIGINT) AS acc_full_ppm,
+           CAST(CAST(SUM(ok_half) AS HUGEINT) * 1000000 // COUNT(*)
+                AS BIGINT) AS acc_half_ppm,
+           CAST(count_if(ok_full = 1 AND ok_half = 0) AS BIGINT)
+               AS n_full_only,
+           CAST(count_if(ok_full = 0 AND ok_half = 1) AS BIGINT)
+               AS n_half_only,
+           CASE WHEN count_if(ok_full <> ok_half) > 0 THEN
+               CAST(CAST((abs(count_if(ok_full = 1 AND ok_half = 0)
+                              - count_if(ok_full = 0 AND ok_half = 1)) - 1)
+                         * (abs(count_if(ok_full = 1 AND ok_half = 0)
+                                - count_if(ok_full = 0 AND ok_half = 1)) - 1)
+                         AS HUGEINT) * 1000000
+                    // count_if(ok_full <> ok_half) AS BIGINT)
+           END AS mcnemar_chi2_cc_micro
+    FROM flags
+    """,
+    doc="McNemar paired significance test for the Matryoshka dimension "
+        "ablation: classify every vector by nearest integer centroid "
+        "twice — full 64 dims vs the first 32 — and test whether the "
+        "accuracy difference is real via the discordant-pair chi-square "
+        "(continuity-corrected, (|b-c|-1)^2/(b+c); compare to 3.84 for "
+        "p<0.05). The paired design is the point: 500 shared vectors "
+        "give far more power than comparing two independent accuracy "
+        "numbers, and b/c are exactly the vectors where truncating the "
+        "embedding CHANGES the decision. Everything is integral: vectors "
+        "are 1e-6 fixed-point with a +2e6 offset so centroid floor "
+        "division agrees across engines on negative coordinates "
+        "(translation leaves distances unchanged), distances are exact "
+        "integer sums, argmin ties break on label, and accuracies/chi2 "
+        "are ppm/micro floor divisions. Plan: one posexplode, one "
+        "bounded (label,dim) centroid aggregate joined back on dim (640 "
+        "rows, broadcastable), one (vec,label) distance aggregate, two "
+        "partitioned argmin windows, a 1-row rollup. At corpus scale "
+        "the only wide shuffle is the (vec_id,label) distance aggregate "
+        "— linear in vectors x labels. Reference parity: extension "
+        "surface (SURVEY.md §2.C ML rows).",
+)
+def ml_mcnemar_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * F.lit(1_000_000.0)).cast("long")
+        + F.lit(2_000_000).cast("long"),
+    )
+    dims = emb.select(
+        "vec_id", "label", F.posexplode(qv).alias("dim", "v")
+    )
+    cent = dims.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        F.expr("CAST(SUM(v) DIV COUNT(*) AS BIGINT)").alias("c")
+    )
+    from wal_consumer_spark.operators.broadcast import maybe_broadcast
+
+    d2 = (F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))
+    dist = (
+        dims.join(maybe_broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum(d2).alias("dist_full"),
+            F.sum(F.when(F.col("dim") < 32, d2).otherwise(F.lit(0))).alias(
+                "dist_half"
+            ),
+        )
+    )
+    w_full = Window.partitionBy("vec_id").orderBy("dist_full", "clabel")
+    w_half = Window.partitionBy("vec_id").orderBy("dist_half", "clabel")
+    pred = (
+        dist.withColumn("rf", F.row_number().over(w_full))
+        .withColumn("rh", F.row_number().over(w_half))
+        .groupBy("vec_id", "label")
+        .agg(
+            F.max(F.when(F.col("rf") == 1, F.col("clabel"))).alias(
+                "pred_full"
+            ),
+            F.max(F.when(F.col("rh") == 1, F.col("clabel"))).alias(
+                "pred_half"
+            ),
+        )
+    )
+    flags = pred.select(
+        (F.col("pred_full") == F.col("label")).cast("int").alias("ok_full"),
+        (F.col("pred_half") == F.col("label")).cast("int").alias("ok_half"),
+    )
+    b = F.count_if((F.col("ok_full") == 1) & (F.col("ok_half") == 0))
+    c = F.count_if((F.col("ok_full") == 0) & (F.col("ok_half") == 1))
+    disc = F.count_if(F.col("ok_full") != F.col("ok_half"))
+    return flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.expr(
+            "CAST(CAST(SUM(ok_full) AS DECIMAL(38,0)) * 1000000 "
+            "DIV COUNT(*) AS BIGINT)"
+        ).alias("acc_full_ppm"),
+        F.expr(
+            "CAST(CAST(SUM(ok_half) AS DECIMAL(38,0)) * 1000000 "
+            "DIV COUNT(*) AS BIGINT)"
+        ).alias("acc_half_ppm"),
+        b.cast("long").alias("n_full_only"),
+        c.cast("long").alias("n_half_only"),
+        F.when(
+            disc > 0,
+            (
+                (F.abs(b - c) - 1) * (F.abs(b - c) - 1)
+            ).cast("decimal(38,0)")
+            * F.lit(1_000_000),
+        )
+        .cast("decimal(38,0)")
+        .alias("_chi2_num"),
+        disc.cast("long").alias("_disc"),
+    ).select(
+        "n_vectors",
+        "acc_full_ppm",
+        "acc_half_ppm",
+        "n_full_only",
+        "n_half_only",
+        F.expr(
+            "CAST(_chi2_num DIV _disc AS BIGINT)"
+        ).alias("mcnemar_chi2_cc_micro"),
+    )

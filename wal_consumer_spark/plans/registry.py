@@ -140,6 +140,8 @@ FUTURE_WINDOW: list[str] = [
     "ml_psi_population_stability",
     "ts_changepoint_argmax_split",
     "graph_triangle_participation",
+    "pipeline_cross_source_dup_matrix",
+    "ml_mcnemar_dim_ablation",
 ]
 
 def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQuery], SparkQuery]:
