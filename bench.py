@@ -734,6 +734,16 @@ def main() -> None:
                 "construct_sec": 0.35,
                 "calibration_cpu_sec": 0.323,
             },
+            # Like stream_stateful_sessionize: not a HEADLINE entry (a
+            # real availableNow streaming job), recorded for reference —
+            # virtually all cost is replay-source construction + query
+            # startup (6.24 s of 6.27 s).
+            "stream_high_water_alerts": {
+                "fresh_jvm_median_sec": 6.274,
+                "fresh_jvm_samples": [8.913, 6.274, 5.586],
+                "construct_sec": 6.238,
+                "calibration_cpu_sec": 0.255,
+            },
         },
     }
     detail_path = os.path.join(here_dir, f"BENCH_DETAIL_r{rnd:02d}.json")

@@ -355,3 +355,55 @@ def test_mcnemar_dim_ablation_matches_pure_python(spark):
     assert r.acc_half_ppm == ok_h * 1_000_000 // n
     assert (r.n_full_only, r.n_half_only) == (b, c)
     assert r.mcnemar_chi2_cc_micro == (abs(b - c) - 1) ** 2 * 1_000_000 // (b + c)
+
+
+def test_high_water_alerts_match_pure_python(spark):
+    """The scalar-state streaming alerter must agree with a from-scratch
+    Python replay: an event alerts iff it strictly exceeds every value at
+    a strictly earlier timestamp for its user (firsts included)."""
+    events = pd.read_parquet(
+        f"{SF}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    expected = []
+    for uid, grp in events.groupby("user_id"):
+        rows = sorted(
+            (int(t.value) // 1000, round(float(v) * 1e6))
+            for t, v in zip(grp["ts"], grp["value"])
+        )
+        prev_max = None
+        i = 0
+        while i < len(rows):
+            ts = rows[i][0]
+            group = [v for t, v in rows if t == ts]
+            for v in group:
+                if prev_max is None or v > prev_max:
+                    expected.append((int(uid), ts, v, prev_max))
+            gm = max(group)
+            prev_max = gm if prev_max is None else max(prev_max, gm)
+            i += len(group)
+
+    got = sorted(
+        (r.user_id, r.ts_us, r.value_micro, r.prev_max_micro)
+        for r in all_specs()["stream_high_water_alerts"].spark(spark, SF).collect()
+    )
+    assert len(got) > 0
+    assert got == sorted(expected)
+
+
+def test_high_water_alerts_cross_batch_state(spark):
+    """Cross-batch evidence: at least one user must have alerts in two
+    different replay quartiles — the second one only correct if the
+    first quartile's maximum was carried in GroupState."""
+    events = pd.read_parquet(f"{SF}/events.parquet", columns=["ts"])
+    us = events["ts"].astype("int64") // 1000
+    lo, hi = int(us.min()), int(us.max())
+    step = (hi - lo) // 4 + 1
+
+    got = all_specs()["stream_high_water_alerts"].spark(spark, SF).collect()
+    by_user: dict[int, set[int]] = {}
+    for r in got:
+        by_user.setdefault(r.user_id, set()).add((r.ts_us - lo) // step)
+    assert any(len(qs) > 1 for qs in by_user.values()), (
+        "no user alerts across two replay batches — cross-batch state "
+        "carry would be untested"
+    )

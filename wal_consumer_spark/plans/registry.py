@@ -142,6 +142,7 @@ FUTURE_WINDOW: list[str] = [
     "graph_triangle_participation",
     "pipeline_cross_source_dup_matrix",
     "ml_mcnemar_dim_ablation",
+    "stream_high_water_alerts",
 ]
 
 def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQuery], SparkQuery]:

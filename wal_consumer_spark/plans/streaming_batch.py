@@ -261,25 +261,59 @@ def _make_sessionize_fn(gap_us: int):
         "state (SURVEY.md §2.B streaming rows).",
 )
 def stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    return _run_stateful_replay(
+        spark,
+        e,
+        read_schema="user_id long, ts_us long",
+        state_fn=_make_sessionize_fn(_SESSION_GAP_US),
+        out_schema=(
+            "user_id long, session_start_us long, "
+            "session_end_us long, n_events long"
+        ),
+        state_schema="start long, last long, n long",
+        prefix="sessionize",
+    )
+
+
+def _run_stateful_replay(
+    spark: SparkSession,
+    e: DataFrame,
+    *,
+    read_schema: str,
+    state_fn,
+    out_schema: str,
+    state_schema: str,
+    prefix: str,
+    key: str = "user_id",
+    n_files: int = 4,
+) -> DataFrame:
+    """Drive a REAL applyInPandasWithState streaming query over an
+    event-time-ordered file replay of `e` (must carry a `ts_us` long
+    column plus the grouping key) and return the collected append output
+    as a batch frame.
+
+    The frame is written as `n_files` half-open ts-range files named
+    00.parquet..0N.parquet in increasing-mtime order; the file stream
+    source (maxFilesPerTrigger=1 + availableNow) processes them
+    oldest-first, so arrival order == event-time order and any
+    prefix-deterministic stateful computation is batch-split-invariant
+    (equal-ts rows always co-arrive: the ranges cut between distinct ts
+    values). The memory sink is only the certification harness."""
     import os
     import shutil
     import tempfile
     import uuid
 
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id", F.unix_micros("ts").alias("ts_us")
-    )
     lo, hi = e.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
-    tmp = tempfile.mkdtemp(prefix="sessionize_stream_")
+    tmp = tempfile.mkdtemp(prefix=f"{prefix}_stream_")
     try:
         src = os.path.join(tmp, "src")
         os.makedirs(src)
-        # four half-open ts ranges written as 00.parquet..03.parquet in
-        # increasing-mtime order: the file stream source processes them
-        # oldest-first, so arrival order == event-time order and the
-        # sessionization is deterministic
-        step = (hi - lo) // 4 + 1
-        for i in range(4):
+        step = (hi - lo) // n_files + 1
+        for i in range(n_files):
             part = os.path.join(tmp, f"part{i}")
             e.filter(
                 (F.col("ts_us") >= lo + i * step)
@@ -291,19 +325,14 @@ def stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.move(
                 os.path.join(part, pf), os.path.join(src, f"{i:02d}.parquet")
             )
-        name = f"sessionize_{uuid.uuid4().hex[:12]}"
+        name = f"{prefix}_{uuid.uuid4().hex[:12]}"
         q = (
-            spark.readStream.schema("user_id long, ts_us long")
+            spark.readStream.schema(read_schema)
             .option("maxFilesPerTrigger", "1")
             .parquet(src)
-            .groupBy("user_id")
+            .groupBy(key)
             .applyInPandasWithState(
-                _make_sessionize_fn(_SESSION_GAP_US),
-                "user_id long, session_start_us long, "
-                "session_end_us long, n_events long",
-                "start long, last long, n long",
-                "append",
-                "NoTimeout",
+                state_fn, out_schema, state_schema, "append", "NoTimeout"
             )
             .writeStream.format("memory")
             .queryName(name)
@@ -315,6 +344,118 @@ def stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(name)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _make_high_water_fn():
+    """Per-user running-maximum alerter for applyInPandasWithState: the
+    state is one scalar (the high-water mark over all STRICTLY-earlier
+    timestamps); a row is emitted the moment it exceeds it (or is the
+    user's first event). Equal-ts rows all compare against the same
+    prior maximum, so the output is independent of intra-batch row
+    order — together with the ts-ordered replay this makes the emitted
+    set batch-split-invariant. Closure, not module-level: cloudpickle
+    must ship it by value (workers lack the repo on sys.path)."""
+
+    def high_water(key, pdf_iter, state):
+        import pandas as pd
+
+        rows: list[tuple[int, int]] = []
+        for pdf in pdf_iter:
+            rows.extend(
+                (int(t), int(v)) for t, v in zip(pdf["ts_us"], pdf["v_micro"])
+            )
+        rows.sort()
+        cur_max = state.get[0] if state.exists else None
+        out_ts: list[int] = []
+        out_v: list[int] = []
+        out_prev: list[int | None] = []
+        i = 0
+        while i < len(rows):
+            ts = rows[i][0]
+            group_max = None
+            j = i
+            while j < len(rows) and rows[j][0] == ts:
+                v = rows[j][1]
+                if cur_max is None or v > cur_max:
+                    out_ts.append(ts)
+                    out_v.append(v)
+                    out_prev.append(cur_max)
+                group_max = v if group_max is None else max(group_max, v)
+                j += 1
+            cur_max = group_max if cur_max is None else max(cur_max, group_max)
+            i = j
+        if cur_max is not None:
+            state.update((cur_max,))
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([key[0]] * len(out_ts), dtype="int64"),
+                "ts_us": pd.Series(out_ts, dtype="int64"),
+                "value_micro": pd.Series(out_v, dtype="int64"),
+                "prev_max_micro": pd.array(out_prev, dtype="Int64"),
+            }
+        )
+
+    return high_water
+
+
+@register(
+    "stream_high_water_alerts",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               CAST(round(value * 1000000.0) AS BIGINT) AS v
+        FROM events
+    ),
+    w AS (
+        SELECT user_id, ts_us, v,
+               MAX(v) OVER (PARTITION BY user_id ORDER BY ts_us
+                            RANGE BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS prev_max
+        FROM e
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, ts_us,
+           v AS value_micro, prev_max AS prev_max_micro
+    FROM w WHERE prev_max IS NULL OR v > prev_max
+    """,
+    doc="SECOND custom stateful streaming operator under the batch "
+        "correctness contract, with a deliberately different state shape "
+        "from sessionization: a real applyInPandasWithState query whose "
+        "GroupState is ONE scalar per user (the running event-time "
+        "high-water value) and whose append output is the alert stream — "
+        "every event that strictly exceeds all earlier values (firsts "
+        "included). Alerts are prefix-deterministic: whether an event "
+        "alerts depends only on STRICTLY-earlier timestamps, and the "
+        "ts-ordered 4-file replay guarantees equal-ts rows co-arrive, so "
+        "the emitted set is invariant to micro-batching and a DuckDB "
+        "range-frame window (MAX over RANGE .. 1 PRECEDING) replays it "
+        "exactly. This is the monitoring-alert pattern (new-maximum / "
+        "threshold-crossing detection) that pairs with the lateness "
+        "audit; at 100 TB the state store holds 16 bytes per user and "
+        "the shuffle is the same user_id partitioning every stateful op "
+        "here uses. Values are 1e-6 fixed-point longs. Reference parity: "
+        "R5 callback dispatch generalized to keyed event-time state "
+        "(SURVEY.md §2.B streaming rows).",
+)
+def stream_high_water_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * F.lit(1_000_000.0)).cast("long").alias(
+            "v_micro"
+        ),
+    )
+    return _run_stateful_replay(
+        spark,
+        e,
+        read_schema="user_id long, ts_us long, v_micro long",
+        state_fn=_make_high_water_fn(),
+        out_schema=(
+            "user_id long, ts_us long, value_micro long, "
+            "prev_max_micro long"
+        ),
+        state_schema="max_v long",
+        prefix="highwater",
+    )
 
 
 @register(
