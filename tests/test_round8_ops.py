@@ -407,3 +407,66 @@ def test_high_water_alerts_cross_batch_state(spark):
         "no user alerts across two replay batches — cross-batch state "
         "carry would be untested"
     )
+
+
+def test_tokenizer_fertility_matches_pure_python(spark):
+    import re
+
+    docs = pd.read_parquet(
+        f"{SF}/documents.parquet", columns=["text", "lang", "n_chars"]
+    )
+    bpe_re = re.compile(
+        r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+|\s+"
+    )
+    agg: dict[str, list[int]] = {}
+    for text, lang, nc in zip(docs["text"], docs["lang"], docs["n_chars"]):
+        ws = len(_tokens(text))
+        bpe = len(bpe_re.findall(text.lower()))
+        cur = agg.setdefault(lang, [0, 0, 0, 0])
+        cur[0] += 1
+        cur[1] += ws
+        cur[2] += bpe
+        cur[3] += int(nc)
+
+    got = {
+        r.lang: r
+        for r in all_specs()["pipeline_tokenizer_fertility_by_lang"]
+        .spark(spark, SF)
+        .collect()
+    }
+    assert set(got) == set(agg)
+    for lang, (n, ws, bpe, chars) in agg.items():
+        r = got[lang]
+        assert (r.n_docs, r.ws_tokens, r.bpe_tokens, r.total_chars) == (
+            n, ws, bpe, chars,
+        )
+        assert r.fertility_ppm == bpe * 1_000_000 // ws
+        assert r.chars_per_bpe_ppm == chars * 1_000_000 // bpe
+
+
+def test_regime_run_lengths_match_pure_python(spark):
+    from collections import Counter
+
+    orders = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    daily: dict = {}
+    for d, p in zip(orders["o_orderdate"].dt.date, orders["o_totalprice"]):
+        daily[d] = daily.get(d, 0) + round(float(p) * 100)
+    days = sorted(daily)
+    ranked = sorted((daily[d], d) for d in days)
+    median = ranked[(len(ranked) + 1) // 2 - 1][0]  # lower median, rn 1-based
+    flags = [1 if daily[d] >= median else 0 for d in days]
+    runs: list[tuple[int, int]] = []
+    for f in flags:
+        if runs and runs[-1][0] == f:
+            runs[-1] = (f, runs[-1][1] + 1)
+        else:
+            runs.append((f, 1))
+    hist = Counter((f, ln) for f, ln in runs)
+
+    got = {
+        (r.regime_hi, r.run_length): r.n_runs
+        for r in all_specs()["win_regime_run_lengths"].spark(spark, SF).collect()
+    }
+    assert got == dict(hist)

@@ -143,6 +143,8 @@ FUTURE_WINDOW: list[str] = [
     "pipeline_cross_source_dup_matrix",
     "ml_mcnemar_dim_ablation",
     "stream_high_water_alerts",
+    "pipeline_tokenizer_fertility_by_lang",
+    "win_regime_run_lengths",
 ]
 
 def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQuery], SparkQuery]:

@@ -1803,3 +1803,62 @@ def text_vocab_topk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "pipeline_tokenizer_fertility_by_lang",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(lower(text), '{_BPE_RE_SQL}')))
+                AS BIGINT) AS bpe_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(CAST(SUM(len(regexp_extract_all(lower(text),
+                                                '{_BPE_RE_SQL}')))
+                     AS HUGEINT) * 1000000
+                // SUM(len({_TOKS})) AS BIGINT) AS fertility_ppm,
+           CAST(CAST(SUM(n_chars) AS HUGEINT) * 1000000
+                // SUM(len(regexp_extract_all(lower(text), '{_BPE_RE_SQL}')))
+                AS BIGINT) AS chars_per_bpe_ppm
+    FROM documents GROUP BY lang
+    """,
+    doc="Tokenizer fertility by language: BPE-style tokens per whitespace "
+        "word and characters per BPE token, aggregated per lang — THE "
+        "multilingual token-budget planning table (fertility differences "
+        "are why the same char budget buys different context in en vs zh, "
+        "and why mixture weights set in documents misprice languages in "
+        "tokens; Scao et al.'s BLOOM report popularized the metric). "
+        "Reuses text_bpe_regex_tokens' engine-identical Java/RE2-subset "
+        "pre-tokenizer; counting is map-side, the only shuffle is the "
+        "|langs|-row rollup, and both ratios are ppm floor divisions of "
+        "exact integer sums (HUGEINT/DECIMAL — no doubles anywhere). "
+        "Reference parity: extension surface (SURVEY.md §2.C curation "
+        "rows).",
+)
+def pipeline_tokenizer_fertility_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bpe = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE), F.lit(0))
+    ).cast("long")
+    ws = F.size(tokens(F.col("text"))).cast("long")
+    return (
+        d.select("lang", bpe.alias("bpe"), ws.alias("ws"), "n_chars")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ws").cast("long").alias("ws_tokens"),
+            F.sum("bpe").cast("long").alias("bpe_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.expr(
+                "CAST(CAST(SUM(bpe) AS DECIMAL(38,0)) * 1000000 "
+                "DIV SUM(ws) AS BIGINT)"
+            ).alias("fertility_ppm"),
+            F.expr(
+                "CAST(CAST(SUM(n_chars) AS DECIMAL(38,0)) * 1000000 "
+                "DIV SUM(bpe) AS BIGINT)"
+            ).alias("chars_per_bpe_ppm"),
+        )
+    )

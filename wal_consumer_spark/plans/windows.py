@@ -931,3 +931,103 @@ def win_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("d").cast("timestamp").alias("day"), "best_cents")
     )
+
+
+@register(
+    "win_regime_run_lengths",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM orders GROUP BY 1
+    ),
+    med AS (
+        SELECT rev AS median_rev FROM (
+            SELECT rev, row_number() OVER (ORDER BY rev, d) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM daily
+        ) WHERE rn = (n + 1) // 2
+    ),
+    flagged AS (
+        SELECT d, rev,
+               CAST(rev >= (SELECT median_rev FROM med) AS INT) AS hi
+        FROM daily
+    ),
+    runs AS (
+        SELECT d, hi,
+               SUM(chg) OVER (ORDER BY d
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS run_id
+        FROM (
+            SELECT d, hi,
+                   CASE WHEN lag(hi) OVER (ORDER BY d) IS NULL
+                          OR lag(hi) OVER (ORDER BY d) <> hi
+                        THEN 1 ELSE 0 END AS chg
+            FROM flagged
+        )
+    ),
+    lens AS (
+        SELECT run_id, MIN(hi) AS hi, CAST(COUNT(*) AS BIGINT) AS run_length
+        FROM runs GROUP BY run_id
+    )
+    SELECT CAST(hi AS INT) AS regime_hi, run_length,
+           CAST(COUNT(*) AS BIGINT) AS n_runs
+    FROM lens GROUP BY 1, 2
+    """,
+    doc="Run-length distribution of above/below-median revenue regimes: "
+        "flag each day of the bounded daily-revenue grid against the "
+        "rank-picked lower median (deterministic day tie-break), collapse "
+        "consecutive equal flags into runs (gaps-and-islands on the day "
+        "grid), and histogram run lengths per regime — the "
+        "momentum/mean-reversion diagnostic (long runs = regimes, "
+        "all-short runs = noise around the median; the nonparametric "
+        "Wald-Wolfowitz runs-test readout). Every window sits on the "
+        "value-domain day aggregate; the median is a 1-row broadcast; "
+        "output is bounded by the longest run. Integer arithmetic "
+        "end-to-end. Reference parity: extension surface (SURVEY.md "
+        "§2.B window rows).",
+)
+def win_regime_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(cents).cast("long").alias("rev")
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    med = (
+        daily.select(
+            "rev",
+            F.row_number().over(Window.orderBy("rev", "d")).alias("rn"),
+            F.count(F.lit(1)).over(w_all).alias("n"),
+        )
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("rev").alias("median_rev"))
+    )
+    flagged = daily.crossJoin(F.broadcast(med)).select(
+        "d", (F.col("rev") >= F.col("median_rev")).cast("int").alias("hi")
+    )
+    w_ord = Window.orderBy("d")
+    chg = F.when(
+        F.lag("hi").over(w_ord).isNull()
+        | (F.lag("hi").over(w_ord) != F.col("hi")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    # two selects: the lag window must materialize before the cumsum
+    # window consumes it (no nested window expressions)
+    runs = flagged.select("d", "hi", chg.alias("chg")).select(
+        "d",
+        "hi",
+        F.sum("chg")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("run_id"),
+    )
+    lens = runs.groupBy("run_id").agg(
+        F.min("hi").alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("run_length"),
+    )
+    return lens.groupBy(
+        F.col("hi").cast("int").alias("regime_hi"), "run_length"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_runs"))
