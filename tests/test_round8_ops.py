@@ -470,3 +470,37 @@ def test_regime_run_lengths_match_pure_python(spark):
         for r in all_specs()["win_regime_run_lengths"].spark(spark, SF).collect()
     }
     assert got == dict(hist)
+
+
+def test_kcore_bounded_peel_matches_pure_python(spark):
+    import itertools
+    from collections import defaultdict
+
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    orders = defaultdict(set)
+    for o, p in zip(li["l_orderkey"], li["l_partkey"]):
+        orders[o].add(int(p))
+    pair_orders = defaultdict(int)
+    for parts in orders.values():
+        for a, b in itertools.combinations(sorted(parts), 2):
+            pair_orders[(a, b)] += 1
+    edges = {pair for pair, n in pair_orders.items() if n >= 2}
+
+    expected = []
+    cur = edges
+    for r in range(1, 9):
+        deg = defaultdict(int)
+        for a, b in cur:
+            deg[a] += 1
+            deg[b] += 1
+        cur = {(a, b) for a, b in cur if deg[a] >= 3 and deg[b] >= 3}
+        nodes = {n for e in cur for n in e}
+        expected.append((r, len(cur), len(nodes)))
+
+    got = sorted(
+        (r.round, r.n_edges, r.n_nodes)
+        for r in all_specs()["graph_kcore_bounded_peel"].spark(spark, SF).collect()
+    )
+    assert got == expected

@@ -8487,3 +8487,103 @@ def graph_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("t").cast("long").alias("min_triangles"),
         F.max("t").cast("long").alias("max_triangles"),
     )
+
+
+def _kcore_oracle_sql(k: int = 3, rounds: int = 8) -> str:
+    """Programmatically unrolled k-core peel: both engines run EXACTLY
+    `rounds` peel rounds, so the outputs agree whether or not the peel
+    has reached its (unique, confluent) fixpoint by then."""
+    # every e{r} is referenced several times by later rounds and the
+    # stats union — AS MATERIALIZED stops DuckDB inlining the chain
+    # (un-materialized, the expansion is exponential in `rounds` and
+    # re-opens the parquet once per leaf: "too many open files")
+    parts = [
+        """
+    WITH op AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    e0 AS MATERIALIZED (
+        SELECT a.p AS p1, b.p AS p2
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    d{r} AS MATERIALIZED (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT p1 AS node FROM e{r - 1}
+            UNION ALL SELECT p2 FROM e{r - 1}
+        ) GROUP BY node
+    ),
+    e{r} AS MATERIALIZED (
+        SELECT p1, p2 FROM e{r - 1}
+        JOIN d{r} a ON a.node = p1 AND a.d >= {k}
+        JOIN d{r} b ON b.node = p2 AND b.d >= {k}
+    )""")
+    stats = "\n    UNION ALL ".join(
+        f"""SELECT {r} AS round,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM e{r}) AS n_edges,
+               (SELECT CAST(COUNT(DISTINCT node) AS BIGINT) FROM (
+                   SELECT p1 AS node FROM e{r} UNION ALL SELECT p2 FROM e{r}
+               )) AS n_nodes"""
+        for r in range(1, rounds + 1)
+    )
+    parts.append(f"\n    SELECT CAST(round AS INT) AS round, n_edges, n_nodes"
+                 f" FROM ({stats})")
+    return "".join(parts)
+
+
+@register(
+    "graph_kcore_bounded_peel",
+    oracle=_kcore_oracle_sql(),
+    doc="3-core decomposition by BOUNDED iterative peeling over the "
+        "support-2 co-purchase graph: 8 fixed peel rounds, each dropping "
+        "every edge with an endpoint of degree < 3, emitting the "
+        "surviving edge/node counts per round — the cohesion ladder that "
+        "locates the graph's dense backbone (and the node-degree "
+        "companion to graph_ktruss_edges' edge-support peel). The fixed "
+        "round count is the determinism contract: k-core peeling is "
+        "CONFLUENT (the fixpoint is unique and every peel order reaches "
+        "it), so pinning both engines to exactly 8 rounds makes outputs "
+        "identical whether or not the peel has converged by then, and "
+        "the per-round curve itself shows convergence (counts stabilize "
+        "once fixpoint is reached). Spark peels on localCheckpointed "
+        "shrinking survivor frames (the k-truss discipline — each round "
+        "recounts degrees on the materialized survivors, never on "
+        "accumulated lineage); per-round stats are 1-row aggregates "
+        "unioned plan-side, no driver collect. At 100 TB each round is "
+        "one narrow degree count + two semi joins on a frame that only "
+        "shrinks. Reference parity: extension surface (SURVEY.md §2.C "
+        "graph rows).",
+)
+def graph_kcore_bounded_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k, rounds = 3, 8
+    cur = _support2_copurchase_edges(spark, sf_dir)
+    stats = []
+    for r in range(1, rounds + 1):
+        deg = (
+            cur.select(F.col("p1").alias("node"))
+            .unionAll(cur.select(F.col("p2").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.where(F.col("d") >= k).select("node")
+        cur = (
+            cur.join(keep.withColumnRenamed("node", "p1"), "p1", "left_semi")
+            .join(keep.withColumnRenamed("node", "p2"), "p2", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        stats.append(
+            cur.select(F.col("p1").alias("node"))
+            .unionAll(cur.select(F.col("p2").alias("node")))
+            .agg(
+                F.lit(r).cast("int").alias("round"),
+                (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+                F.count_distinct(F.col("node")).cast("long").alias("n_nodes"),
+            )
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionAll(s)
+    return out.select("round", "n_edges", "n_nodes")

@@ -145,6 +145,7 @@ FUTURE_WINDOW: list[str] = [
     "stream_high_water_alerts",
     "pipeline_tokenizer_fertility_by_lang",
     "win_regime_run_lengths",
+    "graph_kcore_bounded_peel",
 ]
 
 def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQuery], SparkQuery]:
