@@ -753,6 +753,21 @@ def main() -> None:
                 "construct_sec": 3.481,
                 "calibration_cpu_sec": 0.24,
             },
+            # entity-local pair self-join (~10M pairs at sf0.1: 200 ops
+            # per entity x 500 entities); the quadratic is per-entity,
+            # bounded by compaction/retention at scale.
+            "cdc_arrival_inversion_audit": {
+                "fresh_jvm_median_sec": 2.015,
+                "fresh_jvm_samples": [2.078, 1.873, 2.015],
+                "construct_sec": 0.242,
+                "calibration_cpu_sec": 0.215,
+            },
+            "sql_front_named_window": {
+                "fresh_jvm_median_sec": 1.052,
+                "fresh_jvm_samples": [1.076, 1.052, 0.99],
+                "construct_sec": 0.798,
+                "calibration_cpu_sec": 0.193,
+            },
         },
     }
     detail_path = os.path.join(here_dir, f"BENCH_DETAIL_r{rnd:02d}.json")

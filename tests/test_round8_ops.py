@@ -504,3 +504,48 @@ def test_kcore_bounded_peel_matches_pure_python(spark):
         for r in all_specs()["graph_kcore_bounded_peel"].spark(spark, SF).collect()
     )
     assert got == expected
+
+
+def test_arrival_inversion_audit_matches_pure_python(spark):
+    import hashlib
+    from collections import defaultdict
+
+    events = pd.read_parquet(f"{SF}/events.parquet", columns=["event_id"])
+    ids_by_entity = defaultdict(list)
+    for eid in events["event_id"]:
+        ids_by_entity[int(eid) % 500].append(int(eid))
+
+    buckets = defaultdict(lambda: [0, 0, 0, [], []])
+    for ent, ids in ids_by_entity.items():
+        arrival = sorted(
+            ids, key=lambda i: hashlib.md5(f"{i}:arr".encode()).hexdigest()
+        )
+        n = len(arrival)
+        if n < 2:
+            continue
+        inv = sum(
+            1
+            for x in range(n)
+            for y in range(x + 1, n)
+            if arrival[x] > arrival[y]
+        )
+        pairs = n * (n - 1) // 2
+        ppm = inv * 1_000_000 // pairs
+        bk = ppm // 100_000
+        cur = buckets[bk]
+        cur[0] += 1
+        cur[1] += inv
+        cur[2] += pairs
+        cur[3].append(ppm)
+
+    got = {
+        r.inv_decile: r
+        for r in all_specs()["cdc_arrival_inversion_audit"].spark(spark, SF).collect()
+    }
+    assert set(got) == set(buckets) and len(got) > 0
+    for bk, (ne, inv, pairs, ppms, _) in buckets.items():
+        r = got[bk]
+        assert (r.n_entities, r.total_inversions, r.total_pairs) == (
+            ne, inv, pairs,
+        )
+        assert (r.min_inv_ppm, r.max_inv_ppm) == (min(ppms), max(ppms))

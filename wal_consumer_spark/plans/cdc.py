@@ -2114,3 +2114,95 @@ def cdc_entity_update_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share"),
         )
     )
+
+
+@register(
+    "cdc_arrival_inversion_audit",
+    oracle=f"""
+    WITH wal AS ({WAL_SQL}),
+    arr AS (
+        SELECT id, entity_id,
+               md5(CAST(id AS VARCHAR) || ':arr') AS ak
+        FROM wal
+    ),
+    per AS (
+        SELECT a.entity_id,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(count_if(a.id > b.id) AS BIGINT) AS n_inversions
+        FROM arr a JOIN arr b
+          ON a.entity_id = b.entity_id AND a.ak < b.ak
+        GROUP BY a.entity_id
+    ),
+    ent AS (
+        SELECT entity_id, n_pairs, n_inversions,
+               CAST(CAST(n_inversions AS HUGEINT) * 1000000 // n_pairs
+                    AS BIGINT) AS inv_ppm
+        FROM per
+    )
+    SELECT CAST(inv_ppm // 100000 AS BIGINT) AS inv_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_entities,
+           CAST(SUM(n_inversions) AS BIGINT) AS total_inversions,
+           CAST(SUM(n_pairs) AS BIGINT) AS total_pairs,
+           CAST(MIN(inv_ppm) AS BIGINT) AS min_inv_ppm,
+           CAST(MAX(inv_ppm) AS BIGINT) AS max_inv_ppm
+    FROM ent GROUP BY 1
+    """,
+    doc="WAL arrival-inversion audit: replay the synthetic WAL in a "
+        "deterministic adversarially-shuffled arrival order (md5 of id — "
+        "the lateness-audit convention; the driver WAL arrives id-sorted, "
+        "which would make the audit vacuous) and measure, per entity, the "
+        "Kendall-tau distance between arrival order and commit order "
+        "(normalized inverted-pair rate), histogrammed by ppm decile — "
+        "the number that sizes an in-order apply's reorder buffer and "
+        "decides whether the consumer needs sequencing at all (the "
+        "reference consumes strictly in id order, WalConsumer.java:157; "
+        "this is the audit you run BEFORE relaxing that). The pair "
+        "self-join is entity-local (the order-local fanout argument: "
+        "per-entity op counts are bounded by compaction/retention, so "
+        "the quadratic never sees the corpus), and the histogram output "
+        "is fixed at <= 11 rows. Entities with a single op carry no "
+        "pairs and are excluded by construction. Reference parity: R2/R5 "
+        "ordering semantics, extension surface (SURVEY.md §2.B CDC "
+        "rows).",
+)
+def cdc_arrival_inversion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wal = synthetic_wal(spark, sf_dir)
+    arr = wal.select(
+        "id",
+        "entity_id",
+        F.md5(F.concat(F.col("id").cast("string"), F.lit(":arr"))).alias("ak"),
+    )
+    a = arr.select(
+        F.col("entity_id"), F.col("id").alias("id_a"), F.col("ak").alias("ak_a")
+    )
+    b = arr.select(
+        F.col("entity_id"), F.col("id").alias("id_b"), F.col("ak").alias("ak_b")
+    )
+    per = (
+        a.join(b, "entity_id")
+        .where(F.col("ak_a") < F.col("ak_b"))
+        .groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.count_if(F.col("id_a") > F.col("id_b"))
+            .cast("long")
+            .alias("n_inversions"),
+        )
+    )
+    ent = per.select(
+        "n_pairs",
+        "n_inversions",
+        F.expr(
+            "CAST(CAST(n_inversions AS DECIMAL(38,0)) * 1000000 "
+            "DIV n_pairs AS BIGINT)"
+        ).alias("inv_ppm"),
+    )
+    return ent.groupBy(
+        F.expr("CAST(inv_ppm DIV 100000 AS BIGINT)").alias("inv_decile")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_entities"),
+        F.sum("n_inversions").cast("long").alias("total_inversions"),
+        F.sum("n_pairs").cast("long").alias("total_pairs"),
+        F.min("inv_ppm").cast("long").alias("min_inv_ppm"),
+        F.max("inv_ppm").cast("long").alias("max_inv_ppm"),
+    )

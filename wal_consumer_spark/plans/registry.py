@@ -146,6 +146,8 @@ FUTURE_WINDOW: list[str] = [
     "pipeline_tokenizer_fertility_by_lang",
     "win_regime_run_lengths",
     "graph_kcore_bounded_peel",
+    "cdc_arrival_inversion_audit",
+    "sql_front_named_window",
 ]
 
 def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQuery], SparkQuery]:

@@ -125,6 +125,27 @@ _SHARED_SQL = {
         SELECT o_custkey AS c FROM orders WHERE o_orderpriority = '1-URGENT'
     ) t2
     """,
+    # named-window (WINDOW clause) sharing one sort/partition spec across
+    # two window functions — both engines plan ONE exchange+sort for w/w2
+    "sql_front_named_window": """
+    SELECT c_mktsegment, c_custkey, bal_cents, bal_rank, seg_running_cents
+    FROM (
+        SELECT c_mktsegment, c_custkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+               rank() OVER w AS bal_rank,
+               CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) OVER w2
+                    AS BIGINT) AS seg_running_cents
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) DESC,
+                              c_custkey),
+               w2 AS (PARTITION BY c_mktsegment
+                      ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) DESC,
+                               c_custkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ) t WHERE bal_rank <= 5
+    ORDER BY c_mktsegment, bal_rank
+    """,
 }
 
 
