@@ -132,6 +132,14 @@ NEXT_WINDOW: list[str] = [
 #: lands here IN THE SAME COMMIT that registers it (VERDICT r7 stretch
 #: #6), so the partition test enforces staging at authoring time. These
 #: roll into the round-9 DRIVER_WINDOW together with NEXT_WINDOW above.
+#:
+#: ROUND-9 ROTATION NOTE: NEXT_WINDOW + FUTURE_WINDOW currently total
+#: fewer than 50 names. The round-9 DRIVER_WINDOW must still hold exactly
+#: 50 slots (test_driver_window_names_registered), so fill the remainder
+#: with (a) round-9 session additions and/or (b) deliberate re-pins of
+#: already-certified names added to tests/test_registry.py::
+#: _REPIN_ALLOWLIST (prefer re-pinning queries whose implementation
+#: changed since certification — e.g. any ADVICE-driven formula fix).
 FUTURE_WINDOW: list[str] = [
     "stream_stateful_sessionize",
     "text_vocab_topk_coverage",
