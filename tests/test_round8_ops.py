@@ -549,3 +549,59 @@ def test_arrival_inversion_audit_matches_pure_python(spark):
             ne, inv, pairs,
         )
         assert (r.min_inv_ppm, r.max_inv_ppm) == (min(ppms), max(ppms))
+
+
+def test_ks_separation_matches_pure_python(spark):
+    orders = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_totalprice", "o_orderpriority"]
+    )
+    pos = sorted(
+        round(float(p) * 100)
+        for p, pr in zip(orders["o_totalprice"], orders["o_orderpriority"])
+        if pr == "1-URGENT"
+    )
+    neg = sorted(
+        round(float(p) * 100)
+        for p, pr in zip(orders["o_totalprice"], orders["o_orderpriority"])
+        if pr != "1-URGENT"
+    )
+    na, nb = len(pos), len(neg)
+    best = None
+    import bisect
+
+    for score in sorted(set(pos) | set(neg)):
+        ca = bisect.bisect_right(pos, score)
+        cb = bisect.bisect_right(neg, score)
+        num = abs(ca * nb - cb * na)
+        key = (-num, score)
+        if best is None or key < best[0]:
+            best = (key, score, num)
+
+    r = all_specs()["ml_ks_separation"].spark(spark, SF).collect()[0]
+    assert (r.at_score_cents, r.n_pos, r.n_neg) == (best[1], na, nb)
+    assert r.ks_micro == best[2] * 1_000_000 // (na * nb)
+
+
+def test_shingle_df_profile_matches_pure_python(spark):
+    import math
+    from collections import Counter, defaultdict
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    df = Counter()
+    for text in docs["text"]:
+        toks = _tokens(text)
+        n = max(len(toks) - 3, 0) + 1
+        df.update({" ".join(toks[i : i + 3]) for i in range(n)})
+    buckets = defaultdict(list)
+    for _, d in df.items():
+        buckets[math.floor(math.log(d) / math.log(2))].append(d)
+
+    got = {
+        r.df_bucket: r
+        for r in all_specs()["dedup_shingle_df_profile"].spark(spark, SF).collect()
+    }
+    assert set(got) == set(buckets)
+    for bk, ds in buckets.items():
+        r = got[bk]
+        assert (r.n_shingles, r.min_df, r.max_df) == (len(ds), min(ds), max(ds))
+        assert r.candidate_pairs == sum(d * (d - 1) // 2 for d in ds)

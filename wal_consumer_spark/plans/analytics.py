@@ -8587,3 +8587,96 @@ def graph_kcore_bounded_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in stats[1:]:
         out = out.unionAll(s)
     return out.select("round", "n_edges", "n_nodes")
+
+
+@register(
+    "ml_ks_separation",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS score,
+               CAST(o_orderpriority = '1-URGENT' AS INT) AS pos
+        FROM orders
+    ),
+    by_val AS (
+        SELECT score,
+               CAST(count_if(pos = 1) AS BIGINT) AS a,
+               CAST(count_if(pos = 0) AS BIGINT) AS b
+        FROM s GROUP BY score
+    ),
+    cum AS (
+        SELECT score,
+               SUM(a) OVER w AS ca, SUM(b) OVER w AS cb,
+               SUM(a) OVER () AS na, SUM(b) OVER () AS nb
+        FROM by_val
+        WINDOW w AS (ORDER BY score
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    gap AS (
+        SELECT score, na, nb,
+               abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)
+                   AS num
+        FROM cum
+    )
+    SELECT CAST(score AS BIGINT) AS at_score_cents,
+           CAST(na AS BIGINT) AS n_pos, CAST(nb AS BIGINT) AS n_neg,
+           CAST(num * 1000000 // (CAST(na AS HUGEINT) * nb) AS BIGINT)
+               AS ks_micro
+    FROM gap
+    ORDER BY num DESC, score LIMIT 1
+    """,
+    doc="Kolmogorov-Smirnov separation statistic between the value "
+        "distributions of two classes (urgent vs non-urgent orders over "
+        "price): the max CDF gap, the standard scale-free class-"
+        "separability / score-power eval next to AUC (KS is THE credit-"
+        "scoring acceptance metric). Fully integral: the gap maximand is "
+        "|cum_a*N_b - cum_b*N_a| (exact cross-multiplied integers — no "
+        "per-row division anywhere), the argmax ties break on the lower "
+        "score, and the final KS value is one micro floor division. Both "
+        "cumulative windows run on the DISTINCT-VALUE table (value-"
+        "domain, bounded by the price grid), never raw rows; the top-1 "
+        "pick is orderBy().limit(1). Reference parity: extension surface "
+        "(SURVEY.md §2.C ML rows).",
+)
+def ml_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    s = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("score"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("pos"),
+    )
+    by_val = s.groupBy("score").agg(
+        F.count_if(F.col("pos") == 1).cast("long").alias("a"),
+        F.count_if(F.col("pos") == 0).cast("long").alias("b"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = by_val.select(
+        "score",
+        F.sum("a").over(w).alias("ca"),
+        F.sum("b").over(w).alias("cb"),
+        F.sum("a").over(w_all).alias("na"),
+        F.sum("b").over(w_all).alias("nb"),
+    )
+    gap = cum.select(
+        "score",
+        "na",
+        "nb",
+        F.abs(
+            F.col("ca").cast("decimal(38,0)") * F.col("nb")
+            - F.col("cb").cast("decimal(38,0)") * F.col("na")
+        ).alias("num"),
+    )
+    return (
+        gap.orderBy(F.col("num").desc(), "score")
+        .limit(1)
+        .select(
+            F.col("score").alias("at_score_cents"),
+            F.col("na").cast("long").alias("n_pos"),
+            F.col("nb").cast("long").alias("n_neg"),
+            F.expr(
+                "CAST(num * 1000000 DIV (CAST(na AS DECIMAL(38,0)) * nb) "
+                "AS BIGINT)"
+            ).alias("ks_micro"),
+        )
+    )

@@ -3644,3 +3644,59 @@ def ml_mcnemar_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(_chi2_num DIV _disc AS BIGINT)"
         ).alias("mcnemar_chi2_cc_micro"),
     )
+
+
+@register(
+    "dedup_shingle_df_profile",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+    ),
+    df AS (
+        SELECT shingle, CAST(COUNT(*) AS BIGINT) AS d
+        FROM sh GROUP BY shingle
+    )
+    SELECT CAST(floor(ln(CAST(d AS DOUBLE)) / ln(2)) AS BIGINT)
+               AS df_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(MIN(d) AS BIGINT) AS min_df,
+           CAST(MAX(d) AS BIGINT) AS max_df,
+           CAST(SUM(CAST(d * (d - 1) AS HUGEINT) // 2) AS BIGINT)
+               AS candidate_pairs
+    FROM df GROUP BY 1
+    """,
+    doc="Shingle document-frequency profile: log2-bucket histogram of "
+        "how many documents each 3-shingle appears in, with the implied "
+        "candidate-pair volume sum d*(d-1)/2 per bucket — the planning "
+        "table for the exact-Jaccard pair join's max_df cap (the text-"
+        "side twin of sim_lsh_bucket_balance: the top bucket IS the "
+        "stop-shingle mass a df cap drops, and its pair column is "
+        "exactly the join cost the cap saves; read this BEFORE picking "
+        "the cap instead of discovering a hot shingle as a straggler "
+        "task at 100 TB). One explode scan, one shingle-keyed count "
+        "(the shuffle every shingle op already pays), bounded output; "
+        "pair arithmetic integral end-to-end (the ADVICE-r7 lesson), "
+        "and the log2 bucket's ln sees an exact integer "
+        "(agg_log2_histogram convention). Reference parity: extension "
+        "surface (SURVEY.md §2.C dedup rows).",
+)
+def dedup_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wal_consumer_spark.functions.text import tokens, word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(word_shingles(tokens(F.col("text")), 3)).alias("shingle"),
+    )
+    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    bucket = F.floor(
+        F.log(F.col("d").cast("double")) / F.log(F.lit(2.0))
+    ).cast("long")
+    return df.groupBy(bucket.alias("df_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.min("d").cast("long").alias("min_df"),
+        F.max("d").cast("long").alias("max_df"),
+        F.sum(F.expr("CAST(d * (d - 1) DIV 2 AS DECIMAL(38,0))"))
+        .cast("long")
+        .alias("candidate_pairs"),
+    )

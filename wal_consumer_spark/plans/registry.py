@@ -156,6 +156,8 @@ FUTURE_WINDOW: list[str] = [
     "graph_kcore_bounded_peel",
     "cdc_arrival_inversion_audit",
     "sql_front_named_window",
+    "ml_ks_separation",
+    "dedup_shingle_df_profile",
 ]
 
 def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQuery], SparkQuery]:
