@@ -605,3 +605,84 @@ def test_shingle_df_profile_matches_pure_python(spark):
         r = got[bk]
         assert (r.n_shingles, r.min_df, r.max_df) == (len(ds), min(ds), max(ds))
         assert r.candidate_pairs == sum(d * (d - 1) // 2 for d in ds)
+
+
+def test_soft_dedup_weights_match_pure_python(spark):
+    import itertools
+    from collections import defaultdict
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    shingles = {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        toks = _tokens(text)
+        n = max(len(toks) - 3, 0) + 1
+        shingles[int(did)] = {" ".join(toks[i : i + 3]) for i in range(n)}
+    adj = defaultdict(set)
+    for d1, d2 in itertools.combinations(sorted(shingles), 2):
+        inter = len(shingles[d1] & shingles[d2])
+        if inter and inter / len(shingles[d1] | shingles[d2]) >= 0.5:
+            adj[d1].add(d2)
+            adj[d2].add(d1)
+    # union-find-free BFS components over the near-dup graph
+    comp: dict[int, int] = {}
+    for start in sorted(adj):
+        if start in comp:
+            continue
+        stack, members = [start], set()
+        while stack:
+            v = stack.pop()
+            if v in members:
+                continue
+            members.add(v)
+            stack.extend(adj[v] - members)
+        canon = min(members)
+        for v in members:
+            comp[v] = canon
+    sizes = defaultdict(int)
+    for v, c in comp.items():
+        sizes[c] += 1
+
+    got = {
+        r.doc_id: r
+        for r in all_specs()["pipeline_soft_dedup_weights"].spark(spark, SF).collect()
+    }
+    assert set(got) == set(shingles)
+    for did in shingles:
+        r = got[did]
+        if did in comp:
+            c = comp[did]
+            assert (r.canonical_id, r.cluster_size) == (c, sizes[c])
+            assert r.weight_ppm == 1_000_000 // sizes[c]
+        else:
+            assert (r.canonical_id, r.cluster_size, r.weight_ppm) == (
+                did, 1, 1_000_000,
+            )
+
+
+def test_ohlc_weekly_matches_pure_python(spark):
+    from collections import defaultdict
+    import datetime as dt
+
+    orders = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    daily: dict = {}
+    for d, p in zip(orders["o_orderdate"].dt.date, orders["o_totalprice"]):
+        daily[d] = daily.get(d, 0) + round(float(p) * 100)
+    weeks = defaultdict(list)
+    for d in sorted(daily):
+        monday = d - dt.timedelta(days=d.weekday())
+        weeks[monday].append((d, daily[d]))
+
+    got = {
+        r.week.date(): r
+        for r in all_specs()["ts_ohlc_weekly"].spark(spark, SF).collect()
+    }
+    assert set(got) == set(weeks)
+    for wk, days in weeks.items():
+        r = got[wk]
+        revs = [v for _, v in days]
+        assert r.n_days == len(days)
+        assert (r.open_cents, r.close_cents) == (days[0][1], days[-1][1])
+        assert (r.high_cents, r.low_cents) == (max(revs), min(revs))
+        assert r.volume_cents == sum(revs)

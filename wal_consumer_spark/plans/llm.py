@@ -3700,3 +3700,89 @@ def dedup_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("candidate_pairs"),
     )
+
+
+@register(
+    "pipeline_soft_dedup_weights",
+    oracle=f"""
+    WITH RECURSIVE
+    sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+    inter AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+        SELECT doc1, doc2 FROM inter
+        JOIN sizes s1 ON s1.doc_id = doc1
+        JOIN sizes s2 ON s2.doc_id = doc2
+        WHERE n_common / (s1.n + s2.n - n_common) >= 0.5
+    ),
+    sym AS (SELECT doc1 AS a, doc2 AS b FROM pairs
+            UNION SELECT doc2, doc1 FROM pairs
+            UNION SELECT doc1, doc1 FROM pairs
+            UNION SELECT doc2, doc2 FROM pairs),
+    reach AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp AS (SELECT a AS node, MIN(b) AS canonical FROM reach GROUP BY a),
+    csize AS (SELECT canonical, CAST(COUNT(*) AS BIGINT) AS sz
+              FROM comp GROUP BY canonical),
+    member AS (
+        SELECT comp.node AS doc_id, comp.canonical, csize.sz
+        FROM comp JOIN csize USING (canonical)
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(m.canonical, d.doc_id) AS BIGINT) AS canonical_id,
+           CAST(COALESCE(m.sz, 1) AS BIGINT) AS cluster_size,
+           CAST(1000000 // COALESCE(m.sz, 1) AS BIGINT) AS weight_ppm
+    FROM documents d LEFT JOIN member m ON m.doc_id = d.doc_id
+    """,
+    doc="Soft deduplication weights: instead of removing near-duplicates "
+        "(keep-one-per-cluster), assign every document the sampling "
+        "weight 1/cluster_size over the Jaccard>=0.5 near-dup clusters — "
+        "each duplicated passage then contributes ONE document's worth "
+        "of expected training mass while retaining all surface variants "
+        "(the soft-dedup recipe that avoids the representative-selection "
+        "bias hard removal introduces). Per doc: the canonical member "
+        "(min id), cluster size, and ppm weight — the weight column a "
+        "sampler joins on. Only near-dup candidates enter the CC shuffle "
+        "(singletons join back with weight 1.0 via one left join); "
+        "clusters come from the shared alternating-star CC. Reference "
+        "parity: extension surface (SURVEY.md §2.C dedup/curation rows).",
+)
+def pipeline_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wal_consumer_spark.operators.dedup import shingle_pairs_jaccard
+    from wal_consumer_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = shingle_pairs_jaccard(docs, "doc_id", "text").filter(
+        F.col("jaccard") >= 0.5
+    )
+    cc = connected_components(pairs.select("doc1", "doc2"))
+    per_comp = cc.groupBy("component").agg(
+        F.min("node").alias("canonical"),
+        F.count(F.lit(1)).cast("long").alias("sz"),
+    )
+    member = cc.join(per_comp, "component").select(
+        F.col("node").alias("doc_id"), "canonical", "sz"
+    )
+    return (
+        docs.select("doc_id")
+        .join(member, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("canonical"), F.col("doc_id"))
+            .cast("long")
+            .alias("canonical_id"),
+            F.coalesce(F.col("sz"), F.lit(1)).cast("long").alias(
+                "cluster_size"
+            ),
+            F.expr(
+                "CAST(1000000 DIV COALESCE(sz, 1) AS BIGINT)"
+            ).alias("weight_ppm"),
+        )
+    )

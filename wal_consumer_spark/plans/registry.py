@@ -158,6 +158,8 @@ FUTURE_WINDOW: list[str] = [
     "sql_front_named_window",
     "ml_ks_separation",
     "dedup_shingle_df_profile",
+    "pipeline_soft_dedup_weights",
+    "ts_ohlc_weekly",
 ]
 
 def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQuery], SparkQuery]:

@@ -3701,3 +3701,52 @@ def ts_changepoint_argmax_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("score_floor_m"),
     )
+
+
+@register(
+    "ts_ohlc_weekly",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(date_trunc('week', d) AS TIMESTAMP) AS week,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(arg_min(rev, d) AS BIGINT) AS open_cents,
+           CAST(MAX(rev) AS BIGINT) AS high_cents,
+           CAST(MIN(rev) AS BIGINT) AS low_cents,
+           CAST(arg_max(rev, d) AS BIGINT) AS close_cents,
+           CAST(SUM(rev) AS BIGINT) AS volume_cents
+    FROM daily GROUP BY 1
+    """,
+    doc="Weekly OHLC resample of the daily revenue series: open (first "
+        "trading day's value), high, low, close (last day's value), and "
+        "volume per ISO week — the standard financial downsample that "
+        "keeps the intra-period extremes a plain weekly SUM/AVG throws "
+        "away (the pre-aggregation you chart candles from, and the "
+        "companion to ts_downsample_lttb's shape-preserving variant). "
+        "Open/close are min_by/max_by over the unique day key "
+        "(deterministic — no ties possible), weeks come from "
+        "date_trunc('week') which both engines anchor on Monday. Two "
+        "narrow date-keyed aggregates, bounded output at any scale; "
+        "exact integer cents throughout. Reference parity: extension "
+        "surface (SURVEY.md §2.C time-series rows).",
+)
+def ts_ohlc_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(cents).cast("long").alias("rev")
+    )
+    return daily.groupBy(
+        F.date_trunc("week", F.col("d")).alias("week")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.min_by("rev", "d").cast("long").alias("open_cents"),
+        F.max("rev").cast("long").alias("high_cents"),
+        F.min("rev").cast("long").alias("low_cents"),
+        F.max_by("rev", "d").cast("long").alias("close_cents"),
+        F.sum("rev").cast("long").alias("volume_cents"),
+    )
