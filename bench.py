@@ -777,6 +777,12 @@ def main() -> None:
                 "construct_sec": 4.527,
                 "calibration_cpu_sec": 0.224,
             },
+            "sim_davies_bouldin_index": {
+                "fresh_jvm_median_sec": 1.197,
+                "fresh_jvm_samples": [1.298, 1.197, 1.041],
+                "construct_sec": 0.389,
+                "calibration_cpu_sec": 0.244,
+            },
         },
     }
     detail_path = os.path.join(here_dir, f"BENCH_DETAIL_r{rnd:02d}.json")

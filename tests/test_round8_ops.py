@@ -686,3 +686,52 @@ def test_ohlc_weekly_matches_pure_python(spark):
         assert (r.open_cents, r.close_cents) == (days[0][1], days[-1][1])
         assert (r.high_cents, r.low_cents) == (max(revs), min(revs))
         assert r.volume_cents == sum(revs)
+
+
+def test_davies_bouldin_matches_pure_python(spark):
+    import math
+    from collections import defaultdict
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    vecs = {
+        int(v): [round(float(x) * 1e6) + 2_000_000 for x in e]
+        for v, e in zip(emb["vec_id"], emb["embedding"])
+    }
+    labels = {int(v): int(l) for v, l in zip(emb["vec_id"], emb["label"])}
+    sums = defaultdict(lambda: [0] * 64)
+    counts = defaultdict(int)
+    for v, q in vecs.items():
+        lab = labels[v]
+        counts[lab] += 1
+        for d in range(64):
+            sums[lab][d] += q[d]
+    cent = {lab: [s // counts[lab] for s in sums[lab]] for lab in sums}
+    scat_sum = defaultdict(int)
+    for v, q in vecs.items():
+        lab = labels[v]
+        d2 = sum((q[d] - cent[lab][d]) ** 2 for d in range(64))
+        scat_sum[lab] += math.floor(math.sqrt(d2))
+    scatter = {lab: scat_sum[lab] // counts[lab] for lab in scat_sum}
+
+    expected = {}
+    for li in cent:
+        best = None
+        for lj in cent:
+            if lj == li:
+                continue
+            d2 = sum((cent[li][d] - cent[lj][d]) ** 2 for d in range(64))
+            d_ij = math.floor(math.sqrt(d2))
+            r = (scatter[li] + scatter[lj]) * 1_000_000 // d_ij
+            if best is None or (-r, lj) < best[0]:
+                best = ((-r, lj), lj, r)
+        expected[li] = (counts[li], scatter[li], best[1], best[2])
+
+    got = {
+        r.label: r
+        for r in all_specs()["sim_davies_bouldin_index"].spark(spark, SF).collect()
+    }
+    assert set(got) == set(expected)
+    for lab, (n, s, wl, r_ppm) in expected.items():
+        row = got[lab]
+        assert (row.n_members, row.scatter_micro) == (n, s)
+        assert (row.worst_other_label, row.db_term_ppm) == (wl, r_ppm)

@@ -3786,3 +3786,174 @@ def pipeline_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("weight_ppm"),
         )
     )
+
+
+@register(
+    "sim_davies_bouldin_index",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(round(x * 1000000.0) AS BIGINT) + 2000000)
+                   AS qv
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT vec_id, label, generate_subscripts(qv, 1) - 1 AS dim,
+               unnest(qv) AS v
+        FROM q
+    ),
+    cent AS (
+        SELECT label AS clabel, dim,
+               CAST(CAST(SUM(v) AS HUGEINT) // COUNT(*) AS BIGINT) AS c,
+               CAST(COUNT(*) AS BIGINT) AS n_dim_rows
+        FROM dims GROUP BY label, dim
+    ),
+    memb AS (
+        SELECT d.vec_id, d.label,
+               CAST(floor(sqrt(CAST(SUM((d.v - ct.c) * (d.v - ct.c))
+                                    AS DOUBLE))) AS BIGINT) AS dist
+        FROM dims d JOIN cent ct ON ct.clabel = d.label AND ct.dim = d.dim
+        GROUP BY d.vec_id, d.label
+    ),
+    scatter AS (
+        SELECT label,
+               CAST(CAST(SUM(dist) AS HUGEINT) // COUNT(*) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM memb GROUP BY label
+    ),
+    sep AS (
+        SELECT a.clabel AS li, b.clabel AS lj,
+               CAST(floor(sqrt(CAST(SUM((a.c - b.c) * (a.c - b.c))
+                                    AS DOUBLE))) AS BIGINT) AS d_ij
+        FROM cent a JOIN cent b ON a.dim = b.dim AND a.clabel <> b.clabel
+        GROUP BY a.clabel, b.clabel
+    ),
+    ratio AS (
+        SELECT sep.li, sep.lj,
+               CAST(CAST((si.s + sj.s) AS HUGEINT) * 1000000 // sep.d_ij
+                    AS BIGINT) AS r_ppm
+        FROM sep
+        JOIN scatter si ON si.label = sep.li
+        JOIN scatter sj ON sj.label = sep.lj
+    ),
+    worst AS (
+        -- maximize r_ppm, break ties on the LOWER label id: labels are
+        -- < 16, so r_ppm*16 + (15 - lj) orders exactly like
+        -- (r_ppm DESC, lj ASC)
+        SELECT li,
+               arg_max(lj, CAST(r_ppm AS BIGINT) * 16 + (15 - lj))
+                   AS worst_lj,
+               MAX(r_ppm) AS worst_r_ppm
+        FROM ratio GROUP BY li
+    )
+    SELECT CAST(w.li AS INT) AS label,
+           sc.n_members,
+           sc.s AS scatter_micro,
+           CAST(w.worst_lj AS INT) AS worst_other_label,
+           w.worst_r_ppm AS db_term_ppm
+    FROM worst w JOIN scatter sc ON sc.label = w.li
+    """,
+    doc="Davies-Bouldin cluster-separation terms per label: within-label "
+        "scatter (mean member distance to the integer centroid), and for "
+        "each label the WORST (scatter_i + scatter_j) / separation_ij "
+        "ratio over all other labels — the classic compactness-vs-"
+        "separation index (lower = better separated; the mean of the "
+        "per-label terms is the global DB index) complementing "
+        "sim_label_silhouette with a centroid-based O(|labels|^2) "
+        "formulation instead of silhouette's pairwise one. Fully "
+        "integral via the +2e6-offset fixed-point centroid trick "
+        "(ml_mcnemar_dim_ablation): floor-div centroids agree across "
+        "engines, member/centroid distances are floor(sqrt(exact int)), "
+        "ratios are ppm floor divisions; the worst-other argmax breaks "
+        "ties on the LOWER label id via a composite scalar key. Plan: "
+        "one posexplode, one bounded (label,dim) centroid aggregate, "
+        "one member-distance aggregate (the only corpus-wide shuffle), "
+        "then 10x10 bounded pair work. Reference parity: extension "
+        "surface (SURVEY.md §2.C similarity rows).",
+)
+def sim_davies_bouldin_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wal_consumer_spark.operators.broadcast import maybe_broadcast
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * F.lit(1_000_000.0)).cast("long")
+        + F.lit(2_000_000).cast("long"),
+    )
+    dims = emb.select("vec_id", "label", F.posexplode(qv).alias("dim", "v"))
+    cent = dims.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        F.expr("CAST(SUM(v) DIV COUNT(*) AS BIGINT)").alias("c")
+    )
+    memb = (
+        dims.join(
+            maybe_broadcast(cent),
+            (F.col("label") == F.col("clabel")) & (dims.dim == cent.dim),
+        )
+        .groupBy("vec_id", "label")
+        .agg(
+            F.floor(
+                F.sqrt(
+                    F.sum(
+                        (F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))
+                    ).cast("double")
+                )
+            )
+            .cast("long")
+            .alias("dist")
+        )
+    )
+    scatter = memb.groupBy("label").agg(
+        F.expr("CAST(SUM(dist) DIV COUNT(*) AS BIGINT)").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    )
+    a = cent.select(
+        F.col("clabel").alias("li"), F.col("dim").alias("da"), F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("clabel").alias("lj"), F.col("dim").alias("db_"), F.col("c").alias("cb")
+    )
+    sep = (
+        a.join(b, (F.col("da") == F.col("db_")) & (F.col("li") != F.col("lj")))
+        .groupBy("li", "lj")
+        .agg(
+            F.floor(
+                F.sqrt(
+                    F.sum(
+                        (F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))
+                    ).cast("double")
+                )
+            )
+            .cast("long")
+            .alias("d_ij")
+        )
+    )
+    si = scatter.select(F.col("label").alias("li"), F.col("s").alias("s_i"))
+    sj = scatter.select(F.col("label").alias("lj"), F.col("s").alias("s_j"))
+    ratio = (
+        sep.join(si, "li")
+        .join(sj, "lj")
+        .select(
+            "li",
+            "lj",
+            F.expr(
+                "CAST(CAST(s_i + s_j AS DECIMAL(38,0)) * 1000000 "
+                "DIV d_ij AS BIGINT)"
+            ).alias("r_ppm"),
+        )
+    )
+    w = Window.partitionBy("li").orderBy(F.col("r_ppm").desc(), "lj")
+    worst = (
+        ratio.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("li", F.col("lj").alias("worst_lj"), F.col("r_ppm"))
+    )
+    return worst.join(
+        scatter.withColumnRenamed("label", "li"), "li"
+    ).select(
+        F.col("li").cast("int").alias("label"),
+        "n_members",
+        F.col("s").alias("scatter_micro"),
+        F.col("worst_lj").cast("int").alias("worst_other_label"),
+        F.col("r_ppm").alias("db_term_ppm"),
+    )

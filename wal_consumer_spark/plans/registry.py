@@ -140,6 +140,9 @@ NEXT_WINDOW: list[str] = [
 #: already-certified names added to tests/test_registry.py::
 #: _REPIN_ALLOWLIST (prefer re-pinning queries whose implementation
 #: changed since certification — e.g. any ADVICE-driven formula fix).
+#: Known re-pin candidates entering round 9: tpch_q17 and
+#: join_bloom_prefilter (broadcast size-gates added in round 7, AFTER
+#: their certification rounds — their driver rows predate the fix).
 FUTURE_WINDOW: list[str] = [
     "stream_stateful_sessionize",
     "text_vocab_topk_coverage",
@@ -160,6 +163,7 @@ FUTURE_WINDOW: list[str] = [
     "dedup_shingle_df_profile",
     "pipeline_soft_dedup_weights",
     "ts_ohlc_weekly",
+    "sim_davies_bouldin_index",
 ]
 
 def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQuery], SparkQuery]:
