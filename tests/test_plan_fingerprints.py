@@ -75,6 +75,28 @@ PINNED: dict[str, dict[str, int]] = {
         "Union": 5, "Project": 22, "Join": 10, "Aggregate": 8,
         "LogicalRDD": 16, "Filter": 2,
     },
+    # round-8 entrants with eager per-round checkpoints: the result plan
+    # is pure post-checkpoint rollup — ZERO Joins for the 8-round k-core
+    # (each round's stats read a materialized survivor frame; a Join
+    # appearing here means a round started recounting on lineage).
+    "graph_kcore_bounded_peel": {
+        "Union": 9, "Aggregate": 8, "Project": 16, "LogicalRDD": 16,
+    },
+    # support-2 gate + oriented-frame checkpoint: wedge join + closure
+    # + zero-tier left join = exactly 3 Joins, corners credited via ONE
+    # Generate (explode) — a second Generate or extra Join is the
+    # triple-scan regression.
+    "graph_triangle_participation": {
+        "Aggregate": 3, "Project": 9, "Join": 3, "Union": 1,
+        "LogicalRDD": 5, "Generate": 1,
+    },
+    # soft-dedup weights: CC output (checkpointed) + one per-component
+    # rollup + the singleton left join; extra Aggregates would mean the
+    # cluster stats are being recomputed per consumer.
+    "pipeline_soft_dedup_weights": {
+        "Project": 11, "Join": 4, "LogicalRelation": 1, "Union": 2,
+        "LogicalRDD": 6, "Aggregate": 3,
+    },
 }
 
 
