@@ -735,3 +735,45 @@ def test_davies_bouldin_matches_pure_python(spark):
         row = got[lab]
         assert (row.n_members, row.scatter_micro) == (n, s)
         assert (row.worst_other_label, row.db_term_ppm) == (wl, r_ppm)
+
+
+def test_sessionize_invariant_to_micro_batch_count(spark):
+    """The batch-split-invariance CLAIM, tested directly: replaying the
+    same events in 2 vs 4 ts-ordered micro-batches must emit the exact
+    same closed-session set (the open-session-never-emitted rule is what
+    makes the output independent of batching)."""
+    from pyspark.sql import functions as F
+
+    from wal_consumer_spark.plans.streaming_batch import (
+        _SESSION_GAP_US,
+        _make_sessionize_fn,
+        _run_stateful_replay,
+    )
+    from wal_consumer_spark.sources.tables import load_table
+
+    e = load_table(spark, SF, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+
+    def run(n_files: int):
+        rows = _run_stateful_replay(
+            spark,
+            e,
+            read_schema="user_id long, ts_us long",
+            state_fn=_make_sessionize_fn(_SESSION_GAP_US),
+            out_schema=(
+                "user_id long, session_start_us long, "
+                "session_end_us long, n_events long"
+            ),
+            state_schema="start long, last long, n long",
+            prefix=f"sess_inv{n_files}",
+            n_files=n_files,
+        ).collect()
+        return sorted(
+            (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+            for r in rows
+        )
+
+    two, four = run(2), run(4)
+    assert len(two) > 0
+    assert two == four

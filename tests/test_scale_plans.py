@@ -1245,3 +1245,48 @@ def test_broadcast_guard_flags_deliberate_violation(spark):
     capped = vocab.orderBy(F.col("count").desc(), "term").limit(100)
     j2 = tok.join(F.broadcast(capped), "term")
     assert not _unconditional_broadcast_violations(j2, "capped")
+
+
+def test_oriented_wedge_growth_is_linear(spark):
+    """Round-8 guard for the UNCAPPED degree-ordered wedge path behind
+    graph_triangle_count / graph_triangle_participation: on disjoint
+    lineitem replicas the oriented wedge count must grow exactly linearly
+    in K (degree ordering bounds pivot out-degree by O(sqrt(E)) but a
+    join-key bug mixing replicas would still blow up super-linearly), and
+    no wedge may span two replicas."""
+    from wal_consumer_spark.plans.analytics import (
+        edges_from_incidence,
+        orient_by_degree,
+        oriented_wedges,
+    )
+
+    K = 4
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+
+    def replicated(reps: int):
+        parts = [
+            li.select(
+                (F.col("o") + F.lit(i * 100_000_000)).alias("o"),
+                (F.col("p") + F.lit(i * 10_000_000)).alias("p"),
+            )
+            for i in range(reps)
+        ]
+        out = parts[0]
+        for pt in parts[1:]:
+            out = out.unionByName(pt)
+        return out
+
+    w1 = oriented_wedges(orient_by_degree(edges_from_incidence(replicated(1))))
+    n_w1 = w1.count()
+    wk = oriented_wedges(orient_by_degree(edges_from_incidence(replicated(K))))
+    n_wk = wk.count()
+    assert n_wk == K * n_w1, (
+        f"oriented wedges not linear: {n_w1} -> {n_wk} at x{K}"
+    )
+    cross = wk.filter(
+        (F.col("x") / 10_000_000).cast("long")
+        != (F.col("y") / 10_000_000).cast("long")
+    )
+    assert cross.count() == 0, "oriented wedge spans two disjoint replicas"
