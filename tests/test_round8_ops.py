@@ -777,3 +777,33 @@ def test_sessionize_invariant_to_micro_batch_count(spark):
     two, four = run(2), run(4)
     assert len(two) > 0
     assert two == four
+
+
+def test_isotropy_audit_matches_pure_python(spark):
+    from collections import defaultdict
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet", columns=["label", "embedding"])
+    sums = defaultdict(lambda: [0] * 64)
+    sum_norm2 = defaultdict(int)
+    counts = defaultdict(int)
+    for lab, vec in zip(emb["label"], emb["embedding"]):
+        lab = int(lab)
+        q = [round(float(x) * 1e6) for x in vec]
+        counts[lab] += 1
+        sum_norm2[lab] += sum(v * v for v in q)
+        for d in range(64):
+            sums[lab][d] += q[d]
+
+    got = {
+        r.label: r
+        for r in all_specs()["sim_isotropy_audit"].spark(spark, SF).collect()
+    }
+    assert set(got) == set(counts)
+    for lab in counts:
+        n = counts[lab]
+        sum_sq = sum(s * s for s in sums[lab])
+        r = got[lab]
+        assert r.n_vectors == n
+        assert r.mean_vec_norm2_sq == sum_sq // (n * n)
+        assert r.mean_norm2 == sum_norm2[lab] // n
+        assert r.anisotropy_ppm == sum_sq * 1_000_000 // (n * sum_norm2[lab])

@@ -3957,3 +3957,90 @@ def sim_davies_bouldin_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("worst_lj").cast("int").alias("worst_other_label"),
         F.col("r_ppm").alias("db_term_ppm"),
     )
+
+
+@register(
+    "sim_isotropy_audit",
+    oracle="""
+    WITH q AS (
+        SELECT label,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(round(x * 1000000.0) AS BIGINT))
+                   AS qv
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT label, generate_subscripts(qv, 1) - 1 AS dim, unnest(qv) AS v
+        FROM q
+    ),
+    sums AS (
+        SELECT label, dim, CAST(SUM(v) AS HUGEINT) AS s
+        FROM dims GROUP BY label, dim
+    ),
+    percomp AS (
+        SELECT label,
+               CAST(SUM(s * s) AS HUGEINT) AS sum_sq
+        FROM sums GROUP BY label
+    ),
+    norms AS (
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(list_sum(list_transform(qv, x -> x * x)))
+                    AS HUGEINT) AS sum_norm2
+        FROM q GROUP BY label
+    )
+    SELECT CAST(n.label AS INT) AS label,
+           n.n AS n_vectors,
+           CAST(p.sum_sq // (n.n * n.n) AS BIGINT) AS mean_vec_norm2_sq,
+           CAST(n.sum_norm2 // n.n AS BIGINT) AS mean_norm2,
+           CAST(p.sum_sq * 1000000 // (n.n * n.sum_norm2) AS BIGINT)
+               AS anisotropy_ppm
+    FROM norms n JOIN percomp p ON p.label = n.label
+    """,
+    doc="Embedding isotropy audit per label: the anisotropy ratio "
+        "||mean vector||^2 / mean(||v||^2) — near 0 for an isotropic "
+        "cloud (vectors cancel), near 1e6 ppm when every vector points "
+        "the same way (the 'anisotropic cone' pathology of contextual "
+        "embedding spaces, Ethayarajh 2019; also the denominator "
+        "correction every mean-centered cosine needs). Equivalent to the "
+        "mean pairwise-cosine-with-self diagnostic but computed WITHOUT "
+        "any pair join: one per-(label,dim) SUM builds the mean "
+        "direction, one per-vector norm pass builds the denominator — "
+        "both single narrow shuffles at any corpus size. Arithmetic is "
+        "exact integers end-to-end on the shared 1e-6 fixed-point "
+        "quantization (sum-vector components squared in HUGEINT/DECIMAL, "
+        "ppm floor division). Reference parity: extension surface "
+        "(SURVEY.md §2.C similarity rows).",
+)
+def sim_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * F.lit(1_000_000.0)).cast("long"),
+    )
+    withq = emb.select("label", qv.alias("qv"))
+    dims = withq.select("label", F.posexplode("qv").alias("dim", "v"))
+    sums = dims.groupBy("label", "dim").agg(
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("s")
+    )
+    percomp = sums.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).alias("sum_sq")
+    )
+    norm2 = F.aggregate(
+        F.col("qv"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    norms = withq.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(norm2.cast("decimal(38,0)")).alias("sum_norm2"),
+    )
+    return norms.join(percomp, "label").select(
+        F.col("label").cast("int").alias("label"),
+        F.col("n").alias("n_vectors"),
+        F.expr("CAST(sum_sq DIV (n * n) AS BIGINT)").alias(
+            "mean_vec_norm2_sq"
+        ),
+        F.expr("CAST(sum_norm2 DIV n AS BIGINT)").alias("mean_norm2"),
+        F.expr(
+            "CAST(sum_sq * 1000000 DIV (n * sum_norm2) AS BIGINT)"
+        ).alias("anisotropy_ppm"),
+    )

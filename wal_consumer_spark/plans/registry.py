@@ -164,6 +164,7 @@ FUTURE_WINDOW: list[str] = [
     "pipeline_soft_dedup_weights",
     "ts_ohlc_weekly",
     "sim_davies_bouldin_index",
+    "sim_isotropy_audit",
 ]
 
 def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQuery], SparkQuery]:
