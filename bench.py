@@ -783,6 +783,12 @@ def main() -> None:
                 "construct_sec": 0.389,
                 "calibration_cpu_sec": 0.244,
             },
+            "ml_fleiss_kappa_panel": {
+                "fresh_jvm_median_sec": 1.39,
+                "fresh_jvm_samples": [1.721, 1.39, 1.265],
+                "construct_sec": 0.414,
+                "calibration_cpu_sec": 0.206,
+            },
         },
     }
     detail_path = os.path.join(here_dir, f"BENCH_DETAIL_r{rnd:02d}.json")

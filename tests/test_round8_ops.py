@@ -807,3 +807,48 @@ def test_isotropy_audit_matches_pure_python(spark):
         assert r.mean_vec_norm2_sq == sum_sq // (n * n)
         assert r.mean_norm2 == sum_norm2[lab] // n
         assert r.anisotropy_ppm == sum_sq * 1_000_000 // (n * sum_norm2[lab])
+
+
+def test_fleiss_kappa_panel_matches_pure_python(spark):
+    from collections import Counter, defaultdict
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    vecs = {
+        int(v): [round(float(x) * 1e6) + 2_000_000 for x in e]
+        for v, e in zip(emb["vec_id"], emb["embedding"])
+    }
+    labels = {int(v): int(l) for v, l in zip(emb["vec_id"], emb["label"])}
+    sums = defaultdict(lambda: [0] * 64)
+    counts = defaultdict(int)
+    for v, q in vecs.items():
+        lab = labels[v]
+        counts[lab] += 1
+        for d in range(64):
+            sums[lab][d] += q[d]
+    cent = {lab: [s // counts[lab] for s in sums[lab]] for lab in sums}
+
+    def classify(q, upto):
+        best = None
+        for lab in sorted(cent):
+            dist = sum((q[d] - cent[lab][d]) ** 2 for d in range(upto))
+            if best is None or (dist, lab) < best:
+                best = (dist, lab)
+        return best[1]
+
+    votes = {}
+    for v, q in vecs.items():
+        votes[v] = Counter([classify(q, 16), classify(q, 32), classify(q, 64)])
+    N, n = len(vecs), 3
+    s1 = sum(sum(c * c for c in cnt.values()) for cnt in votes.values()) - N * n
+    cj = Counter()
+    for cnt in votes.values():
+        cj.update(cnt)
+    sum_cj_sq = sum(c * c for c in cj.values())
+
+    r = all_specs()["ml_fleiss_kappa_panel"].spark(spark, SF).collect()[0]
+    assert r.n_items == N
+    assert r.p_bar_ppm == s1 * 1_000_000 // (N * n * (n - 1))
+    assert r.p_e_ppm == sum_cj_sq * 1_000_000 // ((N * n) * (N * n))
+    num = s1 * (N * n) * (N * n) - sum_cj_sq * N * n * (n - 1)
+    den = (N * n) * (N * n) * N * n * (n - 1) - sum_cj_sq * N * n * (n - 1)
+    assert r.fleiss_kappa_micro == num * 1_000_000 // den

@@ -4044,3 +4044,158 @@ def sim_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum_sq * 1000000 DIV (n * sum_norm2) AS BIGINT)"
         ).alias("anisotropy_ppm"),
     )
+
+
+@register(
+    "ml_fleiss_kappa_panel",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(round(x * 1000000.0) AS BIGINT) + 2000000)
+                   AS qv
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT vec_id, generate_subscripts(qv, 1) - 1 AS dim, unnest(qv) AS v
+        FROM q
+    ),
+    cent AS (
+        SELECT e.label AS clabel, d.dim,
+               CAST(CAST(SUM(d.v) AS HUGEINT) // COUNT(*) AS BIGINT) AS c
+        FROM dims d JOIN q e ON e.vec_id = d.vec_id
+        GROUP BY e.label, d.dim
+    ),
+    dist AS (
+        SELECT d.vec_id, ct.clabel,
+               SUM(CASE WHEN d.dim < 16
+                        THEN (d.v - ct.c) * (d.v - ct.c) ELSE 0 END) AS d16,
+               SUM(CASE WHEN d.dim < 32
+                        THEN (d.v - ct.c) * (d.v - ct.c) ELSE 0 END) AS d32,
+               SUM((d.v - ct.c) * (d.v - ct.c)) AS d64
+        FROM dims d JOIN cent ct ON ct.dim = d.dim
+        GROUP BY d.vec_id, ct.clabel
+    ),
+    pred AS (
+        SELECT vec_id,
+               arg_min(clabel, CAST(d16 AS BIGINT) * 16 + clabel) AS r16,
+               arg_min(clabel, CAST(d32 AS BIGINT) * 16 + clabel) AS r32,
+               arg_min(clabel, CAST(d64 AS BIGINT) * 16 + clabel) AS r64
+        FROM dist GROUP BY vec_id
+    ),
+    votes AS (
+        SELECT vec_id, cat, CAST(COUNT(*) AS BIGINT) AS nij FROM (
+            SELECT vec_id, r16 AS cat FROM pred
+            UNION ALL SELECT vec_id, r32 FROM pred
+            UNION ALL SELECT vec_id, r64 FROM pred
+        ) GROUP BY vec_id, cat
+    ),
+    s1 AS (
+        SELECT CAST(SUM(nij * nij) - 3 * COUNT(DISTINCT vec_id) AS HUGEINT)
+                   AS s1,
+               CAST(COUNT(DISTINCT vec_id) AS HUGEINT) AS n_items
+        FROM votes
+    ),
+    marg AS (
+        SELECT CAST(SUM(cj * cj) AS HUGEINT) AS sum_cj_sq
+        FROM (SELECT cat, CAST(SUM(nij) AS HUGEINT) AS cj
+              FROM votes GROUP BY cat)
+    )
+    SELECT CAST(s1.n_items AS BIGINT) AS n_items,
+           CAST(s1.s1 * 1000000 // (s1.n_items * 6) AS BIGINT) AS p_bar_ppm,
+           CAST(m.sum_cj_sq * 1000000 // ((s1.n_items * 3)
+                                          * (s1.n_items * 3)) AS BIGINT)
+               AS p_e_ppm,
+           CAST((s1.s1 * (s1.n_items * 3) * (s1.n_items * 3)
+                 - m.sum_cj_sq * s1.n_items * 6) * 1000000
+                // ((s1.n_items * 3) * (s1.n_items * 3) * s1.n_items * 6
+                    - m.sum_cj_sq * s1.n_items * 6) AS BIGINT)
+               AS fleiss_kappa_micro
+    FROM s1, marg m
+    """,
+    doc="Fleiss' kappa over a three-rater panel: the 16-, 32-, and "
+        "64-dim nearest-integer-centroid classifiers (the Matryoshka "
+        "ladder from ml_mcnemar_dim_ablation) each label every vector, "
+        "and the panel's chance-corrected agreement is the multi-rater "
+        "generalization of Cohen's kappa — the data-labeling QA number "
+        "for annotator panels (here: how consistent the embedding's "
+        "decision geometry stays under dimension truncation). EXACT "
+        "RATIONAL arithmetic throughout: P_bar = S1/(N*n*(n-1)) with "
+        "S1 = sum_i(sum_j n_ij^2) - N*n, P_e = sum_j C_j^2/(N*n)^2, and "
+        "kappa's (P_bar-P_e)/(1-P_e) is evaluated by integer cross-"
+        "multiplication in HUGEINT/DECIMAL before ONE ppm/micro floor "
+        "division each — no intermediate doubles anywhere. Plan: the "
+        "shared posexplode + bounded centroid join + one (vec,label) "
+        "distance aggregate; panel votes are three argmins over the "
+        "same 10-candidate frame. Reference parity: extension surface "
+        "(SURVEY.md §2.C ML rows).",
+)
+def ml_fleiss_kappa_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wal_consumer_spark.operators.broadcast import maybe_broadcast
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * F.lit(1_000_000.0)).cast("long")
+        + F.lit(2_000_000).cast("long"),
+    )
+    dims = emb.select("vec_id", "label", F.posexplode(qv).alias("dim", "v"))
+    cent = dims.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        F.expr("CAST(SUM(v) DIV COUNT(*) AS BIGINT)").alias("c")
+    )
+    d2 = (F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))
+    dist = (
+        dims.join(maybe_broadcast(cent), "dim")
+        .groupBy("vec_id", "clabel")
+        .agg(
+            F.sum(F.when(F.col("dim") < 16, d2).otherwise(F.lit(0))).alias(
+                "d16"
+            ),
+            F.sum(F.when(F.col("dim") < 32, d2).otherwise(F.lit(0))).alias(
+                "d32"
+            ),
+            F.sum(d2).alias("d64"),
+        )
+    )
+    pred = dist.groupBy("vec_id").agg(
+        F.min_by("clabel", F.col("d16") * 16 + F.col("clabel")).alias("r16"),
+        F.min_by("clabel", F.col("d32") * 16 + F.col("clabel")).alias("r32"),
+        F.min_by("clabel", F.col("d64") * 16 + F.col("clabel")).alias("r64"),
+    )
+    votes = (
+        pred.select("vec_id", F.col("r16").alias("cat"))
+        .unionAll(pred.select("vec_id", F.col("r32").alias("cat")))
+        .unionAll(pred.select("vec_id", F.col("r64").alias("cat")))
+        .groupBy("vec_id", "cat")
+        .agg(F.count(F.lit(1)).cast("long").alias("nij"))
+    )
+    s1 = votes.agg(
+        (
+            F.sum(
+                (F.col("nij") * F.col("nij")).cast("decimal(38,0)")
+            )
+            - F.count_distinct("vec_id").cast("decimal(38,0)") * 3
+        ).alias("s1"),
+        F.count_distinct("vec_id").cast("decimal(38,0)").alias("n_items"),
+    )
+    marg = (
+        votes.groupBy("cat")
+        .agg(F.sum("nij").cast("decimal(38,0)").alias("cj"))
+        .agg(F.sum(F.col("cj") * F.col("cj")).alias("sum_cj_sq"))
+    )
+    return s1.crossJoin(F.broadcast(marg)).select(
+        F.col("n_items").cast("long").alias("n_items"),
+        F.expr(
+            "CAST(s1 * 1000000 DIV (n_items * 6) AS BIGINT)"
+        ).alias("p_bar_ppm"),
+        F.expr(
+            "CAST(sum_cj_sq * 1000000 DIV ((n_items * 3) * (n_items * 3)) "
+            "AS BIGINT)"
+        ).alias("p_e_ppm"),
+        F.expr(
+            "CAST((s1 * (n_items * 3) * (n_items * 3) "
+            "- sum_cj_sq * n_items * 6) * 1000000 "
+            "DIV ((n_items * 3) * (n_items * 3) * n_items * 6 "
+            "- sum_cj_sq * n_items * 6) AS BIGINT)"
+        ).alias("fleiss_kappa_micro"),
+    )

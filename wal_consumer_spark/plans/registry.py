@@ -165,6 +165,7 @@ FUTURE_WINDOW: list[str] = [
     "ts_ohlc_weekly",
     "sim_davies_bouldin_index",
     "sim_isotropy_audit",
+    "ml_fleiss_kappa_panel",
 ]
 
 def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQuery], SparkQuery]:
