@@ -206,42 +206,92 @@ def test_staging_partitions_registry():
     _check_staging_partition(REPO)
 
 
-def test_staging_partition_survives_driver_drop(tmp_path):
-    """Simulate the driver dropping CORRECTNESS_r{newest+1}.json that
-    certifies every DRIVER_WINDOW name: the partition invariant must STILL
-    hold (the round-7 failure mode — the old assertion counted the fresh
-    certification as 50 wasted slots)."""
-    import shutil
+_GREEN_ROW = {
+    "rows_match": True, "schema_match": True, "hash_match": True,
+    "spark_rows": 1, "oracle_rows": 1, "err": None,
+}
 
-    for p in REPO.glob("CORRECTNESS_r*.json"):
-        shutil.copy(p, tmp_path / p.name)
-    nxt = _newest_round(REPO) + 1
-    synthetic = {
-        n: {"rows_match": True, "schema_match": True, "hash_match": True,
-            "spark_rows": 1, "oracle_rows": 1, "err": None}
-        for n in DRIVER_WINDOW
-    }
-    (tmp_path / f"CORRECTNESS_r{nxt:02d}.json").write_text(json.dumps(synthetic))
-    _check_staging_partition(tmp_path)
+
+def _copy_pre_drop_state(src: Path, dst: Path) -> None:
+    """Reconstruct the PRE-drop disk state in `dst` regardless of the
+    phase `src` is in: copy every CORRECTNESS_r*.json but strip rows for
+    current DRIVER_WINDOW names. If the driver has already certified the
+    window (post-drop phase on disk — the round-8 judge-day failure:
+    copying the real window-certifying file then appending a synthetic
+    next round made the real rows look stale), stripping removes exactly
+    that certification; if it hasn't (pre-drop phase), stripping is a
+    no-op. Empty round files are kept so round numbering is preserved."""
+    window = set(DRIVER_WINDOW)
+    for p in src.glob("CORRECTNESS_r*.json"):
+        rows = {
+            n: r
+            for n, r in json.loads(p.read_text()).items()
+            if n not in window
+        }
+        (dst / p.name).write_text(json.dumps(rows))
+
+
+def _certify_window(state: Path) -> None:
+    """Simulate the driver dropping CORRECTNESS_r{newest+1}.json that
+    certifies every DRIVER_WINDOW name."""
+    nxt = _newest_round(state) + 1
+    synthetic = {n: dict(_GREEN_ROW) for n in DRIVER_WINDOW}
+    (state / f"CORRECTNESS_r{nxt:02d}.json").write_text(json.dumps(synthetic))
+
+
+def test_staging_partition_survives_driver_drop(tmp_path):
+    """The invariant must hold in BOTH phases of a round, from ANY on-disk
+    starting phase (VERDICT r8 "What's wrong" #1 — the second consecutive
+    round this simulation was phase-fragile):
+
+    - pre-drop (window rotated, driver not yet run): window names green
+      nowhere — rehearsal phase;
+    - post-drop (driver wrote CORRECTNESS_r{newest+1} certifying the
+      window): the fresh certification is success, not 50 wasted slots.
+
+    The simulation is made phase-independent by reconstructing the
+    pre-drop state first (stripping window rows from the copied files),
+    so it passes identically before AND after the real driver runs."""
+    pre = tmp_path / "pre"
+    pre.mkdir()
+    _copy_pre_drop_state(REPO, pre)
+    _check_staging_partition(pre)  # phase 1: rotated, not yet certified
+    _certify_window(pre)
+    _check_staging_partition(pre)  # phase 2: driver just certified
+
+
+def test_staging_partition_from_post_drop_disk_state(tmp_path):
+    """Inverse fixture (VERDICT r8 fix directive): start from an explicit
+    POST-drop disk state — strip, then certify, then treat THAT as the
+    on-disk state a fresh pytest run would see on judge day. The invariant
+    must hold as-is, and the pre-drop reconstruction applied to the
+    post-drop state must land back in a valid pre-drop state."""
+    post = tmp_path / "post"
+    post.mkdir()
+    _copy_pre_drop_state(REPO, post)
+    _certify_window(post)
+    _check_staging_partition(post)  # judge-day pytest with driver file present
+    # re-running the phase-independent simulation FROM the post-drop state
+    # (what the round-8 test failed to do) must also hold
+    re_pre = tmp_path / "re_pre"
+    re_pre.mkdir()
+    _copy_pre_drop_state(post, re_pre)
+    _check_staging_partition(re_pre)
+    _certify_window(re_pre)
+    _check_staging_partition(re_pre)
 
 
 def test_staging_partition_still_flags_stale_window(tmp_path):
     """Negative control: a window name certified by an EARLIER round (not
     the newest) must still be flagged as a wasted slot — the phase-robust
     exemption only covers the newest round's own certification."""
-    import shutil
-
     import pytest
 
-    for p in REPO.glob("CORRECTNESS_r*.json"):
-        shutil.copy(p, tmp_path / p.name)
-    nxt = _newest_round(REPO) + 1
-    stale = {
-        DRIVER_WINDOW[0]: {
-            "rows_match": True, "schema_match": True, "hash_match": True,
-            "spark_rows": 1, "oracle_rows": 1, "err": None,
-        }
-    }
+    # start from the reconstructed pre-drop state so the control is valid
+    # from ANY on-disk phase (same fix as the driver-drop simulation)
+    _copy_pre_drop_state(REPO, tmp_path)
+    nxt = _newest_round(tmp_path) + 1
+    stale = {DRIVER_WINDOW[0]: dict(_GREEN_ROW)}
     # The stale green lands in round nxt; a NEWER round exists beyond it,
     # so the window name is green in rounds < newest — must be flagged.
     (tmp_path / f"CORRECTNESS_r{nxt:02d}.json").write_text(json.dumps(stale))
