@@ -323,3 +323,11 @@ def test_survey_count_matches_registry():
     assert int(m.group(1)) == len(all_specs()), (
         f"SURVEY.md says {m.group(1)} queries; registry has {len(all_specs())}"
     )
+    # README carries the same headline number and drifted in round 8
+    # (ADVICE r8 low #1) — pin it to the registry too
+    readme = (REPO / "README.md").read_text()
+    rm = re.search(r"(\d+) named queries", readme)
+    assert rm, "README.md query-count claim not found"
+    assert int(rm.group(1)) == len(all_specs()), (
+        f"README.md says {rm.group(1)} queries; registry has {len(all_specs())}"
+    )

@@ -851,4 +851,10 @@ def test_fleiss_kappa_panel_matches_pure_python(spark):
     assert r.p_e_ppm == sum_cj_sq * 1_000_000 // ((N * n) * (N * n))
     num = s1 * (N * n) * (N * n) - sum_cj_sq * N * n * (n - 1)
     den = (N * n) * (N * n) * N * n * (n - 1) - sum_cj_sq * N * n * (n - 1)
-    assert r.fleiss_kappa_micro == num * 1_000_000 // den
+    # the kappa numerator is the one SIGNED quantity here: both engines
+    # truncate toward zero (Spark DIV, DuckDB //), while Python // floors —
+    # use sign-adjusted truncating division so a below-chance (negative
+    # kappa) panel still matches a correct engine result (ADVICE r8)
+    q = abs(num * 1_000_000) // abs(den)
+    expected_kappa = q if (num >= 0) == (den >= 0) else -q
+    assert r.fleiss_kappa_micro == expected_kappa

@@ -85,9 +85,19 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sh AS (
         SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
     ),
+    shc AS (
+        -- mirrors shingle_pairs_jaccard's max_df=1000 stop-shingle cap
+        -- (operators/dedup.py:35): intersection counts use only shingles
+        -- with document frequency <= 1000; set sizes keep the full sets
+        SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle,
+                   COUNT(*) OVER (PARTITION BY shingle) AS df
+            FROM sh
+        ) t WHERE df <= 1000
+    ),
     inter AS (
         SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_common
-        FROM sh a JOIN sh b USING (shingle)
+        FROM shc a JOIN shc b USING (shingle)
         WHERE a.doc_id < b.doc_id GROUP BY 1, 2
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)
@@ -280,9 +290,19 @@ def _dedup_lsh_eval_sql() -> str:
     WITH sh AS (
         SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
     ),
+    shc AS (
+        -- mirrors shingle_pairs_jaccard's max_df=1000 stop-shingle cap
+        -- (operators/dedup.py:35): intersection counts use only shingles
+        -- with document frequency <= 1000; set sizes keep the full sets
+        SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle,
+                   COUNT(*) OVER (PARTITION BY shingle) AS df
+            FROM sh
+        ) t WHERE df <= 1000
+    ),
     inter AS (
         SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_common
-        FROM sh a JOIN sh b USING (shingle)
+        FROM shc a JOIN shc b USING (shingle)
         WHERE a.doc_id < b.doc_id GROUP BY 1, 2
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
@@ -1110,9 +1130,19 @@ def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE
     sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+    shc AS (
+        -- mirrors shingle_pairs_jaccard's max_df=1000 stop-shingle cap
+        -- (operators/dedup.py:35): intersection counts use only shingles
+        -- with document frequency <= 1000; set sizes keep the full sets
+        SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle,
+                   COUNT(*) OVER (PARTITION BY shingle) AS df
+            FROM sh
+        ) t WHERE df <= 1000
+    ),
     inter AS (
         SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_common
-        FROM sh a JOIN sh b USING (shingle)
+        FROM shc a JOIN shc b USING (shingle)
         WHERE a.doc_id < b.doc_id GROUP BY 1, 2
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
@@ -1503,9 +1533,19 @@ def ml_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sh AS (
         SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
     ),
+    shc AS (
+        -- mirrors shingle_pairs_jaccard's max_df=1000 stop-shingle cap
+        -- (operators/dedup.py:35): intersection counts use only shingles
+        -- with document frequency <= 1000; set sizes keep the full sets
+        SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle,
+                   COUNT(*) OVER (PARTITION BY shingle) AS df
+            FROM sh
+        ) t WHERE df <= 1000
+    ),
     inter AS (
         SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_common
-        FROM sh a JOIN sh b USING (shingle)
+        FROM shc a JOIN shc b USING (shingle)
         WHERE a.doc_id < b.doc_id GROUP BY 1, 2
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)
@@ -1549,9 +1589,19 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE
     sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+    shc AS (
+        -- mirrors shingle_pairs_jaccard's max_df=1000 stop-shingle cap
+        -- (operators/dedup.py:35): intersection counts use only shingles
+        -- with document frequency <= 1000; set sizes keep the full sets
+        SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle,
+                   COUNT(*) OVER (PARTITION BY shingle) AS df
+            FROM sh
+        ) t WHERE df <= 1000
+    ),
     inter AS (
         SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_common
-        FROM sh a JOIN sh b USING (shingle)
+        FROM shc a JOIN shc b USING (shingle)
         WHERE a.doc_id < b.doc_id GROUP BY 1, 2
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
@@ -3143,9 +3193,19 @@ def sim_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE
     sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+    shc AS (
+        -- mirrors shingle_pairs_jaccard's max_df=1000 stop-shingle cap
+        -- (operators/dedup.py:35): intersection counts use only shingles
+        -- with document frequency <= 1000; set sizes keep the full sets
+        SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle,
+                   COUNT(*) OVER (PARTITION BY shingle) AS df
+            FROM sh
+        ) t WHERE df <= 1000
+    ),
     inter AS (
         SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_common
-        FROM sh a JOIN sh b USING (shingle)
+        FROM shc a JOIN shc b USING (shingle)
         WHERE a.doc_id < b.doc_id GROUP BY 1, 2
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
@@ -3388,9 +3448,19 @@ def sim_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sh AS (
         SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
     ),
+    shc AS (
+        -- mirrors shingle_pairs_jaccard's max_df=1000 stop-shingle cap
+        -- (operators/dedup.py:35): intersection counts use only shingles
+        -- with document frequency <= 1000; set sizes keep the full sets
+        SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle,
+                   COUNT(*) OVER (PARTITION BY shingle) AS df
+            FROM sh
+        ) t WHERE df <= 1000
+    ),
     inter AS (
         SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_common
-        FROM sh a JOIN sh b USING (shingle)
+        FROM shc a JOIN shc b USING (shingle)
         WHERE a.doc_id < b.doc_id GROUP BY 1, 2
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
@@ -3707,9 +3777,19 @@ def dedup_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE
     sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+    shc AS (
+        -- mirrors shingle_pairs_jaccard's max_df=1000 stop-shingle cap
+        -- (operators/dedup.py:35): intersection counts use only shingles
+        -- with document frequency <= 1000; set sizes keep the full sets
+        SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle,
+                   COUNT(*) OVER (PARTITION BY shingle) AS df
+            FROM sh
+        ) t WHERE df <= 1000
+    ),
     inter AS (
         SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_common
-        FROM sh a JOIN sh b USING (shingle)
+        FROM shc a JOIN shc b USING (shingle)
         WHERE a.doc_id < b.doc_id GROUP BY 1, 2
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
