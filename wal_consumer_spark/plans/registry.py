@@ -115,6 +115,14 @@ DRIVER_WINDOW: list[str] = [
 #: enforce that cumulative-green ∪ DRIVER_WINDOW ∪ NEXT_WINDOW ∪
 #: FUTURE_WINDOW == all_specs() exactly.
 NEXT_WINDOW: list[str] = [
+    # --- round-9 session additions (staged same-commit as registration;
+    # most roll into the round-9 DRIVER_WINDOW fills at rotation) ---
+    "ts_runs_test_wald_wolfowitz",
+    "analytics_nelson_aalen_hazard",
+    "ml_wilcoxon_signed_rank",
+    "sql_front_correlated_scalar_subquery",
+    "cdc_compaction_savings_by_horizon",
+    # --- second-wave round-7 additions (round-9 closing set) ---
     "graph_global_transitivity",
     "analytics_revenue_retention_nrr",
     "analytics_rfm_migration_matrix",

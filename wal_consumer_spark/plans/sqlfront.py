@@ -146,6 +146,27 @@ _SHARED_SQL = {
     ) t WHERE bal_rank <= 5
     ORDER BY c_mktsegment, bal_rank
     """,
+    # correlated scalar subqueries in SELECT and WHERE: Catalyst
+    # decorrelates both into aggregated joins (never a per-row re-scan),
+    # so the textual form stays scale-safe — the deterministic id-hash
+    # gate bounds the output, not the plan
+    "sql_front_correlated_scalar_subquery": """
+    SELECT o.o_orderkey,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+             WHERE l.l_orderkey = o.o_orderkey) AS n_items,
+           (SELECT CAST(COALESCE(SUM(CAST(l.l_quantity AS BIGINT)), 0)
+                        AS BIGINT) FROM lineitem l
+             WHERE l.l_orderkey = o.o_orderkey) AS total_qty
+    FROM orders o
+    WHERE o.o_orderkey % 97 = 0
+      AND CAST(round(o.o_totalprice * 100) AS BIGINT) *
+          (SELECT COUNT(*) FROM orders o2
+            WHERE o2.o_orderpriority = o.o_orderpriority) >
+          (SELECT SUM(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+             FROM orders o2 WHERE o2.o_orderpriority = o.o_orderpriority)
+    ORDER BY o.o_orderkey
+    """,
 }
 
 

@@ -3750,3 +3750,92 @@ def ts_ohlc_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("rev", "d").cast("long").alias("close_cents"),
         F.sum("rev").cast("long").alias("volume_cents"),
     )
+
+
+@register(
+    "ts_runs_test_wald_wolfowitz",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS d,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ),
+    seq AS (
+        SELECT d, cents - lag(cents) OVER (ORDER BY d) AS diff FROM daily
+    ),
+    s AS (
+        SELECT d, CASE WHEN diff > 0 THEN 1 ELSE 0 END AS sg
+        FROM seq WHERE diff IS NOT NULL AND diff <> 0
+    ),
+    r AS (SELECT sg, lag(sg) OVER (ORDER BY d) AS prev FROM s),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(count_if(sg = 1) AS BIGINT) AS n_plus,
+               CAST(count_if(sg = 0) AS BIGINT) AS n_minus,
+               CAST(1 + count_if(prev IS NOT NULL AND sg <> prev) AS BIGINT)
+                   AS n_runs
+        FROM r
+    )
+    SELECT n, n_plus, n_minus, n_runs,
+           CAST(1000000 + CAST(2000000 AS HUGEINT) * n_plus * n_minus // n
+                AS BIGINT) AS expected_runs_micro,
+           CAST(CAST(2 AS HUGEINT) * n_plus * n_minus
+                * (2 * CAST(n_plus AS HUGEINT) * n_minus - n) * 1000000
+                // (CAST(n AS HUGEINT) * n * (n - 1))
+                AS BIGINT) AS var_runs_micro
+    FROM agg
+    """,
+    doc="Wald-Wolfowitz runs test for randomness of the daily-revenue "
+        "direction sequence: sign of day-over-day change (zero diffs "
+        "dropped, the standard convention), observed run count vs the "
+        "exact null mean 1 + 2*n1*n2/n and variance "
+        "2*n1*n2*(2*n1*n2 - n) / (n^2*(n-1)) — too few runs = trend/"
+        "autocorrelation, too many = oscillation; the nonparametric "
+        "cousin of ts_ljung_box_whiteness that needs no lag grid. All "
+        "outputs are exact integers (micro-quantized via DECIMAL->DIV, "
+        "matching DuckDB HUGEINT//); the two global windows run over the "
+        "date-aggregated daily table (bounded by the day span, the "
+        "repo's value-domain window rule). Reference parity: extension "
+        "surface (SURVEY.md §2.C time-series rows).",
+)
+def ts_runs_test_wald_wolfowitz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+        .cast("long")
+        .alias("cents")
+    )
+    seq = daily.select(
+        "d", (F.col("cents") - F.lag("cents").over(Window.orderBy("d"))).alias("diff")
+    )
+    s = seq.where(F.col("diff").isNotNull() & (F.col("diff") != 0)).select(
+        "d", F.when(F.col("diff") > 0, 1).otherwise(0).alias("sg")
+    )
+    r = s.select("sg", F.lag("sg").over(Window.orderBy("d")).alias("prev"))
+    agg = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_if(F.col("sg") == 1).cast("long").alias("n_plus"),
+        F.count_if(F.col("sg") == 0).cast("long").alias("n_minus"),
+        (
+            F.lit(1)
+            + F.count_if(F.col("prev").isNotNull() & (F.col("sg") != F.col("prev")))
+        )
+        .cast("long")
+        .alias("n_runs"),
+    )
+    return agg.select(
+        "n",
+        "n_plus",
+        "n_minus",
+        "n_runs",
+        F.expr(
+            "CAST(1000000 + CAST(2000000 AS DECIMAL(38,0)) * n_plus * n_minus "
+            "DIV n AS BIGINT)"
+        ).alias("expected_runs_micro"),
+        F.expr(
+            "CAST(CAST(2 AS DECIMAL(38,0)) * n_plus * n_minus "
+            "* (2 * CAST(n_plus AS DECIMAL(38,0)) * n_minus - n) * 1000000 "
+            "DIV (CAST(n AS DECIMAL(38,0)) * n * (n - 1)) AS BIGINT)"
+        ).alias("var_runs_micro"),
+    )
