@@ -3053,7 +3053,13 @@ def sim_lsh_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_purity_sql(dim: int = 64, nbits: int = 8, n_tables: int = 6, k: int = 5) -> str:
+def _knn_top_cte_sql(
+    dim: int = 64, nbits: int = 8, n_tables: int = 6, k: int = 5
+) -> str:
+    """Shared WITH-clause prefix ending in the `top` CTE (every vector's
+    exact-cosine top-k among LSH-bucketed candidates) — composed by the
+    kNN purity and hubness oracles so both replay the identical pair
+    machinery bit-for-bit."""
     qvec = (
         f"list_transform(range(1, {dim + 1}), "
         f"i -> CAST(round(v[i] * 1000000.0) AS BIGINT))"
@@ -3089,7 +3095,11 @@ def _knn_purity_sql(dim: int = 64, nbits: int = 8, n_tables: int = 6, k: int = 5
                                          ORDER BY cs DESC, cand_id) AS rn
             FROM scored
         ) WHERE rn <= {k}
-    )
+    )"""
+
+
+def _knn_purity_sql(dim: int = 64, nbits: int = 8, n_tables: int = 6, k: int = 5) -> str:
+    return f"""{_knn_top_cte_sql(dim, nbits, n_tables, k)}
     SELECT CAST(qlabel AS INT) AS label,
            CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
            CAST(COUNT(*) AS BIGINT) AS n_neighbors,
@@ -3125,7 +3135,11 @@ def _knn_purity_sql(dim: int = 64, nbits: int = 8, n_tables: int = 6, k: int = 5
         "bounded label rollup. Reference parity: extension surface "
         "(SURVEY.md §2.C similarity rows).",
 )
-def sim_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _knn_top5_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every vector's exact-cosine top-5 among LSH-bucketed candidates
+    (query_id, qlabel, cand_id, clabel, cs) — the shared all-corpus kNN
+    substrate behind sim_knn_label_purity and sim_knn_hubness_histogram;
+    mirrors `_knn_top_cte_sql` bit-for-bit."""
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select(
         "vec_id",
@@ -3173,7 +3187,11 @@ def sim_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("cs").desc(), F.col("cand_id")
     )
-    top = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
+
+
+def sim_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    top = _knn_top5_frame(spark, sf_dir)
     return top.groupBy(F.col("qlabel").cast("int").alias("label")).agg(
         F.count_distinct(F.col("query_id")).cast("long").alias("n_queries"),
         F.count(F.lit(1)).cast("long").alias("n_neighbors"),
@@ -4279,3 +4297,361 @@ def ml_fleiss_kappa_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "- sum_cj_sq * n_items * 6) AS BIGINT)"
         ).alias("fleiss_kappa_micro"),
     )
+
+
+@register(
+    "sim_knn_hubness_histogram",
+    oracle=f"""{_knn_top_cte_sql()},
+    occ AS (
+        SELECT cand_id, CAST(COUNT(*) AS BIGINT) AS k_occ
+        FROM top GROUP BY cand_id
+    ),
+    kfull AS (
+        SELECT e.vec_id, COALESCE(o.k_occ, 0) AS k_occ
+        FROM e LEFT JOIN occ o ON o.cand_id = e.vec_id
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM e)
+    SELECT CAST(k.k_occ AS BIGINT) AS n_occurrences,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(CAST(COUNT(*) AS HUGEINT) * 1000000 // t.n_all AS BIGINT)
+               AS share_ppm
+    FROM kfull k CROSS JOIN tot t
+    GROUP BY k.k_occ, t.n_all
+    """,
+    doc="k-occurrence (hubness) histogram of the embedding space: how "
+        "often each vector appears in OTHER vectors' exact-cosine top-5 "
+        "lists (the same LSH-bucketed all-corpus kNN substrate as "
+        "sim_knn_label_purity, shared via _knn_top5_frame), histogrammed "
+        "by occurrence count with never-retrieved vectors at bucket 0 — "
+        "the high-dimensional hubness pathology probe (Radovanovic et "
+        "al.: skewed k-occurrence means a few 'hub' points dominate "
+        "retrieval and ANN recall targets mislead; antihubs at 0 are "
+        "unreachable). Plan adds one narrow cand_id count and a left "
+        "join to the corpus spine on top of the shared top-5 frame; "
+        "output is bounded by the occurrence-count domain. Reference "
+        "parity: extension surface (SURVEY.md §2.C similarity rows).",
+)
+def sim_knn_hubness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    top = _knn_top5_frame(spark, sf_dir)
+    occ = top.groupBy("cand_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k_occ")
+    )
+    kfull = (
+        emb.select("vec_id")
+        .join(occ, F.col("vec_id") == F.col("cand_id"), "left")
+        .select(F.coalesce(F.col("k_occ"), F.lit(0)).alias("k_occ"))
+    )
+    tot = emb.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    return (
+        kfull.groupBy("k_occ")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k_occ").cast("long").alias("n_occurrences"),
+            "n_vectors",
+            F.expr(
+                "CAST(CAST(n_vectors AS DECIMAL(38,0)) * 1000000 "
+                "DIV n_all AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+    )
+
+
+@register(
+    "sim_dimension_variance_scree",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (
+        SELECT vec_id,
+               generate_subscripts(v, 1) - 1 AS dim,
+               CAST(round(unnest(v) * 1000000.0) AS BIGINT) AS qx
+        FROM e
+    ),
+    st AS (
+        SELECT dim,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(qx) AS HUGEINT) AS s,
+               CAST(SUM(qx * qx) AS HUGEINT) AS s2
+        FROM q GROUP BY dim
+    ),
+    vr AS (
+        SELECT dim, n, CAST(s AS BIGINT) AS sum_q_micro,
+               n * s2 - s * s AS var_num
+        FROM st
+    ),
+    tot AS (SELECT SUM(var_num) AS total_var FROM vr)
+    SELECT CAST(v.dim AS BIGINT) AS dim,
+           v.n AS n_vectors,
+           v.sum_q_micro,
+           CAST(v.var_num // (v.n * v.n) AS BIGINT) AS var_micro2,
+           CAST(v.var_num * 1000000 // t.total_var AS BIGINT)
+               AS var_share_ppm,
+           CAST(row_number() OVER (ORDER BY v.var_num DESC, v.dim)
+                AS BIGINT) AS var_rank,
+           CAST(SUM(v.var_num) OVER (ORDER BY v.var_num DESC, v.dim
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                * 1000000 // t.total_var AS BIGINT) AS cum_share_ppm
+    FROM vr v CROSS JOIN tot t
+    """,
+    doc="Per-dimension variance scree of the embedding table: each of "
+        "the 64 dimensions' exact variance numerator n*sum(q^2) - "
+        "(sum q)^2 on the shared 1e-6 fixed-point quantization, its "
+        "share of total variance, variance rank, and the cumulative "
+        "scree curve — the PCA-free intrinsic-dimensionality readout "
+        "(a cliff in cum_share says how many dims carry the signal; "
+        "near-zero-variance dims are dead capacity and prime "
+        "Matryoshka-truncation candidates, complementing "
+        "sim_isotropy_audit's direction-level view). ONE explode pass "
+        "and a 64-group aggregate — no pair join, no covariance matrix; "
+        "the ranking windows run over the dimension-domain table "
+        "(bounded by the embedding width, never the corpus). All "
+        "outputs integral (HUGEINT/DECIMAL floor-div on non-negative "
+        "quantities). Reference parity: extension surface (SURVEY.md "
+        "§2.C similarity rows).",
+)
+def sim_dimension_variance_scree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * F.lit(1000000.0)).cast("long"),
+    )
+    q = emb.select(F.posexplode(qv).alias("dim", "qx"))
+    st = q.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("qx").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("qx") * F.col("qx")).cast("decimal(38,0)").alias("s2"),
+    )
+    vr = st.select(
+        "dim",
+        "n",
+        F.col("s").cast("long").alias("sum_q_micro"),
+        (F.col("n") * F.col("s2") - F.col("s") * F.col("s")).alias("var_num"),
+    )
+    tot = vr.agg(F.sum("var_num").alias("total_var"))
+    w_rank = Window.orderBy(F.col("var_num").desc(), "dim")
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
+    return vr.crossJoin(F.broadcast(tot)).select(
+        F.col("dim").cast("long").alias("dim"),
+        F.col("n").alias("n_vectors"),
+        "sum_q_micro",
+        F.expr("CAST(var_num DIV (n * n) AS BIGINT)").alias("var_micro2"),
+        F.expr("CAST(var_num * 1000000 DIV total_var AS BIGINT)").alias(
+            "var_share_ppm"
+        ),
+        F.row_number().over(w_rank).cast("long").alias("var_rank"),
+        (F.sum("var_num").over(w_cum) * F.lit(1_000_000))
+        .cast("decimal(38,0)")
+        .alias("cum_num"),
+        "total_var",
+    ).select(
+        "dim",
+        "n_vectors",
+        "sum_q_micro",
+        "var_micro2",
+        "var_share_ppm",
+        "var_rank",
+        F.expr("CAST(cum_num DIV total_var AS BIGINT)").alias("cum_share_ppm"),
+    )
+
+
+_LSH_BAND_CONFIGS = [(4, 8), (8, 4), (16, 2)]
+
+
+def _lsh_band_sensitivity_sql() -> str:
+    """Per-config DuckDB replay of the portable signature + banding at
+    (4x8, 8x4, 16x2), each against the df-capped exact-Jaccard truth."""
+    coeffs = "[" + ", ".join(f"[{a}, {b}]" for a, b in minhash_coeffs(32, 7)) + "]"
+    return f"""
+    WITH hs AS (
+        SELECT doc_id,
+               list_transform({_SHINGLES},
+                              s -> ('0x' || substring(md5(s), 1, 8))::BIGINT) AS h
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+               list_transform({coeffs}, c ->
+                   list_min(list_transform(h, x -> (c[1] * x + c[2]) % 4294967311))) AS sig
+        FROM hs
+    ),
+    sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+    shc AS (
+        SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle,
+                   COUNT(*) OVER (PARTITION BY shingle) AS df
+            FROM sh
+        ) t WHERE df <= 1000
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_common
+        FROM shc a JOIN shc b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    truth AS (
+        SELECT doc1, doc2 FROM inter
+        JOIN sizes s1 ON s1.doc_id = doc1
+        JOIN sizes s2 ON s2.doc_id = doc2
+        WHERE n_common / (s1.n + s2.n - n_common) >= 0.5
+    ),
+    banded0 AS (
+        SELECT doc_id, band, bucket FROM (
+            SELECT doc_id, band, bucket,
+                   COUNT(*) OVER (PARTITION BY band, bucket) AS bn
+            FROM (
+                SELECT doc_id, bb.b AS band,
+                       array_to_string(list_slice(sig, bb.b * 8 + 1,
+                                                  bb.b * 8 + 8), ',')
+                           AS bucket
+                FROM sig, (SELECT unnest(range(0, 4)) AS b) bb
+            ) x
+        ) y WHERE bn <= 500
+    ),
+    cands0 AS (
+        SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
+        FROM banded0 a JOIN banded0 c USING (band, bucket)
+        WHERE a.doc_id < c.doc_id
+    ),
+    banded1 AS (
+        SELECT doc_id, band, bucket FROM (
+            SELECT doc_id, band, bucket,
+                   COUNT(*) OVER (PARTITION BY band, bucket) AS bn
+            FROM (
+                SELECT doc_id, bb.b AS band,
+                       array_to_string(list_slice(sig, bb.b * 4 + 1,
+                                                  bb.b * 4 + 4), ',')
+                           AS bucket
+                FROM sig, (SELECT unnest(range(0, 8)) AS b) bb
+            ) x
+        ) y WHERE bn <= 500
+    ),
+    cands1 AS (
+        SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
+        FROM banded1 a JOIN banded1 c USING (band, bucket)
+        WHERE a.doc_id < c.doc_id
+    ),
+    banded2 AS (
+        SELECT doc_id, band, bucket FROM (
+            SELECT doc_id, band, bucket,
+                   COUNT(*) OVER (PARTITION BY band, bucket) AS bn
+            FROM (
+                SELECT doc_id, bb.b AS band,
+                       array_to_string(list_slice(sig, bb.b * 2 + 1,
+                                                  bb.b * 2 + 2), ',')
+                           AS bucket
+                FROM sig, (SELECT unnest(range(0, 16)) AS b) bb
+            ) x
+        ) y WHERE bn <= 500
+    ),
+    cands2 AS (
+        SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
+        FROM banded2 a JOIN banded2 c USING (band, bucket)
+        WHERE a.doc_id < c.doc_id
+    ),
+    cfg AS (
+    SELECT CAST(4 AS BIGINT) AS bands, CAST(8 AS BIGINT) AS rows_per_band,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cands0) AS n_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cands0 c
+             JOIN truth t ON t.doc1 = c.doc1 AND t.doc2 = c.doc2)
+               AS n_true_positives
+    UNION ALL
+    SELECT CAST(8 AS BIGINT) AS bands, CAST(4 AS BIGINT) AS rows_per_band,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cands1) AS n_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cands1 c
+             JOIN truth t ON t.doc1 = c.doc1 AND t.doc2 = c.doc2)
+               AS n_true_positives
+    UNION ALL
+    SELECT CAST(16 AS BIGINT) AS bands, CAST(2 AS BIGINT) AS rows_per_band,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cands2) AS n_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cands2 c
+             JOIN truth t ON t.doc1 = c.doc1 AND t.doc2 = c.doc2)
+               AS n_true_positives
+    )
+    SELECT bands, rows_per_band, n_candidates, n_truth, n_true_positives,
+           CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(CAST(n_true_positives AS HUGEINT) * 1000000
+                          // n_candidates AS BIGINT) END AS precision_ppm,
+           CASE WHEN n_truth = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(CAST(n_true_positives AS HUGEINT) * 1000000
+                          // n_truth AS BIGINT) END AS recall_ppm
+    FROM cfg
+    """
+
+
+@register(
+    "dedup_lsh_band_sensitivity",
+    oracle=_lsh_band_sensitivity_sql(),
+    doc="LSH band/row trade-off curve on the SAME 32-perm portable "
+        "MinHash signatures: candidate counts, true positives, and "
+        "precision/recall (ppm) against the df-capped exact-Jaccard>=0.5 "
+        "truth for band configs 4x8 / 8x4 / 16x2 — the S-curve knob "
+        "(threshold ~ (1/b)^(1/r)) you sweep BEFORE committing a "
+        "corpus-wide dedup pass, complementing dedup_threshold_"
+        "sensitivity (which sweeps the verify threshold at fixed "
+        "banding) and dedup_lsh_eval (one config, full P/R/F1). "
+        "Signatures are computed once and persisted across the three "
+        "band joins; every config is the same bounded bucket equi-join "
+        "with the max_bucket=500 skew guard (window count sharing the "
+        "band exchange), so cost scales with sum of band counts, never "
+        "pairs. All ratios are exact-integer DIVs. Reference parity: "
+        "extension surface (SURVEY.md §2.C dedup rows).",
+)
+def dedup_lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wal_consumer_spark.operators.dedup import (
+        minhash_near_pairs,
+        minhash_signature,
+        shingle_pairs_jaccard,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    sigs = minhash_signature(docs, "doc_id", "text", portable=True).persist()
+    truth = (
+        shingle_pairs_jaccard(docs, "doc_id", "text")
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc1", "doc2")
+        .localCheckpoint(eager=True)  # three config joins consume it
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    out = None
+    for bands, rows_per_band in _LSH_BAND_CONFIGS:
+        cands = minhash_near_pairs(
+            sigs, bands=bands, rows_per_band=rows_per_band, portable=True
+        ).select("doc1", "doc2")
+        stats = (
+            cands.join(truth, ["doc1", "doc2"], "left_semi")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_true_positives"))
+            .crossJoin(
+                F.broadcast(
+                    cands.agg(
+                        F.count(F.lit(1)).cast("long").alias("n_candidates")
+                    )
+                )
+            )
+            .crossJoin(F.broadcast(n_truth))
+            .select(
+                F.lit(bands).cast("long").alias("bands"),
+                F.lit(rows_per_band).cast("long").alias("rows_per_band"),
+                "n_candidates",
+                "n_truth",
+                "n_true_positives",
+                F.expr(
+                    "CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT) "
+                    "ELSE CAST(CAST(n_true_positives AS DECIMAL(38,0)) "
+                    "* 1000000 DIV n_candidates AS BIGINT) END"
+                ).alias("precision_ppm"),
+                F.expr(
+                    "CASE WHEN n_truth = 0 THEN CAST(0 AS BIGINT) "
+                    "ELSE CAST(CAST(n_true_positives AS DECIMAL(38,0)) "
+                    "* 1000000 DIV n_truth AS BIGINT) END"
+                ).alias("recall_ppm"),
+            )
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out

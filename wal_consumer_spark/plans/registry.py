@@ -122,6 +122,10 @@ NEXT_WINDOW: list[str] = [
     "ml_wilcoxon_signed_rank",
     "sql_front_correlated_scalar_subquery",
     "cdc_compaction_savings_by_horizon",
+    "sim_knn_hubness_histogram",
+    "sim_dimension_variance_scree",
+    "dedup_lsh_band_sensitivity",
+    "text_edit_distance_near_pairs",
     # --- second-wave round-7 additions (round-9 closing set) ---
     "graph_global_transitivity",
     "analytics_revenue_retention_nrr",

@@ -1862,3 +1862,114 @@ def pipeline_tokenizer_fertility_by_lang(
             ).alias("chars_per_bpe_ppm"),
         )
     )
+
+
+#: DuckDB fragment matching word_shingles(k=3) (distinct per-doc trigram
+#: shingles) — same text normalization as _TOKS
+_TRIGRAM_SHINGLES = (
+    "list_distinct(list_transform(generate_series(0, greatest(len({t}) - 3, 0)), "
+    "i -> array_to_string(list_slice({t}, i + 1, i + 3), ' ')))"
+).format(t=_TOKS)
+
+
+@register(
+    "text_edit_distance_near_pairs",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_TRIGRAM_SHINGLES}) AS shingle FROM documents
+    ),
+    shc AS (
+        SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle,
+                   COUNT(*) OVER (PARTITION BY shingle) AS df
+            FROM sh
+        ) t WHERE df <= 1000
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_common
+        FROM shc a JOIN shc b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    cand AS (
+        SELECT doc1, doc2 FROM inter
+        JOIN sizes s1 ON s1.doc_id = doc1
+        JOIN sizes s2 ON s2.doc_id = doc2
+        WHERE n_common * 25 >= s1.n + s2.n - n_common
+    ),
+    ed AS (
+        SELECT c.doc1, c.doc2,
+               levenshtein(d1.text, d2.text) AS dist,
+               greatest(length(d1.text), length(d2.text)) AS mx
+        FROM cand c
+        JOIN documents d1 ON d1.doc_id = c.doc1
+        JOIN documents d2 ON d2.doc_id = c.doc2
+    ),
+    nd AS (
+        SELECT dist,
+               CAST(CAST(dist AS HUGEINT) * 1000000 // mx AS BIGINT)
+                   AS nd_ppm
+        FROM ed WHERE mx > 0
+    )
+    SELECT CAST(nd_ppm // 100000 AS BIGINT) AS nd_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(dist) AS BIGINT) AS min_edit,
+           CAST(MAX(dist) AS BIGINT) AS max_edit,
+           CAST(MIN(nd_ppm) AS BIGINT) AS min_nd_ppm,
+           CAST(MAX(nd_ppm) AS BIGINT) AS max_nd_ppm
+    FROM nd GROUP BY 1
+    """,
+    doc="Character-level edit distance over shingle-candidate near-dup "
+        "pairs: exact Levenshtein (Spark's JVM levenshtein — never a "
+        "Python loop) on pairs pre-filtered by 3-shingle Jaccard >= 0.04 "
+        "(the df-capped candidate join — O(len^2) DP only ever runs on "
+        "the bounded candidate set, the standard two-tier fuzzy-dup "
+        "design), histogrammed by normalized-distance decile "
+        "(dist/max_len in ppm) — the surface-edit complement to "
+        "set-based Jaccard: catches small in-place edits (typo farms, "
+        "template fills) that shingle overlap scores identically. "
+        "Oracle equivalence note: DuckDB levenshtein counts BYTES, "
+        "Spark counts CHARS — identical on this ASCII corpus (asserted "
+        "in tests/test_round9_ops.py); on non-ASCII corpora the Spark "
+        "side is the semantically correct one. Reference parity: "
+        "extension surface (SURVEY.md §2.C text rows).",
+)
+def text_edit_distance_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wal_consumer_spark.operators.dedup import shingle_pairs_jaccard
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = (
+        shingle_pairs_jaccard(docs, "doc_id", "text")
+        .filter(
+            F.col("n_common") * 25 >= F.col("n1") + F.col("n2") - F.col("n_common")
+        )
+        .select("doc1", "doc2")
+    )
+    txt = docs.select("doc_id", "text")
+    ed = (
+        cand.join(
+            txt.withColumnsRenamed({"doc_id": "doc1", "text": "t1"}), "doc1"
+        )
+        .join(txt.withColumnsRenamed({"doc_id": "doc2", "text": "t2"}), "doc2")
+        .select(
+            F.levenshtein("t1", "t2").cast("long").alias("dist"),
+            F.greatest(F.length("t1"), F.length("t2"))
+            .cast("long")
+            .alias("mx"),
+        )
+    )
+    nd = ed.where(F.col("mx") > 0).select(
+        "dist",
+        F.expr(
+            "CAST(CAST(dist AS DECIMAL(38,0)) * 1000000 DIV mx AS BIGINT)"
+        ).alias("nd_ppm"),
+    )
+    return nd.groupBy(
+        F.expr("CAST(nd_ppm DIV 100000 AS BIGINT)").alias("nd_decile")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.min("dist").cast("long").alias("min_edit"),
+        F.max("dist").cast("long").alias("max_edit"),
+        F.min("nd_ppm").cast("long").alias("min_nd_ppm"),
+        F.max("nd_ppm").cast("long").alias("max_nd_ppm"),
+    )
