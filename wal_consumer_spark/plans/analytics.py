@@ -8908,3 +8908,354 @@ def ml_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "- tie_cubes AS BIGINT)"
         ).alias("variance_x48"),
     )
+
+
+@register(
+    "ml_permutation_importance_stump",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(floor(c_acctbal / 100) AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pos
+        FROM customer GROUP BY 1
+    ),
+    c AS (
+        SELECT bin,
+               SUM(n) OVER (ORDER BY bin) AS nl,
+               SUM(pos) OVER (ORDER BY bin) AS pl,
+               SUM(n) OVER () AS nt,
+               SUM(pos) OVER () AS pt
+        FROM b
+    ),
+    s AS (
+        SELECT bin,
+               CAST(nl AS BIGINT) AS nl, CAST(nt - nl AS BIGINT) AS nr,
+               CAST(pl AS BIGINT) AS pl, CAST(pt - pl AS BIGINT) AS pr,
+               CAST(nt AS BIGINT) AS nt, CAST(pt AS BIGINT) AS pt,
+               (CAST(nl AS DOUBLE)
+                * (1 - (CAST(pl AS DOUBLE) / nl) * (CAST(pl AS DOUBLE) / nl)
+                     - (CAST(nl - pl AS DOUBLE) / nl) * (CAST(nl - pl AS DOUBLE) / nl))
+                + CAST(nt - nl AS DOUBLE)
+                * (1 - (CAST(pt - pl AS DOUBLE) / (nt - nl)) * (CAST(pt - pl AS DOUBLE) / (nt - nl))
+                     - (CAST((nt - nl) - (pt - pl) AS DOUBLE) / (nt - nl))
+                       * (CAST((nt - nl) - (pt - pl) AS DOUBLE) / (nt - nl))))
+               / CAST(nt AS DOUBLE) AS wg
+        FROM c WHERE nl > 0 AND nt - nl > 0
+    ),
+    best AS (
+        SELECT * FROM s QUALIFY row_number() OVER (ORDER BY wg, bin) = 1
+    )
+    SELECT bin AS threshold_bin, nl AS n_left, nr AS n_right,
+           pl AS pos_left, pr AS pos_right,
+           CAST((greatest(pl, nl - pl) + greatest(pr, nr - pr)) * 1000000
+                // nt AS BIGINT) AS acc_ppm,
+           CAST(CAST(nl * (CASE WHEN 2 * pl >= nl THEN pt ELSE nt - pt END)
+                     + nr * (CASE WHEN 2 * pr >= nr THEN pt ELSE nt - pt END)
+                     AS HUGEINT) * 1000000 // (CAST(nt AS HUGEINT) * nt)
+                AS BIGINT) AS perm_acc_ppm,
+           CAST((greatest(pl, nl - pl) + greatest(pr, nr - pr)) * 1000000
+                // nt
+                - CAST(nl * (CASE WHEN 2 * pl >= nl THEN pt ELSE nt - pt END)
+                       + nr * (CASE WHEN 2 * pr >= nr THEN pt ELSE nt - pt END)
+                       AS HUGEINT) * 1000000 // (CAST(nt AS HUGEINT) * nt)
+                AS BIGINT) AS importance_ppm
+    FROM best
+    """,
+    doc="Permutation feature importance for the trained decision stump "
+        "(ml_decision_stump's best c_acctbal split predicting "
+        "mktsegment='BUILDING'), computed ANALYTICALLY: instead of "
+        "averaging noisy shuffles, use the closed-form expectation of "
+        "accuracy over ALL feature permutations — under permutation the "
+        "leaf a row lands in is independent of its label, so "
+        "E[acc_perm] = (n_l * P(y = pred_l) + n_r * P(y = pred_r)) / n "
+        "with marginal label probabilities (the exact mean every "
+        "shuffle-based estimate converges to; Breiman 2001 / Fisher et "
+        "al. 2019). importance = accuracy - E[acc_perm], all exact "
+        "integer counts and ppm DIVs on top of the same bounded "
+        "histogram pass as the stump (one corpus aggregate, O(bins) "
+        "after). Leaf predictions are majority class (ties -> "
+        "positive). Reference parity: extension surface (SURVEY.md "
+        "§2.C ML rows).",
+)
+def ml_permutation_importance_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    g = (
+        c.select(
+            F.floor(F.col("c_acctbal") / 100).cast("long").alias("bin"),
+            (F.col("c_mktsegment") == "BUILDING").cast("long").alias("y"),
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
+    )
+    cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cu = g.select(
+        "bin",
+        F.sum("n").over(cum).alias("nl_raw"),
+        F.sum("pos").over(cum).alias("pl_raw"),
+        F.sum("n").over(tot).alias("nt_raw"),
+        F.sum("pos").over(tot).alias("pt_raw"),
+    ).filter(
+        (F.col("nl_raw") > 0) & (F.col("nt_raw") - F.col("nl_raw") > 0)
+    )
+    s = cu.select(
+        "bin",
+        F.col("nl_raw").cast("long").alias("nl"),
+        (F.col("nt_raw") - F.col("nl_raw")).cast("long").alias("nr"),
+        F.col("pl_raw").cast("long").alias("pl"),
+        (F.col("pt_raw") - F.col("pl_raw")).cast("long").alias("pr"),
+        F.col("nt_raw").cast("long").alias("nt"),
+        F.col("pt_raw").cast("long").alias("pt"),
+    )
+
+    def gini_term(p, n):
+        pd = p.cast("double") / n
+        qd = (n - p).cast("double") / n
+        return n.cast("double") * (F.lit(1.0) - pd * pd - qd * qd)
+
+    wg = (
+        (gini_term(F.col("pl"), F.col("nl")) + gini_term(F.col("pr"), F.col("nr")))
+        / F.col("nt").cast("double")
+    )
+    best = (
+        s.withColumn("wg", wg)
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy("wg", "bin"))
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return best.select(
+        F.col("bin").alias("threshold_bin"),
+        F.col("nl").alias("n_left"),
+        F.col("nr").alias("n_right"),
+        F.col("pl").alias("pos_left"),
+        F.col("pr").alias("pos_right"),
+        F.expr(
+            "CAST((greatest(pl, nl - pl) + greatest(pr, nr - pr)) * 1000000 "
+            "DIV nt AS BIGINT)"
+        ).alias("acc_ppm"),
+        F.expr(
+            "CAST(CAST(nl * (CASE WHEN 2 * pl >= nl THEN pt ELSE nt - pt END) "
+            "+ nr * (CASE WHEN 2 * pr >= nr THEN pt ELSE nt - pt END) "
+            "AS DECIMAL(38,0)) * 1000000 DIV (CAST(nt AS DECIMAL(38,0)) * nt) "
+            "AS BIGINT)"
+        ).alias("perm_acc_ppm"),
+        F.expr(
+            "CAST((greatest(pl, nl - pl) + greatest(pr, nr - pr)) * 1000000 "
+            "DIV nt "
+            "- CAST(nl * (CASE WHEN 2 * pl >= nl THEN pt ELSE nt - pt END) "
+            "+ nr * (CASE WHEN 2 * pr >= nr THEN pt ELSE nt - pt END) "
+            "AS DECIMAL(38,0)) * 1000000 DIV (CAST(nt AS DECIMAL(38,0)) * nt) "
+            "AS BIGINT)"
+        ).alias("importance_ppm"),
+    )
+
+
+@register(
+    "graph_landmark_distance_profile",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    e AS (
+        SELECT a.p AS pa, b.p AS pb
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+    ),
+    edges AS (
+        SELECT pa AS src, pb AS dst FROM e
+        UNION ALL
+        SELECT pb AS src, pa AS dst FROM e
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS dg FROM edges GROUP BY src),
+    lm AS (
+        SELECT src AS lmp FROM deg
+        QUALIFY row_number() OVER (ORDER BY dg DESC, src) <= 4
+    ),
+    walk AS (
+        WITH RECURSIVE w(lm, p, d) AS (
+            SELECT lmp, lmp, 0 FROM lm
+            UNION
+            SELECT w.lm, edges.dst, w.d + 1
+            FROM w JOIN edges ON edges.src = w.p
+            WHERE w.d < 4
+        )
+        SELECT lm, p, CAST(MIN(d) AS BIGINT) AS dist FROM w GROUP BY lm, p
+    )
+    SELECT CAST(lm AS BIGINT) AS landmark_part,
+           dist,
+           CAST(COUNT(*) AS BIGINT) AS n_reached
+    FROM walk GROUP BY lm, dist
+    """,
+    doc="Landmark distance profiles on the support-2 co-purchase graph: "
+        "the 4 highest-degree parts (deterministic tie-break) each run a "
+        "4-round min-distance BFS, yielding per-landmark per-level reach "
+        "counts — the landmark-embedding substrate (Potamias et al.: "
+        "approximate shortest-path distance = min over landmarks of "
+        "d(u,lm)+d(lm,v)) and the eccentricity/coverage readout for "
+        "choosing routing hubs. Plan: same per-round frontier-expansion "
+        "equi-join + anti-join + localCheckpoint loop as "
+        "graph_bfs_distance_histogram with a (landmark, node) composite "
+        "state key — 4 landmarks ride ONE loop (the frontier unions "
+        "them), never 4 sequential traversals; seeds come from a "
+        "TakeOrdered top-4 of the degree aggregate. Oracle is the "
+        "depth-bounded UNION-dedup recursive CTE over (lm, node, d). "
+        "Reference parity: extension surface (SURVEY.md §2.B graph "
+        "rows).",
+)
+def graph_landmark_distance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _support2_copurchase_edges(spark, sf_dir)
+    edges = e.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    ).unionByName(
+        e.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+    ).localCheckpoint(eager=True)  # consumed by degree pass + 4 BFS rounds
+    lm = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("dg"))
+        .orderBy(F.col("dg").desc(), "src")
+        .limit(4)
+        .select(F.col("src").alias("lm"))
+    )
+    seeds = (
+        lm.select("lm", F.col("lm").alias("p"))
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    visited = seeds
+    frontier = seeds.select("lm", "p")
+    for d in range(1, 5):
+        cand = (
+            frontier.join(edges, frontier.p == edges.src)
+            .select("lm", F.col("dst").alias("p"))
+            .distinct()
+        )
+        new = (
+            cand.join(visited, ["lm", "p"], "left_anti")
+            .withColumn("dist", F.lit(d).cast("long"))
+            .localCheckpoint(eager=True)  # consumed by union AND next frontier
+        )
+        visited = visited.unionByName(new)
+        frontier = new.select("lm", "p")
+    return (
+        visited.groupBy(
+            F.col("lm").cast("long").alias("landmark_part"), "dist"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_reached"))
+    )
+
+
+@register(
+    "ml_youden_j_operating_point",
+    oracle="""
+    WITH b AS (
+        SELECT least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bucket,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+                   AS pos,
+               CAST(COUNT(*) FILTER (WHERE event_type <> 'purchase') AS BIGINT)
+                   AS neg
+        FROM events GROUP BY 1
+    ),
+    cum AS (
+        SELECT bucket,
+               CAST(SUM(pos) OVER (ORDER BY bucket DESC) AS BIGINT) AS tp,
+               CAST(SUM(neg) OVER (ORDER BY bucket DESC) AS BIGINT) AS fp,
+               CAST(SUM(pos) OVER () AS BIGINT) AS p_all,
+               CAST(SUM(neg) OVER () AS BIGINT) AS n_all
+        FROM b
+    ),
+    m AS (
+        SELECT CAST(bucket * 50 AS BIGINT) AS threshold, tp, fp,
+               CAST(CAST(tp AS HUGEINT) * 1000000 // p_all AS BIGINT)
+                   AS tpr_ppm,
+               CAST(CAST(n_all - fp AS HUGEINT) * 1000000 // n_all AS BIGINT)
+                   AS tnr_ppm
+        FROM cum WHERE bucket >= 1
+    ),
+    j AS (
+        SELECT threshold, tp, fp, tpr_ppm, tnr_ppm,
+               tpr_ppm + tnr_ppm - 1000000 AS youden_j_ppm,
+               (tpr_ppm + tnr_ppm) // 2 AS balanced_acc_ppm
+        FROM m
+    )
+    SELECT threshold, tp, fp, tpr_ppm, tnr_ppm, youden_j_ppm,
+           balanced_acc_ppm,
+           CASE WHEN row_number() OVER (ORDER BY youden_j_ppm DESC,
+                                                 threshold) = 1
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_best
+    FROM j
+    """,
+    doc="Youden-J operating-point selection on the same bounded "
+        "score-threshold grid as ml_threshold_sweep_confusion: per "
+        "threshold the exact-ppm sensitivity (TPR), specificity (TNR), "
+        "Youden's J = TPR + TNR - 1, and balanced accuracy, with the "
+        "J-argmax row flagged — the standard class-imbalance-robust "
+        "threshold picker (J maximizes vertical ROC distance; balanced "
+        "accuracy is its affine twin), complementing the sweep's "
+        "precision/recall columns, which degrade under imbalance. "
+        "Everything is integer DIV arithmetic on ONE bounded grid "
+        "aggregate; the argmax is a row_number over the <= 10-row "
+        "threshold table with a deterministic tie-break. J is signed "
+        "and stays an exact integer (no division by a signed quantity — "
+        "the r8 kappa floor/trunc trap never arises). Reference parity: "
+        "extension surface (SURVEY.md §2.C ML rows).",
+)
+def ml_youden_j_operating_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        F.least((F.floor(F.col("value") / 50.0)).cast("long"), F.lit(9)).alias(
+            "bucket"
+        )
+    ).agg(
+        F.count_if(F.col("event_type") == "purchase").cast("long").alias("pos"),
+        F.count_if(F.col("event_type") != "purchase").cast("long").alias("neg"),
+    )
+    wdesc = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = b.select(
+        "bucket",
+        F.sum("pos").over(wdesc).cast("long").alias("tp"),
+        F.sum("neg").over(wdesc).cast("long").alias("fp"),
+        F.sum("pos").over(wall).cast("long").alias("p_all"),
+        F.sum("neg").over(wall).cast("long").alias("n_all"),
+    ).where(F.col("bucket") >= 1)
+    m = cum.select(
+        (F.col("bucket") * 50).cast("long").alias("threshold"),
+        "tp",
+        "fp",
+        F.expr(
+            "CAST(CAST(tp AS DECIMAL(38,0)) * 1000000 DIV p_all AS BIGINT)"
+        ).alias("tpr_ppm"),
+        F.expr(
+            "CAST(CAST(n_all - fp AS DECIMAL(38,0)) * 1000000 DIV n_all "
+            "AS BIGINT)"
+        ).alias("tnr_ppm"),
+    )
+    j = m.select(
+        "threshold",
+        "tp",
+        "fp",
+        "tpr_ppm",
+        "tnr_ppm",
+        (F.col("tpr_ppm") + F.col("tnr_ppm") - 1_000_000).alias("youden_j_ppm"),
+        F.expr("(tpr_ppm + tnr_ppm) DIV 2").alias("balanced_acc_ppm"),
+    )
+    wbest = Window.orderBy(F.col("youden_j_ppm").desc(), "threshold")
+    return j.select(
+        "threshold",
+        "tp",
+        "fp",
+        "tpr_ppm",
+        "tnr_ppm",
+        "youden_j_ppm",
+        "balanced_acc_ppm",
+        F.when(F.row_number().over(wbest) == 1, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_best"),
+    )

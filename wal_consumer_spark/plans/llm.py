@@ -4655,3 +4655,101 @@ def dedup_lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = stats if out is None else out.unionByName(stats)
     return out
+
+
+@register(
+    "pipeline_soft_dedup_ess_by_source",
+    oracle=f"""
+    WITH RECURSIVE
+    sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+    shc AS (
+        SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle,
+                   COUNT(*) OVER (PARTITION BY shingle) AS df
+            FROM sh
+        ) t WHERE df <= 1000
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_common
+        FROM shc a JOIN shc b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+        SELECT doc1, doc2 FROM inter
+        JOIN sizes s1 ON s1.doc_id = doc1
+        JOIN sizes s2 ON s2.doc_id = doc2
+        WHERE n_common / (s1.n + s2.n - n_common) >= 0.5
+    ),
+    sym AS (SELECT doc1 AS a, doc2 AS b FROM pairs
+            UNION SELECT doc2, doc1 FROM pairs
+            UNION SELECT doc1, doc1 FROM pairs
+            UNION SELECT doc2, doc2 FROM pairs),
+    reach AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp AS (SELECT a AS node, MIN(b) AS canonical FROM reach GROUP BY a),
+    csize AS (SELECT canonical, CAST(COUNT(*) AS BIGINT) AS sz
+              FROM comp GROUP BY canonical),
+    member AS (
+        SELECT comp.node AS doc_id, csize.sz
+        FROM comp JOIN csize USING (canonical)
+    ),
+    w AS (
+        SELECT d.source,
+               CAST(1000000 // COALESCE(m.sz, 1) AS BIGINT) AS wt
+        FROM documents d LEFT JOIN member m ON m.doc_id = d.doc_id
+    ),
+    st AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(wt) AS HUGEINT) AS sw,
+               CAST(SUM(wt * wt) AS HUGEINT) AS sw2
+        FROM w GROUP BY source
+    )
+    SELECT source, n_docs,
+           CAST(sw AS BIGINT) AS sum_weight_ppm,
+           CAST(sw * sw * 1000 // sw2 AS BIGINT) AS ess_milli,
+           CAST(sw * sw * 1000000 // (n_docs * sw2) AS BIGINT)
+               AS ess_ratio_ppm
+    FROM st
+    """,
+    doc="Effective sample size of the soft-dedup sampling weights, per "
+        "source: ESS = (sum w)^2 / sum w^2 (Kish) over the 1/cluster_size "
+        "weights of pipeline_soft_dedup_weights — the number that says "
+        "how much INDEPENDENT training mass each source actually "
+        "contributes after soft dedup (a source of mirrors with "
+        "ess_ratio near 1/cluster_size is syndication; near 1.0 is "
+        "genuinely diverse), i.e. the acceptance test for choosing soft "
+        "weighting over hard removal. ESS travels as exact integer "
+        "rationals (ppm weights -> HUGEINT cross-multiplication, "
+        "ess_milli = effective doc count x1000, ess_ratio_ppm = "
+        "ESS/n). Plan: the shared df-capped candidate join + "
+        "alternating-star CC (singletons re-enter via one left join), "
+        "then a bounded per-source rollup. Reference parity: extension "
+        "surface (SURVEY.md §2.C dedup/curation rows).",
+)
+def pipeline_soft_dedup_ess_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    weights = pipeline_soft_dedup_weights(spark, sf_dir).select(
+        "doc_id", "weight_ppm"
+    )
+    w = docs.select("doc_id", "source").join(weights, "doc_id")
+    st = w.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("weight_ppm").cast("decimal(38,0)").alias("sw"),
+        F.sum(F.col("weight_ppm") * F.col("weight_ppm"))
+        .cast("decimal(38,0)")
+        .alias("sw2"),
+    )
+    return st.select(
+        "source",
+        "n_docs",
+        F.col("sw").cast("long").alias("sum_weight_ppm"),
+        F.expr("CAST(sw * sw * 1000 DIV sw2 AS BIGINT)").alias("ess_milli"),
+        F.expr(
+            "CAST(sw * sw * 1000000 DIV (n_docs * sw2) AS BIGINT)"
+        ).alias("ess_ratio_ppm"),
+    )

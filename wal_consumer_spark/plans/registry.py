@@ -126,6 +126,12 @@ NEXT_WINDOW: list[str] = [
     "sim_dimension_variance_scree",
     "dedup_lsh_band_sensitivity",
     "text_edit_distance_near_pairs",
+    "stream_idle_timeout_sessions",
+    "ml_permutation_importance_stump",
+    "pipeline_soft_dedup_ess_by_source",
+    "graph_landmark_distance_profile",
+    "ts_sax_motifs",
+    "ml_youden_j_operating_point",
     # --- second-wave round-7 additions (round-9 closing set) ---
     "graph_global_transitivity",
     "analytics_revenue_retention_nrr",

@@ -289,6 +289,8 @@ def _run_stateful_replay(
     prefix: str,
     key: str = "user_id",
     n_files: int = 4,
+    timeout: str = "NoTimeout",
+    watermark_delay: str | None = None,
 ) -> DataFrame:
     """Drive a REAL applyInPandasWithState streaming query over an
     event-time-ordered file replay of `e` (must carry a `ts_us` long
@@ -326,13 +328,24 @@ def _run_stateful_replay(
                 os.path.join(part, pf), os.path.join(src, f"{i:02d}.parquet")
             )
         name = f"{prefix}_{uuid.uuid4().hex[:12]}"
-        q = (
+        stream = (
             spark.readStream.schema(read_schema)
             .option("maxFilesPerTrigger", "1")
             .parquet(src)
-            .groupBy(key)
+        )
+        if watermark_delay is not None:
+            # event-time column for EventTimeTimeout timers; the no-data
+            # final micro-batch (noDataMicroBatches, default on) advances
+            # the watermark to global max - delay and fires remaining
+            # timers, which is what makes timeout emission replay- and
+            # batch-split-deterministic
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.col("ts_us"))
+            ).withWatermark("ts", watermark_delay)
+        q = (
+            stream.groupBy(key)
             .applyInPandasWithState(
-                state_fn, out_schema, state_schema, "append", "NoTimeout"
+                state_fn, out_schema, state_schema, "append", timeout
             )
             .writeStream.format("memory")
             .queryName(name)
@@ -521,4 +534,129 @@ def stream_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFra
             F.floor(F.max("late_us") / 1000000).cast("long").alias("max_late_s"),
         )
         .where(F.col("n_out_of_order") > 0)
+    )
+
+
+def _make_timeout_sessionize_fn(gap_us: int):
+    """Per-user session builder with EVENT-TIME TIMEOUT flush: same open-
+    session GroupState as _make_sessionize_fn, but an idle session is also
+    closed and emitted when the watermark passes last_event + gap — the
+    timer path (state.hasTimedOut) that flushes idle tails without
+    waiting for the user's next event (the reference's empty-poll/backoff
+    scenario R12, generalized to per-key event-time timers). Closure so
+    cloudpickle ships it by value."""
+
+    def sessions(key, pdf_iter, state):
+        import pandas as pd
+
+        cols = [
+            "user_id", "session_start_us", "session_end_us", "n_events",
+        ]
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(key[0], start, last, n)], columns=cols
+            ).astype("int64")
+            return
+        ts: list[int] = []
+        for pdf in pdf_iter:
+            ts.extend(int(t) for t in pdf["ts_us"])
+        ts.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = n = None
+        closed: list[tuple[int, int, int, int]] = []
+        for t in ts:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_us:
+                closed.append((key[0], start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        if start is not None:
+            state.update((start, last, n))
+            # event-time timer at (last + gap); fires when the watermark
+            # passes it — millisecond resolution (Spark's timer clock)
+            state.setTimeoutTimestamp((last + gap_us) // 1000)
+        yield pd.DataFrame(closed, columns=cols).astype("int64")
+
+    return sessions
+
+
+@register(
+    "stream_idle_timeout_sessions",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+    ),
+    brk AS (
+        SELECT user_id, ts_us,
+               CASE WHEN ts_us - lag(ts_us) OVER w > {_SESSION_GAP_US}
+                      OR lag(ts_us) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+    ),
+    sess AS (
+        SELECT user_id, ts_us,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS sid
+        FROM brk
+    ),
+    agg AS (
+        SELECT user_id, sid,
+               CAST(MIN(ts_us) AS BIGINT) AS session_start_us,
+               CAST(MAX(ts_us) AS BIGINT) AS session_end_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM sess GROUP BY user_id, sid
+    ),
+    mx AS (SELECT MAX(ts_us) AS max_us FROM e)
+    SELECT CAST(user_id AS BIGINT) AS user_id, session_start_us,
+           session_end_us, n_events
+    FROM agg CROSS JOIN mx
+    WHERE (session_end_us + {_SESSION_GAP_US}) // 1000 < max_us // 1000
+    """,
+    doc="CUSTOM STATEFUL STREAMING OPERATOR with EVENT-TIME TIMERS "
+        "(round-8 VERDICT stretch #8 — the GroupState feature the two "
+        "round-8 queries don't touch): same per-user open-session "
+        "GroupState as stream_stateful_sessionize, but run under "
+        "EventTimeTimeout with a watermark — an idle session is closed "
+        "and emitted by the TIMER path (state.hasTimedOut) once the "
+        "watermark passes last_event + 30 min, without waiting for the "
+        "user's next event. This flushes idle tails (the final sessions "
+        "sessionize can never emit) and is the event-time analog of the "
+        "reference's empty-poll timeout/backoff (R12, "
+        "WalConsumer.java:170-178). Emission is batch-split-invariant "
+        "(verified at 2 vs 4 replay batches): a session emits iff "
+        "last + gap < global max event time — by a later event of the "
+        "same user, or by the timer fired in Spark's no-data final "
+        "micro-batch, which advances the watermark to the global max. "
+        "The oracle mirrors the engine's MILLISECOND timer clock "
+        "((last+gap)//1000 < max//1000; calibrated round 9 — all µs/ms "
+        "strict/le variants agree on this corpus, asserted in "
+        "tests/test_round9_ops.py). State partitioned by user_id — the "
+        "standard per-key stateful scale path. Reference parity: R12 "
+        "timeout semantics over R5/R11 stateful apply (SURVEY.md §2.B "
+        "streaming rows).",
+)
+def stream_idle_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    return _run_stateful_replay(
+        spark,
+        e,
+        read_schema="user_id long, ts_us long",
+        state_fn=_make_timeout_sessionize_fn(_SESSION_GAP_US),
+        out_schema=(
+            "user_id long, session_start_us long, "
+            "session_end_us long, n_events long"
+        ),
+        state_schema="start long, last long, n long",
+        prefix="tosess",
+        timeout="EventTimeTimeout",
+        watermark_delay="0 seconds",
     )

@@ -3839,3 +3839,94 @@ def ts_runs_test_wald_wolfowitz(spark: SparkSession, sf_dir: str) -> DataFrame:
             "DIV (CAST(n AS DECIMAL(38,0)) * n * (n - 1)) AS BIGINT)"
         ).alias("var_runs_micro"),
     )
+
+
+@register(
+    "ts_sax_motifs",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS d,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ),
+    chunk AS (
+        SELECT datediff('day', DATE '1995-01-01', d) // 7 AS ck,
+               CAST(SUM(cents) * 1000 // COUNT(*) AS BIGINT) AS paa_milli
+        FROM daily GROUP BY 1
+    ),
+    sym AS (
+        SELECT ck,
+               ntile(4) OVER (ORDER BY paa_milli, ck) AS q
+        FROM chunk
+    ),
+    word AS (
+        SELECT ck,
+               CAST(q AS VARCHAR)
+               || CAST(lead(q, 1) OVER (ORDER BY ck) AS VARCHAR)
+               || CAST(lead(q, 2) OVER (ORDER BY ck) AS VARCHAR) AS motif
+        FROM sym
+        QUALIFY lead(q, 2) OVER (ORDER BY ck) IS NOT NULL
+    )
+    SELECT motif,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(ck) AS BIGINT) AS first_chunk,
+           CAST(MAX(ck) AS BIGINT) AS last_chunk
+    FROM word GROUP BY motif
+    """,
+    doc="SAX motif mining on the daily-revenue series: PAA-compress to "
+        "7-day chunk means (integer milli-cents DIV — exact), quantize "
+        "to a 4-symbol alphabet by positional quartile (ntile over the "
+        "bounded chunk table, deterministic (value, chunk) total order "
+        "so both engines cut identically), slide a 3-symbol window into "
+        "SAX words, and count each motif's occurrences with its "
+        "first/last position — the classic symbolic motif/novelty "
+        "discovery primitive (Lin et al. 2003): recurring words are "
+        "regimes, hapax words are anomalies (the symbolic complement of "
+        "ts_changepoint_cusum). Every window runs over the "
+        "chunk-aggregated table (bounded by the day span / 7), never "
+        "raw rows; output is bounded by the 4^3 word domain. Reference "
+        "parity: extension surface (SURVEY.md §2.C time-series rows).",
+)
+def ts_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+        .cast("long")
+        .alias("cents")
+    )
+    chunk = daily.groupBy(
+        (
+            F.datediff(F.col("d"), F.lit("1995-01-01").cast("date"))
+            / F.lit(7)
+        )
+        .cast("long")
+        .alias("ck")
+    ).agg(
+        F.expr("CAST(SUM(cents) * 1000 DIV COUNT(*) AS BIGINT)").alias(
+            "paa_milli"
+        )
+    )
+    sym = chunk.select(
+        "ck",
+        F.ntile(4).over(Window.orderBy("paa_milli", "ck")).alias("q"),
+    )
+    wck = Window.orderBy("ck")
+    word = (
+        sym.select(
+            "ck",
+            F.concat(
+                F.col("q").cast("string"),
+                F.lead("q", 1).over(wck).cast("string"),
+                F.lead("q", 2).over(wck).cast("string"),
+            ).alias("motif"),
+            F.lead("q", 2).over(wck).alias("q2"),
+        )
+        .where(F.col("q2").isNotNull())
+        .drop("q2")
+    )
+    return word.groupBy("motif").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.min("ck").cast("long").alias("first_chunk"),
+        F.max("ck").cast("long").alias("last_chunk"),
+    )
