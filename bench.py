@@ -114,6 +114,13 @@ HEADLINE = [
     "ml_psi_population_stability",
     "ts_changepoint_argmax_split",
     "sim_embedding_norm_audit",
+    # r9 additions (appended only, same continuity rule): one
+    # representative per family added this round.
+    "stream_idle_timeout_sessions",
+    "sim_knn_hubness_histogram",
+    "dedup_lsh_band_sensitivity",
+    "graph_landmark_distance_profile",
+    "pipeline_soft_dedup_ess_by_source",
 ]
 
 #: FROZEN cross-round comparison basis (round-4 VERDICT "What's wrong" #2:

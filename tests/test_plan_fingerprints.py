@@ -97,6 +97,24 @@ PINNED: dict[str, dict[str, int]] = {
         "Project": 11, "Join": 4, "LogicalRelation": 1, "Union": 2,
         "LogicalRDD": 6, "Aggregate": 3,
     },
+    # round-9 pins closing the >=2 s tier (VERDICT r8 stretch #9):
+    # HITS power iterations read CHECKPOINTED score frames (LogicalRDD
+    # leaves) and the result is a TakeOrderedAndProject top-k over the
+    # final join — an extra Join/Aggregate means an iteration started
+    # recomputing scores on lineage.
+    "graph_hits_hubs_authorities": {
+        "GlobalLimit": 1, "LocalLimit": 1, "Sort": 1, "Aggregate": 4,
+        "Project": 4, "Join": 3, "Filter": 4, "LogicalRDD": 4,
+    },
+    # embedding near-dup: LSH bucket equi-join candidates (checkpointed
+    # base), exactly 2 Arrow-vectorized cosine evals and 2 Generates
+    # (bucket posexplode per side) — a 3rd ArrowEvalPython or a Window
+    # appearing here is the re-scored-per-consumer regression; no cross
+    # join can hide (Join: 3, all equi).
+    "sim_embedding_near_dup": {
+        "Project": 11, "ArrowEvalPython": 2, "Filter": 7, "Join": 3,
+        "Aggregate": 1, "Generate": 2, "LogicalRDD": 4,
+    },
 }
 
 

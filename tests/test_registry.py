@@ -154,7 +154,13 @@ def test_oracle_less_specs_sort_last():
 #: Deliberate re-certifications of already-green names (e.g. the round-6
 #: analytics_gini_coefficient re-pin). A name here may sit in
 #: DRIVER_WINDOW even though an earlier round already certified it.
-_REPIN_ALLOWLIST: frozenset[str] = frozenset()
+#: Round 9: tpch_q17_small_qty_revenue and join_bloom_prefilter got
+#: broadcast size-gates in round 7 AFTER their certification rounds —
+#: their existing green rows predate the code that now runs (VERDICT r8
+#: "Next round" #5).
+_REPIN_ALLOWLIST: frozenset[str] = frozenset(
+    {"tpch_q17_small_qty_revenue", "join_bloom_prefilter"}
+)
 
 
 def _check_staging_partition(repo: Path) -> None:

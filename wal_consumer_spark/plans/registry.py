@@ -44,95 +44,20 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: oracle sorts last so it can never burn a window slot on a rows-only
 #: check.
 #:
-#: Round 8 rotates ALL 50 slots a sixth time, per round-7 VERDICT "Next
-#: round" #1–2: CORRECTNESS_r07 certified the round-7 window 50/50 green
-#: (cumulative 338/399), so this window holds the round-7 NEXT_WINDOW
-#: verbatim — the 34 round-6-session names plus 16 first-wave round-7
-#: additions. NEXT_WINDOW below (the round-9 closing set) holds the
-#: second-wave round-7 overflow; FUTURE_WINDOW stages round-8 session
-#: additions in the same commit that registers them (VERDICT r7 stretch
-#: #6). tests/test_registry.py::test_staging_partitions_registry enforces
-#: the exact-cover arithmetic.
+#: Round 9 rotates ALL 50 slots a seventh time, per round-8 VERDICT "Next
+#: round" #2/#5: CORRECTNESS_r08 certified the round-8 window 50/50 green
+#: (cumulative 388/421 entering round 9), so this window holds the
+#: round-9 CLOSING SET — the 11 second-wave round-7 additions (old
+#: NEXT_WINDOW), the 22 round-8 session additions (old FUTURE_WINDOW,
+#: incl. cdc_arrival_inversion_audit re-entering ONLY in its round-9
+#: capped form), the 15 round-9 session additions, and 2 deliberate
+#: re-pins (tpch_q17_small_qty_revenue, join_bloom_prefilter — their
+#: broadcast size-gates changed in round 7 AFTER certification, so their
+#: existing driver rows predate the code that now runs; allowlisted in
+#: tests/test_registry.py::_REPIN_ALLOWLIST). Green rows here close
+#: driver coverage at 436/436.
 DRIVER_WINDOW: list[str] = [
-    "agg_heavy_hitters_misra_gries",
-    "analytics_cramers_v",
-    "analytics_diff_in_differences",
-    "analytics_gini_by_nation",
-    "analytics_markov_stationary",
-    "analytics_order_gap_distribution",
-    "analytics_theil_decomposition",
-    "analytics_uplift_by_decile",
-    "dedup_threshold_sensitivity",
-    "dq_referential_integrity_audit",
-    "dq_uniqueness_profile",
-    "graph_bfs_distance_histogram",
-    "graph_community_modularity",
-    "graph_degree_powerlaw_fit",
-    "graph_edge_support_histogram",
-    "ml_brier_decomposition",
-    "ml_cohens_kappa",
-    "ml_expected_calibration_error",
-    "ml_kendall_tau_b",
-    "ml_kmeans_inertia_elbow",
-    "ml_logistic_irls",
-    "ml_mrr_at_k",
-    "ml_multiclass_confusion_centroid",
-    "ml_mutual_information",
-    "ml_ndcg_at_k",
-    "ml_pr_curve_average_precision",
-    "ml_spearman_rank_corr",
-    "pipeline_dedup_impact_report",
-    "text_burstiness_dispersion",
-    "text_shingle_concentration",
-    "text_source_shingle_jaccard",
-    "ts_hurst_rescaled_range",
-    "ts_rolling_beta",
-    "ts_spectral_dft_topk",
-    # --- round-7 first-wave additions staged for this window ---
-    "ml_macro_f1_multiclass",
-    "ml_threshold_sweep_confusion",
-    "ml_ols_durbin_watson",
-    "ml_ndcg_macro_summary",
-    "graph_ktruss_edges",
-    "analytics_interpurchase_halflife",
-    "analytics_price_elasticity",
-    "ts_ewm_mean_variance",
-    "ts_wow_poisson_z",
-    "text_hapax_ratio_by_source",
-    "dq_string_profile_audit",
-    "dq_format_conformance_audit",
-    "cdc_entity_update_cadence",
-    "sim_lsh_bucket_balance",
-    "sim_knn_label_purity",
-    "pipeline_contamination_report",
-]
-
-#: ROUND-9 CLOSING WINDOW — the second-wave round-7 additions that
-#: overflowed round 8's 50 slots. Certifying these (plus FUTURE_WINDOW's
-#: round-8 session additions, which roll into the round-9 window at the
-#: next rotation) closes driver coverage at len(all_specs()). Kept as a
-#: REAL constant (not a comment) so test_staging_partitions_registry can
-#: enforce that cumulative-green ∪ DRIVER_WINDOW ∪ NEXT_WINDOW ∪
-#: FUTURE_WINDOW == all_specs() exactly.
-NEXT_WINDOW: list[str] = [
-    # --- round-9 session additions (staged same-commit as registration;
-    # most roll into the round-9 DRIVER_WINDOW fills at rotation) ---
-    "ts_runs_test_wald_wolfowitz",
-    "analytics_nelson_aalen_hazard",
-    "ml_wilcoxon_signed_rank",
-    "sql_front_correlated_scalar_subquery",
-    "cdc_compaction_savings_by_horizon",
-    "sim_knn_hubness_histogram",
-    "sim_dimension_variance_scree",
-    "dedup_lsh_band_sensitivity",
-    "text_edit_distance_near_pairs",
-    "stream_idle_timeout_sessions",
-    "ml_permutation_importance_stump",
-    "pipeline_soft_dedup_ess_by_source",
-    "graph_landmark_distance_profile",
-    "ts_sax_motifs",
-    "ml_youden_j_operating_point",
-    # --- second-wave round-7 additions (round-9 closing set) ---
+    # --- second-wave round-7 additions (old NEXT_WINDOW, 11) ---
     "graph_global_transitivity",
     "analytics_revenue_retention_nrr",
     "analytics_rfm_migration_matrix",
@@ -144,24 +69,7 @@ NEXT_WINDOW: list[str] = [
     "graph_rich_club_coefficient",
     "ml_pinball_loss_quantile_eval",
     "analytics_revenue_hhi",
-]
-
-#: ROUND-8 SESSION ADDITIONS — every operator registered during round 8
-#: lands here IN THE SAME COMMIT that registers it (VERDICT r7 stretch
-#: #6), so the partition test enforces staging at authoring time. These
-#: roll into the round-9 DRIVER_WINDOW together with NEXT_WINDOW above.
-#:
-#: ROUND-9 ROTATION NOTE: NEXT_WINDOW + FUTURE_WINDOW currently total
-#: fewer than 50 names. The round-9 DRIVER_WINDOW must still hold exactly
-#: 50 slots (test_driver_window_names_registered), so fill the remainder
-#: with (a) round-9 session additions and/or (b) deliberate re-pins of
-#: already-certified names added to tests/test_registry.py::
-#: _REPIN_ALLOWLIST (prefer re-pinning queries whose implementation
-#: changed since certification — e.g. any ADVICE-driven formula fix).
-#: Known re-pin candidates entering round 9: tpch_q17 and
-#: join_bloom_prefilter (broadcast size-gates added in round 7, AFTER
-#: their certification rounds — their driver rows predate the fix).
-FUTURE_WINDOW: list[str] = [
+    # --- round-8 session additions (old FUTURE_WINDOW, 22) ---
     "stream_stateful_sessionize",
     "text_vocab_topk_coverage",
     "pipeline_padding_waste_curve",
@@ -184,7 +92,36 @@ FUTURE_WINDOW: list[str] = [
     "sim_davies_bouldin_index",
     "sim_isotropy_audit",
     "ml_fleiss_kappa_panel",
+    # --- round-9 session additions (15) ---
+    "ts_runs_test_wald_wolfowitz",
+    "analytics_nelson_aalen_hazard",
+    "ml_wilcoxon_signed_rank",
+    "sql_front_correlated_scalar_subquery",
+    "cdc_compaction_savings_by_horizon",
+    "sim_knn_hubness_histogram",
+    "sim_dimension_variance_scree",
+    "dedup_lsh_band_sensitivity",
+    "text_edit_distance_near_pairs",
+    "stream_idle_timeout_sessions",
+    "ml_permutation_importance_stump",
+    "pipeline_soft_dedup_ess_by_source",
+    "graph_landmark_distance_profile",
+    "ts_sax_motifs",
+    "ml_youden_j_operating_point",
+    # --- deliberate re-pins (gate changes postdate their green rows) ---
+    "tpch_q17_small_qty_revenue",
+    "join_bloom_prefilter",
 ]
+
+#: ROUND-10 STAGING — every operator registered during round 10 lands
+#: here IN THE SAME COMMIT that registers it, so the partition test
+#: enforces staging at authoring time. Empty after the round-9 rotation:
+#: all 436 registered queries are green-or-windowed (the window closes
+#: coverage at 436/436 when CORRECTNESS_r09 lands).
+NEXT_WINDOW: list[str] = []
+
+#: Overflow staging for additions beyond a single round-10 window.
+FUTURE_WINDOW: list[str] = []
 
 def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQuery], SparkQuery]:
     def deco(fn: SparkQuery) -> SparkQuery:
