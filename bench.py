@@ -116,7 +116,9 @@ HEADLINE = [
     "sim_embedding_norm_audit",
     # r9 additions (appended only, same continuity rule): one
     # representative per family added this round.
-    "stream_idle_timeout_sessions",
+    # (stream_idle_timeout_sessions deliberately NOT here: like
+    # stream_stateful_sessionize it times a real availableNow streaming
+    # job — a different cost regime; fresh-JVM note recorded instead.)
     "sim_knn_hubness_histogram",
     "dedup_lsh_band_sensitivity",
     "graph_landmark_distance_profile",
@@ -760,14 +762,19 @@ def main() -> None:
                 "construct_sec": 3.481,
                 "calibration_cpu_sec": 0.24,
             },
-            # entity-local pair self-join (~10M pairs at sf0.1: 200 ops
-            # per entity x 500 entities); the quadratic is per-entity,
-            # bounded by compaction/retention at scale.
+            # ROUND-9 REWRITE (VERDICT r8 "What's wrong" #2): the pair
+            # join is now capped at K=16 md5-ranked ops per entity
+            # (<= 120 pairs/key instead of 19 900 at sf0.1), with an
+            # n_entities_capped in-plan certificate. Fresh-JVM cost fell
+            # 2.02 s -> 1.12 s with the cap (round-9 n=1 sample; the r8
+            # uncapped numbers kept below for the before/after record).
             "cdc_arrival_inversion_audit": {
-                "fresh_jvm_median_sec": 2.015,
-                "fresh_jvm_samples": [2.078, 1.873, 2.015],
-                "construct_sec": 0.242,
-                "calibration_cpu_sec": 0.215,
+                "fresh_jvm_median_sec": 1.115,
+                "fresh_jvm_samples": [1.115],
+                "construct_sec": 0.407,
+                "calibration_cpu_sec": 0.225,
+                "r8_uncapped_median_sec": 2.015,
+                "r8_uncapped_samples": [2.078, 1.873, 2.015],
             },
             "sql_front_named_window": {
                 "fresh_jvm_median_sec": 1.052,
@@ -795,6 +802,65 @@ def main() -> None:
                 "fresh_jvm_samples": [1.721, 1.39, 1.265],
                 "construct_sec": 0.414,
                 "calibration_cpu_sec": 0.206,
+            },
+            # Round-9 same-session notes (fresh-JVM n=3 for HEADLINE
+            # entrants, n=1 sanity for the sub-second tail; VERDICT r8
+            # "Next round" #6 + the round-4 bench-before-trusting rule).
+            # agg_rollup's r8 +44% in-suite drift resolved as host
+            # calibration + noise: fresh-JVM n=5 median 1.196 s at
+            # cpu probe 0.240 (host ~15% slower than the 0.208 anchor)
+            # -> normalized ~1.04 s vs the 0.91 s r7 basis. No plan
+            # change; no action.
+            "agg_rollup": {
+                "fresh_jvm_median_sec": 1.196,
+                "fresh_jvm_samples": [0.943, 1.29, 1.231, 1.191, 1.196],
+                "construct_sec": 0.131,
+                "calibration_cpu_sec": 0.24,
+            },
+            # ~all cost is the shared all-corpus kNN substrate
+            # (_knn_top5_frame) that sim_knn_label_purity also pays.
+            "sim_knn_hubness_histogram": {
+                "fresh_jvm_median_sec": 1.743,
+                "fresh_jvm_samples": [1.893, 1.743, 1.721],
+                "construct_sec": 0.378,
+                "calibration_cpu_sec": 0.244,
+            },
+            # 3.05 s construct = the df-capped exact-truth checkpoint
+            # (shared shingle machinery); the 3 band configs cost ~1 s
+            # each after the single-pass left-join-aggregate rewrite
+            # (9.30 s -> 6.20 s in-round: the first cut evaluated each
+            # config's band join twice).
+            "dedup_lsh_band_sensitivity": {
+                "fresh_jvm_median_sec": 6.199,
+                "fresh_jvm_samples": [7.16, 6.133, 6.199],
+                "construct_sec": 3.053,
+                "calibration_cpu_sec": 0.254,
+            },
+            # 2.73 s of 2.81 s is the shared support-2 edge build +
+            # per-round frontier checkpoints; 4 landmarks ride one loop.
+            "graph_landmark_distance_profile": {
+                "fresh_jvm_median_sec": 2.813,
+                "fresh_jvm_samples": [2.87, 2.744, 2.813],
+                "construct_sec": 2.733,
+                "calibration_cpu_sec": 0.231,
+            },
+            # 4.46 s of 4.90 s is the same eager pair-graph/CC build the
+            # soft-dedup weights query pays; the ESS rollup is ~0.4 s.
+            "pipeline_soft_dedup_ess_by_source": {
+                "fresh_jvm_median_sec": 4.904,
+                "fresh_jvm_samples": [5.328, 4.904, 4.658],
+                "construct_sec": 4.46,
+                "calibration_cpu_sec": 0.306,
+            },
+            # Like the other two stateful streaming queries: not a
+            # HEADLINE entry (real availableNow job); 7.32 s of 7.42 s
+            # is replay-source construction + streaming-query startup +
+            # the extra no-data micro-batch that fires the timers.
+            "stream_idle_timeout_sessions": {
+                "fresh_jvm_median_sec": 7.419,
+                "fresh_jvm_samples": [7.419, 7.381, 7.512],
+                "construct_sec": 7.316,
+                "calibration_cpu_sec": 0.279,
             },
         },
     }

@@ -4619,20 +4619,22 @@ def dedup_lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # three config joins consume it
     )
     n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    truth_marked = truth.withColumn("__t", F.lit(1))
     out = None
     for bands, rows_per_band in _LSH_BAND_CONFIGS:
         cands = minhash_near_pairs(
             sigs, bands=bands, rows_per_band=rows_per_band, portable=True
         ).select("doc1", "doc2")
+        # ONE evaluation of the band join per config: candidate count and
+        # true positives come from a single left-join aggregate (a
+        # left_semi + separate count would run the band join twice)
         stats = (
-            cands.join(truth, ["doc1", "doc2"], "left_semi")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_true_positives"))
-            .crossJoin(
-                F.broadcast(
-                    cands.agg(
-                        F.count(F.lit(1)).cast("long").alias("n_candidates")
-                    )
-                )
+            cands.join(truth_marked, ["doc1", "doc2"], "left")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_candidates"),
+                F.count_if(F.col("__t").isNotNull())
+                .cast("long")
+                .alias("n_true_positives"),
             )
             .crossJoin(F.broadcast(n_truth))
             .select(
