@@ -3111,30 +3111,6 @@ def _knn_purity_sql(dim: int = 64, nbits: int = 8, n_tables: int = 6, k: int = 5
     """
 
 
-@register(
-    "sim_knn_label_purity",
-    oracle=_knn_purity_sql(),
-    doc="Embedding-space label purity: every vector queries its 5 nearest "
-        "neighbors (exact cosine among LSH-bucketed candidates — the "
-        "SCALE path: all-corpus kNN as a bucket equi-join, never an "
-        "O(N^2) cross join) and each class reports what fraction of its "
-        "members' neighbors share the class label — the standard "
-        "embedding-quality probe (high purity = classes separate in the "
-        "space; a class whose purity craters is where a classifier or "
-        "dedup threshold will fail first). 8-bit buckets x 6 tables size "
-        "collision sets for an ALL-corpus query load (the 4-bit tier is "
-        "for handfuls of queries); the collision distinct runs on bare "
-        "id pairs with vectors re-joined after. Pooled per-class ratio, "
-        "not mean-of-means, so the output is an exact-long division. Bucket "
-        "ids and cosines replay bit-for-bit in the oracle "
-        "(integer projections + quantized-cosine kernel, the "
-        "sim_topk_lsh machinery); ranking tie-breaks on cand_id. Plan: "
-        "bucket kernel pass -> (table, bucket) self-equi-join -> "
-        "distinct pairs -> Arrow-vectorized cosine -> per-query top-5 "
-        "window (corpus-keyed partition, map-side group limit) -> "
-        "bounded label rollup. Reference parity: extension surface "
-        "(SURVEY.md §2.C similarity rows).",
-)
 def _knn_top5_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every vector's exact-cosine top-5 among LSH-bucketed candidates
     (query_id, qlabel, cand_id, clabel, cs) — the shared all-corpus kNN
@@ -3190,6 +3166,31 @@ def _knn_top5_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
 
 
+
+@register(
+    "sim_knn_label_purity",
+    oracle=_knn_purity_sql(),
+    doc="Embedding-space label purity: every vector queries its 5 nearest "
+        "neighbors (exact cosine among LSH-bucketed candidates — the "
+        "SCALE path: all-corpus kNN as a bucket equi-join, never an "
+        "O(N^2) cross join) and each class reports what fraction of its "
+        "members' neighbors share the class label — the standard "
+        "embedding-quality probe (high purity = classes separate in the "
+        "space; a class whose purity craters is where a classifier or "
+        "dedup threshold will fail first). 8-bit buckets x 6 tables size "
+        "collision sets for an ALL-corpus query load (the 4-bit tier is "
+        "for handfuls of queries); the collision distinct runs on bare "
+        "id pairs with vectors re-joined after. Pooled per-class ratio, "
+        "not mean-of-means, so the output is an exact-long division. Bucket "
+        "ids and cosines replay bit-for-bit in the oracle "
+        "(integer projections + quantized-cosine kernel, the "
+        "sim_topk_lsh machinery); ranking tie-breaks on cand_id. Plan: "
+        "bucket kernel pass -> (table, bucket) self-equi-join -> "
+        "distinct pairs -> Arrow-vectorized cosine -> per-query top-5 "
+        "window (corpus-keyed partition, map-side group limit) -> "
+        "bounded label rollup. Reference parity: extension surface "
+        "(SURVEY.md §2.C similarity rows).",
+)
 def sim_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = _knn_top5_frame(spark, sf_dir)
     return top.groupBy(F.col("qlabel").cast("int").alias("label")).agg(
