@@ -2297,3 +2297,101 @@ def pipeline_padding_waste_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "pipeline_token_budget_curriculum",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source, unnest({_TOKS}) AS t FROM documents
+    ),
+    per_src AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT t) AS BIGINT) AS n_distinct,
+               CAST(CAST(COUNT(DISTINCT t) AS HUGEINT) * 1000000
+                    // COUNT(*) AS BIGINT) AS diversity_ppm
+        FROM tok GROUP BY source
+    ),
+    ranked AS (
+        SELECT *,
+               SUM(n_tokens) OVER (ORDER BY diversity_ppm DESC, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_tokens,
+               SUM(n_tokens) OVER () AS total_tokens,
+               CAST(row_number() OVER (ORDER BY diversity_ppm DESC, source)
+                    AS BIGINT) AS curriculum_rank
+        FROM per_src
+    ),
+    budgets AS (SELECT unnest([25, 50, 75]) AS pct)
+    SELECT CAST(b.pct AS BIGINT) AS budget_pct,
+           r.source,
+           r.curriculum_rank,
+           r.n_tokens,
+           r.diversity_ppm,
+           CAST(greatest(CAST(0 AS HUGEINT), least(
+                CAST(1000000 AS HUGEINT),
+                (b.pct * CAST(r.total_tokens AS HUGEINT) // 100
+                 - (r.cum_tokens - r.n_tokens)) * 1000000 // r.n_tokens))
+                AS BIGINT) AS included_fraction_ppm
+    FROM ranked r CROSS JOIN budgets b
+    """,
+    doc="Token-budget curriculum plan: sources ranked by lexical "
+        "diversity (distinct/total token ratio — the cheap quality proxy "
+        "that needs no model), then for training budgets of 25/50/75% of "
+        "corpus tokens, each source's included fraction under "
+        "highest-diversity-first greedy filling (1.0 = fully in, partial "
+        "for the straddling source, 0 = cut) — the data-mixing sheet a "
+        "budgeted pretraining run reads to decide what gets an epoch and "
+        "what gets subsampled, complementing pipeline_epoch_plan (which "
+        "weights by target mixture, not budget) and "
+        "pipeline_mixture_temperature. One token explode -> bounded "
+        "per-source aggregate; the greedy fill is cumulative arithmetic "
+        "on the |sources| table (windows over a bounded domain); all "
+        "fractions are exact clamped integer DIVs. Reference parity: "
+        "extension surface (SURVEY.md §2.B curation rows).",
+)
+def pipeline_token_budget_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(tokens(F.col("text"))).alias("t"))
+    per_src = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.count_distinct("t").cast("long").alias("n_distinct"),
+    ).select(
+        "source",
+        "n_tokens",
+        "n_distinct",
+        F.expr(
+            "CAST(CAST(n_distinct AS DECIMAL(38,0)) * 1000000 "
+            "DIV n_tokens AS BIGINT)"
+        ).alias("diversity_ppm"),
+    )
+    word = Window.orderBy(F.col("diversity_ppm").desc(), "source")
+    wcum = word.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = per_src.select(
+        "source",
+        "n_tokens",
+        "diversity_ppm",
+        F.sum("n_tokens").over(wcum).alias("cum_tokens"),
+        F.sum("n_tokens").over(wall).alias("total_tokens"),
+        F.row_number().over(word).cast("long").alias("curriculum_rank"),
+    )
+    budgets = spark.range(1).select(
+        F.explode(F.array(F.lit(25), F.lit(50), F.lit(75))).alias("pct")
+    )
+    return ranked.crossJoin(F.broadcast(budgets)).select(
+        F.col("pct").cast("long").alias("budget_pct"),
+        "source",
+        "curriculum_rank",
+        "n_tokens",
+        "diversity_ppm",
+        F.expr(
+            "CAST(greatest(CAST(0 AS DECIMAL(38,0)), least("
+            "CAST(1000000 AS DECIMAL(38,0)), "
+            "(pct * CAST(total_tokens AS DECIMAL(38,0)) DIV 100 "
+            "- (cum_tokens - n_tokens)) * 1000000 DIV n_tokens)) AS BIGINT)"
+        ).alias("included_fraction_ppm"),
+    )

@@ -4756,3 +4756,291 @@ def pipeline_soft_dedup_ess_by_source(spark: SparkSession, sf_dir: str) -> DataF
             "CAST(sw * sw * 1000000 DIV (n_docs * sw2) AS BIGINT)"
         ).alias("ess_ratio_ppm"),
     )
+
+
+@register(
+    "sim_centroid_margin_audit",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS qv
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label AS clabel, dim,
+               CAST(SUM(qv) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM q GROUP BY label, dim
+    ),
+    d2 AS (
+        SELECT q.vec_id, q.label, c.clabel,
+               CAST(SUM(CAST(q.qv * c.n - c.s AS HUGEINT)
+                        * (q.qv * c.n - c.s)) // (MAX(c.n) * MAX(c.n))
+                    AS BIGINT) AS d2_micro2
+        FROM q JOIN cent c USING (dim)
+        GROUP BY q.vec_id, q.label, c.clabel
+    ),
+    own AS (
+        SELECT vec_id, label, d2_micro2 AS d2_own
+        FROM d2 WHERE clabel = label
+    ),
+    other AS (
+        SELECT vec_id, MIN(d2_micro2) AS d2_nearest_other
+        FROM d2 WHERE clabel <> label GROUP BY vec_id
+    ),
+    m AS (
+        SELECT o.label, o.d2_own, t.d2_nearest_other,
+               t.d2_nearest_other - o.d2_own AS margin
+        FROM own o JOIN other t USING (vec_id)
+    )
+    SELECT CAST(label AS INT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(count_if(margin < 0) AS BIGINT) AS n_negative_margin,
+           CAST(MIN(margin) AS BIGINT) AS min_margin_micro2,
+           CAST(MAX(margin) AS BIGINT) AS max_margin_micro2,
+           CAST(SUM(margin) // COUNT(*) AS BIGINT) AS mean_margin_micro2
+    FROM m GROUP BY label
+    """,
+    doc="Centroid margin audit per label: every vector's squared distance "
+        "to its OWN label centroid vs its NEAREST other centroid, and the "
+        "margin between them — negative margin = the vector sits closer "
+        "to a foreign class center (the nearest-centroid-classifier "
+        "error set and the directest 'are these labels separable' "
+        "readout, sharpening sim_label_silhouette's aggregate view to a "
+        "per-class misassignment count). Exact arithmetic throughout: "
+        "distances compare as floor((sum_d (q*n_c - s_cd)^2) / n_c^2) in "
+        "integer micro^2 units — the common-denominator trick keeps the "
+        "per-centroid rational comparable without doubles, and both "
+        "engines floor identically so the argmin/margins match "
+        "bit-for-bit. Plan: one explode pass, a bounded |labels|x|dims| "
+        "centroid aggregate joined back on dim (broadcastable by "
+        "construction), one (vec,label) rollup — no pair join anywhere. "
+        "The mean margin divides a possibly-NEGATIVE sum: safe because "
+        "Spark DIV and DuckDB // both truncate toward zero on signed "
+        "integers (verified in the round-8 ADVICE calibration: "
+        "-7 // 2 = -3 in DuckDB). Reference parity: extension "
+        "surface (SURVEY.md §2.C similarity rows).",
+)
+def sim_centroid_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 1_000_000).cast("long"),
+            )
+        ).alias("dim", "qv"),
+    )
+    cent = q.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        F.sum("qv").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    d2 = (
+        q.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(qv * n - s AS DECIMAL(38,0)) * (qv * n - s)) "
+                "DIV (MAX(n) * MAX(n)) AS BIGINT)"
+            ).alias("d2_micro2")
+        )
+    )
+    own = d2.where(F.col("clabel") == F.col("label")).select(
+        "vec_id", "label", F.col("d2_micro2").alias("d2_own")
+    )
+    other = (
+        d2.where(F.col("clabel") != F.col("label"))
+        .groupBy("vec_id")
+        .agg(F.min("d2_micro2").alias("d2_nearest_other"))
+    )
+    m = own.join(other, "vec_id").select(
+        "label",
+        (F.col("d2_nearest_other") - F.col("d2_own")).alias("margin"),
+    )
+    return m.groupBy(F.col("label").cast("int").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.count_if(F.col("margin") < 0).cast("long").alias("n_negative_margin"),
+        F.min("margin").cast("long").alias("min_margin_micro2"),
+        F.max("margin").cast("long").alias("max_margin_micro2"),
+        F.expr("CAST(SUM(margin) DIV COUNT(*) AS BIGINT)").alias(
+            "mean_margin_micro2"
+        ),
+    )
+
+
+#: JL projection target dimensionality (64 -> 8) and the md5 salt that
+#: derives the deterministic ±1 sign matrix, shared with the oracle text.
+_JL_K = 8
+_JL_SALT = ":jl9"
+
+
+def _jl_distortion_sql() -> str:
+    """DuckDB replay: identical sign matrix (md5 first hex digit >= '8'
+    => +1), identical milli-quantization and block-sampled pair set as
+    sim_pair_distance_histogram."""
+    sign = (
+        f"CASE WHEN substring(md5(CAST(d.d AS VARCHAR) || ':' "
+        f"|| CAST(j.j AS VARCHAR) || '{_JL_SALT}'), 1, 1) >= '8' "
+        "THEN 1 ELSE -1 END"
+    )
+    return f"""
+    WITH s AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(round(x * 1000) AS BIGINT)) AS q
+        FROM embeddings
+        WHERE ('0x' || substring(md5(CAST(vec_id AS VARCHAR)
+                                     || '{_PAIR_SAMP_SALT}'), 1, 8))::BIGINT
+              % 100 < {_PAIR_SAMP_PCT}
+    ),
+    proj AS (
+        SELECT s.vec_id, j.j,
+               CAST(SUM(({sign}) * s.q[d.d + 1]) AS BIGINT) AS pv
+        FROM s,
+             (SELECT unnest(range(0, 64)) AS d) d,
+             (SELECT unnest(range(0, {_JL_K})) AS j) j
+        GROUP BY s.vec_id, j.j
+    ),
+    pv AS (
+        SELECT vec_id, list(pv ORDER BY j) AS p FROM proj GROUP BY vec_id
+    ),
+    pairs AS (
+        SELECT a.vec_id AS v1, b.vec_id AS v2,
+               CAST(list_sum(list_transform(range(1, 65),
+                    i -> (a0.q[i] - b0.q[i]) * (a0.q[i] - b0.q[i])))
+                    AS BIGINT) AS d2_orig,
+               CAST(list_sum(list_transform(range(1, {_JL_K + 1}),
+                    i -> (a.p[i] - b.p[i]) * (a.p[i] - b.p[i])))
+                    AS BIGINT) AS d2_proj
+        FROM pv a JOIN pv b ON a.vec_id < b.vec_id
+        JOIN s a0 ON a0.vec_id = a.vec_id
+        JOIN s b0 ON b0.vec_id = b.vec_id
+    ),
+    r AS (
+        SELECT CAST(CAST(d2_proj AS HUGEINT) * 1000000
+                    // (CAST({_JL_K} AS HUGEINT) * d2_orig) AS BIGINT)
+                   AS ratio_ppm
+        FROM pairs WHERE d2_orig > 0
+    )
+    SELECT CAST(ratio_ppm // 200000 AS BIGINT) AS ratio_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(ratio_ppm) AS BIGINT) AS min_ratio_ppm,
+           CAST(MAX(ratio_ppm) AS BIGINT) AS max_ratio_ppm
+    FROM r GROUP BY 1
+    """
+
+
+@register(
+    "sim_jl_projection_distortion",
+    oracle=_jl_distortion_sql(),
+    doc="Johnson-Lindenstrauss distortion audit: project the 64-dim "
+        "embeddings to 8 dims with a deterministic ±1 sign matrix "
+        "(md5-derived — the Achlioptas database-friendly JL variant) and "
+        "histogram, over the same md5 block-sampled pair set as "
+        "sim_pair_distance_histogram, the ratio "
+        "||proj(a)-proj(b)||^2 / (k * ||a-b||^2) in exact ppm — the "
+        "E[ratio]=1 concentration readout that tells you whether an "
+        "8-dim sketch is safe for coarse candidate pruning before the "
+        "exact 64-dim verify (the dimension-reduction cousin of the "
+        "int8-SQ8 recall audit). Signed ±1 entries make every "
+        "projection an exact integer sum of milli-quantized components; "
+        "distances and the k-scaled ratio stay integral end-to-end. "
+        "Plan: the projection is one map-side explode-aggregate per "
+        "vector (bounded k x 64 work, no shuffle growth), pairs are the "
+        "bounded block sample. Reference parity: extension surface "
+        "(SURVEY.md §2.C similarity rows).",
+)
+def sim_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    gate = (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("vec_id").cast("string"),
+                            F.lit(_PAIR_SAMP_SALT),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(100),
+        )
+        < _PAIR_SAMP_PCT
+    )
+    q = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+    )
+    s = emb.where(gate).select("vec_id", q.alias("q"))
+    # deterministic ±1 sign for (dim d, output j)
+    sign = lambda d, j: F.when(  # noqa: E731
+        F.substring(
+            F.md5(
+                F.concat(
+                    d.cast("string"), F.lit(":"), j.cast("string"), F.lit(_JL_SALT)
+                )
+            ),
+            1,
+            1,
+        )
+        >= "8",
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    flat = s.select(
+        "vec_id", F.posexplode("q").alias("d", "qd")
+    ).crossJoin(
+        F.broadcast(
+            spark.range(_JL_K).select(F.col("id").cast("int").alias("j"))
+        )
+    )
+    proj = (
+        flat.groupBy("vec_id", "j")
+        .agg(
+            F.sum(sign(F.col("d"), F.col("j")) * F.col("qd"))
+            .cast("long")
+            .alias("pv")
+        )
+        .groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "pv"))).alias("jp"))
+        .select("vec_id", F.col("jp.pv").alias("p"))
+    )
+    a = s.select(F.col("vec_id").alias("v1"), F.col("q").alias("q1")).join(
+        proj.select(F.col("vec_id").alias("v1"), F.col("p").alias("p1")), "v1"
+    )
+    b = s.select(F.col("vec_id").alias("v2"), F.col("q").alias("q2")).join(
+        proj.select(F.col("vec_id").alias("v2"), F.col("p").alias("p2")), "v2"
+    )
+    d2 = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda u, v: (u - v) * (u - v)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        a.join(b, F.col("v1") < F.col("v2"))
+        .select(
+            d2(F.col("q1"), F.col("q2")).alias("d2_orig"),
+            d2(F.col("p1"), F.col("p2")).alias("d2_proj"),
+        )
+        .where(F.col("d2_orig") > 0)
+    )
+    r = pairs.select(
+        F.expr(
+            f"CAST(CAST(d2_proj AS DECIMAL(38,0)) * 1000000 "
+            f"DIV (CAST({_JL_K} AS DECIMAL(38,0)) * d2_orig) AS BIGINT)"
+        ).alias("ratio_ppm")
+    )
+    return r.groupBy(
+        F.expr("CAST(ratio_ppm DIV 200000 AS BIGINT)").alias("ratio_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.min("ratio_ppm").cast("long").alias("min_ratio_ppm"),
+        F.max("ratio_ppm").cast("long").alias("max_ratio_ppm"),
+    )

@@ -118,7 +118,13 @@ DRIVER_WINDOW: list[str] = [
 #: enforces staging at authoring time. Empty after the round-9 rotation:
 #: all 436 registered queries are green-or-windowed (the window closes
 #: coverage at 436/436 when CORRECTNESS_r09 lands).
-NEXT_WINDOW: list[str] = []
+NEXT_WINDOW: list[str] = [
+    # --- round-9 late-session additions (certify in round 10) ---
+    "sim_centroid_margin_audit",
+    "sim_jl_projection_distortion",
+    "pipeline_token_budget_curriculum",
+    "stream_replay_dedup_exactly_once",
+]
 
 #: Overflow staging for additions beyond a single round-10 window.
 FUTURE_WINDOW: list[str] = []

@@ -660,3 +660,82 @@ def stream_idle_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeout="EventTimeTimeout",
         watermark_delay="0 seconds",
     )
+
+
+@register(
+    "stream_replay_dedup_exactly_once",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents
+    FROM events GROUP BY event_type
+    """,
+    doc="REAL streaming dropDuplicates certified against redelivery: the "
+        "events table is replayed as TWO micro-batches — the full stream, "
+        "then a REDELIVERED subset (every 10th event again: the at-least-"
+        "once duplicate profile of the reference's retry path, R9/R10) — "
+        "through readStream + dropDuplicates(event_id) in append mode, "
+        "and the deduplicated output is rolled up per event type. Exactly "
+        "the built-in keyed-state dedup the reference implements by hand "
+        "with idempotent-skip accounting (WalConsumer.java retry path; "
+        "cdc_replay_idempotency is the batch analog); the oracle is the "
+        "duplicate-free GROUP BY, so a single leaked redelivery breaks "
+        "the value hash. State is keyed by event_id — the standard "
+        "per-key stateful scale path (this harness keeps dedup state "
+        "unbounded for the bounded replay; a production stream bounds it "
+        "with a watermark, the documented trade: watermarked dedup also "
+        "drops genuinely-late NON-duplicates). Reference parity: R9/R10 "
+        "at-least-once + idempotent-skip (SURVEY.md §2.B streaming "
+        "rows).",
+)
+def stream_replay_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="dedup_stream_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        for i, frame in enumerate(
+            [e, e.filter(F.col("event_id") % 10 == 0)]  # full, then redelivery
+        ):
+            part = os.path.join(tmp, f"part{i}")
+            frame.coalesce(1).write.parquet(part)
+            pf = next(
+                f for f in sorted(os.listdir(part)) if f.endswith(".parquet")
+            )
+            shutil.move(
+                os.path.join(part, pf), os.path.join(src, f"{i:02d}.parquet")
+            )
+        name = f"dedup_{uuid.uuid4().hex[:12]}"
+        q = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, "
+                "value_cents long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .dropDuplicates(["event_id"])
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(name)
+        return out.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum("value_cents").cast("long").alias("sum_value_cents"),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
