@@ -242,3 +242,82 @@ def test_arrival_inversion_cap_exact_when_under_k(spark):
         cdc_mod.synthetic_wal = orig
     assert got == dict(deciles)
     assert capped == 0  # 10 ops < K: nothing sampled, everything exact
+
+
+# ---------------------------------------------------------- mann-whitney U
+def test_mann_whitney_u_python_oracle(spark):
+    """Rank-sum formulation (average ranks over the combined sample) —
+    independent of the plan's cumulative-count formulation."""
+    ev = pd.read_parquet(f"{SF}/events.parquet").assign(
+        cents=lambda f: (f.value * 100).round().astype(int)
+    )
+    groups = {
+        t: sorted(g.cents.tolist()) for t, g in ev.groupby("event_type")
+    }
+    types = sorted(groups)
+    expected = {}
+    for a, b in itertools.combinations(types, 2):
+        combined = sorted(groups[a] + groups[b])
+        # doubled average rank per distinct value
+        rank2, i = {}, 0
+        while i < len(combined):
+            j = i
+            while j < len(combined) and combined[j] == combined[i]:
+                j += 1
+            rank2[combined[i]] = (i + 1) + j
+            i = j
+        r2_a = sum(rank2[v] for v in groups[a])
+        n_a, n_b = len(groups[a]), len(groups[b])
+        two_u = r2_a - n_a * (n_a + 1)  # 2*(R_a - n_a(n_a+1)/2)
+        ties = Counter(combined)
+        tie_cubes = sum(t**3 - t for t in ties.values())
+        expected[(a, b)] = (n_a, n_b, two_u, tie_cubes)
+    rows = all_specs()["analytics_mann_whitney_u"].spark(spark, SF).collect()
+    assert len(rows) == len(expected)
+    for r in rows:
+        n_a, n_b, two_u, tie_cubes = expected[(r.group_a, r.group_b)]
+        assert (r.n_a, r.n_b) == (n_a, n_b), (r.group_a, r.group_b)
+        assert r.two_u_a == two_u, (r.group_a, r.group_b)
+        assert r.tie_cubes == tie_cubes, (r.group_a, r.group_b)
+
+
+def test_mann_whitney_u_detects_shift():
+    """Sanity on the closed form: a clean location shift with no overlap
+    gives U = n_a*n_b (all a-wins) and a large positive z."""
+    import math
+
+    n_a = n_b = 20
+    two_u = 2 * n_a * n_b  # every a beats every b, no ties
+    tie_cubes = 0
+    n = n_a + n_b
+    z = (two_u / 2 - n_a * n_b / 2) / math.sqrt(
+        n_a * n_b / 12 * ((n + 1) - tie_cubes / (n * (n - 1)))
+    )
+    assert z > 5
+
+
+# ------------------------------------------------------------- bloom audit
+def test_bloom_fpr_audit_python_oracle(spark):
+    """Recompute the 2^16-bit/3-hash Bloom membership with hashlib —
+    independent of both engines' md5/conv SQL paths."""
+    import hashlib
+
+    ok = pd.read_parquet(f"{SF}/orders.parquet").o_orderkey
+    build = sorted(set(int(k) for k in ok if k % 2 == 0))
+    probe = sorted(set(int(k) for k in ok if k % 2 == 1))
+
+    def pos(key, i):
+        h = hashlib.md5(f"{key}:b{i}".encode()).hexdigest()[:8]
+        return int(h, 16) % 65536
+
+    bits = {pos(k, i) for k in build for i in range(3)}
+    fp = sum(
+        1 for k in probe if all(pos(k, i) in bits for i in range(3))
+    )
+    r = all_specs()["agg_bloom_filter_fpr_audit"].spark(spark, SF).collect()[0]
+    assert r.n_build == len(build)
+    assert r.n_probes == len(probe)
+    assert r.n_set_bits == len(bits)
+    assert r.n_false_positives == fp
+    assert r.fpr_ppm == fp * 1_000_000 // len(probe)
+    assert r.fill_ratio_ppm == len(bits) * 1_000_000 // 65536

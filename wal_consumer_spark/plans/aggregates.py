@@ -1573,3 +1573,152 @@ def agg_heavy_hitters_misra_gries(
             F.expr("cnt * 1000000 div n").cast("long").alias("share_ppm"),
         )
     )
+
+
+#: Bloom-audit parameters shared with the oracle text: 2^16 bits, 3
+#: md5-derived hash functions, build = even order keys, probe = odd.
+_BLOOM_M = 65536
+_BLOOM_K = 3
+
+
+@register(
+    "agg_bloom_filter_fpr_audit",
+    oracle=f"""
+    WITH build AS (
+        SELECT DISTINCT o_orderkey AS key FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    probe AS (
+        SELECT DISTINCT o_orderkey AS key FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    bits AS (
+        SELECT DISTINCT
+               ('0x' || substring(md5(CAST(b.key AS VARCHAR) || ':b'
+                                      || CAST(i.i AS VARCHAR)), 1, 8))::BIGINT
+               % {_BLOOM_M} AS pos
+        FROM build b, (SELECT unnest(range(0, {_BLOOM_K})) AS i) i
+    ),
+    ppos AS (
+        SELECT p.key,
+               ('0x' || substring(md5(CAST(p.key AS VARCHAR) || ':b'
+                                      || CAST(i.i AS VARCHAR)), 1, 8))::BIGINT
+               % {_BLOOM_M} AS pos
+        FROM probe p, (SELECT unnest(range(0, {_BLOOM_K})) AS i) i
+    ),
+    hits AS (
+        SELECT pp.key,
+               CAST(count_if(bits.pos IS NOT NULL) AS BIGINT) AS n_matched
+        FROM ppos pp LEFT JOIN bits ON bits.pos = pp.pos
+        GROUP BY pp.key
+    ),
+    st AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM build) AS n_build,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_set_bits,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM probe) AS n_probes,
+               (SELECT CAST(count_if(n_matched = {_BLOOM_K}) AS BIGINT)
+                  FROM hits) AS n_false_positives
+    )
+    SELECT CAST({_BLOOM_M} AS BIGINT) AS m_bits,
+           CAST({_BLOOM_K} AS BIGINT) AS k_hashes,
+           n_build, n_set_bits, n_probes, n_false_positives,
+           CAST(CAST(n_false_positives AS HUGEINT) * 1000000 // n_probes
+                AS BIGINT) AS fpr_ppm,
+           CAST(CAST(n_set_bits AS HUGEINT) * 1000000 // {_BLOOM_M}
+                AS BIGINT) AS fill_ratio_ppm
+    FROM st
+    """,
+    doc="Bloom-filter false-positive-rate audit built entirely in-plan: "
+        "a 2^16-bit, 3-hash Bloom filter over the even order keys "
+        "(positions = md5-derived, the engine's portable hash "
+        "convention), probed with the DISJOINT odd keys — realized FPR "
+        "and fill ratio in exact ppm. This is the empirical calibration "
+        "for every bloom-prefilter join the engine ships "
+        "(join_bloom_prefilter, the runtime bloom pruning asserted in "
+        "test_scale_plans): you size m/k from the fill-ratio/FPR curve "
+        "this query measures, not from the asymptotic formula (which "
+        "assumes ideal hashing). Plan: the bit set is a DISTINCT over a "
+        "value domain bounded by m (never the corpus — 65 536 rows max), "
+        "probe membership is one equi-join on bit position + a per-key "
+        "count; everything stays integer-exact. Reference parity: "
+        "extension surface (SURVEY.md §2.B aggregate/sketch rows).",
+)
+def agg_bloom_filter_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pos = lambda key, i: F.pmod(  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat(key.cast("string"), F.lit(":b"), i.cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(_BLOOM_M),
+    )
+    idx = spark.range(_BLOOM_K).select(F.col("id").cast("int").alias("i"))
+    # build and bits are each consumed twice (the membership join AND their
+    # own 1-row count) — localCheckpoint so the md5 distincts run ONCE
+    # (the frame-reuse-recompute rule; unchecked, bench_one showed 1.8 s ->
+    # 7.5 s sample drift from racing recomputes of the same distinct).
+    build = (
+        o.where(F.col("o_orderkey") % 2 == 0)
+        .select(F.col("o_orderkey").alias("key"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    bits = (
+        build.crossJoin(F.broadcast(idx))
+        .select(pos(F.col("key"), F.col("i")).alias("pos"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    probe = o.where(F.col("o_orderkey") % 2 == 1).select(
+        F.col("o_orderkey").alias("key")
+    ).distinct()
+    ppos = probe.crossJoin(F.broadcast(idx)).select(
+        "key", pos(F.col("key"), F.col("i")).alias("pos")
+    )
+    hits = (
+        ppos.join(
+            F.broadcast(bits.withColumn("__hit", F.lit(1))), "pos", "left"
+        )
+        .groupBy("key")
+        .agg(F.count_if(F.col("__hit").isNotNull()).alias("n_matched"))
+    )
+    # n_probes and n_false_positives come from ONE aggregate over hits
+    # (every probe key owns exactly one hits row); build/bits counts are
+    # cheap scans of the checkpointed frames.
+    st = (
+        hits.agg(
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.count_if(F.col("n_matched") == _BLOOM_K)
+            .cast("long")
+            .alias("n_false_positives"),
+        )
+        .crossJoin(
+            F.broadcast(
+                build.agg(F.count(F.lit(1)).cast("long").alias("n_build"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                bits.agg(F.count(F.lit(1)).cast("long").alias("n_set_bits"))
+            )
+        )
+    )
+    return st.select(
+        F.lit(_BLOOM_M).cast("long").alias("m_bits"),
+        F.lit(_BLOOM_K).cast("long").alias("k_hashes"),
+        "n_build",
+        "n_set_bits",
+        "n_probes",
+        "n_false_positives",
+        F.expr(
+            "CAST(CAST(n_false_positives AS DECIMAL(38,0)) * 1000000 "
+            "DIV n_probes AS BIGINT)"
+        ).alias("fpr_ppm"),
+        F.expr(
+            f"CAST(CAST(n_set_bits AS DECIMAL(38,0)) * 1000000 "
+            f"DIV {_BLOOM_M} AS BIGINT)"
+        ).alias("fill_ratio_ppm"),
+    )

@@ -9259,3 +9259,192 @@ def ml_youden_j_operating_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_best"),
     )
+
+
+#: Event-type domain for the Mann-Whitney pair grid (pinned in the
+#: oracle text; stable across all testdata SFs — 5 values).
+_MWU_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _mwu_oracle() -> str:
+    """Build the pairwise Mann-Whitney oracle over the pinned type grid."""
+    counts = ",\n               ".join(
+        f"CAST(count_if(event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in _MWU_TYPES
+    )
+    cums = ",\n               ".join(
+        f"SUM(n_{t}) OVER w AS c_{t}" for t in _MWU_TYPES
+    )
+    keep = ", ".join(f"n_{t}" for t in _MWU_TYPES)
+    tots = ",\n               ".join(
+        f"CAST(SUM(n_{t}) AS BIGINT) AS tot_{t}" for t in _MWU_TYPES
+    )
+    pair_aggs, pair_rows = [], []
+    for i, a in enumerate(_MWU_TYPES):
+        for b in _MWU_TYPES[i + 1:]:
+            pair_aggs.append(
+                f"CAST(SUM(CAST(n_{a} AS HUGEINT) * (2 * (c_{b} - n_{b}) "
+                f"+ n_{b})) AS BIGINT) AS twou_{a}_{b}"
+            )
+            pair_aggs.append(
+                f"CAST(SUM(CAST(n_{a} + n_{b} AS HUGEINT) "
+                f"* (n_{a} + n_{b}) * (n_{a} + n_{b}) "
+                f"- (n_{a} + n_{b})) AS BIGINT) AS ties_{a}_{b}"
+            )
+            pair_rows.append(
+                f"SELECT '{a}' AS group_a, '{b}' AS group_b, "
+                f"tot_{a} AS n_a, tot_{b} AS n_b, "
+                f"twou_{a}_{b} AS two_u_a, ties_{a}_{b} AS tie_cubes "
+                f"FROM tot"
+            )
+    pair_agg_sql = ",\n               ".join(pair_aggs)
+    union_sql = "\n        UNION ALL ".join(pair_rows)
+    return f"""
+    WITH s AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS cents, event_type
+        FROM events
+    ),
+    by_val AS (
+        SELECT cents,
+               {counts}
+        FROM s GROUP BY cents
+    ),
+    cum AS (
+        SELECT cents, {keep},
+               {cums}
+        FROM by_val
+        WINDOW w AS (ORDER BY cents
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    tot AS MATERIALIZED (
+        SELECT {tots},
+               {pair_agg_sql}
+        FROM cum
+    ),
+    pairs AS (
+        {union_sql}
+    )
+    SELECT group_a, group_b, n_a, n_b, two_u_a, tie_cubes,
+           round((CAST(two_u_a AS DOUBLE) / 2
+                  - CAST(n_a AS DOUBLE) * n_b / 2)
+                 / sqrt(CAST(n_a AS DOUBLE) * n_b / 12
+                        * ((n_a + n_b + 1)
+                           - CAST(tie_cubes AS DOUBLE)
+                             / ((CAST(n_a AS DOUBLE) + n_b)
+                                * (CAST(n_a AS DOUBLE) + n_b - 1)))),
+                 4) AS z_stat,
+           abs((CAST(two_u_a AS DOUBLE) / 2
+                - CAST(n_a AS DOUBLE) * n_b / 2)
+               / sqrt(CAST(n_a AS DOUBLE) * n_b / 12
+                      * ((n_a + n_b + 1)
+                         - CAST(tie_cubes AS DOUBLE)
+                           / ((CAST(n_a AS DOUBLE) + n_b)
+                              * (CAST(n_a AS DOUBLE) + n_b - 1)))))
+           > 1.96 AS significant_05
+    FROM pairs
+    """
+
+
+@register(
+    "analytics_mann_whitney_u",
+    oracle=_mwu_oracle(),
+    doc="Mann-Whitney U (Wilcoxon rank-sum) test between the `value` "
+        "distributions of every pair of event types — the nonparametric "
+        "unpaired counterpart of analytics_ab_welch_ttest (which assumes "
+        "normality; MWU is the robust default for skewed engagement "
+        "metrics). Distributed-exactness: all rank arithmetic happens on "
+        "the DISTINCT-CENT-VALUE table (value-domain, bounded by the "
+        "price grid — never raw rows), where per-type counts and one "
+        "ordered cumulative window yield 2*U_a = sum_v[2*n_a(v)*"
+        "cumless_b(v) + n_a(v)*n_b(v)] and the tie-correction "
+        "sum(t^3 - t) as EXACT integers (HUGEINT/DECIMAL(38,0) cross-"
+        "multiplication, no per-row division). The normal-approximation "
+        "z with tie correction is then derived from those exact integers "
+        "with identical IEEE double arithmetic in both engines; the pair "
+        "grid is the bounded 5x5 type domain. One narrow groupBy(cents) "
+        "shuffle + one bounded-domain window; at 100 TB the same plan is "
+        "one partial-agg scan over a ~50k-row cent grid. Reference "
+        "parity: extension surface (SURVEY.md §2.B analytics).",
+)
+def analytics_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    s = e.select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_type",
+    )
+    by_val = s.groupBy("cents").agg(
+        *[
+            F.count_if(F.col("event_type") == t).cast("long").alias(f"n_{t}")
+            for t in _MWU_TYPES
+        ]
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = by_val.select(
+        "cents",
+        *[F.col(f"n_{t}") for t in _MWU_TYPES],
+        *[F.sum(f"n_{t}").over(w).alias(f"c_{t}") for t in _MWU_TYPES],
+    )
+    aggs = [
+        F.sum(f"n_{t}").cast("long").alias(f"tot_{t}") for t in _MWU_TYPES
+    ]
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_MWU_TYPES)
+        for b in _MWU_TYPES[i + 1:]
+    ]
+    for a, b in pairs:
+        na, nb, cb = F.col(f"n_{a}"), F.col(f"n_{b}"), F.col(f"c_{b}")
+        aggs.append(
+            F.sum(
+                na.cast("decimal(38,0)") * (2 * (cb - nb) + nb)
+            )
+            .cast("long")
+            .alias(f"twou_{a}_{b}")
+        )
+        t_ab = na + nb
+        aggs.append(
+            F.sum(t_ab.cast("decimal(38,0)") * t_ab * t_ab - t_ab)
+            .cast("long")
+            .alias(f"ties_{a}_{b}")
+        )
+    tot = cum.agg(*aggs)
+    rows = tot.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("group_a"),
+                        F.lit(b).alias("group_b"),
+                        F.col(f"tot_{a}").alias("n_a"),
+                        F.col(f"tot_{b}").alias("n_b"),
+                        F.col(f"twou_{a}_{b}").alias("two_u_a"),
+                        F.col(f"ties_{a}_{b}").alias("tie_cubes"),
+                    )
+                    for a, b in pairs
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    u_centered = (
+        F.col("two_u_a").cast("double") / 2
+        - F.col("n_a").cast("double") * F.col("n_b") / 2
+    )
+    n_tot = F.col("n_a").cast("double") + F.col("n_b")
+    var_u = (
+        F.col("n_a").cast("double") * F.col("n_b") / 12
+        * (
+            (F.col("n_a") + F.col("n_b") + 1)
+            - F.col("tie_cubes").cast("double") / (n_tot * (n_tot - 1))
+        )
+    )
+    z = u_centered / F.sqrt(var_u)
+    return rows.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        "two_u_a",
+        "tie_cubes",
+        F.round(z, 4).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant_05"),
+    )

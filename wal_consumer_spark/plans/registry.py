@@ -124,6 +124,8 @@ NEXT_WINDOW: list[str] = [
     "sim_jl_projection_distortion",
     "pipeline_token_budget_curriculum",
     "stream_replay_dedup_exactly_once",
+    "agg_bloom_filter_fpr_audit",
+    "analytics_mann_whitney_u",
 ]
 
 #: Overflow staging for additions beyond a single round-10 window.
