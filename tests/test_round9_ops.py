@@ -321,3 +321,160 @@ def test_bloom_fpr_audit_python_oracle(spark):
     assert r.n_false_positives == fp
     assert r.fpr_ppm == fp * 1_000_000 // len(probe)
     assert r.fill_ratio_ppm == len(bits) * 1_000_000 // 65536
+
+
+# ----------------------------------------------------------- shapley attr
+def test_shapley_attribution_python_oracle(spark):
+    """Enumerate all 4! channel permutations and average marginal
+    contributions directly — independent of the plan's subset-weight
+    closed form; also pins the efficiency axiom."""
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["ts"] = pd.to_datetime(ev.ts)
+    fp = (
+        ev[ev.event_type == "purchase"]
+        .groupby("user_id")
+        .ts.min()
+        .rename("fp_ts")
+    )
+    pre = ev[ev.event_type != "purchase"].join(fp, on="user_id", how="inner")
+    pre = pre[pre.ts < pre.fp_ts]
+    bits = {"click": 1, "error": 2, "signup": 4, "view": 8}
+    masks = (
+        pre.assign(b=lambda f: f.event_type.map(bits))
+        .groupby("user_id")
+        .b.agg(lambda s: int(pd.Series(sorted(set(s))).sum()))
+    )
+    mask_by_user = {u: int(masks.get(u, 0)) for u in fp.index}
+    counts = Counter(mask_by_user.values())
+
+    def v(s_mask: int) -> int:
+        return sum(n for m, n in counts.items() if m | s_mask == s_mask)
+
+    phi24 = {c: 0 for c in bits}
+    for perm in itertools.permutations(bits):
+        s = 0
+        for c in perm:
+            phi24[c] += v(s | bits[c]) - v(s)
+            s |= bits[c]
+    rows = {
+        r.channel: r
+        for r in all_specs()["analytics_shapley_attribution"]
+        .spark(spark, SF)
+        .collect()
+    }
+    assert set(rows) == set(bits)
+    for c in bits:
+        assert rows[c].phi_x24 == phi24[c], c
+        assert rows[c].n_converted == len(fp)
+        assert rows[c].total_gain_x24 == 24 * (v(15) - v(0))
+    # efficiency axiom: Shapley values exactly split the coalition gain
+    assert sum(phi24.values()) == 24 * (v(15) - v(0))
+
+
+# -------------------------------------------------------------- kneser-ney
+def test_kneser_ney_python_oracle(spark):
+    """Textbook KN formulation with float d=0.75 — independent of the
+    plan's exact-rational common-denominator form (ppm floor checked
+    against the float value within 1 micro)."""
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    big, c1, n1left, contset = Counter(), Counter(), Counter(), {}
+    for text in docs.text:
+        toks = text.lower().strip().split()
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] += 1
+    for (a, b), c in big.items():
+        c1[a] += c
+    left_types = Counter(a for a, _ in big)
+    cont = Counter(b for _, b in big)
+    n_types = len(big)
+    rows = (
+        all_specs()["text_kneser_ney_bigram"].spark(spark, SF).collect()
+    )
+    assert len(rows) == 20
+    top = sorted(big.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r.w1, r.w2) for r in rows] == [p for p, _ in top]
+    d = 0.75
+    for r in rows:
+        assert r.c12 == big[(r.w1, r.w2)]
+        assert r.c1 == c1[r.w1]
+        assert r.n1plus_left == left_types[r.w1]
+        assert r.n_cont_right == cont[r.w2]
+        assert r.n_types == n_types
+        p_kn = (
+            max(r.c12 - d, 0) / r.c1
+            + d * r.n1plus_left / r.c1 * r.n_cont_right / n_types
+        )
+        assert abs(r.pkn_ppm - p_kn * 1e6) <= 1.0, (r.w1, r.w2)
+        lam = d * r.n1plus_left / r.c1
+        assert abs(r.lambda_ppm - lam * 1e6) <= 1.0
+
+
+# ------------------------------------------------- stream-stream join
+def test_interval_join_batch_split_invariant(spark):
+    """The stream-stream interval join must produce the identical lag
+    histogram whether the replay arrives as 2 or 4 micro-batches."""
+    from wal_consumer_spark.plans.streaming_batch import (
+        stream_click_purchase_interval_join,
+    )
+
+    a = sorted(
+        map(tuple, stream_click_purchase_interval_join(spark, SF, n_files=4).collect())
+    )
+    b = sorted(
+        map(tuple, stream_click_purchase_interval_join(spark, SF, n_files=2).collect())
+    )
+    assert a == b
+    assert len(a) >= 3  # non-vacuous: several lag buckets populated
+
+
+# ------------------------------------------------------------- granger(1)
+def test_granger_causality_python_oracle(spark):
+    """numpy least-squares on the explicit design matrices — independent
+    of the plan's centered-moment Cramer solve."""
+    import numpy as np
+
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    od["d"] = pd.to_datetime(od.o_orderdate).dt.normalize()
+    daily = (
+        od.assign(cents=lambda f: (f.o_totalprice * 100).round().astype(int))
+        .groupby("d")
+        .agg(rev=("cents", "sum"), nord=("o_orderkey", "count"))
+        .sort_index()
+    )
+    nxt = daily.index + pd.Timedelta(days=1)
+    both = daily.index.intersection(nxt)
+    cur = daily.loc[both]
+    prev = daily.loc[both - pd.Timedelta(days=1)]
+    rows = {
+        r.direction: r
+        for r in all_specs()["ts_granger_causality_daily"]
+        .spark(spark, SF)
+        .collect()
+    }
+    for direction, (y, y1, x1) in {
+        "orders_cause_revenue": (
+            cur.rev.values,
+            prev.rev.values,
+            prev.nord.values,
+        ),
+        "revenue_cause_orders": (
+            cur.nord.values,
+            prev.nord.values,
+            prev.rev.values,
+        ),
+    }.items():
+        y = y.astype(float)
+        n = len(y)
+        Xu = np.column_stack([np.ones(n), y1, x1]).astype(float)
+        Xr = np.column_stack([np.ones(n), y1]).astype(float)
+        bu, *_ = np.linalg.lstsq(Xu, y, rcond=None)
+        br, *_ = np.linalg.lstsq(Xr, y, rcond=None)
+        rss_u = float(((y - Xu @ bu) ** 2).sum())
+        rss_r = float(((y - Xr @ br) ** 2).sum())
+        f = (rss_r - rss_u) * (n - 3) / rss_u
+        r = rows[direction]
+        assert r.n_days == n
+        assert abs(r.beta_lag_self - bu[1]) < 1e-4
+        assert abs(r.beta_lag_cross - bu[2]) < 1e-4
+        assert abs(r.f_stat - f) < max(1e-3, abs(f) * 1e-3)
+        assert r.granger_05 == (f > 3.84)

@@ -9448,3 +9448,169 @@ def analytics_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z_stat"),
         (F.abs(z) > 1.96).alias("significant_05"),
     )
+
+
+@register(
+    "analytics_shapley_attribution",
+    oracle="""
+    WITH fp AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS fp_ts
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    exposure AS (
+        SELECT f.user_id,
+               CAST(COALESCE(max(CASE WHEN e.event_type = 'click'
+                                      THEN 1 END), 0)
+                  + 2 * COALESCE(max(CASE WHEN e.event_type = 'error'
+                                          THEN 1 END), 0)
+                  + 4 * COALESCE(max(CASE WHEN e.event_type = 'signup'
+                                          THEN 1 END), 0)
+                  + 8 * COALESCE(max(CASE WHEN e.event_type = 'view'
+                                          THEN 1 END), 0) AS BIGINT) AS mask
+        FROM fp f
+        LEFT JOIN events e
+          ON e.user_id = f.user_id
+         AND CAST(e.ts AS TIMESTAMP) < f.fp_ts
+         AND e.event_type <> 'purchase'
+        GROUP BY f.user_id
+    ),
+    m AS (
+        SELECT mask, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM exposure GROUP BY mask
+    ),
+    subsets AS (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS s),
+    v AS (
+        SELECT s.s, CAST(COALESCE(SUM(m.n_users), 0) AS BIGINT) AS v
+        FROM subsets s LEFT JOIN m ON (m.mask | s.s) = s.s
+        GROUP BY s.s
+    ),
+    channels AS (
+        SELECT * FROM (VALUES ('click', CAST(1 AS BIGINT)),
+                              ('error', CAST(2 AS BIGINT)),
+                              ('signup', CAST(4 AS BIGINT)),
+                              ('view', CAST(8 AS BIGINT)))
+               AS t(channel, bit)
+    ),
+    tot AS (
+        SELECT (SELECT v FROM v WHERE s = 15)
+             - (SELECT v FROM v WHERE s = 0) AS gain,
+               (SELECT CAST(SUM(n_users) AS BIGINT) FROM m) AS n_converted
+    )
+    SELECT c.channel,
+           CAST(SUM((CASE ((v0.s // 1) % 2 + (v0.s // 2) % 2
+                           + (v0.s // 4) % 2 + (v0.s // 8) % 2)
+                     WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2
+                     ELSE 6 END) * (v1.v - v0.v)) AS BIGINT) AS phi_x24,
+           MAX(t.n_converted) AS n_converted,
+           CAST(MAX(t.gain) * 24 AS BIGINT) AS total_gain_x24
+    FROM channels c
+    JOIN v v0 ON (v0.s & c.bit) = 0
+    JOIN v v1 ON v1.s = v0.s + c.bit
+    CROSS JOIN tot t
+    GROUP BY c.channel
+    """,
+    doc="Exact Shapley-value channel attribution over the bounded 4-"
+        "channel domain: each converted user's coalition is the set of "
+        "non-purchase event types seen strictly before their first "
+        "purchase (a 4-bit mask), the characteristic function v(S) = "
+        "converted users whose touchpoints are covered by S, and the "
+        "Shapley value per channel is the exact weighted marginal sum "
+        "with 4! = 24 as the common denominator — phi_x24 is an exact "
+        "integer (no sampling, no permutation Monte Carlo; the "
+        "efficiency axiom sum(phi) = 24*(v(full)-v(empty)) is emitted "
+        "for in-plan verification). This is the fair-division upgrade of "
+        "analytics_attribution_last_touch. Scale: one per-user mask "
+        "aggregation (narrow shuffle on user_id); everything after lives "
+        "on the 16-row subset lattice x 4-channel grid — corpus size "
+        "never reaches the Shapley combinatorics. Reference parity: "
+        "extension surface (SURVEY.md §2.B analytics).",
+)
+def analytics_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    fp = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp_ts"))
+    )
+    bits = {"click": 1, "error": 2, "signup": 4, "view": 8}
+    exposure = (
+        fp.join(
+            e.where(F.col("event_type") != "purchase").select(
+                F.col("user_id").alias("e_user"), "event_type", "ts"
+            ),
+            (F.col("e_user") == F.col("user_id")) & (F.col("ts") < F.col("fp_ts")),
+            "left",
+        )
+        .groupBy("user_id")
+        .agg(
+            sum(
+                [
+                    b
+                    * F.coalesce(
+                        F.max(F.when(F.col("event_type") == t, F.lit(1))),
+                        F.lit(0),
+                    )
+                    for t, b in bits.items()
+                ],
+                start=F.lit(0),
+            )
+            .cast("long")
+            .alias("mask")
+        )
+    )
+    m = exposure.groupBy("mask").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    subsets = spark.range(16).select(F.col("id").cast("long").alias("s"))
+    v = (
+        subsets.join(
+            F.broadcast(m),
+            (F.col("mask").bitwiseOR(F.col("s"))) == F.col("s"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n_users"), F.lit(0)).cast("long").alias("v"))
+        .localCheckpoint(eager=True)  # the 16-row lattice feeds 4 consumers
+    )
+    channels = spark.createDataFrame(
+        [(t, b) for t, b in bits.items()], "channel string, bit long"
+    )
+    v0 = v.select(F.col("s").alias("s0"), F.col("v").alias("v0"))
+    v1 = v.select(F.col("s").alias("s1"), F.col("v").alias("v1"))
+    tot = (
+        v.where(F.col("s") == 15)
+        .select(F.col("v").alias("v_full"))
+        .crossJoin(F.broadcast(v.where(F.col("s") == 0).select(F.col("v").alias("v_empty"))))
+        .crossJoin(
+            F.broadcast(
+                m.agg(F.sum("n_users").cast("long").alias("n_converted"))
+            )
+        )
+        .select(
+            (F.col("v_full") - F.col("v_empty")).alias("gain"), "n_converted"
+        )
+    )
+    size0 = (
+        (F.col("s0") / 1).cast("long") % 2
+        + (F.col("s0") / 2).cast("long") % 2
+        + (F.col("s0") / 4).cast("long") % 2
+        + (F.col("s0") / 8).cast("long") % 2
+    )
+    w = (
+        F.when(size0 == 0, 6)
+        .when(size0 == 1, 2)
+        .when(size0 == 2, 2)
+        .otherwise(6)
+    )
+    return (
+        F.broadcast(channels)
+        .join(v0, F.col("s0").bitwiseAND(F.col("bit")) == 0)
+        .join(v1, F.col("s1") == F.col("s0") + F.col("bit"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("channel")
+        .agg(
+            F.sum(w * (F.col("v1") - F.col("v0"))).cast("long").alias("phi_x24"),
+            F.max("n_converted").alias("n_converted"),
+            (F.max("gain") * 24).cast("long").alias("total_gain_x24"),
+        )
+    )

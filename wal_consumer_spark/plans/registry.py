@@ -126,6 +126,10 @@ NEXT_WINDOW: list[str] = [
     "stream_replay_dedup_exactly_once",
     "agg_bloom_filter_fpr_audit",
     "analytics_mann_whitney_u",
+    "analytics_shapley_attribution",
+    "text_kneser_ney_bigram",
+    "stream_click_purchase_interval_join",
+    "ts_granger_causality_daily",
 ]
 
 #: Overflow staging for additions beyond a single round-10 window.

@@ -739,3 +739,137 @@ def stream_replay_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFr
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "stream_click_purchase_interval_join",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+        SELECT c.user_id, p.us - c.us AS lag_us
+        FROM c JOIN p
+          ON p.user_id = c.user_id
+         AND p.us >= c.us
+         AND p.us < c.us + 1800000000
+    )
+    SELECT CAST(lag_us // 300000000 AS BIGINT) AS lag_bucket_5m,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(MIN(lag_us) AS BIGINT) AS min_lag_us,
+           CAST(MAX(lag_us) AS BIGINT) AS max_lag_us
+    FROM j GROUP BY lag_bucket_5m
+    """,
+    doc="REAL Structured Streaming stream-stream INNER JOIN with an "
+        "event-time range condition — the one stateful streaming join "
+        "shape (click -> purchase within 30 minutes, per user), certified "
+        "against the equivalent batch interval join. The events table is "
+        "replayed as 4 event-time-ordered micro-batch files; both sides "
+        "carry 30-minute watermarks, so Spark's symmetric hash join "
+        "buffers each side's rows ONLY until the watermark passes the "
+        "join window (bounded state — the production answer to unbounded "
+        "two-stream buffering; state size is arrival-rate x window, never "
+        "corpus-scaled). Inner-join results emit as soon as both sides "
+        "arrive (append mode), so the collected output is batch-split-"
+        "invariant: the rolled-up 5-minute lag histogram hash-matches the "
+        "batch oracle exactly. Completes the streaming §2 matrix next to "
+        "windows/dedup/applyInPandasWithState. Reference parity: "
+        "extension surface (SURVEY.md §2.B streaming rows).",
+)
+def stream_click_purchase_interval_join(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    lo, hi = e.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    tmp = tempfile.mkdtemp(prefix="ssjoin_stream_")
+    # A stream-stream join instantiates 4 state stores per shuffle
+    # partition per micro-batch; at the session default of 200 that is
+    # 3200 store lifecycles for this bounded replay (measured 31 s at
+    # sf0.01). State partitioning is a deliberate per-stream deployment
+    # knob (fixed at first checkpoint in production) — pin it for this
+    # query and restore the session value after.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        step = (hi - lo) // n_files + 1
+        for i in range(n_files):
+            part = os.path.join(tmp, f"part{i}")
+            e.filter(
+                (F.col("ts_us") >= lo + i * step)
+                & (F.col("ts_us") < lo + (i + 1) * step)
+            ).coalesce(1).write.parquet(part)
+            pf = next(
+                f for f in sorted(os.listdir(part)) if f.endswith(".parquet")
+            )
+            shutil.move(
+                os.path.join(part, pf), os.path.join(src, f"{i:02d}.parquet")
+            )
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, ts_us long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        clicks = (
+            stream.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.timestamp_micros(F.col("ts_us")).alias("c_ts"),
+            )
+            .withWatermark("c_ts", "30 minutes")
+        )
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.timestamp_micros(F.col("ts_us")).alias("p_ts"),
+            )
+            .withWatermark("p_ts", "30 minutes")
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        name = f"ssjoin_{uuid.uuid4().hex[:12]}"
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        out = spark.table(name).select(
+            "c_user",
+            (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+        )
+        return out.groupBy(
+            F.expr("lag_us DIV 300000000").alias("lag_bucket_5m")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.countDistinct("c_user").cast("long").alias("n_users"),
+            F.min("lag_us").cast("long").alias("min_lag_us"),
+            F.max("lag_us").cast("long").alias("max_lag_us"),
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)

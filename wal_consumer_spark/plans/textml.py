@@ -1973,3 +1973,105 @@ def text_edit_distance_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min("nd_ppm").cast("long").alias("min_nd_ppm"),
         F.max("nd_ppm").cast("long").alias("max_nd_ppm"),
     )
+
+
+@register(
+    "text_kneser_ney_bigram",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    pairs AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM tk, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+    ),
+    big AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM pairs GROUP BY w1, w2
+    ),
+    uni AS (
+        SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS n1plus_left
+        FROM big GROUP BY w1
+    ),
+    cont AS (
+        SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_cont_right
+        FROM big GROUP BY w2
+    ),
+    nall AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM big)
+    SELECT b.w1, b.w2, b.c12, u.c1, u.n1plus_left, c.n_cont_right,
+           n.n_types,
+           CAST((CAST(greatest(4 * b.c12 - 3, 0) AS HUGEINT) * n.n_types
+                 + 3 * CAST(u.n1plus_left AS HUGEINT) * c.n_cont_right)
+                * 1000000
+                // (4 * CAST(u.c1 AS HUGEINT) * n.n_types) AS BIGINT)
+               AS pkn_ppm,
+           CAST(CAST(3 * u.n1plus_left AS HUGEINT) * 1000000
+                // (4 * u.c1) AS BIGINT) AS lambda_ppm
+    FROM big b JOIN uni u USING (w1) JOIN cont c USING (w2)
+    CROSS JOIN nall n
+    ORDER BY b.c12 DESC, b.w1, b.w2
+    LIMIT 20
+    """,
+    doc="Interpolated Kneser-Ney smoothed bigram probabilities for the "
+        "top-20 bigrams — THE standard n-gram LM smoothing (the quality "
+        "bar above text_bigram_logprob's add-one): P_KN(w2|w1) = "
+        "max(c12-d,0)/c1 + d*N1+(w1.)/c1 * N1+(.w2)/N1+(..), with the "
+        "canonical discount d=3/4 chosen so EVERYTHING stays exact-"
+        "rational — pkn_ppm = [max(4*c12-3,0)*Ntypes + 3*N1left*Ncont] "
+        "* 1e6 // (4*c1*Ntypes) is one integer floor division (no "
+        "float smoothing drift between engines); lambda_ppm is the "
+        "backoff mass. Continuation counts (distinct left contexts) are "
+        "the KN novelty vs raw frequency. Scale: bigram pairs build "
+        "array-locally per row; ONE corpus-sized groupBy(w1,w2) — uni/"
+        "cont/Ntypes all derive from the vocabulary^2-bounded `big` "
+        "table; top-20 is TakeOrderedAndProject. Reference parity: "
+        "extension surface (SURVEY.md §2.B text analysis).",
+)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    pairs = tk.select(
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, greatest(size(t) - 1, 0)), "
+                "(w, i) -> struct(w AS w1, element_at(t, i + 2) AS w2))"
+            )
+        ).alias("pr")
+    ).select(F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+    big = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    # uni / cont / n_types all derive from the bounded bigram-type table
+    uni = big.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1plus_left"),
+    )
+    cont = big.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cont_right")
+    )
+    nall = big.agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+    return (
+        big.join(maybe_broadcast(uni), "w1")
+        .join(maybe_broadcast(cont), "w2")
+        .crossJoin(F.broadcast(nall))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "n1plus_left",
+            "n_cont_right",
+            "n_types",
+            F.expr(
+                "CAST((CAST(greatest(4 * c12 - 3, 0) AS DECIMAL(38,0)) "
+                "* n_types + 3 * CAST(n1plus_left AS DECIMAL(38,0)) "
+                "* n_cont_right) * 1000000 "
+                "DIV (4 * CAST(c1 AS DECIMAL(38,0)) * n_types) AS BIGINT)"
+            ).alias("pkn_ppm"),
+            F.expr(
+                "CAST(CAST(3 * n1plus_left AS DECIMAL(38,0)) * 1000000 "
+                "DIV (4 * c1) AS BIGINT)"
+            ).alias("lambda_ppm"),
+        )
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+        .limit(20)
+    )

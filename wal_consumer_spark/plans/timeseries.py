@@ -3930,3 +3930,181 @@ def ts_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ck").cast("long").alias("first_chunk"),
         F.max("ck").cast("long").alias("last_chunk"),
     )
+
+
+@register(
+    "ts_granger_causality_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS d,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS rev_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    ),
+    lagged AS (
+        SELECT a.rev_cents AS rev, a.n_orders AS nord,
+               b.rev_cents AS prev_rev, b.n_orders AS prev_nord
+        FROM daily a JOIN daily b ON b.d = a.d - 1
+    ),
+    obs AS (
+        SELECT 'orders_cause_revenue' AS direction,
+               rev AS y, prev_rev AS y1, prev_nord AS x1 FROM lagged
+        UNION ALL
+        SELECT 'revenue_cause_orders' AS direction,
+               nord AS y, prev_nord AS y1, prev_rev AS x1 FROM lagged
+    ),
+    s AS (
+        SELECT direction,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(y1 AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(x1 AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+               CAST(SUM(CAST(y1 AS DECIMAL(38,0)) * CAST(y1 AS DECIMAL(38,0)))
+                    AS DOUBLE) AS s11,
+               CAST(SUM(CAST(x1 AS DECIMAL(38,0)) * CAST(x1 AS DECIMAL(38,0)))
+                    AS DOUBLE) AS s22,
+               CAST(SUM(CAST(y1 AS DECIMAL(38,0)) * CAST(x1 AS DECIMAL(38,0)))
+                    AS DOUBLE) AS s12,
+               CAST(SUM(CAST(y1 AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                    AS DOUBLE) AS s1y,
+               CAST(SUM(CAST(x1 AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                    AS DOUBLE) AS s2y,
+               CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                    AS DOUBLE) AS syy
+        FROM obs GROUP BY direction
+    ),
+    m AS (
+        SELECT direction, n,
+               n*s11 - s1*s1 AS c11, n*s22 - s2*s2 AS c22,
+               n*s12 - s1*s2 AS c12, n*s1y - s1*sy AS c1y,
+               n*s2y - s2*sy AS c2y, n*syy - sy*sy AS cyy
+        FROM s
+    ),
+    b AS (
+        SELECT direction, n, c11, c1y, cyy,
+               (c22*c1y - c12*c2y) / (c11*c22 - c12*c12) AS b1,
+               (c11*c2y - c12*c1y) / (c11*c22 - c12*c12) AS b2,
+               c2y
+        FROM m
+    ),
+    rss AS (
+        SELECT direction, n, b1, b2,
+               cyy - c1y*c1y/c11 AS rss_r,
+               cyy - b1*c1y - b2*c2y AS rss_u
+        FROM b
+    )
+    SELECT direction, n AS n_days,
+           round(b1, 6) AS beta_lag_self,
+           round(b2, 6) AS beta_lag_cross,
+           round((rss_r - rss_u) * (n - 3) / rss_u, 4) AS f_stat,
+           (rss_r - rss_u) * (n - 3) / rss_u > 3.84 AS granger_05
+    FROM rss
+    """,
+    doc="Granger causality test (lag 1, both directions) between daily "
+        "revenue and daily order count: does yesterday's order count "
+        "improve today's revenue prediction beyond yesterday's revenue "
+        "(and vice versa)? Restricted AR(1) vs unrestricted 2-regressor "
+        "OLS, both solved in closed form from ONE exact-DECIMAL moment "
+        "pass over the bounded daily grid (the ml_linear_regression_multi "
+        "Cramer pattern): F = (RSS_r - RSS_u)*(n-3)/RSS_u with the "
+        "centering scale cancelling exactly, so both engines run "
+        "identical IEEE double arithmetic on identical exact sums. The "
+        "lag alignment is a shifted-date equi-join on the daily table "
+        "(the ts_cross_correlation device — no window, no per-lag scan); "
+        "the corpus-sized work is one aggregation to ~2.4k daily rows. "
+        "Reference parity: extension surface (SURVEY.md §2.B "
+        "time-series).",
+)
+def ts_granger_causality_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    b = daily.select(
+        F.date_add(F.col("d"), 1).alias("d"),
+        F.col("rev_cents").alias("prev_rev"),
+        F.col("n_orders").alias("prev_nord"),
+    )
+    lagged = daily.join(b, "d").select(
+        F.col("rev_cents").alias("rev"),
+        F.col("n_orders").alias("nord"),
+        "prev_rev",
+        "prev_nord",
+    )
+    obs = lagged.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("orders_cause_revenue").alias("direction"),
+                    F.col("rev").alias("y"),
+                    F.col("prev_rev").alias("y1"),
+                    F.col("prev_nord").alias("x1"),
+                ),
+                F.struct(
+                    F.lit("revenue_cause_orders").alias("direction"),
+                    F.col("nord").alias("y"),
+                    F.col("prev_nord").alias("y1"),
+                    F.col("prev_rev").alias("x1"),
+                ),
+            )
+        ).alias("o")
+    ).select("o.*")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = obs.groupBy("direction").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec("y")).cast("double").alias("sy"),
+        F.sum(dec("y1")).cast("double").alias("s1"),
+        F.sum(dec("x1")).cast("double").alias("s2"),
+        F.sum(dec("y1") * dec("y1")).cast("double").alias("s11"),
+        F.sum(dec("x1") * dec("x1")).cast("double").alias("s22"),
+        F.sum(dec("y1") * dec("x1")).cast("double").alias("s12"),
+        F.sum(dec("y1") * dec("y")).cast("double").alias("s1y"),
+        F.sum(dec("x1") * dec("y")).cast("double").alias("s2y"),
+        F.sum(dec("y") * dec("y")).cast("double").alias("syy"),
+    )
+    m = s.select(
+        "direction",
+        "n",
+        (F.col("n") * F.col("s11") - F.col("s1") * F.col("s1")).alias("c11"),
+        (F.col("n") * F.col("s22") - F.col("s2") * F.col("s2")).alias("c22"),
+        (F.col("n") * F.col("s12") - F.col("s1") * F.col("s2")).alias("c12"),
+        (F.col("n") * F.col("s1y") - F.col("s1") * F.col("sy")).alias("c1y"),
+        (F.col("n") * F.col("s2y") - F.col("s2") * F.col("sy")).alias("c2y"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("cyy"),
+    )
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    bb = m.select(
+        "direction",
+        "n",
+        "c11",
+        "c1y",
+        "cyy",
+        "c2y",
+        ((F.col("c22") * F.col("c1y") - F.col("c12") * F.col("c2y")) / det)
+        .alias("b1"),
+        ((F.col("c11") * F.col("c2y") - F.col("c12") * F.col("c1y")) / det)
+        .alias("b2"),
+    )
+    rss = bb.select(
+        "direction",
+        "n",
+        "b1",
+        "b2",
+        (F.col("cyy") - F.col("c1y") * F.col("c1y") / F.col("c11"))
+        .alias("rss_r"),
+        (F.col("cyy") - F.col("b1") * F.col("c1y") - F.col("b2") * F.col("c2y"))
+        .alias("rss_u"),
+    )
+    f = (F.col("rss_r") - F.col("rss_u")) * (F.col("n") - 3) / F.col("rss_u")
+    return rss.select(
+        "direction",
+        F.col("n").alias("n_days"),
+        F.round("b1", 6).alias("beta_lag_self"),
+        F.round("b2", 6).alias("beta_lag_cross"),
+        F.round(f, 4).alias("f_stat"),
+        (f > 3.84).alias("granger_05"),
+    )
