@@ -123,6 +123,14 @@ HEADLINE = [
     "dedup_lsh_band_sensitivity",
     "graph_landmark_distance_profile",
     "pipeline_soft_dedup_ess_by_source",
+    # r9 late-session additions (appended only; streaming replay
+    # queries stay out per the stream_idle_timeout_sessions note —
+    # fresh-JVM bench_one records exist for those instead).
+    "sim_product_quantization_audit",
+    "analytics_shapley_attribution",
+    "text_kneser_ney_bigram",
+    "ml_decision_tree_depth2",
+    "ts_granger_causality_daily",
 ]
 
 #: FROZEN cross-round comparison basis (round-4 VERDICT "What's wrong" #2:

@@ -478,3 +478,126 @@ def test_granger_causality_python_oracle(spark):
         assert abs(r.beta_lag_cross - bu[2]) < 1e-4
         assert abs(r.f_stat - f) < max(1e-3, abs(f) * 1e-3)
         assert r.granger_05 == (f > 3.84)
+
+
+# ----------------------------------------------------------------- PQ audit
+def test_product_quantization_python_oracle(spark):
+    """Direct numpy replication of the fixed-point PQ pipeline (seeds,
+    argmin assignment, floored-mean Lloyd step, re-assignment)."""
+    import numpy as np
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet").sort_values("vec_id")
+    vids = emb.vec_id.to_numpy()
+    X = (
+        np.round(np.stack(emb.embedding.to_numpy()).astype(np.float64) * 1e6)
+        .astype(np.int64)
+        + 2_000_000
+    )
+    n, d = X.shape
+    assert d == 64
+    expected = {}
+    for sub in range(8):
+        Xs = X[:, sub * 8 : sub * 8 + 8]
+        seeds = Xs[vids < 16]  # 16 x 8, ordered by vec_id
+        dist1 = ((Xs[:, None, :] - seeds[None, :, :]) ** 2).sum(axis=2)
+        pick1 = (dist1 * 16 + np.arange(16)).min(axis=1)
+        a1c, a1d = pick1 % 16, pick1 // 16
+        cb2 = {}
+        for c in np.unique(a1c):
+            mem = Xs[a1c == c]
+            cb2[c] = mem.sum(axis=0) // len(mem)  # floored integer mean
+        codes = sorted(cb2)
+        C2 = np.stack([cb2[c] for c in codes])
+        dist2 = ((Xs[:, None, :] - C2[None, :, :]) ** 2).sum(axis=2)
+        pick2 = (dist2 * 16 + np.array(codes)).min(axis=1)
+        a2c, a2d = pick2 % 16, pick2 // 16
+        buckets = Counter(a2c.tolist())
+        expected[sub] = dict(
+            n_points=n,
+            used_codes_r2=len(buckets),
+            max_bucket_r2=max(buckets.values()),
+            avg_dist_r1=int(a1d.sum()) // n,
+            avg_dist_r2=int(a2d.sum()) // n,
+        )
+    rows = {
+        r.sub: r
+        for r in all_specs()["sim_product_quantization_audit"]
+        .spark(spark, SF)
+        .collect()
+    }
+    assert set(rows) == set(range(8))
+    for sub, exp in expected.items():
+        r = rows[sub]
+        for k, v in exp.items():
+            assert getattr(r, k) == v, (sub, k, getattr(r, k), v)
+        assert r.lloyd_improved == (exp["avg_dist_r2"] <= exp["avg_dist_r1"])
+
+
+# ----------------------------------------------------------- depth-2 tree
+def test_decision_tree_depth2_python_oracle(spark):
+    """Brute-force split enumeration in pure Python over the raw rows —
+    independent of the plan's histogram/cumulative-window formulation."""
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    f1 = (od.o_totalprice.astype("float64").round(2) // 1000).astype(int)
+    f2 = pd.to_datetime(od.o_orderdate).dt.year.astype(int)
+    y = (od.o_orderpriority == "1-URGENT").astype(int)
+
+    def best(f, yy):
+        nt, pt = len(yy), int(yy.sum())
+        cands = sorted(f.unique())
+        out = None
+        for t in cands:
+            m = f <= t
+            nl, pl = int(m.sum()), int(yy[m].sum())
+            if nl == 0 or nl == nt:
+                continue
+            nr, pr = nt - nl, pt - pl
+            g = (
+                nl * (1 - (pl / nl) ** 2 - ((nl - pl) / nl) ** 2)
+                + nr * (1 - (pr / nr) ** 2 - ((nr - pr) / nr) ** 2)
+            ) / nt
+            if out is None or g < out[1] - 1e-15:
+                out = (t, g, nl, nr, pl, pr)
+        return out
+
+    t1, g1, nl1, nr1, pl1, pr1 = best(f1, y)
+    rows = {
+        r.node: r
+        for r in all_specs()["ml_decision_tree_depth2"].spark(spark, SF).collect()
+    }
+    assert rows["root"].threshold_bin == t1
+    assert (rows["root"].n_left, rows["root"].n_right) == (nl1, nr1)
+    assert (rows["root"].pos_left, rows["root"].pos_right) == (pl1, pr1)
+    assert abs(rows["root"].weighted_gini - g1) < 1e-6
+    for node, m in (("left", f1 <= t1), ("right", f1 > t1)):
+        t, g, nl, nr, pl, pr = best(f2[m], y[m])
+        r = rows[node]
+        assert r.split_feature == "order_year"
+        assert r.threshold_bin == t, node
+        assert (r.n_left, r.n_right, r.pos_left, r.pos_right) == (nl, nr, pl, pr)
+        assert abs(r.weighted_gini - g) < 1e-6
+
+
+def test_left_outer_join_batch_split_invariant(spark):
+    """Watermark-closed unmatched emission must not depend on how the
+    replay is batched: the FINAL watermark (min side max - delay) is the
+    same at 2 and 4 files, so emitted sets must be identical."""
+    from wal_consumer_spark.plans.streaming_batch import (
+        stream_left_outer_join_watermark_close,
+    )
+
+    a = sorted(
+        map(
+            tuple,
+            stream_left_outer_join_watermark_close(spark, SF, n_files=4).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            stream_left_outer_join_watermark_close(spark, SF, n_files=2).collect(),
+        )
+    )
+    assert a == b
+    d = dict((r[0], r[1]) for r in a)
+    assert d["matched"] > 0 and d["unmatched_closed"] > 0

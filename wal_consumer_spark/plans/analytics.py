@@ -9614,3 +9614,189 @@ def analytics_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.max("gain") * 24).cast("long").alias("total_gain_x24"),
         )
     )
+
+
+#: Shared weighted-Gini SQL fragment for the depth-2 tree (identical
+#: double arithmetic on exact integer counts in both engines).
+_WG_SQL = (
+    "(CAST(nl AS DOUBLE)"
+    " * (1 - (CAST(pl AS DOUBLE) / nl) * (CAST(pl AS DOUBLE) / nl)"
+    "      - (CAST(nl - pl AS DOUBLE) / nl) * (CAST(nl - pl AS DOUBLE) / nl))"
+    " + CAST(nt - nl AS DOUBLE)"
+    " * (1 - (CAST(pt - pl AS DOUBLE) / (nt - nl))"
+    "        * (CAST(pt - pl AS DOUBLE) / (nt - nl))"
+    "      - (CAST((nt - nl) - (pt - pl) AS DOUBLE) / (nt - nl))"
+    "        * (CAST((nt - nl) - (pt - pl) AS DOUBLE) / (nt - nl))))"
+    " / CAST(nt AS DOUBLE)"
+)
+
+
+@register(
+    "ml_decision_tree_depth2",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(floor(CAST(o_totalprice AS DECIMAL(12,2)) / 1000)
+                    AS BIGINT) AS f1,
+               CAST(year(CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE))
+                    AS BIGINT) AS f2,
+               CAST(o_orderpriority = '1-URGENT' AS INT) AS pos1
+        FROM orders
+    ),
+    h1 AS (
+        SELECT f1, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pos1) AS BIGINT) AS pos
+        FROM base GROUP BY f1
+    ),
+    c1 AS (
+        SELECT f1 AS bin,
+               SUM(n) OVER (ORDER BY f1) AS nl,
+               SUM(pos) OVER (ORDER BY f1) AS pl,
+               SUM(n) OVER () AS nt,
+               SUM(pos) OVER () AS pt
+        FROM h1
+    ),
+    root AS (
+        SELECT bin, CAST(nl AS BIGINT) AS n_left,
+               CAST(nt - nl AS BIGINT) AS n_right,
+               CAST(pl AS BIGINT) AS pos_left,
+               CAST(pt - pl AS BIGINT) AS pos_right,
+               {_WG_SQL} AS wg
+        FROM c1 WHERE nl > 0 AND nt - nl > 0
+        QUALIFY row_number() OVER (ORDER BY {_WG_SQL}, bin) = 1
+    ),
+    sided AS (
+        SELECT CASE WHEN b.f1 <= r.bin THEN 'left' ELSE 'right' END AS node,
+               b.f2, b.pos1
+        FROM base b CROSS JOIN root r
+    ),
+    h2 AS (
+        SELECT node, f2, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pos1) AS BIGINT) AS pos
+        FROM sided GROUP BY node, f2
+    ),
+    c2 AS (
+        SELECT node, f2 AS bin,
+               SUM(n) OVER (PARTITION BY node ORDER BY f2) AS nl,
+               SUM(pos) OVER (PARTITION BY node ORDER BY f2) AS pl,
+               SUM(n) OVER (PARTITION BY node) AS nt,
+               SUM(pos) OVER (PARTITION BY node) AS pt
+        FROM h2
+    ),
+    kids AS (
+        SELECT node, bin, CAST(nl AS BIGINT) AS n_left,
+               CAST(nt - nl AS BIGINT) AS n_right,
+               CAST(pl AS BIGINT) AS pos_left,
+               CAST(pt - pl AS BIGINT) AS pos_right,
+               {_WG_SQL} AS wg
+        FROM c2 WHERE nl > 0 AND nt - nl > 0
+        QUALIFY row_number() OVER (PARTITION BY node
+                                   ORDER BY {_WG_SQL}, bin) = 1
+    )
+    SELECT 'root' AS node, 'price_1k_bin' AS split_feature,
+           bin AS threshold_bin, n_left, n_right, pos_left, pos_right,
+           round(wg, 6) AS weighted_gini
+    FROM root
+    UNION ALL
+    SELECT node, 'order_year' AS split_feature,
+           bin, n_left, n_right, pos_left, pos_right, round(wg, 6)
+    FROM kids
+    """,
+    doc="Depth-2 decision tree trained fully in-plan (the ml_decision_"
+        "stump recipe applied recursively): the root picks the best "
+        "weighted-Gini split of the ~500-bin price grid in one histogram "
+        "pass, the root threshold flows BACK INTO THE PLAN as a broadcast "
+        "1-row frame (no collect), and each child then picks its best "
+        "order-year split from a second (node, year)-histogram pass — "
+        "exactly the level-synchronous histogram-per-level loop of "
+        "distributed tree/GBDT trainers (XGBoost approx split finding): "
+        "data passes = tree depth, never nodes x features. All impurity "
+        "arithmetic is +,-,*,/ on exact integer class counts; argmins "
+        "tie-break on bin; windows order only the bounded candidate "
+        "grids. Reference parity: extension surface (SURVEY.md §2.B ML "
+        "rows).",
+)
+def ml_decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.floor(F.col("o_totalprice").cast("decimal(12,2)") / 1000)
+        .cast("long")
+        .alias("f1"),
+        F.year(F.to_date("o_orderdate")).cast("long").alias("f2"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("pos1"),
+    )
+
+    def best_split(hist: DataFrame, by_node: bool) -> DataFrame:
+        part = ["node"] if by_node else []
+        w_cum = (
+            Window.partitionBy(*part)
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        w_all = Window.partitionBy(*part).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        c = hist.select(
+            *part,
+            "bin",
+            F.sum("n").over(w_cum).alias("nl"),
+            F.sum("pos").over(w_cum).alias("pl"),
+            F.sum("n").over(w_all).alias("nt"),
+            F.sum("pos").over(w_all).alias("pt"),
+        ).where((F.col("nl") > 0) & (F.col("nt") - F.col("nl") > 0))
+        wg = F.expr(_WG_SQL)
+        pick = Window.partitionBy(*part).orderBy(wg, "bin")
+        return (
+            c.withColumn("wg", wg)
+            .withColumn("rn", F.row_number().over(pick))
+            .where(F.col("rn") == 1)
+            .select(
+                *part,
+                "bin",
+                F.col("nl").cast("long").alias("n_left"),
+                (F.col("nt") - F.col("nl")).cast("long").alias("n_right"),
+                F.col("pl").cast("long").alias("pos_left"),
+                (F.col("pt") - F.col("pl")).cast("long").alias("pos_right"),
+                "wg",
+            )
+        )
+
+    h1 = base.groupBy(F.col("f1").alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos1").cast("long").alias("pos"),
+    )
+    root = best_split(h1, by_node=False).localCheckpoint(eager=True)
+    sided = base.crossJoin(
+        F.broadcast(root.select(F.col("bin").alias("t1")))
+    ).select(
+        F.when(F.col("f1") <= F.col("t1"), F.lit("left"))
+        .otherwise(F.lit("right"))
+        .alias("node"),
+        "f2",
+        "pos1",
+    )
+    h2 = sided.groupBy("node", F.col("f2").alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos1").cast("long").alias("pos"),
+    )
+    kids = best_split(h2, by_node=True)
+    out_root = root.select(
+        F.lit("root").alias("node"),
+        F.lit("price_1k_bin").alias("split_feature"),
+        F.col("bin").alias("threshold_bin"),
+        "n_left",
+        "n_right",
+        "pos_left",
+        "pos_right",
+        F.round("wg", 6).alias("weighted_gini"),
+    )
+    out_kids = kids.select(
+        "node",
+        F.lit("order_year").alias("split_feature"),
+        F.col("bin").alias("threshold_bin"),
+        "n_left",
+        "n_right",
+        "pos_left",
+        "pos_right",
+        F.round("wg", 6).alias("weighted_gini"),
+    )
+    return out_root.unionAll(out_kids)

@@ -5044,3 +5044,189 @@ def sim_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ratio_ppm").cast("long").alias("min_ratio_ppm"),
         F.max("ratio_ppm").cast("long").alias("max_ratio_ppm"),
     )
+
+
+@register(
+    "sim_product_quantization_audit",
+    oracle="""
+    WITH flat AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) + 2000000 AS x,
+               (generate_subscripts(embedding, 1) - 1) // 8 AS sub
+        FROM embeddings
+    ),
+    seed AS (
+        SELECT sub, dim, vec_id AS c, x AS cx
+        FROM flat WHERE vec_id < 16
+    ),
+    d1 AS (
+        SELECT f.vec_id, f.sub, s.c,
+               SUM((f.x - s.cx) * (f.x - s.cx)) AS dist
+        FROM flat f JOIN seed s ON s.sub = f.sub AND s.dim = f.dim
+        GROUP BY f.vec_id, f.sub, s.c
+    ),
+    a1 AS (
+        SELECT vec_id, sub, MIN(dist * 16 + c) AS pick
+        FROM d1 GROUP BY vec_id, sub
+    ),
+    a1d AS (
+        SELECT vec_id, sub, pick // 16 AS dist, pick % 16 AS c FROM a1
+    ),
+    cb2 AS (
+        SELECT f.sub, a.c, f.dim,
+               CAST(SUM(CAST(f.x AS HUGEINT)) // COUNT(*) AS BIGINT) AS cx
+        FROM flat f JOIN a1d a ON a.vec_id = f.vec_id AND a.sub = f.sub
+        GROUP BY f.sub, a.c, f.dim
+    ),
+    d2 AS (
+        SELECT f.vec_id, f.sub, s.c,
+               SUM((f.x - s.cx) * (f.x - s.cx)) AS dist
+        FROM flat f JOIN cb2 s ON s.sub = f.sub AND s.dim = f.dim
+        GROUP BY f.vec_id, f.sub, s.c
+    ),
+    a2 AS (
+        SELECT vec_id, sub, MIN(dist * 16 + c) AS pick
+        FROM d2 GROUP BY vec_id, sub
+    ),
+    a2d AS (
+        SELECT vec_id, sub, pick // 16 AS dist, pick % 16 AS c FROM a2
+    ),
+    r2stats AS (
+        SELECT sub,
+               CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(COUNT(DISTINCT c) AS BIGINT) AS used_codes_r2,
+               CAST(SUM(CAST(dist AS HUGEINT))
+                    // COUNT(*) AS BIGINT) AS avg_dist_r2,
+               CAST(MAX(bucket_n) AS BIGINT) AS max_bucket_r2
+        FROM (
+            SELECT vec_id, sub, dist, c,
+                   COUNT(*) OVER (PARTITION BY sub, c) AS bucket_n
+            FROM a2d
+        ) GROUP BY sub
+    ),
+    r1stats AS (
+        SELECT sub,
+               CAST(SUM(CAST(dist AS HUGEINT))
+                    // COUNT(*) AS BIGINT) AS avg_dist_r1
+        FROM a1d GROUP BY sub
+    )
+    SELECT CAST(r2.sub AS BIGINT) AS sub, r2.n_points, r2.used_codes_r2,
+           r2.max_bucket_r2, r1.avg_dist_r1, r2.avg_dist_r2,
+           r2.avg_dist_r2 <= r1.avg_dist_r1 AS lloyd_improved
+    FROM r2stats r2 JOIN r1stats r1 ON r1.sub = r2.sub
+    """,
+    doc="Product-quantization audit with ONE real Lloyd iteration, all in "
+        "exact fixed-point integers: 64-dim embeddings split into 8 "
+        "subspaces x 8 dims, seeded with the 16 lowest-vec_id subvectors, "
+        "assigned (exact squared L2 in offset 1e-6 fixed-point — the "
+        "+2e6-offset trick keeps floor-div == trunc-div cross-engine), "
+        "centroids re-estimated as floored integer means, re-assigned, "
+        "and per-subspace distortion/codebook-balance reported before vs "
+        "after (lloyd_improved is the in-plan monotonicity certificate). "
+        "This is the missing ANN-compression audit next to int8-SQ8 / "
+        "Matryoshka / JL: PQ is THE billion-scale vector-index codec "
+        "(IVF-PQ), and this measures exactly what you tune — per-subspace "
+        "distortion and code utilization. Scale: assignments are "
+        "equi-joins of the exploded (vec,sub,dim) stream against a "
+        "16x64-entry codebook (maybe_broadcast — never corpus-keyed); "
+        "argmin is the composite min(dist*16+c) scalar (no window); "
+        "distortion sums ride HUGEINT/DECIMAL(38,0). Reference parity: "
+        "extension surface (SURVEY.md §2.B similarity rows).",
+)
+def sim_product_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wal_consumer_spark.operators.broadcast import maybe_broadcast
+
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("dim"),
+        (
+            F.round(F.col("xf").cast("double") * 1000000).cast("long")
+            + 2000000
+        ).alias("x"),
+        F.expr("pos DIV 8").alias("sub"),
+    ).localCheckpoint(eager=True)  # consumed by both assignment passes
+    seed = flat.where(F.col("vec_id") < 16).select(
+        "sub", "dim", F.col("vec_id").alias("c"), F.col("x").alias("cx")
+    )
+    d1 = (
+        flat.join(maybe_broadcast(seed), ["sub", "dim"])
+        .groupBy("vec_id", "sub", "c")
+        .agg(
+            F.sum((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx")))
+            .alias("dist")
+        )
+    )
+    a1 = (
+        d1.groupBy("vec_id", "sub")
+        .agg(F.min(F.col("dist") * 16 + F.col("c")).alias("pick"))
+        .select(
+            "vec_id",
+            "sub",
+            F.expr("pick DIV 16").alias("dist"),
+            (F.col("pick") % 16).alias("c"),
+        )
+        .localCheckpoint(eager=True)  # feeds cb2 AND r1 stats
+    )
+    cb2 = (
+        flat.join(a1.select("vec_id", "sub", "c"), ["vec_id", "sub"])
+        .groupBy("sub", "c", "dim")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(x AS DECIMAL(38,0))) DIV COUNT(*) AS BIGINT)"
+            ).alias("cx")
+        )
+    )
+    d2 = (
+        flat.join(maybe_broadcast(cb2), ["sub", "dim"])
+        .groupBy("vec_id", "sub", "c")
+        .agg(
+            F.sum((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx")))
+            .alias("dist")
+        )
+    )
+    a2 = (
+        d2.groupBy("vec_id", "sub")
+        .agg(F.min(F.col("dist") * 16 + F.col("c")).alias("pick"))
+        .select(
+            "sub",
+            F.expr("pick DIV 16").alias("dist"),
+            (F.col("pick") % 16).alias("c"),
+        )
+    )
+    bucket = Window.partitionBy("sub", "c")
+    r2 = (
+        a2.withColumn("bucket_n", F.count(F.lit(1)).over(bucket))
+        .groupBy("sub")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.countDistinct("c").cast("long").alias("used_codes_r2"),
+            F.expr(
+                "CAST(SUM(CAST(dist AS DECIMAL(38,0))) DIV COUNT(*) "
+                "AS BIGINT)"
+            ).alias("avg_dist_r2"),
+            F.max("bucket_n").cast("long").alias("max_bucket_r2"),
+        )
+    )
+    r1 = a1.groupBy("sub").agg(
+        F.expr(
+            "CAST(SUM(CAST(dist AS DECIMAL(38,0))) DIV COUNT(*) AS BIGINT)"
+        ).alias("avg_dist_r1")
+    )
+    return (
+        r2.join(r1, "sub")
+        .select(
+            F.col("sub").cast("long").alias("sub"),
+            "n_points",
+            "used_codes_r2",
+            "max_bucket_r2",
+            "avg_dist_r1",
+            "avg_dist_r2",
+            (F.col("avg_dist_r2") <= F.col("avg_dist_r1")).alias(
+                "lloyd_improved"
+            ),
+        )
+    )

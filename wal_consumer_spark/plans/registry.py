@@ -130,6 +130,9 @@ NEXT_WINDOW: list[str] = [
     "text_kneser_ney_bigram",
     "stream_click_purchase_interval_join",
     "ts_granger_causality_daily",
+    "sim_product_quantization_audit",
+    "ml_decision_tree_depth2",
+    "stream_left_outer_join_watermark_close",
 ]
 
 #: Overflow staging for additions beyond a single round-10 window.

@@ -873,3 +873,136 @@ def stream_click_purchase_interval_join(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "stream_left_outer_join_watermark_close",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+        SELECT least((SELECT max(us) FROM c), (SELECT max(us) FROM p))
+               - 1800000000 AS w
+    ),
+    j AS (
+        SELECT c.user_id, c.us, p.us AS pus
+        FROM c LEFT JOIN p
+          ON p.user_id = c.user_id
+         AND p.us >= c.us
+         AND p.us < c.us + 1800000000
+    )
+    SELECT 'matched' AS outcome,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM j WHERE pus IS NOT NULL
+    UNION ALL
+    SELECT 'unmatched_closed' AS outcome,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM j, wm WHERE pus IS NULL AND j.us + 1800000000 < wm.w
+    """,
+    doc="REAL stream-stream LEFT OUTER join — the semantics the inner "
+        "variant cannot show: an unmatched click emits (with nulls) ONLY "
+        "once the global watermark (min across both sides' max-event-time "
+        "minus the 30-min delay) passes the end of its join window, so "
+        "the streaming result is the batch left join RESTRICTED to "
+        "watermark-closed windows — clicks whose window is still open "
+        "when the stream ends stay unemitted, and the oracle mirrors that "
+        "closure predicate exactly (least(max_click, max_purchase) - "
+        "delay). This is the production semantics of outer joins on "
+        "late-data streams: results are append-only and each left row "
+        "resolves exactly once, at window close. Same 4-file event-time "
+        "replay and pinned 8-partition state as the inner variant; "
+        "rolled up to matched / unmatched_closed counts. Reference "
+        "parity: extension surface (SURVEY.md §2.B streaming rows).",
+)
+def stream_left_outer_join_watermark_close(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    lo, hi = e.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    tmp = tempfile.mkdtemp(prefix="lojoin_stream_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        step = (hi - lo) // n_files + 1
+        for i in range(n_files):
+            part = os.path.join(tmp, f"part{i}")
+            e.filter(
+                (F.col("ts_us") >= lo + i * step)
+                & (F.col("ts_us") < lo + (i + 1) * step)
+            ).coalesce(1).write.parquet(part)
+            pf = next(
+                f for f in sorted(os.listdir(part)) if f.endswith(".parquet")
+            )
+            shutil.move(
+                os.path.join(part, pf), os.path.join(src, f"{i:02d}.parquet")
+            )
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, ts_us long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        clicks = (
+            stream.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.timestamp_micros(F.col("ts_us")).alias("c_ts"),
+            )
+            .withWatermark("c_ts", "30 minutes")
+        )
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.timestamp_micros(F.col("ts_us")).alias("p_ts"),
+            )
+            .withWatermark("p_ts", "30 minutes")
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+            "leftOuter",
+        )
+        name = f"lojoin_{uuid.uuid4().hex[:12]}"
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        out = spark.table(name)
+        return out.select(
+            F.when(F.col("p_ts").isNotNull(), F.lit("matched"))
+            .otherwise(F.lit("unmatched_closed"))
+            .alias("outcome"),
+            "c_user",
+        ).groupBy("outcome").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("c_user").cast("long").alias("n_users"),
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
