@@ -601,3 +601,51 @@ def test_left_outer_join_batch_split_invariant(spark):
     assert a == b
     d = dict((r[0], r[1]) for r in a)
     assert d["matched"] > 0 and d["unmatched_closed"] > 0
+
+
+# ----------------------------------------------------------- louvain sweep
+def test_louvain_first_sweep_python_oracle(spark):
+    """networkx-free pure-Python replication: build the co-purchase
+    graph, apply the min-degree-neighbor merge rule, recompute exact
+    integer modularity numerators."""
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+    op = set(map(tuple, li.drop_duplicates().itertuples(index=False)))
+    by_o = {}
+    for o, p in op:
+        by_o.setdefault(o, set()).add(p)
+    edges = set()
+    for ps in by_o.values():
+        ps = sorted(ps)
+        for i, a in enumerate(ps):
+            for bb in ps[i + 1:]:
+                edges.add((a, bb))
+    deg = Counter()
+    adj = {}
+    for a, bb in edges:
+        deg[a] += 1
+        deg[bb] += 1
+        adj.setdefault(a, set()).add(bb)
+        adj.setdefault(bb, set()).add(a)
+    m = len(edges)
+    lbl = {}
+    for v, nbrs in adj.items():
+        kmin = min(deg[u] for u in nbrs)
+        umin = min(u for u in nbrs if deg[u] == kmin)
+        lbl[v] = umin if 2 * m > deg[v] * kmin else v
+    comm_sz = Counter(lbl.values())
+    d_c = Counter()
+    for v, c in lbl.items():
+        d_c[c] += deg[v]
+    intra = sum(1 for a, bb in edges if lbl[a] == lbl[bb])
+    q_single = -sum(k * k for k in deg.values())
+    q_after = 4 * m * intra - sum(d * d for d in d_c.values())
+    r = all_specs()["graph_louvain_first_sweep"].spark(spark, SF).collect()[0]
+    assert r.n_nodes == len(adj)
+    assert r.n_edges == m
+    assert r.n_moved == sum(1 for v, c in lbl.items() if c != v)
+    assert r.n_communities == len(comm_sz)
+    assert r.top_community_size == max(comm_sz.values())
+    assert r.n_intra_edges == intra
+    assert r.q_singleton_x4m2 == q_single
+    assert r.q_after_x4m2 == q_after
+    assert r.improved == (q_after > q_single)

@@ -9800,3 +9800,208 @@ def ml_decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("wg", 6).alias("weighted_gini"),
     )
     return out_root.unionAll(out_kids)
+
+
+@register(
+    "graph_louvain_first_sweep",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    edges AS (
+        SELECT DISTINCT a.p AS pa, b.p AS pb
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    ),
+    deg AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS k FROM (
+            SELECT pa AS v FROM edges UNION ALL SELECT pb FROM edges
+        ) GROUP BY v
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+    nb AS (
+        SELECT pa AS v, pb AS u FROM edges
+        UNION ALL SELECT pb, pa FROM edges
+    ),
+    nk AS (
+        SELECT nb.v, nb.u, du.k AS ku
+        FROM nb JOIN deg du ON du.v = nb.u
+    ),
+    kmin AS (SELECT v, MIN(ku) AS kmin FROM nk GROUP BY v),
+    pick AS (
+        SELECT nk.v, MIN(nk.u) AS umin, MAX(km.kmin) AS kmin
+        FROM nk JOIN kmin km ON km.v = nk.v AND nk.ku = km.kmin
+        GROUP BY nk.v
+    ),
+    labels AS (
+        SELECT p.v, dv.k AS kv,
+               CASE WHEN 2 * m.m > dv.k * p.kmin THEN p.umin ELSE p.v END
+                   AS lbl
+        FROM pick p JOIN deg dv ON dv.v = p.v CROSS JOIN m
+    ),
+    tagged AS (
+        SELECT la.lbl AS la, lb.lbl AS lb
+        FROM edges e
+        JOIN labels la ON la.v = e.pa
+        JOIN labels lb ON lb.v = e.pb
+    ),
+    comm AS (
+        SELECT lbl, CAST(COUNT(*) AS BIGINT) AS sz,
+               CAST(SUM(CAST(kv AS HUGEINT)) AS HUGEINT) AS d_c
+        FROM labels GROUP BY lbl
+    ),
+    agg AS (
+        SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM labels) AS n_nodes,
+            (SELECT m FROM m) AS n_edges,
+            (SELECT CAST(count_if(lbl <> v) AS BIGINT) FROM labels)
+                AS n_moved,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM comm) AS n_communities,
+            (SELECT CAST(MAX(sz) AS BIGINT) FROM comm)
+                AS top_community_size,
+            (SELECT CAST(count_if(la = lb) AS BIGINT) FROM tagged)
+                AS n_intra_edges,
+            (SELECT -SUM(CAST(k AS HUGEINT) * k) FROM deg)
+                AS q_singleton_num,
+            (SELECT SUM(d_c * d_c) FROM comm) AS sum_dc2
+    )
+    SELECT n_nodes, n_edges, n_moved, n_communities, top_community_size,
+           n_intra_edges,
+           CAST(q_singleton_num AS BIGINT) AS q_singleton_x4m2,
+           CAST(4 * CAST(n_edges AS HUGEINT) * n_intra_edges - sum_dc2
+                AS BIGINT) AS q_after_x4m2,
+           4 * CAST(n_edges AS HUGEINT) * n_intra_edges - sum_dc2
+               > q_singleton_num AS improved
+    FROM agg
+    """,
+    doc="One synchronized Louvain sweep from the singleton partition on "
+        "the co-purchase graph, with EXACT integer modularity gains: "
+        "merging singleton v into singleton u changes Q by "
+        "(2m - k_v*k_u) / 2m^2, so each node's best move is its "
+        "min-degree neighbor (tie-break lowest id) and the move fires "
+        "iff 2m > k_v*k_u — no floating-point gain comparisons anywhere. "
+        "The resulting partition's modularity is reported as the exact "
+        "integer Q*4m^2 = 4m*E_intra - sum_c d_c^2 next to the singleton "
+        "baseline (-sum_v k_v^2), with the improvement certificate "
+        "in-plan. This is the community-DETECTION step the suite lacked "
+        "(graph_community_modularity only EVALUATES a given partition; "
+        "label_propagation has no objective). Scale: the projection join "
+        "is per-order bounded; everything else is linear edge scans — "
+        "argmin via a two-phase min (never a window over the corpus); "
+        "squared sums ride HUGEINT/DECIMAL(38,0). Reference parity: "
+        "extension surface (SURVEY.md §2.B graph rows).",
+)
+def graph_louvain_first_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    b = op.select(F.col("o"), F.col("p").alias("p2"))
+    edges = (
+        op.join(b, "o")
+        .where(F.col("p") < F.col("p2"))
+        .select(F.col("p").alias("pa"), F.col("p2").alias("pb"))
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed by deg / m / nb / tagged
+    )
+    deg = (
+        edges.select(F.col("pa").alias("v"))
+        .unionAll(edges.select(F.col("pb").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+        .localCheckpoint(eager=True)  # consumed by nk / labels / q_singleton
+    )
+    m = edges.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    nb = edges.select(F.col("pa").alias("v"), F.col("pb").alias("u")).unionAll(
+        edges.select(F.col("pb").alias("v"), F.col("pa").alias("u"))
+    )
+    nk = nb.join(
+        deg.select(F.col("v").alias("u"), F.col("k").alias("ku")), "u"
+    ).localCheckpoint(eager=True)  # consumed by kmin AND the re-join
+    kmin = nk.groupBy("v").agg(F.min("ku").alias("kmin"))
+    pick = (
+        nk.join(kmin, "v")
+        .where(F.col("ku") == F.col("kmin"))
+        .groupBy("v")
+        .agg(F.min("u").alias("umin"), F.max("kmin").alias("kmin"))
+    )
+    labels = (
+        pick.join(deg, "v")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "v",
+            F.col("k").alias("kv"),
+            F.when(
+                2 * F.col("m") > F.col("k") * F.col("kmin"), F.col("umin")
+            )
+            .otherwise(F.col("v"))
+            .alias("lbl"),
+        )
+        .localCheckpoint(eager=True)  # consumed by tagged x2 / comm / stats
+    )
+    tagged = (
+        edges.join(
+            labels.select(F.col("v").alias("pa"), F.col("lbl").alias("la")),
+            "pa",
+        )
+        .join(
+            labels.select(F.col("v").alias("pb"), F.col("lbl").alias("lb")),
+            "pb",
+        )
+    )
+    comm = labels.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("sz"),
+        F.sum(F.col("kv").cast("decimal(38,0)")).alias("d_c"),
+    )
+    stats = (
+        labels.agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.count_if(F.col("lbl") != F.col("v"))
+            .cast("long")
+            .alias("n_moved"),
+        )
+        .crossJoin(F.broadcast(m.select(F.col("m").alias("n_edges"))))
+        .crossJoin(
+            F.broadcast(
+                comm.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_communities"),
+                    F.max("sz").cast("long").alias("top_community_size"),
+                    F.sum(F.col("d_c") * F.col("d_c")).alias("sum_dc2"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                tagged.agg(
+                    F.count_if(F.col("la") == F.col("lb"))
+                    .cast("long")
+                    .alias("n_intra_edges")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                deg.agg(
+                    (-F.sum(
+                        F.col("k").cast("decimal(38,0)") * F.col("k")
+                    )).alias("q_singleton_num")
+                )
+            )
+        )
+    )
+    return stats.select(
+        "n_nodes",
+        "n_edges",
+        "n_moved",
+        "n_communities",
+        "top_community_size",
+        "n_intra_edges",
+        F.col("q_singleton_num").cast("long").alias("q_singleton_x4m2"),
+        F.expr(
+            "CAST(4 * CAST(n_edges AS DECIMAL(38,0)) * n_intra_edges "
+            "- sum_dc2 AS BIGINT)"
+        ).alias("q_after_x4m2"),
+        F.expr(
+            "4 * CAST(n_edges AS DECIMAL(38,0)) * n_intra_edges - sum_dc2 "
+            "> q_singleton_num"
+        ).alias("improved"),
+    )

@@ -133,6 +133,7 @@ NEXT_WINDOW: list[str] = [
     "sim_product_quantization_audit",
     "ml_decision_tree_depth2",
     "stream_left_outer_join_watermark_close",
+    "graph_louvain_first_sweep",
 ]
 
 #: Overflow staging for additions beyond a single round-10 window.
