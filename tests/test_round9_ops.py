@@ -649,3 +649,99 @@ def test_louvain_first_sweep_python_oracle(spark):
     assert r.q_singleton_x4m2 == q_single
     assert r.q_after_x4m2 == q_after
     assert r.improved == (q_after > q_single)
+
+
+# ---------------------------------------------------- absorption horizon
+def test_markov_absorption_python_oracle(spark):
+    """Direct dict-based value iteration with the same micro quantization
+    — independent of both engines' join formulation — plus monotone
+    convergence sanity."""
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    trans = Counter()
+    for _, g in ev.groupby("user_id"):
+        ts = g.event_type.tolist()
+        for a, b in zip(ts, ts[1:]):
+            trans[(a, b)] += 1
+    outdeg = Counter()
+    for (a, _), c in trans.items():
+        outdeg[a] += c
+    p = {(a, b): c / outdeg[a] for (a, b), c in trans.items()}
+    states = sorted(ev.event_type.unique())
+    v = {s: 0 for s in states}
+    hist = []
+    for _ in range(8):
+        nv = {}
+        for s in states:
+            if s == "purchase":
+                nv[s] = 0
+            else:
+                nv[s] = 1_000_000 + sum(
+                    round(p[(s, t)] * v[t]) for t in states if (s, t) in p
+                )
+        v = nv
+        hist.append(dict(v))
+    rows = {
+        r.event_type: r
+        for r in all_specs()["analytics_markov_absorption_time"]
+        .spark(spark, SF)
+        .collect()
+    }
+    assert set(rows) == set(states)
+    for s in states:
+        assert rows[s].expected_steps_micro == v[s], s
+    assert rows["purchase"].expected_steps_micro == 0
+    # value iteration from 0 is monotone nondecreasing per state
+    for s in states:
+        seq = [h[s] for h in hist]
+        assert seq == sorted(seq), s
+
+
+# ------------------------------------------------------------ burrows delta
+def test_burrows_delta_python_oracle(spark):
+    """Classic textbook formulation (rates -> per-word z-score -> mean
+    |dz|) in pure Python with the same ppm/micro quantization points."""
+    import math
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    cnt, tot = {}, Counter()
+    for src, text in zip(docs.source, docs.text):
+        for w in text.lower().strip().split():
+            cnt[(src, w)] = cnt.get((src, w), 0) + 1
+            tot[w] += 1
+    topw = [w for w, _ in sorted(tot.items(), key=lambda kv: (-kv[1], kv[0]))[:20]]
+    sources = sorted(docs.source.unique())
+    srctot = Counter()
+    for (s, w), c in cnt.items():
+        srctot[s] += c
+    ppm = {
+        (s, w): cnt.get((s, w), 0) * 1_000_000 // srctot[s]
+        for s in sources
+        for w in topw
+    }
+    z = {}
+    kept_words = []
+    for w in topw:
+        xs = [ppm[(s, w)] for s in sources]
+        n = len(xs)
+        sx, sxx = sum(xs), sum(x * x for x in xs)
+        if sxx * n <= sx * sx:
+            continue
+        kept_words.append(w)
+        mu = sx / n
+        sd = math.sqrt((sxx - sx * sx / n) / n)
+        for s in sources:
+            z[(s, w)] = (ppm[(s, w)] - mu) / sd
+    rows = all_specs()["text_burrows_delta_sources"].spark(spark, SF).collect()
+    assert len(rows) == len(sources) * (len(sources) - 1) // 2
+    for r in rows:
+        dsum = sum(
+            round(abs(z[(r.source_a, w)] - z[(r.source_b, w)]) * 1_000_000)
+            for w in kept_words
+        )
+        assert r.n_words == len(kept_words)
+        assert r.delta_sum_micro == dsum, (r.source_a, r.source_b)
+        assert r.delta_avg_micro == dsum // len(kept_words)
+    # style distance must discriminate: not all pairs identical
+    assert len({r.delta_sum_micro for r in rows}) > 1

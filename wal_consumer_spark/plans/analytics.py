@@ -10005,3 +10005,131 @@ def graph_louvain_first_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "> q_singleton_num"
         ).alias("improved"),
     )
+
+
+#: Fixed value-iteration horizon for the absorption-time operator (the
+#: markov_stationary 3-round device, deeper: 8 unrolled rounds).
+_ABSORB_ROUNDS = 8
+
+
+def _absorption_oracle() -> str:
+    rounds = []
+    prev = "it0"
+    for i in range(1, _ABSORB_ROUNDS + 1):
+        rounds.append(f"""
+    it{i} AS MATERIALIZED (
+        SELECT s.s,
+               CASE WHEN s.s = 'purchase' THEN CAST(0 AS BIGINT)
+                    ELSE CAST(1000000 + COALESCE(SUM(CAST(round(
+                         t.p * pv.v) AS BIGINT)), 0) AS BIGINT) END AS v
+        FROM states s
+        LEFT JOIN t2 t ON t.prev = s.s
+        LEFT JOIN {prev} pv ON pv.s = t.next
+        GROUP BY s.s
+    )""")
+        prev = f"it{i}"
+    return f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+        FROM events
+    ),
+    trans AS (
+        SELECT prev, event_type AS next, CAST(COUNT(*) AS BIGINT) AS c
+        FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type
+    ),
+    t2 AS (
+        SELECT prev, next,
+               CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY prev) AS p
+        FROM trans
+    ),
+    states AS (SELECT DISTINCT event_type AS s FROM events),
+    it0 AS (SELECT s, CAST(0 AS BIGINT) AS v FROM states),
+    {",".join(rounds)}
+    SELECT s AS event_type,
+           v AS expected_steps_micro,
+           round(CAST(v AS DOUBLE) / 1000000, 6) AS expected_steps
+    FROM it{_ABSORB_ROUNDS}
+    """
+
+
+@register(
+    "analytics_markov_absorption_time",
+    oracle=_absorption_oracle(),
+    doc="Expected steps to conversion (absorption at 'purchase') from "
+        "every behavioral state, by 8 fixed rounds of value iteration on "
+        "the per-user event-type Markov chain: t_k+1(s) = 1 + "
+        "sum_s' P(s->s')*t_k(s') with purchase pinned to 0 — the "
+        "horizon-8-truncated conversion distance that complements "
+        "markov_stationary (where the chain settles) and "
+        "path_transitions (edge frequencies) with HOW FAR each state is "
+        "from the goal. Each iterate is quantized to exact micro-step "
+        "integers before the bounded |states|-term sum (the stationary-"
+        "distribution device), so every intermediate vector — not just "
+        "the output — is bit-identical across engines; the fixed horizon "
+        "makes the result exactly mirrorable (no convergence "
+        "nondeterminism). Plan: one user-partitioned lag window builds "
+        "the 25-cell transition aggregate; the 8 unrolled rounds are "
+        "5-row joins (MATERIALIZED CTEs in the oracle per the k-core "
+        "lesson). Reference parity: extension surface (SURVEY.md §2.B "
+        "analytics rows).",
+)
+def analytics_markov_absorption_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").cast("timestamp"), "event_id"
+    )
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    )
+    trans = (
+        seq.where(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wp = Window.partitionBy("prev")
+    t2 = trans.select(
+        "prev",
+        "next",
+        (F.col("c").cast("double") / F.sum("c").over(wp)).alias("p"),
+    ).localCheckpoint(eager=True)  # reused by all 8 rounds
+    states = (
+        ev.select(F.col("event_type").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    v = states.select("s", F.lit(0).cast("long").alias("v"))
+    for _ in range(_ABSORB_ROUNDS):
+        v = (
+            states.join(F.broadcast(t2), states.s == t2.prev, "left")
+            .join(
+                F.broadcast(v.select(F.col("s").alias("vs"), "v")),
+                F.col("next") == F.col("vs"),
+                "left",
+            )
+            .groupBy(states.s)
+            .agg(
+                F.when(states.s == "purchase", F.lit(0).cast("long"))
+                .otherwise(
+                    (
+                        F.lit(1000000)
+                        + F.coalesce(
+                            F.sum(
+                                F.round(F.col("p") * F.col("v")).cast("long")
+                            ),
+                            F.lit(0),
+                        )
+                    ).cast("long")
+                )
+                .alias("v")
+            )
+        )
+    return v.select(
+        F.col("s").alias("event_type"),
+        F.col("v").alias("expected_steps_micro"),
+        F.round(F.col("v").cast("double") / 1000000, 6).alias(
+            "expected_steps"
+        ),
+    )

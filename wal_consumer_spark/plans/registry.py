@@ -134,6 +134,8 @@ NEXT_WINDOW: list[str] = [
     "ml_decision_tree_depth2",
     "stream_left_outer_join_watermark_close",
     "graph_louvain_first_sweep",
+    "analytics_markov_absorption_time",
+    "text_burrows_delta_sources",
 ]
 
 #: Overflow staging for additions beyond a single round-10 window.

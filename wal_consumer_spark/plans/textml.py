@@ -2075,3 +2075,156 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c12").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+@register(
+    "text_burrows_delta_sources",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest({_TOKS}) AS w FROM documents
+    ),
+    cnt AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY source, w
+    ),
+    topw AS (
+        SELECT w FROM (
+            SELECT w, SUM(c) AS tot,
+                   row_number() OVER (ORDER BY SUM(c) DESC, w) AS rn
+            FROM cnt GROUP BY w
+        ) WHERE rn <= 20
+    ),
+    srctot AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY source
+    ),
+    grid AS (
+        SELECT s.source, t.w,
+               CAST(COALESCE(c.c, 0) * 1000000 // s.n AS BIGINT) AS ppm
+        FROM srctot s CROSS JOIN topw t
+        LEFT JOIN cnt c ON c.source = s.source AND c.w = t.w
+    ),
+    wstat AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS ns,
+               CAST(SUM(ppm) AS BIGINT) AS sx,
+               CAST(SUM(ppm * ppm) AS BIGINT) AS sxx
+        FROM grid GROUP BY w
+    ),
+    z AS (
+        SELECT g.source, g.w,
+               (g.ppm - CAST(s.sx AS DOUBLE) / s.ns)
+               / sqrt((s.sxx - CAST(s.sx AS DOUBLE) * s.sx / s.ns) / s.ns)
+                   AS z
+        FROM grid g JOIN wstat s ON s.w = g.w
+        WHERE s.sxx * s.ns > s.sx * s.sx
+    ),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(CAST(round(abs(a.z - b.z) * 1000000) AS BIGINT))
+                    AS BIGINT) AS delta_sum_micro
+        FROM z a JOIN z b ON b.w = a.w AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b, n_words, delta_sum_micro,
+           CAST(CAST(delta_sum_micro AS HUGEINT) // n_words AS BIGINT)
+               AS delta_avg_micro
+    FROM pairs
+    """,
+    doc="Burrows' Delta stylometric distance between every pair of "
+        "sources: per-source rates (exact integer ppm) of the top-20 "
+        "corpus words, z-scored across sources per word, Delta = mean "
+        "|z_a - z_b| — THE authorship/style-attribution statistic, a "
+        "different lens from text_source_divergence's distributional "
+        "KL (Delta normalizes each word by its cross-source variance, "
+        "so it reads style from function-word preferences rather than "
+        "topic mass; the mean is emitted as exact micro-units — a round-6 "
+        "double hit a .5 representability tie between engines). Per-term "
+        "|z_a - z_b| is quantized to exact 1e-6 "
+        "int64s before summing (the logprob device — double summation "
+        "order never leaks). ONE corpus tokenize pass; everything after "
+        "lives on the bounded 20-source x 20-word grid (the pair join "
+        "is 400 x 20 rows). Zero-variance words are excluded by the "
+        "exact integer predicate ns*sxx > sx^2. Reference parity: "
+        "extension surface (SURVEY.md §2.B text analysis).",
+)
+def text_burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(tokens(F.col("text"))).alias("w"))
+    cnt = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=True)  # feeds topw / srctot / grid
+    wtot = cnt.groupBy("w").agg(F.sum("c").alias("tot"))
+    topw = (
+        wtot.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.col("tot").desc(), "w")),
+        )
+        .where(F.col("rn") <= 20)
+        .select("w")
+    )
+    srctot = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    grid = (
+        srctot.crossJoin(maybe_broadcast(topw))
+        .join(cnt, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            F.expr(
+                "CAST(COALESCE(c, 0) * 1000000 DIV n AS BIGINT)"
+            ).alias("ppm"),
+        )
+    )
+    wstat = grid.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("ns"),
+        F.sum("ppm").cast("long").alias("sx"),
+        F.sum(F.col("ppm") * F.col("ppm")).cast("long").alias("sxx"),
+    )
+    z = (
+        grid.join(maybe_broadcast(wstat), "w")
+        .where(F.col("sxx") * F.col("ns") > F.col("sx") * F.col("sx"))
+        .select(
+            "source",
+            "w",
+            (
+                (F.col("ppm") - F.col("sx").cast("double") / F.col("ns"))
+                / F.sqrt(
+                    (
+                        F.col("sxx")
+                        - F.col("sx").cast("double") * F.col("sx") / F.col("ns")
+                    )
+                    / F.col("ns")
+                )
+            ).alias("z"),
+        )
+    )
+    a = z.select(
+        F.col("source").alias("source_a"), "w", F.col("z").alias("za")
+    )
+    b = z.select(
+        F.col("source").alias("source_b"), "w", F.col("z").alias("zb")
+    )
+    pairs = (
+        a.join(maybe_broadcast(b), "w")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(
+                F.round(F.abs(F.col("za") - F.col("zb")) * 1000000).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("delta_sum_micro"),
+        )
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        "n_words",
+        "delta_sum_micro",
+        F.expr(
+            "CAST(CAST(delta_sum_micro AS DECIMAL(38,0)) DIV n_words "
+            "AS BIGINT)"
+        ).alias("delta_avg_micro"),
+    )
