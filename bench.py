@@ -870,6 +870,84 @@ def main() -> None:
                 "construct_sec": 7.316,
                 "calibration_cpu_sec": 0.279,
             },
+            # Round-9 late-session additions (bench_one n=3, sf0.1,
+            # measured the day each op landed). The PQ number is AFTER
+            # the array-local distance rewrite (was 4.45 s exploded);
+            # the stream-stream joins are AFTER the 8-partition state
+            # pin (inner was 23.9 s at the 200-partition default) — both
+            # decomposed in SCALE.md section 26.
+            "sim_product_quantization_audit": {
+                "fresh_jvm_median_sec": 2.59,
+                "fresh_jvm_samples": [2.664, 2.59, 2.205],
+                "construct_sec": 1.374,
+                "calibration_cpu_sec": 0.25,
+            },
+            "analytics_shapley_attribution": {
+                "fresh_jvm_median_sec": 1.744,
+                "fresh_jvm_samples": [1.974, 1.744, 1.573],
+                "construct_sec": 0.979,
+                "calibration_cpu_sec": 0.306,
+            },
+            "text_kneser_ney_bigram": {
+                "fresh_jvm_median_sec": 1.096,
+                "fresh_jvm_samples": [1.204, 0.969, 1.096],
+                "construct_sec": 0.393,
+                "calibration_cpu_sec": 0.222,
+            },
+            "ml_decision_tree_depth2": {
+                "fresh_jvm_median_sec": 1.534,
+                "fresh_jvm_samples": [1.717, 1.37, 1.534],
+                "construct_sec": 0.985,
+                "calibration_cpu_sec": 0.328,
+            },
+            "ts_granger_causality_daily": {
+                "fresh_jvm_median_sec": 1.277,
+                "fresh_jvm_samples": [1.61, 1.277, 1.133],
+                "construct_sec": 0.697,
+                "calibration_cpu_sec": 0.26,
+            },
+            "graph_louvain_first_sweep": {
+                "fresh_jvm_median_sec": 5.411,
+                "fresh_jvm_samples": [5.591, 5.155, 5.411],
+                "construct_sec": 4.862,  # eager co-purchase edge build
+                "calibration_cpu_sec": 0.316,
+            },
+            "analytics_markov_absorption_time": {
+                "fresh_jvm_median_sec": 2.454,
+                "fresh_jvm_samples": [2.813, 2.454, 2.09],
+                "construct_sec": 1.29,
+                "calibration_cpu_sec": 0.207,
+            },
+            "analytics_mann_whitney_u": {
+                "fresh_jvm_median_sec": 1.455,
+                "fresh_jvm_samples": [1.377, 1.455, 1.484],
+                "construct_sec": 0.986,
+                "calibration_cpu_sec": 0.276,
+            },
+            "agg_bloom_filter_fpr_audit": {
+                "fresh_jvm_median_sec": 1.489,
+                "fresh_jvm_samples": [1.755, 1.427, 1.489],
+                "construct_sec": 0.896,
+                "calibration_cpu_sec": 0.259,
+            },
+            "text_burrows_delta_sources": {
+                "fresh_jvm_median_sec": 1.276,
+                "fresh_jvm_samples": [1.471, 1.276, 1.184],
+                "construct_sec": 0.654,
+                "calibration_cpu_sec": 0.208,
+            },
+            # streaming replays (n=1 — replay cost is startup-dominated
+            # and stable; same regime note as stream_idle_timeout)
+            "stream_click_purchase_interval_join": {
+                "fresh_jvm_median_sec": 6.962,
+                "construct_sec": 6.759,
+                "calibration_cpu_sec": 0.25,
+            },
+            "stream_left_outer_join_watermark_close": {
+                "fresh_jvm_median_sec": 7.667,
+                "construct_sec": 7.17,
+                "calibration_cpu_sec": 0.337,
+            },
         },
     }
     detail_path = os.path.join(here_dir, f"BENCH_DETAIL_r{rnd:02d}.json")
