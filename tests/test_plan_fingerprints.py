@@ -115,6 +115,31 @@ PINNED: dict[str, dict[str, int]] = {
         "Project": 11, "ArrowEvalPython": 2, "Filter": 7, "Join": 3,
         "Aggregate": 1, "Generate": 2, "LogicalRDD": 4,
     },
+    # round-9 late entrants. Louvain sweep: everything downstream of the
+    # 4 eager checkpoints (edges/deg/nk/labels -> LogicalRDD leaves) is
+    # bounded rollup — 6 Joins total (2 label tags, kmin re-join, deg
+    # join, 2 stat cross-joins); a re-derived edge build would multiply
+    # LogicalRDD into Join/Union lineage here.
+    "graph_louvain_first_sweep": {
+        "Project": 9, "Join": 6, "Aggregate": 6, "LogicalRDD": 7,
+    },
+    # PQ audit AFTER the array-local rewrite: exactly 3 Joins (two
+    # assignment passes + r1/r2 merge), ONE Generate (the centroid-mean
+    # posexplode — the only dim-granular stage), one bounded (sub,c)
+    # Window. A second Generate or a 4th Join is the
+    # explode-join-reaggregate regression (4.45s -> 2.59s lesson).
+    "sim_product_quantization_audit": {
+        "Project": 6, "Join": 3, "Aggregate": 5, "Window": 1,
+        "LogicalRDD": 4, "Generate": 1, "Filter": 2,
+    },
+    # absorption time: 8 unrolled value-iteration rounds = 2 joins per
+    # round against the checkpointed 25-cell transition frame (16 Joins,
+    # 17 LogicalRDD leaves); a 9th round or an un-checkpointed t2
+    # re-derivation changes these counts.
+    "analytics_markov_absorption_time": {
+        "Project": 18, "Aggregate": 8, "Join": 16, "LogicalRDD": 17,
+        "Filter": 8,
+    },
 }
 
 
