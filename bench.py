@@ -948,6 +948,11 @@ def main() -> None:
                 "construct_sec": 7.17,
                 "calibration_cpu_sec": 0.337,
             },
+            "stream_full_outer_join_watermark_close": {
+                "fresh_jvm_median_sec": 8.13,
+                "construct_sec": 7.458,
+                "calibration_cpu_sec": 0.26,
+            },
         },
     }
     detail_path = os.path.join(here_dir, f"BENCH_DETAIL_r{rnd:02d}.json")

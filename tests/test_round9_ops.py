@@ -745,3 +745,28 @@ def test_burrows_delta_python_oracle(spark):
         assert r.delta_avg_micro == dsum // len(kept_words)
     # style distance must discriminate: not all pairs identical
     assert len({r.delta_sum_micro for r in rows}) > 1
+
+
+def test_full_outer_join_batch_split_invariant(spark):
+    """Both sides' watermark-closed emission depends only on the FINAL
+    watermark — identical at 2 vs 4 replay files."""
+    from wal_consumer_spark.plans.streaming_batch import (
+        stream_full_outer_join_watermark_close,
+    )
+
+    a = sorted(
+        map(
+            tuple,
+            stream_full_outer_join_watermark_close(spark, SF, n_files=4).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            stream_full_outer_join_watermark_close(spark, SF, n_files=2).collect(),
+        )
+    )
+    assert a == b
+    d = dict((r[0], r[1]) for r in a)
+    assert set(d) == {"matched", "left_closed", "right_closed"}
+    assert all(v > 0 for v in d.values())

@@ -136,6 +136,7 @@ NEXT_WINDOW: list[str] = [
     "graph_louvain_first_sweep",
     "analytics_markov_absorption_time",
     "text_burrows_delta_sources",
+    "stream_full_outer_join_watermark_close",
 ]
 
 #: Overflow staging for additions beyond a single round-10 window.

@@ -1006,3 +1006,148 @@ def stream_left_outer_join_watermark_close(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "stream_full_outer_join_watermark_close",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+        SELECT least((SELECT max(us) FROM c), (SELECT max(us) FROM p))
+               - 1800000000 AS w
+    ),
+    m AS (
+        SELECT c.user_id, c.us AS cus, p.us AS pus
+        FROM c JOIN p
+          ON p.user_id = c.user_id
+         AND p.us >= c.us
+         AND p.us < c.us + 1800000000
+    )
+    SELECT 'matched' AS outcome,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM m
+    UNION ALL
+    SELECT 'left_closed',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT c.user_id) AS BIGINT)
+    FROM c, wm
+    WHERE c.us + 1800000000 < wm.w
+      AND NOT EXISTS (SELECT 1 FROM m
+                      WHERE m.cus = c.us AND m.user_id = c.user_id)
+    UNION ALL
+    SELECT 'right_closed',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT p.user_id) AS BIGINT)
+    FROM p, wm
+    WHERE p.us < wm.w
+      AND NOT EXISTS (SELECT 1 FROM m
+                      WHERE m.pus = p.us AND m.user_id = p.user_id)
+    """,
+    doc="REAL stream-stream FULL OUTER join, completing the join-mode "
+        "matrix (inner / left-outer / full-outer): each side's unmatched "
+        "rows emit with nulls exactly once, when the global watermark "
+        "passes that side's own match-window bound — clicks close at "
+        "c_ts + 30min (their forward window), purchases close at p_ts "
+        "itself (their window looks backward), and the oracle mirrors "
+        "BOTH closure predicates against the min-side final watermark. "
+        "Same 4-file event-time replay, dual 30-min watermarks, pinned "
+        "8-partition state; rolled up to matched / left_closed / "
+        "right_closed counts. Reference parity: extension surface "
+        "(SURVEY.md §2.B streaming rows).",
+)
+def stream_full_outer_join_watermark_close(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    lo, hi = e.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    tmp = tempfile.mkdtemp(prefix="fojoin_stream_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        step = (hi - lo) // n_files + 1
+        for i in range(n_files):
+            part = os.path.join(tmp, f"part{i}")
+            e.filter(
+                (F.col("ts_us") >= lo + i * step)
+                & (F.col("ts_us") < lo + (i + 1) * step)
+            ).coalesce(1).write.parquet(part)
+            pf = next(
+                f for f in sorted(os.listdir(part)) if f.endswith(".parquet")
+            )
+            shutil.move(
+                os.path.join(part, pf), os.path.join(src, f"{i:02d}.parquet")
+            )
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, ts_us long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        clicks = (
+            stream.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.timestamp_micros(F.col("ts_us")).alias("c_ts"),
+            )
+            .withWatermark("c_ts", "30 minutes")
+        )
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.timestamp_micros(F.col("ts_us")).alias("p_ts"),
+            )
+            .withWatermark("p_ts", "30 minutes")
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+            "fullOuter",
+        )
+        name = f"fojoin_{uuid.uuid4().hex[:12]}"
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        out = spark.table(name)
+        return out.select(
+            F.when(
+                F.col("c_ts").isNotNull() & F.col("p_ts").isNotNull(),
+                F.lit("matched"),
+            )
+            .when(F.col("p_ts").isNull(), F.lit("left_closed"))
+            .otherwise(F.lit("right_closed"))
+            .alias("outcome"),
+            F.coalesce(F.col("c_user"), F.col("p_user")).alias("uid"),
+        ).groupBy("outcome").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("uid").cast("long").alias("n_users"),
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
