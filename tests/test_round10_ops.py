@@ -1,0 +1,500 @@
+"""Independent (pure-Python) oracles and behavioral tests for operators
+added late in round 9 and staged for round-10 certification — so a bug
+mirrored into both engines' shared formulation cannot hide behind the
+parity gate (the round-8/9 test-file pattern)."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import pandas as pd
+import pytest
+
+from wal_consumer_spark.plans import all_specs
+
+SF = "/root/testdata/sf0.01"
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating (toward-zero) integer division — Spark DIV / DuckDB //."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+# ---------------------------------------------------------------- cochran Q
+def test_cochran_q_python_oracle(spark):
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    rows = []
+    for v in emb.embedding:
+        rows.append([1 if round(float(v[d]) * 1_000_000) > 0 else 0
+                     for d in range(4)])
+    k = 4
+    t = sum(sum(r) for r in rows)
+    sum_rowsq = sum(sum(r) ** 2 for r in rows)
+    cj = [sum(r[j] for r in rows) for j in range(k)]
+    q_num = (k - 1) * sum((k * c - t) ** 2 for c in cj)
+    q_den = k * (k * t - sum_rowsq)
+    r = all_specs()["ml_cochran_q_test"].spark(spark, SF).collect()[0]
+    assert r.n_items == len(rows)
+    assert r.t_successes == t
+    assert r.sum_rowsq == sum_rowsq
+    assert r.q_num == q_num
+    assert r.q_den == q_den
+    assert r.q_micro == _tdiv(q_num * 1_000_000, q_den)
+    # Q must be non-negative and zero iff all column totals are equal
+    assert r.q_micro >= 0
+
+
+def test_cochran_q_zero_when_raters_identical():
+    # identical raters => every row is 0000 or 1111 => Q numerator is 0
+    rows = [[1, 1, 1, 1]] * 7 + [[0, 0, 0, 0]] * 5
+    k = 4
+    t = sum(map(sum, rows))
+    cj = [sum(r[j] for r in rows) for j in range(k)]
+    assert all(c == cj[0] for c in cj)
+    assert (k - 1) * sum((k * c - t) ** 2 for c in cj) == 0
+
+
+# ---------------------------------------------------------- kruskal-wallis
+def test_kruskal_wallis_python_oracle(spark):
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    cents = (o.o_totalprice * 100).round().astype(int)
+    grp = o.o_orderpriority
+    n = len(o)
+    # doubled average ranks via the tie-group decomposition
+    counts = Counter(cents)
+    svals = sorted(counts)
+    rank2, cum = {}, 0
+    for v in svals:
+        c = counts[v]
+        rank2[v] = 2 * cum + c + 1  # 2 * average rank of the tie group
+        cum += c
+    r2sum = defaultdict(int)
+    ng = defaultdict(int)
+    for g, v in zip(grp, cents):
+        r2sum[g] += rank2[v]
+        ng[g] += 1
+    s0 = sum(_tdiv(r2sum[g] ** 2, ng[g]) for g in ng)
+    tie_cubes = sum(c**3 - c for c in counts.values())
+    h_micro = _tdiv(s0 * 3_000_000, n * (n + 1)) - 3_000_000 * (n + 1)
+    h_corr = _tdiv(h_micro * (n**3 - n), n**3 - n - tie_cubes)
+    r = all_specs()["ml_kruskal_wallis_h"].spark(spark, SF).collect()[0]
+    assert r.n_total == n
+    assert r.k_groups == len(ng)
+    assert r.tie_cubes == tie_cubes
+    assert r.h_micro == h_micro
+    assert r.h_tie_corrected_micro == h_corr
+
+
+def test_kruskal_wallis_detects_separated_groups():
+    # sanity of the formula itself: fully separated groups maximize H
+    vals = {"a": [1, 2, 3], "b": [11, 12, 13], "c": [21, 22, 23]}
+    n = 9
+    flat = sorted(v for vs in vals.values() for v in vs)
+    rank = {v: i + 1 for i, v in enumerate(flat)}
+    s = sum(
+        (sum(rank[v] for v in vs)) ** 2 / len(vs) for vs in vals.values()
+    )
+    h = 12 / (n * (n + 1)) * s - 3 * (n + 1)
+    assert h == pytest.approx(7.2)  # the k=3, n_g=3 separated maximum
+
+
+# ----------------------------------------------------------------- friedman
+def test_friedman_python_oracle(spark):
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+    o = o.merge(c[["c_custkey", "c_nationkey"]], left_on="o_custkey",
+                right_on="c_custkey")
+    o["yr"] = pd.to_datetime(o.o_orderdate).dt.year
+    o = o[o.yr.between(1995, 1997)]
+    o["cents"] = (o.o_totalprice * 100).round().astype(int)
+    rev = o.groupby(["c_nationkey", "yr"]).cents.sum()
+    blocks = rev.unstack().dropna()
+    k = 3
+    r2 = {1995: 0, 1996: 0, 1997: 0}
+    for _, row in blocks.iterrows():
+        vals = sorted(row.items(), key=lambda kv: kv[1])
+        for yr in r2:
+            smaller = sum(1 for _, v in row.items() if v < row[yr])
+            equal = sum(1 for _, v in row.items() if v == row[yr])
+            r2[yr] += 2 * (smaller + 1) + equal - 1
+    nb = len(blocks)
+    chi2 = _tdiv(1_000_000 * sum(v * v for v in r2.values()), 4 * nb) \
+        - 12_000_000 * nb
+    r = all_specs()["ml_friedman_test"].spark(spark, SF).collect()[0]
+    assert r.n_blocks == nb
+    assert r.k_treatments == k
+    assert (r.r2_1995, r.r2_1996, r.r2_1997) == (
+        r2[1995], r2[1996], r2[1997])
+    assert r.chi2_micro == chi2
+    # doubled rank sums over complete blocks must total nb * k * (k+1)
+    assert r.r2_1995 + r.r2_1996 + r.r2_1997 == nb * k * (k + 1)
+
+
+# --------------------------------------------------------- target encoding
+def test_target_encoding_loo_python_oracle(spark):
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+    m = o.merge(c[["c_custkey", "c_mktsegment"]], left_on="o_custkey",
+                right_on="c_custkey")
+    m["y"] = m.o_orderpriority.isin(["1-URGENT", "2-HIGH"]).astype(int)
+    seg = m.groupby("c_mktsegment").y.agg(["count", "sum"])
+    g_n, g_pos = int(seg["count"].sum()), int(seg["sum"].sum())
+    rows = {
+        r.segment: r
+        for r in all_specs()["ml_target_encoding_loo"].spark(spark, SF).collect()
+    }
+    assert set(rows) == set(seg.index)
+    for s, row in seg.iterrows():
+        n, pos = int(row["count"]), int(row["sum"])
+        got = rows[s]
+        assert got.n == n and got.pos == pos
+        assert got.enc_pos_ppm == _tdiv((pos - 1) * 1_000_000, n - 1)
+        assert got.enc_neg_ppm == _tdiv(pos * 1_000_000, n - 1)
+        assert got.enc_smooth_ppm == _tdiv(
+            (pos * g_n + 100 * g_pos) * 1_000_000, (n + 100) * g_n
+        )
+        # LOO identity: a y=1 row always sees a LOWER encoding than a
+        # y=0 row of the same segment (its own label removed)
+        assert got.enc_pos_ppm < got.enc_neg_ppm
+
+
+# ------------------------------------------------------- cv fold variance
+def test_cv_fold_accuracy_variance_python_oracle(spark):
+    import hashlib
+
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+    folds = defaultdict(lambda: [0, 0])  # n, correct
+    for key, bal, segm in zip(c.c_custkey, c.c_acctbal, c.c_mktsegment):
+        h = hashlib.md5(f"{key}:cv5".encode()).hexdigest()
+        f = int(h[:8], 16) % 5
+        pred = 1 if bal >= 5000 else 0
+        y = 1 if segm == "BUILDING" else 0
+        folds[f][0] += 1
+        folds[f][1] += pred == y
+    acc = {f: _tdiv(v[1] * 1_000_000, v[0]) for f, v in folds.items()}
+    s = sum(acc.values())
+    ssd = sum((5 * a - s) ** 2 for a in acc.values())
+    got = all_specs()["ml_cv_fold_accuracy_variance"].spark(spark, SF).collect()
+    assert len(got) == 5
+    for r in got:
+        assert r.n == folds[r.fold][0]
+        assert r.n_correct == folds[r.fold][1]
+        assert r.acc_ppm == acc[r.fold]
+        assert r.s_acc_ppm == s
+        assert r.ssd_x25 == ssd
+
+
+# ----------------------------------------------------------------- kmv
+def test_kmv_distinct_sketch_python_oracle(spark):
+    import hashlib
+
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    H = 16**15
+    groups = defaultdict(set)
+    for g, ck in zip(o.o_orderpriority, o.o_custkey):
+        groups[g].add(
+            int(hashlib.md5(str(ck).encode()).hexdigest()[:15], 16)
+        )
+    got = {
+        r.grp: r
+        for r in all_specs()["agg_kmv_distinct_sketch"].spark(spark, SF).collect()
+    }
+    assert set(got) == set(groups)
+    for g, hashes in groups.items():
+        exact = len(hashes)
+        mins = sorted(hashes)[:256]
+        r = got[g]
+        assert r.exact_distinct == exact
+        if exact >= 256:
+            hk = mins[255]
+            est = 255 * H // hk
+            assert r.kth_min_hash == hk
+            assert r.kmv_estimate == est
+            # the KMV bound: estimate within ~3/sqrt(k) ≈ 19% whp
+            assert abs(est - exact) / exact < 0.25
+        else:
+            assert r.kmv_estimate == exact
+        assert r.err_ppm == abs(r.kmv_estimate - exact) * 1_000_000 // exact
+
+
+def test_kmv_survivor_gate_keeps_all_minima():
+    # the h*cnt <= H*1024 gate must never cut into the 256 smallest:
+    # the 256th smallest of n uniform draws on [0, H) exceeds the gate
+    # threshold H*1024/n only if 256th-order-statistic > 1024/n * H,
+    # i.e. essentially never for n >= 256. Verify on a seeded sample.
+    import hashlib
+
+    H = 16**15
+    hashes = sorted(
+        int(hashlib.md5(f"key{i}".encode()).hexdigest()[:15], 16)
+        for i in range(5000)
+    )
+    thresh = H * 1024 // 5000
+    assert hashes[255] <= thresh
+
+
+# -------------------------------------------------------- variance ratio
+def test_variance_ratio_python_oracle(spark):
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o["d"] = pd.to_datetime(o.o_orderdate).dt.date
+    o["cents"] = (o.o_totalprice * 100).round().astype(int)
+    daily = o.groupby("d").cents.sum().sort_index()
+    x = daily.to_numpy()
+    d1 = [int(b) - int(a) for a, b in zip(x[:-1], x[1:])]
+    d5 = [int(x[i]) - int(x[i - 5]) for i in range(5, len(x))]
+    s1, s5 = sum(v * v for v in d1), sum(v * v for v in d5)
+    r = all_specs()["ts_variance_ratio"].spark(spark, SF).collect()[0]
+    assert r.n_days == len(x)
+    assert (r.n1, r.n5) == (len(d1), len(d5))
+    assert r.sum_d1sq_k == s1 // 1000
+    assert r.sum_d5sq_k == s5 // 1000
+    assert r.vr_ppm == s5 * len(d1) * 1_000_000 // (s1 * len(d5) * 5)
+
+
+def test_variance_ratio_random_walk_is_unity():
+    # for a pure random walk the ratio Var(q-diff)/(q*Var(1-diff)) -> 1
+    import hashlib
+
+    steps = [
+        1 if int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 2
+        else -1
+        for i in range(4000)
+    ]
+    x = [0]
+    for s in steps:
+        x.append(x[-1] + s)
+    d1 = [b - a for a, b in zip(x[:-1], x[1:])]
+    d5 = [x[i] - x[i - 5] for i in range(5, len(x))]
+    vr = (sum(v * v for v in d5) / len(d5)) / (
+        5 * sum(v * v for v in d1) / len(d1)
+    )
+    assert 0.8 < vr < 1.2
+
+
+# ------------------------------------------------------ simpson diversity
+def test_simpson_diversity_python_oracle(spark):
+    import re
+
+    d = pd.read_parquet(f"{SF}/documents.parquet")
+    per = defaultdict(Counter)
+    for src, text in zip(d.source, d.text):
+        per[src].update(re.split(r"\s+", text.strip().lower()))
+    got = {
+        r.source: r
+        for r in all_specs()["text_simpson_lexical_diversity"]
+        .spark(spark, SF).collect()
+    }
+    assert set(got) == set(per)
+    for src, cnt in per.items():
+        n = sum(cnt.values())
+        cc1 = sum(c * (c - 1) for c in cnt.values())
+        r = got[src]
+        assert r.n_tokens == n
+        assert r.n_types == len(cnt)
+        assert r.simpson_d_ppm == cc1 * 1_000_000 // (n * (n - 1))
+        assert r.diversity_ppm == 1_000_000 - r.simpson_d_ppm
+
+
+# ------------------------------------------------------------- qualify
+def test_qualify_top3_is_exact(spark):
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o["total_cents"] = (o.o_totalprice * 100).round().astype(int)
+    expect = set()
+    for g, grp in o.groupby("o_orderpriority"):
+        top = grp.sort_values(["total_cents", "o_orderkey"],
+                              ascending=[False, True]).head(3)
+        for rn, (_, row) in enumerate(top.iterrows(), 1):
+            expect.add((g, int(row.o_orderkey), int(row.total_cents), rn))
+    got = {
+        (r.o_orderpriority, r.o_orderkey, r.total_cents, r.rn)
+        for r in all_specs()["sql_front_qualify"].spark(spark, SF).collect()
+    }
+    assert got == expect
+
+
+# ----------------------------------------------- propensity stratification
+def test_propensity_stratification_python_oracle(spark):
+    import math
+
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    bal = sorted(float(round(b * 100)) for b in c.c_acctbal)
+    n = len(bal)
+    # linear-interpolated percentiles — Spark percentile()/DuckDB
+    # quantile_cont semantics
+    thr = []
+    for q in (0.2, 0.4, 0.6, 0.8):
+        pos = q * (n - 1)
+        lo, hi = math.floor(pos), math.ceil(pos)
+        thr.append(bal[lo] + (pos - lo) * (bal[hi] - bal[lo]))
+    spend = o.groupby("o_custkey").apply(
+        lambda g: int((g.o_totalprice * 100).round().astype(int).sum())
+    ).to_dict()
+    per = {s: [0, 0, 0, 0] for s in range(1, 6)}  # nt, nc, st, sc
+    for _, row in c.iterrows():
+        b = float(round(row.c_acctbal * 100))
+        s = 1 + sum(1 for t in thr if b > t)
+        treat = row.c_mktsegment == "BUILDING"
+        val = spend.get(row.c_custkey, 0)
+        if treat:
+            per[s][0] += 1
+            per[s][2] += val
+        else:
+            per[s][1] += 1
+            per[s][3] += val
+    got = {
+        r.stratum: r
+        for r in all_specs()["analytics_propensity_stratification"]
+        .spark(spark, SF).collect()
+    }
+    for s, (nt, nc, st, sc) in per.items():
+        r = got[s]
+        assert (r.n_treat, r.n_ctrl) == (nt, nc)
+        assert (r.sum_treat, r.sum_ctrl) == (st, sc)
+        assert r.ate_cents_x100 == _tdiv(st * 100, nt) - _tdiv(sc * 100, nc)
+
+
+# ------------------------------------------------- minhash estimate error
+def test_minhash_estimate_error_python_oracle(spark):
+    import hashlib
+    import random
+    import re
+
+    d = pd.read_parquet(f"{SF}/documents.parquet")
+    P = 4294967311
+    rng = random.Random(7)
+    coeffs = [(rng.randrange(1, 1 << 31), rng.randrange(0, 1 << 31))
+              for _ in range(32)]
+
+    def shingles(text):
+        toks = re.split(r"\s+", text.strip().lower())
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    sh = {r.doc_id: shingles(r.text) for r in d.itertuples()}
+    hs = {
+        doc: [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in ss]
+        for doc, ss in sh.items()
+    }
+    sig = {
+        doc: [min((a * x + b) % P for x in h) if h else None
+              for a, b in coeffs]
+        for doc, h in hs.items()
+    }
+    # banding (4 bands x 8 rows), bucket cap 500
+    buckets = defaultdict(list)
+    for doc, s in sig.items():
+        if s[0] is None:
+            continue
+        for b in range(4):
+            buckets[(b, tuple(s[b * 8:(b + 1) * 8]))].append(doc)
+    cand = set()
+    for (_, _), docs_in in buckets.items():
+        if len(docs_in) > 500:
+            continue
+        for i, d1 in enumerate(docs_in):
+            for d2 in docs_in[i + 1:]:
+                cand.add((min(d1, d2), max(d1, d2)))
+    per_bucket = defaultdict(lambda: [0, 0, 0])  # n, sum_exact, sum_err
+    for d1, d2 in cand:
+        agree = sum(1 for x, y in zip(sig[d1], sig[d2]) if x == y)
+        inter = len(sh[d1] & sh[d2])  # max_df cap never binds at sf0.01
+        union = len(sh[d1]) + len(sh[d2]) - inter
+        if union <= 0:
+            continue
+        b = per_bucket[agree]
+        b[0] += 1
+        b[1] += inter * 1_000_000 // union
+        b[2] += abs(agree * union - 32 * inter) * 1_000_000 // (32 * union)
+    got = {
+        r.n_agree: r
+        for r in all_specs()["dedup_minhash_estimate_error"]
+        .spark(spark, SF).collect()
+    }
+    assert set(got) == set(per_bucket)
+    for agree, (n, se, serr) in per_bucket.items():
+        r = got[agree]
+        assert r.n_pairs == n
+        assert r.sum_exact_ppm == se
+        assert r.sum_abs_err_ppm == serr
+        assert r.mean_abs_err_ppm == serr // n
+
+
+# ------------------------------------------------------ op-mix drift
+def test_op_mix_drift_python_oracle(spark):
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["d"] = pd.to_datetime(ev.ts).dt.date
+    ev["op"] = ev.event_type.map(
+        lambda t: "ADD" if t == "signup" else
+        ("DELETE" if t == "error" else "UPDATE"))
+    cell = ev.groupby(["d", "op"]).size()
+    daytot = ev.groupby("d").size()
+    optot = ev.groupby("op").size()
+    t = len(ev)
+    got = {
+        r.day.date(): r
+        for r in all_specs()["cdc_op_mix_drift_by_day"].spark(spark, SF).collect()
+    }
+    assert set(got) == set(daytot.index)
+    for day in daytot.index:
+        n_d = int(daytot[day])
+        chi2 = 0
+        for op in optot.index:
+            obs = int(cell.get((day, op), 0))
+            c_op = int(optot[op])
+            chi2 += (obs * t - n_d * c_op) ** 2 * 1_000_000 \
+                // (n_d * c_op * t)
+        assert got[day].n_ops == n_d
+        assert got[day].chi2_micro == chi2
+
+
+def test_op_mix_drift_uniform_stream_is_zero():
+    # a perfectly proportional day contributes exactly zero
+    n_d, t = 100, 1000
+    c = {"ADD": 300, "UPDATE": 500, "DELETE": 200}
+    chi2 = sum(
+        ((n_d * cj // t) * t - n_d * cj) ** 2 * 1_000_000
+        // (n_d * cj * t)
+        for cj in c.values()
+    )
+    assert chi2 == 0
+
+
+# ------------------------------------------------------------ kendall W
+def test_kendall_w_python_oracle(spark):
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+    o = o.merge(c[["c_custkey", "c_nationkey"]], left_on="o_custkey",
+                right_on="c_custkey")
+    o["yr"] = pd.to_datetime(o.o_orderdate).dt.year
+    o = o[o.yr.between(1995, 1997)]
+    o["cents"] = (o.o_totalprice * 100).round().astype(int)
+    rev = o.groupby(["c_nationkey", "yr"]).cents.sum().unstack().dropna()
+    n, k = len(rev), 3
+    r2 = defaultdict(int)
+    tie_sum = 0
+    for yr in (1995, 1996, 1997):
+        vals = rev[yr]
+        cnt = Counter(vals)
+        tie_sum += sum(tt**3 - tt for tt in cnt.values() if tt > 1)
+        for nat, v in vals.items():
+            smaller = sum(1 for x in vals if x < v)
+            equal = sum(1 for x in vals if x == v)
+            r2[nat] += 2 * (smaller + 1) + equal - 1
+    s4 = sum((r - 3 * (n + 1)) ** 2 for r in r2.values())
+    w_ppm = _tdiv(s4 * 3_000_000, 9 * (n**3 - n) - 3 * tie_sum)
+    r = all_specs()["analytics_kendall_w_concordance"].spark(spark, SF).collect()[0]
+    assert r.n_subjects == n
+    assert r.k_judges == k
+    assert r.s4 == s4
+    assert r.tie_sum == tie_sum
+    assert r.w_ppm == w_ppm
+    assert 0 <= r.w_ppm <= 1_000_000
+
+
+def test_kendall_w_perfect_concordance_is_one():
+    # identical rankings across judges -> W = 1 exactly
+    n, k = 10, 3
+    r2 = {i: k * 2 * (i + 1) for i in range(n)}  # doubled rank sums
+    s4 = sum((r - k * (n + 1)) ** 2 for r in r2.values())
+    assert s4 * 3_000_000 // (9 * (n**3 - n)) == 1_000_000

@@ -250,7 +250,12 @@ def test_transform_with_state_in_pandas(spark, tmp_path):
     Re-attempted rounds 3, 4, 5 and 6 (2026-08-14): `pip install protobuf`
     fails at DNS resolution of the configured index ("Failed to establish
     a new connection: [Errno -2] Name or service not known") — the
-    container has no network route to any package index."""
+    container has no network route to any package index.
+
+    Re-attempted round 9 (2026-08-16): the configured index now resolves
+    but serves no distribution ("Could not find a version that satisfies
+    the requirement protobuf (from versions: none)"); `pillow` is likewise
+    absent. Still container-gated."""
     pytest.importorskip("google.protobuf.descriptor")
     from pyspark.sql.streaming import StatefulProcessor
 

@@ -1722,3 +1722,115 @@ def agg_bloom_filter_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"DIV {_BLOOM_M} AS BIGINT)"
         ).alias("fill_ratio_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — round-9 late addition
+
+
+@register(
+    "agg_kmv_distinct_sketch",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT o_orderpriority AS grp,
+               ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+                   ::BIGINT AS h
+        FROM orders
+    ),
+    cnt AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+        FROM d GROUP BY grp
+    ),
+    survivors AS (
+        SELECT d.grp, d.h, c.exact_distinct
+        FROM d JOIN cnt c ON d.grp = c.grp
+        WHERE CAST(d.h AS HUGEINT) * c.exact_distinct
+              <= CAST(1152921504606846976 AS HUGEINT) * 1024
+    ),
+    ranked AS (
+        SELECT grp, h, exact_distinct,
+               row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        FROM survivors
+    ),
+    kth AS (
+        SELECT grp, MAX(exact_distinct) AS exact_distinct,
+               MAX(CASE WHEN rn = 256 THEN h END) AS h_k,
+               CAST(COUNT(*) AS BIGINT) AS n_survivors
+        FROM ranked WHERE rn <= 256 GROUP BY grp
+    )
+    SELECT grp, exact_distinct, n_survivors,
+           CAST(h_k AS BIGINT) AS kth_min_hash,
+           CAST(CASE WHEN h_k IS NULL THEN n_survivors
+                ELSE 255 * CAST(1152921504606846976 AS HUGEINT) // h_k
+                END AS BIGINT) AS kmv_estimate,
+           CAST(abs(CASE WHEN h_k IS NULL THEN n_survivors
+                     ELSE 255 * CAST(1152921504606846976 AS HUGEINT) // h_k
+                     END - exact_distinct) * 1000000
+                // exact_distinct AS BIGINT) AS err_ppm
+    FROM kth
+    """,
+    doc="KMV (k-minimum-values, k=256) distinct-count sketch per order "
+        "priority with its own certification against the exact count: "
+        "keep the k smallest 60-bit md5 hashes of the distinct keys; "
+        "estimate = (k-1)*H/h_k (Bar-Yossef et al. 2002, public). The "
+        "sketch column is mergeable (union of min-k sets -> min-k of "
+        "union), the KMV counterpart of agg_hll_partial_merge. "
+        "SCALE DEVICE: the per-group top-k window never sees the full "
+        "distinct stream — survivors are pre-gated by h * exact_count "
+        "<= H * 4k (a rearranged threshold with NO division, exact in "
+        "HUGEINT/DECIMAL), so the window sorts ~4k rows per group "
+        "regardless of corpus size; at 100 TB the gate count can come "
+        "from any upper bound without changing the k smallest. Groups "
+        "with fewer than k distinct keys report the sketch's exact "
+        "small-range answer (n_survivors). err_ppm certifies the "
+        "estimate in-plan, same discipline as dedup_lsh_eval. "
+        "Reference parity: extension surface (SURVEY.md §2.B sketch "
+        "rows).",
+)
+def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    H = 1152921504606846976  # 16^15 = 2^60: the 60-bit md5-prefix space
+    d = (
+        o.select(
+            F.col("o_orderpriority").alias("grp"),
+            F.conv(
+                F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    cnt = d.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_distinct")
+    )
+    survivors = d.join(F.broadcast(cnt), "grp").where(
+        F.col("h").cast("decimal(38,0)") * F.col("exact_distinct")
+        <= F.lit(H).cast("decimal(38,0)") * 1024
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    ranked = survivors.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= 256
+    )
+    kth = ranked.groupBy("grp").agg(
+        F.max("exact_distinct").alias("exact_distinct"),
+        F.max(F.when(F.col("rn") == 256, F.col("h"))).alias("h_k"),
+        F.count(F.lit(1)).cast("long").alias("n_survivors"),
+    )
+    est = (
+        "CASE WHEN h_k IS NULL THEN n_survivors "
+        f"ELSE 255 * CAST({H} AS DECIMAL(38,0)) DIV h_k END"
+    )
+    return kth.select(
+        "grp",
+        "exact_distinct",
+        "n_survivors",
+        F.col("h_k").cast("long").alias("kth_min_hash"),
+        F.expr(f"CAST({est} AS BIGINT)").alias("kmv_estimate"),
+        F.expr(
+            f"CAST(abs(({est}) - exact_distinct) * 1000000 "
+            "DIV exact_distinct AS BIGINT)"
+        ).alias("err_ppm"),
+    )

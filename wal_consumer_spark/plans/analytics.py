@@ -10133,3 +10133,814 @@ def analytics_markov_absorption_time(spark: SparkSession, sf_dir: str) -> DataFr
             "expected_steps"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-9 late-session additions (round-10 staging): classical k-sample /
+# repeated-measures tests and ML data-prep audits the suite did not yet
+# cover. All follow the exact-integer determinism contract: rank-weighted
+# sums travel DOUBLED, ratios become one ppm/micro floor division at the
+# end, and DECIMAL(38,0)/HUGEINT guards every product that can pass 2^63.
+
+
+@register(
+    "ml_cochran_q_test",
+    oracle="""
+    WITH r AS (
+        SELECT vec_id,
+               CASE WHEN CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000.0)
+                          AS BIGINT) > 0 THEN 1 ELSE 0 END AS x1,
+               CASE WHEN CAST(round(CAST(embedding[2] AS DOUBLE) * 1000000.0)
+                          AS BIGINT) > 0 THEN 1 ELSE 0 END AS x2,
+               CASE WHEN CAST(round(CAST(embedding[3] AS DOUBLE) * 1000000.0)
+                          AS BIGINT) > 0 THEN 1 ELSE 0 END AS x3,
+               CASE WHEN CAST(round(CAST(embedding[4] AS DOUBLE) * 1000000.0)
+                          AS BIGINT) > 0 THEN 1 ELSE 0 END AS x4
+        FROM embeddings
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(x1) AS BIGINT) AS c1, CAST(SUM(x2) AS BIGINT) AS c2,
+               CAST(SUM(x3) AS BIGINT) AS c3, CAST(SUM(x4) AS BIGINT) AS c4,
+               CAST(SUM(x1 + x2 + x3 + x4) AS BIGINT) AS t,
+               CAST(SUM((x1 + x2 + x3 + x4) * (x1 + x2 + x3 + x4))
+                    AS BIGINT) AS sum_rowsq
+        FROM r
+    )
+    SELECT n_items, CAST(4 AS BIGINT) AS k_raters, t AS t_successes,
+           sum_rowsq,
+           CAST(3 * ((4 * c1 - t) * (4 * c1 - t) + (4 * c2 - t) * (4 * c2 - t)
+                     + (4 * c3 - t) * (4 * c3 - t)
+                     + (4 * c4 - t) * (4 * c4 - t)) AS BIGINT) AS q_num,
+           CAST(4 * (4 * t - sum_rowsq) AS BIGINT) AS q_den,
+           CAST(CAST(3 * ((4 * c1 - t) * (4 * c1 - t)
+                          + (4 * c2 - t) * (4 * c2 - t)
+                          + (4 * c3 - t) * (4 * c3 - t)
+                          + (4 * c4 - t) * (4 * c4 - t)) AS HUGEINT)
+                * 1000000 // (4 * (4 * t - sum_rowsq)) AS BIGINT) AS q_micro
+    FROM agg
+    """,
+    doc="Cochran's Q test over a four-rater binary panel: raters are the "
+        "sign classifiers of embedding dims 1-4 (same micro-quantized "
+        "verdicts both engines see identically), items are all vectors — "
+        "the k-related-samples generalization of McNemar that answers "
+        "'do these k binary labelers differ in marginal positive rate?', "
+        "the standard QA gate before pooling annotator columns. EXACT "
+        "integers end-to-end: Q = (k-1)*sum_j(k*C_j - T)^2 / (k*(k*T - "
+        "sum_i R_i^2)) is integer cross-multiplication with ONE micro "
+        "floor division at the end (numerator and denominator also "
+        "emitted raw so any downstream precision is reconstructible). "
+        "Plan: ONE scan of embeddings, four element_at sign tests, one "
+        "1-row aggregate — no explode, no join, no shuffle beyond the "
+        "final singleton. Reference parity: extension surface "
+        "(SURVEY.md §2.C ML rows).",
+)
+def ml_cochran_q_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    def rater(i: int):
+        return (
+            F.round(
+                F.element_at("embedding", i).cast("double") * 1_000_000.0
+            ).cast("long")
+            > 0
+        ).cast("long")
+
+    r = emb.select(
+        rater(1).alias("x1"), rater(2).alias("x2"),
+        rater(3).alias("x3"), rater(4).alias("x4"),
+    )
+    rs = F.col("x1") + F.col("x2") + F.col("x3") + F.col("x4")
+    agg = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("x1").cast("long").alias("c1"),
+        F.sum("x2").cast("long").alias("c2"),
+        F.sum("x3").cast("long").alias("c3"),
+        F.sum("x4").cast("long").alias("c4"),
+        F.sum(rs).cast("long").alias("t"),
+        F.sum(rs * rs).cast("long").alias("sum_rowsq"),
+    )
+    dev = (
+        "((4 * c1 - t) * (4 * c1 - t) + (4 * c2 - t) * (4 * c2 - t) "
+        "+ (4 * c3 - t) * (4 * c3 - t) + (4 * c4 - t) * (4 * c4 - t))"
+    )
+    return agg.select(
+        "n_items",
+        F.lit(4).cast("long").alias("k_raters"),
+        F.col("t").alias("t_successes"),
+        "sum_rowsq",
+        F.expr(f"CAST(3 * {dev} AS BIGINT)").alias("q_num"),
+        F.expr("CAST(4 * (4 * t - sum_rowsq) AS BIGINT)").alias("q_den"),
+        F.expr(
+            f"CAST(CAST(3 * {dev} AS DECIMAL(38,0)) * 1000000 "
+            "DIV (4 * (4 * t - sum_rowsq)) AS BIGINT)"
+        ).alias("q_micro"),
+    )
+
+
+@register(
+    "ml_kruskal_wallis_h",
+    oracle="""
+    WITH v AS (
+        SELECT o_orderpriority AS grp,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    gv AS (
+        SELECT grp, cents, CAST(COUNT(*) AS BIGINT) AS cnt_g
+        FROM v GROUP BY grp, cents
+    ),
+    dv AS (
+        SELECT cents, CAST(SUM(cnt_g) AS BIGINT) AS cnt,
+               SUM(SUM(cnt_g)) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM gv GROUP BY cents
+    ),
+    rg AS (
+        SELECT g.grp,
+               CAST(SUM(g.cnt_g) AS BIGINT) AS n_g,
+               CAST(SUM(g.cnt_g * (2 * d.cum - d.cnt + 1)) AS BIGINT)
+                   AS rank2_sum
+        FROM gv g JOIN dv d ON g.cents = d.cents
+        GROUP BY g.grp
+    ),
+    ties AS (
+        SELECT CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_cubes,
+               CAST(SUM(cnt) AS BIGINT) AS n_total
+        FROM dv
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+               CAST(SUM(CAST(rank2_sum AS HUGEINT) * rank2_sum // n_g)
+                    AS BIGINT) AS s0
+        FROM rg
+    )
+    SELECT t.n_total, s.k_groups, t.tie_cubes,
+           CAST(CAST(s.s0 AS HUGEINT) * 3000000
+                // (CAST(t.n_total AS HUGEINT) * (t.n_total + 1))
+                - 3000000 * (t.n_total + 1) AS BIGINT) AS h_micro,
+           CAST((CAST(s.s0 AS HUGEINT) * 3000000
+                 // (CAST(t.n_total AS HUGEINT) * (t.n_total + 1))
+                 - 3000000 * (t.n_total + 1))
+                * (CAST(t.n_total AS HUGEINT) * t.n_total * t.n_total
+                   - t.n_total)
+                // (CAST(t.n_total AS HUGEINT) * t.n_total * t.n_total
+                    - t.n_total - t.tie_cubes) AS BIGINT)
+               AS h_tie_corrected_micro
+    FROM ties t, s
+    """,
+    doc="Kruskal-Wallis H: the k-sample rank ANOVA over order value cents "
+        "by o_orderpriority (5 groups) — the nonparametric 'do any of "
+        "these segments differ?' gate that precedes pairwise "
+        "Mann-Whitney drilldowns (analytics_mann_whitney_u). Ranks come "
+        "from the tie-group decomposition (doubled average rank "
+        "2*cum - cnt + 1 over the distinct-value table — the round-5 "
+        "lesson: rank-weighted aggregates never rank raw rows), so "
+        "H = 12/(N(N+1)) * sum R_g^2/n_g - 3(N+1) evaluates as "
+        "3e6*sum(R2_g^2 DIV n_g)/(N(N+1)) - 3e6(N+1) with the SAME "
+        "per-group floor division on both engines, then the standard "
+        "tie correction divides by 1 - sum(t^3-t)/(N^3-N) via one more "
+        "HUGEINT cross-multiplication. Plan: two hash aggregates on "
+        "(grp, cents) then cents, a distinct-value-sized cumulative "
+        "window, a distinct-value join — nothing row-scale past the "
+        "first aggregate; at 100 TB the window runs over distinct "
+        "cents, not rows. Reference parity: extension surface "
+        "(SURVEY.md §2.C ML rows).",
+)
+def ml_kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    gv = v.groupBy("grp", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt_g")
+    )
+    wcum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    dv = (
+        gv.groupBy("cents")
+        .agg(F.sum("cnt_g").cast("long").alias("cnt"))
+        .select("cents", "cnt", F.sum("cnt").over(wcum).alias("cum"))
+    )
+    rg = (
+        gv.join(dv, "cents")
+        .groupBy("grp")
+        .agg(
+            F.sum("cnt_g").cast("long").alias("n_g"),
+            F.sum(
+                F.col("cnt_g") * (2 * F.col("cum") - F.col("cnt") + 1)
+            )
+            .cast("long")
+            .alias("rank2_sum"),
+        )
+    )
+    ties = dv.agg(
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        )
+        .cast("long")
+        .alias("tie_cubes"),
+        F.sum("cnt").cast("long").alias("n_total"),
+    )
+    s = rg.agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum(
+            F.expr("CAST(rank2_sum AS DECIMAL(38,0)) * rank2_sum DIV n_g")
+        )
+        .cast("long")
+        .alias("s0"),
+    )
+    return ties.crossJoin(F.broadcast(s)).select(
+        "n_total",
+        "k_groups",
+        "tie_cubes",
+        F.expr(
+            "CAST(CAST(s0 AS DECIMAL(38,0)) * 3000000 "
+            "DIV (CAST(n_total AS DECIMAL(38,0)) * (n_total + 1))"
+            " - 3000000 * (n_total + 1) AS BIGINT)"
+        ).alias("h_micro"),
+        F.expr(
+            "CAST((CAST(s0 AS DECIMAL(38,0)) * 3000000 "
+            "DIV (CAST(n_total AS DECIMAL(38,0)) * (n_total + 1)) "
+            "- 3000000 * (n_total + 1)) "
+            "* (CAST(n_total AS DECIMAL(38,0)) * n_total * n_total - n_total)"
+            " DIV (CAST(n_total AS DECIMAL(38,0)) * n_total * n_total "
+            "- n_total - tie_cubes) AS BIGINT)"
+        ).alias("h_tie_corrected_micro"),
+    )
+
+
+@register(
+    "ml_friedman_test",
+    oracle="""
+    WITH rev AS (
+        SELECT c.c_nationkey AS blk,
+               CAST(year(CAST(o.o_orderdate AS TIMESTAMP)) AS BIGINT) AS yr,
+               CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE year(CAST(o.o_orderdate AS TIMESTAMP)) BETWEEN 1995 AND 1997
+        GROUP BY c.c_nationkey, year(CAST(o.o_orderdate AS TIMESTAMP))
+    ),
+    full_blocks AS (
+        SELECT blk FROM rev GROUP BY blk HAVING COUNT(*) = 3
+    ),
+    ranked AS (
+        SELECT r.blk, r.yr,
+               2 * rank() OVER (PARTITION BY r.blk ORDER BY r.cents)
+                   + COUNT(*) OVER (PARTITION BY r.blk, r.cents) - 1
+                   AS rank2
+        FROM rev r JOIN full_blocks f ON r.blk = f.blk
+    ),
+    rj AS (
+        SELECT yr, CAST(SUM(rank2) AS BIGINT) AS rank2_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks
+        FROM ranked GROUP BY yr
+    )
+    SELECT CAST(MAX(n_blocks) AS BIGINT) AS n_blocks,
+           CAST(3 AS BIGINT) AS k_treatments,
+           CAST(SUM(CASE WHEN yr = 1995 THEN rank2_sum END) AS BIGINT)
+               AS r2_1995,
+           CAST(SUM(CASE WHEN yr = 1996 THEN rank2_sum END) AS BIGINT)
+               AS r2_1996,
+           CAST(SUM(CASE WHEN yr = 1997 THEN rank2_sum END) AS BIGINT)
+               AS r2_1997,
+           CAST(1000000 * SUM(CAST(rank2_sum AS HUGEINT) * rank2_sum)
+                // (4 * MAX(n_blocks))
+                - 12000000 * MAX(n_blocks) AS BIGINT)
+               AS chi2_micro
+    FROM rj
+    """,
+    doc="Friedman test: repeated-measures rank test over complete blocks "
+        "— each nation (block) ranks its annual revenue across the three "
+        "treatment years 1995-1997; chi2_F = 12/(nk(k+1)) sum R_j^2 "
+        "- 3n(k+1) asks 'did the year shift the distribution, "
+        "controlling for the nation?' (the blocked counterpart of "
+        "Kruskal-Wallis, and the standard pre-test before Nemenyi "
+        "pairwise drilldowns in model-comparison tables). Within-block "
+        "ranks travel DOUBLED via 2*rank() + count_eq - 1 so ties stay "
+        "integral; blocks missing a year are dropped (complete-block "
+        "design); with R2_j = 2*R_j the statistic 12/(nk(k+1)) * sum "
+        "(R2_j/2)^2 - 3n(k+1) reduces to 3*sum R2_j^2/(nk(k+1)) - "
+        "3n(k+1) — one HUGEINT floor division at micro scale. Plan: "
+        "one orders scan + broadcast customer-nation join, a 75-row "
+        "block table, per-block windows over 3 rows each — trivially "
+        "100 TB-safe (everything after the first aggregate is "
+        "nation x year sized). Reference parity: extension surface "
+        "(SURVEY.md §2.C ML rows).",
+)
+def ml_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    yr = F.year(F.to_timestamp("o_orderdate"))
+    rev = (
+        o.where(yr.between(1995, 1997))
+        .join(
+            maybe_broadcast(c.select("c_custkey", "c_nationkey")),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_nationkey").alias("blk"), yr.alias("yr"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    full_blocks = (
+        rev.groupBy("blk").agg(F.count(F.lit(1)).alias("ny"))
+        .where(F.col("ny") == 3)
+        .select("blk")
+    )
+    wrk = Window.partitionBy("blk").orderBy("cents")
+    weq = Window.partitionBy("blk", "cents")
+    ranked = rev.join(F.broadcast(full_blocks), "blk").select(
+        "yr",
+        (
+            2 * F.rank().over(wrk) + F.count(F.lit(1)).over(weq) - 1
+        ).alias("rank2"),
+    )
+    rj = ranked.groupBy("yr").agg(
+        F.sum("rank2").cast("long").alias("rank2_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+    )
+    return rj.agg(
+        F.max("n_blocks").cast("long").alias("n_blocks"),
+        F.lit(3).cast("long").alias("k_treatments"),
+        F.sum(F.when(F.col("yr") == 1995, F.col("rank2_sum")))
+        .cast("long")
+        .alias("r2_1995"),
+        F.sum(F.when(F.col("yr") == 1996, F.col("rank2_sum")))
+        .cast("long")
+        .alias("r2_1996"),
+        F.sum(F.when(F.col("yr") == 1997, F.col("rank2_sum")))
+        .cast("long")
+        .alias("r2_1997"),
+        F.expr(
+            "CAST(1000000 * SUM(CAST(rank2_sum AS DECIMAL(38,0)) "
+            "* rank2_sum) DIV (4 * MAX(n_blocks)) "
+            "- 12000000 * MAX(n_blocks) AS BIGINT)"
+        ).alias("chi2_micro"),
+    )
+
+
+@register(
+    "ml_target_encoding_loo",
+    oracle="""
+    WITH base AS (
+        SELECT c.c_mktsegment AS segment,
+               CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    seg AS (
+        SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS pos
+        FROM base GROUP BY segment
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS g_n, CAST(SUM(pos) AS BIGINT) AS g_pos
+        FROM seg
+    )
+    SELECT s.segment, s.n, s.pos,
+           CAST((s.pos - 1) * 1000000 // (s.n - 1) AS BIGINT)
+               AS enc_pos_ppm,
+           CAST(s.pos * 1000000 // (s.n - 1) AS BIGINT) AS enc_neg_ppm,
+           CAST(CAST(s.pos * t.g_n + 100 * t.g_pos AS HUGEINT) * 1000000
+                // (CAST(s.n + 100 AS HUGEINT) * t.g_n) AS BIGINT)
+               AS enc_smooth_ppm
+    FROM seg s CROSS JOIN tot t
+    """,
+    doc="Leave-one-out target encoding audit: encode the categorical "
+        "c_mktsegment against the binary target 'order is urgent/high "
+        "priority'. For a row with target y in a segment of n rows and "
+        "pos positives, the LOO encoding is (pos - y)/(n - 1) — which "
+        "takes exactly TWO values per segment, so the audit emits them "
+        "closed-form (enc_pos_ppm for y=1 rows, enc_neg_ppm for y=0 "
+        "rows) instead of materializing a per-row column: the leakage "
+        "check is 'enc_pos < enc_neg iff the feature leaks the label "
+        "out of its own row', visible directly in the gap. The m=100 "
+        "smoothed variant (pos + m*global_rate)/(n + m) is the "
+        "production form (Micci-Barreca 2001, public); all three ride "
+        "exact ppm floor divisions. Plan: one orders scan, broadcast "
+        "customer join, a 5-row segment aggregate crossed with a 1-row "
+        "global — at 100 TB the encoding TABLE is what ships to "
+        "training (broadcast-sized), never a per-row shuffle. Reference "
+        "parity: extension surface (SURVEY.md §2.C ML rows).",
+)
+def ml_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    base = o.join(
+        maybe_broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("long")
+        .alias("y"),
+    )
+    seg = base.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    tot = seg.agg(
+        F.sum("n").cast("long").alias("g_n"),
+        F.sum("pos").cast("long").alias("g_pos"),
+    )
+    return seg.crossJoin(F.broadcast(tot)).select(
+        "segment",
+        "n",
+        "pos",
+        F.expr("CAST((pos - 1) * 1000000 DIV (n - 1) AS BIGINT)").alias(
+            "enc_pos_ppm"
+        ),
+        F.expr("CAST(pos * 1000000 DIV (n - 1) AS BIGINT)").alias(
+            "enc_neg_ppm"
+        ),
+        F.expr(
+            "CAST(CAST(pos * g_n + 100 * g_pos AS DECIMAL(38,0)) * 1000000 "
+            "DIV (CAST(n + 100 AS DECIMAL(38,0)) * g_n) AS BIGINT)"
+        ).alias("enc_smooth_ppm"),
+    )
+
+
+_CVFOLD_SQL = (
+    "('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || ':cv5'), 1, 8))"
+    "::BIGINT % 5"
+)
+
+
+@register(
+    "ml_cv_fold_accuracy_variance",
+    oracle=f"""
+    WITH scored AS (
+        SELECT {_CVFOLD_SQL} AS fold,
+               CASE WHEN c_acctbal >= 5000 THEN 1 ELSE 0 END AS pred,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS y
+        FROM customer
+    ),
+    per AS (
+        SELECT CAST(fold AS BIGINT) AS fold,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN pred = y THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_correct
+        FROM scored GROUP BY fold
+    ),
+    acc AS (
+        SELECT fold, n, n_correct,
+               CAST(n_correct * 1000000 // n AS BIGINT) AS acc_ppm
+        FROM per
+    ),
+    devs AS (
+        SELECT acc_ppm, 5 * acc_ppm - SUM(acc_ppm) OVER () AS dev FROM acc
+    ),
+    g AS (
+        SELECT CAST(SUM(acc_ppm) AS BIGINT) AS s_acc_ppm,
+               CAST(SUM(dev * dev) AS BIGINT) AS ssd_x25
+        FROM devs
+    )
+    SELECT a.fold, a.n, a.n_correct, a.acc_ppm, g.s_acc_ppm, g.ssd_x25
+    FROM acc a CROSS JOIN g
+    ORDER BY a.fold
+    """,
+    doc="Cross-validation fold-variance audit: the md5 hash-gate 5-fold "
+        "assignment (same primitive as pipeline_kfold_assignment, salted "
+        "':cv5') scores a fixed acctbal>=5000 stump against the "
+        "BUILDING-segment target per fold, then reports the "
+        "between-fold accuracy dispersion — the number that says "
+        "whether a CV estimate is stable enough to trust (high ssd "
+        "means the metric swings with the split, the classic "
+        "small-eval-set warning). Exactness: per-fold acc_ppm is one "
+        "floor division; the dispersion travels as ssd_x25 = "
+        "sum((5*acc_f - sum acc)^2) — the scaled sum of squared "
+        "deviations that never forms the non-integral mean. Plan: one "
+        "customer scan, a 5-row aggregate, a 5-row window — the CV "
+        "split at 100 TB is a scan-resident predicate, never a "
+        "materialized copy. Reference parity: extension surface "
+        "(SURVEY.md §2.C ML rows).",
+)
+def ml_cv_fold_accuracy_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    fold = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit(":cv5"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(5),
+    )
+    scored = c.select(
+        fold.alias("fold"),
+        (F.col("c_acctbal") >= 5000).cast("long").alias("pred"),
+        (F.col("c_mktsegment") == "BUILDING").cast("long").alias("y"),
+    )
+    acc = (
+        scored.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count_if(F.col("pred") == F.col("y"))
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            F.col("fold").cast("long").alias("fold"),
+            "n",
+            "n_correct",
+            F.expr("CAST(n_correct * 1000000 DIV n AS BIGINT)").alias(
+                "acc_ppm"
+            ),
+        )
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    g = acc.select(
+        "acc_ppm",
+        (5 * F.col("acc_ppm") - F.sum("acc_ppm").over(wall)).alias("dev"),
+    ).agg(
+        F.sum("acc_ppm").cast("long").alias("s_acc_ppm"),
+        F.sum(F.col("dev") * F.col("dev")).cast("long").alias("ssd_x25"),
+    )
+    return (
+        acc.crossJoin(F.broadcast(g))
+        .select("fold", "n", "n_correct", "acc_ppm", "s_acc_ppm", "ssd_x25")
+        .orderBy("fold")
+    )
+
+
+@register(
+    "analytics_propensity_stratification",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS treat,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer
+    ),
+    thr AS (
+        SELECT unnest(qv) AS t
+        FROM (SELECT quantile_cont(CAST(bal_cents AS DOUBLE),
+                  [0.2, 0.4, 0.6, 0.8]) AS qv FROM base)
+    ),
+    cust AS (
+        SELECT b.c_custkey, b.treat,
+               1 + SUM(CASE WHEN CAST(b.bal_cents AS DOUBLE) > thr.t
+                            THEN 1 ELSE 0 END) AS stratum
+        FROM base b CROSS JOIN thr
+        GROUP BY b.c_custkey, b.treat
+    ),
+    outcome AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS spend_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    joined AS (
+        SELECT c.stratum, c.treat,
+               COALESCE(o.spend_cents, 0) AS spend_cents
+        FROM cust c LEFT JOIN outcome o ON c.c_custkey = o.o_custkey
+    ),
+    per AS (
+        SELECT CAST(stratum AS BIGINT) AS stratum,
+               CAST(count_if(treat = 1) AS BIGINT) AS n_treat,
+               CAST(count_if(treat = 0) AS BIGINT) AS n_ctrl,
+               CAST(SUM(CASE WHEN treat = 1 THEN spend_cents END)
+                    AS BIGINT) AS sum_treat,
+               CAST(SUM(CASE WHEN treat = 0 THEN spend_cents END)
+                    AS BIGINT) AS sum_ctrl
+        FROM joined GROUP BY stratum
+    )
+    SELECT stratum, n_treat, n_ctrl, sum_treat, sum_ctrl,
+           CAST(sum_treat * 100 // n_treat
+                - sum_ctrl * 100 // n_ctrl AS BIGINT) AS ate_cents_x100
+    FROM per
+    """,
+    doc="Stratified treatment-effect estimate: customers are split into "
+        "five acctbal strata (the observed confounder standing in for a "
+        "propensity score), and within each stratum the "
+        "BUILDING-segment 'treatment' group's mean annual spend is "
+        "compared to control — subclassification on the confounder "
+        "(Cochran 1968, public), the observational-causal sibling of "
+        "analytics_cuped_adjustment (which adjusts a randomized metric) "
+        "and analytics_diff_in_differences (which differences over "
+        "time). Per-stratum ATE travels as cents x100 with one floor "
+        "division per arm; raw sums and counts are emitted so any "
+        "pooling weight (n_s, inverse-variance) is reconstructible "
+        "downstream. Plan: stratum edges come from ONE interpolated "
+        "percentile aggregate broadcast as a 4-row threshold cross "
+        "(the analytics_uplift_by_decile device — no global ntile "
+        "sort, no entity window), then a per-customer orders "
+        "aggregate joined left and one 5-row cell aggregate. "
+        "Reference parity: extension surface (SURVEY.md §2.B "
+        "analytics rows).",
+)
+def analytics_propensity_stratification(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    base = c.select(
+        "c_custkey",
+        (F.col("c_mktsegment") == "BUILDING").cast("long").alias("treat"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    thr = base.agg(
+        F.expr(
+            "percentile(cast(bal_cents as double), array(0.2, 0.4, 0.6, 0.8))"
+        ).alias("qv")
+    ).select(F.explode("qv").alias("t"))
+    cust = (
+        base.crossJoin(F.broadcast(thr))
+        .groupBy("c_custkey", "treat")
+        .agg(
+            (
+                F.lit(1)
+                + F.sum(
+                    F.when(
+                        F.col("bal_cents").cast("double") > F.col("t"), 1
+                    ).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias("stratum")
+        )
+    )
+    outcome = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("spend_cents")
+    )
+    joined = cust.join(
+        outcome, cust.c_custkey == outcome.o_custkey, "left"
+    ).select(
+        "stratum",
+        "treat",
+        F.coalesce(F.col("spend_cents"), F.lit(0)).alias("spend_cents"),
+    )
+    per = joined.groupBy(F.col("stratum").cast("long").alias("stratum")).agg(
+        F.count_if(F.col("treat") == 1).cast("long").alias("n_treat"),
+        F.count_if(F.col("treat") == 0).cast("long").alias("n_ctrl"),
+        F.sum(F.when(F.col("treat") == 1, F.col("spend_cents")))
+        .cast("long")
+        .alias("sum_treat"),
+        F.sum(F.when(F.col("treat") == 0, F.col("spend_cents")))
+        .cast("long")
+        .alias("sum_ctrl"),
+    )
+    return per.select(
+        "stratum",
+        "n_treat",
+        "n_ctrl",
+        "sum_treat",
+        "sum_ctrl",
+        F.expr(
+            "CAST(sum_treat * 100 DIV n_treat "
+            "- sum_ctrl * 100 DIV n_ctrl AS BIGINT)"
+        ).alias("ate_cents_x100"),
+    )
+
+
+@register(
+    "analytics_kendall_w_concordance",
+    oracle="""
+    WITH rev AS (
+        SELECT c.c_nationkey AS nat,
+               CAST(year(CAST(o.o_orderdate AS TIMESTAMP)) AS BIGINT) AS yr,
+               CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE year(CAST(o.o_orderdate AS TIMESTAMP)) BETWEEN 1995 AND 1997
+        GROUP BY c.c_nationkey, year(CAST(o.o_orderdate AS TIMESTAMP))
+    ),
+    complete AS (
+        SELECT nat FROM rev GROUP BY nat HAVING COUNT(*) = 3
+    ),
+    ranked AS (
+        SELECT r.nat, r.yr,
+               2 * rank() OVER (PARTITION BY r.yr ORDER BY r.cents)
+                   + COUNT(*) OVER (PARTITION BY r.yr, r.cents) - 1 AS rank2
+        FROM rev r JOIN complete f ON r.nat = f.nat
+    ),
+    persubj AS (
+        SELECT nat, CAST(SUM(rank2) AS BIGINT) AS r2_sum FROM ranked
+        GROUP BY nat
+    ),
+    ties AS (
+        SELECT CAST(COALESCE(SUM(tt * tt * tt - tt), 0) AS BIGINT) AS tie_sum
+        FROM (SELECT yr, cents, COUNT(*) AS tt FROM ranked
+              JOIN rev USING (nat, yr) GROUP BY yr, cents) g
+        WHERE tt > 1
+    ),
+    devs AS (
+        SELECT r2_sum, COUNT(*) OVER () AS n_all FROM persubj
+    ),
+    s AS (
+        SELECT CAST(MAX(n_all) AS BIGINT) AS n_subjects,
+               CAST(SUM((r2_sum - 3 * (n_all + 1))
+                        * (r2_sum - 3 * (n_all + 1))) AS BIGINT) AS s4
+        FROM devs
+    )
+    SELECT s.n_subjects, CAST(3 AS BIGINT) AS k_judges, s.s4, t.tie_sum,
+           CAST(CAST(s.s4 AS HUGEINT) * 3000000
+                // (9 * (CAST(s.n_subjects AS HUGEINT) * s.n_subjects
+                         * s.n_subjects - s.n_subjects)
+                    - 3 * t.tie_sum) AS BIGINT) AS w_ppm
+    FROM s, ties t
+    """,
+    doc="Kendall's coefficient of concordance W: three judges (the years "
+        "1995-1997) each rank the complete-data nations by annual "
+        "revenue; W = 12S/(k^2(n^3-n) - k*sum(t^3-t)) measures how "
+        "consistent the cross-sectional ranking stays across years — "
+        "1 = identical league tables every year, 0 = uncorrelated "
+        "(Kendall & Babington Smith 1939, public). The TRANSPOSE of "
+        "ml_friedman_test (which ranks years within a nation): same "
+        "blocks, orthogonal question. Per-year ranks travel DOUBLED "
+        "(2*rank + ties - 1), subject deviations square around the "
+        "doubled mean 3(n+1), and with S4 = 4S the statistic 12S over "
+        "the tie-corrected denominator reduces to S4*3e6 // "
+        "(9(n^3-n) - 3*sum(t^3-t)). "
+        "Plan: identical shape to ml_friedman_test — one orders scan, "
+        "broadcast nation join, 75-row block table, bounded windows. "
+        "Reference parity: extension surface (SURVEY.md §2.B analytics "
+        "rows).",
+)
+def analytics_kendall_w_concordance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    yr = F.year(F.to_timestamp("o_orderdate"))
+    rev = (
+        o.where(yr.between(1995, 1997))
+        .join(
+            maybe_broadcast(c.select("c_custkey", "c_nationkey")),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_nationkey").alias("nat"), yr.alias("yr"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    complete = (
+        rev.groupBy("nat").agg(F.count(F.lit(1)).alias("ny"))
+        .where(F.col("ny") == 3)
+        .select("nat")
+    )
+    wrk = Window.partitionBy("yr").orderBy("cents")
+    weq = Window.partitionBy("yr", "cents")
+    ranked = rev.join(F.broadcast(complete), "nat").select(
+        "nat",
+        "yr",
+        "cents",
+        (
+            2 * F.rank().over(wrk) + F.count(F.lit(1)).over(weq) - 1
+        ).alias("rank2"),
+    )
+    persubj = ranked.groupBy("nat").agg(
+        F.sum("rank2").cast("long").alias("r2_sum")
+    )
+    ties = (
+        ranked.groupBy("yr", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("tt"))
+        .where(F.col("tt") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("tt") * F.col("tt") * F.col("tt") - F.col("tt")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_sum")
+        )
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    s = persubj.select(
+        "r2_sum",
+        F.count(F.lit(1)).over(wall).alias("n_all"),
+    ).agg(
+        F.max("n_all").cast("long").alias("n_subjects"),
+        F.sum(
+            (F.col("r2_sum") - 3 * (F.col("n_all") + 1))
+            * (F.col("r2_sum") - 3 * (F.col("n_all") + 1))
+        )
+        .cast("long")
+        .alias("s4"),
+    )
+    return s.crossJoin(F.broadcast(ties)).select(
+        "n_subjects",
+        F.lit(3).cast("long").alias("k_judges"),
+        "s4",
+        "tie_sum",
+        F.expr(
+            "CAST(CAST(s4 AS DECIMAL(38,0)) * 3000000 "
+            "DIV (9 * (CAST(n_subjects AS DECIMAL(38,0)) * n_subjects "
+            "* n_subjects - n_subjects) - 3 * tie_sum) AS BIGINT)"
+        ).alias("w_ppm"),
+    )

@@ -2345,3 +2345,104 @@ def cdc_compaction_savings_by_horizon(spark: SparkSession, sf_dir: str) -> DataF
             ).alias("savings_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Daily op-mix drift audit — round-9 late addition
+
+
+@register(
+    "cdc_op_mix_drift_by_day",
+    oracle="""
+    WITH wal AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+               CASE event_type WHEN 'signup' THEN 'ADD'
+                               WHEN 'error' THEN 'DELETE'
+                               ELSE 'UPDATE' END AS operation
+        FROM events
+    ),
+    cell AS (
+        SELECT d, operation, CAST(COUNT(*) AS BIGINT) AS obs
+        FROM wal GROUP BY d, operation
+    ),
+    daytot AS (
+        SELECT d, CAST(SUM(obs) AS BIGINT) AS n_d FROM cell GROUP BY d
+    ),
+    optot AS (
+        SELECT operation, CAST(SUM(obs) AS BIGINT) AS c_op FROM cell
+        GROUP BY operation
+    ),
+    tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS t FROM cell),
+    -- complete day x op grid so zero cells contribute their full
+    -- expected-count term (obs = 0 => term = n_d * c_op * 1e6 / t^2 ... )
+    grid AS (
+        SELECT dt.d, dt.n_d, ot.operation, ot.c_op, t.t,
+               COALESCE(c.obs, 0) AS obs
+        FROM daytot dt CROSS JOIN optot ot CROSS JOIN tot t
+        LEFT JOIN cell c ON c.d = dt.d AND c.operation = ot.operation
+    )
+    SELECT CAST(d AS TIMESTAMP) AS day, CAST(MAX(n_d) AS BIGINT) AS n_ops,
+           CAST(SUM(CAST(obs * t - n_d * c_op AS HUGEINT)
+                    * (obs * t - n_d * c_op) * 1000000
+                    // (CAST(n_d AS HUGEINT) * c_op * t)) AS BIGINT)
+               AS chi2_micro
+    FROM grid GROUP BY d
+    """,
+    doc="Daily operation-mix drift audit over the WAL: for each day, the "
+        "chi-square distance between that day's ADD/UPDATE/DELETE mix "
+        "and the whole-stream mix — the monitoring number that catches a "
+        "producer bug flipping UPDATEs to DELETEs long before row "
+        "counts move (drift in COMPOSITION, which R15's per-type "
+        "meters report only globally; reference analog "
+        "WalConsumerMetrics op counters). Each cell's chi-square term "
+        "(obs - E)^2/E with E = n_d*c_op/T evaluates by integer "
+        "cross-multiplication as (obs*T - n_d*c_op)^2 * 1e6 // "
+        "(n_d*c_op*T) — HUGEINT/DECIMAL products, one floor division "
+        "per cell, order-free sums; the day x op grid is completed so "
+        "MISSING ops contribute their full expected term (a day with "
+        "zero DELETEs must look anomalous, not invisible). Plan: one "
+        "events scan to a day x 3 cell aggregate; grid completion and "
+        "totals are broadcast-sized frames. Reference parity: R14/R15 "
+        "metrics extension (SURVEY.md §2.A rows).",
+)
+def cdc_op_mix_drift_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wal = ev.select(
+        F.to_date(F.to_timestamp("ts")).alias("d"),
+        F.when(F.col("event_type") == "signup", F.lit("ADD"))
+        .when(F.col("event_type") == "error", F.lit("DELETE"))
+        .otherwise(F.lit("UPDATE"))
+        .alias("operation"),
+    )
+    cell = wal.groupBy("d", "operation").agg(
+        F.count(F.lit(1)).cast("long").alias("obs")
+    )
+    daytot = cell.groupBy("d").agg(F.sum("obs").cast("long").alias("n_d"))
+    optot = cell.groupBy("operation").agg(
+        F.sum("obs").cast("long").alias("c_op")
+    )
+    tot = cell.agg(F.sum("obs").cast("long").alias("t"))
+    grid = (
+        daytot.crossJoin(F.broadcast(optot))
+        .crossJoin(F.broadcast(tot))
+        .join(cell, ["d", "operation"], "left")
+        .select(
+            "d",
+            "n_d",
+            "c_op",
+            "t",
+            F.coalesce(F.col("obs"), F.lit(0)).alias("obs"),
+        )
+    )
+    return grid.groupBy(F.col("d").cast("timestamp").alias("day")).agg(
+        F.max("n_d").cast("long").alias("n_ops"),
+        F.sum(
+            F.expr(
+                "CAST(obs * t - n_d * c_op AS DECIMAL(38,0)) "
+                "* (obs * t - n_d * c_op) * 1000000 "
+                "DIV (CAST(n_d AS DECIMAL(38,0)) * c_op * t)"
+            )
+        )
+        .cast("long")
+        .alias("chi2_micro"),
+    )

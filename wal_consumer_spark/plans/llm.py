@@ -5254,3 +5254,184 @@ def sim_product_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFram
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# MinHash estimator-error calibration — round-9 late addition
+
+
+def _minhash_estimate_error_sql() -> str:
+    coeffs = "[" + ", ".join(f"[{a}, {b}]" for a, b in minhash_coeffs(32, 7)) + "]"
+    return f"""
+    WITH hs AS (
+        SELECT doc_id,
+               list_transform({_SHINGLES},
+                              s -> ('0x' || substring(md5(s), 1, 8))::BIGINT) AS h
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+               list_transform({coeffs}, c ->
+                   list_min(list_transform(h, x -> (c[1] * x + c[2]) % 4294967311))) AS sig
+        FROM hs
+    ),
+    banded AS (
+        SELECT doc_id, sig, b.b AS band,
+               array_to_string(list_slice(sig, b.b * 8 + 1, b.b * 8 + 8), ',') AS bucket
+        FROM sig, (SELECT unnest(range(0, 4)) AS b) b
+    ),
+    -- mirrors minhash_candidates' max_bucket=500 skew cap
+    -- (operators/dedup.py:166): over-full buckets carry no signal
+    small AS (
+        SELECT band, bucket FROM banded
+        GROUP BY band, bucket HAVING COUNT(*) <= 500
+    ),
+    bandedc AS (
+        SELECT b.* FROM banded b JOIN small USING (band, bucket)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
+        FROM bandedc a JOIN bandedc c USING (band, bucket)
+        WHERE a.doc_id < c.doc_id
+    ),
+    agree AS (
+        SELECT cand.doc1, cand.doc2,
+               CAST(list_sum(list_transform(range(1, 33),
+                   i -> CASE WHEN s1.sig[i] = s2.sig[i] THEN 1 ELSE 0 END))
+                   AS BIGINT) AS n_agree
+        FROM cand
+        JOIN sig s1 ON s1.doc_id = cand.doc1
+        JOIN sig s2 ON s2.doc_id = cand.doc2
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+    ),
+    shc AS (
+        SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle,
+                   COUNT(*) OVER (PARTITION BY shingle) AS df
+            FROM sh
+        ) t WHERE df <= 1000
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM shc a JOIN shc b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1
+    ),
+    pairs AS (
+        SELECT g.n_agree,
+               COALESCE(i.n_common, 0) AS ic,
+               s1.n + s2.n - COALESCE(i.n_common, 0) AS un
+        FROM agree g
+        LEFT JOIN inter i ON i.doc1 = g.doc1 AND i.doc2 = g.doc2
+        JOIN sizes s1 ON s1.doc_id = g.doc1
+        JOIN sizes s2 ON s2.doc_id = g.doc2
+        WHERE s1.n + s2.n - COALESCE(i.n_common, 0) > 0
+    )
+    SELECT n_agree,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(ic * 1000000 // un) AS BIGINT) AS sum_exact_ppm,
+           CAST(SUM(abs(n_agree * un - 32 * ic) * 1000000 // (32 * un))
+                AS BIGINT) AS sum_abs_err_ppm,
+           CAST(SUM(abs(n_agree * un - 32 * ic) * 1000000 // (32 * un))
+                // COUNT(*) AS BIGINT) AS mean_abs_err_ppm
+    FROM pairs GROUP BY n_agree
+    """
+
+
+@register(
+    "dedup_minhash_estimate_error",
+    oracle=_minhash_estimate_error_sql(),
+    doc="MinHash estimator-error calibration curve: for every LSH "
+        "candidate pair, compare the 32-permutation signature agreement "
+        "(the estimate a production dedup THRESHOLDS on) against the "
+        "exact shingle Jaccard, grouped by agreement count — the "
+        "per-operating-point error readout that tells you what "
+        "'est >= 0.4' actually means in exact-Jaccard terms on YOUR "
+        "corpus (the estimator's binomial spread is theory; this is the "
+        "measured calibration). Per-pair error |agree/32 - inter/union| "
+        "is evaluated by integer cross-multiplication "
+        "(|agree*union - 32*inter| * 1e6 // (32*union)) — no doubles "
+        "anywhere; per-bucket sums of those exact ppm terms are "
+        "order-free. Pipeline: the portable MinHash tier (same md5 "
+        "hashes, coeffs, and banding as dedup_minhash_lsh, so the "
+        "oracle replays bit-for-bit), exact truth via the df-capped "
+        "shingle self-join (cap mirrored in the oracle per the round-8 "
+        "lesson), candidates LEFT-joined to truth so zero-overlap "
+        "false positives are measured too (union from the full set "
+        "sizes; empty-shingle pairs excluded by the un > 0 gate on "
+        "both engines). All joins are banded/bucketed — no all-pairs "
+        "step at any scale. Reference parity: extension surface "
+        "(SURVEY.md §2.B dedup rows).",
+)
+def dedup_minhash_estimate_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signature(docs, "doc_id", "text", portable=True).persist()
+    cand = minhash_candidates(sigs)
+    s1 = sigs.select(F.col("doc").alias("doc1"), F.col("sig").alias("sig1"))
+    s2 = sigs.select(F.col("doc").alias("doc2"), F.col("sig").alias("sig2"))
+    agree = (
+        cand.join(s1, "doc1")
+        .join(s2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.size(
+                F.filter(
+                    F.zip_with(
+                        "sig1", "sig2", lambda x, y: (x == y).cast("int")
+                    ),
+                    lambda v: v == 1,
+                )
+            )
+            .cast("long")
+            .alias("n_agree"),
+        )
+    )
+    sh = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(word_shingles(tokens(F.col("text")), 3)).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    inter = (
+        shingle_pairs_jaccard(docs, "doc_id", "text")
+        .select("doc1", "doc2", F.col("n_common").cast("long").alias("ic"))
+    )
+    pairs = (
+        agree.join(inter, ["doc1", "doc2"], "left")
+        .join(
+            sizes.withColumnsRenamed({"doc": "doc1", "n": "n1"}), "doc1"
+        )
+        .join(
+            sizes.withColumnsRenamed({"doc": "doc2", "n": "n2"}), "doc2"
+        )
+        .select(
+            "n_agree",
+            F.coalesce(F.col("ic"), F.lit(0)).alias("ic"),
+            (
+                F.col("n1") + F.col("n2") - F.coalesce(F.col("ic"), F.lit(0))
+            ).alias("un"),
+        )
+        .where(F.col("un") > 0)
+    )
+    return pairs.groupBy("n_agree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.expr("ic * 1000000 DIV un")).cast("long").alias(
+            "sum_exact_ppm"
+        ),
+        F.sum(
+            F.expr("abs(n_agree * un - 32 * ic) * 1000000 DIV (32 * un)")
+        )
+        .cast("long")
+        .alias("sum_abs_err_ppm"),
+        F.expr(
+            "CAST(SUM(abs(n_agree * un - 32 * ic) * 1000000 DIV (32 * un)) "
+            "DIV COUNT(*) AS BIGINT)"
+        ).alias("mean_abs_err_ppm"),
+    )

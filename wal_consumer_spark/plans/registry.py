@@ -113,11 +113,12 @@ DRIVER_WINDOW: list[str] = [
     "join_bloom_prefilter",
 ]
 
-#: ROUND-10 STAGING — every operator registered during round 10 lands
-#: here IN THE SAME COMMIT that registers it, so the partition test
-#: enforces staging at authoring time. Empty after the round-9 rotation:
-#: all 436 registered queries are green-or-windowed (the window closes
-#: coverage at 436/436 when CORRECTNESS_r09 lands).
+#: ROUND-10 STAGING — every operator registered during round 9's
+#: continuation session (after the rotation froze the 50-slot window)
+#: and during round 10 lands here IN THE SAME COMMIT that registers it,
+#: so the partition test enforces staging at authoring time. The 436
+#: names that are green-or-windowed close at 436/436 when
+#: CORRECTNESS_r09 lands; the 30 staged here certify in round 10.
 NEXT_WINDOW: list[str] = [
     # --- round-9 late-session additions (certify in round 10) ---
     "sim_centroid_margin_audit",
@@ -137,6 +138,20 @@ NEXT_WINDOW: list[str] = [
     "analytics_markov_absorption_time",
     "text_burrows_delta_sources",
     "stream_full_outer_join_watermark_close",
+    # --- round-9 continuation-session additions (certify in round 10) ---
+    "ml_cochran_q_test",
+    "ml_kruskal_wallis_h",
+    "ml_friedman_test",
+    "ml_target_encoding_loo",
+    "ml_cv_fold_accuracy_variance",
+    "agg_kmv_distinct_sketch",
+    "ts_variance_ratio",
+    "text_simpson_lexical_diversity",
+    "sql_front_qualify",
+    "analytics_propensity_stratification",
+    "dedup_minhash_estimate_error",
+    "cdc_op_mix_drift_by_day",
+    "analytics_kendall_w_concordance",
 ]
 
 #: Overflow staging for additions beyond a single round-10 window.

@@ -187,3 +187,57 @@ def _make(name: str, text: str):
 
 for _name, _text in _SHARED_SQL.items():
     _make(_name, _text)
+
+
+# --------------------------------------------------------------------------
+# Dialect-mapped front-door queries: same semantics, engine-native spelling.
+# Unlike _SHARED_SQL above (one text, two engines), these prove the front
+# door can target dialect features Spark SQL lacks by mapping them to the
+# equivalent ANSI form — the QUALIFY clause is the canonical example.
+
+_QUALIFY_SPARK_SQL = """
+SELECT o_orderpriority, o_orderkey, total_cents, rn FROM (
+    SELECT o_orderpriority, o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+           row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                        o_orderkey
+           ) AS rn
+    FROM orders
+) WHERE rn <= 3
+ORDER BY o_orderpriority, rn
+"""
+
+_QUALIFY_DUCK_SQL = """
+SELECT o_orderpriority, o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+       row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                    o_orderkey
+       ) AS rn
+FROM orders
+QUALIFY rn <= 3
+ORDER BY o_orderpriority, rn
+"""
+
+
+@register(
+    "sql_front_qualify",
+    oracle=_QUALIFY_DUCK_SQL,
+    doc="QUALIFY-clause dialect mapping through the SQL front door: the "
+        "oracle runs DuckDB's native QUALIFY (filter on a window result "
+        "without a derived table); the Spark side runs the ANSI "
+        "subquery-filter desugaring — the exact rewrite engines that "
+        "lack QUALIFY apply internally (DuckDB docs describe QUALIFY as "
+        "sugar for this form). Proves the front door covers the "
+        "dialect-feature gap with identical semantics: both plans are "
+        "one exchange + one sort + rank-filter, and Catalyst's "
+        "WindowGroupLimit pushes the rn <= 3 limit INTO the sort at "
+        "scale, so the top-3-per-group never materializes full "
+        "partitions. Reference parity: extension surface (SURVEY.md "
+        "§2.B SQL front door rows).",
+)
+def sql_front_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql(spark, sf_dir, _QUALIFY_SPARK_SQL)

@@ -2228,3 +2228,75 @@ def text_burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS BIGINT)"
         ).alias("delta_avg_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# Simpson lexical diversity — round-9 late addition
+
+
+@register(
+    "text_simpson_lexical_diversity",
+    oracle=f"""
+    WITH tf AS (
+        SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT source, unnest({_TOKS}) AS term FROM documents)
+        GROUP BY source, term
+    ),
+    s AS (
+        SELECT source,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(c * (c - 1)) AS BIGINT) AS sum_cc1
+        FROM tf GROUP BY source
+    )
+    SELECT source, n_tokens, n_types,
+           CAST(CAST(sum_cc1 AS HUGEINT) * 1000000
+                // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1)) AS BIGINT)
+               AS simpson_d_ppm,
+           CAST(1000000 - CAST(sum_cc1 AS HUGEINT) * 1000000
+                // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1)) AS BIGINT)
+               AS diversity_ppm
+    FROM s
+    """,
+    doc="Simpson's lexical diversity per source shard: D = sum c(c-1) / "
+        "(N(N-1)) is the probability two tokens drawn without "
+        "replacement are the same type; 1-D is the diversity index — "
+        "the EXACT-RATIONAL counterpart of text_token_entropy (Shannon "
+        "needs log quantization; Simpson needs none), and the corpus-QA "
+        "signal least sensitive to the long tail (it weights by "
+        "frequency squared, so boilerplate domination shows up "
+        "immediately). All integers: one HUGEINT cross-multiplication, "
+        "one ppm floor division. Plan: one token explode, two hash "
+        "aggregates ((source, term) then source) — same linear shape "
+        "as text_token_entropy; no windows, no joins. Reference "
+        "parity: extension surface (SURVEY.md §2.B text rows).",
+)
+def text_simpson_lexical_diversity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    s = tf.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("sum_cc1"),
+    )
+    return s.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.expr(
+            "CAST(CAST(sum_cc1 AS DECIMAL(38,0)) * 1000000 "
+            "DIV (CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1)) "
+            "AS BIGINT)"
+        ).alias("simpson_d_ppm"),
+        F.expr(
+            "CAST(1000000 - CAST(sum_cc1 AS DECIMAL(38,0)) * 1000000 "
+            "DIV (CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1)) "
+            "AS BIGINT)"
+        ).alias("diversity_ppm"),
+    )

@@ -4108,3 +4108,91 @@ def ts_granger_causality_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(f, 4).alias("f_stat"),
         (f > 3.84).alias("granger_05"),
     )
+
+
+# --------------------------------------------------------------------------
+# Lo-MacKinlay variance-ratio test — round-9 late addition
+
+
+@register(
+    "ts_variance_ratio",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS d,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    seq AS (
+        SELECT d, cents,
+               cents - lag(cents, 1) OVER (ORDER BY d) AS d1,
+               cents - lag(cents, 5) OVER (ORDER BY d) AS d5
+        FROM daily
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(COUNT(d1) AS BIGINT) AS n1,
+               CAST(COUNT(d5) AS BIGINT) AS n5,
+               CAST(SUM(CAST(d1 AS HUGEINT) * d1) AS HUGEINT) AS sum_d1sq,
+               CAST(SUM(CAST(d5 AS HUGEINT) * d5) AS HUGEINT) AS sum_d5sq
+        FROM seq
+    )
+    SELECT n_days, n1, n5,
+           CAST(sum_d1sq // 1000 AS BIGINT) AS sum_d1sq_k,
+           CAST(sum_d5sq // 1000 AS BIGINT) AS sum_d5sq_k,
+           CAST(sum_d5sq * n1 * 1000000 // (sum_d1sq * n5 * 5) AS BIGINT)
+               AS vr_ppm
+    FROM s
+    """,
+    doc="Lo-MacKinlay variance-ratio statistic VR(q=5) on the daily "
+        "revenue series: ratio of the variance of 5-day differences to "
+        "5x the variance of 1-day differences — the classic "
+        "random-walk/mean-reversion diagnostic (VR < 1 means shocks "
+        "revert, VR > 1 means they trend; Lo & MacKinlay 1988, public). "
+        "Uses the uncentered second moments of lag differences over the "
+        "position-ordered day series, all in exact integer cents "
+        "(HUGEINT/DECIMAL for the squares; raw second moments emitted "
+        "in thousandths to stay within BIGINT), ONE ppm floor division. "
+        "Plan: one orders scan to a ~2400-row day aggregate; both lags "
+        "ride ONE ordered window over that bounded frame (same device "
+        "as ts_acf_daily — the window input is day-grain, never "
+        "row-grain, so 100 TB of orders still windows over dates). "
+        "Reference parity: extension surface (SURVEY.md §2.B "
+        "time-series rows).",
+)
+def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.to_date(F.to_timestamp("o_orderdate")).alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("d")
+    seq = daily.select(
+        (F.col("cents") - F.lag("cents", 1).over(w)).alias("d1"),
+        (F.col("cents") - F.lag("cents", 5).over(w)).alias("d5"),
+    )
+    s = seq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.count("d1").cast("long").alias("n1"),
+        F.count("d5").cast("long").alias("n5"),
+        F.sum(F.col("d1").cast("decimal(38,0)") * F.col("d1")).alias(
+            "sum_d1sq_d"
+        ),
+        F.sum(F.col("d5").cast("decimal(38,0)") * F.col("d5")).alias(
+            "sum_d5sq_d"
+        ),
+    )
+    return s.select(
+        "n_days",
+        "n1",
+        "n5",
+        F.expr("CAST(sum_d1sq_d DIV 1000 AS BIGINT)").alias("sum_d1sq_k"),
+        F.expr("CAST(sum_d5sq_d DIV 1000 AS BIGINT)").alias("sum_d5sq_k"),
+        F.expr(
+            "CAST(sum_d5sq_d * n1 * 1000000 "
+            "DIV (sum_d1sq_d * n5 * 5) AS BIGINT)"
+        ).alias("vr_ppm"),
+    )
