@@ -131,6 +131,14 @@ HEADLINE = [
     "text_kneser_ney_bigram",
     "ml_decision_tree_depth2",
     "ts_granger_causality_daily",
+    # r9 continuation-session additions (appended only, same continuity
+    # rule): one representative per family added in this session.
+    "ml_kruskal_wallis_h",
+    "agg_kmv_distinct_sketch",
+    "dedup_minhash_estimate_error",
+    "cdc_op_mix_drift_by_day",
+    "text_simpson_lexical_diversity",
+    "graph_ego_density_topk",
 ]
 
 #: FROZEN cross-round comparison basis (round-4 VERDICT "What's wrong" #2:

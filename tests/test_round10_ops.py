@@ -498,3 +498,167 @@ def test_kendall_w_perfect_concordance_is_one():
     r2 = {i: k * 2 * (i + 1) for i in range(n)}  # doubled rank sums
     s4 = sum((r - k * (n + 1)) ** 2 for r in r2.values())
     assert s4 * 3_000_000 // (9 * (n**3 - n)) == 1_000_000
+
+
+# --------------------------------------------------------- ego density
+def test_ego_density_python_oracle(spark):
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    op = li[["l_orderkey", "l_partkey"]].drop_duplicates()
+    edges = set()
+    for _, grp in op.groupby("l_orderkey"):
+        ps = sorted(grp.l_partkey)
+        for i, p1 in enumerate(ps):
+            for p2 in ps[i + 1:]:
+                edges.add((p1, p2))
+    adj = defaultdict(set)
+    for p1, p2 in edges:
+        adj[p1].add(p2)
+        adj[p2].add(p1)
+    hubs = sorted(adj, key=lambda u: (-len(adj[u]), u))[:20]
+    got = {
+        r.part: r
+        for r in all_specs()["graph_ego_density_topk"].spark(spark, SF).collect()
+    }
+    assert set(got) == set(hubs)
+    for u in hubs:
+        d = len(adj[u])
+        among = sum(
+            1 for (a, b) in edges if a in adj[u] and b in adj[u]
+        )
+        r = got[u]
+        assert r.degree == d
+        assert r.edges_among_neighbors == among
+        assert r.ego_edges == d + among
+        assert r.ego_possible == (d + 1) * d // 2
+        assert r.density_ppm == (d + among) * 2_000_000 // ((d + 1) * d)
+        # ego density can never exceed 1 (complete ego net)
+        assert r.density_ppm <= 1_000_000
+
+
+# --------------------------------------------------------- delong variance
+def test_delong_variance_python_oracle(spark):
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+    rows = [(int(round(b * 100)), 1 if s == "BUILDING" else 0)
+            for b, s in zip(c.c_acctbal, c.c_mktsegment)]
+    pos = sorted(s for s, y in rows if y == 1)
+    neg = sorted(s for s, y in rows if y == 0)
+    import bisect
+
+    P, N = len(pos), len(neg)
+    # V10 per positive, scaled by 2N
+    v10 = [2 * bisect.bisect_left(neg, s)
+           + (bisect.bisect_right(neg, s) - bisect.bisect_left(neg, s))
+           for s in pos]
+    v01 = [2 * (P - bisect.bisect_right(pos, s))
+           + (bisect.bisect_right(pos, s) - bisect.bisect_left(pos, s))
+           for s in neg]
+    s10, ss10 = sum(v10), sum(v * v for v in v10)
+    s01, ss01 = sum(v01), sum(v * v for v in v01)
+    var_e12 = _tdiv((P * ss10 - s10 * s10) * 10**12,
+                    P * (P - 1) * 4 * N * N * P) \
+        + _tdiv((N * ss01 - s01 * s01) * 10**12,
+                N * (N - 1) * 4 * P * P * N)
+    r = all_specs()["ml_auc_delong_variance"].spark(spark, SF).collect()[0]
+    assert (r.n_pos, r.n_neg) == (P, N)
+    assert r.auc_ppm == _tdiv(s10 * 1_000_000, 2 * N * P)
+    assert r.delong_var_e12 == var_e12
+    # the two placement-mean identities: mean(V10) == mean(V01) == AUC
+    assert _tdiv(s10 * 1_000_000, 2 * N * P) == _tdiv(
+        s01 * 1_000_000, 2 * P * N)
+
+
+# ------------------------------------------------------------- pivot
+def test_sql_front_pivot_python_oracle(spark):
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o["cents"] = (o.o_totalprice * 100).round().astype(int)
+    got = {
+        r.o_orderpriority: r
+        for r in all_specs()["sql_front_pivot"].spark(spark, SF).collect()
+    }
+    for pr, grp in o.groupby("o_orderpriority"):
+        r = got[pr]
+        for st, ncol, ccol in (("F", "f_n", "f_cents"),
+                               ("O", "o_n", "o_cents"),
+                               ("P", "p_n", "p_cents")):
+            sub = grp[grp.o_orderstatus == st]
+            assert getattr(r, ncol) == len(sub)
+            expect = int(sub.cents.sum()) if len(sub) else None
+            assert getattr(r, ccol) == expect
+
+
+# --------------------------------------------------------- multinomial NB
+def test_multinomial_nb_python_oracle(spark):
+    import math
+    import re
+
+    d = pd.read_parquet(f"{SF}/documents.parquet")
+    tf = {}
+    for r in d.itertuples():
+        tf[r.doc_id] = Counter(re.split(r"\s+", r.text.strip().lower()))
+    lang_of = dict(zip(d.doc_id, d.lang))
+    langs = sorted(set(lang_of.values()))
+    langid = {l: i + 1 for i, l in enumerate(langs)}
+    d_l = Counter(lang_of.values())
+    clt = defaultdict(Counter)
+    for doc, cnt in tf.items():
+        clt[lang_of[doc]].update(cnt)
+    n_l = {l: sum(c.values()) for l, c in clt.items()}
+    vocab = sorted({t for c in tf.values() for t in c})
+    V, D = len(vocab), len(d)
+
+    def q(x):
+        return round(x * 1_000_000)
+
+    logp = {
+        (l, t): q(math.log2(clt[l].get(t, 0) + 1) - math.log2(n_l[l] + V))
+        for l in langs for t in vocab
+    }
+    prior = {l: q(math.log2(d_l[l]) - math.log2(D)) for l in langs}
+    per = defaultdict(lambda: [0, 0])
+    for doc, cnt in tf.items():
+        best, best_key = None, None
+        for l in langs:
+            s = prior[l] + sum(c * logp[(l, t)] for t, c in cnt.items())
+            key = s * 64 - langid[l]
+            if best_key is None or key > best_key:
+                best, best_key = l, key
+        truth = lang_of[doc]
+        per[truth][0] += 1
+        per[truth][1] += best == truth
+    got = {
+        r.lang: r
+        for r in all_specs()["ml_multinomial_nb_lang"].spark(spark, SF).collect()
+    }
+    assert set(got) == set(per)
+    for l, (n, corr) in per.items():
+        assert got[l].n_docs == n
+        assert got[l].n_correct == corr
+        assert got[l].acc_ppm == corr * 1_000_000 // n
+    # a trained language NB on language-distinct vocab must beat chance
+    total_n = sum(v[0] for v in per.values())
+    total_c = sum(v[1] for v in per.values())
+    assert total_c / total_n > 1 / len(langs)
+
+
+# ------------------------------------------------------- two-proportion z
+def test_two_proportion_ab_python_oracle(spark):
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["conv"] = (
+        (ev.event_type == "purchase")
+        & ((ev.value * 100).round().astype(int) >= 12000)
+    ).astype(int)
+    per = ev.groupby("user_id").conv.max()
+    n1 = sum(1 for u in per.index if u % 2 == 1)
+    x1 = int(sum(v for u, v in per.items() if u % 2 == 1))
+    n2 = len(per) - n1
+    x2 = int(per.sum()) - x1
+    r = all_specs()["analytics_two_proportion_ab"].spark(spark, SF).collect()[0]
+    assert (r.n1, r.x1, r.n2, r.x2) == (n1, x1, n2, x2)
+    assert r.p1_ppm == x1 * 1_000_000 // n1
+    assert r.p2_ppm == x2 * 1_000_000 // n2
+    assert r.p_pool_ppm == (x1 + x2) * 1_000_000 // (n1 + n2)
+    import math
+
+    pp = (x1 + x2) / (n1 + n2)
+    z = (x1 / n1 - x2 / n2) / math.sqrt(pp * (1 - pp) * (1 / n1 + 1 / n2))
+    assert abs(r.z_score - round(z, 9)) < 2e-9

@@ -10944,3 +10944,324 @@ def analytics_kendall_w_concordance(
             "* n_subjects - n_subjects) - 3 * tie_sum) AS BIGINT)"
         ).alias("w_ppm"),
     )
+
+
+@register(
+    "graph_ego_density_topk",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    e AS (
+        SELECT DISTINCT a.p AS p1, b.p AS p2
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    ),
+    adj AS (
+        SELECT p1 AS u, p2 AS v FROM e
+        UNION ALL SELECT p2 AS u, p1 AS v FROM e
+    ),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u),
+    hubs AS (
+        SELECT u AS hub, d FROM deg ORDER BY d DESC, u LIMIT 20
+    ),
+    nu AS (
+        SELECT h.hub, a.v AS member
+        FROM hubs h JOIN adj a ON a.u = h.hub
+    ),
+    among AS (
+        SELECT n1.hub, CAST(COUNT(*) AS BIGINT) AS n_among
+        FROM e
+        JOIN nu n1 ON n1.member = e.p1
+        JOIN nu n2 ON n2.hub = n1.hub AND n2.member = e.p2
+        GROUP BY n1.hub
+    )
+    SELECT h.hub AS part, h.d AS degree,
+           COALESCE(a.n_among, 0) AS edges_among_neighbors,
+           h.d + COALESCE(a.n_among, 0) AS ego_edges,
+           CAST((h.d + 1) * h.d // 2 AS BIGINT) AS ego_possible,
+           CAST((h.d + COALESCE(a.n_among, 0)) * 2000000
+                // ((h.d + 1) * h.d) AS BIGINT) AS density_ppm
+    FROM hubs h LEFT JOIN among a ON a.hub = h.hub
+    """,
+    doc="Ego-network density of the top-20 highest-degree parts in the "
+        "co-purchase graph: density of the subgraph induced by a hub and "
+        "its neighbors, (deg + edges-among-neighbors) / C(deg+1, 2) — "
+        "the local-cohesion readout that separates 'hub of one community' "
+        "from 'bridge between many' (low ego density = structural hole, "
+        "Burt 1992, public). The edges-among-neighbors count touches "
+        "only the 20 selected ego sets: the edge list joins the "
+        "hub-membership frame on EACH endpoint (fan-out bounded by 20 "
+        "hubs per node), so cost is |E| x small-constant — never a "
+        "neighborhood cross product, and the hub frame itself is one "
+        "top-k over the degree aggregate. Integer density in ppm via "
+        "one floor division (2e6 * ego_edges / ((d+1)d)). Reference "
+        "parity: extension surface (SURVEY.md §2.B graph rows).",
+)
+def graph_ego_density_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = op.select(F.col("o"), F.col("p").alias("p1"))
+    b = op.select(F.col("o"), F.col("p").alias("p2"))
+    e = (
+        a.join(b, "o")
+        .where(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+        .distinct()
+    )
+    adj = e.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionAll(
+        e.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    hubs = deg.orderBy(F.col("d").desc(), "u").limit(20).select(
+        F.col("u").alias("hub"), "d"
+    )
+    nu = hubs.join(adj, hubs.hub == adj.u).select("hub", F.col("v").alias("member"))
+    n1 = nu.select(F.col("hub"), F.col("member").alias("p1"))
+    n2 = nu.select(F.col("hub").alias("hub2"), F.col("member").alias("m2"))
+    among = (
+        e.join(F.broadcast(n1), "p1")
+        .join(
+            F.broadcast(n2),
+            (F.col("hub") == F.col("hub2")) & (F.col("p2") == F.col("m2")),
+        )
+        .groupBy("hub")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_among"))
+    )
+    return (
+        hubs.join(among, "hub", "left")
+        .select(
+            F.col("hub").alias("part"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("n_among"), F.lit(0)).alias(
+                "edges_among_neighbors"
+            ),
+            (F.col("d") + F.coalesce(F.col("n_among"), F.lit(0))).alias(
+                "ego_edges"
+            ),
+            F.expr("CAST((d + 1) * d DIV 2 AS BIGINT)").alias("ego_possible"),
+            F.expr(
+                "CAST((d + COALESCE(n_among, 0)) * 2000000 "
+                "DIV ((d + 1) * d) AS BIGINT)"
+            ).alias("density_ppm"),
+        )
+    )
+
+
+@register(
+    "ml_auc_delong_variance",
+    oracle="""
+    WITH scored AS (
+        SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS s,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS y
+        FROM customer
+    ),
+    g AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS n_g,
+               CAST(SUM(y) AS BIGINT) AS pos_g
+        FROM scored GROUP BY s
+    ),
+    cum AS (
+        SELECT s, n_g, pos_g, n_g - pos_g AS neg_g,
+               COALESCE(SUM(n_g - pos_g) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS neg_below,
+               COALESCE(SUM(pos_g) OVER (ORDER BY s DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS pos_above
+        FROM g
+    ),
+    agg AS (
+        SELECT CAST(SUM(pos_g) AS BIGINT) AS p,
+               CAST(SUM(neg_g) AS BIGINT) AS n,
+               -- per-positive placement V10_i scaled by 2N:
+               --   v2 = 2*neg_below + neg_eq  (constant within a group)
+               CAST(SUM(pos_g * (2 * neg_below + neg_g)) AS BIGINT) AS s10,
+               CAST(SUM(CAST(pos_g AS HUGEINT)
+                        * (2 * neg_below + neg_g)
+                        * (2 * neg_below + neg_g)) AS HUGEINT) AS ss10,
+               -- per-negative placement V01_j scaled by 2P:
+               --   v2 = 2*pos_above + pos_eq
+               CAST(SUM(neg_g * (2 * pos_above + pos_g)) AS BIGINT) AS s01,
+               CAST(SUM(CAST(neg_g AS HUGEINT)
+                        * (2 * pos_above + pos_g)
+                        * (2 * pos_above + pos_g)) AS HUGEINT) AS ss01
+        FROM cum
+    )
+    SELECT p AS n_pos, n AS n_neg,
+           CAST(CAST(s10 AS HUGEINT) * 1000000 // (2 * CAST(n AS HUGEINT) * p)
+                AS BIGINT) AS auc_ppm,
+           CAST((p * ss10 - CAST(s10 AS HUGEINT) * s10) * 1000000000000
+                // (CAST(p AS HUGEINT) * (p - 1) * 4 * n * n * p)
+                + (n * ss01 - CAST(s01 AS HUGEINT) * s01) * 1000000000000
+                  // (CAST(n AS HUGEINT) * (n - 1) * 4 * p * p * n)
+                AS BIGINT) AS delong_var_e12
+    FROM agg
+    """,
+    doc="DeLong variance of the ROC-AUC estimate (DeLong, DeLong & "
+        "Clarke-Pearson 1988, public): Var(AUC) = S10^2/m + S01^2/n "
+        "from the per-positive and per-negative placement values — the "
+        "number that turns ml_auc_rank_sum's point estimate into a "
+        "confidence interval (and the input to the DeLong two-model "
+        "test). Placements collapse onto the distinct-score tie-group "
+        "table: every positive in a score group shares V10 = "
+        "(2*neg_below + neg_eq)/(2N), so the sums and sums-of-squares "
+        "are group-weighted exact integers (HUGEINT/DECIMAL; two "
+        "opposite-direction cumulative windows over the bounded "
+        "distinct-score frame give neg_below and pos_above). The "
+        "sample variances evaluate by cross-multiplication with ONE "
+        "1e12-scaled floor division per component. Plan: one customer "
+        "scan, one distinct-score aggregate, two windows over that "
+        "bounded frame, a 1-row result — same shape as "
+        "ml_auc_rank_sum, which this extends. Reference parity: "
+        "extension surface (SURVEY.md §2.C ML rows).",
+)
+def ml_auc_delong_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    scored = c.select(
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("s"),
+        (F.col("c_mktsegment") == "BUILDING").cast("long").alias("y"),
+    )
+    g = scored.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("y").cast("long").alias("pos_g"),
+    )
+    w_up = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    w_dn = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = g.select(
+        "n_g",
+        "pos_g",
+        (F.col("n_g") - F.col("pos_g")).alias("neg_g"),
+        F.coalesce(
+            F.sum(F.col("n_g") - F.col("pos_g")).over(w_up), F.lit(0)
+        ).alias("neg_below"),
+        F.coalesce(F.sum("pos_g").over(w_dn), F.lit(0)).alias("pos_above"),
+    )
+    v10 = 2 * F.col("neg_below") + F.col("neg_g")
+    v01 = 2 * F.col("pos_above") + F.col("pos_g")
+    agg = cum.agg(
+        F.sum("pos_g").cast("long").alias("p"),
+        F.sum("neg_g").cast("long").alias("n"),
+        F.sum(F.col("pos_g") * v10).cast("long").alias("s10"),
+        F.sum(F.col("pos_g").cast("decimal(38,0)") * v10 * v10).alias(
+            "ss10"
+        ),
+        F.sum(F.col("neg_g") * v01).cast("long").alias("s01"),
+        F.sum(F.col("neg_g").cast("decimal(38,0)") * v01 * v01).alias(
+            "ss01"
+        ),
+    )
+    return agg.select(
+        F.col("p").alias("n_pos"),
+        F.col("n").alias("n_neg"),
+        F.expr(
+            "CAST(CAST(s10 AS DECIMAL(38,0)) * 1000000 "
+            "DIV (2 * CAST(n AS DECIMAL(38,0)) * p) AS BIGINT)"
+        ).alias("auc_ppm"),
+        F.expr(
+            "CAST((p * ss10 - CAST(s10 AS DECIMAL(38,0)) * s10) "
+            "* 1000000000000 "
+            "DIV (CAST(p AS DECIMAL(38,0)) * (p - 1) * 4 * n * n * p) "
+            "+ (n * ss01 - CAST(s01 AS DECIMAL(38,0)) * s01) "
+            "* 1000000000000 "
+            "DIV (CAST(n AS DECIMAL(38,0)) * (n - 1) * 4 * p * p * n) "
+            "AS BIGINT)"
+        ).alias("delong_var_e12"),
+    )
+
+
+@register(
+    "analytics_two_proportion_ab",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, CAST(user_id % 2 AS BIGINT) AS treated,
+               CAST(MAX(CASE WHEN event_type = 'purchase'
+                              AND CAST(round(value * 100) AS BIGINT) >= 12000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS converted
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT CAST(count_if(treated = 1) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN treated = 1 THEN converted END)
+                    AS BIGINT) AS x1,
+               CAST(count_if(treated = 0) AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN treated = 0 THEN converted END)
+                    AS BIGINT) AS x2
+        FROM per_user
+    )
+    SELECT n1, x1, n2, x2,
+           CAST(x1 * 1000000 // n1 AS BIGINT) AS p1_ppm,
+           CAST(x2 * 1000000 // n2 AS BIGINT) AS p2_ppm,
+           CAST((x1 + x2) * 1000000 // (n1 + n2) AS BIGINT) AS p_pool_ppm,
+           round((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+                 / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                        * (1 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                        * (1.0 / n1 + 1.0 / n2)), 9) AS z_score
+    FROM arms
+    """,
+    doc="Two-proportion z-test on user conversion (any purchase of at "
+        "least $120) "
+        "under the deterministic parity treatment assignment — the "
+        "binary-outcome counterpart of analytics_ab_welch_ttest (means) "
+        "and the single-test primitive under analytics_holm_bonferroni: "
+        "z = (p1-p2)/sqrt(p_pool(1-p_pool)(1/n1+1/n2)) with the pooled "
+        "variance of the null. Conversion flags, arm sizes, and all "
+        "three rates are exact integers/ppm; the one z division+sqrt "
+        "happens ONCE on identical doubles (IEEE-pinned, the Welch "
+        "device). Plan: one events scan to a per-user flag, a 1-row "
+        "arm aggregate — map-side combinable everywhere. Reference "
+        "parity: extension surface (SURVEY.md §2.B analytics rows).",
+)
+def analytics_two_proportion_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        (F.col("user_id") % 2).cast("long").alias("treated"),
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.round(F.col("value") * 100).cast("long") >= 12000)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("converted"),
+    )
+    arms = per_user.agg(
+        F.count_if(F.col("treated") == 1).cast("long").alias("n1"),
+        F.sum(F.when(F.col("treated") == 1, F.col("converted")))
+        .cast("long")
+        .alias("x1"),
+        F.count_if(F.col("treated") == 0).cast("long").alias("n2"),
+        F.sum(F.when(F.col("treated") == 0, F.col("converted")))
+        .cast("long")
+        .alias("x2"),
+    )
+    return arms.select(
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        F.expr("CAST(x1 * 1000000 DIV n1 AS BIGINT)").alias("p1_ppm"),
+        F.expr("CAST(x2 * 1000000 DIV n2 AS BIGINT)").alias("p2_ppm"),
+        F.expr("CAST((x1 + x2) * 1000000 DIV (n1 + n2) AS BIGINT)").alias(
+            "p_pool_ppm"
+        ),
+        F.round(
+            (
+                F.col("x1").cast("double") / F.col("n1")
+                - F.col("x2").cast("double") / F.col("n2")
+            )
+            / F.sqrt(
+                ((F.col("x1") + F.col("x2")).cast("double") / (F.col("n1") + F.col("n2")))
+                * (
+                    1
+                    - (F.col("x1") + F.col("x2")).cast("double")
+                    / (F.col("n1") + F.col("n2"))
+                )
+                * (1.0 / F.col("n1") + 1.0 / F.col("n2"))
+            ),
+            9,
+        ).alias("z_score"),
+    )

@@ -152,6 +152,11 @@ NEXT_WINDOW: list[str] = [
     "dedup_minhash_estimate_error",
     "cdc_op_mix_drift_by_day",
     "analytics_kendall_w_concordance",
+    "graph_ego_density_topk",
+    "ml_auc_delong_variance",
+    "sql_front_pivot",
+    "ml_multinomial_nb_lang",
+    "analytics_two_proportion_ab",
 ]
 
 #: Overflow staging for additions beyond a single round-10 window.

@@ -241,3 +241,55 @@ ORDER BY o_orderpriority, rn
 )
 def sql_front_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql(spark, sf_dir, _QUALIFY_SPARK_SQL)
+
+
+_PIVOT_SPARK_SQL = """
+SELECT o_orderpriority, f_n, o_n, p_n, f_cents, o_cents, p_cents FROM (
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+) PIVOT (
+    COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+    FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p)
+)
+ORDER BY o_orderpriority
+"""
+
+_PIVOT_DUCK_SQL = """
+SELECT o_orderpriority,
+       CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS f_n,
+       CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS o_n,
+       CAST(count_if(o_orderstatus = 'P') AS BIGINT) AS p_n,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+            AS BIGINT) AS f_cents,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+            AS BIGINT) AS o_cents,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+            AS BIGINT) AS p_cents
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "sql_front_pivot",
+    oracle=_PIVOT_DUCK_SQL,
+    doc="PIVOT-clause dialect mapping through the SQL front door: the "
+        "Spark side runs Spark SQL's native PIVOT (two aggregates x "
+        "three pivot values -> six generated columns, one Expand-free "
+        "hash aggregate under the hood — Catalyst compiles PIVOT to "
+        "the same conditional-aggregation plan the DataFrame "
+        ".pivot() API gets); the oracle states the identical "
+        "semantics as portable ANSI conditional aggregation. Column "
+        "names are pinned on both sides (f_n..p_cents) so the "
+        "driver's sorted-column hash lines up. Scale: a 5-row x "
+        "3-status aggregate — map-side combinable, one shuffle of "
+        "15 cells. Reference parity: extension surface (SURVEY.md "
+        "§2.B SQL front door rows).",
+)
+def sql_front_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql(spark, sf_dir, _PIVOT_SPARK_SQL)

@@ -2300,3 +2300,177 @@ def text_simpson_lexical_diversity(
             "AS BIGINT)"
         ).alias("diversity_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multinomial naive Bayes language classifier — round-9 late addition
+
+
+@register(
+    "ml_multinomial_nb_lang",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+        GROUP BY doc_id, term
+    ),
+    docs AS (SELECT doc_id, lang FROM documents),
+    langs AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS d_l,
+               CAST(row_number() OVER (ORDER BY lang) AS BIGINT) AS langid
+        FROM docs GROUP BY lang
+    ),
+    clt AS (
+        SELECT d.lang, t.term, CAST(SUM(t.cnt) AS BIGINT) AS c
+        FROM tf t JOIN docs d USING (doc_id)
+        GROUP BY d.lang, t.term
+    ),
+    nl AS (
+        SELECT lang, CAST(SUM(c) AS BIGINT) AS n_l FROM clt GROUP BY lang
+    ),
+    vocab AS (SELECT DISTINCT term FROM tf),
+    vsize AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+    dtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS d_all FROM docs),
+    grid AS (
+        SELECT l.lang, l.langid, vb.term,
+               CAST(round((log2(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE))
+                           - log2(CAST(n.n_l + vs.v AS DOUBLE))) * 1000000)
+                    AS BIGINT) AS logp_micro
+        FROM langs l
+        CROSS JOIN vocab vb
+        CROSS JOIN vsize vs
+        JOIN nl n ON n.lang = l.lang
+        LEFT JOIN clt c ON c.lang = l.lang AND c.term = vb.term
+    ),
+    prior AS (
+        SELECT l.lang, l.langid,
+               CAST(round((log2(CAST(l.d_l AS DOUBLE))
+                           - log2(CAST(dt.d_all AS DOUBLE))) * 1000000)
+                    AS BIGINT) AS prior_micro
+        FROM langs l CROSS JOIN dtot dt
+    ),
+    score AS (
+        SELECT t.doc_id, g.lang, g.langid,
+               p.prior_micro + CAST(SUM(t.cnt * g.logp_micro) AS BIGINT)
+                   AS s
+        FROM tf t
+        JOIN grid g ON g.term = t.term
+        JOIN prior p ON p.lang = g.lang
+        GROUP BY t.doc_id, g.lang, g.langid, p.prior_micro
+    ),
+    pred AS (
+        SELECT doc_id, arg_max(lang, s * 64 - langid) AS pred_lang
+        FROM score GROUP BY doc_id
+    )
+    SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(count_if(p.pred_lang = d.lang) AS BIGINT) AS n_correct,
+           CAST(count_if(p.pred_lang = d.lang) * 1000000 // COUNT(*)
+                AS BIGINT) AS acc_ppm
+    FROM docs d JOIN pred p USING (doc_id)
+    GROUP BY d.lang
+    """,
+    doc="Multinomial naive Bayes language classifier, trained and "
+        "resubstitution-evaluated entirely in-plan: per-(lang, term) "
+        "Laplace-smoothed log-likelihoods log2((c+1)/(N_l+V)) and "
+        "log-priors log2(d_l/D), each quantized to exact micro-bit "
+        "BIGINTs at the TERM level (the text_token_entropy device, so "
+        "the per-doc score sums are order-independent and engine-"
+        "identical), then argmax by the composite integer key "
+        "s*64 - langid (deterministic smallest-langid tie-break, the "
+        "ml_fleiss_kappa_panel device). The train->score->evaluate "
+        "loop that usually needs an ML library is three hash "
+        "aggregates and two bounded joins: the vocab x lang grid is "
+        "|V| x |langs| (langs bounded; linear in vocabulary), scoring "
+        "fans each doc-term row out by |langs| only. This is the "
+        "canonical corpus-quality baseline (a CLD-style n-gram NB) "
+        "next to the heuristic text_langid. Reference parity: "
+        "extension surface (SURVEY.md §2.B text/ML rows).",
+)
+def ml_multinomial_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    docs = d.select("doc_id", "lang")
+    wl = Window.orderBy("lang")
+    langs = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("d_l"))
+        .select("lang", "d_l", F.row_number().over(wl).cast("long").alias("langid"))
+    )
+    clt = (
+        tf.join(docs, "doc_id")
+        .groupBy("lang", "term")
+        .agg(F.sum("cnt").cast("long").alias("c"))
+    )
+    nl = clt.groupBy("lang").agg(F.sum("c").cast("long").alias("n_l"))
+    vocab = tf.select("term").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    dtot = docs.agg(F.count(F.lit(1)).cast("long").alias("d_all"))
+    grid = (
+        vocab.crossJoin(F.broadcast(langs))
+        .crossJoin(F.broadcast(vsize))
+        .join(maybe_broadcast(nl), "lang")
+        .join(clt, ["lang", "term"], "left")
+        .select(
+            "lang",
+            "langid",
+            "term",
+            F.round(
+                (
+                    F.log2(F.coalesce(F.col("c"), F.lit(0)).cast("double") + 1)
+                    - F.log2((F.col("n_l") + F.col("v")).cast("double"))
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("logp_micro"),
+        )
+    )
+    prior = langs.crossJoin(F.broadcast(dtot)).select(
+        "lang",
+        F.round(
+            (
+                F.log2(F.col("d_l").cast("double"))
+                - F.log2(F.col("d_all").cast("double"))
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("prior_micro"),
+    )
+    score = (
+        tf.join(maybe_broadcast(grid), "term")
+        .join(maybe_broadcast(prior), "lang")
+        .groupBy("doc_id", "lang", "langid", "prior_micro")
+        .agg(
+            (
+                F.first("prior_micro")
+                + F.sum(F.col("cnt") * F.col("logp_micro"))
+            )
+            .cast("long")
+            .alias("s")
+        )
+        .select("doc_id", "lang", "langid", "s")
+    )
+    pred = score.groupBy("doc_id").agg(
+        F.max_by("lang", F.col("s") * 64 - F.col("langid")).alias(
+            "pred_lang"
+        )
+    )
+    return (
+        docs.join(pred, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_if(F.col("pred_lang") == F.col("lang"))
+            .cast("long")
+            .alias("n_correct"),
+            F.expr(
+                "CAST(count_if(pred_lang = lang) * 1000000 "
+                "DIV COUNT(*) AS BIGINT)"
+            ).alias("acc_ppm"),
+        )
+    )
