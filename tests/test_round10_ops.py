@@ -662,3 +662,110 @@ def test_two_proportion_ab_python_oracle(spark):
     pp = (x1 + x2) / (n1 + n2)
     z = (x1 / n1 - x2 / n2) / math.sqrt(pp * (1 - pp) * (1 / n1 + 1 / n2))
     assert abs(r.z_score - round(z, 9)) < 2e-9
+
+
+# --------------------------------------------------------- turning points
+def test_turning_points_python_oracle(spark):
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o["d"] = pd.to_datetime(o.o_orderdate).dt.date
+    o["cents"] = (o.o_totalprice * 100).round().astype(int)
+    x = o.groupby("d").cents.sum().sort_index().to_numpy()
+    n = len(x)
+    t = sum(
+        1
+        for i in range(1, n - 1)
+        if (x[i] > x[i - 1] and x[i] > x[i + 1])
+        or (x[i] < x[i - 1] and x[i] < x[i + 1])
+    )
+    r = all_specs()["ts_turning_points_test"].spark(spark, SF).collect()[0]
+    assert r.n_days == n
+    assert r.n_turning == t
+    assert r.expected_x3 == 2 * (n - 2)
+    assert r.variance_x90 == 16 * n - 29
+
+
+def test_turning_points_monotone_series_has_none():
+    x = list(range(100))
+    t = sum(
+        1 for i in range(1, 99)
+        if (x[i] > x[i - 1] and x[i] > x[i + 1])
+        or (x[i] < x[i - 1] and x[i] < x[i + 1])
+    )
+    assert t == 0
+
+
+# --------------------------------------------------------- somers d gamma
+def test_somers_d_gamma_python_oracle(spark):
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o["mo"] = pd.to_datetime(o.o_orderdate).dt.to_period("M")
+    g = o.groupby("mo").agg(
+        x=("o_orderkey", "size"),
+        y=("o_totalprice", lambda s: int((s * 100).round().astype(int).sum())),
+    )
+    import itertools
+
+    c = d = tx = ty = n0 = 0
+    for (x1, y1), (x2, y2) in itertools.combinations(
+        zip(g.x, g.y), 2
+    ):
+        n0 += 1
+        s = (x2 - x1) * (y2 - y1)
+        if s > 0:
+            c += 1
+        elif s < 0:
+            d += 1
+        if x1 == x2:
+            tx += 1
+        if y1 == y2:
+            ty += 1
+    r = all_specs()["ml_somers_d_gamma"].spark(spark, SF).collect()[0]
+    assert (r.n0, r.concordant, r.discordant) == (n0, c, d)
+    assert (r.ties_x, r.ties_y) == (tx, ty)
+    assert r.gamma_ppm == _tdiv((c - d) * 1_000_000, c + d)
+    assert r.somers_d_yx_ppm == _tdiv((c - d) * 1_000_000, n0 - tx)
+    assert r.somers_d_xy_ppm == _tdiv((c - d) * 1_000_000, n0 - ty)
+
+
+# ------------------------------------------------------ markov entropy rate
+def test_markov_entropy_rate_python_oracle(spark):
+    import math
+
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    trans = Counter()
+    for _, grp in ev.groupby("user_id"):
+        types = list(grp.event_type)
+        for a, b in zip(types[:-1], types[1:]):
+            trans[(a, b)] += 1
+    rowtot = Counter()
+    for (a, _), cnt in trans.items():
+        rowtot[a] += cnt
+    hcond = Counter()
+    for (a, _), cnt in trans.items():
+        p = cnt / rowtot[a]
+        hcond[a] += round(-p * math.log2(p) * 1_000_000)
+    states = sorted(set(ev.event_type))
+    v = {s: 200_000_000_000 for s in states}
+    for _ in range(3):
+        nv = Counter()
+        for (a, b), cnt in trans.items():
+            nv[b] += round(v[a] * (cnt / rowtot[a]))
+        v = nv
+    contrib = {s: v[s] * hcond[s] // 1_000_000 for s in rowtot}
+    total = sum(contrib.values())
+    got = {
+        r.event_type: r
+        for r in all_specs()["analytics_markov_entropy_rate"]
+        .spark(spark, SF).collect()
+    }
+    assert set(got) == set(rowtot)
+    for s in rowtot:
+        r = got[s]
+        assert r.n_transitions == rowtot[s]
+        assert r.h_cond_micro == hcond[s]
+        assert r.pi_pico == v[s]
+        assert r.contrib_pico == contrib[s]
+        assert r.entropy_rate_pico == total
+    # bits-per-step must be within [0, log2(#states)]
+    assert 0 <= total <= round(math.log2(len(states)) * 1e12)

@@ -11265,3 +11265,254 @@ def analytics_two_proportion_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("z_score"),
     )
+
+
+@register(
+    "ml_somers_d_gamma",
+    oracle="""
+    WITH m AS (
+        SELECT date_trunc('month', o_orderdate) AS mo,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS DECIMAL(18,0)))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    p AS (
+        SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+        FROM m a JOIN m b ON a.mo < b.mo
+    ),
+    cnt AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+               CAST(count_if((x2 - x1) * (y2 - y1) > 0) AS BIGINT) AS c,
+               CAST(count_if((x2 - x1) * (y2 - y1) < 0) AS BIGINT) AS d,
+               CAST(count_if(x1 = x2) AS BIGINT) AS tx,
+               CAST(count_if(y1 = y2) AS BIGINT) AS ty
+        FROM p
+    )
+    SELECT n0, c AS concordant, d AS discordant, tx AS ties_x, ty AS ties_y,
+           CAST((c - d) * 1000000 // (c + d) AS BIGINT) AS gamma_ppm,
+           CAST((c - d) * 1000000 // (n0 - tx) AS BIGINT) AS somers_d_yx_ppm,
+           CAST((c - d) * 1000000 // (n0 - ty) AS BIGINT) AS somers_d_xy_ppm
+    FROM cnt
+    """,
+    doc="Goodman-Kruskal gamma and both Somers' D asymmetries on the "
+        "monthly volume/revenue grid — the ordinal-association family "
+        "around ml_kendall_tau_b's symmetric tau-b: gamma ignores ties "
+        "entirely ((C-D)/(C+D)), D_yx conditions on x (the regression-"
+        "flavored 'how well does volume order predict revenue order', "
+        "the statistic under the c-index), D_xy the converse. All three "
+        "are one exact ppm floor division over the SAME "
+        "concordant/discordant/tie counts, which come from integer sign "
+        "arithmetic on the bounded month grid (#months^2/2 broadcast "
+        "pairs — value-domain, never corpus-scaled; the "
+        "ml_kendall_tau_b containment argument verbatim). Reference "
+        "parity: extension surface (SURVEY.md §2.C ML rows).",
+)
+def ml_somers_d_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("mo"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("decimal(18,0)")
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    b = m.select(
+        F.col("mo").alias("mo2"),
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+    )
+    p = m.join(F.broadcast(b), m.mo < b.mo2)
+    sgn = (F.col("x2") - F.col("x")) * (F.col("y2") - F.col("y"))
+    cnt = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.count_if(sgn > 0).cast("long").alias("c"),
+        F.count_if(sgn < 0).cast("long").alias("d"),
+        F.count_if(F.col("x") == F.col("x2")).cast("long").alias("tx"),
+        F.count_if(F.col("y") == F.col("y2")).cast("long").alias("ty"),
+    )
+    return cnt.select(
+        "n0",
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.col("tx").alias("ties_x"),
+        F.col("ty").alias("ties_y"),
+        F.expr("CAST((c - d) * 1000000 DIV (c + d) AS BIGINT)").alias(
+            "gamma_ppm"
+        ),
+        F.expr("CAST((c - d) * 1000000 DIV (n0 - tx) AS BIGINT)").alias(
+            "somers_d_yx_ppm"
+        ),
+        F.expr("CAST((c - d) * 1000000 DIV (n0 - ty) AS BIGINT)").alias(
+            "somers_d_xy_ppm"
+        ),
+    )
+
+
+@register(
+    "analytics_markov_entropy_rate",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+        FROM events
+    ),
+    trans AS (
+        SELECT prev, event_type AS next, CAST(COUNT(*) AS BIGINT) AS c
+        FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type
+    ),
+    rows_t AS (
+        SELECT prev, CAST(SUM(c) AS BIGINT) AS rowtot FROM trans
+        GROUP BY prev
+    ),
+    hcell AS (
+        SELECT t.prev,
+               CAST(SUM(CAST(round(-(CAST(t.c AS DOUBLE) / r.rowtot)
+                                   * log2(CAST(t.c AS DOUBLE) / r.rowtot)
+                                   * 1000000) AS BIGINT)) AS BIGINT)
+                   AS h_cond_micro,
+               MAX(r.rowtot) AS rowtot
+        FROM trans t JOIN rows_t r ON r.prev = t.prev
+        GROUP BY t.prev
+    ),
+    t2 AS (
+        SELECT prev, next,
+               CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY prev) AS p
+        FROM trans
+    ),
+    v0 AS (
+        SELECT DISTINCT event_type AS s,
+               CAST(200000000000 AS BIGINT) AS v
+        FROM events
+    ),
+    v1 AS (
+        SELECT t.next AS s,
+               CAST(SUM(CAST(round(v0.v * t.p) AS BIGINT)) AS BIGINT) AS v
+        FROM v0 JOIN t2 t ON t.prev = v0.s GROUP BY t.next
+    ),
+    v2 AS (
+        SELECT t.next AS s,
+               CAST(SUM(CAST(round(v1.v * t.p) AS BIGINT)) AS BIGINT) AS v
+        FROM v1 JOIN t2 t ON t.prev = v1.s GROUP BY t.next
+    ),
+    v3 AS (
+        SELECT t.next AS s,
+               CAST(SUM(CAST(round(v2.v * t.p) AS BIGINT)) AS BIGINT) AS v
+        FROM v2 JOIN t2 t ON t.prev = v2.s GROUP BY t.next
+    ),
+    contrib AS (
+        SELECT h.prev AS event_type, h.rowtot AS n_transitions,
+               h.h_cond_micro, v3.v AS pi_pico,
+               CAST(CAST(v3.v AS HUGEINT) * h.h_cond_micro // 1000000
+                    AS BIGINT) AS contrib_pico
+        FROM hcell h JOIN v3 ON v3.s = h.prev
+    ),
+    tot AS (
+        SELECT CAST(SUM(contrib_pico) AS BIGINT) AS entropy_rate_pico
+        FROM contrib
+    )
+    SELECT c.event_type, c.n_transitions, c.h_cond_micro, c.pi_pico,
+           c.contrib_pico, t.entropy_rate_pico
+    FROM contrib c CROSS JOIN tot t
+    """,
+    doc="Entropy rate of the per-user event-type Markov chain: H = "
+        "-sum_i pi_i sum_j P_ij log2 P_ij — the predictability ceiling "
+        "of user behavior in bits per step (low rate = deterministic "
+        "journeys, high rate = exploratory traffic; the sequence-level "
+        "complement of analytics_user_activity_entropy's marginal "
+        "entropy). Composes the repo's two Markov devices: pi comes "
+        "from the SAME three pico-quantized power rounds as "
+        "analytics_markov_stationary, and each row's conditional "
+        "entropy quantizes -p*log2(p) per CELL to micro-bits before "
+        "summing (the text_token_entropy discipline), so every "
+        "aggregate is order-free and engine-identical; the final rate "
+        "is one pico-scaled product-sum. Plan: one user-partitioned "
+        "lag window (corpus-scale work), then everything lives on the "
+        "bounded state-space grid (|types|^2 cells). Reference "
+        "parity: extension surface (SURVEY.md §2.B analytics rows).",
+)
+def analytics_markov_entropy_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy(
+        F.to_timestamp("ts"), "event_id"
+    )
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(wseq).alias("prev")
+    )
+    trans = (
+        seq.where(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)  # feeds hcell + three power rounds
+    )
+    rows_t = trans.groupBy("prev").agg(
+        F.sum("c").cast("long").alias("rowtot")
+    )
+    p_cell = F.col("c").cast("double") / F.col("rowtot")
+    hcell = (
+        trans.join(F.broadcast(rows_t), "prev")
+        .groupBy("prev")
+        .agg(
+            F.sum(
+                F.round(-p_cell * F.log2(p_cell) * 1_000_000).cast("long")
+            )
+            .cast("long")
+            .alias("h_cond_micro"),
+            F.max("rowtot").alias("rowtot"),
+        )
+    )
+    wrow = Window.partitionBy("prev")
+    t2 = trans.select(
+        "prev",
+        "next",
+        (F.col("c").cast("double") / F.sum("c").over(wrow)).alias("p"),
+    )
+    v = ev.select(F.col("event_type").alias("s")).distinct().select(
+        "s", F.lit(200_000_000_000).cast("long").alias("v")
+    )
+    for _ in range(3):
+        v = (
+            t2.join(F.broadcast(v), t2.prev == F.col("s"))
+            .groupBy(F.col("next").alias("s2"))
+            .agg(
+                F.sum(F.round(F.col("v") * F.col("p")).cast("long"))
+                .cast("long")
+                .alias("v")
+            )
+            .withColumnRenamed("s2", "s")
+        )
+    contrib = (
+        hcell.join(
+            F.broadcast(v), hcell.prev == F.col("s")
+        )
+        .select(
+            F.col("prev").alias("event_type"),
+            F.col("rowtot").alias("n_transitions"),
+            "h_cond_micro",
+            F.col("v").alias("pi_pico"),
+            F.expr(
+                "CAST(CAST(v AS DECIMAL(38,0)) * h_cond_micro DIV 1000000 "
+                "AS BIGINT)"
+            ).alias("contrib_pico"),
+        )
+    )
+    tot = contrib.agg(
+        F.sum("contrib_pico").cast("long").alias("entropy_rate_pico")
+    )
+    return contrib.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_transitions",
+        "h_cond_micro",
+        "pi_pico",
+        "contrib_pico",
+        "entropy_rate_pico",
+    )

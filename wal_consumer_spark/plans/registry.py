@@ -157,6 +157,9 @@ NEXT_WINDOW: list[str] = [
     "sql_front_pivot",
     "ml_multinomial_nb_lang",
     "analytics_two_proportion_ab",
+    "ts_turning_points_test",
+    "ml_somers_d_gamma",
+    "analytics_markov_entropy_rate",
 ]
 
 #: Overflow staging for additions beyond a single round-10 window.

@@ -4196,3 +4196,90 @@ def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "DIV (sum_d1sq_d * n5 * 5) AS BIGINT)"
         ).alias("vr_ppm"),
     )
+
+
+@register(
+    "ts_turning_points_test",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS d,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    seq AS (
+        SELECT cents,
+               lag(cents) OVER (ORDER BY d) AS prv,
+               lead(cents) OVER (ORDER BY d) AS nxt
+        FROM daily
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(count_if(prv IS NOT NULL AND nxt IS NOT NULL
+                             AND ((cents > prv AND cents > nxt)
+                                  OR (cents < prv AND cents < nxt)))
+                    AS BIGINT) AS n_turning
+        FROM seq
+    )
+    SELECT n_days, n_turning,
+           CAST(2 * (n_days - 2) AS BIGINT) AS expected_x3,
+           CAST(16 * n_days - 29 AS BIGINT) AS variance_x90,
+           round((CAST(n_turning AS DOUBLE) - 2.0 * (n_days - 2) / 3)
+                 / sqrt((16.0 * n_days - 29) / 90), 9) AS z_score
+    FROM s
+    """,
+    doc="Turning-points test for randomness of the daily revenue series "
+        "(Kendall's classic): count interior strict local maxima/minima; "
+        "under IID the count is ~N(2(n-2)/3, (16n-29)/90), so too few "
+        "turning points means trend/autocorrelation and too many means "
+        "alternating noise — the third member of the randomness-check "
+        "triple next to ts_runs_test_wald_wolfowitz (signs) and "
+        "ts_ljung_box_whiteness (autocorrelations), each sensitive to a "
+        "different alternative. The count and the null moments travel "
+        "as exact integers (expected TRIPLED, variance x90); the one z "
+        "division+sqrt is IEEE-pinned. Plan: one orders scan to the "
+        "day-grain aggregate, lag+lead in ONE ordered window over that "
+        "bounded frame, a 1-row result. Reference parity: extension "
+        "surface (SURVEY.md §2.B time-series rows).",
+)
+def ts_turning_points_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.to_date(F.to_timestamp("o_orderdate")).alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("d")
+    seq = daily.select(
+        "cents",
+        F.lag("cents").over(w).alias("prv"),
+        F.lead("cents").over(w).alias("nxt"),
+    )
+    turning = (
+        F.col("prv").isNotNull()
+        & F.col("nxt").isNotNull()
+        & (
+            ((F.col("cents") > F.col("prv")) & (F.col("cents") > F.col("nxt")))
+            | ((F.col("cents") < F.col("prv")) & (F.col("cents") < F.col("nxt")))
+        )
+    )
+    s = seq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.count_if(turning).cast("long").alias("n_turning"),
+    )
+    return s.select(
+        "n_days",
+        "n_turning",
+        F.expr("CAST(2 * (n_days - 2) AS BIGINT)").alias("expected_x3"),
+        F.expr("CAST(16 * n_days - 29 AS BIGINT)").alias("variance_x90"),
+        F.round(
+            (
+                F.col("n_turning").cast("double")
+                - 2.0 * (F.col("n_days") - 2) / 3
+            )
+            / F.sqrt((16.0 * F.col("n_days") - 29) / 90),
+            9,
+        ).alias("z_score"),
+    )
