@@ -140,6 +140,26 @@ PINNED: dict[str, dict[str, int]] = {
         "Project": 18, "Aggregate": 8, "Join": 16, "LogicalRDD": 17,
         "Filter": 8,
     },
+    # ego density (fresh-JVM 2.36s): the checkpointed edge self-join
+    # (LogicalRDD leaves) feeds adjacency unions, the degree aggregate,
+    # the top-20 TakeOrdered (3 limit/sort stacks incl. the hub frame's
+    # two broadcast consumers), and the per-endpoint membership joins —
+    # an un-checkpointed edge build re-derives the order self-join per
+    # consumer and changes Join/LogicalRDD counts here.
+    "graph_ego_density_topk": {
+        "Project": 18, "Join": 5, "GlobalLimit": 3, "LocalLimit": 3,
+        "Sort": 3, "Aggregate": 4, "Union": 5, "LogicalRDD": 11,
+    },
+    # minhash estimator calibration (fresh-JVM 4.03s): persisted
+    # signatures (InMemoryRelation x6 consumers), ONE checkpointed
+    # distinct-shingle build (LogicalRDD) under both the df-cap window
+    # and the sizes aggregate, banded candidates + agree + truth joins.
+    # A second shingle explode (the shingle_pairs_jaccard rebuild this
+    # plan deliberately avoids) adds Generate/Window nodes here.
+    "dedup_minhash_estimate_error": {
+        "Aggregate": 7, "Project": 17, "Join": 9, "Generate": 4,
+        "Filter": 12, "InMemoryRelation": 6, "Window": 2, "LogicalRDD": 4,
+    },
 }
 
 

@@ -769,3 +769,155 @@ def test_markov_entropy_rate_python_oracle(spark):
         assert r.entropy_rate_pico == total
     # bits-per-step must be within [0, log2(#states)]
     assert 0 <= total <= round(math.log2(len(states)) * 1e12)
+
+
+# ----------------------------------------------------------- WoE / IV
+def test_woe_iv_python_oracle(spark):
+    import math
+
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+    per = defaultdict(lambda: [0, 0])
+    for seg, bal in zip(c.c_mktsegment, c.c_acctbal):
+        per[seg][0 if bal >= 5000 else 1] += 1
+    tp = sum(v[0] for v in per.values())
+    tn = sum(v[1] for v in per.values())
+    woe = {
+        b: round((math.log2(p / tp) - math.log2(n / tn)) * 1_000_000)
+        for b, (p, n) in per.items()
+    }
+    gap = {
+        b: _tdiv(p * 1_000_000, tp) - _tdiv(n * 1_000_000, tn)
+        for b, (p, n) in per.items()
+    }
+    iv = sum(_tdiv(gap[b] * woe[b], 1_000_000) for b in per)
+    got = {
+        r.bucket: r
+        for r in all_specs()["ml_woe_information_value"].spark(spark, SF).collect()
+    }
+    assert set(got) == set(per)
+    for b, (p, n) in per.items():
+        r = got[b]
+        assert (r.pos, r.neg) == (p, n)
+        assert r.woe_microbits == woe[b]
+        assert r.dist_gap_ppm == gap[b]
+        assert r.iv_microbits == iv
+    # IV is a sum of products with matching signs: each term >= 0 up to
+    # quantization, so the total cannot be meaningfully negative
+    assert iv >= -len(per)
+
+
+# --------------------------------------------------------- mood median
+def test_mood_median_python_oracle(spark):
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    cents = (o.o_totalprice * 100).round().astype(int)
+    m = float(cents.median())
+    per = defaultdict(lambda: [0, 0])
+    for g, v in zip(o.o_orderpriority, cents):
+        per[g][0 if float(v) > m else 1] += 1
+    ta = sum(v[0] for v in per.values())
+    tb = sum(v[1] for v in per.values())
+    t = ta + tb
+    got = {
+        r.grp: r
+        for r in all_specs()["analytics_mood_median_test"].spark(spark, SF).collect()
+    }
+    assert set(got) == set(per)
+    for g, (a, b) in per.items():
+        r = got[g]
+        assert (r.above, r.at_or_below) == (a, b)
+        ng = a + b
+        expect = _tdiv((a * t - ng * ta) ** 2 * 1_000_000, ng * ta * t) \
+            + _tdiv((b * t - ng * tb) ** 2 * 1_000_000, ng * tb * t)
+        assert r.chi2_contrib_micro == expect
+
+
+# --------------------------------------------------------- script profile
+def test_script_profile_python_oracle(spark):
+    import re
+
+    d = pd.read_parquet(f"{SF}/documents.parquet")
+    per = defaultdict(lambda: [0, 0, 0, 0, 0, 0])
+    for lang, text in zip(d.lang, d.text):
+        p = per[lang]
+        p[0] += 1
+        p[1] += len(text)
+        p[2] += len(re.sub(r"[^a-zA-Z]", "", text))
+        p[3] += len(re.sub(r"[^0-9]", "", text))
+        p[4] += len(re.sub("[^一-鿿]", "", text))
+        p[5] += len(re.sub("[^À-ÿĀ-ſ]", "", text))
+    got = {
+        r.lang: r
+        for r in all_specs()["text_script_profile"].spark(spark, SF).collect()
+    }
+    assert set(got) == set(per)
+    for lang, (nd, nc, la, dg, cj, le) in per.items():
+        r = got[lang]
+        assert (r.n_docs, r.n_chars) == (nd, nc)
+        assert r.latin_ppm == la * 1_000_000 // nc
+        assert r.digit_ppm == dg * 1_000_000 // nc
+        assert r.cjk_ppm == cj * 1_000_000 // nc
+        assert r.latin_ext_ppm == le * 1_000_000 // nc
+    # shares are fractions of the same denominator, never above 1
+    for r in got.values():
+        assert max(r.latin_ppm, r.digit_ppm, r.cjk_ppm,
+                   r.latin_ext_ppm) <= 1_000_000
+    # on THIS synthetic corpus the 'zh' shard is ASCII text — the audit's
+    # whole point is that it reports cjk_ppm == 0 there (the
+    # mislabeled-shard signal), rather than trusting the lang column
+    if "zh" in got:
+        assert got["zh"].cjk_ppm == 0 and got["zh"].latin_ppm > 500_000
+
+
+def test_script_profile_classes_detect_real_cjk():
+    import re
+
+    s = "hello 世界 café 123"
+    assert len(re.sub("[^一-鿿]", "", s)) == 2      # 世界
+    assert len(re.sub("[^À-ÿĀ-ſ]", "", s)) == 1    # é
+    assert len(re.sub(r"[^0-9]", "", s)) == 3
+    assert len(re.sub(r"[^a-zA-Z]", "", s)) == 8   # hello + caf
+
+
+
+# -------------------------------------------------- values spine, distinct on
+def test_values_spine_python_oracle(spark):
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+    n = pd.read_parquet(f"{SF}/nation.parquet")
+    rg = pd.read_parquet(f"{SF}/region.parquet")
+    o = o[pd.to_datetime(o.o_orderdate) >= pd.Timestamp("1997-01-01")]
+    m = (
+        o.merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(n, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(rg, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    m["cents"] = (m.o_totalprice * 100).round().astype(int)
+    rev = m.groupby("r_name").cents.sum().to_dict()
+    targets = {"AFRICA": 500000000, "AMERICA": 900000000,
+               "ASIA": 700000000, "EUROPE": 800000000,
+               "MIDDLE EAST": 400000000}
+    got = {
+        r.region_name: r
+        for r in all_specs()["sql_front_values_spine"].spark(spark, SF).collect()
+    }
+    assert set(got) == set(targets)
+    for rn, tgt in targets.items():
+        r = got[rn]
+        assert r.target_cents == tgt
+        assert r.revenue_cents == int(rev.get(rn, 0))
+        assert r.target_met == (1 if r.revenue_cents >= tgt else 0)
+
+
+def test_distinct_on_python_oracle(spark):
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+    c["bal"] = (c.c_acctbal * 100).round().astype(int)
+    expect = {}
+    for nk, grp in c.groupby("c_nationkey"):
+        top = grp.sort_values(["bal", "c_custkey"],
+                              ascending=[False, True]).iloc[0]
+        expect[nk] = (int(top.c_custkey), int(top.bal))
+    got = {
+        r.c_nationkey: (r.c_custkey, r.bal_cents)
+        for r in all_specs()["sql_front_distinct_on"].spark(spark, SF).collect()
+    }
+    assert got == expect

@@ -11009,6 +11009,9 @@ def graph_ego_density_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("p1") < F.col("p2"))
         .select("p1", "p2")
         .distinct()
+        # three consumers (adj's two unions + the among join) — compute
+        # the order self-join once, not per consumer
+        .localCheckpoint(eager=True)
     )
     adj = e.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionAll(
         e.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
@@ -11515,4 +11518,194 @@ def analytics_markov_entropy_rate(
         "pi_pico",
         "contrib_pico",
         "entropy_rate_pico",
+    )
+
+
+@register(
+    "ml_woe_information_value",
+    oracle="""
+    WITH base AS (
+        SELECT c_mktsegment AS bucket,
+               CASE WHEN c_acctbal >= 5000 THEN 1 ELSE 0 END AS y
+        FROM customer
+    ),
+    per AS (
+        SELECT bucket, CAST(SUM(y) AS BIGINT) AS pos,
+               CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+        FROM base GROUP BY bucket
+    ),
+    tot AS (
+        SELECT CAST(SUM(pos) AS BIGINT) AS tp, CAST(SUM(neg) AS BIGINT) AS tn
+        FROM per
+    ),
+    woe AS (
+        SELECT p.bucket, p.pos, p.neg,
+               CAST(round((log2(CAST(p.pos AS DOUBLE) / t.tp)
+                           - log2(CAST(p.neg AS DOUBLE) / t.tn))
+                          * 1000000) AS BIGINT) AS woe_microbits,
+               CAST(p.pos * 1000000 // t.tp
+                    - p.neg * 1000000 // t.tn AS BIGINT) AS dist_gap_ppm
+        FROM per p CROSS JOIN tot t
+    ),
+    iv AS (
+        SELECT CAST(SUM(CAST(dist_gap_ppm AS HUGEINT) * woe_microbits
+                        // 1000000) AS BIGINT) AS iv_microbits
+        FROM woe
+    )
+    SELECT w.bucket, w.pos, w.neg, w.woe_microbits, w.dist_gap_ppm,
+           i.iv_microbits
+    FROM woe w CROSS JOIN iv i
+    """,
+    doc="Weight-of-Evidence and Information Value of the market-segment "
+        "feature against the high-balance target — the credit-scoring "
+        "standard for feature screening (Siddiqi 2006, public): WoE_b = "
+        "log(P(b|pos)/P(b|neg)), IV = sum over buckets of (P(b|pos) - "
+        "P(b|neg)) * WoE_b, with the usual reading (IV < 0.02 useless, "
+        "> 0.3 strong). Log2-based micro-bit quantization per bucket "
+        "(the token-entropy device) keeps both engines bit-identical; "
+        "the distribution gap rides exact ppm floor divisions, and IV "
+        "is one HUGEINT product-sum over the bounded bucket table. "
+        "Plan: one customer scan to a 5-row bucket aggregate crossed "
+        "with a 1-row total. Complements ml_target_encoding_loo (which "
+        "encodes; this SCREENS). Reference parity: extension surface "
+        "(SURVEY.md §2.C ML rows).",
+)
+def ml_woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    per = c.groupBy(F.col("c_mktsegment").alias("bucket")).agg(
+        F.count_if(F.col("c_acctbal") >= 5000).cast("long").alias("pos"),
+        F.count_if(F.col("c_acctbal") < 5000).cast("long").alias("neg"),
+    )
+    tot = per.agg(
+        F.sum("pos").cast("long").alias("tp"),
+        F.sum("neg").cast("long").alias("tn"),
+    )
+    woe = per.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "pos",
+        "neg",
+        F.round(
+            (
+                F.log2(F.col("pos").cast("double") / F.col("tp"))
+                - F.log2(F.col("neg").cast("double") / F.col("tn"))
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("woe_microbits"),
+        F.expr(
+            "CAST(pos * 1000000 DIV tp - neg * 1000000 DIV tn AS BIGINT)"
+        ).alias("dist_gap_ppm"),
+    )
+    iv = woe.agg(
+        F.sum(
+            F.expr(
+                "CAST(dist_gap_ppm AS DECIMAL(38,0)) * woe_microbits "
+                "DIV 1000000"
+            )
+        )
+        .cast("long")
+        .alias("iv_microbits")
+    )
+    return woe.crossJoin(F.broadcast(iv)).select(
+        "bucket", "pos", "neg", "woe_microbits", "dist_gap_ppm",
+        "iv_microbits",
+    )
+
+
+@register(
+    "analytics_mood_median_test",
+    oracle="""
+    WITH v AS (
+        SELECT o_orderpriority AS grp,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    med AS (
+        SELECT CAST(median(cents) AS DOUBLE) AS m FROM v
+    ),
+    cells AS (
+        SELECT v.grp,
+               CAST(count_if(CAST(v.cents AS DOUBLE) > med.m) AS BIGINT)
+                   AS above,
+               CAST(count_if(CAST(v.cents AS DOUBLE) <= med.m) AS BIGINT)
+                   AS at_or_below
+        FROM v CROSS JOIN med GROUP BY v.grp
+    ),
+    tot AS (
+        SELECT CAST(SUM(above) AS BIGINT) AS ta,
+               CAST(SUM(at_or_below) AS BIGINT) AS tb,
+               CAST(SUM(above) + SUM(at_or_below) AS BIGINT) AS t
+        FROM cells
+    )
+    SELECT c.grp, c.above, c.at_or_below,
+           CAST((CAST(c.above * t.t - (c.above + c.at_or_below) * t.ta
+                      AS HUGEINT))
+                * (c.above * t.t - (c.above + c.at_or_below) * t.ta)
+                * 1000000
+                // (CAST(c.above + c.at_or_below AS HUGEINT) * t.ta * t.t)
+                + (CAST(c.at_or_below * t.t
+                        - (c.above + c.at_or_below) * t.tb AS HUGEINT))
+                  * (c.at_or_below * t.t
+                     - (c.above + c.at_or_below) * t.tb)
+                  * 1000000
+                  // (CAST(c.above + c.at_or_below AS HUGEINT) * t.tb * t.t)
+                AS BIGINT) AS chi2_contrib_micro
+    FROM cells c CROSS JOIN tot t
+    """,
+    doc="Mood's median test across order priorities: classify every "
+        "order as above / at-or-below the GLOBAL median and chi-square "
+        "the resulting k x 2 table — the coarse, outlier-immune sibling "
+        "of ml_kruskal_wallis_h (it uses only the side of the median, "
+        "so one wild value cannot move it; the first k-sample check to "
+        "run on heavy-tailed money columns). The global median is ONE "
+        "exact-selection aggregate (both engines' median of a BIGINT "
+        "column on identical doubles); each group's chi-square "
+        "contribution (obs-exp)^2/exp for both cells evaluates by "
+        "HUGEINT cross-multiplication with per-cell micro floor "
+        "divisions. Plan: one orders scan, a 5-row cell table, a 1-row "
+        "total — map-side combinable everywhere. Reference parity: "
+        "extension surface (SURVEY.md §2.B analytics rows).",
+)
+def analytics_mood_median_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    med = v.agg(F.expr("median(cents)").cast("double").alias("m"))
+    cells = (
+        v.crossJoin(F.broadcast(med))
+        .groupBy("grp")
+        .agg(
+            F.count_if(F.col("cents").cast("double") > F.col("m"))
+            .cast("long")
+            .alias("above"),
+            F.count_if(F.col("cents").cast("double") <= F.col("m"))
+            .cast("long")
+            .alias("at_or_below"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("above").cast("long").alias("ta"),
+        F.sum("at_or_below").cast("long").alias("tb"),
+        (F.sum("above") + F.sum("at_or_below")).cast("long").alias("t"),
+    )
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "grp",
+        "above",
+        "at_or_below",
+        F.expr(
+            "CAST((CAST(above * t - (above + at_or_below) * ta "
+            "AS DECIMAL(38,0))) "
+            "* (above * t - (above + at_or_below) * ta) * 1000000 "
+            "DIV (CAST(above + at_or_below AS DECIMAL(38,0)) * ta * t) "
+            "+ (CAST(at_or_below * t - (above + at_or_below) * tb "
+            "AS DECIMAL(38,0))) "
+            "* (at_or_below * t - (above + at_or_below) * tb) * 1000000 "
+            "DIV (CAST(above + at_or_below AS DECIMAL(38,0)) * tb * t) "
+            "AS BIGINT)"
+        ).alias("chi2_contrib_micro"),
     )

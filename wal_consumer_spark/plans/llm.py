@@ -5394,14 +5394,33 @@ def dedup_minhash_estimate_error(
             .alias("n_agree"),
         )
     )
-    sh = docs.select(
-        F.col("doc_id").alias("doc"),
-        F.explode(word_shingles(tokens(F.col("text")), 3)).alias("shingle"),
-    ).distinct()
+    # ONE distinct-shingle build feeds sizes AND the df-capped
+    # intersection self-join (shingle_pairs_jaccard would rebuild it)
+    sh = (
+        docs.select(
+            F.col("doc_id").alias("doc"),
+            F.explode(
+                word_shingles(tokens(F.col("text")), 3)
+            ).alias("shingle"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    capped = (
+        sh.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
+        .filter(F.col("__df") <= 1000)
+        .drop("__df")
+    )
+    sa = capped.select(F.col("doc").alias("doc1"), "shingle")
+    sb = capped.select(F.col("doc").alias("doc2"), "shingle")
     inter = (
-        shingle_pairs_jaccard(docs, "doc_id", "text")
-        .select("doc1", "doc2", F.col("n_common").cast("long").alias("ic"))
+        sa.join(sb, "shingle")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).cast("long").alias("ic"))
     )
     pairs = (
         agree.join(inter, ["doc1", "doc2"], "left")

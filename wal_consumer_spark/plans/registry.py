@@ -160,6 +160,11 @@ NEXT_WINDOW: list[str] = [
     "ts_turning_points_test",
     "ml_somers_d_gamma",
     "analytics_markov_entropy_rate",
+    "ml_woe_information_value",
+    "analytics_mood_median_test",
+    "text_script_profile",
+    "sql_front_values_spine",
+    "sql_front_distinct_on",
 ]
 
 #: Overflow staging for additions beyond a single round-10 window.

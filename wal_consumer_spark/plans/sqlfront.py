@@ -293,3 +293,93 @@ ORDER BY o_orderpriority
 )
 def sql_front_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql(spark, sf_dir, _PIVOT_SPARK_SQL)
+
+
+# Shared-text VALUES inline table (ANSI, identical in both engines): a
+# literal target spine joined to computed revenue — the "small reference
+# data lives in the query text" idiom.
+_VALUES_SQL = """
+SELECT t.region_name, t.target_cents,
+       CAST(COALESCE(rv.revenue_cents, 0) AS BIGINT) AS revenue_cents,
+       CAST(CASE WHEN COALESCE(rv.revenue_cents, 0) >= t.target_cents
+                 THEN 1 ELSE 0 END AS BIGINT) AS target_met
+FROM (VALUES ('AFRICA', 500000000),
+             ('AMERICA', 900000000),
+             ('ASIA', 700000000),
+             ('EUROPE', 800000000),
+             ('MIDDLE EAST', 400000000)) AS t(region_name, target_cents)
+LEFT JOIN (
+    SELECT r.r_name AS region_name,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE CAST(o.o_orderdate AS DATE) >= DATE '1997-01-01'
+    GROUP BY r.r_name
+) rv ON rv.region_name = t.region_name
+ORDER BY t.region_name
+"""
+
+
+@register(
+    "sql_front_values_spine",
+    oracle=_VALUES_SQL,
+    doc="SQL front door: inline VALUES table as the join spine — the "
+        "identical ANSI text runs in BOTH engines (the _SHARED_SQL "
+        "contract). Business targets live as literals in the query, "
+        "LEFT JOINed to the computed per-region revenue so regions "
+        "missing from the data still report target_met = 0 — the "
+        "spine-completion idiom (cousin of the recursive-CTE month "
+        "spine). Catalyst plans the VALUES side as a LocalRelation "
+        "(zero scan) broadcast against the aggregated revenue. "
+        "Reference parity: extension surface (SURVEY.md §2.B SQL "
+        "front door rows).",
+)
+def sql_front_values_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql(spark, sf_dir, _VALUES_SQL)
+
+
+_DISTINCT_ON_SPARK_SQL = """
+SELECT c_nationkey, c_custkey, bal_cents FROM (
+    SELECT c_nationkey, c_custkey,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+           row_number() OVER (
+               PARTITION BY c_nationkey
+               ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) DESC,
+                        c_custkey
+           ) AS rn
+    FROM customer
+) WHERE rn = 1
+ORDER BY c_nationkey
+"""
+
+_DISTINCT_ON_DUCK_SQL = """
+SELECT DISTINCT ON (c_nationkey)
+       CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+FROM customer
+ORDER BY c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) DESC, c_custkey
+"""
+
+
+@register(
+    "sql_front_distinct_on",
+    oracle=_DISTINCT_ON_DUCK_SQL,
+    doc="DISTINCT ON dialect mapping through the SQL front door "
+        "(richest-customer-per-nation): the oracle runs DuckDB's "
+        "Postgres-style DISTINCT ON with its ORDER BY tie-break; the "
+        "Spark side runs the ANSI desugaring — row_number() over the "
+        "same (partition, order) spec filtered to rn = 1, which is "
+        "exactly how engines without DISTINCT ON express "
+        "first-row-per-group (and Catalyst's WindowGroupLimit turns it "
+        "into a per-partition top-1, never a full sort of the group). "
+        "Sibling of sql_front_qualify in the dialect-mapped set. "
+        "Reference parity: extension surface (SURVEY.md §2.B SQL "
+        "front door rows).",
+)
+def sql_front_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql(spark, sf_dir, _DISTINCT_ON_SPARK_SQL)

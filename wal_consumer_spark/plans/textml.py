@@ -2474,3 +2474,80 @@ def ml_multinomial_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("acc_ppm"),
         )
     )
+
+
+@register(
+    "text_script_profile",
+    oracle=r"""
+    WITH per AS (
+        SELECT doc_id, lang,
+               CAST(length(text) AS BIGINT) AS n_total,
+               CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                    AS BIGINT) AS n_latin,
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                    AS BIGINT) AS n_digit,
+               CAST(length(regexp_replace(text, '[^一-鿿]', '', 'g'))
+                    AS BIGINT) AS n_cjk,
+               CAST(length(regexp_replace(text,
+                    '[^À-ÿĀ-ſ]', '', 'g'))
+                    AS BIGINT) AS n_latin_ext
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_total) AS BIGINT) AS n_chars,
+           CAST(SUM(n_latin) * 1000000 // SUM(n_total) AS BIGINT)
+               AS latin_ppm,
+           CAST(SUM(n_digit) * 1000000 // SUM(n_total) AS BIGINT)
+               AS digit_ppm,
+           CAST(SUM(n_cjk) * 1000000 // SUM(n_total) AS BIGINT) AS cjk_ppm,
+           CAST(SUM(n_latin_ext) * 1000000 // SUM(n_total) AS BIGINT)
+               AS latin_ext_ppm
+    FROM per GROUP BY lang
+    """,
+    doc="Unicode script profile per language shard: the share of ASCII "
+        "Latin, digits, CJK-unified, and extended-Latin codepoints in "
+        "each language's text — the script-consistency audit that "
+        "catches mislabeled shards (a 'zh' shard with near-zero CJK "
+        "share, an 'en' shard full of extended Latin) before language-ID "
+        "models are trusted; the character-class complement of "
+        "text_langid's lexicon vote and ml_multinomial_nb_lang's token "
+        "model. Counting is length(regexp_replace(negated-class)) — "
+        "pure JVM/RE2-common-subset regex on codepoints, no Python, no "
+        "explode; the per-class shares are exact ppm floor divisions "
+        "over per-lang integer sums. Plan: one documents scan, one "
+        "5-row aggregate. Reference parity: extension surface "
+        "(SURVEY.md §2.B text rows).",
+)
+def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+
+    def cls_count(pattern: str):
+        return F.length(
+            F.regexp_replace(F.col("text"), pattern, "")
+        ).cast("long")
+
+    per = d.select(
+        "lang",
+        F.length("text").cast("long").alias("n_total"),
+        cls_count(r"[^a-zA-Z]").alias("n_latin"),
+        cls_count(r"[^0-9]").alias("n_digit"),
+        cls_count("[^一-鿿]").alias("n_cjk"),
+        cls_count("[^À-ÿĀ-ſ]").alias("n_latin_ext"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_total").cast("long").alias("n_chars"),
+        F.expr(
+            "CAST(SUM(n_latin) * 1000000 DIV SUM(n_total) AS BIGINT)"
+        ).alias("latin_ppm"),
+        F.expr(
+            "CAST(SUM(n_digit) * 1000000 DIV SUM(n_total) AS BIGINT)"
+        ).alias("digit_ppm"),
+        F.expr(
+            "CAST(SUM(n_cjk) * 1000000 DIV SUM(n_total) AS BIGINT)"
+        ).alias("cjk_ppm"),
+        F.expr(
+            "CAST(SUM(n_latin_ext) * 1000000 DIV SUM(n_total) AS BIGINT)"
+        ).alias("latin_ext_ppm"),
+    )
