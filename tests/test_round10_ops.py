@@ -921,3 +921,66 @@ def test_distinct_on_python_oracle(spark):
         for r in all_specs()["sql_front_distinct_on"].spark(spark, SF).collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------- krippendorff alpha
+def test_krippendorff_alpha_python_oracle(spark):
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    c1s = []
+    for v in emb.embedding:
+        c1s.append(sum(
+            1 for d in range(4) if round(float(v[d]) * 1_000_000) > 0
+        ))
+    m, n_items = 4, len(c1s)
+    n1 = sum(c1s)
+    n0 = m * n_items - n1
+    s_pairs = sum(c * (m - c) for c in c1s)
+    n_c = m * n_items
+    alpha = 1_000_000 - _tdiv((n_c - 1) * s_pairs * 1_000_000, 3 * n1 * n0)
+    r = all_specs()["ml_krippendorff_alpha_binary"].spark(spark, SF).collect()[0]
+    assert (r.n_items, r.k_raters) == (n_items, m)
+    assert (r.n1, r.n0, r.s_pairs, r.n_c) == (n1, n0, s_pairs, n_c)
+    assert r.alpha_ppm == alpha
+
+
+def test_krippendorff_alpha_closed_form_matches_pairwise():
+    # verify the collapsed formula against the definitional coincidence
+    # computation on a small panel: Do = sum_i 2*c1*c0/(m-1) / n_c,
+    # De = 2*n1*n0 / (n_c*(n_c-1))
+    c1s = [4, 3, 1, 0, 2, 4, 1]
+    m = 4
+    n_items = len(c1s)
+    n_c = m * n_items
+    n1 = sum(c1s)
+    n0 = n_c - n1
+    do = sum(2 * c * (m - c) / (m - 1) for c in c1s) / n_c
+    de = 2 * n1 * n0 / (n_c * (n_c - 1))
+    alpha_direct = 1 - do / de
+    s_pairs = sum(c * (m - c) for c in c1s)
+    alpha_closed = 1 - (n_c - 1) * s_pairs / (3 * n1 * n0)
+    assert abs(alpha_direct - alpha_closed) < 1e-12
+
+
+# ------------------------------------------------------------- VaR / CVaR
+def test_var_cvar_python_oracle(spark):
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o["d"] = pd.to_datetime(o.o_orderdate).dt.date
+    o["cents"] = (o.o_totalprice * 100).round().astype(int)
+    daily = o.groupby("d").cents.sum().sort_index()
+    x = daily.to_numpy()
+    days = list(daily.index)
+    diffs = sorted(
+        (int(b) - int(a), d)
+        for a, b, d in zip(x[:-1], x[1:], days[1:])
+    )
+    n1 = len(diffs)
+    k = n1 // 20
+    bottom = diffs[:k]
+    var_c = bottom[-1][0]
+    cvar = _tdiv(sum(v for v, _ in bottom) * 100, k)
+    r = all_specs()["ts_value_at_risk_cvar"].spark(spark, SF).collect()[0]
+    assert (r.n_changes, r.k) == (n1, k)
+    assert r.var_cents == var_c
+    assert r.cvar_cents_x100 == cvar
+    # CVaR is at least as extreme as VaR (coherence sanity)
+    assert r.cvar_cents_x100 <= r.var_cents * 100

@@ -5454,3 +5454,82 @@ def dedup_minhash_estimate_error(
             "DIV COUNT(*) AS BIGINT)"
         ).alias("mean_abs_err_ppm"),
     )
+
+
+@register(
+    "ml_krippendorff_alpha_binary",
+    oracle="""
+    WITH r AS (
+        SELECT vec_id,
+               CASE WHEN CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000.0)
+                          AS BIGINT) > 0 THEN 1 ELSE 0 END
+             + CASE WHEN CAST(round(CAST(embedding[2] AS DOUBLE) * 1000000.0)
+                          AS BIGINT) > 0 THEN 1 ELSE 0 END
+             + CASE WHEN CAST(round(CAST(embedding[3] AS DOUBLE) * 1000000.0)
+                          AS BIGINT) > 0 THEN 1 ELSE 0 END
+             + CASE WHEN CAST(round(CAST(embedding[4] AS DOUBLE) * 1000000.0)
+                          AS BIGINT) > 0 THEN 1 ELSE 0 END AS c1
+        FROM embeddings
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM((4 - c1)) AS BIGINT) AS n0,
+               CAST(SUM(c1 * (4 - c1)) AS BIGINT) AS s_pairs
+        FROM r
+    )
+    SELECT n_items, CAST(4 AS BIGINT) AS k_raters, n1, n0, s_pairs,
+           CAST(4 * n_items AS BIGINT) AS n_c,
+           CAST(1000000
+                - CAST(4 * n_items - 1 AS HUGEINT) * s_pairs * 1000000
+                  // (3 * CAST(n1 AS HUGEINT) * n0) AS BIGINT)
+               AS alpha_ppm
+    FROM agg
+    """,
+    doc="Krippendorff's alpha for the four-rater binary panel (nominal "
+        "data, complete ratings): the general-purpose inter-annotator "
+        "reliability coefficient (Krippendorff 1970, public) next to "
+        "Fleiss' kappa (different chance model: coincidence pairs "
+        "WITHIN items vs marginal products) and Cochran's Q (marginal "
+        "homogeneity, not reliability). With m=4 raters per item the "
+        "observed disagreement collapses to S = sum_i c1_i*(m-c1_i) "
+        "and alpha = 1 - (n_c - 1)*S / (3*n1*n0) EXACTLY — one HUGEINT "
+        "cross-multiplication, one ppm floor division; no coincidence "
+        "matrix materialized. Raters are the same embedding-dim sign "
+        "classifiers as ml_cochran_q_test, so the two tests read off "
+        "one 1-row aggregate shape: ONE embeddings scan, no joins. "
+        "Reference parity: extension surface (SURVEY.md §2.C ML rows).",
+)
+def ml_krippendorff_alpha_binary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def rater(i: int):
+        return (
+            F.round(
+                F.element_at("embedding", i).cast("double") * 1_000_000.0
+            ).cast("long")
+            > 0
+        ).cast("long")
+
+    c1 = rater(1) + rater(2) + rater(3) + rater(4)
+    agg = emb.select(c1.alias("c1")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum(4 - F.col("c1")).cast("long").alias("n0"),
+        F.sum(F.col("c1") * (4 - F.col("c1"))).cast("long").alias("s_pairs"),
+    )
+    return agg.select(
+        "n_items",
+        F.lit(4).cast("long").alias("k_raters"),
+        "n1",
+        "n0",
+        "s_pairs",
+        F.expr("CAST(4 * n_items AS BIGINT)").alias("n_c"),
+        F.expr(
+            "CAST(1000000 - CAST(4 * n_items - 1 AS DECIMAL(38,0)) "
+            "* s_pairs * 1000000 DIV (3 * CAST(n1 AS DECIMAL(38,0)) * n0) "
+            "AS BIGINT)"
+        ).alias("alpha_ppm"),
+    )

@@ -165,6 +165,8 @@ NEXT_WINDOW: list[str] = [
     "text_script_profile",
     "sql_front_values_spine",
     "sql_front_distinct_on",
+    "ml_krippendorff_alpha_binary",
+    "ts_value_at_risk_cvar",
 ]
 
 #: Overflow staging for additions beyond a single round-10 window.

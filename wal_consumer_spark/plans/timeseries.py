@@ -4283,3 +4283,88 @@ def ts_turning_points_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("z_score"),
     )
+
+
+@register(
+    "ts_value_at_risk_cvar",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS d,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    diffs AS (
+        SELECT d, cents - lag(cents) OVER (ORDER BY d) AS chg
+        FROM daily
+    ),
+    ranked AS (
+        SELECT chg, row_number() OVER (ORDER BY chg, d) AS rk,
+               COUNT(*) OVER () AS n1
+        FROM diffs WHERE chg IS NOT NULL
+    ),
+    k AS (SELECT CAST(MAX(n1) // 20 AS BIGINT) AS k, MAX(n1) AS n1
+          FROM ranked)
+    SELECT k.n1 AS n_changes, k.k,
+           CAST(MAX(CASE WHEN r.rk = k.k THEN r.chg END) AS BIGINT)
+               AS var_cents,
+           CAST(SUM(CASE WHEN r.rk <= k.k THEN r.chg ELSE 0 END) * 100
+                // k.k AS BIGINT) AS cvar_cents_x100
+    FROM ranked r CROSS JOIN k
+    GROUP BY k.n1, k.k
+    """,
+    doc="Historical Value-at-Risk and Conditional VaR (expected "
+        "shortfall) of the daily revenue CHANGE series at the 5% tail: "
+        "VaR = the k-th worst day-over-day change (k = floor(n/20)), "
+        "CVaR = the mean of the k worst — the coherent tail-risk pair "
+        "(Artzner et al. 1999, public) that complements ts_max_drawdown "
+        "(worst cumulative run) with a per-day tail magnitude. "
+        "Deterministic selection: row_number over (chg, d) on the "
+        "bounded day-grain diff frame (same contained-window argument "
+        "as every ts_ op — the rank runs over ~2400 rows regardless of "
+        "corpus size), exact integer cents; CVaR emitted as cents x100 "
+        "with one floor division. Negative-sum division truncates "
+        "toward zero identically on both engines (the round-8 DIV "
+        "lesson). Reference parity: extension surface (SURVEY.md §2.B "
+        "time-series rows).",
+)
+def ts_value_at_risk_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.to_date(F.to_timestamp("o_orderdate")).alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("d")
+    diffs = daily.select(
+        "d", (F.col("cents") - F.lag("cents").over(w)).alias("chg")
+    ).where(F.col("chg").isNotNull())
+    wr = Window.orderBy("chg", "d")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = diffs.select(
+        "chg",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wall).alias("n1"),
+    )
+    k = ranked.agg(
+        F.expr("CAST(MAX(n1) DIV 20 AS BIGINT)").alias("k"),
+        F.max("n1").cast("long").alias("n_changes"),
+    )
+    return (
+        ranked.drop("n1")
+        .crossJoin(F.broadcast(k))
+        .groupBy("n_changes", "k")
+        .agg(
+            F.max(F.when(F.col("rk") == F.col("k"), F.col("chg")))
+            .cast("long")
+            .alias("var_cents"),
+            F.expr(
+                "CAST(SUM(CASE WHEN rk <= k THEN chg ELSE 0 END) * 100 "
+                "DIV k AS BIGINT)"
+            ).alias("cvar_cents_x100"),
+        )
+    )
