@@ -118,7 +118,8 @@ DRIVER_WINDOW: list[str] = [
 #: and during round 10 lands here IN THE SAME COMMIT that registers it,
 #: so the partition test enforces staging at authoring time. The 436
 #: names that are green-or-windowed close at 436/436 when
-#: CORRECTNESS_r09 lands; the 30 staged here certify in round 10.
+#: CORRECTNESS_r09 lands; the 45 staged here certify in round 10
+#: (45 + up to 5 fills = the round-10 window).
 NEXT_WINDOW: list[str] = [
     # --- round-9 late-session additions (certify in round 10) ---
     "sim_centroid_margin_audit",
