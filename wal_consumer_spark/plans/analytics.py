@@ -11709,3 +11709,309 @@ def analytics_mood_median_test(
             "AS BIGINT)"
         ).alias("chi2_contrib_micro"),
     )
+
+
+@register(
+    "ml_matthews_corrcoef",
+    oracle="""
+    WITH scored AS (
+        SELECT (event_type = 'purchase') AS actual,
+               (value > 10.0) AS predicted
+        FROM events
+    ),
+    cm AS (
+        SELECT CAST(count_if(actual AND predicted) AS BIGINT) AS tp,
+               CAST(count_if(NOT actual AND predicted) AS BIGINT) AS fp,
+               CAST(count_if(actual AND NOT predicted) AS BIGINT) AS fn,
+               CAST(count_if(NOT actual AND NOT predicted) AS BIGINT) AS tn
+        FROM scored
+    )
+    SELECT tp + fp + fn + tn AS n, tp, fp, fn, tn,
+           round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+                 / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+                        * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)),
+                 6) AS mcc,
+           round((CAST(tp AS DOUBLE) / (tp + fn)
+                  + CAST(tn AS DOUBLE) / (tn + fp)) / 2.0, 6)
+               AS balanced_accuracy
+    FROM cm
+    """,
+    doc="Matthews correlation coefficient + balanced accuracy for the "
+        "value>10 purchase classifier — the single-number confusion "
+        "summary that stays honest under class imbalance, where accuracy "
+        "and even F1 (ml_classification_metrics) inflate: MCC is the "
+        "Pearson phi of the 2x2 table, symmetric in classes and in "
+        "errors. Numerator tp*tn - fp*fn evaluates on exact BIGINT "
+        "confusion counts promoted to double once; the denominator is "
+        "one sqrt of a fixed left-associated double product, so both "
+        "engines emit the identical IEEE value. Plan: ONE map-side "
+        "conditional aggregate over a 2-column projected scan — no "
+        "shuffle wider than a single row at any scale. Reference "
+        "parity: extension surface (SURVEY.md §2.B ML rows).",
+)
+def ml_matthews_corrcoef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        (F.col("event_type") == "purchase").alias("actual"),
+        (F.col("value") > 10.0).alias("predicted"),
+    )
+    cm = scored.agg(
+        F.count_if(F.col("actual") & F.col("predicted"))
+        .cast("long")
+        .alias("tp"),
+        F.count_if(~F.col("actual") & F.col("predicted"))
+        .cast("long")
+        .alias("fp"),
+        F.count_if(F.col("actual") & ~F.col("predicted"))
+        .cast("long")
+        .alias("fn"),
+        F.count_if(~F.col("actual") & ~F.col("predicted"))
+        .cast("long")
+        .alias("tn"),
+    )
+    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    return cm.select(
+        (tp + fp + fn + tn).alias("n"),
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(
+            (tp.cast("double") * tn - fp.cast("double") * fn)
+            / F.sqrt(
+                (tp + fp).cast("double")
+                * (tp + fn).cast("double")
+                * (tn + fp).cast("double")
+                * (tn + fn).cast("double")
+            ),
+            6,
+        ).alias("mcc"),
+        F.round(
+            (tp.cast("double") / (tp + fn) + tn.cast("double") / (tn + fp))
+            / F.lit(2.0),
+            6,
+        ).alias("balanced_accuracy"),
+    )
+
+
+@register(
+    "ml_hosmer_lemeshow_gof",
+    oracle="""
+    WITH mm AS (
+        SELECT CAST(MIN(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS min_c,
+               CAST(MAX(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS max_c
+        FROM customer
+    ),
+    scored AS (
+        SELECT CAST(round(c_acctbal * 100) AS BIGINT) - mm.min_c AS f_rel,
+               mm.max_c - mm.min_c AS rng,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS y
+        FROM customer, mm
+    ),
+    bins AS (
+        SELECT CASE WHEN (f_rel * 10) // rng > 9 THEN 9
+                    ELSE (f_rel * 10) // rng END AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_k,
+               CAST(SUM(y) AS BIGINT) AS obs_pos,
+               CAST(SUM(f_rel) AS BIGINT) AS sum_rel,
+               CAST(MAX(rng) AS BIGINT) AS rng
+        FROM scored GROUP BY 1
+    ),
+    terms AS (
+        SELECT bin, n_k, obs_pos,
+               CAST(sum_rel AS DOUBLE) / rng AS e_k
+        FROM bins
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, n_k, obs_pos,
+           CAST(round(e_k * 1000000) AS BIGINT) AS exp_pos_micro,
+           CASE WHEN e_k > 0 AND e_k < n_k THEN
+               CAST(round((obs_pos - e_k) * (obs_pos - e_k)
+                          / (e_k * (1.0 - e_k / n_k)) * 1000000) AS BIGINT)
+           ELSE 0 END AS hl_term_micro
+    FROM terms
+    ORDER BY bin
+    """,
+    doc="Hosmer-Lemeshow goodness-of-fit table for the min-max-"
+        "normalized acctbal forecast of the BUILDING label: ten "
+        "equal-width forecast bins, each reporting observed positives, "
+        "expected positives sum(f_k) (exact integer sum_rel / range, "
+        "one double division), and the HL chi-square contribution "
+        "(O-E)^2 / (E(1-E/n)) quantized to 1e-6 — the statistic is the "
+        "10-term column sum, df=8. Complements ml_calibration_bins "
+        "(which shows the reliability diagram) and "
+        "ml_brier_decomposition (which scores it) with the formal GOF "
+        "test clinicians actually gate on. Degenerate bins (E<=0 or "
+        "E>=n) contribute 0 by convention, stated in-plan. Plan: one "
+        "2-scalar min/max aggregate broadcast into a single map-side "
+        "pass, one bounded 10-group rollup — no wide shuffle at any "
+        "scale. Reference parity: extension surface (SURVEY.md §2.B "
+        "ML rows).",
+)
+def ml_hosmer_lemeshow_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    base = cust.select(
+        cents.alias("s"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("y"),
+    )
+    mm = base.agg(
+        F.min("s").cast("long").alias("min_c"),
+        F.max("s").cast("long").alias("max_c"),
+    )
+    binned = base.crossJoin(F.broadcast(mm)).select(
+        (F.col("s") - F.col("min_c")).alias("f_rel"),
+        (F.col("max_c") - F.col("min_c")).alias("rng"),
+        "y",
+    )
+    bins = (
+        binned.select(
+            F.when(F.expr("(f_rel * 10) div rng") > 9, F.lit(9))
+            .otherwise(F.expr("(f_rel * 10) div rng"))
+            .alias("bin"),
+            "f_rel",
+            "rng",
+            "y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_k"),
+            F.sum("y").cast("long").alias("obs_pos"),
+            F.sum("f_rel").cast("long").alias("sum_rel"),
+            F.max("rng").cast("long").alias("rng"),
+        )
+    )
+    e_k = F.col("sum_rel").cast("double") / F.col("rng")
+    obs = F.col("obs_pos")
+    n_k = F.col("n_k")
+    return bins.select(
+        F.col("bin").cast("long").alias("bin"),
+        "n_k",
+        "obs_pos",
+        F.round(e_k * F.lit(1_000_000)).cast("long").alias("exp_pos_micro"),
+        F.when(
+            (e_k > 0) & (e_k < n_k.cast("double")),
+            F.round(
+                (obs - e_k) * (obs - e_k)
+                / (e_k * (F.lit(1.0) - e_k / n_k))
+                * F.lit(1_000_000)
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("hl_term_micro"),
+    ).orderBy("bin")
+
+
+@register(
+    "analytics_cohens_d_effect_size",
+    oracle="""
+    WITH cents AS (
+        SELECT (event_type = 'purchase') AS is_purchase,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events
+    ),
+    s AS (
+        SELECT CAST(count_if(is_purchase) AS BIGINT) AS n1,
+               CAST(count_if(NOT is_purchase) AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN is_purchase THEN v ELSE 0 END) AS BIGINT)
+                   AS sum1,
+               CAST(SUM(CASE WHEN NOT is_purchase THEN v ELSE 0 END)
+                    AS BIGINT) AS sum2,
+               CAST(SUM(CASE WHEN is_purchase THEN v * v ELSE 0 END)
+                    AS BIGINT) AS sq1,
+               CAST(SUM(CASE WHEN NOT is_purchase THEN v * v ELSE 0 END)
+                    AS BIGINT) AS sq2
+        FROM cents
+    ),
+    d AS (
+        SELECT n1, n2,
+               CAST(sum1 AS DOUBLE) / n1 - CAST(sum2 AS DOUBLE) / n2
+                   AS mean_diff_cents,
+               sqrt(((CAST(sq1 AS DOUBLE)
+                      - CAST(sum1 AS DOUBLE) * sum1 / n1)
+                     + (CAST(sq2 AS DOUBLE)
+                        - CAST(sum2 AS DOUBLE) * sum2 / n2))
+                    / (n1 + n2 - 2)) AS sd_pooled_cents
+        FROM s
+    )
+    SELECT n1 AS n_purchase, n2 AS n_other,
+           round(mean_diff_cents / 100.0, 6) AS mean_diff,
+           round(mean_diff_cents / sd_pooled_cents, 6) AS cohens_d,
+           round(mean_diff_cents / sd_pooled_cents
+                 * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6) AS hedges_g
+    FROM d
+    """,
+    doc="Cohen's d / Hedges' g standardized effect size of purchase vs "
+        "non-purchase event values — the companion number every A/B "
+        "readout needs next to analytics_ab_welch_ttest's p-value "
+        "(significance says IF, effect size says HOW MUCH, and at 100 TB "
+        "row counts everything is 'significant'). Value cents sum "
+        "exactly in int64 (and their squares — headroom to ~1e18), the "
+        "pooled SD is the textbook (SS1+SS2)/(n1+n2-2) with corrected "
+        "sums of squares evaluated in one fixed double expression, and "
+        "Hedges' small-sample correction (1 - 3/(4N-9)) rides the same "
+        "row. Plan: ONE map-side conditional aggregate over a 2-column "
+        "projected scan; the output is a single row. Reference parity: "
+        "extension surface (SURVEY.md §2.B analytics rows).",
+)
+def analytics_cohens_d_effect_size(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cents = e.select(
+        (F.col("event_type") == "purchase").alias("is_purchase"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    s = cents.agg(
+        F.count_if(F.col("is_purchase")).cast("long").alias("n1"),
+        F.count_if(~F.col("is_purchase")).cast("long").alias("n2"),
+        F.sum(F.when(F.col("is_purchase"), F.col("v")).otherwise(0))
+        .cast("long")
+        .alias("sum1"),
+        F.sum(F.when(~F.col("is_purchase"), F.col("v")).otherwise(0))
+        .cast("long")
+        .alias("sum2"),
+        F.sum(
+            F.when(F.col("is_purchase"), F.col("v") * F.col("v")).otherwise(0)
+        )
+        .cast("long")
+        .alias("sq1"),
+        F.sum(
+            F.when(~F.col("is_purchase"), F.col("v") * F.col("v")).otherwise(0)
+        )
+        .cast("long")
+        .alias("sq2"),
+    )
+    mean_diff = (
+        F.col("sum1").cast("double") / F.col("n1")
+        - F.col("sum2").cast("double") / F.col("n2")
+    )
+    sd_pooled = F.sqrt(
+        (
+            (
+                F.col("sq1").cast("double")
+                - F.col("sum1").cast("double") * F.col("sum1") / F.col("n1")
+            )
+            + (
+                F.col("sq2").cast("double")
+                - F.col("sum2").cast("double") * F.col("sum2") / F.col("n2")
+            )
+        )
+        / (F.col("n1") + F.col("n2") - 2)
+    )
+    return s.select(
+        F.col("n1").alias("n_purchase"),
+        F.col("n2").alias("n_other"),
+        F.round(mean_diff / F.lit(100.0), 6).alias("mean_diff"),
+        F.round(mean_diff / sd_pooled, 6).alias("cohens_d"),
+        F.round(
+            mean_diff
+            / sd_pooled
+            * (
+                F.lit(1.0)
+                - F.lit(3.0) / (F.lit(4.0) * (F.col("n1") + F.col("n2")) - F.lit(9.0))
+            ),
+            6,
+        ).alias("hedges_g"),
+    )

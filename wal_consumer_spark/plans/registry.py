@@ -44,84 +44,21 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: oracle sorts last so it can never burn a window slot on a rows-only
 #: check.
 #:
-#: Round 9 rotates ALL 50 slots a seventh time, per round-8 VERDICT "Next
-#: round" #2/#5: CORRECTNESS_r08 certified the round-8 window 50/50 green
-#: (cumulative 388/421 entering round 9), so this window holds the
-#: round-9 CLOSING SET — the 11 second-wave round-7 additions (old
-#: NEXT_WINDOW), the 22 round-8 session additions (old FUTURE_WINDOW,
-#: incl. cdc_arrival_inversion_audit re-entering ONLY in its round-9
-#: capped form), the 15 round-9 session additions, and 2 deliberate
-#: re-pins (tpch_q17_small_qty_revenue, join_bloom_prefilter — their
-#: broadcast size-gates changed in round 7 AFTER certification, so their
-#: existing driver rows predate the code that now runs; allowlisted in
-#: tests/test_registry.py::_REPIN_ALLOWLIST). Green rows here close
-#: driver coverage at 436/436.
+#: Round 10 rotates ALL 50 slots an eighth time, per round-9 VERDICT
+#: "Next round" #1/#2: CORRECTNESS_r09 certified the round-9 window
+#: 50/50 green (cumulative 436/436 at rotation time — every name that
+#: existed then has a committed green row), so this window holds the
+#: ROUND-10 CLOSING SET: the 45 round-9 staged additions (old
+#: NEXT_WINDOW, name-for-name) plus 5 fills — 1 deliberate re-pin
+#: (sim_knn_label_purity: its r8 green row predates the round-9
+#: kNN-substrate refactor that briefly mis-registered it, fix f1c05c8;
+#: allowlisted in tests/test_registry.py::_REPIN_ALLOWLIST) and 4 new
+#: round-10 operators certified same-round (ml_matthews_corrcoef,
+#: ml_hosmer_lemeshow_gof, analytics_cohens_d_effect_size,
+#: set_symmetric_diff_tagged). Green rows here close driver coverage
+#: at 485/485.
 DRIVER_WINDOW: list[str] = [
-    # --- second-wave round-7 additions (old NEXT_WINDOW, 11) ---
-    "graph_global_transitivity",
-    "analytics_revenue_retention_nrr",
-    "analytics_rfm_migration_matrix",
-    "ts_peak_detection_prominence",
-    "ml_conformal_interval_coverage",
-    "pipeline_dedup_cluster_sizes",
-    "sim_exact_duplicate_vectors",
-    "ts_downsample_lttb",
-    "graph_rich_club_coefficient",
-    "ml_pinball_loss_quantile_eval",
-    "analytics_revenue_hhi",
-    # --- round-8 session additions (old FUTURE_WINDOW, 22) ---
-    "stream_stateful_sessionize",
-    "text_vocab_topk_coverage",
-    "pipeline_padding_waste_curve",
-    "sim_embedding_norm_audit",
-    "ml_psi_population_stability",
-    "ts_changepoint_argmax_split",
-    "graph_triangle_participation",
-    "pipeline_cross_source_dup_matrix",
-    "ml_mcnemar_dim_ablation",
-    "stream_high_water_alerts",
-    "pipeline_tokenizer_fertility_by_lang",
-    "win_regime_run_lengths",
-    "graph_kcore_bounded_peel",
-    "cdc_arrival_inversion_audit",
-    "sql_front_named_window",
-    "ml_ks_separation",
-    "dedup_shingle_df_profile",
-    "pipeline_soft_dedup_weights",
-    "ts_ohlc_weekly",
-    "sim_davies_bouldin_index",
-    "sim_isotropy_audit",
-    "ml_fleiss_kappa_panel",
-    # --- round-9 session additions (15) ---
-    "ts_runs_test_wald_wolfowitz",
-    "analytics_nelson_aalen_hazard",
-    "ml_wilcoxon_signed_rank",
-    "sql_front_correlated_scalar_subquery",
-    "cdc_compaction_savings_by_horizon",
-    "sim_knn_hubness_histogram",
-    "sim_dimension_variance_scree",
-    "dedup_lsh_band_sensitivity",
-    "text_edit_distance_near_pairs",
-    "stream_idle_timeout_sessions",
-    "ml_permutation_importance_stump",
-    "pipeline_soft_dedup_ess_by_source",
-    "graph_landmark_distance_profile",
-    "ts_sax_motifs",
-    "ml_youden_j_operating_point",
-    # --- deliberate re-pins (gate changes postdate their green rows) ---
-    "tpch_q17_small_qty_revenue",
-    "join_bloom_prefilter",
-]
-
-#: ROUND-10 STAGING — every operator registered during round 9's
-#: continuation session (after the rotation froze the 50-slot window)
-#: and during round 10 lands here IN THE SAME COMMIT that registers it,
-#: so the partition test enforces staging at authoring time. The 436
-#: names that are green-or-windowed close at 436/436 when
-#: CORRECTNESS_r09 lands; the 45 staged here certify in round 10
-#: (45 + up to 5 fills = the round-10 window).
-NEXT_WINDOW: list[str] = [
-    # --- round-9 late-session additions (certify in round 10) ---
+    # --- round-9 staged additions (old NEXT_WINDOW, 45) ---
     "sim_centroid_margin_audit",
     "sim_jl_projection_distortion",
     "pipeline_token_budget_curriculum",
@@ -139,7 +76,6 @@ NEXT_WINDOW: list[str] = [
     "analytics_markov_absorption_time",
     "text_burrows_delta_sources",
     "stream_full_outer_join_watermark_close",
-    # --- round-9 continuation-session additions (certify in round 10) ---
     "ml_cochran_q_test",
     "ml_kruskal_wallis_h",
     "ml_friedman_test",
@@ -168,15 +104,46 @@ NEXT_WINDOW: list[str] = [
     "sql_front_distinct_on",
     "ml_krippendorff_alpha_binary",
     "ts_value_at_risk_cvar",
+    # --- re-pin: r8 row predates the round-9 kNN refactor (f1c05c8) ---
+    "sim_knn_label_purity",
+    # --- round-10 session additions certified same-round (4) ---
+    "ml_matthews_corrcoef",
+    "ml_hosmer_lemeshow_gof",
+    "analytics_cohens_d_effect_size",
+    "set_symmetric_diff_tagged",
 ]
+
+#: ROUND-11 STAGING — every operator registered during round 10 AFTER
+#: the rotation above froze the 50-slot window lands here IN THE SAME
+#: COMMIT that registers it, so the partition test enforces staging at
+#: authoring time. The 436 previously-certified names plus this
+#: window's 50 close at 485/485 when CORRECTNESS_r10 lands; names
+#: staged here certify in round 11.
+NEXT_WINDOW: list[str] = []
 
 #: Overflow staging for additions beyond a single round-10 window.
 FUTURE_WINDOW: list[str] = []
+
+#: Deliberate registered-name != function-name pairs (none today). The
+#: import-time guard below exists because of the f1c05c8 class of bug: a
+#: helper `def` inserted between `@register(...)` and the query function
+#: makes the decorator capture the HELPER, silently registering the wrong
+#: frame under the right name — caught in round 9 only because full parity
+#: runs everything. With the guard, that mistake fails at import time.
+_NAME_GUARD_ALLOWLIST: frozenset[str] = frozenset()
+
 
 def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQuery], SparkQuery]:
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
+        if fn.__name__ != name and name not in _NAME_GUARD_ALLOWLIST:
+            raise ValueError(
+                f"@register({name!r}) captured function {fn.__name__!r} — "
+                "a helper def between the decorator and the query function "
+                "registers the WRONG frame (the f1c05c8 bug); rename the "
+                "function or add a _NAME_GUARD_ALLOWLIST entry"
+            )
         _REGISTRY[name] = QuerySpec(name=name, spark=fn, oracle=oracle, doc=doc)
         return fn
 

@@ -1135,3 +1135,48 @@ def set_bag_except_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ea.unionByName(ia)
+
+
+@register(
+    "set_symmetric_diff_tagged",
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+               WHERE o_orderstatus = 'F'),
+    b AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+          WHERE o_orderstatus = 'O'),
+    l AS (SELECT custkey FROM a EXCEPT SELECT custkey FROM b),
+    r AS (SELECT custkey FROM b EXCEPT SELECT custkey FROM a)
+    SELECT 'finished_only' AS side, custkey FROM l
+    UNION ALL
+    SELECT 'open_only' AS side, custkey FROM r
+    """,
+    doc="Symmetric difference with side tags: customers whose orders are "
+        "ALL finished ('F') vs ALL open ('O') — the two one-sided EXCEPTs "
+        "of the distinct custkey sets, each labeled with which side it "
+        "came from. Completes the set-ops family (union/intersect/"
+        "except/bag-all) with the reconciliation shape ops teams "
+        "actually run ('what is in A but not B, and vice versa, in one "
+        "result'). Spark plans each subtract as a null-safe hash "
+        "anti-aggregate over the SAME o_custkey shuffle key, so AQE can "
+        "reuse the exchange; no row explosion anywhere. Reference "
+        "parity: extension surface (SURVEY.md §2.B set-ops row).",
+)
+def set_symmetric_diff_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = (
+        o.where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    b = (
+        o.where(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    left_only = a.subtract(b).select(
+        F.lit("finished_only").alias("side"), "custkey"
+    )
+    right_only = b.subtract(a).select(
+        F.lit("open_only").alias("side"), "custkey"
+    )
+    return left_only.unionByName(right_only)

@@ -171,18 +171,19 @@ _SHARED_SQL = {
 
 
 def _make(name: str, text: str):
-    @register(
+    def _q(spark: SparkSession, sf_dir: str, _text: str = text) -> DataFrame:
+        return sql(spark, sf_dir, _text)
+
+    # rename BEFORE registering so the registry's import-time
+    # name==function guard sees the intended identity
+    _q.__name__ = name
+    return register(
         name,
         oracle=text,
         doc="SQL front door: this exact SQL text is executed by BOTH Spark "
             "(sqlapi.sql over registered views) and the DuckDB oracle — "
             "textual entry point proven end to end.",
-    )
-    def _q(spark: SparkSession, sf_dir: str, _text: str = text) -> DataFrame:
-        return sql(spark, sf_dir, _text)
-
-    _q.__name__ = name
-    return _q
+    )(_q)
 
 
 for _name, _text in _SHARED_SQL.items():
