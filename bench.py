@@ -139,6 +139,12 @@ HEADLINE = [
     "cdc_op_mix_drift_by_day",
     "text_simpson_lexical_diversity",
     "graph_ego_density_topk",
+    # r10 additions (appended only, same continuity rule): the four
+    # window-fill operators added this round.
+    "ml_matthews_corrcoef",
+    "ml_hosmer_lemeshow_gof",
+    "analytics_cohens_d_effect_size",
+    "set_symmetric_diff_tagged",
 ]
 
 #: FROZEN cross-round comparison basis (round-4 VERDICT "What's wrong" #2:
@@ -960,6 +966,38 @@ def main() -> None:
                 "fresh_jvm_median_sec": 8.13,
                 "construct_sec": 7.458,
                 "calibration_cpu_sec": 0.26,
+            },
+            # Round-10 driver-scale rehearsal of the four heaviest staged
+            # streaming entrants (VERDICT r9 "Next round" #5): fresh JVM,
+            # n=3, at sf0.01 — the scale the CORRECTNESS driver actually
+            # runs. All four are startup/micro-batch-harness dominated
+            # (construct ~= median) and finish in 2.5-6.3 s, comfortable
+            # headroom under any per-query driver budget; the same four
+            # also passed the full 50-slot rehearse_driver.py pass this
+            # round (50/50 green).
+            "stream_click_purchase_interval_join_sf0_01": {
+                "fresh_jvm_median_sec": 6.15,
+                "fresh_jvm_samples": [6.484, 6.15, 5.832],
+                "construct_sec": 6.013,
+                "calibration_cpu_sec": 0.245,
+            },
+            "stream_left_outer_join_watermark_close_sf0_01": {
+                "fresh_jvm_median_sec": 6.285,
+                "fresh_jvm_samples": [6.329, 6.152, 6.285],
+                "construct_sec": 5.976,
+                "calibration_cpu_sec": 0.228,
+            },
+            "stream_full_outer_join_watermark_close_sf0_01": {
+                "fresh_jvm_median_sec": 6.095,
+                "fresh_jvm_samples": [6.702, 6.095, 5.835],
+                "construct_sec": 5.708,
+                "calibration_cpu_sec": 0.237,
+            },
+            "stream_replay_dedup_exactly_once_sf0_01": {
+                "fresh_jvm_median_sec": 2.466,
+                "fresh_jvm_samples": [2.55, 2.466, 2.336],
+                "construct_sec": 1.946,
+                "calibration_cpu_sec": 0.269,
             },
         },
     }

@@ -255,7 +255,13 @@ def test_transform_with_state_in_pandas(spark, tmp_path):
     Re-attempted round 9 (2026-08-16): the configured index now resolves
     but serves no distribution ("Could not find a version that satisfies
     the requirement protobuf (from versions: none)"); `pillow` is likewise
-    absent. Still container-gated."""
+    absent.
+
+    Re-attempted round 10 (2026-08-16): back to DNS failure — every retry
+    of `pip install protobuf` / `pillow` ends in "Failed to establish a
+    new connection: [Errno -2] Name or service not known" against the
+    configured index; `import google.protobuf` still raises
+    ModuleNotFoundError. Still container-gated."""
     pytest.importorskip("google.protobuf.descriptor")
     from pyspark.sql.streaming import StatefulProcessor
 
