@@ -1834,3 +1834,97 @@ def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "DIV exact_distinct AS BIGINT)"
         ).alias("err_ppm"),
     )
+
+
+@register(
+    "agg_interquartile_mean",
+    oracle="""
+    WITH v AS (
+        SELECT o_orderpriority AS grp,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT grp, cents, c,
+               COALESCE(SUM(c) OVER (PARTITION BY grp ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum,
+               SUM(c) OVER (PARTITION BY grp) AS n
+        FROM v
+    ),
+    part AS (
+        SELECT grp, cents, n,
+               greatest(cum + 1, n // 4 + 1) AS a,
+               least(cum + c, n - n // 4) AS z
+        FROM cum
+    )
+    SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(SUM(z - a + 1) AS BIGINT) AS n_kept,
+           CAST(SUM(CAST((z - a + 1) AS DECIMAL(38,0)) * cents) AS DOUBLE)
+               / SUM(z - a + 1) / 100 AS iq_mean
+    FROM part WHERE z >= a
+    GROUP BY grp
+    ORDER BY grp
+    """,
+    doc="Interquartile mean (25%-trimmed mean) of order value per "
+        "priority: drop the bottom and top floor(n/4) ranks, average the "
+        "middle half — the robust location estimate between the median "
+        "(agg_exact_percentile_selection) and the mean (agg_group_stats) "
+        "that a single corrupt price cannot move, and the grouped "
+        "companion to ts_winsorize_robust_mean (which clamps instead of "
+        "trimming, on the time axis). NO per-row rank exists in the "
+        "plan: rows group by (priority, cents), each value group "
+        "occupies the CONTIGUOUS rank range [cum+1, cum+c], and a "
+        "group's kept count is the closed-form overlap with the kept "
+        "span [n div 4 + 1, n - n div 4] (the ml_calibration_bins "
+        "technique); the only ordered pass is the per-priority "
+        "cumulative over the distinct-value table, bounded by the price "
+        "domain. Kept cents sum exactly in DECIMAL; the mean is one "
+        "double division. n div 4 is truncating on both engines "
+        "(non-negative, so floor == trunc). Plan: one (grp, cents) "
+        "aggregate, one partitioned bounded window, a 5-row rollup. "
+        "Reference parity: extension surface (SURVEY.md §2.B "
+        "aggregation rows).",
+)
+def agg_interquartile_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    v = o.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = Window.partitionBy("grp")
+    cum = v.select(
+        "grp",
+        "cents",
+        "c",
+        F.coalesce(F.sum("c").over(wcum), F.lit(0)).alias("cum"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    part = cum.select(
+        "grp",
+        "cents",
+        "n",
+        F.greatest(F.col("cum") + 1, F.expr("n div 4 + 1")).alias("a"),
+        F.least(F.col("cum") + F.col("c"), F.expr("n - n div 4")).alias("z"),
+    )
+    k = F.col("z") - F.col("a") + 1
+    return (
+        part.where(F.col("z") >= F.col("a"))
+        .groupBy("grp")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.sum(k).cast("long").alias("n_kept"),
+            (
+                F.sum(k.cast("decimal(38,0)") * F.col("cents")).cast("double")
+                / F.sum(k)
+                / F.lit(100)
+            ).alias("iq_mean"),
+        )
+        .orderBy("grp")
+    )

@@ -12015,3 +12015,684 @@ def analytics_cohens_d_effect_size(
             6,
         ).alias("hedges_g"),
     )
+
+
+@register(
+    "ml_tjur_r2_discrimination",
+    oracle="""
+    WITH mm AS (
+        SELECT CAST(MIN(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS min_c,
+               CAST(MAX(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS max_c
+        FROM customer
+    ),
+    scored AS (
+        SELECT CAST(round(c_acctbal * 100) AS BIGINT) - mm.min_c AS f_rel,
+               mm.max_c - mm.min_c AS rng,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS y
+        FROM customer, mm
+    ),
+    s AS (
+        SELECT CAST(count_if(y = 1) AS BIGINT) AS n1,
+               CAST(count_if(y = 0) AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN y = 1 THEN f_rel ELSE 0 END) AS BIGINT)
+                   AS rel1,
+               CAST(SUM(CASE WHEN y = 0 THEN f_rel ELSE 0 END) AS BIGINT)
+                   AS rel0,
+               CAST(MAX(rng) AS BIGINT) AS rng
+        FROM scored
+    )
+    SELECT n1, n0,
+           CAST(round(CAST(rel1 AS DOUBLE) * 1000000 / (n1 * CAST(rng AS DOUBLE)))
+                AS BIGINT) AS mean_p_pos_ppm,
+           CAST(round(CAST(rel0 AS DOUBLE) * 1000000 / (n0 * CAST(rng AS DOUBLE)))
+                AS BIGINT) AS mean_p_neg_ppm,
+           round(CAST(rel1 AS DOUBLE) / (n1 * CAST(rng AS DOUBLE))
+                 - CAST(rel0 AS DOUBLE) / (n0 * CAST(rng AS DOUBLE)), 6)
+               AS tjur_r2
+    FROM s
+    """,
+    doc="Tjur's coefficient of discrimination for the min-max-normalized "
+        "acctbal forecast of the BUILDING label: mean predicted "
+        "probability among positives minus mean among negatives — the "
+        "pseudo-R^2 with an actual operational meaning (how far apart "
+        "the score pushes the two classes on average), the one-number "
+        "companion to ml_ks_separation (max gap) and "
+        "ml_youden_j_operating_point (best threshold). Both class sums "
+        "of the integer normalized score are exact BIGINT; each mean is "
+        "a single double division and the difference is one fixed "
+        "expression, so the engines agree bitwise. Plan: one 2-scalar "
+        "min/max aggregate broadcast into ONE map-side conditional "
+        "aggregate — no wide shuffle at any scale. Reference parity: "
+        "extension surface (SURVEY.md §2.B ML rows).",
+)
+def ml_tjur_r2_discrimination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    base = cust.select(
+        cents.alias("s"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("y"),
+    )
+    mm = base.agg(
+        F.min("s").cast("long").alias("min_c"),
+        F.max("s").cast("long").alias("max_c"),
+    )
+    s = (
+        base.crossJoin(F.broadcast(mm))
+        .select(
+            (F.col("s") - F.col("min_c")).alias("f_rel"),
+            (F.col("max_c") - F.col("min_c")).alias("rng"),
+            "y",
+        )
+        .agg(
+            F.count_if(F.col("y") == 1).cast("long").alias("n1"),
+            F.count_if(F.col("y") == 0).cast("long").alias("n0"),
+            F.sum(F.when(F.col("y") == 1, F.col("f_rel")).otherwise(0))
+            .cast("long")
+            .alias("rel1"),
+            F.sum(F.when(F.col("y") == 0, F.col("f_rel")).otherwise(0))
+            .cast("long")
+            .alias("rel0"),
+            F.max("rng").cast("long").alias("rng"),
+        )
+    )
+    p1 = F.col("rel1").cast("double") / (F.col("n1") * F.col("rng").cast("double"))
+    p0 = F.col("rel0").cast("double") / (F.col("n0") * F.col("rng").cast("double"))
+    return s.select(
+        "n1",
+        "n0",
+        F.round(p1 * F.lit(1_000_000)).cast("long").alias("mean_p_pos_ppm"),
+        F.round(p0 * F.lit(1_000_000)).cast("long").alias("mean_p_neg_ppm"),
+        F.round(p1 - p0, 6).alias("tjur_r2"),
+    )
+
+
+@register(
+    "analytics_sample_ratio_mismatch",
+    oracle="""
+    WITH units AS (
+        SELECT DISTINCT user_id FROM events
+    ),
+    arms AS (
+        SELECT user_id % 3 AS variant, CAST(COUNT(*) AS BIGINT) AS n_units
+        FROM units GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_units) AS BIGINT) AS n FROM arms)
+    SELECT CAST(variant AS BIGINT) AS variant, n_units,
+           CAST(CAST(n AS HUGEINT) * 1000000 // 3 AS BIGINT)
+               AS expected_units_micro,
+           CAST(CAST(3 * n_units - n AS HUGEINT) * (3 * n_units - n)
+                * 1000000 // (CAST(3 AS HUGEINT) * n)
+                AS BIGINT) AS chi2_contrib_micro
+    FROM arms CROSS JOIN tot
+    ORDER BY variant
+    """,
+    doc="Sample-ratio-mismatch (SRM) audit for a 3-arm experiment with "
+        "deterministic unit assignment user_id % 3: observed unit count "
+        "per arm vs the n/3 expectation and each arm's chi-square "
+        "contribution (O-E)^2/E — THE guardrail test every experiment "
+        "readout must pass first, because a significant SRM (df=2 here) "
+        "means the assignment or logging is broken and every downstream "
+        "metric (analytics_ab_welch_ttest, analytics_two_proportion_ab) "
+        "is untrustworthy. Contributions evaluate exactly: (3*O - n) is "
+        "integer, squared in HUGEINT/DECIMAL(38,0), micro-scaled and "
+        "floor-divided by 3n — both engines produce identical BIGINTs. "
+        "Plan: one distinct-user shuffle (the experiment-unit dedup), a "
+        "3-row aggregate, a broadcast 1-row total. Reference parity: "
+        "extension surface (SURVEY.md §2.B analytics rows).",
+)
+def analytics_sample_ratio_mismatch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    units = e.select("user_id").distinct()
+    arms = units.groupBy((F.col("user_id") % 3).alias("variant")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_units")
+    )
+    tot = arms.agg(F.sum("n_units").cast("long").alias("n"))
+    return (
+        arms.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("variant").cast("long").alias("variant"),
+            "n_units",
+            F.expr(
+                "CAST(CAST(n AS DECIMAL(38,0)) * 1000000 DIV 3 AS BIGINT)"
+            ).alias("expected_units_micro"),
+            F.expr(
+                "CAST(CAST(3 * n_units - n AS DECIMAL(38,0))"
+                " * (3 * n_units - n) * 1000000"
+                " DIV (CAST(3 AS DECIMAL(38,0)) * n) AS BIGINT)"
+            ).alias("chi2_contrib_micro"),
+        )
+        .orderBy("variant")
+    )
+
+
+@register(
+    "ml_log_loss_forecast",
+    oracle="""
+    WITH mm AS (
+        SELECT CAST(MIN(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS min_c,
+               CAST(MAX(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS max_c
+        FROM customer
+    ),
+    scored AS (
+        SELECT CAST(round(c_acctbal * 100) AS BIGINT) - mm.min_c AS f_rel,
+               mm.max_c - mm.min_c AS rng,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS y
+        FROM customer, mm
+    ),
+    g AS (
+        SELECT f_rel, rng, y, CAST(COUNT(*) AS BIGINT) AS c
+        FROM scored GROUP BY 1, 2, 3
+    ),
+    terms AS (
+        SELECT c, y,
+               CAST(round(c * ln(CASE WHEN y = 1
+                    THEN CAST(f_rel + 1 AS DOUBLE) / (rng + 2)
+                    ELSE CAST(rng + 1 - f_rel AS DOUBLE) / (rng + 2) END)
+                    * 1000000) AS BIGINT) AS ll_micro
+        FROM g
+    )
+    SELECT CAST(SUM(c) AS BIGINT) AS n,
+           CAST(SUM(c * y) AS BIGINT) AS n_pos,
+           round(-CAST(SUM(ll_micro) AS DOUBLE) / SUM(c) / 1000000, 6)
+               AS log_loss_nats
+    FROM terms
+    """,
+    doc="Mean log loss (cross-entropy, nats) of the Laplace-smoothed "
+        "min-max acctbal forecast p = (f_rel+1)/(rng+2) against the "
+        "BUILDING label — the PROPER scoring rule that punishes "
+        "confident wrong probabilities where Brier "
+        "(ml_brier_decomposition) is gentle, completing the proper-"
+        "scoring pair; the +1/+2 smoothing keeps p strictly inside "
+        "(0,1) so ln never sees 0. Per-(score,label) GROUP terms "
+        "c*ln(p) follow the repo's quantize-to-1e-6-then-sum "
+        "ln-determinism convention (the grouped table is bounded by the "
+        "score value domain, not the row count), and the final mean is "
+        "one double division. Plan: one 2-scalar min/max aggregate "
+        "broadcast into a value-domain groupBy, then a 1-row rollup. "
+        "Reference parity: extension surface (SURVEY.md §2.B ML rows).",
+)
+def ml_log_loss_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    base = cust.select(
+        cents.alias("s"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("y"),
+    )
+    mm = base.agg(
+        F.min("s").cast("long").alias("min_c"),
+        F.max("s").cast("long").alias("max_c"),
+    )
+    g = (
+        base.crossJoin(F.broadcast(mm))
+        .select(
+            (F.col("s") - F.col("min_c")).alias("f_rel"),
+            (F.col("max_c") - F.col("min_c")).alias("rng"),
+            "y",
+        )
+        .groupBy("f_rel", "rng", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    p = F.when(
+        F.col("y") == 1,
+        (F.col("f_rel") + 1).cast("double") / (F.col("rng") + 2),
+    ).otherwise(
+        (F.col("rng") + 1 - F.col("f_rel")).cast("double") / (F.col("rng") + 2)
+    )
+    terms = g.select(
+        "c",
+        "y",
+        F.round(F.col("c") * F.log(p) * F.lit(1_000_000))
+        .cast("long")
+        .alias("ll_micro"),
+    )
+    return terms.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("y")).cast("long").alias("n_pos"),
+        F.round(
+            -F.sum("ll_micro").cast("double")
+            / F.sum("c")
+            / F.lit(1_000_000),
+            6,
+        ).alias("log_loss_nats"),
+    )
+
+
+def _gain_ratio_sql(feature_expr: str, feature_name: str) -> str:
+    return f"""
+    SELECT '{feature_name}' AS feature, n,
+           h_label_micro, h_cond_micro, h_split_micro,
+           h_label_micro - h_cond_micro AS info_gain_micro,
+           round(CAST(h_label_micro - h_cond_micro AS DOUBLE)
+                 / h_split_micro, 6) AS gain_ratio
+    FROM (
+        WITH lab AS (
+            SELECT {feature_expr} AS x,
+                   CASE WHEN CAST(round(c_acctbal * 100) AS BIGINT) > 450000
+                        THEN 1 ELSE 0 END AS y
+            FROM customer
+        ),
+        xy AS (
+            SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c
+            FROM lab GROUP BY 1, 2
+        ),
+        xm AS (
+            SELECT x, CAST(SUM(c) AS BIGINT) AS n_x FROM xy GROUP BY 1
+        ),
+        ym AS (
+            SELECT y, CAST(SUM(c) AS BIGINT) AS n_y FROM xy GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM xy),
+        hy AS (
+            SELECT CAST(SUM(CAST(round(n_y * ln(CAST(n AS DOUBLE) / n_y)
+                                       * 1000000) AS BIGINT)) AS BIGINT)
+                       AS s
+            FROM ym CROSS JOIN tot
+        ),
+        hcond AS (
+            SELECT CAST(SUM(CAST(round(c * ln(CAST(n_x AS DOUBLE) / c)
+                                       * 1000000) AS BIGINT)) AS BIGINT)
+                       AS s
+            FROM xy JOIN xm USING (x)
+        ),
+        hx AS (
+            SELECT CAST(SUM(CAST(round(n_x * ln(CAST(n AS DOUBLE) / n_x)
+                                       * 1000000) AS BIGINT)) AS BIGINT)
+                       AS s
+            FROM xm CROSS JOIN tot
+        )
+        SELECT tot.n,
+               CAST(hy.s // tot.n AS BIGINT) AS h_label_micro,
+               CAST(hcond.s // tot.n AS BIGINT) AS h_cond_micro,
+               CAST(hx.s // tot.n AS BIGINT) AS h_split_micro
+        FROM tot, hy, hcond, hx
+    )
+    """
+
+
+@register(
+    "ml_information_gain_ratio",
+    oracle=" UNION ALL ".join(
+        [
+            _gain_ratio_sql("c_mktsegment", "c_mktsegment"),
+            _gain_ratio_sql("CAST(c_nationkey AS VARCHAR)", "c_nationkey"),
+        ]
+    ),
+    doc="C4.5-style information gain ratio of two categorical features "
+        "(market segment, nation) for the high-balance label "
+        "(acctbal > 4500): IG = H(Y) - H(Y|X) normalized by the split "
+        "information H(X), the correction that stops raw information "
+        "gain (and ml_mutual_information, its unnormalized sibling) "
+        "from mechanically favoring high-cardinality features — the "
+        "feature-selection gate a tree induction (ml_decision_stump, "
+        "ml_decision_tree_depth2) runs first. Every entropy is the "
+        "repo's quantized c*ln(n/c) integer-micro sum over BOUNDED "
+        "group tables (|Y|=2, |X|<=25, |X x Y|<=50), floor-divided by "
+        "n in integers; only the final ratio divides in double. Plan: "
+        "per feature ONE (x,y) groupBy feeding three bounded rollups "
+        "joined as 1-row broadcasts; 2 output rows. Reference parity: "
+        "extension surface (SURVEY.md §2.B ML rows).",
+)
+def ml_information_gain_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    label = (F.round(F.col("c_acctbal") * 100).cast("long") > 450000).cast(
+        "int"
+    )
+    out = None
+    for name, expr in [
+        ("c_mktsegment", F.col("c_mktsegment")),
+        ("c_nationkey", F.col("c_nationkey").cast("string")),
+    ]:
+        lab = cust.select(expr.alias("x"), label.alias("y"))
+        xy = lab.groupBy("x", "y").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        xm = xy.groupBy("x").agg(F.sum("c").cast("long").alias("n_x"))
+        ym = xy.groupBy("y").agg(F.sum("c").cast("long").alias("n_y"))
+        tot = xy.agg(F.sum("c").cast("long").alias("n"))
+
+        def ent_sum(df, cnt_col, base_col, alias):
+            return df.agg(
+                F.sum(
+                    F.round(
+                        F.col(cnt_col)
+                        * F.log(F.col(base_col).cast("double") / F.col(cnt_col))
+                        * F.lit(1_000_000)
+                    ).cast("long")
+                )
+                .cast("long")
+                .alias(alias)
+            )
+
+        hy = ent_sum(ym.crossJoin(F.broadcast(tot)), "n_y", "n", "s_y")
+        hcond = ent_sum(xy.join(xm, "x"), "c", "n_x", "s_c")
+        hx = ent_sum(xm.crossJoin(F.broadcast(tot)), "n_x", "n", "s_x")
+        row = (
+            tot.crossJoin(F.broadcast(hy))
+            .crossJoin(F.broadcast(hcond))
+            .crossJoin(F.broadcast(hx))
+            .select(
+                F.lit(name).alias("feature"),
+                "n",
+                F.expr("CAST(s_y DIV n AS BIGINT)").alias("h_label_micro"),
+                F.expr("CAST(s_c DIV n AS BIGINT)").alias("h_cond_micro"),
+                F.expr("CAST(s_x DIV n AS BIGINT)").alias("h_split_micro"),
+            )
+            .select(
+                "feature",
+                "n",
+                "h_label_micro",
+                "h_cond_micro",
+                "h_split_micro",
+                (F.col("h_label_micro") - F.col("h_cond_micro")).alias(
+                    "info_gain_micro"
+                ),
+                F.round(
+                    (F.col("h_label_micro") - F.col("h_cond_micro")).cast(
+                        "double"
+                    )
+                    / F.col("h_split_micro"),
+                    6,
+                ).alias("gain_ratio"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@register(
+    "graph_degree_gini",
+    oracle="""
+    WITH deg AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS k
+        FROM orders GROUP BY o_custkey
+    ),
+    dist AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n_k FROM deg GROUP BY k
+    ),
+    cum AS (
+        SELECT k, n_k,
+               COALESCE(SUM(n_k) OVER (ORDER BY k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS c0,
+               SUM(n_k) OVER () AS n
+        FROM dist
+    ),
+    s AS (
+        SELECT CAST(MAX(n) AS BIGINT) AS n,
+               CAST(SUM(CAST(k AS HUGEINT) * n_k) AS BIGINT) AS t,
+               CAST(SUM(CAST(k AS HUGEINT)
+                        * (((c0 + 1) + (c0 + n_k)) * n_k // 2))
+                    AS HUGEINT) AS rank_value_sum
+        FROM cum
+    )
+    SELECT n AS n_nodes, t AS total_degree,
+           round(2.0 * CAST(rank_value_sum AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * t)
+                 - CAST(n + 1 AS DOUBLE) / n, 6) AS degree_gini
+    FROM s
+    """,
+    doc="Gini coefficient of the degree distribution (orders per "
+        "customer): how unequally connectivity is spread across nodes — "
+        "0 = every key equally loaded, ->1 = a few hubs own the graph; "
+        "the single-number skew summary that complements "
+        "graph_degree_powerlaw_fit (tail SHAPE) and "
+        "agg_key_skew_profile, and the first thing to check before "
+        "choosing hub caps or salting for a join on this key. NO "
+        "per-node rank exists: the sorted-rank identity "
+        "G = 2*sum(rank*k)/(n*T) - (n+1)/n evaluates on the degree-"
+        "DOMAIN distribution, where each degree's ranks are the "
+        "contiguous block [cum+1, cum+n_k] with exact closed-form rank "
+        "sum (a+z)(z-a+1)/2 — always-even product, exact in "
+        "HUGEINT/DECIMAL(38,0); the one ordered pass is bounded by max "
+        "degree, not node count. Plan: two narrow aggregates, one "
+        "bounded window, a 1-row fold. Reference parity: extension "
+        "surface (SURVEY.md §2.B graph rows).",
+)
+def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    deg = o.groupBy("o_custkey").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    dist = deg.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n_k"))
+    wcum = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = dist.select(
+        "k",
+        "n_k",
+        F.coalesce(F.sum("n_k").over(wcum), F.lit(0)).alias("c0"),
+        F.sum("n_k").over(wall).alias("n"),
+    )
+    d38 = "decimal(38,0)"
+    s = cum.agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(F.col("k").cast(d38) * F.col("n_k")).cast("long").alias("t"),
+        F.sum(
+            F.col("k").cast(d38)
+            * F.expr("(((c0 + 1) + (c0 + n_k)) * n_k DIV 2)")
+        )
+        .cast(d38)
+        .alias("rank_value_sum"),
+    )
+    return s.select(
+        F.col("n").alias("n_nodes"),
+        F.col("t").alias("total_degree"),
+        F.round(
+            F.lit(2.0)
+            * F.col("rank_value_sum").cast("double")
+            / (F.col("n").cast("double") * F.col("t"))
+            - (F.col("n") + 1).cast("double") / F.col("n"),
+            6,
+        ).alias("degree_gini"),
+    )
+
+
+@register(
+    "analytics_event_burstiness_histogram",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP))
+               - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                 OVER (PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap
+        FROM events
+    ),
+    mom AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(CAST(gap AS HUGEINT)) AS HUGEINT) AS s1,
+               CAST(SUM(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS s2
+        FROM gaps WHERE gap IS NOT NULL
+        GROUP BY user_id HAVING COUNT(*) >= 2
+    ),
+    b AS (
+        SELECT (sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / m) / m)
+                - CAST(s1 AS DOUBLE) / m)
+               / (sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / m) / m)
+                  + CAST(s1 AS DOUBLE) / m) AS burstiness
+        FROM mom
+    )
+    SELECT CAST(least(floor((burstiness + 1.0) * 5), 9) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM b GROUP BY 1 ORDER BY 1
+    """,
+    doc="Burstiness histogram of per-user inter-event gaps: Goh-Barabasi "
+        "B = (sigma - mu)/(sigma + mu) per user (>= 2 gaps), binned into "
+        "10 equal buckets over [-1, 1] — B near -1 = metronome-regular "
+        "users, 0 = Poisson, ->1 = heavy bursts; the user-behavior "
+        "analog of text_burstiness_dispersion and the traffic-shape "
+        "input to capacity planning that rate averages hide. Gap "
+        "moments are exact integer-microsecond sums (squares in "
+        "HUGEINT/DECIMAL(38,0)); each user's B is ONE fixed double "
+        "expression of (m, s1, s2), so both engines bin identically "
+        "(floor of bitwise-equal doubles). Plan: one per-user lag "
+        "window on the natural (user_id) partitioning, a per-user "
+        "3-moment aggregate on the SAME key (no extra shuffle), a "
+        "10-row rollup. Reference parity: extension surface "
+        "(SURVEY.md §2.B analytics rows).",
+)
+def analytics_event_burstiness_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").cast("timestamp"), "event_id"
+    )
+    gaps = e.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    d38 = "decimal(38,0)"
+    mom = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum(F.col("gap").cast(d38)).alias("s1"),
+            F.sum(F.col("gap").cast(d38) * F.col("gap")).alias("s2"),
+        )
+        .where(F.col("m") >= 2)
+    )
+    sd = F.sqrt(
+        (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1") / F.col("m")
+        )
+        / F.col("m")
+    )
+    mu = F.col("s1").cast("double") / F.col("m")
+    b = mom.select(((sd - mu) / (sd + mu)).alias("burstiness"))
+    return (
+        b.groupBy(
+            F.least(
+                F.floor((F.col("burstiness") + F.lit(1.0)) * 5), F.lit(9)
+            )
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("bin")
+    )
+
+
+@register(
+    "analytics_ratio_metric_delta_var",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c.c_custkey, c.c_mktsegment AS segment,
+               CAST(COALESCE(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)),
+                             0) AS BIGINT) AS x,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS y
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    mom AS (
+        SELECT segment,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        FROM per_cust GROUP BY segment
+    ),
+    c AS (
+        SELECT segment, CAST(n AS BIGINT) AS n,
+               CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+               CAST(n * sxx - sx * sx AS DOUBLE) AS msxx,
+               CAST(n * sxy - sx * sy AS DOUBLE) AS msxy,
+               CAST(n * syy - sy * sy AS DOUBLE) AS msyy
+        FROM mom
+    )
+    SELECT segment, n,
+           round(sxd / syd / 100, 6) AS revenue_per_order,
+           round(sqrt((msxx
+                       - 2 * (sxd / syd) * msxy
+                       + (sxd / syd) * (sxd / syd) * msyy)
+                      / (CAST(n AS DOUBLE) * (n - 1))
+                      / ((syd / n) * (syd / n)) / n) / 100, 6)
+               AS se_delta
+    FROM c ORDER BY segment
+    """,
+    doc="Delta-method standard error of the ratio metric revenue-per-"
+        "order by segment: Var(sum X / sum Y) ~ (s_x^2 - 2R s_xy + R^2 "
+        "s_y^2) / (n ybar^2) over per-CUSTOMER (revenue, order-count) "
+        "pairs — the correct uncertainty for cluster-randomized ratio "
+        "metrics, where naively treating per-order revenue as i.i.d. "
+        "(analytics_ab_welch_ttest's regime) understates the variance "
+        "because orders within a customer correlate; customers with "
+        "zero orders stay in the denominator via the left join. The "
+        "five cross-moments are exact HUGEINT/DECIMAL(38,0) sums of "
+        "integer cents/counts; R, the centered m-scaled (co)variances, "
+        "and the final sqrt evaluate in ONE fixed double expression. "
+        "Plan: one broadcast-dim join, a per-customer rollup, a 5-group "
+        "moment fold. Reference parity: extension surface (SURVEY.md "
+        "§2.B analytics rows).",
+)
+def analytics_ratio_metric_delta_var(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy(c["c_custkey"], F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.coalesce(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(18,0)")),
+                F.lit(0).cast("decimal(18,0)"),
+            )
+            .cast("long")
+            .alias("x"),
+            F.count("o_orderkey").cast("long").alias("y"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    mom = per_cust.groupBy("segment").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).alias("syy"),
+    )
+    cc = mom.select(
+        "segment",
+        F.col("n").cast("long").alias("n"),
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sy").cast("double").alias("syd"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+        .alias("msxx"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double")
+        .alias("msxy"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("double")
+        .alias("msyy"),
+    )
+    r = F.col("sxd") / F.col("syd")
+    return cc.select(
+        "segment",
+        "n",
+        F.round(r / F.lit(100), 6).alias("revenue_per_order"),
+        F.round(
+            F.sqrt(
+                (
+                    F.col("msxx")
+                    - F.lit(2) * r * F.col("msxy")
+                    + r * r * F.col("msyy")
+                )
+                / (F.col("n").cast("double") * (F.col("n") - 1))
+                / ((F.col("syd") / F.col("n")) * (F.col("syd") / F.col("n")))
+                / F.col("n")
+            )
+            / F.lit(100),
+            6,
+        ).alias("se_delta"),
+    ).orderBy("segment")

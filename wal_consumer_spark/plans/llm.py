@@ -5533,3 +5533,115 @@ def ml_krippendorff_alpha_binary(
             "AS BIGINT)"
         ).alias("alpha_ppm"),
     )
+
+
+@register(
+    "multimodal_payload_byte_entropy",
+    oracle="""
+    WITH media AS (
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               substring(hex(encode(text)), 1, 128) AS h
+        FROM documents
+    ),
+    bytes_tbl AS (
+        SELECT kind, substring(h, 2 * i - 1, 2) AS b
+        FROM media
+        CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) pos
+        WHERE 2 * i - 1 <= length(h)
+    ),
+    cnt AS (
+        SELECT kind, b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM bytes_tbl GROUP BY kind, b
+    ),
+    tot AS (
+        SELECT kind, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(MAX(c) AS BIGINT) AS top_c
+        FROM cnt GROUP BY kind
+    ),
+    ent AS (
+        SELECT cnt.kind,
+               CAST(SUM(CAST(round(c * ln(CAST(t.n AS DOUBLE) / c)
+                                   * 1000000) AS BIGINT)) AS BIGINT) AS s
+        FROM cnt JOIN tot t ON t.kind = cnt.kind
+        GROUP BY cnt.kind
+    )
+    SELECT t.kind, t.n AS n_bytes, t.n_distinct AS distinct_bytes,
+           round(CAST(t.top_c AS DOUBLE) / t.n, 6) AS top_byte_share,
+           round(CAST(e.s AS DOUBLE) / t.n / 1000000, 6) AS byte_entropy_nats
+    FROM tot t JOIN ent e ON e.kind = t.kind
+    ORDER BY t.kind
+    """,
+    doc="Byte-level entropy QC of opaque media payloads (first 64 bytes "
+        "per item, per kind): Shannon entropy and top-byte share of the "
+        "byte-value distribution — the codec-free health check that "
+        "separates plausibly-encoded payloads (high entropy for "
+        "compressed media, mid for text) from constant/zero-filled/"
+        "truncated corruption (entropy ~0, one byte dominating), which "
+        "is exactly the triage a 100 TB media lake needs BEFORE paying "
+        "for real decode; complements multimodal_kind_stats (sizes) and "
+        "the format-magic conformance audit. The byte extraction is a "
+        "pure JVM expression (binary substring -> hex -> fixed 64-way "
+        "position explode — no Python in the path); byte counts are "
+        "exact, entropy terms follow the quantize-c*ln(n/c)-to-1e-6 "
+        "convention over <=256 groups per kind. Plan: one bounded "
+        "explode scan (64x row fanout of a 2-column projection), one "
+        "(kind, byte) aggregate, two bounded rollups. Reference parity: "
+        "multimodal extension surface (SURVEY.md §2.B multimodal rows; "
+        "payload bytes generalize entity_bytes, WalEntity.java:38-39).",
+)
+def multimodal_payload_byte_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_media_columns(d, "doc_id", "text", "source").select(
+        "kind",
+        F.expr("substring(hex(payload), 1, 128)").alias("h"),
+    )
+    bytes_tbl = media.select(
+        "kind",
+        F.explode(F.sequence(F.lit(1), F.lit(64))).alias("i"),
+        "h",
+    ).where(F.expr("2 * i - 1 <= length(h)")).select(
+        "kind", F.expr("substring(h, 2 * i - 1, 2)").alias("b")
+    )
+    cnt = bytes_tbl.groupBy("kind", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = cnt.groupBy("kind").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.max("c").cast("long").alias("top_c"),
+    )
+    ent = (
+        cnt.join(tot.select("kind", "n"), "kind")
+        .groupBy("kind")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("c")
+                    * F.log(F.col("n").cast("double") / F.col("c"))
+                    * F.lit(1_000_000)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    return (
+        tot.join(ent, "kind")
+        .select(
+            "kind",
+            F.col("n").alias("n_bytes"),
+            F.col("n_distinct").alias("distinct_bytes"),
+            F.round(F.col("top_c").cast("double") / F.col("n"), 6).alias(
+                "top_byte_share"
+            ),
+            F.round(
+                F.col("s").cast("double") / F.col("n") / F.lit(1_000_000), 6
+            ).alias("byte_entropy_nats"),
+        )
+        .orderBy("kind")
+    )

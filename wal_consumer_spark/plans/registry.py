@@ -119,7 +119,24 @@ DRIVER_WINDOW: list[str] = [
 #: authoring time. The 436 previously-certified names plus this
 #: window's 50 close at 485/485 when CORRECTNESS_r10 lands; names
 #: staged here certify in round 11.
-NEXT_WINDOW: list[str] = []
+NEXT_WINDOW: list[str] = [
+    # --- round-10 session additions (certify in round 11) ---
+    "text_yule_k_by_source",
+    "ml_tjur_r2_discrimination",
+    "analytics_sample_ratio_mismatch",
+    "ts_permutation_entropy",
+    "ts_kpss_level_stat",
+    "ts_dickey_fuller_lag0",
+    "ml_log_loss_forecast",
+    "ml_information_gain_ratio",
+    "ml_ols_influence_cooks_distance",
+    "ts_spectral_entropy",
+    "agg_interquartile_mean",
+    "graph_degree_gini",
+    "analytics_event_burstiness_histogram",
+    "analytics_ratio_metric_delta_var",
+    "multimodal_payload_byte_entropy",
+]
 
 #: Overflow staging for additions beyond a single round-10 window.
 FUTURE_WINDOW: list[str] = []

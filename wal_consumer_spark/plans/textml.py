@@ -2551,3 +2551,60 @@ def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(n_latin_ext) * 1000000 DIV SUM(n_total) AS BIGINT)"
         ).alias("latin_ext_ppm"),
     )
+
+
+@register(
+    "text_yule_k_by_source",
+    oracle=f"""
+    WITH occ AS (
+        SELECT source, unnest({_TOKS}) AS tok FROM documents
+    ),
+    cnt AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM occ GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(c * c) AS BIGINT) AS sum_freq_sq,
+           round(CAST(SUM(c * c) - SUM(c) AS DOUBLE) * 10000
+                 / (CAST(SUM(c) AS DOUBLE) * SUM(c)), 6) AS yule_k
+    FROM cnt GROUP BY source
+    """,
+    doc="Yule's characteristic K per source: 10^4 * (sum(c^2) - N) / N^2 "
+        "over the token frequency spectrum — the classic vocabulary-"
+        "richness constant that, unlike raw type-token ratio, is "
+        "(asymptotically) LENGTH-INVARIANT, so sources of very different "
+        "sizes compare honestly; high K = repetitive/templated text, "
+        "low K = lexically rich. Complements text_hapax_ratio_by_source "
+        "(novelty tail) and text_simpson_lexical_diversity (which is "
+        "K's normalized sibling — Yule's K ~ 10^4 * Simpson repeat "
+        "rate) with the form corpus-linguistics tooling reports. Both "
+        "moments are exact BIGINT sums over the (source, token) count "
+        "table; the single division happens once in double. Plan: one "
+        "tokenize-explode scan -> (source, token) count -> bounded "
+        "per-source rollup — the same two-shuffle shape as every "
+        "frequency-spectrum op here; c^2 stays in int64 to ~2e9 "
+        "occurrences of one token per source. Reference parity: "
+        "extension surface (SURVEY.md §2.B text rows).",
+)
+def text_yule_k_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wal_consumer_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    cnt = occ.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n = F.sum("c").cast("long")
+    sq = F.sum(F.col("c") * F.col("c")).cast("long")
+    return cnt.groupBy("source").agg(
+        n.alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        sq.alias("sum_freq_sq"),
+        F.round(
+            (sq - n).cast("double") * F.lit(10000)
+            / (n.cast("double") * n),
+            6,
+        ).alias("yule_k"),
+    )

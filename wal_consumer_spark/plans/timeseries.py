@@ -4368,3 +4368,549 @@ def ts_value_at_risk_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cvar_cents_x100"),
         )
     )
+
+
+@register(
+    "ts_permutation_entropy",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS d,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ),
+    win AS (
+        SELECT cents AS x1,
+               lead(cents, 1) OVER (ORDER BY d) AS x2,
+               lead(cents, 2) OVER (ORDER BY d) AS x3
+        FROM daily
+    ),
+    pat AS (
+        SELECT (CAST(x2 < x1 AS INT) + CAST(x3 < x1 AS INT)) * 100
+               + (CAST(x1 < x2 AS INT) + CAST(x3 < x2 AS INT)
+                  + CAST(x1 = x2 AS INT)) * 10
+               + (CAST(x1 < x3 AS INT) + CAST(x2 < x3 AS INT)
+                  + CAST(x1 = x3 AS INT) + CAST(x2 = x3 AS INT))
+                   AS pattern
+        FROM win WHERE x3 IS NOT NULL
+    ),
+    cnt AS (
+        SELECT pattern, CAST(COUNT(*) AS BIGINT) AS c FROM pat GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS m FROM cnt),
+    terms AS (
+        SELECT c, m,
+               CAST(round(c * ln(CAST(m AS DOUBLE) / c) * 1000000) AS BIGINT)
+                   AS ent_micro
+        FROM cnt CROSS JOIN tot
+    )
+    SELECT CAST(MAX(m) AS BIGINT) AS m_windows,
+           CAST(COUNT(*) AS BIGINT) AS n_patterns,
+           round(CAST(SUM(ent_micro) AS DOUBLE) / MAX(m) / 1000000, 6)
+               AS entropy_nats,
+           round(CAST(SUM(ent_micro) AS DOUBLE) / MAX(m) / 1000000
+                 / 1.791759469228055, 6) AS normalized_h
+    FROM terms
+    """,
+    doc="Permutation entropy (Bandt-Pompe, order 3) of the daily-revenue "
+        "series: each overlapping 3-day window maps to its ordinal "
+        "pattern (ranks computed with the stable earlier-index tie rule, "
+        "so equal values can never make the engines disagree), and the "
+        "Shannon entropy of the 6-pattern distribution — normalized by "
+        "ln(6) as a double LITERAL, never a cross-engine ln() call — "
+        "measures dynamical complexity: ~1 = white noise, low = "
+        "persistent trends/cycles. The complexity-theoretic complement "
+        "to ts_runs_test_wald_wolfowitz (direction randomness) and "
+        "ts_acf_daily (linear memory); robust to monotone transforms of "
+        "the values. Entropy terms c*ln(m/c) follow the repo's "
+        "quantize-to-1e-6-per-group-then-sum ln-determinism convention "
+        "over a <=6-row group table. Plan: one date aggregate, two lead "
+        "windows over the bounded day grid, a 6-row rollup. Reference "
+        "parity: extension surface (SURVEY.md §2.C time-series rows).",
+)
+def ts_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("d")
+    win = daily.select(
+        F.col("cents").alias("x1"),
+        F.lead("cents", 1).over(w).alias("x2"),
+        F.lead("cents", 2).over(w).alias("x3"),
+    )
+    pat = win.where(F.col("x3").isNotNull()).select(
+        F.expr(
+            "(CAST(x2 < x1 AS INT) + CAST(x3 < x1 AS INT)) * 100"
+            " + (CAST(x1 < x2 AS INT) + CAST(x3 < x2 AS INT)"
+            "    + CAST(x1 = x2 AS INT)) * 10"
+            " + (CAST(x1 < x3 AS INT) + CAST(x2 < x3 AS INT)"
+            "    + CAST(x1 = x3 AS INT) + CAST(x2 = x3 AS INT))"
+        ).alias("pattern")
+    )
+    cnt = pat.groupBy("pattern").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = cnt.agg(F.sum("c").cast("long").alias("m"))
+    terms = cnt.crossJoin(F.broadcast(tot)).select(
+        "c",
+        "m",
+        F.round(
+            F.col("c")
+            * F.log(F.col("m").cast("double") / F.col("c"))
+            * F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("ent_micro"),
+    )
+    ent = F.sum("ent_micro").cast("double") / F.max("m") / F.lit(1_000_000)
+    return terms.agg(
+        F.max("m").cast("long").alias("m_windows"),
+        F.count(F.lit(1)).cast("long").alias("n_patterns"),
+        F.round(ent, 6).alias("entropy_nats"),
+        F.round(ent / F.lit(1.791759469228055), 6).alias("normalized_h"),
+    )
+
+
+@register(
+    "ts_kpss_level_stat",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS d,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ),
+    seq AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY d) AS t,
+               SUM(cents) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS ps,
+               COUNT(*) OVER () AS n,
+               SUM(cents) OVER () AS tot
+        FROM daily
+    ),
+    scaled AS (
+        SELECT n,
+               CAST(n AS HUGEINT) * ps - CAST(t AS HUGEINT) * tot AS s_scaled,
+               CAST(n AS HUGEINT) * cents - tot AS e_scaled
+        FROM seq
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+           round(CAST(SUM(s_scaled * s_scaled) AS DOUBLE)
+                 / (CAST(MAX(n) AS DOUBLE)
+                    * CAST(SUM(e_scaled * e_scaled) AS DOUBLE)), 9)
+               AS kpss_stat
+    FROM scaled
+    """,
+    doc="KPSS level-stationarity statistic (lag-0 long-run variance) for "
+        "the daily-revenue series: eta = sum(S_t^2) / (n^2 * sigma^2) "
+        "with S_t the partial sums of mean-residuals — the NULL here is "
+        "stationarity, making it the mirror-image companion to the "
+        "Dickey-Fuller test (null = unit root): run both and the four "
+        "outcomes separate trend-stationary from difference-stationary "
+        "series. EVERYTHING before the final division is exact integer "
+        "arithmetic on n-scaled residuals (n*PS_t - t*T and n*x_t - T "
+        "clear the 1/n rationals; squares live in HUGEINT/DECIMAL(38,0) "
+        "with headroom past 1e30), then eta = sum_S2 / (n * sum_E2) "
+        "cancels every scale factor in one double division. The "
+        "cumulative windows run over the bounded day grid (the repo's "
+        "value-domain window rule). Plan: one date aggregate, one "
+        "ordered pass, one 1-row rollup. Reference parity: extension "
+        "surface (SURVEY.md §2.C time-series rows).",
+)
+def ts_kpss_level_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("d")
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    seq = daily.select(
+        "cents",
+        F.row_number().over(w).alias("t"),
+        F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("ps"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("cents").over(wall).alias("tot"),
+    )
+    scaled = seq.select(
+        "n",
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("ps")
+            - F.col("t").cast("decimal(38,0)") * F.col("tot")
+        ).alias("s_scaled"),
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("cents") - F.col("tot")
+        ).alias("e_scaled"),
+    )
+    return scaled.agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.round(
+            F.sum(F.col("s_scaled") * F.col("s_scaled")).cast("double")
+            / (
+                F.max("n").cast("double")
+                * F.sum(F.col("e_scaled") * F.col("e_scaled")).cast("double")
+            ),
+            9,
+        ).alias("kpss_stat"),
+    )
+
+
+@register(
+    "ts_dickey_fuller_lag0",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS d,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ),
+    pairs AS (
+        SELECT lag(cents) OVER (ORDER BY d) AS xl,
+               cents - lag(cents) OVER (ORDER BY d) AS dx
+        FROM daily
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+               CAST(SUM(CAST(xl AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(SUM(CAST(dx AS HUGEINT)) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(xl AS HUGEINT) * xl) AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(xl AS HUGEINT) * dx) AS HUGEINT) AS sxy,
+               CAST(SUM(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS syy
+        FROM pairs WHERE xl IS NOT NULL
+    ),
+    c AS (
+        SELECT CAST(m AS BIGINT) AS m,
+               CAST(m * sxx - sx * sx AS DOUBLE) AS msxx,
+               CAST(m * sxy - sx * sy AS DOUBLE) AS msxy,
+               CAST(m * syy - sy * sy AS DOUBLE) AS msyy
+        FROM s
+    )
+    SELECT m,
+           round(msxy / msxx, 9) AS adf_slope,
+           round((msxy / msxx)
+                 / sqrt((msyy - (msxy / msxx) * msxy)
+                        / ((m - 2) * msxx)), 6) AS adf_t_stat
+    FROM c
+    """,
+    doc="Dickey-Fuller unit-root test (no augmentation lags, with "
+        "intercept) on daily revenue: regress the day-over-day change on "
+        "the lagged level — slope near 0 means shocks persist (unit "
+        "root / random walk), strongly negative means mean reversion; "
+        "the t-statistic (vs the Dickey-Fuller, NOT normal, critical "
+        "values) is THE stationarity gate before any ARIMA-style "
+        "modeling, and the mirror twin of ts_kpss_level_stat whose null "
+        "is the opposite. The five regression moments accumulate as "
+        "exact HUGEINT/DECIMAL(38,0) sums of integer cents (products to "
+        "~1e20 at full scale), the centered m-scaled forms m*Sxx etc. "
+        "clear all rationals exactly, and slope/t evaluate in ONE fixed "
+        "double expression — bitwise identical across engines. Plan: "
+        "one date aggregate, one lag window over the bounded day grid, "
+        "one 1-row rollup. Reference parity: extension surface "
+        "(SURVEY.md §2.C time-series rows).",
+)
+def ts_dickey_fuller_lag0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("d")
+    pairs = daily.select(
+        F.lag("cents").over(w).alias("xl"),
+        (F.col("cents") - F.lag("cents").over(w)).alias("dx"),
+    ).where(F.col("xl").isNotNull())
+    d38 = "decimal(38,0)"
+    s = pairs.agg(
+        F.count(F.lit(1)).cast(d38).alias("m"),
+        F.sum(F.col("xl").cast(d38)).alias("sx"),
+        F.sum(F.col("dx").cast(d38)).alias("sy"),
+        F.sum(F.col("xl").cast(d38) * F.col("xl")).alias("sxx"),
+        F.sum(F.col("xl").cast(d38) * F.col("dx")).alias("sxy"),
+        F.sum(F.col("dx").cast(d38) * F.col("dx")).alias("syy"),
+    )
+    c = s.select(
+        F.col("m").cast("long").alias("m"),
+        (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+        .alias("msxx"),
+        (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double")
+        .alias("msxy"),
+        (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("double")
+        .alias("msyy"),
+    )
+    b = F.col("msxy") / F.col("msxx")
+    return c.select(
+        "m",
+        F.round(b, 9).alias("adf_slope"),
+        F.round(
+            b
+            / F.sqrt(
+                (F.col("msyy") - b * F.col("msxy"))
+                / ((F.col("m") - 2) * F.col("msxx"))
+            ),
+            6,
+        ).alias("adf_t_stat"),
+    )
+
+
+@register(
+    "ml_ols_influence_cooks_distance",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS day,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ),
+    seq AS (
+        SELECT day, cents, row_number() OVER (ORDER BY day) AS t FROM daily
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(CAST(t AS HUGEINT)) AS HUGEINT) AS st,
+               CAST(SUM(CAST(t AS HUGEINT) * t) AS HUGEINT) AS stt,
+               CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(t AS HUGEINT) * cents) AS HUGEINT) AS sty,
+               CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS syy
+        FROM seq
+    ),
+    c AS (
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(n * stt - st * st AS DOUBLE) AS mstt,
+               CAST(n * sty - st * sy AS DOUBLE) AS msty,
+               CAST(n * syy - sy * sy AS DOUBLE) AS msyy
+        FROM s
+    ),
+    b AS (
+        SELECT n, mstt, msty / mstt AS slope,
+               ((msyy - (msty / mstt) * msty) / n) / (n - 2) AS s2
+        FROM c
+    ),
+    rows_scaled AS (
+        SELECT q.day,
+               (CAST(b.n AS DOUBLE) * q.cents
+                - CAST(s.sy AS DOUBLE)
+                - b.slope * (CAST(b.n AS DOUBLE) * q.t
+                             - CAST(s.st AS DOUBLE))) / b.n AS e,
+               1.0 / b.n
+               + (CAST(b.n AS DOUBLE) * q.t - CAST(s.st AS DOUBLE))
+                 * (CAST(b.n AS DOUBLE) * q.t - CAST(s.st AS DOUBLE))
+                 / (b.n * b.mstt) AS h,
+               b.s2 AS s2
+        FROM seq q CROSS JOIN b CROSS JOIN s
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           round(e, 3) AS resid_cents,
+           CAST(round(h * 1000000) AS BIGINT) AS leverage_ppm,
+           round(e * e * h / (2 * s2 * (1 - h) * (1 - h)), 9) AS cooks_d
+    FROM rows_scaled
+    ORDER BY cooks_d DESC, day
+    LIMIT 10
+    """,
+    doc="Cook's distance influence diagnostics for the daily-revenue-"
+        "on-time OLS trend: the 10 most influential days, each with its "
+        "residual, leverage h_t = 1/n + (t-tbar)^2/Stt, and "
+        "D_t = e_t^2 h_t / (p s^2 (1-h_t)^2), p=2 — the regression-"
+        "diagnostics answer to 'which days MOVE the fitted trend, not "
+        "just sit far from it' that ts_anomaly_mad (pure outlyingness) "
+        "cannot give, completing the OLS family (slope: "
+        "agg_corr_regression, autocorrelation: ml_ols_durbin_watson). "
+        "The five regression moments are exact HUGEINT/DECIMAL(38,0) "
+        "sums; per-row residual and leverage evaluate from the n-scaled "
+        "integer forms (n*y_t - Sy, n*t - St) in ONE fixed double "
+        "expression, so the two engines' doubles are bitwise equal and "
+        "the top-10 selection cannot diverge (day is the tiebreak). "
+        "Plan: one date aggregate, one bounded-day-grid window, a 1-row "
+        "moment rollup broadcast back, TakeOrderedAndProject(10). "
+        "Reference parity: extension surface (SURVEY.md §2.B ML rows).",
+)
+def ml_ols_influence_cooks_distance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+        .cast("long")
+        .alias("cents")
+    )
+    seq = daily.select(
+        "day", "cents", F.row_number().over(Window.orderBy("day")).alias("t")
+    )
+    d38 = "decimal(38,0)"
+    s = seq.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("t").cast(d38)).alias("st"),
+        F.sum(F.col("t").cast(d38) * F.col("t")).alias("stt"),
+        F.sum(F.col("cents").cast(d38)).alias("sy"),
+        F.sum(F.col("t").cast(d38) * F.col("cents")).alias("sty"),
+        F.sum(F.col("cents").cast(d38) * F.col("cents")).alias("syy"),
+    )
+    c = s.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("st").cast("double").alias("st_d"),
+        F.col("sy").cast("double").alias("sy_d"),
+        (F.col("n") * F.col("stt") - F.col("st") * F.col("st"))
+        .cast("double")
+        .alias("mstt"),
+        (F.col("n") * F.col("sty") - F.col("st") * F.col("sy"))
+        .cast("double")
+        .alias("msty"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("double")
+        .alias("msyy"),
+    )
+    b = c.select(
+        "n",
+        "st_d",
+        "sy_d",
+        "mstt",
+        (F.col("msty") / F.col("mstt")).alias("slope"),
+        (
+            (F.col("msyy") - (F.col("msty") / F.col("mstt")) * F.col("msty"))
+            / F.col("n")
+            / (F.col("n") - 2)
+        ).alias("s2"),
+    )
+    j = seq.crossJoin(F.broadcast(b))
+    ey = F.col("n").cast("double") * F.col("cents") - F.col("sy_d")
+    et = F.col("n").cast("double") * F.col("t") - F.col("st_d")
+    e = (ey - F.col("slope") * et) / F.col("n")
+    h = F.lit(1.0) / F.col("n") + et * et / (F.col("n") * F.col("mstt"))
+    return (
+        j.select(
+            F.col("day").cast("string").alias("day"),
+            F.round(e, 3).alias("resid_cents"),
+            F.round(h * F.lit(1_000_000)).cast("long").alias("leverage_ppm"),
+            F.round(
+                e * e * h
+                / (F.lit(2) * F.col("s2") * (F.lit(1) - h) * (F.lit(1) - h)),
+                9,
+            ).alias("cooks_d"),
+        )
+        .orderBy(F.desc("cooks_d"), "day")
+        .limit(10)
+    )
+
+
+@register(
+    "ts_spectral_entropy",
+    oracle=f"""
+    WITH daily AS (
+        SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM events GROUP BY 1
+    ),
+    mn AS (SELECT CAST(MIN(d) AS BIGINT) AS d0 FROM daily),
+    idx AS (SELECT d - mn.d0 AS t, v FROM daily, mn),
+    periods AS (SELECT CAST(unnest(generate_series(2, 15)) AS BIGINT) AS p),
+    terms AS (
+        SELECT p.p,
+               CAST(round(i.v * cos(2 * {_PI_LIT} * (i.t % p.p) / p.p)
+                          * 1000) AS BIGINT) AS c_milli,
+               CAST(round(i.v * sin(2 * {_PI_LIT} * (i.t % p.p) / p.p)
+                          * 1000) AS BIGINT) AS s_milli
+        FROM idx i CROSS JOIN periods p
+    ),
+    spec AS (
+        SELECT p,
+               CAST(SUM(c_milli) AS HUGEINT) * SUM(c_milli)
+               + CAST(SUM(s_milli) AS HUGEINT) * SUM(s_milli) AS power_microsq
+        FROM terms GROUP BY p
+    ),
+    tot AS (
+        SELECT CAST(SUM(power_microsq) AS HUGEINT) AS ptot, COUNT(*) AS k
+        FROM spec
+    ),
+    ent AS (
+        SELECT CAST(SUM(CAST(round(CAST(power_microsq AS DOUBLE) / ptot
+                                   * ln(CAST(ptot AS DOUBLE) / power_microsq)
+                                   * 1000000000) AS BIGINT)) AS BIGINT)
+                   AS ent_nano,
+               CAST(MAX(k) AS BIGINT) AS k
+        FROM spec CROSS JOIN tot WHERE power_microsq > 0
+    )
+    SELECT k AS n_periods,
+           round(CAST(ent_nano AS DOUBLE) / 1000000000, 6) AS entropy_nats,
+           round(CAST(ent_nano AS DOUBLE) / 1000000000
+                 / 2.6390573296152584, 6) AS normalized_h
+    FROM ent
+    """,
+    doc="Spectral entropy of the daily event-count series over the "
+        "bounded 2-15-day period grid: Shannon entropy of the "
+        "normalized single-frequency DFT power distribution — low "
+        "entropy = power concentrated in one cycle (strong weekly "
+        "rhythm), high = broadband/noisy; the one-number summary of the "
+        "spectrum whose peaks ts_spectral_dft_topk lists, normalized by "
+        "ln(14) as a double LITERAL. The cos/sin terms reuse the exact "
+        "quantize-to-1e-3-then-integer-sum convention of the DFT op "
+        "(libm last-ulp differences cannot reach the hash), per-period power stays an EXACT integer (cs_milli^2 + ss_milli^2 "
+        "in HUGEINT/DECIMAL(38,0)) through the total — a double sum of "
+        "14 powers would be partition-order-dependent — and the <=14 "
+        "entropy terms p*ln(1/p) quantize to 1e-9 before summing. "
+        "Plan: one narrow daily rollup, a broadcast 14-row period grid "
+        "crossed against it, a 14-group aggregate, two 1-row rollups. "
+        "Reference parity: extension surface (SURVEY.md §2.C "
+        "time-series rows).",
+)
+def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("v"))
+    mn = daily.agg(F.min("d").cast("long").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(mn)).select(
+        (F.col("d") - F.col("d0")).alias("t"), "v"
+    )
+    periods = spark.range(2, 16).select(F.col("id").cast("long").alias("p"))
+    pi = float(_PI_LIT)
+    ang = F.lit(2.0) * F.lit(pi) * (F.col("t") % F.col("p")) / F.col("p")
+    terms = idx.crossJoin(F.broadcast(periods)).select(
+        "p",
+        F.round(F.col("v") * F.cos(ang) * F.lit(1000))
+        .cast("long")
+        .alias("c_milli"),
+        F.round(F.col("v") * F.sin(ang) * F.lit(1000))
+        .cast("long")
+        .alias("s_milli"),
+    )
+    cs = F.sum("c_milli").cast("decimal(38,0)")
+    ss = F.sum("s_milli").cast("decimal(38,0)")
+    spec = terms.groupBy("p").agg(
+        (cs * cs + ss * ss).alias("power_microsq")
+    )
+    tot = spec.agg(
+        F.sum("power_microsq").cast("decimal(38,0)").alias("ptot"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    ent = (
+        spec.crossJoin(F.broadcast(tot))
+        .where(F.col("power_microsq") > 0)
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("power_microsq").cast("double")
+                    / F.col("ptot").cast("double")
+                    * F.log(
+                        F.col("ptot").cast("double")
+                        / F.col("power_microsq").cast("double")
+                    )
+                    * F.lit(1_000_000_000)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("ent_nano"),
+            F.max("k").cast("long").alias("k"),
+        )
+    )
+    e = F.col("ent_nano").cast("double") / F.lit(1_000_000_000)
+    return ent.select(
+        F.col("k").alias("n_periods"),
+        F.round(e, 6).alias("entropy_nats"),
+        F.round(e / F.lit(2.6390573296152584), 6).alias("normalized_h"),
+    )
