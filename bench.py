@@ -999,6 +999,27 @@ def main() -> None:
                 "construct_sec": 1.946,
                 "calibration_cpu_sec": 0.269,
             },
+            # Round-10 tripwire triage on a high-variance host (probe
+            # cpu spread 29-38% across two same-session bench runs; the
+            # two runs flagged DIFFERENT queries, the noise signature):
+            # both flags clear in fresh-JVM isolation at n=5 —
+            # asof_join_events_orders 1.218 s at probe 0.309 (~0.82
+            # r3-host-seconds, in line with its 0.72-0.80 history; no
+            # commit touched operators/asof.py since its r1 pin) and
+            # multimodal_decode_meta 0.429 s at probe 0.271 (~0.33
+            # normalized == its r9 0.325 exactly). No plan regression.
+            "asof_join_events_orders_r10": {
+                "fresh_jvm_median_sec": 1.218,
+                "fresh_jvm_samples": [1.545, 1.889, 1.218, 1.128, 0.884],
+                "construct_sec": 0.719,
+                "calibration_cpu_sec": 0.309,
+            },
+            "multimodal_decode_meta_r10": {
+                "fresh_jvm_median_sec": 0.429,
+                "fresh_jvm_samples": [0.56, 0.446, 0.409, 0.398, 0.429],
+                "construct_sec": 0.175,
+                "calibration_cpu_sec": 0.271,
+            },
         },
     }
     detail_path = os.path.join(here_dir, f"BENCH_DETAIL_r{rnd:02d}.json")

@@ -468,3 +468,62 @@ def test_payload_byte_entropy_python_oracle(spark):
         assert r.byte_entropy_nats == round(s / n / 1_000_000, 6)
         # entropy of a byte distribution is bounded by ln(256)
         assert 0.0 <= r.byte_entropy_nats <= math.log(256) + 1e-9
+
+
+# ---------------------------------------------------------- content checksum
+def test_content_checksum_python_oracle(spark):
+    import hashlib
+
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o["day"] = pd.to_datetime(o.o_orderdate).dt.date.astype(str)
+    o["cents"] = (o.o_totalprice * 100).round().astype(int)
+    expected: dict[str, list[int]] = {}
+    for r in o.itertuples(index=False):
+        s = f"{r.o_orderkey}|{r.o_custkey}|{r.o_orderstatus}|{r.cents}|{r.o_orderpriority}"
+        h = int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+        acc = expected.setdefault(r.day, [0, 0])
+        acc[0] += 1
+        acc[1] += h
+    out = all_specs()["dq_content_checksum_by_day"].spark(spark, SF).collect()
+    assert len(out) == len(expected)
+    for r in out:
+        n, chk = expected[r.day]
+        assert r.tbl == "orders"
+        assert (r.n_rows, r.checksum_sum) == (n, chk)
+
+
+def test_content_checksum_detects_single_field_swap():
+    # the per-row serialization makes a two-row field swap change the sum
+    # (a same-total swap of one measure would fool a plain SUM(measure))
+    import hashlib
+
+    def chk(rows):
+        return sum(
+            int(hashlib.md5("|".join(map(str, r)).encode()).hexdigest()[:12], 16)
+            for r in rows
+        )
+
+    a = [(1, 10, "F", 500, "1-URGENT"), (2, 20, "F", 300, "5-LOW")]
+    swapped = [(1, 10, "F", 300, "1-URGENT"), (2, 20, "F", 500, "5-LOW")]
+    assert sum(r[3] for r in a) == sum(r[3] for r in swapped)
+    assert chk(a) != chk(swapped)
+
+
+# ------------------------------------------------------------ rollup text
+def test_sql_front_rollup_python_oracle(spark):
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o["cents"] = (o.o_totalprice * 100).round().astype(int)
+    out = all_specs()["sql_front_rollup"].spark(spark, SF).collect()
+    rows = {(r.status, r.priority): r for r in out}
+    # grand total
+    g = rows[("ALL", "ALL")]
+    assert g.lvl == 2 and g.n == len(o) and g.total_cents == int(o.cents.sum())
+    # one per-status subtotal
+    for st, grp in o.groupby("o_orderstatus"):
+        r = rows[(st, "ALL")]
+        assert r.lvl == 1 and r.n == len(grp)
+        assert r.total_cents == int(grp.cents.sum())
+        # leaf level sums to the subtotal
+        leaves = [v for (s, p), v in rows.items() if s == st and p != "ALL"]
+        assert sum(v.n for v in leaves) == r.n
+        assert sum(v.total_cents for v in leaves) == r.total_cents

@@ -2446,3 +2446,59 @@ def cdc_op_mix_drift_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chi2_micro"),
     )
+
+
+def _checksum_sql(table: str, day_expr: str, row_expr: str) -> str:
+    return f"""
+    SELECT '{table}' AS tbl, {day_expr} AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(('0x' || substring(md5({row_expr}), 1, 12))::BIGINT)
+                AS BIGINT) AS checksum_sum
+    FROM {table} GROUP BY 2
+    """
+
+
+@register(
+    "dq_content_checksum_by_day",
+    oracle=_checksum_sql(
+        "orders",
+        "CAST(CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS VARCHAR)",
+        "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)"
+        " || '|' || o_orderstatus || '|' ||"
+        " CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)"
+        " || '|' || o_orderpriority",
+    ),
+    doc="Content checksum manifest of the orders table, one row per "
+        "order date: row count plus the SUM of a 48-bit md5-derived "
+        "integer over every row's canonical serialization "
+        "(key|custkey|status|cents|priority) — the cross-system "
+        "reconciliation artifact that catches silent row corruption, "
+        "truncation, or value drift during a migration/backfill, where "
+        "dq_reconcile_totals (which sums one measure) would miss a "
+        "same-total swap of two fields. The serialization pins every "
+        "value to an integer-or-enum string so both engines hash "
+        "identical bytes (md5 is bit-identical across engines; the sum "
+        "of <=2^48 terms stays exact in int64 to ~3e4 rows/day and in "
+        "the DECIMAL-widened Spark sum far beyond); summing (not "
+        "hashing the sorted list) keeps the fold order-independent. "
+        "Plan: ONE map-side conditional aggregate over a 5-column "
+        "projected scan, shuffled only by the bounded day domain. "
+        "Reference parity: extension surface (SURVEY.md §2.B DQ rows).",
+)
+def dq_content_checksum_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    row = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    chk = F.conv(F.substring(F.md5(row), 1, 12), 16, 10).cast("long")
+    return o.groupBy(
+        F.to_date("o_orderdate").cast("string").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(chk.cast("decimal(38,0)")).cast("long").alias("checksum_sum"),
+    ).select(F.lit("orders").alias("tbl"), "day", "n_rows", "checksum_sum")

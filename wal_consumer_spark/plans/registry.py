@@ -136,6 +136,8 @@ NEXT_WINDOW: list[str] = [
     "analytics_event_burstiness_histogram",
     "analytics_ratio_metric_delta_var",
     "multimodal_payload_byte_entropy",
+    "dq_content_checksum_by_day",
+    "sql_front_rollup",
 ]
 
 #: Overflow staging for additions beyond a single round-10 window.

@@ -384,3 +384,35 @@ ORDER BY c_nationkey,
 )
 def sql_front_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql(spark, sf_dir, _DISTINCT_ON_SPARK_SQL)
+
+
+_ROLLUP_SHARED_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       GROUPING(o_orderstatus) + GROUPING(o_orderpriority) AS lvl,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+@register(
+    "sql_front_rollup",
+    oracle=_ROLLUP_SHARED_SQL,
+    doc="SQL front door: GROUP BY ROLLUP with GROUPING() markers — this "
+        "exact text parses and executes on BOTH engines (status x "
+        "priority hierarchy, subtotal and grand-total rows "
+        "distinguished by the grouping level, NULL grouping keys "
+        "COALESCEd so the three levels stay hash-distinguishable). The "
+        "textual sibling of the DataFrame-side agg_rollup/"
+        "agg_grouping_sets: proves the front door covers the OLAP "
+        "subtotal surface, with the money measure exact-summed in "
+        "BIGINT cents. Catalyst expands the rollup to a single Expand "
+        "+ one hash aggregate — one shuffle regardless of level count. "
+        "Reference parity: extension surface (SURVEY.md §2.B SQL "
+        "front door rows).",
+)
+def sql_front_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql(spark, sf_dir, _ROLLUP_SHARED_SQL)
