@@ -527,3 +527,67 @@ def test_sql_front_rollup_python_oracle(spark):
         leaves = [v for (s, p), v in rows.items() if s == st and p != "ALL"]
         assert sum(v.n for v in leaves) == r.n
         assert sum(v.total_cents for v in leaves) == r.total_cents
+
+
+# ---------------------------------------------------------------- try funcs
+def test_try_funcs_python_oracle(spark):
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+    n = len(c)
+    parsed = [int(nm[9:]) for nm in c.c_name]  # 'Customer#NNNNNNNNN'
+    r = all_specs()["scalar_try_funcs"].spark(spark, SF).collect()[0]
+    assert r.n == n
+    assert r.n_name_parsed == n  # every name suffix parses
+    assert r.parsed_id_sum == sum(parsed)
+    assert r.n_segment_casts == 0  # alphabetic enum never casts to INT
+    assert r.n_segment_cast_nulls == n
+    assert r.n_safe_divides == int((c.c_nationkey % 5 != 0).sum())
+
+
+# -------------------------------------------------------- snapshot novelty
+def test_snapshot_novelty_python_oracle(spark):
+    from collections import defaultdict
+
+    d = pd.read_parquet(f"{SF}/documents.parquet")
+    # df-capped 3-shingle sets (mirrors shingle_pairs_jaccard max_df=1000)
+    shingles: dict[int, set] = {}
+    full_sizes: dict[int, int] = {}
+    df_count: Counter = Counter()
+    for doc_id, text in zip(d.doc_id, d.text):
+        toks = text.strip().lower().split()
+        sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        shingles[doc_id] = sh
+        full_sizes[doc_id] = len(sh)
+        df_count.update(sh)
+    keep = {s for s, cnt in df_count.items() if cnt <= 1000}
+    inv = defaultdict(list)
+    for doc_id, sh in shingles.items():
+        for s in sh & keep:
+            inv[s].append(doc_id)
+    inter: Counter = Counter()
+    for s, ids in inv.items():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                inter[(ids[i], ids[j])] += 1
+    matched = set()
+    for (a, b), ncom in inter.items():
+        jac = ncom / (full_sizes[a] + full_sizes[b] - ncom)
+        if jac >= 0.5:
+            if a % 2 == 1 and b % 2 == 0:
+                matched.add(a)
+            if b % 2 == 1 and a % 2 == 0:
+                matched.add(b)
+    expected = {}
+    inc = d[d.doc_id % 2 == 1]
+    for src, grp in inc.groupby("source"):
+        n_inc = len(grp)
+        n_hit = sum(1 for i in grp.doc_id if i in matched)
+        expected[src] = (n_inc, n_hit, round(1.0 - n_hit / n_inc, 6))
+    out = all_specs()["pipeline_snapshot_novelty_rate"].spark(
+        spark, SF
+    ).collect()
+    assert len(out) == len(expected)
+    for r in out:
+        n_inc, n_hit, rate = expected[r.source]
+        assert (r.n_incoming, r.n_near_dup_of_base) == (n_inc, n_hit)
+        assert r.novelty_rate == rate

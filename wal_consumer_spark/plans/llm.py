@@ -5645,3 +5645,95 @@ def multimodal_payload_byte_entropy(
         )
         .orderBy("kind")
     )
+
+
+@register(
+    "pipeline_snapshot_novelty_rate",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+    ),
+    shc AS (
+        -- mirrors shingle_pairs_jaccard's max_df=1000 stop-shingle cap
+        SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle,
+                   COUNT(*) OVER (PARTITION BY shingle) AS df
+            FROM sh
+        ) t WHERE df <= 1000
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_common
+        FROM shc a JOIN shc b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    p AS (
+        SELECT doc1, doc2 FROM inter
+        JOIN sizes s1 ON s1.doc_id = doc1
+        JOIN sizes s2 ON s2.doc_id = doc2
+        WHERE n_common / (s1.n + s2.n - n_common) >= 0.5
+    ),
+    matched AS (
+        SELECT doc1 AS doc_id FROM p WHERE doc1 % 2 = 1 AND doc2 % 2 = 0
+        UNION
+        SELECT doc2 AS doc_id FROM p WHERE doc2 % 2 = 1 AND doc1 % 2 = 0
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_incoming,
+           CAST(COUNT(m.doc_id) AS BIGINT) AS n_near_dup_of_base,
+           round(1.0 - CAST(COUNT(m.doc_id) AS DOUBLE) / COUNT(*), 6)
+               AS novelty_rate
+    FROM documents d LEFT JOIN matched m ON m.doc_id = d.doc_id
+    WHERE d.doc_id % 2 = 1
+    GROUP BY d.source
+    """,
+    doc="Incremental-ingestion novelty audit: treating even doc_ids as "
+        "the BASE corpus snapshot and odd doc_ids as the INCOMING batch, "
+        "the per-source fraction of incoming documents with NO near-"
+        "duplicate (df-capped exact 3-shingle Jaccard >= 0.5 — the same "
+        "certified pair machinery as dedup_ngram_jaccard) in the base — "
+        "the number a continuously-ingesting corpus pipeline gates on: "
+        "a source whose novelty collapses is re-crawling what you "
+        "already hold and should be throttled before it wastes dedup "
+        "and training budget; the BATCH analog of the streaming MinHash "
+        "index's new-vs-known split (streaming/dedup_index.py). "
+        "Candidate generation is the shared df-capped shingle equi-join "
+        "(never all-pairs); cross-snapshot pairs filter by id parity; "
+        "matched incoming ids collapse through a UNION-distinct far "
+        "smaller than the corpus; one left join tags the incoming "
+        "partition. Reference parity: extension surface (SURVEY.md "
+        "§2.C curation rows).",
+)
+def pipeline_snapshot_novelty_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from wal_consumer_spark.operators.dedup import shingle_pairs_jaccard
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = shingle_pairs_jaccard(docs, "doc_id", "text").filter(
+        F.col("jaccard") >= 0.5
+    )
+    matched = (
+        pairs.where((F.col("doc1") % 2 == 1) & (F.col("doc2") % 2 == 0))
+        .select(F.col("doc1").alias("doc_id"))
+        .unionByName(
+            pairs.where((F.col("doc2") % 2 == 1) & (F.col("doc1") % 2 == 0))
+            .select(F.col("doc2").alias("doc_id"))
+        )
+        .distinct()
+    )
+    incoming = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "source")
+    return (
+        incoming.join(
+            matched.withColumn("hit", F.lit(1)), "doc_id", "left"
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_incoming"),
+            F.count("hit").cast("long").alias("n_near_dup_of_base"),
+            F.round(
+                F.lit(1.0) - F.count("hit").cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("novelty_rate"),
+        )
+    )

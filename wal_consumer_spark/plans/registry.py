@@ -138,6 +138,8 @@ NEXT_WINDOW: list[str] = [
     "multimodal_payload_byte_entropy",
     "dq_content_checksum_by_day",
     "sql_front_rollup",
+    "scalar_try_funcs",
+    "pipeline_snapshot_novelty_rate",
 ]
 
 #: Overflow staging for additions beyond a single round-10 window.

@@ -497,3 +497,44 @@ def scalar_calendar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_to_month_end"
         ),
     )
+
+
+_TRY_FUNCS_SHARED_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(TRY_CAST(substring(c_name, 10) AS BIGINT)) AS BIGINT)
+           AS n_name_parsed,
+       CAST(SUM(TRY_CAST(substring(c_name, 10) AS BIGINT)) AS BIGINT)
+           AS parsed_id_sum,
+       CAST(COUNT(TRY_CAST(c_mktsegment AS INT)) AS BIGINT)
+           AS n_segment_casts,
+       CAST(COUNT(*) FILTER (WHERE TRY_CAST(c_mktsegment AS INT) IS NULL)
+            AS BIGINT) AS n_segment_cast_nulls,
+       CAST(COUNT(CAST(round(c_acctbal * 100) AS BIGINT)
+                  / NULLIF(c_nationkey % 5, 0)) AS BIGINT)
+           AS n_safe_divides
+FROM customer
+"""
+
+
+@register(
+    "scalar_try_funcs",
+    oracle=_TRY_FUNCS_SHARED_SQL,
+    doc="Error-tolerant scalar surface, one shared SQL text on both "
+        "engines: TRY_CAST parses the numeric suffix of every c_name "
+        "(all succeed — count and exact BIGINT sum prove value "
+        "fidelity), TRY_CAST of an alphabetic enum to INT yields NULL "
+        "on every row (never an error — the malformed-input contract "
+        "ingestion pipelines rely on), and x / NULLIF(y, 0) is the "
+        "portable safe-divide (rows where c_nationkey % 5 = 0 produce "
+        "NULL, not a division error). This is the dirty-data row of "
+        "the scalar-family conformance matrix: the engine must DEGRADE "
+        "to NULL, identically to the oracle, rather than fail the job "
+        "— at 100 TB a single unparseable cell must never kill a scan. "
+        "Plan: ONE map-side conditional aggregate over a 4-column "
+        "projection. Reference parity: extension surface (SURVEY.md "
+        "§2.B scalar rows).",
+)
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wal_consumer_spark.sqlapi import sql
+
+    return sql(spark, sf_dir, _TRY_FUNCS_SHARED_SQL)
