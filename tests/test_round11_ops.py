@@ -591,3 +591,63 @@ def test_snapshot_novelty_python_oracle(spark):
         n_inc, n_hit, rate = expected[r.source]
         assert (r.n_incoming, r.n_near_dup_of_base) == (n_inc, n_hit)
         assert r.novelty_rate == rate
+
+
+# ----------------------------------------------------- seasonal mann-kendall
+def test_seasonal_mann_kendall_python_oracle(spark):
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o["d"] = pd.to_datetime(o.o_orderdate).dt.date
+    o["cents"] = (o.o_totalprice * 100).round().astype(int)
+    daily = o.groupby("d").cents.sum().sort_index()
+    base = pd.Timestamp("1995-01-01").date()
+    pts = [((d - base).days, int(y)) for d, y in daily.items()]
+    s_stat = 0
+    seasons: dict[int, list[int]] = {}
+    for di, y in pts:
+        seasons.setdefault(di % 7, []).append((di, y))
+    var18 = 0
+    n_days = 0
+    for vals in seasons.values():
+        vals.sort()
+        ys = [y for _, y in vals]
+        n_w = len(ys)
+        n_days += n_w
+        for i in range(n_w):
+            for j in range(i + 1, n_w):
+                s_stat += (ys[j] > ys[i]) - (ys[j] < ys[i])
+        ties = Counter(ys)
+        tsum = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+        var18 += n_w * (n_w - 1) * (2 * n_w + 5) - tsum
+    denom = math.sqrt(var18 / 18.0)
+    if s_stat > 0:
+        z = (s_stat - 1) / denom
+    elif s_stat < 0:
+        z = (s_stat + 1) / denom
+    else:
+        z = 0.0
+    r = all_specs()["ts_seasonal_mann_kendall"].spark(spark, SF).collect()[0]
+    assert (r.n_seasons, r.n_days) == (len(seasons), n_days)
+    assert r.s_stat == s_stat
+    assert r.var18 == var18
+    assert r.z_stat == round(z, 6)
+
+
+def test_seasonal_mk_immune_to_pure_weekly_cycle():
+    # a pure weekly cycle (no trend) gives S = 0 in the seasonal test:
+    # same-weekday values are constant, so every within-season sign is 0
+    series = [(di, [10, 20, 30, 40, 50, 60, 70][di % 7]) for di in range(70)]
+    s = 0
+    for w in range(7):
+        ys = [y for di, y in series if di % 7 == w]
+        for i in range(len(ys)):
+            for j in range(i + 1, len(ys)):
+                s += (ys[j] > ys[i]) - (ys[j] < ys[i])
+    assert s == 0
+    # while the UNSEASONED statistic on the same data is wildly nonzero
+    ys = [y for _, y in series]
+    s_plain = sum(
+        (ys[j] > ys[i]) - (ys[j] < ys[i])
+        for i in range(len(ys))
+        for j in range(i + 1, len(ys))
+    )
+    assert s_plain != 0

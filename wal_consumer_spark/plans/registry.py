@@ -140,6 +140,7 @@ NEXT_WINDOW: list[str] = [
     "sql_front_rollup",
     "scalar_try_funcs",
     "pipeline_snapshot_novelty_rate",
+    "ts_seasonal_mann_kendall",
 ]
 
 #: Overflow staging for additions beyond a single round-10 window.

@@ -4914,3 +4914,145 @@ def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(e, 6).alias("entropy_nats"),
         F.round(e / F.lit(2.6390573296152584), 6).alias("normalized_h"),
     )
+
+
+@register(
+    "ts_seasonal_mann_kendall",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS d,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS y
+        FROM orders GROUP BY 1
+    ),
+    pts AS (
+        SELECT datediff('day', DATE '1995-01-01', d) AS di,
+               datediff('day', DATE '1995-01-01', d) % 7 AS season, y
+        FROM daily
+    ),
+    s AS (
+        SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                             WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+                   AS s_stat
+        FROM pts a JOIN pts b ON b.di > a.di AND b.season = a.season
+    ),
+    nw AS (
+        SELECT season, CAST(COUNT(*) AS BIGINT) AS n_w FROM pts GROUP BY 1
+    ),
+    tw AS (
+        SELECT season,
+               COALESCE(CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0)
+                   AS tsum_w
+        FROM (SELECT season, CAST(COUNT(*) AS BIGINT) AS t
+              FROM pts GROUP BY season, y) g
+        GROUP BY season
+    ),
+    v AS (
+        SELECT CAST(SUM(nw.n_w) AS BIGINT) AS n_days,
+               CAST(COUNT(*) AS BIGINT) AS n_seasons,
+               CAST(SUM(nw.n_w * (nw.n_w - 1) * (2 * nw.n_w + 5)
+                        - tw.tsum_w) AS BIGINT) AS var18
+        FROM nw JOIN tw USING (season)
+    )
+    SELECT v.n_seasons, v.n_days, s.s_stat, v.var18,
+           round(CASE WHEN s.s_stat > 0 THEN
+                          (CAST(s.s_stat AS DOUBLE) - 1)
+                          / sqrt(CAST(v.var18 AS DOUBLE) / 18.0)
+                      WHEN s.s_stat < 0 THEN
+                          (CAST(s.s_stat AS DOUBLE) + 1)
+                          / sqrt(CAST(v.var18 AS DOUBLE) / 18.0)
+                      ELSE 0.0 END, 6) AS z_stat
+    FROM v, s
+    """,
+    doc="Seasonal Mann-Kendall trend test (Hirsch-Slack, weekly "
+        "seasonality) on daily revenue: pairwise sign comparisons are "
+        "restricted to SAME-WEEKDAY pairs (season = day-index mod 7 — "
+        "engine-independent integer arithmetic, no dow() dialect trap), "
+        "so a strong weekly cycle can neither masquerade as nor mask a "
+        "monotone trend — the variant of ts_mann_kendall_trend that is "
+        "actually valid on seasonal business series; S = sum of "
+        "per-season S_w, Var = sum of per-season tie-corrected "
+        "n(n-1)(2n+5)/18 terms, both exact integers until the one final "
+        "sqrt. Pair enumeration reuses the MK/Theil-Sen shape with a "
+        "stride-7 sequence explode (map-side, broadcast hash join on "
+        "the observed-day table — no theta join), and the pair volume "
+        "is (days/7)^2 * 7 on the CALENDAR-BOUNDED grid, independent of "
+        "corpus rows. Plan: one daily rollup, grid-sized pair work, two "
+        "bounded 7-group rollups. Reference parity: extension surface "
+        "(SURVEY.md §2.C time-series rows).",
+)
+def ts_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+            .cast("long")
+            .alias("y")
+        )
+        .localCheckpoint(eager=True)  # pairs + ties + counts all consume it
+    )
+    pts = daily.select(
+        F.datediff(F.col("d"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("di"),
+        "y",
+    ).withColumn("season", F.col("di") % 7)
+    b = pts.select(F.col("di").alias("dj"), F.col("y").alias("yj"))
+    dmax = pts.agg(F.max("di").alias("dmax"))
+    sgn = (
+        F.when(F.col("yj") > F.col("y"), 1)
+        .when(F.col("yj") < F.col("y"), -1)
+        .otherwise(0)
+    )
+    s = (
+        pts.crossJoin(F.broadcast(dmax))
+        .where(F.col("di") + 7 <= F.col("dmax"))
+        .select(
+            "y",
+            F.explode(
+                F.sequence(F.col("di") + 7, F.col("dmax"), F.lit(7))
+            ).alias("dj"),
+        )
+        .join(F.broadcast(b), "dj")
+        .agg(F.sum(sgn).cast("long").alias("s_stat"))
+    )
+    nw = pts.groupBy("season").agg(F.count(F.lit(1)).cast("long").alias("n_w"))
+    tw = (
+        pts.groupBy("season", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("season")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ).cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("tsum_w")
+        )
+    )
+    v = nw.join(tw, "season").agg(
+        F.sum("n_w").cast("long").alias("n_days"),
+        F.count(F.lit(1)).cast("long").alias("n_seasons"),
+        F.sum(
+            F.col("n_w") * (F.col("n_w") - 1) * (2 * F.col("n_w") + 5)
+            - F.col("tsum_w")
+        )
+        .cast("long")
+        .alias("var18"),
+    )
+    joined = v.crossJoin(F.broadcast(s))
+    sd = F.col("s_stat").cast("double")
+    denom = F.sqrt(F.col("var18").cast("double") / 18.0)
+    return joined.select(
+        "n_seasons",
+        "n_days",
+        "s_stat",
+        "var18",
+        F.round(
+            F.when(F.col("s_stat") > 0, (sd - 1) / denom)
+            .when(F.col("s_stat") < 0, (sd + 1) / denom)
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("z_stat"),
+    )
