@@ -489,7 +489,9 @@ def test_content_checksum_python_oracle(spark):
     for r in out:
         n, chk = expected[r.day]
         assert r.tbl == "orders"
-        assert (r.n_rows, r.checksum_sum) == (n, chk)
+        # the engine folds the wide sum modulo 2^48 (ADVICE r10) so the
+        # manifest column stays int64 at any rows/day
+        assert (r.n_rows, r.checksum_sum) == (n, chk % 2**48)
 
 
 def test_content_checksum_detects_single_field_swap():

@@ -11727,13 +11727,18 @@ def analytics_mood_median_test(
         FROM scored
     )
     SELECT tp + fp + fn + tn AS n, tp, fp, fn, tn,
-           round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
-                 / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
-                        * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)),
-                 6) AS mcc,
-           round((CAST(tp AS DOUBLE) / (tp + fn)
-                  + CAST(tn AS DOUBLE) / (tn + fp)) / 2.0, 6)
-               AS balanced_accuracy
+           CASE WHEN tp + fp > 0 AND tp + fn > 0
+                 AND tn + fp > 0 AND tn + fn > 0 THEN
+               round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+                     / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+                            * CAST(tn + fp AS DOUBLE)
+                            * CAST(tn + fn AS DOUBLE)),
+                     6)
+           ELSE NULL END AS mcc,
+           CASE WHEN tp + fn > 0 AND tn + fp > 0 THEN
+               round((CAST(tp AS DOUBLE) / (tp + fn)
+                      + CAST(tn AS DOUBLE) / (tn + fp)) / 2.0, 6)
+           ELSE NULL END AS balanced_accuracy
     FROM cm
     """,
     doc="Matthews correlation coefficient + balanced accuracy for the "
@@ -11770,26 +11775,37 @@ def ml_matthews_corrcoef(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("tn"),
     )
     tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    # ADVICE r10: a degenerate confusion matrix (any zero margin — e.g.
+    # a single-class slice) makes the MCC denominator 0; Spark's
+    # non-ANSI double division returns NULL while DuckDB's behavior is
+    # version-dependent (NULL vs Inf/NaN). Emit NULL explicitly, via the
+    # same CASE in both engines, when any margin is zero.
     return cm.select(
         (tp + fp + fn + tn).alias("n"),
         "tp",
         "fp",
         "fn",
         "tn",
-        F.round(
-            (tp.cast("double") * tn - fp.cast("double") * fn)
-            / F.sqrt(
-                (tp + fp).cast("double")
-                * (tp + fn).cast("double")
-                * (tn + fp).cast("double")
-                * (tn + fn).cast("double")
+        F.when(
+            (tp + fp > 0) & (tp + fn > 0) & (tn + fp > 0) & (tn + fn > 0),
+            F.round(
+                (tp.cast("double") * tn - fp.cast("double") * fn)
+                / F.sqrt(
+                    (tp + fp).cast("double")
+                    * (tp + fn).cast("double")
+                    * (tn + fp).cast("double")
+                    * (tn + fn).cast("double")
+                ),
+                6,
             ),
-            6,
         ).alias("mcc"),
-        F.round(
-            (tp.cast("double") / (tp + fn) + tn.cast("double") / (tn + fp))
-            / F.lit(2.0),
-            6,
+        F.when(
+            (tp + fn > 0) & (tn + fp > 0),
+            F.round(
+                (tp.cast("double") / (tp + fn) + tn.cast("double") / (tn + fp))
+                / F.lit(2.0),
+                6,
+            ),
         ).alias("balanced_accuracy"),
     )
 
@@ -12427,12 +12443,12 @@ def ml_information_gain_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(MAX(n) AS BIGINT) AS n,
                CAST(SUM(CAST(k AS HUGEINT) * n_k) AS BIGINT) AS t,
                CAST(SUM(CAST(k AS HUGEINT)
-                        * (((c0 + 1) + (c0 + n_k)) * n_k // 2))
-                    AS HUGEINT) AS rank_value_sum
+                        * (2 * CAST(c0 AS HUGEINT) + 1 + n_k) * n_k)
+                    AS HUGEINT) AS rank_value_sum2
         FROM cum
     )
     SELECT n AS n_nodes, t AS total_degree,
-           round(2.0 * CAST(rank_value_sum AS DOUBLE)
+           round(CAST(rank_value_sum2 AS DOUBLE)
                  / (CAST(n AS DOUBLE) * t)
                  - CAST(n + 1 AS DOUBLE) / n, 6) AS degree_gini
     FROM s
@@ -12447,9 +12463,12 @@ def ml_information_gain_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "per-node rank exists: the sorted-rank identity "
         "G = 2*sum(rank*k)/(n*T) - (n+1)/n evaluates on the degree-"
         "DOMAIN distribution, where each degree's ranks are the "
-        "contiguous block [cum+1, cum+n_k] with exact closed-form rank "
-        "sum (a+z)(z-a+1)/2 — always-even product, exact in "
-        "HUGEINT/DECIMAL(38,0); the one ordered pass is bounded by max "
+        "contiguous block [cum+1, cum+n_k]; the DOUBLED closed-form "
+        "block rank sum (2*cum+1+n_k)*n_k folds the leading 2 into the "
+        "integer product so the whole chain stays in HUGEINT/"
+        "DECIMAL(38,0) with no integral divide (ADVICE r10: Spark's "
+        "DIV returns LONG and wrapped past ~3e9 nodes); the one "
+        "ordered pass is bounded by max "
         "degree, not node count. Plan: two narrow aggregates, one "
         "bounded window, a 1-row fold. Reference parity: extension "
         "surface (SURVEY.md §2.B graph rows).",
@@ -12469,22 +12488,30 @@ def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_k").over(wall).alias("n"),
     )
     d38 = "decimal(38,0)"
+    # ADVICE r10: the old `(((c0+1)+(c0+n_k)) * n_k DIV 2)` formed the
+    # rank-sum product in int64 (and Spark's IntegralDivide returns LONG,
+    # so a decimal cast inside DIV wouldn't help) — wrapping for
+    # n_nodes ≳ 3e9. Use the DOUBLED rank-sum identity instead:
+    # G = R2/(n*T) - (n+1)/n with R2 = Σ k·(2·c0+1+n_k)·n_k kept in
+    # DECIMAL(38,0) end-to-end; no halving, no integral divide, and
+    # double(R2) == 2.0*double(R) exactly, so the output is bit-identical.
     s = cum.agg(
         F.max("n").cast("long").alias("n"),
         F.sum(F.col("k").cast(d38) * F.col("n_k")).cast("long").alias("t"),
         F.sum(
             F.col("k").cast(d38)
-            * F.expr("(((c0 + 1) + (c0 + n_k)) * n_k DIV 2)")
+            * F.expr(
+                "(2 * CAST(c0 AS DECIMAL(38,0)) + 1 + n_k) * n_k"
+            )
         )
         .cast(d38)
-        .alias("rank_value_sum"),
+        .alias("rank_value_sum2"),
     )
     return s.select(
         F.col("n").alias("n_nodes"),
         F.col("t").alias("total_degree"),
         F.round(
-            F.lit(2.0)
-            * F.col("rank_value_sum").cast("double")
+            F.col("rank_value_sum2").cast("double")
             / (F.col("n").cast("double") * F.col("t"))
             - (F.col("n") + 1).cast("double") / F.col("n"),
             6,
@@ -12509,7 +12536,8 @@ def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CAST(gap AS HUGEINT)) AS HUGEINT) AS s1,
                CAST(SUM(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS s2
         FROM gaps WHERE gap IS NOT NULL
-        GROUP BY user_id HAVING COUNT(*) >= 2
+        GROUP BY user_id
+        HAVING COUNT(*) >= 2 AND SUM(CAST(gap AS HUGEINT)) > 0
     ),
     b AS (
         SELECT (sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / m) / m)
@@ -12556,7 +12584,12 @@ def analytics_event_burstiness_histogram(
             F.sum(F.col("gap").cast(d38)).alias("s1"),
             F.sum(F.col("gap").cast(d38) * F.col("gap")).alias("s2"),
         )
-        .where(F.col("m") >= 2)
+        # ADVICE r10: a user whose >=2 gaps are ALL zero (>=3 events on
+        # one timestamp) makes B = 0/0 — Spark emits a NULL bin row while
+        # DuckDB's NaN crashes the BIGINT bin cast. mu > 0 (s1 > 0)
+        # implies sd + mu > 0, so the guard removes the 0/0 class
+        # identically in both engines.
+        .where((F.col("m") >= 2) & (F.col("s1") > 0))
     )
     sd = F.sqrt(
         (

@@ -2449,10 +2449,16 @@ def cdc_op_mix_drift_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _checksum_sql(table: str, day_expr: str, row_expr: str) -> str:
+    # ADVICE r10: the raw per-day sum of 48-bit terms exceeds int64 past
+    # ~32k rows/day, where the HUGEINT->BIGINT cast raises in DuckDB but
+    # NULLs in Spark. Fold the wide sum modulo 2^48: still an exact,
+    # order-independent content checksum (sum mod m is invariant to
+    # partial-aggregation order), and the column is int64 at ANY scale.
     return f"""
     SELECT '{table}' AS tbl, {day_expr} AS day,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(('0x' || substring(md5({row_expr}), 1, 12))::BIGINT)
+           CAST(SUM(CAST(('0x' || substring(md5({row_expr}), 1, 12))::BIGINT
+                         AS HUGEINT)) % 281474976710656
                 AS BIGINT) AS checksum_sum
     FROM {table} GROUP BY 2
     """
@@ -2477,9 +2483,10 @@ def _checksum_sql(table: str, day_expr: str, row_expr: str) -> str:
         "dq_reconcile_totals (which sums one measure) would miss a "
         "same-total swap of two fields. The serialization pins every "
         "value to an integer-or-enum string so both engines hash "
-        "identical bytes (md5 is bit-identical across engines; the sum "
-        "of <=2^48 terms stays exact in int64 to ~3e4 rows/day and in "
-        "the DECIMAL-widened Spark sum far beyond); summing (not "
+        "identical bytes (md5 is bit-identical across engines; the "
+        "48-bit terms are summed in DECIMAL(38,0)/HUGEINT then folded "
+        "modulo 2^48 so the manifest column is int64 at ANY rows/day — "
+        "ADVICE r10); summing (not "
         "hashing the sorted list) keeps the fold order-independent. "
         "Plan: ONE map-side conditional aggregate over a 5-column "
         "projected scan, shuffled only by the bounded day domain. "
@@ -2500,5 +2507,7 @@ def dq_content_checksum_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("o_orderdate").cast("string").alias("day")
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.sum(chk.cast("decimal(38,0)")).cast("long").alias("checksum_sum"),
+        (F.sum(chk.cast("decimal(38,0)")) % F.lit(281474976710656))
+        .cast("long")
+        .alias("checksum_sum"),
     ).select(F.lit("orders").alias("tbl"), "day", "n_rows", "checksum_sum")
