@@ -152,24 +152,49 @@ def test_oracle_less_specs_sort_last():
 
 
 #: Deliberate re-certifications of already-green names (e.g. the round-6
-#: analytics_gini_coefficient re-pin). A name here may sit in
-#: DRIVER_WINDOW even though an earlier round already certified it.
-#: Round 9: tpch_q17_small_qty_revenue and join_bloom_prefilter got
-#: broadcast size-gates in round 7 AFTER their certification rounds —
-#: their existing green rows predate the code that now runs (VERDICT r8
-#: "Next round" #5). Round 10: sim_knn_label_purity's r8 green row
-#: predates the round-9 kNN-substrate refactor that briefly
-#: mis-registered it (fix f1c05c8) — re-pinned per VERDICT r9 "What's
-#: wrong" #2. Audit note (round 10): the r9 judge independently swept
-#: all 436 certified names for post-certification refactors and found
-#: only this one; the commits since that audit (f0077fe = driver
-#: artifacts, plus round 10's) only APPEND new query functions — no
-#: certified name's body changed — so the sweep remains exhaustive.
+#: analytics_gini_coefficient re-pin; round-9's size-gated joins; round
+#: 10's sim_knn_label_purity post-f1c05c8 re-pin). A name here may sit
+#: in DRIVER_WINDOW even though an earlier round already certified it.
+#: Round 11: the hand-audits of prior rounds are MECHANIZED in
+#: tools/stale_audit.py (tests/test_stale_certification.py enforces
+#: that every flagged name is re-pinned here or reason-scope-waived):
+#: these 30 names' dependency closures changed after the commits of
+#: their latest green rows — 23 genuine function/helper changes, 7 from
+#: the r01 load_table group (VERDICT r10 "Next round" #2).
 _REPIN_ALLOWLIST: frozenset[str] = frozenset(
     {
-        "tpch_q17_small_qty_revenue",
-        "join_bloom_prefilter",
-        "sim_knn_label_purity",
+        # function/dependency-closure changed post-certification (23)
+        "analytics_rfm_segments",
+        "dedup_clusters_cc",
+        "dedup_containment_pairs",
+        "dedup_lsh_eval",
+        "dedup_ngram_jaccard",
+        "dq_sequence_gap_audit",
+        "graph_connected_components",
+        "graph_copurchase_degree",
+        "graph_degree_assortativity",
+        "graph_jaccard_neighbors",
+        "graph_kcore_peel",
+        "graph_label_propagation",
+        "graph_pagerank",
+        "ml_feature_scaling",
+        "ml_matthews_corrcoef",
+        "pipeline_cluster_representative",
+        "sim_doc_cosine_sparse",
+        "text_bigram_logprob",
+        "text_keyword_rake",
+        "text_source_divergence",
+        "text_tfidf_topk",
+        "text_unigram_logprob",
+        "win_islands",
+        # r01 rows predating load_table's round-2 UTC/NTZ change (7)
+        "asof_join_forward_events_orders",
+        "agg_count_distinct",
+        "q3_top_revenue",
+        "tpch_q7_volume_shipping",
+        "tpch_q9_product_profit",
+        "tpch_q18_large_volume_customer",
+        "tpch_q21_waiting_supplier",
     }
 )
 

@@ -1,0 +1,206 @@
+"""Mechanized stale-certification audit as a suite invariant (VERDICT r10
+"Next round" #2, mechanizing the hand-audits of rounds 9-10).
+
+A committed green driver row certifies a query AS OF the commit that added
+its CORRECTNESS_r{N}.json. The `sim_knn_label_purity` episode (r8 row
+silently predating the round-9 kNN-substrate refactor, fix f1c05c8) showed
+certifications rot when code moves underneath them. tools/stale_audit.py
+walks every certified name's dependency closure (the query function plus
+every first-party helper/constant it transitively references) and flags
+names whose closure changed after their latest green row's commit.
+
+The invariant enforced here: every flagged name is either
+
+- re-pinned in the CURRENT DRIVER_WINDOW (it will be re-certified by this
+  round's driver run), or
+- waived BY NAME with a REASON-SCOPED waiver: the waiver below covers ONLY
+  names whose every flag reason is the round-2 `load_table` change (UTC
+  session pin + events-NTZ normalization) — behavior-neutral for the
+  date-typed TPC-H tables these 31 queries read, re-exercised by every
+  certified window since round 2, and queued for round-12 re-pin. A later
+  change to any waived name's OWN function re-flags it with a non-waivable
+  reason and fails this test.
+
+No Spark session needed — the audit is git + ast only.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "tools"))
+sys.path.insert(0, str(REPO))
+
+import stale_audit  # noqa: E402
+
+from wal_consumer_spark.plans.registry import DRIVER_WINDOW  # noqa: E402
+
+#: Names whose ONLY stale reason is the round-2 load_table change; queued
+#: for round-12 re-pin (the round-11 window's 30 fill slots took the 23
+#: genuine function-change names + the events reader + 6 headliners).
+WAIVED_LOAD_TABLE_ONLY: frozenset[str] = frozenset(
+    {
+        "agg_collect_sorted",
+        "agg_cube",
+        "agg_grouping_sets",
+        "dedup_keep_first",
+        "distinct_projection",
+        "join_cross",
+        "join_full_outer",
+        "join_left_anti",
+        "join_left_outer",
+        "join_left_semi",
+        "join_range_band",
+        "join_right_outer",
+        "join_theta_nonequi",
+        "set_except",
+        "set_intersect",
+        "set_union_all",
+        "sort_multi_nulls",
+        "tpch_q2_min_cost_part",
+        "tpch_q4_order_priority",
+        "tpch_q6_forecast_revenue",
+        "tpch_q8_market_share",
+        "tpch_q10_returned_items",
+        "tpch_q11_important_stock",
+        "tpch_q12_priority_shipping",
+        "tpch_q13_customer_distribution",
+        "tpch_q14_promo_effect",
+        "tpch_q15_top_supplier",
+        "tpch_q16_supplier_part_cnt",
+        "tpch_q19_discounted_revenue",
+        "tpch_q20_part_suppliers",
+        "tpch_q22_global_sales_opportunity",
+    }
+)
+
+_LOAD_TABLE_REASON = "wal_consumer_spark.sources.tables.load_table"
+
+
+def _flagged() -> dict[str, list[str]]:
+    # the audit shells out to git; skip gracefully only if the repo has
+    # no git metadata at all (e.g. an exported source tarball)
+    if not (REPO / ".git").exists():  # pragma: no cover
+        import pytest
+
+        pytest.skip("no git metadata — stale audit needs commit history")
+    return stale_audit.audit()
+
+
+def test_every_stale_certification_is_repinned_or_waived():
+    flagged = _flagged()
+    unhandled = {
+        n: reasons
+        for n, reasons in flagged.items()
+        if n not in DRIVER_WINDOW and n not in WAIVED_LOAD_TABLE_ONLY
+    }
+    assert not unhandled, (
+        "certified queries whose dependency closure changed after their "
+        "green row's commit, neither re-pinned in DRIVER_WINDOW nor "
+        f"waived: {unhandled}"
+    )
+
+
+def test_waivers_are_reason_scoped():
+    """A waiver covers ONLY the load_table reason — if a waived name's own
+    function (or any other closure member) changes, the waiver must not
+    absorb it."""
+    flagged = _flagged()
+    for name in sorted(WAIVED_LOAD_TABLE_ONLY):
+        reasons = flagged.get(name, [])
+        beyond = [r for r in reasons if _LOAD_TABLE_REASON not in r]
+        assert not beyond, (
+            f"waived name {name} has non-load_table stale reasons — the "
+            f"waiver does not cover these: {beyond}"
+        )
+
+
+def test_waivers_not_redundant_with_window():
+    """Keep the bookkeeping tight: a name re-pinned in the window must not
+    also sit in the waiver list."""
+    dup = WAIVED_LOAD_TABLE_ONLY & set(DRIVER_WINDOW)
+    assert not dup, f"names both re-pinned and waived: {sorted(dup)}"
+
+
+# ------------------------------------------------------------------ unit
+# closure/normalization behavior, independent of git history
+
+_SRC_V1 = '''
+from wal_consumer_spark.plans._util import helper_x
+
+THRESH = 10
+
+def helper_a(df):
+    """doc v1"""
+    return helper_b(df) + THRESH
+
+def helper_b(df):
+    return df * 2
+
+def query_q(spark, sf_dir):
+    # a comment
+    return helper_a(spark) + helper_x(sf_dir)
+'''
+
+_SRC_V2_COMMENT_ONLY = _SRC_V1.replace("# a comment", "# a different comment").replace(
+    '"""doc v1"""', '"""doc v2 — reworded"""'
+)
+
+_SRC_V3_HELPER_CHANGED = _SRC_V1.replace("df * 2", "df * 3")
+
+_SRC_V4_CONST_CHANGED = _SRC_V1.replace("THRESH = 10", "THRESH = 99")
+
+
+def test_snapshot_normalization_ignores_comments_and_docstrings():
+    s1 = stale_audit.ModuleSnapshot(_SRC_V1)
+    s2 = stale_audit.ModuleSnapshot(_SRC_V2_COMMENT_ONLY)
+    assert s1.defs == s2.defs
+
+
+def test_snapshot_detects_helper_and_constant_changes():
+    s1 = stale_audit.ModuleSnapshot(_SRC_V1)
+    s3 = stale_audit.ModuleSnapshot(_SRC_V3_HELPER_CHANGED)
+    s4 = stale_audit.ModuleSnapshot(_SRC_V4_CONST_CHANGED)
+    assert s1.defs["helper_b"] != s3.defs["helper_b"]
+    assert s1.defs["query_q"] == s3.defs["query_q"]  # query text untouched
+    assert s1.defs["THRESH"] != s4.defs["THRESH"]
+
+
+def test_snapshot_reference_extraction_reaches_imports_and_locals():
+    s1 = stale_audit.ModuleSnapshot(_SRC_V1)
+    assert "helper_a" in s1.refs["query_q"]
+    assert "helper_x" in s1.refs["query_q"]
+    assert "THRESH" in s1.refs["helper_a"]
+    assert s1.imported_names["helper_x"] == (
+        "wal_consumer_spark.plans._util",
+        "helper_x",
+    )
+
+
+def test_real_closure_includes_transitive_substrate():
+    """graph_pagerank's closure at HEAD must reach beyond the function
+    itself — the checkpoint constant and load_table are substrate the
+    audit is specifically meant to watch."""
+    members = stale_audit.closure(
+        "wal_consumer_spark.plans.analytics", "graph_pagerank"
+    )
+    names = {m for _, m in members}
+    assert "graph_pagerank" in names
+    assert "_PR_CHECKPOINT_AFTER" in names
+    assert ("wal_consumer_spark.sources.tables", "load_table") in members
+
+
+def test_registry_module_excluded_from_closures():
+    """The @register decorator must not pull registration plumbing into
+    every closure (it returns the function unchanged; its own tests guard
+    the mapping) — otherwise any registry.py edit flags all certifications
+    at once."""
+    members = stale_audit.closure(
+        "wal_consumer_spark.plans.analytics", "graph_pagerank"
+    )
+    assert not any(
+        mod == "wal_consumer_spark.plans.registry" for mod, _ in members
+    )

@@ -44,83 +44,27 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: oracle sorts last so it can never burn a window slot on a rows-only
 #: check.
 #:
-#: Round 10 rotates ALL 50 slots an eighth time, per round-9 VERDICT
-#: "Next round" #1/#2: CORRECTNESS_r09 certified the round-9 window
-#: 50/50 green (cumulative 436/436 at rotation time — every name that
-#: existed then has a committed green row), so this window holds the
-#: ROUND-10 CLOSING SET: the 45 round-9 staged additions (old
-#: NEXT_WINDOW, name-for-name) plus 5 fills — 1 deliberate re-pin
-#: (sim_knn_label_purity: its r8 green row predates the round-9
-#: kNN-substrate refactor that briefly mis-registered it, fix f1c05c8;
-#: allowlisted in tests/test_registry.py::_REPIN_ALLOWLIST) and 4 new
-#: round-10 operators certified same-round (ml_matthews_corrcoef,
-#: ml_hosmer_lemeshow_gof, analytics_cohens_d_effect_size,
-#: set_symmetric_diff_tagged). Green rows here close driver coverage
-#: at 485/485.
+#: Round 11 rotates ALL 50 slots a ninth time, per round-10 VERDICT
+#: "Next round" #1/#2: CORRECTNESS_r10 certified the round-10 window
+#: 50/50 green (cumulative 485/485 at rotation time), so this window
+#: holds the 20 round-10 staged additions (old NEXT_WINDOW,
+#: name-for-name) plus 30 fills chosen by the MECHANIZED
+#: stale-certification audit (tools/stale_audit.py, enforced by
+#: tests/test_stale_certification.py): every certified name whose
+#: implementing function or dependency closure changed after the
+#: commit of its latest green driver row is stale — its green row
+#: describes dead code. The audit flagged 61 names; the 30 fills are
+#: the 23 with genuine post-certification function/helper changes
+#: (graph incidence-helper refactors, maybe_broadcast adoption, the
+#: round-11 ml_matthews_corrcoef ADVICE fix, ...), plus
+#: asof_join_forward_events_orders (the one events-table reader whose
+#: r01 row predates load_table's NTZ-timestamp normalization), plus 6
+#: headline-bench names from the 38-name load_table-only group; the
+#: remaining 31 load_table-only names carry a reason-scoped waiver in
+#: tests/test_stale_certification.py and are queued for the round-12
+#: window's free slots.
 DRIVER_WINDOW: list[str] = [
-    # --- round-9 staged additions (old NEXT_WINDOW, 45) ---
-    "sim_centroid_margin_audit",
-    "sim_jl_projection_distortion",
-    "pipeline_token_budget_curriculum",
-    "stream_replay_dedup_exactly_once",
-    "agg_bloom_filter_fpr_audit",
-    "analytics_mann_whitney_u",
-    "analytics_shapley_attribution",
-    "text_kneser_ney_bigram",
-    "stream_click_purchase_interval_join",
-    "ts_granger_causality_daily",
-    "sim_product_quantization_audit",
-    "ml_decision_tree_depth2",
-    "stream_left_outer_join_watermark_close",
-    "graph_louvain_first_sweep",
-    "analytics_markov_absorption_time",
-    "text_burrows_delta_sources",
-    "stream_full_outer_join_watermark_close",
-    "ml_cochran_q_test",
-    "ml_kruskal_wallis_h",
-    "ml_friedman_test",
-    "ml_target_encoding_loo",
-    "ml_cv_fold_accuracy_variance",
-    "agg_kmv_distinct_sketch",
-    "ts_variance_ratio",
-    "text_simpson_lexical_diversity",
-    "sql_front_qualify",
-    "analytics_propensity_stratification",
-    "dedup_minhash_estimate_error",
-    "cdc_op_mix_drift_by_day",
-    "analytics_kendall_w_concordance",
-    "graph_ego_density_topk",
-    "ml_auc_delong_variance",
-    "sql_front_pivot",
-    "ml_multinomial_nb_lang",
-    "analytics_two_proportion_ab",
-    "ts_turning_points_test",
-    "ml_somers_d_gamma",
-    "analytics_markov_entropy_rate",
-    "ml_woe_information_value",
-    "analytics_mood_median_test",
-    "text_script_profile",
-    "sql_front_values_spine",
-    "sql_front_distinct_on",
-    "ml_krippendorff_alpha_binary",
-    "ts_value_at_risk_cvar",
-    # --- re-pin: r8 row predates the round-9 kNN refactor (f1c05c8) ---
-    "sim_knn_label_purity",
-    # --- round-10 session additions certified same-round (4) ---
-    "ml_matthews_corrcoef",
-    "ml_hosmer_lemeshow_gof",
-    "analytics_cohens_d_effect_size",
-    "set_symmetric_diff_tagged",
-]
-
-#: ROUND-11 STAGING — every operator registered during round 10 AFTER
-#: the rotation above froze the 50-slot window lands here IN THE SAME
-#: COMMIT that registers it, so the partition test enforces staging at
-#: authoring time. The 436 previously-certified names plus this
-#: window's 50 close at 485/485 when CORRECTNESS_r10 lands; names
-#: staged here certify in round 11.
-NEXT_WINDOW: list[str] = [
-    # --- round-10 session additions (certify in round 11) ---
+    # --- round-10 staged additions (old NEXT_WINDOW, 20) ---
     "text_yule_k_by_source",
     "ml_tjur_r2_discrimination",
     "analytics_sample_ratio_mismatch",
@@ -141,7 +85,51 @@ NEXT_WINDOW: list[str] = [
     "scalar_try_funcs",
     "pipeline_snapshot_novelty_rate",
     "ts_seasonal_mann_kendall",
+    # --- stale-audit re-pins: function/dependency-closure changed after
+    # --- the latest green row's commit (23) ---
+    "analytics_rfm_segments",
+    "dedup_clusters_cc",
+    "dedup_containment_pairs",
+    "dedup_lsh_eval",
+    "dedup_ngram_jaccard",
+    "dq_sequence_gap_audit",
+    "graph_connected_components",
+    "graph_copurchase_degree",
+    "graph_degree_assortativity",
+    "graph_jaccard_neighbors",
+    "graph_kcore_peel",
+    "graph_label_propagation",
+    "graph_pagerank",
+    "ml_feature_scaling",
+    "ml_matthews_corrcoef",
+    "pipeline_cluster_representative",
+    "sim_doc_cosine_sparse",
+    "text_bigram_logprob",
+    "text_keyword_rake",
+    "text_source_divergence",
+    "text_tfidf_topk",
+    "text_unigram_logprob",
+    "win_islands",
+    # --- stale-audit re-pins: r01 rows predating load_table's round-2
+    # --- UTC-pin + events-NTZ normalization (7 of 38; the events reader
+    # --- first, then headline-bench names; the other 31 are waived with
+    # --- reason-scoping and queued for round 12) ---
+    "asof_join_forward_events_orders",
+    "agg_count_distinct",
+    "q3_top_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q9_product_profit",
+    "tpch_q18_large_volume_customer",
+    "tpch_q21_waiting_supplier",
 ]
+
+#: ROUND-12 STAGING — every operator registered during round 11 AFTER
+#: the rotation above froze the 50-slot window lands here IN THE SAME
+#: COMMIT that registers it, so the partition test enforces staging at
+#: authoring time. Green rows for the window above close the
+#: pre-round-11 book at 505/505; names staged here certify in round 12
+#: alongside the 31 waived load_table-only re-pins.
+NEXT_WINDOW: list[str] = []
 
 #: Overflow staging for additions beyond a single round-10 window.
 FUTURE_WINDOW: list[str] = []
