@@ -1020,6 +1020,36 @@ def main() -> None:
                 "construct_sec": 0.175,
                 "calibration_cpu_sec": 0.271,
             },
+            # Round-11 resolution of the ONE unresolved r10 tripwire flag
+            # (VERDICT r10 "What's wrong" #1): stream_window_tumbling
+            # flagged 1.64x (0.344 -> 0.563 raw) on the noisiest host of
+            # the build (35.8% probe spread). Fresh-JVM n=5 isolation:
+            # median 0.381 s at probe 0.222 ~= 0.357 r3-host-normalized
+            # seconds — within 4% of its r9 baseline 0.344. git log
+            # confirms zero commits touched its plan (plans/
+            # streaming_batch.py unchanged f0077fe..HEAD for this
+            # function). Verdict: host noise, no regression, flag closed.
+            "stream_window_tumbling_r11": {
+                "fresh_jvm_median_sec": 0.381,
+                "fresh_jvm_samples": [0.533, 0.448, 0.381, 0.349, 0.348],
+                "construct_sec": 0.142,
+                "calibration_cpu_sec": 0.222,
+            },
+            # Round-11 triage of the round-11 builder run's one flag
+            # (multimodal_decode_meta 2.25x raw): fresh-JVM n=5 median
+            # 0.529 s at probe 0.338 — a probe this slow means the host
+            # was mid-burst — normalizing to the r3 anchor gives 0.326,
+            # exactly the query's r9/r10 normalized baseline
+            # (0.325/0.33). Same verdict as its r10 flag: host noise.
+            # The probe itself swung 0.214 -> 0.338 between runs minutes
+            # apart this session; see the host-variance note in SCALE.md
+            # §29 for the three-round spread history.
+            "multimodal_decode_meta_r11": {
+                "fresh_jvm_median_sec": 0.529,
+                "fresh_jvm_samples": [0.632, 0.752, 0.529, 0.471, 0.424],
+                "construct_sec": 0.207,
+                "calibration_cpu_sec": 0.338,
+            },
         },
     }
     detail_path = os.path.join(here_dir, f"BENCH_DETAIL_r{rnd:02d}.json")

@@ -101,12 +101,12 @@ spark.stop()
 """
 
 
-def _make_records() -> list[tuple[int, str, str | None]]:
-    """N_BATCHES batches of BATCH_SIZE ops; every batch's LAST op updates
+def _make_records(n_batches: int = N_BATCHES) -> list[tuple[int, str, str | None]]:
+    """`n_batches` batches of BATCH_SIZE ops; every batch's LAST op updates
     the sentinel entity with the batch index, so the committed-batch count
     is recoverable from state alone."""
     records: list[tuple[int, str, str | None]] = []
-    for b in range(N_BATCHES):
+    for b in range(n_batches):
         for s in range(BATCH_SIZE - 1):
             step = b * (BATCH_SIZE - 1) + s
             e = (step * 5) % 12 + 1
@@ -124,7 +124,7 @@ def _oracle_prefixes(records) -> list[dict[int, str]]:
     """prefixes[k] = dict state after the first k whole batches."""
     prefixes = [{}]
     state: dict[int, str] = {}
-    for b in range(N_BATCHES):
+    for b in range(len(records) // BATCH_SIZE):
         for e, op, v in records[b * BATCH_SIZE : (b + 1) * BATCH_SIZE]:
             if op == "DELETE":
                 state.pop(e, None)
@@ -253,3 +253,266 @@ def test_sigkill_mid_apply_manifest_last_soak(spark, tmp_path):
     proc = spawn(k)
     assert proc.wait(timeout=600) == 0
     assert _recovered_state(spark, tgt) == prefixes[N_BATCHES]
+
+
+# ---------------------------------------------------------------------------
+# Concurrent-writer takeover soak (VERDICT r10 stretch #9): the SIGKILL soak
+# above certifies single-consumer crash atomicity; the reference's HA story
+# (README.md:40-43) also promises safety when a SECOND consumer waits on the
+# lock and takes over after the owner dies. This soak runs that handoff 20
+# times with the PRODUCTION lock code (WalStreamConsumer._acquire_lock /
+# _release_lock, used unmodified via a real consumer instance): each cycle a
+# waiting consumer process (own process group) is first DENIED by the live
+# owner's lock, the owner's whole process group is then SIGKILLed mid-apply,
+# and the waiter must break the stale sentinel via the rename path, recover
+# the bucketed target, verify the recovered state is an EXACT whole-batch
+# prefix of the oracle, and continue applying as the new owner.
+
+TAKEOVER_BATCHES = 100
+N_TAKEOVER_CYCLES = 20
+
+_TAKEOVER_CHILD = """
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+
+tgt, ckpt, log_path, records_path = sys.argv[1:5]
+batch_size = {batch_size}
+sentinel = {sentinel}
+pid = os.getpid()
+
+log = open(log_path, "a")
+def journal(line):
+    log.write(line + " pid=" + str(pid) + chr(10))
+    log.flush()
+    os.fsync(log.fileno())
+
+# ---- acquire the PRODUCTION lock before paying for a JVM ----
+class _LockHandle:
+    # carries only checkpoint_dir; the methods are WalStreamConsumer's own
+    def __init__(self, checkpoint_dir):
+        self.checkpoint_dir = checkpoint_dir
+
+from wal_consumer_spark.streaming.consumer import WalStreamConsumer
+_LockHandle._lock_path = WalStreamConsumer._lock_path
+_LockHandle._acquire_lock = WalStreamConsumer._acquire_lock
+_LockHandle._release_lock = WalStreamConsumer._release_lock
+
+lock = _LockHandle(ckpt)
+denied = False
+while True:
+    try:
+        lock._acquire_lock()
+        break
+    except RuntimeError:
+        if not denied:
+            journal("denied")
+            denied = True
+        time.sleep(0.05)
+journal("acquired" + (" after-denial" if denied else " uncontested"))
+
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+from wal_consumer_spark.operators.cdc import apply_cdc_batch
+from wal_consumer_spark.streaming import BucketedParquetKeyValueTarget
+
+records = json.load(open(records_path))
+n_batches = len(records) // batch_size
+target = BucketedParquetKeyValueTarget(spark, tgt, n_buckets=8)
+
+# ---- recover k from state and verify EXACT whole-batch prefix ----
+state = dict()
+for r in target.read().collect():
+    state[r.entity_id] = bytes(r.entity_bytes).decode()
+k = (int(state[sentinel][1:]) + 1) if sentinel in state else 0
+
+oracle = dict()
+for e, op, v in [r for b in range(k) for r in
+                 records[b * batch_size:(b + 1) * batch_size]]:
+    if op == "DELETE":
+        oracle.pop(e, None)
+    else:
+        oracle[e] = v
+ok = 1 if state == oracle else 0
+journal("takeover-verified k=" + str(k) + " ok=" + str(ok))
+if not ok:
+    sys.exit(1)
+
+# ---- apply as the new owner: slow for the first 3 batches (the parent's
+# kill window), then full speed so the last owner drains fast ----
+for i in range(k, n_batches):
+    if i - k < 3:
+        time.sleep(0.25)
+    rows = [
+        (j, e, op, v.encode() if v is not None else None, "TestEntity")
+        for j, (e, op, v) in enumerate(
+            records[i * batch_size:(i + 1) * batch_size],
+            start=i * batch_size,
+        )
+    ]
+    batch = spark.createDataFrame(
+        rows,
+        "id LONG, entity_id LONG, operation STRING, "
+        "entity_bytes BINARY, entity_type STRING",
+    )
+    journal("start " + str(i))
+    touched = target.touched_buckets(batch)
+    st = target.read_for(batch, touched)
+    target.write_for(apply_cdc_batch(st, batch), batch, touched)
+    journal("committed " + str(i))
+
+journal("done")
+lock._release_lock()
+spark.stop()
+"""
+
+
+def test_takeover_soak_lock_handoff_prefix_exact(spark, tmp_path):
+    records = _make_records(TAKEOVER_BATCHES)
+    prefixes = _oracle_prefixes(records)
+    tgt = str(tmp_path / "tgt")
+    ckpt = str(tmp_path / "ckpt")
+    log_path = str(tmp_path / "journal.log")
+    records_path = str(tmp_path / "records.json")
+    child_path = str(tmp_path / "child.py")
+    with open(records_path, "w") as f:
+        json.dump(records, f)
+    with open(child_path, "w") as f:
+        f.write(_TAKEOVER_CHILD.format(
+            repo=REPO, batch_size=BATCH_SIZE, sentinel=SENTINEL
+        ))
+
+    rng = random.Random(0x7A4E)
+    env = dict(os.environ)
+    env.pop("PYSPARK_GATEWAY_PORT", None)
+    env.pop("PYSPARK_GATEWAY_SECRET", None)
+
+    def spawn() -> subprocess.Popen:
+        return subprocess.Popen(
+            [sys.executable, child_path, tgt, ckpt, log_path, records_path],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+            start_new_session=True,
+            env=env,
+        )
+
+    def journal_lines() -> list[str]:
+        try:
+            with open(log_path) as f:
+                return [ln.strip() for ln in f if ln.strip()]
+        except FileNotFoundError:
+            return []
+
+    def wait_for(pred, what: str, timeout: float = 180.0):
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            lines = journal_lines()
+            if pred(lines):
+                return lines
+            time.sleep(0.02)
+        raise AssertionError(f"timed out waiting for {what}; "
+                             f"journal tail: {journal_lines()[-6:]}")
+
+    owner = spawn()  # first owner acquires uncontested
+    wait_for(
+        lambda ls: any(ln.startswith("acquired uncontested") for ln in ls),
+        "first owner to acquire",
+    )
+
+    kills = 0
+    while kills < N_TAKEOVER_CYCLES:
+        owner_pid = owner.pid
+        n_seen = len(journal_lines())
+        waiter = spawn()
+        # the waiter must be DENIED by the live owner before the kill —
+        # that is the mutual-exclusion half of the HA claim
+        wait_for(
+            lambda ls: any(
+                ln == f"denied pid={waiter.pid}" for ln in ls
+            ),
+            f"waiter {waiter.pid} to be denied by live owner {owner_pid}",
+        )
+        assert owner.poll() is None, "owner died before the kill"
+        # require >=1 NEW commit from this owner first, so every takeover
+        # verifies a NON-TRIVIAL whole-batch prefix (k strictly grows per
+        # cycle), then kill inside the next in-flight batch
+        def owner_committed_then_started(ls):
+            tail = ls[n_seen:]
+            commit_at = next(
+                (
+                    idx
+                    for idx, ln in enumerate(tail)
+                    if ln.startswith("committed")
+                    and ln.endswith(f"pid={owner_pid}")
+                ),
+                None,
+            )
+            if commit_at is None:
+                return False
+            return any(
+                ln.startswith("start") and ln.endswith(f"pid={owner_pid}")
+                for ln in tail[commit_at + 1:]
+            )
+
+        wait_for(
+            lambda ls: owner_committed_then_started(ls)
+            or owner.poll() is not None,
+            f"owner {owner_pid} to commit a batch and start the next",
+        )
+        assert owner.poll() is None, (
+            "owner drained all batches before the kill — raise "
+            "TAKEOVER_BATCHES"
+        )
+        time.sleep(rng.uniform(0.0, 0.5))
+        os.killpg(owner.pid, signal.SIGKILL)
+        owner.wait()
+        kills += 1
+        # the waiter must now break the stale sentinel and verify an
+        # exact whole-batch prefix before continuing
+        lines = wait_for(
+            lambda ls: any(
+                ln.startswith("takeover-verified")
+                and ln.endswith(f"pid={waiter.pid}")
+                for ln in ls
+            ),
+            f"waiter {waiter.pid} takeover verification",
+        )
+        tv = [
+            ln for ln in lines
+            if ln.startswith("takeover-verified")
+            and ln.endswith(f"pid={waiter.pid}")
+        ][-1]
+        assert " ok=1 " in tv + " ", f"takeover prefix check failed: {tv}"
+        owner = waiter
+
+    assert kills == N_TAKEOVER_CYCLES, f"only {kills} takeover cycles ran"
+
+    # the final owner drains the remaining batches and exits cleanly
+    assert owner.wait(timeout=600) == 0
+    lines = journal_lines()
+    assert any(ln.startswith("done") for ln in lines)
+
+    # every consumer (the uncontested first owner + the 20 takeover
+    # waiters) verified an exact prefix, and k STRICTLY grows cycle over
+    # cycle — each owner committed >=1 batch before dying, so no takeover
+    # ever re-verifies the same trivial prefix
+    ks = [
+        int(ln.split()[1].split("=")[1])
+        for ln in lines
+        if ln.startswith("takeover-verified")
+    ]
+    assert len(ks) == N_TAKEOVER_CYCLES + 1
+    assert all(b > a for a, b in zip(ks, ks[1:])), (
+        f"takeover k not strictly increasing: {ks}"
+    )
+
+    # final state == full oracle, and the clean finisher released the lock
+    assert _recovered_state(spark, tgt) == prefixes[TAKEOVER_BATCHES]
+    assert not os.path.exists(os.path.join(ckpt, "_wcs_lock"))

@@ -251,3 +251,150 @@ def test_sql_text_fuzz_200_cases(spark, duck):
     assert not failures, (
         f"{len(failures)}/{N_CASES} SQL texts diverged; first 3: {failures[:3]}"
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-table grammar (VERDICT r10 "Next round" #5): the single-table fuzz
+# above leaves JOIN text and correlated-subquery text each certified by one
+# hand-written query — exactly where dialect boundaries are subtlest
+# (join-type keyword handling, correlated scoping, EXISTS/IN rewrite
+# semantics, the correlated-COUNT "count bug"). 200 more seeded cases over
+# 2- and 3-table join chains and EXISTS / NOT EXISTS / IN / NOT IN /
+# correlated-scalar subqueries. Determinism rules are inherited: DECIMAL
+# sums cast to DOUBLE, IN-lists over non-null keys only (NOT IN over a
+# nullable column is a dialect trap we deliberately keep out of grammar —
+# the engines AGREE it yields empty, but it tests nothing), grouped
+# outputs only (no bare SELECT * row order).
+
+#: 3-table chains: (FROM text with join slots, group col, money measure,
+#: fact table for WHERE predicates)
+_JOIN3_CHAINS = [
+    (
+        "customer {j1} nation ON c_nationkey = n_nationkey "
+        "{j2} region ON n_regionkey = r_regionkey",
+        ["n_name", "r_name"],
+        "c_acctbal",
+        "customer",
+    ),
+    (
+        "orders {j1} customer ON o_custkey = c_custkey "
+        "{j2} nation ON c_nationkey = n_nationkey",
+        ["n_name", "c_mktsegment", "o_orderpriority"],
+        "o_totalprice",
+        "orders",
+    ),
+    (
+        "lineitem {j1} orders ON l_orderkey = o_orderkey "
+        "{j2} customer ON o_custkey = c_custkey",
+        ["c_mktsegment", "l_returnflag", "o_orderstatus"],
+        "l_extendedprice",
+        "lineitem",
+    ),
+]
+
+
+def _join3_case(rng: random.Random, duck) -> str:
+    frm, groups, money, fact = rng.choice(_JOIN3_CHAINS)
+    # keys are referentially complete, so INNER and LEFT agree on VALUES —
+    # but the parser/planner paths differ, which is what text fuzz probes
+    j1 = rng.choice(["JOIN", "INNER JOIN", "LEFT JOIN"])
+    j2 = rng.choice(["JOIN", "INNER JOIN", "LEFT JOIN"])
+    g = rng.choice(groups)
+    where = _where(rng, duck, fact)
+    having = (
+        f"HAVING COUNT(*) >= {rng.randrange(1, 10)}"
+        if rng.random() < 0.4
+        else ""
+    )
+    return (
+        f"SELECT {g} AS g, COUNT(*) AS n, "
+        f"CAST(SUM(CAST({money} AS DECIMAL(14,2))) AS DOUBLE) AS total "
+        f"FROM {frm.format(j1=j1, j2=j2)} {where} GROUP BY {g} {having}"
+    )
+
+
+def _exists_case(rng: random.Random, duck) -> str:
+    neg = rng.choice(["", "NOT "])
+    inner_pred = _predicate(rng, duck, "orders")
+    outer_where = _where(rng, duck, "customer")
+    conj = "AND" if outer_where else "WHERE"
+    return (
+        f"SELECT c_mktsegment AS g, COUNT(*) AS n, "
+        f"CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS total "
+        f"FROM customer {outer_where} {conj} {neg}EXISTS ("
+        f"SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        f"AND {inner_pred}) GROUP BY 1"
+    )
+
+
+def _in_subquery_case(rng: random.Random, duck) -> str:
+    neg = rng.choice(["", "NOT "])
+    inner_pred = _predicate(rng, duck, "customer")
+    where = _where(rng, duck, "orders")
+    conj = "AND" if where else "WHERE"
+    # o_custkey and c_custkey are both non-null: NOT IN stays two-valued
+    return (
+        f"SELECT o_orderpriority AS g, COUNT(*) AS n, "
+        f"CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total "
+        f"FROM orders {where} {conj} o_custkey {neg}IN ("
+        f"SELECT c_custkey FROM customer WHERE {inner_pred}) GROUP BY 1"
+    )
+
+
+def _correlated_scalar_case(rng: random.Random, duck) -> str:
+    # the classic correlated-COUNT shape (the "count bug" rewrite): an
+    # empty correlation group must yield 0, not NULL, in BOTH engines
+    inner_pred = _predicate(rng, duck, "orders")
+    outer_where = _where(rng, duck, "customer")
+    return (
+        f"SELECT c_custkey AS k, "
+        f"(SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey "
+        f"AND {inner_pred}) AS n_orders "
+        f"FROM customer {outer_where}"
+    )
+
+
+def _semi_agg_case(rng: random.Random, duck) -> str:
+    # aggregate over a subquery-derived table with a join inside it
+    where = _where(rng, duck, "orders")
+    m = rng.randrange(2, 6)
+    return (
+        f"SELECT g, COUNT(*) AS n, CAST(SUM(cnt) AS BIGINT) AS total_cnt "
+        f"FROM (SELECT c_mktsegment AS g, c_custkey % {m} AS b, "
+        f"COUNT(o_orderkey) AS cnt "
+        f"FROM customer LEFT JOIN orders ON o_custkey = c_custkey "
+        f"{where.replace('WHERE', 'AND') if where else ''} "
+        f"GROUP BY 1, 2) AS t GROUP BY g"
+    )
+
+
+def gen_join_sql(seed: int, duck) -> str:
+    rng = random.Random(seed)
+    case = rng.choice(
+        ["join3", "join3", "exists", "in_sub", "scalar", "semi_agg"]
+    )
+    return {
+        "join3": _join3_case,
+        "exists": _exists_case,
+        "in_sub": _in_subquery_case,
+        "scalar": _correlated_scalar_case,
+        "semi_agg": _semi_agg_case,
+    }[case](rng, duck)
+
+
+def test_sql_text_fuzz_join_grammar_200_cases(spark, duck):
+    failures = []
+    for seed in range(1000, 1000 + N_CASES):
+        text = gen_join_sql(seed, duck)
+        try:
+            a = front_door(spark, SF_SMOKE, text).toPandas()
+            b = duck.execute(text).fetchdf()
+            compare(a, b, f"sqljoinfuzz[{seed}]")
+        except AssertionError as ex:
+            failures.append((seed, text, str(ex)[:200]))
+        except Exception as ex:
+            failures.append((seed, text, f"{type(ex).__name__}: {str(ex)[:200]}"))
+    assert not failures, (
+        f"{len(failures)}/{N_CASES} join-grammar SQL texts diverged; "
+        f"first 3: {failures[:3]}"
+    )

@@ -1,0 +1,301 @@
+"""Independent (pure-Python) oracles and behavioral tests for operators
+added in round 11 and staged for round-12 certification — so a bug
+mirrored into both engines' shared formulation cannot hide behind the
+parity gate (the round-8..11 test-file pattern)."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+
+import pandas as pd
+
+from wal_consumer_spark.plans import all_specs
+
+SF = "/root/testdata/sf0.01"
+
+
+# --------------------------------------------------- hdr histogram quantiles
+def _hdr_bucket(v: int) -> int:
+    high = v.bit_length() - 1
+    p = 1 << high
+    return high * 16 + (v - p) * 16 // p
+
+
+def test_hdr_histogram_python_oracle(spark):
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    cents = sorted(int(c) for c in (o.o_totalprice * 100).round() if c >= 16)
+    n = len(cents)
+    buckets = Counter(_hdr_bucket(v) for v in cents)
+    out = {
+        r.percentile: r
+        for r in all_specs()["agg_hdr_histogram_quantiles"].spark(spark, SF).collect()
+    }
+    assert sorted(out) == [50, 90, 99]
+    for q in (50, 90, 99):
+        rank = max(n * q // 100, 1)
+        exact = cents[rank - 1]
+        cum = 0
+        for b in sorted(buckets):
+            cum += buckets[b]
+            if cum >= rank:
+                bucket = b
+                break
+        p = 1 << (bucket // 16)
+        lo = p + (bucket % 16) * (p // 16)
+        w = p // 16
+        mid = lo + w / 2
+        r = out[q]
+        assert r.bucket == bucket
+        assert r.exact_cents == exact
+        assert r.est_mid_cents == round(mid, 4)
+        assert r.rel_err_micro == round(abs(mid - exact) / exact * 1e6)
+        # the sketch's contract: estimate within half a bucket width
+        assert lo <= exact < lo + w
+        assert r.within_bound
+
+
+def test_hdr_bucketing_is_exact_and_monotone():
+    prev = -1
+    for v in [16, 17, 31, 32, 100, 999, 2**20, 2**40 - 1]:
+        b = _hdr_bucket(v)
+        assert b >= prev or v < 32  # monotone in v within increasing vs
+    # bucket boundaries: lo(b) <= v < lo(b)+w for every probe value
+    for v in [16, 90000, 123456, 10**9, 2**45 + 12345]:
+        b = _hdr_bucket(v)
+        p = 1 << (b // 16)
+        lo = p + (b % 16) * (p // 16)
+        assert lo <= v < lo + p // 16
+
+
+# ------------------------------------------------------------- bradley-terry
+def _duels():
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    e["d"] = pd.to_datetime(e.ts).dt.date
+    e["cents"] = (e.value * 100).round().astype(int)
+    per = (
+        e.groupby(["user_id", "d", "event_type"]).cents.sum().reset_index()
+    )
+    duels = []
+    for (_, _), grp in per.groupby(["user_id", "d"]):
+        if len(grp) < 2:
+            continue
+        top = grp.sort_values(
+            ["cents", "event_type"], ascending=[False, True]
+        ).head(2)
+        duels.append((top.iloc[0].event_type, top.iloc[1].event_type))
+    return duels
+
+
+def test_bradley_terry_python_oracle(spark):
+    duels = _duels()
+    wins: Counter = Counter(w for w, _ in duels)
+    pair_n: Counter = Counter(tuple(sorted(p)) for p in duels)
+    games: Counter = Counter()
+    for (a, b), n_ab in pair_n.items():
+        games[a] += n_ab
+        games[b] += n_ab
+    s1 = {t: 2.0 * wins.get(t, 0) / games[t] for t in games}
+    out = {
+        r.event_type: r
+        for r in all_specs()["ml_bradley_terry_one_step"].spark(spark, SF).collect()
+    }
+    assert sorted(out) == sorted(games)
+    for t in games:
+        r = out[t]
+        assert r.n_games == games[t]
+        assert r.n_wins == wins.get(t, 0)
+        assert r.bt_score_1 == round(s1[t], 6)
+        denom = sum(
+            round(1e6 * n_ab / (s1[a] + s1[b]))
+            for (a, b), n_ab in pair_n.items()
+            if t in (a, b)
+        )
+        assert r.bt_score_2 == round(wins.get(t, 0) * 1e6 / denom, 6)
+
+
+def test_bradley_terry_no_winless_pair_invariant():
+    """The 1e6-term quantization is safe because s1_i + s1_j > 0 for every
+    played pair: the two sides of a pair cannot both be winless."""
+    duels = _duels()
+    wins = Counter(w for w, _ in duels)
+    for a, b in {tuple(sorted(p)) for p in duels}:
+        assert wins.get(a, 0) + wins.get(b, 0) > 0
+
+
+# ------------------------------------------------------------- james-stein
+def test_james_stein_python_oracle(spark):
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+    n_tbl = pd.read_parquet(f"{SF}/nation.parquet")
+    c["cents"] = (c.c_acctbal * 100).round().astype(int)
+    g = c.groupby("c_nationkey").cents.agg(["count", "sum"])
+    s2 = c.groupby("c_nationkey").apply(
+        lambda df: int((df.cents.astype(object) ** 2).sum()),
+        include_groups=False,
+    )
+    k = len(g)
+    n = int(g["count"].sum())
+    t1 = int(g["sum"].sum())
+    ssw = sum(round(float(s) * float(s) / cnt) for s, cnt in zip(g["sum"], g["count"]))
+    gmean = t1 / n
+    sigma2 = (float(s2.sum()) - float(ssw)) / (n - k)
+    means = {i: g.loc[i, "sum"] / g.loc[i, "count"] for i in g.index}
+    s_between = sum(round((m - gmean) ** 2) for m in means.values())
+    names = dict(zip(n_tbl.n_nationkey, n_tbl.n_name))
+    out = {
+        r.n_name: r
+        for r in all_specs()["analytics_james_stein_shrinkage"].spark(spark, SF).collect()
+    }
+    assert len(out) == k
+    for i in g.index:
+        r = out[names[i]]
+        n_i = int(g.loc[i, "count"])
+        shrink = max(0.0, 1.0 - (k - 3) * (sigma2 / n_i) / s_between)
+        assert r.n_customers == n_i
+        assert r.raw_mean == round(means[i] / 100, 4)
+        assert r.shrink_weight == round(shrink, 6)
+        assert r.js_mean == round(
+            (gmean + shrink * (means[i] - gmean)) / 100, 4
+        )
+    # shrinkage must move every mean TOWARD the grand mean, never past it
+    for i in g.index:
+        r = out[names[i]]
+        lo, hi = sorted([round(means[i] / 100, 4), round(gmean / 100, 4)])
+        assert lo - 1e-9 <= r.js_mean <= hi + 1e-9
+
+
+# ---------------------------------------------------------------- mde curve
+def test_mde_curve_python_oracle(spark):
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    n_events = len(e)
+    n_pos = int((e.event_type == "purchase").sum())
+    p = n_pos / n_events
+    out = all_specs()["analytics_ab_mde_curve"].spark(spark, SF).collect()
+    grid = [100, 200, 500, 1000, 2000, 5000, 10000, 20000, 50000, 100000]
+    assert [r.n_per_arm for r in out] == grid
+    for r in out:
+        mde = 2.801585 * math.sqrt(2.0 * p * (1.0 - p) / r.n_per_arm)
+        assert r.base_rate == round(p, 6)
+        assert r.mde_abs_micro == round(mde * 1e6)
+        assert r.mde_rel_micro == round(mde / p * 1e6)
+    # MDE must shrink ~1/sqrt(n): quadrupling n halves the MDE
+    by_n = {r.n_per_arm: r.mde_abs_micro for r in out}
+    assert abs(by_n[2000] / by_n[500] - 0.5) < 0.01
+
+
+# ------------------------------------------------------------ wedge closure
+def test_wedge_closure_python_oracle(spark):
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    op = li[["l_orderkey", "l_partkey"]].drop_duplicates()
+    pair_n: Counter = Counter()
+    for _, grp in op.groupby("l_orderkey"):
+        ps = sorted(set(grp.l_partkey))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_n[(ps[i], ps[j])] += 1
+    edges = {e for e, n in pair_n.items() if n >= 2}
+    adj: defaultdict = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri: Counter = Counter()
+    for a, b in edges:
+        common = adj[a] & adj[b]
+        for c in common:
+            tri[a] += 1  # each triangle counted once per incident edge pair?
+    # count triangles per node exactly: enumerate each triangle once
+    tri = Counter()
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            if c > b:  # a<b<c triangle enumerated once (edges store a<b)
+                tri[a] += 1
+                tri[b] += 1
+                tri[c] += 1
+    buckets: dict = defaultdict(lambda: [0, 0, 0])
+    for v, nbrs in adj.items():
+        d = len(nbrs)
+        if d < 2:
+            continue
+        bk = d.bit_length() - 1
+        buckets[bk][0] += 1
+        buckets[bk][1] += d * (d - 1) // 2
+        buckets[bk][2] += tri.get(v, 0)
+    out = {
+        r.degree_bucket: r
+        for r in all_specs()["graph_wedge_closure_by_degree"].spark(spark, SF).collect()
+    }
+    assert sorted(out) == sorted(buckets)
+    for bk, (n_nodes, wedges, t) in buckets.items():
+        r = out[bk]
+        assert (r.n_nodes, r.n_wedges, r.n_triangles) == (n_nodes, wedges, t)
+        assert r.closure_micro == round(1e6 * t / wedges)
+        assert 0 <= r.closure_micro <= 1_000_000  # closure is a proper ratio
+
+
+# ------------------------------------------------------ preference margins
+def test_preference_pair_python_oracle(spark):
+    d = pd.read_parquet(f"{SF}/documents.parquet")
+    d["score"] = d.text.map(
+        lambda t: len(re.split(r"\s+", t.strip().lower()))
+    )
+    margins: defaultdict = defaultdict(list)
+    for (src, _), grp in d.groupby(["source", d.score // 16]):
+        grp = grp.sort_values(["score", "doc_id"], ascending=[False, True])
+        sc = list(grp.score)
+        for i in range(len(sc) - 1):
+            margins[src].append(sc[i] - sc[i + 1])
+    expected: dict = {}
+    for src, ms in margins.items():
+        by_bucket: defaultdict = defaultdict(list)
+        for m in ms:
+            by_bucket[(m + 1).bit_length() - 1].append(m)
+        for bk, vals in by_bucket.items():
+            expected[(src, bk)] = (len(vals), round(sum(vals) / len(vals), 4))
+    out = all_specs()["pipeline_preference_pair_margin"].spark(spark, SF).collect()
+    got = {(r.source, r.margin_bucket): (r.n_pairs, r.avg_margin) for r in out}
+    assert got == expected
+    # every margin is non-negative by construction (desc sort within band)
+    assert all(bk >= 0 for _, bk in got)
+
+
+# ------------------------------------------------------- magic number audit
+def test_magic_number_python_oracle(spark):
+    d = pd.read_parquet(f"{SF}/documents.parquet")
+    exp: Counter = Counter()
+    for doc_id, text in zip(d.doc_id, d.text):
+        kind = ["image", "audio", "video"][doc_id % 3]
+        h = text.encode("utf-8")[:8].hex().upper()
+        if h[:4] == "FFD8":
+            det = "jpeg"
+        elif h[:4] == "8950":
+            det = "png"
+        elif h[:4] == "4749":
+            det = "gif"
+        elif h[:4] in ("4949", "4D4D"):
+            det = "tiff"
+        elif h[:6] == "494433":
+            det = "mp3"
+        elif h[:8] == "52494646":
+            det = "riff"
+        elif h[:8] == "4F676753":
+            det = "ogg"
+        elif h[:8] == "1A45DFA3":
+            det = "matroska"
+        elif h[8:16] == "66747970":
+            det = "mp4"
+        elif h[:2] and "20" <= h[:2] <= "7E":
+            det = "ascii-text"
+        else:
+            det = "other"
+        conf = {
+            "image": det in ("jpeg", "png", "gif", "tiff"),
+            "audio": det in ("mp3", "riff", "ogg"),
+            "video": det in ("mp4", "matroska", "riff"),
+        }[kind]
+        exp[(kind, det, conf)] += 1
+    out = all_specs()["multimodal_magic_number_audit"].spark(spark, SF).collect()
+    got = {(r.kind, r.detected, r.conformant): r.n for r in out}
+    assert got == dict(exp)
+    # fake payloads are utf-8 text: nothing should conform (honesty check)
+    assert not any(conf for (_, _, conf) in got)

@@ -261,7 +261,11 @@ def test_transform_with_state_in_pandas(spark, tmp_path):
     of `pip install protobuf` / `pillow` ends in "Failed to establish a
     new connection: [Errno -2] Name or service not known" against the
     configured index; `import google.protobuf` still raises
-    ModuleNotFoundError. Still container-gated."""
+    ModuleNotFoundError. Still container-gated.
+
+    Re-attempted round 11 (2026-08-16): unchanged — DNS failure on every
+    retry for both `protobuf` and `pillow`; `import google.protobuf`
+    still raises ModuleNotFoundError. Still container-gated."""
     pytest.importorskip("google.protobuf.descriptor")
     from pyspark.sql.streaming import StatefulProcessor
 

@@ -104,6 +104,16 @@ SHOWCASE = [
     # r10: byte-entropy QC — fixed 64-position explode (constant fanout),
     # bounded (kind, byte) aggregate; no Python in the path
     "multimodal_payload_byte_entropy",
+    # r11: HDR-histogram quantile sketch — integer log-linear bucketing,
+    # bucket-domain windows (~700 rows at any scale), broadcast 3-row
+    # quantile spine, bounded two-phase exact side
+    "agg_hdr_histogram_quantiles",
+    # r11: Bradley-Terry — rank window on the SAME (user, day) partition
+    # as the aggregate; all pair/type frames bounded by the type domain
+    "ml_bradley_terry_one_step",
+    # r11: preference pairs — (source, score-band) windows, no per-source
+    # global sort; adjacent pairing keeps pair volume linear
+    "pipeline_preference_pair_margin",
 ]
 
 HEADER = """# PLANS — physical-plan evidence (generated by tools/dump_plans.py)

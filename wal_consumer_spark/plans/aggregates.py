@@ -1928,3 +1928,200 @@ def agg_interquartile_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@register(
+    "agg_hdr_histogram_quantiles",
+    oracle="""
+    WITH rows_ AS (
+        SELECT cents FROM (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ) WHERE cents >= 16
+    ),
+    bk AS (
+        SELECT (high * 16
+                + ((cents - CAST(power(2, high) AS BIGINT)) * 16)
+                  // CAST(power(2, high) AS BIGINT)) AS bucket
+        FROM (SELECT cents, length(printf('%b', cents)) - 1 AS high
+              FROM rows_)
+    ),
+    hist AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c FROM bk GROUP BY bucket
+    ),
+    cum AS (
+        SELECT bucket, c,
+               SUM(c) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(c) OVER () AS n
+        FROM hist
+    ),
+    qs AS (SELECT unnest([50, 90, 99]) AS q),
+    est AS (
+        SELECT q.q,
+               MAX(CASE WHEN greatest(CAST(floor(c.n * q.q / 100.0) AS BIGINT), 1)
+                             > c.cum - c.c
+                         AND greatest(CAST(floor(c.n * q.q / 100.0) AS BIGINT), 1)
+                             <= c.cum
+                        THEN c.bucket END) AS bucket
+        FROM cum c CROSS JOIN qs q
+        GROUP BY q.q
+    ),
+    geom AS (
+        SELECT q, bucket,
+               CAST(power(2, bucket // 16) AS BIGINT) AS p,
+               bucket % 16 AS sub
+        FROM est
+    ),
+    sk AS (
+        SELECT q, bucket,
+               p + sub * (p // 16) AS lo,
+               p // 16 AS w
+        FROM geom
+    ),
+    by_val AS (
+        SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt FROM rows_ GROUP BY 1
+    ),
+    vcum AS (
+        SELECT cents, cnt,
+               SUM(cnt) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cnt) OVER () AS n
+        FROM by_val
+    ),
+    exact AS (
+        SELECT q.q,
+               MAX(CASE WHEN greatest(CAST(floor(v.n * q.q / 100.0) AS BIGINT), 1)
+                             > v.cum - v.cnt
+                         AND greatest(CAST(floor(v.n * q.q / 100.0) AS BIGINT), 1)
+                             <= v.cum
+                        THEN v.cents END) AS exact_cents
+        FROM vcum v CROSS JOIN qs q
+        GROUP BY q.q
+    )
+    SELECT CAST(s.q AS BIGINT) AS percentile,
+           CAST(s.bucket AS BIGINT) AS bucket,
+           round(CAST(s.lo AS DOUBLE) + CAST(s.w AS DOUBLE) / 2, 4)
+               AS est_mid_cents,
+           CAST(e.exact_cents AS BIGINT) AS exact_cents,
+           CAST(round(abs(CAST(s.lo AS DOUBLE) + CAST(s.w AS DOUBLE) / 2
+                          - e.exact_cents)
+                      / e.exact_cents * 1000000) AS BIGINT) AS rel_err_micro,
+           CAST(round(abs(CAST(s.lo AS DOUBLE) + CAST(s.w AS DOUBLE) / 2
+                          - e.exact_cents)
+                      / e.exact_cents * 1000000) AS BIGINT)
+               <= CAST(floor(1000000.0 * s.w / (2 * s.lo)) AS BIGINT) + 1
+               AS within_bound
+    FROM sk s JOIN exact e ON e.q = s.q
+    ORDER BY percentile
+    """,
+    doc="HdrHistogram-style log-linear quantile sketch with a built-in "
+        "error-bound audit: each value lands in bucket 16*floor(log2(v)) "
+        "+ 16*(v - 2^h)/2^h — a power-of-two major bucket split into 16 "
+        "LINEAR sub-buckets — so the whole bucketing is INTEGER-EXACT "
+        "(floor(log2) via the binary-string length, sub-bucket via "
+        "integer DIV; no transcendental whose last-ulp could differ "
+        "between engines, unlike a gamma^k DDSketch). The sketch is a "
+        "fixed-size mergeable histogram (~16*log2(max) counters): "
+        "map-side combinable, union = counter add, the property that "
+        "makes it THE percentile structure for 100 TB latency/price "
+        "telemetry. For p50/p90/p99 the estimate is the rank-holding "
+        "bucket's midpoint; the audit joins the EXACT two-phase "
+        "rank-selection value (operators/selection.py) and checks the "
+        "relative error against the per-bucket guarantee w/(2*lo) <= "
+        "1/32 (+1 micro for quantization) as a hashed within_bound "
+        "column. Plan: one narrow bucket aggregate (row-scaled), "
+        "bucket-domain windows (~700 rows at any scale), a broadcast "
+        "3-row quantile spine, and the bounded selection plan for the "
+        "exact side. Reference parity: extension surface (SURVEY.md "
+        "§2.B approx-aggregate rows; complements agg_percentile_approx "
+        "sketch and agg_exact_percentile_selection).",
+)
+def agg_hdr_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wal_consumer_spark.operators.selection import exact_rank_selection
+
+    o = load_table(spark, sf_dir, "orders")
+    rows = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    ).where(F.col("cents") >= 16)
+    bk = rows.select(
+        "cents", (F.length(F.bin(F.col("cents"))) - 1).cast("long").alias("high")
+    ).select(
+        "cents", "high", F.expr("CAST(power(2, high) AS BIGINT)").alias("p")
+    ).select(
+        (F.col("high") * 16 + F.expr("(cents - p) * 16 DIV p")).alias("bucket")
+    )
+    hist = bk.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "bucket",
+        "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("q")
+    )
+    rank = F.greatest(
+        F.floor(F.col("n") * F.col("q") / 100).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    est = (
+        cum.join(F.broadcast(qs), how="cross")
+        .groupBy("q")
+        .agg(
+            F.max(
+                F.when(
+                    (rank > F.col("cum") - F.col("c")) & (rank <= F.col("cum")),
+                    F.col("bucket"),
+                )
+            ).alias("bucket")
+        )
+    )
+    sk = est.select(
+        "q",
+        "bucket",
+        F.expr("CAST(power(2, bucket DIV 16) AS BIGINT)").alias("p"),
+        (F.col("bucket") % 16).alias("sub"),
+    ).select(
+        "q",
+        "bucket",
+        (F.col("p") + F.col("sub") * F.expr("p DIV 16")).alias("lo"),
+        F.expr("p DIV 16").alias("w"),
+    )
+    exact = exact_rank_selection(
+        rows,
+        "cents",
+        {
+            str(q): (
+                lambda n, q=q: F.greatest(
+                    F.floor(n * q / 100).cast("long"), F.lit(1).cast("long")
+                )
+            )
+            for q in (50, 90, 99)
+        },
+        bucket_div=100_000,
+    ).select(
+        F.col("label").cast("long").alias("q"),
+        F.col("value").cast("long").alias("exact_cents"),
+    )
+    mid = F.col("lo").cast("double") + F.col("w").cast("double") / 2
+    rel = F.round(
+        F.abs(mid - F.col("exact_cents")) / F.col("exact_cents") * 1_000_000
+    ).cast("long")
+    bound = F.floor(
+        F.lit(1_000_000.0) * F.col("w") / (F.lit(2) * F.col("lo"))
+    ).cast("long")
+    return (
+        sk.join(exact, "q")
+        .select(
+            F.col("q").cast("long").alias("percentile"),
+            F.col("bucket").cast("long").alias("bucket"),
+            F.round(mid, 4).alias("est_mid_cents"),
+            "exact_cents",
+            rel.alias("rel_err_micro"),
+            (rel <= bound + 1).alias("within_bound"),
+        )
+        .orderBy("percentile")
+    )

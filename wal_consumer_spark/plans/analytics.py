@@ -12729,3 +12729,496 @@ def analytics_ratio_metric_delta_var(
             6,
         ).alias("se_delta"),
     ).orderBy("segment")
+
+
+@register(
+    "ml_bradley_terry_one_step",
+    oracle="""
+    WITH per AS (
+        SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, event_type,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+        FROM events GROUP BY 1, 2, 3
+    ),
+    rk AS (
+        SELECT user_id, d, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, d
+                                  ORDER BY s DESC, event_type) AS r
+        FROM per
+    ),
+    duel AS (
+        SELECT user_id, d,
+               MAX(CASE WHEN r = 1 THEN event_type END) AS winner,
+               MAX(CASE WHEN r = 2 THEN event_type END) AS loser
+        FROM rk WHERE r <= 2 GROUP BY 1, 2
+        HAVING MAX(CASE WHEN r = 2 THEN event_type END) IS NOT NULL
+    ),
+    wins AS (
+        SELECT winner, loser, CAST(COUNT(*) AS BIGINT) AS nw
+        FROM duel GROUP BY 1, 2
+    ),
+    pair AS (
+        SELECT least(winner, loser) AS a, greatest(winner, loser) AS b,
+               CAST(SUM(nw) AS BIGINT) AS n_ab
+        FROM wins GROUP BY 1, 2
+    ),
+    games AS (
+        SELECT event_type, CAST(SUM(n_ab) AS BIGINT) AS n_games FROM (
+            SELECT a AS event_type, n_ab FROM pair
+            UNION ALL SELECT b AS event_type, n_ab FROM pair
+        ) GROUP BY 1
+    ),
+    wtot AS (
+        SELECT winner AS event_type, CAST(SUM(nw) AS BIGINT) AS n_wins
+        FROM wins GROUP BY 1
+    ),
+    s1 AS (
+        SELECT g.event_type, g.n_games,
+               CAST(COALESCE(w.n_wins, 0) AS BIGINT) AS n_wins,
+               2.0 * COALESCE(w.n_wins, 0) / g.n_games AS s1
+        FROM games g LEFT JOIN wtot w ON w.event_type = g.event_type
+    ),
+    opp AS (
+        SELECT a AS i, b AS j, n_ab FROM pair
+        UNION ALL SELECT b AS i, a AS j, n_ab FROM pair
+    ),
+    terms AS (
+        SELECT o.i,
+               CAST(round(1000000.0 * o.n_ab / (si.s1 + sj.s1)) AS BIGINT)
+                   AS t
+        FROM opp o
+        JOIN s1 si ON si.event_type = o.i
+        JOIN s1 sj ON sj.event_type = o.j
+    ),
+    den AS (SELECT i, CAST(SUM(t) AS BIGINT) AS d FROM terms GROUP BY i)
+    SELECT s1.event_type, s1.n_games, s1.n_wins,
+           round(s1.s1, 6) AS bt_score_1,
+           round(s1.n_wins * 1000000.0 / den.d, 6) AS bt_score_2
+    FROM s1 JOIN den ON den.i = s1.event_type
+    ORDER BY s1.event_type
+    """,
+    doc="Bradley-Terry preference-strength fit (one minorization step "
+        "from uniform, then a second explicit MM update) over pairwise "
+        "'duels' — each (user, day) where >=2 event types occur ranks "
+        "its types by exact spend-cents (ties broken by name) and the "
+        "top two form a winner/loser comparison. THE model behind "
+        "preference-data curation for reward models / RLHF and behind "
+        "chatbot-arena-style leaderboards: BT scores s_i solve "
+        "W_i = sum_j n_ij * s_i/(s_i+s_j). From uniform s=1 the first "
+        "MM update is closed-form s1_i = 2*W_i/G_i; the second update "
+        "s2_i = W_i / sum_j(n_ij/(s1_i+s1_j)) quantizes each pair term "
+        "to 1e-6 and sums INTEGERS, so the fold is order-independent "
+        "and engine-identical (s1_i + s1_j > 0 whenever n_ij > 0: the "
+        "two sides of any played pair cannot both be winless since one "
+        "of them won their mutual game). Plan: one narrow "
+        "(user, day, type) aggregate, a rank window on the SAME "
+        "partition key (no extra shuffle), then all pair/type tables "
+        "are bounded by the event-type domain — broadcast-sized at any "
+        "corpus scale. Reference parity: extension surface (SURVEY.md "
+        "§2.B ML rows).",
+)
+def ml_bradley_terry_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy(
+        "user_id",
+        F.to_date(F.col("ts").cast("timestamp")).alias("d"),
+        "event_type",
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("s"))
+    w = Window.partitionBy("user_id", "d").orderBy(
+        F.col("s").desc(), F.col("event_type")
+    )
+    rk = per.select(
+        "user_id", "d", "event_type", F.row_number().over(w).alias("r")
+    ).where(F.col("r") <= 2)
+    duel = (
+        rk.groupBy("user_id", "d")
+        .agg(
+            F.max(F.when(F.col("r") == 1, F.col("event_type"))).alias("winner"),
+            F.max(F.when(F.col("r") == 2, F.col("event_type"))).alias("loser"),
+        )
+        .where(F.col("loser").isNotNull())
+    )
+    wins = duel.groupBy("winner", "loser").agg(
+        F.count(F.lit(1)).cast("long").alias("nw")
+    )
+    pair = (
+        wins.select(
+            F.least("winner", "loser").alias("a"),
+            F.greatest("winner", "loser").alias("b"),
+            "nw",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("nw").cast("long").alias("n_ab"))
+    )
+    games = (
+        pair.select(F.col("a").alias("event_type"), "n_ab")
+        .unionAll(pair.select(F.col("b").alias("event_type"), "n_ab"))
+        .groupBy("event_type")
+        .agg(F.sum("n_ab").cast("long").alias("n_games"))
+    )
+    wtot = wins.groupBy(F.col("winner").alias("event_type")).agg(
+        F.sum("nw").cast("long").alias("n_wins")
+    )
+    s1 = games.join(wtot, "event_type", "left").select(
+        "event_type",
+        "n_games",
+        F.coalesce(F.col("n_wins"), F.lit(0)).cast("long").alias("n_wins"),
+        (
+            F.lit(2.0) * F.coalesce(F.col("n_wins"), F.lit(0)) / F.col("n_games")
+        ).alias("s1"),
+    )
+    opp = pair.select(
+        F.col("a").alias("i"), F.col("b").alias("j"), "n_ab"
+    ).unionAll(pair.select(F.col("b").alias("i"), F.col("a").alias("j"), "n_ab"))
+    terms = (
+        opp.join(
+            F.broadcast(
+                s1.select(F.col("event_type").alias("i"), F.col("s1").alias("si"))
+            ),
+            "i",
+        )
+        .join(
+            F.broadcast(
+                s1.select(F.col("event_type").alias("j"), F.col("s1").alias("sj"))
+            ),
+            "j",
+        )
+        .select(
+            "i",
+            F.round(
+                F.lit(1_000_000.0) * F.col("n_ab") / (F.col("si") + F.col("sj"))
+            )
+            .cast("long")
+            .alias("t"),
+        )
+    )
+    den = terms.groupBy("i").agg(F.sum("t").cast("long").alias("d"))
+    return (
+        s1.join(den, s1.event_type == den.i)
+        .select(
+            "event_type",
+            "n_games",
+            "n_wins",
+            F.round("s1", 6).alias("bt_score_1"),
+            F.round(F.col("n_wins") * F.lit(1_000_000.0) / F.col("d"), 6).alias(
+                "bt_score_2"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "analytics_james_stein_shrinkage",
+    oracle="""
+    WITH per AS (
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_i,
+               CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS s1,
+               CAST(SUM(CAST(round(c_acctbal * 100) AS HUGEINT)
+                        * CAST(round(c_acctbal * 100) AS HUGEINT))
+                    AS HUGEINT) AS s2
+        FROM customer GROUP BY 1
+    ),
+    g1 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n_i) AS BIGINT) AS n,
+               CAST(SUM(s1) AS BIGINT) AS t1,
+               CAST(SUM(s2) AS HUGEINT) AS t2,
+               CAST(SUM(CAST(round(CAST(s1 AS DOUBLE) * s1 / n_i)
+                             AS HUGEINT)) AS HUGEINT) AS ssw
+        FROM per
+    ),
+    m AS (
+        SELECT p.c_nationkey, p.n_i,
+               CAST(p.s1 AS DOUBLE) / p.n_i AS mean_i,
+               CAST(g.t1 AS DOUBLE) / g.n AS gmean,
+               (CAST(g.t2 AS DOUBLE) - CAST(g.ssw AS DOUBLE))
+                   / (g.n - g.k) AS sigma2,
+               g.k
+        FROM per p CROSS JOIN g1 g
+    ),
+    g2 AS (
+        SELECT CAST(SUM(CAST(round((mean_i - gmean) * (mean_i - gmean))
+                             AS HUGEINT)) AS HUGEINT) AS s_between
+        FROM m
+    )
+    SELECT nt.n_name, m.n_i AS n_customers,
+           round(m.mean_i / 100, 4) AS raw_mean,
+           round(greatest(0.0, 1.0 - (m.k - 3) * (m.sigma2 / m.n_i)
+                                     / CAST(g2.s_between AS DOUBLE)), 6)
+               AS shrink_weight,
+           round((m.gmean
+                  + greatest(0.0, 1.0 - (m.k - 3) * (m.sigma2 / m.n_i)
+                                        / CAST(g2.s_between AS DOUBLE))
+                    * (m.mean_i - m.gmean)) / 100, 4) AS js_mean
+    FROM m CROSS JOIN g2
+    JOIN nation nt ON nt.n_nationkey = m.c_nationkey
+    ORDER BY nt.n_name
+    """,
+    doc="Positive-part James-Stein (Efron-Morris) shrinkage of per-nation "
+        "mean account balances toward the grand mean: theta_i = xbar + "
+        "(1 - (k-3)*v_i/S)+ * (xbar_i - xbar) with per-group sampling "
+        "variance v_i = sigma2_within/n_i and between-group spread "
+        "S = sum_j (xbar_j - xbar)^2 — the estimator that dominates the "
+        "raw per-segment means in total squared error whenever k > 3, "
+        "i.e. the principled answer to 'small segments have noisy "
+        "means' that per-segment winsorizing only patches. The "
+        "experimentation-meta-analysis workhorse (shrinking many "
+        "noisy per-cell A/B effects). All row-scaled inputs are exact "
+        "integer/decimal moments (cents, cents^2 in HUGEINT/"
+        "DECIMAL(38,0)); every double is a FIXED expression of those "
+        "exact sums, and the two cross-group folds (within-SS, "
+        "between-SS) quantize per-group terms to integer cents^2 before "
+        "an exact sum, so no engine-order-dependent double addition "
+        "exists. Plan: one narrow per-nation aggregate, two 1-row "
+        "broadcast folds over the k=25-row frame, a broadcast nation "
+        "name join. Reference parity: extension surface (SURVEY.md "
+        "§2.B analytics rows).",
+)
+def analytics_james_stein_shrinkage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    nt = load_table(spark, sf_dir, "nation")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    d38 = "decimal(38,0)"
+    per = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_i"),
+        F.sum(cents).cast("long").alias("s1"),
+        F.sum(cents.cast(d38) * cents).cast(d38).alias("s2"),
+    )
+    g1 = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_i").cast("long").alias("n"),
+        F.sum("s1").cast("long").alias("t1"),
+        F.sum("s2").cast(d38).alias("t2"),
+        F.sum(
+            F.round(
+                F.col("s1").cast("double") * F.col("s1") / F.col("n_i")
+            ).cast(d38)
+        )
+        .cast(d38)
+        .alias("ssw"),
+    )
+    m = per.crossJoin(F.broadcast(g1)).select(
+        "c_nationkey",
+        "n_i",
+        "k",
+        (F.col("s1").cast("double") / F.col("n_i")).alias("mean_i"),
+        (F.col("t1").cast("double") / F.col("n")).alias("gmean"),
+        (
+            (F.col("t2").cast("double") - F.col("ssw").cast("double"))
+            / (F.col("n") - F.col("k"))
+        ).alias("sigma2"),
+    )
+    g2 = m.agg(
+        F.sum(
+            F.round(
+                (F.col("mean_i") - F.col("gmean"))
+                * (F.col("mean_i") - F.col("gmean"))
+            ).cast(d38)
+        )
+        .cast(d38)
+        .alias("s_between")
+    )
+    shrink = F.greatest(
+        F.lit(0.0),
+        F.lit(1.0)
+        - (F.col("k") - 3)
+        * (F.col("sigma2") / F.col("n_i"))
+        / F.col("s_between").cast("double"),
+    )
+    return (
+        m.crossJoin(F.broadcast(g2))
+        .join(
+            F.broadcast(
+                nt.select(F.col("n_nationkey").alias("c_nationkey"), "n_name")
+            ),
+            "c_nationkey",
+        )
+        .select(
+            "n_name",
+            F.col("n_i").alias("n_customers"),
+            F.round(F.col("mean_i") / 100, 4).alias("raw_mean"),
+            F.round(shrink, 6).alias("shrink_weight"),
+            F.round(
+                (F.col("gmean") + shrink * (F.col("mean_i") - F.col("gmean")))
+                / 100,
+                4,
+            ).alias("js_mean"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "analytics_ab_mde_curve",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(count_if(event_type = 'purchase') AS BIGINT) AS n_pos
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest([100, 200, 500, 1000, 2000, 5000,
+                       10000, 20000, 50000, 100000]) AS n_per_arm
+    )
+    SELECT CAST(s.n_per_arm AS BIGINT) AS n_per_arm,
+           round(CAST(b.n_pos AS DOUBLE) / b.n_events, 6) AS base_rate,
+           CAST(round(2.801585
+                      * sqrt(2.0 * (CAST(b.n_pos AS DOUBLE) / b.n_events)
+                             * (1.0 - CAST(b.n_pos AS DOUBLE) / b.n_events)
+                             / s.n_per_arm) * 1000000) AS BIGINT)
+               AS mde_abs_micro,
+           CAST(round(2.801585
+                      * sqrt(2.0 * (CAST(b.n_pos AS DOUBLE) / b.n_events)
+                             * (1.0 - CAST(b.n_pos AS DOUBLE) / b.n_events)
+                             / s.n_per_arm)
+                      / (CAST(b.n_pos AS DOUBLE) / b.n_events)
+                      * 1000000) AS BIGINT) AS mde_rel_micro
+    FROM spine s CROSS JOIN base b
+    ORDER BY n_per_arm
+    """,
+    doc="Minimum-detectable-effect curve for a two-proportion A/B test on "
+        "the purchase rate: for a grid of per-arm sample sizes, the "
+        "smallest absolute (and relative) lift detectable at alpha=0.05 "
+        "two-sided with 80% power, MDE = (z_0.975 + z_0.80) * "
+        "sqrt(2 p (1-p) / n) under the equal-variance normal "
+        "approximation — the pre-experiment planning table every "
+        "experimentation platform serves next to its post-hoc tests "
+        "(analytics_two_proportion_ab, analytics_sample_ratio_mismatch). "
+        "z-quantiles are fixed literals (no erf dependency); p comes "
+        "from ONE exact conditional count, and every output is a fixed "
+        "double expression of (n_pos, n_events, n) quantized to 1e-6. "
+        "Plan: one map-side count aggregate + a broadcast 10-row literal "
+        "spine — O(scan) at any scale. Reference parity: extension "
+        "surface (SURVEY.md §2.B analytics rows).",
+)
+def analytics_ab_mde_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    base = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count_if(F.col("event_type") == "purchase")
+        .cast("long")
+        .alias("n_pos"),
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.lit(v)
+                    for v in (
+                        100, 200, 500, 1000, 2000,
+                        5000, 10000, 20000, 50000, 100000,
+                    )
+                ]
+            )
+        ).alias("n_per_arm")
+    )
+    p = F.col("n_pos").cast("double") / F.col("n_events")
+    # single literal (z_0.975 + z_0.80 = 2.801585): a textual SUM of two
+    # decimal literals is DECIMAL-exact in DuckDB but double-added in
+    # Python — one pinned literal keeps both engines on the same double
+    mde = (
+        F.lit(2.801585)
+        * F.sqrt(F.lit(2.0) * p * (F.lit(1.0) - p) / F.col("n_per_arm"))
+    )
+    return (
+        spine.crossJoin(F.broadcast(base))
+        .select(
+            F.col("n_per_arm").cast("long").alias("n_per_arm"),
+            F.round(p, 6).alias("base_rate"),
+            F.round(mde * 1_000_000).cast("long").alias("mde_abs_micro"),
+            F.round(mde / p * 1_000_000).cast("long").alias("mde_rel_micro"),
+        )
+        .orderBy("n_per_arm")
+    )
+
+
+@register(
+    "graph_wedge_closure_by_degree",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    e AS (
+        SELECT a.p AS p1, b.p AS p2
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    adj AS (SELECT p1 AS u, p2 AS v FROM e UNION ALL SELECT p2, p1 FROM e),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u),
+    tri AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS t FROM (
+            SELECT a.u AS w, a.v AS x, b.v AS y
+            FROM adj a JOIN adj b ON a.u = b.u AND a.v < b.v
+        ) wedge
+        JOIN e ON e.p1 = wedge.x AND e.p2 = wedge.y
+        GROUP BY w
+    ),
+    nodes AS (
+        SELECT deg.d, CAST(COALESCE(tri.t, 0) AS BIGINT) AS t
+        FROM deg LEFT JOIN tri ON tri.w = deg.u
+        WHERE deg.d >= 2
+    )
+    SELECT CAST(length(printf('%b', d)) - 1 AS BIGINT) AS degree_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges,
+           CAST(SUM(t) AS BIGINT) AS n_triangles,
+           CAST(round(1000000.0 * SUM(t) / SUM(d * (d - 1) // 2)) AS BIGINT)
+               AS closure_micro
+    FROM nodes GROUP BY 1 ORDER BY 1
+    """,
+    doc="Degree-dependent wedge closure C(k-bucket) = sum T(v) / sum "
+        "wedges(v) over log2-degree buckets of the support-2 co-purchase "
+        "graph — the classic network-science diagnostic (clustering "
+        "decays with degree on hierarchical/real graphs, is flat on "
+        "random ones) that tells you whether hub neighborhoods are "
+        "communities or star-noise BEFORE trusting community detection "
+        "(graph_louvain_first_sweep) or hub caps. Per-node triangle "
+        "credits reuse the degree-ordered orientation substrate "
+        "(orient_by_degree / oriented_wedges — sum(outdeg^2) wedge "
+        "bound, each triangle enumerated once and exploded to its 3 "
+        "vertices), per-node wedge counts are the closed-form "
+        "d(d-1)/2, and the log2 bucket is INTEGER (binary-string "
+        "length), so everything up to the final 1e-6-quantized ratio is "
+        "exact integer math. Plan: the shared materialized-once edge "
+        "frame, the bounded oriented-wedge join, one |V|-keyed credit "
+        "aggregate, a bucket-domain rollup (<= ~40 rows at any scale). "
+        "Oracle enumerates wedges unoriented — value-identical per-node "
+        "T(v). Reference parity: extension surface (SURVEY.md §2.B "
+        "graph rows).",
+)
+def graph_wedge_closure_by_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _support2_copurchase_edges(spark, sf_dir)
+    _, deg = adjacency_degrees(e, u="p1", v="p2")
+    o = orient_by_degree(e, u="p1", v="p2")
+    closed = oriented_wedges(o).join(
+        o.select(F.col("lo").alias("x"), F.col("hi").alias("y")), ["x", "y"]
+    )
+    tri = (
+        closed.select(F.explode(F.array("w", "x", "y")).alias("u"))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    nodes = (
+        deg.where(F.col("d") >= 2)
+        .join(tri, "u", "left")
+        .select("d", F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("t"))
+    )
+    wedges = F.expr("d * (d - 1) DIV 2")
+    return (
+        nodes.groupBy(
+            (F.length(F.bin(F.col("d"))) - 1).cast("long").alias("degree_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum(wedges).cast("long").alias("n_wedges"),
+            F.sum("t").cast("long").alias("n_triangles"),
+            F.round(F.lit(1_000_000.0) * F.sum("t") / F.sum(wedges))
+            .cast("long")
+            .alias("closure_micro"),
+        )
+        .orderBy("degree_bucket")
+    )

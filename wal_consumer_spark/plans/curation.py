@@ -2395,3 +2395,81 @@ def pipeline_token_budget_curriculum(spark: SparkSession, sf_dir: str) -> DataFr
             "- (cum_tokens - n_tokens)) * 1000000 DIV n_tokens)) AS BIGINT)"
         ).alias("included_fraction_ppm"),
     )
+
+
+@register(
+    "pipeline_preference_pair_margin",
+    oracle=rf"""
+    WITH sc AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                    AS BIGINT) AS score
+        FROM documents
+    ),
+    b AS (SELECT source, doc_id, score, score // 16 AS band FROM sc),
+    p AS (
+        SELECT source, score,
+               lead(score) OVER (PARTITION BY source, band
+                                 ORDER BY score DESC, doc_id) AS nscore
+        FROM b
+    ),
+    m AS (
+        SELECT source, score - nscore AS margin
+        FROM p WHERE nscore IS NOT NULL
+    )
+    SELECT source,
+           CAST(length(printf('%b', margin + 1)) - 1 AS BIGINT)
+               AS margin_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(CAST(SUM(margin) AS DOUBLE) / COUNT(*), 4) AS avg_margin
+    FROM m GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Preference-pair construction for reward-model / DPO data prep: "
+        "within each source, documents are ranked by token count and "
+        "each doc is paired with the NEXT one down (chosen = higher-"
+        "scored, rejected = adjacent lower) — the rank-adjacent pairing "
+        "that yields n-1 informative pairs per group in LINEAR volume, "
+        "versus the quadratic all-pairs a naive preference join would "
+        "produce. The output is the per-source margin distribution "
+        "(log2-bucketed score gaps + exact average margin): pairs with "
+        "margin 0 carry no preference signal and the histogram is how a "
+        "curation run decides its margin floor. SCALE DEVICE: ranking "
+        "partitions on (source, score DIV 16) bands, so no per-source "
+        "global sort exists — adjacent pairs never cross a band "
+        "boundary (<= 1 pair per band forfeited, deterministically), "
+        "and every window task is band-bounded. Token counts are the "
+        "engine-pinned whitespace tokenizer (functions/text.tokens == "
+        "string_split_regex); margins are pure integers. Reference "
+        "parity: extension surface (SURVEY.md §2.B pipeline rows).",
+)
+def pipeline_preference_pair_margin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sc = d.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("score"),
+    ).withColumn("band", F.expr("score DIV 16"))
+    w = Window.partitionBy("source", "band").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    pairs = sc.select(
+        "source", "score", F.lead("score").over(w).alias("nscore")
+    ).where(F.col("nscore").isNotNull())
+    m = pairs.select("source", (F.col("score") - F.col("nscore")).alias("margin"))
+    return (
+        m.groupBy(
+            "source",
+            (F.length(F.bin(F.col("margin") + 1)) - 1)
+            .cast("long")
+            .alias("margin_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.sum("margin").cast("double") / F.count(F.lit(1)), 4).alias(
+                "avg_margin"
+            ),
+        )
+        .orderBy("source", "margin_bucket")
+    )

@@ -5737,3 +5737,85 @@ def pipeline_snapshot_novelty_rate(
             ).alias("novelty_rate"),
         )
     )
+
+
+#: Shared detected-format CASE over the payload's leading bytes (first 16
+#: hex chars = 8 bytes) — textually identical in both engines so the
+#: classification is trivially engine-equal. Uppercase-hex string range
+#: compare is order-correct ('0'<'9'<'A'<'F' in ASCII), so the printable-
+#: ASCII fallback needs no byte arithmetic.
+_MAGIC_CASE = """
+CASE WHEN substring(h, 1, 4) = 'FFD8' THEN 'jpeg'
+     WHEN substring(h, 1, 4) = '8950' THEN 'png'
+     WHEN substring(h, 1, 4) = '4749' THEN 'gif'
+     WHEN substring(h, 1, 4) IN ('4949', '4D4D') THEN 'tiff'
+     WHEN substring(h, 1, 6) = '494433' THEN 'mp3'
+     WHEN substring(h, 1, 8) = '52494646' THEN 'riff'
+     WHEN substring(h, 1, 8) = '4F676753' THEN 'ogg'
+     WHEN substring(h, 1, 8) = '1A45DFA3' THEN 'matroska'
+     WHEN substring(h, 9, 8) = '66747970' THEN 'mp4'
+     WHEN substring(h, 1, 2) >= '20' AND substring(h, 1, 2) <= '7E'
+          THEN 'ascii-text'
+     ELSE 'other' END
+"""
+
+_CONFORMANT_CASE = """
+CASE WHEN kind = 'image'
+          THEN detected IN ('jpeg', 'png', 'gif', 'tiff')
+     WHEN kind = 'audio' THEN detected IN ('mp3', 'riff', 'ogg')
+     ELSE detected IN ('mp4', 'matroska', 'riff') END
+"""
+
+
+@register(
+    "multimodal_magic_number_audit",
+    oracle=f"""
+    WITH media AS (
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               substring(hex(encode(text)), 1, 16) AS h
+        FROM documents
+    ),
+    det AS (
+        SELECT kind, {_MAGIC_CASE} AS detected FROM media
+    )
+    SELECT kind, detected,
+           CAST({_CONFORMANT_CASE} AS BOOLEAN) AS conformant,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM det GROUP BY 1, 2, 3 ORDER BY 1, 2
+    """,
+    doc="Magic-number conformance audit of opaque media payloads: the "
+        "declared kind (metadata) is cross-checked against the container "
+        "format DETECTED from the payload's leading bytes (JPEG FFD8, "
+        "PNG 8950, GIF 'GI', TIFF II/MM, ID3, RIFF, OggS, Matroska "
+        "1A45DFA3, MP4 'ftyp' at offset 4, printable-ASCII fallback) — "
+        "the cheapest possible corruption/mislabeling triage on a "
+        "100 TB media lake, run BEFORE any decode spend, and the "
+        "binary-payload analog of dq_format_conformance_audit. On this "
+        "repo's deterministic fake payloads (utf-8 text bytes — "
+        "functions/multimodal.py:50-61) every row detects as "
+        "ascii-text/other and conformance is honestly zero; the "
+        "CLASSIFIER (8-byte prefix extraction + shared CASE text) is "
+        "the real, engine-identical artifact. At ingest scale the 8-byte "
+        "prefix would be materialized as its own column so the audit "
+        "never touches full payload bytes; here substring(hex(payload)) "
+        "is a pure JVM expression over the binary column — no Python, "
+        "no decode. Plan: one projected scan, one (kind, detected) "
+        "aggregate over a <= 3x11 category domain. Reference parity: "
+        "multimodal extension surface (SURVEY.md §2.B multimodal rows; "
+        "payload bytes generalize entity_bytes, WalEntity.java:38-39).",
+)
+def multimodal_magic_number_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_media_columns(d, "doc_id", "text", "source").select(
+        "kind", F.expr("substring(hex(payload), 1, 16)").alias("h")
+    )
+    det = media.select("kind", F.expr(_MAGIC_CASE).alias("detected"))
+    return (
+        det.groupBy(
+            "kind", "detected", F.expr(_CONFORMANT_CASE).alias("conformant")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("kind", "detected")
+    )

@@ -129,7 +129,16 @@ DRIVER_WINDOW: list[str] = [
 #: authoring time. Green rows for the window above close the
 #: pre-round-11 book at 505/505; names staged here certify in round 12
 #: alongside the 31 waived load_table-only re-pins.
-NEXT_WINDOW: list[str] = []
+NEXT_WINDOW: list[str] = [
+    # --- round-11 session additions (certify in round 12) ---
+    "agg_hdr_histogram_quantiles",
+    "ml_bradley_terry_one_step",
+    "analytics_james_stein_shrinkage",
+    "analytics_ab_mde_curve",
+    "graph_wedge_closure_by_degree",
+    "pipeline_preference_pair_margin",
+    "multimodal_magic_number_audit",
+]
 
 #: Overflow staging for additions beyond a single round-10 window.
 FUTURE_WINDOW: list[str] = []
