@@ -299,3 +299,134 @@ def test_magic_number_python_oracle(spark):
     assert got == dict(exp)
     # fake payloads are utf-8 text: nothing should conform (honesty check)
     assert not any(conf for (_, _, conf) in got)
+
+
+# ------------------------------------------------- calibration slope/intercept
+def test_calibration_slope_python_oracle(spark):
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+    cents = (c.c_acctbal * 100).round().astype(int)
+    x = (cents - cents.min()).astype(object)  # exact big-int arithmetic
+    rng = int(cents.max() - cents.min())
+    y = (c.c_mktsegment == "BUILDING").astype(int).astype(object)
+    n = len(c)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx, sxy = int((x * x).sum()), int((x * y).sum())
+    slope_rel = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    r = all_specs()["ml_calibration_slope_intercept"].spark(spark, SF).collect()[0]
+    assert r.n == n
+    assert r.base_rate_micro == round(1e6 * sy / n)
+    assert r.slope_micro == round(1e6 * slope_rel * rng)
+    assert r.intercept_micro == round(1e6 * (sy / n - slope_rel * (sx / n)))
+    # regression-through-the-mean sanity: fitted line at the mean forecast
+    # recovers the base rate exactly (OLS identity)
+    fitted_at_mean = r.intercept_micro / 1e6 + (r.slope_micro / 1e6) * (
+        (sx / n) / rng
+    )
+    assert abs(fitted_at_mean - sy / n) < 1e-4
+
+
+# ------------------------------------------------------------ lorenz deciles
+def test_lorenz_deciles_python_oracle(spark):
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o["cents"] = (o.o_totalprice * 100).round().astype(int)
+    spend = o.groupby("o_custkey").cents.sum()
+    v = sorted(int(spend.get(k, 0)) for k in c.c_custkey)
+    n, t = len(v), sum(v)
+    rows = all_specs()["analytics_lorenz_deciles"].spark(spark, SF).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    cum = 0
+    for r in rows:
+        k = r.decile
+        lo, hi = n * (k - 1) // 10, n * k // 10
+        take = sum(v[lo:hi])
+        cum += take
+        assert r.n_customers == hi - lo
+        assert r.share_micro == round(1e6 * take / t)
+        assert r.cum_share_micro == round(1e6 * cum / t)
+    assert rows[-1].cum_share_micro == 1_000_000
+    # Lorenz curve is convex: decile shares non-decreasing
+    shares = [r.share_micro for r in rows]
+    assert shares == sorted(shares)
+
+
+# ---------------------------------------------------- avg neighbor degree
+def test_avg_neighbor_degree_python_oracle(spark):
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    op = li[["l_orderkey", "l_partkey"]].drop_duplicates()
+    pair_n: Counter = Counter()
+    for _, grp in op.groupby("l_orderkey"):
+        ps = sorted(set(grp.l_partkey))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_n[(ps[i], ps[j])] += 1
+    adj: defaultdict = defaultdict(list)
+    for (a, b), cnt in pair_n.items():
+        if cnt >= 2:
+            adj[a].append(b)
+            adj[b].append(a)
+    by_deg: defaultdict = defaultdict(list)
+    for u, nbrs in adj.items():
+        d = len(nbrs)
+        s = sum(len(adj[x]) for x in nbrs)
+        by_deg[d].append(round(1e6 * s / d))
+    out = {
+        r.degree: r
+        for r in all_specs()["graph_avg_neighbor_degree_curve"].spark(spark, SF).collect()
+    }
+    assert sorted(out) == sorted(by_deg)
+    for d, knns in by_deg.items():
+        assert out[d].n_nodes == len(knns)
+        assert out[d].avg_knn_micro == round(sum(knns) / len(knns))
+
+
+# ------------------------------------------------------ op transition matrix
+def test_op_transition_python_oracle(spark):
+    e = pd.read_parquet(f"{SF}/events.parquet").sort_values("event_id")
+    op_of = {"signup": "ADD", "error": "DELETE"}
+    exp: Counter = Counter()
+    last: dict = {}
+    for eid, et in zip(e.event_id, e.event_type):
+        ent = eid % 500
+        op = op_of.get(et, "UPDATE")
+        if ent in last:
+            exp[(last[ent], op)] += 1
+        last[ent] = op
+    legal = {"ADD>UPDATE", "ADD>DELETE", "UPDATE>UPDATE",
+             "UPDATE>DELETE", "DELETE>ADD"}
+    out = all_specs()["cdc_op_transition_matrix"].spark(spark, SF).collect()
+    got = {(r.prev_op, r.op): (r.n, r.legal) for r in out}
+    assert got == {
+        (p, o): (n, f"{p}>{o}" in legal) for (p, o), n in exp.items()
+    }
+
+
+# -------------------------------------------------- theil decomposition
+def test_theil_decomposition_python_oracle(spark):
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    e["day"] = pd.to_datetime(e.ts).dt.date
+    # mirror the plan: Spark's double->DECIMAL(18,0) cast rounds HALF_UP
+    # (away from zero), not toward zero
+    import numpy as np
+
+    x = e.value * 100
+    e["cents"] = np.where(
+        x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)
+    ).astype(int)
+    daily = e.groupby("day").cents.sum().sort_index()
+    y = daily.values[7:].astype(float)
+    f = daily.values[:-7].astype(float)
+    n = len(y)
+    mse = float(((f - y) ** 2).mean())
+    fbar, ybar = f.mean(), y.mean()
+    sdf = math.sqrt((f * f).mean() - fbar * fbar)
+    sdy = math.sqrt((y * y).mean() - ybar * ybar)
+    cov = (f * y).mean() - fbar * ybar
+    r = all_specs()["ts_theil_inequality_decomposition"].spark(spark, SF).collect()[0]
+    assert r.n_days == n
+    assert abs(r.mse - mse) <= 0.51  # same value, independent fp order
+    assert abs(r.um_micro - 1e6 * (fbar - ybar) ** 2 / mse) <= 2
+    assert abs(r.us_micro - 1e6 * (sdf - sdy) ** 2 / mse) <= 2
+    assert abs(r.uc_micro - 1e6 * 2 * (sdf * sdy - cov) / mse) <= 2
+    # proportions must partition the MSE
+    assert abs(r.um_micro + r.us_micro + r.uc_micro - 1_000_000) <= 3

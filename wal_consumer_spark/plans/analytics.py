@@ -13222,3 +13222,314 @@ def graph_wedge_closure_by_degree(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("degree_bucket")
     )
+
+
+@register(
+    "ml_calibration_slope_intercept",
+    oracle="""
+    WITH mm AS (
+        SELECT CAST(MIN(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS min_c,
+               CAST(MAX(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS max_c
+        FROM customer
+    ),
+    scored AS (
+        SELECT CAST(round(c_acctbal * 100) AS BIGINT) - mm.min_c AS x,
+               mm.max_c - mm.min_c AS rng,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS y
+        FROM customer, mm
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(MAX(rng) AS BIGINT) AS rng
+        FROM scored
+    )
+    SELECT n,
+           CAST(round(1000000.0 * CAST(sy AS DOUBLE) / n) AS BIGINT)
+               AS base_rate_micro,
+           CAST(round(1000000.0
+                      * (CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE))
+                      * rng) AS BIGINT) AS slope_micro,
+           CAST(round(1000000.0
+                      * (CAST(sy AS DOUBLE) / n
+                         - (CAST(n * sxy - sx * sy AS DOUBLE)
+                            / CAST(n * sxx - sx * sx AS DOUBLE))
+                           * (CAST(sx AS DOUBLE) / n))) AS BIGINT)
+               AS intercept_micro
+    FROM mom
+    """,
+    doc="Linear calibration line (OLS of the binary outcome on the "
+        "forecast): slope and intercept of the best linear fit of the "
+        "BUILDING label on the min-max-normalized acctbal forecast — a "
+        "well-calibrated forecaster has slope 1, intercept 0; slope < 1 "
+        "means over-confident spread, intercept absorbs global bias. "
+        "Completes the calibration quartet (reliability bins, isotonic "
+        "fit, ECE, Hosmer-Lemeshow GOF) with the two-parameter summary "
+        "regulators of forecast systems actually track. The OLS runs on "
+        "the INTEGER feature x = cents - min (exact HUGEINT/"
+        "DECIMAL(38,0) moments; the slope is rescaled to forecast units "
+        "by * rng at the end), so numerator and denominator are exact "
+        "before ONE double division — no per-row doubles anywhere. "
+        "Plan: one 2-column min/max pass broadcast into one 5-moment "
+        "map-side aggregate; zero wide shuffles. Reference parity: "
+        "extension surface (SURVEY.md §2.B ML rows).",
+)
+def ml_calibration_slope_intercept(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    mm = c.agg(
+        F.min(cents).cast("long").alias("min_c"),
+        F.max(cents).cast("long").alias("max_c"),
+    )
+    d38 = "decimal(38,0)"
+    scored = c.crossJoin(F.broadcast(mm)).select(
+        (cents - F.col("min_c")).alias("x"),
+        (F.col("max_c") - F.col("min_c")).alias("rng"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("y"),
+    )
+    mom = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(d38)).cast(d38).alias("sx"),
+        F.sum(F.col("y").cast(d38)).cast(d38).alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).cast(d38).alias("sxx"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).cast(d38).alias("sxy"),
+        F.max("rng").cast("long").alias("rng"),
+    )
+    slope_rel = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    return mom.select(
+        "n",
+        F.round(F.lit(1_000_000.0) * F.col("sy").cast("double") / F.col("n"))
+        .cast("long")
+        .alias("base_rate_micro"),
+        F.round(F.lit(1_000_000.0) * slope_rel * F.col("rng"))
+        .cast("long")
+        .alias("slope_micro"),
+        F.round(
+            F.lit(1_000_000.0)
+            * (
+                F.col("sy").cast("double") / F.col("n")
+                - slope_rel * (F.col("sx").cast("double") / F.col("n"))
+            )
+        )
+        .cast("long")
+        .alias("intercept_micro"),
+    )
+
+
+@register(
+    "analytics_lorenz_deciles",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_custkey,
+               CAST(COALESCE(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)),
+                             0) AS BIGINT) AS v
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    ),
+    by_val AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM spend GROUP BY v
+    ),
+    cum AS (
+        SELECT v, cnt,
+               COALESCE(SUM(cnt) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS c0,
+               SUM(cnt) OVER () AS n,
+               SUM(CAST(v AS HUGEINT) * cnt) OVER () AS t
+        FROM by_val
+    ),
+    ds AS (SELECT unnest(generate_series(1, 10)) AS k),
+    ov AS (
+        SELECT ds.k,
+               greatest(least(c.c0 + c.cnt, (c.n * ds.k) // 10)
+                        - greatest(c.c0 + 1, (c.n * (ds.k - 1)) // 10 + 1)
+                        + 1, 0) AS m,
+               c.v, c.n, c.t
+        FROM cum c CROSS JOIN ds
+    )
+    SELECT CAST(k AS BIGINT) AS decile,
+           CAST(MAX((n * k) // 10 - (n * (k - 1)) // 10) AS BIGINT)
+               AS n_customers,
+           CAST(round(1000000.0 * CAST(SUM(CAST(v AS HUGEINT) * m) AS DOUBLE)
+                      / CAST(MAX(t) AS DOUBLE)) AS BIGINT) AS share_micro,
+           CAST(round(1000000.0
+                      * CAST(SUM(SUM(CAST(v AS HUGEINT) * m))
+                             OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+                             AS DOUBLE)
+                      / CAST(MAX(t) AS DOUBLE)) AS BIGINT)
+               AS cum_share_micro
+    FROM ov GROUP BY k ORDER BY decile
+    """,
+    doc="Lorenz curve by spend decile: customers ranked ascending by "
+        "lifetime spend, each decile's share and cumulative share of "
+        "total spend — the 10-point curve behind "
+        "analytics_gini_coefficient's scalar, the table a revenue-"
+        "concentration review actually reads ('the top decile carries "
+        "X%'). NO per-customer rank is ever materialized: like "
+        "graph_degree_gini, ranks live as contiguous blocks "
+        "[c0+1, c0+cnt] on the spend-VALUE domain table, and each "
+        "decile's take is the closed-form block/decile-boundary overlap "
+        "(the agg_interquartile_mean device), with boundaries n*k DIV "
+        "10 in pure integers. Spend sums, block overlaps, and decile "
+        "takes are exact HUGEINT/DECIMAL(38,0); the only doubles are "
+        "the final 1e-6-quantized shares. Plan: one per-customer "
+        "aggregate (row-scaled, narrow), one value-domain table with "
+        "bounded windows, a broadcast 10-row decile spine. Reference "
+        "parity: extension surface (SURVEY.md §2.B analytics rows).",
+)
+def analytics_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    d38 = "decimal(38,0)"
+    spend = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("v")
+        )
+    )
+    by_val = spend.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wprev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = by_val.select(
+        "v",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(wprev), F.lit(0)).alias("c0"),
+        F.sum("cnt").over(wall).alias("n"),
+        F.sum(F.col("v").cast(d38) * F.col("cnt")).over(wall).alias("t"),
+    )
+    ds = spark.range(1, 11).select(F.col("id").alias("k"))
+    m = F.greatest(
+        F.least(F.col("c0") + F.col("cnt"), F.expr("(n * k) DIV 10"))
+        - F.greatest(F.col("c0") + 1, F.expr("(n * (k - 1)) DIV 10 + 1"))
+        + 1,
+        F.lit(0).cast("long"),
+    )
+    ov = cum.join(F.broadcast(ds), how="cross").select(
+        "k", m.alias("m"), "v", "n", "t"
+    )
+    take = F.sum(F.col("v").cast(d38) * F.col("m")).cast(d38)
+    g = ov.groupBy("k").agg(
+        F.max(F.expr("(n * k) DIV 10 - (n * (k - 1)) DIV 10"))
+        .cast("long")
+        .alias("n_customers"),
+        take.alias("take"),
+        F.max("t").cast(d38).alias("t"),
+    )
+    wcum = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    return g.select(
+        F.col("k").cast("long").alias("decile"),
+        "n_customers",
+        F.round(
+            F.lit(1_000_000.0) * F.col("take").cast("double")
+            / F.col("t").cast("double")
+        )
+        .cast("long")
+        .alias("share_micro"),
+        F.round(
+            F.lit(1_000_000.0)
+            * F.sum(F.col("take")).over(wcum).cast("double")
+            / F.col("t").cast("double")
+        )
+        .cast("long")
+        .alias("cum_share_micro"),
+    ).orderBy("decile")
+
+
+@register(
+    "graph_avg_neighbor_degree_curve",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    e AS (
+        SELECT a.p AS p1, b.p AS p2
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    adj AS (SELECT p1 AS u, p2 AS v FROM e UNION ALL SELECT p2, p1 FROM e),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u),
+    knn AS (
+        SELECT a.u,
+               CAST(MAX(du.d) AS BIGINT) AS d,
+               CAST(round(1000000.0 * SUM(CAST(dv.d AS HUGEINT))
+                          / MAX(du.d)) AS BIGINT) AS knn_micro
+        FROM adj a
+        JOIN deg du ON du.u = a.u
+        JOIN deg dv ON dv.u = a.v
+        GROUP BY a.u
+    )
+    SELECT d AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(round(CAST(SUM(CAST(knn_micro AS HUGEINT)) AS DOUBLE)
+                      / COUNT(*)) AS BIGINT) AS avg_knn_micro
+    FROM knn GROUP BY d ORDER BY degree
+    """,
+    doc="Average-neighbor-degree curve k_nn(d) on the support-2 "
+        "co-purchase graph: for each degree, the mean over its nodes of "
+        "their neighbors' mean degree — the FULL assortativity profile "
+        "behind graph_degree_assortativity's single correlation "
+        "coefficient (rising curve = assortative hubs-with-hubs, "
+        "falling = disassortative hub-and-spoke), and the curve that "
+        "decides whether hub-cap thresholds cut community cores or "
+        "leaf noise. Per-node neighbor-degree sums are exact integers "
+        "(one adjacency-degree join, grouped on the SAME u key); each "
+        "node's mean quantizes to 1e-6 before the exact integer fold "
+        "per degree, so no double summation order exists anywhere. "
+        "Plan: the shared materialized edge frame, two |V|-keyed "
+        "narrow joins/aggregates, a degree-domain rollup (output "
+        "bounded by max degree at any scale). Reference parity: "
+        "extension surface (SURVEY.md §2.B graph rows).",
+)
+def graph_avg_neighbor_degree_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = _support2_copurchase_edges(spark, sf_dir)
+    adj, deg = adjacency_degrees(e, u="p1", v="p2")
+    d38 = "decimal(38,0)"
+    knn = (
+        adj.join(deg.select(F.col("u"), F.col("d").alias("du")), "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("d").alias("dv")), "v"
+        )
+        .groupBy("u")
+        .agg(
+            F.max("du").cast("long").alias("d"),
+            F.round(
+                F.lit(1_000_000.0) * F.sum(F.col("dv").cast(d38)).cast("double")
+                / F.max("du")
+            )
+            .cast("long")
+            .alias("knn_micro"),
+        )
+    )
+    return (
+        knn.groupBy(F.col("d").alias("degree"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.round(
+                F.sum(F.col("knn_micro").cast(d38)).cast("double")
+                / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("avg_knn_micro"),
+        )
+        .orderBy("degree")
+    )

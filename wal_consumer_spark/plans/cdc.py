@@ -2511,3 +2511,58 @@ def dq_content_checksum_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("checksum_sum"),
     ).select(F.lit("orders").alias("tbl"), "day", "n_rows", "checksum_sum")
+
+
+@register(
+    "cdc_op_transition_matrix",
+    oracle=f"""
+    WITH wal AS ({{WAL_SQL}}),
+    seq AS (
+        SELECT entity_id, operation,
+               lag(operation) OVER (PARTITION BY entity_id ORDER BY id)
+                   AS prev_op
+        FROM wal
+    )
+    SELECT prev_op, operation AS op,
+           CAST(prev_op || '>' || operation IN
+                ('ADD>UPDATE', 'ADD>DELETE', 'UPDATE>UPDATE',
+                 'UPDATE>DELETE', 'DELETE>ADD') AS BOOLEAN) AS legal,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE prev_op IS NOT NULL
+    GROUP BY 1, 2, 3 ORDER BY 1, 2
+    """.format(WAL_SQL=WAL_SQL),
+    doc="Per-entity operation-transition matrix over the WAL: counts of "
+        "every (previous op -> op) pair in id order, flagged legal per "
+        "the CDC lifecycle (ADD starts, UPDATE/DELETE continue, only "
+        "DELETE->ADD re-creates; ADD>ADD / UPDATE>ADD / DELETE>UPDATE / "
+        "DELETE>DELETE are protocol violations a well-formed producer "
+        "never emits). The reference APPLIES ops idempotently without "
+        "checking legality (ReflectionDatabaseOperationPerformer.java "
+        "applies whatever arrives — R6-R8), so this is the upstream-"
+        "producer audit the consumer itself cannot do: a nonzero "
+        "illegal row localizes a producer bug or an out-of-order "
+        "delivery BEFORE state diverges silently. One lag window on "
+        "the natural (entity_id, id) ordering — the same partitioning "
+        "every CDC apply already shuffles on — then a bounded 3x3 "
+        "rollup. Reference parity: R6-R8 lifecycle semantics "
+        "(WalConsumer.java:86-101) made auditable.",
+)
+def cdc_op_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wal = synthetic_wal(spark, sf_dir)
+    w = Window.partitionBy("entity_id").orderBy("id")
+    seq = wal.select(
+        "entity_id",
+        "operation",
+        F.lag("operation").over(w).alias("prev_op"),
+    ).where(F.col("prev_op").isNotNull())
+    legal = F.concat(F.col("prev_op"), F.lit(">"), F.col("operation")).isin(
+        "ADD>UPDATE", "ADD>DELETE", "UPDATE>UPDATE",
+        "UPDATE>DELETE", "DELETE>ADD",
+    )
+    return (
+        seq.groupBy(
+            "prev_op", F.col("operation").alias("op"), legal.alias("legal")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("prev_op", "op")
+    )

@@ -138,6 +138,11 @@ NEXT_WINDOW: list[str] = [
     "graph_wedge_closure_by_degree",
     "pipeline_preference_pair_margin",
     "multimodal_magic_number_audit",
+    "ml_calibration_slope_intercept",
+    "analytics_lorenz_deciles",
+    "graph_avg_neighbor_degree_curve",
+    "cdc_op_transition_matrix",
+    "ts_theil_inequality_decomposition",
 ]
 
 #: Overflow staging for additions beyond a single round-10 window.

@@ -5056,3 +5056,126 @@ def ts_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_stat"),
     )
+
+
+@register(
+    "ts_theil_inequality_decomposition",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS TIMESTAMP) AS day,
+               CAST(SUM(CAST(value * 100 AS DECIMAL(18,0))) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1
+    ),
+    p AS (
+        SELECT cents AS y,
+               lag(cents, 7) OVER (ORDER BY day) AS f
+        FROM daily
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(f AS HUGEINT)) AS HUGEINT) AS sf,
+               CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(f AS HUGEINT) * f) AS HUGEINT) AS sff,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+               CAST(SUM(CAST(f AS HUGEINT) * y) AS HUGEINT) AS sfy
+        FROM p WHERE f IS NOT NULL
+    )
+    SELECT n AS n_days,
+           round((CAST(sff AS DOUBLE) - 2 * CAST(sfy AS DOUBLE)
+                  + CAST(syy AS DOUBLE)) / n, 2) AS mse,
+           CAST(round(1000000.0
+                * (CAST(sf AS DOUBLE) / n - CAST(sy AS DOUBLE) / n)
+                * (CAST(sf AS DOUBLE) / n - CAST(sy AS DOUBLE) / n)
+                / ((CAST(sff AS DOUBLE) - 2 * CAST(sfy AS DOUBLE)
+                    + CAST(syy AS DOUBLE)) / n)) AS BIGINT) AS um_micro,
+           CAST(round(1000000.0
+                * (sqrt(CAST(sff AS DOUBLE) / n
+                        - (CAST(sf AS DOUBLE) / n) * (CAST(sf AS DOUBLE) / n))
+                   - sqrt(CAST(syy AS DOUBLE) / n
+                          - (CAST(sy AS DOUBLE) / n)
+                            * (CAST(sy AS DOUBLE) / n)))
+                * (sqrt(CAST(sff AS DOUBLE) / n
+                        - (CAST(sf AS DOUBLE) / n) * (CAST(sf AS DOUBLE) / n))
+                   - sqrt(CAST(syy AS DOUBLE) / n
+                          - (CAST(sy AS DOUBLE) / n)
+                            * (CAST(sy AS DOUBLE) / n)))
+                / ((CAST(sff AS DOUBLE) - 2 * CAST(sfy AS DOUBLE)
+                    + CAST(syy AS DOUBLE)) / n)) AS BIGINT) AS us_micro,
+           CAST(round(1000000.0
+                * 2.0
+                * (sqrt(CAST(sff AS DOUBLE) / n
+                        - (CAST(sf AS DOUBLE) / n) * (CAST(sf AS DOUBLE) / n))
+                   * sqrt(CAST(syy AS DOUBLE) / n
+                          - (CAST(sy AS DOUBLE) / n)
+                            * (CAST(sy AS DOUBLE) / n))
+                   - (CAST(sfy AS DOUBLE) / n
+                      - (CAST(sf AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)))
+                / ((CAST(sff AS DOUBLE) - 2 * CAST(sfy AS DOUBLE)
+                    + CAST(syy AS DOUBLE)) / n)) AS BIGINT) AS uc_micro
+    FROM mom
+    """,
+    doc="Theil inequality decomposition of the seasonal-naive forecast "
+        "(same-weekday-last-week, the ts_seasonal_naive_error baseline) "
+        "on daily revenue: MSE split into bias proportion U_M = "
+        "(fbar-ybar)^2/MSE, variance proportion U_S = (sd_f-sd_y)^2/"
+        "MSE, and covariance proportion U_C = 2(sd_f*sd_y - cov)/MSE "
+        "(U_M+U_S+U_C = 1) — the classic forecast-autopsy: a large U_M "
+        "says re-center, large U_S says re-scale, and only the U_C "
+        "share is irreducible noise; the decomposition tells you "
+        "WHETHER a better model can beat the baseline before you pay "
+        "to fit one. All six moments are exact HUGEINT/DECIMAL(38,0) "
+        "sums of integer cents over the bounded day grid; every "
+        "output is one fixed double expression of them, quantized to "
+        "1e-6. Plan: one (day) aggregate, one 7-lag window on the "
+        "bounded grid, one 1-row moment fold. Reference parity: "
+        "extension surface (SURVEY.md §2.B time-series rows).",
+)
+def ts_theil_inequality_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date("ts").cast("timestamp").alias("day")
+    ).agg(
+        F.sum((F.col("value") * 100).cast("decimal(18,0)"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("day")
+    p = daily.select(
+        F.col("cents").alias("y"), F.lag("cents", 7).over(w).alias("f")
+    ).where(F.col("f").isNotNull())
+    d38 = "decimal(38,0)"
+    mom = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("f").cast(d38)).cast(d38).alias("sf"),
+        F.sum(F.col("y").cast(d38)).cast(d38).alias("sy"),
+        F.sum(F.col("f").cast(d38) * F.col("f")).cast(d38).alias("sff"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).cast(d38).alias("syy"),
+        F.sum(F.col("f").cast(d38) * F.col("y")).cast(d38).alias("sfy"),
+    )
+    n = F.col("n")
+    fbar = F.col("sf").cast("double") / n
+    ybar = F.col("sy").cast("double") / n
+    mse = (
+        F.col("sff").cast("double")
+        - 2 * F.col("sfy").cast("double")
+        + F.col("syy").cast("double")
+    ) / n
+    sdf = F.sqrt(F.col("sff").cast("double") / n - fbar * fbar)
+    sdy = F.sqrt(F.col("syy").cast("double") / n - ybar * ybar)
+    cov = F.col("sfy").cast("double") / n - fbar * ybar
+    return mom.select(
+        n.alias("n_days"),
+        F.round(mse, 2).alias("mse"),
+        F.round(F.lit(1_000_000.0) * (fbar - ybar) * (fbar - ybar) / mse)
+        .cast("long")
+        .alias("um_micro"),
+        F.round(F.lit(1_000_000.0) * (sdf - sdy) * (sdf - sdy) / mse)
+        .cast("long")
+        .alias("us_micro"),
+        F.round(F.lit(1_000_000.0) * F.lit(2.0) * (sdf * sdy - cov) / mse)
+        .cast("long")
+        .alias("uc_micro"),
+    )
