@@ -145,6 +145,13 @@ HEADLINE = [
     "ml_hosmer_lemeshow_gof",
     "analytics_cohens_d_effect_size",
     "set_symmetric_diff_tagged",
+    # r11 additions (appended only, same continuity rule): three
+    # representatives of the round-11 operator wave — the mergeable
+    # quantile sketch, the preference-pair fit, and the heaviest new
+    # graph pass (triangles on the support-2 co-purchase projection).
+    "agg_hdr_histogram_quantiles",
+    "ml_bradley_terry_one_step",
+    "graph_wedge_closure_by_degree",
 ]
 
 #: FROZEN cross-round comparison basis (round-4 VERDICT "What's wrong" #2:
