@@ -430,3 +430,189 @@ def test_theil_decomposition_python_oracle(spark):
     assert abs(r.uc_micro - 1e6 * 2 * (sdf * sdy - cov) / mse) <= 2
     # proportions must partition the MSE
     assert abs(r.um_micro + r.us_micro + r.uc_micro - 1_000_000) <= 3
+
+
+# ------------------------------------------------------------ sma crossover
+def test_sma_crossover_python_oracle(spark):
+    import numpy as np
+
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    e["day"] = pd.to_datetime(e.ts).dt.date
+    x = e.value * 100
+    e["cents"] = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(int)
+    daily = e.groupby("day").cents.sum().sort_index()
+    v = list(daily.values)
+    days = list(daily.index)
+    diffs = {}
+    for i in range(9, len(v)):
+        s3, s10 = sum(v[i - 2: i + 1]), sum(v[i - 9: i + 1])
+        diffs[days[i]] = 10 * s3 - 3 * s10
+    exp = []
+    ds = sorted(diffs)
+    for prev, cur in zip(ds, ds[1:]):
+        pd_, cd = diffs[prev], diffs[cur]
+        if pd_ < 0 and cd > 0:
+            exp.append((str(cur), "golden", cd))
+        elif pd_ > 0 and cd < 0:
+            exp.append((str(cur), "death", cd))
+    out = all_specs()["ts_sma_crossover_signals"].spark(spark, SF).collect()
+    assert [(r.day, r.direction, r.diff_scaled) for r in out] == exp
+    assert len(exp) >= 3  # non-degenerate: the series actually crosses
+
+
+# ------------------------------------------------- cost-sensitive threshold
+def test_cost_threshold_python_oracle(spark):
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    actual = e.event_type == "purchase"
+    grid = [1.0, 2.0, 5.0, 10.0, 20.0, 50.0, 100.0]
+    rows = {}
+    for t in grid:
+        hit = e.value > t
+        tp = int((actual & hit).sum())
+        fp = int((~actual & hit).sum())
+        fn = int((actual & ~hit).sum())
+        tn = int((~actual & ~hit).sum())
+        rows[round(t * 100)] = (tp, fp, fn, tn, fp + 5 * fn)
+    min_cost = min(v[4] for v in rows.values())
+    out = all_specs()["ml_cost_sensitive_threshold"].spark(spark, SF).collect()
+    assert len(out) == len(grid)
+    for r in out:
+        tp, fp, fn, tn, cost = rows[r.threshold_cents]
+        assert (r.tp, r.fp, r.fn, r.tn, r.expected_cost) == (tp, fp, fn, tn, cost)
+        assert r.is_optimal == (cost == min_cost)
+    assert sum(r.is_optimal for r in out) >= 1
+
+
+# ------------------------------------------------------ three-valued logic
+def test_three_valued_logic_matches_python(spark):
+    out = {
+        (r.a_s, r.b_s): r
+        for r in all_specs()["scalar_null_three_valued_logic"].spark(spark, SF).collect()
+    }
+    assert len(out) == 9
+
+    def tv(x):  # render Python Kleene value
+        return "N" if x is None else ("T" if x else "F")
+
+    def k_and(a, b):
+        if a is False or b is False:
+            return False
+        if a is None or b is None:
+            return None
+        return True
+
+    def k_or(a, b):
+        if a is True or b is True:
+            return True
+        if a is None or b is None:
+            return None
+        return False
+
+    for a in (True, False, None):
+        for b in (True, False, None):
+            r = out[(tv(a), tv(b))]
+            assert r.and_r == tv(k_and(a, b))
+            assert r.or_r == tv(k_or(a, b))
+            assert r.not_a == tv(None if a is None else (not a))
+            assert r.eq_r == tv(None if a is None or b is None else a == b)
+            assert r.null_safe_eq_r == tv(a is b if (a is None or b is None) else a == b)
+            assert r.coalesce_r == tv(a if a is not None else b)
+
+
+# ------------------------------------------------- resurrection latency
+def test_resurrection_latency_python_oracle(spark):
+    e = pd.read_parquet(f"{SF}/events.parquet").sort_values("event_id")
+    op_of = {"signup": "ADD", "error": "DELETE"}
+    last: dict = {}
+    gaps = []
+    for eid, et in zip(e.event_id, e.event_type):
+        ent = eid % 500
+        op = op_of.get(et, "UPDATE")
+        if ent in last and last[ent][0] == "DELETE" and op == "ADD":
+            gaps.append(eid - last[ent][1])
+        last[ent] = (op, eid)
+    exp: defaultdict = defaultdict(list)
+    for g in gaps:
+        exp[int(g).bit_length() - 1].append(int(g))
+    out = all_specs()["cdc_entity_resurrection_latency"].spark(spark, SF).collect()
+    got = {r.gap_bucket: (r.n, r.total_gap, r.avg_gap) for r in out}
+    assert got == {
+        bk: (len(v), sum(v), round(sum(v) / len(v), 2)) for bk, v in exp.items()
+    }
+    assert len(gaps) >= 5  # non-degenerate
+
+
+# ------------------------------------------------ selection bias audit
+def test_selection_bias_python_oracle(spark):
+    d = pd.read_parquet(f"{SF}/documents.parquet")
+    out = {
+        r.source: r
+        for r in all_specs()["pipeline_length_quality_selection_bias"].spark(spark, SF).collect()
+    }
+    for src, grp in d.groupby("source"):
+        x = grp.n_chars.astype(object)
+        y = (grp.n_chars >= 200).astype(int).astype(object)
+        n, sx, sy = len(grp), int(x.sum()), int(y.sum())
+        sxx, sxy = int((x * x).sum()), int((x * y).sum())
+        r = out[src]
+        assert r.n == n
+        assert r.pass_rate_micro == round(1e6 * sy / n)
+        if sy in (0, n):
+            assert r.corr_micro is None
+        else:
+            corr = float(n * sxy - sx * sy) / math.sqrt(
+                float(n * sxx - sx * sx) * float(n * sy - sy * sy)
+            )
+            assert r.corr_micro == round(1e6 * corr)
+            assert 0 < corr <= 1  # a length gate must correlate with length
+
+
+# ------------------------------------------------------------- qq deciles
+def test_residual_qq_python_oracle(spark):
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    cents = sorted(int(c) for c in (o.o_totalprice * 100).round())
+    n = len(cents)
+    s1 = sum(cents)
+    s2 = sum(c * c for c in cents)
+    mean = s1 / n
+    sd = math.sqrt(s2 / n - mean * mean)
+    pz = [(5, -1.644854), (15, -1.036433), (25, -0.67449), (35, -0.38532),
+          (45, -0.125661), (55, 0.125661), (65, 0.38532), (75, 0.67449),
+          (85, 1.036433), (95, 1.644854)]
+    out = {r.pct: r for r in all_specs()["ml_residual_qq_deciles"].spark(spark, SF).collect()}
+    assert sorted(out) == [p for p, _ in pz]
+    for p, z in pz:
+        rank = max(n * p // 100, 1)
+        q = cents[rank - 1]
+        r = out[p]
+        assert r.q_resid == round(q - mean, 4)
+        assert r.theo_resid == round(z * sd, 4)
+        assert r.gap_rel_micro == round(
+            1e6 / max(mean, 1.0) * ((q - mean) - z * sd)
+        )
+
+
+# ---------------------------------------------------------------- twap
+def test_twap_python_oracle(spark):
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    e["day"] = pd.to_datetime(e.ts).dt.date.astype(str)
+    # normalize to µs regardless of the parquet reader's unit (this
+    # testdata generation reads as datetime64[us]; older ones as [ns])
+    e["us"] = e.ts.astype("datetime64[us]").astype("int64")
+    e["cents"] = (e.value * 100).round().astype(int)
+    exp = {}
+    for day, grp in e.groupby("day"):
+        grp = grp.sort_values(["us", "event_id"])
+        us, cents = list(grp.us), list(grp.cents)
+        gaps = [(us[i + 1] - us[i], cents[i]) for i in range(len(us) - 1)]
+        covered = sum(g for g, _ in gaps)
+        if not gaps or covered <= 0:
+            continue
+        wsum = sum(g * c for g, c in gaps)
+        exp[day] = (len(gaps), covered, round(wsum / covered / 100, 4))
+    out = all_specs()["win_time_weighted_average"].spark(spark, SF).collect()
+    got = {r.day: (r.n_weighted, r.covered_us, r.twap) for r in out}
+    assert got == exp
+    # TWAP is a convex combination of event values: inside [min, max]
+    lo, hi = e.value.min(), e.value.max()
+    assert all(lo - 1e-6 <= t <= hi + 1e-6 for _, _, t in got.values())

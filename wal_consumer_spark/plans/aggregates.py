@@ -2125,3 +2125,82 @@ def agg_hdr_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("percentile")
     )
+
+
+@register(
+    "win_time_weighted_average",
+    oracle="""
+    WITH ev AS (
+        SELECT CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS VARCHAR) AS day,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               event_id
+        FROM events
+    ),
+    gaps AS (
+        SELECT day, cents,
+               lead(us) OVER (PARTITION BY day ORDER BY us, event_id) - us
+                   AS gap
+        FROM ev
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_weighted,
+           CAST(SUM(CAST(gap AS HUGEINT)) AS BIGINT) AS covered_us,
+           round(CAST(SUM(CAST(cents AS HUGEINT) * gap) AS DOUBLE)
+                 / CAST(SUM(CAST(gap AS HUGEINT)) AS DOUBLE) / 100, 4)
+               AS twap
+    FROM gaps WHERE gap IS NOT NULL
+    GROUP BY day HAVING SUM(CAST(gap AS HUGEINT)) > 0
+    ORDER BY day
+    """,
+    doc="Time-weighted average value (TWAP) per day: each event's value "
+        "weighted by the microseconds until the NEXT event that day — "
+        "the integral-under-the-step-function average that a plain "
+        "AVG() misstates whenever sampling is bursty (a value held for "
+        "an hour counts 3600x one held a second), i.e. the correct "
+        "daily 'level' for irregularly-sampled telemetry/prices and "
+        "the batch analog of what a streaming state-store would "
+        "integrate. Weights are exact integer microsecond gaps from "
+        "ONE lead window on the natural (day) partition; the weighted "
+        "sum is exact DECIMAL(38,0)/HUGEINT (cents x micros), one "
+        "double division at the end; days whose events all share one "
+        "timestamp (zero covered time) are excluded identically via "
+        "HAVING. Plan: one day-partitioned ordered window + one narrow "
+        "day aggregate — the window key IS the group key, no extra "
+        "shuffle. Reference parity: extension surface (SURVEY.md §2.B "
+        "window rows).",
+)
+def win_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    ev = e.select(
+        F.to_date("ts").cast("string").alias("day"),
+        us.alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+    )
+    w = Window.partitionBy("day").orderBy("us", "event_id")
+    gaps = ev.select(
+        "day", "cents", (F.lead("us").over(w) - F.col("us")).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    g = gaps.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_weighted"),
+        F.sum(F.col("gap").cast(d38)).alias("covered"),
+        F.sum(F.col("cents").cast(d38) * F.col("gap")).alias("wsum"),
+    )
+    return (
+        g.where(F.col("covered") > 0)
+        .select(
+            "day",
+            "n_weighted",
+            F.col("covered").cast("long").alias("covered_us"),
+            F.round(
+                F.col("wsum").cast("double")
+                / F.col("covered").cast("double")
+                / 100,
+                4,
+            ).alias("twap"),
+        )
+        .orderBy("day")
+    )

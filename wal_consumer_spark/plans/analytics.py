@@ -13533,3 +13533,240 @@ def graph_avg_neighbor_degree_curve(
         )
         .orderBy("degree")
     )
+
+
+@register(
+    "ml_cost_sensitive_threshold",
+    oracle="""
+    WITH scored AS (
+        SELECT (event_type = 'purchase') AS actual, value AS score
+        FROM events
+    ),
+    ts AS (SELECT unnest([1.0, 2.0, 5.0, 10.0, 20.0, 50.0, 100.0]) AS t),
+    sweep AS (
+        SELECT t.t,
+               CAST(count_if(s.actual AND s.score > t.t) AS BIGINT) AS tp,
+               CAST(count_if(NOT s.actual AND s.score > t.t) AS BIGINT)
+                   AS fp,
+               CAST(count_if(s.actual AND NOT s.score > t.t) AS BIGINT)
+                   AS fn,
+               CAST(count_if(NOT s.actual AND NOT s.score > t.t) AS BIGINT)
+                   AS tn
+        FROM scored s CROSS JOIN ts t
+        GROUP BY t.t
+    )
+    SELECT CAST(round(t * 100) AS BIGINT) AS threshold_cents,
+           tp, fp, fn, tn,
+           fp + 5 * fn AS expected_cost,
+           CAST(fp + 5 * fn = MIN(fp + 5 * fn) OVER () AS BOOLEAN)
+               AS is_optimal
+    FROM sweep ORDER BY threshold_cents
+    """,
+    doc="Cost-sensitive operating-point selection for the value>t "
+        "purchase classifier: the confusion matrix and expected cost "
+        "C = 1*FP + 5*FN at each threshold of a fixed grid, with the "
+        "cost-minimizing row flagged — the decision-theoretic layer "
+        "ml_threshold_sweep_confusion (raw sweep) and "
+        "ml_youden_j_operating_point (cost-blind J) stop short of: "
+        "when errors are priced asymmetrically (a missed conversion "
+        "costs 5x a false alert), the optimum moves off Youden's J, "
+        "and THIS table is what a deployment review reads. Counts are "
+        "exact conditional aggregates; costs are pure integers; the "
+        "arg-min is a window MIN over the 7-row grid, so there is "
+        "nothing floating anywhere. Plan: one broadcast 7-row "
+        "threshold spine against a 2-column projected scan, one "
+        "map-side conditional aggregate per threshold, a 7-row window. "
+        "Reference parity: extension surface (SURVEY.md §2.B ML rows).",
+)
+def ml_cost_sensitive_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        (F.col("event_type") == "purchase").alias("actual"),
+        F.col("value").alias("score"),
+    )
+    ts = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(v) for v in (1.0, 2.0, 5.0, 10.0, 20.0, 50.0, 100.0)])
+        ).alias("t")
+    )
+    hit = F.col("score") > F.col("t")
+    sweep = (
+        scored.join(F.broadcast(ts), how="cross")
+        .groupBy("t")
+        .agg(
+            F.count_if(F.col("actual") & hit).cast("long").alias("tp"),
+            F.count_if(~F.col("actual") & hit).cast("long").alias("fp"),
+            F.count_if(F.col("actual") & ~hit).cast("long").alias("fn"),
+            F.count_if(~F.col("actual") & ~hit).cast("long").alias("tn"),
+        )
+    )
+    cost = (F.col("fp") + 5 * F.col("fn")).alias("expected_cost")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        sweep.select(
+            F.round(F.col("t") * 100).cast("long").alias("threshold_cents"),
+            "tp",
+            "fp",
+            "fn",
+            "tn",
+            cost,
+        )
+        .select(
+            "*",
+            (
+                F.col("expected_cost") == F.min("expected_cost").over(wall)
+            ).alias("is_optimal"),
+        )
+        .orderBy("threshold_cents")
+    )
+
+
+@register(
+    "ml_residual_qq_deciles",
+    oracle="""
+    WITH rows_ AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS s1,
+               CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS s2
+        FROM rows_
+    ),
+    by_val AS (
+        SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt FROM rows_ GROUP BY 1
+    ),
+    cum AS (
+        SELECT cents, cnt,
+               SUM(cnt) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+                   AS cum,
+               SUM(cnt) OVER () AS n
+        FROM by_val
+    ),
+    zs AS (
+        SELECT unnest([5, 15, 25, 35, 45, 55, 65, 75, 85, 95]) AS p,
+               unnest([-1.644854, -1.036433, -0.67449, -0.38532, -0.125661,
+                       0.125661, 0.38532, 0.67449, 1.036433, 1.644854]) AS z
+    ),
+    pick AS (
+        SELECT z.p, z.z,
+               MAX(CASE WHEN greatest((c.n * z.p) // 100, 1) > c.cum - c.cnt
+                         AND greatest((c.n * z.p) // 100, 1) <= c.cum
+                        THEN c.cents END) AS q_cents
+        FROM cum c CROSS JOIN zs z
+        GROUP BY z.p, z.z
+    )
+    SELECT CAST(p.p AS BIGINT) AS pct,
+           round(CAST(p.q_cents AS DOUBLE) - CAST(m.s1 AS DOUBLE) / m.n, 4)
+               AS q_resid,
+           round(p.z * sqrt(CAST(m.s2 AS DOUBLE) / m.n
+                            - (CAST(m.s1 AS DOUBLE) / m.n)
+                              * (CAST(m.s1 AS DOUBLE) / m.n)), 4)
+               AS theo_resid,
+           CAST(round(1000000.0 / greatest(CAST(m.s1 AS DOUBLE) / m.n, 1.0)
+                      * ((CAST(p.q_cents AS DOUBLE)
+                          - CAST(m.s1 AS DOUBLE) / m.n)
+                         - p.z * sqrt(CAST(m.s2 AS DOUBLE) / m.n
+                                      - (CAST(m.s1 AS DOUBLE) / m.n)
+                                        * (CAST(m.s1 AS DOUBLE) / m.n))))
+               AS BIGINT) AS gap_rel_micro
+    FROM pick p CROSS JOIN mom m
+    ORDER BY pct
+    """,
+    doc="Residual normal-QQ table for the global-mean price model: the "
+        "empirical residual quantile at p = 5..95 against the normal "
+        "theoretical z_p * sd — the normality diagnostic that "
+        "complements ml_ols_durbin_watson (autocorrelation) and "
+        "ml_ols_influence_cooks_distance (leverage): heavy tails or "
+        "skew show as systematic QQ gaps, and they decide whether "
+        "normal-theory intervals on the model are honest. NO per-row "
+        "rank or residual is materialized: residual quantiles are "
+        "value quantiles shifted by the mean (q_r(p) = q_x(p) - xbar), "
+        "so the empirical side is the bounded value-domain rank-block "
+        "pick and the theoretical side is one fixed double expression "
+        "of exact HUGEINT/DECIMAL moments; z_p are pinned literals (no "
+        "erf dependency). The gap is reported relative to the mean, "
+        "quantized to 1e-6. Plan: one moment fold + one value-domain "
+        "cumulative + a broadcast 10-row (p, z) spine. Reference "
+        "parity: extension surface (SURVEY.md §2.B ML rows).",
+)
+def ml_residual_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d38 = "decimal(38,0)"
+    rows = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    mom = rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tot"),
+        F.sum(F.col("cents").cast(d38)).cast(d38).alias("s1"),
+        F.sum(F.col("cents").cast(d38) * F.col("cents")).cast(d38).alias("s2"),
+    )
+    by_val = rows.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wcum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = by_val.select(
+        "cents",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    pz = [
+        (5, -1.644854), (15, -1.036433), (25, -0.67449), (35, -0.38532),
+        (45, -0.125661), (55, 0.125661), (65, 0.38532), (75, 0.67449),
+        (85, 1.036433), (95, 1.644854),
+    ]
+    zs = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(p).alias("p"), F.lit(z).alias("z"))
+                    for p, z in pz
+                ]
+            )
+        ).alias("s")
+    ).select("s.p", "s.z")
+    rank = F.greatest(
+        F.expr("(n * p) DIV 100"), F.lit(1).cast("long")
+    )
+    pick = (
+        cum.join(F.broadcast(zs), how="cross")
+        .groupBy("p", "z")
+        .agg(
+            F.max(
+                F.when(
+                    (rank > F.col("cum") - F.col("cnt"))
+                    & (rank <= F.col("cum")),
+                    F.col("cents"),
+                )
+            ).alias("q_cents")
+        )
+    )
+    mean = F.col("s1").cast("double") / F.col("n_tot")
+    sd = F.sqrt(
+        F.col("s2").cast("double") / F.col("n_tot") - mean * mean
+    )
+    q_resid_raw = F.col("q_cents").cast("double") - mean
+    theo_raw = F.col("z") * sd
+    return (
+        pick.crossJoin(F.broadcast(mom))
+        .select(
+            F.col("p").cast("long").alias("pct"),
+            F.round(q_resid_raw, 4).alias("q_resid"),
+            F.round(theo_raw, 4).alias("theo_resid"),
+            F.round(
+                F.lit(1_000_000.0)
+                / F.greatest(mean, F.lit(1.0))
+                * (q_resid_raw - theo_raw)
+            )
+            .cast("long")
+            .alias("gap_rel_micro"),
+        )
+        .orderBy("pct")
+    )

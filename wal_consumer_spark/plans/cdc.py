@@ -2566,3 +2566,71 @@ def cdc_op_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("prev_op", "op")
     )
+
+
+@register(
+    "cdc_entity_resurrection_latency",
+    oracle=f"""
+    WITH wal AS ({WAL_SQL}),
+    seq AS (
+        SELECT entity_id, id, operation,
+               lag(operation) OVER (PARTITION BY entity_id ORDER BY id)
+                   AS prev_op,
+               lag(id) OVER (PARTITION BY entity_id ORDER BY id) AS prev_id
+        FROM wal
+    ),
+    res AS (
+        SELECT id - prev_id AS gap
+        FROM seq
+        WHERE operation = 'ADD' AND prev_op = 'DELETE'
+    )
+    SELECT CAST(length(printf('%b', gap)) - 1 AS BIGINT) AS gap_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(gap) AS BIGINT) AS total_gap,
+           round(CAST(SUM(gap) AS DOUBLE) / COUNT(*), 2) AS avg_gap
+    FROM res GROUP BY 1 ORDER BY 1
+    """,
+    doc="Entity resurrection-latency histogram: for every DELETE "
+        "immediately followed (in per-entity WAL order) by a re-creating "
+        "ADD, the WAL-id distance between them, log2-bucketed — the "
+        "churn fingerprint that separates flap (delete/re-add within a "
+        "few records: usually a producer retry bug or a tombstone race) "
+        "from genuine lifecycle re-creation, and the empirical input to "
+        "choosing a tombstone retention horizon "
+        "(cdc_tombstone_retention): retention must exceed the observed "
+        "resurrection tail or re-adds collide with compacted state. "
+        "Same single per-entity lag window every CDC apply already "
+        "shuffles on (the transition-matrix pass extended with the id "
+        "distance); gaps and buckets are pure integers, the mean is "
+        "one exact-sum division. Plan: one window + one bounded "
+        "histogram rollup. Reference parity: R6-R8 lifecycle semantics "
+        "(WalConsumer.java:86-101) made auditable.",
+)
+def cdc_entity_resurrection_latency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    wal = synthetic_wal(spark, sf_dir)
+    w = Window.partitionBy("entity_id").orderBy("id")
+    seq = wal.select(
+        "entity_id",
+        "id",
+        "operation",
+        F.lag("operation").over(w).alias("prev_op"),
+        F.lag("id").over(w).alias("prev_id"),
+    )
+    res = seq.where(
+        (F.col("operation") == "ADD") & (F.col("prev_op") == "DELETE")
+    ).select((F.col("id") - F.col("prev_id")).alias("gap"))
+    return (
+        res.groupBy(
+            (F.length(F.bin(F.col("gap"))) - 1).cast("long").alias("gap_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("gap").cast("long").alias("total_gap"),
+            F.round(F.sum("gap").cast("double") / F.count(F.lit(1)), 2).alias(
+                "avg_gap"
+            ),
+        )
+        .orderBy("gap_bucket")
+    )

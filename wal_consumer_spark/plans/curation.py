@@ -2473,3 +2473,90 @@ def pipeline_preference_pair_margin(
         )
         .orderBy("source", "margin_bucket")
     )
+
+
+@register(
+    "pipeline_length_quality_selection_bias",
+    oracle="""
+    WITH scored AS (
+        SELECT source, CAST(n_chars AS BIGINT) AS x,
+               CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    mom AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        FROM scored GROUP BY source
+    )
+    SELECT source, n,
+           CAST(round(1000000.0 * CAST(sy AS DOUBLE) / n) AS BIGINT)
+               AS pass_rate_micro,
+           CASE WHEN sy = 0 OR sy = n THEN NULL
+                ELSE CAST(round(1000000.0
+                     * CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * sy - sy * sy AS DOUBLE)))
+                     AS BIGINT) END AS corr_micro
+    FROM mom ORDER BY source
+    """,
+    doc="Selection-bias audit of a length-thresholded quality gate: per "
+        "source, the point-biserial correlation between document length "
+        "and passing the n_chars >= 200 filter — the curation "
+        "diagnostic that quantifies HOW MUCH a 'quality' filter is "
+        "really a length filter (corr near 1 = the gate selects on "
+        "length, near 0 = length-neutral), which decides whether "
+        "downstream length-bucketing (pipeline_length_bucketing) will "
+        "see a skewed survivor population. Point-biserial r is Pearson "
+        "r with a 0/1 y, so sum(y^2) = sum(y) and all five moments are "
+        "exact HUGEINT/DECIMAL(38,0); the correlation is one fixed "
+        "double expression, NULL (identically in both engines) for a "
+        "source whose docs all pass or all fail. Plan: one map-side "
+        "per-source moment aggregate over a 2-column projection — "
+        "O(scan) at any corpus size. Reference parity: extension "
+        "surface (SURVEY.md §2.B pipeline rows).",
+)
+def pipeline_length_quality_selection_bias(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    d38 = "decimal(38,0)"
+    scored = d.select(
+        "source",
+        F.col("n_chars").cast("long").alias("x"),
+        F.when(F.col("n_chars") >= 200, 1).otherwise(0).alias("y"),
+    )
+    mom = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(d38)).cast(d38).alias("sx"),
+        F.sum(F.col("y").cast(d38)).cast(d38).alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).cast(d38).alias("sxx"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).cast(d38).alias("sxy"),
+    )
+    corr = (
+        F.lit(1_000_000.0)
+        * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+            * (F.col("n") * F.col("sy") - F.col("sy") * F.col("sy")).cast(
+                "double"
+            )
+        )
+    )
+    return mom.select(
+        "source",
+        "n",
+        F.round(F.lit(1_000_000.0) * F.col("sy").cast("double") / F.col("n"))
+        .cast("long")
+        .alias("pass_rate_micro"),
+        F.when(
+            (F.col("sy") == 0) | (F.col("sy") == F.col("n")), F.lit(None)
+        )
+        .otherwise(F.round(corr).cast("long"))
+        .alias("corr_micro"),
+    ).orderBy("source")

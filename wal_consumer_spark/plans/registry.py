@@ -143,7 +143,18 @@ NEXT_WINDOW: list[str] = [
     "graph_avg_neighbor_degree_curve",
     "cdc_op_transition_matrix",
     "ts_theil_inequality_decomposition",
+    "ts_sma_crossover_signals",
+    "ml_cost_sensitive_threshold",
+    "scalar_null_three_valued_logic",
+    "cdc_entity_resurrection_latency",
+    "pipeline_length_quality_selection_bias",
+    "ml_residual_qq_deciles",
+    "win_time_weighted_average",
 ]
+#: NB round-12 window arithmetic: these 19 staged names + the 31
+#: reason-scope-waived load_table re-pins (tests/
+#: test_stale_certification.py::WAIVED_LOAD_TABLE_ONLY) fill the
+#: round-12 DRIVER_WINDOW to exactly 50.
 
 #: Overflow staging for additions beyond a single round-10 window.
 FUTURE_WINDOW: list[str] = []

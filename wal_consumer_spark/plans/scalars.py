@@ -538,3 +538,74 @@ def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wal_consumer_spark.sqlapi import sql
 
     return sql(spark, sf_dir, _TRY_FUNCS_SHARED_SQL)
+
+
+@register(
+    "scalar_null_three_valued_logic",
+    oracle="""
+    WITH vals AS (SELECT unnest([TRUE, FALSE, NULL]) AS v),
+    pairs AS (SELECT a.v AS a, b.v AS b FROM vals a CROSS JOIN vals b),
+    fmt AS (
+        SELECT CASE WHEN a IS NULL THEN 'N' WHEN a THEN 'T' ELSE 'F' END
+                   AS a_s,
+               CASE WHEN b IS NULL THEN 'N' WHEN b THEN 'T' ELSE 'F' END
+                   AS b_s,
+               a, b
+        FROM pairs
+    )
+    SELECT a_s, b_s,
+           CASE WHEN (a AND b) IS NULL THEN 'N'
+                WHEN (a AND b) THEN 'T' ELSE 'F' END AS and_r,
+           CASE WHEN (a OR b) IS NULL THEN 'N'
+                WHEN (a OR b) THEN 'T' ELSE 'F' END AS or_r,
+           CASE WHEN (NOT a) IS NULL THEN 'N'
+                WHEN (NOT a) THEN 'T' ELSE 'F' END AS not_a,
+           CASE WHEN (a = b) IS NULL THEN 'N'
+                WHEN (a = b) THEN 'T' ELSE 'F' END AS eq_r,
+           CASE WHEN (a IS NOT DISTINCT FROM b) THEN 'T' ELSE 'F' END
+               AS null_safe_eq_r,
+           CASE WHEN coalesce(a, b) IS NULL THEN 'N'
+                WHEN coalesce(a, b) THEN 'T' ELSE 'F' END AS coalesce_r
+    FROM fmt ORDER BY a_s, b_s
+    """,
+    doc="ANSI three-valued-logic conformance matrix: the full 3x3 "
+        "(TRUE/FALSE/NULL) truth table for AND, OR, NOT, null-unsafe "
+        "equality, null-safe equality (Spark <=> == SQL IS NOT DISTINCT "
+        "FROM), and COALESCE — the dialect surface where engines "
+        "historically diverge (NULL AND FALSE = FALSE, NULL OR TRUE = "
+        "TRUE are the short-circuit rows naive implementations get "
+        "wrong) and where a silent mismatch corrupts every downstream "
+        "filter. The scalar_* conformance-row convention "
+        "(scalar_try_funcs, scalar_cast_matrix) extended to the logic "
+        "kernel itself; results are rendered 'T'/'F'/'N' so NULL "
+        "participates in the value hash. Plan: a 9-row literal lattice "
+        "— constant at any scale. Reference parity: extension surface "
+        "(SURVEY.md §2.B scalar rows).",
+)
+def scalar_null_three_valued_logic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    vals = spark.range(1).select(
+        F.explode(
+            F.array(F.lit(True), F.lit(False), F.lit(None).cast("boolean"))
+        ).alias("v")
+    )
+    pairs = vals.select(F.col("v").alias("a")).crossJoin(
+        F.broadcast(vals.select(F.col("v").alias("b")))
+    )
+
+    def s(col):
+        return (
+            F.when(col.isNull(), "N").when(col, "T").otherwise("F")
+        )
+
+    return pairs.select(
+        s(F.col("a")).alias("a_s"),
+        s(F.col("b")).alias("b_s"),
+        s(F.col("a") & F.col("b")).alias("and_r"),
+        s(F.col("a") | F.col("b")).alias("or_r"),
+        s(~F.col("a")).alias("not_a"),
+        s(F.col("a") == F.col("b")).alias("eq_r"),
+        s(F.col("a").eqNullSafe(F.col("b"))).alias("null_safe_eq_r"),
+        s(F.coalesce(F.col("a"), F.col("b"))).alias("coalesce_r"),
+    ).orderBy("a_s", "b_s")

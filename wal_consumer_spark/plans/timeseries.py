@@ -5179,3 +5179,104 @@ def ts_theil_inequality_decomposition(
         .cast("long")
         .alias("uc_micro"),
     )
+
+
+@register(
+    "ts_sma_crossover_signals",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS TIMESTAMP) AS day,
+               CAST(SUM(CAST(value * 100 AS DECIMAL(18,0))) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1
+    ),
+    w AS (
+        SELECT day,
+               CAST(SUM(cents) OVER (ORDER BY day
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS s3,
+               CAST(COUNT(*) OVER (ORDER BY day
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS c3,
+               CAST(SUM(cents) OVER (ORDER BY day
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS s10,
+               CAST(COUNT(*) OVER (ORDER BY day
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS c10
+        FROM daily
+    ),
+    d AS (
+        SELECT day, 10 * s3 - 3 * s10 AS diff,
+               lag(10 * s3 - 3 * s10) OVER (ORDER BY day) AS prev_diff
+        FROM w WHERE c3 = 3 AND c10 = 10
+    )
+    SELECT CAST(CAST(day AS DATE) AS VARCHAR) AS day,
+           CASE WHEN diff > 0 THEN 'golden' ELSE 'death' END AS direction,
+           diff AS diff_scaled
+    FROM d
+    WHERE prev_diff IS NOT NULL
+      AND ((prev_diff < 0 AND diff > 0) OR (prev_diff > 0 AND diff < 0))
+    ORDER BY day
+    """,
+    doc="Moving-average crossover signals on daily revenue: days where "
+        "the fast (3-day) SMA crosses the slow (10-day) SMA ('golden' "
+        "up-cross / 'death' down-cross) — the canonical trend-turn "
+        "detector of technical analysis and ops dashboards, "
+        "complementing ts_changepoint_cusum (level shifts) with "
+        "direction-of-trend events (window lengths sized to the "
+        "30-day testdata span; the algebra is length-generic). "
+        "ENTIRELY INTEGER: sign(SMA3 - SMA10) = sign(10*sum3 - "
+        "3*sum10) because the window lengths are constants (x30 both "
+        "sides clears the denominators), so no floating average is "
+        "ever formed and both engines compare the identical BIGINT; "
+        "both windows require their FULL history (COUNT = 3/10) so "
+        "warm-up days can't emit phantom crossings. Plan: one (day) "
+        "aggregate then three frames on the bounded day grid. Reference "
+        "parity: extension surface (SURVEY.md §2.B time-series rows).",
+)
+def ts_sma_crossover_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date("ts").cast("timestamp").alias("day")
+    ).agg(
+        F.sum((F.col("value") * 100).cast("decimal(18,0)"))
+        .cast("long")
+        .alias("cents")
+    )
+    w3 = Window.orderBy("day").rowsBetween(-2, 0)
+    w10 = Window.orderBy("day").rowsBetween(-9, 0)
+    w = daily.select(
+        "day",
+        F.sum("cents").over(w3).cast("long").alias("s3"),
+        F.count(F.lit(1)).over(w3).cast("long").alias("c3"),
+        F.sum("cents").over(w10).cast("long").alias("s10"),
+        F.count(F.lit(1)).over(w10).cast("long").alias("c10"),
+    )
+    diff = (10 * F.col("s3") - 3 * F.col("s10")).alias("diff")
+    d = (
+        w.where((F.col("c3") == 3) & (F.col("c10") == 10))
+        .select("day", diff)
+        .select(
+            "day",
+            "diff",
+            F.lag("diff").over(Window.orderBy("day")).alias("prev_diff"),
+        )
+    )
+    return (
+        d.where(
+            F.col("prev_diff").isNotNull()
+            & (
+                ((F.col("prev_diff") < 0) & (F.col("diff") > 0))
+                | ((F.col("prev_diff") > 0) & (F.col("diff") < 0))
+            )
+        )
+        .select(
+            F.col("day").cast("date").cast("string").alias("day"),
+            F.when(F.col("diff") > 0, "golden").otherwise("death").alias(
+                "direction"
+            ),
+            F.col("diff").alias("diff_scaled"),
+        )
+        .orderBy("day")
+    )
