@@ -192,6 +192,28 @@ PINNED: dict[str, dict[str, int]] = {
     "graph_landmark_distance_profile": {
         "Aggregate": 1, "Union": 1, "Project": 5, "LogicalRDD": 5,
     },
+    # r11 Bradley-Terry (in-suite 2.3s pre-fix): the duel scan + rank
+    # window run ONCE and land in the eagerly checkpointed `wins` frame;
+    # every downstream pair/type table re-reads that tiny LogicalRDD (11
+    # leaves), so ZERO Window/LogicalRelation nodes may appear in the
+    # RESULT plan — a Window here means the events scan re-expanded per
+    # consumer (the 48-Aggregate/11-scan shape this pin was added to
+    # prevent; bench_one post-fix: 2.66 s raw at probe 0.501 ~= 1.1
+    # normalized).
+    "ml_bradley_terry_one_step": {
+        "Sort": 1, "Project": 17, "Join": 6, "Aggregate": 15,
+        "Union": 4, "Filter": 11, "LogicalRDD": 11,
+    },
+    # r11 wedge closure (in-suite 3.1s): triangles enumerate once on the
+    # degree-oriented wedges over the SHARED checkpointed support-2 edge
+    # frame (17 cheap LogicalRDD re-reads of block-manager state, the
+    # clustering-coefficient shape); one Generate = the 3-vertex credit
+    # explode. A second Generate or a Join count above 9 means the
+    # orientation started re-deriving degrees per consumer.
+    "graph_wedge_closure_by_degree": {
+        "Sort": 1, "Aggregate": 9, "Project": 23, "Join": 9,
+        "Filter": 1, "Union": 7, "LogicalRDD": 17, "Generate": 1,
+    },
 }
 
 

@@ -12837,9 +12837,15 @@ def ml_bradley_terry_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("loser").isNotNull())
     )
+    # wins is the FIRST aggregate boundary after the row-scaled scan +
+    # window: every downstream frame (pair/games/wtot/s1/opp/terms — six
+    # consumers) is bounded by the event-type domain, so materializing
+    # here collapses what would otherwise be 11 re-expansions of the
+    # events scan into ONE (the repo's multi-consumer edge-frame rule;
+    # fingerprint-pinned in tests/test_plan_fingerprints.py)
     wins = duel.groupBy("winner", "loser").agg(
         F.count(F.lit(1)).cast("long").alias("nw")
-    )
+    ).localCheckpoint(eager=True)
     pair = (
         wins.select(
             F.least("winner", "loser").alias("a"),
