@@ -46,7 +46,19 @@ IS merged):
   canonical ts, so a key emits exactly once iff its EARLIEST-batch
   arrival was non-late: a post-eviction re-arrival carries the evicted
   ts and is therefore itself late (watermark monotonicity), never
-  re-emitted.
+  re-emitted;
+- session windows (probed by test_probe_session_window_semantics):
+  each input row's OWN prospective window [ts, ts+gap) is the late
+  unit — the row is dropped iff ts+gap <= W_i, even when an open
+  session it would have extended still exists; surviving rows merge
+  with open state sessions (incl. across restarts) on interval
+  OVERLAP; a session evicted at end <= W never re-opens, so a later
+  non-late overlapping row starts a NEW session (the output may hold
+  overlapping per-key sessions across emissions — correct, and the
+  oracle reproduces it by simulating batch-by-batch). The session arm
+  uses its own parity triple (even ts, ODD 601 s gap, even 1800 s
+  delay) so session ends collide with neither event times (no
+  merge-adjacency ambiguity) nor watermark values.
 """
 
 from __future__ import annotations
@@ -110,7 +122,11 @@ def _gen_dedup_events(rng: random.Random):
     return events
 
 
-def _watermarks(events_ts_by_batch: dict[int, list[datetime]], n_runs: int):
+def _watermarks(
+    events_ts_by_batch: dict[int, list[datetime]],
+    n_runs: int,
+    delay_sec: int = DELAY_SEC,
+):
     """W_i for each run i (the checkpoint-restored watermark the i-th run
     starts with): max event ts over all prior batches minus the delay."""
     wms = []
@@ -118,7 +134,7 @@ def _watermarks(events_ts_by_batch: dict[int, list[datetime]], n_runs: int):
     for i in range(n_runs):
         wms.append(
             None if seen_max is None
-            else seen_max - timedelta(seconds=DELAY_SEC)
+            else seen_max - timedelta(seconds=delay_sec)
         )
         for t in events_ts_by_batch.get(i, []):
             if seen_max is None or t > seen_max:
@@ -372,3 +388,197 @@ def test_probe_late_filter_is_window_end(spark, tmp_path):
         f"late-but-open-window row was not merged: {got} — the oracle's "
         "window.end<=W late predicate no longer matches this Spark version"
     )
+
+
+# --------------------------------------------------------------------------
+# Session windows: the merging-window stateful operator, fuzzed under the
+# same composite-stream + restart-per-batch harness. Parity triple: even
+# event seconds, ODD 601 s gap (session ends collide with no event time —
+# merge adjacency can never be an equality case), even 1800 s delay
+# (watermark values collide with no odd session end).
+
+SESSION_GAP_SEC = 601
+SESSION_DELAY_SEC = 1800
+
+
+def test_probe_session_window_semantics(spark, tmp_path):
+    """Pins the oracle's session-window semantics on this Spark version:
+
+    - a restart-delivered row whose OWN window [ts, ts+gap) has
+      end <= W is dropped, even as a replay of an already-emitted
+      session (no re-open, no double count);
+    - a row with ts < W but ts+gap > W is KEPT (per-row window-end
+      late predicate, like the tumbling probe);
+    - an open session extends across a restart (state-restore merge).
+    """
+    src = str(tmp_path / "s")
+    out = str(tmp_path / "o")
+    ckpt = str(tmp_path / "c")
+
+    def run():
+        s = (
+            spark.readStream.schema("k LONG, ts TIMESTAMP")
+            .parquet(src)
+            .withWatermark("ts", "0 seconds")
+            .groupBy(F.session_window("ts", "10 minutes"), "k")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "k",
+                F.col("session_window.start").alias("ws"),
+                F.col("session_window.end").alias("we"),
+                "n",
+            )
+        )
+        q = (
+            s.writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    def write(rows):
+        df = spark.createDataFrame(rows, "k LONG, ts STRING")
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    # run 1: key1 session [00:00, 00:10); key5 open session at 00:28;
+    # watermark advances to 00:30
+    write([
+        (1, "2024-01-01 00:00:00"),
+        (5, "2024-01-01 00:28:00"),
+        (9, "2024-01-01 00:30:00"),
+    ])
+    run()
+    # run 2 (restart, W = 00:30):
+    #  - key1 replay at 00:05 -> own window end 00:15 <= W: DROPPED
+    #  - key2 new at 00:25 -> end 00:35 > W: KEPT despite ts < W
+    #  - key5 at 00:33 -> merges the restored open session [00:28, 00:38)
+    write([
+        (1, "2024-01-01 00:05:00"),
+        (2, "2024-01-01 00:25:00"),
+        (5, "2024-01-01 00:33:00"),
+    ])
+    run()
+    # run 3: close everything
+    write([(4, "2024-01-01 03:00:00")])
+    run()
+
+    got = sorted(
+        (r.k, r.ws.isoformat(), r.we.isoformat(), r.n)
+        for r in spark.read.parquet(out).collect()
+        if r.k != 4
+    )
+    assert got == [
+        (1, "2024-01-01T00:00:00", "2024-01-01T00:10:00", 1),
+        (2, "2024-01-01T00:25:00", "2024-01-01T00:35:00", 1),
+        (5, "2024-01-01T00:28:00", "2024-01-01T00:43:00", 2),
+        (9, "2024-01-01T00:30:00", "2024-01-01T00:40:00", 1),
+    ], f"session semantics moved under the oracle: {got}"
+
+
+def test_session_window_fuzz_100_cases(spark, tmp_path):
+    rng = random.Random(SEED + 2)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    gap = timedelta(seconds=SESSION_GAP_SEC)
+
+    events = _gen_window_events(rng)
+    by_batch: dict[int, list] = {}
+    for b, case, ts in events:
+        by_batch.setdefault(b, []).append((case, ts))
+
+    def build():
+        stream = (
+            spark.readStream.schema("case_id LONG, ts TIMESTAMP")
+            .parquet(src)
+            .withWatermark("ts", f"{SESSION_DELAY_SEC} seconds")
+            .groupBy(
+                "case_id",
+                F.session_window("ts", f"{SESSION_GAP_SEC} seconds"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "case_id",
+                F.col("session_window.start").alias("ws"),
+                F.col("session_window.end").alias("we"),
+                "n",
+            )
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+        )
+
+    flush1 = BASE + timedelta(days=10)
+    flush2 = BASE + timedelta(days=20)
+    ts_by_batch = {
+        i: [ts for _, ts in by_batch.get(i, [])] for i in range(N_BATCHES)
+    }
+    ts_by_batch[N_BATCHES] = [flush1]
+    ts_by_batch[N_BATCHES + 1] = [flush2]
+    n_runs = N_BATCHES + 2
+    wms = _watermarks(ts_by_batch, n_runs + 1, delay_sec=SESSION_DELAY_SEC)
+
+    for i in range(n_runs):
+        if i < N_BATCHES:
+            rows = list(by_batch.get(i, []))
+        else:
+            rows = [(-1, flush1 if i == N_BATCHES else flush2)]
+        df = spark.createDataFrame(rows, "case_id LONG, ts TIMESTAMP")
+        df.coalesce(1).write.mode("append").parquet(src)
+        _run_stream(spark, build, ckpt)
+
+    # ---- batch-by-batch oracle (probed semantics; module docstring) ----
+    state: dict[int, list[list]] = {}
+    emitted: list[tuple] = []
+    n_late = 0
+    for i in range(n_runs):
+        w = wms[i]
+        if i < N_BATCHES:
+            rows = list(by_batch.get(i, []))
+        else:
+            rows = [(-1, flush1 if i == N_BATCHES else flush2)]
+        for case, ts in rows:
+            if w is not None and ts + gap <= w:
+                n_late += 1
+                continue
+            sessions = state.setdefault(case, [])
+            cur = [ts, ts + gap, 1]
+            merged = True
+            while merged:
+                merged = False
+                for s in sessions:
+                    if s[0] < cur[1] and cur[0] < s[1]:  # overlap
+                        cur = [
+                            min(s[0], cur[0]),
+                            max(s[1], cur[1]),
+                            s[2] + cur[2],
+                        ]
+                        sessions.remove(s)
+                        merged = True
+                        break
+            sessions.append(cur)
+        w2 = wms[i + 1]
+        for case, sessions in state.items():
+            for s in list(sessions):
+                if s[1] <= w2:
+                    emitted.append((case, s[0], s[1], s[2]))
+                    sessions.remove(s)
+
+    exp = sorted(
+        (c, ws.isoformat(), we.isoformat(), n)
+        for c, ws, we, n in emitted
+        if c >= 0
+    )
+    got = sorted(
+        (r.case_id, r.ws.isoformat(), r.we.isoformat(), r.n)
+        for r in spark.read.parquet(out).collect()
+        if r.case_id >= 0
+    )
+    assert got == exp
+    # coverage: lateness and merging must both actually occur
+    assert n_late >= 20, f"fuzz generated only {n_late} late rows"
+    assert any(n >= 2 for _, _, _, n in exp), "no session ever merged"
