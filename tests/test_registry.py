@@ -155,46 +155,44 @@ def test_oracle_less_specs_sort_last():
 #: analytics_gini_coefficient re-pin; round-9's size-gated joins; round
 #: 10's sim_knn_label_purity post-f1c05c8 re-pin). A name here may sit
 #: in DRIVER_WINDOW even though an earlier round already certified it.
-#: Round 11: the hand-audits of prior rounds are MECHANIZED in
-#: tools/stale_audit.py (tests/test_stale_certification.py enforces
-#: that every flagged name is re-pinned here or reason-scope-waived):
-#: these 30 names' dependency closures changed after the commits of
-#: their latest green rows — 23 genuine function/helper changes, 7 from
-#: the r01 load_table group (VERDICT r10 "Next round" #2).
+#: Round 12: the 31 load_table-only names waived in round 11
+#: (tests/test_stale_certification.py::WAIVED_LOAD_TABLE_ONLY as of
+#: commit 7c84b9f) are re-pinned per VERDICT r11 "Next round" #1 —
+#: their r01 green rows predate load_table's round-2 UTC/NTZ
+#: normalization. Certifying them empties the waiver list for good.
 _REPIN_ALLOWLIST: frozenset[str] = frozenset(
     {
-        # function/dependency-closure changed post-certification (23)
-        "analytics_rfm_segments",
-        "dedup_clusters_cc",
-        "dedup_containment_pairs",
-        "dedup_lsh_eval",
-        "dedup_ngram_jaccard",
-        "dq_sequence_gap_audit",
-        "graph_connected_components",
-        "graph_copurchase_degree",
-        "graph_degree_assortativity",
-        "graph_jaccard_neighbors",
-        "graph_kcore_peel",
-        "graph_label_propagation",
-        "graph_pagerank",
-        "ml_feature_scaling",
-        "ml_matthews_corrcoef",
-        "pipeline_cluster_representative",
-        "sim_doc_cosine_sparse",
-        "text_bigram_logprob",
-        "text_keyword_rake",
-        "text_source_divergence",
-        "text_tfidf_topk",
-        "text_unigram_logprob",
-        "win_islands",
-        # r01 rows predating load_table's round-2 UTC/NTZ change (7)
-        "asof_join_forward_events_orders",
-        "agg_count_distinct",
-        "q3_top_revenue",
-        "tpch_q7_volume_shipping",
-        "tpch_q9_product_profit",
-        "tpch_q18_large_volume_customer",
-        "tpch_q21_waiting_supplier",
+        "agg_collect_sorted",
+        "agg_cube",
+        "agg_grouping_sets",
+        "dedup_keep_first",
+        "distinct_projection",
+        "join_cross",
+        "join_full_outer",
+        "join_left_anti",
+        "join_left_outer",
+        "join_left_semi",
+        "join_range_band",
+        "join_right_outer",
+        "join_theta_nonequi",
+        "set_except",
+        "set_intersect",
+        "set_union_all",
+        "sort_multi_nulls",
+        "tpch_q2_min_cost_part",
+        "tpch_q4_order_priority",
+        "tpch_q6_forecast_revenue",
+        "tpch_q8_market_share",
+        "tpch_q10_returned_items",
+        "tpch_q11_important_stock",
+        "tpch_q12_priority_shipping",
+        "tpch_q13_customer_distribution",
+        "tpch_q14_promo_effect",
+        "tpch_q15_top_supplier",
+        "tpch_q16_supplier_part_cnt",
+        "tpch_q19_discounted_revenue",
+        "tpch_q20_part_suppliers",
+        "tpch_q22_global_sales_opportunity",
     }
 )
 

@@ -38,44 +38,13 @@ import stale_audit  # noqa: E402
 
 from wal_consumer_spark.plans.registry import DRIVER_WINDOW  # noqa: E402
 
-#: Names whose ONLY stale reason is the round-2 load_table change; queued
-#: for round-12 re-pin (the round-11 window's 30 fill slots took the 23
-#: genuine function-change names + the events reader + 6 headliners).
-WAIVED_LOAD_TABLE_ONLY: frozenset[str] = frozenset(
-    {
-        "agg_collect_sorted",
-        "agg_cube",
-        "agg_grouping_sets",
-        "dedup_keep_first",
-        "distinct_projection",
-        "join_cross",
-        "join_full_outer",
-        "join_left_anti",
-        "join_left_outer",
-        "join_left_semi",
-        "join_range_band",
-        "join_right_outer",
-        "join_theta_nonequi",
-        "set_except",
-        "set_intersect",
-        "set_union_all",
-        "sort_multi_nulls",
-        "tpch_q2_min_cost_part",
-        "tpch_q4_order_priority",
-        "tpch_q6_forecast_revenue",
-        "tpch_q8_market_share",
-        "tpch_q10_returned_items",
-        "tpch_q11_important_stock",
-        "tpch_q12_priority_shipping",
-        "tpch_q13_customer_distribution",
-        "tpch_q14_promo_effect",
-        "tpch_q15_top_supplier",
-        "tpch_q16_supplier_part_cnt",
-        "tpch_q19_discounted_revenue",
-        "tpch_q20_part_suppliers",
-        "tpch_q22_global_sales_opportunity",
-    }
-)
+#: Round 12: EMPTY. The 31 load_table-only names waived in round 11 are
+#: all re-pinned in the round-12 DRIVER_WINDOW (VERDICT r11 "Next round"
+#: #1) — once CORRECTNESS_r12 lands, every certification in the book is
+#: audit-clean with zero waivers. Keep the mechanism (reason-scoped
+#: set + the tests below) for any future shared-helper change that
+#: flags more names than a window can hold.
+WAIVED_LOAD_TABLE_ONLY: frozenset[str] = frozenset()
 
 _LOAD_TABLE_REASON = "wal_consumer_spark.sources.tables.load_table"
 

@@ -44,93 +44,20 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: oracle sorts last so it can never burn a window slot on a rows-only
 #: check.
 #:
-#: Round 11 rotates ALL 50 slots a ninth time, per round-10 VERDICT
-#: "Next round" #1/#2: CORRECTNESS_r10 certified the round-10 window
-#: 50/50 green (cumulative 485/485 at rotation time), so this window
-#: holds the 20 round-10 staged additions (old NEXT_WINDOW,
-#: name-for-name) plus 30 fills chosen by the MECHANIZED
-#: stale-certification audit (tools/stale_audit.py, enforced by
-#: tests/test_stale_certification.py): every certified name whose
-#: implementing function or dependency closure changed after the
-#: commit of its latest green driver row is stale — its green row
-#: describes dead code. The audit flagged 61 names; the 30 fills are
-#: the 23 with genuine post-certification function/helper changes
-#: (graph incidence-helper refactors, maybe_broadcast adoption, the
-#: round-11 ml_matthews_corrcoef ADVICE fix, ...), plus
-#: asof_join_forward_events_orders (the one events-table reader whose
-#: r01 row predates load_table's NTZ-timestamp normalization), plus 6
-#: headline-bench names from the 38-name load_table-only group; the
-#: remaining 31 load_table-only names carry a reason-scoped waiver in
-#: tests/test_stale_certification.py and are queued for the round-12
-#: window's free slots.
+#: Round 12 rotates ALL 50 slots a tenth time, per round-11 VERDICT
+#: "Next round" #1: CORRECTNESS_r11 certified the round-11 window
+#: 50/50 green (cumulative 505/505 at rotation time — every query
+#: registered when the round-11 window froze has a committed green
+#: row), so this window holds the 19 round-11 staged additions (old
+#: NEXT_WINDOW, name-for-name) plus the 31 load_table-only names whose
+#: reason-scoped stale-certification waivers (round-11
+#: tests/test_stale_certification.py::WAIVED_LOAD_TABLE_ONLY) promised
+#: them these slots: their r01 green rows predate load_table's round-2
+#: UTC-pin + events-NTZ normalization. Certifying all 50 closes driver
+#: coverage at 524/524 registered names AND empties the waiver list —
+#: a permanently clean stale-audit book.
 DRIVER_WINDOW: list[str] = [
-    # --- round-10 staged additions (old NEXT_WINDOW, 20) ---
-    "text_yule_k_by_source",
-    "ml_tjur_r2_discrimination",
-    "analytics_sample_ratio_mismatch",
-    "ts_permutation_entropy",
-    "ts_kpss_level_stat",
-    "ts_dickey_fuller_lag0",
-    "ml_log_loss_forecast",
-    "ml_information_gain_ratio",
-    "ml_ols_influence_cooks_distance",
-    "ts_spectral_entropy",
-    "agg_interquartile_mean",
-    "graph_degree_gini",
-    "analytics_event_burstiness_histogram",
-    "analytics_ratio_metric_delta_var",
-    "multimodal_payload_byte_entropy",
-    "dq_content_checksum_by_day",
-    "sql_front_rollup",
-    "scalar_try_funcs",
-    "pipeline_snapshot_novelty_rate",
-    "ts_seasonal_mann_kendall",
-    # --- stale-audit re-pins: function/dependency-closure changed after
-    # --- the latest green row's commit (23) ---
-    "analytics_rfm_segments",
-    "dedup_clusters_cc",
-    "dedup_containment_pairs",
-    "dedup_lsh_eval",
-    "dedup_ngram_jaccard",
-    "dq_sequence_gap_audit",
-    "graph_connected_components",
-    "graph_copurchase_degree",
-    "graph_degree_assortativity",
-    "graph_jaccard_neighbors",
-    "graph_kcore_peel",
-    "graph_label_propagation",
-    "graph_pagerank",
-    "ml_feature_scaling",
-    "ml_matthews_corrcoef",
-    "pipeline_cluster_representative",
-    "sim_doc_cosine_sparse",
-    "text_bigram_logprob",
-    "text_keyword_rake",
-    "text_source_divergence",
-    "text_tfidf_topk",
-    "text_unigram_logprob",
-    "win_islands",
-    # --- stale-audit re-pins: r01 rows predating load_table's round-2
-    # --- UTC-pin + events-NTZ normalization (7 of 38; the events reader
-    # --- first, then headline-bench names; the other 31 are waived with
-    # --- reason-scoping and queued for round 12) ---
-    "asof_join_forward_events_orders",
-    "agg_count_distinct",
-    "q3_top_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q9_product_profit",
-    "tpch_q18_large_volume_customer",
-    "tpch_q21_waiting_supplier",
-]
-
-#: ROUND-12 STAGING — every operator registered during round 11 AFTER
-#: the rotation above froze the 50-slot window lands here IN THE SAME
-#: COMMIT that registers it, so the partition test enforces staging at
-#: authoring time. Green rows for the window above close the
-#: pre-round-11 book at 505/505; names staged here certify in round 12
-#: alongside the 31 waived load_table-only re-pins.
-NEXT_WINDOW: list[str] = [
-    # --- round-11 session additions (certify in round 12) ---
+    # --- round-11 staged additions (old NEXT_WINDOW, 19) ---
     "agg_hdr_histogram_quantiles",
     "ml_bradley_terry_one_step",
     "analytics_james_stein_shrinkage",
@@ -150,11 +77,51 @@ NEXT_WINDOW: list[str] = [
     "pipeline_length_quality_selection_bias",
     "ml_residual_qq_deciles",
     "win_time_weighted_average",
+    # --- stale-audit re-pins: the 31 formerly-waived load_table-only
+    # --- names (r01 rows predating the round-2 UTC/NTZ normalization;
+    # --- VERDICT r11 "Next round" #1 — re-pinning these empties
+    # --- WAIVED_LOAD_TABLE_ONLY) ---
+    "agg_collect_sorted",
+    "agg_cube",
+    "agg_grouping_sets",
+    "dedup_keep_first",
+    "distinct_projection",
+    "join_cross",
+    "join_full_outer",
+    "join_left_anti",
+    "join_left_outer",
+    "join_left_semi",
+    "join_range_band",
+    "join_right_outer",
+    "join_theta_nonequi",
+    "set_except",
+    "set_intersect",
+    "set_union_all",
+    "sort_multi_nulls",
+    "tpch_q2_min_cost_part",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_shipping",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_cnt",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_part_suppliers",
+    "tpch_q22_global_sales_opportunity",
 ]
-#: NB round-12 window arithmetic: these 19 staged names + the 31
-#: reason-scope-waived load_table re-pins (tests/
-#: test_stale_certification.py::WAIVED_LOAD_TABLE_ONLY) fill the
-#: round-12 DRIVER_WINDOW to exactly 50.
+
+#: ROUND-13 STAGING — every operator registered during round 12 AFTER
+#: the rotation above froze the 50-slot window lands here IN THE SAME
+#: COMMIT that registers it, so the partition test enforces staging at
+#: authoring time. Green rows for the window above close the book at
+#: 524/524 with an empty waiver list; names staged here certify in
+#: round 13. NB the round-12 window has zero slack (19 staged + 31
+#: re-pins = 50), so EVERY round-12 session addition stages here.
+NEXT_WINDOW: list[str] = []
 
 #: Overflow staging for additions beyond a single round-10 window.
 FUTURE_WINDOW: list[str] = []
