@@ -57,10 +57,13 @@ def test_hdr_histogram_python_oracle(spark):
 
 
 def test_hdr_bucketing_is_exact_and_monotone():
+    # sorted probes + carried prev make the invariant real (ADVICE r11:
+    # the earlier form never updated prev, so the assert was vacuous)
     prev = -1
-    for v in [16, 17, 31, 32, 100, 999, 2**20, 2**40 - 1]:
+    for v in sorted([16, 17, 31, 32, 100, 999, 2**20, 2**40 - 1]):
         b = _hdr_bucket(v)
-        assert b >= prev or v < 32  # monotone in v within increasing vs
+        assert b >= prev  # bucket index is monotone in v
+        prev = b
     # bucket boundaries: lo(b) <= v < lo(b)+w for every probe value
     for v in [16, 90000, 123456, 10**9, 2**45 + 12345]:
         b = _hdr_bucket(v)
@@ -199,13 +202,8 @@ def test_wedge_closure_python_oracle(spark):
     for a, b in edges:
         adj[a].add(b)
         adj[b].add(a)
-    tri: Counter = Counter()
-    for a, b in edges:
-        common = adj[a] & adj[b]
-        for c in common:
-            tri[a] += 1  # each triangle counted once per incident edge pair?
     # count triangles per node exactly: enumerate each triangle once
-    tri = Counter()
+    tri: Counter = Counter()
     for a, b in edges:
         for c in adj[a] & adj[b]:
             if c > b:  # a<b<c triangle enumerated once (edges store a<b)

@@ -149,6 +149,57 @@ def test_snapshot_reference_extraction_reaches_imports_and_locals():
     )
 
 
+_SRC_LOCAL_IMPORT = '''
+def query_r(spark, sf_dir):
+    from wal_consumer_spark.operators.selection import exact_rank_selection
+    import wal_consumer_spark.operators.sketch as sk
+    import wal_consumer_spark.operators.dedup
+    return (
+        exact_rank_selection(spark)
+        + sk.cms_depth(sf_dir)
+        + wal_consumer_spark.operators.dedup.minhash_signatures(spark)
+    )
+'''
+
+
+def test_function_local_imports_enter_the_snapshot():
+    """ADVICE r11 (medium): imports INSIDE a def — the dominant plan
+    style (`from …operators.selection import exact_rank_selection` in
+    agg_hdr_histogram_quantiles) — must populate imported_names /
+    module_aliases, including dotted `import pkg.mod` bindings, or the
+    closure silently truncates and the audit under-flags."""
+    s = stale_audit.ModuleSnapshot(_SRC_LOCAL_IMPORT)
+    assert s.imported_names["exact_rank_selection"] == (
+        "wal_consumer_spark.operators.selection",
+        "exact_rank_selection",
+    )
+    assert s.module_aliases["sk"] == "wal_consumer_spark.operators.sketch"
+    # plain dotted import binds the FULL path, and the reference walker
+    # must record the full attribute chain so closure() can resolve it
+    assert (
+        s.module_aliases["wal_consumer_spark.operators.dedup"]
+        == "wal_consumer_spark.operators.dedup"
+    )
+    assert (
+        "wal_consumer_spark.operators.dedup.minhash_signatures"
+        in s.refs["query_r"]
+    )
+    assert "sk.cms_depth" in s.refs["query_r"]
+
+
+def test_real_closure_reaches_function_local_import():
+    """The live regression from ADVICE r11: agg_hdr_histogram_quantiles
+    imports exact_rank_selection inside the function body; the closure
+    must contain it (it did not before the ast.walk fix)."""
+    members = stale_audit.closure(
+        "wal_consumer_spark.plans.aggregates", "agg_hdr_histogram_quantiles"
+    )
+    assert (
+        "wal_consumer_spark.operators.selection",
+        "exact_rank_selection",
+    ) in members
+
+
 def test_real_closure_includes_transitive_substrate():
     """graph_pagerank's closure at HEAD must reach beyond the function
     itself — the checkpoint constant and load_table are substrate the

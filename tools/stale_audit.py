@@ -133,15 +133,25 @@ class ModuleSnapshot:
         tree = ast.parse(source)
         self.defs: dict[str, str] = {}
         self.refs: dict[str, set[str]] = {}
-        #: alias -> fully qualified first-party module (from imports)
+        #: alias -> fully qualified first-party module (from imports).
+        #: Plain ``import a.b.c`` stores the FULL dotted path as the key
+        #: (references go through ``a.b.c.fn``); ``import a.b.c as m``
+        #: stores ``m``.
         self.module_aliases: dict[str, str] = {}
         #: imported name -> (fully qualified module, original name)
         self.imported_names: dict[str, tuple[str, str]] = {}
-        for node in tree.body:
+        # Imports are collected from the WHOLE tree, not just tree.body:
+        # function-local `from ...operators.x import y` is the dominant
+        # style inside plan functions, and scanning only the module top
+        # level silently truncated closures (ADVICE r11 — the audit
+        # missed exact_rank_selection in agg_interquartile_mean's
+        # closure). Merging per-function imports module-wide can only
+        # over-flag, never under-flag.
+        for node in ast.walk(tree):
             if isinstance(node, ast.Import):
                 for a in node.names:
                     if a.name.startswith(_FIRST_PARTY_PREFIX):
-                        self.module_aliases[a.asname or a.name.split(".")[0]] = a.name
+                        self.module_aliases[a.asname or a.name] = a.name
             elif isinstance(node, ast.ImportFrom):
                 mod = node.module or ""
                 if node.level:  # relative import — resolve lazily by suffix
@@ -149,7 +159,8 @@ class ModuleSnapshot:
                 if mod.startswith(_FIRST_PARTY_PREFIX):
                     for a in node.names:
                         self.imported_names[a.asname or a.name] = (mod, a.name)
-            elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+        for node in tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
                 self._add(node.name, node)
             elif isinstance(node, ast.Assign):
                 for tgt in node.targets:
@@ -163,14 +174,24 @@ class ModuleSnapshot:
             ast.parse(ast.unparse(node)).body[0]
         )
         self.defs[name] = ast.dump(clean)
+        # Attribute chains are flattened to FULL dotted paths so plain
+        # `import a.b.c` references (`a.b.c.fn`) resolve; each inner
+        # Attribute node also yields its own prefix chain (`a.b`,
+        # `a.b.c`), so single-level `alias.attr` keeps working.
+        dotted: set[str] = set()
+        for n in ast.walk(node):
+            if isinstance(n, ast.Attribute):
+                parts = [n.attr]
+                base = n.value
+                while isinstance(base, ast.Attribute):
+                    parts.append(base.attr)
+                    base = base.value
+                if isinstance(base, ast.Name):
+                    parts.append(base.id)
+                    dotted.add(".".join(reversed(parts)))
         self.refs[name] = {
             n.id for n in ast.walk(node) if isinstance(n, ast.Name)
-        } | {
-            # module-attribute references like dedup.minhash_signatures
-            f"{n.value.id}.{n.attr}"
-            for n in ast.walk(node)
-            if isinstance(n, ast.Attribute) and isinstance(n.value, ast.Name)
-        }
+        } | dotted
 
 
 def _module_relpath(qualname: str) -> str | None:
@@ -222,10 +243,34 @@ def closure(qualmod: str, func: str) -> set[tuple[str, str]]:
             continue
         seen.add((mod, name))
         for ref in snap.refs[name]:
-            if "." in ref:  # module alias attribute: alias.attr
-                alias, attr = ref.split(".", 1)
-                if alias in snap.module_aliases:
-                    work.append((snap.module_aliases[alias], attr))
+            if "." in ref:  # module-qualified reference: alias.path.attr
+                head, rest = ref.split(".", 1)
+                target = snap.module_aliases.get(head)
+                if target is None and head in snap.imported_names:
+                    # `from pkg import submod` binds a module under a
+                    # bare name; detect by path existence
+                    src_mod, src_name = snap.imported_names[head]
+                    sub = f"{_resolve_relative(src_mod, mod)}.{src_name}"
+                    if _module_relpath(sub):
+                        target = sub
+                if target is None:
+                    # plain `import a.b.c` binds the full dotted path —
+                    # take the longest alias that prefixes the reference
+                    best = ""
+                    for alias, tgt in snap.module_aliases.items():
+                        if "." in alias and ref.startswith(alias + ".") and len(alias) > len(best):
+                            best, target = alias, tgt
+                    if target is not None:
+                        rest = ref[len(best) + 1 :]
+                if target is not None:
+                    # descend through submodule components so
+                    # `ops.dedup.minhash` lands in (…operators.dedup,
+                    # minhash), not (…operators, dedup)
+                    parts = rest.split(".")
+                    while len(parts) > 1 and _module_relpath(f"{target}.{parts[0]}"):
+                        target = f"{target}.{parts[0]}"
+                        parts = parts[1:]
+                    work.append((target, parts[0]))
                 continue
             if ref in snap.imported_names:
                 src_mod, src_name = snap.imported_names[ref]

@@ -13077,12 +13077,13 @@ def analytics_james_stein_shrinkage(
                              * (1.0 - CAST(b.n_pos AS DOUBLE) / b.n_events)
                              / s.n_per_arm) * 1000000) AS BIGINT)
                AS mde_abs_micro,
+           CASE WHEN b.n_pos = 0 THEN NULL ELSE
            CAST(round(2.801585
                       * sqrt(2.0 * (CAST(b.n_pos AS DOUBLE) / b.n_events)
                              * (1.0 - CAST(b.n_pos AS DOUBLE) / b.n_events)
                              / s.n_per_arm)
                       / (CAST(b.n_pos AS DOUBLE) / b.n_events)
-                      * 1000000) AS BIGINT) AS mde_rel_micro
+                      * 1000000) AS BIGINT) END AS mde_rel_micro
     FROM spine s CROSS JOIN base b
     ORDER BY n_per_arm
     """,
@@ -13136,7 +13137,13 @@ def analytics_ab_mde_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_per_arm").cast("long").alias("n_per_arm"),
             F.round(p, 6).alias("base_rate"),
             F.round(mde * 1_000_000).cast("long").alias("mde_abs_micro"),
-            F.round(mde / p * 1_000_000).cast("long").alias("mde_rel_micro"),
+            # n_pos = 0 → p = 0 → relative MDE is undefined; NULL on
+            # both engines instead of the Inf-cast divergence
+            # (ADVICE r11, r10 degenerate-denominator class)
+            F.when(
+                F.col("n_pos") != 0,
+                F.round(mde / p * 1_000_000).cast("long"),
+            ).alias("mde_rel_micro"),
         )
         .orderBy("n_per_arm")
     )
@@ -13258,16 +13265,18 @@ def graph_wedge_closure_by_degree(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT n,
            CAST(round(1000000.0 * CAST(sy AS DOUBLE) / n) AS BIGINT)
                AS base_rate_micro,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
            CAST(round(1000000.0
                       * (CAST(n * sxy - sx * sy AS DOUBLE)
                          / CAST(n * sxx - sx * sx AS DOUBLE))
-                      * rng) AS BIGINT) AS slope_micro,
+                      * rng) AS BIGINT) END AS slope_micro,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
            CAST(round(1000000.0
                       * (CAST(sy AS DOUBLE) / n
                          - (CAST(n * sxy - sx * sy AS DOUBLE)
                             / CAST(n * sxx - sx * sx AS DOUBLE))
                            * (CAST(sx AS DOUBLE) / n))) AS BIGINT)
-               AS intercept_micro
+               END AS intercept_micro
     FROM mom
     """,
     doc="Linear calibration line (OLS of the binary outcome on the "
@@ -13309,26 +13318,33 @@ def ml_calibration_slope_intercept(
         F.sum(F.col("x").cast(d38) * F.col("y")).cast(d38).alias("sxy"),
         F.max("rng").cast("long").alias("rng"),
     )
+    sxx_var = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     slope_rel = (
         (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        / sxx_var.cast("double")
     )
+
+    # a constant feature (all acctbal equal → rng = 0, n*sxx - sx² = 0)
+    # leaves the OLS slope undefined; NULL on both engines instead of
+    # the 0/0 cast divergence (ADVICE r11, r10 degenerate-denominator
+    # class)
+    def _fit(expr):
+        return F.when(sxx_var != 0, F.round(expr).cast("long"))
+
     return mom.select(
         "n",
         F.round(F.lit(1_000_000.0) * F.col("sy").cast("double") / F.col("n"))
         .cast("long")
         .alias("base_rate_micro"),
-        F.round(F.lit(1_000_000.0) * slope_rel * F.col("rng"))
-        .cast("long")
+        _fit(F.lit(1_000_000.0) * slope_rel * F.col("rng"))
         .alias("slope_micro"),
-        F.round(
+        _fit(
             F.lit(1_000_000.0)
             * (
                 F.col("sy").cast("double") / F.col("n")
                 - slope_rel * (F.col("sx").cast("double") / F.col("n"))
             )
         )
-        .cast("long")
         .alias("intercept_micro"),
     )
 

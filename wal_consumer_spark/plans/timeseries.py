@@ -5084,11 +5084,15 @@ def ts_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n AS n_days,
            round((CAST(sff AS DOUBLE) - 2 * CAST(sfy AS DOUBLE)
                   + CAST(syy AS DOUBLE)) / n, 2) AS mse,
+           CASE WHEN (CAST(sff AS DOUBLE) - 2 * CAST(sfy AS DOUBLE)
+                      + CAST(syy AS DOUBLE)) / n = 0 THEN NULL ELSE
            CAST(round(1000000.0
                 * (CAST(sf AS DOUBLE) / n - CAST(sy AS DOUBLE) / n)
                 * (CAST(sf AS DOUBLE) / n - CAST(sy AS DOUBLE) / n)
                 / ((CAST(sff AS DOUBLE) - 2 * CAST(sfy AS DOUBLE)
-                    + CAST(syy AS DOUBLE)) / n)) AS BIGINT) AS um_micro,
+                    + CAST(syy AS DOUBLE)) / n)) AS BIGINT) END AS um_micro,
+           CASE WHEN (CAST(sff AS DOUBLE) - 2 * CAST(sfy AS DOUBLE)
+                      + CAST(syy AS DOUBLE)) / n = 0 THEN NULL ELSE
            CAST(round(1000000.0
                 * (sqrt(CAST(sff AS DOUBLE) / n
                         - (CAST(sf AS DOUBLE) / n) * (CAST(sf AS DOUBLE) / n))
@@ -5101,7 +5105,9 @@ def ts_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
                           - (CAST(sy AS DOUBLE) / n)
                             * (CAST(sy AS DOUBLE) / n)))
                 / ((CAST(sff AS DOUBLE) - 2 * CAST(sfy AS DOUBLE)
-                    + CAST(syy AS DOUBLE)) / n)) AS BIGINT) AS us_micro,
+                    + CAST(syy AS DOUBLE)) / n)) AS BIGINT) END AS us_micro,
+           CASE WHEN (CAST(sff AS DOUBLE) - 2 * CAST(sfy AS DOUBLE)
+                      + CAST(syy AS DOUBLE)) / n = 0 THEN NULL ELSE
            CAST(round(1000000.0
                 * 2.0
                 * (sqrt(CAST(sff AS DOUBLE) / n
@@ -5112,7 +5118,7 @@ def ts_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
                    - (CAST(sfy AS DOUBLE) / n
                       - (CAST(sf AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)))
                 / ((CAST(sff AS DOUBLE) - 2 * CAST(sfy AS DOUBLE)
-                    + CAST(syy AS DOUBLE)) / n)) AS BIGINT) AS uc_micro
+                    + CAST(syy AS DOUBLE)) / n)) AS BIGINT) END AS uc_micro
     FROM mom
     """,
     doc="Theil inequality decomposition of the seasonal-naive forecast "
@@ -5166,17 +5172,22 @@ def ts_theil_inequality_decomposition(
     sdf = F.sqrt(F.col("sff").cast("double") / n - fbar * fbar)
     sdy = F.sqrt(F.col("syy").cast("double") / n - ybar * ybar)
     cov = F.col("sfy").cast("double") / n - fbar * ybar
+    # mse = 0 (forecast exactly equals actuals, e.g. a perfectly
+    # 7-periodic series) must yield NULL shares, not Inf/NaN — Spark's
+    # non-ANSI double→long cast and DuckDB's CAST(round(inf)) diverge
+    # on the unguarded form (ADVICE r11, same class as the r10
+    # ml_matthews_corrcoef fix)
+    def _share(expr):
+        return F.when(mse != 0, F.round(expr).cast("long"))
+
     return mom.select(
         n.alias("n_days"),
         F.round(mse, 2).alias("mse"),
-        F.round(F.lit(1_000_000.0) * (fbar - ybar) * (fbar - ybar) / mse)
-        .cast("long")
+        _share(F.lit(1_000_000.0) * (fbar - ybar) * (fbar - ybar) / mse)
         .alias("um_micro"),
-        F.round(F.lit(1_000_000.0) * (sdf - sdy) * (sdf - sdy) / mse)
-        .cast("long")
+        _share(F.lit(1_000_000.0) * (sdf - sdy) * (sdf - sdy) / mse)
         .alias("us_micro"),
-        F.round(F.lit(1_000_000.0) * F.lit(2.0) * (sdf * sdy - cov) / mse)
-        .cast("long")
+        _share(F.lit(1_000_000.0) * F.lit(2.0) * (sdf * sdy - cov) / mse)
         .alias("uc_micro"),
     )
 
