@@ -264,6 +264,108 @@ def latest_committed_normalized(
     return None, {}, {}
 
 
+#: Cap on automatic fresh-JVM triage runs per bench session. Flags are
+#: rare (0-2/round for three rounds running); a fleet-wide slowdown that
+#: flags more names than this is a genuine environment event the record
+#: should show as raw flags, not spend an hour isolating one by one.
+ISOLATION_MAX_RUNS = 6
+
+
+def isolate_one(name: str, sf_dir: str, n: int = 5) -> dict | None:
+    """Measure one query in a FRESH JVM that runs nothing else
+    (tools/bench_one.py as a subprocess) and return its JSON record —
+    the same measurement the round-9..11 manual triages ran by hand.
+    None on any failure: isolation is evidence-gathering, never a way
+    to crash the bench."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(here, "tools", "bench_one.py"),
+             name, str(n), sf_dir],
+            capture_output=True, text=True, timeout=1800,
+        )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+    except Exception:
+        pass
+    return None
+
+
+def auto_isolate_flags(
+    tripwire: dict,
+    prev_isolation: dict[str, dict],
+    prev_normalized: dict[str, float],
+    sf_dir: str,
+    threshold: float = TRIPWIRE_RATIO,
+    runner=isolate_one,
+) -> dict[str, dict]:
+    """Mechanized triage of tripwire flags (VERDICT r11 "Next round" #3).
+
+    The <10% probe-spread gate for the calibrated basis never engages on
+    this container (measured host floor ~12-14%, SCALE.md §29), so every
+    round fell back to raw medians and the 1-2 resulting flags were
+    hand-triaged the same way each time: re-measure the query in a fresh
+    JVM (tools/bench_one.py n=5), normalize by THAT JVM's own cpu probe,
+    and compare against the query's previous fresh-JVM value. Both
+    historical spurious flags (stream_window_tumbling r10 at 0.38s raw,
+    multimodal_decode_meta r11 at 0.53s raw) dissolved under exactly this
+    measurement — so the triage now runs automatically for EVERY flagged
+    name (not only an expensive tier; the spurious flags were all cheap
+    queries), capped at ISOLATION_MAX_RUNS.
+
+    Baseline preference per name: the previous round's committed
+    isolation median for the same name (isolation-to-isolation is the
+    cleanest series), else the previous round's in-suite normalized
+    median (conservative: fresh-JVM numbers sit BELOW in-suite numbers,
+    so a noise flag still clears while a real regression still trips).
+    A flag whose isolated normalized median stays within `threshold`x of
+    its baseline moves from `flagged` to `isolated_clear` with the full
+    evidence row; survivors stay flagged with the evidence attached.
+
+    Returns the isolation block for the detail record (name -> evidence)
+    and mutates `tripwire` in place."""
+    isolation: dict[str, dict] = {}
+    flagged = tripwire.get("flagged", {})
+    cleared: dict[str, dict] = {}
+    for name in list(flagged)[:ISOLATION_MAX_RUNS]:
+        rec = runner(name, sf_dir)
+        if rec is None or not rec.get("median"):
+            continue
+        iso_cpu = (rec.get("calibration") or {}).get("cpu_sec")
+        iso_norm = (
+            round(rec["median"] * ANCHOR_CPU_SEC / iso_cpu, 3)
+            if iso_cpu
+            else None
+        )
+        prev_iso = (prev_isolation.get(name) or {}).get("isolated_normalized")
+        if prev_iso:
+            baseline, source = prev_iso, "prev_isolation"
+        else:
+            baseline, source = prev_normalized.get(name), "prev_normalized"
+        row = {
+            "isolated_median": rec["median"],
+            "isolated_samples": rec.get("samples"),
+            "isolated_cpu_sec": iso_cpu,
+            "isolated_normalized": iso_norm,
+            "baseline": baseline,
+            "baseline_source": source,
+        }
+        if iso_norm is not None and baseline and iso_norm <= baseline * threshold:
+            row["verdict"] = "noise (cleared by fresh-JVM isolation)"
+            cleared[name] = {**flagged.pop(name), **row}
+        else:
+            row["verdict"] = "flag stands under isolation"
+            flagged[name].update(row)
+        isolation[name] = row
+    tripwire["isolated_clear"] = cleared
+    tripwire["isolation_runs"] = len(isolation)
+    return isolation
+
+
 def warmup(spark, sf_dir: str) -> None:
     """Untimed steady-state warmup (JMH-style): first-stage costs — parquet
     reader init, whole-stage codegen compilation, shuffle machinery — are
@@ -471,6 +573,21 @@ def main() -> None:
     tripwire["current_round"] = rnd
     tripwire["probe_spread"] = calibration.get("cpu_spread")
 
+    # Automatic fresh-JVM triage of whatever flagged (VERDICT r11 "Next
+    # round" #3): re-measure each flagged name in a JVM that has run
+    # nothing else and clear flags that dissolve there — the manual
+    # procedure of rounds 9-11, now part of the record itself. Reads the
+    # baseline round's isolation block (if any) so the comparison series
+    # is isolation-to-isolation once a name has been isolated before.
+    prev_isolation: dict[str, dict] = {}
+    if prev_file:
+        try:
+            with open(os.path.join(here_dir, prev_file)) as fh:
+                prev_isolation = json.load(fh).get("isolation", {})
+        except (OSError, json.JSONDecodeError):
+            pass
+    isolation = auto_isolate_flags(tripwire, prev_isolation, prev_norm, sf_dir)
+
     # Full methodology record goes to a SIDE FILE, not stdout: the grading
     # driver keeps only the last 2000 chars of stdout, and the round-3
     # record (medians + 43x3 raw samples + method text on one line) outgrew
@@ -512,6 +629,10 @@ def main() -> None:
         # >1.5x normalized growth vs the previous committed round on the
         # comparable-41 basis (empty flagged = no regression signal).
         "tripwire": tripwire,
+        # Fresh-JVM evidence rows for every name the triage isolated this
+        # session (empty when nothing flagged). Next round's triage
+        # baselines against these in preference to in-suite medians.
+        "isolation": isolation,
         # Round-4 isolation of the r2->r3 dedup_minhash_lsh drift
         # (VERDICT r3 "What's wrong" #2), measured with
         # tools/bench_one.py in a JVM that ran NOTHING else (n=5,

@@ -17,8 +17,11 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import (  # noqa: E402
+    ANCHOR_CPU_SEC,
     COMPARABLE_41,
+    ISOLATION_MAX_RUNS,
     TRIPWIRE_RATIO,
+    auto_isolate_flags,
     latest_committed_normalized,
     regression_tripwire,
 )
@@ -109,3 +112,118 @@ def test_r6_false_positives_dissolve_against_true_r5_baseline():
     _, r5, _ = latest_committed_normalized(REPO, before_round=6)
     flagged = regression_tripwire(r6, r5)["flagged"]
     assert flagged == {}, f"true-baseline tripwire should be clean: {flagged}"
+
+
+# ------------------------------------------------- fresh-JVM auto-isolation
+# (VERDICT r11 "Next round" #3: mechanize the manual flag triage)
+
+def _fake_runner(median, cpu=ANCHOR_CPU_SEC):
+    def run(name, sf_dir, n=5):
+        return {
+            "query": name,
+            "median": median,
+            "samples": [median] * 5,
+            "calibration": {"cpu_sec": cpu},
+        }
+    return run
+
+
+def _one_flag(name="multimodal_decode_meta", prev=0.33, now=0.60):
+    return {
+        "threshold_ratio": TRIPWIRE_RATIO,
+        "flagged": {
+            name: {
+                "prev_normalized": prev,
+                "now_normalized": now,
+                "ratio": round(now / prev, 2),
+            }
+        },
+    }
+
+
+def test_noise_flag_clears_under_isolation():
+    """The r11 incident, replayed: in-suite median flags at 1.82x, the
+    fresh-JVM re-measure comes back at the old level -> flag moves to
+    isolated_clear with the evidence row, and the isolation block is
+    recorded for next round's baseline."""
+    tw = _one_flag()
+    iso = auto_isolate_flags(
+        tw, {}, {"multimodal_decode_meta": 0.33}, "sf", runner=_fake_runner(0.33)
+    )
+    assert tw["flagged"] == {}
+    row = tw["isolated_clear"]["multimodal_decode_meta"]
+    assert row["verdict"].startswith("noise")
+    assert row["baseline_source"] == "prev_normalized"
+    assert iso["multimodal_decode_meta"]["isolated_normalized"] == 0.33
+
+
+def test_real_regression_survives_isolation():
+    tw = _one_flag(prev=0.33, now=0.70)
+    auto_isolate_flags(
+        tw, {}, {"multimodal_decode_meta": 0.33}, "sf", runner=_fake_runner(0.70)
+    )
+    assert "multimodal_decode_meta" in tw["flagged"]
+    assert tw["isolated_clear"] == {}
+    assert (
+        tw["flagged"]["multimodal_decode_meta"]["verdict"]
+        == "flag stands under isolation"
+    )
+
+
+def test_isolation_baseline_prefers_prior_isolation_row():
+    """Once a name has a committed isolation median, the series is
+    isolation-to-isolation — the (higher) in-suite normalized median must
+    not serve as the baseline."""
+    tw = _one_flag(prev=0.50, now=0.90)
+    prev_iso = {"multimodal_decode_meta": {"isolated_normalized": 0.32}}
+    auto_isolate_flags(
+        tw, prev_iso, {"multimodal_decode_meta": 0.50}, "sf",
+        runner=_fake_runner(0.33),
+    )
+    row = tw["isolated_clear"]["multimodal_decode_meta"]
+    assert row["baseline_source"] == "prev_isolation"
+    assert row["baseline"] == 0.32
+
+
+def test_isolation_normalizes_by_the_fresh_jvms_own_probe():
+    """A fresh JVM on a 2x-slower host measures 2x the median AND a 2x
+    cpu probe — the normalized value must come out unchanged and clear."""
+    tw = _one_flag()
+    auto_isolate_flags(
+        tw, {}, {"multimodal_decode_meta": 0.33}, "sf",
+        runner=_fake_runner(0.66, cpu=ANCHOR_CPU_SEC * 2),
+    )
+    assert tw["isolated_clear"]["multimodal_decode_meta"][
+        "isolated_normalized"
+    ] == 0.33
+
+
+def test_isolation_failure_leaves_flag_standing():
+    """A crashed bench_one run must never clear a flag."""
+    tw = _one_flag()
+    iso = auto_isolate_flags(
+        tw, {}, {"multimodal_decode_meta": 0.33}, "sf",
+        runner=lambda name, sf_dir, n=5: None,
+    )
+    assert "multimodal_decode_meta" in tw["flagged"]
+    assert iso == {} and tw["isolation_runs"] == 0
+
+
+def test_isolation_run_cap():
+    """A fleet-wide slowdown flagging dozens of names is an environment
+    event — isolate at most ISOLATION_MAX_RUNS, leave the rest as raw
+    flags."""
+    names = COMPARABLE_41[: ISOLATION_MAX_RUNS + 3]
+    tw = {
+        "threshold_ratio": TRIPWIRE_RATIO,
+        "flagged": {
+            n: {"prev_normalized": 1.0, "now_normalized": 2.0, "ratio": 2.0}
+            for n in names
+        },
+    }
+    iso = auto_isolate_flags(
+        tw, {}, {n: 1.0 for n in names}, "sf", runner=_fake_runner(1.0)
+    )
+    assert len(iso) == ISOLATION_MAX_RUNS
+    assert len(tw["isolated_clear"]) == ISOLATION_MAX_RUNS
+    assert len(tw["flagged"]) == 3
