@@ -516,3 +516,204 @@ def test_takeover_soak_lock_handoff_prefix_exact(spark, tmp_path):
     # final state == full oracle, and the clean finisher released the lock
     assert _recovered_state(spark, tgt) == prefixes[TAKEOVER_BATCHES]
     assert not os.path.exists(os.path.join(ckpt, "_wcs_lock"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental-rollup kill soak (VERDICT r11 "Next round" #5): the soaks above
+# certify the bucketed KV target; ParquetRollupTarget's replay/restart story
+# (persisted batch ids in version dir names, _SUCCESS-gated discovery,
+# newest-READABLE-version recovery) was tested only under clean restarts.
+# Same harness: a child process merges batches 0..N-1 through the PRODUCTION
+# merge_batch_into (which must skip already-applied ids on every restart),
+# the parent SIGKILLs the process group at random points — landing anywhere
+# in read/merge/parquet-write — and verifies version-prefix recovery.
+
+N_ROLLUP_BATCHES = 40
+ROLLUP_BATCH_SIZE = 5
+N_ROLLUP_KILLS = 20
+ROLLUP_GROUPS = ["g0", "g1", "g2", "g3", "g4", "g5"]
+
+_ROLLUP_CHILD = """
+import json, os, sys
+sys.path.insert(0, {repo!r})
+
+tgt, log_path, records_path = sys.argv[1:4]
+batch_size = {batch_size}
+
+log = open(log_path, "a")
+def journal(line):
+    log.write(line + chr(10))
+    log.flush()
+    os.fsync(log.fileno())
+
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+from wal_consumer_spark.streaming.incremental import (
+    IncrementalRollup, ParquetRollupTarget, merge_batch_into,
+)
+
+records = json.load(open(records_path))
+rollup = IncrementalRollup(["grp"], "value")
+target = ParquetRollupTarget(spark, tgt)
+n_batches = len(records) // batch_size
+
+# ALWAYS from batch 0: every restart replays the whole stream and the
+# production batch-id guard inside merge_batch_into must skip what the
+# persisted versions already absorbed — the at-least-once contract.
+for i in range(n_batches):
+    rows = records[i * batch_size : (i + 1) * batch_size]
+    batch = spark.createDataFrame(
+        [(g, float(v)) for g, v in rows], "grp STRING, value DOUBLE"
+    )
+    journal("start " + str(i))
+    merge_batch_into(rollup, target, batch, i)
+    journal("committed " + str(i))
+
+spark.stop()
+"""
+
+
+def _rollup_records(n_batches: int) -> list[tuple[str, int]]:
+    """Deterministic integer-valued rows (exact under DECIMAL sums AND
+    python ints, so parent-side oracles compare bit-exactly)."""
+    rows: list[tuple[str, int]] = []
+    step = 0
+    for _ in range(n_batches):
+        for _ in range(ROLLUP_BATCH_SIZE):
+            g = ROLLUP_GROUPS[(step * 7) % len(ROLLUP_GROUPS)]
+            rows.append((g, (step * 13) % 97 - 20))
+            step += 1
+    return rows
+
+
+def _rollup_oracle_prefixes(records) -> list[dict[str, tuple]]:
+    """prefixes[k][grp] = (n, total, mean, lo, hi) after k whole batches,
+    computed with exact integer arithmetic then floated like finish()."""
+    prefixes: list[dict[str, tuple]] = [{}]
+    acc: dict[str, list[int]] = {}
+    for b in range(len(records) // ROLLUP_BATCH_SIZE):
+        for g, v in records[b * ROLLUP_BATCH_SIZE : (b + 1) * ROLLUP_BATCH_SIZE]:
+            if g not in acc:
+                acc[g] = [0, 0, v, v]
+            acc[g][0] += 1
+            acc[g][1] += v
+            acc[g][2] = min(acc[g][2], v)
+            acc[g][3] = max(acc[g][3], v)
+        prefixes.append({
+            g: (n, float(s), float(s) / n, float(lo), float(hi))
+            for g, (n, s, lo, hi) in acc.items()
+        })
+    return prefixes
+
+
+def _recovered_rollup(spark, tgt) -> tuple[int, dict[str, tuple]]:
+    from wal_consumer_spark.streaming.incremental import (
+        IncrementalRollup, ParquetRollupTarget,
+    )
+
+    rollup = IncrementalRollup(["grp"], "value")
+    target = ParquetRollupTarget(spark, tgt)
+    k = target.last_batch_id + 1
+    state = target.read()
+    if state is None:
+        return k, {}
+    return k, {
+        r.grp: (r.n, r.total, r.mean, r.lo, r.hi)
+        for r in rollup.finish(state).collect()
+    }
+
+
+def test_sigkill_rollup_version_prefix_soak(spark, tmp_path):
+    records = _rollup_records(N_ROLLUP_BATCHES)
+    prefixes = _rollup_oracle_prefixes(records)
+    tgt = str(tmp_path / "rollup")
+    log_path = str(tmp_path / "journal.log")
+    records_path = str(tmp_path / "records.json")
+    child_path = str(tmp_path / "child.py")
+    with open(records_path, "w") as f:
+        json.dump(records, f)
+    with open(child_path, "w") as f:
+        f.write(_ROLLUP_CHILD.format(repo=REPO, batch_size=ROLLUP_BATCH_SIZE))
+
+    rng = random.Random(0x5011)
+    env = dict(os.environ)
+    env.pop("PYSPARK_GATEWAY_PORT", None)
+    env.pop("PYSPARK_GATEWAY_SECRET", None)
+
+    def spawn() -> subprocess.Popen:
+        return subprocess.Popen(
+            [sys.executable, child_path, tgt, log_path, records_path],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+            start_new_session=True,
+            env=env,
+        )
+
+    def journal_lines() -> list[str]:
+        try:
+            with open(log_path) as f:
+                return [ln.strip() for ln in f if ln.strip()]
+        except FileNotFoundError:
+            return []
+
+    k = 0
+    kills = 0
+    max_jvm_wait = 120.0
+    while kills < N_ROLLUP_KILLS and k < N_ROLLUP_BATCHES:
+        seen = len(journal_lines())
+        proc = spawn()
+        deadline = time.monotonic() + max_jvm_wait
+        started = False
+        while time.monotonic() < deadline:
+            lines = journal_lines()
+            if len(lines) > seen and lines[-1].startswith("start"):
+                started = True
+                break
+            if proc.poll() is not None:
+                break
+            time.sleep(0.02)
+        if started:
+            time.sleep(rng.uniform(0.0, 0.9))
+        if proc.poll() is None:
+            os.killpg(proc.pid, signal.SIGKILL)
+            kills += 1
+        proc.wait()
+
+        # ---- recovery invariants ----
+        # 1. recovered state is EXACTLY some whole-batch prefix, and the
+        #    prefix length is what the version name claims — a torn merge
+        #    (partial parquet without _SUCCESS) must be invisible
+        k_new, state = _recovered_rollup(spark, tgt)
+        assert state == prefixes[k_new], (
+            f"recovered rollup is not the whole-batch prefix its version "
+            f"name claims after kill {kills}: k={k_new}"
+        )
+        # 2. durability: committed versions never regress
+        assert k_new >= k, f"rollup version regressed {k} -> {k_new}"
+        # 3. journal consistency: an acknowledged merge is never lost
+        committed_lines = [
+            int(ln.split()[1])
+            for ln in journal_lines()
+            if ln.startswith("committed")
+        ]
+        if committed_lines:
+            assert k_new >= max(committed_lines) + 1
+        k = k_new
+
+    assert kills == N_ROLLUP_KILLS, f"only {kills} kill cycles ran"
+
+    # final un-killed replay from batch 0: the id guard must skip the k
+    # persisted batches and drain the rest to the full oracle
+    proc = spawn()
+    assert proc.wait(timeout=600) == 0
+    k_end, state_end = _recovered_rollup(spark, tgt)
+    assert k_end == N_ROLLUP_BATCHES
+    assert state_end == prefixes[N_ROLLUP_BATCHES]
