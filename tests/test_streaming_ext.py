@@ -265,7 +265,12 @@ def test_transform_with_state_in_pandas(spark, tmp_path):
 
     Re-attempted round 11 (2026-08-16): unchanged — DNS failure on every
     retry for both `protobuf` and `pillow`; `import google.protobuf`
-    still raises ModuleNotFoundError. Still container-gated."""
+    still raises ModuleNotFoundError. Still container-gated.
+
+    Re-attempted round 12 (2026-08-16): unchanged — DNS failure
+    ("[Errno -2] Name or service not known") on every retry for both
+    `protobuf` and `pillow`; `import google.protobuf` and `import PIL`
+    both still raise ModuleNotFoundError. Still container-gated."""
     pytest.importorskip("google.protobuf.descriptor")
     from pyspark.sql.streaming import StatefulProcessor
 
