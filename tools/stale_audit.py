@@ -325,9 +325,52 @@ def audit() -> dict[str, list[str]]:
     return flagged
 
 
+def ledger() -> dict[str, dict]:
+    """Per-query certification manifest (VERDICT r11 stretch #8): for
+    every registered query, the round and commit of its latest green
+    driver row plus a digest of its dependency closure AS OF that commit
+    — so a judge or the driver can audit coverage without re-deriving
+    it. Hashing the CERTIFIED snapshot (not the working tree) keeps the
+    ledger stable across edits; divergence between this digest and
+    HEAD's code is exactly what `audit()` flags. Uncertified names
+    (currently staged in the driver window) carry null round/commit and
+    a HEAD-state digest."""
+    import hashlib
+
+    sys.path.insert(0, str(REPO))
+    from wal_consumer_spark.plans import all_specs
+
+    green = latest_green_round()
+    commits = correctness_commits()
+    out: dict[str, dict] = {}
+    for name, spec in all_specs().items():
+        rnd = green.get(name)
+        commit = commits.get(rnd) if rnd is not None else None
+        members = sorted(closure(spec.spark.__module__, name))
+        h = hashlib.sha256()
+        for mod, member in members:
+            rel = _module_relpath(mod)
+            snap = _snapshot(commit, rel) if rel else None
+            dump = (snap.defs.get(member) if snap else None) or ""
+            h.update(f"{mod}.{member}\x00{dump}\x01".encode())
+        out[name] = {
+            "certified_round": rnd,
+            "certified_commit": commit,
+            "n_closure_members": len(members),
+            "closure_sha256_16": h.hexdigest()[:16],
+        }
+    return out
+
+
 def main() -> int:
     sys.path.insert(0, str(REPO))
     from wal_consumer_spark.plans import all_specs
+
+    if "--ledger" in sys.argv:
+        path = REPO / "CERTIFICATION_LEDGER.json"
+        path.write_text(json.dumps(ledger(), indent=1, sort_keys=True) + "\n")
+        print(f"wrote {path}")
+        return 0
 
     flagged = audit()
     print(f"stale: {len(flagged)}")
