@@ -1,0 +1,307 @@
+"""Independent (pure-Python) oracles and behavioral tests for operators
+added in round 12 and staged for round-13 certification — a bug mirrored
+into both engines' shared formulation cannot hide behind the parity gate
+(the round-8..12 test-file pattern)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+
+import pandas as pd
+
+from wal_consumer_spark.plans import all_specs
+
+SF = "/root/testdata/sf0.01"
+
+
+def _daily_cents() -> list[int]:
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    e["d"] = pd.to_datetime(e.ts).dt.date
+    cents = (
+        (e.value * 100).round().astype("int64").groupby(e.d).sum().sort_index()
+    )
+    return [int(v) for v in cents]
+
+
+# ------------------------------------------------------- tracking signal
+def test_tracking_signal_python_oracle(spark):
+    y = _daily_cents()
+    errs = [y[i] - y[i - 7] for i in range(7, len(y))]
+    rows = (
+        all_specs()["ts_tracking_signal_bias"].spark(spark, SF).collect()
+    )
+    assert len(rows) == len(errs)
+    cum = cab = 0
+    for i, r in enumerate(rows):
+        cum += errs[i]
+        cab += abs(errs[i])
+        assert r.cum_err_cents == cum
+        assert r.cum_abs_cents == cab
+        assert r.n == i + 1
+        if cab:
+            assert r.tracking_signal_micro == round(1e6 * cum * (i + 1) / cab)
+
+
+# ----------------------------------------------------- squared-return acf
+def test_squared_return_acf_python_oracle(spark):
+    y = _daily_cents()
+    s = [(y[i] - y[i - 1]) ** 2 for i in range(1, len(y))]
+    out = {
+        r.lag: r
+        for r in all_specs()["ts_squared_return_acf"].spark(spark, SF).collect()
+    }
+    assert sorted(out) == [1, 2, 3, 4, 5]
+    for lag in range(1, 6):
+        xs, ys = s[:-lag], s[lag:]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(v * v for v in xs)
+        syy = sum(v * v for v in ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        r = out[lag]
+        assert r.n_pairs == n
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        if vx and vy:
+            acf = (n * sxy - sx * sy) / math.sqrt(vx * vy)
+            assert abs(r.acf_sq - acf) < 2e-6
+
+
+# ------------------------------------------------------ engle-granger
+def test_engle_granger_python_oracle(spark):
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    e["d"] = pd.to_datetime(e.ts).dt.date
+    e["cents"] = (e.value * 100).round().astype("int64")
+    series = {
+        t: e[e.event_type == t].groupby("d").cents.sum().sort_index()
+        for t in ("purchase", "view")
+    }
+    days = sorted(set(series["purchase"].index) & set(series["view"].index))
+    x = [int(series["purchase"][d]) for d in days]
+    y = [int(series["view"][d]) for d in days]
+    n = len(x)
+    sx, sy = sum(x), sum(y)
+    sxx = sum(v * v for v in x)
+    sxy = sum(a * b for a, b in zip(x, y))
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a = (sy - b * sx) / n
+    resid = [yi - a - b * xi for xi, yi in zip(x, y)]
+    s1 = sum(resid[i - 1] * resid[i] for i in range(1, n))
+    s2 = sum(v * v for v in resid[:-1])
+    s3 = sum(v * v for v in resid[1:])
+    gamma = (s1 - s2) / s2
+    rss = (s3 - 2 * s1 + s2) - (s1 - s2) ** 2 / s2
+    t_stat = gamma / math.sqrt((rss / (n - 2)) / s2)
+    row = (
+        all_specs()["ts_engle_granger_cointegration"]
+        .spark(spark, SF)
+        .collect()[0]
+    )
+    assert row.n_days == n and row.m_pairs == n - 1
+    assert row.beta_micro == round(1e6 * b)
+    # residual-free moment expansion vs direct residual arithmetic:
+    # tiny float divergence allowed, the CLAIM is the same statistic
+    assert abs(row.eg_gamma - gamma) < 1e-6
+    assert abs(row.eg_t_stat - t_stat) < 1e-4
+
+
+# ------------------------------------------------- cochran-armitage trend
+def test_cochran_armitage_python_oracle(spark):
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o["s"] = o.o_orderpriority.str[0].astype(int)
+    g = o.groupby("s").agg(
+        n_i=("o_orderstatus", "size"),
+        r_i=("o_orderstatus", lambda v: int((v == "F").sum())),
+    )
+    n, r = int(g.n_i.sum()), int(g.r_i.sum())
+    a = int((g.index * g.r_i).sum())
+    b = int((g.index * g.n_i).sum())
+    c = int((g.index * g.index * g.n_i).sum())
+    z = (n * a - r * b) * math.sqrt(n) / math.sqrt(
+        r * (n - r) * (n * c - b * b)
+    )
+    row = (
+        all_specs()["ml_cochran_armitage_trend"].spark(spark, SF).collect()[0]
+    )
+    assert row.n_total == n and row.r_total == r
+    assert row.t_num_scaled == n * a - r * b
+    assert abs(row.z_trend - z) < 2e-6
+
+
+# ----------------------------------------------------------- chow break
+def _ssr(x: list[int], y: list[int]) -> float:
+    n = len(x)
+    sx, sy = sum(x), sum(y)
+    sxx = sum(v * v for v in x)
+    sxy = sum(a * b for a, b in zip(x, y))
+    syy = sum(v * v for v in y)
+    return (n * syy - sy * sy) / n - (n * sxy - sx * sy) ** 2 / (
+        n * (n * sxx - sx * sx)
+    )
+
+
+def test_chow_break_python_oracle(spark):
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o["d"] = pd.to_datetime(o.o_orderdate).dt.date
+    daily = (
+        (o.o_totalprice * 100).round().astype("int64").groupby(o.d).sum()
+    ).sort_index()
+    d0 = daily.index.min()
+    xs = [(d - d0).days for d in daily.index]
+    ys = [int(v) for v in daily]
+    mid = max(xs) // 2
+    x1 = [x for x in xs if x <= mid]
+    y1 = [y for x, y in zip(xs, ys) if x <= mid]
+    x2 = [x for x in xs if x > mid]
+    y2 = [y for x, y in zip(xs, ys) if x > mid]
+    ssr1, ssr2, ssrp = _ssr(x1, y1), _ssr(x2, y2), _ssr(xs, ys)
+    f = ((ssrp - ssr1 - ssr2) / 2) / ((ssr1 + ssr2) / (len(xs) - 4))
+    row = all_specs()["ml_chow_break_test"].spark(spark, SF).collect()[0]
+    assert row.n1 == len(x1) and row.n2 == len(x2)
+    assert abs(row.chow_f_stat - f) < 1e-4
+
+
+# --------------------------------------------------------------- lins ccc
+def test_lins_ccc_python_oracle(spark):
+    y = _daily_cents()
+    pairs = [(y[i - 7], y[i]) for i in range(7, len(y))]
+    f = [p[0] for p in pairs]
+    yy = [p[1] for p in pairs]
+    n = len(pairs)
+    sf_, sy_ = sum(f), sum(yy)
+    sff = sum(v * v for v in f)
+    syy = sum(v * v for v in yy)
+    sfy = sum(a * b for a, b in zip(f, yy))
+    num = 2 * (n * sfy - sf_ * sy_)
+    den = (n * sff - sf_ * sf_) + (n * syy - sy_ * sy_) + (sf_ - sy_) ** 2
+    row = all_specs()["ml_lins_ccc"].spark(spark, SF).collect()[0]
+    assert row.n_days == n
+    assert row.ccc_micro == round(1e6 * num / den)
+    # CCC must never exceed |pearson| (Lin's inequality)
+    assert abs(row.ccc_micro) <= abs(row.pearson_micro) + 1
+
+
+# ---------------------------------------------------------------- QTE
+def test_qte_python_oracle(spark):
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o["cents"] = (o.o_totalprice * 100).round().astype("int64")
+    spend = o.groupby("o_custkey").cents.sum()
+    c["v"] = c.c_custkey.map(spend).fillna(0).astype("int64")
+    rows = {
+        r.pct: r
+        for r in all_specs()["analytics_quantile_treatment_effect"]
+        .spark(spark, SF)
+        .collect()
+    }
+    for seg_name, col in (
+        ("treat", "q_treat_cents"),
+        ("control", "q_control_cents"),
+    ):
+        mask = (
+            (c.c_mktsegment == "BUILDING")
+            if seg_name == "treat"
+            else (c.c_mktsegment != "BUILDING")
+        )
+        vals = sorted(c[mask].v)
+        n = len(vals)
+        for k in range(1, 10):
+            rank = (n * k + 9) // 10
+            assert getattr(rows[k * 10], col) == vals[rank - 1], (
+                seg_name,
+                k,
+            )
+    for k in range(1, 10):
+        r = rows[k * 10]
+        assert r.qte_cents == r.q_treat_cents - r.q_control_cents
+
+
+# ------------------------------------------------- eigenvector centrality
+def test_eigenvector_centrality_python_oracle(spark):
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    op = li[["l_orderkey", "l_partkey"]].drop_duplicates()
+    pair_n: Counter = Counter()
+    for _, grp in op.groupby("l_orderkey"):
+        ps = sorted(grp.l_partkey)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_n[(ps[i], ps[j])] += 1
+    edges = {e for e, n in pair_n.items() if n >= 2}
+    adj: defaultdict = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    v1 = {u: len(ns) for u, ns in adj.items()}
+    v2 = {u: sum(v1[w] for w in adj[u]) for u in adj}
+    v3 = {u: sum(v2[w] for w in adj[u]) for u in adj}
+    mx = max(v3.values())
+    top = sorted(v3.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    rows = (
+        all_specs()["graph_eigenvector_centrality"].spark(spark, SF).collect()
+    )
+    assert len(rows) == 20
+    for rnk, (r, (node, w3)) in enumerate(zip(rows, top), start=1):
+        assert r.rnk == rnk
+        assert r.part_node == node
+        assert r.walks_1 == v1[node]
+        assert r.walks_2 == v2[node]
+        assert r.walks_3 == w3
+        assert r.centrality_micro == round(1e6 * w3 / mx)
+
+
+# ------------------------------------------------------ b-bit minhash
+def test_bbit_unbiasing_identity(spark):
+    """The b=1 estimator identity the op prints: est_ppm must equal
+    (2*nb - 32)*1e6 // 32 for every emitted bit-match count, and the
+    abs-error sums must be consistent with n_pairs bounds."""
+    rows = (
+        all_specs()["dedup_bbit_minhash_error"].spark(spark, SF).collect()
+    )
+    assert rows, "candidate pairs must exist at sf0.01"
+    for r in rows:
+        assert 0 <= r.n_match_bits <= 32
+        assert r.est_ppm == (2 * r.n_match_bits - 32) * 1_000_000 // 32
+        assert r.n_pairs > 0
+        assert 0 <= r.sum_abs_err_ppm <= 2_000_000 * r.n_pairs
+        assert r.mean_abs_err_ppm == r.sum_abs_err_ppm // r.n_pairs
+
+
+def test_bbit_more_bits_estimates_higher_jaccard():
+    """Monotonicity of the estimator itself (pure function)."""
+    prev = None
+    for nb in range(0, 33):
+        est = (2 * nb - 32) * 1_000_000 // 32
+        if prev is not None:
+            assert est > prev
+        prev = est
+
+
+# --------------------------------------------- payload refcount dedup
+def test_payload_refcount_python_oracle(spark):
+    d = pd.read_parquet(f"{SF}/documents.parquet")
+    d["kind"] = d.doc_id.mod(3).map({0: "image", 1: "audio", 2: "video"})
+    d["digest"] = d.text.map(
+        lambda t: hashlib.md5(t.encode()).hexdigest()
+    )
+    d["nbytes"] = d.text.map(lambda t: len(t.encode()))
+    rows = {
+        r.kind: r
+        for r in all_specs()["multimodal_duplicate_payload_refcount"]
+        .spark(spark, SF)
+        .collect()
+    }
+    for kind, grp in d.groupby("kind"):
+        per = grp.groupby(["digest", "nbytes"]).size()
+        n_payloads = int(per.sum())
+        n_unique = len(per)
+        saved = int(
+            sum((cnt - 1) * nb for (_, nb), cnt in per.items())
+        )
+        total = int(sum(cnt * nb for (_, nb), cnt in per.items()))
+        r = rows[kind]
+        assert r.n_payloads == n_payloads
+        assert r.n_unique == n_unique
+        assert r.dup_bytes_saved == saved
+        assert r.total_bytes == total
+        assert r.savings_ppm == 1_000_000 * saved // total

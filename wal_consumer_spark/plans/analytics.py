@@ -13792,3 +13792,555 @@ def ml_residual_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pct")
     )
+
+
+@register(
+    "ml_cochran_armitage_trend",
+    oracle="""
+    WITH g AS (
+        SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS s,
+               CAST(COUNT(*) AS HUGEINT) AS n_i,
+               CAST(count_if(o_orderstatus = 'F') AS HUGEINT) AS r_i
+        FROM orders GROUP BY 1
+    ),
+    m AS (
+        SELECT CAST(SUM(n_i) AS HUGEINT) AS n,
+               CAST(SUM(r_i) AS HUGEINT) AS r,
+               CAST(SUM(s * r_i) AS HUGEINT) AS a,
+               CAST(SUM(s * n_i) AS HUGEINT) AS b,
+               CAST(SUM(s * s * n_i) AS HUGEINT) AS c,
+               CAST(COUNT(*) AS BIGINT) AS n_groups
+        FROM g
+    )
+    SELECT n_groups,
+           CAST(n AS BIGINT) AS n_total,
+           CAST(r AS BIGINT) AS r_total,
+           CAST(n * a - r * b AS BIGINT) AS t_num_scaled,
+           CASE WHEN r = 0 OR r = n OR n * c - b * b = 0 THEN NULL ELSE
+           round(CAST(n * a - r * b AS DOUBLE) * sqrt(CAST(n AS DOUBLE))
+                 / sqrt(CAST(r AS DOUBLE) * CAST(n - r AS DOUBLE)
+                        * CAST(n * c - b * b AS DOUBLE)), 6)
+           END AS z_trend
+    FROM m
+    """,
+    doc="Cochran-Armitage trend test: is the fulfilled-rate (status 'F') "
+        "monotonically associated with the ORDERED priority tiers "
+        "(scores 1-URGENT..5-LOW)? The standard dose-response test for "
+        "binomial proportions across ordered groups — chi-square "
+        "independence (analytics_chi_square_independence) would spend "
+        "k-1 df ignoring the ordering; CA concentrates power on the "
+        "linear trend. Fully exact until one expression: per-group "
+        "(n_i, r_i) are integer counts, the five score-weighted moments "
+        "are exact HUGEINT/DECIMAL(38,0) sums, the scaled numerator "
+        "N*A - R*B is emitted as an exact integer, and Z = "
+        "(N*A - R*B) * sqrt(N) / sqrt(R(N-R)(N*C - B^2)) is one guarded "
+        "double (degenerate all-success/no-success/constant-score -> "
+        "NULL on both engines). Plan: one map-side 5-group aggregate + "
+        "one 1-row fold — O(scan) at any scale. Reference parity: "
+        "extension surface (SURVEY.md §2.B ML rows).",
+)
+def ml_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d38 = "decimal(38,0)"
+    g = o.groupBy(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("s")
+    ).agg(
+        F.count(F.lit(1)).cast(d38).alias("n_i"),
+        F.count_if(F.col("o_orderstatus") == "F").cast(d38).alias("r_i"),
+    )
+    m = g.agg(
+        F.sum("n_i").cast(d38).alias("n"),
+        F.sum("r_i").cast(d38).alias("r"),
+        F.sum(F.col("s") * F.col("r_i")).cast(d38).alias("a"),
+        F.sum(F.col("s") * F.col("n_i")).cast(d38).alias("b"),
+        F.sum(F.col("s") * F.col("s") * F.col("n_i")).cast(d38).alias("c"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+    )
+    n, r = F.col("n"), F.col("r")
+    t_num = n * F.col("a") - r * F.col("b")
+    var_core = n * F.col("c") - F.col("b") * F.col("b")
+    return m.select(
+        "n_groups",
+        n.cast("long").alias("n_total"),
+        r.cast("long").alias("r_total"),
+        t_num.cast("long").alias("t_num_scaled"),
+        F.when(
+            (r != 0) & (r != n) & (var_core != 0),
+            F.round(
+                t_num.cast("double") * F.sqrt(n.cast("double"))
+                / F.sqrt(
+                    r.cast("double") * (n - r).cast("double")
+                    * var_core.cast("double")
+                ),
+                6,
+            ),
+        ).alias("z_trend"),
+    )
+
+
+@register(
+    "ml_chow_break_test",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS d,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ),
+    t AS (
+        SELECT CAST(datediff('day', (SELECT MIN(d) FROM daily), d)
+                    AS HUGEINT) AS x,
+               CAST(cents AS HUGEINT) AS y,
+               (SELECT CAST(datediff('day', MIN(d), MAX(d)) AS HUGEINT) // 2
+                FROM daily) AS mid
+        FROM daily
+    ),
+    m AS (
+        SELECT CASE WHEN x <= mid THEN 1 ELSE 2 END AS regime,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(x * x) AS HUGEINT) AS sxx,
+               CAST(SUM(x * y) AS HUGEINT) AS sxy,
+               CAST(SUM(y * y) AS HUGEINT) AS syy
+        FROM t GROUP BY 1
+    ),
+    pooled AS (
+        SELECT CAST(SUM(n) AS HUGEINT) AS n, CAST(SUM(sx) AS HUGEINT) AS sx,
+               CAST(SUM(sy) AS HUGEINT) AS sy,
+               CAST(SUM(sxx) AS HUGEINT) AS sxx,
+               CAST(SUM(sxy) AS HUGEINT) AS sxy,
+               CAST(SUM(syy) AS HUGEINT) AS syy
+        FROM m
+    ),
+    ssr AS (
+        SELECT
+            (SELECT CAST(n AS BIGINT) FROM m WHERE regime = 1) AS n1,
+            (SELECT CAST(n AS BIGINT) FROM m WHERE regime = 2) AS n2,
+            (SELECT CAST(n * syy - sy * sy AS DOUBLE) / n
+                    - CAST(n * sxy - sx * sy AS DOUBLE)
+                      * CAST(n * sxy - sx * sy AS DOUBLE)
+                      / (CAST(n AS DOUBLE)
+                         * CAST(n * sxx - sx * sx AS DOUBLE))
+             FROM m WHERE regime = 1) AS ssr1,
+            (SELECT CAST(n * syy - sy * sy AS DOUBLE) / n
+                    - CAST(n * sxy - sx * sy AS DOUBLE)
+                      * CAST(n * sxy - sx * sy AS DOUBLE)
+                      / (CAST(n AS DOUBLE)
+                         * CAST(n * sxx - sx * sx AS DOUBLE))
+             FROM m WHERE regime = 2) AS ssr2,
+            (SELECT CAST(n * syy - sy * sy AS DOUBLE) / n
+                    - CAST(n * sxy - sx * sy AS DOUBLE)
+                      * CAST(n * sxy - sx * sy AS DOUBLE)
+                      / (CAST(n AS DOUBLE)
+                         * CAST(n * sxx - sx * sx AS DOUBLE))
+             FROM pooled) AS ssrp
+    )
+    SELECT n1, n2,
+           round(ssrp / 100.0, 2) AS ssr_pooled_sq_dollars,
+           round((ssr1 + ssr2) / 100.0, 2) AS ssr_split_sq_dollars,
+           CASE WHEN ssr1 + ssr2 <= 0 OR n1 + n2 <= 4 THEN NULL ELSE
+           round(((ssrp - ssr1 - ssr2) / 2)
+                 / ((ssr1 + ssr2) / (n1 + n2 - 4)), 6)
+           END AS chow_f_stat
+    FROM ssr
+    """,
+    doc="Chow structural-break test on the daily-revenue time trend: fit "
+        "OLS revenue ~ day on the full span, then separately on the two "
+        "halves (break at the midpoint day), and test whether the split "
+        "fits significantly beat the pooled fit — F = ((SSR_p - SSR_1 - "
+        "SSR_2)/k) / ((SSR_1+SSR_2)/(n1+n2-2k)), k=2. The canonical "
+        "did-the-regime-change test behind ts_changepoint_cusum's "
+        "argmax sibling: CUSUM locates a LEVEL shift; Chow tests whether "
+        "the trend LINE itself broke at a known point. Day offsets and "
+        "cents are integers, per-regime and pooled moment sets are "
+        "exact HUGEINT/DECIMAL(38,0), and each SSR is the identical "
+        "fixed double expression of its own moments on both engines; "
+        "degenerate splits are NULL-guarded. Plan: one day aggregate, "
+        "one broadcast min/max, one 2-group moment aggregate — O(scan). "
+        "Reference parity: extension surface (SURVEY.md §2.B ML rows).",
+)
+def ml_chow_break_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    span = daily.agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    ).select(
+        "d0",
+        (F.datediff("d1", "d0").cast("long") / 2)
+        .cast("long")
+        .alias("mid"),
+    )
+    d38 = "decimal(38,0)"
+    t = daily.crossJoin(F.broadcast(span)).select(
+        F.datediff("d", "d0").cast("long").alias("x"),
+        F.col("cents").alias("y"),
+        "mid",
+    )
+    m = t.groupBy(
+        F.when(F.col("x") <= F.col("mid"), 1).otherwise(2).alias("regime")
+    ).agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("x").cast(d38)).cast(d38).alias("sx"),
+        F.sum(F.col("y").cast(d38)).cast(d38).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).cast(d38).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).cast(d38).alias("sxy"),
+        F.sum((F.col("y").cast(d38) * F.col("y"))).cast(d38).alias("syy"),
+    )
+
+    def ssr_expr(p):
+        n, sx, sy = F.col(f"{p}n"), F.col(f"{p}sx"), F.col(f"{p}sy")
+        sxx, sxy, syy = F.col(f"{p}sxx"), F.col(f"{p}sxy"), F.col(f"{p}syy")
+        return (
+            (n * syy - sy * sy).cast("double") / n.cast("double")
+            - (n * sxy - sx * sy).cast("double")
+            * (n * sxy - sx * sy).cast("double")
+            / (n.cast("double") * (n * sxx - sx * sx).cast("double"))
+        )
+
+    r1 = m.where(F.col("regime") == 1).select(
+        *[F.col(c).alias(f"r1{c}") for c in ["n", "sx", "sy", "sxx", "sxy", "syy"]]
+    )
+    r2 = m.where(F.col("regime") == 2).select(
+        *[F.col(c).alias(f"r2{c}") for c in ["n", "sx", "sy", "sxx", "sxy", "syy"]]
+    )
+    pooled = m.agg(
+        F.sum("n").cast(d38).alias("pn"),
+        F.sum("sx").cast(d38).alias("psx"),
+        F.sum("sy").cast(d38).alias("psy"),
+        F.sum("sxx").cast(d38).alias("psxx"),
+        F.sum("sxy").cast(d38).alias("psxy"),
+        F.sum("syy").cast(d38).alias("psyy"),
+    )
+    j = r1.crossJoin(F.broadcast(r2)).crossJoin(F.broadcast(pooled))
+    ssr1, ssr2, ssrp = ssr_expr("r1"), ssr_expr("r2"), ssr_expr("p")
+    n1 = F.col("r1n").cast("long")
+    n2 = F.col("r2n").cast("long")
+    return j.select(
+        n1.alias("n1"),
+        n2.alias("n2"),
+        F.round(ssrp / F.lit(100.0), 2).alias("ssr_pooled_sq_dollars"),
+        F.round((ssr1 + ssr2) / F.lit(100.0), 2).alias(
+            "ssr_split_sq_dollars"
+        ),
+        F.when(
+            ((ssr1 + ssr2) > 0) & ((n1 + n2) > 4),
+            F.round(
+                ((ssrp - ssr1 - ssr2) / F.lit(2.0))
+                / ((ssr1 + ssr2) / (n1 + n2 - F.lit(4)).cast("double")),
+                6,
+            ),
+        ).alias("chow_f_stat"),
+    )
+
+
+@register(
+    "ml_lins_ccc",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS TIMESTAMP) AS day,
+               CAST(SUM(CAST(value * 100 AS DECIMAL(18,0))) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1
+    ),
+    p AS (
+        SELECT cents AS y, lag(cents, 7) OVER (ORDER BY day) AS f
+        FROM daily
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(CAST(f AS HUGEINT)) AS HUGEINT) AS sf,
+               CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(f AS HUGEINT) * f) AS HUGEINT) AS sff,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+               CAST(SUM(CAST(f AS HUGEINT) * y) AS HUGEINT) AS sfy
+        FROM p WHERE f IS NOT NULL
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CASE WHEN (n * sff - sf * sf) + (n * syy - sy * sy)
+                     + (sf - sy) * (sf - sy) = 0 THEN NULL ELSE
+           CAST(round(1000000.0 * 2 * CAST(n * sfy - sf * sy AS DOUBLE)
+                / CAST((n * sff - sf * sf) + (n * syy - sy * sy)
+                       + (sf - sy) * (sf - sy) AS DOUBLE)) AS BIGINT)
+           END AS ccc_micro,
+           CASE WHEN n * sff - sf * sf = 0 OR n * syy - sy * sy = 0
+                THEN NULL ELSE
+           CAST(round(1000000.0 * CAST(n * sfy - sf * sy AS DOUBLE)
+                / sqrt(CAST(n * sff - sf * sf AS DOUBLE)
+                       * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
+           END AS pearson_micro
+    FROM m
+    """,
+    doc="Lin's concordance correlation coefficient between daily revenue "
+        "and its seasonal-naive forecast (same-weekday-last-week): "
+        "CCC = 2 cov / (var_f + var_y + (mean_f - mean_y)^2) — Pearson r "
+        "measures whether forecast and actual move together; CCC "
+        "additionally punishes scale and location bias, so it is the "
+        "agreement statistic (method-comparison studies, forecast "
+        "acceptance gates) that complements ts_theil_inequality_"
+        "decomposition's error-side split with a single bounded [-1,1] "
+        "score. EXACT RATIONAL until the last step: multiplying through "
+        "by n^2 turns numerator and denominator into pure integer "
+        "moment expressions (2(n·sfy - sf·sy) over (n·sff - sf^2) + "
+        "(n·syy - sy^2) + (sf - sy)^2), so both engines hash-match "
+        "bit-for-bit after one quantized division; degenerate variance "
+        "is NULL-guarded identically. Plan: one day aggregate, one "
+        "7-lag window, one 1-row moment fold — O(scan). Reference "
+        "parity: extension surface (SURVEY.md §2.B ML rows).",
+)
+def ml_lins_ccc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date("ts").cast("timestamp").alias("day")
+    ).agg(
+        F.sum((F.col("value") * 100).cast("decimal(18,0)"))
+        .cast("long")
+        .alias("cents")
+    )
+    p = daily.select(
+        F.col("cents").alias("y"),
+        F.lag("cents", 7).over(Window.orderBy("day")).alias("f"),
+    ).where(F.col("f").isNotNull())
+    d38 = "decimal(38,0)"
+    m = p.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("f").cast(d38)).cast(d38).alias("sf"),
+        F.sum(F.col("y").cast(d38)).cast(d38).alias("sy"),
+        F.sum(F.col("f").cast(d38) * F.col("f")).cast(d38).alias("sff"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).cast(d38).alias("syy"),
+        F.sum(F.col("f").cast(d38) * F.col("y")).cast(d38).alias("sfy"),
+    )
+    n = F.col("n")
+    vf = n * F.col("sff") - F.col("sf") * F.col("sf")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cv = n * F.col("sfy") - F.col("sf") * F.col("sy")
+    dd = F.col("sf") - F.col("sy")
+    denom = vf + vy + dd * dd
+    return m.select(
+        n.cast("long").alias("n_days"),
+        F.when(
+            denom != 0,
+            F.round(
+                F.lit(1_000_000.0) * 2 * cv.cast("double")
+                / denom.cast("double")
+            ).cast("long"),
+        ).alias("ccc_micro"),
+        F.when(
+            (vf != 0) & (vy != 0),
+            F.round(
+                F.lit(1_000_000.0) * cv.cast("double")
+                / F.sqrt(vf.cast("double") * vy.cast("double"))
+            ).cast("long"),
+        ).alias("pearson_micro"),
+    )
+
+
+@register(
+    "analytics_quantile_treatment_effect",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_custkey,
+               CASE WHEN c.c_mktsegment = 'BUILDING'
+                    THEN 'treat' ELSE 'control' END AS seg,
+               CAST(COALESCE(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)),
+                             0) AS BIGINT) AS cents
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT seg, cents,
+               CAST(row_number() OVER (PARTITION BY seg ORDER BY cents)
+                    AS BIGINT) AS r,
+               CAST(COUNT(*) OVER (PARTITION BY seg) AS BIGINT) AS n
+        FROM spend
+    ),
+    deciles AS (SELECT unnest(generate_series(1, 9)) AS k),
+    q AS (
+        SELECT d.k, ranked.seg, ranked.cents
+        FROM deciles d JOIN ranked
+          ON ranked.r = (ranked.n * d.k + 9) // 10
+    )
+    SELECT CAST(t.k * 10 AS BIGINT) AS pct,
+           t.cents AS q_treat_cents,
+           c.cents AS q_control_cents,
+           t.cents - c.cents AS qte_cents
+    FROM (SELECT k, cents FROM q WHERE seg = 'treat') t
+    JOIN (SELECT k, cents FROM q WHERE seg = 'control') c ON c.k = t.k
+    ORDER BY pct
+    """,
+    doc="Quantile treatment effect: decile-by-decile difference of the "
+        "per-customer lifetime-spend distribution between the BUILDING "
+        "segment ('treatment' proxy) and everyone else — the "
+        "heterogeneity view an average treatment effect "
+        "(analytics_ab_welch_ttest, analytics_uplift_by_decile) "
+        "averages away: a lift concentrated in the top deciles and a "
+        "flat median tell completely different product stories. Spend "
+        "is integer cents (zero-spend customers kept via the left "
+        "join), each segment decile is the EXACT lower quantile at "
+        "1-based rank ceil(n*k/10) computed with pure integer "
+        "arithmetic ((n*k + 9) div 10 — no float rank on either "
+        "engine), selected via the bounded value_group_ranks_by "
+        "substrate (no entity-keyed global window). Plan: one "
+        "customer-keyed aggregate, the bucketed rank substrate, one "
+        "9-row broadcast spine join — O(scan + distinct values). "
+        "Reference parity: extension surface (SURVEY.md §2.B analytics "
+        "rows).",
+)
+def analytics_quantile_treatment_effect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from wal_consumer_spark.operators.selection import value_group_ranks_by
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy(
+            "c_custkey",
+            F.when(F.col("c_mktsegment") == "BUILDING", "treat")
+            .otherwise("control")
+            .alias("seg"),
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    ranks = value_group_ranks_by(spend, "seg", "cents", 100_000)
+    deciles = spark.range(1, 10).select(F.col("id").cast("long").alias("k"))
+    # exact lower-quantile rank ceil(n*k/10) in integer arithmetic
+    rank_k = F.expr("(n * k + 9) div 10")
+    hit = ranks.crossJoin(F.broadcast(deciles)).where(
+        (F.col("start_rank") <= rank_k)
+        & (rank_k < F.col("start_rank") + F.col("cnt"))
+    )
+    t = hit.where(F.col("seg") == "treat").select(
+        "k", F.col("cents").alias("q_treat_cents")
+    )
+    ctl = hit.where(F.col("seg") == "control").select(
+        F.col("k").alias("ck"), F.col("cents").alias("q_control_cents")
+    )
+    return (
+        t.join(F.broadcast(ctl), F.col("k") == F.col("ck"))
+        .select(
+            (F.col("k") * 10).cast("long").alias("pct"),
+            "q_treat_cents",
+            "q_control_cents",
+            (F.col("q_treat_cents") - F.col("q_control_cents")).alias(
+                "qte_cents"
+            ),
+        )
+        .orderBy("pct")
+    )
+
+
+@register(
+    "graph_eigenvector_centrality",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    e AS (
+        SELECT a.p AS p1, b.p AS p2
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    adj AS (SELECT p1 AS u, p2 AS v FROM e UNION ALL SELECT p2, p1 FROM e),
+    v1 AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS s FROM adj GROUP BY u),
+    v2 AS (
+        SELECT adj.u, CAST(SUM(v1.s) AS BIGINT) AS s
+        FROM adj JOIN v1 ON v1.u = adj.v GROUP BY adj.u
+    ),
+    v3 AS (
+        SELECT adj.u, CAST(SUM(v2.s) AS BIGINT) AS s
+        FROM adj JOIN v2 ON v2.u = adj.v GROUP BY adj.u
+    ),
+    mx AS (SELECT MAX(s) AS mx FROM v3),
+    ranked AS (
+        SELECT v3.u AS part_node, v1.s AS walks_1, v2.s AS walks_2,
+               v3.s AS walks_3,
+               CAST(round(1000000.0 * v3.s / mx.mx) AS BIGINT)
+                   AS centrality_micro,
+               row_number() OVER (ORDER BY v3.s DESC, v3.u) AS rnk
+        FROM v3 JOIN v1 ON v1.u = v3.u JOIN v2 ON v2.u = v3.u
+        CROSS JOIN mx
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, CAST(part_node AS BIGINT) AS part_node,
+           walks_1, walks_2, walks_3, centrality_micro
+    FROM ranked WHERE rnk <= 20 ORDER BY rnk
+    """,
+    doc="Eigenvector centrality (3-step power iteration from the uniform "
+        "vector) on the support-2 co-purchase graph: score_k(u) = number "
+        "of k-walks ending at u, whose normalized limit is the principal "
+        "eigenvector — degree (graph_copurchase_degree) counts who has "
+        "neighbors; eigenvector centrality counts who has WELL-CONNECTED "
+        "neighbors, the recursive-prestige complement to pagerank "
+        "(teleport-free, undirected). ENTIRELY INTEGER: each iteration "
+        "is one sparse matvec (adjacency join + SUM of exact BIGINT walk "
+        "counts), so all three vectors are exact and the only double is "
+        "the final max-normalization, quantized to 1e-6; top-20 rows "
+        "with ties broken by node id. Plan: the shared materialized-once "
+        "edge frame + three linear-in-edges join/aggregate rounds + one "
+        "broadcast max — identical shuffle law to graph_pagerank's "
+        "measured §29 profile. Reference parity: extension surface "
+        "(SURVEY.md §2.B graph rows).",
+)
+def graph_eigenvector_centrality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = _support2_copurchase_edges(spark, sf_dir)
+    adj = e.select(
+        F.col("p1").alias("u"), F.col("p2").alias("v")
+    ).unionByName(e.select(F.col("p2").alias("u"), F.col("p1").alias("v")))
+    v1 = adj.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("s"))
+
+    def matvec(v):
+        return (
+            adj.join(
+                v.select(F.col("u").alias("v"), F.col("s").alias("vs")),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.sum("vs").cast("long").alias("s"))
+        )
+
+    v2 = matvec(v1)
+    v3 = matvec(v2)
+    mx = v3.agg(F.max("s").alias("mx"))
+    ranked = (
+        v3.select("u", F.col("s").alias("walks_3"))
+        .join(v1.select("u", F.col("s").alias("walks_1")), "u")
+        .join(v2.select("u", F.col("s").alias("walks_2")), "u")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.col("u").alias("part_node"),
+            "walks_1",
+            "walks_2",
+            "walks_3",
+            F.round(F.lit(1_000_000.0) * F.col("walks_3") / F.col("mx"))
+            .cast("long")
+            .alias("centrality_micro"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("walks_3").desc(), "part_node")
+            ),
+        )
+    )
+    return ranked.where(F.col("rnk") <= 20).select(
+        F.col("rnk").cast("long").alias("rnk"),
+        F.col("part_node").cast("long").alias("part_node"),
+        "walks_1",
+        "walks_2",
+        "walks_3",
+        "centrality_micro",
+    ).orderBy("rnk")

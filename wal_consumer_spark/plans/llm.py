@@ -5819,3 +5819,268 @@ def multimodal_magic_number_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("kind", "detected")
     )
+
+
+@register(
+    "dedup_bbit_minhash_error",
+    oracle=r"""
+    WITH hs AS (
+        SELECT doc_id,
+               list_transform(list_distinct(list_transform(generate_series(0, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 3, 0)), i -> array_to_string(list_slice(string_split_regex(lower(trim(text)), '\s+'), i + 1, i + 3), ' '))),
+                              s -> ('0x' || substring(md5(s), 1, 8))::BIGINT) AS h
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+               list_transform([[695425565, 647892279], [847877000, 207388624], [155555738, 404285457], [785310973, 249103477], [1953574603, 922121676], [80521325, 369140570], [931247022, 1796035739], [150013384, 1033639716], [194804717, 1823296038], [126938844, 531725347], [2034632751, 958804057], [1354258845, 265695473], [1239319144, 1703729684], [106492239, 949539216], [100035545, 571981485], [621931212, 1800188482], [309785427, 505913792], [1226027821, 1324919352], [1203143341, 776213899], [221310450, 806899909], [799717634, 418461138], [1176272277, 269676599], [1211971682, 255985076], [1329312985, 884585951], [1066042003, 1836494974], [1669086093, 1349251823], [999872393, 1946412080], [776492205, 1287489453], [533492028, 772092314], [1501079115, 1048386555], [175782304, 1289560149], [1127850897, 2126508550]], c ->
+                   list_min(list_transform(h, x -> (c[1] * x + c[2]) % 4294967311))) AS sig
+        FROM hs
+    ),
+    banded AS (
+        SELECT doc_id, sig, b.b AS band,
+               array_to_string(list_slice(sig, b.b * 8 + 1, b.b * 8 + 8), ',') AS bucket
+        FROM sig, (SELECT unnest(range(0, 4)) AS b) b
+    ),
+    small AS (
+        SELECT band, bucket FROM banded
+        GROUP BY band, bucket HAVING COUNT(*) <= 500
+    ),
+    bandedc AS (
+        SELECT b.* FROM banded b JOIN small USING (band, bucket)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
+        FROM bandedc a JOIN bandedc c USING (band, bucket)
+        WHERE a.doc_id < c.doc_id
+    ),
+    agree AS (
+        SELECT cand.doc1, cand.doc2,
+               CAST(list_sum(list_transform(range(1, 33),
+                   i -> CASE WHEN s1.sig[i] % 2 = s2.sig[i] % 2
+                        THEN 1 ELSE 0 END)) AS BIGINT) AS nb
+        FROM cand
+        JOIN sig s1 ON s1.doc_id = cand.doc1
+        JOIN sig s2 ON s2.doc_id = cand.doc2
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(generate_series(0, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 3, 0)), i -> array_to_string(list_slice(string_split_regex(lower(trim(text)), '\s+'), i + 1, i + 3), ' ')))) AS shingle FROM documents
+    ),
+    shc AS (
+        SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle,
+                   COUNT(*) OVER (PARTITION BY shingle) AS df
+            FROM sh
+        ) t WHERE df <= 1000
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM shc a JOIN shc b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1
+    ),
+    pairs AS (
+        SELECT g.nb,
+               COALESCE(i.n_common, 0) AS ic,
+               s1.n + s2.n - COALESCE(i.n_common, 0) AS un
+        FROM agree g
+        LEFT JOIN inter i ON i.doc1 = g.doc1 AND i.doc2 = g.doc2
+        JOIN sizes s1 ON s1.doc_id = g.doc1
+        JOIN sizes s2 ON s2.doc_id = g.doc2
+        WHERE s1.n + s2.n - COALESCE(i.n_common, 0) > 0
+    )
+    SELECT nb AS n_match_bits,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST((2 * nb - 32) * 1000000 // 32 AS BIGINT) AS est_ppm,
+           CAST(SUM(ic * 1000000 // un) AS BIGINT) AS sum_exact_ppm,
+           CAST(SUM(abs((2 * nb - 32) * un - 32 * ic) * 1000000
+                    // (32 * un)) AS BIGINT) AS sum_abs_err_ppm,
+           CAST(SUM(abs((2 * nb - 32) * un - 32 * ic) * 1000000
+                    // (32 * un)) // COUNT(*) AS BIGINT) AS mean_abs_err_ppm
+    FROM pairs GROUP BY nb ORDER BY nb
+    """,
+    doc="b-bit minhash (b=1) estimate-error audit: keep only the LOWEST "
+        "BIT of each of the 32 minhash permutations — a 32x signature "
+        "compression (Li & Konig 2010) whose matching-bit fraction m "
+        "unbiases back to Jaccard via J = 2m - 1 — and measure, per "
+        "matching-bit count, the absolute error of that estimator "
+        "against EXACT shingle Jaccard on the same LSH candidate pairs "
+        "that dedup_minhash_estimate_error audits for the full-width "
+        "signature. The two audits side by side price the storage/"
+        "accuracy trade of shipping 4-byte instead of 128-byte "
+        "signatures at corpus scale. Agreement counts, intersections, "
+        "and error numerators are ALL integer ((2nb-32)un - 32ic over "
+        "32un, floor-divided at ppm scale), so both engines hash-match "
+        "exactly; the same df<=1000 posting cap and 500-doc bucket cap "
+        "bound pair volume linearly. Plan: signature build (linear), "
+        "banded candidate join (capped), one shingle self-join (df-"
+        "capped), one 33-domain aggregate. Reference parity: extension "
+        "surface (SURVEY.md §2.B dedup rows).",
+)
+def dedup_bbit_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signature(docs, "doc_id", "text", portable=True).persist()
+    cand = minhash_candidates(sigs)
+    s1 = sigs.select(F.col("doc").alias("doc1"), F.col("sig").alias("sig1"))
+    s2 = sigs.select(F.col("doc").alias("doc2"), F.col("sig").alias("sig2"))
+    agree = (
+        cand.join(s1, "doc1")
+        .join(s2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.size(
+                F.filter(
+                    F.zip_with(
+                        "sig1",
+                        "sig2",
+                        lambda x, y: (x % 2 == y % 2).cast("int"),
+                    ),
+                    lambda v: v == 1,
+                )
+            )
+            .cast("long")
+            .alias("nb"),
+        )
+    )
+    sh = (
+        docs.select(
+            F.col("doc_id").alias("doc"),
+            F.explode(
+                word_shingles(tokens(F.col("text")), 3)
+            ).alias("shingle"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    capped = (
+        sh.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
+        .filter(F.col("__df") <= 1000)
+        .drop("__df")
+    )
+    sa = capped.select(F.col("doc").alias("doc1"), "shingle")
+    sb = capped.select(F.col("doc").alias("doc2"), "shingle")
+    inter = (
+        sa.join(sb, "shingle")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).cast("long").alias("ic"))
+    )
+    pairs = (
+        agree.join(inter, ["doc1", "doc2"], "left")
+        .join(sizes.withColumnsRenamed({"doc": "doc1", "n": "n1"}), "doc1")
+        .join(sizes.withColumnsRenamed({"doc": "doc2", "n": "n2"}), "doc2")
+        .select(
+            "nb",
+            F.coalesce(F.col("ic"), F.lit(0)).alias("ic"),
+            (
+                F.col("n1") + F.col("n2") - F.coalesce(F.col("ic"), F.lit(0))
+            ).alias("un"),
+        )
+        .where(F.col("un") > 0)
+    )
+    return (
+        pairs.groupBy(F.col("nb").alias("n_match_bits"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.first(
+                F.expr("(2 * nb - 32) * 1000000 DIV 32")
+            )
+            .cast("long")
+            .alias("est_ppm"),
+            F.sum(F.expr("ic * 1000000 DIV un")).cast("long").alias(
+                "sum_exact_ppm"
+            ),
+            F.sum(
+                F.expr(
+                    "abs((2 * nb - 32) * un - 32 * ic) * 1000000"
+                    " DIV (32 * un)"
+                )
+            )
+            .cast("long")
+            .alias("sum_abs_err_ppm"),
+        )
+        .withColumn(
+            "mean_abs_err_ppm",
+            F.expr("sum_abs_err_ppm DIV n_pairs").cast("long"),
+        )
+        .orderBy("n_match_bits")
+    )
+
+
+@register(
+    "multimodal_duplicate_payload_refcount",
+    oracle="""
+    SELECT kind,
+           CAST(SUM(cnt) AS BIGINT) AS n_payloads,
+           CAST(COUNT(*) AS BIGINT) AS n_unique,
+           CAST(SUM((cnt - 1) * nbytes) AS BIGINT) AS dup_bytes_saved,
+           CAST(SUM(cnt * nbytes) AS BIGINT) AS total_bytes,
+           CAST(1000000 * SUM((cnt - 1) * nbytes) // SUM(cnt * nbytes)
+                AS BIGINT) AS savings_ppm
+    FROM (
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               -- DuckDB's md5 takes VARCHAR; the payload IS the utf-8
+               -- encoding of text, so md5(text) == Spark's md5(payload)
+               md5(text) AS digest,
+               CAST(octet_length(encode(text)) AS BIGINT) AS nbytes,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM documents
+        GROUP BY 1, 2, 3
+    ) g
+    GROUP BY kind ORDER BY kind
+    """,
+    doc="Content-addressed payload dedup audit: digest every opaque media "
+        "payload (md5 over the raw bytes — the BLOB-store refcount key), "
+        "count references per (kind, digest), and price the storage a "
+        "dedup layer saves per kind: dup_bytes_saved = sum((refs-1) * "
+        "payload_bytes), plus the savings ratio at ppm — the first "
+        "number a multimodal ingest pipeline needs before choosing "
+        "content-addressed storage, complementing multimodal_frame_dedup "
+        "(within-video frames) with corpus-level cross-document payload "
+        "identity. The digest group-by is the same map-side hash "
+        "aggregate as exact text dedup (dedup_exact_hash) lifted to "
+        "binary payloads; byte sizes and refcounts are exact integers "
+        "end to end (ppm ratio floor-divided). Plan: one hash "
+        "aggregate keyed by (kind, digest) + one kind-domain rollup — "
+        "O(scan), shuffle bounded by distinct payloads. Reference "
+        "parity: the payload/entity_bytes envelope mirrors the "
+        "reference's opaque-entity design (WalEntityConsumerCallback."
+        "java:10-17); the audit itself is extension surface (SURVEY.md "
+        "§2.B multimodal rows).",
+)
+def multimodal_duplicate_payload_refcount(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media_columns(docs, "doc_id", "text", "source")
+    g = media.groupBy(
+        "kind",
+        F.md5(F.col("payload")).alias("digest"),
+        F.length(F.col("payload")).cast("long").alias("nbytes"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return (
+        g.groupBy("kind")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_payloads"),
+            F.count(F.lit(1)).cast("long").alias("n_unique"),
+            F.sum((F.col("cnt") - 1) * F.col("nbytes"))
+            .cast("long")
+            .alias("dup_bytes_saved"),
+            F.sum(F.col("cnt") * F.col("nbytes"))
+            .cast("long")
+            .alias("total_bytes"),
+        )
+        .withColumn(
+            "savings_ppm",
+            F.expr("1000000 * dup_bytes_saved DIV total_bytes").cast("long"),
+        )
+        .orderBy("kind")
+    )

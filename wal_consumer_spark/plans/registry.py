@@ -121,7 +121,19 @@ DRIVER_WINDOW: list[str] = [
 #: 524/524 with an empty waiver list; names staged here certify in
 #: round 13. NB the round-12 window has zero slack (19 staged + 31
 #: re-pins = 50), so EVERY round-12 session addition stages here.
-NEXT_WINDOW: list[str] = []
+NEXT_WINDOW: list[str] = [
+    # --- round-12 session additions (certify in round 13) ---
+    "ts_tracking_signal_bias",
+    "ts_squared_return_acf",
+    "ts_engle_granger_cointegration",
+    "ml_cochran_armitage_trend",
+    "ml_chow_break_test",
+    "ml_lins_ccc",
+    "analytics_quantile_treatment_effect",
+    "graph_eigenvector_centrality",
+    "dedup_bbit_minhash_error",
+    "multimodal_duplicate_payload_refcount",
+]
 
 #: Overflow staging for additions beyond a single round-10 window.
 FUTURE_WINDOW: list[str] = []

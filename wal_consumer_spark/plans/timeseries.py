@@ -5291,3 +5291,405 @@ def ts_sma_crossover_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "ts_tracking_signal_bias",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS TIMESTAMP) AS day,
+               CAST(SUM(CAST(value * 100 AS DECIMAL(18,0))) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1
+    ),
+    e AS (
+        SELECT day, cents - lag(cents, 7) OVER (ORDER BY day) AS err
+        FROM daily
+    ),
+    c AS (
+        SELECT day, err,
+               CAST(SUM(err) OVER w AS BIGINT) AS cum_err,
+               CAST(SUM(abs(err)) OVER w AS BIGINT) AS cum_abs,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n
+        FROM e WHERE err IS NOT NULL
+        WINDOW w AS (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(CAST(day AS DATE) AS VARCHAR) AS day,
+           cum_err AS cum_err_cents,
+           cum_abs AS cum_abs_cents,
+           n,
+           CASE WHEN cum_abs = 0 THEN NULL ELSE
+           CAST(round(1000000.0 * cum_err * n / cum_abs) AS BIGINT)
+           END AS tracking_signal_micro
+    FROM c ORDER BY day
+    """,
+    doc="Forecast-bias tracking signal on the seasonal-naive baseline "
+        "(same-weekday-last-week, the ts_theil_inequality_decomposition "
+        "forecast): per day, cumulative signed error / cumulative MAD — "
+        "the classic ops-forecasting control metric (|TS| > ~4 means the "
+        "forecast is systematically biased and needs re-centering, the "
+        "actionable half of what Theil's U_M only scores once). Errors "
+        "are INTEGER cents, both cumulative sums are exact integer "
+        "window folds, and the signal is one double ratio per day "
+        "quantized to 1e-6 with a 0/0 NULL guard on both engines. Plan: "
+        "one day aggregate, one 7-lag + two cumulative windows on the "
+        "bounded day grid — O(scan) at any scale, day-domain state. "
+        "Reference parity: extension surface (SURVEY.md §2.B "
+        "time-series rows).",
+)
+def ts_tracking_signal_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date("ts").cast("timestamp").alias("day")
+    ).agg(
+        F.sum((F.col("value") * 100).cast("decimal(18,0)"))
+        .cast("long")
+        .alias("cents")
+    )
+    w7 = Window.orderBy("day")
+    err = daily.select(
+        "day",
+        (F.col("cents") - F.lag("cents", 7).over(w7)).alias("err"),
+    ).where(F.col("err").isNotNull())
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = err.select(
+        "day",
+        F.sum("err").over(wc).cast("long").alias("cum_err"),
+        F.sum(F.abs(F.col("err"))).over(wc).cast("long").alias("cum_abs"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("n"),
+    )
+    return c.select(
+        F.col("day").cast("date").cast("string").alias("day"),
+        F.col("cum_err").alias("cum_err_cents"),
+        F.col("cum_abs").alias("cum_abs_cents"),
+        "n",
+        F.when(
+            F.col("cum_abs") != 0,
+            F.round(
+                F.lit(1_000_000.0) * F.col("cum_err") * F.col("n")
+                / F.col("cum_abs")
+            ).cast("long"),
+        ).alias("tracking_signal_micro"),
+    ).orderBy("day")
+
+
+@register(
+    "ts_squared_return_acf",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS DATE) AS d,
+               CAST(SUM(CAST(value * 100 AS DECIMAL(18,0))) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1
+    ),
+    sq AS (
+        SELECT d,
+               (cents - lag(cents) OVER (ORDER BY d))
+               * (cents - lag(cents) OVER (ORDER BY d)) AS s
+        FROM daily
+    ),
+    sq2 AS (SELECT d, s FROM sq WHERE s IS NOT NULL),
+    pairs AS (
+        SELECT l.lag AS lag, a.s AS x, b.s AS y
+        FROM sq2 a
+        CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS lag) l
+        JOIN sq2 b ON b.d = a.d + CAST(l.lag AS INTEGER)
+    ),
+    m AS (
+        SELECT lag,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+           CASE WHEN n_pairs * sxx - sx * sx = 0
+                  OR n_pairs * syy - sy * sy = 0 THEN NULL ELSE
+           round((CAST(n_pairs * sxy - sx * sy AS DOUBLE))
+                 / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                        * CAST(n_pairs * syy - sy * sy AS DOUBLE)), 6)
+           END AS acf_sq
+    FROM m ORDER BY lag
+    """,
+    doc="Volatility-clustering audit: autocorrelation of SQUARED daily "
+        "revenue returns at lags 1-5 — the standard ARCH-effect "
+        "diagnostic (Engle): raw returns may be white (ts_acf_daily, "
+        "ts_ljung_box_whiteness) while their squares stay correlated, "
+        "meaning variance arrives in bursts and any fixed-width anomaly "
+        "band (ts_anomaly_mad, ts_xmr_control_chart) will alternately "
+        "over- and under-alarm. Returns are integer cent differences, "
+        "squares are exact BIGINT, all five lag-pair moment sets are "
+        "exact HUGEINT/DECIMAL(38,0) sums, and each ACF value is one "
+        "guarded double expression quantized to 1e-6 (degenerate "
+        "variance -> NULL on both engines). Plan: one day aggregate, "
+        "one lag window, a 5-lag pair join on the bounded day grid, "
+        "one 5-row moment aggregate. Reference parity: extension "
+        "surface (SURVEY.md §2.B time-series rows).",
+)
+def ts_squared_return_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum((F.col("value") * 100).cast("decimal(18,0)"))
+        .cast("long")
+        .alias("cents")
+    )
+    diff = (F.col("cents") - F.lag("cents").over(Window.orderBy("d")))
+    sq = (
+        daily.select("d", (diff * diff).alias("s"))
+        .where(F.col("s").isNotNull())
+    )
+    lags = spark.range(1, 6).select(F.col("id").cast("int").alias("lag"))
+    b = sq.select(F.col("d").alias("bd"), F.col("s").alias("y"))
+    pairs = (
+        sq.crossJoin(F.broadcast(lags))
+        .join(b, F.expr("bd = date_add(d, lag)"))
+        .select("lag", F.col("s").alias("x"), "y")
+    )
+    d38 = "decimal(38,0)"
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("x").cast(d38)).cast(d38).alias("sx"),
+        F.sum(F.col("y").cast(d38)).cast(d38).alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).cast(d38).alias("sxx"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).cast(d38).alias("syy"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).cast(d38).alias("sxy"),
+    )
+    vx = F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_pairs",
+        F.when(
+            (vx != 0) & (vy != 0),
+            F.round(
+                cov.cast("double")
+                / F.sqrt(vx.cast("double") * vy.cast("double")),
+                6,
+            ),
+        ).alias("acf_sq"),
+    ).orderBy("lag")
+
+
+@register(
+    "ts_engle_granger_cointegration",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS DATE) AS d,
+               event_type,
+               CAST(SUM(CAST(value * 100 AS DECIMAL(18,0))) AS BIGINT)
+                   AS cents
+        FROM events WHERE event_type IN ('purchase', 'view')
+        GROUP BY 1, 2
+    ),
+    xy AS (
+        SELECT p.d, p.cents AS x, v.cents AS y
+        FROM (SELECT d, cents FROM daily WHERE event_type = 'purchase') p
+        JOIN (SELECT d, cents FROM daily WHERE event_type = 'view') v
+          ON v.d = p.d
+    ),
+    full_m AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        FROM xy
+    ),
+    lagged AS (
+        SELECT lag(x) OVER (ORDER BY d) AS x1,
+               lag(y) OVER (ORDER BY d) AS y1,
+               x AS x0, y AS y0
+        FROM xy
+    ),
+    pair_m AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+               CAST(SUM(CAST(x1 AS HUGEINT)) AS HUGEINT) AS px1,
+               CAST(SUM(CAST(y1 AS HUGEINT)) AS HUGEINT) AS py1,
+               CAST(SUM(CAST(x0 AS HUGEINT)) AS HUGEINT) AS px0,
+               CAST(SUM(CAST(y0 AS HUGEINT)) AS HUGEINT) AS py0,
+               CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS px1x1,
+               CAST(SUM(CAST(y1 AS HUGEINT) * y1) AS HUGEINT) AS py1y1,
+               CAST(SUM(CAST(x0 AS HUGEINT) * x0) AS HUGEINT) AS px0x0,
+               CAST(SUM(CAST(y0 AS HUGEINT) * y0) AS HUGEINT) AS py0y0,
+               CAST(SUM(CAST(x1 AS HUGEINT) * y1) AS HUGEINT) AS px1y1,
+               CAST(SUM(CAST(x0 AS HUGEINT) * y0) AS HUGEINT) AS px0y0,
+               CAST(SUM(CAST(y1 AS HUGEINT) * y0) AS HUGEINT) AS py1y0,
+               CAST(SUM(CAST(x1 AS HUGEINT) * x0) AS HUGEINT) AS px1x0,
+               CAST(SUM(CAST(x1 AS HUGEINT) * y0) AS HUGEINT) AS px1y0,
+               CAST(SUM(CAST(y1 AS HUGEINT) * x0) AS HUGEINT) AS py1x0
+        FROM lagged WHERE x1 IS NOT NULL
+    ),
+    ols AS (
+        SELECT *,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+               (CAST(sy AS DOUBLE)
+                - CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS a
+        FROM full_m CROSS JOIN pair_m
+        WHERE n * sxx - sx * sx <> 0
+    ),
+    res AS (
+        SELECT CAST(n AS BIGINT) AS n_days,
+               CAST(m AS BIGINT) AS m_pairs,
+               b, a, CAST(m AS DOUBLE) AS md,
+               (CAST(py1y0 AS DOUBLE) - b * CAST(px1y0 AS DOUBLE)
+                - b * CAST(py1x0 AS DOUBLE)
+                + b * b * CAST(px1x0 AS DOUBLE))
+               - a * (CAST(py1 AS DOUBLE) - b * CAST(px1 AS DOUBLE))
+               - a * (CAST(py0 AS DOUBLE) - b * CAST(px0 AS DOUBLE))
+               + CAST(m AS DOUBLE) * a * a AS s1,
+               (CAST(py1y1 AS DOUBLE) - 2 * b * CAST(px1y1 AS DOUBLE)
+                + b * b * CAST(px1x1 AS DOUBLE))
+               - 2 * a * (CAST(py1 AS DOUBLE) - b * CAST(px1 AS DOUBLE))
+               + CAST(m AS DOUBLE) * a * a AS s2,
+               (CAST(py0y0 AS DOUBLE) - 2 * b * CAST(px0y0 AS DOUBLE)
+                + b * b * CAST(px0x0 AS DOUBLE))
+               - 2 * a * (CAST(py0 AS DOUBLE) - b * CAST(px0 AS DOUBLE))
+               + CAST(m AS DOUBLE) * a * a AS s3
+        FROM ols
+    )
+    SELECT n_days, m_pairs,
+           CAST(round(1000000.0 * b) AS BIGINT) AS beta_micro,
+           CAST(round(1000000.0 * a / 100.0) AS BIGINT) AS alpha_cents_x100,
+           CASE WHEN s2 <= 0 THEN NULL ELSE
+           round((s1 - s2) / s2, 9) END AS eg_gamma,
+           CASE WHEN s2 <= 0
+                  OR (s3 - 2 * s1 + s2) - (s1 - s2) * (s1 - s2) / s2 <= 0
+                THEN NULL ELSE
+           round(((s1 - s2) / s2)
+                 / sqrt((((s3 - 2 * s1 + s2)
+                          - (s1 - s2) * (s1 - s2) / s2)
+                         / (md - 1)) / s2), 6) END AS eg_t_stat
+    FROM res
+    """,
+    doc="Engle-Granger two-step cointegration test between the daily "
+        "purchase- and view-revenue series: step 1 fits y ~ a + b x by "
+        "OLS; step 2 runs a lag-0 Dickey-Fuller regression on the "
+        "residuals (delta e_t = gamma e_{t-1}) — a strongly negative "
+        "t-stat means the two series share a long-run equilibrium and "
+        "their spread is mean-reverting, the workhorse pre-check for "
+        "pairs monitoring/ratio dashboards that complements "
+        "ts_cross_correlation (co-movement) and ts_dickey_fuller_lag0 "
+        "(single-series stationarity). NUMERICALLY EXACT cross-engine: "
+        "residuals are never materialized — every residual sum "
+        "(S1 = sum e_{t-1}e_t, S2 = sum e^2_{t-1}, S3 = sum e^2_t) is "
+        "expanded algebraically into 14 integer cross-moments of (x, y) "
+        "over the lag-pair range (exact HUGEINT/DECIMAL(38,0) sums of "
+        "cent values) combined with the OLS (a, b) doubles in an "
+        "identical expression tree on both engines, so the value hash "
+        "matches bit-for-bit; degenerate variance and non-positive RSS "
+        "are NULL-guarded identically. Plan: one filtered day aggregate, "
+        "one self-join on the bounded day grid, one lag window, two "
+        "1-row moment folds — O(scan) at any scale. Reference parity: "
+        "extension surface (SURVEY.md §2.B time-series rows).",
+)
+def ts_engle_granger_cointegration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.where(F.col("event_type").isin("purchase", "view"))
+        .groupBy(F.to_date("ts").alias("d"), "event_type")
+        .agg(
+            F.sum((F.col("value") * 100).cast("decimal(18,0)"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    px = daily.where(F.col("event_type") == "purchase").select(
+        "d", F.col("cents").alias("x")
+    )
+    pv = daily.where(F.col("event_type") == "view").select(
+        F.col("d").alias("vd"), F.col("cents").alias("y")
+    )
+    xy = px.join(pv, F.col("d") == F.col("vd")).select("d", "x", "y")
+    d38 = "decimal(38,0)"
+
+    def s(c):
+        return F.sum(F.col(c).cast(d38)).cast(d38)
+
+    def sp(c1, c2):
+        return F.sum(F.col(c1).cast(d38) * F.col(c2)).cast(d38)
+
+    full_m = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        s("x").alias("sx"),
+        s("y").alias("sy"),
+        sp("x", "x").alias("sxx"),
+        sp("x", "y").alias("sxy"),
+    )
+    w = Window.orderBy("d")
+    lagged = xy.select(
+        F.lag("x").over(w).alias("x1"),
+        F.lag("y").over(w).alias("y1"),
+        F.col("x").alias("x0"),
+        F.col("y").alias("y0"),
+    ).where(F.col("x1").isNotNull())
+    pair_m = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        s("x1").alias("px1"),
+        s("y1").alias("py1"),
+        s("x0").alias("px0"),
+        s("y0").alias("py0"),
+        sp("x1", "x1").alias("px1x1"),
+        sp("y1", "y1").alias("py1y1"),
+        sp("x0", "x0").alias("px0x0"),
+        sp("y0", "y0").alias("py0y0"),
+        sp("x1", "y1").alias("px1y1"),
+        sp("x0", "y0").alias("px0y0"),
+        sp("y1", "y0").alias("py1y0"),
+        sp("x1", "x0").alias("px1x0"),
+        sp("x1", "y0").alias("px1y0"),
+        sp("y1", "x0").alias("py1x0"),
+    )
+    j = full_m.crossJoin(F.broadcast(pair_m)).where(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) != 0
+    )
+
+    def dbl(expr):
+        return expr.cast("double")
+
+    b = dbl(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / dbl(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    a = (dbl(F.col("sy")) - b * dbl(F.col("sx"))) / dbl(F.col("n"))
+    md = dbl(F.col("m"))
+    su1 = dbl(F.col("py1")) - b * dbl(F.col("px1"))
+    su0 = dbl(F.col("py0")) - b * dbl(F.col("px0"))
+    s1 = (
+        (dbl(F.col("py1y0")) - b * dbl(F.col("px1y0"))
+         - b * dbl(F.col("py1x0")) + b * b * dbl(F.col("px1x0")))
+        - a * su1 - a * su0 + md * a * a
+    )
+    s2 = (
+        (dbl(F.col("py1y1")) - 2 * b * dbl(F.col("px1y1"))
+         + b * b * dbl(F.col("px1x1")))
+        - 2 * a * su1 + md * a * a
+    )
+    s3 = (
+        (dbl(F.col("py0y0")) - 2 * b * dbl(F.col("px0y0"))
+         + b * b * dbl(F.col("px0x0")))
+        - 2 * a * su0 + md * a * a
+    )
+    gamma = (s1 - s2) / s2
+    rss = (s3 - 2 * s1 + s2) - (s1 - s2) * (s1 - s2) / s2
+    return j.select(
+        F.col("n").alias("n_days"),
+        F.col("m").alias("m_pairs"),
+        F.round(F.lit(1_000_000.0) * b).cast("long").alias("beta_micro"),
+        F.round(F.lit(1_000_000.0) * a / F.lit(100.0))
+        .cast("long")
+        .alias("alpha_cents_x100"),
+        F.when(s2 > 0, F.round(gamma, 9)).alias("eg_gamma"),
+        F.when(
+            (s2 > 0) & (rss > 0),
+            F.round(gamma / F.sqrt((rss / (md - 1)) / s2), 6),
+        ).alias("eg_t_stat"),
+    )
