@@ -305,3 +305,151 @@ def test_payload_refcount_python_oracle(spark):
         assert r.dup_bytes_saved == saved
         assert r.total_bytes == total
         assert r.savings_ppm == 1_000_000 * saved // total
+
+
+# ---------------------------------------------------------------- deming
+def test_deming_python_oracle(spark):
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    e["d"] = pd.to_datetime(e.ts).dt.date
+    e["cents"] = (e.value * 100).round().astype("int64")
+    s = {
+        t: e[e.event_type == t].groupby("d").cents.sum().sort_index()
+        for t in ("click", "view")
+    }
+    days = sorted(set(s["click"].index) & set(s["view"].index))
+    x = [int(s["click"][d]) for d in days]
+    y = [int(s["view"][d]) for d in days]
+    n = len(x)
+    sx, sy = sum(x), sum(y)
+    vx = n * sum(v * v for v in x) - sx * sx
+    vy = n * sum(v * v for v in y) - sy * sy
+    c = n * sum(a * b for a, b in zip(x, y)) - sx * sy
+    beta = (vy - vx + math.sqrt((vy - vx) ** 2 + 4 * c * c)) / (2 * c)
+    row = all_specs()["ml_deming_regression"].spark(spark, SF).collect()[0]
+    assert row.n_days == n
+    assert row.deming_slope_micro == round(1e6 * beta)
+    assert row.ols_slope_micro == round(1e6 * c / vx)
+    # Deming corrects OLS attenuation: |beta_deming| >= |beta_ols| when
+    # both slopes share a sign (lambda=1, noise in x shrinks OLS)
+    if row.deming_slope_micro * row.ols_slope_micro > 0:
+        assert abs(row.deming_slope_micro) >= abs(row.ols_slope_micro)
+
+
+# ------------------------------------------------------------ MH odds ratio
+def test_mantel_haenszel_python_oracle(spark):
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    has_f = set(o[o.o_orderstatus == "F"].o_custkey)
+    c["exposed"] = (c.c_mktsegment == "BUILDING").astype(int)
+    c["outcome"] = c.c_custkey.isin(has_f).astype(int)
+    sum_ad = sum_bc = n_strata = 0
+    for _, g in c.groupby("c_nationkey"):
+        a = int(((g.exposed == 1) & (g.outcome == 1)).sum())
+        b = int(((g.exposed == 1) & (g.outcome == 0)).sum())
+        cc = int(((g.exposed == 0) & (g.outcome == 1)).sum())
+        d = int(((g.exposed == 0) & (g.outcome == 0)).sum())
+        n = a + b + cc + d
+        if n == 0:
+            continue
+        n_strata += 1
+        sum_ad += round(1e6 * a * d / n)
+        sum_bc += round(1e6 * b * cc / n)
+    row = all_specs()["ml_mantel_haenszel_or"].spark(spark, SF).collect()[0]
+    assert row.n_strata == n_strata
+    assert row.sum_ad_micro == sum_ad
+    assert row.sum_bc_micro == sum_bc
+    if sum_bc:
+        assert row.or_mh_micro == round(1e6 * sum_ad / sum_bc)
+
+
+# -------------------------------------------------------------- log-rank
+def test_logrank_python_oracle(spark):
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+    seg = dict(zip(c.c_custkey, (c.c_mktsegment == "BUILDING").astype(int)))
+    us = pd.to_datetime(e.ts).astype("datetime64[us]").astype("int64")
+    e = e.assign(us=us)
+    end_us = int(e.us.max())
+    day = 86_400_000_000
+    rows = []
+    for uid, g in e.groupby("user_id"):
+        fv = g[g.event_type == "view"].us.min()
+        fp = g[g.event_type == "purchase"].us.min()
+        if pd.isna(fv):
+            continue
+        fv = int(fv)
+        if not pd.isna(fp) and int(fp) >= fv:
+            rows.append(((int(fp) - fv) // day, 1, seg[uid]))
+        else:
+            rows.append(((end_us - fv) // day, 0, seg[uid]))
+    times = sorted({t for t, ev, _ in rows if ev})
+    o1 = e1 = v = 0
+    n_times = 0
+    for t in times:
+        at = [(d, ev, g1) for d, ev, g1 in rows if d >= t]
+        nt = len(at)
+        n1t = sum(1 for d, ev, g1 in at if g1)
+        d1t = sum(1 for d, ev, g1 in at if d == t and ev and g1)
+        dt = sum(1 for d, ev, g1 in at if d == t and ev)
+        n_times += 1
+        o1 += d1t
+        e1 += round(1e6 * dt * n1t / nt)
+        if nt > 1:
+            v += round(
+                1e6 * dt * (n1t / nt) * ((nt - n1t) / nt)
+                * ((nt - dt) / (nt - 1))
+            )
+    row = all_specs()["analytics_logrank_test"].spark(spark, SF).collect()[0]
+    assert row.n_event_times == n_times
+    assert row.o1 == o1
+    assert row.e1_micro == e1
+    assert row.v_micro == v
+    if v > 0:
+        z = ((o1 * 1_000_000 - e1) / 1e6) / math.sqrt(v / 1e6)
+        assert abs(row.logrank_z - z) < 2e-6
+
+
+# ----------------------------------------------------- harmonic centrality
+def test_harmonic_centrality_python_oracle(spark):
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    op = li[["l_orderkey", "l_partkey"]].drop_duplicates()
+    pair_n: Counter = Counter()
+    for _, grp in op.groupby("l_orderkey"):
+        ps = sorted(grp.l_partkey)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_n[(ps[i], ps[j])] += 1
+    edges = {e for e, n in pair_n.items() if n >= 2}
+    adj: defaultdict = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    deg = sorted(adj.items(), key=lambda kv: (-len(kv[1]), kv[0]))
+    lms = [u for u, _ in deg[:8]]
+    harm: Counter = Counter()
+    reach: Counter = Counter()
+    for lm in lms:
+        dist = {lm: 0}
+        frontier = [lm]
+        for d in range(1, 5):
+            nxt = []
+            for u in frontier:
+                for w in adj[u]:
+                    if w not in dist:
+                        dist[w] = d
+                        nxt.append(w)
+            frontier = nxt
+        for node, d in dist.items():
+            if d > 0:
+                harm[node] += 1_000_000 // d
+                reach[node] += 1
+    top = sorted(harm.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    rows = (
+        all_specs()["graph_harmonic_centrality"].spark(spark, SF).collect()
+    )
+    assert len(rows) == 25
+    for rnk, (r, (node, h)) in enumerate(zip(rows, top), start=1):
+        assert r.rnk == rnk
+        assert r.part_node == node
+        assert r.harmonic_micro == h
+        assert r.n_landmarks_reached == reach[node]

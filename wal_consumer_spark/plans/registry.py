@@ -133,6 +133,10 @@ NEXT_WINDOW: list[str] = [
     "graph_eigenvector_centrality",
     "dedup_bbit_minhash_error",
     "multimodal_duplicate_payload_refcount",
+    "ml_deming_regression",
+    "ml_mantel_haenszel_or",
+    "analytics_logrank_test",
+    "graph_harmonic_centrality",
 ]
 
 #: Overflow staging for additions beyond a single round-10 window.
