@@ -214,6 +214,27 @@ PINNED: dict[str, dict[str, int]] = {
         "Sort": 1, "Aggregate": 9, "Project": 23, "Join": 9,
         "Filter": 1, "Union": 7, "LogicalRDD": 17, "Generate": 1,
     },
+    # r12 eigenvector centrality: each |V|-sized score vector is
+    # eagerly checkpointed, so the result plan is the final 3-way
+    # join of LogicalRDD leaves + one broadcast max + the top-20
+    # TakeOrderedAndProject — Joins above 3 or Aggregates above 1 mean
+    # a matvec started recomputing its shuffle once per consumer (the
+    # shape this pin replaced: 8 Joins / 10 Aggregates pre-checkpoint).
+    "graph_eigenvector_centrality": {
+        "Sort": 2, "Project": 8, "Filter": 1, "Window": 1,
+        "GlobalLimit": 1, "LocalLimit": 1, "Join": 3, "LogicalRDD": 4,
+        "Aggregate": 1,
+    },
+    # r12 harmonic centrality: 4 BFS rounds live behind eager
+    # checkpoints (the landmark-distance-profile shape), so the result
+    # plan is one fold over the unioned visited frames — zero Joins; a
+    # Join appearing here means a frontier started re-deriving on
+    # lineage.
+    "graph_harmonic_centrality": {
+        "Sort": 2, "Project": 6, "Filter": 6, "Window": 1,
+        "GlobalLimit": 1, "LocalLimit": 1, "Aggregate": 1, "Union": 1,
+        "LogicalRDD": 5,
+    },
 }
 
 

@@ -14300,7 +14300,14 @@ def graph_eigenvector_centrality(
     adj = e.select(
         F.col("p1").alias("u"), F.col("p2").alias("v")
     ).unionByName(e.select(F.col("p2").alias("u"), F.col("p1").alias("v")))
-    v1 = adj.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("s"))
+    # each score vector is |V|-sized and consumed TWICE (next matvec +
+    # final join) — eager checkpoints make every matvec aggregate run
+    # once instead of once per consumer (plan: 10 -> 4 Aggregates)
+    v1 = (
+        adj.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("s"))
+        .localCheckpoint(eager=True)
+    )
 
     def matvec(v):
         return (
@@ -14310,6 +14317,7 @@ def graph_eigenvector_centrality(
             )
             .groupBy("u")
             .agg(F.sum("vs").cast("long").alias("s"))
+            .localCheckpoint(eager=True)
         )
 
     v2 = matvec(v1)
