@@ -152,6 +152,14 @@ HEADLINE = [
     "agg_hdr_histogram_quantiles",
     "ml_bradley_terry_one_step",
     "graph_wedge_closure_by_degree",
+    # r12 additions (appended only, same continuity rule): four
+    # representatives of the round-12 operator wave — the integer
+    # power iteration, the residual-free cointegration fold, the
+    # compressed-signature dedup audit, and the survival-curve test.
+    "graph_eigenvector_centrality",
+    "ts_engle_granger_cointegration",
+    "dedup_bbit_minhash_error",
+    "analytics_logrank_test",
 ]
 
 #: FROZEN cross-round comparison basis (round-4 VERDICT "What's wrong" #2:

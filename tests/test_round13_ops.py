@@ -453,3 +453,51 @@ def test_harmonic_centrality_python_oracle(spark):
         assert r.part_node == node
         assert r.harmonic_micro == h
         assert r.n_landmarks_reached == reach[node]
+
+
+# ----------------------------------------------------------- page-hinkley
+def test_page_hinkley_python_oracle(spark):
+    y = _daily_cents()
+    rows = all_specs()["ts_page_hinkley_drift"].spark(spark, SF).collect()
+    assert len(rows) == len(y)
+    cum = 0
+    m_t = 0
+    m_min = 0
+    for i, r in enumerate(rows):
+        cum += y[i]
+        dev = round(1e6 * (y[i] - cum / (i + 1)))
+        m_t += dev
+        m_min = min(m_min, m_t) if i else m_t
+        assert r.t == i + 1
+        assert r.m_t_micro == m_t
+        assert r.m_min_micro == m_min
+        assert r.ph_stat_micro == m_t - m_min
+        assert r.ph_stat_micro >= 0
+
+
+# ------------------------------------------------------------- aic/bic
+def test_aic_bic_python_oracle(spark):
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o["d"] = pd.to_datetime(o.o_orderdate).dt.date
+    daily = (
+        (o.o_totalprice * 100).round().astype("int64").groupby(o.d).sum()
+    ).sort_index()
+    d0 = daily.index.min()
+    xs = [(d - d0).days for d in daily.index]
+    ys = [int(v) for v in daily]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    vx = n * sum(v * v for v in xs) - sx * sx
+    vy = n * sum(v * v for v in ys) - sy * sy
+    c = n * sum(a * b for a, b in zip(xs, ys)) - sx * sy
+    ssr0_n = (vy / n) / n
+    ssr1_n = (vy / n - c * c / (n * vx)) / n
+    d_aic = n * math.log(ssr0_n / ssr1_n) - 2
+    d_bic = n * math.log(ssr0_n / ssr1_n) - math.log(n)
+    row = all_specs()["ml_aic_bic_trend_compare"].spark(spark, SF).collect()[0]
+    assert row.n_days == n
+    assert abs(row.delta_aic_micro - round(1e6 * d_aic)) <= 1
+    assert abs(row.delta_bic_micro - round(1e6 * d_bic)) <= 1
+    assert row.bic_verdict == ("trend" if d_bic > 0 else "mean-only")
+    # AIC penalizes less than BIC for n >= 8: delta_aic >= delta_bic
+    assert row.delta_aic_micro >= row.delta_bic_micro

@@ -14906,3 +14906,117 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_landmarks_reached",
         "harmonic_micro",
     ).orderBy("rnk")
+
+
+@register(
+    "ml_aic_bic_trend_compare",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS d,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ),
+    t AS (
+        SELECT CAST(datediff('day', (SELECT MIN(d) FROM daily), d)
+                    AS HUGEINT) AS x,
+               CAST(cents AS HUGEINT) AS y
+        FROM daily
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(x * x) AS HUGEINT) AS sxx,
+               CAST(SUM(x * y) AS HUGEINT) AS sxy,
+               CAST(SUM(y * y) AS HUGEINT) AS syy
+        FROM t
+    ),
+    s AS (
+        SELECT CAST(n AS BIGINT) AS n_days,
+               CAST(n AS DOUBLE) AS nd,
+               (CAST(n * syy - sy * sy AS DOUBLE) / n) / n AS ssr0_n,
+               ((CAST(n * syy - sy * sy AS DOUBLE) / n
+                 - CAST(n * sxy - sx * sy AS DOUBLE)
+                   * CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (CAST(n AS DOUBLE)
+                      * CAST(n * sxx - sx * sx AS DOUBLE))) / n) AS ssr1_n
+        FROM m
+        WHERE n * sxx - sx * sx <> 0
+    )
+    SELECT n_days,
+           CASE WHEN ssr1_n <= 0 OR ssr0_n <= 0 THEN NULL ELSE
+           CAST(round(1000000.0
+                * (nd * ln(ssr0_n / ssr1_n) - 2.0)) AS BIGINT)
+           END AS delta_aic_micro,
+           CASE WHEN ssr1_n <= 0 OR ssr0_n <= 0 THEN NULL ELSE
+           CAST(round(1000000.0
+                * (nd * ln(ssr0_n / ssr1_n) - ln(nd))) AS BIGINT)
+           END AS delta_bic_micro,
+           CASE WHEN ssr1_n <= 0 OR ssr0_n <= 0 THEN NULL
+                WHEN nd * ln(ssr0_n / ssr1_n) - ln(nd) > 0
+                THEN 'trend' ELSE 'mean-only' END AS bic_verdict
+    FROM s
+    """,
+    doc="AIC/BIC model comparison of the daily-revenue time-trend OLS "
+        "against the mean-only null: delta_AIC = n ln(SSR0/SSR1) - 2, "
+        "delta_BIC = n ln(SSR0/SSR1) - ln(n) (positive = the trend "
+        "term earns its parameter) — the likelihood-penalty answer to "
+        "'is this trend real?' that complements the significance-style "
+        "tests (ts_mann_kendall_trend, ml_chow_break_test) with the "
+        "model-selection view regulators of forecasting pipelines "
+        "actually apply before adding a term. Both SSRs come from ONE "
+        "exact HUGEINT/DECIMAL(38,0) moment set; the only "
+        "transcendental is ln applied to the identical double ratio on "
+        "both engines (the repo-wide ln-of-same-double convention from "
+        "the LM/entropy family), quantized to 1e-6; degenerate "
+        "variance is NULL-guarded. Plan: one day aggregate + one 1-row "
+        "fold — O(scan). Reference parity: extension surface "
+        "(SURVEY.md §2.B ML rows).",
+)
+def ml_aic_bic_trend_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    mn = daily.agg(F.min("d").alias("d0"))
+    d38 = "decimal(38,0)"
+    t = daily.crossJoin(F.broadcast(mn)).select(
+        F.datediff("d", "d0").cast("long").alias("x"),
+        F.col("cents").alias("y"),
+    )
+    m = t.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(d38)).cast(d38).alias("sx"),
+        F.sum(F.col("y").cast(d38)).cast(d38).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).cast(d38).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).cast(d38).alias("sxy"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).cast(d38).alias("syy"),
+    ).where((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) != 0)
+    n = F.col("n")
+    nd = n.cast("double")
+    vy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    cxy = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ssr0_n = (vy / n) / n
+    ssr1_n = (vy / n - cxy * cxy / (nd * vx)) / n
+    ok = (ssr1_n > 0) & (ssr0_n > 0)
+    dbic = nd * F.log(ssr0_n / ssr1_n) - F.log(nd)
+    return m.select(
+        n.alias("n_days"),
+        F.when(
+            ok,
+            F.round(
+                F.lit(1_000_000.0) * (nd * F.log(ssr0_n / ssr1_n) - 2.0)
+            ).cast("long"),
+        ).alias("delta_aic_micro"),
+        F.when(
+            ok, F.round(F.lit(1_000_000.0) * dbic).cast("long")
+        ).alias("delta_bic_micro"),
+        F.when(~ok, F.lit(None).cast("string"))
+        .when(dbic > 0, "trend")
+        .otherwise("mean-only")
+        .alias("bic_verdict"),
+    )

@@ -137,6 +137,8 @@ NEXT_WINDOW: list[str] = [
     "ml_mantel_haenszel_or",
     "analytics_logrank_test",
     "graph_harmonic_centrality",
+    "ts_page_hinkley_drift",
+    "ml_aic_bic_trend_compare",
 ]
 
 #: Overflow staging for additions beyond a single round-10 window.

@@ -5693,3 +5693,98 @@ def ts_engle_granger_cointegration(
             F.round(gamma / F.sqrt((rss / (md - 1)) / s2), 6),
         ).alias("eg_t_stat"),
     )
+
+
+@register(
+    "ts_page_hinkley_drift",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS TIMESTAMP) AS day,
+               CAST(SUM(CAST(value * 100 AS DECIMAL(18,0))) AS BIGINT)
+                   AS cents
+        FROM daily_src GROUP BY 1
+    ),
+    seq AS (
+        SELECT day, cents,
+               CAST(SUM(cents) OVER w AS BIGINT) AS cum,
+               CAST(COUNT(*) OVER w AS BIGINT) AS t
+        FROM daily
+        WINDOW w AS (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    dev AS (
+        SELECT day, t,
+               CAST(round(1000000.0 * (cents - CAST(cum AS DOUBLE) / t))
+                    AS BIGINT) AS dev_micro
+        FROM seq
+    ),
+    m AS (
+        SELECT day, t,
+               CAST(SUM(dev_micro) OVER w AS BIGINT) AS m_t
+        FROM dev
+        WINDOW w AS (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(CAST(day AS DATE) AS VARCHAR) AS day,
+           CAST(t AS BIGINT) AS t,
+           m_t AS m_t_micro,
+           CAST(MIN(m_t) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS m_min_micro,
+           m_t - CAST(MIN(m_t) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS ph_stat_micro
+    FROM m ORDER BY day
+    """.replace("daily_src", "events"),
+    doc="Page-Hinkley drift statistic on daily revenue: per day, the "
+        "cumulative deviation from the RUNNING mean M_t = sum(x_i - "
+        "mean_i), its running minimum, and PH_t = M_t - min M — the "
+        "sequential change detector streaming systems run where CUSUM "
+        "(ts_changepoint_cusum, which tests against the GLOBAL mean) "
+        "can't wait for the series to end; PH_t exceeding a lambda "
+        "threshold is the classic upward-drift alarm. Each per-day "
+        "deviation (a rational with denominator t) is quantized to "
+        "1e-6 BEFORE the cumulative fold, so every window sum is an "
+        "exact integer on both engines. Plan: one day aggregate + "
+        "three cumulative windows on the bounded day grid — O(scan), "
+        "day-domain state, trivially incremental. Reference parity: "
+        "extension surface (SURVEY.md §2.B time-series rows).",
+)
+def ts_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date("ts").cast("timestamp").alias("day")
+    ).agg(
+        F.sum((F.col("value") * 100).cast("decimal(18,0)"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    seq = daily.select(
+        "day",
+        "cents",
+        F.sum("cents").over(w).cast("long").alias("cum"),
+        F.count(F.lit(1)).over(w).cast("long").alias("t"),
+    )
+    dev = seq.select(
+        "day",
+        "t",
+        F.round(
+            F.lit(1_000_000.0)
+            * (F.col("cents") - F.col("cum").cast("double") / F.col("t"))
+        )
+        .cast("long")
+        .alias("dev_micro"),
+    )
+    m = dev.select(
+        "day", "t", F.sum("dev_micro").over(w).cast("long").alias("m_t")
+    )
+    return m.select(
+        F.col("day").cast("date").cast("string").alias("day"),
+        "t",
+        F.col("m_t").alias("m_t_micro"),
+        F.min("m_t").over(w).cast("long").alias("m_min_micro"),
+        (F.col("m_t") - F.min("m_t").over(w).cast("long")).alias(
+            "ph_stat_micro"
+        ),
+    ).orderBy("day")
