@@ -114,6 +114,16 @@ SHOWCASE = [
     # r11: preference pairs — (source, score-band) windows, no per-source
     # global sort; adjacent pairing keeps pair volume linear
     "pipeline_preference_pair_margin",
+    # r12: eigenvector centrality — checkpointed score vectors make the
+    # result plan 3 joins over LogicalRDD leaves + one broadcast max
+    # (pre-checkpoint shape was 8 joins / 10 aggregates)
+    "graph_eigenvector_centrality",
+    # r12: Engle-Granger — residual-free: two 1-row moment folds
+    # cross-joined (broadcast), all arithmetic in the final project
+    "ts_engle_granger_cointegration",
+    # r12: QTE — per-segment value-domain rank substrate + broadcast
+    # 9-row decile spine; no per-customer global window
+    "analytics_quantile_treatment_effect",
 ]
 
 HEADER = """# PLANS — physical-plan evidence (generated by tools/dump_plans.py)
