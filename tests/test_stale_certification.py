@@ -38,13 +38,26 @@ import stale_audit  # noqa: E402
 
 from wal_consumer_spark.plans.registry import DRIVER_WINDOW  # noqa: E402
 
-#: Round 12: EMPTY. The 31 load_table-only names waived in round 11 are
-#: all re-pinned in the round-12 DRIVER_WINDOW (VERDICT r11 "Next round"
-#: #1) — once CORRECTNESS_r12 lands, every certification in the book is
-#: audit-clean with zero waivers. Keep the mechanism (reason-scoped
-#: set + the tests below) for any future shared-helper change that
-#: flags more names than a window can hold.
-WAIVED_LOAD_TABLE_ONLY: frozenset[str] = frozenset()
+#: Round 12 (optimization round 1): 27 of the 31 load_table-only names
+#: waived in round 11 are re-pinned in the round-12 DRIVER_WINDOW
+#: (VERDICT r11 "Next round" #1). The remaining FOUR stay waived
+#: permanently-with-reason: each returns ZERO rows at the driver's
+#: correctness SF (sf0.01 — verified this round at sf0.001/sf0.01:
+#: selective predicates that only produce rows at sf0.1+), so their r01
+#: green rows are 0-row matches and a re-pin would re-certify the same
+#: vacuous result tests/test_parity.py::
+#: test_driver_window_results_non_degenerate exists to refuse. Their
+#: window slots promote round-12 staged names instead (registry.py).
+#: The waiver stays reason-scoped: any change to these names' own
+#: functions still flags non-waivably.
+WAIVED_LOAD_TABLE_ONLY: frozenset[str] = frozenset(
+    {
+        "join_left_anti",
+        "set_except",
+        "tpch_q20_part_suppliers",
+        "tpch_q22_global_sales_opportunity",
+    }
+)
 
 _LOAD_TABLE_REASON = "wal_consumer_spark.sources.tables.load_table"
 

@@ -88,13 +88,11 @@ DRIVER_WINDOW: list[str] = [
     "distinct_projection",
     "join_cross",
     "join_full_outer",
-    "join_left_anti",
     "join_left_outer",
     "join_left_semi",
     "join_range_band",
     "join_right_outer",
     "join_theta_nonequi",
-    "set_except",
     "set_intersect",
     "set_union_all",
     "sort_multi_nulls",
@@ -110,8 +108,20 @@ DRIVER_WINDOW: list[str] = [
     "tpch_q15_top_supplier",
     "tpch_q16_supplier_part_cnt",
     "tpch_q19_discounted_revenue",
-    "tpch_q20_part_suppliers",
-    "tpch_q22_global_sales_opportunity",
+    # --- round-12 window repair (optimization round 1): 4 of the 31
+    # --- waived re-pins (join_left_anti, set_except,
+    # --- tpch_q20_part_suppliers, tpch_q22_global_sales_opportunity)
+    # --- return ZERO rows at the driver's correctness SF — their r01
+    # --- green rows are 0-row matches, so a re-pin would re-certify the
+    # --- same vacuous result the non-degenerate gate
+    # --- (tests/test_parity.py) exists to refuse. They go back to the
+    # --- reason-scoped waiver list (test_stale_certification.py) and
+    # --- their 4 slots promote the round-12 staged names the HEADLINE
+    # --- bench already represents.
+    "graph_eigenvector_centrality",
+    "ts_engle_granger_cointegration",
+    "dedup_bbit_minhash_error",
+    "analytics_logrank_test",
 ]
 
 #: ROUND-13 STAGING — every operator registered during round 12 AFTER
@@ -122,20 +132,18 @@ DRIVER_WINDOW: list[str] = [
 #: round 13. NB the round-12 window has zero slack (19 staged + 31
 #: re-pins = 50), so EVERY round-12 session addition stages here.
 NEXT_WINDOW: list[str] = [
-    # --- round-12 session additions (certify in round 13) ---
+    # --- round-12 session additions (certify in round 13; four of the
+    # --- original sixteen were promoted into DRIVER_WINDOW above when
+    # --- the vacuous re-pins were swapped out) ---
     "ts_tracking_signal_bias",
     "ts_squared_return_acf",
-    "ts_engle_granger_cointegration",
     "ml_cochran_armitage_trend",
     "ml_chow_break_test",
     "ml_lins_ccc",
     "analytics_quantile_treatment_effect",
-    "graph_eigenvector_centrality",
-    "dedup_bbit_minhash_error",
     "multimodal_duplicate_payload_refcount",
     "ml_deming_regression",
     "ml_mantel_haenszel_or",
-    "analytics_logrank_test",
     "graph_harmonic_centrality",
     "ts_page_hinkley_drift",
     "ml_aic_bic_trend_compare",
