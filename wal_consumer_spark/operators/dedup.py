@@ -48,12 +48,31 @@ def shingle_pairs_jaccard(
     sets). The default sits far above the corpus's observed max DF (25 at
     sf0.1), so results are exactly the uncapped Jaccard there — the cap
     only engages on degenerate corpora.
+
+    r12 optimization (guide §2.3/§2.4): the per-doc shingle-set frame is
+    built ONCE — repartitioned by id first so the CPU-dense interpreted
+    shingling runs cluster-wide instead of at the input's scan
+    parallelism, then checkpointed. word_shingles already array_distincts
+    per row and ids are unique, so the old exploded (doc, shingle)
+    DISTINCT was a redundant full exchange and is gone; set sizes are the
+    map-side size() of the checkpointed array (was a groupBy exchange).
+    Both self-join sides read the df-capped frame from a second
+    checkpoint instead of re-deriving scan+shingle+window per side (the
+    plan previously scanned the corpus 4x per evaluation).
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(tokens(F.col(text_col)), k)).alias("shingle"),
-    ).distinct()
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    sets = (
+        df.repartition(n_part, id_col)
+        .select(
+            F.col(id_col).alias("doc"),
+            word_shingles(tokens(F.col(text_col)), k).alias("__ss"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sh = sets.select("doc", F.explode("__ss").alias("shingle"))
+    sizes = sets.select(
+        "doc", F.size("__ss").cast("long").alias("n_shingles")
+    )
     # window count over the same `shingle` key the self-join shuffles on —
     # the exchange is shared, so the guard costs no extra wide shuffle.
     capped = (
@@ -62,6 +81,7 @@ def shingle_pairs_jaccard(
         )
         .filter(F.col("__df") <= max_df)
         .drop("__df")
+        .localCheckpoint(eager=True)
     )
     a = capped.select(F.col("doc").alias("doc1"), "shingle")
     b = capped.select(F.col("doc").alias("doc2"), "shingle")
@@ -394,6 +414,53 @@ def minhash_near_pairs(
         .groupBy("doc1", "doc2")
         .agg(F.max("est_jaccard").alias("est_jaccard"))
     )
+
+def minhash_candidate_agreement(
+    sigs: DataFrame,
+    agree,
+    bands: int = 4,
+    rows_per_band: int = 8,
+    max_bucket: int = 500,
+) -> DataFrame:
+    """Fused LSH candidates + per-pair signature agreement: the same
+    (doc1, doc2) pairs as ``minhash_candidates`` followed by re-joining
+    `sigs` onto both pair sides, without the pair DISTINCT or either
+    re-join — signatures ride through the band self-join (the
+    minhash_near_pairs discipline) and `agree(sig1, sig2) -> Column`
+    computes the per-pair value inline. Pairs colliding in several bands
+    reduce with a groupBy max; every copy carries the identical value, so
+    the result is bit-equal to the candidates→join formulation (r12
+    optimization, guide §2.4: 3 exchanges removed per consumer). The
+    bucket key stays the non-portable (hashed) production default,
+    exactly as minhash_candidates' sites used."""
+    banded = sigs.select(
+        "doc",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: lsh_band_key(b, rows_per_band),
+            )
+        ).alias("band", "bucket"),
+    ).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+    ).filter(F.col("__n") <= max_bucket).drop("__n")
+    a = banded.select(
+        F.col("doc").alias("doc1"), F.col("sig").alias("sig1"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col("doc").alias("doc2"), F.col("sig").alias("sig2"), "band", "bucket"
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select(
+            "doc1", "doc2", agree(F.col("sig1"), F.col("sig2")).alias("__v")
+        )
+        .groupBy("doc1", "doc2")
+        .agg(F.max("__v").alias("__v"))
+    )
+
 
 def prefix_filtered_jaccard(
     df: DataFrame,

@@ -27,6 +27,7 @@ from wal_consumer_spark.functions.text import (
 )
 from wal_consumer_spark.operators.dedup import (
     exact_dedup,
+    minhash_candidate_agreement,
     minhash_candidates,
     minhash_coeffs,
     minhash_near_pairs,
@@ -5371,31 +5372,28 @@ def _minhash_estimate_error_sql() -> str:
 def dedup_minhash_estimate_error(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signature(docs, "doc_id", "text", portable=True).persist()
-    cand = minhash_candidates(sigs)
-    s1 = sigs.select(F.col("doc").alias("doc1"), F.col("sig").alias("sig1"))
-    s2 = sigs.select(F.col("doc").alias("doc2"), F.col("sig").alias("sig2"))
-    agree = (
-        cand.join(s1, "doc1")
-        .join(s2, "doc2")
-        .select(
-            "doc1",
-            "doc2",
-            F.size(
-                F.filter(
-                    F.zip_with(
-                        "sig1", "sig2", lambda x, y: (x == y).cast("int")
-                    ),
-                    lambda v: v == 1,
-                )
-            )
-            .cast("long")
-            .alias("n_agree"),
-        )
+    # r12: docs spread by id first — the md5 MinHash permutations and the
+    # shingle build below are CPU-dense per-row pipelines that otherwise
+    # run at the input's scan parallelism (one task on a single-row-group
+    # file); the fused band join replaces candidates+distinct+2 sig
+    # re-joins (3 exchanges) with signatures riding the one band exchange.
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
     )
+    sigs = minhash_signature(docs, "doc_id", "text", portable=True)
+    agree = minhash_candidate_agreement(
+        sigs,
+        lambda s1, s2: F.size(
+            F.filter(
+                F.zip_with(s1, s2, lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("long"),
+    ).withColumnRenamed("__v", "n_agree")
     # ONE distinct-shingle build feeds sizes AND the df-capped
-    # intersection self-join (shingle_pairs_jaccard would rebuild it)
+    # intersection self-join (shingle_pairs_jaccard would rebuild it).
+    # word_shingles array_distincts per row and doc ids are unique, so
+    # the exploded frame needs no DISTINCT exchange.
     sh = (
         docs.select(
             F.col("doc_id").alias("doc"),
@@ -5403,7 +5401,6 @@ def dedup_minhash_estimate_error(
                 word_shingles(tokens(F.col("text")), 3)
             ).alias("shingle"),
         )
-        .distinct()
         .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).cast("long").alias("n"))
@@ -5920,31 +5917,22 @@ def multimodal_magic_number_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         "surface (SURVEY.md §2.B dedup rows).",
 )
 def dedup_bbit_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signature(docs, "doc_id", "text", portable=True).persist()
-    cand = minhash_candidates(sigs)
-    s1 = sigs.select(F.col("doc").alias("doc1"), F.col("sig").alias("sig1"))
-    s2 = sigs.select(F.col("doc").alias("doc2"), F.col("sig").alias("sig2"))
-    agree = (
-        cand.join(s1, "doc1")
-        .join(s2, "doc2")
-        .select(
-            "doc1",
-            "doc2",
-            F.size(
-                F.filter(
-                    F.zip_with(
-                        "sig1",
-                        "sig2",
-                        lambda x, y: (x % 2 == y % 2).cast("int"),
-                    ),
-                    lambda v: v == 1,
-                )
-            )
-            .cast("long")
-            .alias("nb"),
-        )
+    # r12: same fused band-join + parallel per-row pipeline shape as
+    # dedup_minhash_estimate_error (see its comment) — only the agreement
+    # expression differs (low-bit parity instead of full equality).
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
     )
+    sigs = minhash_signature(docs, "doc_id", "text", portable=True)
+    agree = minhash_candidate_agreement(
+        sigs,
+        lambda s1, s2: F.size(
+            F.filter(
+                F.zip_with(s1, s2, lambda x, y: (x % 2 == y % 2).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("long"),
+    ).withColumnRenamed("__v", "nb")
     sh = (
         docs.select(
             F.col("doc_id").alias("doc"),
@@ -5952,7 +5940,6 @@ def dedup_bbit_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
                 word_shingles(tokens(F.col("text")), 3)
             ).alias("shingle"),
         )
-        .distinct()
         .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).cast("long").alias("n"))

@@ -1442,8 +1442,16 @@ def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical pair set, ~1 s. The explode volume is the pair count
     # itself (#days^2/2), which the estimator inherently enumerates.
     dmax = pts.agg(F.max("di").alias("dmax"))
+    # The day grid arrives as 1-2 post-aggregation partitions (its byte
+    # volume is trivial), but the explode below fans each day out into
+    # ~#days rows — #days^2/2 codegen'd slope evaluations total. Spreading
+    # the bounded grid round-robin across the cluster first costs a
+    # ~#days-row shuffle and parallelizes the pair stage, which otherwise
+    # runs on as many cores as the grid has partitions (measured at
+    # sf0.1: the whole 2.9M-pair enumeration ran in one task).
     pairs = (
-        pts.crossJoin(F.broadcast(dmax))
+        pts.repartition(pts.sparkSession.sparkContext.defaultParallelism)
+        .crossJoin(F.broadcast(dmax))
         .where(F.col("di") < F.col("dmax"))
         .select(
             "di",
@@ -1605,9 +1613,11 @@ def ts_theil_sen_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     dmax = pts.agg(F.max("di").alias("dmax"))
     # same map-side explode pair generation as the exact variant (no
     # theta-join); the hash gate filters INSIDE the generating projection,
-    # before any shuffle
+    # before any shuffle. Same round-robin spread of the bounded day grid
+    # as the exact variant so the pair enumeration parallelizes.
     sampled = (
-        pts.crossJoin(F.broadcast(dmax))
+        pts.repartition(pts.sparkSession.sparkContext.defaultParallelism)
+        .crossJoin(F.broadcast(dmax))
         .where(F.col("di") < F.col("dmax"))
         .select(
             "di",

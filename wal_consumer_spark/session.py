@@ -56,6 +56,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Parallelism floor for AQE coalescing. The default 1m floor is an
+        # IO-oriented heuristic: it assumes a task that reads <1 MB is not
+        # worth scheduling. The engine's reduce stages are frequently
+        # CPU-dense over FEW bytes (interpreted higher-order expressions:
+        # shingling, MinHash permutations, in-row pair generation), where
+        # byte-based coalescing squeezes a 32-core host down to 2-4 tasks.
+        # 64k keeps those stages at the cluster's parallelism while staying
+        # inert at scale (any real-scale partition is far above 1 MB, so
+        # the floor never engages there; advisory target size unchanged).
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
