@@ -150,15 +150,22 @@ PINNED: dict[str, dict[str, int]] = {
         "Project": 18, "Join": 5, "GlobalLimit": 3, "LocalLimit": 3,
         "Sort": 3, "Aggregate": 4, "Union": 5, "LogicalRDD": 11,
     },
-    # minhash estimator calibration (fresh-JVM 4.03s): persisted
-    # signatures (InMemoryRelation x6 consumers), ONE checkpointed
-    # distinct-shingle build (LogicalRDD) under both the df-cap window
-    # and the sizes aggregate, banded candidates + agree + truth joins.
-    # A second shingle explode (the shingle_pairs_jaccard rebuild this
-    # plan deliberately avoids) adds Generate/Window nodes here.
+    # minhash estimator calibration, r12 fused-band-join shape (fresh-JVM
+    # 3.98s raw at probe 0.301 this host, vs 5.4s in-suite r11): the
+    # signature pipeline rides THROUGH the one band self-join
+    # (minhash_candidate_agreement), so the persisted-signature cache and
+    # both sig re-joins are gone — 9 Joins -> 5, Generates 4 -> 2 (band
+    # posexplode per side), zero InMemoryRelation. The 2
+    # RepartitionByExpression nodes are the scale-adaptive input spreads
+    # (docs before the CPU-dense md5 permutation fold, each side of the
+    # band join); Windows 2 -> 4 because both band sides carry their own
+    # df-cap window over the single shared exchange. A 6th Join or an
+    # InMemoryRelation reappearing means a consumer started re-deriving
+    # signatures.
     "dedup_minhash_estimate_error": {
-        "Aggregate": 7, "Project": 17, "Join": 9, "Generate": 4,
-        "Filter": 12, "InMemoryRelation": 6, "Window": 2, "LogicalRDD": 4,
+        "Aggregate": 5, "Project": 15, "Join": 5, "Filter": 8,
+        "Window": 4, "Generate": 2, "RepartitionByExpression": 2,
+        "LogicalRelation": 2, "LogicalRDD": 4,
     },
     # round-10 pins closing VERDICT r9 "What's wrong" #3 — the last three
     # >=2 s headline plans without a pin or waiver.
@@ -240,6 +247,11 @@ PINNED: dict[str, dict[str, int]] = {
 
 @pytest.mark.parametrize("name", sorted(PINNED))
 def test_plan_fingerprint_pinned(spark, name):
+    # Fingerprint against a clean CacheManager: an earlier pinned query's
+    # .persist() (e.g. dedup_lsh_band_sensitivity's signature frame)
+    # otherwise substitutes InMemoryRelation for the identical subtree in a
+    # LATER query's optimized plan, so the pin would depend on test order.
+    spark.catalog.clearCache()
     df = all_specs()[name].spark(spark, SF_SMOKE)
     assert fingerprint(df) == PINNED[name], (
         f"{name}: optimized-plan shape changed — if intentional, update "

@@ -60,9 +60,10 @@ def shingle_pairs_jaccard(
     checkpoint instead of re-deriving scan+shingle+window per side (the
     plan previously scanned the corpus 4x per evaluation).
     """
-    n_part = df.sparkSession.sparkContext.defaultParallelism
+    from wal_consumer_spark.operators.partitioning import spread_small_input
+
     sets = (
-        df.repartition(n_part, id_col)
+        spread_small_input(df, id_col)
         .select(
             F.col(id_col).alias("doc"),
             word_shingles(tokens(F.col(text_col)), k).alias("__ss"),

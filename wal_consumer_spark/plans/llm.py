@@ -25,6 +25,7 @@ from wal_consumer_spark.functions.text import (
     tokens,
     word_shingles,
 )
+from wal_consumer_spark.operators.partitioning import spread_small_input
 from wal_consumer_spark.operators.dedup import (
     exact_dedup,
     minhash_candidate_agreement,
@@ -222,9 +223,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # relative to the signature compute it parallelizes). The partition count
     # is explicit — AQE would otherwise coalesce the few-MB shuffle to one
     # partition, which is the wrong call for compute-bound maps.
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = spread_small_input(load_table(spark, sf_dir, "documents"), "doc_id")
     # persist: signatures feed both sides of the band self-join — without it
     # the (expensive) shingle+hash expression runs twice.
     sigs = minhash_signature(docs, "doc_id", "text", portable=True).persist()
@@ -387,7 +386,7 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc1", "doc2")
     )
     sigs = minhash_signature(
-        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id"),
+        spread_small_input(docs, "doc_id"),
         "doc_id",
         "text",
         portable=True,
@@ -4610,9 +4609,7 @@ def dedup_lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_pairs_jaccard,
     )
 
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = spread_small_input(load_table(spark, sf_dir, "documents"), "doc_id")
     sigs = minhash_signature(docs, "doc_id", "text", portable=True).persist()
     truth = (
         shingle_pairs_jaccard(docs, "doc_id", "text")
@@ -5377,9 +5374,7 @@ def dedup_minhash_estimate_error(
     # run at the input's scan parallelism (one task on a single-row-group
     # file); the fused band join replaces candidates+distinct+2 sig
     # re-joins (3 exchanges) with signatures riding the one band exchange.
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = spread_small_input(load_table(spark, sf_dir, "documents"), "doc_id")
     sigs = minhash_signature(docs, "doc_id", "text", portable=True)
     agree = minhash_candidate_agreement(
         sigs,
@@ -5920,9 +5915,7 @@ def dedup_bbit_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r12: same fused band-join + parallel per-row pipeline shape as
     # dedup_minhash_estimate_error (see its comment) — only the agreement
     # expression differs (low-bit parity instead of full equality).
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = spread_small_input(load_table(spark, sf_dir, "documents"), "doc_id")
     sigs = minhash_signature(docs, "doc_id", "text", portable=True)
     agree = minhash_candidate_agreement(
         sigs,

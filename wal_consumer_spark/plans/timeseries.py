@@ -1449,8 +1449,10 @@ def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~#days-row shuffle and parallelizes the pair stage, which otherwise
     # runs on as many cores as the grid has partitions (measured at
     # sf0.1: the whole 2.9M-pair enumeration ran in one task).
+    from wal_consumer_spark.operators.partitioning import spread_small_input
+
     pairs = (
-        pts.repartition(pts.sparkSession.sparkContext.defaultParallelism)
+        spread_small_input(pts)
         .crossJoin(F.broadcast(dmax))
         .where(F.col("di") < F.col("dmax"))
         .select(
@@ -1615,8 +1617,10 @@ def ts_theil_sen_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # theta-join); the hash gate filters INSIDE the generating projection,
     # before any shuffle. Same round-robin spread of the bounded day grid
     # as the exact variant so the pair enumeration parallelizes.
+    from wal_consumer_spark.operators.partitioning import spread_small_input
+
     sampled = (
-        pts.repartition(pts.sparkSession.sparkContext.defaultParallelism)
+        spread_small_input(pts)
         .crossJoin(F.broadcast(dmax))
         .where(F.col("di") < F.col("dmax"))
         .select(
