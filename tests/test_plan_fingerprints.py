@@ -119,9 +119,12 @@ PINNED: dict[str, dict[str, int]] = {
     # 4 eager checkpoints (edges/deg/nk/labels -> LogicalRDD leaves) is
     # bounded rollup — 6 Joins total (2 label tags, kmin re-join, deg
     # join, 2 stat cross-joins); a re-derived edge build would multiply
-    # LogicalRDD into Join/Union lineage here.
+    # LogicalRDD into Join/Union lineage here. r12: the edge leaf is now
+    # the shared in-row pair generator (_copurchase_edges) instead of a
+    # private order self-join — one extra Project (the pa/pb alias over
+    # the checkpointed leaf), all other counts unchanged.
     "graph_louvain_first_sweep": {
-        "Project": 9, "Join": 6, "Aggregate": 6, "LogicalRDD": 7,
+        "Project": 10, "Join": 6, "Aggregate": 6, "LogicalRDD": 7,
     },
     # PQ audit AFTER the array-local rewrite: exactly 3 Joins (two
     # assignment passes + r1/r2 merge), ONE Generate (the centroid-mean

@@ -1375,10 +1375,17 @@ def wedge_pairs(e: DataFrame, cap: int = 64) -> tuple[DataFrame, DataFrame]:
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # No (o, p) DISTINCT before the basket build: collect_set in
+    # pair_counts_from_incidence is duplicate-agnostic, so Catalyst's
+    # RemoveRedundantAggregates already folds the distinct away — the
+    # physical plan is byte-identical either way (verified r12,
+    # plans/r12/substrate_support2_edges_{before,after}.txt). Dropping it
+    # in source makes the in-row dedup contract explicit instead of
+    # relying on the optimizer rule.
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    )
     return edges_from_incidence(op)
 
 
@@ -1431,10 +1438,15 @@ def _support2_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one shared order is coincidence; two is signal) and, at scale, cuts
     the edge volume downstream graph passes shuffle. Materialized once
     (the repo's multi-consumer edge-frame rule)."""
+    # Same no-pre-distinct discipline as _copurchase_edges: collect_set
+    # dedups (o, p) per basket (n_o counts baskets), and Catalyst's
+    # RemoveRedundantAggregates was already folding the distinct away —
+    # zero plan diff, bit-identical support counts; the source now states
+    # the contract the optimizer was silently enforcing.
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    )
     return (
         pair_counts_from_incidence(op)
         .where(F.col("n_o") >= 2)
@@ -9899,17 +9911,15 @@ def ml_decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "extension surface (SURVEY.md §2.B graph rows).",
 )
 def graph_louvain_first_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    b = op.select(F.col("o"), F.col("p").alias("p2"))
-    edges = (
-        op.join(b, "o")
-        .where(F.col("p") < F.col("p2"))
-        .select(F.col("p").alias("pa"), F.col("p2").alias("pb"))
-        .distinct()
-        .localCheckpoint(eager=True)  # consumed by deg / m / nb / tagged
+    # r12: the order self-join edge build is replaced by the shared in-row
+    # pair generator (identical distinct edge set, p1 < p2 from the sorted
+    # basket slices; measured 6.1 s vs 2.7 s cold at sf0.1 on the
+    # distinct-edge pass — guide §2.3: the self-join shuffled the (o, p)
+    # incidence twice and joined it against itself, the basket form pays
+    # one groupBy(o) and emits pairs map-side). _copurchase_edges is
+    # already checkpointed for the four consumers below.
+    edges = _copurchase_edges(spark, sf_dir).select(
+        F.col("p1").alias("pa"), F.col("p2").alias("pb")
     )
     deg = (
         edges.select(F.col("pa").alias("v"))
@@ -11006,21 +11016,12 @@ def analytics_kendall_w_concordance(
         "parity: extension surface (SURVEY.md §2.B graph rows).",
 )
 def graph_ego_density_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a = op.select(F.col("o"), F.col("p").alias("p1"))
-    b = op.select(F.col("o"), F.col("p").alias("p2"))
-    e = (
-        a.join(b, "o")
-        .where(F.col("p1") < F.col("p2"))
-        .select("p1", "p2")
-        .distinct()
-        # three consumers (adj's two unions + the among join) — compute
-        # the order self-join once, not per consumer
-        .localCheckpoint(eager=True)
-    )
+    # r12: same swap as graph_louvain_first_sweep — the shared in-row pair
+    # generator replaces the order self-join (identical distinct edge set,
+    # one exchange fewer, map-side pair emission; guide §2.3). The helper
+    # checkpoints once for the three consumers (adj's two unions + the
+    # among join).
+    e = _copurchase_edges(spark, sf_dir)
     adj = e.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionAll(
         e.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
     )
