@@ -1800,13 +1800,24 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "analysis).",
 )
 def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12 rewrite (guide §2.4, §4.1): the agg+join form evaluated the
+    # CPU-dense tokenize+shingle explode TWICE (once feeding the
+    # first_seen aggregate, once as the join probe side — Catalyst does
+    # no cross-join-side CSE) and the scan is a single split at bench
+    # scale, serializing both passes onto one core. min(doc_id) OVER
+    # (PARTITION BY shingle) attaches first_doc with ONE tokenization
+    # pass, one exchange on the same shingle key the join used, and no
+    # join; spread_small_input parallelizes the explode when the scan is
+    # narrower than the cluster (no-op at scale). Identical rows: the
+    # window min equals the joined groupBy-min per shingle occurrence.
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
+    sh = spread_small_input(d, "doc_id").select(
         "doc_id", F.explode(word_shingles(tokens(F.col("text")), 3)).alias("shingle")
     )
-    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     return (
-        sh.join(first_seen, "shingle")
+        sh.withColumn(
+            "first_doc", F.min("doc_id").over(Window.partitionBy("shingle"))
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_shingles"),
