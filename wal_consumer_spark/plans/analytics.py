@@ -9546,40 +9546,56 @@ def analytics_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         "extension surface (SURVEY.md §2.B analytics).",
 )
 def analytics_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12 rewrite (guide §2.4 — share one user_id exchange; §5 — cut
+    # lineage ahead of multiple consumers). The fp-aggregate + theta-join
+    # form shuffled user-keyed event data three times (purchase-filter
+    # agg, both join sides) and, because m was un-checkpointed, ran the
+    # whole pipeline TWICE (v's broadcast build + tot's n_converted).
+    # first-purchase ts is now a window min over ONE user_id exchange;
+    # the mask aggregate reuses that partitioning (no new shuffle), the
+    # per-event-time gate moves into the conditional max, and m (<= 16
+    # rows) is eagerly checkpointed for its two consumers. Identical
+    # masks: 'purchase' is not a channel bit and no purchase row passes
+    # ts < fp_ts, so folding the type filter into the conditional agg
+    # drops nothing the join form kept.
     e = load_table(spark, sf_dir, "events")
-    fp = (
-        e.where(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("fp_ts"))
-    )
     bits = {"click": 1, "error": 2, "signup": 4, "view": 8}
-    exposure = (
-        fp.join(
-            e.where(F.col("event_type") != "purchase").select(
-                F.col("user_id").alias("e_user"), "event_type", "ts"
-            ),
-            (F.col("e_user") == F.col("user_id")) & (F.col("ts") < F.col("fp_ts")),
-            "left",
+    w_user = Window.partitionBy("user_id")
+    tagged = (
+        e.select("user_id", "event_type", "ts")
+        .withColumn(
+            "fp_ts",
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).over(w_user),
         )
-        .groupBy("user_id")
-        .agg(
-            sum(
-                [
-                    b
-                    * F.coalesce(
-                        F.max(F.when(F.col("event_type") == t, F.lit(1))),
-                        F.lit(0),
-                    )
-                    for t, b in bits.items()
-                ],
-                start=F.lit(0),
-            )
-            .cast("long")
-            .alias("mask")
-        )
+        .where(F.col("fp_ts").isNotNull())
     )
-    m = exposure.groupBy("mask").agg(
-        F.count(F.lit(1)).cast("long").alias("n_users")
+    exposure = tagged.groupBy("user_id").agg(
+        sum(
+            [
+                b
+                * F.coalesce(
+                    F.max(
+                        F.when(
+                            (F.col("event_type") == t)
+                            & (F.col("ts") < F.col("fp_ts")),
+                            F.lit(1),
+                        )
+                    ),
+                    F.lit(0),
+                )
+                for t, b in bits.items()
+            ],
+            start=F.lit(0),
+        )
+        .cast("long")
+        .alias("mask")
+    )
+    m = (
+        exposure.groupBy("mask")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .localCheckpoint(eager=True)  # <= 16 rows, 2 consumers (v, tot)
     )
     subsets = spark.range(16).select(F.col("id").cast("long").alias("s"))
     v = (
