@@ -145,15 +145,39 @@ def minhash_signature(
     so a DuckDB oracle can replay the full signature pipeline. The
     permutation family is already portable integer arithmetic either way.
     """
+    return minhash_signature_from_shingles(
+        df,
+        id_col,
+        word_shingles(tokens(F.col(text_col)), k),
+        num_perm=num_perm,
+        seed=seed,
+        portable=portable,
+    )
+
+
+def minhash_signature_from_shingles(
+    df: DataFrame,
+    id_col: str,
+    shingles,
+    num_perm: int = 32,
+    seed: int = 7,
+    portable: bool = False,
+) -> DataFrame:
+    """`minhash_signature` over a pre-built shingle-array Column — the
+    exact same expression tree, with the tokenize+shingle step factored
+    out so a caller that needs the shingle arrays for OTHER consumers
+    too (e.g. an exact-Jaccard truth build) can compute them once,
+    checkpoint, and derive signatures array-locally from the
+    materialized frame instead of re-tokenizing the corpus (r12,
+    guide §1.2/§4.1: the tokenization is the shared heavy per-row
+    stage). `shingles` is a Column (array<string>) or column name."""
     coeffs = minhash_coeffs(num_perm, seed)
     if portable:
         sh_hash = lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")  # noqa: E731
     else:
         sh_hash = lambda x: F.xxhash64(x).bitwiseAND(F.lit(4294967295))  # noqa: E731
-    sh_hashes = F.transform(
-        word_shingles(tokens(F.col(text_col)), k),
-        sh_hash,
-    )
+    shingles = F.col(shingles) if isinstance(shingles, str) else shingles
+    sh_hashes = F.transform(shingles, sh_hash)
     # (a_i, b_i) as one literal array-of-pairs: a single nested transform
     # keeps the expression tree ~num_perm times smaller than unrolling, which
     # cuts Catalyst planning time without changing the per-element work.

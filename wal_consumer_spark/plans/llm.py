@@ -34,6 +34,7 @@ from wal_consumer_spark.operators.dedup import (
     minhash_near_pairs,
     minhash_jaccard_estimate,
     minhash_signature,
+    minhash_signature_from_shingles,
     prefix_filtered_jaccard,
     shingle_pairs_jaccard,
     simhash64,
@@ -5923,11 +5924,26 @@ def multimodal_magic_number_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         "surface (SURVEY.md §2.B dedup rows).",
 )
 def dedup_bbit_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # r12: same fused band-join + parallel per-row pipeline shape as
-    # dedup_minhash_estimate_error (see its comment) — only the agreement
-    # expression differs (low-bit parity instead of full equality).
+    # r12 restructure (guide §1.2, §2.4, §5): ONE tokenization for the
+    # whole audit. The per-doc shingle ARRAY is built once (input spread
+    # widens the one-split scan) and checkpointed; the signature pipeline
+    # derives array-locally from that leaf and is itself checkpointed
+    # (5k rows x 32 longs) so the fused band self-join's two sides read
+    # a tiny LogicalRDD instead of re-running md5 + 32 permutations per
+    # side; the truth side explodes the same leaf (was: a second
+    # tokenize+explode), takes set sizes map-side via size(__ss) (was: a
+    # full groupBy exchange over the shingle stream), and checkpoints the
+    # df-capped frame so the self-join does not re-run the window per
+    # side. Same values everywhere: word_shingles is per-row distinct, so
+    # occurrence counts == set sizes.
     docs = spread_small_input(load_table(spark, sf_dir, "documents"), "doc_id")
-    sigs = minhash_signature(docs, "doc_id", "text", portable=True)
+    sets = docs.select(
+        F.col("doc_id").alias("doc"),
+        word_shingles(tokens(F.col("text")), 3).alias("__ss"),
+    ).localCheckpoint(eager=True)
+    sigs = minhash_signature_from_shingles(
+        sets, "doc", "__ss", portable=True
+    ).localCheckpoint(eager=True)
     agree = minhash_candidate_agreement(
         sigs,
         lambda s1, s2: F.size(
@@ -5937,22 +5953,15 @@ def dedup_bbit_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("long"),
     ).withColumnRenamed("__v", "nb")
-    sh = (
-        docs.select(
-            F.col("doc_id").alias("doc"),
-            F.explode(
-                word_shingles(tokens(F.col("text")), 3)
-            ).alias("shingle"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sh = sets.select("doc", F.explode("__ss").alias("shingle"))
+    sizes = sets.select("doc", F.size("__ss").cast("long").alias("n"))
     capped = (
         sh.withColumn(
             "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
         )
         .filter(F.col("__df") <= 1000)
         .drop("__df")
+        .localCheckpoint(eager=True)
     )
     sa = capped.select(F.col("doc").alias("doc1"), "shingle")
     sb = capped.select(F.col("doc").alias("doc2"), "shingle")
