@@ -153,35 +153,38 @@ PINNED: dict[str, dict[str, int]] = {
         "Project": 18, "Join": 5, "GlobalLimit": 3, "LocalLimit": 3,
         "Sort": 3, "Aggregate": 4, "Union": 5, "LogicalRDD": 11,
     },
-    # minhash estimator calibration, r12 fused-band-join shape (fresh-JVM
-    # 3.98s raw at probe 0.301 this host, vs 5.4s in-suite r11): the
-    # signature pipeline rides THROUGH the one band self-join
-    # (minhash_candidate_agreement), so the persisted-signature cache and
-    # both sig re-joins are gone — 9 Joins -> 5, Generates 4 -> 2 (band
-    # posexplode per side), zero InMemoryRelation. The 2
-    # RepartitionByExpression nodes are the scale-adaptive input spreads
-    # (docs before the CPU-dense md5 permutation fold, each side of the
-    # band join); Windows 2 -> 4 because both band sides carry their own
-    # df-cap window over the single shared exchange. A 6th Join or an
-    # InMemoryRelation reappearing means a consumer started re-deriving
-    # signatures.
+    # minhash estimator calibration, r12 second pass (fresh-JVM A/B
+    # matched probes: 5.03s -> 4.22s): ONE tokenization — the shingle
+    # ARRAY frame is checkpointed, signatures derive array-locally from
+    # it and are themselves checkpointed ahead of the fused band join, so
+    # the result plan holds ZERO parquet scans and zero
+    # RepartitionByExpression (the input spread happens before the sets
+    # checkpoint); Windows 4 -> 2 (the df-cap window moved pre-checkpoint
+    # — band-cap windows remain, one per band side over the sig leaf);
+    # Aggregates 5 -> 3 (set sizes are now map-side size(__ss), not a
+    # groupBy per consumer). A LogicalRelation reappearing means a
+    # consumer started re-tokenizing the corpus; a 6th Join means sig
+    # re-joins came back.
     "dedup_minhash_estimate_error": {
-        "Aggregate": 5, "Project": 15, "Join": 5, "Filter": 8,
-        "Window": 4, "Generate": 2, "RepartitionByExpression": 2,
-        "LogicalRelation": 2, "LogicalRDD": 4,
+        "Aggregate": 3, "Project": 11, "Join": 5, "Filter": 6,
+        "Window": 2, "Generate": 2, "LogicalRDD": 6,
     },
     # round-10 pins closing VERDICT r9 "What's wrong" #3 — the last three
     # >=2 s headline plans without a pin or waiver.
-    # band sensitivity (fresh-JVM 5.2s, the most expensive headline
-    # query): persisted signatures feed all 3 band configs (2 consumers
-    # each -> InMemoryRelation x6), exact-truth pairs are checkpointed
-    # ONCE (LogicalRDD leaves), and each config contributes exactly
-    # 3 Joins (band candidates + agree + truth left-join) = 9 total. A
-    # 4th Join per config or a 7th InMemoryRelation consumer means a
-    # config started rebuilding signatures or truth on lineage.
+    # band sensitivity (r12 second pass; fresh-JVM A/B pairs: after
+    # 6.77/4.37 vs before 6.33/8.12, after's samples far tighter — the
+    # persist path showed 17-20s outliers): ONE tokenization feeds both
+    # the signature build and the exact-Jaccard truth (shared checkpointed
+    # shingle-array frame), and signatures are localCheckpoint'ed instead
+    # of persist()ed — InMemoryRelation x6 -> 0, LogicalRDD 6 -> 12 (the
+    # 6 sig-leaf consumers: 3 configs x 2 band sides). Each config still
+    # contributes exactly 3 Joins (band candidates + agree + truth
+    # left-join) = 9 total. An InMemoryRelation reappearing means persist
+    # came back; a 4th Join per config means a config started rebuilding
+    # signatures or truth on lineage.
     "dedup_lsh_band_sensitivity": {
         "Union": 1, "Project": 21, "Join": 9, "Aggregate": 9, "Filter": 6,
-        "Window": 6, "Generate": 6, "InMemoryRelation": 6, "LogicalRDD": 6,
+        "Window": 6, "Generate": 6, "LogicalRDD": 12,
     },
     # soft-dedup ESS (fresh-JVM 4.7s): CC labels arrive checkpointed
     # (LogicalRDD leaves — the shared df-capped candidate join is spent

@@ -70,6 +70,19 @@ def shingle_pairs_jaccard(
         )
         .localCheckpoint(eager=True)
     )
+    return shingle_pairs_jaccard_from_sets(sets, max_df=max_df)
+
+
+def shingle_pairs_jaccard_from_sets(
+    sets: DataFrame, max_df: int = 1000
+) -> DataFrame:
+    """`shingle_pairs_jaccard` over a pre-materialized (doc, __ss)
+    shingle-array frame — factored out (r12) so a caller that already
+    pays the tokenize+shingle checkpoint for other consumers (e.g. a
+    MinHash signature build in the same audit) shares ONE tokenization
+    instead of rebuilding the arrays here. `sets` must be checkpointed/
+    cheap-to-rescan: it is consumed by the explode below and the
+    map-side size() projection."""
     sh = sets.select("doc", F.explode("__ss").alias("shingle"))
     sizes = sets.select(
         "doc", F.size("__ss").cast("long").alias("n_shingles")

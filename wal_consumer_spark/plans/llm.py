@@ -4617,14 +4617,27 @@ def _lsh_band_sensitivity_sql() -> str:
 def dedup_lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wal_consumer_spark.operators.dedup import (
         minhash_near_pairs,
-        minhash_signature,
-        shingle_pairs_jaccard,
+        shingle_pairs_jaccard_from_sets,
     )
 
+    # r12 (guide §1.2/§5): ONE tokenization feeds both the signature
+    # build and the exact-Jaccard truth (was: minhash_signature and
+    # shingle_pairs_jaccard each re-tokenized the corpus). Signatures are
+    # localCheckpoint'ed instead of persist()ed: same
+    # materialize-once-for-6-consumers effect (3 configs x 2 band sides),
+    # but the plan reads a LogicalRDD leaf rather than re-deriving the
+    # scan+md5 lineage under an InMemoryRelation, and nothing is left
+    # registered in the CacheManager to bleed into later queries.
     docs = spread_small_input(load_table(spark, sf_dir, "documents"), "doc_id")
-    sigs = minhash_signature(docs, "doc_id", "text", portable=True).persist()
+    sets = docs.select(
+        F.col("doc_id").alias("doc"),
+        word_shingles(tokens(F.col("text")), 3).alias("__ss"),
+    ).localCheckpoint(eager=True)
+    sigs = minhash_signature_from_shingles(
+        sets, "doc", "__ss", portable=True
+    ).localCheckpoint(eager=True)
     truth = (
-        shingle_pairs_jaccard(docs, "doc_id", "text")
+        shingle_pairs_jaccard_from_sets(sets)
         .filter(F.col("jaccard") >= 0.5)
         .select("doc1", "doc2")
         .localCheckpoint(eager=True)  # three config joins consume it
@@ -5381,13 +5394,25 @@ def _minhash_estimate_error_sql() -> str:
 def dedup_minhash_estimate_error(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    # r12: docs spread by id first — the md5 MinHash permutations and the
-    # shingle build below are CPU-dense per-row pipelines that otherwise
-    # run at the input's scan parallelism (one task on a single-row-group
-    # file); the fused band join replaces candidates+distinct+2 sig
-    # re-joins (3 exchanges) with signatures riding the one band exchange.
+    # r12 (second pass — same restructure as dedup_bbit_minhash_error,
+    # guide §1.2/§5): ONE tokenization for the whole audit. The per-doc
+    # shingle array is checkpointed once (docs spread by id first — the
+    # md5 permutations and shingling are CPU-dense per-row pipelines that
+    # otherwise run at a one-split scan's parallelism); signatures derive
+    # array-locally from that leaf and are checkpointed so the fused band
+    # join's two sides read 5k rows x 32 longs instead of re-running
+    # md5 + 32 permutations per side; the truth side explodes the same
+    # leaf, takes set sizes map-side (word_shingles array_distincts per
+    # row, so size(__ss) == the occurrence count), and checkpoints the
+    # df-capped frame (window once, not per self-join side).
     docs = spread_small_input(load_table(spark, sf_dir, "documents"), "doc_id")
-    sigs = minhash_signature(docs, "doc_id", "text", portable=True)
+    sets = docs.select(
+        F.col("doc_id").alias("doc"),
+        word_shingles(tokens(F.col("text")), 3).alias("__ss"),
+    ).localCheckpoint(eager=True)
+    sigs = minhash_signature_from_shingles(
+        sets, "doc", "__ss", portable=True
+    ).localCheckpoint(eager=True)
     agree = minhash_candidate_agreement(
         sigs,
         lambda s1, s2: F.size(
@@ -5397,26 +5422,15 @@ def dedup_minhash_estimate_error(
             )
         ).cast("long"),
     ).withColumnRenamed("__v", "n_agree")
-    # ONE distinct-shingle build feeds sizes AND the df-capped
-    # intersection self-join (shingle_pairs_jaccard would rebuild it).
-    # word_shingles array_distincts per row and doc ids are unique, so
-    # the exploded frame needs no DISTINCT exchange.
-    sh = (
-        docs.select(
-            F.col("doc_id").alias("doc"),
-            F.explode(
-                word_shingles(tokens(F.col("text")), 3)
-            ).alias("shingle"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sh = sets.select("doc", F.explode("__ss").alias("shingle"))
+    sizes = sets.select("doc", F.size("__ss").cast("long").alias("n"))
     capped = (
         sh.withColumn(
             "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
         )
         .filter(F.col("__df") <= 1000)
         .drop("__df")
+        .localCheckpoint(eager=True)
     )
     sa = capped.select(F.col("doc").alias("doc1"), "shingle")
     sb = capped.select(F.col("doc").alias("doc2"), "shingle")
