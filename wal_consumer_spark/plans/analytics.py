@@ -1254,8 +1254,23 @@ def pair_counts_from_incidence(op: DataFrame) -> DataFrame:
     the previous all-pairs-then-filter form allocated k^2 structs and
     ran a k^2-element filter lambda per basket in the interpreted HOF
     evaluator (r12 optimization: ~12% off the substrate build at sf0.1,
-    identical pair set verified by symmetric exceptAll)."""
-    baskets = op.groupBy("o").agg(F.array_sort(F.collect_set("p")).alias("ps"))
+    identical pair set verified by symmetric exceptAll).
+
+    r12 second pass (guide §2.5 input skew / §4-style CPU spreading):
+    the incidence is spread by the basket key before the groupBy when
+    its scan is narrower than the cluster — the map-side collect_set
+    partial aggregation is the CPU-dense stage of this build and
+    otherwise runs at the scan's split count (measured: lineitem at
+    bench SF is 3 splits, so 3 of 32 cores did the basket build,
+    2.7 s -> the keyed spread reuses the groupBy exchange and is a
+    no-op on any well-partitioned input at scale)."""
+    from wal_consumer_spark.operators.partitioning import spread_small_input
+
+    baskets = (
+        spread_small_input(op, "o")
+        .groupBy("o")
+        .agg(F.array_sort(F.collect_set("p")).alias("ps"))
+    )
     pairs = baskets.select(
         F.explode(
             F.expr(
