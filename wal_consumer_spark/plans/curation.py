@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wal_consumer_spark.operators.broadcast import maybe_broadcast
+from wal_consumer_spark.operators.partitioning import spread_small_input
 from wal_consumer_spark.functions.text import lexicon_hits, tokens, word_shingles
 from wal_consumer_spark.functions.text import let  # noqa: F401  (re-export convenience)
 from wal_consumer_spark.plans.registry import register
@@ -2072,35 +2073,53 @@ _DSIR_BUCKET_SQL = (
         ),
 )
 def pipeline_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12 (guide §2.4/§5): the tokenize+md5 feature stream was evaluated
+    # FIVE times (raw histogram, target histogram, both `tot` aggregates,
+    # final attach join) at the one-split scan's parallelism. Now: spread
+    # the scan, checkpoint the feature stream once, and fuse the raw and
+    # target histograms into ONE aggregation (c_tgt via count_if — a
+    # bucket with no target rows yields 0, exactly what the old left
+    # join's coalesce(c_tgt, 0) produced, so the smoothed ratio is
+    # bit-identical). The tiny bucket histogram is checkpointed for its
+    # two consumers (tot + ratio).
     d = load_table(spark, sf_dir, "documents")
-    feat = d.select(
-        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("t")
-    ).select(
-        "doc_id",
-        "source",
-        (
-            F.conv(F.substring(F.md5("t"), 1, 4), 16, 10).cast("long")
-            % _DSIR_BUCKETS
-        ).alias("b"),
+    feat = (
+        spread_small_input(d, "doc_id")
+        .select(
+            "doc_id", "source", F.explode(tokens(F.col("text"))).alias("t")
+        )
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.conv(F.substring(F.md5("t"), 1, 4), 16, 10).cast("long")
+                % _DSIR_BUCKETS
+            ).alias("b"),
+        )
+        .localCheckpoint(eager=True)
     )
-    raw_p = feat.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("c_raw"))
-    tgt_p = (
-        feat.where(F.col("source") == _DSIR_TARGET_SOURCE)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).cast("long").alias("c_tgt"))
+    hist = (
+        feat.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c_raw"),
+            F.count_if(F.col("source") == _DSIR_TARGET_SOURCE)
+            .cast("long")
+            .alias("c_tgt"),
+        )
+        .localCheckpoint(eager=True)  # <= _DSIR_BUCKETS rows, 2 consumers
     )
-    tot = raw_p.agg(F.sum("c_raw").cast("long").alias("n_raw")).crossJoin(
-        tgt_p.agg(F.sum("c_tgt").cast("long").alias("n_tgt"))
+    tot = hist.agg(
+        F.sum("c_raw").cast("long").alias("n_raw"),
+        F.sum("c_tgt").cast("long").alias("n_tgt"),
     )
     ratio = (
-        raw_p.join(tgt_p, "b", "left")
-        .crossJoin(F.broadcast(tot))
+        hist.crossJoin(F.broadcast(tot))
         .select(
             "b",
             F.round(
                 (
                     F.log(
-                        (F.coalesce(F.col("c_tgt"), F.lit(0)) + 1)
+                        (F.col("c_tgt") + 1)
                         / (F.col("n_tgt") + _DSIR_BUCKETS).cast("double")
                     )
                     - F.log(

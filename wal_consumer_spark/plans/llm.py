@@ -277,7 +277,11 @@ _SIMHASH_SQL = f"""
         "(production default: 64-bit xxhash64, same plan).",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # r12: spread the one-split documents scan before the fingerprint
+    # pipeline — tokenize + per-token md5 + the Arrow bit-scoring kernel
+    # otherwise all run in a single task (guide §4: the Python-boundary
+    # stage inherits the scan's parallelism). No-op at scale.
+    docs = spread_small_input(load_table(spark, sf_dir, "documents"), "doc_id")
     fps = simhash64(docs, "doc_id", "text", portable=True)
     return simhash_near_pairs(fps, max_hamming=8, n_chunks=4, chunk_bits=15)
 

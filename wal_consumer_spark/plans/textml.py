@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wal_consumer_spark.operators.broadcast import maybe_broadcast
+from wal_consumer_spark.operators.partitioning import spread_small_input
 from wal_consumer_spark.functions.text import LANG_LEXICONS, tokens, word_shingles
 from wal_consumer_spark.plans.registry import register
 from wal_consumer_spark.sources.tables import load_table
@@ -505,21 +506,34 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "extension surface (SURVEY.md §2.B text analysis).",
 )
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12 (guide §2.4/§5): the tokenize+bigram explode ran once per
+    # consumer of the un-materialized pair stream — big(1), uni via
+    # big(2), vocab via big(3), the attach join(4) — all at the one-split
+    # scan's parallelism. Spread the scan, checkpoint the pair stream
+    # once, and checkpoint the vocabulary^2-bounded bigram table so its
+    # three rollup consumers read a leaf. Identical counts either way.
     d = load_table(spark, sf_dir, "documents")
-    tk = d.select("doc_id", tokens(F.col("text")).alias("t"))
-    pairs = tk.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(slice(t, 1, greatest(size(t) - 1, 0)), "
-                "(w, i) -> struct(w AS w1, element_at(t, i + 2) AS w2))"
-            )
-        ).alias("pr"),
-    ).select("doc_id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
-    # one corpus-sized count; the unigram and vocab tables DERIVE from it
-    # (grouping the pair stream three times would re-explode the corpus
-    # per consumer — big is vocabulary^2-bounded, its rollups are free)
-    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    tk = spread_small_input(d, "doc_id").select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    )
+    pairs = (
+        tk.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, greatest(size(t) - 1, 0)), "
+                    "(w, i) -> struct(w AS w1, element_at(t, i + 2) AS w2))"
+                )
+            ).alias("pr"),
+        )
+        .select("doc_id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+        .localCheckpoint(eager=True)
+    )
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True)
+    )
     uni = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
     v = big.agg(F.countDistinct("w2").alias("vocab"))
     term = F.round(
