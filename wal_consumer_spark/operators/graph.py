@@ -11,7 +11,7 @@ task's memory (unlike label-propagation-by-collect approaches).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -26,40 +26,57 @@ from wal_consumer_spark.operators.broadcast import maybe_broadcast  # noqa: F401
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """Connect every neighbor u > v to v's minimum neighbor (incl. v)."""
+    """Connect every neighbor u > v to v's minimum neighbor (incl. v).
+
+    r12 (guide §2.4 — two operations keyed the same way share one
+    exchange): the per-node minimum is a same-key window over the
+    neighbor stream instead of a groupBy + join back on `src` — one
+    exchange of the doubled edge frame instead of two plus a join build.
+    The output is NOT distinct'ed here: _small_star (always applied
+    right after) canonicalizes and distincts its own output, and its
+    per-node window minimum is duplicate-agnostic, so the intermediate
+    dedup shuffle bought nothing (the round's edge set — what the
+    convergence checksum compares — is identical)."""
     nbrs = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    m = nbrs.groupBy("src").agg(F.min("dst").alias("mn"))
+    mn = F.min("dst").over(Window.partitionBy("src"))
     return (
-        nbrs.join(m, "src")
+        nbrs.withColumn("mn", mn)
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.least("mn", F.col("src")).alias("dst"))
-        .distinct()
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
-    """For each node, connect all smaller neighbors to the minimum one."""
+    """For each node, connect all smaller neighbors to the minimum one.
+
+    Same window-for-groupBy-join rewrite as _large_star, and the two
+    output branches (smaller-neighbor -> min, node -> min) are emitted
+    in one pass as a 2-element in-row explode instead of two joins
+    unioned — the (src, mn) branch appears once per adjacency row
+    rather than once per node, exactly as the old join form did, and
+    the trailing distinct collapses both identically."""
     canon = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     )
-    m = canon.groupBy("src").agg(F.min("dst").alias("mn"))
+    mn = F.min("dst").over(Window.partitionBy("src"))
     return (
-        canon.join(m, "src")
+        canon.withColumn("mn", mn)
         .select(
-            F.col("dst").alias("a"),
-            F.col("mn").alias("b"),
-            F.col("src").alias("orig_src"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.greatest("dst", "mn").alias("s"),
+                        F.least("dst", "mn").alias("d"),
+                    ),
+                    F.struct(
+                        F.col("src").alias("s"), F.col("mn").alias("d")
+                    ),
+                )
+            ).alias("e")
         )
-        .select(
-            F.greatest("a", "b").alias("src"), F.least("a", "b").alias("dst")
-        )
-        .unionByName(
-            canon.join(m, "src").select(
-                F.col("src").alias("src"), F.col("mn").alias("dst")
-            )
-        )
+        .select(F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
