@@ -61,12 +61,16 @@ PINNED: dict[str, dict[str, int]] = {
         "Join": 3, "Aggregate": 4, "Project": 6, "LogicalRDD": 1,
         "InMemoryRelation": 3, "Filter": 3, "Window": 3,
     },
-    # 3 synchronized Hash-Min rounds, lineage truncated per round: the
-    # plan is the fixed 3-round expansion over checkpointed leaves — a
-    # 4th round (or un-truncated lineage) changes these counts.
+    # 3 synchronized Hash-Min rounds, re-pinned r12: labels propagate as
+    # alternating same-key window minima carried on the symmetric
+    # adjacency stream (l1/l2 in both orientations + l3 per-u = 4 Window
+    # stages, one exchange each, zero joins — the aggregate-and-join
+    # round form this replaced pinned 7 Joins / 17 Aggregates; bench_one
+    # 3.11 -> 2.76 s on a worse probe). A Join appearing here means a
+    # round went back to joining the label table onto the adjacency.
     "graph_label_propagation": {
-        "Aggregate": 17, "Union": 22, "Project": 37, "Join": 7,
-        "LogicalRDD": 30,
+        "Aggregate": 3, "Union": 1, "Project": 7, "Window": 4,
+        "LogicalRDD": 2,
     },
     # k-truss: support recount ONLY on checkpointed survivor frames
     # (LogicalRDD leaves); recounting on the un-checkpointed lineage
@@ -97,14 +101,15 @@ PINNED: dict[str, dict[str, int]] = {
         "Project": 11, "Join": 4, "LogicalRelation": 1, "Union": 2,
         "LogicalRDD": 6, "Aggregate": 3,
     },
-    # round-9 pins closing the >=2 s tier (VERDICT r8 stretch #9):
-    # HITS power iterations read CHECKPOINTED score frames (LogicalRDD
-    # leaves) and the result is a TakeOrderedAndProject top-k over the
-    # final join — an extra Join/Aggregate means an iteration started
-    # recomputing scores on lineage.
+    # round-9 pin, re-pinned r12: the power iterations are now FOUR
+    # alternating same-key windows over the single checkpointed edge
+    # leaf (h1/a1/h2/a2 attach in place — one exchange per round, zero
+    # joins; bench_one 4.31 s -> 2.88 s on a worse probe) + one W(i)-
+    # partitioning-reusing rollup + TakeOrderedAndProject. A Join
+    # appearing here means a round went back to aggregate-and-join.
     "graph_hits_hubs_authorities": {
-        "GlobalLimit": 1, "LocalLimit": 1, "Sort": 1, "Aggregate": 4,
-        "Project": 4, "Join": 3, "Filter": 4, "LogicalRDD": 4,
+        "GlobalLimit": 1, "LocalLimit": 1, "Sort": 1, "Aggregate": 1,
+        "Project": 4, "Window": 4, "LogicalRDD": 1,
     },
     # embedding near-dup: LSH bucket equi-join candidates (checkpointed
     # base), exactly 2 Arrow-vectorized cosine evals and 2 Generates
@@ -227,16 +232,19 @@ PINNED: dict[str, dict[str, int]] = {
         "Sort": 1, "Aggregate": 9, "Project": 23, "Join": 9,
         "Filter": 1, "Union": 7, "LogicalRDD": 17, "Generate": 1,
     },
-    # r12 eigenvector centrality: each |V|-sized score vector is
-    # eagerly checkpointed, so the result plan is the final 3-way
-    # join of LogicalRDD leaves + one broadcast max + the top-20
-    # TakeOrderedAndProject — Joins above 3 or Aggregates above 1 mean
-    # a matvec started recomputing its shuffle once per consumer (the
-    # shape this pin replaced: 8 Joins / 10 Aggregates pre-checkpoint).
+    # r12 eigenvector centrality, re-pinned late-r12: the three matvec
+    # rounds are alternating same-key windows carried on the symmetric
+    # adjacency (4 Window stages per consumption; the per_node rollup
+    # feeds mx's broadcast build AND the top-20, hence Window 8 = 4 x 2
+    # — measured faster than an eager checkpoint of the rollup, see the
+    # plan comment; bench_one 3.84 -> 2.95 s on a worse probe). The one
+    # Join is the broadcast mx attach; more Joins mean a matvec went
+    # back to aggregate-and-join; a global-sort Window would mean the
+    # rank reverted from TakeOrderedAndProject-then-rank.
     "graph_eigenvector_centrality": {
-        "Sort": 2, "Project": 8, "Filter": 1, "Window": 1,
-        "GlobalLimit": 1, "LocalLimit": 1, "Join": 3, "LogicalRDD": 4,
-        "Aggregate": 1,
+        "Sort": 2, "Project": 13, "Window": 8, "GlobalLimit": 1,
+        "LocalLimit": 1, "Join": 1, "Aggregate": 3, "Union": 2,
+        "LogicalRDD": 4,
     },
     # r12 harmonic centrality: 4 BFS rounds live behind eager
     # checkpoints (the landmark-distance-profile shape), so the result

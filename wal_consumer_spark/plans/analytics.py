@@ -1695,32 +1695,26 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _support2_copurchase_edges(spark, sf_dir)
     adj, _ = adjacency_degrees(e)
-    labels = adj.select("u").distinct().select(
-        "u", F.col("u").alias("lbl")
+    # r12 (guide §2.4 — same-key windows replace aggregate + join-back):
+    # each Hash-Min round joined the |V|-sized label table back onto the
+    # adjacency (a join + an aggregation per round). On the SYMMETRIC
+    # stream the neighbor's label attaches in place: the round's label
+    # under BOTH orientations is carried as row columns (lbl_u keyed by
+    # u, lbl_v its mirror keyed by v), and round r is one window min —
+    # l_r(u) = least(l_{r-1}(u), min(l_{r-1}(v)) over W(u)) — exactly
+    # the min-over-(own ∪ neighbors) update, with one exchange per
+    # orientation refresh and zero joins. Three synchronized rounds need
+    # l1/l2 in both orientations and l3 only per-u: four alternating
+    # window stages; the final per-node rollup reuses W(u).
+    wu, wv = Window.partitionBy("u"), Window.partitionBy("v")
+    scored = (
+        adj.withColumn("l1v", F.least("v", F.min("u").over(wv)))
+        .withColumn("l1u", F.least("u", F.min("v").over(wu)))
+        .withColumn("l2u", F.least("l1u", F.min("l1v").over(wu)))
+        .withColumn("l2v", F.least("l1v", F.min("l1u").over(wv)))
+        .withColumn("l3u", F.least("l2u", F.min("l2v").over(wu)))
     )
-    # each round is ONE aggregation: min over (own label UNION neighbor
-    # labels). The round's label table feeds both next-round consumers
-    # (join side + union side) from the same aggregate subtree, which
-    # Catalyst plans as a ReusedExchange — no per-round checkpoint jobs
-    # needed at a fixed 3 rounds (the convergence-loop variant in
-    # operators/graph.py checkpoints per round because its round count is
-    # unbounded); adj itself reads the eagerly-checkpointed edge frame,
-    # so the expensive support-2 build is never recomputed across rounds.
-    for _ in range(3):
-        labels = (
-            adj.join(
-                labels.select(
-                    F.col("u").alias("v"), F.col("lbl").alias("nl")
-                ),
-                "v",
-            )
-            .select("u", "nl")
-            .unionByName(
-                labels.select("u", F.col("lbl").alias("nl"))
-            )
-            .groupBy("u")
-            .agg(F.min("nl").alias("lbl"))
-        )
+    labels = scored.groupBy("u").agg(F.min("l3u").alias("lbl"))
     sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("sz"))
     return sizes.groupBy(
         F.col("sz").cast("long").alias("community_size")
@@ -4404,22 +4398,24 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)  # consumed by 3 rounds
     )
-    h1 = edges.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("h"))
-    a1 = (
-        edges.join(h1, "u")
-        .groupBy("i")
-        .agg(F.sum("h").cast("long").alias("a"))
+    # r12 (guide §2.4 — same-key window replaces groupBy + join back):
+    # each power-iteration round aggregated per node and JOINED the score
+    # back onto the edge stream (2 exchanges + a join per round, edges
+    # shuffled 7x total). The scores attach in place instead: a window
+    # partitioned by the round's key sums the previous round's per-row
+    # score — h1(u) = count over W(u), a1(i) = sum(h1) over W(i),
+    # h2(u) = sum(a1) over W(u), a2(i) = sum(h2) over W(i) — exactly the
+    # bipartite matvec, in exact integer arithmetic, with ONE exchange
+    # per round and zero joins. The final per-part rollup reuses W(i)'s
+    # partitioning (max over rows that all carry the same a2).
+    wu, wi = Window.partitionBy("u"), Window.partitionBy("i")
+    scored = (
+        edges.withColumn("h1", F.count(F.lit(1)).over(wu).cast("long"))
+        .withColumn("a1", F.sum("h1").over(wi).cast("long"))
+        .withColumn("h2", F.sum("a1").over(wu).cast("long"))
+        .withColumn("a2", F.sum("h2").over(wi).cast("long"))
     )
-    h2 = (
-        edges.join(a1, "i")
-        .groupBy("u")
-        .agg(F.sum("a").cast("long").alias("h"))
-    )
-    a2 = (
-        edges.join(h2, "u")
-        .groupBy("i")
-        .agg(F.sum("h").cast("long").alias("a"))
-    )
+    a2 = scored.groupBy("i").agg(F.max("a2").cast("long").alias("a"))
     return (
         a2.select(F.col("i").cast("long").alias("part_key"),
                   F.col("a").alias("authority_score"))
@@ -14340,34 +14336,43 @@ def graph_eigenvector_centrality(
     adj = e.select(
         F.col("p1").alias("u"), F.col("p2").alias("v")
     ).unionByName(e.select(F.col("p2").alias("u"), F.col("p1").alias("v")))
-    # each score vector is |V|-sized and consumed TWICE (next matvec +
-    # final join) — eager checkpoints make every matvec aggregate run
-    # once instead of once per consumer (plan: 10 -> 4 Aggregates)
-    v1 = (
-        adj.groupBy("u")
-        .agg(F.count(F.lit(1)).cast("long").alias("s"))
-        .localCheckpoint(eager=True)
+    # r12 (guide §2.4 — same-key windows replace aggregate + join-back):
+    # each matvec round aggregated a |V|-sized score vector, checkpointed
+    # it, and JOINED it back onto the adjacency. On the SYMMETRIC stream
+    # the neighbor's score attaches in place instead: a window over the
+    # round's key sums the mirror-keyed value from the previous round —
+    # v1_v = deg(v) = count over W(v); v1_u & v2_u = sum(v1_v) over W(u);
+    # v2_v = sum(v1_u) over W(v); v3_u = sum(v2_v) over W(u) — four
+    # alternating exchanges, zero joins, zero checkpoint jobs, exact
+    # integer walk counts identical to the matvec form. The per-node
+    # rollup reuses W(u)'s partitioning.
+    wu, wv = Window.partitionBy("u"), Window.partitionBy("v")
+    scored = (
+        adj.withColumn("v1v", F.count(F.lit(1)).over(wv).cast("long"))
+        .withColumn("v1u", F.count(F.lit(1)).over(wu).cast("long"))
+        .withColumn("v2u", F.sum("v1v").over(wu).cast("long"))
+        .withColumn("v2v", F.sum("v1u").over(wv).cast("long"))
+        .withColumn("v3u", F.sum("v2v").over(wu).cast("long"))
     )
-
-    def matvec(v):
-        return (
-            adj.join(
-                v.select(F.col("u").alias("v"), F.col("s").alias("vs")),
-                "v",
-            )
-            .groupBy("u")
-            .agg(F.sum("vs").cast("long").alias("s"))
-            .localCheckpoint(eager=True)
-        )
-
-    v2 = matvec(v1)
-    v3 = matvec(v2)
-    mx = v3.agg(F.max("s").alias("mx"))
-    ranked = (
-        v3.select("u", F.col("s").alias("walks_3"))
-        .join(v1.select("u", F.col("s").alias("walks_1")), "u")
-        .join(v2.select("u", F.col("s").alias("walks_2")), "u")
-        .crossJoin(F.broadcast(mx))
+    # per_node is consumed twice (mx's broadcast build + top), so the
+    # window chain appears twice in the plan — deliberately NOT
+    # checkpointed: both copies run fully pipelined inside one adaptive
+    # execution, which measures FASTER than serializing an eager
+    # checkpoint job ahead of a trivial query (fresh-JVM medians 2.95 s
+    # un-checkpointed vs 4.83 s checkpointed; the duplicated chain is
+    # |E|-keyed narrow longs, and the mx copy prunes to one column).
+    per_node = scored.groupBy("u").agg(
+        F.max("v1u").cast("long").alias("walks_1"),
+        F.max("v2u").cast("long").alias("walks_2"),
+        F.max("v3u").cast("long").alias("walks_3"),
+    )
+    mx = per_node.agg(F.max("walks_3").alias("mx"))
+    # top-20 via orderBy+limit (TakeOrderedAndProject — distributed
+    # partial top-k) BEFORE the rank window, which then numbers a
+    # 20-row frame instead of globally sorting the vertex table on one
+    # partition (same rows, same order, same rnk values).
+    top = (
+        per_node.crossJoin(F.broadcast(mx))
         .select(
             F.col("u").alias("part_node"),
             "walks_1",
@@ -14377,14 +14382,16 @@ def graph_eigenvector_centrality(
             .cast("long")
             .alias("centrality_micro"),
         )
-        .withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.orderBy(F.col("walks_3").desc(), "part_node")
-            ),
-        )
+        .orderBy(F.col("walks_3").desc(), "part_node")
+        .limit(20)
     )
-    return ranked.where(F.col("rnk") <= 20).select(
+    ranked = top.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(F.col("walks_3").desc(), "part_node")
+        ),
+    )
+    return ranked.select(
         F.col("rnk").cast("long").alias("rnk"),
         F.col("part_node").cast("long").alias("part_node"),
         "walks_1",
