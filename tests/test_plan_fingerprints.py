@@ -222,15 +222,17 @@ PINNED: dict[str, dict[str, int]] = {
         "Sort": 1, "Project": 17, "Join": 6, "Aggregate": 15,
         "Union": 4, "Filter": 11, "LogicalRDD": 11,
     },
-    # r11 wedge closure (in-suite 3.1s): triangles enumerate once on the
-    # degree-oriented wedges over the SHARED checkpointed support-2 edge
-    # frame (17 cheap LogicalRDD re-reads of block-manager state, the
-    # clustering-coefficient shape); one Generate = the 3-vertex credit
-    # explode. A second Generate or a Join count above 9 means the
-    # orientation started re-deriving degrees per consumer.
+    # r11 wedge closure, re-pinned r12: the oriented frame is now
+    # eagerly checkpointed for its three consumers (both wedge sides +
+    # the closure edge list — the graph_triangle_participation shape),
+    # so the per-consumer degree-attach re-derivation is gone: Join
+    # 9 -> 3 (wedge pair + closure + the tri left join), Aggregate
+    # 9 -> 3, Union 7 -> 1, LogicalRDD 17 -> 5. One Generate = the
+    # 3-vertex credit explode; a Join count above 3 means a consumer
+    # went back to re-deriving the orientation on lineage.
     "graph_wedge_closure_by_degree": {
-        "Sort": 1, "Aggregate": 9, "Project": 23, "Join": 9,
-        "Filter": 1, "Union": 7, "LogicalRDD": 17, "Generate": 1,
+        "Sort": 1, "Aggregate": 3, "Project": 8, "Join": 3,
+        "Filter": 1, "Union": 1, "LogicalRDD": 5, "Generate": 1,
     },
     # r12 eigenvector centrality, re-pinned late-r12: the three matvec
     # rounds are alternating same-key windows carried on the symmetric

@@ -554,6 +554,12 @@ def embedding_near_dup_blocked(
     n_words = sig_bits // word_bits
     if sig_max_hamming is None:
         sig_max_hamming = default_sig_cut(threshold, sig_bits)
+    # r12 examined, measured, left alone: spreading the one-split bench
+    # scan before the index kernel (the dedup_simhash move) measured
+    # SLOWER here (construct 0.90 -> 1.14 s fresh-JVM) — this kernel is
+    # one N x dim int64 matmul, milliseconds of numpy next to the added
+    # exchange + per-task Arrow worker fan-out; the text kernels that
+    # benefit from spreading do orders of magnitude more per-row work.
     base = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     )

@@ -779,9 +779,22 @@ def ml_classification_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
+    from wal_consumer_spark.operators.partitioning import spread_small_input
+
+    # Spread the incidence by the basket key before the groupBy (the keyed
+    # repartition IS the groupBy's exchange, so no extra shuffle): the
+    # lineitem scan is 3 splits at bench SF, so the CPU-dense partial
+    # collect_set otherwise runs on 3 of the cluster's cores — the same
+    # fix measured 2.93 -> 1.08 s on pair_counts_from_incidence (guide
+    # §2.5; no-op on any well-partitioned input at scale).
     baskets = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .groupBy(F.col("l_orderkey").alias("okey"))
+        spread_small_input(
+            l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(
+                F.col("l_orderkey").alias("okey"), "p_brand"
+            ),
+            "okey",
+        )
+        .groupBy("okey")
         .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
         .localCheckpoint(eager=True)
     )
@@ -13242,7 +13255,11 @@ def analytics_ab_mde_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_wedge_closure_by_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _support2_copurchase_edges(spark, sf_dir)
     _, deg = adjacency_degrees(e, u="p1", v="p2")
-    o = orient_by_degree(e, u="p1", v="p2")
+    # The oriented frame is consumed three times (both wedge sides + the
+    # closure edge list); un-checkpointed, each consumer re-runs the two
+    # degree-attach joins over the edge leaf (the same multi-consumer
+    # hazard graph_triangle_participation already pins — guide §5).
+    o = orient_by_degree(e, u="p1", v="p2").localCheckpoint(eager=True)
     closed = oriented_wedges(o).join(
         o.select(F.col("lo").alias("x"), F.col("hi").alias("y")), ["x", "y"]
     )

@@ -1748,38 +1748,53 @@ def _ref_audit_sql() -> str:
         "walTable's FK-free schema (SURVEY.md §2.A); extension surface.",
 )
 def dq_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12 (guide §2.3 aggregate-before-shuffle / §3.2 reduce the big side):
+    # each edge previously scanned the child TWICE (count+count_distinct
+    # aggregate, then a row-level anti-join that shuffled every child row
+    # by the FK) — with lineitem appearing in two edges that was 4 full
+    # fact scans. Now the child collapses to per-FK-key counts in ONE
+    # map-side-combined pass, the existence probe left-joins the DISTINCT
+    # key table against the parent's key counts (key-domain-sized, never
+    # row-sized), and child_rows / distinct_fk_keys / orphan_rows all fall
+    # out of one aggregate over that join. Semantics identical: NULL FKs
+    # never match the join (orphans, exactly like NOT EXISTS), and
+    # count(k) skips the NULL group exactly like COUNT(DISTINCT fk).
     out = None
     for name, child, fk, parent, pk in _REF_EDGES:
         c = load_table(spark, sf_dir, child)
         p = load_table(spark, sf_dir, parent)
-        orphans = c.select(F.col(fk)).join(
-            p.select(F.col(pk)), c[fk] == p[pk], "left_anti"
+        ck = c.groupBy(F.col(fk).alias("k")).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
         )
-        dups = (
-            p.groupBy(pk).agg(F.count(F.lit(1)).alias("n"))
-            .where(F.col("n") > 1)
+        pkc = p.groupBy(F.col(pk).alias("k")).agg(
+            F.count(F.lit(1)).cast("long").alias("pn")
         )
-        row = (
-            c.agg(
-                F.count(F.lit(1)).cast("long").alias("child_rows"),
-                F.count_distinct(F.col(fk)).cast("long").alias("distinct_fk_keys"),
-            )
-            .crossJoin(
-                orphans.agg(F.count(F.lit(1)).cast("long").alias("orphan_rows"))
-            )
-            .crossJoin(
-                dups.agg(F.count(F.lit(1)).cast("long").alias("dup_parent_keys"))
-            )
-            .select(
-                F.lit(name).alias("edge"),
-                "child_rows",
-                "distinct_fk_keys",
-                "orphan_rows",
-                F.round(
-                    F.col("orphan_rows") / F.col("child_rows").cast("double"), 6
-                ).alias("orphan_rate"),
-                "dup_parent_keys",
-            )
+        # FULL outer so parent-only keys flow into the same single
+        # aggregate that folds child stats (dup_parent_keys must count
+        # parents no child references); both sides are already
+        # partitioned by k from their groupBys, so the join adds zero
+        # exchanges. NULL keys never match (both engines' equi-join
+        # rule): a NULL-FK group keeps pn NULL -> orphan, exactly NOT
+        # EXISTS; count(CASE cnt...k) skips it like COUNT(DISTINCT fk).
+        j = ck.join(pkc, "k", "full")
+        row = j.agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("child_rows"),
+            F.count(F.when(F.col("cnt").isNotNull(), F.col("k")))
+            .cast("long")
+            .alias("distinct_fk_keys"),
+            F.coalesce(
+                F.sum(F.when(F.col("pn").isNull(), F.col("cnt"))), F.lit(0)
+            ).cast("long").alias("orphan_rows"),
+            F.count_if(F.col("pn") > 1).cast("long").alias("dup_parent_keys"),
+        ).select(
+            F.lit(name).alias("edge"),
+            "child_rows",
+            "distinct_fk_keys",
+            "orphan_rows",
+            F.round(
+                F.col("orphan_rows") / F.col("child_rows").cast("double"), 6
+            ).alias("orphan_rate"),
+            "dup_parent_keys",
         )
         out = row if out is None else out.unionByName(row)
     return out

@@ -277,11 +277,13 @@ _SIMHASH_SQL = f"""
         "(production default: 64-bit xxhash64, same plan).",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # r12: spread the one-split documents scan before the fingerprint
-    # pipeline — tokenize + per-token md5 + the Arrow bit-scoring kernel
-    # otherwise all run in a single task (guide §4: the Python-boundary
-    # stage inherits the scan's parallelism). No-op at scale.
-    docs = spread_small_input(load_table(spark, sf_dir, "documents"), "doc_id")
+    # r12 second look — spread REVERTED on measurement: unlike the
+    # minhash pipelines (32 permutations per shingle; spread measured
+    # 1.72 vs 2.80 s fresh-JVM), simhash's per-row work is one md5 +
+    # bit-score pass, light enough that the added exchange + worker
+    # fan-out cost more than the single-task kernel (A/B medians
+    # 1.27 s spread vs 1.18 s unspread on a worse probe).
+    docs = load_table(spark, sf_dir, "documents")
     fps = simhash64(docs, "doc_id", "text", portable=True)
     return simhash_near_pairs(fps, max_hamming=8, n_chunks=4, chunk_bits=15)
 
@@ -3133,6 +3135,12 @@ def _knn_top5_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     substrate behind sim_knn_label_purity and sim_knn_hubness_histogram;
     mirrors `_knn_top_cte_sql` bit-for-bit."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # r12 examined, measured, left alone: checkpointing this frame for
+    # its three consumers LOST ~1s fresh-JVM — the expensive Arrow
+    # bucket kernel below already runs exactly once (only `cb` consumes
+    # it); the other two consumers are cheap columnar scan+quantize, so
+    # the eager materialization job cost more than the recomputes it
+    # saved (guide §5: cache only when recompute is the dearer side).
     base = emb.select(
         "vec_id",
         "label",
