@@ -202,13 +202,14 @@ PINNED: dict[str, dict[str, int]] = {
         "Project": 14, "Aggregate": 4, "Join": 5, "Filter": 2,
         "LogicalRelation": 2, "Union": 2, "LogicalRDD": 6,
     },
-    # landmark distances (fresh-JVM 3.1s): ALL per-landmark BFS rounds
-    # happen on eagerly checkpointed frontier frames, so the RESULT plan
-    # is a pure union-rollup over 5 materialized leaves with ONE
-    # aggregate and ZERO Joins — any Join appearing here means a BFS
-    # round leaked its lineage into the profile rollup.
+    # landmark distances, re-pinned r12 (parity BFS): rounds expand the
+    # previous frontier only (no growing anti-join), re-visits stay in,
+    # and the min(dist)-per-(lm,p) fold recovers the exact BFS distance
+    # — so the RESULT plan is the 5 materialized leaves + TWO aggregates
+    # (min-fold + histogram) and still ZERO Joins; a Join appearing here
+    # means a BFS round leaked its lineage into the profile rollup.
     "graph_landmark_distance_profile": {
-        "Aggregate": 1, "Union": 1, "Project": 5, "LogicalRDD": 5,
+        "Aggregate": 2, "Union": 1, "Project": 4, "LogicalRDD": 5,
     },
     # r11 Bradley-Terry (in-suite 2.3s pre-fix): the duel scan + rank
     # window run ONCE and land in the eagerly checkpointed `wins` frame;
@@ -248,14 +249,15 @@ PINNED: dict[str, dict[str, int]] = {
         "LocalLimit": 1, "Join": 1, "Aggregate": 3, "Union": 2,
         "LogicalRDD": 4,
     },
-    # r12 harmonic centrality: 4 BFS rounds live behind eager
-    # checkpoints (the landmark-distance-profile shape), so the result
-    # plan is one fold over the unioned visited frames — zero Joins; a
-    # Join appearing here means a frontier started re-deriving on
-    # lineage.
+    # r12 harmonic centrality, re-pinned for the parity-BFS rewrite
+    # (same move as graph_landmark_distance_profile): the min-dist fold
+    # adds one Aggregate; the per-round "dist > 0" residue filters
+    # collapse to 2 because re-visit rows no longer carry per-round
+    # null-guards. Still zero Joins — a Join appearing here means a
+    # frontier started re-deriving on lineage.
     "graph_harmonic_centrality": {
-        "Sort": 2, "Project": 6, "Filter": 6, "Window": 1,
-        "GlobalLimit": 1, "LocalLimit": 1, "Aggregate": 1, "Union": 1,
+        "Sort": 2, "Project": 5, "Filter": 2, "Window": 1,
+        "GlobalLimit": 1, "LocalLimit": 1, "Aggregate": 2, "Union": 1,
         "LogicalRDD": 5,
     },
 }

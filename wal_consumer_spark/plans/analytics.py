@@ -1385,10 +1385,21 @@ def oriented_wedges(o: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
 def wedge_pairs(e: DataFrame, cap: int = 64) -> tuple[DataFrame, DataFrame]:
     """(via, deg) for the capped wedge enumeration over an edge frame.
 
-    The hub cap is applied BEFORE the self-join: only adjacency rows whose
-    middle vertex has degree <= cap enter it, so over-cap hubs' deg^2
-    fanout is never generated. Growth-guarded (linear in disjoint-replica
-    scale-up) by tests/test_scale_plans.py."""
+    The hub cap is applied BEFORE pair generation: only adjacency rows
+    whose middle vertex has degree <= cap contribute, so over-cap hubs'
+    deg^2 fanout is never generated. Growth-guarded (linear in
+    disjoint-replica scale-up) by tests/test_scale_plans.py.
+
+    r12 examined, measured, left as the join: the in-row pair-emission
+    rewrite (pair_counts_from_incidence recipe — groupBy(w) collect_list
+    + upper-triangle HOF explode) measured EQUAL-to-slower on an
+    interleaved same-JVM A/B over the checkpointed edge frame (old 1.64 s
+    vs new 1.76 s median of 5 alternating runs, identical output
+    verified by symmetric exceptAll). Unlike the basket build, `capped`
+    is already a narrow post-broadcast frame and the self-join runs in
+    whole-stage codegen, while the HOF explode is interpreted and emits
+    up to cap(cap-1)/2 structs per middle; there is no distinct+join
+    chain left to save."""
     from wal_consumer_spark.operators.graph import maybe_broadcast
 
     adj, deg = adjacency_degrees(e)
@@ -9167,23 +9178,31 @@ def graph_landmark_distance_profile(spark: SparkSession, sf_dir: str) -> DataFra
         .withColumn("dist", F.lit(0).cast("long"))
         .localCheckpoint(eager=True)
     )
-    visited = seeds
+    # r12 (guide §2.4 — stop reshuffling the growing visited set): the
+    # per-round left-anti against `visited` re-exchanged an ever-growing
+    # frame four times. Instead each round expands the PREVIOUS frontier
+    # only (join + distinct — dedup stays mandatory or path multiplicity
+    # compounds), keeps re-visited nodes in, and ONE end fold
+    # min(dist) OVER (lm, p) recovers the exact BFS distance: a node at
+    # true distance d first appears in round d (a round-r appearance
+    # implies a length-r walk, so r >= d, and parity re-appearances are
+    # all > d). Identical histogram, two exchanges per round instead of
+    # three, and the anti-join's sort-merge against |V| rows is gone.
+    reached = seeds
     frontier = seeds.select("lm", "p")
     for d in range(1, 5):
-        cand = (
+        frontier = (
             frontier.join(edges, frontier.p == edges.src)
             .select("lm", F.col("dst").alias("p"))
             .distinct()
+            .localCheckpoint(eager=True)  # consumed by union AND next round
         )
-        new = (
-            cand.join(visited, ["lm", "p"], "left_anti")
-            .withColumn("dist", F.lit(d).cast("long"))
-            .localCheckpoint(eager=True)  # consumed by union AND next frontier
+        reached = reached.unionByName(
+            frontier.withColumn("dist", F.lit(d).cast("long"))
         )
-        visited = visited.unionByName(new)
-        frontier = new.select("lm", "p")
+    mind = reached.groupBy("lm", "p").agg(F.min("dist").alias("dist"))
     return (
-        visited.groupBy(
+        mind.groupBy(
             F.col("lm").cast("long").alias("landmark_part"), "dist"
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_reached"))
@@ -14933,21 +14952,22 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dist", F.lit(0).cast("long"))
         .localCheckpoint(eager=True)
     )
-    visited = seeds
+    # r12: same parity-BFS + end min-fold as graph_landmark_distance_
+    # profile (two exchanges per round, no growing anti-join; min(dist)
+    # per (lm, p) IS the BFS distance — see the proof note there).
+    reached = seeds
     frontier = seeds.select("lm", "p")
     for d in range(1, 5):
-        cand = (
+        frontier = (
             frontier.join(edges, frontier.p == edges.src)
             .select("lm", F.col("dst").alias("p"))
             .distinct()
-        )
-        new = (
-            cand.join(visited, ["lm", "p"], "left_anti")
-            .withColumn("dist", F.lit(d).cast("long"))
             .localCheckpoint(eager=True)
         )
-        visited = visited.unionByName(new)
-        frontier = new.select("lm", "p")
+        reached = reached.unionByName(
+            frontier.withColumn("dist", F.lit(d).cast("long"))
+        )
+    visited = reached.groupBy("lm", "p").agg(F.min("dist").alias("dist"))
     harm = (
         visited.where(F.col("dist") > 0)
         .groupBy("p")

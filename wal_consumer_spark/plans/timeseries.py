@@ -1487,12 +1487,23 @@ def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"median": lambda n: F.floor((n + 1) / 2).cast("long")},
         bucket_div=1_000_000_000,
     ).select(F.col("value").alias("slope_micro_per_day"))
-    n_pairs = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    # r12 (guide §1.2 — don't compute what you can derive): the explode
+    # emits di -> di+1..dmax and the hash join keeps exactly the OBSERVED
+    # dj, so `pairs` is precisely every ordered pair of observed days —
+    # |pairs| = n_days*(n_days-1)/2 by construction. Deriving it drops a
+    # third full pass over the persisted 2.9M-row pair frame (the oracle
+    # keeps counting MAX(n) from the materialized pairs; parity pins the
+    # equivalence).
     n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
     return (
-        n_days.crossJoin(F.broadcast(n_pairs))
-        .crossJoin(F.broadcast(med))
-        .select("n_days", "n_pairs", "slope_micro_per_day")
+        n_days.crossJoin(F.broadcast(med))
+        .select(
+            "n_days",
+            (F.col("n_days") * (F.col("n_days") - 1) / 2)
+            .cast("long")
+            .alias("n_pairs"),
+            "slope_micro_per_day",
+        )
     )
 
 
