@@ -56,10 +56,14 @@ PINNED: dict[str, dict[str, int]] = {
     },
     # pairwise slopes on the bounded day grid (cached: InMemoryRelation),
     # two-phase selection median = 3 bounded Windows, never a global
-    # row_number over raw rows.
+    # row_number over raw rows. Re-pinned r12: n_pairs derives
+    # arithmetically from n_days (|pairs| = n*(n-1)/2 by construction of
+    # the explode+hash-join enumeration), dropping the third pass over
+    # the cached pair frame — one fewer Join/Aggregate/InMemoryRelation
+    # reference in the result plan.
     "ts_theil_sen_slope": {
-        "Join": 3, "Aggregate": 4, "Project": 6, "LogicalRDD": 1,
-        "InMemoryRelation": 3, "Filter": 3, "Window": 3,
+        "Join": 2, "Aggregate": 3, "Project": 6, "LogicalRDD": 1,
+        "InMemoryRelation": 2, "Filter": 3, "Window": 3,
     },
     # 3 synchronized Hash-Min rounds, re-pinned r12: labels propagate as
     # alternating same-key window minima carried on the symmetric
