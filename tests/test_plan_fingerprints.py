@@ -181,19 +181,20 @@ PINNED: dict[str, dict[str, int]] = {
     # round-10 pins closing VERDICT r9 "What's wrong" #3 — the last three
     # >=2 s headline plans without a pin or waiver.
     # band sensitivity (r12 second pass; fresh-JVM A/B pairs: after
-    # 6.77/4.37 vs before 6.33/8.12, after's samples far tighter — the
-    # persist path showed 17-20s outliers): ONE tokenization feeds both
-    # the signature build and the exact-Jaccard truth (shared checkpointed
-    # shingle-array frame), and signatures are localCheckpoint'ed instead
-    # of persist()ed — InMemoryRelation x6 -> 0, LogicalRDD 6 -> 12 (the
-    # 6 sig-leaf consumers: 3 configs x 2 band sides). Each config still
-    # contributes exactly 3 Joins (band candidates + agree + truth
-    # left-join) = 9 total. An InMemoryRelation reappearing means persist
-    # came back; a 4th Join per config means a config started rebuilding
-    # signatures or truth on lineage.
+    # re-pinned late-r12 (fused config sweep, bench_one 4.14 -> 3.72 s on
+    # near-matched probes): the three per-config band joins union behind
+    # ONE (cfg, band, bucket) exchange — one skew window, one self-join,
+    # one pair distinct, one truth left-join + per-cfg aggregate instead
+    # of three of each (Window 6 -> 2, Join 9 -> 4, Aggregate 9 -> 3),
+    # and the banded exchange stopped carrying the 32-long signature
+    # column (pair identity is all this query evaluates). LogicalRDD
+    # 12 -> 8 = sigs x2 band sides + truth + n_truth... leaves; Union 3 /
+    # Range 3 = the 3-config banded union + the literal config frame. An
+    # InMemoryRelation reappearing means persist came back; Join > 4
+    # means a config started rebuilding signatures or truth on lineage.
     "dedup_lsh_band_sensitivity": {
-        "Union": 1, "Project": 21, "Join": 9, "Aggregate": 9, "Filter": 6,
-        "Window": 6, "Generate": 6, "LogicalRDD": 12,
+        "Union": 3, "Project": 18, "Join": 4, "Aggregate": 3, "Filter": 2,
+        "Window": 2, "Generate": 6, "LogicalRDD": 8, "Range": 3,
     },
     # soft-dedup ESS (fresh-JVM 4.7s): CC labels arrive checkpointed
     # (LogicalRDD leaves — the shared df-capped candidate join is spent

@@ -4628,7 +4628,6 @@ def _lsh_band_sensitivity_sql() -> str:
 )
 def dedup_lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wal_consumer_spark.operators.dedup import (
-        minhash_near_pairs,
         shingle_pairs_jaccard_from_sets,
     )
 
@@ -4656,43 +4655,109 @@ def dedup_lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     truth_marked = truth.withColumn("__t", F.lit(1))
-    out = None
-    for bands, rows_per_band in _LSH_BAND_CONFIGS:
-        cands = minhash_near_pairs(
-            sigs, bands=bands, rows_per_band=rows_per_band, portable=True
-        ).select("doc1", "doc2")
-        # ONE evaluation of the band join per config: candidate count and
-        # true positives come from a single left-join aggregate (a
-        # left_semi + separate count would run the band join twice)
-        stats = (
-            cands.join(truth_marked, ["doc1", "doc2"], "left")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_candidates"),
-                F.count_if(F.col("__t").isNotNull())
-                .cast("long")
-                .alias("n_true_positives"),
-            )
-            .crossJoin(F.broadcast(n_truth))
-            .select(
-                F.lit(bands).cast("long").alias("bands"),
-                F.lit(rows_per_band).cast("long").alias("rows_per_band"),
-                "n_candidates",
-                "n_truth",
-                "n_true_positives",
-                F.expr(
-                    "CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT) "
-                    "ELSE CAST(CAST(n_true_positives AS DECIMAL(38,0)) "
-                    "* 1000000 DIV n_candidates AS BIGINT) END"
-                ).alias("precision_ppm"),
-                F.expr(
-                    "CASE WHEN n_truth = 0 THEN CAST(0 AS BIGINT) "
-                    "ELSE CAST(CAST(n_true_positives AS DECIMAL(38,0)) "
-                    "* 1000000 DIV n_truth AS BIGINT) END"
-                ).alias("recall_ppm"),
-            )
+    # r12 second pass (guide §2.4 one exchange for same-keyed work, §2.3
+    # shuffle fewer bytes): the three per-config band joins fuse into ONE
+    # — the banded streams union with a config tag, so the bucket-skew
+    # window, the self-join and the pair distinct all run once on
+    # (cfg, band, bucket)/(cfg, doc1, doc2) keys instead of three times
+    # (6 wide exchanges -> 2, one left join + aggregate instead of
+    # three). The join also stops carrying the 32-long signature column
+    # minhash_near_pairs ships for its estimate (this query discards the
+    # estimate — pair IDENTITY is all it evaluates), so the banded
+    # exchange is (cfg, band, bucket, doc) narrow. Pair sets per config
+    # are identical to minhash_near_pairs' (same lsh_band_key buckets,
+    # same per-config <=500 bucket cap via the (cfg, band, bucket)
+    # window, doc1 < doc2, distinct == the old groupBy-max identity).
+    # The 3-row config frame left-joins the per-config stats so a
+    # zero-candidate config still reports its row, exactly like the old
+    # per-config global aggregate.
+    from wal_consumer_spark.operators.dedup import lsh_band_key
+
+    def _banded_part(ci: int, bands: int, rows_per_band: int) -> DataFrame:
+        # single-arg lambda REQUIRED: F.transform feeds a 2-arg lambda
+        # (element, index) — a defaulted second parameter would silently
+        # receive the index column and zero out the slice length
+        return sigs.select(
+            F.lit(ci).cast("int").alias("cfg"),
+            "doc",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: lsh_band_key(b, rows_per_band, True),
+                )
+            ).alias("band", "bucket"),
         )
-        out = stats if out is None else out.unionByName(stats)
-    return out
+
+    banded = None
+    for ci, (bands, rows_per_band) in enumerate(_LSH_BAND_CONFIGS):
+        part = _banded_part(ci, bands, rows_per_band)
+        banded = part if banded is None else banded.unionByName(part)
+    banded = (
+        banded.withColumn(
+            "__n",
+            F.count(F.lit(1)).over(Window.partitionBy("cfg", "band", "bucket")),
+        )
+        .filter(F.col("__n") <= 500)
+        .drop("__n")
+    )
+    a = banded.select("cfg", "band", "bucket", F.col("doc").alias("doc1"))
+    b = banded.select("cfg", "band", "bucket", F.col("doc").alias("doc2"))
+    pairs = (
+        a.join(b, ["cfg", "band", "bucket"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("cfg", "doc1", "doc2")
+        .distinct()
+    )
+    stats = (
+        pairs.join(truth_marked, ["doc1", "doc2"], "left")
+        .groupBy("cfg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.count_if(F.col("__t").isNotNull())
+            .cast("long")
+            .alias("n_true_positives"),
+        )
+    )
+    cfgs = None
+    for ci, (bands, rows_per_band) in enumerate(_LSH_BAND_CONFIGS):
+        row = spark.range(1).select(
+            F.lit(ci).cast("int").alias("cfg"),
+            F.lit(bands).cast("long").alias("bands"),
+            F.lit(rows_per_band).cast("long").alias("rows_per_band"),
+        )
+        cfgs = row if cfgs is None else cfgs.unionByName(row)
+    return (
+        cfgs.join(F.broadcast(stats), "cfg", "left")
+        .crossJoin(F.broadcast(n_truth))
+        .select(
+            "bands",
+            "rows_per_band",
+            F.coalesce(F.col("n_candidates"), F.lit(0))
+            .cast("long")
+            .alias("n_candidates"),
+            "n_truth",
+            F.coalesce(F.col("n_true_positives"), F.lit(0))
+            .cast("long")
+            .alias("n_true_positives"),
+        )
+        .select(
+            "bands",
+            "rows_per_band",
+            "n_candidates",
+            "n_truth",
+            "n_true_positives",
+            F.expr(
+                "CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE CAST(CAST(n_true_positives AS DECIMAL(38,0)) "
+                "* 1000000 DIV n_candidates AS BIGINT) END"
+            ).alias("precision_ppm"),
+            F.expr(
+                "CASE WHEN n_truth = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE CAST(CAST(n_true_positives AS DECIMAL(38,0)) "
+                "* 1000000 DIV n_truth AS BIGINT) END"
+            ).alias("recall_ppm"),
+        )
+    )
 
 
 @register(
