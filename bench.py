@@ -188,6 +188,45 @@ COMPARABLE_41 = [
     "ml_decision_stump",
 ]
 
+#: FROZEN stdout manifest (VERDICT r12 "Next round" #3). The grading
+#: driver keeps only the last ~2000 chars of combined output, so the
+#: compact stdout line can never carry all ~97 medians (measured: 3.2k
+#: chars at 3 decimals) — and the previous defensive fallback ("top 40
+#: by median when the line exceeds 1900 chars") made the emitted name
+#: set CHURN with relative speed: round 12's four fastest-improving
+#: queries fell out of the top 40 and PERF_r12 reported them as
+#: "dropped_from_bench" when they had actually improved. The compact
+#: line now always emits exactly this frozen set — the union of the
+#: round-11 and round-12 emitted maps (40 each, 36 common), so nothing
+#: the driver has ever diffed can disappear again — plus a
+#: `queries_measured` count. Full per-query medians for EVERY headline
+#: query are in BENCH_DETAIL_r{N}.json every round. Do NOT edit this
+#: list: new queries go to HEADLINE (and hence BENCH_DETAIL) only.
+COMPACT_MANIFEST = [
+    "agg_exact_percentile_selection", "agg_hdr_histogram_quantiles",
+    "agg_rollup", "analytics_market_basket",
+    "analytics_revenue_retention_nrr", "analytics_shapley_attribution",
+    "dedup_bbit_minhash_error", "dedup_lsh_band_sensitivity",
+    "dedup_minhash_estimate_error", "dedup_minhash_lsh",
+    "dq_referential_integrity_audit", "graph_connected_components",
+    "graph_ego_density_topk", "graph_eigenvector_centrality",
+    "graph_hits_hubs_authorities", "graph_jaccard_neighbors",
+    "graph_ktruss_edges", "graph_label_propagation",
+    "graph_landmark_distance_profile", "graph_triangle_participation",
+    "graph_wedge_closure_by_degree", "ml_bradley_terry_one_step",
+    "ml_decision_tree_depth2", "ml_kruskal_wallis_h",
+    "pipeline_contamination_report", "pipeline_dsir_importance_weights",
+    "pipeline_soft_dedup_ess_by_source", "q1_pricing_summary",
+    "q3_top_revenue", "q5_region_revenue", "sim_ann_recall_eval",
+    "sim_embedding_near_dup", "sim_int8_quantized_recall",
+    "sim_knn_hubness_histogram", "sim_knn_label_purity",
+    "sim_pair_distance_histogram", "sim_product_quantization_audit",
+    "text_bigram_logprob", "text_shingle_novelty",
+    "tpch_q18_large_volume_customer", "tpch_q21_waiting_supplier",
+    "tpch_q9_product_profit", "ts_engle_granger_cointegration",
+    "ts_theil_sen_slope",
+]
+
 #: Calibration anchor: the committed BENCH_DETAIL_r03 session's fixed-probe
 #: cpu_sec. Multiplying a session's raw medians by ANCHOR_CPU_SEC /
 #: this_session_cpu_sec expresses them in "r3-host seconds", separating
@@ -614,8 +653,11 @@ def main() -> None:
         # (shifted construction-heavy entries: dedup_simhash,
         # sim_embedding_near_dup); r3+ = median-of-3, same
         # construction+execution span as r2; r5 (v6) adds the normalized
-        # block + frozen comparable-41 basis.
-        "bench_version": 7,
+        # block + frozen comparable-41 basis; r13 (v8) freezes the compact
+        # stdout line's query map to COMPACT_MANIFEST (timing methodology
+        # unchanged — the timed span, warmup and pass structure are
+        # identical to v7; only the stdout emission changed).
+        "bench_version": 8,
         "method": f"median-of-{n_passes} steady-state passes after "
                   "one untimed full-suite warmup pass; "
                   "construction+execution; single shared JVM; "
@@ -1197,10 +1239,19 @@ def main() -> None:
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        # FROZEN 44-name manifest (see COMPACT_MANIFEST): the driver's
+        # ~2000-char stdout tail cannot hold all ~97 medians, and the old
+        # "top 40 by median" fallback churned with relative speed —
+        # round 12's four fastest-improving queries read as
+        # "dropped_from_bench". A fixed name set can never churn; every
+        # measured query's median is in BENCH_DETAIL_r{N}.json.
+        "queries": {n: timings[n] for n in COMPACT_MANIFEST if n in timings},
         "sf": sf,
-        "bench_version": 7,
+        "bench_version": 8,
         "n_per_query": n_passes,
+        # how many queries the suite actually measured this run (all of
+        # HEADLINE; medians for every one are in the detail file)
+        "queries_measured": len(timings),
         # host-normalized scalars (full per-query block in BENCH_DETAIL)
         "calibration_cpu_sec": calibration["cpu_sec"],
         "normalized_value": normalized_block["value"],
@@ -1209,13 +1260,12 @@ def main() -> None:
         "tripwire_flagged": sorted(tripwire["flagged"]),
     }
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # defensive: medians only, never raw samples
-        compact["queries"] = {
-            k: v for k, v in sorted(
-                timings.items(), key=lambda kv: -kv[1]
-            )[:40]
-        }
-        line = json.dumps(compact, separators=(",", ":"))
+    # hard invariant, not a truncation fallback: the driver keeps only the
+    # last ~2000 chars of combined output, so a line that outgrows the tail
+    # loses the round's headline value ("parsed": null, VERDICT r3). The
+    # manifest is frozen at 44 names (~1.73k chars), so this cannot fire;
+    # if it ever does, fail loudly instead of silently dropping names.
+    assert len(line) <= 1900, f"compact line {len(line)} chars > 1900"
     print(line)
     spark.stop()
 

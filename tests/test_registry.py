@@ -155,44 +155,57 @@ def test_oracle_less_specs_sort_last():
 #: analytics_gini_coefficient re-pin; round-9's size-gated joins; round
 #: 10's sim_knn_label_purity post-f1c05c8 re-pin). A name here may sit
 #: in DRIVER_WINDOW even though an earlier round already certified it.
-#: Round 12: the 31 load_table-only names waived in round 11
-#: (tests/test_stale_certification.py::WAIVED_LOAD_TABLE_ONLY as of
-#: commit 7c84b9f) are re-pinned per VERDICT r11 "Next round" #1 —
-#: their r01 green rows predate load_table's round-2 UTC/NTZ
-#: normalization. Certifying them empties the waiver list for good.
+#: Round 13: the 43 names rewritten by the round-12 optimization pass
+#: (the deleted WAIVED_R12_OPTIMIZATION set) are re-pinned per VERDICT
+#: r12 "Next round" #1 — their earlier green rows predate the round-12
+#: plan rewrites, so the round-13 driver run re-certifies them against
+#: the oracle. (The round-12 load_table re-pins are green in
+#: CORRECTNESS_r12 and rotated out; they no longer need allowlisting.)
 _REPIN_ALLOWLIST: frozenset[str] = frozenset(
     {
-        "agg_collect_sorted",
-        "agg_cube",
-        "agg_grouping_sets",
-        "dedup_keep_first",
-        "distinct_projection",
-        "join_cross",
-        "join_full_outer",
-        "join_left_anti",
-        "join_left_outer",
-        "join_left_semi",
-        "join_range_band",
-        "join_right_outer",
-        "join_theta_nonequi",
-        "set_except",
-        "set_intersect",
-        "set_union_all",
-        "sort_multi_nulls",
-        "tpch_q2_min_cost_part",
-        "tpch_q4_order_priority",
-        "tpch_q6_forecast_revenue",
-        "tpch_q8_market_share",
-        "tpch_q10_returned_items",
-        "tpch_q11_important_stock",
-        "tpch_q12_priority_shipping",
-        "tpch_q13_customer_distribution",
-        "tpch_q14_promo_effect",
-        "tpch_q15_top_supplier",
-        "tpch_q16_supplier_part_cnt",
-        "tpch_q19_discounted_revenue",
-        "tpch_q20_part_suppliers",
-        "tpch_q22_global_sales_opportunity",
+        "analytics_market_basket",
+        "analytics_shapley_attribution",
+        "dedup_clusters_cc",
+        "dedup_containment_pairs",
+        "dedup_lsh_band_sensitivity",
+        "dedup_lsh_eval",
+        "dedup_minhash_estimate_error",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_threshold_sensitivity",
+        "dq_referential_integrity_audit",
+        "graph_adamic_adar",
+        "graph_bfs_distance_histogram",
+        "graph_community_modularity",
+        "graph_connected_components",
+        "graph_copurchase_degree",
+        "graph_degree_assortativity",
+        "graph_edge_support_histogram",
+        "graph_ego_density_topk",
+        "graph_global_transitivity",
+        "graph_hits_hubs_authorities",
+        "graph_hub_cap_sensitivity",
+        "graph_jaccard_neighbors",
+        "graph_kcore_bounded_peel",
+        "graph_kcore_peel",
+        "graph_ktruss_edges",
+        "graph_label_propagation",
+        "graph_landmark_distance_profile",
+        "graph_louvain_first_sweep",
+        "graph_rich_club_coefficient",
+        "graph_triangle_participation",
+        "pipeline_cluster_representative",
+        "pipeline_cross_source_dup_matrix",
+        "pipeline_dedup_cluster_sizes",
+        "pipeline_dsir_importance_weights",
+        "pipeline_snapshot_novelty_rate",
+        "pipeline_soft_dedup_ess_by_source",
+        "pipeline_soft_dedup_weights",
+        "text_bigram_logprob",
+        "text_edit_distance_near_pairs",
+        "text_shingle_novelty",
+        "ts_theil_sen_sampled",
+        "ts_theil_sen_slope",
     }
 )
 
@@ -331,7 +344,10 @@ def test_staging_partition_still_flags_stale_window(tmp_path):
     # from ANY on-disk phase (same fix as the driver-drop simulation)
     _copy_pre_drop_state(REPO, tmp_path)
     nxt = _newest_round(tmp_path) + 1
-    stale = {DRIVER_WINDOW[0]: dict(_GREEN_ROW)}
+    # pick a window name that is NOT a deliberate re-pin — allowlisted
+    # names are exempt from the wasted-slot check by design
+    control = next(n for n in DRIVER_WINDOW if n not in _REPIN_ALLOWLIST)
+    stale = {control: dict(_GREEN_ROW)}
     # The stale green lands in round nxt; a NEWER round exists beyond it,
     # so the window name is green in rounds < newest — must be flagged.
     (tmp_path / f"CORRECTNESS_r{nxt:02d}.json").write_text(json.dumps(stale))

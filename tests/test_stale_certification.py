@@ -59,69 +59,15 @@ WAIVED_LOAD_TABLE_ONLY: frozenset[str] = frozenset(
     }
 )
 
-#: Round 12 is the first OPTIMIZATION round: the driver re-runs EVERY
-#: declared query (all registry entries, not just the 50-slot window)
-#: against the DuckDB oracle at the end of the round, so certification
-#: rot cannot survive the round for ANY name — the window re-pin
-#: mechanism is superseded for exactly this round. These are the
-#: certified names whose dependency closures changed under the round's
-#: performance rewrites (shared substrates: pair_counts_from_incidence
-#: basket spread, CC star-round windows, shared tokenization,
-#: spread_small_input introduction; plus the per-query sections in
-#: OPTIMIZATION_r12.md). Every one was parity-verified against its
-#: oracle at sf0.01 (and the directly-rewritten ones additionally at
-#: sf0.001) in the session that changed it — see the commit trailers.
-#: The 50-slot DRIVER_WINDOW is full (VERDICT r11 #1 arithmetic), so
-#: these queue for round-13 window re-pins if any closure changes
-#: AGAIN after the round-12 full-registry recheck. A name flagged in a
-#: LATER round that is in neither list still fails the gate.
-WAIVED_R12_OPTIMIZATION: frozenset[str] = frozenset(
-    {
-        "analytics_market_basket",
-        "analytics_shapley_attribution",
-        "dedup_clusters_cc",
-        "dedup_containment_pairs",
-        "dedup_lsh_band_sensitivity",
-        "dedup_lsh_eval",
-        "dedup_minhash_estimate_error",
-        "dedup_minhash_lsh",
-        "dedup_ngram_jaccard",
-        "dedup_threshold_sensitivity",
-        "dq_referential_integrity_audit",
-        "graph_adamic_adar",
-        "graph_bfs_distance_histogram",
-        "graph_community_modularity",
-        "graph_connected_components",
-        "graph_copurchase_degree",
-        "graph_degree_assortativity",
-        "graph_edge_support_histogram",
-        "graph_ego_density_topk",
-        "graph_global_transitivity",
-        "graph_hits_hubs_authorities",
-        "graph_hub_cap_sensitivity",
-        "graph_jaccard_neighbors",
-        "graph_kcore_bounded_peel",
-        "graph_kcore_peel",
-        "graph_ktruss_edges",
-        "graph_label_propagation",
-        "graph_landmark_distance_profile",
-        "graph_louvain_first_sweep",
-        "graph_rich_club_coefficient",
-        "graph_triangle_participation",
-        "pipeline_cluster_representative",
-        "pipeline_cross_source_dup_matrix",
-        "pipeline_dedup_cluster_sizes",
-        "pipeline_dsir_importance_weights",
-        "pipeline_snapshot_novelty_rate",
-        "pipeline_soft_dedup_ess_by_source",
-        "pipeline_soft_dedup_weights",
-        "text_bigram_logprob",
-        "text_edit_distance_near_pairs",
-        "text_shingle_novelty",
-        "ts_theil_sen_sampled",
-        "ts_theil_sen_slope",
-    }
-)
+#: Round 13 closes the round-12 certification debt (VERDICT r12 "Next
+#: round" #1): the round-12 waiver (`WAIVED_R12_OPTIMIZATION`, a 43-name
+#: set) rested on the premise that the driver re-runs the FULL registry
+#: against the oracle each optimization round — which did not happen
+#: (CORRECTNESS_r12 covers the usual 50-slot window, and only 3 of the
+#: 43 were in it). The 43 names are now re-pinned in the round-13
+#: DRIVER_WINDOW and the waiver set is DELETED: every stale flag must
+#: again be window-re-pinned or carry the single remaining reason-scoped
+#: load_table waiver below.
 
 _LOAD_TABLE_REASON = "wal_consumer_spark.sources.tables.load_table"
 
@@ -143,7 +89,6 @@ def test_every_stale_certification_is_repinned_or_waived():
         for n, reasons in flagged.items()
         if n not in DRIVER_WINDOW
         and n not in WAIVED_LOAD_TABLE_ONLY
-        and n not in WAIVED_R12_OPTIMIZATION
     }
     assert not unhandled, (
         "certified queries whose dependency closure changed after their "
@@ -169,10 +114,8 @@ def test_waivers_are_reason_scoped():
 def test_waivers_not_redundant_with_window():
     """Keep the bookkeeping tight: a name re-pinned in the window must not
     also sit in a waiver list, and the two waiver lists must not overlap."""
-    dup = (WAIVED_LOAD_TABLE_ONLY | WAIVED_R12_OPTIMIZATION) & set(DRIVER_WINDOW)
+    dup = WAIVED_LOAD_TABLE_ONLY & set(DRIVER_WINDOW)
     assert not dup, f"names both re-pinned and waived: {sorted(dup)}"
-    both = WAIVED_LOAD_TABLE_ONLY & WAIVED_R12_OPTIMIZATION
-    assert not both, f"names in both waiver lists: {sorted(both)}"
 
 
 # ------------------------------------------------------------------ unit

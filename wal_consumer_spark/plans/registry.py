@@ -44,107 +44,89 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: oracle sorts last so it can never burn a window slot on a rows-only
 #: check.
 #:
-#: Round 12 rotates ALL 50 slots a tenth time, per round-11 VERDICT
-#: "Next round" #1: CORRECTNESS_r11 certified the round-11 window
-#: 50/50 green (cumulative 505/505 at rotation time — every query
-#: registered when the round-11 window froze has a committed green
-#: row), so this window holds the 19 round-11 staged additions (old
-#: NEXT_WINDOW, name-for-name) plus the 31 load_table-only names whose
-#: reason-scoped stale-certification waivers (round-11
-#: tests/test_stale_certification.py::WAIVED_LOAD_TABLE_ONLY) promised
-#: them these slots: their r01 green rows predate load_table's round-2
-#: UTC-pin + events-NTZ normalization. Certifying all 50 closes driver
-#: coverage at 524/524 registered names AND empties the waiver list —
-#: a permanently clean stale-audit book.
+#: Round 13 rotates ALL 50 slots an eleventh time, per round-12 VERDICT
+#: "Next round" #1 (the gate item): CORRECTNESS_r12 certified the
+#: round-12 window 50/50 green, but the round-12 optimization rewrites
+#: left 43 previously-certified names with STALE certifications — their
+#: dependency closures changed after their latest green rows, and the
+#: round-12 waiver (`WAIVED_R12_OPTIMIZATION`, now deleted) rested on a
+#: full-registry driver recheck that never ran. This window re-pins all
+#: 43 so the round-13 driver run converts the round-12 plan rewrites
+#: from builder-claimed-correct to driver-certified, plus 7 of the 12
+#: round-12 staged names (including graph_harmonic_centrality, which
+#: carries the semantics-sensitive parity-BFS rewrite). 43 + 7 = 50.
 DRIVER_WINDOW: list[str] = [
-    # --- round-11 staged additions (old NEXT_WINDOW, 19) ---
-    "agg_hdr_histogram_quantiles",
-    "ml_bradley_terry_one_step",
-    "analytics_james_stein_shrinkage",
-    "analytics_ab_mde_curve",
-    "graph_wedge_closure_by_degree",
-    "pipeline_preference_pair_margin",
-    "multimodal_magic_number_audit",
-    "ml_calibration_slope_intercept",
-    "analytics_lorenz_deciles",
-    "graph_avg_neighbor_degree_curve",
-    "cdc_op_transition_matrix",
-    "ts_theil_inequality_decomposition",
-    "ts_sma_crossover_signals",
-    "ml_cost_sensitive_threshold",
-    "scalar_null_three_valued_logic",
-    "cdc_entity_resurrection_latency",
-    "pipeline_length_quality_selection_bias",
-    "ml_residual_qq_deciles",
-    "win_time_weighted_average",
-    # --- stale-audit re-pins: the 31 formerly-waived load_table-only
-    # --- names (r01 rows predating the round-2 UTC/NTZ normalization;
-    # --- VERDICT r11 "Next round" #1 — re-pinning these empties
-    # --- WAIVED_LOAD_TABLE_ONLY) ---
-    "agg_collect_sorted",
-    "agg_cube",
-    "agg_grouping_sets",
-    "dedup_keep_first",
-    "distinct_projection",
-    "join_cross",
-    "join_full_outer",
-    "join_left_outer",
-    "join_left_semi",
-    "join_range_band",
-    "join_right_outer",
-    "join_theta_nonequi",
-    "set_intersect",
-    "set_union_all",
-    "sort_multi_nulls",
-    "tpch_q2_min_cost_part",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_priority_shipping",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_cnt",
-    "tpch_q19_discounted_revenue",
-    # --- round-12 window repair (optimization round 1): 4 of the 31
-    # --- waived re-pins (join_left_anti, set_except,
-    # --- tpch_q20_part_suppliers, tpch_q22_global_sales_opportunity)
-    # --- return ZERO rows at the driver's correctness SF — their r01
-    # --- green rows are 0-row matches, so a re-pin would re-certify the
-    # --- same vacuous result the non-degenerate gate
-    # --- (tests/test_parity.py) exists to refuse. They go back to the
-    # --- reason-scoped waiver list (test_stale_certification.py) and
-    # --- their 4 slots promote the round-12 staged names the HEADLINE
-    # --- bench already represents.
-    "graph_eigenvector_centrality",
-    "ts_engle_granger_cointegration",
-    "dedup_bbit_minhash_error",
-    "analytics_logrank_test",
-]
-
-#: ROUND-13 STAGING — every operator registered during round 12 AFTER
-#: the rotation above froze the 50-slot window lands here IN THE SAME
-#: COMMIT that registers it, so the partition test enforces staging at
-#: authoring time. Green rows for the window above close the book at
-#: 524/524 with an empty waiver list; names staged here certify in
-#: round 13. NB the round-12 window has zero slack (19 staged + 31
-#: re-pins = 50), so EVERY round-12 session addition stages here.
-NEXT_WINDOW: list[str] = [
-    # --- round-12 session additions (certify in round 13; four of the
-    # --- original sixteen were promoted into DRIVER_WINDOW above when
-    # --- the vacuous re-pins were swapped out) ---
+    # --- stale-certification re-pins: the 43 names whose dependency
+    # --- closures changed under the round-12 optimization rewrites
+    # --- (CC star-round windows, HITS/eigen/label-prop window rounds,
+    # --- shared tokenization, basket spread, parity BFS, shapley/DSIR/
+    # --- referential-audit restructures — OPTIMIZATION_r12.md). Every
+    # --- one was parity-verified locally at sf0.01; this rotation gets
+    # --- them driver-oracle re-certified (VERDICT r12 "Next round" #1).
+    "analytics_market_basket",
+    "analytics_shapley_attribution",
+    "dedup_clusters_cc",
+    "dedup_containment_pairs",
+    "dedup_lsh_band_sensitivity",
+    "dedup_lsh_eval",
+    "dedup_minhash_estimate_error",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_threshold_sensitivity",
+    "dq_referential_integrity_audit",
+    "graph_adamic_adar",
+    "graph_bfs_distance_histogram",
+    "graph_community_modularity",
+    "graph_connected_components",
+    "graph_copurchase_degree",
+    "graph_degree_assortativity",
+    "graph_edge_support_histogram",
+    "graph_ego_density_topk",
+    "graph_global_transitivity",
+    "graph_hits_hubs_authorities",
+    "graph_hub_cap_sensitivity",
+    "graph_jaccard_neighbors",
+    "graph_kcore_bounded_peel",
+    "graph_kcore_peel",
+    "graph_ktruss_edges",
+    "graph_label_propagation",
+    "graph_landmark_distance_profile",
+    "graph_louvain_first_sweep",
+    "graph_rich_club_coefficient",
+    "graph_triangle_participation",
+    "pipeline_cluster_representative",
+    "pipeline_cross_source_dup_matrix",
+    "pipeline_dedup_cluster_sizes",
+    "pipeline_dsir_importance_weights",
+    "pipeline_snapshot_novelty_rate",
+    "pipeline_soft_dedup_ess_by_source",
+    "pipeline_soft_dedup_weights",
+    "text_bigram_logprob",
+    "text_edit_distance_near_pairs",
+    "text_shingle_novelty",
+    "ts_theil_sen_sampled",
+    "ts_theil_sen_slope",
+    # --- round-12 staged additions (7 of the 12 in NEXT_WINDOW;
+    # --- graph_harmonic_centrality is pulled forward because its
+    # --- round-12 parity-BFS rewrite is semantics-sensitive and should
+    # --- not wait another round for driver certification) ---
     "ts_tracking_signal_bias",
     "ts_squared_return_acf",
     "ml_cochran_armitage_trend",
     "ml_chow_break_test",
     "ml_lins_ccc",
     "analytics_quantile_treatment_effect",
+    "graph_harmonic_centrality",
+]
+
+#: ROUND-14 STAGING — the round-13 window has zero slack (43 re-pins +
+#: 7 staged = 50), so the 5 remaining round-12 session additions stay
+#: staged here for the next rotation. Round 13 is an optimization round
+#: and registers no new operators.
+NEXT_WINDOW: list[str] = [
     "multimodal_duplicate_payload_refcount",
     "ml_deming_regression",
     "ml_mantel_haenszel_or",
-    "graph_harmonic_centrality",
     "ts_page_hinkley_drift",
     "ml_aic_bic_trend_compare",
 ]
