@@ -189,12 +189,18 @@ PINNED: dict[str, dict[str, int]] = {
     # and the banded exchange stopped carrying the 32-long signature
     # column (pair identity is all this query evaluates). LogicalRDD
     # 12 -> 8 = sigs x2 band sides + truth + n_truth... leaves; Union 3 /
-    # Range 3 = the 3-config banded union + the literal config frame. An
-    # InMemoryRelation reappearing means persist came back; Join > 4
-    # means a config started rebuilding signatures or truth on lineage.
+    # Range 3 = the literal 3-row config frame. Re-pinned r13: the three
+    # banded union branches fused into ONE explode over a concat of
+    # per-config struct arrays, with signatures derived INLINE from the
+    # checkpointed shingle frame (Generate 6 -> 2, Union 3 -> 1,
+    # LogicalRDD 8 -> 4 — the eager sigs checkpoint job is gone; its one
+    # consumer is this explode). An InMemoryRelation reappearing means
+    # persist came back; Join > 4 means a config started rebuilding
+    # signatures or truth on lineage; Generate > 2 means the banded pass
+    # split back into per-config branches.
     "dedup_lsh_band_sensitivity": {
-        "Union": 3, "Project": 18, "Join": 4, "Aggregate": 3, "Filter": 2,
-        "Window": 2, "Generate": 6, "LogicalRDD": 8, "Range": 3,
+        "Union": 1, "Project": 16, "Join": 4, "Aggregate": 3, "Filter": 3,
+        "Window": 2, "Generate": 2, "LogicalRDD": 4, "Range": 3,
     },
     # soft-dedup ESS (fresh-JVM 4.7s): CC labels arrive checkpointed
     # (LogicalRDD leaves — the shared df-capped candidate join is spent

@@ -207,6 +207,18 @@ def minhash_signature_from_shingles(
     return df.select(F.col(id_col).alias("doc"), sig.alias("sig"))
 
 
+#: THE bucket-size skew cap — single source of truth for every LSH
+#: banding site that drops over-full buckets (minhash_candidates,
+#: minhash_near_pairs, and dedup_lsh_band_sensitivity's fused sweep plus
+#: its oracle SQL generator in plans/llm.py). An over-cap bucket carries
+#: no discriminating information (its pairs are overwhelmingly false
+#: positives); a single shared constant keeps the band-sensitivity
+#: query's candidate sets provably identical to minhash_near_pairs'
+#: (ADVICE r12: a drifting per-site literal would silently break that
+#: documented equivalence).
+DEFAULT_MAX_BUCKET: int = 500
+
+
 def lsh_band_key(b, rows_per_band: int, portable: bool = False):
     """THE band-bucket key expression — single source of truth for every
     LSH banding site (minhash_candidates, minhash_near_pairs, and the
@@ -225,7 +237,7 @@ def minhash_candidates(
     sigs: DataFrame,
     bands: int = 4,
     rows_per_band: int = 8,
-    max_bucket: int = 500,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """LSH banding: docs agreeing on all rows of any band become candidates.
 
@@ -399,7 +411,7 @@ def minhash_near_pairs(
     sigs: DataFrame,
     bands: int = 4,
     rows_per_band: int = 8,
-    max_bucket: int = 500,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
     portable: bool = False,
 ) -> DataFrame:
     """Fused banding + estimate: same results as minhash_candidates →

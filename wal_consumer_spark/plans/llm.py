@@ -4487,6 +4487,8 @@ _LSH_BAND_CONFIGS = [(4, 8), (8, 4), (16, 2)]
 def _lsh_band_sensitivity_sql() -> str:
     """Per-config DuckDB replay of the portable signature + banding at
     (4x8, 8x4, 16x2), each against the df-capped exact-Jaccard truth."""
+    from wal_consumer_spark.operators.dedup import DEFAULT_MAX_BUCKET
+
     coeffs = "[" + ", ".join(f"[{a}, {b}]" for a, b in minhash_coeffs(32, 7)) + "]"
     return f"""
     WITH hs AS (
@@ -4532,7 +4534,7 @@ def _lsh_band_sensitivity_sql() -> str:
                            AS bucket
                 FROM sig, (SELECT unnest(range(0, 4)) AS b) bb
             ) x
-        ) y WHERE bn <= 500
+        ) y WHERE bn <= {DEFAULT_MAX_BUCKET}
     ),
     cands0 AS (
         SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
@@ -4550,7 +4552,7 @@ def _lsh_band_sensitivity_sql() -> str:
                            AS bucket
                 FROM sig, (SELECT unnest(range(0, 8)) AS b) bb
             ) x
-        ) y WHERE bn <= 500
+        ) y WHERE bn <= {DEFAULT_MAX_BUCKET}
     ),
     cands1 AS (
         SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
@@ -4568,7 +4570,7 @@ def _lsh_band_sensitivity_sql() -> str:
                            AS bucket
                 FROM sig, (SELECT unnest(range(0, 16)) AS b) bb
             ) x
-        ) y WHERE bn <= 500
+        ) y WHERE bn <= {DEFAULT_MAX_BUCKET}
     ),
     cands2 AS (
         SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
@@ -4644,9 +4646,17 @@ def dedup_lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc"),
         word_shingles(tokens(F.col("text")), 3).alias("__ss"),
     ).localCheckpoint(eager=True)
-    sigs = minhash_signature_from_shingles(
-        sets, "doc", "__ss", portable=True
-    ).localCheckpoint(eager=True)
+    # r13 (guide §1.2/§5 — don't materialize what has one consumer): the
+    # signature frame is consumed ONLY by the banded explode below, and
+    # the three config branches now explode from ONE projection (a single
+    # concat of per-config struct arrays) instead of three union branches
+    # — so the eager sigs localCheckpoint job is dropped and the md5 +
+    # 32-permutation signature computes once per doc inside the same
+    # single pass. Catalyst keeps the sig projection BELOW the Generate
+    # (CollapseProject refuses to inline a non-cheap alias referenced by
+    # all 28 band slices), verified in the pinned plan: one md5/percentile
+    # chain, Project under Generate.
+    sigs = minhash_signature_from_shingles(sets, "doc", "__ss", portable=True)
     truth = (
         shingle_pairs_jaccard_from_sets(sets)
         .filter(F.col("jaccard") >= 0.5)
@@ -4657,7 +4667,7 @@ def dedup_lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth_marked = truth.withColumn("__t", F.lit(1))
     # r12 second pass (guide §2.4 one exchange for same-keyed work, §2.3
     # shuffle fewer bytes): the three per-config band joins fuse into ONE
-    # — the banded streams union with a config tag, so the bucket-skew
+    # — the banded streams carry a config tag, so the bucket-skew
     # window, the self-join and the pair distinct all run once on
     # (cfg, band, bucket)/(cfg, doc1, doc2) keys instead of three times
     # (6 wide exchanges -> 2, one left join + aggregate instead of
@@ -4671,33 +4681,52 @@ def dedup_lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The 3-row config frame left-joins the per-config stats so a
     # zero-candidate config still reports its row, exactly like the old
     # per-config global aggregate.
-    from wal_consumer_spark.operators.dedup import lsh_band_key
+    from wal_consumer_spark.operators.dedup import (
+        DEFAULT_MAX_BUCKET,
+        lsh_band_key,
+    )
 
-    def _banded_part(ci: int, bands: int, rows_per_band: int) -> DataFrame:
-        # single-arg lambda REQUIRED: F.transform feeds a 2-arg lambda
-        # (element, index) — a defaulted second parameter would silently
-        # receive the index column and zero out the slice length
-        return sigs.select(
-            F.lit(ci).cast("int").alias("cfg"),
-            "doc",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: lsh_band_key(b, rows_per_band, True),
-                )
-            ).alias("band", "bucket"),
-        )
+    def _cfg_struct_array(ci: int, bands: int, rows_per_band: int):
+        # single-arg inner function REQUIRED: F.transform feeds a 2-arg
+        # lambda (element, index) — a defaulted second parameter would
+        # silently receive the index column and zero out the slice length
+        def _mk(b):
+            return F.struct(
+                F.lit(ci).cast("int").alias("cfg"),
+                b.alias("band"),
+                lsh_band_key(b, rows_per_band, True).alias("bucket"),
+            )
 
-    banded = None
-    for ci, (bands, rows_per_band) in enumerate(_LSH_BAND_CONFIGS):
-        part = _banded_part(ci, bands, rows_per_band)
-        banded = part if banded is None else banded.unionByName(part)
+        # band == the sequence element == the old posexplode position
+        # (sequence starts at 0), so (cfg, band, bucket) rows are
+        # value-identical to the old three-branch union
+        return F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), _mk)
+
     banded = (
-        banded.withColumn(
+        sigs.select(
+            "doc",
+            F.explode(
+                F.concat(
+                    *[
+                        _cfg_struct_array(ci, bands, rows_per_band)
+                        for ci, (bands, rows_per_band) in enumerate(
+                            _LSH_BAND_CONFIGS
+                        )
+                    ]
+                )
+            ).alias("e"),
+        )
+        .select(
+            F.col("e.cfg").alias("cfg"),
+            "doc",
+            F.col("e.band").alias("band"),
+            F.col("e.bucket").alias("bucket"),
+        )
+        .withColumn(
             "__n",
             F.count(F.lit(1)).over(Window.partitionBy("cfg", "band", "bucket")),
         )
-        .filter(F.col("__n") <= 500)
+        .filter(F.col("__n") <= DEFAULT_MAX_BUCKET)
         .drop("__n")
     )
     a = banded.select("cfg", "band", "bucket", F.col("doc").alias("doc1"))
