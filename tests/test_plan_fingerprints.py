@@ -158,9 +158,16 @@ PINNED: dict[str, dict[str, int]] = {
     # two broadcast consumers), and the per-endpoint membership joins —
     # an un-checkpointed edge build re-derives the order self-join per
     # consumer and changes Join/LogicalRDD counts here.
+    # re-pinned r13: the 20-row hub frame (degree top-k) is eagerly
+    # checkpointed, so the 2|E|-row degree aggregate + TakeOrdered chain
+    # runs ONCE instead of once per consumer (it fed the nu join's two
+    # broadcast builds AND the final left join — Aggregate 4 -> 1,
+    # Sort/Limit 3 -> 0, the hub chain now a LogicalRDD leaf). An
+    # Aggregate or Sort count rising here means a consumer started
+    # re-deriving the hub frame on lineage again.
     "graph_ego_density_topk": {
-        "Project": 18, "Join": 5, "GlobalLimit": 3, "LocalLimit": 3,
-        "Sort": 3, "Aggregate": 4, "Union": 5, "LogicalRDD": 11,
+        "Project": 11, "Join": 5, "Aggregate": 1, "Union": 2,
+        "LogicalRDD": 8,
     },
     # minhash estimator calibration, r12 second pass (fresh-JVM A/B
     # matched probes: 5.03s -> 4.22s): ONE tokenization — the shingle

@@ -1403,6 +1403,15 @@ def wedge_pairs(e: DataFrame, cap: int = 64) -> tuple[DataFrame, DataFrame]:
     from wal_consumer_spark.operators.graph import maybe_broadcast
 
     adj, deg = adjacency_degrees(e)
+    # r13 examined, measured, REJECTED: eagerly checkpointing `deg` (it
+    # feeds THREE broadcast builds — the hub-cap filter plus the caller's
+    # d1/d2 attach joins — each re-running the 2|E|-row adjacency
+    # aggregate from the edge leaf). Fresh-JVM A/B on
+    # graph_jaccard_neighbors: 3.184 s @ cpu probe 0.197 WITH the
+    # checkpoint vs 2.791 s @ worse probe 0.238 WITHOUT — the eager
+    # materialization job costs more than the three map-side-combined
+    # aggregate recomputes it saves (the r12 _knn_top5_frame lesson,
+    # guide §5's cache-only-when-recompute-is-dearer rule).
     ok_mid = deg.where(F.col("d") <= cap).select(F.col("u").alias("w"))
     capped = adj.select(F.col("v").alias("w"), F.col("u").alias("x")).join(
         maybe_broadcast(ok_mid), "w"
@@ -11085,8 +11094,16 @@ def graph_ego_density_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
     )
     deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    hubs = deg.orderBy(F.col("d").desc(), "u").limit(20).select(
-        F.col("u").alias("hub"), "d"
+    # r13 (guide §5 — cut lineage before multiple consumers): the 20-row
+    # hub frame is consumed FOUR times (the nu join that itself feeds two
+    # broadcast builds, and the final left join), and each consumer
+    # re-ran the 2|E|-row degree aggregate + top-k from the edge leaf.
+    # One eager checkpoint of 20 rows runs that chain once.
+    hubs = (
+        deg.orderBy(F.col("d").desc(), "u")
+        .limit(20)
+        .select(F.col("u").alias("hub"), "d")
+        .localCheckpoint(eager=True)
     )
     nu = hubs.join(adj, hubs.hub == adj.u).select("hub", F.col("v").alias("member"))
     n1 = nu.select(F.col("hub"), F.col("member").alias("p1"))
