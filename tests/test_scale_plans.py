@@ -1446,3 +1446,42 @@ def test_self_join_guard_flags_deliberate_violation(spark):
     assert not _uncapped_self_join_violations(capped), (
         "guard wrongly flagged the rank-capped sampled pair join"
     )
+
+
+def test_parity_bfs_frontier_bounded_by_reachable_set(spark):
+    """ADVICE r12: the r12 parity-BFS rewrite (landmark/harmonic profiles)
+    expands the previous WALK frontier instead of subtracting the visited
+    set, so frontiers no longer shrink — on a small-diameter high-degree
+    component rounds 3-4 re-expand nearly the whole reachable set. The
+    scale INVARIANT that makes this safe (and that this test pins on the
+    worst case, a clique) is the per-round distinct: the frontier is
+    bounded by n_landmarks x |reachable|, so path multiplicity can never
+    compound — without the distinct, a 12-clique's round-4 walk count
+    would be ~11^4 per landmark, not 12. The re-expansion itself (frontier
+    ~= reachable set instead of ~= newly-visited set) is the accepted,
+    documented tradeoff of dropping the growing anti-join; see the
+    comment in graph_landmark_distance_profile."""
+    n = 12
+    nodes = list(range(n))
+    edges = [(i, j) for i in nodes for j in nodes if i < j]  # K12
+    e = spark.createDataFrame(edges, "src LONG, dst LONG")
+    both = e.unionByName(
+        e.selectExpr("dst AS src", "src AS dst")
+    ).localCheckpoint(eager=True)
+    seeds = spark.createDataFrame(
+        [(0, 0, 0)], "lm LONG, p LONG, dist LONG"
+    ).localCheckpoint(eager=True)
+    frontier = seeds.select("lm", "p")
+    sizes = []
+    for _ in range(1, 5):
+        frontier = (
+            frontier.join(both, frontier.p == both.src)
+            .select("lm", F.col("dst").alias("p"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sizes.append(frontier.count())
+    # round 1: the 11 neighbors; rounds 2-4: the whole clique re-expands
+    # (parity re-visits included) but NEVER exceeds n_landmarks * |V|
+    assert sizes[0] == n - 1
+    assert all(s <= n for s in sizes), sizes

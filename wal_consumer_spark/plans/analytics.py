@@ -9197,6 +9197,19 @@ def graph_landmark_distance_profile(spark: SparkSession, sf_dir: str) -> DataFra
     # implies a length-r walk, so r >= d, and parity re-appearances are
     # all > d). Identical histogram, two exchanges per round instead of
     # three, and the anti-join's sort-merge against |V| rows is gone.
+    #
+    # TRADEOFF (ADVICE r12, guarded by tests/test_scale_plans.py::
+    # test_parity_bfs_frontier_bounded_by_reachable_set): walk frontiers
+    # no longer SHRINK — on a small-diameter high-degree component,
+    # rounds 3-4 re-expand nearly the whole reachable set instead of
+    # only newly-visited nodes, so each round's join costs
+    # O(|N(reachable)|), where the anti-join variant's frontier decays.
+    # The per-round distinct keeps the frontier bounded by
+    # n_landmarks x |reachable| (path multiplicity can NEVER compound),
+    # which is the scale invariant; the win measured at bench SF depends
+    # on frontiers staying near the new-node count at 4 hops, which
+    # holds on sparse support-2 projections but should be re-measured
+    # before porting this shape to dense graphs.
     reached = seeds
     frontier = seeds.select("lm", "p")
     for d in range(1, 5):

@@ -5516,6 +5516,16 @@ def dedup_minhash_estimate_error(
         F.col("doc_id").alias("doc"),
         word_shingles(tokens(F.col("text")), 3).alias("__ss"),
     ).localCheckpoint(eager=True)
+    # r13 examined, measured, kept as-is: dropping this checkpoint (the
+    # band-sensitivity win) measured NEUTRAL here across two fresh-JVM
+    # A/B pairs (3.70/3.47 with vs 3.12/3.50 without, probes 0.26/0.25
+    # vs 0.22/0.25) — unlike band_sensitivity, the agreement join ships
+    # the 32-long sig through the banded exchange either way, so the
+    # only savable cost was the one materialization job, and runtime
+    # exchange reuse is not guaranteed in the un-checkpointed plan
+    # (both self-join sides re-derive the window subtree pre-AQE). The
+    # checkpointed form keeps the sig compute provably once at any
+    # scale.
     sigs = minhash_signature_from_shingles(
         sets, "doc", "__ss", portable=True
     ).localCheckpoint(eager=True)
