@@ -635,6 +635,34 @@ def main() -> None:
             pass
     isolation = auto_isolate_flags(tripwire, prev_isolation, prev_norm, sf_dir)
 
+    # Optional second recorded basis (VERDICT r12 "Next round" #8): per-query
+    # fresh-JVM medians via tools/bench_one.py subprocesses for the N
+    # slowest in-suite queries. The in-suite series stays the primary,
+    # methodology-continuous basis (same shared-JVM span since r3); this
+    # block exists because checkpoint-heavy queries measure 30-60% LOWER in
+    # a JVM that has run nothing else, so cross-round readers need both.
+    # Env-gated OFF by default so the driver's bench wall-clock is
+    # unchanged; a committed BENCH_FRESHJVM_r{N}.json carries the round's
+    # record even if the detail file is later refreshed.
+    freshjvm_n = int(os.environ.get("SPARK_GRAFT_BENCH_FRESHJVM", "0"))
+    fresh_basis: dict[str, dict] = {}
+    if freshjvm_n:
+        for name in sorted(timings, key=lambda n: -timings[n])[:freshjvm_n]:
+            rec = isolate_one(name, sf_dir, n=3)
+            if not rec or not rec.get("median"):
+                continue
+            iso_cpu = (rec.get("calibration") or {}).get("cpu_sec")
+            fresh_basis[name] = {
+                "fresh_jvm_median_sec": rec["median"],
+                "fresh_jvm_samples": rec.get("samples"),
+                "construct_sec": rec.get("construct_sec"),
+                "calibration_cpu_sec": iso_cpu,
+                "normalized": round(rec["median"] * ANCHOR_CPU_SEC / iso_cpu, 3)
+                if iso_cpu
+                else None,
+                "in_suite_median_sec": timings[name],
+            }
+
     # Full methodology record goes to a SIDE FILE, not stdout: the grading
     # driver keeps only the last 2000 chars of stdout, and the round-3
     # record (medians + 43x3 raw samples + method text on one line) outgrew
@@ -1230,6 +1258,36 @@ def main() -> None:
             },
         },
     }
+    # Committed sf1 core-scaling probe (SCALE.md §32, VERDICT r12 #6):
+    # measured once per optimization round with tools/scale_probe.py on the
+    # 10x disjoint-replica set — NOT a per-run measurement (the driver's
+    # testdata tops out at sf0.1), merged here so the detail record carries
+    # the round's scaling evidence next to the in-suite medians.
+    probe_path = os.path.join(here_dir, "plans", "r13", "scale_probe_sf1.json")
+    try:
+        with open(probe_path) as fh:
+            detail_sf1_probe = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        detail_sf1_probe = None
+
+    if fresh_basis:
+        fresh_block = {
+            "method": "tools/bench_one.py subprocess per query (fresh JVM, "
+                      "n=3, construction+execution, own calibration probe); "
+                      f"the {freshjvm_n} slowest in-suite queries this run. "
+                      "SECONDARY basis — the in-suite medians above remain "
+                      "the methodology-continuous cross-round series.",
+            "queries": fresh_basis,
+        }
+        detail["fresh_jvm_basis"] = fresh_block
+        fresh_path = os.path.join(here_dir, f"BENCH_FRESHJVM_r{rnd:02d}.json")
+        with open(fresh_path, "w") as fh:
+            json.dump(fresh_block, fh, indent=1)
+        print(f"fresh-jvm basis -> {fresh_path}", file=sys.stderr)
+
+    if detail_sf1_probe:
+        detail["sf1_scaling_probe"] = detail_sf1_probe
+
     detail_path = os.path.join(here_dir, f"BENCH_DETAIL_r{rnd:02d}.json")
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
