@@ -413,6 +413,56 @@ def auto_isolate_flags(
     return isolation
 
 
+def compact_stdout_line(
+    total: float,
+    timings: dict[str, float],
+    sf: float,
+    n_passes: int,
+    calibration: dict,
+    normalized_block: dict,
+    tripwire: dict,
+) -> str:
+    """The ONE stdout line the grading driver parses — factored out so the
+    tail-budget invariant is unit-testable (tests/test_bench_tripwire.py).
+
+    The driver keeps only the last ~2000 chars of combined output, so a
+    line that outgrows the tail loses the round's headline value
+    ("parsed": null, VERDICT r3) — and all ~97 medians need ~3.2k chars,
+    so the line carries the FROZEN 44-name manifest (COMPACT_MANIFEST):
+    the old "top 40 by median" fallback churned with relative speed and
+    round 12's four fastest-improving queries read as dropped. Every
+    measured query's median is in BENCH_DETAIL_r{N}.json; flags are
+    capped at 5 names + a total count (full list in the detail file)."""
+    compact = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: timings[n] for n in COMPACT_MANIFEST if n in timings},
+        "sf": sf,
+        "bench_version": 8,
+        "n_per_query": n_passes,
+        # how many queries the suite actually measured this run (all of
+        # HEADLINE; medians for every one are in the detail file)
+        "queries_measured": len(timings),
+        # host-normalized scalars (full per-query block in BENCH_DETAIL)
+        "calibration_cpu_sec": calibration["cpu_sec"],
+        "normalized_value": normalized_block["value"],
+        "normalized_comparable_41_sum": normalized_block["comparable_41_sum"],
+        "tripwire_flagged": sorted(tripwire["flagged"])[:5],
+        "tripwire_n_flagged": len(tripwire["flagged"]),
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    # Realistic lines measure ~1.73-1.89k chars; only a pathological suite
+    # (every median >= 10 s AND 5 max-length flags) crosses 1900 — then
+    # drop the flag NAMES (never query medians; the count and the detail
+    # file still carry the signal).
+    if len(line) > 1900:
+        compact["tripwire_flagged"] = []
+        line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) <= 1900, f"compact line {len(line)} chars > 1900"
+    return line
+
+
 def warmup(spark, sf_dir: str) -> None:
     """Untimed steady-state warmup (JMH-style): first-stage costs — parquet
     reader init, whole-stage codegen compilation, shuffle machinery — are
@@ -1293,37 +1343,9 @@ def main() -> None:
         json.dump(detail, fh, indent=1)
     print(f"detail -> {detail_path}", file=sys.stderr)
 
-    compact = {
-        "metric": "headline_suite_seconds",
-        "value": total,
-        "unit": "sec",
-        # FROZEN 44-name manifest (see COMPACT_MANIFEST): the driver's
-        # ~2000-char stdout tail cannot hold all ~97 medians, and the old
-        # "top 40 by median" fallback churned with relative speed —
-        # round 12's four fastest-improving queries read as
-        # "dropped_from_bench". A fixed name set can never churn; every
-        # measured query's median is in BENCH_DETAIL_r{N}.json.
-        "queries": {n: timings[n] for n in COMPACT_MANIFEST if n in timings},
-        "sf": sf,
-        "bench_version": 8,
-        "n_per_query": n_passes,
-        # how many queries the suite actually measured this run (all of
-        # HEADLINE; medians for every one are in the detail file)
-        "queries_measured": len(timings),
-        # host-normalized scalars (full per-query block in BENCH_DETAIL)
-        "calibration_cpu_sec": calibration["cpu_sec"],
-        "normalized_value": normalized_block["value"],
-        "normalized_comparable_41_sum": normalized_block["comparable_41_sum"],
-        # names only; per-query prev/now/ratio in BENCH_DETAIL's tripwire
-        "tripwire_flagged": sorted(tripwire["flagged"]),
-    }
-    line = json.dumps(compact, separators=(",", ":"))
-    # hard invariant, not a truncation fallback: the driver keeps only the
-    # last ~2000 chars of combined output, so a line that outgrows the tail
-    # loses the round's headline value ("parsed": null, VERDICT r3). The
-    # manifest is frozen at 44 names (~1.73k chars), so this cannot fire;
-    # if it ever does, fail loudly instead of silently dropping names.
-    assert len(line) <= 1900, f"compact line {len(line)} chars > 1900"
+    line = compact_stdout_line(
+        total, timings, sf, n_passes, calibration, normalized_block, tripwire
+    )
     print(line)
     spark.stop()
 

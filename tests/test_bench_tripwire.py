@@ -227,3 +227,61 @@ def test_isolation_run_cap():
     assert len(iso) == ISOLATION_MAX_RUNS
     assert len(tw["isolated_clear"]) == ISOLATION_MAX_RUNS
     assert len(tw["flagged"]) == 3
+
+
+def test_compact_stdout_line_fits_driver_tail_budget():
+    """VERDICT r12 #3: the one stdout line the driver parses must carry the
+    FULL frozen manifest and stay under the ~2000-char tail budget even in
+    pathological sessions (every median >= 10 s, max-length flag names) —
+    the round-3 failure mode was a line that outgrew the tail and lost the
+    round's headline value."""
+    import json
+
+    import bench
+
+    timings = {n: 99.999 for n in bench.HEADLINE}
+    flags = {n: {"ratio": 99.99} for n in sorted(
+        bench.COMPACT_MANIFEST, key=len, reverse=True)[:40]}
+    line = bench.compact_stdout_line(
+        total=9999.999,
+        timings=timings,
+        sf=0.1,
+        n_passes=3,
+        calibration={"cpu_sec": 0.999},
+        normalized_block={"value": 9999.999, "comparable_41_sum": 999.999},
+        tripwire={"flagged": flags},
+    )
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    # complete, frozen manifest — nothing the driver has ever diffed can
+    # disappear again, and every median is a real measured value
+    assert set(parsed["queries"]) == set(bench.COMPACT_MANIFEST)
+    assert parsed["queries_measured"] == len(bench.HEADLINE)
+    assert parsed["tripwire_n_flagged"] == 40
+    # the happy path (no flags) keeps the names field
+    line2 = bench.compact_stdout_line(
+        total=129.1, timings={n: 9.999 for n in bench.HEADLINE}, sf=0.1,
+        n_passes=3, calibration={"cpu_sec": 0.214},
+        normalized_block={"value": 125.5, "comparable_41_sum": 37.7},
+        tripwire={"flagged": {}},
+    )
+    assert len(line2) <= 1900 and json.loads(line2)["tripwire_flagged"] == []
+
+
+def test_compact_manifest_is_frozen_superset_of_r12_emission():
+    """The manifest must stay exactly the union of the r11/r12 emitted maps
+    (the names the driver has diffed) — append-forbidden, remove-forbidden:
+    churn here is what produced the round-12 'improved query reported as
+    dropped' artifact."""
+    import json
+    import os
+
+    import bench
+
+    here = os.path.dirname(os.path.abspath(bench.__file__))
+    want: set[str] = set()
+    for f in ("BENCH_r11.json", "BENCH_r12.json"):
+        with open(os.path.join(here, f)) as fh:
+            want |= set(json.load(fh)["parsed"]["queries"])
+    assert set(bench.COMPACT_MANIFEST) == want
+    assert set(bench.COMPACT_MANIFEST) <= set(bench.HEADLINE)
